@@ -1,0 +1,310 @@
+"""Oracle-checked graph operator queries (SURVEY.md §2.1/§2.4 inventory).
+
+Every mongraph graph operator, run through the engine's planner over the
+derived TPC-H property graph (mongraph_spark.graphs.tpch), each with a
+hand-written DuckDB oracle over the *same* graph construction.  The Spark
+side never goes through SQL — it exercises TraversalQuery / populate /
+BFS — so a hash match is a real semantics check, not string equality.
+
+Anchors are picked deterministically (min keys) so the same query works at
+every scale factor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mongraph_spark.graphs import tpch
+from mongraph_spark.graphs.tpch import oracle_with
+from mongraph_spark.paths import shortest_paths_from
+from mongraph_spark.populate import enrich_edges, semi_populate
+from mongraph_spark.traversal import TraversalQuery
+
+CUST = 3 * 10**12  # customer node-id base (graphs/tpch.py collection codes)
+NATION = 2 * 10**12
+ORDERS = 6 * 10**12
+
+_PROJ = ["rel_id", "type", "_from", "_to", "other"]
+
+
+def _anchor_customer() -> int:
+    # c_custkey is dense from 1 at every SF
+    return CUST + 1
+
+
+# -- G1/G4: outgoing 1-hop, wildcard type (queryRelationships direction=outgoing)
+
+
+def g1_outgoing_1hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = tpch.bulk_engine(spark, sf_dir)
+    tq = TraversalQuery(anchor=_anchor_customer(), direction="outgoing", types=None)
+    return tq.apply(eng.store.edges_df()).select(*_PROJ)
+
+
+ORACLE_G1_OUT = oracle_with(
+    f"""SELECT rel_id, type, _from, _to, dst AS other
+FROM g_edges WHERE src = {CUST + 1}"""
+)
+
+
+# -- G1/G3: incoming 1-hop with a type filter
+
+
+def g1_incoming_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = tpch.bulk_engine(spark, sf_dir)
+    tq = TraversalQuery(anchor=NATION + 5, direction="incoming", types=["located_in"])
+    return tq.apply(eng.store.edges_df()).select(*_PROJ)
+
+
+ORACLE_G1_IN = oracle_with(
+    f"""SELECT rel_id, type, _from, _to, src AS other
+FROM g_edges WHERE dst = {NATION + 5} AND type = 'located_in'"""
+)
+
+
+# -- G1/G2: both directions + union types ('contains|supplied_by'),
+#    each edge matched once even if both endpoints hit the anchor
+
+
+def g1_both_union_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = tpch.bulk_engine(spark, sf_dir)
+    orders_df = eng.store.documents_df("orders")
+    min_key = orders_df.agg(F.min("o_orderkey").alias("k")).collect()[0]["k"]
+    anchor = ORDERS + int(min_key)
+    tq = TraversalQuery(anchor=anchor, direction="both", types=["contains", "supplied_by"])
+    return tq.apply(eng.store.edges_df()).select(*_PROJ)
+
+
+ORACLE_G1_BOTH = oracle_with(
+    f"""SELECT rel_id, type, _from, _to,
+       CASE WHEN src = a.anchor THEN dst ELSE src END AS other
+FROM g_edges, (SELECT {ORDERS} + MIN(o_orderkey) AS anchor FROM orders) a
+WHERE (src = a.anchor OR dst = a.anchor) AND type IN ('contains', 'supplied_by')"""
+)
+
+
+# -- G1 counts: count vs countDistinct invariant (test/tests.coffee:523-531)
+
+
+def g1_count_forms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = tpch.bulk_engine(spark, sf_dir)
+    tq = TraversalQuery(anchor=_anchor_customer(), direction="both", types=None)
+    df = tq.apply(eng.store.edges_df())
+    return df.agg(
+        F.count(F.lit(1)).alias("cnt_star"),
+        F.count("other").alias("cnt_a"),
+        F.count_distinct("other").alias("cnt_distinct_a"),
+    )
+
+
+ORACLE_G1_COUNTS = oracle_with(
+    f"""SELECT count(*) AS cnt_star,
+       count(CASE WHEN src = {CUST + 1} THEN dst ELSE src END) AS cnt_a,
+       count(DISTINCT CASE WHEN src = {CUST + 1} THEN dst ELSE src END) AS cnt_distinct_a
+FROM g_edges WHERE src = {CUST + 1} OR dst = {CUST + 1}"""
+)
+
+
+# -- G1 relationship predicate (where.relationship on edge props)
+
+
+def g1_rel_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = tpch.bulk_engine(spark, sf_dir)
+    tq = TraversalQuery(
+        anchor=_anchor_customer(),
+        direction="outgoing",
+        types=["placed"],
+        where_relationship="r.priority! = '1-URGENT'",
+    )
+    return tq.apply(eng.store.edges_df()).select(
+        "rel_id", "_to", F.col("props")["priority"].alias("priority")
+    )
+
+
+ORACLE_G1_WHERE = oracle_with(
+    f"""SELECT rel_id, _to, priority
+FROM g_edges WHERE src = {CUST + 1} AND type = 'placed' AND priority = '1-URGENT'"""
+)
+
+
+# -- G5: relationships between two pinned documents (both directions)
+
+
+def g5_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = tpch.bulk_engine(spark, sf_dir)
+    cust = eng.store.documents_df("customer")
+    nk = cust.filter(F.col("c_custkey") == 1).select("c_nationkey").collect()[0][0]
+    tq = TraversalQuery(anchor=_anchor_customer(), direction="both", end_node=NATION + int(nk))
+    return tq.apply(eng.store.edges_df()).select(*_PROJ)
+
+
+ORACLE_G5 = oracle_with(
+    f"""SELECT rel_id, type, _from, _to,
+       CASE WHEN src = {CUST + 1} THEN dst ELSE src END AS other
+FROM g_edges,
+     (SELECT {NATION} + c_nationkey AS b FROM customer WHERE c_custkey = 1) t
+WHERE (src = {CUST + 1} AND dst = t.b) OR (src = t.b AND dst = {CUST + 1})"""
+)
+
+
+# -- G11-G15: delete = anti-join write-back; checked as the surviving set
+
+
+def g11_remove_node_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = tpch.bulk_engine(spark, sf_dir)
+    doomed = _anchor_customer()
+    e = eng.store.edges_df()
+    survivors = e.filter(~((F.col("src") == doomed) | (F.col("dst") == doomed)))
+    return survivors.agg(
+        F.count(F.lit(1)).alias("surviving_edges"),
+        F.count_distinct("type").alias("surviving_types"),
+    )
+
+
+ORACLE_G11 = oracle_with(
+    f"""SELECT count(*) AS surviving_edges, count(DISTINCT type) AS surviving_types
+FROM g_edges WHERE NOT (src = {CUST + 1} OR dst = {CUST + 1})"""
+)
+
+
+# -- §2.4 populate: traversal + enrichment join with per-endpoint predicates
+#    (drop semantics: endpoint failing its predicate drops the edge row)
+
+
+def populate_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = tpch.bulk_engine(spark, sf_dir)
+    placed = eng.store.edges_df().filter(F.col("type") == "placed")
+    out = enrich_edges(
+        eng.store,
+        placed,
+        from_collection="customer",
+        to_collection="orders",
+        where_from={"c_mktsegment": "BUILDING"},
+        where_to={"o_totalprice": {"$gt": 150000.0}},
+    )
+    return out.select(
+        "rel_id",
+        F.col("from_c_name").alias("c_name"),
+        F.col("to_o_orderkey").alias("o_orderkey"),
+        F.col("to_o_totalprice").alias("o_totalprice"),
+    )
+
+
+ORACLE_POPULATE = oracle_with(
+    """SELECT e.rel_id, c.c_name, o.o_orderkey, o.o_totalprice
+FROM g_edges e
+JOIN customer c ON e._from = 'customer:' || substr(md5('customer:' || CAST(c.c_custkey AS VARCHAR)), 1, 24)
+JOIN orders o   ON e._to   = 'orders:'   || substr(md5('orders:'   || CAST(o.o_orderkey AS VARCHAR)), 1, 24)
+WHERE e.type = 'placed' AND c.c_mktsegment = 'BUILDING' AND o.o_totalprice > 150000.0"""
+)
+
+
+# -- §2.4 semi-populate: drop semantics with a document predicate + regex
+#    (JS-regex → rlike, SURVEY.md §2.6)
+
+
+def populate_semi_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = tpch.bulk_engine(spark, sf_dir)
+    located = eng.store.edges_df().filter(F.col("type") == "located_in")
+    kept = semi_populate(
+        eng.store,
+        located,
+        where_document={"$or": [{"n_name": {"$regex": "^NATION_1"}}, {"c_custkey": {"$exists": True}}, {"s_suppkey": {"$exists": True}}]},
+    )
+    return kept.select("rel_id", "type", "_from", "_to")
+
+
+ORACLE_POPULATE_SEMI = oracle_with(
+    """SELECT e.rel_id, e.type, e._from, e._to
+FROM g_edges e
+WHERE e.type = 'located_in'
+  AND EXISTS (SELECT 1 FROM nation n
+              WHERE e._to = 'nation:' || substr(md5('nation:' || CAST(n.n_nationkey AS VARCHAR)), 1, 24)
+                AND regexp_matches(n.n_name, '^NATION_1'))"""
+)
+
+
+# -- M9 applyGraphRelationships: denormalize per node, grouped by type
+
+
+def m9_denormalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = tpch.bulk_engine(spark, sf_dir)
+    e = eng.store.edges_df()
+    cust_nodes = e.filter((F.col("src") >= CUST) & (F.col("src") < CUST + 10**12))
+    return (
+        cust_nodes.groupBy(F.col("src").alias("node_id"), "type")
+        .agg(F.count(F.lit(1)).alias("rel_count"))
+    )
+
+
+ORACLE_M9 = oracle_with(
+    f"""SELECT src AS node_id, type, count(*) AS rel_count
+FROM g_edges WHERE src >= {CUST} AND src < {CUST + 10**12}
+GROUP BY src, type"""
+)
+
+
+# -- G8 shortestPath: batch BFS supplier → region (2 hops via nation),
+#    deterministic min-path tie-break; path exploded to (origin,pos,node)
+
+
+def g8_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = tpch.bulk_engine(spark, sf_dir)
+    suppliers = eng.store.nodes_df().filter(F.col("_collection") == "supplier")
+    res = shortest_paths_from(
+        eng.store,
+        suppliers.select("node_id"),
+        dst_pred=F.col("_collection") == "region",
+        types=["located_in", "in_region"],
+        direction="outgoing",
+    )
+    return res.select(
+        "origin", "hops", F.posexplode("path").alias("pos", "path_node")
+    )
+
+
+ORACLE_G8 = oracle_with(
+    f"""SELECT origin, hops, pos, path_node FROM (
+  WITH p AS (
+    SELECT {4 * 10**12} + s_suppkey AS s_node,
+           {NATION} + CAST(s_nationkey AS BIGINT) AS n_node,
+           {1 * 10**12} + CAST(n_regionkey AS BIGINT) AS r_node
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  )
+  SELECT s_node AS origin, 2 AS hops, 0 AS pos, s_node AS path_node FROM p
+  UNION ALL
+  SELECT s_node, 2, 1, n_node FROM p
+  UNION ALL
+  SELECT s_node, 2, 2, r_node FROM p
+)"""
+)
+
+
+QUERIES = {
+    "g1_outgoing_1hop": g1_outgoing_1hop,
+    "g1_incoming_typed": g1_incoming_typed,
+    "g1_both_union_types": g1_both_union_types,
+    "g1_count_forms": g1_count_forms,
+    "g1_rel_where": g1_rel_where,
+    "g5_between": g5_between,
+    "g11_remove_node_survivors": g11_remove_node_survivors,
+    "populate_enrich": populate_enrich,
+    "populate_semi_regex": populate_semi_regex,
+    "m9_denormalize": m9_denormalize,
+    "g8_shortest_paths": g8_shortest_paths,
+}
+
+ORACLES = {
+    "g1_outgoing_1hop": ORACLE_G1_OUT,
+    "g1_incoming_typed": ORACLE_G1_IN,
+    "g1_both_union_types": ORACLE_G1_BOTH,
+    "g1_count_forms": ORACLE_G1_COUNTS,
+    "g1_rel_where": ORACLE_G1_WHERE,
+    "g5_between": ORACLE_G5,
+    "g11_remove_node_survivors": ORACLE_G11,
+    "populate_enrich": ORACLE_POPULATE,
+    "populate_semi_regex": ORACLE_POPULATE_SEMI,
+    "m9_denormalize": ORACLE_M9,
+    "g8_shortest_paths": ORACLE_G8,
+}

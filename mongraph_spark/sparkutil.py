@@ -1,0 +1,44 @@
+"""SparkSession helpers shared by tests, bench, and the driver entry point."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(app_name: str = "mongraph_spark", cpus: int | None = None) -> SparkSession:
+    """Local session tuned for this container (single JVM, many cores).
+
+    UTC timezone is load-bearing: oracle comparisons against DuckDB assume
+    epoch arithmetic agrees. AQE is on so skewed graph joins re-plan at
+    runtime; shuffle partitions match local cores instead of the 200 default
+    (at cluster scale this is set per-job or left to AQE coalescing).
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str):
+    return spark.read.parquet(table_path(sf_dir, name))

@@ -1,0 +1,102 @@
+"""Local replica of the driver's correctness gate: run every queries() entry
+on Spark and its oracle_sql() on DuckDB at a given SF, compare row count +
+column names + order-insensitive values.
+
+Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from mongraph_spark.sparkutil import get_spark  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def normalize(df, cols):
+    rows = []
+    for row in df[cols].itertuples(index=False):
+        vals = []
+        for v in row:
+            if isinstance(v, float):
+                if math.isnan(v):
+                    vals.append("NaN")
+                else:
+                    vals.append(f"{v:.6g}")
+            else:
+                vals.append(str(v))
+        rows.append(tuple(vals))
+    return sorted(rows)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("check_oracle")
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {exc}")
+            failures.append(name)
+            continue
+        sql = oracles.get(name)
+        if sql is None:
+            print(f"SKIP {name}: rows-only ({len(sdf)} rows)")
+            continue
+        try:
+            ddf = con.execute(sql).df()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {name}: oracle error: {exc}")
+            failures.append(name)
+            continue
+        scols = sorted(c.lower() for c in sdf.columns)
+        dcols = sorted(c.lower() for c in ddf.columns)
+        if scols != dcols:
+            print(f"FAIL {name}: columns {scols} vs {dcols}")
+            failures.append(name)
+            continue
+        sdf.columns = [c.lower() for c in sdf.columns]
+        ddf.columns = [c.lower() for c in ddf.columns]
+        if len(sdf) != len(ddf):
+            print(f"FAIL {name}: rows {len(sdf)} vs {len(ddf)}")
+            failures.append(name)
+            continue
+        srows, drows = normalize(sdf, scols), normalize(ddf, scols)
+        if srows != drows:
+            diff = [i for i, (a, b) in enumerate(zip(srows, drows)) if a != b][:3]
+            print(f"FAIL {name}: value mismatch at sorted rows {diff}")
+            for i in diff:
+                print(f"  spark: {srows[i]}")
+                print(f"  duck : {drows[i]}")
+            failures.append(name)
+            continue
+        print(f"OK   {name} ({len(sdf)} rows)")
+    print(f"\n{len(qs) - len(failures)}/{len(qs)} passed")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
