@@ -33,12 +33,19 @@ def _regex_to_column(col: Column, pattern: Any) -> Column:
     return col.rlike(str(pattern))
 
 
+# Mongo null semantics differ from SQL three-valued logic: a missing/null
+# field *matches* $ne/$nin/$nor (it "is not equal").  Negations therefore
+# wrap their operand in coalesce(x, false) before inverting.
+def _not(cond: Column) -> Column:
+    return ~F.coalesce(cond, F.lit(False))
+
+
 _COMPARATORS = {
     "$gt": lambda c, v: c > F.lit(v),
     "$gte": lambda c, v: c >= F.lit(v),
     "$lt": lambda c, v: c < F.lit(v),
     "$lte": lambda c, v: c <= F.lit(v),
-    "$ne": lambda c, v: c != F.lit(v),
+    "$ne": lambda c, v: _not(c.eqNullSafe(F.lit(v))),
     "$eq": lambda c, v: c == F.lit(v),
 }
 
@@ -52,7 +59,7 @@ def _field_condition(col: Column, spec: Any) -> Column:
             if op == "$in":
                 conds.append(col.isin(list(val)))
             elif op == "$nin":
-                conds.append(~col.isin(list(val)))
+                conds.append(_not(col.isin(list(val))))
             elif op == "$regex":
                 pat = val
                 if "$options" in spec and "i" in spec["$options"]:
@@ -102,7 +109,7 @@ def mongo_to_column(condition: dict[str, Any], resolver: ColumnResolver | None =
             c = sub[0]
             for s in sub[1:]:
                 c = c | s
-            conds.append(~c)
+            conds.append(_not(c))
         elif key.startswith("$"):
             raise ValueError(f"unsupported top-level mongo operator: {key!r}")
         else:

@@ -246,7 +246,10 @@ class Mongraph:
     def query_graph(self, cypher_query: str, options: dict | None = None, cb: Callable | None = None):
         from mongraph_spark.cypher_mini import execute_cypher
 
-        options = dict(options or {})
+        if options is None:
+            options = {}
+        # mutate the caller's dict: the reference hands breadcrumbs back
+        # through the options object (debug.cypher[], src/extendDocument.coffee:484-486)
         options.setdefault("debug", {}).setdefault("cypher", []).append(cypher_query)
         result = execute_cypher(self, cypher_query, options)
         if cb is not None:

@@ -1,0 +1,68 @@
+"""Every queries() entry hash-matches its DuckDB oracle at sf0.001 (the fast
+local replica of the driver's t2 gate; the driver itself runs sf0.01)."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
+def normalize(df, cols):
+    rows = []
+    for row in df[cols].itertuples(index=False):
+        vals = []
+        for v in row:
+            if isinstance(v, float):
+                vals.append("NaN" if math.isnan(v) else f"{v:.6g}")
+            else:
+                vals.append(str(v))
+        rows.append(tuple(vals))
+    return sorted(rows)
+
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, duck, name):
+    sdf = QUERIES[name](spark, SF_DIR).toPandas()
+    sql = ORACLES.get(name)
+    if sql is None:
+        assert len(sdf) >= 0  # rows-only check
+        return
+    ddf = duck.execute(sql).df()
+    scols = sorted(c.lower() for c in sdf.columns)
+    dcols = sorted(c.lower() for c in ddf.columns)
+    assert scols == dcols
+    sdf.columns = [c.lower() for c in sdf.columns]
+    ddf.columns = [c.lower() for c in ddf.columns]
+    assert len(sdf) == len(ddf)
+    assert normalize(sdf, scols) == normalize(ddf, scols)
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
