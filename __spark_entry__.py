@@ -18,8 +18,22 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from mongraph_spark.queries import collect_suites  # noqa: E402
 from mongraph_spark.queries import graph as graph_queries  # noqa: E402
+from mongraph_spark.queries import relational as relational_queries  # noqa: E402
+from mongraph_spark.queries import text as text_queries  # noqa: E402
+from mongraph_spark.queries import dedup as dedup_queries  # noqa: E402
+from mongraph_spark.queries import similarity as similarity_queries  # noqa: E402
+from mongraph_spark.queries import events as events_queries  # noqa: E402
+from mongraph_spark.streaming import events as streaming_events  # noqa: E402
 
-_SUITES = [graph_queries]
+_SUITES = [
+    graph_queries,
+    relational_queries,
+    text_queries,
+    dedup_queries,
+    similarity_queries,
+    events_queries,
+    streaming_events,
+]
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,409 @@
+"""Deduplication operators over ``documents`` (training-data pipeline scope):
+exact (hash-groupBy), n-gram Jaccard (inverted shingle index), MinHash+LSH
+(band-bucket join), SimHash (hash-nibble majority vote).
+
+The synthetic corpus has no duplicates, so each query builds a deterministic
+*duplication corpus* in-query: the documents unioned with perturbed copies
+(doc_id shifted by +1,000,000; exact copies or copies with the last K words
+dropped).  The operators must then find exactly those planted duplicates —
+which the DuckDB oracle verifies end-to-end.
+
+Engine-independence: every hash is md5 (identical in Spark and DuckDB) and
+MinHash takes the *lexicographic minimum of hex digests* — an order statistic
+on strings, no integer conversion needed, so signatures are portable.
+
+Scale notes: all shapes here are the 100 TB patterns — no pairwise cross
+join anywhere.  Exact dedup is one hash-groupBy; Jaccard goes through an
+inverted index (explode shingles → self-join on shingle → per-pair counts);
+MinHash/LSH reduces the candidate space to band-bucket collisions before any
+per-pair work; SimHash compares only within 16-bit prefix buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mongraph_spark.sparkutil import read_table
+
+ID_SHIFT = 1_000_000
+
+# -- shared corpus builders ----------------------------------------------------
+
+
+def _norm(col: str = "text") -> Column:
+    return F.regexp_replace(F.trim(F.lower(F.col(col))), r"\s+", " ")
+
+
+def dup_corpus(spark: SparkSession, sf_dir: str, drop_last: int = 0) -> DataFrame:
+    """documents ∪ copies (id+1M), copies missing their last ``drop_last``
+    words — deterministic near-duplicates for the operators to find."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", _norm().alias("text")
+    )
+    words = F.split(F.col("text"), " ")
+    copy_text = (
+        F.concat_ws(" ", F.slice(words, 1, F.greatest(F.size(words) - drop_last, F.lit(1))))
+        if drop_last
+        else F.col("text")
+    )
+    copies = docs.select(
+        (F.col("doc_id") + ID_SHIFT).alias("doc_id"), copy_text.alias("text")
+    )
+    return docs.unionByName(copies)
+
+
+_ORACLE_CORPUS_EXACT = """
+corpus AS (
+  SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS text
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')
+  FROM documents
+)"""
+
+
+def _oracle_corpus_droplast(k: int) -> str:
+    return f"""
+corpus AS (
+  SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS text
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+         array_to_string(words[1:greatest(len(words) - {k}, 1)], ' ')
+  FROM (SELECT doc_id,
+               string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS words
+        FROM documents)
+)"""
+
+
+def _shingles(words: Column, n: int = 3) -> Column:
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        )
+    )
+
+
+_ORACLE_SHINGLES = """
+shingled AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(words) - 3, 0) + 2),
+           i -> array_to_string(words[i:i+2], ' ')
+         )) AS shingles
+  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM corpus)
+)"""
+
+
+# -- exact dedup: one hash-groupBy ------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = dup_corpus(spark, sf_dir, drop_last=0)
+    hashed = corpus.select("doc_id", F.md5("text").alias("h"))
+    return (
+        hashed.groupBy("h")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+        .filter(F.col("group_size") > 1)
+        .select("keep_id", "group_size")
+    )
+
+
+ORACLE_EXACT = f"""
+WITH {_ORACLE_CORPUS_EXACT}
+SELECT min(doc_id) AS keep_id, count(*) AS group_size
+FROM (SELECT doc_id, md5(text) AS h FROM corpus)
+GROUP BY h HAVING count(*) > 1
+"""
+
+
+# -- MinHash + LSH: band-bucket join ------------------------------------------------
+
+N_HASHES = 12
+N_BANDS = 4  # 3 rows per band
+
+
+_HEX = "0123456789abcdef"
+
+
+def _hex_permutation(i: int) -> str:
+    """Deterministic alphabet permutation for seed ``i`` (pure function of
+    the seed — identical in the Spark plan and the generated oracle SQL)."""
+    import hashlib
+
+    return "".join(
+        sorted(_HEX, key=lambda c: hashlib.md5(f"{i}:{c}".encode()).hexdigest())
+    )
+
+
+def _minhash_sig(shingles_col: str) -> list[Column]:
+    """k independent min-hashes: lexicographic min of seeded md5 hex digests.
+    String order statistics are engine-portable (no integer conversion).
+    (Measured alternative: one md5 + per-seed ``translate`` alphabet
+    permutations is ~2x SLOWER — JVM md5 beats per-char string rewriting.)
+
+    NOTE: built with SQL-level lambdas (``F.expr``) with *unique* variable
+    names, not the Python lambda API — PySpark 4.1's Python HOF lambdas
+    mis-resolve when several sibling ``transform``s appear in one projection
+    (all siblings silently get one lambda body; see tests/test_spark_pitfalls.py).
+    """
+    return [
+        F.expr(
+            f"array_min(transform({shingles_col}, "
+            f"s{i} -> md5(concat('seed{i}:', s{i}))))"
+        ).alias(f"mh{i}")
+        for i in range(N_HASHES)
+    ]
+
+
+def _shingled_corpus(spark: SparkSession, sf_dir: str, drop_last: int) -> DataFrame:
+    corpus = dup_corpus(spark, sf_dir, drop_last=drop_last)
+    return corpus.select(
+        "doc_id", _shingles(F.split(F.col("text"), " ")).alias("shingles")
+    )
+
+
+def _lsh_candidate_pairs(shingled: DataFrame) -> DataFrame:
+    """Candidate pair ⇔ identical minhash signature in ANY band.
+
+    One self-join on (band_index, band_key) over the *exploded* band table —
+    signatures are computed once and persisted (they're k minhashes per doc,
+    tiny), never recomputed per band.  At scale this is the only shuffle:
+    keyed on band hashes, which are uniform by construction (no skew).
+
+    The shingled input sits behind a persist barrier so the corpus
+    normalization + shingling isn't recomputed per consumer."""
+    sig = shingled.select("doc_id", *_minhash_sig("shingles"))
+    rows_per_band = N_HASHES // N_BANDS
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+            )
+        ).alias(f"band{b}")
+        for b in range(N_BANDS)
+    ]
+    banded = sig.select("doc_id", *band_cols).persist()
+    bands_long = banded.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(N_BANDS)])).alias(
+            "bidx", "bk"
+        ),
+    )
+    lhs = bands_long.select("bidx", "bk", F.col("doc_id").alias("id_a"))
+    rhs = bands_long.select("bidx", "bk", F.col("doc_id").alias("id_b"))
+    return (
+        lhs.join(rhs, ["bidx", "bk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    shingled = _shingled_corpus(spark, sf_dir, drop_last=1).persist()
+    return _lsh_candidate_pairs(shingled)
+
+
+def _oracle_minhash_sig_sql() -> str:
+    mh = ",\n         ".join(
+        f"list_min(list_transform(shingles, s -> md5('seed{i}:' || s))) AS mh{i}"
+        for i in range(N_HASHES)
+    )
+    return f"sig AS (\n  SELECT doc_id,\n         {mh}\n  FROM shingled\n)"
+
+
+def _oracle_lsh_sql() -> str:
+    rows_per_band = N_HASHES // N_BANDS
+    bands = ",\n         ".join(
+        "md5("
+        + " || '|' || ".join(f"mh{b * rows_per_band + r}" for r in range(rows_per_band))
+        + f") AS band{b}"
+        for b in range(N_BANDS)
+    )
+    per_band = "\n  UNION ALL\n  ".join(
+        f"SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM banded a "
+        f"JOIN banded b ON a.band{b} = b.band{b} AND a.doc_id < b.doc_id"
+        for b in range(N_BANDS)
+    )
+    return (
+        f"banded AS (\n  SELECT doc_id,\n         {bands}\n  FROM sig\n)\n"
+        f"SELECT DISTINCT id_a, id_b FROM (\n  {per_band}\n)"
+    )
+
+
+ORACLE_MINHASH = f"""
+WITH {_oracle_corpus_droplast(1)},
+{_ORACLE_SHINGLES},
+{_oracle_minhash_sig_sql()},
+{_oracle_lsh_sql()}
+"""
+
+
+# -- n-gram Jaccard near-dup: LSH candidates -> exact verify -----------------------
+#
+# The naive inverted-index self-join is quadratic under hot shingles (this
+# corpus has a ~30-word vocabulary, so 3-shingles repeat across thousands of
+# docs).  The scalable pipeline — identical at 100 TB — is: LSH band-bucket
+# candidates first, then exact Jaccard only on candidate pairs.
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    shingled = _shingled_corpus(spark, sf_dir, drop_last=2).persist()
+    cands = _lsh_candidate_pairs(shingled)
+    sa = shingled.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = shingled.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    j = cands.join(sa, "id_a").join(sb, "id_b")
+    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
+    union_sz = F.size("sh_a") + F.size("sh_b") - n_common
+    return (
+        j.withColumn("n_common", n_common)
+        .withColumn("union_sz", union_sz)
+        # jaccard >= 0.8  ⇔  5 * common >= 4 * union   (exact integer compare)
+        .filter(5 * F.col("n_common") >= 4 * F.col("union_sz"))
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            F.floor(F.lit(10000) * F.col("n_common") / F.col("union_sz"))
+            .cast("long")
+            .alias("jaccard_bp"),
+        )
+    )
+
+
+def _oracle_cands_sql() -> str:
+    rows_per_band = N_HASHES // N_BANDS
+    bands = ",\n         ".join(
+        "md5("
+        + " || '|' || ".join(f"mh{b * rows_per_band + r}" for r in range(rows_per_band))
+        + f") AS band{b}"
+        for b in range(N_BANDS)
+    )
+    per_band = "\n    UNION ALL\n    ".join(
+        f"SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM banded a "
+        f"JOIN banded b ON a.band{b} = b.band{b} AND a.doc_id < b.doc_id"
+        for b in range(N_BANDS)
+    )
+    return (
+        f"banded AS (\n  SELECT doc_id,\n         {bands}\n  FROM sig\n),\n"
+        f"cands AS (\n  SELECT DISTINCT id_a, id_b FROM (\n    {per_band}\n  )\n)"
+    )
+
+
+ORACLE_JACCARD = f"""
+WITH {_oracle_corpus_droplast(2)},
+{_ORACLE_SHINGLES},
+{_oracle_minhash_sig_sql()},
+{_oracle_cands_sql()}
+SELECT id_a, id_b,
+       len(list_intersect(sa.shingles, sb.shingles)) AS n_common,
+       CAST(floor(10000.0 * len(list_intersect(sa.shingles, sb.shingles))
+         / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))))
+         AS BIGINT) AS jaccard_bp
+FROM cands
+JOIN shingled sa ON sa.doc_id = id_a
+JOIN shingled sb ON sb.doc_id = id_b
+WHERE 5 * len(list_intersect(sa.shingles, sb.shingles))
+      >= 4 * (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)))
+"""
+
+
+# -- SimHash: per-nibble majority vote over word hashes -------------------------------
+
+SIMHASH_LEN = 32  # md5 hex nibbles
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprint at nibble granularity: bit i = (mean of the i-th
+    md5 nibble over words) >= 7.5; near-dup ⇔ same 16-bit prefix bucket and
+    Hamming distance <= 3 on the 32-bit string."""
+    corpus = dup_corpus(spark, sf_dir, drop_last=1)
+    words = corpus.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    hashed = words.select("doc_id", F.md5("w").alias("h"))
+    # integer-exact majority vote per nibble: avg >= 7.5  ⇔  2*sum >= 15*count
+    sum_aggs = [
+        F.sum(
+            F.expr(f"instr('0123456789abcdef', substring(h, {i + 1}, 1)) - 1")
+        ).alias(f"s{i}")
+        for i in range(SIMHASH_LEN)
+    ]
+    per_doc = hashed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nw"), *sum_aggs)
+    bits = F.concat(
+        *[
+            F.when(2 * F.col(f"s{i}") >= 15 * F.col("nw"), F.lit("1")).otherwise(F.lit("0"))
+            for i in range(SIMHASH_LEN)
+        ]
+    )
+    fp = per_doc.select("doc_id", bits.alias("fp"))
+    a = fp.select(F.col("doc_id").alias("id_a"), F.col("fp").alias("fp_a"))
+    b = fp.select(F.col("doc_id").alias("id_b"), F.col("fp").alias("fp_b"))
+    # prefix bucket join keeps this linear-ish; then exact Hamming filter
+    cand = a.join(
+        b,
+        (F.substring("fp_a", 1, 16) == F.substring("fp_b", 1, 16))
+        & (F.col("id_a") < F.col("id_b")),
+    )
+    hamming = F.size(
+        F.filter(
+            F.arrays_zip(F.split("fp_a", ""), F.split("fp_b", "")),
+            lambda s: s["0"] != s["1"],
+        )
+    )
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def _oracle_simhash_sql() -> str:
+    sums = ",\n         ".join(
+        f"sum(strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1) AS s{i}"
+        for i in range(SIMHASH_LEN)
+    )
+    bits = " || ".join(
+        f"CASE WHEN 2 * s{i} >= 15 * nw THEN '1' ELSE '0' END" for i in range(SIMHASH_LEN)
+    )
+    return f"""hashed AS (
+  SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM corpus
+), per_doc AS (
+  SELECT doc_id, count(*) AS nw,
+         {sums}
+  FROM hashed GROUP BY doc_id
+), fp AS (
+  SELECT doc_id, {bits} AS fp FROM per_doc
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       len(list_filter(range(1, {SIMHASH_LEN + 1}),
+           i -> substr(a.fp, i, 1) <> substr(b.fp, i, 1))) AS hamming
+FROM fp a JOIN fp b
+  ON substr(a.fp, 1, 16) = substr(b.fp, 1, 16) AND a.doc_id < b.doc_id
+WHERE len(list_filter(range(1, {SIMHASH_LEN + 1}),
+          i -> substr(a.fp, i, 1) <> substr(b.fp, i, 1))) <= 3"""
+
+
+ORACLE_SIMHASH = f"""
+WITH {_oracle_corpus_droplast(1)},
+{_oracle_simhash_sql()}
+"""
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+}
+
+ORACLES = {
+    "dedup_exact": ORACLE_EXACT,
+    "dedup_ngram_jaccard": ORACLE_JACCARD,
+    "dedup_minhash_lsh": ORACLE_MINHASH,
+    "dedup_simhash": ORACLE_SIMHASH,
+}

@@ -1,0 +1,167 @@
+"""Event-stream analytics over the ``events`` table, batch-checked: tumbling
+windows, sessionization, JSON props extraction, per-type stats.
+
+These are the *batch* realizations; mongraph_spark.streaming runs the same
+logic as Structured Streaming (readStream + watermark + window /
+session_window) and the test suite asserts streaming == batch on this data.
+Oracles: DuckDB time_bucket aligns with Spark's F.window on epoch boundaries
+(session timezone pinned to UTC in sparkutil).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mongraph_spark.sparkutil import read_table
+
+SESSION_GAP_MIN = 30
+
+
+# -- tumbling window aggregation ------------------------------------------------
+
+
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "n_users",
+            "sum_value",
+        )
+    )
+
+
+ORACLE_TUMBLING = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# -- sessionization: gap > 30 min starts a new session ------------------------------
+
+
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    with_flag = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > SESSION_GAP_MIN * 60), 1).otherwise(0),
+    )
+    with_id = with_flag.withColumn(
+        "session_seq", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        with_id.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+    )
+
+
+ORACLE_SESSIONS = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                   > {SESSION_GAP_MIN * 60}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, ts, value,
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq,
+       count(*) AS n_events,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       round(sum(value), 2) AS session_value
+FROM numbered
+GROUP BY user_id, session_seq
+"""
+
+
+# -- JSON props extraction -------------------------------------------------------------
+
+
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.sum(k).alias("sum_k"),
+            F.count(F.when(k.isNotNull(), 1)).alias("n_with_k"),
+        )
+    )
+
+
+ORACLE_JSON = """
+SELECT event_type,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       count(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL THEN 1 END) AS n_with_k
+FROM events
+GROUP BY event_type
+"""
+
+
+# -- per-type stats + hourly top type (window over agg) -----------------------------------
+
+
+def events_hourly_top_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("hour").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        hourly.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("hour", F.col("event_type").alias("top_type"), "n")
+    )
+
+
+ORACLE_HOURLY_TOP = """
+SELECT hour, event_type AS top_type, n FROM (
+  SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+         row_number() OVER (PARTITION BY date_trunc('hour', ts)
+                            ORDER BY count(*) DESC, event_type ASC) AS rk
+  FROM events
+  GROUP BY 1, 2
+) WHERE rk = 1
+"""
+
+
+QUERIES = {
+    "events_tumbling_window": events_tumbling_window,
+    "events_sessionization": events_sessionization,
+    "events_json_props": events_json_props,
+    "events_hourly_top_type": events_hourly_top_type,
+}
+
+ORACLES = {
+    "events_tumbling_window": ORACLE_TUMBLING,
+    "events_sessionization": ORACLE_SESSIONS,
+    "events_json_props": ORACLE_JSON,
+    "events_hourly_top_type": ORACLE_HOURLY_TOP,
+}

@@ -1,0 +1,371 @@
+"""Relational analytics over the driver tables (SURVEY.md §2.7 extension
+scope): TPC-H-style aggregations, joins, window functions, rollup, set ops,
+semi/anti joins — all stock DataFrame API, all oracle-checked.
+
+Float policy: every aggregate over doubles is rounded (2dp) in BOTH engines
+so sum-order nondeterminism can't flip the driver's value hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mongraph_spark.sparkutil import read_table
+
+
+# -- Q1-style: scan + filter + groupBy aggregate (map-side partial aggs) ------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+ORACLE_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 2) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# -- Q3-style: 3-way join + agg + deterministic top-k -------------------------
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15")
+    )
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-03-15")
+    )
+    # customer is the small side at every SF -> broadcast
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+ORACLE_Q3 = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1996-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+# -- Q5-style: 5-way join through the star schema ------------------------------
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    cust = read_table(spark, sf_dir, "customer")
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    # dims broadcast; the big fact join (lineitem x orders) shuffles on orderkey
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+ORACLE_Q5 = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
+# -- Q6-style: pure filter + aggregate (pushdown showcase) ----------------------
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+ORACLE_Q6 = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+# -- window functions: per-customer top-3 orders (deterministic tie-break) ------
+
+
+def window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+    )
+
+
+ORACLE_WINDOW = """
+SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders
+) WHERE rank <= 3
+"""
+
+
+# -- window: running revenue per supplier (frame clause) --------------------------
+
+
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy(F.asc("l_shipdate"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sum("l_extendedprice").over(w), 2).alias("running_revenue"),
+    )
+
+
+ORACLE_RUNNING = """
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       round(sum(l_extendedprice) OVER (
+         PARTITION BY l_suppkey
+         ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_revenue
+FROM lineitem
+"""
+
+
+# -- rollup (grouping sets) --------------------------------------------------------
+
+
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+ORACLE_ROLLUP = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+# -- set operations ------------------------------------------------------------------
+
+
+def setop_active_building_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: customers in BUILDING who placed a 1997 order;
+    EXCEPT removes those who also placed a 1995 order."""
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    in_1997 = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    ).select(F.col("o_custkey").alias("custkey"))
+    in_1995 = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01"))
+    ).select(F.col("o_custkey").alias("custkey"))
+    return building.intersect(in_1997).exceptAll(in_1995.distinct())
+
+
+ORACLE_SETOP = """
+SELECT custkey FROM (
+  SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  INTERSECT
+  SELECT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+)
+EXCEPT
+SELECT DISTINCT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+"""
+
+
+# -- semi / anti joins (EXISTS / NOT EXISTS) --------------------------------------------
+
+
+def anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+ORACLE_ANTI = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def semi_parts_shipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    return (
+        part.join(li, part["p_partkey"] == li["l_partkey"], "left_semi")
+        .groupBy("p_type")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+
+
+ORACLE_SEMI = """
+SELECT p_type, count(*) AS n_parts
+FROM part
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+GROUP BY p_type
+"""
+
+
+# -- correlated-scalar pattern: orders above their customer's average price ----------
+
+
+def above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    avg_per_cust = orders.groupBy("o_custkey").agg(
+        F.avg("o_totalprice").alias("cust_avg")
+    )
+    return (
+        orders.join(avg_per_cust, on="o_custkey")
+        .filter(F.col("o_totalprice") > F.col("cust_avg") * 1.5)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
+
+
+ORACLE_ABOVE_AVG = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice
+FROM orders o
+JOIN (SELECT o_custkey AS k, avg(o_totalprice) AS cust_avg
+      FROM orders GROUP BY o_custkey) a ON o.o_custkey = a.k
+WHERE o.o_totalprice > a.cust_avg * 1.5
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "window_top_orders": window_top_orders,
+    "window_running_sum": window_running_sum,
+    "rollup_revenue": rollup_revenue,
+    "setop_active_building_customers": setop_active_building_customers,
+    "anti_customers_without_orders": anti_customers_without_orders,
+    "semi_parts_shipped": semi_parts_shipped,
+    "above_customer_avg": above_customer_avg,
+}
+
+ORACLES = {
+    "q1_pricing_summary": ORACLE_Q1,
+    "q3_shipping_priority": ORACLE_Q3,
+    "q5_local_supplier_volume": ORACLE_Q5,
+    "q6_forecast_revenue": ORACLE_Q6,
+    "window_top_orders": ORACLE_WINDOW,
+    "window_running_sum": ORACLE_RUNNING,
+    "rollup_revenue": ORACLE_ROLLUP,
+    "setop_active_building_customers": ORACLE_SETOP,
+    "anti_customers_without_orders": ORACLE_ANTI,
+    "semi_parts_shipped": ORACLE_SEMI,
+    "above_customer_avg": ORACLE_ABOVE_AVG,
+}

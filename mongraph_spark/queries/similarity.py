@@ -1,0 +1,149 @@
+"""Similarity search over the ``embeddings`` table (array<float>, 64-dim):
+brute-force cosine top-k as the exactness baseline, and a bucketed (LSH-style
+sign-partition) variant as the scale path.
+
+Engine-independence of floats: dot products are computed in float64 with a
+fixed left-to-right accumulation order in BOTH engines (Spark ``aggregate``
+over ``zip_with``; DuckDB ``list_sum`` preserves list order), similarities
+are floored to integer basis points before ranking, and ranking ties break
+on vec_id — so the driver's value hash is stable.
+
+Scale notes: the query side is tiny (K anchors) and is broadcast against the
+corpus — a map-only pass, no shuffle for scoring; top-k per query is one
+window over a pre-filtered candidate set.  The bucketed variant prunes the
+corpus by sign-pattern partition before scoring (the IVF/LSH pattern: probe
+only matching cells).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mongraph_spark.sparkutil import read_table
+
+N_QUERIES = 5  # anchors: the N smallest vec_ids
+TOP_K = 10
+
+
+def _scored_pairs(spark: SparkSession, sf_dir: str, bucketed: bool) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").cast("array<double>").alias("c_vec")
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").cast("array<double>").alias("q_vec")
+    )
+    if bucketed:
+        # sign-pattern of the first 3 dims = 8 coarse cells; probe same cell only
+        def bucket(vec: str) -> F.Column:
+            return F.concat(
+                *[
+                    F.when(F.element_at(F.col(vec), i + 1) >= 0, F.lit("1")).otherwise(
+                        F.lit("0")
+                    )
+                    for i in range(3)
+                ]
+            )
+
+        corpus = corpus.withColumn("bk", bucket("c_vec"))
+        queries = queries.withColumn("bk", bucket("q_vec"))
+        # query side is tiny — broadcast it; scoring is then map-only
+        joined = corpus.join(F.broadcast(queries), "bk")
+    else:
+        joined = corpus.crossJoin(F.broadcast(queries))
+    # fixed-order float64 dot product + norms (identical accumulation in DuckDB)
+    dot = F.expr(
+        "aggregate(zip_with(q_vec, c_vec, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    qn = F.expr(
+        "aggregate(transform(q_vec, xq -> xq * xq), CAST(0.0 AS DOUBLE), (accq, vq) -> accq + vq)"
+    )
+    cn = F.expr(
+        "aggregate(transform(c_vec, xc -> xc * xc), CAST(0.0 AS DOUBLE), (accc, vc) -> accc + vc)"
+    )
+    return joined.select(
+        "q_id",
+        "c_id",
+        F.floor(F.lit(10000) * dot / (F.sqrt(qn) * F.sqrt(cn))).cast("long").alias("cos_bp"),
+    )
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _scored_pairs(spark, sf_dir, bucketed=False).filter(
+        F.col("q_id") != F.col("c_id")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_bp"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "c_id", "cos_bp", "rank")
+    )
+
+
+def ann_cosine_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _scored_pairs(spark, sf_dir, bucketed=True).filter(
+        F.col("q_id") != F.col("c_id")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_bp"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "c_id", "cos_bp", "rank")
+    )
+
+
+_DOT_SQL = """
+list_sum(list_transform(range(1, len(q_vec) + 1), i -> q_vec[i] * c_vec[i]))
+"""
+
+_ORACLE_SCORE_BASE = f"""
+corpus AS (
+  SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS c_vec FROM embeddings
+),
+queries AS (
+  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+)"""
+
+
+def _oracle_topk(bucket_filter: str) -> str:
+    return f"""
+WITH {_ORACLE_SCORE_BASE},
+scored AS (
+  SELECT q_id, c_id,
+         CAST(floor(10000 * {_DOT_SQL.strip()}
+           / (sqrt(list_sum(list_transform(q_vec, x -> x * x)))
+              * sqrt(list_sum(list_transform(c_vec, x -> x * x))))) AS BIGINT) AS cos_bp
+  FROM queries JOIN corpus ON q_id <> c_id {bucket_filter}
+)
+SELECT q_id, c_id, cos_bp, rank FROM (
+  SELECT q_id, c_id, cos_bp,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos_bp DESC, c_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+"""
+
+
+_BUCKET_SQL = (
+    "AND (CASE WHEN q_vec[1] >= 0 THEN '1' ELSE '0' END || "
+    "CASE WHEN q_vec[2] >= 0 THEN '1' ELSE '0' END || "
+    "CASE WHEN q_vec[3] >= 0 THEN '1' ELSE '0' END) = "
+    "(CASE WHEN c_vec[1] >= 0 THEN '1' ELSE '0' END || "
+    "CASE WHEN c_vec[2] >= 0 THEN '1' ELSE '0' END || "
+    "CASE WHEN c_vec[3] >= 0 THEN '1' ELSE '0' END)"
+)
+
+ORACLE_TOPK = _oracle_topk("")
+ORACLE_TOPK_BUCKETED = _oracle_topk(_BUCKET_SQL)
+
+
+QUERIES = {
+    "ann_cosine_topk": ann_cosine_topk,
+    "ann_cosine_topk_bucketed": ann_cosine_topk_bucketed,
+}
+
+ORACLES = {
+    "ann_cosine_topk": ORACLE_TOPK,
+    "ann_cosine_topk_bucketed": ORACLE_TOPK_BUCKETED,
+}

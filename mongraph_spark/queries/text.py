@@ -1,0 +1,198 @@
+"""Text-analysis operators over the ``documents`` table (training-data
+pipeline scope): token counting, quality scoring, language-ID heuristic,
+document fingerprinting.  All pure column expressions (JVM-side, zero UDFs)
+with DuckDB oracles replicating the same definitions.
+
+The synthetic corpus is a uniform word salad (no real language signal), so
+language-ID is checked as *the operator's own deterministic output* — the
+n-gram/function-word heuristic computed identically in both engines — not
+against the synthetic ``lang`` label.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mongraph_spark.sparkutil import read_table
+
+# function words whose density signals English-like text
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+
+def _words(col: str = "text"):
+    return F.split(F.lower(F.col(col)), r"\s+")
+
+
+# -- token counting: whitespace tokens + a BPE-ish subword regex count ---------
+
+
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(_words()).alias("n_tokens"),
+        F.length("text").alias("n_chars_measured"),
+        # BPE-ish: count alphanumeric runs of <=4 chars as one unit each,
+        # longer runs as ceil(len/4) units (crude subword estimate)
+        F.aggregate(
+            F.transform(
+                _words(), lambda w: F.ceil(F.length(w) / F.lit(4.0)).cast("long")
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("n_subwords"),
+    )
+
+
+ORACLE_TOKEN_COUNTS = """
+SELECT doc_id,
+       len(string_split_regex(lower(text), '\\s+')) AS n_tokens,
+       length(text) AS n_chars_measured,
+       list_sum(list_transform(string_split_regex(lower(text), '\\s+'),
+                               w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS n_subwords
+FROM documents
+"""
+
+
+# -- quality scoring: length / mean word length / stopword ratio ----------------
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scores are *integer basis points* (0..10000 per component): the whole
+    pipeline is integer arithmetic + floor, so the result is bit-identical in
+    any engine — float rounding-mode differences can't flip a value hash."""
+    docs = read_table(spark, sf_dir, "documents")
+    words = _words()
+    n_tokens = F.size(words)
+    stop_hits = F.size(F.filter(words, lambda w: w.isin(STOPWORDS)))
+    chars_adj = F.length("text") - (n_tokens - 1)  # chars excluding separators
+    mwl_bp = F.floor(F.lit(10000) * chars_adj / (8 * n_tokens))
+    len_bp = F.least(F.lit(10000), n_tokens * 100)
+    stop_bp = F.least(F.lit(10000), F.floor(F.lit(10000) * stop_hits * 5 / n_tokens))
+    quality_bp = F.when(n_tokens < 5, F.lit(0)).otherwise(
+        (len_bp * 5 + F.least(F.lit(10000), mwl_bp) * 3 + (10000 - stop_bp) * 2) / 10
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.floor(F.lit(10000) * chars_adj / n_tokens).cast("long").alias("mean_word_len_bp"),
+        F.floor(F.lit(10000) * stop_hits / n_tokens).cast("long").alias("stopword_bp"),
+        F.floor(quality_bp).cast("long").alias("quality_bp"),
+    )
+
+
+_STOP_SQL = "', '".join(STOPWORDS)
+
+ORACLE_QUALITY = f"""
+WITH t AS (
+  SELECT doc_id,
+         string_split_regex(lower(text), '\\s+') AS words,
+         length(text) AS n_chars
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(words) AS n_tokens,
+         n_chars - (len(words) - 1) AS chars_adj,
+         len(list_filter(words, w -> w IN ('{_STOP_SQL}'))) AS stop_hits
+  FROM t
+), b AS (
+  SELECT doc_id, n_tokens,
+         CAST(floor(10000.0 * chars_adj / (8 * n_tokens)) AS BIGINT) AS mwl_bp,
+         least(10000, n_tokens * 100) AS len_bp,
+         least(10000, CAST(floor(10000.0 * stop_hits * 5 / n_tokens) AS BIGINT)) AS stop_bp,
+         CAST(floor(10000.0 * chars_adj / n_tokens) AS BIGINT) AS mean_word_len_bp,
+         CAST(floor(10000.0 * stop_hits / n_tokens) AS BIGINT) AS stopword_bp
+  FROM m
+)
+SELECT doc_id, n_tokens, mean_word_len_bp, stopword_bp,
+       CAST(floor(CASE WHEN n_tokens < 5 THEN 0 ELSE
+         (len_bp * 5 + least(10000, mwl_bp) * 3 + (10000 - stop_bp) * 2) / 10.0
+       END) AS BIGINT) AS quality_bp
+FROM b
+"""
+
+
+# -- language ID: function-word density heuristic --------------------------------
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold check is exact integer math (20*hits >= n_tokens ⇔
+    ratio >= 0.05), signal in integer basis points — engine-independent."""
+    docs = read_table(spark, sf_dir, "documents")
+    words = _words()
+    n_tokens = F.size(words)
+    stop_hits = F.size(F.filter(words, lambda w: w.isin(STOPWORDS)))
+    return docs.select(
+        "doc_id",
+        F.floor(F.lit(10000) * stop_hits / n_tokens).cast("long").alias("en_signal_bp"),
+        F.when(20 * stop_hits >= n_tokens, "en").otherwise("und").alias("predicted_lang"),
+    )
+
+
+ORACLE_LANG_ID = f"""
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(lower(text), '\\s+'),
+                         w -> w IN ('{_STOP_SQL}'))) AS stop_hits,
+         len(string_split_regex(lower(text), '\\s+')) AS n_tokens
+  FROM documents
+)
+SELECT doc_id,
+       CAST(floor(10000.0 * stop_hits / n_tokens) AS BIGINT) AS en_signal_bp,
+       CASE WHEN 20 * stop_hits >= n_tokens THEN 'en' ELSE 'und' END AS predicted_lang
+FROM t
+"""
+
+
+# -- fingerprinting: whole-doc hash + minimum shingle hash (winnowing-style) -----
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    normalized = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    words = F.split(normalized, " ")
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - 3, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, 3)),
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(normalized).alias("doc_hash"),
+        F.array_min(F.transform(shingles, F.md5)).alias("min_shingle_hash"),
+    )
+
+
+ORACLE_FINGERPRINT = """
+WITH t AS (
+  SELECT doc_id,
+         regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm
+  FROM documents
+), s AS (
+  SELECT doc_id, norm,
+         string_split(norm, ' ') AS words
+  FROM t
+)
+SELECT doc_id,
+       md5(norm) AS doc_hash,
+       list_min(list_transform(
+         range(1, greatest(len(words) - 3, 0) + 2),
+         i -> md5(array_to_string(words[i:i+2], ' '))
+       )) AS min_shingle_hash
+FROM s
+"""
+
+
+QUERIES = {
+    "text_token_counts": text_token_counts,
+    "text_quality": text_quality,
+    "text_lang_id": text_lang_id,
+    "text_fingerprint": text_fingerprint,
+}
+
+ORACLES = {
+    "text_token_counts": ORACLE_TOKEN_COUNTS,
+    "text_quality": ORACLE_QUALITY,
+    "text_lang_id": ORACLE_LANG_ID,
+    "text_fingerprint": ORACLE_FINGERPRINT,
+}

@@ -28,6 +28,9 @@ def get_spark(app_name: str = "mongraph_spark", cpus: int | None = None) -> Spar
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # the events table is written with TIMESTAMP(NANOS) which Spark's
+        # vectorized reader rejects; read as long and convert (read_events)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
     )
@@ -41,4 +44,20 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str):
-    return spark.read.parquet(table_path(sf_dir, name))
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        df = normalize_event_ts(df)
+    return df
+
+
+def normalize_event_ts(df):
+    """events.ts is TIMESTAMP(NANOS) in parquet; with nanosAsLong it scans as
+    a long.  Convert to a proper timestamp by integer-truncating to micros —
+    the same ns→µs truncation DuckDB applies, so both engines agree."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        # integer division — float division of ns epochs (>2^53) loses µs
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df

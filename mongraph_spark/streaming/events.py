@@ -1,0 +1,189 @@
+"""Structured Streaming realizations of the event analytics (SURVEY.md §2.7
+extension scope): readStream → watermark → window / session_window /
+applyInPandasWithState → sink.
+
+Each operator here is the *same logic* as its batch twin in
+queries/events.py; on this finite dataset a replay with
+``trigger(availableNow=True)`` must produce identical results, which is what
+the oracle checks (and tests/test_streaming.py asserts against the batch
+DataFrames directly).
+
+Scale notes: watermarks bound state (late events beyond 1 hour are dropped
+at the source); session_window and the stateful counter both keyed by
+user_id so state partitions horizontally; memory sink is test-only — a real
+deployment writes to kafka/delta with checkpointing.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from mongraph_spark.sparkutil import normalize_event_ts
+
+_sink_seq = itertools.count(1)
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) scans as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the file source needs a directory; point it at sf_dir and glob-filter
+    # down to the events file
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return normalize_event_ts(raw)
+
+
+def run_to_table(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Execute a finite replay (availableNow) into a memory sink and return
+    the sink table."""
+    name = f"mg_stream_sink_{next(_sink_seq)}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+# -- tumbling window with watermark -------------------------------------------------
+
+
+def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    # exact distinct isn't available on streams (approx_count_distinct is the
+    # streaming answer but can't be oracle-checked); count + sum only here
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    out = run_to_table(agg, output_mode="complete")
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+# -- session windows (gap-based) -------------------------------------------------------
+
+
+def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = ev.groupBy(
+        F.session_window("ts", "30 minutes").alias("w"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    out = run_to_table(agg, output_mode="complete")
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+    )
+
+
+# -- custom stateful operator: per-user running totals via applyInPandasWithState -------
+
+_STATE_SCHEMA = "total LONG, total_value DOUBLE"
+_OUT_SCHEMA = "user_id LONG, total_events LONG, total_value DOUBLE"
+
+
+def _count_events(key, pdf_iter, state: GroupState):
+    total = 0
+    total_value = 0.0
+    if state.exists:
+        total, total_value = state.get
+    for pdf in pdf_iter:
+        total += len(pdf)
+        total_value += float(pdf["value"].sum())
+    state.update((total, total_value))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "total_events": [total], "total_value": [total_value]}
+    )
+
+
+def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState: arbitrary per-key state (the escape hatch for
+    operators session_window can't express)."""
+    ev = events_stream(spark, sf_dir)
+    counted = ev.groupBy("user_id").applyInPandasWithState(
+        _count_events,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = run_to_table(counted, output_mode="update")
+    # with multiple micro-batches the sink holds one row per update; keep the last
+    return out.groupBy("user_id").agg(
+        F.max("total_events").alias("total_events"),
+        F.round(F.max("total_value"), 2).alias("total_value"),
+    )
+
+
+ORACLE_STREAM_TUMBLING = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+ORACLE_STREAM_SESSIONS = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT user_id,
+       CAST(sum(new_session) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM flagged
+GROUP BY user_id
+"""
+
+ORACLE_STREAM_STATEFUL = """
+SELECT user_id, count(*) AS total_events, round(sum(value), 2) AS total_value
+FROM events
+GROUP BY user_id
+"""
+
+QUERIES = {
+    "streaming_tumbling_window": streaming_tumbling_window,
+    "streaming_session_counts": streaming_session_counts,
+    "streaming_stateful_user_totals": streaming_stateful_user_totals,
+}
+
+ORACLES = {
+    "streaming_tumbling_window": ORACLE_STREAM_TUMBLING,
+    "streaming_session_counts": ORACLE_STREAM_SESSIONS,
+    "streaming_stateful_user_totals": ORACLE_STREAM_STATEFUL,
+}

@@ -1,0 +1,37 @@
+"""Structured Streaming twins must equal their batch realizations on a
+finite replay (availableNow)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mongraph_spark.queries.events import events_tumbling_window
+from mongraph_spark.sparkutil import read_table
+from mongraph_spark.streaming.events import (
+    streaming_stateful_user_totals,
+    streaming_tumbling_window,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _sorted_rows(df, *keys):
+    return [tuple(r) for r in df.orderBy(*keys).collect()]
+
+
+def test_streaming_tumbling_equals_batch(spark):
+    stream = streaming_tumbling_window(spark, SF_DIR)
+    batch = events_tumbling_window(spark, SF_DIR).drop("n_users")
+    assert _sorted_rows(stream, "window_start", "event_type") == _sorted_rows(
+        batch, "window_start", "event_type"
+    )
+
+
+def test_stateful_totals_equal_batch_groupby(spark):
+    stream = streaming_stateful_user_totals(spark, SF_DIR)
+    ev = read_table(spark, SF_DIR, "events")
+    batch = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("total_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    assert _sorted_rows(stream, "user_id") == _sorted_rows(batch, "user_id")
