@@ -1,0 +1,85 @@
+"""Storage round-trip + physical-plan quality assertions.
+
+The plan tests pin the scale-critical properties: anchored traversals must
+push filters into the parquet scan (partition pruning on type, min/max skip
+on src), and populate joins against dimension collections must broadcast.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from mongraph_spark.graphs import tpch
+from mongraph_spark.populate import enrich_edges
+from mongraph_spark.sources.parquet_store import load_bulk, save_catalog
+from mongraph_spark.traversal import TraversalQuery
+
+SF = "/root/testdata/sf0.001"
+
+
+# -- snapshot / restore -------------------------------------------------------------
+
+
+def test_catalog_snapshot_roundtrip(engine, spark, tmp_path):
+    root = str(tmp_path / "snap")
+    save_catalog(engine.catalog, root)
+    bulk = load_bulk(spark, root)
+    assert bulk.nodes_df().count() == engine.count_nodes()
+    assert bulk.edges_df().count() == engine.count_edges()
+    assert sorted(bulk.collection_names()) == sorted(engine.catalog.collection_names())
+    # graph reads work distributed over the snapshot
+    alice_nid = engine.fixture_docs["alice"].get_node_id()
+    tq = TraversalQuery(anchor=alice_nid, direction="outgoing", types=["visits"])
+    assert tq.apply(bulk.edges_df()).count() == 2
+    # documents round-trip with their schema
+    people = bulk.documents_df("people")
+    assert people.filter(F.col("name") == "alice").count() == 1
+
+
+# -- physical plan quality -----------------------------------------------------------
+
+
+def _plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_anchored_traversal_pushes_filters(spark):
+    eng = tpch.bulk_engine(spark, SF)
+    tq = TraversalQuery(anchor=3 * 10**12 + 1, direction="outgoing", types=["placed"])
+    plan = _plan_of(tq.apply(eng.store.edges_df()))
+    # type filter must become partition pruning of the materialized store
+    assert re.search(r"PartitionFilters: \[.*type.*\]", plan), plan
+    # src filter must reach the scan as a data filter (row-group min/max skip)
+    assert re.search(r"PushedFilters: \[.*EqualTo\(src", plan), plan
+
+
+def test_nodes_scan_prunes_collection_partitions(spark):
+    eng = tpch.bulk_engine(spark, SF)
+    df = eng.store.nodes_df().filter(F.col("_collection") == "region")
+    plan = _plan_of(df)
+    assert re.search(r"PartitionFilters: \[.*_collection.*\]", plan), plan
+
+
+def test_populate_enrich_broadcasts_dimensions(spark):
+    eng = tpch.bulk_engine(spark, SF)
+    placed = eng.store.edges_df().filter(F.col("type") == "placed")
+    out = enrich_edges(
+        eng.store,
+        placed,
+        from_collection="customer",
+        to_collection="orders",
+        where_from={"c_mktsegment": "BUILDING"},
+    )
+    plan = _plan_of(out)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_count_aggregate_is_partial(spark):
+    """Count plans must show map-side partial aggregation."""
+    eng = tpch.bulk_engine(spark, SF)
+    tq = TraversalQuery(anchor=3 * 10**12 + 1, direction="both")
+    plan = _plan_of(tq.apply(eng.store.edges_df()).agg(F.count(F.lit(1)).alias("c")))
+    assert "partial_count" in plan, plan
