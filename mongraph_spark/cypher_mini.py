@@ -119,6 +119,30 @@ def parse(cypher: str) -> dict[str, Any]:
     return q
 
 
+def cypher_to_dataframe(engine, cypher: str):
+    """Compile a subset 1-hop RETURN query to its DataFrame plan (the
+    distributed path — no collection; bulk stores use this)."""
+    from mongraph_spark.traversal import TraversalQuery
+
+    q = parse(cypher)
+    if q["shortest"] or q["action"] != "RETURN" or q["count"] or q["count_distinct"]:
+        raise CypherSubsetError("cypher_to_dataframe only handles 1-hop RETURN queries")
+    anchor = end_node = None
+    li, ri = q.get("left_ident"), q.get("right_ident")
+    if li in q["starts"] and q["starts"][li] != "*":
+        anchor = q["starts"][li][0]
+    if ri in q["starts"] and q["starts"][ri] != "*":
+        end_node = q["starts"][ri][0]
+    tq = TraversalQuery(
+        anchor=anchor,
+        direction=q["direction"] or "both",
+        types=q["types"],
+        end_node=end_node,
+        where_relationship=q["where"],
+    )
+    return tq.apply(engine.store.edges_df())
+
+
 def execute_cypher(engine, cypher: str, options: dict | None = None):
     """Run a parsed subset query against the engine's store."""
     from pyspark.sql import functions as F

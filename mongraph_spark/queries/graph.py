@@ -281,6 +281,54 @@ ORACLE_G8 = oracle_with(
 )
 
 
+# -- G9: the closed Cypher subset compiled to a distributed DataFrame plan
+
+
+def g9_cypher_onehop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongraph_spark.cypher_mini import cypher_to_dataframe
+
+    eng = tpch.bulk_engine(spark, sf_dir)
+    df = cypher_to_dataframe(
+        eng,
+        f"START a = node({NATION + 3}) MATCH (a)<-[r:located_in]-(b) RETURN r;",
+    )
+    return df.select(*_PROJ)
+
+
+ORACLE_G9 = oracle_with(
+    f"""SELECT rel_id, type, _from, _to, src AS other
+FROM g_edges WHERE dst = {NATION + 3} AND type = 'located_in'"""
+)
+
+
+# -- §2.6: distributed document find with the Mongo predicate subset
+
+
+def doc_find_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = tpch.bulk_engine(spark, sf_dir)
+    df = eng.find_df(
+        "customer",
+        {
+            "$or": [
+                {"c_mktsegment": {"$in": ["BUILDING", "MACHINERY"]}},
+                {"c_acctbal": {"$gt": 9000.0}},
+            ],
+            "c_name": {"$regex": "00$"},
+            "c_nationkey": {"$ne": 3},
+        },
+    )
+    return df.select("c_custkey", "c_name", "c_mktsegment", "c_nationkey")
+
+
+ORACLE_DOC_FIND = """
+SELECT c_custkey, c_name, c_mktsegment, c_nationkey
+FROM customer
+WHERE (c_mktsegment IN ('BUILDING', 'MACHINERY') OR c_acctbal > 9000.0)
+  AND regexp_matches(c_name, '00$')
+  AND NOT coalesce(c_nationkey = 3, FALSE)
+"""
+
+
 QUERIES = {
     "g1_outgoing_1hop": g1_outgoing_1hop,
     "g1_incoming_typed": g1_incoming_typed,
@@ -293,6 +341,8 @@ QUERIES = {
     "populate_semi_regex": populate_semi_regex,
     "m9_denormalize": m9_denormalize,
     "g8_shortest_paths": g8_shortest_paths,
+    "g9_cypher_onehop": g9_cypher_onehop,
+    "doc_find_predicates": doc_find_predicates,
 }
 
 ORACLES = {
@@ -307,4 +357,6 @@ ORACLES = {
     "populate_semi_regex": ORACLE_POPULATE_SEMI,
     "m9_denormalize": ORACLE_M9,
     "g8_shortest_paths": ORACLE_G8,
+    "g9_cypher_onehop": ORACLE_G9,
+    "doc_find_predicates": ORACLE_DOC_FIND,
 }

@@ -154,6 +154,27 @@ class Mongraph:
         docs = self.find_documents(collection, condition)
         return docs[0] if docs else None
 
+    def find_df(self, collection: str, condition: dict | None = None) -> DataFrame:
+        """Distributed find: the Mongo-predicate subset compiled to a Column
+        filter over the collection DataFrame (works on both store flavors;
+        Catalyst pushes the resulting predicate into the scan)."""
+        from pyspark.sql import functions as F
+
+        from mongraph_spark.mongo_expr import mongo_to_column
+
+        df = self.store.documents_df(collection)
+        if not condition:
+            return df
+        cols = set(df.columns)
+
+        def resolve(field: str):
+            root = field.split(".")[0]
+            if root not in cols:
+                return F.lit(None).cast("string")
+            return F.col(field)
+
+        return df.filter(mongo_to_column(condition, resolver=resolve))
+
     # -- node mirroring ------------------------------------------------------------
 
     def find_or_create_node(

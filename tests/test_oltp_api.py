@@ -336,3 +336,27 @@ def test_callback_trio(engine):
     assert seen["err"] is None
     assert len(seen["rels"]) == 2
     assert "debug" in seen["options"]
+
+
+# -- distributed find + cypher->DataFrame (bulk path) ---------------------------
+
+
+def test_find_df_distributed(engine):
+    import re as _re
+
+    df = engine.find_df("people", {"name": {"$regex": "^[ab]"}})
+    assert sorted(r.name for r in df.collect()) == ["alice", "bob"]
+    # predicate on a missing field matches nothing, never errors
+    assert engine.find_df("people", {"nope": "x"}).count() == 0
+
+
+def test_cypher_to_dataframe(engine):
+    from mongraph_spark.cypher_mini import cypher_to_dataframe
+
+    d = engine.fixture_docs
+    nid = d["alice"].get_node_id()
+    df = cypher_to_dataframe(
+        engine, f"START a = node({nid}) MATCH (a)-[r:visits]->(b) RETURN r;"
+    )
+    assert df.count() == 2
+    assert set(r.type for r in df.collect()) == {"visits"}
