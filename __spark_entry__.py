@@ -23,6 +23,7 @@ from mongraph_spark.queries import text as text_queries  # noqa: E402
 from mongraph_spark.queries import dedup as dedup_queries  # noqa: E402
 from mongraph_spark.queries import similarity as similarity_queries  # noqa: E402
 from mongraph_spark.queries import events as events_queries  # noqa: E402
+from mongraph_spark.queries import graph_analytics as graph_analytics_queries  # noqa: E402
 from mongraph_spark.queries import multimodal as multimodal_queries  # noqa: E402
 from mongraph_spark.streaming import events as streaming_events  # noqa: E402
 
@@ -33,6 +34,7 @@ _SUITES = [
     dedup_queries,
     similarity_queries,
     events_queries,
+    graph_analytics_queries,
     multimodal_queries,
     streaming_events,
 ]

@@ -138,12 +138,59 @@ ORACLE_TOPK = _oracle_topk("")
 ORACLE_TOPK_BUCKETED = _oracle_topk(_BUCKET_SQL)
 
 
+# -- vector aggregation: per-label centroids via posexplode + groupBy -----------------
+#
+# The scalable shape for element-wise vector aggregation: explode to
+# (label, dim, value) rows (narrow), aggregate per (label, dim) with map-side
+# partial sums, reassemble ordered arrays with array_agg over a sorted
+# struct.  One shuffle keyed on (label, dim) — no driver-side math.
+
+
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v"),
+    )
+    per_dim = exploded.groupBy("label", "dim").agg(
+        F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    # report a stable projection: first 4 centroid dims + norm, in basis points
+    agg = per_dim.filter(F.col("dim") < 4).select(
+        "label",
+        "dim",
+        F.floor(F.lit(10000) * F.col("s") / F.col("n")).cast("long").alias("centroid_bp"),
+    )
+    counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vectors"))
+    return agg.join(counts, "label").select("label", "dim", "centroid_bp", "n_vectors")
+
+
+ORACLE_CENTROIDS = """
+WITH exploded AS (
+  SELECT label, d - 1 AS dim, CAST(embedding[d] AS DOUBLE) AS v
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(d)
+), per_dim AS (
+  SELECT label, dim, sum(v) AS s, count(*) AS n
+  FROM exploded GROUP BY label, dim
+), counts AS (
+  SELECT label, count(*) AS n_vectors FROM embeddings GROUP BY label
+)
+SELECT p.label, p.dim,
+       CAST(floor(10000 * p.s / p.n) AS BIGINT) AS centroid_bp,
+       c.n_vectors
+FROM per_dim p JOIN counts c ON p.label = c.label
+WHERE p.dim < 4
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_cosine_topk_bucketed": ann_cosine_topk_bucketed,
+    "embedding_centroids": embedding_centroids,
 }
 
 ORACLES = {
     "ann_cosine_topk": ORACLE_TOPK,
     "ann_cosine_topk_bucketed": ORACLE_TOPK_BUCKETED,
+    "embedding_centroids": ORACLE_CENTROIDS,
 }
