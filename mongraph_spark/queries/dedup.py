@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mongraph_spark.sparkutil import read_table
+from mongraph_spark.sparkutil import read_table, scale_out
 
 ID_SHIFT = 1_000_000
 
@@ -50,7 +50,9 @@ def dup_corpus(spark: SparkSession, sf_dir: str, drop_last: int = 0) -> DataFram
     copies = docs.select(
         (F.col("doc_id") + ID_SHIFT).alias("doc_id"), copy_text.alias("text")
     )
-    return docs.unionByName(copies)
+    # the md5/shingle work downstream is compute-bound; don't let a 2-split
+    # scan of a small file strand it on 2 cores (no-op at real scale)
+    return scale_out(docs.unionByName(copies))
 
 
 _ORACLE_CORPUS_EXACT = """
@@ -340,23 +342,25 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(SIMHASH_LEN)
         ]
     )
-    fp = per_doc.select("doc_id", bits.alias("fp"))
+    # pack the 32-bit fingerprint into a long: Hamming distance becomes
+    # bit_count(xor) — two JVM intrinsics per pair instead of splitting both
+    # fingerprints into 32-element string arrays and zip-comparing them
+    # (the candidate set is quadratic in bucket size, so per-pair cost is
+    # the term that explodes at scale)
+    fp = per_doc.select(
+        "doc_id", F.conv(bits, 2, 10).cast("long").alias("fp")
+    )
     a = fp.select(F.col("doc_id").alias("id_a"), F.col("fp").alias("fp_a"))
     b = fp.select(F.col("doc_id").alias("id_b"), F.col("fp").alias("fp_b"))
-    # prefix bucket join keeps this linear-ish; then exact Hamming filter
+    # prefix bucket join (high 16 bits) keeps this linear-ish; then exact filter
     cand = a.join(
         b,
-        (F.substring("fp_a", 1, 16) == F.substring("fp_b", 1, 16))
+        (F.shiftright("fp_a", 16) == F.shiftright("fp_b", 16))
         & (F.col("id_a") < F.col("id_b")),
     )
-    hamming = F.size(
-        F.filter(
-            F.arrays_zip(F.split("fp_a", ""), F.split("fp_b", "")),
-            lambda s: s["0"] != s["1"],
-        )
-    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
     return (
-        cand.withColumn("hamming", hamming)
+        cand.withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= 3)
         .select("id_a", "id_b", "hamming")
     )

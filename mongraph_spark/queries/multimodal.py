@@ -25,7 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mongraph_spark.sparkutil import read_table
+from mongraph_spark.sparkutil import read_table, scale_out
 
 FRAME_COUNT = 8  # mock "video" frames per document
 FRAME_STEP = 3  # sample every 3rd frame
@@ -80,7 +80,7 @@ def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
 
 
 def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = scale_out(read_table(spark, sf_dir, "documents"))
     media = _with_payload(docs).select(
         "doc_id", "payload", F.col("meta.width").alias("width"), F.col("meta.height").alias("height")
     )
@@ -160,7 +160,7 @@ def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = scale_out(read_table(spark, sf_dir, "documents"))
     videos = docs.select("doc_id", F.md5("text").alias("base_hash"))
     return videos.mapInPandas(_sample_frames, schema=_FRAME_SCHEMA)
 

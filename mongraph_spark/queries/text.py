@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mongraph_spark.sparkutil import read_table
+from mongraph_spark.sparkutil import read_table, scale_out
 
 # function words whose density signals English-like text
 STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
@@ -28,7 +28,7 @@ def _words(col: str = "text"):
 
 
 def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = scale_out(read_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         F.size(_words()).alias("n_tokens"),
@@ -149,7 +149,7 @@ FROM t
 
 
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = scale_out(read_table(spark, sf_dir, "documents"))
     normalized = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
     words = F.split(normalized, " ")
     shingles = F.transform(

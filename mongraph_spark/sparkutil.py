@@ -50,6 +50,25 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     return df
 
 
+def scale_out(df, min_partitions: int | None = None):
+    """Widen a DataFrame to cluster parallelism before a compute-bound stage.
+
+    Small parquet files scan as 1-2 input splits (128 MB
+    ``spark.sql.files.maxPartitionBytes``), which strands a CPU-heavy
+    downstream stage (per-row md5/shingling/UDF work) on 2 of N cores.  When
+    the scan is *already* wider than the cluster — the 100 TB case — this is
+    a no-op, so the extra shuffle only ever moves data that is small by
+    construction (shuffle cost ∝ input size, which is what made the scan
+    narrow in the first place).
+    """
+    spark = df.sparkSession
+    if min_partitions is None:
+        min_partitions = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min_partitions:
+        return df.repartition(min_partitions)
+    return df
+
+
 def normalize_event_ts(df):
     """events.ts is TIMESTAMP(NANOS) in parquet; with nanosAsLong it scans as
     a long.  Convert to a proper timestamp by integer-truncating to micros —

@@ -16,7 +16,9 @@ deployment writes to kafka/delta with checkpointing.
 
 from __future__ import annotations
 
+import contextlib
 import itertools
+import os
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -38,6 +40,31 @@ EVENTS_SCHEMA = T.StructType(
         T.StructField("props", T.StringType()),
     ]
 )
+
+
+@contextlib.contextmanager
+def _state_partitioning(spark: SparkSession, sf_dir: str):
+    """Size the streaming state partitioning from the input, not the session.
+
+    ``spark.sql.shuffle.partitions`` is baked into a streaming query's state
+    layout at start.  Stateful-operator tasks carry a fixed runner cost
+    (state-store commit + the Arrow/pandas state protocol worker), so tiny
+    inputs on many partitions pay ~32 fixed costs to process a few MB
+    (measured 9.4s → 3.6s at sf0.1 going 32 → 8).  Target ≥ ~4 MB of input
+    per state partition, floor 8 (keep real parallelism), no upper clamp —
+    a 100 TB stream gets the many thousands of state partitions it needs.
+    """
+    try:
+        nbytes = os.path.getsize(os.path.join(sf_dir, "events.parquet"))
+    except OSError:
+        nbytes = 0
+    target = max(8, nbytes // (4 << 20) + 1)
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(target))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -81,7 +108,8 @@ def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
-    out = run_to_table(agg, output_mode="complete")
+    with _state_partitioning(spark, sf_dir):
+        out = run_to_table(agg, output_mode="complete")
     return out.select(
         F.col("w.start").alias("window_start"),
         "event_type",
@@ -98,7 +126,8 @@ def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = ev.groupBy(
         F.session_window("ts", "30 minutes").alias("w"), "user_id"
     ).agg(F.count(F.lit(1)).alias("n_events"))
-    out = run_to_table(agg, output_mode="complete")
+    with _state_partitioning(spark, sf_dir):
+        out = run_to_table(agg, output_mode="complete")
     return (
         out.groupBy("user_id")
         .agg(
@@ -139,7 +168,8 @@ def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFram
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    out = run_to_table(counted, output_mode="update")
+    with _state_partitioning(spark, sf_dir):
+        out = run_to_table(counted, output_mode="update")
     # with multiple micro-batches the sink holds one row per update; keep the last
     return out.groupBy("user_id").agg(
         F.max("total_events").alias("total_events"),
