@@ -398,11 +398,116 @@ WITH {_oracle_corpus_droplast(1)},
 """
 
 
+# -- embedding-cosine near-dup: sign-LSH buckets -> exact cosine verify -----------------
+
+SIGN_BITS = 6  # 2^6 = 64 cells
+COS_THRESHOLD_BP = 9000
+ZERO_TAIL = 8  # planted near-dups: copies with the last 8 dims zeroed
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate detection by embedding cosine: candidates from a
+    random-hyperplane (sign-pattern) LSH bucket join, then exact cosine on
+    candidates only — the vector twin of MinHash+LSH.
+
+    The synthetic vectors have no near-dups, so the corpus is embeddings ∪
+    copies (vec_id+1M) with the last ``ZERO_TAIL`` dims zeroed — same
+    direction on the leading dims (cosine ≈ sqrt(1 - tail_energy) ≥ 0.9),
+    and the sign pattern over the first ``SIGN_BITS`` dims is unchanged, so
+    every planted pair collides in its bucket.
+
+    Scale notes: one shuffle keyed on the 6-bit bucket; per-bucket work is
+    quadratic in bucket size, so at 100 TB you widen SIGN_BITS (more
+    hyperplanes → smaller cells) exactly like raising MinHash band count;
+    random signs are uniform, so buckets don't skew.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    n_dims = F.size("vec")
+    copies = vecs.select(
+        (F.col("vec_id") + ID_SHIFT).alias("vec_id"),
+        F.transform(
+            "vec",
+            lambda v, i: F.when(i < n_dims - ZERO_TAIL, v).otherwise(F.lit(0.0)),
+        ).alias("vec"),
+    )
+    corpus = scale_out(vecs.unionByName(copies))
+    bucket = F.concat(
+        *[
+            F.when(F.element_at("vec", i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(SIGN_BITS)
+        ]
+    )
+    bucketed = corpus.select("vec_id", "vec", bucket.alias("bk"))
+    a = bucketed.select(
+        F.col("vec_id").alias("id_a"), F.col("vec").alias("vec_a"), "bk"
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("id_b"), F.col("vec").alias("vec_b"), "bk"
+    )
+    pairs = a.join(b, "bk").filter(F.col("id_a") < F.col("id_b"))
+    dot = F.expr(
+        "aggregate(zip_with(vec_a, vec_b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    na = F.expr(
+        "aggregate(transform(vec_a, xa -> xa * xa), CAST(0.0 AS DOUBLE), (acca, va) -> acca + va)"
+    )
+    nb = F.expr(
+        "aggregate(transform(vec_b, xb -> xb * xb), CAST(0.0 AS DOUBLE), (accb, vb) -> accb + vb)"
+    )
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.floor(F.lit(10000) * dot / (F.sqrt(na) * F.sqrt(nb)))
+            .cast("long")
+            .alias("cos_bp"),
+        )
+        .filter(F.col("cos_bp") >= COS_THRESHOLD_BP)
+    )
+
+
+def _oracle_embedding_cosine() -> str:
+    sign = " || ".join(
+        f"CASE WHEN vec[{i + 1}] >= 0 THEN '1' ELSE '0' END"
+        for i in range(SIGN_BITS)
+    )
+    return f"""
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+),
+corpus AS (
+  SELECT vec_id, vec FROM vecs
+  UNION ALL
+  SELECT vec_id + {ID_SHIFT},
+         list_transform(range(1, len(vec) + 1),
+                        i -> CASE WHEN i <= len(vec) - {ZERO_TAIL} THEN vec[i] ELSE 0.0 END)
+  FROM vecs
+),
+bucketed AS (
+  SELECT vec_id, vec, {sign} AS bk FROM corpus
+)
+SELECT id_a, id_b, cos_bp FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST(floor(10000 * list_sum(list_transform(range(1, len(a.vec) + 1), i -> a.vec[i] * b.vec[i]))
+           / (sqrt(list_sum(list_transform(a.vec, x -> x * x)))
+              * sqrt(list_sum(list_transform(b.vec, x -> x * x))))) AS BIGINT) AS cos_bp
+  FROM bucketed a JOIN bucketed b ON a.bk = b.bk AND a.vec_id < b.vec_id
+) WHERE cos_bp >= {COS_THRESHOLD_BP}
+"""
+
+
+ORACLE_EMBEDDING_COSINE = _oracle_embedding_cosine()
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
 }
 
 ORACLES = {
@@ -410,4 +515,5 @@ ORACLES = {
     "dedup_ngram_jaccard": ORACLE_JACCARD,
     "dedup_minhash_lsh": ORACLE_MINHASH,
     "dedup_simhash": ORACLE_SIMHASH,
+    "dedup_embedding_cosine": ORACLE_EMBEDDING_COSINE,
 }

@@ -138,6 +138,188 @@ ORACLE_TOPK = _oracle_topk("")
 ORACLE_TOPK_BUCKETED = _oracle_topk(_BUCKET_SQL)
 
 
+# -- IVF index: seeded coarse quantizer + one Lloyd step + multi-probe ---------------
+#
+# The inverted-file (IVF) scale path for ANN: train a small coarse quantizer,
+# assign every corpus vector to its nearest cell (the inverted lists), then
+# answer queries by probing only the nprobe nearest cells.  At 100 TB the
+# corpus-to-centroid assignment is a map-only pass (centroids broadcast), the
+# inverted lists are a partitioned/bucketed table keyed by cell, and each
+# query touches nprobe cells instead of the full corpus.
+#
+# Engine-portability of the "training": seeds are fixed vec_ids; the single
+# Lloyd refinement quantizes centroid coordinates to integer basis points
+# before any distance is computed, so both engines measure distances against
+# bit-identical centroids with fixed-order float accumulation.
+
+IVF_CELLS = 8
+IVF_SEED_IDS = [10 * (i + 1) for i in range(IVF_CELLS)]  # vec_ids 10..80
+IVF_NPROBE = 2
+
+_SQ_DIST = (
+    "aggregate(zip_with({v}, {c}, (x, y) -> (x - y) * (x - y)), "
+    "CAST(0.0 AS DOUBLE), (acc, d) -> acc + d)"
+)
+
+
+def _ivf_centroids(emb: DataFrame) -> DataFrame:
+    """(cell, c_vec): seeds refined by one Lloyd iteration, bp-quantized."""
+    seeds = emb.filter(F.col("vec_id").isin(IVF_SEED_IDS)).select(
+        F.col("vec_id").alias("seed_id"),
+        F.col("embedding").cast("array<double>").alias("s_vec"),
+    )
+    # cell number = rank of the seed id (0..K-1), deterministic
+    seeds = seeds.withColumn(
+        "cell",
+        F.row_number().over(Window.orderBy("seed_id")) - 1,
+    )
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    # assignment pass 1: nearest seed (fixed-order accumulation; ties -> cell)
+    d = F.expr(_SQ_DIST.format(v="vec", c="s_vec"))
+    assigned = (
+        vecs.crossJoin(F.broadcast(seeds))
+        .withColumn("dist", d)
+        .groupBy("vec_id")
+        .agg(F.min_by("cell", F.struct("dist", "cell")).alias("cell"))
+        .join(vecs, "vec_id")
+    )
+    # Lloyd step: per-cell mean per dimension, quantized to integer bp so the
+    # (engine-dependent) float summation order cannot leak into comparisons
+    per_dim = (
+        assigned.select("cell", F.posexplode("vec").alias("dim", "v"))
+        .groupBy("cell", "dim")
+        .agg(F.floor(F.lit(10000) * F.avg("v")).cast("long").alias("c_bp"))
+    )
+    return (
+        per_dim.groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "c_bp"))).alias("sv"))
+        .select(
+            "cell",
+            F.transform("sv", lambda s: s["c_bp"] / F.lit(10000.0)).alias("c_vec"),
+        )
+    )
+
+
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids = _ivf_centroids(emb)
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    d = F.expr(_SQ_DIST.format(v="vec", c="c_vec"))
+    # inverted lists: every vector -> its refined cell (map-only at scale)
+    lists = (
+        vecs.crossJoin(F.broadcast(centroids))
+        .withColumn("dist", d)
+        .groupBy("vec_id")
+        .agg(F.min_by("cell", F.struct("dist", "cell")).alias("cell"))
+        .join(vecs, "vec_id")
+        .select(F.col("vec_id").alias("c_id"), "cell", F.col("vec").alias("c_vec"))
+    )
+    # queries probe their nprobe nearest cells
+    queries = vecs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec")
+    )
+    qd = F.expr(_SQ_DIST.format(v="q_vec", c="c_vec"))
+    wq = Window.partitionBy("q_id").orderBy("qdist", "cell")
+    probes = (
+        queries.crossJoin(F.broadcast(centroids))
+        .withColumn("qdist", qd)
+        .withColumn("probe_rank", F.row_number().over(wq))
+        .filter(F.col("probe_rank") <= IVF_NPROBE)
+        .select("q_id", "q_vec", "cell")
+    )
+    dot = F.expr(
+        "aggregate(zip_with(q_vec, c_vec, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    qn = F.expr(
+        "aggregate(transform(q_vec, xq -> xq * xq), CAST(0.0 AS DOUBLE), (accq, vq) -> accq + vq)"
+    )
+    cn = F.expr(
+        "aggregate(transform(c_vec, xc -> xc * xc), CAST(0.0 AS DOUBLE), (accc, vc) -> accc + vc)"
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(lists, "cell")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            F.floor(F.lit(10000) * dot / (F.sqrt(qn) * F.sqrt(cn)))
+            .cast("long")
+            .alias("cos_bp"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_bp"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "c_id", "cos_bp", "rank")
+    )
+
+
+_IDS_SQL = ", ".join(str(i) for i in IVF_SEED_IDS)
+_SQ_DIST_SQL = "list_sum(list_transform(range(1, len({v}) + 1), i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])))"
+
+ORACLE_IVF = f"""
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, vec AS s_vec
+  FROM vecs WHERE vec_id IN ({_IDS_SQL})
+),
+assign1 AS (
+  SELECT vec_id, cell, vec FROM (
+    SELECT v.vec_id, s.cell, v.vec,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {_SQ_DIST_SQL.format(v='v.vec', c='s.s_vec')}, s.cell) AS rk
+    FROM vecs v CROSS JOIN seeds s
+  ) WHERE rk = 1
+),
+per_dim AS (
+  SELECT cell, d - 1 AS dim, CAST(floor(10000 * avg(vec[d])) AS BIGINT) AS c_bp
+  FROM assign1, UNNEST(range(1, len(vec) + 1)) AS t(d)
+  GROUP BY cell, d
+),
+centroids AS (
+  SELECT cell, list(c_bp / 10000.0 ORDER BY dim) AS c_vec
+  FROM per_dim GROUP BY cell
+),
+lists AS (
+  SELECT vec_id AS c_id, cell, vec AS c_vec FROM (
+    SELECT v.vec_id, c.cell, v.vec,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {_SQ_DIST_SQL.format(v='v.vec', c='c.c_vec')}, c.cell) AS rk
+    FROM vecs v CROSS JOIN centroids c
+  ) WHERE rk = 1
+),
+probes AS (
+  SELECT q_id, q_vec, cell FROM (
+    SELECT v.vec_id AS q_id, v.vec AS q_vec, c.cell,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {_SQ_DIST_SQL.format(v='v.vec', c='c.c_vec')}, c.cell) AS rk
+    FROM vecs v CROSS JOIN centroids c
+    WHERE v.vec_id < {N_QUERIES}
+  ) WHERE rk <= {IVF_NPROBE}
+),
+scored AS (
+  SELECT p.q_id, l.c_id,
+         CAST(floor(10000 * list_sum(list_transform(range(1, len(p.q_vec) + 1), i -> p.q_vec[i] * l.c_vec[i]))
+           / (sqrt(list_sum(list_transform(p.q_vec, x -> x * x)))
+              * sqrt(list_sum(list_transform(l.c_vec, x -> x * x))))) AS BIGINT) AS cos_bp
+  FROM probes p JOIN lists l ON p.cell = l.cell AND p.q_id <> l.c_id
+)
+SELECT q_id, c_id, cos_bp, rank FROM (
+  SELECT q_id, c_id, cos_bp,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos_bp DESC, c_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+"""
+
+
 # -- vector aggregation: per-label centroids via posexplode + groupBy -----------------
 #
 # The scalable shape for element-wise vector aggregation: explode to
@@ -186,11 +368,13 @@ WHERE p.dim < 4
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_cosine_topk_bucketed": ann_cosine_topk_bucketed,
+    "ann_ivf": ann_ivf,
     "embedding_centroids": embedding_centroids,
 }
 
 ORACLES = {
     "ann_cosine_topk": ORACLE_TOPK,
     "ann_cosine_topk_bucketed": ORACLE_TOPK_BUCKETED,
+    "ann_ivf": ORACLE_IVF,
     "embedding_centroids": ORACLE_CENTROIDS,
 }
