@@ -129,12 +129,131 @@ GROUP BY 1""",
 ORACLE_PAGERANK = _pagerank_oracle()
 
 
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by min-label propagation (the GraphX/GraphFrames
+    algorithm as DataFrame joins): label(v) starts as v's id; each round every
+    node takes the min of its own and its neighbors' labels; fixed-point on
+    the geo subgraph (in_region/located_in edges) is reached in 4 rounds
+    (component diameter: customer-nation-region-nation-customer).
+
+    Result: one component per region — count + min label per component.
+    At scale each round is one shuffle keyed on node id; production loops
+    checkpoint every few rounds (see paths.py BFS) and stop on a converged
+    count, not a fixed unroll (fixed here so the oracle is plain CTEs).
+    """
+    eng = tpch.bulk_engine(spark, sf_dir)
+    e = (
+        eng.store.edges_df()
+        .filter(F.col("type").isin("in_region", "located_in"))
+        .select("src", "dst")
+    )
+    # undirected adjacency: each edge contributes both directions
+    adj = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    nodes = adj.select(F.col("src").alias("node_id")).distinct()
+    labels = nodes.select("node_id", F.col("node_id").alias("label"))
+    for _ in range(N_CC_ROUNDS):
+        neighbor_min = (
+            labels.join(adj, labels["node_id"] == adj["src"])
+            .groupBy(F.col("dst").alias("node_id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(neighbor_min, "node_id", "left")
+            .select(
+                "node_id",
+                F.least("label", F.coalesce("nbr_label", "label")).alias("label"),
+            )
+        )
+    return labels.groupBy(F.col("label").alias("component")).agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
+
+
+N_CC_ROUNDS = 4
+
+
+def _cc_oracle() -> str:
+    body = """
+geo AS (
+  SELECT src, dst FROM g_edges WHERE type IN ('in_region', 'located_in')
+),
+adj AS (
+  SELECT src, dst FROM geo UNION ALL SELECT dst AS src, src AS dst FROM geo
+),
+cc_nodes AS (SELECT DISTINCT src AS node_id FROM adj),
+l0 AS (SELECT node_id, node_id AS label FROM cc_nodes)"""
+    prev = "l0"
+    for k in range(1, N_CC_ROUNDS + 1):
+        body += f""",
+nm{k} AS (
+  SELECT a.dst AS node_id, min(l.label) AS nbr_label
+  FROM {prev} l JOIN adj a ON l.node_id = a.src
+  GROUP BY a.dst
+),
+l{k} AS (
+  SELECT l.node_id, least(l.label, coalesce(n.nbr_label, l.label)) AS label
+  FROM {prev} l LEFT JOIN nm{k} n ON l.node_id = n.node_id
+)"""
+        prev = f"l{k}"
+    return tpch.oracle_with(
+        f"SELECT label AS component, count(*) AS n_nodes FROM {prev} GROUP BY label",
+        extra_ctes=body.lstrip(",\n"),
+    )
+
+
+ORACLE_CC = _cc_oracle()
+
+
+def graph_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern mining: 2-paths through an order node ⇒ part pairs co-occurring
+    in one order (the triangle/motif-counting join shape — this graph is
+    multipartite, so 2-paths are its densest motif).
+
+    One self-join of the ``contains`` inverted list keyed on the order node:
+    at 100 TB this is the classic skew risk (hot orders explode
+    quadratically) — bounded here because order size is bounded (≤7 lines);
+    unbounded inputs would cap or salt per-key fan-out before the join.
+    """
+    eng = tpch.bulk_engine(spark, sf_dir)
+    contains = (
+        eng.store.edges_df()
+        .filter(F.col("type") == "contains")
+        .select(F.col("src").alias("order_id"), F.col("dst").alias("part_id"))
+        .distinct()
+    )
+    a = contains.select("order_id", F.col("part_id").alias("part_a"))
+    b = contains.select("order_id", F.col("part_id").alias("part_b"))
+    pairs = (
+        a.join(b, "order_id")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
+    return pairs
+
+
+ORACLE_COPURCHASE = tpch.oracle_with(
+    """SELECT part_a, part_b, n_orders FROM (
+  SELECT a.part_id AS part_a, b.part_id AS part_b, count(*) AS n_orders
+  FROM (SELECT DISTINCT src AS order_id, dst AS part_id FROM g_edges WHERE type = 'contains') a
+  JOIN (SELECT DISTINCT src AS order_id, dst AS part_id FROM g_edges WHERE type = 'contains') b
+    ON a.order_id = b.order_id AND a.part_id < b.part_id
+  GROUP BY 1, 2
+) WHERE n_orders >= 2"""
+)
+
+
 QUERIES = {
     "graph_degree_distribution": graph_degree_distribution,
     "graph_pagerank": graph_pagerank,
+    "graph_connected_components": graph_connected_components,
+    "graph_copurchase_pairs": graph_copurchase_pairs,
 }
 
 ORACLES = {
     "graph_degree_distribution": ORACLE_DEGREE,
     "graph_pagerank": ORACLE_PAGERANK,
+    "graph_connected_components": ORACLE_CC,
+    "graph_copurchase_pairs": ORACLE_COPURCHASE,
 }

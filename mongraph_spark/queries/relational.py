@@ -342,6 +342,170 @@ WHERE o.o_totalprice > a.cust_avg * 1.5
 """
 
 
+# -- Q4-style: EXISTS correlated semi-join + count by priority -----------------
+#
+# (adapted: the slim schema has no l_commitdate/l_receiptdate, so "late" is
+# shipdate > orderdate + 60 days)
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    late = li.join(
+        orders,
+        (li["l_orderkey"] == orders["o_orderkey"])
+        & (li["l_shipdate"] > F.date_add(orders["o_orderdate"], 60)),
+        "left_semi",
+    ).select("l_orderkey").distinct()
+    return (
+        orders.join(late, orders["o_orderkey"] == late["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+ORACLE_Q4 = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+# -- Q12-style: join + conditional (CASE) aggregation --------------------------
+
+
+def q12_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+ORACLE_Q12 = """
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY l_linestatus
+"""
+
+
+# -- Q14-style: promo revenue ratio (conditional agg over a join) --------------
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1995-09-01") & (F.col("l_shipdate") < "1995-10-01")
+        )
+        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+ORACLE_Q14 = """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l_shipdate >= '1995-09-01' AND l_shipdate < '1995-10-01'
+"""
+
+
+# -- Q18-style: groupBy-HAVING (large orders) joined back to dims --------------
+
+Q18_QTY = 250
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > Q18_QTY)
+    )
+    return (
+        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(customer), F.col("o_custkey") == customer["c_custkey"])
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+    )
+
+
+ORACLE_Q18 = f"""
+SELECT c_name, o_orderkey, CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+       round(o_totalprice, 2) AS o_totalprice, round(total_qty, 2) AS total_qty
+FROM (SELECT l_orderkey, sum(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > {Q18_QTY}) b
+JOIN orders o ON b.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+# -- Q22-style: scalar subquery threshold + NOT EXISTS anti-join ---------------
+#
+# (adapted: no phone column; "inactive wealthy" = above the positive-balance
+# average with no URGENT order)
+
+
+def q22_wealthy_no_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    avg_bal = (
+        customer.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("v"))
+        .select("v")
+    )
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("v"))
+        .join(urgent, customer["c_custkey"] == urgent["o_custkey"], "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+ORACLE_Q22 = """
+SELECT c_nationkey, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+FROM customer c
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -354,6 +518,11 @@ QUERIES = {
     "anti_customers_without_orders": anti_customers_without_orders,
     "semi_parts_shipped": semi_parts_shipped,
     "above_customer_avg": above_customer_avg,
+    "q4_order_priority": q4_order_priority,
+    "q12_priority_by_linestatus": q12_priority_by_linestatus,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q18_large_orders": q18_large_orders,
+    "q22_wealthy_no_urgent": q22_wealthy_no_urgent,
 }
 
 ORACLES = {
@@ -368,4 +537,9 @@ ORACLES = {
     "anti_customers_without_orders": ORACLE_ANTI,
     "semi_parts_shipped": ORACLE_SEMI,
     "above_customer_avg": ORACLE_ABOVE_AVG,
+    "q4_order_priority": ORACLE_Q4,
+    "q12_priority_by_linestatus": ORACLE_Q12,
+    "q14_promo_revenue": ORACLE_Q14,
+    "q18_large_orders": ORACLE_Q18,
+    "q22_wealthy_no_urgent": ORACLE_Q22,
 }

@@ -177,6 +177,43 @@ def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+# -- streaming dedup: dropDuplicatesWithinWatermark ---------------------------------
+
+
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup on event_id: the stream carries every event
+    twice (the file source reads the events file once per glob alias — the
+    at-least-once delivery scenario), and dropDuplicatesWithinWatermark must
+    restore exactly-once counts.
+
+    State holds one key per event_id *within the watermark horizon only* —
+    the point of the WithinWatermark variant: unbounded streams get bounded
+    dedup state (vs dropDuplicates, whose state grows forever).
+    """
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    doubled = normalize_event_ts(raw.unionByName(raw)).withWatermark("ts", "1 hour")
+    deduped = doubled.dropDuplicatesWithinWatermark(["event_id"])
+    agg = deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    with _state_partitioning(spark, sf_dir):
+        out = run_to_table(agg, output_mode="complete")
+    return out
+
+
+ORACLE_STREAM_DEDUP = """
+SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY event_type
+"""
+
+
 ORACLE_STREAM_TUMBLING = """
 SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
        count(*) AS n_events,
@@ -210,10 +247,12 @@ QUERIES = {
     "streaming_tumbling_window": streaming_tumbling_window,
     "streaming_session_counts": streaming_session_counts,
     "streaming_stateful_user_totals": streaming_stateful_user_totals,
+    "streaming_dedup_events": streaming_dedup_events,
 }
 
 ORACLES = {
     "streaming_tumbling_window": ORACLE_STREAM_TUMBLING,
     "streaming_session_counts": ORACLE_STREAM_SESSIONS,
     "streaming_stateful_user_totals": ORACLE_STREAM_STATEFUL,
+    "streaming_dedup_events": ORACLE_STREAM_DEDUP,
 }
