@@ -131,6 +131,35 @@ def materialized_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Dat
     return spark.read.parquet(npath), spark.read.parquet(epath)
 
 
+EDGE_BUCKETS = 16
+
+
+def bucketed_edges(spark: SparkSession, sf_dir: str, buckets: int = EDGE_BUCKETS) -> DataFrame:
+    """Build-once *bucketed* edge store: ``bucketBy(src)`` + ``sortBy(src)``.
+
+    This is the 100 TB answer to traversal joins: any join keyed on ``src``
+    (frontier expansion, 2-hop composition) reads the edge table's buckets
+    directly — the multi-TB side never shuffles, only the probe side is
+    exchanged into the matching 16-way hash partitioning.  ``sortBy`` lets
+    sort-merge joins skip the per-partition sort of the big side too.
+    Locally a tiny warehouse table; at scale the same two lines with a
+    bucket count sized to cluster cores.
+    """
+    key = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    tab = f"mg_edges_bucketed_{key}"
+    if not spark.catalog.tableExists(tab):
+        (
+            edges(spark, sf_dir)
+            .repartition(buckets, "src")
+            .write.mode("overwrite")
+            .bucketBy(buckets, "src")
+            .sortBy("src")
+            .format("parquet")
+            .saveAsTable(tab)
+        )
+    return spark.table(tab)
+
+
 _ENGINE_CACHE: dict[tuple[int, str, bool], object] = {}
 
 

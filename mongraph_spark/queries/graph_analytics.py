@@ -244,11 +244,47 @@ ORACLE_COPURCHASE = tpch.oracle_with(
 )
 
 
+def graph_two_hop_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop traversal (customer -[placed]-> order -[contains]-> part) over
+    the *bucketed* edge store: the contains side joins on its bucket column
+    (``src``), so the lineitem-scale edge partition is read in place — no
+    shuffle of the big side (tests/test_storage_and_plans.py pins the plan).
+
+    Output: distribution of distinct-part fanout per customer.
+    """
+    e = tpch.bucketed_edges(spark, sf_dir)
+    placed = e.filter(F.col("type") == "placed").select(
+        F.col("src").alias("cust"), F.col("dst").alias("order_id")
+    )
+    contains = e.filter(F.col("type") == "contains").select(
+        F.col("src").alias("order_id"), F.col("dst").alias("part_id")
+    )
+    # merge hint: sort-merge join honors bucketing (broadcast would dodge the
+    # demonstration and is wrong at real scale anyway — both sides are facts)
+    two_hop = placed.hint("merge").join(contains, "order_id")
+    per_cust = two_hop.groupBy("cust").agg(
+        F.count_distinct("part_id").alias("n_parts")
+    )
+    return per_cust.groupBy("n_parts").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+ORACLE_TWO_HOP = tpch.oracle_with(
+    """SELECT n_parts, count(*) AS n_customers FROM (
+  SELECT p.src AS cust, count(DISTINCT c.dst) AS n_parts
+  FROM (SELECT src, dst FROM g_edges WHERE type = 'placed') p
+  JOIN (SELECT src, dst FROM g_edges WHERE type = 'contains') c
+    ON p.dst = c.src
+  GROUP BY p.src
+) GROUP BY n_parts"""
+)
+
+
 QUERIES = {
     "graph_degree_distribution": graph_degree_distribution,
     "graph_pagerank": graph_pagerank,
     "graph_connected_components": graph_connected_components,
     "graph_copurchase_pairs": graph_copurchase_pairs,
+    "graph_two_hop_bucketed": graph_two_hop_bucketed,
 }
 
 ORACLES = {
@@ -256,4 +292,5 @@ ORACLES = {
     "graph_pagerank": ORACLE_PAGERANK,
     "graph_connected_components": ORACLE_CC,
     "graph_copurchase_pairs": ORACLE_COPURCHASE,
+    "graph_two_hop_bucketed": ORACLE_TWO_HOP,
 }

@@ -83,3 +83,20 @@ def test_count_aggregate_is_partial(spark):
     tq = TraversalQuery(anchor=3 * 10**12 + 1, direction="both")
     plan = _plan_of(tq.apply(eng.store.edges_df()).agg(F.count(F.lit(1)).alias("c")))
     assert "partial_count" in plan, plan
+
+
+def test_bucketed_edge_join_skips_big_side_shuffle(spark):
+    """The bucketed edge store must let src-keyed joins read buckets in
+    place: the contains (lineitem-scale) side shows a bucketed scan with NO
+    Exchange between scan and join; only the probe side is exchanged."""
+    from mongraph_spark.queries.graph_analytics import graph_two_hop_bucketed
+
+    df = graph_two_hop_bucketed(spark, SF)
+    plan = _plan_of(df)
+    assert "SortMergeJoin" in plan, plan
+    assert re.search(r"Bucketed: true", plan), plan
+    # exactly one side of the join gets shuffled into bucket-compatible
+    # partitioning; the bucketed side never does
+    join_block = plan[plan.index("SortMergeJoin"):]
+    n_exchanges = len(re.findall(r"Exchange hashpartitioning\(\S*src|Exchange hashpartitioning\(\S*order_id", join_block))
+    assert n_exchanges <= 1, plan
