@@ -69,6 +69,18 @@ def _field_condition(col: Column, spec: Any) -> Column:
                 continue  # consumed with $regex
             elif op == "$exists":
                 conds.append(col.isNotNull() if val else col.isNull())
+            elif op == "$not":
+                conds.append(_not(_field_condition(col, val)))
+            elif op == "$size":
+                conds.append(F.size(col) == F.lit(val))
+            elif op == "$all":
+                required = F.array(*[F.lit(v) for v in val])
+                conds.append(F.size(F.array_except(required, col)) == 0)
+            elif op == "$mod":
+                divisor, remainder = val
+                conds.append(col % F.lit(divisor) == F.lit(remainder))
+            elif op == "$elemMatch":
+                conds.append(F.exists(col, lambda e: _field_condition(e, val)))
             elif op in _COMPARATORS:
                 conds.append(_COMPARATORS[op](col, val))
             else:
@@ -157,6 +169,27 @@ def _match_field(value: Any, spec: Any) -> bool:
                 continue
             elif op == "$exists":
                 if bool(value is not None) != bool(v):
+                    return False
+            elif op == "$not":
+                if _match_field(value, v):
+                    return False
+            elif op == "$size":
+                if not (isinstance(value, (list, tuple)) and len(value) == v):
+                    return False
+            elif op == "$all":
+                if not (
+                    isinstance(value, (list, tuple)) and all(x in value for x in v)
+                ):
+                    return False
+            elif op == "$mod":
+                divisor, remainder = v
+                if value is None or value % divisor != remainder:
+                    return False
+            elif op == "$elemMatch":
+                if not (
+                    isinstance(value, (list, tuple))
+                    and any(_match_field(e, v) for e in value)
+                ):
                     return False
             elif op == "$gt":
                 if not (value is not None and value > v):

@@ -31,6 +31,22 @@ CONDITIONS = [
     {"$or": [{"name": "bob"}, {"city": "Zurich"}]},
     {"$nor": [{"name": "bob"}, {"city": "Zurich"}]},
     {"name": {"$ne": "bob"}},
+    {"name": {"$not": {"$regex": "^[a-m]"}}},
+    {"age": {"$mod": [5, 0]}},
+]
+
+ARRAY_DOCS = [
+    {"_id": "a", "tags": ["red", "blue"]},
+    {"_id": "b", "tags": ["blue"]},
+    {"_id": "c", "tags": []},
+    {"_id": "d", "tags": ["green", "blue", "red"]},
+]
+
+ARRAY_CONDITIONS = [
+    {"tags": {"$size": 2}},
+    {"tags": {"$all": ["red", "blue"]}},
+    {"tags": {"$elemMatch": {"$regex": "^r"}}},
+    {"tags": {"$elemMatch": {"$in": ["green", "purple"]}}},
 ]
 
 
@@ -41,6 +57,18 @@ def test_column_and_dict_paths_agree(spark, cond):
         r._id for r in df.filter(mongo_to_column(cond)).select("_id").collect()
     )
     dict_ids = sorted(d["_id"] for d in DOCS if mongo_match(d, cond))
+    assert spark_ids == dict_ids, f"disagreement on {cond}"
+
+
+@pytest.mark.parametrize(
+    "cond", ARRAY_CONDITIONS, ids=[str(c) for c in ARRAY_CONDITIONS]
+)
+def test_array_operators_agree(spark, cond):
+    df = spark.createDataFrame(ARRAY_DOCS, "_id string, tags array<string>")
+    spark_ids = sorted(
+        r._id for r in df.filter(mongo_to_column(cond)).select("_id").collect()
+    )
+    dict_ids = sorted(d["_id"] for d in ARRAY_DOCS if mongo_match(d, cond))
     assert spark_ids == dict_ids, f"disagreement on {cond}"
 
 
