@@ -1,0 +1,170 @@
+"""Property-based tests (SURVEY.md §5: "add property-based tests for the
+Mongo-predicate translator and the Cypher-subset parser").
+
+- Mongo translator: for any condition in the supported grammar, the Spark
+  Column path and the driver-side dict evaluator must select the same
+  documents.
+- Cypher subset: any query the reference's own templates can emit
+  (SURVEY.md §3.4) must parse back to exactly the generation parameters.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from mongraph_spark.cypher_mini import parse
+from mongraph_spark.mongo_expr import mongo_match, mongo_to_column
+
+# -- Mongo translator: Column path == dict path over a fixed corpus ------------------
+
+DOCS = [
+    {"_id": "a", "name": "alice", "age": 30, "city": "Berlin"},
+    {"_id": "b", "name": "bob", "age": 25, "city": "Boston"},
+    {"_id": "c", "name": "Charles", "age": 35, "city": None},
+    {"_id": "d", "name": "zoe", "age": None, "city": "Zurich"},
+    {"_id": "e", "name": "", "age": 0, "city": "Berlin"},
+]
+
+_names = st.sampled_from(["alice", "bob", "zoe", "Charles", "", "nope"])
+_ages = st.integers(min_value=-1, max_value=40)
+_regexes = st.sampled_from(["o", "^[A-Z]", "e$", "li", "^$"])
+
+_leaf = st.one_of(
+    st.builds(lambda v: {"name": v}, _names),
+    st.builds(lambda v: {"name": {"$ne": v}}, _names),
+    st.builds(lambda v: {"name": {"$regex": v}}, _regexes),
+    st.builds(lambda v: {"name": {"$not": {"$regex": v}}}, _regexes),
+    st.builds(lambda v: {"age": {"$gt": v}}, _ages),
+    st.builds(lambda v: {"age": {"$lte": v}}, _ages),
+    st.builds(lambda v: {"age": {"$mod": [v, 0]}}, st.integers(2, 7)),
+    st.builds(lambda vs: {"name": {"$in": vs}}, st.lists(_names, max_size=3)),
+    st.builds(lambda vs: {"name": {"$nin": vs}}, st.lists(_names, max_size=3)),
+    st.builds(lambda v: {"city": {"$exists": v}}, st.booleans()),
+    st.just({"city": None}),
+)
+
+_condition = st.recursive(
+    _leaf,
+    lambda inner: st.one_of(
+        st.builds(lambda a, b: {"$and": [a, b]}, inner, inner),
+        st.builds(lambda a, b: {"$or": [a, b]}, inner, inner),
+        st.builds(lambda a, b: {"$nor": [a, b]}, inner, inner),
+    ),
+    max_leaves=4,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    return spark.createDataFrame(
+        DOCS, "_id string, name string, age long, city string"
+    ).cache()
+
+
+@given(cond=_condition)
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_mongo_paths_agree(corpus_df, cond):
+    spark_ids = sorted(
+        r._id
+        for r in corpus_df.filter(mongo_to_column(cond)).select("_id").collect()
+    )
+    dict_ids = sorted(d["_id"] for d in DOCS if mongo_match(d, cond))
+    assert spark_ids == dict_ids, f"disagreement on {cond}"
+
+
+# -- Cypher subset parser: generated template queries round-trip ----------------------
+#
+# The generator below emits exactly the closed set of shapes the reference's
+# own string templates produce (src/extendDocument.coffee:92-109, :344-348,
+# :360-364; SURVEY.md §3.4).
+
+_dirs = st.sampled_from(["incoming", "outgoing", "both"])
+_types = st.one_of(
+    st.none(),
+    st.lists(
+        st.sampled_from(["knows", "visits", "LOVE", "KNOW"]),
+        min_size=1,
+        max_size=3,
+        unique=True,
+    ),
+)
+_actions = st.sampled_from(["RETURN", "DELETE"])
+_counts = st.sampled_from([None, "r", "a", "*", "distinct a"])
+_node_ids = st.lists(st.integers(0, 10**6), min_size=1, max_size=3, unique=True)
+
+
+def _arrow(direction: str, types: list[str] | None) -> str:
+    t = "" if not types else ":" + "|".join(types)
+    rel = f"[r{t}]"
+    if direction == "incoming":
+        return f"<-{rel}-"
+    if direction == "outgoing":
+        return f"-{rel}->"
+    return f"-{rel}-"
+
+
+@given(
+    ids=_node_ids,
+    direction=_dirs,
+    types=_types,
+    action=_actions,
+    count=_counts,
+    where=st.sampled_from([None, "r.since = 'years'", "r.category! = 'x'"]),
+)
+@settings(max_examples=200, deadline=None)
+def test_cypher_onehop_roundtrip(ids, direction, types, action, count, where):
+    id_list = ", ".join(str(i) for i in ids)
+    where_clause = f" WHERE {where}" if where else ""
+    part = "r" if count is None else f"count({count})"
+    cypher = (
+        f"START a = node({id_list}) "
+        f"MATCH (a){_arrow(direction, types)}(b)"
+        f"{where_clause} {action} {part};"
+    )
+    q = parse(cypher)
+    assert q["starts"]["a"] == ids
+    assert q["direction"] == direction
+    assert q["types"] == (types if types else None)
+    assert q["action"] == action
+    assert q["where"] == where
+    if count is None:
+        assert q["parts"] == ["r"]
+    elif count == "distinct a":
+        assert q["count_distinct"] == "a"
+    else:
+        assert q["count"] == count
+
+
+@given(ids=st.tuples(st.integers(0, 10**6), st.integers(0, 10**6)), hops=st.integers(1, 15))
+@settings(max_examples=50, deadline=None)
+def test_cypher_shortest_path_roundtrip(ids, hops):
+    a, b = ids
+    cypher = (
+        f"START a = node({a}), b = node({b}) "
+        f"MATCH path = shortestPath( a-[:knows*..{hops}]->b ) RETURN path;"
+    )
+    q = parse(cypher)
+    assert q["shortest"] is True
+    assert q["starts"] == {"a": [a], "b": [b]}
+    assert q["max_hops"] == hops
+    assert q["types"] == ["knows"]
+    assert q["parts"] == ["path"]
+
+
+@given(n=st.integers(0, 10**6))
+@settings(max_examples=20, deadline=None)
+def test_cypher_delete_node_template_roundtrip(n):
+    cypher = f"START n = node({n}) OPTIONAL MATCH n-[r]-() DELETE n, r;"
+    q = parse(cypher)
+    assert q["optional"] is True
+    assert q["starts"]["n"] == [n]
+    assert q["action"] == "DELETE"
+    assert q["parts"] == ["n", "r"]
