@@ -64,12 +64,15 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = eng.store.edges_df().select("src", "dst")
     nodes = eng.store.nodes_df().select("node_id")
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    # normalize once outside the loop: each iteration is then ONE join + one
+    # aggregation instead of two joins (at scale: persist e_norm partitioned
+    # on src so every iteration's join reuses the same partitioning)
+    e_norm = e.join(out_deg, "src").persist()
 
     ranks = nodes.select("node_id", F.lit(1.0).alias("rank"))
     for _ in range(N_ITER):
         contribs = (
-            ranks.join(e, ranks["node_id"] == e["src"], "inner")
-            .join(out_deg, "src")
+            ranks.join(e_norm, ranks["node_id"] == e_norm["src"], "inner")
             .select(F.col("dst").alias("node_id"), (F.col("rank") / F.col("out_deg")).alias("c"))
             .groupBy("node_id")
             .agg(F.sum("c").alias("contrib"))
