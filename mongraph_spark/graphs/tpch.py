@@ -148,6 +148,17 @@ def bucketed_edges(spark: SparkSession, sf_dir: str, buckets: int = EDGE_BUCKETS
     key = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     tab = f"mg_edges_bucketed_{key}"
     if not spark.catalog.tableExists(tab):
+        # bucketing metadata lives in the (session-scoped) catalog; a
+        # leftover warehouse dir from a previous session has lost it — drop
+        # and rewrite so the table registers with its bucket spec
+        import shutil
+
+        warehouse = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        leftover = os.path.join(warehouse, tab.lower())
+        if os.path.exists(leftover):
+            shutil.rmtree(leftover)
         (
             edges(spark, sf_dir)
             .repartition(buckets, "src")

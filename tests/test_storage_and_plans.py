@@ -100,3 +100,46 @@ def test_bucketed_edge_join_skips_big_side_shuffle(spark):
     join_block = plan[plan.index("SortMergeJoin"):]
     n_exchanges = len(re.findall(r"Exchange hashpartitioning\(\S*src|Exchange hashpartitioning\(\S*order_id", join_block))
     assert n_exchanges <= 1, plan
+
+
+# -- ingestion sources ---------------------------------------------------------------
+
+
+def test_ingest_json_into_oltp_catalog(spark, tmp_path):
+    import json
+
+    from mongraph_spark import Mongraph
+    from mongraph_spark.sources.ingest import export_collection, ingest_collection
+
+    src = tmp_path / "people.jsonl"
+    src.write_text(
+        "\n".join(json.dumps({"name": n, "age": a}) for n, a in
+                  [("alice", 30), ("bob", 25), ("zoe", 28)])
+    )
+    eng = Mongraph(spark)
+    n = ingest_collection(eng, "people", str(src), fmt="json")
+    assert n == 3
+    # saved documents got mirror nodes (the reference's save hook semantics)
+    assert eng.count_nodes() == 3
+    found = eng.find_documents("people", {"age": {"$gte": 28}})
+    assert sorted(d.data["name"] for d in found) == ["alice", "zoe"]
+
+    out = tmp_path / "export"
+    export_collection(eng, "people", str(out), fmt="json")
+    back = spark.read.json(str(out))
+    assert back.count() == 3
+    assert "_id" in back.columns
+
+
+def test_read_documents_csv_derives_id(spark, tmp_path):
+    from mongraph_spark.sources.ingest import read_documents
+
+    src = tmp_path / "docs.csv"
+    src.write_text("name,score\nx,1\ny,2\n")
+    df = read_documents(spark, str(src), fmt="csv")
+    rows = {r.name: r for r in df.collect()}
+    assert set(rows) == {"x", "y"}
+    assert all(re.fullmatch(r"[a-f0-9]{24}", r._id) for r in rows.values())
+    # deterministic: same content -> same _id
+    df2 = read_documents(spark, str(src), fmt="csv")
+    assert {r._id for r in df2.collect()} == {r._id for r in df.collect()}
