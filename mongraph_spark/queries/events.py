@@ -152,11 +152,84 @@ SELECT hour, event_type AS top_type, n FROM (
 """
 
 
+# -- as-of join: attribute each purchase to the most recent preceding event ----------
+#
+# Spark has no native as-of join; the scalable realization is the tagged
+# union + ordered window ("carry the last build row forward"): ONE shuffle
+# keyed on user_id with a per-partition sort — same cost shape as a
+# sort-merge join, no range explosion, no per-row probe.  DuckDB's native
+# ASOF JOIN is the oracle, so the composition is verified against a real
+# as-of implementation.
+
+
+def events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    # build side: at most one candidate per (user_id, ts) — max event_id wins
+    # (makes the as-of pick deterministic in both engines under ts ties)
+    build = (
+        ev.filter(F.col("event_type") != "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("b_event_id"),
+            F.max_by("event_type", "event_id").alias("b_type"),
+        )
+    )
+    probe = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    tagged = build.select(
+        "user_id", "ts", F.lit(0).alias("is_probe"), "b_event_id", "b_type",
+        F.lit(None).cast("long").alias("purchase_id"),
+    ).unionByName(
+        probe.select(
+            "user_id", "ts", F.lit(1).alias("is_probe"),
+            F.lit(None).cast("long").alias("b_event_id"),
+            F.lit(None).cast("string").alias("b_type"),
+            "purchase_id",
+        )
+    )
+    # strict "before": probes sort ahead of build rows at the same ts, so a
+    # same-instant event is not visible to the purchase
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.desc("is_probe"), F.asc("b_event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = tagged.select(
+        "is_probe",
+        "purchase_id",
+        F.last("b_event_id", ignorenulls=True).over(w).alias("prev_event_id"),
+        F.last("b_type", ignorenulls=True).over(w).alias("prev_type"),
+    )
+    return (
+        carried.filter((F.col("is_probe") == 1) & F.col("prev_event_id").isNotNull())
+        .select("purchase_id", "prev_event_id", "prev_type")
+    )
+
+
+ORACLE_ASOF = """
+WITH build AS (
+  SELECT user_id, ts, max(event_id) AS b_event_id,
+         arg_max(event_type, event_id) AS b_type
+  FROM events WHERE event_type <> 'purchase'
+  GROUP BY user_id, ts
+),
+probe AS (
+  SELECT user_id, ts, event_id AS purchase_id
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.purchase_id, b.b_event_id AS prev_event_id, b.b_type AS prev_type
+FROM probe p ASOF JOIN build b
+  ON p.user_id = b.user_id AND p.ts > b.ts
+"""
+
+
 QUERIES = {
     "events_tumbling_window": events_tumbling_window,
     "events_sessionization": events_sessionization,
     "events_json_props": events_json_props,
     "events_hourly_top_type": events_hourly_top_type,
+    "events_asof_attribution": events_asof_attribution,
 }
 
 ORACLES = {
@@ -164,4 +237,5 @@ ORACLES = {
     "events_sessionization": ORACLE_SESSIONS,
     "events_json_props": ORACLE_JSON,
     "events_hourly_top_type": ORACLE_HOURLY_TOP,
+    "events_asof_attribution": ORACLE_ASOF,
 }
