@@ -246,6 +246,30 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+def cube_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus) with grouping_id — the full
+    grouping-sets lattice (rollup's superset)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
+ORACLE_CUBE = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       count(*) AS n_rows,
+       CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
 # -- set operations ------------------------------------------------------------------
 
 
@@ -514,6 +538,7 @@ QUERIES = {
     "window_top_orders": window_top_orders,
     "window_running_sum": window_running_sum,
     "rollup_revenue": rollup_revenue,
+    "cube_quantity": cube_quantity,
     "setop_active_building_customers": setop_active_building_customers,
     "anti_customers_without_orders": anti_customers_without_orders,
     "semi_parts_shipped": semi_parts_shipped,
@@ -533,6 +558,7 @@ ORACLES = {
     "window_top_orders": ORACLE_WINDOW,
     "window_running_sum": ORACLE_RUNNING,
     "rollup_revenue": ORACLE_ROLLUP,
+    "cube_quantity": ORACLE_CUBE,
     "setop_active_building_customers": ORACLE_SETOP,
     "anti_customers_without_orders": ORACLE_ANTI,
     "semi_parts_shipped": ORACLE_SEMI,
