@@ -270,6 +270,97 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
 
+# -- range join: price-band histogram ------------------------------------------------
+#
+# Spark executes inequality joins as broadcast-nested-loop; with a tiny band
+# table the broadcast IS the right plan (each row tests ~10 bands).  When
+# BOTH sides are large the scalable shape is bucketize-the-range: assign each
+# row floor(value/width) and equi-join on the bucket (+ neighbor buckets for
+# straddling ranges) — noted here, exercised in the bucketed graph store.
+
+N_BANDS_PRICE = 10
+BAND_WIDTH = 200.0
+
+
+def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = read_table(spark, sf_dir, "part")
+    bands = spark.range(N_BANDS_PRICE).select(
+        F.col("id").alias("band"),
+        (F.col("id") * BAND_WIDTH).alias("lo"),
+        ((F.col("id") + 1) * BAND_WIDTH).alias("hi"),
+    )
+    return (
+        part.join(
+            F.broadcast(bands),
+            (part["p_retailprice"] >= bands["lo"]) & (part["p_retailprice"] < bands["hi"]),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+        )
+    )
+
+
+ORACLE_RANGE_JOIN = f"""
+SELECT band, count(*) AS n_parts, round(avg(p_retailprice), 2) AS avg_price
+FROM part
+JOIN (SELECT i AS band, i * {BAND_WIDTH} AS lo, (i + 1) * {BAND_WIDTH} AS hi
+      FROM range(0, {N_BANDS_PRICE}) t(i)) b
+  ON p_retailprice >= lo AND p_retailprice < hi
+GROUP BY band
+"""
+
+
+# -- KMV sketch: deterministic distinct-count estimate --------------------------------
+#
+# HLL/approx_count_distinct is engine-specific; the K-minimum-values sketch
+# over md5 is *deterministic* (same hashes, same order statistics in any
+# engine), so the sketch itself is oracle-checkable.  Estimator:
+# (k-1) / fraction(kth smallest hash).  At scale: the k smallest of a
+# distinct-hash set is a tiny shuffle (top-k per partition, then merge).
+
+KMV_K = 256
+
+
+def sketch_kmv_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    hashes = (
+        li.select(F.md5(F.col("l_partkey").cast("string")).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(KMV_K)
+    )
+    # fraction of hash space below the kth value, from the first 15 hex chars
+    frac = F.conv(F.substring(F.max("h"), 1, 15), 16, 10).cast("double") / F.lit(
+        float(16**15)
+    )
+    exact = li.select(F.count_distinct("l_partkey").alias("exact_distinct"))
+    est = hashes.agg(
+        F.floor(F.lit(KMV_K - 1) / frac).cast("long").alias("kmv_estimate"),
+        F.count(F.lit(1)).alias("k_used"),
+    )
+    return est.crossJoin(exact)
+
+
+ORACLE_KMV = f"""
+WITH hashes AS (
+  SELECT DISTINCT md5(CAST(l_partkey AS VARCHAR)) AS h FROM lineitem
+  ORDER BY h LIMIT {KMV_K}
+),
+est AS (
+  SELECT CAST(floor(({KMV_K} - 1) /
+           (CAST(('0x' || substr(max(h), 1, 15)) AS UBIGINT) / {float(16**15)})) AS BIGINT)
+           AS kmv_estimate,
+         count(*) AS k_used
+  FROM hashes
+)
+SELECT kmv_estimate, k_used,
+       (SELECT count(DISTINCT l_partkey) FROM lineitem) AS exact_distinct
+FROM est
+"""
+
+
 # -- set operations ------------------------------------------------------------------
 
 
@@ -539,6 +630,8 @@ QUERIES = {
     "window_running_sum": window_running_sum,
     "rollup_revenue": rollup_revenue,
     "cube_quantity": cube_quantity,
+    "range_join_price_bands": range_join_price_bands,
+    "sketch_kmv_distinct_parts": sketch_kmv_distinct_parts,
     "setop_active_building_customers": setop_active_building_customers,
     "anti_customers_without_orders": anti_customers_without_orders,
     "semi_parts_shipped": semi_parts_shipped,
@@ -559,6 +652,8 @@ ORACLES = {
     "window_running_sum": ORACLE_RUNNING,
     "rollup_revenue": ORACLE_ROLLUP,
     "cube_quantity": ORACLE_CUBE,
+    "range_join_price_bands": ORACLE_RANGE_JOIN,
+    "sketch_kmv_distinct_parts": ORACLE_KMV,
     "setop_active_building_customers": ORACLE_SETOP,
     "anti_customers_without_orders": ORACLE_ANTI,
     "semi_parts_shipped": ORACLE_SEMI,
