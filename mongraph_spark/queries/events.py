@@ -152,6 +152,46 @@ SELECT hour, event_type AS top_type, n FROM (
 """
 
 
+# -- hypertable rollup: daily aggregates answered FROM the hourly rollup --------------
+#
+# The continuous-aggregate pattern: coarse windows are re-aggregations of the
+# fine rollup (sum of sums, sum of counts; avg recomputed from them), never
+# of the raw table.  At 100 TB the hourly table is a materialized store ~3-4
+# orders of magnitude smaller than raw events, and every coarser resolution
+# reads it instead.  The oracle computes daily straight from raw events, so
+# the check proves the rollup-of-rollup composition is lossless.
+
+
+def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Values aggregate as integer cents: integer sums are associative, so
+    "daily from hourly" equals "daily from raw" *bit-exactly* — which is the
+    invariant a continuous aggregate must guarantee (float partial sums only
+    match to rounding, and re-aggregation reorders the summation)."""
+    ev = read_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("sc"))
+    return (
+        hourly.groupBy(F.date_trunc("day", "hour").alias("day"), "event_type")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("sc").alias("sum_value_cents"),
+            F.floor(F.sum("sc") / F.sum("n")).cast("long").alias("avg_value_cents"),
+        )
+    )
+
+
+ORACLE_HYPERTABLE = """
+SELECT date_trunc('day', ts) AS day, event_type,
+       count(*) AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents,
+       CAST(floor(sum(CAST(round(value * 100) AS BIGINT)) / count(*)) AS BIGINT) AS avg_value_cents
+FROM events
+GROUP BY 1, 2
+"""
+
+
 # -- as-of join: attribute each purchase to the most recent preceding event ----------
 #
 # Spark has no native as-of join; the scalable realization is the tagged
@@ -230,6 +270,7 @@ QUERIES = {
     "events_json_props": events_json_props,
     "events_hourly_top_type": events_hourly_top_type,
     "events_asof_attribution": events_asof_attribution,
+    "events_hypertable_rollup": events_hypertable_rollup,
 }
 
 ORACLES = {
@@ -238,4 +279,5 @@ ORACLES = {
     "events_json_props": ORACLE_JSON,
     "events_hourly_top_type": ORACLE_HOURLY_TOP,
     "events_asof_attribution": ORACLE_ASOF,
+    "events_hypertable_rollup": ORACLE_HYPERTABLE,
 }
