@@ -35,3 +35,17 @@ def test_stateful_totals_equal_batch_groupby(spark):
         F.round(F.sum("value"), 2).alias("total_value"),
     )
     assert _sorted_rows(stream, "user_id") == _sorted_rows(batch, "user_id")
+
+
+def test_streaming_dedup_restores_exact_counts(spark):
+    """The doubled (at-least-once) stream deduped on event_id must equal the
+    batch per-type aggregate of the original events."""
+    from mongraph_spark.streaming.events import streaming_dedup_events
+
+    stream = streaming_dedup_events(spark, SF_DIR)
+    ev = read_table(spark, SF_DIR, "events")
+    batch = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    assert _sorted_rows(stream, "event_type") == _sorted_rows(batch, "event_type")
