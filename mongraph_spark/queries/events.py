@@ -116,7 +116,7 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_JSON = """
 SELECT event_type,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        count(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL THEN 1 END) AS n_with_k
 FROM events
 GROUP BY event_type
@@ -185,7 +185,7 @@ def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_HYPERTABLE = """
 SELECT date_trunc('day', ts) AS day, event_type,
        count(*) AS n_events,
-       sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
        CAST(floor(sum(CAST(round(value * 100) AS BIGINT)) / count(*)) AS BIGINT) AS avg_value_cents
 FROM events
 GROUP BY 1, 2

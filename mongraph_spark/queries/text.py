@@ -49,8 +49,8 @@ ORACLE_TOKEN_COUNTS = """
 SELECT doc_id,
        len(string_split_regex(lower(text), '\\s+')) AS n_tokens,
        length(text) AS n_chars_measured,
-       list_sum(list_transform(string_split_regex(lower(text), '\\s+'),
-                               w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS n_subwords
+       CAST(list_sum(list_transform(string_split_regex(lower(text), '\\s+'),
+                               w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_subwords
 FROM documents
 """
 

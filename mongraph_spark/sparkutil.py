@@ -44,6 +44,12 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str):
+    if name == "events":
+        # events.parquet is written as INT64 TIMESTAMP(NANOS), which Spark's
+        # reader rejects unless this (runtime-settable) SQLConf is on.  Set it
+        # here rather than at session build so the read works under ANY
+        # session — including the evaluation driver's vanilla one.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         df = normalize_event_ts(df)

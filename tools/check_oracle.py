@@ -2,7 +2,14 @@
 on Spark and its oracle_sql() on DuckDB at a given SF, compare row count +
 column names + order-insensitive values.
 
-Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
+Usage: python tools/check_oracle.py [--strict] [sf_dir] [query_name ...]
+
+``--strict`` reproduces the evaluation driver's conditions instead of our
+tuned harness: (a) a VANILLA SparkSession (no nanosAsLong, no UTC pin, no
+AQE tuning) so any query that silently depends on our session config fails
+here first, and (b) exact value stringification — ``str(v)`` with no %.6g
+float normalization — so an int-vs-float divergence (e.g. DuckDB HUGEINT →
+pandas float64) is a mismatch, exactly as the driver's value hash sees it.
 """
 
 from __future__ import annotations
@@ -24,7 +31,7 @@ TABLES = [
 ]
 
 
-def normalize(df, cols):
+def normalize(df, cols, strict: bool = False):
     rows = []
     for row in df[cols].itertuples(index=False):
         vals = []
@@ -32,6 +39,8 @@ def normalize(df, cols):
             if isinstance(v, float):
                 if math.isnan(v):
                     vals.append("NaN")
+                elif strict:
+                    vals.append(str(v))  # int-typed 24968 vs float 24968.0 differ
                 else:
                     vals.append(f"{v:.6g}")
             else:
@@ -41,9 +50,24 @@ def normalize(df, cols):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-    spark = get_spark("check_oracle")
+    argv = sys.argv[1:]
+    strict = "--strict" in argv
+    if strict:
+        argv = [a for a in argv if a != "--strict"]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    if strict:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .appName("check_oracle_strict")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("WARN")
+    else:
+        spark = get_spark("check_oracle")
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -84,7 +108,7 @@ def main() -> int:
             print(f"FAIL {name}: rows {len(sdf)} vs {len(ddf)}")
             failures.append(name)
             continue
-        srows, drows = normalize(sdf, scols), normalize(ddf, scols)
+        srows, drows = normalize(sdf, scols, strict), normalize(ddf, scols, strict)
         if srows != drows:
             diff = [i for i, (a, b) in enumerate(zip(srows, drows)) if a != b][:3]
             print(f"FAIL {name}: value mismatch at sorted rows {diff}")
@@ -94,7 +118,8 @@ def main() -> int:
             failures.append(name)
             continue
         print(f"OK   {name} ({len(sdf)} rows)")
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} passed")
+    n_ran = len([n for n in qs if not only or n in only])
+    print(f"\n{n_ran - len(failures)}/{n_ran} passed")
     return 1 if failures else 0
 
 
