@@ -183,7 +183,15 @@ def _match_field(value: Any, spec: Any) -> bool:
                     return False
             elif op == "$mod":
                 divisor, remainder = v
-                if value is None or value % divisor != remainder:
+                if value is None:
+                    return False
+                # truncated remainder (-7 mod 3 = -1), matching MongoDB/Java
+                # and the Spark `%` used by mongo_to_column — NOT Python's
+                # floored % (exact for ints; fmod would round big ints)
+                trunc_rem = abs(value) % abs(divisor)
+                if value < 0:
+                    trunc_rem = -trunc_rem
+                if trunc_rem != remainder:
                     return False
             elif op == "$elemMatch":
                 if not (

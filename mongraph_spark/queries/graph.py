@@ -168,6 +168,35 @@ FROM g_edges WHERE NOT (src = {CUST + 1} OR dst = {CUST + 1})"""
 )
 
 
+# -- G12-G15 DELETE write-back, fully distributed: the doomed set is planned
+#    by the same TraversalQuery used for remove_relationships (type + edge
+#    predicate, DELETE action), the surviving set is an anti-join, and the
+#    check reads per-type counts of what would be written back.
+
+
+def g12_delete_writeback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = tpch.bulk_engine(spark, sf_dir)
+    tq = TraversalQuery(
+        direction="outgoing",
+        types=["placed"],
+        where_relationship="r.priority! = '1-URGENT'",
+        action="DELETE",
+    )
+    survivors = tq.surviving_edges(eng.store.edges_df())
+    return (
+        survivors.groupBy("type")
+        .agg(F.count(F.lit(1)).alias("surviving_edges"))
+    )
+
+
+ORACLE_G12_DELETE = oracle_with(
+    """SELECT type, count(*) AS surviving_edges
+FROM g_edges
+WHERE NOT (type = 'placed' AND coalesce(priority = '1-URGENT', FALSE))
+GROUP BY type"""
+)
+
+
 # -- §2.4 populate: traversal + enrichment join with per-endpoint predicates
 #    (drop semantics: endpoint failing its predicate drops the edge row)
 
@@ -337,6 +366,7 @@ QUERIES = {
     "g1_rel_where": g1_rel_where,
     "g5_between": g5_between,
     "g11_remove_node_survivors": g11_remove_node_survivors,
+    "g12_delete_writeback": g12_delete_writeback,
     "populate_enrich": populate_enrich,
     "populate_semi_regex": populate_semi_regex,
     "m9_denormalize": m9_denormalize,
@@ -353,6 +383,7 @@ ORACLES = {
     "g1_rel_where": ORACLE_G1_WHERE,
     "g5_between": ORACLE_G5,
     "g11_remove_node_survivors": ORACLE_G11,
+    "g12_delete_writeback": ORACLE_G12_DELETE,
     "populate_enrich": ORACLE_POPULATE,
     "populate_semi_regex": ORACLE_POPULATE_SEMI,
     "m9_denormalize": ORACLE_M9,

@@ -59,32 +59,9 @@ ORACLE_DEGREE = tpch.oracle_with(
 )
 
 
-def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    eng = tpch.bulk_engine(spark, sf_dir)
-    e = eng.store.edges_df().select("src", "dst")
-    nodes = eng.store.nodes_df().select("node_id")
-    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
-    # normalize once outside the loop: each iteration is then ONE join + one
-    # aggregation instead of two joins (at scale: persist e_norm partitioned
-    # on src so every iteration's join reuses the same partitioning)
-    e_norm = e.join(out_deg, "src").persist()
-
-    ranks = nodes.select("node_id", F.lit(1.0).alias("rank"))
-    for _ in range(N_ITER):
-        contribs = (
-            ranks.join(e_norm, ranks["node_id"] == e_norm["src"], "inner")
-            .select(F.col("dst").alias("node_id"), (F.col("rank") / F.col("out_deg")).alias("c"))
-            .groupBy("node_id")
-            .agg(F.sum("c").alias("contrib"))
-        )
-        ranks = nodes.join(contribs, "node_id", "left").select(
-            "node_id",
-            (F.lit(1 - DAMPING) + F.lit(DAMPING) * F.coalesce("contrib", F.lit(0.0))).alias(
-                "rank"
-            ),
-        )
-    # report only the aggregate shape (top ranks are dominated by dims):
-    # per collection: node count, min/max/sum of rank in basis points
+def _pagerank_ranks_summary(ranks: DataFrame) -> DataFrame:
+    """Aggregate rank shape per collection (top ranks are dominated by dims):
+    node count, min/max/sum of rank in basis points."""
     coll = (F.col("node_id") / F.lit(10**12)).cast("long")
     return (
         ranks.withColumn("coll_code", coll)
@@ -96,6 +73,105 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.lit(10000) * F.sum("rank")).cast("long").alias("sum_rank_bp"),
         )
     )
+
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = tpch.bulk_engine(spark, sf_dir)
+    e = eng.store.edges_df().select("src", "dst")
+    nodes = eng.store.nodes_df().select("node_id")
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    # normalize once outside the loop: each iteration is then ONE join + one
+    # aggregation instead of two joins (at scale: persist e_norm partitioned
+    # on src so every iteration's join reuses the same partitioning)
+    e_norm = e.join(out_deg, "src").persist()
+    try:
+        ranks = nodes.select("node_id", F.lit(1.0).alias("rank"))
+        for _ in range(N_ITER):
+            contribs = (
+                ranks.join(e_norm, ranks["node_id"] == e_norm["src"], "inner")
+                .select(F.col("dst").alias("node_id"), (F.col("rank") / F.col("out_deg")).alias("c"))
+                .groupBy("node_id")
+                .agg(F.sum("c").alias("contrib"))
+            )
+            ranks = nodes.join(contribs, "node_id", "left").select(
+                "node_id",
+                (F.lit(1 - DAMPING) + F.lit(DAMPING) * F.coalesce("contrib", F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+        # materialize before unpersisting, or the cache would be gone by the
+        # time the caller's action re-runs the iterations
+        ranks = ranks.localCheckpoint(eager=True)
+    finally:
+        e_norm.unpersist()
+    return _pagerank_ranks_summary(ranks)
+
+
+def pagerank_until_convergence(
+    spark: SparkSession,
+    sf_dir: str,
+    tol_bp: float = 1.0,
+    max_iter: int = 50,
+):
+    """Production PageRank loop: iterate until max |Δrank| < tol_bp/10000,
+    cutting lineage with an eager ``localCheckpoint`` every iteration (the
+    delta test materializes each round anyway, so the checkpoint is ~free and
+    the final plan stays ONE iteration deep no matter how many rounds ran —
+    the 100×-scale posture for iterative ops; same pattern as paths.py BFS).
+
+    Returns ``(ranks DataFrame, iterations run)``.  The fixed-unroll
+    :func:`graph_pagerank` stays as the oracle-expressible variant.
+    """
+    eng = tpch.bulk_engine(spark, sf_dir)
+    e = eng.store.edges_df().select("src", "dst")
+    nodes = eng.store.nodes_df().select("node_id")
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    e_norm = e.join(out_deg, "src").persist()
+    tol = tol_bp / 10000.0
+    try:
+        ranks = nodes.select("node_id", F.lit(1.0).alias("rank")).localCheckpoint(eager=True)
+        iters = 0
+        for _ in range(max_iter):
+            contribs = (
+                ranks.join(e_norm, ranks["node_id"] == e_norm["src"], "inner")
+                .select(F.col("dst").alias("node_id"), (F.col("rank") / F.col("out_deg")).alias("c"))
+                .groupBy("node_id")
+                .agg(F.sum("c").alias("contrib"))
+            )
+            new_ranks = (
+                nodes.join(contribs, "node_id", "left")
+                .select(
+                    "node_id",
+                    (
+                        F.lit(1 - DAMPING)
+                        + F.lit(DAMPING) * F.coalesce("contrib", F.lit(0.0))
+                    ).alias("rank"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            iters += 1
+            delta = (
+                new_ranks.join(
+                    ranks.select("node_id", F.col("rank").alias("old_rank")), "node_id"
+                )
+                .agg(F.max(F.abs(F.col("rank") - F.col("old_rank"))).alias("d"))
+                .first()["d"]
+            )
+            ranks = new_ranks
+            if delta is not None and delta < tol:
+                break
+    finally:
+        e_norm.unpersist()
+    return ranks, iters
+
+
+def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """queries() wrapper: converged ranks, aggregate summary shape (rows-only
+    correctness check — the iteration count is data-dependent, so there is no
+    fixed-depth SQL oracle; the convergence semantics are pinned by
+    tests/test_graph_convergence.py instead)."""
+    ranks, _ = pagerank_until_convergence(spark, sf_dir)
+    return _pagerank_ranks_summary(ranks)
 
 
 def _pagerank_oracle() -> str:
@@ -173,6 +249,69 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 N_CC_ROUNDS = 4
+
+
+def connected_components_until_convergence(
+    spark: SparkSession, sf_dir: str, max_rounds: int = 50
+):
+    """Production CC loop: min-label propagation until a round changes ZERO
+    labels, with an eager ``localCheckpoint`` per round for bounded lineage
+    (the changed-count test materializes each round anyway).  Returns
+    ``(labels DataFrame, rounds run)`` where rounds includes the final
+    no-change round that proves the fixed point.
+    """
+    eng = tpch.bulk_engine(spark, sf_dir)
+    e = (
+        eng.store.edges_df()
+        .filter(F.col("type").isin("in_region", "located_in"))
+        .select("src", "dst")
+    )
+    adj = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    try:
+        nodes = adj.select(F.col("src").alias("node_id")).distinct()
+        labels = nodes.select("node_id", F.col("node_id").alias("label")).localCheckpoint(
+            eager=True
+        )
+        rounds = 0
+        for _ in range(max_rounds):
+            neighbor_min = (
+                labels.join(adj, labels["node_id"] == adj["src"])
+                .groupBy(F.col("dst").alias("node_id"))
+                .agg(F.min("label").alias("nbr_label"))
+            )
+            new_labels = (
+                labels.select("node_id", F.col("label").alias("old_label"))
+                .join(neighbor_min, "node_id", "left")
+                .select(
+                    "node_id",
+                    F.least(
+                        "old_label", F.coalesce("nbr_label", "old_label")
+                    ).alias("label"),
+                    "old_label",
+                )
+                .localCheckpoint(eager=True)
+            )
+            rounds += 1
+            n_changed = new_labels.filter(F.col("label") != F.col("old_label")).count()
+            labels = new_labels.select("node_id", "label")
+            if n_changed == 0:
+                break
+    finally:
+        adj.unpersist()
+    return labels, rounds
+
+
+def graph_cc_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """queries() wrapper for the convergence-stop CC (rows-only check; the
+    fixed-unroll :func:`graph_connected_components` carries the SQL oracle —
+    at the fixed point both must produce identical components, which
+    tests/test_graph_convergence.py asserts)."""
+    labels, _ = connected_components_until_convergence(spark, sf_dir)
+    return labels.groupBy(F.col("label").alias("component")).agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
 
 
 def _cc_oracle() -> str:
@@ -285,7 +424,9 @@ ORACLE_TWO_HOP = tpch.oracle_with(
 QUERIES = {
     "graph_degree_distribution": graph_degree_distribution,
     "graph_pagerank": graph_pagerank,
+    "graph_pagerank_converged": graph_pagerank_converged,
     "graph_connected_components": graph_connected_components,
+    "graph_cc_converged": graph_cc_converged,
     "graph_copurchase_pairs": graph_copurchase_pairs,
     "graph_two_hop_bucketed": graph_two_hop_bucketed,
 }
@@ -293,7 +434,13 @@ QUERIES = {
 ORACLES = {
     "graph_degree_distribution": ORACLE_DEGREE,
     "graph_pagerank": ORACLE_PAGERANK,
+    # graph_pagerank_converged: no SQL oracle on purpose — iteration depth is
+    # data-dependent (rows-only driver check; semantics pinned by
+    # tests/test_graph_convergence.py)
     "graph_connected_components": ORACLE_CC,
+    # the converged CC reaches the same fixed point the 4-round unroll proves,
+    # so it shares the full value-hash oracle
+    "graph_cc_converged": ORACLE_CC,
     "graph_copurchase_pairs": ORACLE_COPURCHASE,
     "graph_two_hop_bucketed": ORACLE_TWO_HOP,
 }

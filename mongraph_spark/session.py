@@ -211,6 +211,12 @@ class Mongraph:
         row = self.catalog.insert_edge(
             a.id, b.id, type_, attrs, _from=_from, _to=_to, _created_at=created
         )
+        if rel_opts.get("bidirectional"):
+            # reference src/mongraph.coffee:25: with relationships.bidirectional
+            # set, every created edge is mirrored in the reverse direction
+            self.catalog.insert_edge(
+                b.id, a.id, type_, attrs, _from=_to, _to=_from, _created_at=created
+            )
         rel = Relationship(
             row["rel_id"], a.id, b.id, type_, attrs, _from, _to, row["_created_at"]
         )

@@ -133,5 +133,17 @@ class TraversalQuery:
         return df
 
     def matching_rel_ids(self, store: GraphStore) -> list[int]:
-        """Collect matched edge ids — the write-back set for DELETE actions."""
+        """Collect matched edge ids — the write-back set for DELETE actions
+        (OLTP path: the MutableCatalog needs driver-side ids; the collect is
+        bounded by the per-document edge fan-out)."""
         return [r.rel_id for r in self.apply(store.edges_df()).select("rel_id").collect()]
+
+    def surviving_edges(self, edges: DataFrame) -> DataFrame:
+        """Distributed DELETE write-back (reference DELETE semantics,
+        src/extendDocument.coffee:303-349, at bulk scale): the surviving edge
+        set is the input anti-joined against the matched set — no ids ever
+        reach the driver, and writing this DataFrame back IS the delete.
+        Catalyst collapses the match-then-anti-join into a single negated
+        filter scan when the predicate is deterministic (no shuffle at all)."""
+        matched = self.apply(edges).select("rel_id")
+        return edges.join(matched, "rel_id", "left_anti")

@@ -14,6 +14,7 @@ DOCS = [
     {"_id": "b", "name": "bob", "age": 25, "city": "Boston"},
     {"_id": "c", "name": "Charles", "age": 35, "city": None},
     {"_id": "d", "name": "zoe", "age": None, "city": "Zurich"},
+    {"_id": "e", "name": "neg", "age": -7, "city": "Oslo"},
 ]
 
 CONDITIONS = [
@@ -33,6 +34,9 @@ CONDITIONS = [
     {"name": {"$ne": "bob"}},
     {"name": {"$not": {"$regex": "^[a-m]"}}},
     {"age": {"$mod": [5, 0]}},
+    # negative dividend: truncated remainder (-7 mod 3 = -1), both paths must agree
+    {"age": {"$mod": [3, -1]}},
+    {"age": {"$mod": [3, 2]}},
 ]
 
 ARRAY_DOCS = [

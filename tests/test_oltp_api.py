@@ -360,3 +360,36 @@ def test_cypher_to_dataframe(engine):
     )
     assert df.count() == 2
     assert set(r.type for r in df.collect()) == {"visits"}
+
+
+# -- relationships.bidirectional option (reference src/mongraph.coffee:25,
+# -- behavior mirrored from test/tests.coffee:419-430) --------------------------
+
+
+def test_bidirectional_edges(spark):
+    from mongraph_spark import Mongraph
+    from mongraph_spark.schema import CollectionSchema, FieldSpec
+
+    eng = Mongraph(spark, relationships={"bidirectional": True})
+    eng.register_collection(
+        CollectionSchema(name="people", fields={"name": FieldSpec(type=str, graph=True)})
+    )
+    a = eng.create_document("people", {"name": "a"}).save()
+    b = eng.create_document("people", {"name": "b"}).save()
+    a.create_relationship_to(b, "knows")
+    # one logical edge, stored as two directed rows
+    assert eng.count_edges() == 2
+    assert len(a.outgoing_relationships("knows")) == 1
+    assert len(a.incoming_relationships("knows")) == 1
+    assert len(b.outgoing_relationships("knows")) == 1
+    assert len(b.incoming_relationships("knows")) == 1
+    # default engine stays unidirectional
+    eng2 = Mongraph(spark)
+    eng2.register_collection(
+        CollectionSchema(name="people", fields={"name": FieldSpec(type=str, graph=True)})
+    )
+    c = eng2.create_document("people", {"name": "c"}).save()
+    d = eng2.create_document("people", {"name": "d"}).save()
+    c.create_relationship_to(d, "knows")
+    assert eng2.count_edges() == 1
+    assert len(c.incoming_relationships("knows")) == 0
