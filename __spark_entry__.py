@@ -25,6 +25,7 @@ from mongraph_spark.queries import similarity as similarity_queries  # noqa: E40
 from mongraph_spark.queries import events as events_queries  # noqa: E402
 from mongraph_spark.queries import graph_analytics as graph_analytics_queries  # noqa: E402
 from mongraph_spark.queries import multimodal as multimodal_queries  # noqa: E402
+from mongraph_spark.queries import pipeline as pipeline_queries  # noqa: E402
 from mongraph_spark.streaming import events as streaming_events  # noqa: E402
 
 _SUITES = [
@@ -36,6 +37,7 @@ _SUITES = [
     events_queries,
     graph_analytics_queries,
     multimodal_queries,
+    pipeline_queries,
     streaming_events,
 ]
 

@@ -1,0 +1,342 @@
+"""End-of-pipeline training-data operators: what a 100 TB corpus build does
+AFTER near-dup pair generation — cluster the pairs, pick one canonical
+document per cluster, deterministically sample/split what survives, and
+quantize embeddings for storage.
+
+These compose the dedup machinery (mongraph_spark.queries.dedup: LSH
+band-bucket candidate pairs) into the actual corpus-reduction steps:
+
+- clustering = fixed-K min-label propagation over the pair graph (dup
+  clusters are tiny — planted pairs here, shallow chains in real corpora —
+  so K rounds reach the fixed point; both engines run the SAME K rounds,
+  so the check is exact regardless of convergence).
+- canonical selection = one window row_number per cluster (keep the
+  longest member, tie-break lowest id) — a single shuffle keyed on the
+  cluster label.
+- sampling / splitting = pure column expressions on md5 prefixes: no rng
+  state, reproducible on any engine, any partitioning, any scale (the
+  property that matters for training-data lineage).
+- quantization = per-vector int8 with a per-vector scale, all arithmetic
+  forced to float64 so Spark and DuckDB agree bit-for-bit.
+
+Scale notes: no driver materialization anywhere; the only shuffles are the
+LSH band join (uniform md5 keys), K label-propagation aggregations (keyed
+on node id), and one window per cluster.  Sampling/splitting/quantization
+are map-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mongraph_spark.queries.dedup import (
+    _lsh_candidate_pairs,
+    _oracle_cands_sql,
+    _oracle_corpus_droplast,
+    _oracle_minhash_sig_sql,
+    _ORACLE_SHINGLES,
+    _shingled_corpus,
+    dup_corpus,
+)
+from mongraph_spark.sparkutil import read_table
+
+N_CLUSTER_ROUNDS = 4  # planted dup clusters have diameter 1; 4 covers chains
+
+
+# -- cluster the near-dup pairs, then report the cluster-size histogram ---------
+
+
+def _cluster_labels(shingled: DataFrame) -> DataFrame:
+    """Min-label propagation over the LSH pair graph: every corpus doc gets
+    ``cluster_id`` = min doc_id reachable within N_CLUSTER_ROUNDS hops
+    (singletons keep their own id).  Same join shape as
+    graph_analytics.graph_connected_components — one shuffle per round."""
+    pairs = _lsh_candidate_pairs(shingled)
+    adj = pairs.unionByName(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    labels = shingled.select("doc_id", F.col("doc_id").alias("label"))
+    for _ in range(N_CLUSTER_ROUNDS):
+        neighbor_min = (
+            labels.join(adj, labels["doc_id"] == adj["id_a"])
+            .groupBy(F.col("id_b").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = labels.join(neighbor_min, "doc_id", "left").select(
+            "doc_id",
+            F.least("label", F.coalesce("nbr_label", "label")).alias("label"),
+        )
+    return labels
+
+
+def _oracle_cluster_ctes() -> str:
+    """corpus → shingles → minhash sig → banded → cands → K propagation
+    rounds, mirroring _cluster_labels on the same generated CTE chain the
+    dedup oracles use."""
+    body = f"""adj AS (
+  SELECT id_a, id_b FROM cands UNION ALL SELECT id_b AS id_a, id_a AS id_b FROM cands
+),
+l0 AS (SELECT doc_id, doc_id AS label FROM shingled)"""
+    prev = "l0"
+    for k in range(1, N_CLUSTER_ROUNDS + 1):
+        body += f""",
+nm{k} AS (
+  SELECT a.id_b AS doc_id, min(l.label) AS nbr_label
+  FROM {prev} l JOIN adj a ON l.doc_id = a.id_a
+  GROUP BY a.id_b
+),
+l{k} AS (
+  SELECT l.doc_id, least(l.label, coalesce(n.nbr_label, l.label)) AS label
+  FROM {prev} l LEFT JOIN nm{k} n ON l.doc_id = n.doc_id
+)"""
+        prev = f"l{k}"
+    return body, prev
+
+
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram of the deduplicated corpus: how many clusters
+    have 1, 2, 3… members.  The corpus-reduction headline number (docs in −
+    clusters out) is sum(cluster_size·n) − sum(n)."""
+    shingled = _shingled_corpus(spark, sf_dir, drop_last=1).persist()
+    try:
+        labels = _cluster_labels(shingled)
+        sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+        return sizes.groupBy("cluster_size").agg(
+            F.count(F.lit(1)).alias("n_clusters")
+        )
+    finally:
+        shingled.unpersist()
+
+
+def _oracle_cluster_stats() -> str:
+    ctes, final = _oracle_cluster_ctes()
+    return f"""
+WITH {_oracle_corpus_droplast(1)},
+{_ORACLE_SHINGLES},
+{_oracle_minhash_sig_sql()},
+{_oracle_cands_sql()},
+{ctes}
+SELECT cluster_size, count(*) AS n_clusters FROM (
+  SELECT label, count(*) AS cluster_size FROM {final} GROUP BY label
+) GROUP BY cluster_size
+"""
+
+
+ORACLE_CLUSTER_STATS = _oracle_cluster_stats()
+
+
+# -- canonical selection: keep the best member of every cluster ------------------
+
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual dedup write-back: one surviving row per cluster — the
+    member with the most tokens (most informative), ties to the lowest
+    doc_id.  One window over the cluster label; at 100 TB this is a single
+    shuffle keyed on cluster_id with bounded per-key fan-out (cluster sizes
+    are small by construction — near-dup groups, not topical groups)."""
+    shingled = _shingled_corpus(spark, sf_dir, drop_last=1).persist()
+    try:
+        labels = _cluster_labels(shingled)
+        corpus = dup_corpus(spark, sf_dir, drop_last=1).select(
+            "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+        )
+        member = labels.join(corpus, "doc_id")
+        w = Window.partitionBy("label").orderBy(F.desc("n_tokens"), F.asc("doc_id"))
+        return (
+            member.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select(
+                "doc_id", F.col("label").alias("cluster_id"), "n_tokens"
+            )
+        )
+    finally:
+        shingled.unpersist()
+
+
+def _oracle_keep_best() -> str:
+    ctes, final = _oracle_cluster_ctes()
+    return f"""
+WITH {_oracle_corpus_droplast(1)},
+{_ORACLE_SHINGLES},
+{_oracle_minhash_sig_sql()},
+{_oracle_cands_sql()},
+{ctes}
+SELECT doc_id, label AS cluster_id, n_tokens FROM (
+  SELECT l.doc_id, l.label,
+         len(string_split(c.text, ' ')) AS n_tokens,
+         row_number() OVER (PARTITION BY l.label
+                            ORDER BY len(string_split(c.text, ' ')) DESC, l.doc_id ASC) AS rk
+  FROM {final} l JOIN corpus c ON l.doc_id = c.doc_id
+) WHERE rk = 1
+"""
+
+
+ORACLE_KEEP_BEST = _oracle_keep_best()
+
+
+# -- deterministic stratified sampling ------------------------------------------
+
+# per-language keep rates in basis points: downsample the dominant language,
+# keep more of the rarer ones (the standard corpus-balancing move)
+STRATA_RATES_BP = {"en": 4000, "zh": 8000, "es": 8000, "de": 8000, "fr": 8000}
+DEFAULT_RATE_BP = 2500
+HASH_SPACE = 1 << 32  # md5 first 8 hex chars
+
+
+def _doc_hash() -> F.Column:
+    """Uniform deterministic hash in [0, 2^32): first 8 hex chars of
+    md5(doc_id).  No RNG, no partitioning dependence — the sample is a pure
+    function of the row, reproducible across engines and re-runs (what
+    training-data lineage requires; Bernoulli via rand(seed) is NOT stable
+    under repartitioning)."""
+    return F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-Bernoulli sample with per-language rates; reports per-language
+    totals vs sampled counts (the operator itself is the ``kept`` filter —
+    map-only, no shuffle until the audit aggregation)."""
+    docs = read_table(spark, sf_dir, "documents")
+    rate = F.lit(DEFAULT_RATE_BP)
+    for lang, bp in STRATA_RATES_BP.items():
+        rate = F.when(F.col("lang") == lang, F.lit(bp)).otherwise(rate)
+    # integer compare: keep  ⇔  h * 10000 < rate_bp * 2^32  (no float rounding)
+    kept = (_doc_hash() * 10000) < (rate.cast("long") * HASH_SPACE)
+    return (
+        docs.withColumn("kept", kept.cast("int"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("kept").cast("long").alias("n_sampled"),
+        )
+    )
+
+
+def _rate_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN lang = '{lang}' THEN {bp}" for lang, bp in STRATA_RATES_BP.items()
+    )
+    return f"CASE {whens} ELSE {DEFAULT_RATE_BP} END"
+
+
+ORACLE_SAMPLE_STRATIFIED = f"""
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT * 10000
+                          < ({_rate_case_sql()})::BIGINT * {HASH_SPACE}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+FROM documents
+GROUP BY lang
+"""
+
+
+# -- deterministic train/val/test split -----------------------------------------
+
+TRAIN_PCT, VAL_PCT = 80, 10  # test = remainder
+
+
+def train_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every document to train/val/test by md5 bucket (80/10/10).
+    Split membership is a pure function of doc_id — stable across runs,
+    engines, and repartitioning, and disjointness is structural (one bucket,
+    one range).  Reports per-(lang, split) counts + char volume."""
+    docs = read_table(spark, sf_dir, "documents")
+    bucket = _doc_hash() % 100
+    split = (
+        F.when(bucket < TRAIN_PCT, F.lit("train"))
+        .when(bucket < TRAIN_PCT + VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.withColumn("split", split)
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+ORACLE_TRAIN_SPLIT = f"""
+SELECT lang,
+       CASE WHEN b < {TRAIN_PCT} THEN 'train'
+            WHEN b < {TRAIN_PCT + VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM (
+  SELECT lang, n_chars,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+  FROM documents
+)
+GROUP BY 1, 2
+"""
+
+
+# -- int8 embedding quantization -------------------------------------------------
+
+
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization (q_i = floor(127·x_i/scale),
+    scale = max|x|): the standard storage/ANN compression step.  All
+    arithmetic is forced to float64 — float32 inputs convert exactly, and
+    IEEE double ops are engine-deterministic, so the checksums hash-match.
+    Map-only: zero shuffles at any scale."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(as_double, F.abs))
+    q = F.transform(
+        as_double, lambda x: F.floor(F.lit(127.0) * x / F.col("scale")).cast("long")
+    )
+    return (
+        emb.withColumn("scale", scale)
+        .filter(F.col("scale") > 0)  # zero vectors are unquantizable; drop
+        .withColumn("q", q)
+        .select(
+            "vec_id",
+            "label",
+            F.floor(F.lit(10000) * F.col("scale")).cast("long").alias("scale_bp"),
+            F.aggregate(
+                "q", F.lit(0).cast("long"), lambda acc, x: acc + x
+            ).alias("q_sum"),
+            F.array_min("q").cast("long").alias("q_min"),
+            F.array_max("q").cast("long").alias("q_max"),
+        )
+    )
+
+
+ORACLE_QUANTIZE = """
+SELECT vec_id, label,
+       CAST(floor(10000 * scale) AS BIGINT) AS scale_bp,
+       CAST(list_sum(q) AS BIGINT) AS q_sum,
+       CAST(list_min(q) AS BIGINT) AS q_min,
+       CAST(list_max(q) AS BIGINT) AS q_max
+FROM (
+  SELECT vec_id, label, scale,
+         list_transform(embedding, x -> CAST(floor(127.0 * CAST(x AS DOUBLE) / scale) AS BIGINT)) AS q
+  FROM (
+    SELECT vec_id, label, embedding,
+           list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+    FROM embeddings
+  ) WHERE scale > 0
+)
+"""
+
+
+QUERIES = {
+    "dedup_cluster_stats": dedup_cluster_stats,
+    "dedup_keep_best": dedup_keep_best,
+    "sample_stratified": sample_stratified,
+    "train_split_assign": train_split_assign,
+    "embedding_quantize_int8": embedding_quantize_int8,
+}
+
+ORACLES = {
+    "dedup_cluster_stats": ORACLE_CLUSTER_STATS,
+    "dedup_keep_best": ORACLE_KEEP_BEST,
+    "sample_stratified": ORACLE_SAMPLE_STRATIFIED,
+    "train_split_assign": ORACLE_TRAIN_SPLIT,
+    "embedding_quantize_int8": ORACLE_QUANTIZE,
+}
