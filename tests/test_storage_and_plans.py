@@ -143,3 +143,67 @@ def test_read_documents_csv_derives_id(spark, tmp_path):
     # deterministic: same content -> same _id
     df2 = read_documents(spark, str(src), fmt="csv")
     assert {r._id for r in df2.collect()} == {r._id for r in df.collect()}
+
+
+# -- pipeline ops: column pruning + shuffle budget --------------------------------
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_sampling_and_split_prune_scan_columns(spark):
+    """The deterministic sample/split operators must not widen the documents
+    scan: text (the fat column) stays unread, and the only shuffle is the
+    final audit aggregation."""
+    from mongraph_spark.queries.pipeline import sample_stratified, train_split_assign
+
+    sf = "/root/testdata/sf0.001"
+    p = _executed_plan(sample_stratified(spark, sf))
+    assert "doc_id:bigint,lang:string" in p and "text" not in p.split("ReadSchema:")[1].split("\n")[0]
+    assert p.count("Exchange") <= 2  # partial agg -> one shuffle (AQE may add a coalesce read)
+
+    p = _executed_plan(train_split_assign(spark, sf))
+    first_read = p.split("ReadSchema:")[1].split("\n")[0]
+    assert "text" not in first_read and "source" not in first_read
+    assert p.count("Exchange") <= 2
+
+
+def test_quantization_is_map_only(spark):
+    """int8 quantization must be a pure scan->project pipeline: zero
+    exchanges at any scale."""
+    from mongraph_spark.queries.pipeline import embedding_quantize_int8
+
+    p = _executed_plan(embedding_quantize_int8(spark, "/root/testdata/sf0.001"))
+    assert p.count("Exchange") == 0
+
+
+def test_corpus_export_partitioned_sink(spark, tmp_path):
+    """write_corpus lays out split/lang directories, bounds files, and a
+    split-filtered read prunes partitions (PartitionFilters in the scan)."""
+    import os
+
+    from mongraph_spark.queries.pipeline import TRAIN_PCT, VAL_PCT, _doc_hash
+    from mongraph_spark.sources.export import read_corpus, write_corpus
+    from mongraph_spark.sparkutil import read_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = read_table(spark, sf, "documents")
+    bucket = _doc_hash() % 100
+    split = (
+        F.when(bucket < TRAIN_PCT, F.lit("train"))
+        .when(bucket < TRAIN_PCT + VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    labeled = docs.withColumn("split", split)
+    root = str(tmp_path / "corpus")
+    write_corpus(labeled, root)
+
+    assert any(d.startswith("split=") for d in os.listdir(root))
+    back = read_corpus(spark, root)
+    assert back.count() == docs.count()
+    # pruned read: the split filter becomes a partition filter, not a row filter
+    train = back.filter(F.col("split") == "train")
+    plan = train._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "split" in plan.split("PartitionFilters")[1][:200]
+    assert train.count() == labeled.filter(F.col("split") == "train").count()
