@@ -170,16 +170,8 @@ def _shingled_corpus(spark: SparkSession, sf_dir: str, drop_last: int) -> DataFr
     )
 
 
-def _lsh_candidate_pairs(shingled: DataFrame) -> DataFrame:
-    """Candidate pair ⇔ identical minhash signature in ANY band.
-
-    One self-join on (band_index, band_key) over the *exploded* band table —
-    signatures are computed once and persisted (they're k minhashes per doc,
-    tiny), never recomputed per band.  At scale this is the only shuffle:
-    keyed on band hashes, which are uniform by construction (no skew).
-
-    The shingled input sits behind a persist barrier so the corpus
-    normalization + shingling isn't recomputed per consumer."""
+def _banded_sigs(shingled: DataFrame) -> DataFrame:
+    """doc_id + one md5 band key per LSH band (k minhashes folded per band)."""
     sig = shingled.select("doc_id", *_minhash_sig("shingles"))
     rows_per_band = N_HASHES // N_BANDS
     band_cols = [
@@ -190,7 +182,11 @@ def _lsh_candidate_pairs(shingled: DataFrame) -> DataFrame:
         ).alias(f"band{b}")
         for b in range(N_BANDS)
     ]
-    banded = sig.select("doc_id", *band_cols).persist()
+    return sig.select("doc_id", *band_cols)
+
+
+def _pairs_from_banded(banded: DataFrame) -> DataFrame:
+    """Self-join the (already materialized) band table on (band_index, key)."""
     bands_long = banded.select(
         "doc_id",
         F.posexplode(F.array(*[F.col(f"band{b}") for b in range(N_BANDS)])).alias(
@@ -205,6 +201,18 @@ def _lsh_candidate_pairs(shingled: DataFrame) -> DataFrame:
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+def _lsh_candidate_pairs(shingled: DataFrame) -> DataFrame:
+    """Candidate pair ⇔ identical minhash signature in ANY band.
+
+    Signatures are computed once and persisted (k minhashes per doc, tiny),
+    never recomputed per band.  At scale the band self-join is the only
+    shuffle: keyed on uniform md5 band hashes (no skew).  Iterative callers
+    that consume the pair graph more than once should instead materialize
+    ``_pairs_from_banded(_banded_sigs(...))`` behind a checkpoint (see
+    pipeline._cluster_labels) so the join isn't replayed per iteration."""
+    return _pairs_from_banded(_banded_sigs(shingled).persist())
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

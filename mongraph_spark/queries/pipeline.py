@@ -31,8 +31,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mongraph_spark.queries.dedup import (
-    _lsh_candidate_pairs,
+    _banded_sigs,
     _oracle_cands_sql,
+    _pairs_from_banded,
     _oracle_corpus_droplast,
     _oracle_minhash_sig_sql,
     _ORACLE_SHINGLES,
@@ -51,11 +52,22 @@ def _cluster_labels(shingled: DataFrame) -> DataFrame:
     """Min-label propagation over the LSH pair graph: every corpus doc gets
     ``cluster_id`` = min doc_id reachable within N_CLUSTER_ROUNDS hops
     (singletons keep their own id).  Same join shape as
-    graph_analytics.graph_connected_components — one shuffle per round."""
-    pairs = _lsh_candidate_pairs(shingled)
-    adj = pairs.unionByName(
-        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
-    )
+    graph_analytics.graph_connected_components — one shuffle per round.
+
+    The pair graph is materialized ONCE behind an eager ``localCheckpoint``
+    before the loop: without it each propagation round replays the whole
+    minhash + band self-join lineage (measured 16.7 s → ~4 s at sf0.1), and
+    at 100 TB it would replay the corpus's dominant shuffle K times.  The
+    band cache backing the pair join is released as soon as the checkpoint
+    is cut."""
+    banded = _banded_sigs(shingled).persist()
+    try:
+        pairs = _pairs_from_banded(banded)
+        adj = pairs.unionByName(
+            pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+        ).localCheckpoint(eager=True)
+    finally:
+        banded.unpersist()
     labels = shingled.select("doc_id", F.col("doc_id").alias("label"))
     for _ in range(N_CLUSTER_ROUNDS):
         neighbor_min = (
