@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from mongraph_spark.queries import collect_suites  # noqa: E402
 from mongraph_spark.queries import graph as graph_queries  # noqa: E402
 from mongraph_spark.queries import relational as relational_queries  # noqa: E402
+from mongraph_spark.queries import tpch_full as tpch_full_queries  # noqa: E402
 from mongraph_spark.queries import text as text_queries  # noqa: E402
 from mongraph_spark.queries import dedup as dedup_queries  # noqa: E402
 from mongraph_spark.queries import similarity as similarity_queries  # noqa: E402
@@ -31,6 +32,7 @@ from mongraph_spark.streaming import events as streaming_events  # noqa: E402
 _SUITES = [
     graph_queries,
     relational_queries,
+    tpch_full_queries,
     text_queries,
     dedup_queries,
     similarity_queries,
