@@ -27,6 +27,7 @@ from mongraph_spark.queries import events as events_queries  # noqa: E402
 from mongraph_spark.queries import graph_analytics as graph_analytics_queries  # noqa: E402
 from mongraph_spark.queries import multimodal as multimodal_queries  # noqa: E402
 from mongraph_spark.queries import pipeline as pipeline_queries  # noqa: E402
+from mongraph_spark.queries import corpus as corpus_queries  # noqa: E402
 from mongraph_spark.streaming import events as streaming_events  # noqa: E402
 
 _SUITES = [
@@ -40,6 +41,7 @@ _SUITES = [
     graph_analytics_queries,
     multimodal_queries,
     pipeline_queries,
+    corpus_queries,
     streaming_events,
 ]
 

@@ -1,0 +1,236 @@
+"""Corpus-hygiene operators for training-data builds: test-set
+decontamination, repetition filtering, and source-mixture rebalancing.
+
+These complete the pipeline story (dedup -> quality -> decontaminate ->
+rebalance -> split -> export) with the three checks every large-scale
+pretraining pipeline runs:
+
+- **decontaminate_splits** — the n-gram-overlap decontamination used for
+  held-out/eval hygiene: a test document is contaminated if it shares ANY
+  word shingle with any train document.  Distributed shape: explode
+  distinct shingles per doc, ONE shuffle keyed on the shingle, a semi-join
+  of test shingles against the distinct train-shingle set, then per-doc /
+  per-lang rollups.  Shingle keys are near-uniform text n-grams; at 100 TB
+  you'd hash them to 64-bit first (smaller shuffle rows) and bloom-filter
+  the probe side — both noted inline, neither changes the semantics.
+- **repetition_filter** — Gopher-style intra-document repetition metrics:
+  top-2-gram frequency fraction and distinct-token ratio, flagging docs
+  that are mostly repeated content.  The gram count is a combiner-friendly
+  (doc, gram) aggregation (partial aggs absorb the skew of repetitive
+  docs), followed by a per-doc max — no windows over the exploded table.
+- **source_mixture_weights** — per-source token counts and the resampling
+  weight that would equalize the token mixture across sources (weight =
+  uniform-share / actual-share).  One aggregation + a broadcast 1-row
+  total: the scalar-subquery plan at any scale.
+
+All three are pure built-in-function column pipelines (no Python UDFs) and
+all three carry exact DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mongraph_spark.queries.dedup import _shingles
+from mongraph_spark.queries.pipeline import TRAIN_PCT, VAL_PCT, _doc_hash
+from mongraph_spark.sparkutil import read_table, scale_out
+
+TEST_LO = TRAIN_PCT + VAL_PCT  # md5 bucket >= 90 -> test split
+
+
+def _labeled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = scale_out(read_table(spark, sf_dir, "documents"))
+    return docs.withColumn("bucket", _doc_hash() % 100)
+
+
+def decontaminate_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language contamination report: of the test-split documents, how
+    many share at least one 5-word shingle with any train-split document.
+    (Production decontamination uses 13-grams; the synthetic docs are short,
+    so the shingle width is 5 — the plan is identical.)"""
+    labeled = _labeled_docs(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    sh = labeled.select(
+        "doc_id", "bucket", F.explode(_shingles(words, n=5)).alias("shingle")
+    )
+    # at 100 TB: .select(F.xxhash64("shingle")) here to shrink shuffle rows,
+    # and let AQE build a bloom filter from the train side
+    train_sh = sh.filter(F.col("bucket") < TRAIN_PCT).select("shingle").distinct()
+    hits = (
+        sh.filter(F.col("bucket") >= TEST_LO)
+        .join(train_sh, "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("contaminated", F.lit(1))
+    )
+    return (
+        labeled.filter(F.col("bucket") >= TEST_LO)
+        .join(hits, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_test_docs"),
+            F.sum(F.coalesce("contaminated", F.lit(0))).cast("long").alias(
+                "n_contaminated"
+            ),
+        )
+    )
+
+
+ORACLE_DECONTAMINATE = f"""
+WITH labeled AS (
+  SELECT doc_id, lang, text,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+  FROM documents
+), sh AS (
+  SELECT doc_id, b,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(words) - 5, 0) + 2),
+           i -> array_to_string(words[i:i+4], ' ')
+         ))) AS shingle
+  FROM (SELECT doc_id, b, string_split(text, ' ') AS words FROM labeled)
+), train_sh AS (
+  SELECT DISTINCT shingle FROM sh WHERE b < {TRAIN_PCT}
+), hits AS (
+  SELECT DISTINCT s.doc_id FROM sh s JOIN train_sh t USING (shingle)
+  WHERE s.b >= {TEST_LO}
+)
+SELECT lang, count(*) AS n_test_docs,
+       CAST(sum(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated
+FROM labeled l LEFT JOIN hits h ON l.doc_id = h.doc_id
+WHERE l.b >= {TEST_LO}
+GROUP BY lang
+"""
+
+
+# -- Gopher-style repetition metrics ---------------------------------------------
+
+TOP_GRAM_FRAC_MAX = 0.1  # flag if one 2-gram is >10% of all 2-grams
+DISTINCT_RATIO_MIN = 0.5  # flag if <50% of tokens are distinct
+
+
+def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language repetition report: docs whose top 2-gram fraction or
+    distinct-token ratio crosses the Gopher-style thresholds."""
+    docs = _labeled_docs(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        words.alias("words"),
+        F.size(words).alias("n_tokens"),
+        F.size(F.array_distinct(words)).alias("n_distinct"),
+    )
+    # 2-grams as zip(words[:-1], words[1:]) — structurally empty for 1-token
+    # docs, no index arithmetic to guard
+    two_grams = F.zip_with(
+        F.slice(F.col("words"), 1, F.col("n_tokens") - 1),
+        F.slice(F.col("words"), 2, F.col("n_tokens") - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    grams = base.select("doc_id", F.explode(two_grams).alias("gram"))
+    per_doc = (
+        grams.groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("top_cnt"), F.sum("cnt").alias("n_grams"))
+    )
+    flagged = (
+        F.col("top_cnt") / F.col("n_grams") > TOP_GRAM_FRAC_MAX
+    ) | (F.col("n_distinct") / F.col("n_tokens") < DISTINCT_RATIO_MIN)
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(flagged, 1).otherwise(0)).cast("long").alias("n_flagged"),
+            F.round(F.avg(F.col("n_distinct") / F.col("n_tokens")), 3).alias(
+                "avg_distinct_ratio"
+            ),
+        )
+    )
+
+
+ORACLE_REPETITION = f"""
+WITH base AS (
+  SELECT doc_id, lang, words, len(words) AS n_tokens,
+         len(list_distinct(words)) AS n_distinct
+  FROM (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents)
+), grams AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, greatest(len(words), 1)),
+           i -> array_to_string(words[i:i+1], ' ')
+         )) AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+), per_doc AS (
+  SELECT doc_id, max(cnt) AS top_cnt, CAST(sum(cnt) AS BIGINT) AS n_grams
+  FROM (SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY 1, 2)
+  GROUP BY 1
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(CASE WHEN (CAST(top_cnt AS DOUBLE) / n_grams > {TOP_GRAM_FRAC_MAX})
+                       OR (CAST(n_distinct AS DOUBLE) / n_tokens < {DISTINCT_RATIO_MIN})
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       round(avg(CAST(n_distinct AS DOUBLE) / n_tokens), 3) AS avg_distinct_ratio
+FROM base LEFT JOIN per_doc USING (doc_id)
+GROUP BY lang
+"""
+
+
+# -- source mixture rebalancing ---------------------------------------------------
+
+
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token counts + the resampling weight that would equalize
+    the token mixture across sources: weight = (total/n_sources)/n_tokens."""
+    docs = read_table(spark, sf_dir, "documents")
+    stats = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("n_tokens"),
+    )
+    totals = stats.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    return stats.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("total_tokens")
+            / F.col("n_sources")
+            / F.col("n_tokens"),
+            4,
+        ).alias("weight"),
+    )
+
+
+ORACLE_MIXTURE = """
+WITH stats AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents
+  GROUP BY source
+), totals AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens, count(*) AS n_sources
+  FROM stats
+)
+SELECT source, n_docs, n_tokens,
+       round(CAST(total_tokens AS DOUBLE) / n_sources / n_tokens, 4) AS weight
+FROM stats, totals
+"""
+
+
+QUERIES = {
+    "corpus_decontaminate": decontaminate_splits,
+    "corpus_repetition_filter": repetition_filter,
+    "corpus_mixture_weights": source_mixture_weights,
+}
+
+ORACLES = {
+    "corpus_decontaminate": ORACLE_DECONTAMINATE,
+    "corpus_repetition_filter": ORACLE_REPETITION,
+    "corpus_mixture_weights": ORACLE_MIXTURE,
+}
