@@ -430,6 +430,101 @@ ORACLE_TWO_HOP = tpch.oracle_with(
 )
 
 
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the co-purchase
+    graph, by degree-ordered orientation (the MapReduce-era standard for
+    triangle counting at scale): orient every undirected edge from the
+    (degree, id)-smaller endpoint to the larger, enumerate wedges only at
+    each node's out-neighbors, and close them against the undirected edge
+    set.  Orientation bounds every out-degree by O(sqrt(2m)) regardless of
+    how skewed the raw degree distribution is — the wedge self-join can't
+    quadratically explode on a hot node, which is exactly what kills the
+    naive neighbor self-join at 100 TB.
+
+    The DuckDB oracle uses the a<b<c ordered 3-way join instead (same
+    count, simpler SQL); both count each triangle exactly once.
+    """
+    edges = graph_copurchase_pairs(spark, sf_dir).select("part_a", "part_b")
+    deg = (
+        edges.select(F.col("part_a").alias("node"))
+        .unionAll(edges.select(F.col("part_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orientation: u -> v  iff  (deg(u), u) < (deg(v), v); deg is small
+    # (one row per part) -> broadcast both endpoint lookups
+    da = deg.select(F.col("node").alias("part_a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("part_b"), F.col("deg").alias("deg_b"))
+    with_deg = edges.join(F.broadcast(da), "part_a").join(F.broadcast(db), "part_b")
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("part_a") < F.col("part_b"))
+    )
+    oriented = with_deg.select(
+        F.when(a_first, F.col("part_a")).otherwise(F.col("part_b")).alias("src"),
+        F.when(a_first, F.col("part_b")).otherwise(F.col("part_a")).alias("dst"),
+    )
+    o1 = oriented.select("src", F.col("dst").alias("v"))
+    o2 = oriented.select("src", F.col("dst").alias("w"))
+    wedges = (
+        o1.join(o2, "src")
+        .filter(F.col("v") < F.col("w"))
+        .select(F.col("v").alias("part_a"), F.col("w").alias("part_b"))
+    )
+    # three 1-row aggregates cross-joined back together: the whole thing is
+    # ONE lazy plan (no driver actions); the repeated pair-graph subtrees
+    # dedup via ReusedExchange
+    tri = wedges.join(edges, ["part_a", "part_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    ne = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    nw = deg.agg(
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("long").alias("n_wedges")
+    )
+    return (
+        ne.crossJoin(F.broadcast(tri))
+        .crossJoin(F.broadcast(nw))
+        .select(
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 4).alias(
+                "clustering_coeff"
+            ),
+        )
+    )
+
+
+ORACLE_TRIANGLES = tpch.oracle_with(
+    """SELECT CAST((SELECT count(*) FROM cop) AS BIGINT) AS n_edges,
+       CAST((SELECT count(*)
+             FROM cop e1 JOIN cop e2 ON e2.part_a = e1.part_b
+             JOIN cop e3 ON e3.part_a = e1.part_a AND e3.part_b = e2.part_b)
+            AS BIGINT) AS n_triangles,
+       CAST((SELECT sum(deg * (deg - 1) // 2)
+             FROM (SELECT node, count(*) AS deg FROM
+                   (SELECT part_a AS node FROM cop
+                    UNION ALL SELECT part_b FROM cop) GROUP BY 1))
+            AS BIGINT) AS n_wedges,
+       round(3.0 * (SELECT count(*)
+             FROM cop e1 JOIN cop e2 ON e2.part_a = e1.part_b
+             JOIN cop e3 ON e3.part_a = e1.part_a AND e3.part_b = e2.part_b)
+             / (SELECT sum(deg * (deg - 1) // 2)
+                FROM (SELECT node, count(*) AS deg FROM
+                      (SELECT part_a AS node FROM cop
+                       UNION ALL SELECT part_b FROM cop) GROUP BY 1)),
+             4) AS clustering_coeff""",
+    extra_ctes="""cop AS (
+  SELECT part_a, part_b FROM (
+    SELECT a.part_id AS part_a, b.part_id AS part_b, count(*) AS n_orders
+    FROM (SELECT DISTINCT src AS order_id, dst AS part_id FROM g_edges WHERE type = 'contains') a
+    JOIN (SELECT DISTINCT src AS order_id, dst AS part_id FROM g_edges WHERE type = 'contains') b
+      ON a.order_id = b.order_id AND a.part_id < b.part_id
+    GROUP BY 1, 2
+  ) WHERE n_orders >= 2
+)""",
+)
+
+
 QUERIES = {
     "graph_degree_distribution": graph_degree_distribution,
     "graph_pagerank": graph_pagerank,
@@ -438,9 +533,11 @@ QUERIES = {
     "graph_cc_converged": graph_cc_converged,
     "graph_copurchase_pairs": graph_copurchase_pairs,
     "graph_two_hop_bucketed": graph_two_hop_bucketed,
+    "graph_triangle_count": graph_triangle_count,
 }
 
 ORACLES = {
+    "graph_triangle_count": ORACLE_TRIANGLES,
     "graph_degree_distribution": ORACLE_DEGREE,
     "graph_pagerank": ORACLE_PAGERANK,
     # graph_pagerank_converged: no SQL oracle on purpose — iteration depth is

@@ -621,6 +621,57 @@ GROUP BY c_nationkey
 """
 
 
+# -- exact distribution statistics (percentiles, correlation) -------------------
+
+
+def stats_order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of order value per priority class.
+    ``F.percentile`` is the exact (sort-based) aggregate — the right call
+    when the group count is small and bounded; for percentile-of-everything
+    at 100 TB you'd switch to ``percentile_approx`` (t-digest, mergeable
+    partial state, no global sort)."""
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.95)), 2).alias("p95"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+ORACLE_PERCENTILES = """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+       round(quantile_cont(o_totalprice, 0.95), 2) AS p95,
+       count(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+def stats_price_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + dispersion of price vs quantity per return
+    flag — single-pass mergeable moment aggregates (map-side combine), the
+    cheapest possible distributed shape."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias("price_qty_corr"),
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("price_stddev"),
+        F.round(F.avg("l_extendedprice"), 2).alias("price_avg"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+ORACLE_CORR = """
+SELECT l_returnflag,
+       round(corr(l_extendedprice, l_quantity), 4) AS price_qty_corr,
+       round(stddev_samp(l_extendedprice), 2) AS price_stddev,
+       round(avg(l_extendedprice), 2) AS price_avg,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -641,9 +692,13 @@ QUERIES = {
     "q14_promo_revenue": q14_promo_revenue,
     "q18_large_orders": q18_large_orders,
     "q22_wealthy_no_urgent": q22_wealthy_no_urgent,
+    "stats_order_percentiles": stats_order_percentiles,
+    "stats_price_quantity_corr": stats_price_quantity_corr,
 }
 
 ORACLES = {
+    "stats_order_percentiles": ORACLE_PERCENTILES,
+    "stats_price_quantity_corr": ORACLE_CORR,
     "q1_pricing_summary": ORACLE_Q1,
     "q3_shipping_priority": ORACLE_Q3,
     "q5_local_supplier_volume": ORACLE_Q5,

@@ -243,8 +243,67 @@ FROM events
 GROUP BY user_id
 """
 
+# -- stream-stream interval join ----------------------------------------------------
+
+
+def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: every purchase paired with each click by
+    the same user in the preceding 30 minutes.  Both sides carry watermarks
+    and the join condition is time-bounded in BOTH directions — that pair of
+    constraints is what lets Spark evict join state (an unbounded-range
+    stream-stream join would buffer forever).  The joined stream lands in
+    the sink in append mode; the compact per-user rollup happens on the sink
+    table (chaining a streaming agg behind a stream-stream join needs
+    allowMultipleStatefulOperators — the sink-side rollup is the portable
+    pattern)."""
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND p_ts >= c_ts "
+            "AND p_ts <= c_ts + INTERVAL 30 MINUTES"
+        ),
+    )
+    with _state_partitioning(spark, sf_dir):
+        out = run_to_table(joined, output_mode="append")
+    return out.groupBy(F.col("p_user").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.sum("p_value"), 2).alias("attributed_value"),
+    )
+
+
+ORACLE_STREAM_JOIN = """
+SELECT c.user_id, count(*) AS n_pairs,
+       round(sum(p.value), 2) AS attributed_value
+FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+GROUP BY c.user_id
+"""
+
+
 QUERIES = {
     "streaming_tumbling_window": streaming_tumbling_window,
+    "streaming_click_purchase_join": streaming_click_purchase_join,
     "streaming_session_counts": streaming_session_counts,
     "streaming_stateful_user_totals": streaming_stateful_user_totals,
     "streaming_dedup_events": streaming_dedup_events,
@@ -252,6 +311,7 @@ QUERIES = {
 
 ORACLES = {
     "streaming_tumbling_window": ORACLE_STREAM_TUMBLING,
+    "streaming_click_purchase_join": ORACLE_STREAM_JOIN,
     "streaming_session_counts": ORACLE_STREAM_SESSIONS,
     "streaming_stateful_user_totals": ORACLE_STREAM_STATEFUL,
     "streaming_dedup_events": ORACLE_STREAM_DEDUP,
