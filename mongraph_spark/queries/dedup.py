@@ -355,9 +355,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fingerprints into 32-element string arrays and zip-comparing them
     # (the candidate set is quadratic in bucket size, so per-pair cost is
     # the term that explodes at scale)
+    # materialize the fingerprint table ONCE before the self-join: Spark
+    # plans the two join sides as independent subtrees (no ReusedExchange
+    # for self-joins through a projection), so without this barrier the
+    # 33-aggregate fingerprint stage runs twice (measured ~2x end-to-end)
     fp = per_doc.select(
         "doc_id", F.conv(bits, 2, 10).cast("long").alias("fp")
-    )
+    ).localCheckpoint(eager=True)
     a = fp.select(F.col("doc_id").alias("id_a"), F.col("fp").alias("fp_a"))
     b = fp.select(F.col("doc_id").alias("id_b"), F.col("fp").alias("fp_b"))
     # prefix bucket join (high 16 bits) keeps this linear-ish; then exact filter
@@ -448,7 +452,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(SIGN_BITS)
         ]
     )
-    bucketed = corpus.select("vec_id", "vec", bucket.alias("bk"))
+    # same self-join barrier as dedup_simhash: materialize the bucketed
+    # vectors once so the copy-synthesis + sign projection isn't replayed
+    # per join side (O(corpus) storage, not quadratic)
+    bucketed = corpus.select("vec_id", "vec", bucket.alias("bk")).localCheckpoint(
+        eager=True
+    )
     a = bucketed.select(
         F.col("vec_id").alias("id_a"), F.col("vec").alias("vec_a"), "bk"
     )
