@@ -172,6 +172,142 @@ FROM documents, range(0, {FRAME_COUNT}, {FRAME_STEP}) t(f)
 """
 
 
+# -- resize plumbing: aspect-fit target dims + deterministic re-encode ------------------
+
+TARGET_EDGE = 224  # fit inside TARGET_EDGE x TARGET_EDGE, downscale only
+
+_RESIZE_SCHEMA = (
+    "doc_id long, width int, height int, new_width int, new_height int, "
+    "resized_md5 string"
+)
+
+
+def _resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Aspect-preserving resize plumbing: the dimension math is real and
+    vectorized (numpy over the Arrow batch); the pixel resample is the
+    deterministic fake (md5 of payload-head + target dims) standing in for
+    ``PIL.Image.resize`` — swap the one line when PIL exists."""
+    import hashlib
+
+    import numpy as np
+
+    for pdf in batches:
+        w = pdf["width"].to_numpy(dtype="int64")
+        h = pdf["height"].to_numpy(dtype="int64")
+        scale = np.minimum(1.0, np.minimum(TARGET_EDGE / w, TARGET_EDGE / h))
+        nw = np.maximum(1, np.floor(w * scale)).astype("int32")
+        nh = np.maximum(1, np.floor(h * scale)).astype("int32")
+        digests = [
+            hashlib.md5(
+                f"{bytes(p[:4]).hex()}:{a}x{b}".encode()
+            ).hexdigest()
+            for p, a, b in zip(pdf["payload"], nw, nh)
+        ]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": pdf["width"].astype("int32"),
+                "height": pdf["height"].astype("int32"),
+                "new_width": nw,
+                "new_height": nh,
+                "resized_md5": digests,
+            }
+        )
+
+
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = scale_out(read_table(spark, sf_dir, "documents"))
+    media = _with_payload(docs).select(
+        "doc_id",
+        "payload",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+    return media.mapInPandas(_resize_batch, schema=_RESIZE_SCHEMA)
+
+
+# head 4 payload bytes = first 8 md5 hex chars of the text; dims mirror
+# _with_payload's arithmetic
+ORACLE_RESIZE = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(n_chars % 640 + 16 AS INTEGER) AS width,
+         CAST(n_chars % 480 + 16 AS INTEGER) AS height,
+         substr(md5(text), 1, 8) AS head_hex
+  FROM documents
+), dims AS (
+  SELECT *,
+         least(1.0, least(CAST({TARGET_EDGE} AS DOUBLE) / width,
+                          CAST({TARGET_EDGE} AS DOUBLE) / height)) AS scale
+  FROM base
+)
+SELECT doc_id, width, height,
+       CAST(greatest(1, floor(width * scale)) AS INTEGER) AS new_width,
+       CAST(greatest(1, floor(height * scale)) AS INTEGER) AS new_height,
+       md5(head_hex || ':' ||
+           CAST(CAST(greatest(1, floor(width * scale)) AS INTEGER) AS VARCHAR) || 'x' ||
+           CAST(CAST(greatest(1, floor(height * scale)) AS INTEGER) AS VARCHAR))
+         AS resized_md5
+FROM dims
+"""
+
+
+# -- audio framing: mock PCM windowing (25 ms frames, 10 ms hop @ 16 kHz) ---------------
+
+SAMPLE_RATE = 16000
+FRAME_LEN = 400  # 25 ms @ 16 kHz
+HOP_LEN = 160  # 10 ms @ 16 kHz
+
+_AUDIO_SCHEMA = "doc_id long, n_samples long, n_frames long, byte_sumsq long"
+
+
+def _audio_windows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Audio framing plumbing: the payload is treated as 16-bit PCM
+    (n_samples = n_bytes // 2) and windowed with the standard 25 ms / 10 ms
+    speech-frontend geometry.  The energy stand-in (sum of squared bytes)
+    replaces the real sample decode — swap with soundfile when present."""
+    for pdf in batches:
+        n_bytes = pdf["payload"].map(len).astype("int64")
+        n_samples = n_bytes // 2
+        n_frames = ((n_samples - FRAME_LEN) // HOP_LEN + 1).clip(lower=0)
+        sumsq = pdf["payload"].map(
+            lambda b: int(sum(x * x for x in bytes(b)))
+        ).astype("int64")
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_samples": n_samples,
+                "n_frames": n_frames.astype("int64"),
+                "byte_sumsq": sumsq,
+            }
+        )
+
+
+def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = scale_out(read_table(spark, sf_dir, "documents"))
+    media = _with_payload(docs).select("doc_id", "payload")
+    return media.mapInPandas(_audio_windows, schema=_AUDIO_SCHEMA)
+
+
+ORACLE_AUDIO_WINDOWS = f"""
+WITH hx AS (
+  SELECT doc_id, md5(text) AS h, (n_chars % 4 + 1) AS reps FROM documents
+), sized AS (
+  SELECT doc_id, h, reps,
+         CAST(16 * reps AS BIGINT) // 2 AS n_samples
+  FROM hx
+)
+SELECT doc_id, n_samples,
+       CAST(greatest(0, (n_samples - {FRAME_LEN}) // {HOP_LEN} + 1) AS BIGINT)
+         AS n_frames,
+       CAST(reps * list_sum(list_transform(range(0, 16),
+           i -> CAST(('0x' || substr(h, 2 * i + 1, 2)) AS INTEGER)
+                * CAST(('0x' || substr(h, 2 * i + 1, 2)) AS INTEGER))) AS BIGINT)
+         AS byte_sumsq
+FROM sized
+"""
+
+
 # -- real-decoder stubs (plumbing ready; library absent in this container) --------------
 
 
@@ -198,10 +334,14 @@ QUERIES = {
     "mm_image_features": mm_image_features,
     "mm_metadata_filter": mm_metadata_filter,
     "mm_frame_sample": mm_frame_sample,
+    "mm_resize": mm_resize,
+    "mm_audio_windows": mm_audio_windows,
 }
 
 ORACLES = {
     "mm_image_features": ORACLE_IMAGE_FEATURES,
     "mm_metadata_filter": ORACLE_METADATA_FILTER,
     "mm_frame_sample": ORACLE_FRAME_SAMPLE,
+    "mm_resize": ORACLE_RESIZE,
+    "mm_audio_windows": ORACLE_AUDIO_WINDOWS,
 }
