@@ -264,8 +264,68 @@ FROM probe p ASOF JOIN build b
 """
 
 
+def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucket gap-fill (the TimescaleDB ``time_bucket_gapfill``
+    pattern): a dense hour × event_type grid from the stream's own bounds,
+    left-joined against the actual hourly rollup, missing cells zero-filled
+    and flagged.
+
+    Distributed shape: the spine is generated from a 1-row min/max
+    aggregate (``sequence`` + explode — rows = hours × types, tiny relative
+    to the events), the type list is a small distinct, and the only big-side
+    work is the hourly rollup itself; the grid side of the final join is
+    broadcast."""
+    ev = read_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    actual = ev.groupBy(hour.alias("hour"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    grid = spine.crossJoin(types)
+    return (
+        F.broadcast(grid)
+        .join(actual, ["hour", "event_type"], "left")
+        .select(
+            "hour",
+            "event_type",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+            F.col("n_events").isNull().cast("int").alias("is_gap"),
+        )
+    )
+
+
+ORACLE_GAPFILL = """
+WITH actual AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type,
+         count(*) AS n_events, round(sum(value), 2) AS sum_value
+  FROM events GROUP BY 1, 2
+), spine AS (
+  SELECT unnest(generate_series(date_trunc('hour', (SELECT min(ts) FROM events)),
+                                date_trunc('hour', (SELECT max(ts) FROM events)),
+                                INTERVAL 1 HOUR)) AS hour
+), grid AS (
+  SELECT hour, event_type FROM spine, (SELECT DISTINCT event_type FROM events)
+)
+SELECT g.hour, g.event_type,
+       coalesce(a.n_events, 0) AS n_events,
+       coalesce(a.sum_value, 0.0) AS sum_value,
+       CAST(a.n_events IS NULL AS INTEGER) AS is_gap
+FROM grid g LEFT JOIN actual a ON g.hour = a.hour AND g.event_type = a.event_type
+"""
+
+
 QUERIES = {
     "events_tumbling_window": events_tumbling_window,
+    "events_gapfill_hourly": events_gapfill_hourly,
     "events_sessionization": events_sessionization,
     "events_json_props": events_json_props,
     "events_hourly_top_type": events_hourly_top_type,
@@ -275,6 +335,7 @@ QUERIES = {
 
 ORACLES = {
     "events_tumbling_window": ORACLE_TUMBLING,
+    "events_gapfill_hourly": ORACLE_GAPFILL,
     "events_sessionization": ORACLE_SESSIONS,
     "events_json_props": ORACLE_JSON,
     "events_hourly_top_type": ORACLE_HOURLY_TOP,

@@ -183,8 +183,50 @@ FROM s
 """
 
 
+# -- regex content scan (the PII-detection shape) --------------------------------
+
+# word-boundary patterns chosen to be identical in Java regex (Spark) and
+# RE2 (DuckDB): literal alternation + \b, no lookaround
+SCAN_TERM_PATTERN = r"\b(table|key)\b"
+SCAN_EMAIL_PATTERN = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+
+
+def text_pattern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex content scan per language — the PII-detection operator shape
+    (emails/phones/SSNs in production; here one vocabulary pattern that
+    hits and the email pattern that must come back zero on synthetic text).
+    Pure column expressions (`regexp_extract_all` is JVM-side codegen);
+    map-only until the per-language rollup."""
+    docs = read_table(spark, sf_dir, "documents")
+    term_hits = F.size(F.regexp_extract_all("text", F.lit(SCAN_TERM_PATTERN), F.lit(0)))
+    email_hits = F.size(
+        F.regexp_extract_all("text", F.lit(SCAN_EMAIL_PATTERN), F.lit(0))
+    )
+    return (
+        docs.select("lang", term_hits.alias("th"), email_hits.alias("eh"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("th").cast("long").alias("term_hits"),
+            F.sum((F.col("th") > 0).cast("int")).cast("long").alias("docs_with_term"),
+            F.sum("eh").cast("long").alias("email_hits"),
+        )
+    )
+
+
+ORACLE_PATTERN_SCAN = f"""
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(len(regexp_extract_all(text, '{SCAN_TERM_PATTERN}'))) AS BIGINT) AS term_hits,
+       CAST(sum(CASE WHEN len(regexp_extract_all(text, '{SCAN_TERM_PATTERN}')) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_term,
+       CAST(sum(len(regexp_extract_all(text, '{SCAN_EMAIL_PATTERN}'))) AS BIGINT) AS email_hits
+FROM documents
+GROUP BY lang
+"""
+
+
 QUERIES = {
     "text_token_counts": text_token_counts,
+    "text_pattern_scan": text_pattern_scan,
     "text_quality": text_quality,
     "text_lang_id": text_lang_id,
     "text_fingerprint": text_fingerprint,
@@ -192,6 +234,7 @@ QUERIES = {
 
 ORACLES = {
     "text_token_counts": ORACLE_TOKEN_COUNTS,
+    "text_pattern_scan": ORACLE_PATTERN_SCAN,
     "text_quality": ORACLE_QUALITY,
     "text_lang_id": ORACLE_LANG_ID,
     "text_fingerprint": ORACLE_FINGERPRINT,
