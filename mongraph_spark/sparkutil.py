@@ -75,6 +75,36 @@ def scale_out(df, min_partitions: int | None = None):
     return df
 
 
+def salted_join(facts, dim, key: str, n_salts: int = 16, how: str = "inner"):
+    """Skew-resistant equi-join: replicate the small side ``n_salts`` times
+    and scatter each hot fact key across ``n_salts`` shuffle partitions.
+
+    AQE's skew-join split handles skew *within* a sort-merge join at
+    runtime, but only after the skewed partition was already built; salting
+    prevents the hot partition from existing at all, and it composes with
+    broadcast-ineligible dims (too big to broadcast, small enough to
+    replicate ``n_salts`` ×).  The salt is ``xxhash64`` of the whole fact
+    row — deterministic (no rand(): reruns, retried tasks, and oracle
+    comparisons all see the same placement), uniform across salts.
+
+    Result is row-identical to ``facts.join(dim, key, how)`` — salting is
+    pure placement.  Supported ``how``: inner / left (the fact-preserving
+    shapes; right/full would need the dim side de-replicated).
+    """
+    from pyspark.sql import functions as F
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salt = F.pmod(F.xxhash64(*facts.columns), F.lit(n_salts)).alias("_salt")
+    salted_facts = facts.withColumn("_salt", salt)
+    replicated_dim = dim.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return (
+        salted_facts.join(replicated_dim, [key, "_salt"], how).drop("_salt")
+    )
+
+
 def normalize_event_ts(df):
     """events.ts is TIMESTAMP(NANOS) in parquet; with nanosAsLong it scans as
     a long.  Convert to a proper timestamp by integer-truncating to micros —

@@ -207,3 +207,43 @@ def test_corpus_export_partitioned_sink(spark, tmp_path):
     plan = train._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "split" in plan.split("PartitionFilters")[1][:200]
     assert train.count() == labeled.filter(F.col("split") == "train").count()
+
+
+# -- salted join: skew-resistant placement ----------------------------------------
+
+
+def test_salted_join_row_identical_and_splits_hot_key(spark):
+    """salted_join must be row-identical to the plain join, and the hot key
+    must actually scatter across salts (placement property)."""
+    from mongraph_spark.sparkutil import salted_join
+
+    # 10k facts, 90% on one hot key
+    facts = spark.range(10_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 100).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    dim = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 10).alias("attr"))
+
+    plain = facts.join(dim, "k").select("k", "payload", "attr")
+    salted = salted_join(facts, dim, "k", n_salts=16).select("k", "payload", "attr")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+    # placement: the hot key's rows spread over (nearly) all 16 salts
+    n_salts_hot = (
+        facts.withColumn("_salt", F.pmod(F.xxhash64(*facts.columns), F.lit(16)))
+        .filter(F.col("k") == 7)
+        .select("_salt")
+        .distinct()
+        .count()
+    )
+    assert n_salts_hot >= 12
+
+    # left join preserves unmatched facts exactly once
+    dim_holes = dim.filter(F.col("k") < 50)
+    plain_l = facts.join(dim_holes, "k", "left").select("k", "payload", "attr")
+    salted_l = salted_join(facts, dim_holes, "k", n_salts=8, how="left").select(
+        "k", "payload", "attr"
+    )
+    assert sorted(map(tuple, plain_l.fillna(-1).collect())) == sorted(
+        map(tuple, salted_l.fillna(-1).collect())
+    )
