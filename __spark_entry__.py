@@ -21,6 +21,7 @@ from mongraph_spark.queries import graph as graph_queries  # noqa: E402
 from mongraph_spark.queries import relational as relational_queries  # noqa: E402
 from mongraph_spark.queries import tpch_full as tpch_full_queries  # noqa: E402
 from mongraph_spark.queries import text as text_queries  # noqa: E402
+from mongraph_spark.queries import search as search_queries  # noqa: E402
 from mongraph_spark.queries import dedup as dedup_queries  # noqa: E402
 from mongraph_spark.queries import similarity as similarity_queries  # noqa: E402
 from mongraph_spark.queries import events as events_queries  # noqa: E402
@@ -35,6 +36,7 @@ _SUITES = [
     relational_queries,
     tpch_full_queries,
     text_queries,
+    search_queries,
     dedup_queries,
     similarity_queries,
     events_queries,

@@ -323,8 +323,56 @@ FROM grid g LEFT JOIN actual a ON g.hour = a.hour AND g.event_type = a.event_typ
 """
 
 
+# -- min/max chart downsampling ---------------------------------------------------
+
+
+def events_minmax_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chart decimation (the TimescaleDB/Grafana downsample shape): per
+    (event_type, 6-hour bucket) keep only what a plot needs — count, the
+    min/max values, and the first/last event ids in time order.  One
+    groupBy; the ordered picks ride min/max over (ts, event_id) structs, so
+    there is no window pass and no per-bucket sort — at scale this is a
+    single partial-aggregatable shuffle, 4 orders of magnitude output
+    reduction.  Value extremes in integer cents (engine-stable)."""
+    ev = read_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    ordkey = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(cents).alias("min_value_cents"),
+            F.max(cents).alias("max_value_cents"),
+            F.min(ordkey)["event_id"].alias("first_event_id"),
+            F.max(ordkey)["event_id"].alias("last_event_id"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "min_value_cents",
+            "max_value_cents",
+            "first_event_id",
+            "last_event_id",
+        )
+    )
+
+
+ORACLE_MINMAX_DOWNSAMPLE = """
+SELECT time_bucket(INTERVAL '6 hours', ts) AS bucket_start, event_type,
+       count(*) AS n_events,
+       CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS min_value_cents,
+       CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max_value_cents,
+       first(event_id ORDER BY ts, event_id) AS first_event_id,
+       last(event_id ORDER BY ts, event_id) AS last_event_id
+FROM events
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "events_tumbling_window": events_tumbling_window,
+    "events_minmax_downsample": events_minmax_downsample,
     "events_gapfill_hourly": events_gapfill_hourly,
     "events_sessionization": events_sessionization,
     "events_json_props": events_json_props,
@@ -335,6 +383,7 @@ QUERIES = {
 
 ORACLES = {
     "events_tumbling_window": ORACLE_TUMBLING,
+    "events_minmax_downsample": ORACLE_MINMAX_DOWNSAMPLE,
     "events_gapfill_hourly": ORACLE_GAPFILL,
     "events_sessionization": ORACLE_SESSIONS,
     "events_json_props": ORACLE_JSON,

@@ -525,8 +525,92 @@ ORACLE_TRIANGLES = tpch.oracle_with(
 )
 
 
+KCORE_K = 2
+N_PEEL_ROUNDS = 3
+
+
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling of the co-purchase graph (k=2): repeatedly drop nodes
+    with degree < k and the edges touching them — the standard graph
+    densification/degeneracy step before community or motif work.  Each
+    round is one degree aggregation + one semi-join per endpoint, all keyed
+    on node id.  The pair graph is eagerly localCheckpoint'd FIRST so the
+    rounds peel a materialized edge list instead of replaying the
+    co-purchase self-join lineage N times (the same replay bug BENCHNOTES
+    measured in the label-propagation loop).  Fixed ``N_PEEL_ROUNDS`` unroll
+    keeps the DuckDB oracle plain chained CTEs; output = degree histogram of
+    the surviving core (empty if the graph dissolves).
+    """
+    return _kcore_degree_hist(spark, sf_dir, N_PEEL_ROUNDS)
+
+
+def _kcore_degree_hist(spark: SparkSession, sf_dir: str, rounds: int) -> DataFrame:
+    edges = (
+        graph_copurchase_pairs(spark, sf_dir)
+        .select("part_a", "part_b")
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        deg = (
+            edges.select(F.col("part_a").alias("node"))
+            .unionAll(edges.select(F.col("part_b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= KCORE_K).select("node")
+        edges = edges.join(
+            keep.select(F.col("node").alias("part_a")), "part_a", "left_semi"
+        ).join(keep.select(F.col("node").alias("part_b")), "part_b", "left_semi")
+    survivors = (
+        edges.select(F.col("part_a").alias("node"))
+        .unionAll(edges.select(F.col("part_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    return survivors.groupBy("deg").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+def _kcore_oracle() -> str:
+    body = """e0 AS (
+  SELECT part_a, part_b FROM (
+    SELECT a.part_id AS part_a, b.part_id AS part_b, count(*) AS n_orders
+    FROM (SELECT DISTINCT src AS order_id, dst AS part_id FROM g_edges WHERE type = 'contains') a
+    JOIN (SELECT DISTINCT src AS order_id, dst AS part_id FROM g_edges WHERE type = 'contains') b
+      ON a.order_id = b.order_id AND a.part_id < b.part_id
+    GROUP BY 1, 2
+  ) WHERE n_orders >= 2
+)"""
+    prev = "e0"
+    for r in range(1, N_PEEL_ROUNDS + 1):
+        body += f""",
+d{r} AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT part_a AS node FROM {prev} UNION ALL SELECT part_b FROM {prev}
+  ) GROUP BY node
+),
+k{r} AS (SELECT node FROM d{r} WHERE deg >= {KCORE_K}),
+e{r} AS (
+  SELECT e.part_a, e.part_b FROM {prev} e
+  WHERE e.part_a IN (SELECT node FROM k{r})
+    AND e.part_b IN (SELECT node FROM k{r})
+)"""
+        prev = f"e{r}"
+    return tpch.oracle_with(
+        f"""SELECT deg, count(*) AS n_nodes FROM (
+  SELECT node, count(*) AS deg FROM (
+    SELECT part_a AS node FROM {prev} UNION ALL SELECT part_b FROM {prev}
+  ) GROUP BY node
+) GROUP BY deg""",
+        extra_ctes=body,
+    )
+
+
+ORACLE_KCORE = _kcore_oracle()
+
+
 QUERIES = {
     "graph_degree_distribution": graph_degree_distribution,
+    "graph_kcore": graph_kcore,
     "graph_pagerank": graph_pagerank,
     "graph_pagerank_converged": graph_pagerank_converged,
     "graph_connected_components": graph_connected_components,
@@ -538,6 +622,7 @@ QUERIES = {
 
 ORACLES = {
     "graph_triangle_count": ORACLE_TRIANGLES,
+    "graph_kcore": ORACLE_KCORE,
     "graph_degree_distribution": ORACLE_DEGREE,
     "graph_pagerank": ORACLE_PAGERANK,
     # graph_pagerank_converged: no SQL oracle on purpose — iteration depth is

@@ -337,12 +337,118 @@ FROM (
 """
 
 
+# -- sequence packing: GPT-style concat-and-chunk --------------------------------
+
+CHUNK_TOKENS = 128  # fixed training-sequence length (tokens per chunk)
+
+
+def pipeline_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing, the LLM-pretraining layout step:
+    within each source, documents are concatenated in doc_id order and cut
+    into fixed ``CHUNK_TOKENS`` sequences; each doc reports the chunk range
+    it lands in.  ``first_chunk = floor(tokens_before / C)`` is a running sum
+    — ONE window partitioned by ``source``, so the shuffle is keyed on
+    source and every partition packs independently (the global-order variant
+    would serialize the corpus through one partition; per-source packing is
+    also what training actually wants, since sources are sampled
+    independently).  A single giant source would make one hot partition —
+    production splits such a source into deterministic sub-shards
+    (hash(doc_id) % k) first; at this corpus's source fan-out the plain
+    window is the right plan."""
+    docs = read_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " "))
+    w = Window.partitionBy("source").orderBy("doc_id")
+    cum_before = F.coalesce(
+        F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    return (
+        docs.select("doc_id", "source", n_tokens.alias("n_tokens"))
+        .withColumn("first_chunk", (cum_before / CHUNK_TOKENS).cast("long"))
+        .withColumn(
+            "last_chunk",
+            ((cum_before + F.col("n_tokens") - 1) / CHUNK_TOKENS).cast("long"),
+        )
+        .withColumn("n_chunks_spanned", F.col("last_chunk") - F.col("first_chunk") + 1)
+    )
+
+
+ORACLE_PACK_CHUNKS = f"""
+SELECT doc_id, source, n_tokens,
+       cum_before // {CHUNK_TOKENS} AS first_chunk,
+       (cum_before + n_tokens - 1) // {CHUNK_TOKENS} AS last_chunk,
+       (cum_before + n_tokens - 1) // {CHUNK_TOKENS} - cum_before // {CHUNK_TOKENS} + 1
+         AS n_chunks_spanned
+FROM (
+  SELECT doc_id, source,
+         len(string_split(text, ' ')) AS n_tokens,
+         coalesce(sum(len(string_split(text, ' '))) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM documents
+)
+"""
+
+
+# -- per-source quality cap -------------------------------------------------------
+
+SOURCE_CAP = 15  # keep at most this many docs per source, best-quality first
+
+
+def pipeline_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus balancing by retention cap: keep the top ``SOURCE_CAP`` docs
+    per source ranked by quality (tie-break doc_id), so no single crawl
+    domain dominates the mixture.  One window shuffle keyed on ``source``;
+    ranking reuses the oracle-checked quality score (text.with_quality) so
+    the cap and the quality filter can't drift apart.  Reports the per-source
+    audit: total vs kept docs, kept-token volume, and the quality floor the
+    cap imposed."""
+    from mongraph_spark.queries.text import with_quality
+
+    docs = with_quality(read_table(spark, sf_dir, "documents"))
+    w = Window.partitionBy("source").orderBy(F.desc("quality_bp"), F.asc("doc_id"))
+    ranked = docs.withColumn("rk", F.row_number().over(w))
+    kept = F.col("rk") <= SOURCE_CAP
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(kept.cast("int")).cast("long").alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_tokens")).otherwise(0)).cast("long").alias(
+            "kept_tokens"
+        ),
+        F.min(F.when(kept, F.col("quality_bp"))).cast("long").alias("kept_quality_floor"),
+    )
+
+
+def _oracle_source_cap() -> str:
+    from mongraph_spark.queries.text import oracle_quality_sql
+
+    return f"""
+WITH q AS ({oracle_quality_sql(", source")}),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY quality_bp DESC, doc_id ASC) AS rk
+  FROM q
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN rk <= {SOURCE_CAP} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN rk <= {SOURCE_CAP} THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
+       CAST(min(CASE WHEN rk <= {SOURCE_CAP} THEN quality_bp END) AS BIGINT) AS kept_quality_floor
+FROM r
+GROUP BY source
+"""
+
+
+ORACLE_SOURCE_CAP = _oracle_source_cap()
+
+
 QUERIES = {
     "dedup_cluster_stats": dedup_cluster_stats,
     "dedup_keep_best": dedup_keep_best,
     "sample_stratified": sample_stratified,
     "train_split_assign": train_split_assign,
     "embedding_quantize_int8": embedding_quantize_int8,
+    "pipeline_pack_chunks": pipeline_pack_chunks,
+    "pipeline_source_cap": pipeline_source_cap,
 }
 
 ORACLES = {
@@ -351,4 +457,6 @@ ORACLES = {
     "sample_stratified": ORACLE_SAMPLE_STRATIFIED,
     "train_split_assign": ORACLE_TRAIN_SPLIT,
     "embedding_quantize_int8": ORACLE_QUANTIZE,
+    "pipeline_pack_chunks": ORACLE_PACK_CHUNKS,
+    "pipeline_source_cap": ORACLE_SOURCE_CAP,
 }

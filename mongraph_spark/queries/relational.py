@@ -672,8 +672,155 @@ GROUP BY l_returnflag
 """
 
 
+# -- SCD2 dimension build: gaps-and-islands over order priority -------------------
+
+
+def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) build: collapse each customer's
+    order-priority sequence into validity intervals — the warehouse-standard
+    gaps-and-islands pattern.  Island id = difference of two row_numbers
+    (one over the customer, one over customer+priority), both ordered by
+    (o_orderdate, o_orderkey) so ties are deterministic; one groupBy per
+    island then a lead() for valid_to.  At scale this is two window passes
+    and one aggregation, all keyed on the customer — a single shuffle
+    partitioning reused across all three (Spark plans one Exchange).
+    Dates are emitted as strings so both engines hash identically."""
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority", F.to_date("o_orderdate").alias("d")
+    )
+    w_all = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    w_grp = Window.partitionBy("o_custkey", "o_orderpriority").orderBy("d", "o_orderkey")
+    islands = orders.withColumn(
+        "island", F.row_number().over(w_all) - F.row_number().over(w_grp)
+    )
+    per_island = islands.groupBy("o_custkey", "o_orderpriority", "island").agg(
+        F.min("d").alias("vf"),
+        F.min("o_orderkey").alias("first_key"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w_hist = Window.partitionBy("o_custkey").orderBy("vf", "first_key")
+    return per_island.select(
+        "o_custkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.col("vf").cast("string").alias("valid_from"),
+        F.lead("vf").over(w_hist).cast("string").alias("valid_to"),
+        "n_orders",
+    )
+
+
+ORACLE_SCD2 = """
+SELECT o_custkey, priority,
+       CAST(vf AS VARCHAR) AS valid_from,
+       CAST(lead(vf) OVER (PARTITION BY o_custkey ORDER BY vf, first_key) AS VARCHAR)
+         AS valid_to,
+       n_orders
+FROM (
+  SELECT o_custkey, o_orderpriority AS priority, island,
+         min(d) AS vf, min(o_orderkey) AS first_key, count(*) AS n_orders
+  FROM (
+    SELECT o_custkey, o_orderkey, o_orderpriority, CAST(o_orderdate AS DATE) AS d,
+           row_number() OVER (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+         - row_number() OVER (PARTITION BY o_custkey, o_orderpriority
+                              ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS island
+    FROM orders
+  )
+  GROUP BY 1, 2, 3
+)
+"""
+
+
+# -- decile distribution: ntile over per-customer spend ----------------------------
+
+
+def window_customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-spend decile table (the reporting cut of a skewed revenue
+    distribution): aggregate to one row per customer first, then ntile(10)
+    over the reduced set.  The global ntile window IS single-partition by
+    construction — correct here because its input is already one row per
+    customer (the reduction did the distributed work); at 100 TB with
+    billions of customers the same report uses pre-computed percentile
+    boundaries + a broadcast range join instead of a total order."""
+    orders = read_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("spend")
+    )
+    w = Window.orderBy(F.desc("spend"), F.asc("o_custkey"))
+    # explicit round() before the long cast: Spark's double→long cast
+    # truncates while DuckDB's rounds, so the cast must never see x.99…
+    cents = F.round(F.col("spend") * 100).cast("long")
+    return (
+        spend.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(cents).alias("decile_spend_cents"),
+            F.min(cents).alias("min_spend_cents"),
+            F.max(cents).alias("max_spend_cents"),
+        )
+    )
+
+
+ORACLE_DECILES = """
+SELECT decile, count(*) AS n_customers,
+       CAST(sum(cents) AS BIGINT) AS decile_spend_cents,
+       CAST(min(cents) AS BIGINT) AS min_spend_cents,
+       CAST(max(cents) AS BIGINT) AS max_spend_cents
+FROM (
+  SELECT ntile(10) OVER (ORDER BY spend DESC, o_custkey ASC) AS decile,
+         CAST(round(spend * 100) AS BIGINT) AS cents, o_custkey
+  FROM (
+    SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
+    FROM orders GROUP BY o_custkey
+  )
+)
+GROUP BY decile
+"""
+
+
+# -- salted join, oracle-checked: placement-only rewrite of a fact⋈dim join --------
+
+
+def salted_revenue_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per order priority through ``sparkutil.salted_join``: the
+    lineitem fact side is scattered across 16 salt shards per order key and
+    the orders dim side replicated 16×, so a hot order key can never pin a
+    shuffle partition.  The oracle is the PLAIN join — proving salting is
+    pure placement (row-identical results), which is the property that lets
+    it be dropped into any skewed equi-join.  Revenue is summed in exact
+    integer cents so the 16-way shard sum order can't perturb the hash."""
+    from mongraph_spark.sparkutil import salted_join
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("long")
+        .alias("rev_cents"),
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(li, orders, "l_orderkey", n_salts=16)
+    return joined.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("rev_cents").alias("revenue_cents"),
+    )
+
+
+ORACLE_SALTED = """
+SELECT o_orderpriority AS priority,
+       count(*) AS n_lines,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "scd2_priority_history": scd2_priority_history,
+    "window_customer_deciles": window_customer_deciles,
+    "salted_revenue_by_priority": salted_revenue_by_priority,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "q6_forecast_revenue": q6_forecast_revenue,
@@ -718,4 +865,7 @@ ORACLES = {
     "q14_promo_revenue": ORACLE_Q14,
     "q18_large_orders": ORACLE_Q18,
     "q22_wealthy_no_urgent": ORACLE_Q22,
+    "scd2_priority_history": ORACLE_SCD2,
+    "window_customer_deciles": ORACLE_DECILES,
+    "salted_revenue_by_priority": ORACLE_SALTED,
 }

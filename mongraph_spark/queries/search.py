@@ -1,0 +1,141 @@
+"""Full-text relevance search over the ``documents`` table: BM25 top-k.
+
+The classic inverted-index scorer re-expressed as two scan-level passes —
+no inverted index is materialized because at corpus scale the index IS a
+(term, doc) shuffle, and for a bounded query-term set the tf counts are
+computable map-side per document:
+
+1. ``tf`` projection: one narrow map-only pass computing per-doc term
+   frequencies for the fixed query terms (``F.filter`` over the token
+   array — no explode, so no (term, doc) shuffle exists anywhere).
+2. corpus stats: ONE single-row aggregate (N, total tokens, per-term
+   document frequencies) from that projection, broadcast back with a 1×1
+   cross join.
+3. scoring: map-only BM25 over the same projection + broadcast stats;
+   global top-k via orderBy+limit, which Spark executes as
+   TakeOrderedAndProject (per-partition heaps merged on the driver — never
+   a global sort).
+
+The narrow tf projection is eagerly localCheckpoint'd so passes 2 and 3
+share one corpus scan instead of re-reading the text column twice — the
+same narrow-table checkpoint trade the simhash/fingerprint suites measure
+in COVERAGE.md; the checkpointed table is (k+2) integers per doc, ~1e-4 of
+corpus bytes.
+
+Determinism note: IDF uses the Robertson–Sparck-Jones *rational* form
+without the log — ``(N - df + 0.5) / (df + 0.5)`` — because both engines'
+IEEE double add/mul/div are bit-deterministic while libm ``ln`` is not
+guaranteed correctly rounded; the ranking is order-equivalent for a fixed
+query (log is monotone) and the value hash stays engine-stable.  Per-term
+contributions are summed in fixed query-term order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mongraph_spark.sparkutil import read_table, scale_out
+
+QUERY_TERMS = ["scan", "merge", "window", "shuffle"]
+BM25_K1 = 1.2
+BM25_B = 0.75
+TOP_K = 25
+
+
+def _tf_projection(docs: DataFrame) -> DataFrame:
+    # SQL lambdas with unique variable names, NOT sibling Python lambdas:
+    # PySpark 4.1 resolves same-arity Python lambdas in one projection to a
+    # single body (see tests/test_spark_pitfalls.py)
+    cols = [
+        F.col("doc_id"),
+        F.size(F.col("words")).cast("long").alias("dl"),
+    ]
+    for i, term in enumerate(QUERY_TERMS):
+        cols.append(
+            F.expr(
+                f"cast(size(filter(words, w{i} -> w{i} = '{term}')) as long)"
+            ).alias(f"tf_{i}")
+        )
+    return docs.withColumn(
+        "words", F.split(F.lower(F.col("text")), r"\s+")
+    ).select(*cols)
+
+
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = scale_out(read_table(spark, sf_dir, "documents"))
+    tf = _tf_projection(docs).localCheckpoint(eager=True)
+    stats_aggs = [
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum("dl").cast("double").alias("sum_dl"),
+    ]
+    for i in range(len(QUERY_TERMS)):
+        stats_aggs.append(
+            F.sum((F.col(f"tf_{i}") > 0).cast("int")).cast("double").alias(f"df_{i}")
+        )
+    stats = tf.agg(*stats_aggs)
+    scored = tf.crossJoin(F.broadcast(stats))
+    # fixed-order sum of per-term BM25 contributions (rational IDF, see module doc)
+    norm = F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / (F.col("sum_dl") / F.col("n_docs"))
+    )
+    score = F.lit(0.0)
+    for i in range(len(QUERY_TERMS)):
+        idf = (F.col("n_docs") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5)
+        tf_i = F.col(f"tf_{i}").cast("double")
+        score = score + idf * (tf_i * (BM25_K1 + 1.0)) / (tf_i + norm)
+    return (
+        scored.select(
+            "doc_id",
+            F.floor(F.lit(10000.0) * score).cast("long").alias("score_bp"),
+        )
+        .orderBy(F.desc("score_bp"), F.asc("doc_id"))
+        .limit(TOP_K)
+    )
+
+
+def _oracle_bm25() -> str:
+    tf_cols = ",\n         ".join(
+        f"CAST(len(list_filter(words, w -> w = '{t}')) AS BIGINT) AS tf_{i}"
+        for i, t in enumerate(QUERY_TERMS)
+    )
+    df_cols = ",\n         ".join(
+        f"CAST(sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_{i}"
+        for i in range(len(QUERY_TERMS))
+    )
+    score_terms = " + ".join(
+        f"((n_docs - df_{i} + 0.5) / (df_{i} + 0.5))"
+        f" * (CAST(tf_{i} AS DOUBLE) * {BM25_K1 + 1.0})"
+        f" / (CAST(tf_{i} AS DOUBLE) + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * dl / (sum_dl / n_docs)))"
+        for i in range(len(QUERY_TERMS))
+    )
+    return f"""
+WITH tf AS (
+  SELECT doc_id,
+         CAST(len(words) AS BIGINT) AS dl,
+         {tf_cols}
+  FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS words FROM documents)
+), stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) AS sum_dl,
+         {df_cols}
+  FROM tf
+)
+SELECT doc_id,
+       CAST(floor(10000.0 * (0.0 + {score_terms})) AS BIGINT) AS score_bp
+FROM tf CROSS JOIN stats
+ORDER BY score_bp DESC, doc_id ASC
+LIMIT {TOP_K}
+"""
+
+
+ORACLE_BM25 = _oracle_bm25()
+
+
+QUERIES = {
+    "text_bm25_topk": text_bm25_topk,
+}
+
+ORACLES = {
+    "text_bm25_topk": ORACLE_BM25,
+}

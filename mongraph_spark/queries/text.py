@@ -58,11 +58,11 @@ FROM documents
 # -- quality scoring: length / mean word length / stopword ratio ----------------
 
 
-def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scores are *integer basis points* (0..10000 per component): the whole
-    pipeline is integer arithmetic + floor, so the result is bit-identical in
-    any engine — float rounding-mode differences can't flip a value hash."""
-    docs = read_table(spark, sf_dir, "documents")
+def with_quality(docs: DataFrame) -> DataFrame:
+    """Append the quality columns (n_tokens, mean_word_len_bp, stopword_bp,
+    quality_bp) to ``docs``, keeping its existing columns — the reusable form
+    consumed by pipeline.source-cap ranking as well as :func:`text_quality`.
+    Map-only: pure column expressions over the ``text`` column."""
     words = _words()
     n_tokens = F.size(words)
     stop_hits = F.size(F.filter(words, lambda w: w.isin(STOPWORDS)))
@@ -73,31 +73,51 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality_bp = F.when(n_tokens < 5, F.lit(0)).otherwise(
         (len_bp * 5 + F.least(F.lit(10000), mwl_bp) * 3 + (10000 - stop_bp) * 2) / 10
     )
-    return docs.select(
-        "doc_id",
-        n_tokens.alias("n_tokens"),
-        F.floor(F.lit(10000) * chars_adj / n_tokens).cast("long").alias("mean_word_len_bp"),
-        F.floor(F.lit(10000) * stop_hits / n_tokens).cast("long").alias("stopword_bp"),
-        F.floor(quality_bp).cast("long").alias("quality_bp"),
+    return (
+        docs.withColumn("n_tokens", n_tokens)
+        .withColumn(
+            "mean_word_len_bp",
+            F.floor(F.lit(10000) * chars_adj / F.col("n_tokens")).cast("long"),
+        )
+        .withColumn(
+            "stopword_bp",
+            F.floor(F.lit(10000) * stop_hits / F.col("n_tokens")).cast("long"),
+        )
+        .withColumn("quality_bp", F.floor(quality_bp).cast("long"))
+    )
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scores are *integer basis points* (0..10000 per component): the whole
+    pipeline is integer arithmetic + floor, so the result is bit-identical in
+    any engine — float rounding-mode differences can't flip a value hash."""
+    docs = read_table(spark, sf_dir, "documents")
+    return with_quality(docs).select(
+        "doc_id", "n_tokens", "mean_word_len_bp", "stopword_bp", "quality_bp"
     )
 
 
 _STOP_SQL = "', '".join(STOPWORDS)
 
-ORACLE_QUALITY = f"""
+
+def oracle_quality_sql(extra_cols: str = "") -> str:
+    """DuckDB replica of :func:`with_quality`.  ``extra_cols`` (e.g.
+    ``", source"``) carries additional document columns through the CTE chain
+    so composing oracles (pipeline source cap) can rank within them."""
+    return f"""
 WITH t AS (
-  SELECT doc_id,
+  SELECT doc_id{extra_cols},
          string_split_regex(lower(text), '\\s+') AS words,
          length(text) AS n_chars
   FROM documents
 ), m AS (
-  SELECT doc_id,
+  SELECT doc_id{extra_cols},
          len(words) AS n_tokens,
          n_chars - (len(words) - 1) AS chars_adj,
          len(list_filter(words, w -> w IN ('{_STOP_SQL}'))) AS stop_hits
   FROM t
 ), b AS (
-  SELECT doc_id, n_tokens,
+  SELECT doc_id{extra_cols}, n_tokens,
          CAST(floor(10000.0 * chars_adj / (8 * n_tokens)) AS BIGINT) AS mwl_bp,
          least(10000, n_tokens * 100) AS len_bp,
          least(10000, CAST(floor(10000.0 * stop_hits * 5 / n_tokens) AS BIGINT)) AS stop_bp,
@@ -105,12 +125,15 @@ WITH t AS (
          CAST(floor(10000.0 * stop_hits / n_tokens) AS BIGINT) AS stopword_bp
   FROM m
 )
-SELECT doc_id, n_tokens, mean_word_len_bp, stopword_bp,
+SELECT doc_id{extra_cols}, n_tokens, mean_word_len_bp, stopword_bp,
        CAST(floor(CASE WHEN n_tokens < 5 THEN 0 ELSE
          (len_bp * 5 + least(10000, mwl_bp) * 3 + (10000 - stop_bp) * 2) / 10.0
        END) AS BIGINT) AS quality_bp
 FROM b
 """
+
+
+ORACLE_QUALITY = oracle_quality_sql()
 
 
 # -- language ID: function-word density heuristic --------------------------------
@@ -224,9 +247,54 @@ GROUP BY lang
 """
 
 
+# -- PII redaction: mask matches, emit auditable redacted fingerprints -----------
+
+
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The redaction (not just detection) shape: rewrite the text with every
+    match masked, and emit what an audit trail needs — per-doc redaction
+    count, redacted length, and a fingerprint of the redacted text (so the
+    downstream corpus can verify it never saw the raw form).  Map-only:
+    `regexp_replace` / `regexp_extract_all` are JVM codegen expressions; at
+    100 TB this runs as a pure scan-project with zero shuffles, and the
+    output parquet is the redacted corpus itself (here reduced to the audit
+    columns so the oracle hash stays small)."""
+    docs = read_table(spark, sf_dir, "documents")
+    masked = F.regexp_replace(
+        F.regexp_replace("text", F.lit(SCAN_EMAIL_PATTERN), F.lit("[EMAIL]")),
+        F.lit(SCAN_TERM_PATTERN),
+        F.lit("[TERM]"),
+    )
+    n_red = F.size(F.regexp_extract_all("text", F.lit(SCAN_TERM_PATTERN), F.lit(0))) + F.size(
+        F.regexp_extract_all("text", F.lit(SCAN_EMAIL_PATTERN), F.lit(0))
+    )
+    return docs.select(
+        "doc_id",
+        n_red.cast("long").alias("n_redactions"),
+        F.length(masked).cast("long").alias("n_chars_redacted"),
+        F.md5(masked).alias("redacted_hash"),
+    )
+
+
+ORACLE_PII_REDACT = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{SCAN_TERM_PATTERN}'))
+            + len(regexp_extract_all(text, '{SCAN_EMAIL_PATTERN}')) AS BIGINT) AS n_redactions,
+       CAST(length(masked) AS BIGINT) AS n_chars_redacted,
+       md5(masked) AS redacted_hash
+FROM (
+  SELECT doc_id, text,
+         regexp_replace(regexp_replace(text, '{SCAN_EMAIL_PATTERN}', '[EMAIL]', 'g'),
+                        '{SCAN_TERM_PATTERN}', '[TERM]', 'g') AS masked
+  FROM documents
+)
+"""
+
+
 QUERIES = {
     "text_token_counts": text_token_counts,
     "text_pattern_scan": text_pattern_scan,
+    "text_pii_redact": text_pii_redact,
     "text_quality": text_quality,
     "text_lang_id": text_lang_id,
     "text_fingerprint": text_fingerprint,
@@ -235,6 +303,7 @@ QUERIES = {
 ORACLES = {
     "text_token_counts": ORACLE_TOKEN_COUNTS,
     "text_pattern_scan": ORACLE_PATTERN_SCAN,
+    "text_pii_redact": ORACLE_PII_REDACT,
     "text_quality": ORACLE_QUALITY,
     "text_lang_id": ORACLE_LANG_ID,
     "text_fingerprint": ORACLE_FINGERPRINT,
