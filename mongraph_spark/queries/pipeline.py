@@ -375,10 +375,10 @@ def pipeline_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_PACK_CHUNKS = f"""
 SELECT doc_id, source, n_tokens,
-       cum_before // {CHUNK_TOKENS} AS first_chunk,
-       (cum_before + n_tokens - 1) // {CHUNK_TOKENS} AS last_chunk,
-       (cum_before + n_tokens - 1) // {CHUNK_TOKENS} - cum_before // {CHUNK_TOKENS} + 1
-         AS n_chunks_spanned
+       CAST(cum_before // {CHUNK_TOKENS} AS BIGINT) AS first_chunk,
+       CAST((cum_before + n_tokens - 1) // {CHUNK_TOKENS} AS BIGINT) AS last_chunk,
+       CAST((cum_before + n_tokens - 1) // {CHUNK_TOKENS}
+            - cum_before // {CHUNK_TOKENS} + 1 AS BIGINT) AS n_chunks_spanned
 FROM (
   SELECT doc_id, source,
          len(string_split(text, ' ')) AS n_tokens,
