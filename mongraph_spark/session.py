@@ -65,6 +65,9 @@ class Mongraph:
         self.store: GraphStore = self.catalog
         self._schemas: dict[str, CollectionSchema] = {}
         self._oid_seq = itertools.count(1)
+        # rel_id <-> mirror rel_id pairing for relationships.bidirectional,
+        # so deletes matched on one direction also remove the mirror row
+        self._mirror_rels: dict[int, int] = {}
 
     # -- bulk/analytics construction -------------------------------------------
 
@@ -212,11 +215,17 @@ class Mongraph:
             a.id, b.id, type_, attrs, _from=_from, _to=_to, _created_at=created
         )
         if rel_opts.get("bidirectional"):
-            # reference src/mongraph.coffee:25: with relationships.bidirectional
-            # set, every created edge is mirrored in the reverse direction
-            self.catalog.insert_edge(
+            # Our interpretation of the declared option (reference
+            # src/mongraph.coffee:25 declares relationships.bidirectional but
+            # never consumes it — two-way edges there exist only via explicit
+            # createRelationshipBetween): every created edge gets a reverse
+            # mirror row.  The pairing is remembered so a traversal-matched
+            # DELETE of either direction also removes its mirror.
+            mirror = self.catalog.insert_edge(
                 b.id, a.id, type_, attrs, _from=_to, _to=_from, _created_at=created
             )
+            self._mirror_rels[row["rel_id"]] = mirror["rel_id"]
+            self._mirror_rels[mirror["rel_id"]] = row["rel_id"]
         rel = Relationship(
             row["rel_id"], a.id, b.id, type_, attrs, _from, _to, row["_created_at"]
         )
@@ -226,6 +235,15 @@ class Mongraph:
 
     def delete_edges(self, tq: TraversalQuery) -> int:
         rel_ids = tq.matching_rel_ids(self.store)
+        if self._mirror_rels:
+            # bidirectional mode: a match on one direction deletes both rows
+            rel_ids = list(rel_ids)
+            rel_ids += [
+                self._mirror_rels[r] for r in rel_ids if r in self._mirror_rels
+            ]
+            rel_ids = list(dict.fromkeys(rel_ids))
+            for r in rel_ids:
+                self._mirror_rels.pop(r, None)
         return self.catalog.delete_edges(rel_ids)
 
     # -- read path: traversal + populate ----------------------------------------------

@@ -88,12 +88,15 @@ def upsert(
     Duplicate keys *within* the update batch resolve to the last writer:
     highest ``order_col`` if given, else an arbitrary-but-deterministic
     max over the remaining columns (mirrors the reference's last-save-wins
-    document semantics)."""
-    w = Window.partitionBy(key).orderBy(
-        F.desc(order_col) if order_col else F.desc(F.struct(*[
-            c for c in updates.columns if c != key
-        ]))
-    )
+    document semantics; a key-only frame needs no tie-break at all)."""
+    non_key = [c for c in updates.columns if c != key]
+    if order_col is not None:
+        order = F.desc(order_col)
+    elif non_key:
+        order = F.desc(F.struct(*non_key))
+    else:
+        order = F.asc(key)  # key-only rows are identical; any order dedupes
+    w = Window.partitionBy(key).orderBy(order)
     deduped = (
         updates.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -104,7 +107,14 @@ def upsert(
         merged = deduped
     else:
         keys = deduped.select(key)
-        survivors = base.join(F.broadcast(keys), key, "left_anti")
+        # The common case is a trickle of saves against a huge base, where
+        # broadcasting the key set skips shuffling the base entirely.  A big
+        # batch must NOT be forced driver-side, so the hint is size-gated;
+        # above the threshold AQE picks the strategy from runtime stats.
+        n_updates = keys.count()
+        if n_updates <= 1_000_000:
+            keys = F.broadcast(keys)
+        survivors = base.join(keys, key, "left_anti")
         merged = survivors.unionByName(deduped)
     ver = _next_version(root)
     merged.write.mode("errorifexists").parquet(os.path.join(root, ver))
@@ -114,12 +124,16 @@ def upsert(
 
 def delete_where(spark: SparkSession, root: str, condition) -> str:
     """Delete rows matching ``condition`` (a Column) by rewriting the
-    survivors into the next version."""
+    survivors into the next version.
+
+    SQL DELETE semantics: only rows where the predicate is TRUE are removed.
+    A bare ``filter(~condition)`` would also drop NULL-predicate rows (e.g. a
+    comparison against a NULL column), so NULL is coalesced to "keep"."""
     base = read_current(spark, root)
     if base is None:
         raise ValueError(f"no current version under {root}")
     ver = _next_version(root)
-    base.filter(~condition).write.mode("errorifexists").parquet(
+    base.filter(~F.coalesce(condition, F.lit(False))).write.mode("errorifexists").parquet(
         os.path.join(root, ver)
     )
     _flip(root, ver)

@@ -49,6 +49,15 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
         # reader rejects unless this (runtime-settable) SQLConf is on.  Set it
         # here rather than at session build so the read works under ANY
         # session — including the evaluation driver's vanilla one.
+        #
+        # SESSION-GLOBAL side effect, by necessity: the conf is consulted
+        # again at task execution time (per-file footer conversion), so a
+        # save/restore around this call would break the returned DataFrame's
+        # later actions.  Consequence for other readers: any OTHER parquet
+        # column physically typed TIMESTAMP(NANOS) read in the same session
+        # scans as a raw long (ns epoch) instead of raising
+        # PARQUET_TYPE_ILLEGAL — convert it as normalize_event_ts does.  No
+        # non-nanos type is affected.  In this repo only events.ts is nanos.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
@@ -90,18 +99,46 @@ def salted_join(facts, dim, key: str, n_salts: int = 16, how: str = "inner"):
     Result is row-identical to ``facts.join(dim, key, how)`` — salting is
     pure placement.  Supported ``how``: inner / left (the fact-preserving
     shapes; right/full would need the dim side de-replicated).
+
+    The helper column name is collision-checked against both inputs (a
+    plain ``withColumn("_salt", ...)`` would silently overwrite a real
+    ``_salt`` column), and the hash input skips map-typed columns —
+    ``xxhash64`` rejects MapType at any nesting depth.  If nothing but the
+    key is hashable the join falls back to the plain (unsalted) form: a
+    key-only hash would put every row of a hot key on ONE salt, which is
+    worse than no salting (n_salts× dim replication for zero scatter).
     """
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
-    salt = F.pmod(F.xxhash64(*facts.columns), F.lit(n_salts)).alias("_salt")
-    salted_facts = facts.withColumn("_salt", salt)
+
+    def hashable(dt) -> bool:
+        if isinstance(dt, T.MapType):
+            return False
+        if isinstance(dt, T.ArrayType):
+            return hashable(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return all(hashable(f.dataType) for f in dt.fields)
+        return True
+
+    hash_cols = [f.name for f in facts.schema.fields if hashable(f.dataType)]
+    if hash_cols == [key] or not hash_cols:
+        return facts.join(dim, key, how)
+
+    salt_col = "_salt"
+    taken = set(facts.columns) | set(dim.columns)
+    while salt_col in taken:
+        salt_col += "_"
+
+    salt = F.pmod(F.xxhash64(*hash_cols), F.lit(n_salts))
+    salted_facts = facts.withColumn(salt_col, salt)
     replicated_dim = dim.withColumn(
-        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+        salt_col, F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
     return (
-        salted_facts.join(replicated_dim, [key, "_salt"], how).drop("_salt")
+        salted_facts.join(replicated_dim, [key, salt_col], how).drop(salt_col)
     )
 
 

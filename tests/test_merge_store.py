@@ -83,3 +83,33 @@ def test_reader_pins_version_across_writes(spark, tmp_path):
         "v_00000",
         "v_00001",
     ]
+
+
+def test_delete_where_keeps_null_predicate_rows(spark, tmp_path):
+    """SQL DELETE semantics: only TRUE-predicate rows go; a NULL predicate
+    (comparison on a NULL column) must keep the row, not delete it."""
+    root = str(tmp_path / "tbl")
+    init_table(
+        spark.createDataFrame(
+            [(1, 10), (2, None), (3, 99)], "id long, score long"
+        ),
+        root,
+    )
+    delete_where(spark, root, F.col("score") > 50)
+    got = sorted(r.id for r in read_current(spark, root).collect())
+    assert got == [1, 2]  # id=2 (NULL score) survives; only id=3 deleted
+
+
+def test_upsert_key_only_updates(spark, tmp_path):
+    """A key-only update batch (no tie-break columns) must not raise on the
+    empty-struct ordering path."""
+    root = str(tmp_path / "tbl")
+    init_table(spark.createDataFrame([(1,), (2,)], "id long"), root)
+    upsert(
+        spark,
+        root,
+        spark.createDataFrame([(2,), (2,), (3,)], "id long"),
+        key="id",
+    )
+    got = sorted(r.id for r in read_current(spark, root).collect())
+    assert got == [1, 2, 3]

@@ -393,3 +393,31 @@ def test_bidirectional_edges(spark):
     c.create_relationship_to(d, "knows")
     assert eng2.count_edges() == 1
     assert len(c.incoming_relationships("knows")) == 0
+
+
+def test_bidirectional_delete_removes_mirror(spark):
+    """Deleting relationships matched in ONE direction must also remove the
+    mirror rows created by relationships.bidirectional — no orphaned
+    reverse edges."""
+    from mongraph_spark import Mongraph
+    from mongraph_spark.schema import CollectionSchema, FieldSpec
+
+    eng = Mongraph(spark, relationships={"bidirectional": True})
+    eng.register_collection(
+        CollectionSchema(name="people", fields={"name": FieldSpec(type=str, graph=True)})
+    )
+    a = eng.create_document("people", {"name": "a"}).save()
+    b = eng.create_document("people", {"name": "b"}).save()
+    c = eng.create_document("people", {"name": "c"}).save()
+    a.create_relationship_to(b, "knows")
+    a.create_relationship_to(c, "likes")
+    assert eng.count_edges() == 4  # two logical edges, two mirror rows
+
+    # matched as a->b outgoing only; the b->a mirror must go too
+    a.remove_relationships_to(b, "knows")
+    assert eng.count_edges() == 2
+    assert len(b.outgoing_relationships("knows")) == 0
+    assert len(a.incoming_relationships("knows")) == 0
+    # the unrelated bidirectional pair survives intact
+    assert len(a.outgoing_relationships("likes")) == 1
+    assert len(c.outgoing_relationships("likes")) == 1

@@ -247,3 +247,40 @@ def test_salted_join_row_identical_and_splits_hot_key(spark):
     assert sorted(map(tuple, plain_l.fillna(-1).collect())) == sorted(
         map(tuple, salted_l.fillna(-1).collect())
     )
+
+
+def test_salted_join_survives_salt_name_collision_and_map_columns(spark):
+    """A pre-existing ``_salt`` column on either input must come through the
+    join intact (the helper picks a fresh name), and map-typed fact columns
+    must not break the xxhash64 salt (maps are unhashable in Spark)."""
+    from mongraph_spark.sparkutil import salted_join
+
+    facts = spark.range(200).select(
+        (F.col("id") % 5).alias("k"),
+        F.col("id").alias("payload"),
+        (F.col("id") * 2).alias("_salt"),  # user column named _salt
+        F.create_map(F.lit("a"), F.col("id")).alias("attrs"),  # map-typed
+    )
+    dim = spark.range(5).select(F.col("id").alias("k"), (F.col("id") + 100).alias("v"))
+
+    out = salted_join(facts, dim, "k", n_salts=8)
+    assert "_salt" in out.columns and "attrs" in out.columns
+    plain = facts.join(dim, "k")
+    key = lambda r: (r["k"], r["payload"], r["_salt"], r["v"])
+    assert sorted(map(key, out.collect())) == sorted(map(key, plain.collect()))
+    # the user's _salt values are untouched
+    assert all(r["_salt"] == r["payload"] * 2 for r in out.collect())
+
+
+def test_salted_join_key_only_facts_falls_back_to_plain(spark):
+    """When nothing but the key is hashable, salting cannot scatter a hot
+    key — the helper must fall back to the plain join, still row-identical."""
+    from mongraph_spark.sparkutil import salted_join
+
+    facts = spark.range(100).select(
+        (F.col("id") % 3).alias("k"),
+        F.create_map(F.lit("x"), F.col("id")).alias("m"),
+    )
+    dim = spark.range(3).select(F.col("id").alias("k"), F.lit("d").alias("v"))
+    out = salted_join(facts, dim, "k")
+    assert out.count() == 100
