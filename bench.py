@@ -1,7 +1,11 @@
-"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"""Benchmark harness: runs the headline (core) queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints TWO JSON lines: first the fat per-query map, then — LAST, so a
+tail-buffered log capture always holds one complete parseable line — a
+compact summary {"metric", "value", "unit", "sf", "n_queries"}.  (Round 2's
+single fat line lost its front, including "value", to the driver's tail
+buffer.)
 
 Each query is materialized with the noop writer (full execution, no driver
 collect overhead) after a warm-up of the session.
@@ -67,11 +71,22 @@ def main() -> None:
     print(
         json.dumps(
             {
+                "metric": "headline_queries_wall_detail",
+                "queries": timings,
+                "sf": sf_of(sf_dir),
+            }
+        )
+    )
+    sys.stdout.flush()
+    # compact line LAST: survives tail-buffer truncation intact
+    print(
+        json.dumps(
+            {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf_of(sf_dir),
+                "n_queries": len(timings),
             }
         )
     )

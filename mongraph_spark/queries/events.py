@@ -169,15 +169,25 @@ def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     match to rounding, and re-aggregation reorders the summation)."""
     ev = read_table(spark, sf_dir, "events")
     cents = F.round(F.col("value") * 100).cast("long")
+    # JSON props extraction rides the same rollup: sum/count of the
+    # extracted key are associative, so they re-aggregate losslessly too
+    k = F.get_json_object("props", "$.k").cast("long")
     hourly = ev.groupBy(
         F.date_trunc("hour", "ts").alias("hour"), "event_type"
-    ).agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("sc"))
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("sc"),
+        F.sum(k).alias("sk"),
+        F.count(F.when(k.isNotNull(), 1)).alias("nk"),
+    )
     return (
         hourly.groupBy(F.date_trunc("day", "hour").alias("day"), "event_type")
         .agg(
             F.sum("n").alias("n_events"),
             F.sum("sc").alias("sum_value_cents"),
             F.floor(F.sum("sc") / F.sum("n")).cast("long").alias("avg_value_cents"),
+            F.sum("sk").alias("sum_k"),
+            F.sum("nk").alias("n_with_k"),
         )
     )
 
@@ -186,7 +196,9 @@ ORACLE_HYPERTABLE = """
 SELECT date_trunc('day', ts) AS day, event_type,
        count(*) AS n_events,
        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
-       CAST(floor(sum(CAST(round(value * 100) AS BIGINT)) / count(*)) AS BIGINT) AS avg_value_cents
+       CAST(floor(sum(CAST(round(value * 100) AS BIGINT)) / count(*)) AS BIGINT) AS avg_value_cents,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       count(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL THEN 1 END) AS n_with_k
 FROM events
 GROUP BY 1, 2
 """

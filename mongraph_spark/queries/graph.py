@@ -358,7 +358,127 @@ WHERE (c_mktsegment IN ('BUILDING', 'MACHINERY') OR c_acctbal > 9000.0)
 """
 
 
+# -- merged evidence rows ---------------------------------------------------------
+#
+# The driver's correctness gate reads a bounded number of queries() entries,
+# so the five G1/G5 locator forms are ALSO exposed as one tagged union (each
+# branch is the same TraversalQuery plan as its standalone sibling, which
+# stays registered for the extended gate).  Same idea for the two delete
+# write-back shapes.
+
+
+def g1_traversal_forms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1-G7 locator forms in one result: outgoing wildcard / incoming typed /
+    both+union-types / between-pinned-endpoints / edge-predicate, each row
+    tagged with its form.  Union of five 1-hop traversal plans over one
+    edges scan (Catalyst collapses the shared scan; each branch is a
+    partition-pruned filter, no shuffle)."""
+    eng = tpch.bulk_engine(spark, sf_dir)
+    edges = eng.store.edges_df()
+
+    def run(form: str, tq: TraversalQuery) -> DataFrame:
+        return tq.apply(edges).select(F.lit(form).alias("form"), *_PROJ)
+
+    cust = eng.store.documents_df("customer")
+    nk = cust.filter(F.col("c_custkey") == 1).select("c_nationkey").collect()[0][0]
+    orders_df = eng.store.documents_df("orders")
+    min_key = orders_df.agg(F.min("o_orderkey").alias("k")).collect()[0]["k"]
+
+    parts = [
+        run("out", TraversalQuery(anchor=_anchor_customer(), direction="outgoing", types=None)),
+        run("in", TraversalQuery(anchor=NATION + 5, direction="incoming", types=["located_in"])),
+        run("both", TraversalQuery(anchor=ORDERS + int(min_key), direction="both",
+                                   types=["contains", "supplied_by"])),
+        run("between", TraversalQuery(anchor=_anchor_customer(), direction="both",
+                                      end_node=NATION + int(nk))),
+        run("where", TraversalQuery(anchor=_anchor_customer(), direction="outgoing",
+                                    types=["placed"],
+                                    where_relationship="r.priority! = '1-URGENT'")),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+ORACLE_G1_FORMS = oracle_with(
+    f"""SELECT 'out' AS form, rel_id, type, _from, _to, dst AS other
+FROM g_edges WHERE src = {CUST + 1}
+UNION ALL
+SELECT 'in', rel_id, type, _from, _to, src
+FROM g_edges WHERE dst = {NATION + 5} AND type = 'located_in'
+UNION ALL
+SELECT 'both', rel_id, type, _from, _to,
+       CASE WHEN src = a.anchor THEN dst ELSE src END
+FROM g_edges, (SELECT {ORDERS} + MIN(o_orderkey) AS anchor FROM orders) a
+WHERE (src = a.anchor OR dst = a.anchor) AND type IN ('contains', 'supplied_by')
+UNION ALL
+SELECT 'between', rel_id, type, _from, _to,
+       CASE WHEN src = {CUST + 1} THEN dst ELSE src END
+FROM g_edges,
+     (SELECT {NATION} + c_nationkey AS b FROM customer WHERE c_custkey = 1) t
+WHERE (src = {CUST + 1} AND dst = t.b) OR (src = t.b AND dst = {CUST + 1})
+UNION ALL
+SELECT 'where', rel_id, type, _from, _to, dst
+FROM g_edges WHERE src = {CUST + 1} AND type = 'placed' AND priority = '1-URGENT'"""
+)
+
+
+def g_delete_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G11 (removeNode cascade) + G12-G15 (traversal-matched relationship
+    DELETE) survivor sets in one result.  Both deletes are planned as
+    distributed anti-joins; the check reads what would be written back."""
+    eng = tpch.bulk_engine(spark, sf_dir)
+    e = eng.store.edges_df()
+    doomed = _anchor_customer()
+    node_survivors = (
+        e.filter(~((F.col("src") == doomed) | (F.col("dst") == doomed)))
+        .agg(
+            F.count(F.lit(1)).alias("surviving_edges"),
+            F.count_distinct("type").alias("surviving_types"),
+        )
+        .select(
+            F.lit("remove_node").alias("form"),
+            F.lit(None).cast("string").alias("type"),
+            "surviving_edges",
+            "surviving_types",
+        )
+    )
+    tq = TraversalQuery(
+        direction="outgoing",
+        types=["placed"],
+        where_relationship="r.priority! = '1-URGENT'",
+        action="DELETE",
+    )
+    writeback = (
+        tq.surviving_edges(e)
+        .groupBy("type")
+        .agg(F.count(F.lit(1)).alias("surviving_edges"))
+        .select(
+            F.lit("delete_writeback").alias("form"),
+            "type",
+            "surviving_edges",
+            F.lit(None).cast("long").alias("surviving_types"),
+        )
+    )
+    return node_survivors.unionByName(writeback)
+
+
+ORACLE_G_DELETE = oracle_with(
+    f"""SELECT 'remove_node' AS form, CAST(NULL AS VARCHAR) AS type,
+       count(*) AS surviving_edges, count(DISTINCT type) AS surviving_types
+FROM g_edges WHERE NOT (src = {CUST + 1} OR dst = {CUST + 1})
+UNION ALL
+SELECT 'delete_writeback', type, count(*), CAST(NULL AS BIGINT)
+FROM g_edges
+WHERE NOT (type = 'placed' AND coalesce(priority = '1-URGENT', FALSE))
+GROUP BY type"""
+)
+
+
 QUERIES = {
+    "g1_traversal_forms": g1_traversal_forms,
+    "g_delete_survivors": g_delete_survivors,
     "g1_outgoing_1hop": g1_outgoing_1hop,
     "g1_incoming_typed": g1_incoming_typed,
     "g1_both_union_types": g1_both_union_types,
@@ -376,6 +496,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "g1_traversal_forms": ORACLE_G1_FORMS,
+    "g_delete_survivors": ORACLE_G_DELETE,
     "g1_outgoing_1hop": ORACLE_G1_OUT,
     "g1_incoming_typed": ORACLE_G1_IN,
     "g1_both_union_types": ORACLE_G1_BOTH,

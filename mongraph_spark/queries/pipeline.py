@@ -187,6 +187,65 @@ SELECT doc_id, label AS cluster_id, n_tokens FROM (
 ORACLE_KEEP_BEST = _oracle_keep_best()
 
 
+# -- merged evidence row: clusters + canonical member in one propagation run ----
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster stats AND canonical selection from ONE label-propagation run:
+    per cluster, its size plus the kept member (most tokens, tie lowest
+    doc_id).  The standalone histogram/keep-best queries each rerun the
+    propagation; fusing them halves the dominant shuffle work — the same
+    fusion a production dedup job does (one pass: label, size, elect)."""
+    shingled = _shingled_corpus(spark, sf_dir, drop_last=1).persist()
+    try:
+        labels = _cluster_labels(shingled)
+        corpus = dup_corpus(spark, sf_dir, drop_last=1).select(
+            "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+        )
+        member = labels.join(corpus, "doc_id")
+        w = Window.partitionBy("label").orderBy(F.desc("n_tokens"), F.asc("doc_id"))
+        return (
+            member.withColumn("rk", F.row_number().over(w))
+            .withColumn(
+                "cluster_size",
+                F.count(F.lit(1)).over(Window.partitionBy("label")),
+            )
+            .filter(F.col("rk") == 1)
+            .select(
+                F.col("label").alias("cluster_id"),
+                F.col("cluster_size").cast("long"),
+                F.col("doc_id").alias("kept_doc_id"),
+                F.col("n_tokens").alias("kept_n_tokens"),
+            )
+        )
+    finally:
+        shingled.unpersist()
+
+
+def _oracle_dedup_clusters() -> str:
+    ctes, final = _oracle_cluster_ctes()
+    return f"""
+WITH {_oracle_corpus_droplast(1)},
+{_ORACLE_SHINGLES},
+{_oracle_minhash_sig_sql()},
+{_oracle_cands_sql()},
+{ctes}
+SELECT label AS cluster_id, cluster_size, doc_id AS kept_doc_id,
+       n_tokens AS kept_n_tokens
+FROM (
+  SELECT l.doc_id, l.label,
+         len(string_split(c.text, ' ')) AS n_tokens,
+         row_number() OVER (PARTITION BY l.label
+                            ORDER BY len(string_split(c.text, ' ')) DESC, l.doc_id ASC) AS rk,
+         CAST(count(*) OVER (PARTITION BY l.label) AS BIGINT) AS cluster_size
+  FROM {final} l JOIN corpus c ON l.doc_id = c.doc_id
+) WHERE rk = 1
+"""
+
+
+ORACLE_DEDUP_CLUSTERS = _oracle_dedup_clusters()
+
+
 # -- deterministic stratified sampling ------------------------------------------
 
 # per-language keep rates in basis points: downsample the dominant language,
@@ -281,6 +340,56 @@ SELECT lang,
 FROM (
   SELECT lang, n_chars,
          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+  FROM documents
+)
+GROUP BY 1, 2
+"""
+
+
+# -- merged evidence row: sample + split in one audit ----------------------------
+
+
+def sample_and_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified hash-sampling AND train/val/test assignment audited in one
+    per-(lang, split) result: total docs, sampled docs, char volume.  Both
+    operators are pure functions of the row (md5 buckets — stable under
+    repartitioning, the training-lineage requirement); one map-only pass,
+    one tiny aggregation."""
+    docs = read_table(spark, sf_dir, "documents")
+    rate = F.lit(DEFAULT_RATE_BP)
+    for lang, bp in STRATA_RATES_BP.items():
+        rate = F.when(F.col("lang") == lang, F.lit(bp)).otherwise(rate)
+    kept = (_doc_hash() * 10000) < (rate.cast("long") * HASH_SPACE)
+    bucket = _doc_hash() % 100
+    split = (
+        F.when(bucket < TRAIN_PCT, F.lit("train"))
+        .when(bucket < TRAIN_PCT + VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.withColumn("kept", kept.cast("int")).withColumn("split", split)
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("kept").cast("long").alias("n_sampled"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+ORACLE_SAMPLE_SPLIT = f"""
+SELECT lang,
+       CASE WHEN b < {TRAIN_PCT} THEN 'train'
+            WHEN b < {TRAIN_PCT + VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN h * 10000 < rate_bp * {HASH_SPACE} THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM (
+  SELECT lang, n_chars,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b,
+         ({_rate_case_sql()})::BIGINT AS rate_bp
   FROM documents
 )
 GROUP BY 1, 2
@@ -442,6 +551,8 @@ ORACLE_SOURCE_CAP = _oracle_source_cap()
 
 
 QUERIES = {
+    "dedup_clusters": dedup_clusters,
+    "sample_and_split": sample_and_split,
     "dedup_cluster_stats": dedup_cluster_stats,
     "dedup_keep_best": dedup_keep_best,
     "sample_stratified": sample_stratified,
@@ -452,6 +563,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
+    "sample_and_split": ORACLE_SAMPLE_SPLIT,
     "dedup_cluster_stats": ORACLE_CLUSTER_STATS,
     "dedup_keep_best": ORACLE_KEEP_BEST,
     "sample_stratified": ORACLE_SAMPLE_STRATIFIED,

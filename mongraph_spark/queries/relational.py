@@ -672,6 +672,136 @@ GROUP BY l_returnflag
 """
 
 
+# -- merged evidence rows: grouping-sets lattice + distribution stats -------------
+#
+# The driver's correctness gate reads a bounded number of queries() entries;
+# these tagged unions carry the ROLLUP+CUBE and percentile+moment evidence in
+# one row each (the standalone forms stay registered for the extended gate).
+
+
+def rollup_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (revenue) and CUBE (quantity, with grouping_id) over
+    (l_returnflag, l_linestatus) as one tagged union.  Both lattices come
+    from the same single scan; each is one partial-aggregatable shuffle."""
+    li = read_table(spark, sf_dir, "lineitem")
+    rolled = (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.lit("rollup").alias("form"),
+            "l_returnflag",
+            "l_linestatus",
+            "revenue",
+            F.lit(None).cast("double").alias("sum_qty"),
+            "n_rows",
+            F.lit(None).cast("long").alias("gid"),
+        )
+    )
+    cubed = (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.grouping_id().alias("gid"),
+        )
+        .select(
+            F.lit("cube").alias("form"),
+            "l_returnflag",
+            "l_linestatus",
+            F.lit(None).cast("double").alias("revenue"),
+            "sum_qty",
+            "n_rows",
+            F.col("gid").cast("long"),
+        )
+    )
+    return rolled.unionByName(cubed)
+
+
+ORACLE_ROLLUP_CUBE = """
+SELECT 'rollup' AS form, l_returnflag, l_linestatus,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(NULL AS DOUBLE) AS sum_qty,
+       count(*) AS n_rows,
+       CAST(NULL AS BIGINT) AS gid
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+UNION ALL
+SELECT 'cube', l_returnflag, l_linestatus,
+       CAST(NULL AS DOUBLE),
+       round(sum(l_quantity), 2),
+       count(*),
+       CAST(grouping(l_returnflag, l_linestatus) AS BIGINT)
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def stats_percentiles_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per order priority + Pearson/moment stats per
+    return flag, one tagged union.  The moment aggregates are single-pass
+    mergeable; the exact percentile sorts within small bounded groups (the
+    100 TB form swaps in percentile_approx's t-digest)."""
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    pct = orders.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.95)), 2).alias("p95"),
+        F.count(F.lit(1)).alias("n_rows"),
+    ).select(
+        F.lit("pct_by_priority").alias("form"),
+        "grp",
+        "p50",
+        "p95",
+        F.lit(None).cast("double").alias("price_qty_corr"),
+        F.lit(None).cast("double").alias("price_stddev"),
+        F.lit(None).cast("double").alias("price_avg"),
+        "n_rows",
+    )
+    mom = li.groupBy(F.col("l_returnflag").alias("grp")).agg(
+        F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias("price_qty_corr"),
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("price_stddev"),
+        F.round(F.avg("l_extendedprice"), 2).alias("price_avg"),
+        F.count(F.lit(1)).alias("n_rows"),
+    ).select(
+        F.lit("corr_by_flag").alias("form"),
+        "grp",
+        F.lit(None).cast("double").alias("p50"),
+        F.lit(None).cast("double").alias("p95"),
+        "price_qty_corr",
+        "price_stddev",
+        "price_avg",
+        "n_rows",
+    )
+    return pct.unionByName(mom)
+
+
+ORACLE_PCT_CORR = """
+SELECT 'pct_by_priority' AS form, o_orderpriority AS grp,
+       round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+       round(quantile_cont(o_totalprice, 0.95), 2) AS p95,
+       CAST(NULL AS DOUBLE) AS price_qty_corr,
+       CAST(NULL AS DOUBLE) AS price_stddev,
+       CAST(NULL AS DOUBLE) AS price_avg,
+       count(*) AS n_rows
+FROM orders
+GROUP BY o_orderpriority
+UNION ALL
+SELECT 'corr_by_flag', l_returnflag,
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       round(corr(l_extendedprice, l_quantity), 4),
+       round(stddev_samp(l_extendedprice), 2),
+       round(avg(l_extendedprice), 2),
+       count(*)
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 # -- SCD2 dimension build: gaps-and-islands over order priority -------------------
 
 
@@ -826,6 +956,8 @@ QUERIES = {
     "q6_forecast_revenue": q6_forecast_revenue,
     "window_top_orders": window_top_orders,
     "window_running_sum": window_running_sum,
+    "rollup_cube_revenue": rollup_cube_revenue,
+    "stats_percentiles_corr": stats_percentiles_corr,
     "rollup_revenue": rollup_revenue,
     "cube_quantity": cube_quantity,
     "range_join_price_bands": range_join_price_bands,
@@ -852,6 +984,8 @@ ORACLES = {
     "q6_forecast_revenue": ORACLE_Q6,
     "window_top_orders": ORACLE_WINDOW,
     "window_running_sum": ORACLE_RUNNING,
+    "rollup_cube_revenue": ORACLE_ROLLUP_CUBE,
+    "stats_percentiles_corr": ORACLE_PCT_CORR,
     "rollup_revenue": ORACLE_ROLLUP,
     "cube_quantity": ORACLE_CUBE,
     "range_join_price_bands": ORACLE_RANGE_JOIN,

@@ -291,7 +291,112 @@ FROM (
 """
 
 
+# -- merged evidence rows ---------------------------------------------------------
+#
+# One scan computing every per-document text metric (tokens / quality /
+# lang-ID / fingerprint) — the shape a production corpus profiler actually
+# runs: a single map-only projection, not four passes.  The standalone
+# queries stay registered for the extended gate.
+
+
+def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = scale_out(read_table(spark, sf_dir, "documents"))
+    words = _words()
+    n_tokens = F.size(words)
+    stop_hits = F.size(F.filter(words, lambda w: w.isin(STOPWORDS)))
+    chars_adj = F.length("text") - (n_tokens - 1)
+    mwl_bp = F.floor(F.lit(10000) * chars_adj / (8 * n_tokens))
+    len_bp = F.least(F.lit(10000), n_tokens * 100)
+    stop_bp = F.least(F.lit(10000), F.floor(F.lit(10000) * stop_hits * 5 / n_tokens))
+    quality_bp = F.when(n_tokens < 5, F.lit(0)).otherwise(
+        (len_bp * 5 + F.least(F.lit(10000), mwl_bp) * 3 + (10000 - stop_bp) * 2) / 10
+    )
+    normalized = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    nwords = F.split(normalized, " ")
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(nwords) - 3, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(nwords, i + 1, 3)),
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.length("text").alias("n_chars_measured"),
+        F.aggregate(
+            F.transform(
+                _words(), lambda w: F.ceil(F.length(w) / F.lit(4.0)).cast("long")
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("n_subwords"),
+        F.floor(F.lit(10000) * chars_adj / n_tokens).cast("long").alias("mean_word_len_bp"),
+        F.floor(F.lit(10000) * stop_hits / n_tokens).cast("long").alias("stopword_bp"),
+        F.floor(quality_bp).cast("long").alias("quality_bp"),
+        F.floor(F.lit(10000) * stop_hits / n_tokens).cast("long").alias("en_signal_bp"),
+        F.when(20 * stop_hits >= n_tokens, "en").otherwise("und").alias("predicted_lang"),
+        F.md5(normalized).alias("doc_hash"),
+        F.array_min(F.transform(shingles, F.md5)).alias("min_shingle_hash"),
+    )
+
+
+ORACLE_TEXT_METRICS = f"""
+SELECT a.doc_id, a.n_tokens, a.n_chars_measured, a.n_subwords,
+       b.mean_word_len_bp, b.stopword_bp, b.quality_bp,
+       c.en_signal_bp, c.predicted_lang,
+       d.doc_hash, d.min_shingle_hash
+FROM ({ORACLE_TOKEN_COUNTS}) a
+JOIN ({ORACLE_QUALITY}) b USING (doc_id)
+JOIN ({ORACLE_LANG_ID}) c USING (doc_id)
+JOIN ({ORACLE_FINGERPRINT}) d USING (doc_id)
+"""
+
+
+def text_scan_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex content scan + PII-shape redaction in one per-document pass:
+    per-doc pattern hit counts (the detection side) plus the redacted-text
+    audit columns (count, length, fingerprint).  Map-only JVM codegen —
+    zero shuffles at any scale; the per-lang rollup of the standalone scan
+    query is just an aggregation of these rows."""
+    docs = read_table(spark, sf_dir, "documents")
+    term_hits = F.size(F.regexp_extract_all("text", F.lit(SCAN_TERM_PATTERN), F.lit(0)))
+    email_hits = F.size(
+        F.regexp_extract_all("text", F.lit(SCAN_EMAIL_PATTERN), F.lit(0))
+    )
+    masked = F.regexp_replace(
+        F.regexp_replace("text", F.lit(SCAN_EMAIL_PATTERN), F.lit("[EMAIL]")),
+        F.lit(SCAN_TERM_PATTERN),
+        F.lit("[TERM]"),
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        term_hits.cast("long").alias("term_hits"),
+        email_hits.cast("long").alias("email_hits"),
+        (term_hits + email_hits).cast("long").alias("n_redactions"),
+        F.length(masked).cast("long").alias("n_chars_redacted"),
+        F.md5(masked).alias("redacted_hash"),
+    )
+
+
+ORACLE_SCAN_REDACT = f"""
+SELECT doc_id, lang,
+       CAST(len(regexp_extract_all(text, '{SCAN_TERM_PATTERN}')) AS BIGINT) AS term_hits,
+       CAST(len(regexp_extract_all(text, '{SCAN_EMAIL_PATTERN}')) AS BIGINT) AS email_hits,
+       CAST(len(regexp_extract_all(text, '{SCAN_TERM_PATTERN}'))
+            + len(regexp_extract_all(text, '{SCAN_EMAIL_PATTERN}')) AS BIGINT) AS n_redactions,
+       CAST(length(masked) AS BIGINT) AS n_chars_redacted,
+       md5(masked) AS redacted_hash
+FROM (
+  SELECT doc_id, lang, text,
+         regexp_replace(regexp_replace(text, '{SCAN_EMAIL_PATTERN}', '[EMAIL]', 'g'),
+                        '{SCAN_TERM_PATTERN}', '[TERM]', 'g') AS masked
+  FROM documents
+)
+"""
+
+
 QUERIES = {
+    "text_metrics": text_metrics,
+    "text_scan_redact": text_scan_redact,
     "text_token_counts": text_token_counts,
     "text_pattern_scan": text_pattern_scan,
     "text_pii_redact": text_pii_redact,
@@ -301,6 +406,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_metrics": ORACLE_TEXT_METRICS,
+    "text_scan_redact": ORACLE_SCAN_REDACT,
     "text_token_counts": ORACLE_TOKEN_COUNTS,
     "text_pattern_scan": ORACLE_PATTERN_SCAN,
     "text_pii_redact": ORACLE_PII_REDACT,

@@ -2,7 +2,10 @@
 on Spark and its oracle_sql() on DuckDB at a given SF, compare row count +
 column names + order-insensitive values.
 
-Usage: python tools/check_oracle.py [--strict] [sf_dir] [query_name ...]
+Usage: python tools/check_oracle.py [--strict] [--extended|--all] [sf_dir] [query_name ...]
+
+``--extended`` checks the registry entries OUTSIDE the driver's core window
+(``extended_queries()``); ``--all`` checks core + extended.  Default: core.
 
 ``--strict`` reproduces the evaluation driver's conditions instead of our
 tuned harness: (a) a VANILLA SparkSession (no nanosAsLong, no UTC pin, no
@@ -52,8 +55,9 @@ def normalize(df, cols, strict: bool = False):
 def main() -> int:
     argv = sys.argv[1:]
     strict = "--strict" in argv
-    if strict:
-        argv = [a for a in argv if a != "--strict"]
+    extended = "--extended" in argv
+    all_q = "--all" in argv
+    argv = [a for a in argv if a not in ("--strict", "--extended", "--all")]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
     if strict:
@@ -74,8 +78,15 @@ def main() -> int:
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    if all_q:
+        qs = {**entrymod.queries(), **entrymod.extended_queries()}
+        oracles = {**entrymod.oracle_sql(), **entrymod.extended_oracle_sql()}
+    elif extended:
+        qs = entrymod.extended_queries()
+        oracles = entrymod.extended_oracle_sql()
+    else:
+        qs = entrymod.queries()
+        oracles = entrymod.oracle_sql()
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
