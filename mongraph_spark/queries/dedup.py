@@ -21,7 +21,7 @@ per-pair work; SimHash compares only within 16-bit prefix buckets.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mongraph_spark.sparkutil import read_table, scale_out
@@ -519,8 +519,80 @@ SELECT id_a, id_b, cos_bp FROM (
 ORACLE_EMBEDDING_COSINE = _oracle_embedding_cosine()
 
 
+# -- passage-level exact dedup (the CCNet paragraph-hash move) ---------------------
+
+PASSAGE_WORDS = 10
+
+
+def dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact dedup: CCNet-style paragraph-hash removal, on
+    fixed-width 10-word passages (the synthetic corpus has no paragraph
+    marks; the plan is identical).  Every passage keeps only its globally
+    FIRST occurrence — ordered by (doc_id, idx) — and the audit reports, per
+    origin half of the planted-duplicate corpus, how many passages survive.
+
+    Distributed shape: posexplode to (doc, idx, passage), ONE shuffle keyed
+    on the passage (near-uniform text keys), row_number to pick the first
+    occurrence, then a tiny rollup.  At 100 TB you'd key the shuffle on
+    xxhash64(passage) instead of the string (smaller shuffle rows, same
+    semantics); reassembling surviving text is the same exchange re-keyed by
+    doc — no extra shuffle class."""
+    corpus = dup_corpus(spark, sf_dir, drop_last=0)
+    words = F.split(F.col("text"), " ")
+    n_pass = F.ceil(F.size(words) / PASSAGE_WORDS).cast("int")
+    passages = F.transform(
+        F.sequence(F.lit(0), n_pass - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(words, i * PASSAGE_WORDS + 1, PASSAGE_WORDS)
+        ),
+    )
+    exploded = corpus.select(
+        "doc_id", F.posexplode(passages).alias("idx", "passage")
+    )
+    w = Window.partitionBy("passage").orderBy("doc_id", "idx")
+    ranked = exploded.withColumn("rn", F.row_number().over(w))
+    origin = F.when(F.col("doc_id") < ID_SHIFT, "orig").otherwise("copy")
+    return (
+        ranked.groupBy(origin.alias("origin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_passages"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+    )
+
+
+ORACLE_PASSAGES = f"""
+WITH {_ORACLE_CORPUS_EXACT},
+idxed AS (
+  SELECT doc_id, words,
+         unnest(range(0, CAST(ceil(len(words) / {PASSAGE_WORDS}.0) AS BIGINT))) AS idx
+  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM corpus)
+),
+ranked AS (
+  SELECT doc_id, idx,
+         row_number() OVER (
+           PARTITION BY array_to_string(
+             words[idx * {PASSAGE_WORDS} + 1 : idx * {PASSAGE_WORDS} + {PASSAGE_WORDS}], ' ')
+           ORDER BY doc_id, idx) AS rn
+  FROM idxed
+)
+SELECT CASE WHEN doc_id < {ID_SHIFT} THEN 'orig' ELSE 'copy' END AS origin,
+       count(*) AS n_passages,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM ranked
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_passages": dedup_passages,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
@@ -529,6 +601,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact": ORACLE_EXACT,
+    "dedup_passages": ORACLE_PASSAGES,
     "dedup_ngram_jaccard": ORACLE_JACCARD,
     "dedup_minhash_lsh": ORACLE_MINHASH,
     "dedup_simhash": ORACLE_SIMHASH,

@@ -382,8 +382,64 @@ GROUP BY 1, 2
 """
 
 
+# -- conversion funnel: view -> click -> purchase ---------------------------------
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: a user advances a stage only if their
+    FIRST event of that stage is strictly after their first event of the
+    previous stage (first view < first click < first purchase).
+
+    Distributed shape: conditional-min aggregates fold the whole funnel into
+    ONE user-keyed groupBy (partial aggs absorb per-user event skew
+    map-side), then a 1-row rollup — no joins between stage tables, no
+    window pass.  Adding stages adds columns, not shuffles."""
+    ev = read_table(spark, sf_dir, "events")
+
+    def first_ts(stage: str):
+        return F.min(F.when(F.col("event_type") == stage, F.col("ts")))
+
+    per_user = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    count_if = lambda c: F.sum(c.cast("int")).cast("long")  # noqa: E731
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        count_if(viewed).alias("n_viewed"),
+        count_if(clicked).alias("n_clicked_after_view"),
+        count_if(purchased).alias("n_purchased_after_click"),
+    )
+
+
+ORACLE_FUNNEL = """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events
+  GROUP BY user_id
+)
+SELECT count(*) AS n_users,
+       CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_viewed,
+       CAST(sum(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clicked_after_view,
+       CAST(sum(CASE WHEN t_click > t_view AND t_purchase > t_click
+                     THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_purchased_after_click
+FROM per_user
+"""
+
+
 QUERIES = {
     "events_tumbling_window": events_tumbling_window,
+    "events_funnel": events_funnel,
     "events_minmax_downsample": events_minmax_downsample,
     "events_gapfill_hourly": events_gapfill_hourly,
     "events_sessionization": events_sessionization,
@@ -395,6 +451,7 @@ QUERIES = {
 
 ORACLES = {
     "events_tumbling_window": ORACLE_TUMBLING,
+    "events_funnel": ORACLE_FUNNEL,
     "events_minmax_downsample": ORACLE_MINMAX_DOWNSAMPLE,
     "events_gapfill_hourly": ORACLE_GAPFILL,
     "events_sessionization": ORACLE_SESSIONS,

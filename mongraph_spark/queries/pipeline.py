@@ -550,6 +550,51 @@ GROUP BY source
 ORACLE_SOURCE_CAP = _oracle_source_cap()
 
 
+# -- deterministic global training order -------------------------------------------
+
+SHUFFLE_SEED = "epoch0"
+ORDER_TOPN = 50
+
+
+def pipeline_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training-data ordering: sort key =
+    md5(seed ++ doc_id), so the epoch order is a pure function of the row
+    (reshuffling an epoch = changing the seed string; no RNG state, no
+    partitioning dependence).  The audit returns the first 50 documents of
+    the epoch with their rank.
+
+    Distributed shape: orderBy + limit compiles to TakeOrderedAndProject —
+    per-partition top-k then a k-sized merge, NO global sort and no
+    single-reducer window.  The full epoch materialization at scale is
+    ``df.orderBy(key).write...`` (range-partitioned total sort: sampled
+    bounds, one shuffle, files emerge globally ordered) — the rank column
+    here exists only for the 50-row audit and is computed after the limit,
+    where the window input is 50 rows, not the corpus."""
+    docs = read_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit(SHUFFLE_SEED), F.col("doc_id").cast("string")))
+    top = (
+        docs.select("doc_id", "source", key.alias("shuffle_key"))
+        .orderBy("shuffle_key")
+        .limit(ORDER_TOPN)
+    )
+    w = Window.orderBy("shuffle_key")  # 50 rows post-limit: single tiny task
+    return top.withColumn("pos", F.row_number().over(w).cast("long")).select(
+        "pos", "doc_id", "source", "shuffle_key"
+    )
+
+
+ORACLE_TRAINING_ORDER = f"""
+SELECT row_number() OVER (ORDER BY shuffle_key) AS pos, doc_id, source, shuffle_key
+FROM (
+  SELECT doc_id, source,
+         md5('{SHUFFLE_SEED}' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+  FROM documents
+)
+ORDER BY shuffle_key
+LIMIT {ORDER_TOPN}
+"""
+
+
 QUERIES = {
     "dedup_clusters": dedup_clusters,
     "sample_and_split": sample_and_split,
@@ -560,6 +605,7 @@ QUERIES = {
     "embedding_quantize_int8": embedding_quantize_int8,
     "pipeline_pack_chunks": pipeline_pack_chunks,
     "pipeline_source_cap": pipeline_source_cap,
+    "pipeline_training_order": pipeline_training_order,
 }
 
 ORACLES = {
@@ -572,4 +618,5 @@ ORACLES = {
     "embedding_quantize_int8": ORACLE_QUANTIZE,
     "pipeline_pack_chunks": ORACLE_PACK_CHUNKS,
     "pipeline_source_cap": ORACLE_SOURCE_CAP,
+    "pipeline_training_order": ORACLE_TRAINING_ORDER,
 }

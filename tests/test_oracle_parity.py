@@ -43,12 +43,13 @@ def normalize(df, cols):
 
 QUERIES = entrymod.queries()
 ORACLES = entrymod.oracle_sql()
+EXT_QUERIES = entrymod.extended_queries()
+EXT_ORACLES = entrymod.extended_oracle_sql()
 
 
-@pytest.mark.parametrize("name", sorted(QUERIES))
-def test_query_matches_oracle(spark, duck, name):
-    sdf = QUERIES[name](spark, SF_DIR).toPandas()
-    sql = ORACLES.get(name)
+def _check(spark, duck, name, queries, oracles):
+    sdf = queries[name](spark, SF_DIR).toPandas()
+    sql = oracles.get(name)
     if sql is None:
         assert len(sdf) >= 0  # rows-only check
         return
@@ -60,6 +61,16 @@ def test_query_matches_oracle(spark, duck, name):
     ddf.columns = [c.lower() for c in ddf.columns]
     assert len(sdf) == len(ddf)
     assert normalize(sdf, scols) == normalize(ddf, scols)
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, duck, name):
+    _check(spark, duck, name, QUERIES, ORACLES)
+
+
+@pytest.mark.parametrize("name", sorted(EXT_QUERIES))
+def test_extended_matches_oracle(spark, duck, name):
+    _check(spark, duck, name, EXT_QUERIES, EXT_ORACLES)
 
 
 def test_entry_smoke(spark):
