@@ -437,9 +437,49 @@ FROM per_user
 """
 
 
+# -- pivot: one column per event type ---------------------------------------------
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily wide table: one count column per event type via
+    ``groupBy().pivot()``.  The pivot values are an EXPLICIT list — without
+    it Spark runs a distinct-collect job over the fact table just to learn
+    the column set, a hidden extra scan at 100 TB (and nondeterministic
+    column order).  With the list it is ONE partial-aggregatable shuffle,
+    exactly a groupBy(day, type) in wide clothing."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "day",
+            *[
+                F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+                for t in EVENT_TYPES
+            ],
+        )
+    )
+
+
+ORACLE_PIVOT_DAILY = """
+SELECT date_trunc('day', ts) AS day,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+FROM events
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "events_tumbling_window": events_tumbling_window,
     "events_funnel": events_funnel,
+    "events_pivot_daily": events_pivot_daily,
     "events_minmax_downsample": events_minmax_downsample,
     "events_gapfill_hourly": events_gapfill_hourly,
     "events_sessionization": events_sessionization,
@@ -452,6 +492,7 @@ QUERIES = {
 ORACLES = {
     "events_tumbling_window": ORACLE_TUMBLING,
     "events_funnel": ORACLE_FUNNEL,
+    "events_pivot_daily": ORACLE_PIVOT_DAILY,
     "events_minmax_downsample": ORACLE_MINMAX_DOWNSAMPLE,
     "events_gapfill_hourly": ORACLE_GAPFILL,
     "events_sessionization": ORACLE_SESSIONS,

@@ -950,8 +950,55 @@ GROUP BY 1
 """
 
 
+# -- unpivot (melt): wide measure columns to long rows ----------------------------
+
+UNPIVOT_MEASURES = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Melt lineitem's four measure columns into (measure, value) rows via
+    ``stack`` — the Spark unpivot — then profile each measure (n, integer-
+    cents sum, extremes).  Unpivot is a map-only row expansion (4× rows,
+    same bytes); the aggregation keys on 4 measure names, so the partial
+    aggs collapse everything map-side and the shuffle moves 4 rows per
+    input partition regardless of scale."""
+    li = read_table(spark, sf_dir, "lineitem")
+    stack_expr = "stack({n}, {args}) as (measure, value)".format(
+        n=len(UNPIVOT_MEASURES),
+        args=", ".join(f"'{c}', {c}" for c in UNPIVOT_MEASURES),
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        li.selectExpr(stack_expr)
+        .groupBy("measure")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents).alias("sum_cents"),
+            F.min(cents).alias("min_cents"),
+            F.max(cents).alias("max_cents"),
+        )
+    )
+
+
+ORACLE_UNPIVOT = """
+WITH long_form AS (
+  SELECT 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+  UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+)
+SELECT measure, count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS min_cents,
+       CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max_cents
+FROM long_form
+GROUP BY measure
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "unpivot_lineitem_measures": unpivot_lineitem_measures,
     "scd2_priority_history": scd2_priority_history,
     "window_customer_deciles": window_customer_deciles,
     "salted_revenue_by_priority": salted_revenue_by_priority,
@@ -980,6 +1027,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "unpivot_lineitem_measures": ORACLE_UNPIVOT,
     "stats_order_percentiles": ORACLE_PERCENTILES,
     "stats_price_quantity_corr": ORACLE_CORR,
     "q1_pricing_summary": ORACLE_Q1,

@@ -32,7 +32,7 @@ contributions are summed in fixed query-term order.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mongraph_spark.sparkutil import read_table, scale_out
@@ -132,10 +132,90 @@ LIMIT {TOP_K}
 ORACLE_BM25 = _oracle_bm25()
 
 
+# -- TF-IDF top terms: the inverted-index shuffle, bounded per doc ----------------
+
+TFIDF_TOP = 3
+
+
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 terms by TF-IDF — the full inverted-index pattern
+    (BM25 above deliberately avoids it for a FIXED query-term set; this is
+    the open-vocabulary case where the (term, doc) shuffle is the point).
+
+    Distributed shape: explode tokens → ONE (doc, term) combiner-friendly
+    count → per-term document frequencies (vocabulary-sized, broadcast here;
+    at 100 TB vocabulary outgrows broadcast and this becomes a term-keyed
+    sort-merge join — same plan minus the hint) → per-doc top-3 via one
+    window keyed on doc_id.  IDF is the Robertson rational form
+    (N − df + 0.5)/(df + 0.5): add/mul/div are IEEE-deterministic where
+    libm ``ln`` is not, and the ranking is order-equivalent."""
+    docs = scale_out(read_table(spark, sf_dir, "documents"))
+    tokens = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("term"),
+    )
+    tf = tokens.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.floor(
+                F.lit(10000.0)
+                * F.col("tf").cast("double")
+                * (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5)
+            )
+            .cast("long")
+            .alias("score_bp"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_bp"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TFIDF_TOP)
+        .select("doc_id", F.col("rk").cast("long"), "term", "tf", "score_bp")
+    )
+
+
+ORACLE_TFIDF = f"""
+WITH tokens AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tokens GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT doc_id, term, tf,
+         CAST(floor(10000.0 * CAST(tf AS DOUBLE)
+                    * ((SELECT CAST(count(*) AS DOUBLE) FROM documents) - df + 0.5)
+                    / (df + 0.5)) AS BIGINT) AS score_bp
+  FROM tf JOIN dfreq USING (term)
+)
+SELECT doc_id, rk, term, tf, score_bp FROM (
+  SELECT doc_id, term, tf, score_bp,
+         CAST(row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score_bp DESC, term ASC) AS BIGINT) AS rk
+  FROM scored
+) WHERE rk <= {TFIDF_TOP}
+"""
+
+
 QUERIES = {
     "text_bm25_topk": text_bm25_topk,
+    "text_tfidf_topterms": text_tfidf_topterms,
 }
 
 ORACLES = {
     "text_bm25_topk": ORACLE_BM25,
+    "text_tfidf_topterms": ORACLE_TFIDF,
 }
