@@ -301,8 +301,62 @@ GROUP BY c.user_id
 """
 
 
+# -- streaming MERGE INTO: foreachBatch -> copy-on-write store ----------------------
+
+
+def streaming_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming upsert sink: per-user running totals continuously MERGEd
+    into the copy-on-write parquet store (sources/merge.py) via
+    ``foreachBatch`` — the portable "streaming MERGE INTO" pattern (the
+    same shape Delta/Iceberg sinks use: the aggregation runs in update
+    mode, each micro-batch emits only the keys whose totals changed, and
+    the batch-side MERGE replaces exactly those rows).
+
+    Scale shape: state is the per-user aggregate (watermark-free running
+    totals — key-bounded, not time-bounded); the store-side cost per batch
+    is one key-anti-join rewrite, and totals are integer counts/cents so
+    replay order can't perturb the final table.  The final read is the
+    store's pinned current version — what a downstream consumer would see."""
+    import shutil
+    import tempfile
+
+    from mongraph_spark.sources import merge as merge_store
+
+    root = os.path.join(tempfile.gettempdir(), "mg_stream_merge_store")
+    shutil.rmtree(root, ignore_errors=True)
+
+    ev = events_stream(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("long")
+    agg = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(cents).alias("sum_cents"),
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        merge_store.upsert(batch_df.sparkSession, root, batch_df, key="user_id")
+
+    with _state_partitioning(spark, sf_dir):
+        q = (
+            agg.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return merge_store.read_current(spark, root)
+
+
+ORACLE_STREAM_MERGE = """
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events
+GROUP BY user_id
+"""
+
+
 QUERIES = {
     "streaming_tumbling_window": streaming_tumbling_window,
+    "streaming_merge_upsert": streaming_merge_upsert,
     "streaming_click_purchase_join": streaming_click_purchase_join,
     "streaming_session_counts": streaming_session_counts,
     "streaming_stateful_user_totals": streaming_stateful_user_totals,
@@ -311,6 +365,7 @@ QUERIES = {
 
 ORACLES = {
     "streaming_tumbling_window": ORACLE_STREAM_TUMBLING,
+    "streaming_merge_upsert": ORACLE_STREAM_MERGE,
     "streaming_click_purchase_join": ORACLE_STREAM_JOIN,
     "streaming_session_counts": ORACLE_STREAM_SESSIONS,
     "streaming_stateful_user_totals": ORACLE_STREAM_STATEFUL,
