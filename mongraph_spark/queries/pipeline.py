@@ -595,6 +595,77 @@ LIMIT {ORDER_TOPN}
 """
 
 
+# -- overlapping chunking (RAG / context-window prep) ------------------------------
+
+CHUNK_W = 32  # tokens per chunk
+CHUNK_S = 24  # stride (overlap = W - S)
+
+
+def pipeline_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking with overlap — the RAG/embedding prep step
+    (chunk i covers tokens [i·S, i·S+W); n_chunks = 1 if n ≤ W else
+    ⌈(n−W)/S⌉+1, so every token is covered and the tail is never an
+    orphan).  Audit: per-source chunk counts, emitted token volume, and the
+    expansion premium the overlap costs (basis points, exact integers).
+
+    Map-only twice over: per-doc chunk count AND emitted-token total are
+    closed-form column expressions (``F.aggregate`` over the chunk-index
+    sequence — no explode, so no row expansion at all), and the only
+    shuffle is the final per-source audit.  The real emit would
+    posexplode ``array_to_string(slice(words, i*S+1, W), ' ')`` per chunk
+    — same index arithmetic, rows instead of sums."""
+    docs = read_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    n_chunks = F.when(n <= CHUNK_W, F.lit(1)).otherwise(
+        F.ceil((n - CHUNK_W) / F.lit(float(CHUNK_S))).cast("long") + 1
+    )
+    emitted = F.aggregate(
+        F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + F.least(F.lit(CHUNK_W), n - i * CHUNK_S).cast("long"),
+    )
+    per_doc = docs.select(
+        "source",
+        n.cast("long").alias("n_tokens"),
+        n_chunks.alias("n_chunks"),
+        emitted.alias("emitted_tokens"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chunks").cast("long").alias("n_chunks"),
+        F.sum("emitted_tokens").cast("long").alias("emitted_tokens"),
+        F.floor(
+            F.lit(10000) * F.sum("emitted_tokens") / F.sum("n_tokens")
+        ).cast("long").alias("expansion_bp"),
+    )
+
+
+ORACLE_CHUNK_OVERLAP = f"""
+WITH per_doc AS (
+  SELECT source,
+         CAST(len(words) AS BIGINT) AS n_tokens,
+         CASE WHEN len(words) <= {CHUNK_W} THEN 1
+              ELSE CAST(ceil((len(words) - {CHUNK_W}) / {CHUNK_S}.0) AS BIGINT) + 1
+         END AS n_chunks
+  FROM (SELECT source, string_split(text, ' ') AS words FROM documents)
+), with_emit AS (
+  SELECT source, n_tokens, n_chunks,
+         (SELECT CAST(sum(least({CHUNK_W}, n_tokens - i * {CHUNK_S})) AS BIGINT)
+          FROM unnest(range(0, n_chunks)) AS t(i)) AS emitted_tokens
+  FROM per_doc
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
+       CAST(sum(emitted_tokens) AS BIGINT) AS emitted_tokens,
+       CAST(floor(10000.0 * sum(emitted_tokens) / sum(n_tokens)) AS BIGINT)
+         AS expansion_bp
+FROM with_emit
+GROUP BY source
+"""
+
+
 QUERIES = {
     "dedup_clusters": dedup_clusters,
     "sample_and_split": sample_and_split,
@@ -606,6 +677,7 @@ QUERIES = {
     "pipeline_pack_chunks": pipeline_pack_chunks,
     "pipeline_source_cap": pipeline_source_cap,
     "pipeline_training_order": pipeline_training_order,
+    "pipeline_chunk_overlap": pipeline_chunk_overlap,
 }
 
 ORACLES = {
@@ -619,4 +691,5 @@ ORACLES = {
     "pipeline_pack_chunks": ORACLE_PACK_CHUNKS,
     "pipeline_source_cap": ORACLE_SOURCE_CAP,
     "pipeline_training_order": ORACLE_TRAINING_ORDER,
+    "pipeline_chunk_overlap": ORACLE_CHUNK_OVERLAP,
 }
