@@ -950,6 +950,56 @@ GROUP BY 1
 """
 
 
+# -- range-frame window: rolling 7-day revenue per customer -----------------------
+
+
+def window_rolling_7day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer rolling 7-day order revenue via a RANGE window frame
+    (``rangeBetween(-6, 0)`` over the integer day ordinal) — the frame is
+    VALUE-bounded, so same-day orders share one frame and calendar gaps
+    shrink it; a ROWS frame can express neither.  One customer-keyed
+    shuffle + per-partition sort, like any window; cents keep the rolling
+    sums integer-exact."""
+    orders = read_table(spark, sf_dir, "orders")
+    day_ord = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day_ord")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            day_ord.alias("day_ord"),
+            cents.alias("cents"),
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "day_ord",
+            F.sum("cents").over(w).alias("rolling_7d_cents"),
+            F.count(F.lit(1)).over(w).cast("long").alias("n_orders_7d"),
+        )
+    )
+
+
+ORACLE_ROLLING_7DAY = """
+SELECT o_orderkey, o_custkey, day_ord,
+       CAST(sum(cents) OVER w AS BIGINT) AS rolling_7d_cents,
+       CAST(count(*) OVER w AS BIGINT) AS n_orders_7d
+FROM (
+  SELECT o_orderkey, o_custkey,
+         date_diff('day', DATE '1970-01-01', o_orderdate) AS day_ord,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+WINDOW w AS (PARTITION BY o_custkey ORDER BY day_ord
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
 # -- unpivot (melt): wide measure columns to long rows ----------------------------
 
 UNPIVOT_MEASURES = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
@@ -999,6 +1049,7 @@ GROUP BY measure
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "unpivot_lineitem_measures": unpivot_lineitem_measures,
+    "window_rolling_7day": window_rolling_7day,
     "scd2_priority_history": scd2_priority_history,
     "window_customer_deciles": window_customer_deciles,
     "salted_revenue_by_priority": salted_revenue_by_priority,
@@ -1028,6 +1079,7 @@ QUERIES = {
 
 ORACLES = {
     "unpivot_lineitem_measures": ORACLE_UNPIVOT,
+    "window_rolling_7day": ORACLE_ROLLING_7DAY,
     "stats_order_percentiles": ORACLE_PERCENTILES,
     "stats_price_quantity_corr": ORACLE_CORR,
     "q1_pricing_summary": ORACLE_Q1,
