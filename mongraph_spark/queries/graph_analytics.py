@@ -608,6 +608,107 @@ e{r} AS (
 ORACLE_KCORE = _kcore_oracle()
 
 
+N_LPA_ROUNDS = 3
+
+
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (LPA) over the
+    co-purchase pair graph: every node starts in its own community; each
+    round a node adopts the most frequent label among its neighbors, ties
+    broken by the smallest label — the deterministic-synchronous variant,
+    so a fixed unroll is exactly reproducible in SQL (asynchronous LPA is
+    order-dependent and un-oracle-able).
+
+    Scale shape: each round is one node-keyed join + one (node,label)
+    groupBy + one per-node top-1 window (window input = distinct neighbor
+    labels per node, bounded by degree, NOT the corpus).  A production
+    loop would localCheckpoint every few rounds like the CC loop; the
+    3-round unroll keeps lineage trivial and the oracle plain CTEs.
+    Result: communities of size ≥ 2 with their member count (label =
+    smallest attracting node id).
+    """
+    pairs = graph_copurchase_pairs(spark, sf_dir).select("part_a", "part_b")
+    adj = pairs.select(
+        F.col("part_a").alias("src"), F.col("part_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
+    )
+    labels = adj.select(F.col("src").alias("node_id")).distinct().select(
+        "node_id", F.col("node_id").alias("label")
+    )
+    from pyspark.sql import Window
+
+    for _ in range(N_LPA_ROUNDS):
+        votes = (
+            labels.join(adj, labels["node_id"] == adj["src"])
+            .groupBy(F.col("dst").alias("node_id"), "label")
+            .agg(F.count(F.lit(1)).alias("n_votes"))
+        )
+        w = Window.partitionBy("node_id").orderBy(
+            F.col("n_votes").desc(), F.col("label").asc()
+        )
+        winners = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node_id", F.col("label").alias("new_label"))
+        )
+        labels = (
+            labels.join(winners, "node_id", "left")
+            .select("node_id", F.coalesce("new_label", "label").alias("label"))
+        )
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .filter(F.col("n_members") >= 2)
+    )
+
+
+def _lpa_oracle() -> str:
+    body = """
+cop AS (
+  SELECT part_a, part_b FROM (
+    SELECT a.part_id AS part_a, b.part_id AS part_b, count(*) AS n_orders
+    FROM (SELECT DISTINCT src AS order_id, dst AS part_id FROM g_edges WHERE type = 'contains') a
+    JOIN (SELECT DISTINCT src AS order_id, dst AS part_id FROM g_edges WHERE type = 'contains') b
+      ON a.order_id = b.order_id AND a.part_id < b.part_id
+    GROUP BY 1, 2
+  ) WHERE n_orders >= 2
+),
+lpa_adj AS (
+  SELECT part_a AS src, part_b AS dst FROM cop
+  UNION ALL SELECT part_b AS src, part_a AS dst FROM cop
+),
+lp0 AS (SELECT DISTINCT src AS node_id, src AS label FROM lpa_adj)"""
+    prev = "lp0"
+    for k in range(1, N_LPA_ROUNDS + 1):
+        body += f""",
+vt{k} AS (
+  SELECT a.dst AS node_id, l.label, count(*) AS n_votes
+  FROM {prev} l JOIN lpa_adj a ON l.node_id = a.src
+  GROUP BY 1, 2
+),
+wn{k} AS (
+  SELECT node_id, label AS new_label FROM (
+    SELECT node_id, label,
+           row_number() OVER (PARTITION BY node_id ORDER BY n_votes DESC, label ASC) AS rn
+    FROM vt{k}
+  ) WHERE rn = 1
+),
+lp{k} AS (
+  SELECT l.node_id, coalesce(w.new_label, l.label) AS label
+  FROM {prev} l LEFT JOIN wn{k} w ON l.node_id = w.node_id
+)"""
+        prev = f"lp{k}"
+    return tpch.oracle_with(
+        f"""SELECT label AS community, count(*) AS n_members
+FROM {prev} GROUP BY label HAVING count(*) >= 2""",
+        extra_ctes=body.lstrip("\n"),
+    )
+
+
+ORACLE_LPA = _lpa_oracle()
+
+
 QUERIES = {
     "graph_degree_distribution": graph_degree_distribution,
     "graph_kcore": graph_kcore,
@@ -618,6 +719,7 @@ QUERIES = {
     "graph_copurchase_pairs": graph_copurchase_pairs,
     "graph_two_hop_bucketed": graph_two_hop_bucketed,
     "graph_triangle_count": graph_triangle_count,
+    "graph_label_propagation": graph_label_propagation,
 }
 
 ORACLES = {
@@ -634,4 +736,5 @@ ORACLES = {
     "graph_cc_converged": ORACLE_CC,
     "graph_copurchase_pairs": ORACLE_COPURCHASE,
     "graph_two_hop_bucketed": ORACLE_TWO_HOP,
+    "graph_label_propagation": ORACLE_LPA,
 }

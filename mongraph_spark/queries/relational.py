@@ -1046,9 +1046,79 @@ GROUP BY measure
 """
 
 
+# -- table profiling (data-quality summary, Deequ/SUMMARIZE-style) ----------------
+
+_PROFILE_COLS = [
+    ("o_orderkey", "num"),
+    ("o_custkey", "num"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "num"),
+    ("o_orderdate", "ts"),
+    ("o_orderpriority", "str"),
+]
+
+
+def _profile_minmax(col: str, kind: str) -> F.Column:
+    """Render min/max engine-portably: numerics through DECIMAL(18,2) (both
+    engines print '123.45'; raw double→string differs), others as plain
+    string casts."""
+    c = F.col(col)
+    return c.cast("decimal(18,2)").cast("string") if kind == "num" else c.cast("string")
+
+
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profile of the orders table — per column: null count, exact
+    distinct count, min and max — the data-quality summary every ingest
+    pipeline runs before training (Deequ profiles / DuckDB SUMMARIZE).
+
+    ONE aggregation over one scan: multiple exact count(distinct)s compile
+    to a single Expand + two-phase aggregate (rows × n_cols map-side, each
+    partial collapsing to one row per distinct value before the shuffle).
+    At 100 TB swap the exact distincts for ``approx_count_distinct`` — same
+    plan minus the Expand blowup; exact is kept here because the oracle
+    hash-compares values.  The 1-row × 4·n_cols aggregate is then unpivoted
+    driver-free with ``stack`` (6-row input, trivial)."""
+    orders = read_table(spark, sf_dir, "orders")
+    aggs = []
+    for col, kind in _PROFILE_COLS:
+        c = F.col(col)
+        aggs += [
+            F.sum(c.isNull().cast("long")).alias(f"{col}__nulls"),
+            F.count_distinct(c).alias(f"{col}__distinct"),
+            F.min(_profile_minmax(col, kind)).alias(f"{col}__min"),
+            F.max(_profile_minmax(col, kind)).alias(f"{col}__max"),
+        ]
+    one = orders.agg(*aggs)
+    stack_expr = "stack({n}, {args}) as (column_name, n_nulls, n_distinct, min_val, max_val)".format(
+        n=len(_PROFILE_COLS),
+        args=", ".join(
+            f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+            for c, _ in _PROFILE_COLS
+        ),
+    )
+    return one.selectExpr(stack_expr)
+
+
+ORACLE_PROFILE = "\nUNION ALL ".join(
+    """SELECT '{c}' AS column_name,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       min({expr}) AS min_val, max({expr}) AS max_val FROM orders""".format(
+        c=c,
+        expr=(
+            f"CAST(CAST({c} AS DECIMAL(18,2)) AS VARCHAR)"
+            if kind == "num"
+            else f"CAST({c} AS VARCHAR)"
+        ),
+    )
+    for c, kind in _PROFILE_COLS
+)
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "unpivot_lineitem_measures": unpivot_lineitem_measures,
+    "profile_orders": profile_orders,
     "window_rolling_7day": window_rolling_7day,
     "scd2_priority_history": scd2_priority_history,
     "window_customer_deciles": window_customer_deciles,
@@ -1079,6 +1149,7 @@ QUERIES = {
 
 ORACLES = {
     "unpivot_lineitem_measures": ORACLE_UNPIVOT,
+    "profile_orders": ORACLE_PROFILE,
     "window_rolling_7day": ORACLE_ROLLING_7DAY,
     "stats_order_percentiles": ORACLE_PERCENTILES,
     "stats_price_quantity_corr": ORACLE_CORR,

@@ -30,16 +30,33 @@ from mongraph_spark.sparkutil import normalize_event_ts
 
 _sink_seq = itertools.count(1)
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) scans as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(sf_dir: str) -> T.StructType:
+    """Streaming file sources require an explicit schema, and the right type
+    for ``ts`` depends on how the generator wrote it: TIMESTAMP(NANOS)
+    scans as a long (under nanosAsLong) and needs ns→µs conversion, while
+    TIMESTAMP(MICROS) scans as a proper timestamp.  Hardcoding either is a
+    silent 1000× timeline distortion when the data flips (it did, between
+    rounds) — so probe the parquet footer and build the schema to match;
+    ``normalize_event_ts`` then converts only when the scan produced a long.
+    """
+    is_nanos = False
+    try:
+        import pyarrow.parquet as pq
+
+        ts_type = pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type
+        is_nanos = str(ts_type) == "timestamp[ns]"
+    except Exception:
+        pass  # no footer to probe: assume µs (Spark's native unit)
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType() if is_nanos else T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 @contextlib.contextmanager
@@ -71,7 +88,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the file source needs a directory; point it at sf_dir and glob-filter
     # down to the events file
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(_events_schema(sf_dir))
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
@@ -191,7 +208,7 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup state (vs dropDuplicates, whose state grows forever).
     """
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(_events_schema(sf_dir))
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
