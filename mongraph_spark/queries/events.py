@@ -476,6 +476,64 @@ GROUP BY 1
 """
 
 
+# -- incremental rollup refresh (materialized-view maintenance) --------------------
+
+REFRESH_CUTOFF = "2024-01-25"
+
+
+def events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view refresh: the daily rollup is maintained
+    as BASE partials (history, already materialized) merged with DELTA
+    partials (the new ingest since the cutoff) — re-aggregating partial
+    (count, sum) pairs instead of recomputing history.  Correctness rests
+    on associativity, which is why the measures are integer cents: the
+    merged result is bit-exactly the full recompute, and the oracle IS the
+    full recompute, so the equivalence is what the gate checks.
+
+    At 100 TB this is the only viable refresh shape: the base partials are
+    a parquet table keyed/partitioned by day (history partitions untouched),
+    the delta scan reads only the ingest slice (partition-pruned by the
+    cutoff filter), and the merge shuffles |days × types| partial rows —
+    not the corpus.  AVG is derived from (sum, count) at read time; never
+    materialize non-associative aggregates in the partials."""
+    ev = read_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    cutoff = F.lit(REFRESH_CUTOFF).cast("timestamp")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc("day", "ts").alias("day"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents).alias("sc"),
+        )
+
+    base = partials(ev.filter(F.col("ts") < cutoff))
+    delta = partials(ev.filter(F.col("ts") >= cutoff))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("day", "event_type")
+        .agg(F.sum("n").alias("n_events"), F.sum("sc").alias("sum_cents"))
+    )
+    return merged.select(
+        "day",
+        "event_type",
+        "n_events",
+        "sum_cents",
+        F.floor(F.col("sum_cents") / F.col("n_events")).cast("long").alias("avg_cents"),
+    )
+
+
+ORACLE_INCREMENTAL = """
+SELECT date_trunc('day', ts) AS day, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(floor(sum(CAST(round(value * 100) AS BIGINT)) / count(*)) AS BIGINT) AS avg_cents
+FROM events
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "events_tumbling_window": events_tumbling_window,
     "events_funnel": events_funnel,
@@ -487,6 +545,7 @@ QUERIES = {
     "events_hourly_top_type": events_hourly_top_type,
     "events_asof_attribution": events_asof_attribution,
     "events_hypertable_rollup": events_hypertable_rollup,
+    "events_incremental_rollup": events_incremental_rollup,
 }
 
 ORACLES = {
@@ -500,4 +559,5 @@ ORACLES = {
     "events_hourly_top_type": ORACLE_HOURLY_TOP,
     "events_asof_attribution": ORACLE_ASOF,
     "events_hypertable_rollup": ORACLE_HYPERTABLE,
+    "events_incremental_rollup": ORACLE_INCREMENTAL,
 }

@@ -1115,10 +1115,69 @@ ORACLE_PROFILE = "\nUNION ALL ".join(
 )
 
 
+# -- join-key skew profiler (shuffle-planning diagnostic) --------------------------
+
+
+def skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-weight histogram for the three hottest join keys in the schema —
+    the diagnostic that decides salting/broadcast strategy before a big
+    join: per key column, bucket every key by ⌊log2(row_count)⌋ and report
+    how many keys and rows live in each weight class (a heavy-tail class
+    with few keys and many rows = salt or skew-hint those keys).
+
+    Scale shape: each profile is one map-side-combined groupBy on the key,
+    then a MAP-ONLY log2 bucketing of the per-key counts — deliberately NOT
+    an ntile/global-sort decile split, which would funnel every distinct
+    key through one reducer at billion-key scale.  log2 boundaries are
+    FP-safe for the hash compare: counts are exact longs and log2 of a
+    power of two is exact in IEEE double in both engines."""
+
+    def classes(df: DataFrame, key: str, label: str) -> DataFrame:
+        counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("n_rows"))
+        return counts.groupBy(
+            F.lit(label).alias("key_name"),
+            F.floor(F.log2("n_rows")).cast("long").alias("weight_class"),
+        ).agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("n_rows").alias("sum_rows"),
+            F.max("n_rows").alias("max_rows"),
+        )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        classes(li, "l_partkey", "lineitem.l_partkey")
+        .unionByName(classes(orders, "o_custkey", "orders.o_custkey"))
+        .unionByName(classes(ev, "user_id", "events.user_id"))
+    )
+
+
+ORACLE_SKEW_PROFILE = """
+WITH k1 AS (SELECT count(*) AS n_rows FROM lineitem GROUP BY l_partkey),
+     k2 AS (SELECT count(*) AS n_rows FROM orders GROUP BY o_custkey),
+     k3 AS (SELECT count(*) AS n_rows FROM events GROUP BY user_id)
+SELECT 'lineitem.l_partkey' AS key_name,
+       CAST(floor(log2(n_rows)) AS BIGINT) AS weight_class,
+       count(*) AS n_keys, CAST(sum(n_rows) AS BIGINT) AS sum_rows,
+       CAST(max(n_rows) AS BIGINT) AS max_rows
+FROM k1 GROUP BY 2
+UNION ALL
+SELECT 'orders.o_custkey', CAST(floor(log2(n_rows)) AS BIGINT),
+       count(*), CAST(sum(n_rows) AS BIGINT), CAST(max(n_rows) AS BIGINT)
+FROM k2 GROUP BY 2
+UNION ALL
+SELECT 'events.user_id', CAST(floor(log2(n_rows)) AS BIGINT),
+       count(*), CAST(sum(n_rows) AS BIGINT), CAST(max(n_rows) AS BIGINT)
+FROM k3 GROUP BY 2
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "unpivot_lineitem_measures": unpivot_lineitem_measures,
     "profile_orders": profile_orders,
+    "skew_profile": skew_profile,
     "window_rolling_7day": window_rolling_7day,
     "scd2_priority_history": scd2_priority_history,
     "window_customer_deciles": window_customer_deciles,
@@ -1150,6 +1209,7 @@ QUERIES = {
 ORACLES = {
     "unpivot_lineitem_measures": ORACLE_UNPIVOT,
     "profile_orders": ORACLE_PROFILE,
+    "skew_profile": ORACLE_SKEW_PROFILE,
     "window_rolling_7day": ORACLE_ROLLING_7DAY,
     "stats_order_percentiles": ORACLE_PERCENTILES,
     "stats_price_quantity_corr": ORACLE_CORR,

@@ -394,6 +394,90 @@ FROM (
 """
 
 
+# -- winnowing fingerprints (MOSS-style local document sketches) -------------------
+
+WINNOW_K = 3  # words per shingle
+WINNOW_W = 4  # shingle hashes per winnowing window
+
+
+def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS algorithm): hash every
+    ``K``-word shingle, slide a ``W``-hash window over the hash sequence,
+    keep each window's minimum — guaranteeing at least one fingerprint per
+    ``W`` consecutive shingles, so local similarity is detectable at a
+    ``1/W`` storage footprint (vs min-hash, which is global-only).
+
+    All per-document work is closed-form array expressions (transform /
+    slice / array_min) inside whole-stage codegen — no explode, no UDF, no
+    row expansion.  Only the per-source audit shuffles: the distinct-
+    fingerprint count explodes ONLY the winnowed minima (≤ n_shingles/1,
+    typically ~1/W of them), not the shingle stream.  Output per source:
+    docs, shingle volume, per-doc fingerprint volume, corpus-distinct
+    fingerprints (the dedup-index size this source would cost)."""
+    docs = scale_out(read_table(spark, sf_dir, "documents"))
+    normalized = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    words = F.split(normalized, " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - WINNOW_K, F.lit(0))),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(words, i + 1, WINNOW_K))),
+    )
+    wins = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(grams) - WINNOW_W, F.lit(0))),
+        lambda j: F.array_min(F.slice(grams, j + 1, WINNOW_W)),
+    )
+    per_doc = docs.select(
+        "source",
+        F.size(grams).cast("long").alias("n_grams"),
+        F.array_distinct(wins).alias("fps"),
+    )
+    sums = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_grams").alias("total_grams"),
+        F.sum(F.size("fps")).cast("long").alias("total_fps"),
+    )
+    corpus = (
+        per_doc.select("source", F.explode("fps").alias("fp"))
+        .groupBy("source")
+        .agg(F.count_distinct("fp").alias("corpus_distinct_fps"))
+    )
+    return sums.join(corpus, "source")
+
+
+ORACLE_WINNOWING = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm
+  FROM documents
+), s AS (
+  SELECT doc_id, source, string_split(norm, ' ') AS words FROM t
+), g AS (
+  SELECT doc_id, source,
+         list_transform(
+           range(1, greatest(len(words) - {WINNOW_K}, 0) + 2),
+           i -> md5(array_to_string(words[i:i+{WINNOW_K - 1}], ' '))
+         ) AS grams
+  FROM s
+), wdoc AS (
+  SELECT doc_id, source, CAST(len(grams) AS BIGINT) AS n_grams,
+         list_distinct(list_transform(
+           range(1, greatest(len(grams) - {WINNOW_W}, 0) + 2),
+           j -> list_min(grams[j:j+{WINNOW_W - 1}])
+         )) AS fps
+  FROM g
+), per_source AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(n_grams) AS BIGINT) AS total_grams,
+         CAST(sum(len(fps)) AS BIGINT) AS total_fps
+  FROM wdoc GROUP BY source
+), corpus AS (
+  SELECT source, CAST(count(DISTINCT fp) AS BIGINT) AS corpus_distinct_fps
+  FROM (SELECT source, unnest(fps) AS fp FROM wdoc) GROUP BY source
+)
+SELECT p.source, n_docs, total_grams, total_fps, corpus_distinct_fps
+FROM per_source p JOIN corpus c ON p.source = c.source
+"""
+
+
 QUERIES = {
     "text_metrics": text_metrics,
     "text_scan_redact": text_scan_redact,
@@ -403,6 +487,7 @@ QUERIES = {
     "text_quality": text_quality,
     "text_lang_id": text_lang_id,
     "text_fingerprint": text_fingerprint,
+    "text_winnowing": text_winnowing,
 }
 
 ORACLES = {
@@ -414,4 +499,5 @@ ORACLES = {
     "text_quality": ORACLE_QUALITY,
     "text_lang_id": ORACLE_LANG_ID,
     "text_fingerprint": ORACLE_FINGERPRINT,
+    "text_winnowing": ORACLE_WINNOWING,
 }

@@ -135,6 +135,43 @@ def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping (sliding) windows: width 2 h, slide 30 min — each event
+    lands in exactly 4 windows, the moving-average shape that tumbling
+    windows can't express.  State cost is 4× the tumbling equivalent (one
+    state row per open window per key), still watermark-bounded; the sum is
+    integer cents so the 4-way re-emission can't drift.
+    """
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    cents = F.round(F.col("value") * 100).cast("long")
+    agg = ev.groupBy(
+        F.window("ts", "2 hours", "30 minutes").alias("w"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(cents).alias("sum_cents"),
+    )
+    with _state_partitioning(spark, sf_dir):
+        out = run_to_table(agg, output_mode="complete")
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_cents",
+    )
+
+
+# each event belongs to the 4 windows starting at bucket(ts) - k*30min,
+# k = 0..3 — the standard set-expansion equivalence for sliding windows
+ORACLE_STREAM_SLIDING = """
+SELECT time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes'
+         AS window_start,
+       event_type, count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events, unnest(range(0, 4)) AS t(k)
+GROUP BY 1, 2
+"""
+
+
 # -- session windows (gap-based) -------------------------------------------------------
 
 
@@ -373,6 +410,7 @@ GROUP BY user_id
 
 QUERIES = {
     "streaming_tumbling_window": streaming_tumbling_window,
+    "streaming_sliding_window": streaming_sliding_window,
     "streaming_merge_upsert": streaming_merge_upsert,
     "streaming_click_purchase_join": streaming_click_purchase_join,
     "streaming_session_counts": streaming_session_counts,
@@ -382,6 +420,7 @@ QUERIES = {
 
 ORACLES = {
     "streaming_tumbling_window": ORACLE_STREAM_TUMBLING,
+    "streaming_sliding_window": ORACLE_STREAM_SLIDING,
     "streaming_merge_upsert": ORACLE_STREAM_MERGE,
     "streaming_click_purchase_join": ORACLE_STREAM_JOIN,
     "streaming_session_counts": ORACLE_STREAM_SESSIONS,
