@@ -330,12 +330,101 @@ def decode_audio(payload: bytes, codec: str):  # pragma: no cover - stub
     )
 
 
+# -- perceptual-hash near-dup (image dedup plumbing) -----------------------------------
+
+PHASH_PLANT_OFFSET = 1_000_001  # odd offset => planted copy gets a DIFFERENT low-bit
+# tweak than its original (offset % 4 != 0), so pairs are NEAR dups (hamming 1-2),
+# not exact dups — which is what distinguishes pHash from an exact content hash
+
+
+def _phash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched perceptual hash: 32-bit fingerprint from the first 16
+    payload bytes (one bit per nibble: set iff nibble >= 8 — the stand-in
+    for "DCT coefficient above median"), low bits tweaked by doc_id so
+    planted copies land at Hamming distance 1-2.  A real pHash (resize →
+    DCT → median threshold) drops into this exact batch shape."""
+    for pdf in batches:
+        fps = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            head = bytes(payload[:16])
+            fp = 0
+            for i, b in enumerate(head):
+                fp |= (1 if b >= 128 else 0) << (31 - 2 * i)
+                fp |= (1 if (b & 15) >= 8 else 0) << (30 - 2 * i)
+            fps.append(fp ^ (int(doc_id) % 4))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "phash": pd.Series(fps, dtype="int64")})
+
+
+def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs by perceptual hash: compute a 32-bit
+    pHash per payload in ``mapInPandas`` (bytes never on the driver), then
+    reuse the SimHash machinery — 16-bit prefix bucket join, exact
+    ``bit_count(xor)`` Hamming filter on candidates only (dedup.py:332's
+    pattern on binary media instead of text).
+
+    The corpus is media ∪ planted byte-identical copies at
+    ``doc_id + PHASH_PLANT_OFFSET``: same leading payload bytes ⇒ same
+    high 30 bits ⇒ every planted pair shares its prefix bucket and
+    survives the ``hamming <= 2`` filter; unrelated md5-derived hashes
+    differ by ~16 bits and never do.  At 100 TB the fingerprint table is
+    64 bits/image and the join touches only same-bucket candidates."""
+    docs = scale_out(read_table(spark, sf_dir, "documents"))
+    media = _with_payload(docs).select("doc_id", "payload")
+    copies = media.select(
+        (F.col("doc_id") + PHASH_PLANT_OFFSET).alias("doc_id"), "payload"
+    )
+    fp = (
+        media.unionByName(copies)
+        .mapInPandas(_phash_batches, schema="doc_id long, phash long")
+        .localCheckpoint(eager=True)  # self-join below: don't hash twice
+    )
+    a = fp.select(F.col("doc_id").alias("id_a"), F.col("phash").alias("fp_a"))
+    b = fp.select(F.col("doc_id").alias("id_b"), F.col("phash").alias("fp_b"))
+    cand = a.join(
+        b,
+        (F.shiftright("fp_a", 16) == F.shiftright("fp_b", 16))
+        & (F.col("id_a") < F.col("id_b")),
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("int")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= 2)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# first 16 payload bytes == unhex(md5(text)); nibble i of the hex string is
+# >= 8 exactly when its char is in '89abcdef'
+ORACLE_PHASH = f"""
+WITH both_ids AS (
+  SELECT doc_id, md5(text) AS h FROM documents
+  UNION ALL
+  SELECT doc_id + {PHASH_PLANT_OFFSET}, md5(text) FROM documents
+), fp AS (
+  SELECT doc_id,
+         xor(
+           CAST(list_sum(list_transform(range(1, 33),
+             i -> CASE WHEN strpos('89abcdef', substr(h, i, 1)) > 0
+                       THEN (CAST(1 AS BIGINT) << (32 - i)) ELSE 0 END)) AS BIGINT),
+           doc_id % 4
+         ) AS phash
+  FROM both_ids
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+FROM fp a JOIN fp b
+  ON (a.phash >> 16) = (b.phash >> 16) AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 2
+"""
+
+
 QUERIES = {
     "mm_image_features": mm_image_features,
     "mm_metadata_filter": mm_metadata_filter,
     "mm_frame_sample": mm_frame_sample,
     "mm_resize": mm_resize,
     "mm_audio_windows": mm_audio_windows,
+    "mm_phash_neardup": mm_phash_neardup,
 }
 
 ORACLES = {
@@ -344,4 +433,5 @@ ORACLES = {
     "mm_frame_sample": ORACLE_FRAME_SAMPLE,
     "mm_resize": ORACLE_RESIZE,
     "mm_audio_windows": ORACLE_AUDIO_WINDOWS,
+    "mm_phash_neardup": ORACLE_PHASH,
 }
