@@ -223,14 +223,106 @@ FROM stats, totals
 """
 
 
+# -- pairwise source-overlap matrix (cross-source contamination map) ---------------
+
+
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise content overlap between sources: for every source pair, how
+    many distinct 5-word shingles they share, plus the Jaccard in basis
+    points — the cross-source contamination map that decides whether two
+    crawls are independent enough to mix, and the corpus-level twin of the
+    per-document near-dup checks.
+
+    Distributed shape: ONE shuffle keyed on the shingle builds the
+    shingle → distinct-source inverted list; pairs explode per shingle
+    bounded by |sources|² (a handful), never by corpus size; per-source
+    distinct totals ride the same shingled scan.  At 100 TB hash shingles
+    to 64-bit first (noted in decontaminate_splits too)."""
+    docs = scale_out(read_table(spark, sf_dir, "documents"))
+    words = F.split(F.col("text"), " ")
+    sh = docs.select(
+        "source", F.explode(_shingles(words, n=5)).alias("shingle")
+    ).distinct()
+    per_source = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
+    # shingle -> sorted distinct sources; emit each unordered pair once
+    inv = sh.groupBy("shingle").agg(F.sort_array(F.collect_set("source")).alias("srcs"))
+    pairs = inv.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        F.col("srcs"),
+                        lambda a: F.transform(
+                            F.col("srcs"), lambda b: F.struct(a.alias("sa"), b.alias("sb"))
+                        ),
+                    )
+                ),
+                lambda p: p["sa"] < p["sb"],
+            )
+        ).alias("p")
+    ).select(F.col("p.sa").alias("source_a"), F.col("p.sb").alias("source_b"))
+    shared = pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_shared_grams")
+    )
+    ga = per_source.select(
+        F.col("source").alias("source_a"), F.col("n_grams").alias("grams_a")
+    )
+    gb = per_source.select(
+        F.col("source").alias("source_b"), F.col("n_grams").alias("grams_b")
+    )
+    return (
+        shared.join(F.broadcast(ga), "source_a")
+        .join(F.broadcast(gb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared_grams",
+            F.floor(
+                F.lit(10000)
+                * F.col("n_shared_grams")
+                / (F.col("grams_a") + F.col("grams_b") - F.col("n_shared_grams"))
+            ).cast("long").alias("jaccard_bp"),
+        )
+    )
+
+
+ORACLE_SOURCE_OVERLAP = """
+WITH sh AS (
+  SELECT DISTINCT source, shingle FROM (
+    SELECT source,
+           unnest(list_distinct(list_transform(
+             range(1, greatest(len(words) - 5, 0) + 2),
+             i -> array_to_string(words[i:i+4], ' ')
+           ))) AS shingle
+    FROM (SELECT source, string_split(text, ' ') AS words FROM documents)
+  )
+), per_source AS (
+  SELECT source, count(*) AS n_grams FROM sh GROUP BY source
+), shared AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared_grams
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, CAST(n_shared_grams AS BIGINT) AS n_shared_grams,
+       CAST(floor(10000.0 * n_shared_grams
+                  / (ga.n_grams + gb.n_grams - n_shared_grams)) AS BIGINT)
+         AS jaccard_bp
+FROM shared
+JOIN per_source ga ON ga.source = source_a
+JOIN per_source gb ON gb.source = source_b
+"""
+
+
 QUERIES = {
     "corpus_decontaminate": decontaminate_splits,
     "corpus_repetition_filter": repetition_filter,
     "corpus_mixture_weights": source_mixture_weights,
+    "corpus_source_overlap": source_overlap_matrix,
 }
 
 ORACLES = {
     "corpus_decontaminate": ORACLE_DECONTAMINATE,
     "corpus_repetition_filter": ORACLE_REPETITION,
     "corpus_mixture_weights": ORACLE_MIXTURE,
+    "corpus_source_overlap": ORACLE_SOURCE_OVERLAP,
 }

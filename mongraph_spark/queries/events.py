@@ -534,6 +534,54 @@ GROUP BY 1, 2
 """
 
 
+# -- retention cohort analysis ------------------------------------------------------
+
+
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort retention: users grouped by their first active day
+    (the cohort), then for each day-offset the number of cohort members
+    still active — the product-analytics table behind every retention
+    curve.
+
+    Two key-shuffles total, both on user_id: (1) min(day) per user — a
+    map-side-combined aggregate, (2) broadcast of nothing: the cohort
+    assignment joins back to the distinct (user, day) activity set on
+    user_id, then the final (cohort_day, offset) rollup is a combiner-
+    friendly count-distinct whose key space is days² — tiny at any scale.
+    The first-touch date at 100 TB comes from an incremental min-merge
+    (same associativity argument as the rollup refresh), not a rescan."""
+    ev = read_table(spark, sf_dir, "events")
+    activity = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    cohorts = activity.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        activity.join(cohorts, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).cast("long").alias(
+                "day_offset"
+            ),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct("user_id").alias("n_active_users"))
+    )
+
+
+ORACLE_RETENTION = """
+WITH activity AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+), cohorts AS (
+  SELECT user_id, min(day) AS cohort_day FROM activity GROUP BY user_id
+)
+SELECT c.cohort_day, CAST(date_diff('day', c.cohort_day, a.day) AS BIGINT) AS day_offset,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active_users
+FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "events_tumbling_window": events_tumbling_window,
     "events_funnel": events_funnel,
@@ -546,6 +594,7 @@ QUERIES = {
     "events_asof_attribution": events_asof_attribution,
     "events_hypertable_rollup": events_hypertable_rollup,
     "events_incremental_rollup": events_incremental_rollup,
+    "events_retention_cohorts": events_retention_cohorts,
 }
 
 ORACLES = {
@@ -560,4 +609,5 @@ ORACLES = {
     "events_asof_attribution": ORACLE_ASOF,
     "events_hypertable_rollup": ORACLE_HYPERTABLE,
     "events_incremental_rollup": ORACLE_INCREMENTAL,
+    "events_retention_cohorts": ORACLE_RETENTION,
 }

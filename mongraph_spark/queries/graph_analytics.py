@@ -608,6 +608,78 @@ e{r} AS (
 ORACLE_KCORE = _kcore_oracle()
 
 
+def graph_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over the contains edges: for each
+    co-purchased part pair, support count, directional confidence, and
+    lift — the A-priori output for pair-size itemsets (larger itemsets
+    iterate the same join against the frequent set).
+
+    All ratios are floored basis points over exact integer counts, so
+    re-aggregation order can't perturb the hash.  Scale shape: the pair
+    counts come from the bounded-fanout basket self-join
+    (:func:`graph_copurchase_pairs`); per-part counts and the basket total
+    are map-side-combined aggregates, broadcast onto the pair table."""
+    eng = tpch.bulk_engine(spark, sf_dir)
+    baskets = (
+        eng.store.edges_df()
+        .filter(F.col("type") == "contains")
+        .select(F.col("src").alias("order_id"), F.col("dst").alias("part_id"))
+        .distinct()
+    )
+    n_baskets = baskets.select(
+        F.count_distinct("order_id").alias("n_total")
+    )  # 1 row
+    per_part = baskets.groupBy("part_id").agg(F.count(F.lit(1)).alias("n_part"))
+    pairs = graph_copurchase_pairs(spark, sf_dir)  # part_a < part_b, n_orders >= 2
+    pa = per_part.select(F.col("part_id").alias("part_a"), F.col("n_part").alias("n_a"))
+    pb = per_part.select(F.col("part_id").alias("part_b"), F.col("n_part").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(pa), "part_a")
+        .join(F.broadcast(pb), "part_b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("n_orders").alias("support"),
+            F.floor(F.lit(10000) * F.col("n_orders") / F.col("n_a"))
+            .cast("long")
+            .alias("conf_a_to_b_bp"),
+            F.floor(F.lit(10000) * F.col("n_orders") / F.col("n_b"))
+            .cast("long")
+            .alias("conf_b_to_a_bp"),
+            F.floor(
+                F.lit(10000) * F.col("n_orders") * F.col("n_total")
+                / (F.col("n_a") * F.col("n_b"))
+            )
+            .cast("long")
+            .alias("lift_bp"),
+        )
+    )
+
+
+ORACLE_ASSOC = tpch.oracle_with(
+    """SELECT part_a, part_b, support,
+       CAST(floor(10000.0 * support / n_a) AS BIGINT) AS conf_a_to_b_bp,
+       CAST(floor(10000.0 * support / n_b) AS BIGINT) AS conf_b_to_a_bp,
+       CAST(floor(10000.0 * support * n_total / (n_a * n_b)) AS BIGINT) AS lift_bp
+FROM (
+  SELECT a.part_id AS part_a, b.part_id AS part_b, count(*) AS support
+  FROM baskets a JOIN baskets b
+    ON a.order_id = b.order_id AND a.part_id < b.part_id
+  GROUP BY 1, 2
+) p
+JOIN (SELECT part_id, count(*) AS n_a FROM baskets GROUP BY part_id) ca
+  ON ca.part_id = p.part_a
+JOIN (SELECT part_id, count(*) AS n_b FROM baskets GROUP BY part_id) cb
+  ON cb.part_id = p.part_b
+CROSS JOIN (SELECT count(DISTINCT order_id) AS n_total FROM baskets)
+WHERE support >= 2""",
+    extra_ctes="""baskets AS (
+  SELECT DISTINCT src AS order_id, dst AS part_id FROM g_edges WHERE type = 'contains'
+)""",
+)
+
+
 N_LPA_ROUNDS = 3
 
 
@@ -720,6 +792,7 @@ QUERIES = {
     "graph_two_hop_bucketed": graph_two_hop_bucketed,
     "graph_triangle_count": graph_triangle_count,
     "graph_label_propagation": graph_label_propagation,
+    "graph_association_rules": graph_association_rules,
 }
 
 ORACLES = {
@@ -737,4 +810,5 @@ ORACLES = {
     "graph_copurchase_pairs": ORACLE_COPURCHASE,
     "graph_two_hop_bucketed": ORACLE_TWO_HOP,
     "graph_label_propagation": ORACLE_LPA,
+    "graph_association_rules": ORACLE_ASSOC,
 }
