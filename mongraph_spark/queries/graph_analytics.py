@@ -614,8 +614,10 @@ def graph_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     lift — the A-priori output for pair-size itemsets (larger itemsets
     iterate the same join against the frequent set).
 
-    All ratios are floored basis points over exact integer counts, so
-    re-aggregation order can't perturb the hash.  Scale shape: the pair
+    All ratios are floored basis points over exact integer counts, evaluated
+    in the SAME double-arithmetic shape as the oracle SQL (cast to double at
+    the first multiply), so neither re-aggregation order nor int-vs-double
+    evaluation differences can perturb the hash.  Scale shape: the pair
     counts come from the bounded-fanout basket self-join
     (:func:`graph_copurchase_pairs`); per-part counts and the basket total
     are map-side-combined aggregates, broadcast onto the pair table."""
@@ -647,8 +649,12 @@ def graph_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.lit(10000) * F.col("n_orders") / F.col("n_b"))
             .cast("long")
             .alias("conf_b_to_a_bp"),
+            # Same evaluation shape as the oracle (10000.0 * s * t, chained
+            # double multiplies, then one divide): an exact-int64 numerator
+            # here would floor differently past 2^53 and overflow at extreme
+            # scale, so both engines go double at the same point.
             F.floor(
-                F.lit(10000) * F.col("n_orders") * F.col("n_total")
+                F.lit(10000.0) * F.col("n_orders") * F.col("n_total")
                 / (F.col("n_a") * F.col("n_b"))
             )
             .cast("long")

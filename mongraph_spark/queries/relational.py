@@ -1058,12 +1058,13 @@ _PROFILE_COLS = [
 ]
 
 
-def _profile_minmax(col: str, kind: str) -> F.Column:
-    """Render min/max engine-portably: numerics through DECIMAL(18,2) (both
-    engines print '123.45'; raw double→string differs), others as plain
-    string casts."""
-    c = F.col(col)
-    return c.cast("decimal(18,2)").cast("string") if kind == "num" else c.cast("string")
+def _profile_render(agg: F.Column, kind: str) -> F.Column:
+    """Render an already-aggregated min/max engine-portably: numerics
+    through DECIMAL(18,2) (both engines print '123.45'; raw double→string
+    differs), others as plain string casts.  The cast happens AFTER the
+    aggregate — casting first and min/max-ing the strings gives
+    lexicographic extremes for numerics ('99993.10' > '100279.40')."""
+    return agg.cast("decimal(18,2)").cast("string") if kind == "num" else agg.cast("string")
 
 
 def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1085,8 +1086,8 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs += [
             F.sum(c.isNull().cast("long")).alias(f"{col}__nulls"),
             F.count_distinct(c).alias(f"{col}__distinct"),
-            F.min(_profile_minmax(col, kind)).alias(f"{col}__min"),
-            F.max(_profile_minmax(col, kind)).alias(f"{col}__max"),
+            _profile_render(F.min(c), kind).alias(f"{col}__min"),
+            _profile_render(F.max(c), kind).alias(f"{col}__max"),
         ]
     one = orders.agg(*aggs)
     stack_expr = "stack({n}, {args}) as (column_name, n_nulls, n_distinct, min_val, max_val)".format(
@@ -1103,12 +1104,17 @@ ORACLE_PROFILE = "\nUNION ALL ".join(
     """SELECT '{c}' AS column_name,
        CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
        CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
-       min({expr}) AS min_val, max({expr}) AS max_val FROM orders""".format(
+       {min_expr} AS min_val, {max_expr} AS max_val FROM orders""".format(
         c=c,
-        expr=(
-            f"CAST(CAST({c} AS DECIMAL(18,2)) AS VARCHAR)"
+        min_expr=(
+            f"CAST(CAST(min({c}) AS DECIMAL(18,2)) AS VARCHAR)"
             if kind == "num"
-            else f"CAST({c} AS VARCHAR)"
+            else f"CAST(min({c}) AS VARCHAR)"
+        ),
+        max_expr=(
+            f"CAST(CAST(max({c}) AS DECIMAL(18,2)) AS VARCHAR)"
+            if kind == "num"
+            else f"CAST(max({c}) AS VARCHAR)"
         ),
     )
     for c, kind in _PROFILE_COLS

@@ -19,6 +19,7 @@ from __future__ import annotations
 import contextlib
 import itertools
 import os
+import warnings
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -40,13 +41,29 @@ def _events_schema(sf_dir: str) -> T.StructType:
     ``normalize_event_ts`` then converts only when the scan produced a long.
     """
     is_nanos = False
-    try:
-        import pyarrow.parquet as pq
+    path = os.path.join(sf_dir, "events.parquet")
+    if os.path.exists(path):
+        try:
+            import pyarrow.parquet as pq
 
-        ts_type = pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type
-        is_nanos = str(ts_type) == "timestamp[ns]"
-    except Exception:
-        pass  # no footer to probe: assume µs (Spark's native unit)
+            ts_type = pq.read_schema(path).field("ts").type
+            is_nanos = str(ts_type) == "timestamp[ns]"
+        except (OSError, KeyError, ValueError, ImportError) as exc:
+            warnings.warn(
+                f"events.parquet footer probe failed ({exc!r}); assuming "
+                "TIMESTAMP(MICROS) ts — if the data is TIMESTAMP(NANOS) the "
+                "stream timeline will be off by 1000x",
+                stacklevel=2,
+            )
+    else:
+        # Non-local sf_dir (s3://, hdfs://): the local-path probe can't see
+        # the footer.  Don't silently guess — warn so the caller verifies
+        # the ts unit through their store's own footer inspection.
+        warnings.warn(
+            f"cannot probe {path!r} locally (non-local sf_dir?); assuming "
+            "TIMESTAMP(MICROS) ts — verify the parquet ts unit out-of-band",
+            stacklevel=2,
+        )
     return T.StructType(
         [
             T.StructField("event_id", T.LongType()),
