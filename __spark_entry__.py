@@ -61,62 +61,63 @@ _SUITES = [
 # first (rounds 1-2), previously-green last, as insurance against any
 # off-by-one in the driver's window.
 CORE_ORDER = [
-    # — LLM-pipeline ops with no driver row in any round —
-    "pipeline_pack_chunks",
-    "pipeline_source_cap",
-    "sample_and_split",
-    "embedding_quantize_int8",
-    "dedup_clusters",
-    "corpus_decontaminate",
-    "corpus_repetition_filter",
-    "corpus_mixture_weights",
-    "streaming_tumbling_window",
-    "streaming_click_purchase_join",
-    "streaming_stateful_user_totals",
-    # — events suite: red in r01 (nanos read), fixed in r02, never proven —
-    "events_minmax_downsample",
-    "events_gapfill_hourly",
-    "events_hypertable_rollup",
-    "events_sessionization",
-    "events_hourly_top_type",
-    "events_asof_attribution",
-    # — graph analytics / multimodal / text additions, never driver-checked —
-    "graph_kcore",
-    "graph_pagerank",
-    "graph_cc_converged",
-    "graph_triangle_count",
-    "mm_image_features",
-    "mm_frame_sample",
-    "mm_audio_windows",
-    "text_scan_redact",
-    "text_bm25_topk",
-    "q21_waiting_suppliers",
-    # — previously driver-green (r01), re-proven here —
-    "text_metrics",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "ann_cosine_topk",
-    "ann_ivf",
-    # — reference graph surface (driver-green r01+r02; forms merged) —
+    # — never driver-verified in any round (r4 window rotation, VERDICT r3 #1):
+    #   late-r3 additions first, then the perennials that kept missing the
+    #   window edge.  All strict-gate green locally.
+    "mm_phash_neardup",
+    "graph_label_propagation",
+    "graph_association_rules",
+    "graph_degree_copurchase",
+    "events_funnel",
+    "events_pivot_daily",
+    "events_retention_cohorts",
+    "events_incremental_rollup",
+    "corpus_source_overlap",
+    "text_winnowing",
+    "text_tfidf_topterms",
+    "skew_profile",
+    "profile_orders",
+    "window_rolling_7day",
+    "unpivot_lineitem_measures",
+    "pipeline_training_order",
+    "pipeline_chunk_overlap",
+    "dedup_passages",
+    "streaming_sliding_window",
+    "streaming_merge_upsert",
+    "graph_connected_components",
+    "graph_two_hop_bucketed",
+    "graph_pagerank_converged",  # rows-only by design (no SQL oracle)
+    "mm_metadata_filter",
+    "mm_resize",
+    "streaming_session_counts",
+    "streaming_dedup_events",
+    "events_tumbling_window",
+    "events_json_props",
+    "text_token_counts",
+    # — re-proof slots: one green row per reference-surface family plus the
+    #   headline dedup/events/ANN rows (driver-green r2/r3; kept as
+    #   insurance against window off-by-ones).  New round-4 operators take
+    #   slots from the BOTTOM of this group as they land.
     "g1_traversal_forms",
     "g_delete_survivors",
     "populate_enrich",
-    "populate_semi_regex",
-    "m9_denormalize",
     "g8_shortest_paths",
     "g9_cypher_onehop",
     "doc_find_predicates",
-    # — relational operator classes (driver-green r01+r02; lattices merged) —
+    "m9_denormalize",
+    "dedup_clusters",
+    "events_asof_attribution",
+    "ann_ivf",
+    "populate_semi_regex",
     "q1_pricing_summary",
-    "scd2_priority_history",
-    "salted_revenue_by_priority",
-    "rollup_cube_revenue",
-    "range_join_price_bands",
-    "sketch_kmv_distinct_parts",
-    "stats_percentiles_corr",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "corpus_decontaminate",
+    "sample_and_split",
+    "pipeline_pack_chunks",
+    "text_metrics",
+    "mm_image_features",
+    "streaming_click_purchase_join",
 ]
 
 assert len(CORE_ORDER) == 50, len(CORE_ORDER)

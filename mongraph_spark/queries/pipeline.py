@@ -669,10 +669,9 @@ GROUP BY source
 QUERIES = {
     "dedup_clusters": dedup_clusters,
     "sample_and_split": sample_and_split,
-    "dedup_cluster_stats": dedup_cluster_stats,
-    "dedup_keep_best": dedup_keep_best,
-    "sample_stratified": sample_stratified,
-    "train_split_assign": train_split_assign,
+    # cluster_stats + keep_best ride the merged dedup_clusters row;
+    # sample_stratified + train_split_assign ride sample_and_split
+
     "embedding_quantize_int8": embedding_quantize_int8,
     "pipeline_pack_chunks": pipeline_pack_chunks,
     "pipeline_source_cap": pipeline_source_cap,
@@ -683,10 +682,7 @@ QUERIES = {
 ORACLES = {
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "sample_and_split": ORACLE_SAMPLE_SPLIT,
-    "dedup_cluster_stats": ORACLE_CLUSTER_STATS,
-    "dedup_keep_best": ORACLE_KEEP_BEST,
-    "sample_stratified": ORACLE_SAMPLE_STRATIFIED,
-    "train_split_assign": ORACLE_TRAIN_SPLIT,
+
     "embedding_quantize_int8": ORACLE_QUANTIZE,
     "pipeline_pack_chunks": ORACLE_PACK_CHUNKS,
     "pipeline_source_cap": ORACLE_SOURCE_CAP,

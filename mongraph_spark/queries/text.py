@@ -482,8 +482,7 @@ QUERIES = {
     "text_metrics": text_metrics,
     "text_scan_redact": text_scan_redact,
     "text_token_counts": text_token_counts,
-    "text_pattern_scan": text_pattern_scan,
-    "text_pii_redact": text_pii_redact,
+    # pattern_scan + pii_redact ride the merged text_scan_redact row
     "text_quality": text_quality,
     "text_lang_id": text_lang_id,
     "text_fingerprint": text_fingerprint,
@@ -494,8 +493,6 @@ ORACLES = {
     "text_metrics": ORACLE_TEXT_METRICS,
     "text_scan_redact": ORACLE_SCAN_REDACT,
     "text_token_counts": ORACLE_TOKEN_COUNTS,
-    "text_pattern_scan": ORACLE_PATTERN_SCAN,
-    "text_pii_redact": ORACLE_PII_REDACT,
     "text_quality": ORACLE_QUALITY,
     "text_lang_id": ORACLE_LANG_ID,
     "text_fingerprint": ORACLE_FINGERPRINT,
