@@ -24,6 +24,7 @@ from mongraph_spark.node import Node, Relationship
 from mongraph_spark.paths import shortest_path as bfs_shortest_path
 from mongraph_spark.populate import semi_populate
 from mongraph_spark.schema import CollectionSchema
+from mongraph_spark.sparkutil import bounded_collect
 from mongraph_spark.traversal import TraversalQuery
 
 # reference defaults (src/mongraph.coffee:17-27)
@@ -265,7 +266,7 @@ class Mongraph:
                 collections=collections,
                 reference_id=reference_id,
             )
-        rows = df.collect()
+        rows = bounded_collect(df, context="Mongraph.collect_relationships")
         rels = []
         for r in rows:
             rel = Relationship(

@@ -65,6 +65,35 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     return df
 
 
+# The OLTP point-op surface (per-document traversal results, DELETE
+# write-back id sets) mirrors the reference's per-document API and is
+# expected to collect a few dozen rows.  An accidental call on a hub node —
+# or on a bulk-scale DataFrame — would otherwise pull an unbounded edge
+# list onto the driver; the cap turns that into a loud error instead of an
+# OOM.  Raise it explicitly at the call site if a larger collect is truly
+# intended.
+OLTP_COLLECT_CAP = 100_000
+
+
+def bounded_collect(df, cap: int = OLTP_COLLECT_CAP, context: str = "collect"):
+    """Driver-side collect with a hard row cap.
+
+    Fetches at most ``cap + 1`` rows (the limit is pushed into the plan, so
+    the executors never materialize more than that either) and raises if the
+    result would exceed the cap — the guard the reference's per-document API
+    never needed (Neo4j REST paginated) but a distributed store must have.
+    """
+    rows = df.limit(cap + 1).collect()
+    if len(rows) > cap:
+        raise RuntimeError(
+            f"{context}: result exceeds the OLTP collect cap ({cap} rows). "
+            "This API is for per-document point lookups; use the DataFrame "
+            "surface (TraversalQuery.run / surviving_edges) for bulk results, "
+            "or pass an explicit higher cap if this volume is intended."
+        )
+    return rows
+
+
 def scale_out(df, min_partitions: int | None = None):
     """Widen a DataFrame to cluster parallelism before a compute-bound stage.
 

@@ -135,8 +135,15 @@ class TraversalQuery:
     def matching_rel_ids(self, store: GraphStore) -> list[int]:
         """Collect matched edge ids — the write-back set for DELETE actions
         (OLTP path: the MutableCatalog needs driver-side ids; the collect is
-        bounded by the per-document edge fan-out)."""
-        return [r.rel_id for r in self.apply(store.edges_df()).select("rel_id").collect()]
+        bounded by the per-document edge fan-out, and hard-capped so a hub
+        node can't silently pull an unbounded id list onto the driver)."""
+        from mongraph_spark.sparkutil import bounded_collect
+
+        rows = bounded_collect(
+            self.apply(store.edges_df()).select("rel_id"),
+            context="TraversalQuery.matching_rel_ids",
+        )
+        return [r.rel_id for r in rows]
 
     def surviving_edges(self, edges: DataFrame) -> DataFrame:
         """Distributed DELETE write-back (reference DELETE semantics,
