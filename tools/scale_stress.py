@@ -1,0 +1,170 @@
+"""Scale-stress evidence for the dedup/ANN path (VERDICT r3 #4).
+
+Replicates the sf0.1 ``documents`` table REPL_DOCS× (320k docs at 64×) and
+``embeddings`` REPL_VECS× (512k vectors at 256×) into ``.scale_stress/``,
+then times ``dedup_clusters`` and ``ann_ivf`` against the replicated dir in
+one warm local[32] session, recording wall time, rows scanned, and shuffle
+read/write bytes per query from the Spark status REST API.
+
+Replication shape (documents): replicas 0-3 keep the text verbatim — a
+realistic ~6% duplicate-heavy web-corpus band where every duplicated doc has
+4 copies — while replicas 4+ get a per-replica token appended to every ≥4
+letter word, which rewrites most shingles so they are near-dup-unique.  This
+keeps LSH candidate generation linear in corpus size (what we are measuring)
+instead of turning the whole corpus into one quadratic dup-class (which no
+bucketed design survives and no real corpus exhibits).
+
+Usage: python tools/scale_stress.py [--repl-docs 64] [--repl-vecs 256]
+Writes a JSON summary line; copy the numbers into COVERAGE.md BENCHNOTES.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession, functions as F  # noqa: E402
+
+STRESS_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale_stress")
+UI_PORT = 4049
+
+
+def stress_session() -> SparkSession:
+    """get_spark()'s tuning plus the status UI (metrics source)."""
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("scale_stress")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "true")
+        .config("spark.ui.port", str(UI_PORT))
+        .getOrCreate()
+    )
+
+
+def build_stress_dir(spark: SparkSession, sf_dir: str, repl_docs: int, repl_vecs: int) -> None:
+    shutil.rmtree(STRESS_DIR, ignore_errors=True)
+    os.makedirs(STRESS_DIR, exist_ok=True)
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    replicas = []
+    for i in range(repl_docs):
+        r = docs.select(
+            (F.col("doc_id") + F.lit(i * 1_000_000_000)).alias("doc_id"),
+            (
+                F.col("text")
+                if i < 4
+                # rewrite most shingles: tag every >=4-letter word
+                else F.regexp_replace("text", r"(\w{4,})", f"$1x{i}")
+            ).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        replicas.append(r)
+    big_docs = replicas[0]
+    for r in replicas[1:]:
+        big_docs = big_docs.unionByName(r)
+    big_docs.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(STRESS_DIR, "documents.parquet")
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    vec_replicas = []
+    for i in range(repl_vecs):
+        vec_replicas.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(i * 1_000_000_000)).alias("vec_id"),
+                "embedding",
+                "label",
+            )
+        )
+    big_emb = vec_replicas[0]
+    for r in vec_replicas[1:]:
+        big_emb = big_emb.unionByName(r)
+    big_emb.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(STRESS_DIR, "embeddings.parquet")
+    )
+
+
+def _stage_totals() -> dict[str, int]:
+    """Sum input/shuffle bytes over all completed stages (REST status API)."""
+    apps = json.load(
+        urllib.request.urlopen(f"http://localhost:{UI_PORT}/api/v1/applications")
+    )
+    app_id = apps[0]["id"]
+    stages = json.load(
+        urllib.request.urlopen(
+            f"http://localhost:{UI_PORT}/api/v1/applications/{app_id}/stages?status=complete"
+        )
+    )
+    tot = {"input_bytes": 0, "input_records": 0, "shuffle_read_bytes": 0, "shuffle_write_bytes": 0}
+    for s in stages:
+        tot["input_bytes"] += s.get("inputBytes", 0)
+        tot["input_records"] += s.get("inputRecords", 0)
+        tot["shuffle_read_bytes"] += s.get("shuffleReadBytes", 0)
+        tot["shuffle_write_bytes"] += s.get("shuffleWriteBytes", 0)
+    return tot
+
+
+def measure(name: str, fn) -> dict:
+    before = _stage_totals()
+    t0 = time.perf_counter()
+    n_rows = fn().count()
+    wall = time.perf_counter() - t0
+    after = _stage_totals()
+    delta = {k: after[k] - before[k] for k in before}
+    rec = {"query": name, "wall_sec": round(wall, 2), "result_rows": n_rows, **delta}
+    print("STRESS " + json.dumps(rec), flush=True)
+    return rec
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--repl-docs", type=int, default=64)
+    ap.add_argument("--repl-vecs", type=int, default=256)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    args = ap.parse_args()
+
+    spark = stress_session()
+    spark.sparkContext.setLogLevel("WARN")
+    t0 = time.perf_counter()
+    build_stress_dir(spark, args.sf_dir, args.repl_docs, args.repl_vecs)
+    print(f"STRESS build {time.perf_counter() - t0:.1f}s", flush=True)
+
+    from mongraph_spark.queries.pipeline import dedup_clusters
+    from mongraph_spark.queries.similarity import ann_ivf
+
+    results = [
+        measure("dedup_clusters", lambda: dedup_clusters(spark, STRESS_DIR)),
+        measure("ann_ivf", lambda: ann_ivf(spark, STRESS_DIR)),
+    ]
+    print(
+        "STRESS_SUMMARY "
+        + json.dumps(
+            {
+                "repl_docs": args.repl_docs,
+                "repl_vecs": args.repl_vecs,
+                "results": results,
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
