@@ -911,14 +911,18 @@ GROUP BY decile
 
 
 def salted_revenue_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Revenue per order priority through ``sparkutil.salted_join``: the
-    lineitem fact side is scattered across 8 salt shards per order key and
-    the orders dim side replicated 8×, so a hot order key can never pin a
-    shuffle partition.  The oracle is the PLAIN join — proving salting is
-    pure placement (row-identical results), which is the property that lets
-    it be dropped into any skewed equi-join.  Revenue is summed in exact
-    integer cents so the shard sum order can't perturb the hash."""
-    from mongraph_spark.sparkutil import salted_join
+    """Revenue per order priority through ``sparkutil.adaptive_salted_join``:
+    the fact-side key histogram is profiled first, and salting (8 salt
+    shards + 8× dim replication) is bought only when the hottest key
+    dominates the mean by ≥4× — on TPC-H's near-uniform order keys the gate
+    picks the plain join and skips the replication premium (in-session A/B
+    at sf0.1: plain 0.91 s, always-salted-8 1.69 s, always-salted-16
+    2.61 s).  The oracle is the PLAIN join — salting is pure placement, so
+    the result is row-identical whichever path the histogram picks, which
+    is the property that lets this wrapper be dropped into any equi-join.
+    Revenue is summed in exact integer cents so shard order can't perturb
+    the hash."""
+    from mongraph_spark.sparkutil import adaptive_salted_join
 
     li = read_table(spark, sf_dir, "lineitem").select(
         "l_orderkey",
@@ -929,11 +933,7 @@ def salted_revenue_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
     )
-    # 8 salts: enough scatter to break any hot key into 8 shuffle shards;
-    # in-session A/B at sf0.1: plain 0.91 s, 16 salts 2.61 s, 8 salts 1.69 s
-    # — replication of the dim side is the price of the insurance, so don't
-    # buy more shards than the skew needs
-    joined = salted_join(li, orders, "l_orderkey", n_salts=8)
+    joined, _used_salting = adaptive_salted_join(li, orders, "l_orderkey", n_salts=8)
     return joined.groupBy(F.col("o_orderpriority").alias("priority")).agg(
         F.count(F.lit(1)).alias("n_lines"),
         F.sum("rev_cents").alias("revenue_cents"),
