@@ -94,6 +94,15 @@ CORE_ORDER = [
     "events_tumbling_window",
     "events_json_props",
     "text_token_counts",
+    # — new round-4 operators (never driver-verified by construction) —
+    "corpus_common_token_ratio",
+    "events_threshold_anomaly",
+    "events_heavy_hitters",
+    "sketch_theta_setops",
+    "interval_overlap_orders",
+    "er_blocked_pairs",
+    "graph_ppr_seeded",
+    "store_snapshot_diff",
     # — re-proof slots: one green row per reference-surface family plus the
     #   headline dedup/events/ANN rows (driver-green r2/r3; kept as
     #   insurance against window off-by-ones).  New round-4 operators take
@@ -110,14 +119,6 @@ CORE_ORDER = [
     "ann_ivf",
     "populate_semi_regex",
     "q1_pricing_summary",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "corpus_decontaminate",
-    "sample_and_split",
-    "pipeline_pack_chunks",
-    "text_metrics",
-    "mm_image_features",
-    "streaming_click_purchase_join",
 ]
 
 assert len(CORE_ORDER) == 50, len(CORE_ORDER)

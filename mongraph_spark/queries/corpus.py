@@ -313,11 +313,74 @@ JOIN per_source gb ON gb.source = source_b
 """
 
 
+def common_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality scoring without the cross-engine log(): per doc,
+    the mean corpus frequency of its tokens ("commonness", the integer-safe
+    stand-in for unigram perplexity — gibberish/noise docs score low, they
+    are full of corpus-rare tokens) and the hapax count (tokens occurring
+    exactly once corpus-wide, the classic OCR/mojibake tell).  CCNet-style
+    pipelines drop the bottom tail of exactly this ranking before training.
+
+    Distributed shape: ONE token-keyed shuffle to build the vocabulary
+    count table, then the doc-token table joins it on the token key (at
+    100 TB: hash tokens to 64-bit first to shrink shuffle rows; the vocab
+    side is Zipf-skewed but the join key is the token itself, so AQE's
+    skew split handles the hot stopword partitions), one per-doc re-agg,
+    and a broadcast 1-row total.  Score arithmetic is the same
+    double-evaluation shape in both engines (1e9 * sum / (n*total)):
+    exact-int inputs, one cast point, floored."""
+    docs = scale_out(read_table(spark, sf_dir, "documents"))
+    tok = docs.select("doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n_tok"))
+    total = tok.agg(F.count(F.lit(1)).alias("n_total"))  # 1 row, broadcast
+    per_doc = (
+        tok.join(counts, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("n_tok").alias("sum_counts"),
+            F.sum((F.col("n_tok") == 1).cast("long")).alias("n_hapax"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(total)).select(
+        "doc_id",
+        "n_tokens",
+        "n_hapax",
+        F.floor(
+            F.lit(1_000_000_000.0) * F.col("sum_counts")
+            / (F.col("n_tokens") * F.col("n_total"))
+        )
+        .cast("long")
+        .alias("commonness_bp"),
+    )
+
+
+ORACLE_COMMON_TOKEN = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS token
+  FROM documents
+),
+counts AS (SELECT token, count(*) AS n_tok FROM tok GROUP BY token),
+total AS (SELECT count(*) AS n_total FROM tok),
+per_doc AS (
+  SELECT t.doc_id, count(*) AS n_tokens, sum(c.n_tok) AS sum_counts,
+         sum(CASE WHEN c.n_tok = 1 THEN 1 ELSE 0 END) AS n_hapax
+  FROM tok t JOIN counts c USING (token) GROUP BY t.doc_id
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_hapax AS BIGINT) AS n_hapax,
+       CAST(floor(1000000000.0 * sum_counts / (n_tokens * n_total)) AS BIGINT)
+         AS commonness_bp
+FROM per_doc CROSS JOIN total
+"""
+
+
 QUERIES = {
     "corpus_decontaminate": decontaminate_splits,
     "corpus_repetition_filter": repetition_filter,
     "corpus_mixture_weights": source_mixture_weights,
     "corpus_source_overlap": source_overlap_matrix,
+    "corpus_common_token_ratio": common_token_ratio,
 }
 
 ORACLES = {
@@ -325,4 +388,5 @@ ORACLES = {
     "corpus_repetition_filter": ORACLE_REPETITION,
     "corpus_mixture_weights": ORACLE_MIXTURE,
     "corpus_source_overlap": ORACLE_SOURCE_OVERLAP,
+    "corpus_common_token_ratio": ORACLE_COMMON_TOKEN,
 }

@@ -582,6 +582,218 @@ GROUP BY 1, 2
 """
 
 
+# -- threshold anomaly flagging (per-type exact-percentile control limit) -----------
+
+
+def events_threshold_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier surfacing for monitoring: per event type, compute the exact
+    p99 of ``value`` (few types, bounded groups — exact is fine; at 100 TB
+    per-key percentile_approx gives the same plan with mergeable t-digest
+    state), broadcast the tiny threshold table back onto the stream, and
+    report per (hour, type) how many events exceeded their type's control
+    limit.  Only (hour, type) cells that contain at least one anomaly are
+    emitted — the alerting shape, not a dense grid.
+
+    Two passes over one scan lineage (threshold agg + flag/re-agg), both
+    map-side combined; the join is a broadcast of O(|types|) rows."""
+    ev = read_table(spark, sf_dir, "events")
+    thr = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.99)), 2).alias("p99")
+    )
+    flagged = ev.join(F.broadcast(thr), "event_type").withColumn(
+        "is_anom", (F.col("value") > F.col("p99")).cast("long")
+    )
+    return (
+        flagged.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("is_anom").alias("n_anomalies"),
+        )
+        .filter(F.col("n_anomalies") > 0)
+    )
+
+
+ORACLE_THRESHOLD_ANOMALY = """
+WITH thr AS (
+  SELECT event_type, round(quantile_cont(value, 0.99), 2) AS p99
+  FROM events GROUP BY event_type
+)
+SELECT hour, event_type, n_events, n_anomalies FROM (
+  SELECT date_trunc('hour', e.ts) AS hour, e.event_type,
+         count(*) AS n_events,
+         CAST(sum(CASE WHEN e.value > t.p99 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+  FROM events e JOIN thr t ON e.event_type = t.event_type
+  GROUP BY 1, 2
+) WHERE n_anomalies > 0
+"""
+
+
+# -- heavy hitters: per-partition Misra-Gries candidates + exact recount -------------
+
+MG_K = 255  # counters per partition: catches any key with density > 1/(K+1)
+HH_DENOM = 200  # heavy = user with >= 1/200 (0.5%) of all events
+
+
+def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter users (≥ 1/200 of all events) by the two-pass sketch
+    pattern that works at any scale: pass 1 runs the Misra-Gries/Frequent
+    algorithm per partition (``mapInPandas``, Arrow-batched, ``MG_K``
+    counters of bounded memory) to produce a small candidate superset;
+    pass 2 exactly recounts ONLY the candidates (broadcast semi-join) and
+    applies the true threshold.
+
+    Correctness guarantee (why the output is EXACT, not approximate): a key
+    with global density ≥ 1/200 has density ≥ 1/200 in at least one
+    partition (pigeonhole), and per-partition MG with 255 counters retains
+    every key with partition density > 1/256 — so the candidate set is a
+    superset of the true heavy hitters and the exact recount removes the
+    false positives.  The same two-pass shape at 100 TB: candidates are
+    ≤ MG_K × n_partitions rows (tiny), the recount is one broadcast
+    semi-join + combiner-friendly count."""
+    ev = read_table(spark, sf_dir, "events").select("user_id")
+
+    def mg_candidates(batches):
+        import pandas as pd
+
+        counters: dict = {}
+        for pdf in batches:
+            for u, c in pdf["user_id"].value_counts().items():
+                counters[u] = counters.get(u, 0) + int(c)
+            # Frequent-algorithm compaction: subtract the smallest count
+            # from everyone until <= MG_K counters survive
+            while len(counters) > MG_K:
+                m = min(counters.values())
+                counters = {k: v - m for k, v in counters.items() if v > m}
+        yield pd.DataFrame({"user_id": list(counters.keys()) or [0]}).astype("int64")
+
+    candidates = (
+        ev.mapInPandas(mg_candidates, "user_id long").distinct()
+    )
+    total = ev.agg(F.count(F.lit(1)).alias("n_total"))  # 1 row
+    return (
+        ev.join(F.broadcast(candidates), "user_id")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n_events") * HH_DENOM >= F.col("n_total"))
+        .select("user_id", "n_events")
+    )
+
+
+ORACLE_HEAVY_HITTERS = f"""
+SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+HAVING count(*) * {HH_DENOM} >= (SELECT count(*) FROM events)
+"""
+
+
+# -- CoW store time travel: version-over-version CDC diff ----------------------------
+
+
+def store_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture between two pinned versions of the copy-on-write
+    store (``sources/merge.py``): v0 = per-user totals over the first 15
+    days of events; v1 = v0 upserted with full totals for every user active
+    after the cutoff.  The diff reads BOTH immutable versions
+    (``read_version`` — the ``VERSION AS OF`` time-travel shape) and
+    classifies each key inserted / updated / unchanged with its net value
+    delta — what a downstream incremental consumer applies instead of
+    re-reading the table.
+
+    Scale shape: the diff is ONE full-outer join keyed on the store key
+    (both sides are the compacted per-key table, orders of magnitude
+    smaller than raw events), classification and deltas are pure column
+    expressions, the rollup is map-side combined.  Integer cents keep the
+    deltas hash-exact."""
+    import shutil
+    import tempfile
+    import os as _os
+
+    from mongraph_spark.sources import merge as merge_store
+
+    root = _os.path.join(tempfile.gettempdir(), "mg_snapshot_diff_store")
+    shutil.rmtree(root, ignore_errors=True)
+
+    ev = read_table(spark, sf_dir, "events")
+    cutoff = ev.agg(
+        (F.date_trunc("day", F.min("ts")) + F.expr("INTERVAL 15 DAYS")).alias("cut")
+    )  # day-aligned boundary: identical under ns (DuckDB) and µs (Spark) ts
+    evc = ev.crossJoin(F.broadcast(cutoff))
+    cents = F.round(F.col("value") * 100).cast("long")
+
+    v0_totals = (
+        evc.filter(F.col("ts") < F.col("cut"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(cents).alias("sum_cents"))
+    )
+    merge_store.init_table(v0_totals, root)  # v_00000
+    touched = evc.filter(F.col("ts") >= F.col("cut")).select("user_id").distinct()
+    updates = (
+        evc.join(touched, "user_id")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(cents).alias("sum_cents"))
+    )
+    merge_store.upsert(spark, root, updates, key="user_id")  # v_00001
+
+    v0 = merge_store.read_version(spark, root, 0).alias("old")
+    v1 = merge_store.read_version(spark, root, 1).alias("new")
+    joined = v1.join(v0, F.col("new.user_id") == F.col("old.user_id"), "full_outer")
+    change_type = (
+        F.when(F.col("old.user_id").isNull(), F.lit("inserted"))
+        .when(
+            (F.col("new.n_events") != F.col("old.n_events"))
+            | (F.col("new.sum_cents") != F.col("old.sum_cents")),
+            F.lit("updated"),
+        )
+        .otherwise(F.lit("unchanged"))
+    )
+    delta = F.coalesce(F.col("new.sum_cents"), F.lit(0)) - F.coalesce(
+        F.col("old.sum_cents"), F.lit(0)
+    )
+    return (
+        joined.select(change_type.alias("change_type"), delta.alias("delta_cents"))
+        .groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("delta_cents").alias("net_cents_delta"),
+        )
+    )
+
+
+ORACLE_SNAPSHOT_DIFF = """
+WITH cut AS (SELECT date_trunc('day', min(ts)) + INTERVAL 15 DAY AS cut FROM events),
+pre AS (
+  SELECT user_id, count(*) AS n_events,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+  FROM events, cut WHERE ts < cut GROUP BY user_id
+),
+touched AS (SELECT DISTINCT user_id FROM events, cut WHERE ts >= cut),
+allt AS (
+  SELECT user_id, count(*) AS n_events,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+  FROM events GROUP BY user_id
+),
+v1 AS (
+  SELECT a.user_id, a.n_events, a.sum_cents FROM allt a
+  WHERE a.user_id IN (SELECT user_id FROM touched)
+  UNION ALL
+  SELECT p.user_id, p.n_events, p.sum_cents FROM pre p
+  WHERE p.user_id NOT IN (SELECT user_id FROM touched)
+)
+SELECT change_type, count(*) AS n_keys,
+       CAST(sum(delta_cents) AS BIGINT) AS net_cents_delta
+FROM (
+  SELECT CASE WHEN o.user_id IS NULL THEN 'inserted'
+              WHEN n.n_events != o.n_events OR n.sum_cents != o.sum_cents THEN 'updated'
+              ELSE 'unchanged' END AS change_type,
+         coalesce(n.sum_cents, 0) - coalesce(o.sum_cents, 0) AS delta_cents
+  FROM v1 n FULL OUTER JOIN pre o ON n.user_id = o.user_id
+)
+GROUP BY change_type
+"""
+
+
 QUERIES = {
     "events_tumbling_window": events_tumbling_window,
     "events_funnel": events_funnel,
@@ -595,6 +807,9 @@ QUERIES = {
     "events_hypertable_rollup": events_hypertable_rollup,
     "events_incremental_rollup": events_incremental_rollup,
     "events_retention_cohorts": events_retention_cohorts,
+    "events_threshold_anomaly": events_threshold_anomaly,
+    "events_heavy_hitters": events_heavy_hitters,
+    "store_snapshot_diff": store_snapshot_diff,
 }
 
 ORACLES = {
@@ -610,4 +825,7 @@ ORACLES = {
     "events_hypertable_rollup": ORACLE_HYPERTABLE,
     "events_incremental_rollup": ORACLE_INCREMENTAL,
     "events_retention_cohorts": ORACLE_RETENTION,
+    "events_threshold_anomaly": ORACLE_THRESHOLD_ANOMALY,
+    "events_heavy_hitters": ORACLE_HEAVY_HITTERS,
+    "store_snapshot_diff": ORACLE_SNAPSHOT_DIFF,
 }

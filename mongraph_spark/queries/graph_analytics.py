@@ -395,6 +395,108 @@ ORACLE_COPURCHASE = tpch.oracle_with(
 )
 
 
+N_PPR_ITER = 3
+
+
+def graph_ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from a seed set (the 5 region nodes), the
+    recommendation/similarity primitive global PageRank can't express:
+    restart mass returns to the SEEDS each round
+    (``r = (1-d)·s + d·W·r`` with ``s`` uniform over seeds, zero
+    elsewhere), so rank measures proximity to the seed set.  Undirected
+    adjacency (both edge directions), 3-round unroll so the oracle is
+    plain CTEs; the production convergence loop is
+    :func:`pagerank_until_convergence` with the same round body.
+
+    Scale shape: identical to :func:`graph_pagerank` — normalize degrees
+    once, one join + one node-keyed aggregation per round — plus a
+    broadcast 1-row seed count.  Output: per-collection rank mass in
+    floored basis points (seeded mass concentrates in the geo subgraph,
+    which is the point)."""
+    eng = tpch.bulk_engine(spark, sf_dir)
+    e = eng.store.edges_df().select("src", "dst")
+    adj = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    nodes = eng.store.nodes_df().select("node_id")
+    out_deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    adj_norm = adj.join(out_deg, "src").persist()
+    try:
+        is_seed = ((F.col("node_id") / F.lit(10**12)).cast("long") == 1).cast("long")
+        seeded = nodes.select("node_id", is_seed.alias("seed"))
+        n_seeds = seeded.agg(F.sum("seed").alias("n_seeds"))  # 1 row
+        base = seeded.crossJoin(F.broadcast(n_seeds)).select(
+            "node_id", (F.col("seed") / F.col("n_seeds")).alias("s")
+        )
+        ranks = base.select("node_id", F.col("s").alias("rank"), "s")
+        for _ in range(N_PPR_ITER):
+            contribs = (
+                ranks.join(adj_norm, ranks["node_id"] == adj_norm["src"], "inner")
+                .select(
+                    F.col("dst").alias("node_id"),
+                    (F.col("rank") / F.col("out_deg")).alias("c"),
+                )
+                .groupBy("node_id")
+                .agg(F.sum("c").alias("contrib"))
+            )
+            ranks = base.join(contribs, "node_id", "left").select(
+                "node_id",
+                (
+                    F.lit(1 - DAMPING) * F.col("s")
+                    + F.lit(DAMPING) * F.coalesce("contrib", F.lit(0.0))
+                ).alias("rank"),
+                "s",
+            )
+        ranks = ranks.localCheckpoint(eager=True)
+    finally:
+        adj_norm.unpersist()
+    return _pagerank_ranks_summary(ranks.select("node_id", "rank"))
+
+
+def _ppr_oracle() -> str:
+    body = """
+adj AS (
+  SELECT src, dst FROM g_edges
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM g_edges
+),
+outdeg AS (SELECT src, count(*) AS out_deg FROM adj GROUP BY src),
+seeds AS (
+  SELECT node_id,
+         CASE WHEN CAST(node_id // 1000000000000 AS BIGINT) = 1 THEN 1 ELSE 0 END AS seed
+  FROM g_nodes
+),
+base AS (
+  SELECT node_id, seed / (SELECT sum(seed) FROM seeds) AS s FROM seeds
+),
+p0 AS (SELECT node_id, s AS rank, s FROM base)"""
+    prev = "p0"
+    for k in range(1, N_PPR_ITER + 1):
+        body += f""",
+pc{k} AS (
+  SELECT a.dst AS node_id, sum(r.rank / d.out_deg) AS contrib
+  FROM {prev} r JOIN adj a ON r.node_id = a.src
+  JOIN outdeg d ON a.src = d.src
+  GROUP BY a.dst
+),
+p{k} AS (
+  SELECT b.node_id, {1 - DAMPING} * b.s + {DAMPING} * coalesce(c.contrib, 0.0) AS rank, b.s
+  FROM base b LEFT JOIN pc{k} c ON b.node_id = c.node_id
+)"""
+        prev = f"p{k}"
+    return tpch.oracle_with(
+        f"""SELECT CAST(node_id // 1000000000000 AS BIGINT) AS coll_code,
+       count(*) AS n_nodes,
+       CAST(floor(10000 * min(rank)) AS BIGINT) AS min_rank_bp,
+       CAST(floor(10000 * max(rank)) AS BIGINT) AS max_rank_bp,
+       CAST(floor(10000 * sum(rank)) AS BIGINT) AS sum_rank_bp
+FROM {prev}
+GROUP BY 1""",
+        extra_ctes=body.lstrip("\n"),
+    )
+
+
+ORACLE_PPR = _ppr_oracle()
+
+
 def graph_degree_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merged evidence row: degree histogram + co-purchase pair mining as a
     tagged union, so both perennials ride ONE driver correctness row instead
@@ -836,6 +938,7 @@ QUERIES = {
     "graph_degree_copurchase": graph_degree_copurchase,
     "graph_kcore": graph_kcore,
     "graph_pagerank": graph_pagerank,
+    "graph_ppr_seeded": graph_ppr_seeded,
     "graph_pagerank_converged": graph_pagerank_converged,
     "graph_connected_components": graph_connected_components,
     "graph_cc_converged": graph_cc_converged,
@@ -850,6 +953,7 @@ ORACLES = {
     "graph_kcore": ORACLE_KCORE,
     "graph_degree_copurchase": ORACLE_DEGREE_COPURCHASE,
     "graph_pagerank": ORACLE_PAGERANK,
+    "graph_ppr_seeded": ORACLE_PPR,
     # graph_pagerank_converged: no SQL oracle on purpose — iteration depth is
     # data-dependent (rows-only driver check; semantics pinned by
     # tests/test_graph_convergence.py)

@@ -361,6 +361,249 @@ FROM est
 """
 
 
+# -- theta-sketch set operations over KMV sketches -----------------------------------
+
+
+def sketch_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count set algebra on SKETCHES, the way segment-overlap
+    questions are answered at 100 TB without ever joining the raw sets:
+    build a KMV sketch (k smallest md5 values of the distinct keys) per
+    segment — customers ordering in 1996 vs 1997 — then
+
+    - **union estimate**: KMV over the merged minima (k smallest of A ∪ B),
+    - **intersection estimate** (theta style): of the union sketch's
+      retained minima, the fraction present in BOTH input sketches, scaled
+      by the union estimate.
+
+    Everything is md5 order statistics + integer floors, so the sketch
+    itself is engine-deterministic and oracle-checkable (same reason
+    ``sketch_kmv_distinct_parts`` works).  Each sketch is a per-partition
+    top-k then a k-row merge — no shuffle wider than k rows; the exact
+    counts alongside are for the evidence row, not part of the method."""
+    orders = read_table(spark, sf_dir, "orders")
+
+    def year_keys(year: int):
+        return orders.filter(
+            (F.col("o_orderdate") >= F.lit(f"{year}-01-01"))
+            & (F.col("o_orderdate") < F.lit(f"{year + 1}-01-01"))
+        ).select(F.col("o_custkey").alias("custkey"))
+
+    def kmv(df):  # k smallest md5 hashes of the distinct keys
+        return (
+            df.select(F.md5(F.col("custkey").cast("string")).alias("h"))
+            .distinct()
+            .orderBy("h")
+            .limit(KMV_K)
+        )
+
+    a, b = kmv(year_keys(1996)), kmv(year_keys(1997))
+    union_pool = a.union(b).distinct().orderBy("h").limit(KMV_K)
+    frac = F.conv(F.substring(F.max("h"), 1, 15), 16, 10).cast("double") / F.lit(
+        float(16**15)
+    )
+    union_est = union_pool.agg(
+        F.floor(F.lit(KMV_K - 1) / frac).cast("long").alias("union_est"),
+        F.count(F.lit(1)).alias("k_used"),
+    )
+    n_both = (
+        union_pool.join(a, "h").join(b, "h").agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    exact = year_keys(1996).intersect(year_keys(1997)).agg(
+        F.count(F.lit(1)).alias("exact_inter")
+    )
+    exact_union = year_keys(1996).union(year_keys(1997)).distinct().agg(
+        F.count(F.lit(1)).alias("exact_union")
+    )
+    return (
+        union_est.crossJoin(n_both)
+        .select(
+            "union_est",
+            "k_used",
+            F.floor(F.col("n_both") * F.col("union_est") / F.col("k_used"))
+            .cast("long")
+            .alias("inter_est"),
+        )
+        .crossJoin(exact)
+        .crossJoin(exact_union)
+    )
+
+
+ORACLE_THETA = f"""
+WITH a AS (
+  SELECT DISTINCT md5(CAST(o_custkey AS VARCHAR)) AS h FROM orders
+  WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+  ORDER BY h LIMIT {KMV_K}
+),
+b AS (
+  SELECT DISTINCT md5(CAST(o_custkey AS VARCHAR)) AS h FROM orders
+  WHERE o_orderdate >= '1997-01-01' AND o_orderdate < '1998-01-01'
+  ORDER BY h LIMIT {KMV_K}
+),
+union_pool AS (
+  SELECT DISTINCT h FROM (SELECT h FROM a UNION ALL SELECT h FROM b)
+  ORDER BY h LIMIT {KMV_K}
+),
+est AS (
+  SELECT CAST(floor(({KMV_K} - 1) /
+           (CAST(('0x' || substr(max(h), 1, 15)) AS UBIGINT) / {float(16**15)})) AS BIGINT)
+           AS union_est,
+         count(*) AS k_used
+  FROM union_pool
+),
+both_h AS (
+  SELECT count(*) AS n_both FROM union_pool u
+  JOIN a ON u.h = a.h JOIN b ON u.h = b.h
+)
+SELECT union_est, k_used,
+       CAST(floor(n_both * union_est / k_used) AS BIGINT) AS inter_est,
+       (SELECT count(*) FROM (
+          SELECT DISTINCT o_custkey FROM orders
+          WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+          INTERSECT
+          SELECT DISTINCT o_custkey FROM orders
+          WHERE o_orderdate >= '1997-01-01' AND o_orderdate < '1998-01-01'
+       )) AS exact_inter,
+       (SELECT count(DISTINCT o_custkey) FROM orders
+        WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01') AS exact_union
+FROM est CROSS JOIN both_h
+"""
+
+
+# -- interval-overlap join (key-partitioned range join) ------------------------------
+
+
+def interval_overlap_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join: pairs of orders by the SAME customer
+    whose 30-day activity windows [orderdate, orderdate+30d) overlap —
+    the temporal-join primitive behind session stitching, concurrent-
+    treatment detection, and validity-interval reconciliation.
+
+    Scale shape: the join is EQUI-keyed on the customer and only the range
+    predicate is non-equi, so Spark executes a shuffled hash join on
+    custkey with the overlap filter on top — candidate pairs are bounded
+    by per-customer order counts (bounded fanout), never a cartesian.  For
+    KEYLESS interval joins, bucket each interval into the coarse time
+    chunks it spans (explode bounded by interval_len/chunk) and equi-join
+    on the chunk before the exact overlap filter — same plan family as
+    ``events_asof_attribution``.  Output: per customer, the pair count and
+    the total overlapped days (integer datediff arithmetic, hash-exact)."""
+    orders = read_table(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("start"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("end"),
+    )
+    a = o.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("key_a"),
+        F.col("start").alias("start_a"),
+        F.col("end").alias("end_a"),
+    )
+    b = o.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("key_b"),
+        F.col("start").alias("start_b"),
+        F.col("end").alias("end_b"),
+    )
+    pairs = a.join(b, "o_custkey").filter(
+        (F.col("key_a") < F.col("key_b"))
+        & (F.col("start_a") < F.col("end_b"))
+        & (F.col("start_b") < F.col("end_a"))
+    )
+    overlap_days = F.datediff(
+        F.least("end_a", "end_b"), F.greatest("start_a", "start_b")
+    )
+    return (
+        pairs.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_overlapping_pairs"),
+            F.sum(overlap_days).cast("long").alias("total_overlap_days"),
+        )
+    )
+
+
+ORACLE_INTERVAL_OVERLAP = """
+SELECT o_custkey AS custkey, count(*) AS n_overlapping_pairs,
+       CAST(sum(date_diff('day',
+                greatest(a.start_d, b.start_d),
+                least(a.end_d, b.end_d))) AS BIGINT) AS total_overlap_days
+FROM (SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS start_d,
+             CAST(o_orderdate AS DATE) + 30 AS end_d FROM orders) a
+JOIN (SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS start_d,
+             CAST(o_orderdate AS DATE) + 30 AS end_d FROM orders) b
+  USING (o_custkey)
+WHERE a.o_orderkey < b.o_orderkey
+  AND a.start_d < b.end_d AND b.start_d < a.end_d
+GROUP BY o_custkey
+"""
+
+
+# -- entity resolution: blocked pairwise record linkage ------------------------------
+
+
+def er_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-linkage candidate generation + match scoring with BLOCKING —
+    the only shape entity resolution survives at scale: never all-pairs,
+    only pairs within a blocking key (here the product noun, the last word
+    of ``p_name``), then exact edit-distance scoring inside each block.
+
+    Scale shape: one shuffle keyed on the block, a within-block self-join
+    whose fan-out is bounded by block size (the classic ER skew risk — a
+    production run caps or sub-blocks hot keys first, exactly what
+    ``skew_profile``'s weight classes detect), and a map-side-combined
+    rollup.  ``levenshtein`` is a JVM builtin in Spark and a native
+    function in DuckDB — same DP definition, hash-identical counts.
+    Output: per block, items, candidate pairs, and pairs matching at edit
+    distance ≤ 4."""
+    part = read_table(spark, sf_dir, "part")
+    blocked = part.select(
+        F.element_at(F.split("p_name", " "), -1).alias("block_key"),
+        F.col("p_partkey").alias("key"),
+        F.col("p_name").alias("name"),
+    )
+    a = blocked.select(
+        "block_key", F.col("key").alias("key_a"), F.col("name").alias("name_a")
+    )
+    b = blocked.select(
+        "block_key", F.col("key").alias("key_b"), F.col("name").alias("name_b")
+    )
+    pairs = a.join(b, "block_key").filter(F.col("key_a") < F.col("key_b"))
+    block_sizes = blocked.groupBy("block_key").agg(F.count(F.lit(1)).alias("n_items"))
+    pair_stats = (
+        pairs.withColumn(
+            "is_match", (F.levenshtein("name_a", "name_b") <= 4).cast("long")
+        )
+        .groupBy("block_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs_checked"),
+            F.sum("is_match").alias("n_matches"),
+        )
+    )
+    return block_sizes.join(pair_stats, "block_key").select(
+        "block_key", "n_items", "n_pairs_checked", "n_matches"
+    )
+
+
+ORACLE_ER_BLOCKED = """
+WITH blocked AS (
+  SELECT p_partkey, p_name, string_split(p_name, ' ')[-1] AS block_key FROM part
+),
+sizes AS (SELECT block_key, count(*) AS n_items FROM blocked GROUP BY block_key),
+pair_stats AS (
+  SELECT a.block_key,
+         count(*) AS n_pairs_checked,
+         CAST(sum(CASE WHEN levenshtein(a.p_name, b.p_name) <= 4 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_matches
+  FROM blocked a JOIN blocked b
+    ON a.block_key = b.block_key AND a.p_partkey < b.p_partkey
+  GROUP BY a.block_key
+)
+SELECT block_key, n_items, n_pairs_checked, n_matches
+FROM sizes JOIN pair_stats USING (block_key)
+"""
+
+
 # -- set operations ------------------------------------------------------------------
 
 
@@ -1199,6 +1442,9 @@ QUERIES = {
     "cube_quantity": cube_quantity,
     "range_join_price_bands": range_join_price_bands,
     "sketch_kmv_distinct_parts": sketch_kmv_distinct_parts,
+    "sketch_theta_setops": sketch_theta_setops,
+    "interval_overlap_orders": interval_overlap_orders,
+    "er_blocked_pairs": er_blocked_pairs,
     "setop_active_building_customers": setop_active_building_customers,
     "anti_customers_without_orders": anti_customers_without_orders,
     "semi_parts_shipped": semi_parts_shipped,
@@ -1231,6 +1477,9 @@ ORACLES = {
     "cube_quantity": ORACLE_CUBE,
     "range_join_price_bands": ORACLE_RANGE_JOIN,
     "sketch_kmv_distinct_parts": ORACLE_KMV,
+    "sketch_theta_setops": ORACLE_THETA,
+    "interval_overlap_orders": ORACLE_INTERVAL_OVERLAP,
+    "er_blocked_pairs": ORACLE_ER_BLOCKED,
     "setop_active_building_customers": ORACLE_SETOP,
     "anti_customers_without_orders": ORACLE_ANTI,
     "semi_parts_shipped": ORACLE_SEMI,

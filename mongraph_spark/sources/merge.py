@@ -66,6 +66,14 @@ def read_current(spark: SparkSession, root: str) -> DataFrame | None:
     return spark.read.parquet(os.path.join(root, ver))
 
 
+def read_version(spark: SparkSession, root: str, n: int) -> DataFrame:
+    """Time-travel read: pin an explicit version instead of the _CURRENT
+    pointer.  Versions are immutable once the pointer has moved past them,
+    so this is safe concurrently with later upserts — the Delta/Iceberg
+    ``VERSION AS OF`` shape."""
+    return spark.read.parquet(os.path.join(root, _version_name(n)))
+
+
 def init_table(df: DataFrame, root: str) -> str:
     """Create version 0 from a DataFrame."""
     os.makedirs(root, exist_ok=True)

@@ -1,0 +1,172 @@
+"""Plan pins + behavioral invariants for the round-4 operators: each test
+asserts the SCALE-relevant property of the executed plan (no cartesian, the
+right join strategy, no global sort, bounded sketch memory) — the property
+that must survive a 100× scale-up — plus the key semantic invariant.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from mongraph_spark.sparkutil import get_spark
+
+    return get_spark("round4-plans", cpus=8)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# -- corpus_common_token_ratio ----------------------------------------------------
+
+
+def test_common_token_ratio_stays_jvm_side(spark):
+    """Unigram scoring is pure built-ins: no Python eval anywhere in the
+    plan, and the documents scan prunes to (doc_id, text) only."""
+    from mongraph_spark.queries.corpus import common_token_ratio
+
+    plan = _plan(common_token_ratio(spark, SF))
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert "lang" not in plan.split("ReadSchema")[-1]
+
+
+# -- events_threshold_anomaly ------------------------------------------------------
+
+
+def test_threshold_anomaly_broadcasts_thresholds(spark):
+    """The per-type threshold table joins back as a BROADCAST (O(|types|)
+    rows) — a sort-merge join here would shuffle the full event stream
+    against a 5-row side."""
+    from mongraph_spark.queries.events import events_threshold_anomaly
+
+    plan = _plan(events_threshold_anomaly(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+# -- events_heavy_hitters ----------------------------------------------------------
+
+
+def test_heavy_hitters_exact_and_sketch_bounded(spark):
+    """The MG candidate pass is the plan's ONLY Python stage, the recount
+    join is a broadcast, and the output equals the exact groupBy answer
+    (the two-pass guarantee: candidates ⊇ true heavy hitters)."""
+    from mongraph_spark.queries.events import HH_DENOM, events_heavy_hitters
+
+    df = events_heavy_hitters(spark, SF)
+    plan = _plan(df)
+    assert plan.count("MapInPandas") == 1
+    assert "BroadcastHashJoin" in plan
+
+    from mongraph_spark.sparkutil import read_table
+
+    ev = read_table(spark, SF, "events")
+    n_total = ev.count()
+    exact = {
+        (r.user_id, r.n_events)
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .filter(F.col("n_events") * HH_DENOM >= n_total)
+        .collect()
+    }
+    assert {(r.user_id, r.n_events) for r in df.collect()} == exact
+
+
+# -- sketch_theta_setops -----------------------------------------------------------
+
+
+def test_theta_sketch_no_global_sort(spark):
+    """The k-minima selections compile to TakeOrderedAndProject (per-
+    partition top-k + merge), never a full Sort+Limit of the distinct-hash
+    set — the property that keeps KMV cheap at any cardinality."""
+    from mongraph_spark.queries.relational import sketch_theta_setops
+
+    df = sketch_theta_setops(spark, SF)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+
+    # sanity: estimates bracket reality on this data
+    row = df.first()
+    assert row.exact_inter <= row.exact_union
+    assert row.k_used > 0 and row.union_est > 0
+
+
+# -- interval_overlap_orders -------------------------------------------------------
+
+
+def test_interval_overlap_is_equi_keyed(spark):
+    """The overlap join must be EQUI-keyed on the customer (hash-join on
+    custkey with the range filter on top) — a nested-loop/cartesian here is
+    the quadratic trap interval joins fall into."""
+    from mongraph_spark.queries.relational import interval_overlap_orders
+
+    plan = _plan(interval_overlap_orders(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# -- er_blocked_pairs --------------------------------------------------------------
+
+
+def test_er_pairs_equi_blocked(spark):
+    """Candidate generation joins on the blocking key (equi), never
+    all-pairs; matches are a subset of checked pairs."""
+    from mongraph_spark.queries.relational import er_blocked_pairs
+
+    df = er_blocked_pairs(spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    bad = df.filter(F.col("n_matches") > F.col("n_pairs_checked")).count()
+    assert bad == 0
+
+
+# -- graph_ppr_seeded --------------------------------------------------------------
+
+
+def test_ppr_mass_conservation(spark):
+    """Personalized PageRank over the undirected adjacency conserves rank
+    mass: every node that receives mass has an out-edge, so total rank
+    stays 1.0 (minus only basis-point flooring)."""
+    from mongraph_spark.queries.graph_analytics import graph_ppr_seeded
+
+    rows = graph_ppr_seeded(spark, SF).collect()
+    total_bp = sum(r.sum_rank_bp for r in rows)
+    assert 9990 <= total_bp <= 10000
+    # seeds (regions, coll_code 1) retain the strongest per-node rank
+    by_coll = {r.coll_code: r for r in rows}
+    assert by_coll[1].max_rank_bp == max(r.max_rank_bp for r in rows)
+
+
+# -- store_snapshot_diff -----------------------------------------------------------
+
+
+def test_snapshot_diff_partitions_keyspace(spark):
+    """The CDC classes partition the union keyspace: n_keys sums to the
+    distinct users overall, and the net delta equals the cents that arrived
+    after the cutoff (conservation — the incremental consumer's invariant)."""
+    from mongraph_spark.queries.events import store_snapshot_diff
+    from mongraph_spark.sparkutil import read_table
+
+    rows = {r.change_type: r for r in store_snapshot_diff(spark, SF).collect()}
+    ev = read_table(spark, SF, "events")
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r.n_keys for r in rows.values()) == n_users
+
+    cut = ev.agg(
+        (F.date_trunc("day", F.min("ts")) + F.expr("INTERVAL 15 DAYS")).alias("c")
+    ).first()["c"]
+    post_cents = (
+        ev.filter(F.col("ts") >= F.lit(cut))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")))
+        .first()[0]
+    )
+    net = sum(r.net_cents_delta for r in rows.values())
+    assert net == post_cents
+    assert rows.get("unchanged") is None or rows["unchanged"].net_cents_delta == 0
