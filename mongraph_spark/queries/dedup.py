@@ -324,6 +324,58 @@ WHERE 5 * len(list_intersect(sa.shingles, sb.shingles))
 """
 
 
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-CONTAINMENT detection over the same LSH candidates: containment
+    C = |A∩B| / min(|A|,|B|) catches a short document embedded inside a
+    longer one — a duplicate class Jaccard misses by construction (the big
+    union drives J below any threshold while C stays ~1).  Boilerplate
+    wrappers, quote-posts, and template-padded pages are exactly this
+    shape in web corpora.
+
+    Same scale posture as :func:`dedup_ngram_jaccard`: LSH band buckets
+    generate the candidates (never all-pairs), exact set arithmetic only on
+    the candidate pairs, and the ≥0.8 threshold is an exact integer
+    comparison (5·common ≥ 4·min) so no float crosses the engines."""
+    shingled = _shingled_corpus(spark, sf_dir, drop_last=2).persist()
+    cands = _lsh_candidate_pairs(shingled)
+    sa = shingled.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = shingled.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    j = cands.join(sa, "id_a").join(sb, "id_b")
+    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
+    min_sz = F.least(F.size("sh_a"), F.size("sh_b"))
+    return (
+        j.withColumn("n_common", n_common)
+        .withColumn("min_sz", min_sz)
+        .filter(5 * F.col("n_common") >= 4 * F.col("min_sz"))
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            F.floor(F.lit(10000) * F.col("n_common") / F.col("min_sz"))
+            .cast("long")
+            .alias("containment_bp"),
+        )
+    )
+
+
+ORACLE_CONTAINMENT = f"""
+WITH {_oracle_corpus_droplast(2)},
+{_ORACLE_SHINGLES},
+{_oracle_minhash_sig_sql()},
+{_oracle_cands_sql()}
+SELECT id_a, id_b,
+       len(list_intersect(sa.shingles, sb.shingles)) AS n_common,
+       CAST(floor(10000.0 * len(list_intersect(sa.shingles, sb.shingles))
+         / least(len(sa.shingles), len(sb.shingles)))
+         AS BIGINT) AS containment_bp
+FROM cands
+JOIN shingled sa ON sa.doc_id = id_a
+JOIN shingled sb ON sb.doc_id = id_b
+WHERE 5 * len(list_intersect(sa.shingles, sb.shingles))
+      >= 4 * least(len(sa.shingles), len(sb.shingles))
+"""
+
+
 # -- SimHash: per-nibble majority vote over word hashes -------------------------------
 
 SIMHASH_LEN = 32  # md5 hex nibbles
@@ -594,6 +646,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_passages": dedup_passages,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_containment": dedup_containment,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -603,6 +656,7 @@ ORACLES = {
     "dedup_exact": ORACLE_EXACT,
     "dedup_passages": ORACLE_PASSAGES,
     "dedup_ngram_jaccard": ORACLE_JACCARD,
+    "dedup_containment": ORACLE_CONTAINMENT,
     "dedup_minhash_lsh": ORACLE_MINHASH,
     "dedup_simhash": ORACLE_SIMHASH,
     "dedup_embedding_cosine": ORACLE_EMBEDDING_COSINE,

@@ -540,6 +540,67 @@ SELECT 'copurchase' AS tag, CAST(part_a AS BIGINT) AS a, CAST(part_b AS BIGINT) 
 )
 
 
+def graph_node_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Node similarity by neighbor-set Jaccard — the "customers who bought
+    X also bought Y" recommendation primitive: for every co-purchased part
+    pair, |orders(A) ∩ orders(B)| / |orders(A) ∪ orders(B)| in floored
+    basis points.
+
+    Scale shape: the intersection counts ARE the bounded-fanout co-purchase
+    pair table (one inverted-list self-join, already skew-bounded by basket
+    size); per-part neighbor counts broadcast onto it; union size is
+    inclusion-exclusion arithmetic — no second pass over the edge data.
+    Only pairs with ≥ 2 shared orders survive (the support floor that keeps
+    the pair table sparse at scale)."""
+    baskets = (
+        tpch.bulk_engine(spark, sf_dir)
+        .store.edges_df()
+        .filter(F.col("type") == "contains")
+        .select(F.col("src").alias("order_id"), F.col("dst").alias("part_id"))
+        .distinct()
+    )
+    per_part = baskets.groupBy("part_id").agg(F.count(F.lit(1)).alias("n_part"))
+    pairs = graph_copurchase_pairs(spark, sf_dir)  # part_a < part_b, n_orders >= 2
+    pa = per_part.select(F.col("part_id").alias("part_a"), F.col("n_part").alias("n_a"))
+    pb = per_part.select(F.col("part_id").alias("part_b"), F.col("n_part").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(pa), "part_a")
+        .join(F.broadcast(pb), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            F.col("n_orders").alias("n_shared"),
+            F.floor(
+                F.lit(10000) * F.col("n_orders")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_orders"))
+            )
+            .cast("long")
+            .alias("jaccard_bp"),
+        )
+    )
+
+
+ORACLE_NODE_SIMILARITY = tpch.oracle_with(
+    """SELECT part_a, part_b, n_shared,
+       CAST(floor(10000.0 * n_shared / (ca.n_a + cb.n_b - n_shared)) AS BIGINT)
+         AS jaccard_bp
+FROM (
+  SELECT a.part_id AS part_a, b.part_id AS part_b, count(*) AS n_shared
+  FROM baskets a JOIN baskets b
+    ON a.order_id = b.order_id AND a.part_id < b.part_id
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+) p
+JOIN (SELECT part_id, count(*) AS n_a FROM baskets GROUP BY part_id) ca
+  ON ca.part_id = p.part_a
+JOIN (SELECT part_id, count(*) AS n_b FROM baskets GROUP BY part_id) cb
+  ON cb.part_id = p.part_b""",
+    extra_ctes="""baskets AS (
+  SELECT DISTINCT src AS order_id, dst AS part_id FROM g_edges WHERE type = 'contains'
+)""",
+)
+
+
 def graph_two_hop_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-hop traversal (customer -[placed]-> order -[contains]-> part) over
     the *bucketed* edge store: the contains side joins on its bucket column
@@ -943,6 +1004,7 @@ QUERIES = {
     "graph_connected_components": graph_connected_components,
     "graph_cc_converged": graph_cc_converged,
     "graph_two_hop_bucketed": graph_two_hop_bucketed,
+    "graph_node_similarity": graph_node_similarity,
     "graph_triangle_count": graph_triangle_count,
     "graph_label_propagation": graph_label_propagation,
     "graph_association_rules": graph_association_rules,
@@ -962,6 +1024,7 @@ ORACLES = {
     # so it shares the full value-hash oracle
     "graph_cc_converged": ORACLE_CC,
     "graph_two_hop_bucketed": ORACLE_TWO_HOP,
+    "graph_node_similarity": ORACLE_NODE_SIMILARITY,
     "graph_label_propagation": ORACLE_LPA,
     "graph_association_rules": ORACLE_ASSOC,
 }

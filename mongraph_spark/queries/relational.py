@@ -1102,6 +1102,79 @@ FROM (
 """
 
 
+def scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (AS OF) join against the SCD2 dimension: every
+    lineitem is attributed to the customer's priority version VALID AT SHIP
+    TIME — the warehouse query SCD2 tables exist for, and the one that
+    silently corrupts metrics when someone joins the current version
+    instead.
+
+    Scale shape: facts pick up the custkey via the orders join (orderkey-
+    keyed shuffle), then join the history EQUI-keyed on custkey with the
+    interval predicate on top (per-customer version counts bound the
+    fan-out, same posture as ``interval_overlap_orders``); an in-history
+    row matches exactly one version because SCD2 intervals partition the
+    timeline from the first valid_from onward.  Facts shipping BEFORE the
+    customer's first version (this generator draws ship dates independent
+    of order dates) have no version and drop — the pinned invariant in
+    tests/test_round4_plans.py.  Revenue in integer cents."""
+    hist = scd2_priority_history(spark, sf_dir).select(
+        "o_custkey",
+        "priority",
+        F.to_date("valid_from").alias("vf"),
+        F.to_date("valid_to").alias("vt"),  # null = current version
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.to_date("l_shipdate").alias("ship_d"),
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("long")
+        .alias("rev_cents"),
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_custkey"
+    )
+    facts = li.join(orders, "l_orderkey")
+    pit = facts.join(hist, "o_custkey").filter(
+        (F.col("ship_d") >= F.col("vf"))
+        & (F.col("vt").isNull() | (F.col("ship_d") < F.col("vt")))
+    )
+    return pit.groupBy(F.col("priority").alias("priority_at_ship")).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("rev_cents").alias("revenue_cents"),
+    )
+
+
+ORACLE_SCD2_PIT = """
+WITH hist AS (
+  SELECT o_custkey, priority, vf,
+         lead(vf) OVER (PARTITION BY o_custkey ORDER BY vf, first_key) AS vt
+  FROM (
+    SELECT o_custkey, o_orderpriority AS priority, island,
+           min(d) AS vf, min(o_orderkey) AS first_key
+    FROM (
+      SELECT o_custkey, o_orderkey, o_orderpriority, CAST(o_orderdate AS DATE) AS d,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+           - row_number() OVER (PARTITION BY o_custkey, o_orderpriority
+                                ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS island
+      FROM orders
+    )
+    GROUP BY 1, 2, 3
+  )
+)
+SELECT h.priority AS priority_at_ship,
+       count(*) AS n_lines,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN hist h ON h.o_custkey = o.o_custkey
+           AND CAST(l.l_shipdate AS DATE) >= h.vf
+           AND (h.vt IS NULL OR CAST(l.l_shipdate AS DATE) < h.vt)
+GROUP BY 1
+"""
+
+
 # -- decile distribution: ntile over per-customer spend ----------------------------
 
 
@@ -1429,6 +1502,7 @@ QUERIES = {
     "skew_profile": skew_profile,
     "window_rolling_7day": window_rolling_7day,
     "scd2_priority_history": scd2_priority_history,
+    "scd2_pit_join": scd2_pit_join,
     "window_customer_deciles": window_customer_deciles,
     "salted_revenue_by_priority": salted_revenue_by_priority,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1490,6 +1564,7 @@ ORACLES = {
     "q18_large_orders": ORACLE_Q18,
     "q22_wealthy_no_urgent": ORACLE_Q22,
     "scd2_priority_history": ORACLE_SCD2,
+    "scd2_pit_join": ORACLE_SCD2_PIT,
     "window_customer_deciles": ORACLE_DECILES,
     "salted_revenue_by_priority": ORACLE_SALTED,
 }

@@ -478,6 +478,85 @@ FROM per_source p JOIN corpus c ON p.source = c.source
 """
 
 
+def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: adjacent-word bigrams ranked by LIFT — how much
+    more often the pair co-occurs than its unigram frequencies predict (the
+    integer-safe stand-in for PMI, which needs a cross-engine log()).  The
+    keyphrase-extraction primitive (RAKE/PMI family) every corpus-analysis
+    pass runs.
+
+    Distributed shape: one explode → bigram-keyed count (map-side combined,
+    Zipf-skew absorbed by partial aggs), per-word counts broadcast onto the
+    bigram table, a broadcast 1-row total, then a deterministic top-50 by
+    (lift, support, pair) via TakeOrdered — no global sort.  Support ≥ 5
+    filters hapax noise; lift arithmetic is the shared double-shape
+    (cast at the first multiply, one divide, floor)."""
+    docs = scale_out(read_table(spark, sf_dir, "documents"))
+    words = F.split(F.lower("text"), r"\s+")
+    # sequence(1, 0) in Spark is DESCENDING [1, 0], so single-word docs need
+    # the explicit empty-array guard
+    bigrams = docs.select(
+        F.explode(
+            F.expr(
+                "case when size(split(lower(text), '\\\\s+')) < 2 "
+                "then array() "
+                "else transform(sequence(1, size(split(lower(text), '\\\\s+')) - 1), "
+                "i -> struct(split(lower(text), '\\\\s+')[i-1] as w1, "
+                "split(lower(text), '\\\\s+')[i] as w2)) end"
+            )
+        ).alias("bg")
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    unigrams = docs.select(F.explode(words).alias("w"))
+    pair_counts = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    word_counts = unigrams.groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
+    n_total = bigrams.agg(F.count(F.lit(1)).alias("n_total"))
+    c1 = word_counts.select(F.col("w").alias("w1"), F.col("n_w").alias("n_1"))
+    c2 = word_counts.select(F.col("w").alias("w2"), F.col("n_w").alias("n_2"))
+    return (
+        pair_counts.filter(F.col("n_pair") >= 5)
+        .join(F.broadcast(c1), "w1")
+        .join(F.broadcast(c2), "w2")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "w1",
+            "w2",
+            F.col("n_pair").alias("support"),
+            F.floor(
+                F.lit(10000.0) * F.col("n_pair") * F.col("n_total")
+                / (F.col("n_1") * F.col("n_2"))
+            )
+            .cast("long")
+            .alias("lift_bp"),
+        )
+        .orderBy(F.desc("lift_bp"), F.desc("support"), F.asc("w1"), F.asc("w2"))
+        .limit(50)
+    )
+
+
+ORACLE_COLLOCATIONS = """
+WITH words AS (
+  SELECT string_split_regex(lower(text), '\\s+') AS ws FROM documents
+),
+bigrams AS (
+  SELECT ws[i] AS w1, ws[i+1] AS w2
+  FROM words, unnest(range(1, len(ws))) AS t(i)
+),
+unigrams AS (SELECT unnest(ws) AS w FROM words),
+pair_counts AS (SELECT w1, w2, count(*) AS n_pair FROM bigrams GROUP BY w1, w2),
+word_counts AS (SELECT w, count(*) AS n_w FROM unigrams GROUP BY w),
+total AS (SELECT count(*) AS n_total FROM bigrams)
+SELECT w1, w2, n_pair AS support,
+       CAST(floor(10000.0 * n_pair * n_total / (c1.n_w * c2.n_w)) AS BIGINT) AS lift_bp
+FROM pair_counts
+JOIN word_counts c1 ON c1.w = w1
+JOIN word_counts c2 ON c2.w = w2
+CROSS JOIN total
+WHERE n_pair >= 5
+ORDER BY lift_bp DESC, support DESC, w1 ASC, w2 ASC
+LIMIT 50
+"""
+
+
 QUERIES = {
     "text_metrics": text_metrics,
     "text_scan_redact": text_scan_redact,
@@ -487,6 +566,7 @@ QUERIES = {
     "text_lang_id": text_lang_id,
     "text_fingerprint": text_fingerprint,
     "text_winnowing": text_winnowing,
+    "text_collocations": text_collocations,
 }
 
 ORACLES = {
@@ -497,4 +577,5 @@ ORACLES = {
     "text_lang_id": ORACLE_LANG_ID,
     "text_fingerprint": ORACLE_FINGERPRINT,
     "text_winnowing": ORACLE_WINNOWING,
+    "text_collocations": ORACLE_COLLOCATIONS,
 }

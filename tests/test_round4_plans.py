@@ -170,3 +170,96 @@ def test_snapshot_diff_partitions_keyspace(spark):
     net = sum(r.net_cents_delta for r in rows.values())
     assert net == post_cents
     assert rows.get("unchanged") is None or rows["unchanged"].net_cents_delta == 0
+
+
+# -- dedup_containment -------------------------------------------------------------
+
+
+def test_containment_catches_planted_truncated_copies(spark):
+    """The drop_last=2 planted copies are CONTAINED in their originals:
+    every planted pair must surface with containment ~10000 bp even though
+    the shingle sets differ (what Jaccard alone would score lower)."""
+    from mongraph_spark.queries.dedup import ID_SHIFT, dedup_containment
+
+    pairs = {(r.id_a, r.id_b): r.containment_bp for r in dedup_containment(spark, SF).collect()}
+    planted = [(a, b) for (a, b) in pairs if b == a + ID_SHIFT]
+    assert len(planted) > 0
+    assert all(pairs[p] >= 9000 for p in planted)
+
+
+# -- text_collocations -------------------------------------------------------------
+
+
+def test_collocations_deterministic_topk(spark):
+    """Top-50 by (lift, support, pair) is stable across runs and every row
+    meets the support floor."""
+    from mongraph_spark.queries.text import text_collocations
+
+    a = [tuple(r) for r in text_collocations(spark, SF).collect()]
+    b = [tuple(r) for r in text_collocations(spark, SF).collect()]
+    assert a == b
+    assert len(a) <= 50
+    assert all(r[2] >= 5 for r in a)
+
+
+# -- graph_node_similarity ---------------------------------------------------------
+
+
+def test_node_similarity_bounds(spark):
+    """Neighbor Jaccard is a proper [0, 1] similarity with the support
+    floor applied, and the per-part counts broadcast (no extra shuffle of
+    the pair table)."""
+    from mongraph_spark.queries.graph_analytics import graph_node_similarity
+
+    df = graph_node_similarity(spark, SF)
+    assert "BroadcastHashJoin" in _plan(df)
+    bad = df.filter(
+        (F.col("jaccard_bp") < 0)
+        | (F.col("jaccard_bp") > 10000)
+        | (F.col("n_shared") < 2)
+    ).count()
+    assert bad == 0
+
+
+# -- scd2_pit_join -----------------------------------------------------------------
+
+
+def test_scd2_pit_join_matches_in_history_facts_once(spark):
+    """SCD2 intervals partition the timeline FROM the customer's first
+    version onward, so every fact shipping at-or-after its customer's first
+    valid_from must match EXACTLY one version (this synthetic generator
+    draws ship dates independently of order dates, so pre-history facts
+    exist and legitimately have no version — they drop)."""
+    from mongraph_spark.queries.relational import (
+        scd2_pit_join,
+        scd2_priority_history,
+    )
+    from mongraph_spark.sparkutil import read_table
+
+    rows = scd2_pit_join(spark, SF).collect()
+
+    first_vf = (
+        scd2_priority_history(spark, SF)
+        .groupBy("o_custkey")
+        .agg(F.min(F.to_date("valid_from")).alias("first_vf"))
+    )
+    orders = read_table(spark, SF, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_custkey"
+    )
+    li = read_table(spark, SF, "lineitem").select(
+        "l_orderkey",
+        F.to_date("l_shipdate").alias("ship_d"),
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("long")
+        .alias("rev_cents"),
+    )
+    in_history = (
+        li.join(orders, "l_orderkey")
+        .join(first_vf, "o_custkey")
+        .filter(F.col("ship_d") >= F.col("first_vf"))
+    )
+    expect = in_history.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("rev_cents").alias("cents")
+    ).first()
+    assert sum(r.n_lines for r in rows) == expect.n
+    assert sum(r.revenue_cents for r in rows) == expect.cents
