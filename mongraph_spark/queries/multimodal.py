@@ -22,7 +22,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mongraph_spark.sparkutil import read_table, scale_out
@@ -418,6 +418,72 @@ WHERE bit_count(xor(a.phash, b.phash)) <= 2
 """
 
 
+SHARD_BYTES = 4096
+
+
+def mm_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style shard assignment: pack each source's media payloads
+    sequentially (by doc_id) into ~``SHARD_BYTES`` shards — the layout step
+    that turns a columnar corpus into streamable training archives, where
+    sequential reads and shard-level shuffling happen at load time.
+    ``shard_seq = floor(exclusive_cumulative_bytes / SHARD_BYTES)``: a
+    shard may overflow by at most one asset (the standard tar-shard
+    greedy), and assignment is a pure function of (source, doc_id order) —
+    re-runs and retries produce identical shards, the lineage requirement.
+
+    Scale shape: ONE window per source (running byte sum) + one map-side
+    combined rollup.  At 100 TB the per-source ordering would ride a
+    range-partitioned sort (source, doc_id) rather than a single-partition
+    window — same semantics, noted here because source cardinality, not
+    data volume, bounds the window parallelism."""
+    docs = read_table(spark, sf_dir, "documents")
+    media = docs.select(
+        "doc_id",
+        "source",
+        F.to_binary(F.expr("repeat(md5(text), n_chars % 4 + 1)"), F.lit("hex")).alias(
+            "payload"
+        ),
+    )
+    n_bytes = F.length("payload")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_excl = F.coalesce(F.sum(n_bytes).over(w), F.lit(0))
+    return (
+        media.select(
+            "source",
+            n_bytes.alias("n_bytes"),
+            F.floor(cum_excl / F.lit(SHARD_BYTES)).cast("long").alias("shard_seq"),
+        )
+        .groupBy("source", "shard_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.sum("n_bytes").alias("shard_bytes"),
+        )
+    )
+
+
+ORACLE_SHARD_PACKING = f"""
+SELECT source, shard_seq, count(*) AS n_assets,
+       CAST(sum(n_bytes) AS BIGINT) AS shard_bytes
+FROM (
+  SELECT source, n_bytes,
+         CAST(floor(coalesce(sum(n_bytes) OVER (
+                PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              / {SHARD_BYTES}) AS BIGINT) AS shard_seq
+  FROM (
+    SELECT source, doc_id,
+           CAST(16 * (n_chars % 4 + 1) AS BIGINT) AS n_bytes
+    FROM documents
+  )
+)
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "mm_image_features": mm_image_features,
     "mm_metadata_filter": mm_metadata_filter,
@@ -425,6 +491,7 @@ QUERIES = {
     "mm_resize": mm_resize,
     "mm_audio_windows": mm_audio_windows,
     "mm_phash_neardup": mm_phash_neardup,
+    "mm_shard_packing": mm_shard_packing,
 }
 
 ORACLES = {
@@ -434,4 +501,5 @@ ORACLES = {
     "mm_resize": ORACLE_RESIZE,
     "mm_audio_windows": ORACLE_AUDIO_WINDOWS,
     "mm_phash_neardup": ORACLE_PHASH,
+    "mm_shard_packing": ORACLE_SHARD_PACKING,
 }

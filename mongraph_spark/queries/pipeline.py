@@ -666,6 +666,69 @@ GROUP BY source
 """
 
 
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card manifest: the per-(split, source) summary table every
+    training-data release ships — document counts, token and char volume,
+    language coverage, mean document length — computed in ONE scan + one
+    aggregation.  Split assignment reuses the md5 bucket function (pure
+    row function, stable under repartitioning), token counts the shared
+    whitespace tokenizer; mean tokens is an integer floor of two exact
+    sums, so the card is engine-exact.
+
+    At 100 TB this is the cheapest possible shape: map-only derivation,
+    map-side-combined aggregate over ~|splits|×|sources| groups."""
+    docs = read_table(spark, sf_dir, "documents")
+    bucket = _doc_hash() % 100
+    split = (
+        F.when(bucket < TRAIN_PCT, F.lit("train"))
+        .when(bucket < TRAIN_PCT + VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    n_toks = F.size(F.split(F.lower("text"), r"\s+"))
+    return (
+        docs.select(
+            split.alias("split"),
+            "source",
+            "lang",
+            n_toks.alias("n_toks"),
+            "n_chars",
+        )
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+            F.count_distinct("lang").alias("n_langs"),
+            F.floor(F.sum("n_toks") / F.count(F.lit(1)))
+            .cast("long")
+            .alias("mean_tokens"),
+        )
+    )
+
+
+ORACLE_DATASET_CARD = f"""
+SELECT split, source,
+       count(*) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       count(DISTINCT lang) AS n_langs,
+       CAST(floor(sum(n_toks) / count(*)) AS BIGINT) AS mean_tokens
+FROM (
+  SELECT CASE WHEN b < {TRAIN_PCT} THEN 'train'
+              WHEN b < {TRAIN_PCT + VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split,
+         source, lang, n_chars,
+         len(string_split_regex(lower(text), '\\s+')) AS n_toks
+  FROM (
+    SELECT source, lang, n_chars, text,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+    FROM documents
+  )
+)
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "dedup_clusters": dedup_clusters,
     "sample_and_split": sample_and_split,
@@ -677,6 +740,7 @@ QUERIES = {
     "pipeline_source_cap": pipeline_source_cap,
     "pipeline_training_order": pipeline_training_order,
     "pipeline_chunk_overlap": pipeline_chunk_overlap,
+    "pipeline_dataset_card": pipeline_dataset_card,
 }
 
 ORACLES = {
@@ -688,4 +752,5 @@ ORACLES = {
     "pipeline_source_cap": ORACLE_SOURCE_CAP,
     "pipeline_training_order": ORACLE_TRAINING_ORDER,
     "pipeline_chunk_overlap": ORACLE_CHUNK_OVERLAP,
+    "pipeline_dataset_card": ORACLE_DATASET_CARD,
 }

@@ -365,11 +365,59 @@ WHERE p.dim < 4
 """
 
 
+COV_DIMS = 8  # leading dims profiled; 100 TB note: same plan at any width
+
+
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space diagnostics: the sample covariance matrix of the
+    leading ``COV_DIMS`` dimensions in ONE pass — the statistic behind
+    whitening, PCA seeding, and anisotropy checks on an embedding corpus
+    (collapsed/correlated dimensions show up immediately).
+
+    Scale shape: ``covar_samp`` is a single-pass mergeable moment aggregate
+    (map-side partials, one 1-row result for all 36 cells), then a trivial
+    driver-free ``stack`` to long form.  At 100 TB the same plan covers any
+    dimensionality — cells grow as d², rows never re-scan.  Values rounded
+    to 6dp in both engines (same policy as the corr queries)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        *[
+            F.col("embedding")[i].cast("double").alias(f"d{i}")
+            for i in range(COV_DIMS)
+        ]
+    )
+    cells = [
+        F.round(F.covar_samp(f"d{i}", f"d{j}"), 6).alias(f"c_{i}_{j}")
+        for i in range(COV_DIMS)
+        for j in range(i, COV_DIMS)
+    ]
+    one = dims.agg(*cells)
+    stack_args = ", ".join(
+        f"{i}L, {j}L, c_{i}_{j}"
+        for i in range(COV_DIMS)
+        for j in range(i, COV_DIMS)
+    )
+    n_cells = COV_DIMS * (COV_DIMS + 1) // 2
+    return one.selectExpr(
+        f"stack({n_cells}, {stack_args}) as (dim_i, dim_j, cov)"
+    )
+
+
+ORACLE_COVARIANCE = "\nUNION ALL ".join(
+    f"SELECT CAST({i} AS BIGINT) AS dim_i, CAST({j} AS BIGINT) AS dim_j, "
+    f"round(covar_samp(CAST(embedding[{i + 1}] AS DOUBLE), "
+    f"CAST(embedding[{j + 1}] AS DOUBLE)), 6) AS cov FROM embeddings"
+    for i in range(COV_DIMS)
+    for j in range(i, COV_DIMS)
+)
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_cosine_topk_bucketed": ann_cosine_topk_bucketed,
     "ann_ivf": ann_ivf,
     "embedding_centroids": embedding_centroids,
+    "embedding_covariance": embedding_covariance,
 }
 
 ORACLES = {
@@ -377,4 +425,5 @@ ORACLES = {
     "ann_cosine_topk_bucketed": ORACLE_TOPK_BUCKETED,
     "ann_ivf": ORACLE_IVF,
     "embedding_centroids": ORACLE_CENTROIDS,
+    "embedding_covariance": ORACLE_COVARIANCE,
 }

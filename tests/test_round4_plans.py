@@ -263,3 +263,59 @@ def test_scd2_pit_join_matches_in_history_facts_once(spark):
     ).first()
     assert sum(r.n_lines for r in rows) == expect.n
     assert sum(r.revenue_cents for r in rows) == expect.cents
+
+
+# -- pipeline_dataset_card ---------------------------------------------------------
+
+
+def test_dataset_card_partitions_corpus(spark):
+    """The card's (split, source) cells partition the corpus exactly: doc
+    counts sum to the table size and token totals are consistent with the
+    per-cell means."""
+    from mongraph_spark.queries.pipeline import pipeline_dataset_card
+    from mongraph_spark.sparkutil import read_table
+
+    rows = pipeline_dataset_card(spark, SF).collect()
+    n_docs = read_table(spark, SF, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert all(r.mean_tokens * r.n_docs <= r.total_tokens for r in rows)
+    assert {r.split for r in rows} <= {"train", "val", "test"}
+
+
+# -- mm_shard_packing --------------------------------------------------------------
+
+
+def test_shard_packing_contiguous_and_conserving(spark):
+    """Shards are contiguously numbered per source and byte totals are
+    conserved (every asset lands in exactly one shard)."""
+    from mongraph_spark.queries.multimodal import mm_shard_packing
+    from mongraph_spark.sparkutil import read_table
+
+    rows = mm_shard_packing(spark, SF).collect()
+    by_source: dict = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+    for shards in by_source.values():
+        seqs = sorted(s.shard_seq for s in shards)
+        assert seqs == list(range(len(seqs)))
+    total = sum(r.shard_bytes for r in rows)
+    docs = read_table(spark, SF, "documents")
+    expect = docs.agg(
+        F.sum(16 * (F.col("n_chars") % 4 + 1)).cast("long")
+    ).first()[0]
+    assert total == expect
+
+
+# -- embedding_covariance ----------------------------------------------------------
+
+
+def test_covariance_upper_triangle_psd_diagonal(spark):
+    """One-pass covariance emits the full upper triangle with non-negative
+    variances on the diagonal."""
+    from mongraph_spark.queries.similarity import COV_DIMS, embedding_covariance
+
+    rows = embedding_covariance(spark, SF).collect()
+    assert len(rows) == COV_DIMS * (COV_DIMS + 1) // 2
+    diag = [r.cov for r in rows if r.dim_i == r.dim_j]
+    assert len(diag) == COV_DIMS
+    assert all(v is not None and v >= 0 for v in diag)
