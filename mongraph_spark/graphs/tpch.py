@@ -121,6 +121,12 @@ def materialized_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Dat
     )
     npath, epath = f"{base}/nodes.parquet", f"{base}/edges.parquet"
     if not os.path.exists(f"{npath}/_SUCCESS"):
+        # repartition(1) is LOCAL-CACHE-ONLY: it serializes the node write so
+        # each _collection partition is one sorted file (fast to re-scan at
+        # these SFs).  A real store build must repartition on the partition
+        # column instead — repartition("_collection") — or the single writer
+        # becomes the bottleneck; see the bucketed_edges build below for the
+        # scale-correct shape.
         nodes(spark, sf_dir).repartition(1).sortWithinPartitions("node_id").write.mode(
             "overwrite"
         ).partitionBy("_collection").parquet(npath)

@@ -421,13 +421,25 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(0), F.greatest(F.size(words) - WINNOW_K, F.lit(0))),
         lambda i: F.md5(F.concat_ws(" ", F.slice(words, i + 1, WINNOW_K))),
     )
-    wins = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(grams) - WINNOW_W, F.lit(0))),
-        lambda j: F.array_min(F.slice(grams, j + 1, WINNOW_W)),
+    # HARD materialization barrier before the window pass: referencing the
+    # `grams` expression inside the `wins` lambda lets CollapseProject
+    # inline the whole md5 transform into EVERY window position — O(n²)
+    # md5 per document in an interpreted expression tree (measured 388 s
+    # for the sf0.1 scan; a plain two-select split gets re-collapsed and
+    # stays ~270 s).  The eager localCheckpoint cuts the projection chain
+    # so the gram pass runs ONCE (total ~5 s) — the same fingerprint-once
+    # pattern dedup.py uses, and the honest production shape too: a MOSS
+    # index build materializes its fingerprint table anyway.
+    with_grams = docs.select("source", grams.alias("grams")).localCheckpoint(
+        eager=True
     )
-    per_doc = docs.select(
+    wins = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size("grams") - WINNOW_W, F.lit(0))),
+        lambda j: F.array_min(F.slice("grams", j + 1, WINNOW_W)),
+    )
+    per_doc = with_grams.select(
         "source",
-        F.size(grams).cast("long").alias("n_grams"),
+        F.size("grams").cast("long").alias("n_grams"),
         F.array_distinct(wins).alias("fps"),
     )
     sums = per_doc.groupBy("source").agg(
