@@ -375,12 +375,89 @@ FROM per_doc CROSS JOIN total
 """
 
 
+def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate leakage across train/val/test boundaries — the
+    contamination class exact-shingle decontamination misses: a test doc
+    that is a fuzzy copy of a train doc still leaks the answer.  Pairs come
+    from the SAME LSH band machinery as the dedup suite (planted-dup
+    corpus), are verified at Jaccard ≥ 0.8, then each side picks up its
+    md5-bucket split; the report counts pairs per (split_a, split_b) cell —
+    off-diagonal cells are the leakage budget a release must justify.
+
+    Scale shape: identical to ``dedup_ngram_jaccard`` (banded candidates →
+    exact verify) plus a map-only split derivation — the split is a pure
+    function of doc_id, so no join against an assignment table is needed."""
+    from mongraph_spark.queries.dedup import (
+        _lsh_candidate_pairs,
+        _shingled_corpus,
+    )
+
+    shingled = _shingled_corpus(spark, sf_dir, drop_last=2).persist()
+    cands = _lsh_candidate_pairs(shingled)
+    sa = shingled.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = shingled.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    j = cands.join(sa, "id_a").join(sb, "id_b")
+    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
+    union_sz = F.size("sh_a") + F.size("sh_b") - n_common
+    verified = j.filter(5 * n_common >= 4 * union_sz).select("id_a", "id_b")
+
+    def split_of(id_col: str) -> F.Column:
+        bucket = F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("long") % 100
+        return (
+            F.when(bucket < TRAIN_PCT, F.lit("train"))
+            .when(bucket < TRAIN_PCT + VAL_PCT, F.lit("val"))
+            .otherwise(F.lit("test"))
+        )
+
+    return (
+        verified.select(
+            split_of("id_a").alias("split_a"), split_of("id_b").alias("split_b")
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+def _oracle_split_leakage() -> str:
+    from mongraph_spark.queries.dedup import (
+        _ORACLE_SHINGLES,
+        _oracle_cands_sql,
+        _oracle_corpus_droplast,
+        _oracle_minhash_sig_sql,
+    )
+
+    split_case = (
+        "CASE WHEN ('0x' || substr(md5(CAST({c} AS VARCHAR)), 1, 8))::BIGINT % 100 < "
+        f"{TRAIN_PCT} THEN 'train' "
+        "WHEN ('0x' || substr(md5(CAST({c} AS VARCHAR)), 1, 8))::BIGINT % 100 < "
+        f"{TRAIN_PCT + VAL_PCT} THEN 'val' ELSE 'test' END"
+    )
+    return f"""
+WITH {_oracle_corpus_droplast(2)},
+{_ORACLE_SHINGLES},
+{_oracle_minhash_sig_sql()},
+{_oracle_cands_sql()}
+SELECT {split_case.format(c="id_a")} AS split_a,
+       {split_case.format(c="id_b")} AS split_b,
+       count(*) AS n_pairs
+FROM cands
+JOIN shingled sa ON sa.doc_id = id_a
+JOIN shingled sb ON sb.doc_id = id_b
+WHERE 5 * len(list_intersect(sa.shingles, sb.shingles))
+      >= 4 * (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)))
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "corpus_decontaminate": decontaminate_splits,
     "corpus_repetition_filter": repetition_filter,
     "corpus_mixture_weights": source_mixture_weights,
     "corpus_source_overlap": source_overlap_matrix,
     "corpus_common_token_ratio": common_token_ratio,
+    "corpus_split_leakage": split_leakage,
 }
 
 ORACLES = {
@@ -389,4 +466,5 @@ ORACLES = {
     "corpus_mixture_weights": ORACLE_MIXTURE,
     "corpus_source_overlap": ORACLE_SOURCE_OVERLAP,
     "corpus_common_token_ratio": ORACLE_COMMON_TOKEN,
+    "corpus_split_leakage": _oracle_split_leakage(),
 }

@@ -688,6 +688,54 @@ HAVING count(*) * {HH_DENOM} >= (SELECT count(*) FROM events)
 """
 
 
+# -- OHLC bars: open/high/low/close downsampling --------------------------------------
+
+
+def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candle bars per (hour, type) — the financial/monitoring
+    downsample where the FIRST and LAST values of the window matter, not
+    just the extremes (:func:`events_minmax_downsample` covers those).
+    ``min_by``/``max_by`` over a deterministic (ts, event_id) order key
+    pick open/close in the SAME aggregation as high/low — one map-side
+    combined pass, no window function, no per-window sort.
+
+    The order key is a zero-padded string of (epoch µs, event_id):
+    ``arg_min``/``min_by`` in both engines accept a scalar ordering only,
+    and the string compares identically to the tuple order — ties on ts
+    break on event_id, so replays and shuffles can't flip an open/close."""
+    ev = read_table(spark, sf_dir, "events")
+    # ts scans as TIMESTAMP_NTZ under a vanilla session; cast for
+    # unix_micros.  Only the WITHIN-GROUP order of the key matters (it
+    # never leaves the aggregation), and any tz shift is monotonic inside
+    # an hour bucket, so the cast cannot flip an open/close.
+    order_key = F.format_string(
+        "%020d|%012d", F.unix_micros(F.col("ts").cast("timestamp")), F.col("event_id")
+    )
+    return (
+        ev.withColumn("ok", order_key)
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(
+            F.round(F.min_by("value", F.col("ok")), 2).alias("open_v"),
+            F.round(F.max("value"), 2).alias("high_v"),
+            F.round(F.min("value"), 2).alias("low_v"),
+            F.round(F.max_by("value", F.col("ok")), 2).alias("close_v"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+ORACLE_OHLC = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       round(arg_min(value, printf('%020d|%012d', epoch_us(ts), event_id)), 2) AS open_v,
+       round(max(value), 2) AS high_v,
+       round(min(value), 2) AS low_v,
+       round(arg_max(value, printf('%020d|%012d', epoch_us(ts), event_id)), 2) AS close_v,
+       count(*) AS n_events
+FROM events
+GROUP BY 1, 2
+"""
+
+
 # -- CoW store time travel: version-over-version CDC diff ----------------------------
 
 
@@ -810,6 +858,7 @@ QUERIES = {
     "events_threshold_anomaly": events_threshold_anomaly,
     "events_heavy_hitters": events_heavy_hitters,
     "store_snapshot_diff": store_snapshot_diff,
+    "events_ohlc_bars": events_ohlc_bars,
 }
 
 ORACLES = {
@@ -828,4 +877,5 @@ ORACLES = {
     "events_threshold_anomaly": ORACLE_THRESHOLD_ANOMALY,
     "events_heavy_hitters": ORACLE_HEAVY_HITTERS,
     "store_snapshot_diff": ORACLE_SNAPSHOT_DIFF,
+    "events_ohlc_bars": ORACLE_OHLC,
 }

@@ -425,6 +425,50 @@ GROUP BY user_id
 """
 
 
+def streaming_threshold_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``queries.events.events_threshold_anomaly``: the
+    per-type p99 control limits are computed BATCH-side from the reference
+    table (the production pattern — thresholds refresh on a slow cadence,
+    the stream only probes them), broadcast into a stream-static join,
+    and anomalous events are counted per tumbling hour window.
+
+    Stream-static joins keep NO state for the static side (it is re-read /
+    re-broadcast per micro-batch); window state is watermark-bounded.  The
+    finite availableNow replay must equal the batch SQL — the oracle."""
+    from mongraph_spark.sparkutil import read_table
+
+    thr = (
+        read_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.round(F.percentile("value", F.lit(0.99)), 2).alias("p99"))
+    )
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    flagged = ev.join(F.broadcast(thr), "event_type").filter(
+        F.col("value") > F.col("p99")
+    )
+    agg = flagged.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_anomalies")
+    )
+    with _state_partitioning(spark, sf_dir):
+        out = run_to_table(agg, output_mode="complete")
+    return out.select(
+        F.col("w.start").alias("window_start"), "event_type", "n_anomalies"
+    )
+
+
+ORACLE_STREAM_ANOMALY = """
+WITH thr AS (
+  SELECT event_type, round(quantile_cont(value, 0.99), 2) AS p99
+  FROM events GROUP BY event_type
+)
+SELECT time_bucket(INTERVAL '1 hour', e.ts) AS window_start, e.event_type,
+       count(*) AS n_anomalies
+FROM events e JOIN thr t ON e.event_type = t.event_type
+WHERE e.value > t.p99
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "streaming_tumbling_window": streaming_tumbling_window,
     "streaming_sliding_window": streaming_sliding_window,
@@ -433,9 +477,11 @@ QUERIES = {
     "streaming_session_counts": streaming_session_counts,
     "streaming_stateful_user_totals": streaming_stateful_user_totals,
     "streaming_dedup_events": streaming_dedup_events,
+    "streaming_threshold_anomaly": streaming_threshold_anomaly,
 }
 
 ORACLES = {
+    "streaming_threshold_anomaly": ORACLE_STREAM_ANOMALY,
     "streaming_tumbling_window": ORACLE_STREAM_TUMBLING,
     "streaming_sliding_window": ORACLE_STREAM_SLIDING,
     "streaming_merge_upsert": ORACLE_STREAM_MERGE,

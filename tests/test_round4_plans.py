@@ -319,3 +319,59 @@ def test_covariance_upper_triangle_psd_diagonal(spark):
     diag = [r.cov for r in rows if r.dim_i == r.dim_j]
     assert len(diag) == COV_DIMS
     assert all(v is not None and v >= 0 for v in diag)
+
+
+# -- events_ohlc_bars --------------------------------------------------------------
+
+
+def test_ohlc_invariants_one_pass(spark):
+    """OHLC bars come out of ONE aggregation (no window function, no
+    per-window sort) and satisfy low <= open, close <= high on every bar."""
+    from mongraph_spark.queries.events import events_ohlc_bars
+
+    df = events_ohlc_bars(spark, SF)
+    plan = _plan(df)
+    assert "Window" not in plan
+    bad = df.filter(
+        (F.col("open_v") > F.col("high_v"))
+        | (F.col("close_v") > F.col("high_v"))
+        | (F.col("open_v") < F.col("low_v"))
+        | (F.col("close_v") < F.col("low_v"))
+    ).count()
+    assert bad == 0
+
+
+# -- streaming_threshold_anomaly ---------------------------------------------------
+
+
+def test_streaming_anomaly_equals_batch(spark):
+    """The availableNow replay of the streaming anomaly counter must agree
+    with the batch twin's totals (the suite-wide streaming == batch
+    contract)."""
+    from mongraph_spark.queries.events import events_threshold_anomaly
+    from mongraph_spark.streaming.events import streaming_threshold_anomaly
+
+    stream_total = (
+        streaming_threshold_anomaly(spark, SF).agg(F.sum("n_anomalies")).first()[0]
+    )
+    batch_total = (
+        events_threshold_anomaly(spark, SF).agg(F.sum("n_anomalies")).first()[0]
+    )
+    assert stream_total == batch_total
+
+
+# -- corpus_split_leakage ----------------------------------------------------------
+
+
+def test_split_leakage_counts_every_verified_pair(spark):
+    """The (split_a, split_b) cells partition the verified near-dup pair
+    set: cell counts sum to dedup_ngram_jaccard's row count (identical
+    candidates and threshold)."""
+    from mongraph_spark.queries.corpus import split_leakage
+    from mongraph_spark.queries.dedup import dedup_ngram_jaccard
+
+    cells = split_leakage(spark, SF).collect()
+    n_pairs = dedup_ngram_jaccard(spark, SF).count()
+    assert sum(r.n_pairs for r in cells) == n_pairs
+    # the planted corpus guarantees SOME cross-split leakage to report
+    assert any(r.split_a != r.split_b for r in cells)
