@@ -498,26 +498,34 @@ def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass runs.
 
     Distributed shape: one explode → bigram-keyed count (map-side combined,
-    Zipf-skew absorbed by partial aggs), per-word counts broadcast onto the
-    bigram table, a broadcast 1-row total, then a deterministic top-50 by
-    (lift, support, pair) via TakeOrdered — no global sort.  Support ≥ 5
-    filters hapax noise; lift arithmetic is the shared double-shape
-    (cast at the first multiply, one divide, floor)."""
+    Zipf-skew absorbed by partial aggs), per-word counts joined onto the
+    support-filtered pair table WITHOUT a broadcast hint — a real
+    vocabulary (10M-1B types with typos) does not fit a broadcast, so the
+    join strategy is left to AQE: it broadcasts when the measured vocab is
+    small and shuffles on the word key when it is not (the support filter
+    has already shrunk the pair side).  A broadcast 1-row total, then a
+    deterministic top-50 by (lift, support, pair) via TakeOrdered — no
+    global sort.  Support ≥ 5 filters hapax noise; lift arithmetic is the
+    shared double-shape (cast at the first multiply, one divide, floor)."""
     docs = scale_out(read_table(spark, sf_dir, "documents"))
     words = F.split(F.lower("text"), r"\s+")
-    # sequence(1, 0) in Spark is DESCENDING [1, 0], so single-word docs need
-    # the explicit empty-array guard
-    bigrams = docs.select(
-        F.explode(
-            F.expr(
-                "case when size(split(lower(text), '\\\\s+')) < 2 "
-                "then array() "
-                "else transform(sequence(1, size(split(lower(text), '\\\\s+')) - 1), "
-                "i -> struct(split(lower(text), '\\\\s+')[i-1] as w1, "
-                "split(lower(text), '\\\\s+')[i] as w2)) end"
-            )
-        ).alias("bg")
-    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    # Adjacent-pair bigrams via zip_with of the two shifted slices (the
+    # repetition_filter idiom): the word array is evaluated per ROW.  The
+    # index-transform alternative (`transform(sequence(...), i -> split(
+    # text)[i])`) re-evaluates the split lambda-captured expression PER
+    # ELEMENT — the same CollapseProject inlining class as the winnowing
+    # bug, measured ~2× slower here.  zip_with of equal-length slices is
+    # structurally empty for 1-word docs (no sequence(1,0) descending trap).
+    words_col = F.split(F.lower("text"), r"\s+")
+    base = docs.select(words_col.alias("ws"), F.size(words_col).alias("n"))
+    two = F.zip_with(
+        F.slice(F.col("ws"), 1, F.col("n") - 1),
+        F.slice(F.col("ws"), 2, F.col("n") - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bigrams = base.select(F.explode(two).alias("bg")).select(
+        F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    )
     unigrams = docs.select(F.explode(words).alias("w"))
     pair_counts = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
     word_counts = unigrams.groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
@@ -526,8 +534,8 @@ def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     c2 = word_counts.select(F.col("w").alias("w2"), F.col("n_w").alias("n_2"))
     return (
         pair_counts.filter(F.col("n_pair") >= 5)
-        .join(F.broadcast(c1), "w1")
-        .join(F.broadcast(c2), "w2")
+        .join(c1, "w1")
+        .join(c2, "w2")
         .crossJoin(F.broadcast(n_total))
         .select(
             "w1",
