@@ -425,6 +425,117 @@ GROUP BY user_id
 """
 
 
+def streaming_click_purchase_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the conversion-funnel
+    question the inner join can't answer: which clicks did NOT convert
+    within 30 minutes?  Outer stream-stream joins need the same two-sided
+    time bound, but additionally the unmatched side is emitted only when
+    the WATERMARK passes the click's join-window end (the state-eviction
+    point — before that, a matching purchase could still arrive).  A
+    finite availableNow replay therefore NEVER emits the null rows for
+    clicks near the end of the stream (their eviction watermark is never
+    reached), so the report is restricted to clicks whose join window is
+    fully closed by the final watermark — c_ts < max(ts) − 1 h − 30 min,
+    minus one margin minute because eviction is strict and the watermark is
+    tracked in truncated milliseconds —
+    the "results are final only past the watermark" contract every outer
+    streaming join carries; the oracle applies the same cutoff.
+
+    Per-user rollup on the sink table: clicks, converted clicks, and the
+    conversion rate in floored basis points."""
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("c_id"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND p_ts >= c_ts "
+            "AND p_ts <= c_ts + INTERVAL 30 MINUTES"
+        ),
+        "left_outer",
+    )
+    with _state_partitioning(spark, sf_dir):
+        out = run_to_table(joined, output_mode="append")
+    from mongraph_spark.sparkutil import read_table
+
+    # The join's GLOBAL watermark is the min over both input watermarks,
+    # and each is computed on its filtered stream — so the closed-window
+    # cutoff must use the LESSER of the two types' max event times.
+    # Second-truncated so the ns (DuckDB) and µs (Spark) views agree
+    # exactly; strict < plus a margin minute (eviction is strict and the
+    # watermark is ms-truncated) keeps the boundary engine-consistent.
+    ev_b = read_table(spark, sf_dir, "events")
+    cutoff = ev_b.agg(
+        (
+            F.date_trunc(
+                "second",
+                F.least(
+                    F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+                    F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+                ),
+            )
+            - F.expr("INTERVAL 91 MINUTES")
+        ).alias("cut")
+    )
+    per_click = (
+        out.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("c_ts") < F.col("cut"))
+        .groupBy("c_user", "c_id")
+        .agg(F.max(F.col("p_ts").isNotNull().cast("long")).alias("converted"))
+    )
+    return per_click.groupBy(F.col("c_user").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.sum("converted").alias("n_converted"),
+        F.floor(F.lit(10000) * F.sum("converted") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("conversion_bp"),
+    )
+
+
+ORACLE_STREAM_OUTER = """
+WITH clicks AS (
+  SELECT user_id, ts AS c_ts, event_id AS c_id FROM events
+  WHERE event_type = 'click'
+    AND ts < (SELECT date_trunc('second', least(
+                    max(CASE WHEN event_type = 'click' THEN ts END),
+                    max(CASE WHEN event_type = 'purchase' THEN ts END)))
+                  - INTERVAL 91 MINUTE FROM events)
+),
+purchases AS (
+  SELECT user_id, ts AS p_ts FROM events WHERE event_type = 'purchase'
+),
+per_click AS (
+  SELECT c.user_id, c.c_id,
+         max(CASE WHEN p.p_ts IS NOT NULL THEN 1 ELSE 0 END) AS converted
+  FROM clicks c LEFT JOIN purchases p
+    ON c.user_id = p.user_id
+   AND p.p_ts >= c.c_ts AND p.p_ts <= c.c_ts + INTERVAL 30 MINUTE
+  GROUP BY 1, 2
+)
+SELECT user_id, count(*) AS n_clicks,
+       CAST(sum(converted) AS BIGINT) AS n_converted,
+       CAST(floor(10000 * sum(converted) / count(*)) AS BIGINT) AS conversion_bp
+FROM per_click
+GROUP BY user_id
+"""
+
+
 def streaming_threshold_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of ``queries.events.events_threshold_anomaly``: the
     per-type p99 control limits are computed BATCH-side from the reference
@@ -478,10 +589,12 @@ QUERIES = {
     "streaming_stateful_user_totals": streaming_stateful_user_totals,
     "streaming_dedup_events": streaming_dedup_events,
     "streaming_threshold_anomaly": streaming_threshold_anomaly,
+    "streaming_click_purchase_outer": streaming_click_purchase_outer,
 }
 
 ORACLES = {
     "streaming_threshold_anomaly": ORACLE_STREAM_ANOMALY,
+    "streaming_click_purchase_outer": ORACLE_STREAM_OUTER,
     "streaming_tumbling_window": ORACLE_STREAM_TUMBLING,
     "streaming_sliding_window": ORACLE_STREAM_SLIDING,
     "streaming_merge_upsert": ORACLE_STREAM_MERGE,

@@ -375,3 +375,36 @@ def test_split_leakage_counts_every_verified_pair(spark):
     assert sum(r.n_pairs for r in cells) == n_pairs
     # the planted corpus guarantees SOME cross-split leakage to report
     assert any(r.split_a != r.split_b for r in cells)
+
+
+# -- streaming_click_purchase_outer ------------------------------------------------
+
+
+def test_streaming_outer_join_counts_unconverted(spark):
+    """The LEFT OUTER stream-stream join surfaces unconverted clicks (the
+    inner join cannot), restricted to clicks whose join window the final
+    watermark closed; totals match the batch left join under the same
+    cutoff."""
+    from mongraph_spark.sparkutil import read_table
+    from mongraph_spark.streaming.events import streaming_click_purchase_outer
+
+    rows = streaming_click_purchase_outer(spark, SF).collect()
+    assert any(r.n_converted < r.n_clicks for r in rows)  # unconverted exist
+
+    ev = read_table(spark, SF, "events")
+    cut = ev.agg(
+        (
+            F.date_trunc(
+                "second",
+                F.least(
+                    F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+                    F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+                ),
+            )
+            - F.expr("INTERVAL 91 MINUTES")
+        ).alias("c")
+    ).first()["c"]
+    n_clicks_batch = (
+        ev.filter((F.col("event_type") == "click") & (F.col("ts") < F.lit(cut))).count()
+    )
+    assert sum(r.n_clicks for r in rows) == n_clicks_batch
