@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mongraph_spark.queries.dedup import _shingles
 from mongraph_spark.sparkutil import read_table, scale_out
 
 # function words whose density signals English-like text
@@ -175,10 +176,10 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = scale_out(read_table(spark, sf_dir, "documents"))
     normalized = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
     words = F.split(normalized, " ")
-    shingles = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(words) - 3, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(words, i + 1, 3)),
-    )
+    # _shingles = zip_with form (per-ROW evaluation; the index-transform
+    # captures `words` and re-splits per element — the winnowing bug class);
+    # array_distinct inside it cannot change an array_min
+    shingles = _shingles(words)
     return docs.select(
         "doc_id",
         F.md5(normalized).alias("doc_hash"),
@@ -313,10 +314,7 @@ def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     normalized = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
     nwords = F.split(normalized, " ")
-    shingles = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(nwords) - 3, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(nwords, i + 1, 3)),
-    )
+    shingles = _shingles(nwords)  # zip_with form — see text_fingerprint note
     return docs.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
