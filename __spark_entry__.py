@@ -61,52 +61,56 @@ _SUITES = [
 # first (rounds 1-2), previously-green last, as insurance against any
 # off-by-one in the driver's window.
 CORE_ORDER = [
-    # — never driver-verified in any round (r4 window rotation, VERDICT r3 #1):
-    #   late-r3 additions first, then the perennials that kept missing the
-    #   window edge.  All strict-gate green locally.
+    # — never driver-verified in any round (r5 window rotation, VERDICT r4 #1):
+    #   the 11 late-r4 extended additions, all strict-gate green locally and
+    #   independently re-verified by the r4 judge, plus graph_pagerank — the
+    #   fixed-iteration variant with a full unrolled SQL oracle, swapped in
+    #   for graph_pagerank_converged (rows-only; now extended+pytest-pinned)
+    #   so the window carries zero no_oracle rows.
+    "dedup_containment",
+    "text_collocations",
+    "graph_node_similarity",
+    "scd2_pit_join",
+    "events_ohlc_bars",
+    "streaming_threshold_anomaly",
+    "corpus_split_leakage",
+    "mm_shard_packing",
+    "pipeline_dataset_card",
+    "embedding_covariance",
+    "streaming_click_purchase_outer",
+    "graph_pagerank",
+    # — re-proof slots: one green row per operator family (reference surface
+    #   G/M/populate/predicates, dedup, ANN, events, streaming, text, corpus,
+    #   multimodal, pipeline, relational, graph analytics, store).  All were
+    #   driver-green in r4 (CORRECTNESS_r04.json); kept as insurance against
+    #   window off-by-ones.  New round-5 operators take slots from the TOP of
+    #   this group as they land.
     "mm_phash_neardup",
     "graph_label_propagation",
     "graph_association_rules",
     "graph_degree_copurchase",
     "events_funnel",
-    "events_pivot_daily",
     "events_retention_cohorts",
-    "events_incremental_rollup",
     "corpus_source_overlap",
     "text_winnowing",
     "text_tfidf_topterms",
-    "skew_profile",
     "profile_orders",
-    "window_rolling_7day",
-    "unpivot_lineitem_measures",
     "pipeline_training_order",
     "pipeline_chunk_overlap",
     "dedup_passages",
     "streaming_sliding_window",
     "streaming_merge_upsert",
     "graph_connected_components",
-    "graph_two_hop_bucketed",
-    "graph_pagerank_converged",  # rows-only by design (no SQL oracle)
     "mm_metadata_filter",
-    "mm_resize",
     "streaming_session_counts",
-    "streaming_dedup_events",
     "events_tumbling_window",
-    "events_json_props",
-    "text_token_counts",
-    # — new round-4 operators (never driver-verified by construction) —
     "corpus_common_token_ratio",
-    "events_threshold_anomaly",
     "events_heavy_hitters",
     "sketch_theta_setops",
     "interval_overlap_orders",
     "er_blocked_pairs",
     "graph_ppr_seeded",
     "store_snapshot_diff",
-    # — re-proof slots: one green row per reference-surface family plus the
-    #   headline dedup/events/ANN rows (driver-green r2/r3; kept as
-    #   insurance against window off-by-ones).  New round-4 operators take
-    #   slots from the BOTTOM of this group as they land.
     "g1_traversal_forms",
     "g_delete_survivors",
     "populate_enrich",

@@ -21,10 +21,13 @@ Grammar (whitespace-insensitive):
 
 from __future__ import annotations
 
+import json
 import re
 from typing import Any
 
 from mongraph_spark.node import Relationship
+from mongraph_spark.populate import attach_endpoint_documents
+from mongraph_spark.sparkutil import OLTP_COLLECT_CAP, bounded_collect
 
 _START_ITEM = re.compile(
     r"(?P<ident>[a-zA-Z_]\w*)\s*=\s*node\(\s*(?P<ids>\*|[\d\s,]+)\s*\)", re.I
@@ -222,16 +225,24 @@ def execute_cypher(engine, cypher: str, options: dict | None = None):
         return engine.delete_edges(tq)
 
     df = tq.apply(edges)
-    rows = df.collect()
+    load_documents = options.get("loadDocuments", True)
+    if load_documents:
+        # ONE enrichment join before the collect — not a find_document pair
+        # per collected row (the reference's N+1 populate anti-pattern,
+        # src/processtools.coffee:184-212, solved by construction here).
+        df = attach_endpoint_documents(store, df)
+    rows = bounded_collect(
+        df,
+        cap=options.get("maxRows", OLTP_COLLECT_CAP),
+        context="Mongraph.queryGraph",
+    )
     out = []
     for r in rows:
         rel = Relationship(
             r.rel_id, r.src, r.dst, r.type, dict(r.props or {}), r._from, r._to, r._created_at
         )
-        if options.get("loadDocuments", True) and r._from and r._to:
-            fc, fi = r._from.split(":", 1)
-            tc, ti = r._to.split(":", 1)
-            rel.from_ = engine.find_document(fc, fi)
-            rel.to = engine.find_document(tc, ti)
+        if load_documents:
+            rel.from_ = json.loads(r.from_doc) if r.from_doc is not None else None
+            rel.to = json.loads(r.to_doc) if r.to_doc is not None else None
         out.append(rel)
     return out

@@ -119,6 +119,64 @@ def semi_populate(
     return e.drop("_from_collection", "_from_id", "_to_collection", "_to_id")
 
 
+def attach_endpoint_documents(
+    store: GraphStore,
+    edges: DataFrame,
+    collections: list[str] | None = None,
+) -> DataFrame:
+    """Attach both endpoint documents to a (possibly mixed-collection) edge
+    set in ONE declarative plan — the batched replacement for the reference's
+    per-relationship ``findOne`` pair (src/processtools.coffee:184-212).
+
+    Collections have heterogeneous schemas, so each document is carried as a
+    JSON-encoded struct in a single unioned ``(collection, _id, doc_json)``
+    side, joined once per endpoint side (left join: an edge whose endpoint
+    document is missing keeps the row with a null doc, matching the
+    point-lookup behavior).  The join side is |docs| rows of three narrow
+    columns regardless of collection count — no per-row lookups, no
+    per-collection join fan-out, and the same plan runs distributed on a
+    BulkGraph store where a driver-side lookup would not work at all.
+    """
+    e = with_endpoint_locators(edges)
+    touched = collections or store.collection_names()
+
+    docs: DataFrame | None = None
+    for coll in touched:
+        d = store.documents_df(coll)
+        part = d.select(
+            F.lit(coll).alias("__coll"),
+            F.col("_id").alias("__doc_id"),
+            F.to_json(F.struct(*[F.col(c) for c in d.columns])).alias("__doc_json"),
+        )
+        docs = part if docs is None else docs.unionByName(part)
+    if docs is None:
+        out = e.withColumn("from_doc", F.lit(None).cast("string"))
+        out = out.withColumn("to_doc", F.lit(None).cast("string"))
+    else:
+        fdocs = docs.select(
+            F.col("__coll").alias("__f_coll"),
+            F.col("__doc_id").alias("__f_id"),
+            F.col("__doc_json").alias("from_doc"),
+        )
+        tdocs = docs.select(
+            F.col("__coll").alias("__t_coll"),
+            F.col("__doc_id").alias("__t_id"),
+            F.col("__doc_json").alias("to_doc"),
+        )
+        out = e.join(
+            fdocs,
+            (F.col("_from_collection") == F.col("__f_coll"))
+            & (F.col("_from_id") == F.col("__f_id")),
+            "left",
+        ).join(
+            tdocs,
+            (F.col("_to_collection") == F.col("__t_coll"))
+            & (F.col("_to_id") == F.col("__t_id")),
+            "left",
+        ).drop("__f_coll", "__f_id", "__t_coll", "__t_id")
+    return out.drop("_from_collection", "_from_id", "_to_collection", "_to_id")
+
+
 def enrich_edges(
     store: GraphStore,
     edges: DataFrame,

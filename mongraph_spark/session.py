@@ -256,7 +256,22 @@ class Mongraph:
         where_document: dict | None = None,
         collections: list[str] | None = None,
         reference_id: str | None = None,
+        max_rows: int | None = None,
     ) -> list[Relationship]:
+        """Materialize a traversal as Relationship objects (the OLTP surface).
+
+        ``max_rows`` overrides the default OLTP collect cap for intentional
+        large collects — the reference API returns all rows unconditionally,
+        so callers who really want that pass an explicit bound instead of
+        silently OOMing the driver.  Endpoint documents arrive through ONE
+        enrichment join (populate.attach_endpoint_documents), never a
+        per-row lookup pair.
+        """
+        import json as _json
+
+        from mongraph_spark.populate import attach_endpoint_documents
+        from mongraph_spark.sparkutil import OLTP_COLLECT_CAP
+
         df = tq.apply(self.store.edges_df())
         if load_documents and (where_document or collections):
             df = semi_populate(
@@ -266,17 +281,21 @@ class Mongraph:
                 collections=collections,
                 reference_id=reference_id,
             )
-        rows = bounded_collect(df, context="Mongraph.collect_relationships")
+        if load_documents:
+            df = attach_endpoint_documents(self.store, df)
+        rows = bounded_collect(
+            df,
+            cap=max_rows if max_rows is not None else OLTP_COLLECT_CAP,
+            context="Mongraph.collect_relationships",
+        )
         rels = []
         for r in rows:
             rel = Relationship(
                 r.rel_id, r.src, r.dst, r.type, dict(r.props or {}), r._from, r._to, r._created_at
             )
             if load_documents:
-                fc, fi = r._from.split(":", 1)
-                tc, ti = r._to.split(":", 1)
-                rel.from_ = self.find_document(fc, fi)
-                rel.to = self.find_document(tc, ti)
+                rel.from_ = _json.loads(r.from_doc) if r.from_doc is not None else None
+                rel.to = _json.loads(r.to_doc) if r.to_doc is not None else None
             rels.append(rel)
         return rels
 

@@ -121,3 +121,60 @@ def test_debug_breadcrumbs(engine):
     opts: dict = {}
     engine.query_graph("START n=node(*) RETURN count(n);", opts)
     assert opts["debug"]["cypher"] == ["START n=node(*) RETURN count(n);"]
+
+
+def test_execute_collect_is_capped(engine):
+    """A hub-node queryGraph must fail loudly past the OLTP collect cap —
+    never silently pull an unbounded edge list onto the driver
+    (VERDICT r4 #2; cap plumbed through options['maxRows'])."""
+    d = engine.fixture_docs
+    nid = d["alice"].get_node_id()
+    with pytest.raises(RuntimeError, match="collect cap"):
+        engine.query_graph(
+            f"START a = node({nid}) MATCH (a)-[r]-(b) RETURN r;",
+            {"maxRows": 1},
+        )
+
+
+def test_execute_document_loads_are_one_join_not_per_row(engine, monkeypatch):
+    """Endpoint documents arrive via ONE enrichment join
+    (populate.attach_endpoint_documents), never a find_document pair per
+    collected relationship — the reference's N+1 populate anti-pattern
+    (src/processtools.coffee:184-212) must not be reproduced."""
+    calls = {"find_document": 0, "attach": 0}
+    orig_find = engine.find_document
+
+    def counting_find(collection, _id):
+        calls["find_document"] += 1
+        return orig_find(collection, _id)
+
+    monkeypatch.setattr(engine, "find_document", counting_find)
+
+    import mongraph_spark.cypher_mini as cm
+
+    orig_attach = cm.attach_endpoint_documents
+
+    def counting_attach(store, edges, collections=None):
+        calls["attach"] += 1
+        return orig_attach(store, edges, collections)
+
+    monkeypatch.setattr(cm, "attach_endpoint_documents", counting_attach)
+
+    d = engine.fixture_docs
+    nid = d["alice"].get_node_id()
+    rels = engine.query_graph(f"START a = node({nid}) MATCH (a)-[r]-(b) RETURN r;")
+    assert len(rels) == 4  # bob<-knows, zoe->knows, visits bar+pub
+    assert all(r.from_ is not None and r.to is not None for r in rels)
+    assert calls["find_document"] == 0
+    assert calls["attach"] == 1
+
+
+def test_execute_load_documents_false_skips_join(engine):
+    d = engine.fixture_docs
+    nid = d["alice"].get_node_id()
+    rels = engine.query_graph(
+        f"START a = node({nid}) MATCH (a)-[r:visits]->(b) RETURN r;",
+        {"loadDocuments": False},
+    )
+    assert len(rels) == 2
+    assert all(r.from_ is None and r.to is None for r in rels)
