@@ -760,7 +760,14 @@ def store_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from mongraph_spark.sources import merge as merge_store
 
-    root = _os.path.join(tempfile.gettempdir(), "mg_snapshot_diff_store")
+    # Root is namespaced by Spark application id + SF so concurrent sessions
+    # (gate + bench, parallel pytest) never read each other's half-built
+    # versions; within one session the rebuild is idempotent by construction.
+    app_id = spark.sparkContext.applicationId
+    sf_tag = _os.path.basename(sf_dir.rstrip("/")) or "sf"
+    root = _os.path.join(
+        tempfile.gettempdir(), f"mg_snapshot_diff_store_{app_id}_{sf_tag}"
+    )
     shutil.rmtree(root, ignore_errors=True)
 
     ev = read_table(spark, sf_dir, "events")

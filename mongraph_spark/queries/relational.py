@@ -336,8 +336,14 @@ def sketch_kmv_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         float(16**15)
     )
     exact = li.select(F.count_distinct("l_partkey").alias("exact_distinct"))
+    # small regime: with fewer than K distinct keys the sketch saw every key,
+    # so the pool count IS the exact answer — the (K-1)/h_max estimator only
+    # applies once the pool is saturated.
     est = hashes.agg(
-        F.floor(F.lit(KMV_K - 1) / frac).cast("long").alias("kmv_estimate"),
+        F.when(F.count(F.lit(1)) < KMV_K, F.count(F.lit(1)))
+        .otherwise(F.floor(F.lit(KMV_K - 1) / frac))
+        .cast("long")
+        .alias("kmv_estimate"),
         F.count(F.lit(1)).alias("k_used"),
     )
     return est.crossJoin(exact)
@@ -349,8 +355,9 @@ WITH hashes AS (
   ORDER BY h LIMIT {KMV_K}
 ),
 est AS (
-  SELECT CAST(floor(({KMV_K} - 1) /
-           (CAST(('0x' || substr(max(h), 1, 15)) AS UBIGINT) / {float(16**15)})) AS BIGINT)
+  SELECT CAST(CASE WHEN count(*) < {KMV_K} THEN count(*)
+           ELSE floor(({KMV_K} - 1) /
+           (CAST(('0x' || substr(max(h), 1, 15)) AS UBIGINT) / {float(16**15)})) END AS BIGINT)
            AS kmv_estimate,
          count(*) AS k_used
   FROM hashes
@@ -401,8 +408,14 @@ def sketch_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     frac = F.conv(F.substring(F.max("h"), 1, 15), 16, 10).cast("double") / F.lit(
         float(16**15)
     )
+    # small regime: an unsaturated union pool (total distinct < K) holds
+    # every distinct key, so the pool count is exact — estimate only once
+    # the pool is full (same rule in the oracle SQL below).
     union_est = union_pool.agg(
-        F.floor(F.lit(KMV_K - 1) / frac).cast("long").alias("union_est"),
+        F.when(F.count(F.lit(1)) < KMV_K, F.count(F.lit(1)))
+        .otherwise(F.floor(F.lit(KMV_K - 1) / frac))
+        .cast("long")
+        .alias("union_est"),
         F.count(F.lit(1)).alias("k_used"),
     )
     n_both = (
@@ -444,8 +457,9 @@ union_pool AS (
   ORDER BY h LIMIT {KMV_K}
 ),
 est AS (
-  SELECT CAST(floor(({KMV_K} - 1) /
-           (CAST(('0x' || substr(max(h), 1, 15)) AS UBIGINT) / {float(16**15)})) AS BIGINT)
+  SELECT CAST(CASE WHEN count(*) < {KMV_K} THEN count(*)
+           ELSE floor(({KMV_K} - 1) /
+           (CAST(('0x' || substr(max(h), 1, 15)) AS UBIGINT) / {float(16**15)})) END AS BIGINT)
            AS union_est,
          count(*) AS k_used
   FROM union_pool

@@ -506,7 +506,6 @@ def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     global sort.  Support ≥ 5 filters hapax noise; lift arithmetic is the
     shared double-shape (cast at the first multiply, one divide, floor)."""
     docs = scale_out(read_table(spark, sf_dir, "documents"))
-    words = F.split(F.lower("text"), r"\s+")
     # Adjacent-pair bigrams via zip_with of the two shifted slices (the
     # repetition_filter idiom): the word array is evaluated per ROW.  The
     # index-transform alternative (`transform(sequence(...), i -> split(
@@ -524,7 +523,7 @@ def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigrams = base.select(F.explode(two).alias("bg")).select(
         F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
     )
-    unigrams = docs.select(F.explode(words).alias("w"))
+    unigrams = docs.select(F.explode(words_col).alias("w"))
     pair_counts = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
     word_counts = unigrams.groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
     n_total = bigrams.agg(F.count(F.lit(1)).alias("n_total"))

@@ -314,3 +314,74 @@ def test_adaptive_salted_join_picks_by_histogram(spark):
     joined_u, used_u = adaptive_salted_join(uniform, dim, "k", n_salts=8)
     assert used_u is False
     assert "explode" not in joined_u._jdf.queryExecution().optimizedPlan().toString().lower()
+
+
+def test_adaptive_salted_join_profile_is_memoized(spark, monkeypatch):
+    """The skew profile is a property of the facts plan — re-joining the
+    same facts DataFrame must NOT pay a second histogram scan (ADVICE r4:
+    construction was fully eager on every call)."""
+    import mongraph_spark.sparkutil as su
+
+    dim = spark.range(50).select(F.col("id").alias("k"), (F.col("id") * 2).alias("attr"))
+    facts = spark.range(5_000).select((F.col("id") % 50).alias("k"), F.col("id").alias("p"))
+
+    su._SALT_PROFILE_CACHE.clear()
+    joined1, used1 = su.adaptive_salted_join(facts, dim, "k")
+    assert len(su._SALT_PROFILE_CACHE) == 1
+
+    # second call on the same plan: decision must come from the memo —
+    # a groupBy would mean a second profile scan
+    def no_groupby(*a, **k):
+        raise AssertionError("profile re-ran for an already-profiled plan")
+
+    monkeypatch.setattr(type(facts), "groupBy", no_groupby)
+    joined2, used2 = su.adaptive_salted_join(facts, dim, "k")
+    assert used2 == used1
+    monkeypatch.undo()
+    assert joined2.count() == joined1.count()
+
+
+def test_kmv_small_regime_is_exact(spark):
+    """With fewer distinct keys than K the sketch saw every key, so the
+    estimate must BE the exact pool count, not (K-1)/h_max (ADVICE r4)."""
+    import duckdb
+
+    from mongraph_spark.queries.relational import KMV_K
+
+    n_keys = 40  # << KMV_K
+    assert n_keys < KMV_K
+    df = spark.range(2_000).select((F.col("id") % n_keys).alias("custkey"))
+    hashes = (
+        df.select(F.md5(F.col("custkey").cast("string")).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(KMV_K)
+    )
+    frac = F.conv(F.substring(F.max("h"), 1, 15), 16, 10).cast("double") / F.lit(
+        float(16**15)
+    )
+    est = hashes.agg(
+        F.when(F.count(F.lit(1)) < KMV_K, F.count(F.lit(1)))
+        .otherwise(F.floor(F.lit(KMV_K - 1) / frac))
+        .cast("long")
+        .alias("est"),
+        F.count(F.lit(1)).alias("k_used"),
+    ).first()
+    assert est.k_used == n_keys
+    assert est.est == n_keys  # exact, not the biased (K-1)/h_max ≈ larger
+
+    # and the oracle-side CASE agrees
+    con = duckdb.connect()
+    got = con.execute(
+        f"""
+        WITH hashes AS (
+          SELECT DISTINCT md5(CAST(r % {n_keys} AS VARCHAR)) AS h
+          FROM range(2000) t(r) ORDER BY h LIMIT {KMV_K}
+        )
+        SELECT CAST(CASE WHEN count(*) < {KMV_K} THEN count(*)
+                 ELSE floor(({KMV_K} - 1) /
+                 (CAST(('0x' || substr(max(h), 1, 15)) AS UBIGINT) / {float(16**15)})) END AS BIGINT)
+        FROM hashes
+        """
+    ).fetchone()[0]
+    assert got == n_keys
