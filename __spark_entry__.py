@@ -79,14 +79,15 @@ CORE_ORDER = [
     "embedding_covariance",
     "streaming_click_purchase_outer",
     "graph_pagerank",
+    # — new round-5 operators (never driver-verified by construction) —
+    "scd2_bitemporal_asknown",
+    "corpus_zipf_fit",
     # — re-proof slots: one green row per operator family (reference surface
     #   G/M/populate/predicates, dedup, ANN, events, streaming, text, corpus,
     #   multimodal, pipeline, relational, graph analytics, store).  All were
     #   driver-green in r4 (CORRECTNESS_r04.json); kept as insurance against
     #   window off-by-ones.  New round-5 operators take slots from the TOP of
     #   this group as they land.
-    "mm_phash_neardup",
-    "graph_label_propagation",
     "graph_association_rules",
     "graph_degree_copurchase",
     "events_funnel",

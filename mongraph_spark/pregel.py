@@ -1,0 +1,80 @@
+"""Shared driver-coordinated iterative-DataFrame loop (Pregel-style).
+
+Every iterative graph algorithm in this repo — PageRank (fixed and
+delta-stop), connected components (fixed and fixed-point-stop), k-core
+peeling, label propagation — is the same control shape: a *state*
+DataFrame stepped through join-based rounds, with two scale hazards that
+each hand-rolled copy had to solve separately:
+
+1. **Lineage blowup**: N chained rounds = an N-deep plan; any action
+   replays the whole chain and the optimizer re-analyzes a growing tree
+   every round.  Bounded here by an eager ``localCheckpoint`` every
+   ``checkpoint_every`` rounds (the cadence amortizes the per-checkpoint
+   job against group size — the pagerank loop measured per-round driver
+   actions as the dominant cost of small iterations).
+2. **Convergence tests re-running the chain**: a delta/changed-count probe
+   on an *unmaterialized* state re-executes every round so far.  The
+   contract therefore only evaluates ``converged`` on a freshly
+   checkpointed state, so the probe reads materialized partitions.
+
+Checkpoint-cadence/convergence contract:
+
+- the initial state is eagerly checkpointed before round 1 (steps never
+  replay upstream ETL — the k-core fix for the copurchase self-join);
+- ``step`` is pure plan construction: state in, next state out, no
+  actions; whatever bookkeeping a convergence probe needs (an
+  ``old_rank``/``old_label`` carry column) is ``step``'s to produce and
+  the caller's to strip afterwards;
+- ``converged(state)`` — if given — runs after each checkpoint group on
+  the checkpointed state and stops the loop when True.  With
+  ``checkpoint_every > 1`` the probe sees the LAST round's carry columns,
+  which for monotone-contraction algorithms (damped pagerank, min-label
+  CC) is the group's tightest bound — the correct stop signal.
+
+At cluster scale ``localCheckpoint`` trades lineage for executor-local
+blocks (lost-executor recomputes the block, not the chain); a
+reliability-critical loop swaps in ``checkpoint(dir)`` with the same
+cadence.  Used by: queries/graph_analytics.py (all four algorithm
+families) — reference has no iterative operators beyond shortestPath
+(src/extendDocument.coffee:352-366), which keeps its own BFS in paths.py
+because its per-hop visited-set bookkeeping is not a state-step loop.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+
+
+def iterate(
+    state: DataFrame,
+    step: Callable[[DataFrame], DataFrame],
+    *,
+    max_rounds: int,
+    checkpoint_every: int = 1,
+    converged: Callable[[DataFrame], bool] | None = None,
+) -> tuple[DataFrame, int]:
+    """Run ``step`` up to ``max_rounds`` times with bounded lineage.
+
+    Returns ``(final_state, rounds_run)``; the final state is always an
+    eagerly checkpointed DataFrame (safe to reuse after callers unpersist
+    their inputs).
+    """
+    if max_rounds < 0:
+        raise ValueError(f"max_rounds must be >= 0, got {max_rounds}")
+    if checkpoint_every < 1:
+        raise ValueError(f"checkpoint_every must be >= 1, got {checkpoint_every}")
+    state = state.localCheckpoint(eager=True)
+    rounds = 0
+    while rounds < max_rounds:
+        group = min(checkpoint_every, max_rounds - rounds)
+        cur = state
+        for _ in range(group):
+            cur = step(cur)
+        cur = cur.localCheckpoint(eager=True)
+        rounds += group
+        state = cur
+        if converged is not None and converged(cur):
+            break
+    return state, rounds

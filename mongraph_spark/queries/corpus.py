@@ -451,6 +451,84 @@ GROUP BY 1, 2
 """
 
 
+# -- Zipf fit: corpus health check on the rank-frequency curve -----------------------
+
+ZIPF_TOP_N = 500
+
+
+def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares fit of log(freq) = a + b·log(rank) over the top-N
+    vocabulary — the Zipf-law slope every corpus health check reads: natural
+    text sits near b ≈ −1; template/boilerplate-heavy crawls flatten the
+    head, OCR noise fattens the tail.  Closed-form normal equations over
+    the ranked counts (no solver, no iteration): b = (nΣxy − ΣxΣy) /
+    (nΣx² − (Σx)²), a = ȳ − b·x̄.
+
+    Distributed shape: ONE token-keyed count (the same shuffle the
+    unigram-LM scorer pays), a top-N TakeOrdered by (count desc, token) —
+    no global sort — then rank assignment and the five fit sums on N rows
+    (bounded, post-limit; partitioned literal window).  log/ln is
+    IEEE-identical across engines (both delegate to libm), and the fit is
+    emitted in floored micro-units so the hash compare stays exact."""
+    docs = scale_out(read_table(spark, sf_dir, "documents"))
+    tok = docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("token"))
+    top = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_tok"))
+        .orderBy(F.desc("n_tok"), F.asc("token"))
+        .limit(ZIPF_TOP_N)
+    )
+    from pyspark.sql import Window
+
+    rank = F.row_number().over(
+        Window.orderBy(F.desc("n_tok"), F.asc("token"))  # N rows post-limit
+    )
+    xy = top.select(
+        F.log(rank.cast("double")).alias("x"), F.log(F.col("n_tok").cast("double")).alias("y")
+    )
+    sums = xy.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    return sums.select(
+        F.col("n").cast("long").alias("n_terms"),
+        F.floor(slope * 1_000_000).cast("long").alias("slope_micro"),
+        F.floor(intercept * 1_000_000).cast("long").alias("intercept_micro"),
+    )
+
+
+ORACLE_ZIPF = f"""
+WITH top AS (
+  SELECT token, count(*) AS n_tok
+  FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS token FROM documents)
+  GROUP BY token ORDER BY n_tok DESC, token LIMIT {ZIPF_TOP_N}
+),
+xy AS (
+  SELECT ln(CAST(row_number() OVER (ORDER BY n_tok DESC, token) AS DOUBLE)) AS x,
+         ln(CAST(n_tok AS DOUBLE)) AS y
+  FROM top
+),
+s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM xy
+)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       CAST(floor(1000000 * (n * sxy - sx * sy) / (n * sxx - sx * sx)) AS BIGINT)
+         AS slope_micro,
+       CAST(floor(1000000 * (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n) AS BIGINT)
+         AS intercept_micro
+FROM s
+"""
+
+
 QUERIES = {
     "corpus_decontaminate": decontaminate_splits,
     "corpus_repetition_filter": repetition_filter,
@@ -458,6 +536,7 @@ QUERIES = {
     "corpus_source_overlap": source_overlap_matrix,
     "corpus_common_token_ratio": common_token_ratio,
     "corpus_split_leakage": split_leakage,
+    "corpus_zipf_fit": corpus_zipf_fit,
 }
 
 ORACLES = {
@@ -467,4 +546,5 @@ ORACLES = {
     "corpus_source_overlap": ORACLE_SOURCE_OVERLAP,
     "corpus_common_token_ratio": ORACLE_COMMON_TOKEN,
     "corpus_split_leakage": _oracle_split_leakage(),
+    "corpus_zipf_fit": ORACLE_ZIPF,
 }

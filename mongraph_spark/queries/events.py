@@ -632,44 +632,34 @@ SELECT hour, event_type, n_events, n_anomalies FROM (
 
 # -- heavy hitters: per-partition Misra-Gries candidates + exact recount -------------
 
-MG_K = 255  # counters per partition: catches any key with density > 1/(K+1)
 HH_DENOM = 200  # heavy = user with >= 1/200 (0.5%) of all events
 
 
 def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy-hitter users (≥ 1/200 of all events) by the two-pass sketch
-    pattern that works at any scale: pass 1 runs the Misra-Gries/Frequent
-    algorithm per partition (``mapInPandas``, Arrow-batched, ``MG_K``
-    counters of bounded memory) to produce a small candidate superset;
-    pass 2 exactly recounts ONLY the candidates (broadcast semi-join) and
-    applies the true threshold.
+    pattern that works at any scale: pass 1 runs the Frequent/Misra-Gries
+    algorithm JVM-side (``DataFrame.stat.freqItems`` — the
+    Karp-Papadimitriou-Shenker single-pass variant, bounded ``1/support``
+    counters per partition, merged in the reduce) to produce a small
+    candidate superset; pass 2 exactly recounts ONLY the candidates
+    (broadcast semi-join) and applies the true threshold.
 
-    Correctness guarantee (why the output is EXACT, not approximate): a key
-    with global density ≥ 1/200 has density ≥ 1/200 in at least one
-    partition (pigeonhole), and per-partition MG with 255 counters retains
-    every key with partition density > 1/256 — so the candidate set is a
-    superset of the true heavy hitters and the exact recount removes the
-    false positives.  The same two-pass shape at 100 TB: candidates are
-    ≤ MG_K × n_partitions rows (tiny), the recount is one broadcast
-    semi-join + combiner-friendly count."""
+    Correctness guarantee (why the output is EXACT, not approximate):
+    freqItems documents a SUPERSET contract — every item with global
+    frequency > ``support`` is returned, possibly with false positives —
+    so recounting the candidates exactly and re-applying the threshold
+    yields precisely the true heavy hitters.  The same two-pass shape at
+    100 TB: candidates are ≤ 1/support rows (tiny), the recount is one
+    broadcast semi-join + combiner-friendly count.  (An earlier revision
+    ran the same algorithm as an Arrow ``mapInPandas`` pass with a
+    per-partition pigeonhole argument; freqItems is the identical sketch
+    without leaving the JVM — zero Python in this batch hot path.)"""
     ev = read_table(spark, sf_dir, "events").select("user_id")
 
-    def mg_candidates(batches):
-        import pandas as pd
-
-        counters: dict = {}
-        for pdf in batches:
-            for u, c in pdf["user_id"].value_counts().items():
-                counters[u] = counters.get(u, 0) + int(c)
-            # Frequent-algorithm compaction: subtract the smallest count
-            # from everyone until <= MG_K counters survive
-            while len(counters) > MG_K:
-                m = min(counters.values())
-                counters = {k: v - m for k, v in counters.items() if v > m}
-        yield pd.DataFrame({"user_id": list(counters.keys()) or [0]}).astype("int64")
-
     candidates = (
-        ev.mapInPandas(mg_candidates, "user_id long").distinct()
+        ev.stat.freqItems(["user_id"], support=1.0 / HH_DENOM)
+        .select(F.explode("user_id_freqItems").alias("user_id"))
+        .distinct()
     )
     total = ev.agg(F.count(F.lit(1)).alias("n_total"))  # 1 row
     return (
@@ -782,7 +772,7 @@ def store_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_events"), F.sum(cents).alias("sum_cents"))
     )
-    merge_store.init_table(v0_totals, root)  # v_00000
+    merge_store.init_table(v0_totals, root, key="user_id")  # v_00000, bucketed
     touched = evc.filter(F.col("ts") >= F.col("cut")).select("user_id").distinct()
     updates = (
         evc.join(touched, "user_id")

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mongraph_spark import pregel
 from mongraph_spark.graphs import tpch
 
 DAMPING = 0.85
@@ -85,23 +86,30 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # on src so every iteration's join reuses the same partitioning)
     e_norm = e.join(out_deg, "src").persist()
     try:
-        ranks = nodes.select("node_id", F.lit(1.0).alias("rank"))
-        for _ in range(N_ITER):
+
+        def step(ranks):
             contribs = (
                 ranks.join(e_norm, ranks["node_id"] == e_norm["src"], "inner")
                 .select(F.col("dst").alias("node_id"), (F.col("rank") / F.col("out_deg")).alias("c"))
                 .groupBy("node_id")
                 .agg(F.sum("c").alias("contrib"))
             )
-            ranks = nodes.join(contribs, "node_id", "left").select(
+            return nodes.join(contribs, "node_id", "left").select(
                 "node_id",
                 (F.lit(1 - DAMPING) + F.lit(DAMPING) * F.coalesce("contrib", F.lit(0.0))).alias(
                     "rank"
                 ),
             )
-        # materialize before unpersisting, or the cache would be gone by the
-        # time the caller's action re-runs the iterations
-        ranks = ranks.localCheckpoint(eager=True)
+
+        # one lazy chain of N_ITER rounds; the loop's trailing checkpoint
+        # materializes before unpersist, so the caller's action never
+        # replays the iterations against a gone cache
+        ranks, _ = pregel.iterate(
+            nodes.select("node_id", F.lit(1.0).alias("rank")),
+            step,
+            max_rounds=N_ITER,
+            checkpoint_every=N_ITER,
+        )
     finally:
         e_norm.unpersist()
     return _pagerank_ranks_summary(ranks)
@@ -123,7 +131,9 @@ def pagerank_until_convergence(
     group output (old rank carried through the round join — no extra join).
 
     Returns ``(ranks DataFrame, iterations run)``.  The fixed-unroll
-    :func:`graph_pagerank` stays as the oracle-expressible variant.
+    :func:`graph_pagerank` stays as the oracle-expressible variant.  Loop
+    mechanics (initial checkpoint, cadence, convergence-probe contract) are
+    :func:`mongraph_spark.pregel.iterate`'s — shared with CC/k-core/LPA/PPR.
     """
     eng = tpch.bulk_engine(spark, sf_dir)
     e = eng.store.edges_df().select("src", "dst")
@@ -149,26 +159,25 @@ def pagerank_until_convergence(
             "old_rank",
         )
 
+    def converged(cur):
+        # old_rank here is the LAST round's previous rank: the per-round
+        # delta shrinks monotonically under damping, so last-round delta
+        # is the group's tightest bound — the correct stop signal
+        delta = (
+            cur.agg(F.max(F.abs(F.col("rank") - F.col("old_rank"))).alias("d"))
+            .first()["d"]
+        )
+        return delta is not None and delta < tol
+
     try:
-        ranks = nodes.select("node_id", F.lit(1.0).alias("rank")).localCheckpoint(eager=True)
-        iters = 0
-        while iters < max_iter:
-            group = min(check_every, max_iter - iters)
-            cur = ranks
-            for _ in range(group):
-                cur = one_round(cur.select("node_id", "rank"))
-            # old_rank here is the LAST round's previous rank: the per-round
-            # delta shrinks monotonically under damping, so last-round delta
-            # is the group's tightest bound — the correct stop signal
-            cur = cur.localCheckpoint(eager=True)
-            iters += group
-            delta = (
-                cur.agg(F.max(F.abs(F.col("rank") - F.col("old_rank"))).alias("d"))
-                .first()["d"]
-            )
-            ranks = cur.select("node_id", "rank")
-            if delta is not None and delta < tol:
-                break
+        ranks, iters = pregel.iterate(
+            nodes.select("node_id", F.lit(1.0).alias("rank")),
+            lambda s: one_round(s.select("node_id", "rank")),
+            max_rounds=max_iter,
+            checkpoint_every=check_every,
+            converged=converged,
+        )
+        ranks = ranks.select("node_id", "rank")
     finally:
         e_norm.unpersist()
     return ranks, iters
@@ -238,20 +247,24 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # undirected adjacency: each edge contributes both directions
     adj = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     nodes = adj.select(F.col("src").alias("node_id")).distinct()
-    labels = nodes.select("node_id", F.col("node_id").alias("label"))
-    for _ in range(N_CC_ROUNDS):
+
+    def step(labels):
         neighbor_min = (
             labels.join(adj, labels["node_id"] == adj["src"])
             .groupBy(F.col("dst").alias("node_id"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        labels = (
-            labels.join(neighbor_min, "node_id", "left")
-            .select(
-                "node_id",
-                F.least("label", F.coalesce("nbr_label", "label")).alias("label"),
-            )
+        return labels.join(neighbor_min, "node_id", "left").select(
+            "node_id",
+            F.least("label", F.coalesce("nbr_label", "label")).alias("label"),
         )
+
+    labels, _ = pregel.iterate(
+        nodes.select("node_id", F.col("node_id").alias("label")),
+        step,
+        max_rounds=N_CC_ROUNDS,
+        checkpoint_every=N_CC_ROUNDS,
+    )
     return labels.groupBy(F.col("label").alias("component")).agg(
         F.count(F.lit(1)).alias("n_nodes")
     )
@@ -278,35 +291,36 @@ def connected_components_until_convergence(
     adj = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
+    def step(labels):
+        labels = labels.select("node_id", "label")
+        neighbor_min = (
+            labels.join(adj, labels["node_id"] == adj["src"])
+            .groupBy(F.col("dst").alias("node_id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        return (
+            labels.select("node_id", F.col("label").alias("old_label"))
+            .join(neighbor_min, "node_id", "left")
+            .select(
+                "node_id",
+                F.least("old_label", F.coalesce("nbr_label", "old_label")).alias("label"),
+                "old_label",
+            )
+        )
+
+    def converged(cur):
+        return cur.filter(F.col("label") != F.col("old_label")).count() == 0
+
     try:
         nodes = adj.select(F.col("src").alias("node_id")).distinct()
-        labels = nodes.select("node_id", F.col("node_id").alias("label")).localCheckpoint(
-            eager=True
+        labels, rounds = pregel.iterate(
+            nodes.select("node_id", F.col("node_id").alias("label")),
+            step,
+            max_rounds=max_rounds,
+            checkpoint_every=1,
+            converged=converged,
         )
-        rounds = 0
-        for _ in range(max_rounds):
-            neighbor_min = (
-                labels.join(adj, labels["node_id"] == adj["src"])
-                .groupBy(F.col("dst").alias("node_id"))
-                .agg(F.min("label").alias("nbr_label"))
-            )
-            new_labels = (
-                labels.select("node_id", F.col("label").alias("old_label"))
-                .join(neighbor_min, "node_id", "left")
-                .select(
-                    "node_id",
-                    F.least(
-                        "old_label", F.coalesce("nbr_label", "old_label")
-                    ).alias("label"),
-                    "old_label",
-                )
-                .localCheckpoint(eager=True)
-            )
-            rounds += 1
-            n_changed = new_labels.filter(F.col("label") != F.col("old_label")).count()
-            labels = new_labels.select("node_id", "label")
-            if n_changed == 0:
-                break
+        labels = labels.select("node_id", "label")
     finally:
         adj.unpersist()
     return labels, rounds
@@ -426,8 +440,7 @@ def graph_ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
         base = seeded.crossJoin(F.broadcast(n_seeds)).select(
             "node_id", (F.col("seed") / F.col("n_seeds")).alias("s")
         )
-        ranks = base.select("node_id", F.col("s").alias("rank"), "s")
-        for _ in range(N_PPR_ITER):
+        def step(ranks):
             contribs = (
                 ranks.join(adj_norm, ranks["node_id"] == adj_norm["src"], "inner")
                 .select(
@@ -437,7 +450,7 @@ def graph_ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .groupBy("node_id")
                 .agg(F.sum("c").alias("contrib"))
             )
-            ranks = base.join(contribs, "node_id", "left").select(
+            return base.join(contribs, "node_id", "left").select(
                 "node_id",
                 (
                     F.lit(1 - DAMPING) * F.col("s")
@@ -445,7 +458,13 @@ def graph_ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("rank"),
                 "s",
             )
-        ranks = ranks.localCheckpoint(eager=True)
+
+        ranks, _ = pregel.iterate(
+            base.select("node_id", F.col("s").alias("rank"), "s"),
+            step,
+            max_rounds=N_PPR_ITER,
+            checkpoint_every=N_PPR_ITER,
+        )
     finally:
         adj_norm.unpersist()
     return _pagerank_ranks_summary(ranks.select("node_id", "rank"))
@@ -751,12 +770,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kcore_degree_hist(spark: SparkSession, sf_dir: str, rounds: int) -> DataFrame:
-    edges = (
-        graph_copurchase_pairs(spark, sf_dir)
-        .select("part_a", "part_b")
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(rounds):
+    def step(edges):
         deg = (
             edges.select(F.col("part_a").alias("node"))
             .unionAll(edges.select(F.col("part_b").alias("node")))
@@ -764,9 +778,19 @@ def _kcore_degree_hist(spark: SparkSession, sf_dir: str, rounds: int) -> DataFra
             .agg(F.count(F.lit(1)).alias("deg"))
         )
         keep = deg.filter(F.col("deg") >= KCORE_K).select("node")
-        edges = edges.join(
+        return edges.join(
             keep.select(F.col("node").alias("part_a")), "part_a", "left_semi"
         ).join(keep.select(F.col("node").alias("part_b")), "part_b", "left_semi")
+
+    # initial checkpoint = pregel's contract: the peel rounds must never
+    # replay the copurchase self-join lineage (the replay bug BENCHNOTES
+    # measured in the LPA loop)
+    edges, _ = pregel.iterate(
+        graph_copurchase_pairs(spark, sf_dir).select("part_a", "part_b"),
+        step,
+        max_rounds=rounds,
+        checkpoint_every=max(rounds, 1),
+    )
     survivors = (
         edges.select(F.col("part_a").alias("node"))
         .unionAll(edges.select(F.col("part_b").alias("node")))
@@ -917,12 +941,9 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         pairs.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
     )
-    labels = adj.select(F.col("src").alias("node_id")).distinct().select(
-        "node_id", F.col("node_id").alias("label")
-    )
     from pyspark.sql import Window
 
-    for _ in range(N_LPA_ROUNDS):
+    def step(labels):
         votes = (
             labels.join(adj, labels["node_id"] == adj["src"])
             .groupBy(F.col("dst").alias("node_id"), "label")
@@ -936,10 +957,18 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") == 1)
             .select("node_id", F.col("label").alias("new_label"))
         )
-        labels = (
-            labels.join(winners, "node_id", "left")
-            .select("node_id", F.coalesce("new_label", "label").alias("label"))
+        return labels.join(winners, "node_id", "left").select(
+            "node_id", F.coalesce("new_label", "label").alias("label")
         )
+
+    labels, _ = pregel.iterate(
+        adj.select(F.col("src").alias("node_id"))
+        .distinct()
+        .select("node_id", F.col("node_id").alias("label")),
+        step,
+        max_rounds=N_LPA_ROUNDS,
+        checkpoint_every=N_LPA_ROUNDS,
+    )
     return (
         labels.groupBy(F.col("label").alias("community"))
         .agg(F.count(F.lit(1)).alias("n_members"))

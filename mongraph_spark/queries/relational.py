@@ -1101,13 +1101,10 @@ def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_SCD2 = """
-SELECT o_custkey, priority,
-       CAST(vf AS VARCHAR) AS valid_from,
-       CAST(lead(vf) OVER (PARTITION BY o_custkey ORDER BY vf, first_key) AS VARCHAR)
-         AS valid_to,
-       n_orders
-FROM (
+# the gaps-and-islands history build, shared verbatim by every SCD2 oracle
+# (one pinned SQL implementation, mirroring scd2_priority_history being the
+# one pinned Spark implementation)
+_SCD2_ISLANDS_SQL = """
   SELECT o_custkey, o_orderpriority AS priority, island,
          min(d) AS vf, min(o_orderkey) AS first_key, count(*) AS n_orders
   FROM (
@@ -1118,7 +1115,15 @@ FROM (
     FROM orders
   )
   GROUP BY 1, 2, 3
-)
+"""
+
+ORACLE_SCD2 = f"""
+SELECT o_custkey, priority,
+       CAST(vf AS VARCHAR) AS valid_from,
+       CAST(lead(vf) OVER (PARTITION BY o_custkey ORDER BY vf, first_key) AS VARCHAR)
+         AS valid_to,
+       n_orders
+FROM ({_SCD2_ISLANDS_SQL})
 """
 
 
@@ -1165,22 +1170,11 @@ def scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_SCD2_PIT = """
+ORACLE_SCD2_PIT = f"""
 WITH hist AS (
   SELECT o_custkey, priority, vf,
          lead(vf) OVER (PARTITION BY o_custkey ORDER BY vf, first_key) AS vt
-  FROM (
-    SELECT o_custkey, o_orderpriority AS priority, island,
-           min(d) AS vf, min(o_orderkey) AS first_key
-    FROM (
-      SELECT o_custkey, o_orderkey, o_orderpriority, CAST(o_orderdate AS DATE) AS d,
-             row_number() OVER (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
-           - row_number() OVER (PARTITION BY o_custkey, o_orderpriority
-                                ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS island
-      FROM orders
-    )
-    GROUP BY 1, 2, 3
-  )
+  FROM ({_SCD2_ISLANDS_SQL})
 )
 SELECT h.priority AS priority_at_ship,
        count(*) AS n_lines,
@@ -1515,6 +1509,95 @@ FROM k3 GROUP BY 2
 """
 
 
+# -- bitemporal AS-KNOWN-AT: valid time x transaction time -------------------------
+
+BITEMPORAL_ASOF = "1997-06-01"
+
+
+def scd2_bitemporal_asknown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal snapshot comparison: order priorities carry BOTH a valid
+    date (o_orderdate) and a transaction date (when the record was
+    *recorded*), and late corrections (every 7th order re-recorded 30 days
+    after the fact with a downgraded priority) must only be visible to
+    queries whose AS-KNOWN-AT is past the correction's record date.  Output:
+    per-priority order counts under the ``as_known`` view (corrections
+    recorded after {asof} invisible — last record per order wins among the
+    visible ones) vs the ``latest`` view (all corrections applied), the
+    audit/replay primitive warehouses need when history itself is revised.
+
+    Scale shape: the correction overlay is a union of two projections of
+    the SAME scan (no join — corrections are derived columns here; a real
+    corrections feed would be a key-equi union), and visibility resolution
+    is one per-order max_by over recorded_d — combiner-friendly, one
+    order-keyed shuffle, then a tiny per-priority rollup.  The SCD2
+    interval build (:func:`scd2_priority_history`) composes on top of
+    either resolved snapshot unchanged — same helper, different input."""
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", F.to_date("o_orderdate").alias("d")
+    )
+    base = orders.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.col("d").alias("recorded_d"),
+    )
+    corrections = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.lit("5-LOW").alias("priority"),
+        F.date_add("d", 30).alias("recorded_d"),
+    )
+    records = base.unionByName(corrections)
+
+    def resolved(view, visible):
+        # last visible record per order: max_by over recorded_d with the
+        # correction flag as tie-break (a correction recorded the same day
+        # supersedes the base row — deterministic, oracle-mirrored)
+        return (
+            visible.groupBy("o_orderkey")
+            .agg(
+                F.max_by(
+                    "priority", F.struct(F.col("recorded_d"), F.col("priority"))
+                ).alias("priority")
+            )
+            .groupBy("priority")
+            .agg(F.count(F.lit(1)).alias("n_orders"))
+            .select(F.lit(view).alias("view"), "priority", "n_orders")
+        )
+
+    as_known = resolved(
+        "as_known", records.filter(F.col("recorded_d") <= F.lit(BITEMPORAL_ASOF))
+    )
+    latest = resolved("latest", records)
+    return as_known.unionByName(latest)
+
+
+ORACLE_BITEMPORAL = f"""
+WITH records AS (
+  SELECT o_orderkey, o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS recorded_d
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, '5-LOW', CAST(o_orderdate AS DATE) + INTERVAL 30 DAY
+  FROM orders WHERE o_orderkey % 7 = 0
+),
+asv AS (
+  -- ISO date string + priority concat == Spark's struct(recorded_d, priority)
+  -- lexicographic max (fixed-width date segment keeps the order identical)
+  SELECT 'as_known' AS view, priority, count(*) AS n_orders FROM (
+    SELECT o_orderkey,
+           arg_max(priority, strftime(recorded_d, '%Y-%m-%d') || '|' || priority) AS priority
+    FROM records WHERE recorded_d <= DATE '{BITEMPORAL_ASOF}' GROUP BY o_orderkey
+  ) GROUP BY 2
+),
+latestv AS (
+  SELECT 'latest' AS view, priority, count(*) AS n_orders FROM (
+    SELECT o_orderkey,
+           arg_max(priority, strftime(recorded_d, '%Y-%m-%d') || '|' || priority) AS priority
+    FROM records GROUP BY o_orderkey
+  ) GROUP BY 2
+)
+SELECT * FROM asv UNION ALL SELECT * FROM latestv
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "unpivot_lineitem_measures": unpivot_lineitem_measures,
@@ -1523,6 +1606,7 @@ QUERIES = {
     "window_rolling_7day": window_rolling_7day,
     "scd2_priority_history": scd2_priority_history,
     "scd2_pit_join": scd2_pit_join,
+    "scd2_bitemporal_asknown": scd2_bitemporal_asknown,
     "window_customer_deciles": window_customer_deciles,
     "salted_revenue_by_priority": salted_revenue_by_priority,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1585,6 +1669,7 @@ ORACLES = {
     "q22_wealthy_no_urgent": ORACLE_Q22,
     "scd2_priority_history": ORACLE_SCD2,
     "scd2_pit_join": ORACLE_SCD2_PIT,
+    "scd2_bitemporal_asknown": ORACLE_BITEMPORAL,
     "window_customer_deciles": ORACLE_DECILES,
     "salted_revenue_by_priority": ORACLE_SALTED,
 }

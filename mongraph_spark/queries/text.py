@@ -415,10 +415,22 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = scale_out(read_table(spark, sf_dir, "documents"))
     normalized = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
     words = F.split(normalized, " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(words) - WINNOW_K, F.lit(0))),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(words, i + 1, WINNOW_K))),
-    )
+    # ORDERED k-grams via chained zip_with over shifted slices — the
+    # per-row-evaluated idiom (dedup._shingles, minus its array_distinct:
+    # winnowing's sliding window needs the gram SEQUENCE).  The
+    # index-transform form (`transform(sequence(...), i -> md5(concat_ws(
+    # slice(words, i+1, K))))`) captures `words` in its lambda, so the
+    # split re-evaluates PER GRAM — O(n²) per doc, the same
+    # CollapseProject/lambda-capture class as the window-side bug below.
+    # Short docs (< K words) zip the shorter shifted slices as nulls and
+    # concat_ws skips them: same single truncated gram as before.
+    n_grams = F.greatest(F.size(words) - WINNOW_K + 1, F.lit(1))
+    gram_text = F.slice(words, 1, n_grams)
+    for _k in range(2, WINNOW_K + 1):
+        gram_text = F.zip_with(
+            gram_text, F.slice(words, _k, n_grams), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    grams = F.transform(gram_text, lambda g: F.md5(g))  # lambda-var-only: safe
     # HARD materialization barrier before the window pass: referencing the
     # `grams` expression inside the `wins` lambda lets CollapseProject
     # inline the whole md5 transform into EVERY window position — O(n²)

@@ -1,38 +1,57 @@
 """Copy-on-write MERGE for parquet-backed collections: the distributed
 analog of the reference's per-document save/remove write path
-(extendDocument.coffee pre-save/pre-remove hooks), re-expressed as bulk
-operators over immutable table versions.
+(extendDocument.coffee pre-save/pre-remove hooks,
+mongraphMongoosePlugin.coffee:43-61), re-expressed as bulk operators over
+immutable table versions.
 
 Plain parquet has no transactional MERGE, so each mutation writes a NEW
 version directory and flips a pointer file — the Delta/Iceberg
 copy-on-write model in miniature:
 
-    <root>/v_00000/part-*.parquet
-    <root>/v_00001/part-*.parquet
-    <root>/_CURRENT            # contains "v_00001"
+    <root>/_TABLE.json          # layout: key column, bucket count, schema
+    <root>/v_00000/__bucket=K/part-*.parquet
+    <root>/v_00001/__bucket=K/part-*.parquet   # only REWRITTEN buckets
+    <root>/v_00001/manifest.json               # bucket -> version-relative dir
+    <root>/_CURRENT                            # contains "v_00001"
 
-- ``upsert``: base ANTI-JOIN update-keys  ∪  deduped updates → next version.
-  The anti-join is keyed on the row key (broadcast when the update batch is
-  small — the common case: a trickle of saves against a huge base).
-- ``delete_where``: predicate filter → next version (predicate pushdown
-  applies — deleted rows are never shuffled, just not rewritten).
+**Partition-scoped rewrites** (the 100 TB shape): rows are hash-bucketed on
+the table key at init; an ``upsert``/``delete_where`` rewrites ONLY the
+buckets containing touched keys and the new version's manifest points every
+untouched bucket at the PRIOR version's files — a trickle of saves against
+a huge table rewrites k buckets, never the table (the reference's write
+path is per-document; full-table rewrites would make a Spark port unusable
+as an operational store).  Readers resolve a version through its manifest,
+so unchanged data is shared structurally across versions (Iceberg's
+manifest-reuse, one level simpler).
+
+- ``upsert``: bucket-scoped base ANTI-JOIN update-keys ∪ deduped updates →
+  next version.  The anti-join is keyed on the row key (broadcast when the
+  update batch is small — the common case).
+- ``delete_where``: one predicate scan finds the buckets holding matching
+  rows; only those are rewritten (predicate pushdown applies — in the scan
+  AND in the bucket pruning).
 - Readers pin a version at open time (the pointer flip is atomic via
   os.replace), so a long scan never sees a half-written version.
 
-At real scale the rewrite would be partition-scoped (only partitions
-containing touched keys are rewritten — requires the key to be the
-partition/bucket column); the full-rewrite here is the semantics reference
-for that optimization.
+``init_table`` without a ``key`` keeps the legacy single-directory layout
+(one pseudo-bucket ``*``; every mutation is a full rewrite) — the semantics
+reference the bucketed path must match row-for-row.
 """
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 _POINTER = "_CURRENT"
+_META = "_TABLE.json"
+_MANIFEST = "manifest.json"
+_BUCKET = "__bucket"
+DEFAULT_BUCKETS = 16
 
 
 def _version_name(n: int) -> str:
@@ -59,28 +78,115 @@ def _flip(root: str, version: str) -> None:
     os.replace(tmp, os.path.join(root, _POINTER))  # atomic pointer swap
 
 
-def read_current(spark: SparkSession, root: str) -> DataFrame | None:
-    ver = current_version(root)
-    if ver is None:
-        return None
-    return spark.read.parquet(os.path.join(root, ver))
+def _write_meta(root: str, key: str | None, n_buckets: int | None, schema: T.StructType) -> None:
+    with open(os.path.join(root, _META), "w") as fh:
+        json.dump({"key": key, "n_buckets": n_buckets, "schema": schema.json()}, fh)
+
+
+def _read_meta(root: str) -> dict:
+    try:
+        with open(os.path.join(root, _META)) as fh:
+            return json.load(fh)
+    except FileNotFoundError:  # pre-manifest table: legacy flat layout
+        return {"key": None, "n_buckets": None, "schema": None}
+
+
+def _write_manifest(root: str, ver: str, mapping: dict[str, str]) -> None:
+    with open(os.path.join(root, ver, _MANIFEST), "w") as fh:
+        json.dump(mapping, fh, sort_keys=True)
+
+
+def _read_manifest(root: str, ver: str) -> dict[str, str]:
+    try:
+        with open(os.path.join(root, ver, _MANIFEST)) as fh:
+            return json.load(fh)
+    except FileNotFoundError:  # pre-manifest version dir: data sits inline
+        return {"*": ver}
+
+
+def _bucket_expr(key: str, n_buckets: int):
+    return F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets))
+
+
+def _written_buckets(root: str, ver: str) -> dict[str, str]:
+    """Bucket dirs actually produced by a partitionBy write of ``ver``."""
+    out = {}
+    base = os.path.join(root, ver)
+    for d in os.listdir(base):
+        if d.startswith(_BUCKET + "="):
+            out[d.split("=", 1)[1]] = f"{ver}/{d}"
+    return out
+
+
+def _read_paths(spark: SparkSession, root: str, mapping: dict[str, str], schema_json: str | None) -> DataFrame:
+    paths = [os.path.join(root, rel) for rel in mapping.values()]
+    if not paths:
+        if schema_json is None:
+            raise ValueError(f"empty table with no recorded schema under {root}")
+        return spark.createDataFrame([], T.StructType.fromJson(json.loads(schema_json)))
+    return spark.read.parquet(*paths)
 
 
 def read_version(spark: SparkSession, root: str, n: int) -> DataFrame:
     """Time-travel read: pin an explicit version instead of the _CURRENT
-    pointer.  Versions are immutable once the pointer has moved past them,
-    so this is safe concurrently with later upserts — the Delta/Iceberg
-    ``VERSION AS OF`` shape."""
-    return spark.read.parquet(os.path.join(root, _version_name(n)))
+    pointer.  Versions are immutable once the pointer has moved past them
+    (a new version rewrites only its own touched-bucket dirs), so this is
+    safe concurrently with later upserts — the Delta/Iceberg ``VERSION AS
+    OF`` shape."""
+    ver = _version_name(n)
+    return _read_paths(spark, root, _read_manifest(root, ver), _read_meta(root)["schema"])
 
 
-def init_table(df: DataFrame, root: str) -> str:
-    """Create version 0 from a DataFrame."""
+def read_current(spark: SparkSession, root: str) -> DataFrame | None:
+    ver = current_version(root)
+    if ver is None:
+        return None
+    return _read_paths(spark, root, _read_manifest(root, ver), _read_meta(root)["schema"])
+
+
+def init_table(
+    df: DataFrame,
+    root: str,
+    key: str | None = None,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> str:
+    """Create version 0.  With ``key``: hash-bucketed layout on that column
+    (mutations rewrite only touched buckets).  Without: legacy flat layout
+    (mutations are full rewrites)."""
     os.makedirs(root, exist_ok=True)
     ver = _next_version(root)
-    df.write.mode("errorifexists").parquet(os.path.join(root, ver))
+    if key is not None:
+        _write_meta(root, key, n_buckets, df.schema)
+        df.withColumn(_BUCKET, _bucket_expr(key, n_buckets)).write.mode(
+            "errorifexists"
+        ).partitionBy(_BUCKET).parquet(os.path.join(root, ver))
+        _write_manifest(root, ver, _written_buckets(root, ver))
+    else:
+        _write_meta(root, None, None, df.schema)
+        df.write.mode("errorifexists").parquet(os.path.join(root, ver, "data"))
+        _write_manifest(root, ver, {"*": f"{ver}/data"})
     _flip(root, ver)
     return ver
+
+
+def _dedupe_updates(updates: DataFrame, key: str, order_col: str | None) -> DataFrame:
+    """Duplicate keys *within* the update batch resolve to the last writer:
+    highest ``order_col`` if given, else an arbitrary-but-deterministic max
+    over the remaining columns (mirrors the reference's last-save-wins
+    document semantics; a key-only frame needs no tie-break at all)."""
+    non_key = [c for c in updates.columns if c != key]
+    if order_col is not None:
+        order = F.desc(order_col)
+    elif non_key:
+        order = F.desc(F.struct(*non_key))
+    else:
+        order = F.asc(key)  # key-only rows are identical; any order dedupes
+    w = Window.partitionBy(key).orderBy(order)
+    return (
+        updates.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
 
 def upsert(
@@ -91,58 +197,105 @@ def upsert(
     order_col: str | None = None,
 ) -> str:
     """MERGE ``updates`` into the current version (insert-or-replace by
-    ``key``); returns the new version name.
-
-    Duplicate keys *within* the update batch resolve to the last writer:
-    highest ``order_col`` if given, else an arbitrary-but-deterministic
-    max over the remaining columns (mirrors the reference's last-save-wins
-    document semantics; a key-only frame needs no tie-break at all)."""
-    non_key = [c for c in updates.columns if c != key]
-    if order_col is not None:
-        order = F.desc(order_col)
-    elif non_key:
-        order = F.desc(F.struct(*non_key))
-    else:
-        order = F.asc(key)  # key-only rows are identical; any order dedupes
-    w = Window.partitionBy(key).orderBy(order)
-    deduped = (
-        updates.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
-    base = read_current(spark, root)
-    if base is None:
-        merged = deduped
-    else:
-        keys = deduped.select(key)
-        # The common case is a trickle of saves against a huge base, where
-        # broadcasting the key set skips shuffling the base entirely.  A big
-        # batch must NOT be forced driver-side, so the hint is size-gated;
-        # above the threshold AQE picks the strategy from runtime stats.
-        n_updates = keys.count()
-        if n_updates <= 1_000_000:
-            keys = F.broadcast(keys)
-        survivors = base.join(keys, key, "left_anti")
-        merged = survivors.unionByName(deduped)
+    ``key``); returns the new version name.  On a bucketed table only the
+    buckets containing update keys are read, anti-joined, and rewritten —
+    every other bucket is carried forward by manifest reference."""
+    deduped = _dedupe_updates(updates, key, order_col)
+    meta = _read_meta(root)
+    cur = current_version(root)
     ver = _next_version(root)
-    merged.write.mode("errorifexists").parquet(os.path.join(root, ver))
+
+    if meta["key"] is not None:
+        if meta["key"] != key:
+            raise ValueError(
+                f"table is bucketed on {meta['key']!r}, upsert keyed on {key!r}"
+            )
+        n_buckets = meta["n_buckets"]
+        deduped = deduped.withColumn(_BUCKET, _bucket_expr(key, n_buckets))
+        touched = sorted(
+            str(r[_BUCKET]) for r in deduped.select(_BUCKET).distinct().collect()
+        )
+        manifest = _read_manifest(root, cur) if cur is not None else {}
+        base_map = {b: manifest[b] for b in touched if b in manifest}
+        if base_map:
+            base = _read_paths(spark, root, base_map, meta["schema"])
+            keys = deduped.select(key)
+            # The common case is a trickle of saves against a huge base,
+            # where broadcasting the key set skips shuffling the base
+            # entirely.  A big batch must NOT be forced driver-side, so the
+            # hint is size-gated; above the threshold AQE picks the strategy
+            # from runtime stats.
+            if keys.count() <= 1_000_000:
+                keys = F.broadcast(keys)
+            survivors = base.join(keys, key, "left_anti").withColumn(
+                _BUCKET, _bucket_expr(key, n_buckets)
+            )
+            merged = survivors.unionByName(deduped)
+        else:
+            merged = deduped
+        merged.write.mode("errorifexists").partitionBy(_BUCKET).parquet(
+            os.path.join(root, ver)
+        )
+        new_map = dict(manifest)
+        new_map.update(_written_buckets(root, ver))
+        _write_manifest(root, ver, new_map)
+    else:
+        base = read_current(spark, root)
+        if base is None:
+            merged = deduped
+        else:
+            keys = deduped.select(key)
+            if keys.count() <= 1_000_000:
+                keys = F.broadcast(keys)
+            merged = base.join(keys, key, "left_anti").unionByName(deduped)
+        merged.write.mode("errorifexists").parquet(os.path.join(root, ver, "data"))
+        _write_manifest(root, ver, {"*": f"{ver}/data"})
     _flip(root, ver)
     return ver
 
 
 def delete_where(spark: SparkSession, root: str, condition) -> str:
     """Delete rows matching ``condition`` (a Column) by rewriting the
-    survivors into the next version.
+    survivors of the buckets that contain matching rows into the next
+    version (legacy flat tables rewrite in full).
 
     SQL DELETE semantics: only rows where the predicate is TRUE are removed.
     A bare ``filter(~condition)`` would also drop NULL-predicate rows (e.g. a
     comparison against a NULL column), so NULL is coalesced to "keep"."""
-    base = read_current(spark, root)
-    if base is None:
+    meta = _read_meta(root)
+    cur = current_version(root)
+    if cur is None:
         raise ValueError(f"no current version under {root}")
     ver = _next_version(root)
-    base.filter(~F.coalesce(condition, F.lit(False))).write.mode("errorifexists").parquet(
-        os.path.join(root, ver)
-    )
+    keep = ~F.coalesce(condition, F.lit(False))
+
+    if meta["key"] is not None:
+        n_buckets = meta["n_buckets"]
+        manifest = _read_manifest(root, cur)
+        full = _read_paths(spark, root, manifest, meta["schema"]).withColumn(
+            _BUCKET, _bucket_expr(meta["key"], n_buckets)
+        )
+        # one pushdown-friendly scan to find which buckets hold doomed rows
+        touched = sorted(
+            str(r[_BUCKET])
+            for r in full.filter(~keep).select(_BUCKET).distinct().collect()
+        )
+        base_map = {b: manifest[b] for b in touched if b in manifest}
+        os.makedirs(os.path.join(root, ver), exist_ok=True)
+        if base_map:
+            _read_paths(spark, root, base_map, meta["schema"]).filter(keep).withColumn(
+                _BUCKET, _bucket_expr(meta["key"], n_buckets)
+            ).write.mode("overwrite").partitionBy(_BUCKET).parquet(
+                os.path.join(root, ver)
+            )
+        new_map = {b: rel for b, rel in manifest.items() if b not in set(touched)}
+        new_map.update(_written_buckets(root, ver))  # survivors only; empty dropped
+        _write_manifest(root, ver, new_map)
+    else:
+        base = read_current(spark, root)
+        base.filter(keep).write.mode("errorifexists").parquet(
+            os.path.join(root, ver, "data")
+        )
+        _write_manifest(root, ver, {"*": f"{ver}/data"})
     _flip(root, ver)
     return ver

@@ -393,7 +393,12 @@ def streaming_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from mongraph_spark.sources import merge as merge_store
 
-    root = os.path.join(tempfile.gettempdir(), "mg_stream_merge_store")
+    # app-id-namespaced root: concurrent sessions (gate + bench) must not
+    # race on one store dir (same isolation as store_snapshot_diff)
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"mg_stream_merge_store_{spark.sparkContext.applicationId}",
+    )
     shutil.rmtree(root, ignore_errors=True)
 
     ev = events_stream(spark, sf_dir)

@@ -120,3 +120,18 @@ def test_lpa_final_state_matches_oracle_shape(spark):
     )
     assert all(r.community in nodes for r in rows)
     assert sum(r.n_members for r in rows) <= len(nodes)
+
+
+def test_winnowing_md5_runs_once_per_gram(spark):
+    """The md5 gram transform must sit BEHIND the eager localCheckpoint
+    barrier — zero md5 in the returned plan (the window pass reads
+    materialized gram arrays).  If CollapseProject ever re-inlines the
+    transform into the window lambda (the r4 O(n²) scale bug), md5
+    reappears here and this pin fails before the bench does (VERDICT r4 #4)."""
+    from mongraph_spark.queries.text import text_winnowing
+
+    p = _executed_plan(text_winnowing(spark, SF))
+    assert "md5" not in p.lower(), p
+    # and the window pass itself is still present, reading the checkpoint
+    assert "array_min" in p, p
+    assert "Scan ExistingRDD" in p or "LocalTableScan" in p, p

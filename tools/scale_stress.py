@@ -83,6 +83,8 @@ def build_stress_dir(spark: SparkSession, sf_dir: str, repl_docs: int, repl_vecs
         os.path.join(STRESS_DIR, "documents.parquet")
     )
 
+    if repl_vecs <= 0:
+        return
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     vec_replicas = []
     for i in range(repl_vecs):
@@ -133,25 +135,53 @@ def measure(name: str, fn) -> dict:
     return rec
 
 
+def _registry() -> dict:
+    """Stressable queries: name -> (callable, needs_embeddings)."""
+    from mongraph_spark.queries.corpus import common_token_ratio
+    from mongraph_spark.queries.pipeline import dedup_clusters
+    from mongraph_spark.queries.search import text_tfidf_topterms
+    from mongraph_spark.queries.similarity import ann_ivf
+    from mongraph_spark.queries.text import text_collocations, text_winnowing
+
+    return {
+        "dedup_clusters": (dedup_clusters, False),
+        "ann_ivf": (ann_ivf, True),
+        "text_winnowing": (text_winnowing, False),
+        "text_tfidf_topterms": (text_tfidf_topterms, False),
+        "text_collocations": (text_collocations, False),
+        "corpus_common_token_ratio": (common_token_ratio, False),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--repl-docs", type=int, default=64)
     ap.add_argument("--repl-vecs", type=int, default=256)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument(
+        "--queries",
+        default="dedup_clusters,ann_ivf",
+        help="comma-separated subset of: " + ",".join(_registry()),
+    )
     args = ap.parse_args()
+
+    reg = _registry()
+    picked = [q.strip() for q in args.queries.split(",") if q.strip()]
+    unknown = [q for q in picked if q not in reg]
+    if unknown:
+        raise SystemExit(f"unknown queries: {unknown}; known: {list(reg)}")
+    # embeddings replication is the expensive half of the build — skip it
+    # when no picked query reads the embeddings table
+    repl_vecs = args.repl_vecs if any(reg[q][1] for q in picked) else 0
 
     spark = stress_session()
     spark.sparkContext.setLogLevel("WARN")
     t0 = time.perf_counter()
-    build_stress_dir(spark, args.sf_dir, args.repl_docs, args.repl_vecs)
+    build_stress_dir(spark, args.sf_dir, args.repl_docs, repl_vecs)
     print(f"STRESS build {time.perf_counter() - t0:.1f}s", flush=True)
 
-    from mongraph_spark.queries.pipeline import dedup_clusters
-    from mongraph_spark.queries.similarity import ann_ivf
-
     results = [
-        measure("dedup_clusters", lambda: dedup_clusters(spark, STRESS_DIR)),
-        measure("ann_ivf", lambda: ann_ivf(spark, STRESS_DIR)),
+        measure(name, lambda fn=reg[name][0]: fn(spark, STRESS_DIR)) for name in picked
     ]
     print(
         "STRESS_SUMMARY "
