@@ -38,6 +38,7 @@ from mongraph_spark.queries import graph_analytics as graph_analytics_queries  #
 from mongraph_spark.queries import multimodal as multimodal_queries  # noqa: E402
 from mongraph_spark.queries import pipeline as pipeline_queries  # noqa: E402
 from mongraph_spark.queries import corpus as corpus_queries  # noqa: E402
+from mongraph_spark.queries import quality as quality_queries  # noqa: E402
 from mongraph_spark.streaming import events as streaming_events  # noqa: E402
 
 _SUITES = [
@@ -53,6 +54,7 @@ _SUITES = [
     multimodal_queries,
     pipeline_queries,
     corpus_queries,
+    quality_queries,
     streaming_events,
 ]
 

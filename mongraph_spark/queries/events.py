@@ -839,6 +839,68 @@ GROUP BY change_type
 """
 
 
+# -- Markov transition matrix over per-user event sequences ---------------------------
+
+
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types: for each user's
+    time-ordered event sequence, count (from_type → to_type) steps and turn
+    them into row-normalized transition probabilities — the "what happens
+    next" model behind next-event prediction, anomaly scoring (improbable
+    transitions), and session simulation.
+
+    Plan shape: ONE shuffle keyed on ``user_id`` for the ``lead`` window
+    (sequences are built inside each user's partition — no global sort), then
+    the transition groupBy, which combines map-side because the key space is
+    |event_types|² (tiny).  Per-row-type totals ride a second window over the
+    already-aggregated matrix (≤ |types|² rows), not the raw events.  At
+    100 TB: the only scan-sized shuffle is the sequence window; skewed users
+    are bounded by per-user event counts, and the output is O(|types|²)
+    regardless of input size.  Probabilities are emitted in basis points
+    (floor) so batch/oracle replays hash identically.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(seq).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    row_tot = Window.partitionBy("from_type")
+    return steps.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.floor(
+            F.lit(10000) * F.col("n_transitions") / F.sum("n_transitions").over(row_tot)
+        )
+        .cast("bigint")
+        .alias("p_bp"),
+    )
+
+
+ORACLE_MARKOV = """
+WITH steps AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+mat AS (
+  SELECT from_type, to_type, count(*) AS n_transitions
+  FROM steps WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n_transitions,
+       CAST(floor(10000 * n_transitions /
+                  sum(n_transitions) OVER (PARTITION BY from_type)) AS BIGINT) AS p_bp
+FROM mat
+"""
+
+
 QUERIES = {
     "events_tumbling_window": events_tumbling_window,
     "events_funnel": events_funnel,
@@ -856,6 +918,7 @@ QUERIES = {
     "events_heavy_hitters": events_heavy_hitters,
     "store_snapshot_diff": store_snapshot_diff,
     "events_ohlc_bars": events_ohlc_bars,
+    "events_markov_transitions": events_markov_transitions,
 }
 
 ORACLES = {
@@ -875,4 +938,5 @@ ORACLES = {
     "events_heavy_hitters": ORACLE_HEAVY_HITTERS,
     "store_snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "events_ohlc_bars": ORACLE_OHLC,
+    "events_markov_transitions": ORACLE_MARKOV,
 }

@@ -1022,6 +1022,104 @@ FROM {prev} GROUP BY label HAVING count(*) >= 2""",
 ORACLE_LPA = _lpa_oracle()
 
 
+# -- HITS hubs & authorities (bipartite customer → supplier) --------------------------
+
+HITS_TOPK = 20
+
+
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg hubs-and-authorities) on the customer→supplier
+    bipartite purchase graph: a customer is a good HUB if it buys from good
+    suppliers; a supplier a good AUTHORITY if good hubs buy from it.
+
+    Exactness-by-construction: HITS is linear (auth = AᵀA·…·h₀), so
+    per-round L2 normalization only rescales — the RANKING after k sweeps
+    is identical without it.  We therefore iterate UNNORMALIZED: h₀ = 1 and
+    every subsequent score is an integer sum of integer scores, i.e. the
+    whole computation stays in exact BIGINT arithmetic — no float, no
+    engine-dependent summation order, no basis-point flooring needed (cf.
+    the module's float policy for pagerank, which damps with 0.85 and so
+    cannot use this trick).  Two full sweeps + a final authority half-sweep;
+    magnitudes grow by ~(avg degree)² per sweep, ~1e12 at 100 TB degrees —
+    still far inside int64.
+
+    Scale shape: each half-sweep is ONE shuffle keyed on the edge endpoint
+    (contributions = scores ⋈ edges, grouped by the other endpoint), the
+    same join-based Pregel posture as :func:`graph_pagerank`, driven
+    through :func:`mongraph_spark.pregel.iterate` for bounded lineage.
+    Output: top-20 hubs and top-20 authorities (exact scores, ties broken
+    on key)."""
+    orders = tpch.read_table(spark, sf_dir, "orders")
+    lineitem = tpch.read_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(
+            lineitem, orders["o_orderkey"] == lineitem["l_orderkey"], "inner"
+        )
+        .select(
+            F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst")
+        )
+        .distinct()
+    )
+
+    def full_sweep(hubs: DataFrame) -> DataFrame:
+        auth = (
+            hubs.join(edges, hubs["node_id"] == edges["src"])
+            .groupBy(F.col("dst").alias("node_id"))
+            .agg(F.sum("score").alias("score"))
+        )
+        return (
+            auth.join(edges, auth["node_id"] == edges["dst"])
+            .groupBy(F.col("src").alias("node_id"))
+            .agg(F.sum("score").alias("score"))
+        )
+
+    h0 = edges.select("src").distinct().select(
+        F.col("src").alias("node_id"), F.lit(1).cast("bigint").alias("score")
+    )
+    hubs, _ = pregel.iterate(h0, full_sweep, max_rounds=2, checkpoint_every=2)
+    auth_final = (
+        hubs.join(edges, hubs["node_id"] == edges["src"])
+        .groupBy(F.col("dst").alias("node_id"))
+        .agg(F.sum("score").alias("score"))
+    )
+
+    def topk(df: DataFrame, role: str) -> DataFrame:
+        return (
+            df.orderBy(F.desc("score"), "node_id")
+            .limit(HITS_TOPK)
+            .select(
+                F.lit(role).alias("role"),
+                F.col("node_id").cast("bigint").alias("node_key"),
+                F.col("score").cast("bigint").alias("score"),
+            )
+        )
+
+    return topk(hubs, "hub").unionByName(topk(auth_final, "auth"))
+
+
+def _hits_oracle() -> str:
+    return f"""
+WITH e AS (
+  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src, CAST(l_suppkey AS BIGINT) AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+h0 AS (SELECT DISTINCT src AS node_id, CAST(1 AS BIGINT) AS score FROM e),
+a1 AS (SELECT e.dst AS node_id, sum(h.score) AS score FROM h0 h JOIN e ON h.node_id = e.src GROUP BY e.dst),
+h1 AS (SELECT e.src AS node_id, sum(a.score) AS score FROM a1 a JOIN e ON a.node_id = e.dst GROUP BY e.src),
+a2 AS (SELECT e.dst AS node_id, sum(h.score) AS score FROM h1 h JOIN e ON h.node_id = e.src GROUP BY e.dst),
+h2 AS (SELECT e.src AS node_id, sum(a.score) AS score FROM a2 a JOIN e ON a.node_id = e.dst GROUP BY e.src),
+a3 AS (SELECT e.dst AS node_id, sum(h.score) AS score FROM h2 h JOIN e ON h.node_id = e.src GROUP BY e.dst)
+SELECT 'hub' AS role, node_id AS node_key, CAST(score AS BIGINT) AS score
+FROM (SELECT * FROM h2 ORDER BY score DESC, node_id LIMIT {HITS_TOPK})
+UNION ALL
+SELECT 'auth' AS role, node_id AS node_key, CAST(score AS BIGINT) AS score
+FROM (SELECT * FROM a3 ORDER BY score DESC, node_id LIMIT {HITS_TOPK})
+"""
+
+
+ORACLE_HITS = _hits_oracle()
+
+
 QUERIES = {
     # degree_distribution + copurchase_pairs ride the merged
     # graph_degree_copurchase row (functions kept for internal callers)
@@ -1037,6 +1135,7 @@ QUERIES = {
     "graph_triangle_count": graph_triangle_count,
     "graph_label_propagation": graph_label_propagation,
     "graph_association_rules": graph_association_rules,
+    "graph_hits": graph_hits,
 }
 
 ORACLES = {
@@ -1056,4 +1155,5 @@ ORACLES = {
     "graph_node_similarity": ORACLE_NODE_SIMILARITY,
     "graph_label_propagation": ORACLE_LPA,
     "graph_association_rules": ORACLE_ASSOC,
+    "graph_hits": ORACLE_HITS,
 }

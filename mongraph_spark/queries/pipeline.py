@@ -729,6 +729,120 @@ GROUP BY 1, 2
 """
 
 
+# -- weighted sampling without replacement (Efraimidis-Spirakis A-ES) ----------------
+
+WSAMPLE_K = 100  # docs kept per source
+
+
+def pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k per source, by the
+    Efraimidis-Spirakis A-ES key trick: each doc draws a deterministic
+    uniform u ∈ (0,1) (md5-derived — same lineage argument as
+    :func:`sample_and_split`: a pure function of the row, stable under
+    repartitioning and across engines, unlike ``rand(seed)``) and scores
+    ``key = ln(u) / w`` with weight w = n_chars; the k LARGEST keys per
+    group are exactly a weighted sample without replacement (Efraimidis &
+    Spirakis 2006, via the Gumbel-max equivalence).
+
+    Plan shape: map-only key computation, then ONE window shuffle keyed on
+    ``source`` for the per-group top-k — identical posture to
+    :func:`pipeline_source_cap`.  At 100 TB this is the standard way to
+    draw quality-weighted subcorpora: no global sort, no rejection loop,
+    no resampling pass; heavily-weighted docs are more likely kept but
+    every doc has nonzero probability.  Ties (impossible in practice with
+    64-bit uniforms) break on doc_id for replay stability."""
+    docs = read_table(spark, sf_dir, "documents")
+    u = (_doc_hash() + F.lit(0.5)) / F.lit(float(HASH_SPACE))
+    key = F.log(u) / F.col("n_chars")  # n_chars >= 1 in this corpus
+    w = Window.partitionBy("source").orderBy(F.desc("es_key"), "doc_id")
+    return (
+        docs.select("source", "doc_id", "n_chars", key.alias("es_key"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= WSAMPLE_K)
+        .select(
+            "source",
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+ORACLE_WSAMPLE = f"""
+SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars, CAST(rank AS INT) AS rank
+FROM (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY es_key DESC, doc_id) AS rank
+  FROM (
+    SELECT source, doc_id, n_chars,
+           ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5)
+              / {float(HASH_SPACE)}) / n_chars AS es_key
+    FROM documents
+  )
+)
+WHERE rank <= {WSAMPLE_K}
+"""
+
+
+# -- cross-source score calibration (quantile normalization) -------------------------
+
+
+def pipeline_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of a per-doc score ACROSS heterogeneous
+    sources — the fix for "source A's quality scorer is systematically
+    harsher than source B's": map each doc's within-source percent-rank
+    onto the GLOBAL score distribution, so a doc at its source's median
+    gets the corpus-median score regardless of the source's own scale.
+
+    Two-piece plan, both scale-clean: (1) the global calibration curve is
+    ONE exact-percentile aggregation over the pooled scores (101-point
+    grid, a single reduce to one row, then posexplode to a 101-row dim —
+    at 100 TB swap ``percentile`` for ``approx_percentile`` and keep the
+    shape); (2) docs get their within-source percent_rank from one window
+    shuffle keyed on ``source``, snap to the nearest grid point
+    (explicit half-up floor so both engines round identically), and
+    broadcast-join the 101-row curve.  Output is the bounded
+    (source × grid-point) histogram of calibrated scores."""
+    docs = read_table(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    fracs = [i / 100.0 for i in range(101)]
+    grid = (
+        docs.agg(
+            F.percentile("n_chars", F.array(*[F.lit(x) for x in fracs])).alias("qs")
+        )
+        .select(F.posexplode("qs").alias("grid_idx", "cal_score_raw"))
+        .select("grid_idx", F.round("cal_score_raw", 2).alias("cal_score"))
+    )
+    w = Window.partitionBy("source").orderBy("n_chars")
+    ranked = docs.select(
+        "source",
+        F.floor(F.percent_rank().over(w) * 100 + F.lit(0.5))
+        .cast("int")
+        .alias("grid_idx"),
+    )
+    return (
+        ranked.join(F.broadcast(grid), "grid_idx")
+        .groupBy("source", "grid_idx", "cal_score")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+ORACLE_CALIBRATION = """
+WITH grid AS (
+  SELECT unnest(generate_series(0, 100)) AS grid_idx,
+         unnest(quantile_cont(n_chars, [x / 100.0 FOR x IN generate_series(0, 100)])) AS cal_score_raw
+  FROM documents
+),
+ranked AS (
+  SELECT source,
+         CAST(floor(percent_rank() OVER (PARTITION BY source ORDER BY n_chars) * 100 + 0.5) AS INT) AS grid_idx
+  FROM documents
+)
+SELECT r.source, r.grid_idx, round(g.cal_score_raw, 2) AS cal_score, count(*) AS n_docs
+FROM ranked r JOIN grid g ON r.grid_idx = g.grid_idx
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "dedup_clusters": dedup_clusters,
     "sample_and_split": sample_and_split,
@@ -741,6 +855,8 @@ QUERIES = {
     "pipeline_training_order": pipeline_training_order,
     "pipeline_chunk_overlap": pipeline_chunk_overlap,
     "pipeline_dataset_card": pipeline_dataset_card,
+    "pipeline_weighted_sample": pipeline_weighted_sample,
+    "pipeline_score_calibration": pipeline_score_calibration,
 }
 
 ORACLES = {
@@ -753,4 +869,6 @@ ORACLES = {
     "pipeline_training_order": ORACLE_TRAINING_ORDER,
     "pipeline_chunk_overlap": ORACLE_CHUNK_OVERLAP,
     "pipeline_dataset_card": ORACLE_DATASET_CARD,
+    "pipeline_weighted_sample": ORACLE_WSAMPLE,
+    "pipeline_score_calibration": ORACLE_CALIBRATION,
 }
