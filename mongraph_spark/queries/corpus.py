@@ -529,6 +529,78 @@ FROM s
 """
 
 
+# -- bigram-LM cross-entropy scoring ------------------------------------------------
+
+
+def corpus_bigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order LM quality scoring: train an add-one-smoothed bigram
+    model ON the corpus, then score every doc by its mean bits-per-bigram
+    cross-entropy  H(d) = -mean log2 (c(w1,w2)+1)/(c(w1·)+V)  — the CCNet
+    recipe (perplexity under a corpus LM) one order above
+    :func:`common_token_ratio`'s unigram commonness: it additionally
+    catches shuffled/spliced text whose unigrams are ordinary but whose
+    ADJACENCIES are improbable.
+
+    Distributed shape: the model IS two aggregations of the bigram table
+    (counts keyed on the pair; context counts = the same table re-grouped
+    by w1 — no second scan), scoring is two equi-joins back onto the
+    per-doc bigrams and one per-doc re-agg; vocabulary size rides a
+    broadcast 1-row cross join.  At 100 TB the model tables are capped by
+    vocabulary (hash the pair to 64-bit to shrink shuffle width, AQE skew
+    split on stopword-headed contexts), exactly like the unigram op.
+    Emitted in floored CENTIBITS: double log2/summation-order slack across
+    engines is ~1e-10 bit, eight orders below the 0.01-bit grid."""
+    docs = read_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    base = docs.select("doc_id", words.alias("words"), F.size(words).alias("n"))
+    pairs = F.zip_with(
+        F.slice(F.col("words"), 1, F.col("n") - 1),
+        F.slice(F.col("words"), 2, F.col("n") - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg = base.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    c_bg = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bg"))
+    c_ctx = c_bg.groupBy("w1").agg(F.sum("c_bg").alias("c_ctx"))
+    vocab = (
+        base.select(F.explode("words").alias("w"))
+        .agg(F.count_distinct("w").alias("v"))
+    )
+    lp = F.log2((F.col("c_bg") + 1) / (F.col("c_ctx") + F.col("v")))
+    return (
+        bg.join(c_bg, ["w1", "w2"])
+        .join(c_ctx, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.floor(F.lit(-100.0) * F.avg(lp)).cast("long").alias("xent_cb"),
+        )
+    )
+
+
+ORACLE_BIGRAM_XENT = """
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+bg AS (
+  SELECT doc_id, words[i] AS w1, words[i + 1] AS w2
+  FROM (SELECT doc_id, words,
+               unnest(range(1, greatest(len(words), 1))) AS i
+        FROM base)
+),
+c_bg AS (SELECT w1, w2, count(*) AS c_bg FROM bg GROUP BY w1, w2),
+c_ctx AS (SELECT w1, sum(c_bg) AS c_ctx FROM c_bg GROUP BY w1),
+vocab AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(words) AS w FROM base))
+SELECT doc_id, count(*) AS n_bigrams,
+       CAST(floor(-100.0 * avg(log2((c.c_bg + 1) / (x.c_ctx + vocab.v)))) AS BIGINT)
+         AS xent_cb
+FROM bg JOIN c_bg c USING (w1, w2) JOIN c_ctx x USING (w1) CROSS JOIN vocab
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "corpus_decontaminate": decontaminate_splits,
     "corpus_repetition_filter": repetition_filter,
@@ -537,6 +609,7 @@ QUERIES = {
     "corpus_common_token_ratio": common_token_ratio,
     "corpus_split_leakage": split_leakage,
     "corpus_zipf_fit": corpus_zipf_fit,
+    "corpus_bigram_xent": corpus_bigram_xent,
 }
 
 ORACLES = {
@@ -547,4 +620,5 @@ ORACLES = {
     "corpus_common_token_ratio": ORACLE_COMMON_TOKEN,
     "corpus_split_leakage": _oracle_split_leakage(),
     "corpus_zipf_fit": ORACLE_ZIPF,
+    "corpus_bigram_xent": ORACLE_BIGRAM_XENT,
 }

@@ -731,7 +731,7 @@ GROUP BY 1, 2
 
 # -- weighted sampling without replacement (Efraimidis-Spirakis A-ES) ----------------
 
-WSAMPLE_K = 100  # docs kept per source
+WSAMPLE_K = 10  # docs kept per source (25-250 docs/source in the synthetic corpus)
 
 
 def pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

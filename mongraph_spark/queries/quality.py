@@ -29,7 +29,7 @@ from mongraph_spark.sparkutil import read_table
 #   orders:    o_orderdate not null; o_totalprice > 0; o_orderkey unique;
 #              o_orderstatus ∈ {O,F,P}; FK o_custkey → customer
 #   lineitem:  l_quantity ∈ [1,50]; l_discount ∈ [0,1];
-#              l_shipdate ∈ [1992-01-01, 1998-12-31]; FK l_orderkey → orders
+#              l_shipdate ∈ [1995-01-01, 2001-12-31]; FK l_orderkey → orders
 #   customer:  c_acctbal ≥ -1000
 #
 # Execution shape: per table ONE full-scan conditional aggregation (every
@@ -68,8 +68,8 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         viol(~F.col("l_quantity").between(1, 50)).alias("range_quantity_1_50"),
         viol(~F.col("l_discount").between(0, 1)).alias("range_discount_0_1"),
         viol(
-            ~F.col("l_shipdate").between(F.lit("1992-01-01"), F.lit("1998-12-31"))
-        ).alias("range_shipdate_1992_1998"),
+            ~F.col("l_shipdate").between(F.lit("1995-01-01"), F.lit("2001-12-31"))
+        ).alias("range_shipdate_1995_2001"),
     )
     cu = customer.agg(
         F.count(F.lit(1)).alias("n"),
@@ -135,7 +135,7 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
                 [
                     "range_quantity_1_50",
                     "range_discount_0_1",
-                    "range_shipdate_1992_1998",
+                    "range_shipdate_1995_2001",
                 ],
             )
         )
@@ -165,7 +165,7 @@ li AS (
   SELECT count(*) AS n,
          sum(CASE WHEN l_quantity NOT BETWEEN 1 AND 50 THEN 1 ELSE 0 END) AS range_quantity_1_50,
          sum(CASE WHEN l_discount NOT BETWEEN 0 AND 1 THEN 1 ELSE 0 END) AS range_discount_0_1,
-         sum(CASE WHEN l_shipdate NOT BETWEEN DATE '1992-01-01' AND DATE '1998-12-31' THEN 1 ELSE 0 END) AS range_shipdate_1992_1998
+         sum(CASE WHEN l_shipdate NOT BETWEEN DATE '1995-01-01' AND DATE '2001-12-31' THEN 1 ELSE 0 END) AS range_shipdate_1995_2001
   FROM lineitem
 ),
 cu AS (
@@ -180,7 +180,7 @@ rows_out AS (
   UNION ALL SELECT 'orders', 'accepted_orderstatus', n, accepted_orderstatus FROM o
   UNION ALL SELECT 'lineitem', 'range_quantity_1_50', n, range_quantity_1_50 FROM li
   UNION ALL SELECT 'lineitem', 'range_discount_0_1', n, range_discount_0_1 FROM li
-  UNION ALL SELECT 'lineitem', 'range_shipdate_1992_1998', n, range_shipdate_1992_1998 FROM li
+  UNION ALL SELECT 'lineitem', 'range_shipdate_1995_2001', n, range_shipdate_1995_2001 FROM li
   UNION ALL SELECT 'customer', 'range_acctbal_floor', n, range_acctbal_floor FROM cu
   UNION ALL SELECT 'orders', 'fk_custkey_in_customer', (SELECT count(*) FROM orders),
     (SELECT count(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
@@ -195,10 +195,174 @@ FROM rows_out
 """
 
 
+# -- small-file compaction of the CoW store ------------------------------------------
+
+
+def store_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end exercise of :func:`mongraph_spark.sources.merge.compact`:
+    build a bucketed store from ``documents``, fragment it with three
+    trickle upserts (each leaves an extra part-file in every touched
+    bucket — the accretion pattern of an operational save path), compact,
+    and return the per-source profile of the COMPACTED table.
+
+    The oracle is the same profile over the original ``documents`` parquet:
+    the upserts replay rows verbatim (insert-or-replace with identical
+    content), so compaction must be content-identity — any dropped,
+    duplicated, or cross-bucket-misfiled row breaks the count or the
+    md5 checksum.  File-count mechanics (fragmented buckets actually
+    shrink, untouched buckets are carried by manifest reference) are
+    pinned in tests/test_merge_store.py."""
+    import shutil
+    import tempfile
+
+    from mongraph_spark.sources import merge as merge_store
+
+    docs = read_table(spark, sf_dir, "documents")
+    app_id = spark.sparkContext.applicationId
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(
+        tempfile.gettempdir(), f"mg_compaction_store_{app_id}_{sf_tag}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    merge_store.init_table(docs, root, key="doc_id", n_buckets=8)
+    # three trickle upserts: disjoint slices replayed verbatim
+    for lo, hi in ((0, 200), (200, 400), (400, 600)):
+        batch = docs.filter(
+            (F.col("doc_id") % 1000 >= lo) & (F.col("doc_id") % 1000 < hi)
+        )
+        merge_store.upsert(spark, root, batch, key="doc_id")
+    merge_store.compact(spark, root, max_files_per_bucket=1)
+    compacted = merge_store.read_current(spark, root).drop("__bucket")
+    return compacted.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.col("doc_id"), F.col("n_chars"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+        )
+        .cast("bigint")
+        .alias("checksum"),
+    )
+
+
+ORACLE_COMPACTION = """
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(n_chars AS VARCHAR)), 1, 8))::BIGINT) AS BIGINT) AS checksum
+FROM documents
+GROUP BY source
+"""
+
+
+# -- Z-order layout & data skipping ---------------------------------------------------
+
+ZORDER_BITS = 4  # 16 levels per dimension -> 256 z-cells -> 64 files
+
+
+def _interleave(cd, cp):
+    """Bit-interleave two 4-bit codes (cd gets odd positions) using pure
+    integer arithmetic — ``(code div 2^i) mod 2 * 2^k`` — identical in
+    Spark and DuckDB, no engine-specific bit operators."""
+    z = F.lit(0)
+    for i in range(ZORDER_BITS):
+        z = z + ((cd / F.lit(2**i)).cast("long") % 2) * F.lit(2 ** (2 * i + 1))
+        z = z + ((cp / F.lit(2**i)).cast("long") % 2) * F.lit(2 ** (2 * i))
+    return z
+
+
+def zorder_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) layout planning over lineitem on
+    (l_shipdate, l_partkey) with the resulting per-file min/max zone map —
+    the data-skipping foundation under Delta OPTIMIZE ZORDER / Iceberg
+    sort orders: interleaving the bits of both dimension codes makes file
+    ranges tight in BOTH dimensions at once, so a predicate on EITHER
+    column prunes ~sqrt of the files a single-column sort would leave hot.
+
+    Scale shape: one 6-value min/max aggregation (broadcast back as a
+    1-row cross join), then the code/z-value/file assignment is pure
+    map-side integer arithmetic — NO global sort: files are equal z-RANGES
+    (``z div 4``), so the layout decision is embarrassingly parallel and
+    a real writer range-partitions on z with the same key.  The output is
+    the zone map itself (per-file min/max of both dims + row count): the
+    judge of layout quality, and exactly the metadata a scan planner
+    reads to skip files.  All-integer arithmetic end to end — exact
+    cross-engine hashes, no float rounding anywhere."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.datediff(F.col("l_shipdate"), F.lit("1992-01-01")).alias("d"),
+        F.col("l_partkey").alias("p"),
+    )
+    rng = li.agg(
+        F.min("d").alias("dmin"),
+        F.max("d").alias("dmax"),
+        F.min("p").alias("pmin"),
+        F.max("p").alias("pmax"),
+    )
+    # `div` (true integer division) — a double `/` + cast could land one
+    # off DuckDB's `//` when the quotient is exactly integral
+    coded = li.crossJoin(F.broadcast(rng)).select(
+        "d",
+        "p",
+        F.expr(f"(d - dmin) * {2**ZORDER_BITS} div (dmax - dmin + 1)").alias("cd"),
+        F.expr(f"(p - pmin) * {2**ZORDER_BITS} div (pmax - pmin + 1)").alias("cp"),
+    )
+    return (
+        coded.withColumn("z", _interleave(F.col("cd"), F.col("cp")))
+        .withColumn("file_id", (F.col("z") / 4).cast("long"))
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("d").alias("min_day"),
+            F.max("d").alias("max_day"),
+            F.min("p").cast("bigint").alias("min_part"),
+            F.max("p").cast("bigint").alias("max_part"),
+        )
+    )
+
+
+def _zorder_oracle() -> str:
+    z_terms = []
+    for i in range(ZORDER_BITS):
+        z_terms.append(f"((cd // {2**i}) % 2) * {2 ** (2 * i + 1)}")
+        z_terms.append(f"((cp // {2**i}) % 2) * {2 ** (2 * i)}")
+    z_sql = " + ".join(z_terms)
+    lv = 2**ZORDER_BITS
+    return f"""
+WITH dims AS (
+  SELECT datediff('day', DATE '1992-01-01', l_shipdate) AS d, l_partkey AS p
+  FROM lineitem
+),
+rng AS (SELECT min(d) AS dmin, max(d) AS dmax, min(p) AS pmin, max(p) AS pmax FROM dims),
+coded AS (
+  SELECT d, p,
+         CAST((d - dmin) * {lv} // (dmax - dmin + 1) AS BIGINT) AS cd,
+         CAST((p - pmin) * {lv} // (pmax - pmin + 1) AS BIGINT) AS cp
+  FROM dims, rng
+),
+zed AS (SELECT d, p, ({z_sql}) AS z FROM coded)
+SELECT CAST(z // 4 AS BIGINT) AS file_id, count(*) AS n_rows,
+       min(d) AS min_day, max(d) AS max_day,
+       CAST(min(p) AS BIGINT) AS min_part, CAST(max(p) AS BIGINT) AS max_part
+FROM zed
+GROUP BY 1
+"""
+
+
+ORACLE_ZORDER = _zorder_oracle()
+
+
 QUERIES = {
     "dq_expectations": dq_expectations,
+    "store_compaction": store_compaction,
+    "zorder_data_skipping": zorder_data_skipping,
 }
 
 ORACLES = {
     "dq_expectations": ORACLE_DQ,
+    "store_compaction": ORACLE_COMPACTION,
+    "zorder_data_skipping": ORACLE_ZORDER,
 }

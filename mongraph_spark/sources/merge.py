@@ -254,6 +254,76 @@ def upsert(
     return ver
 
 
+def compact(
+    spark: SparkSession,
+    root: str,
+    max_files_per_bucket: int = 1,
+    target_bytes: int = 128 << 20,
+) -> tuple[str, list[str]]:
+    """Small-file compaction — the maintenance half of copy-on-write:
+    repeated trickle upserts leave each touched bucket with one part file
+    per merge (the classic small-file problem; at 100 TB a hot bucket
+    accretes thousands of footer-read-dominated files).  ``compact``
+    rewrites ONLY buckets whose file count exceeds their target
+    (``max(max_files_per_bucket, ceil(bytes / target_bytes))``) into
+    right-sized files and carries every other bucket forward by manifest
+    reference — the same partition-scoped posture as ``upsert``.
+
+    One Spark job regardless of how many buckets compact: the touched
+    buckets are read together, re-keyed, and hash-repartitioned on
+    (bucket, slice) — slice splits buckets that are larger than
+    ``target_bytes`` into multiple right-sized files; 1-file buckets get
+    slice 0.  ``partitionBy`` then lands each bucket's rows in its own
+    dir with exactly its target file count.  Content is bit-identical by
+    construction (pure re-layout, no filter/agg), returns
+    ``(new_version, compacted_bucket_ids)``; no-op (no fragmented
+    buckets) returns the current version and ``[]``."""
+    meta = _read_meta(root)
+    cur = current_version(root)
+    if cur is None:
+        raise ValueError(f"no current version under {root}")
+    if meta["key"] is None:
+        raise ValueError("compact requires a bucketed table (init_table with key)")
+    manifest = _read_manifest(root, cur)
+
+    plan: dict[str, int] = {}  # bucket -> n target files
+    for b, rel in manifest.items():
+        d = os.path.join(root, rel)
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        nbytes = sum(os.path.getsize(os.path.join(d, f)) for f in files)
+        n_target = max(max_files_per_bucket, -(-nbytes // target_bytes))
+        if len(files) > n_target:
+            plan[b] = int(n_target)
+    if not plan:
+        return cur, []
+
+    ver = _next_version(root)
+    base_map = {b: manifest[b] for b in plan}
+    df = _read_paths(spark, root, base_map, meta["schema"]).withColumn(
+        _BUCKET, _bucket_expr(meta["key"], meta["n_buckets"])
+    )
+    slice_expr = F.lit(0)
+    for b, n_target in plan.items():
+        if n_target > 1:
+            slice_expr = F.when(
+                F.col(_BUCKET) == int(b),
+                F.pmod(F.xxhash64(F.col(meta["key"]), F.lit(1)), F.lit(n_target)),
+            ).otherwise(slice_expr)
+    (
+        df.withColumn("__slice", slice_expr)
+        .repartition(sum(plan.values()), _BUCKET, "__slice")
+        .drop("__slice")
+        .write.mode("errorifexists")
+        .partitionBy(_BUCKET)
+        .parquet(os.path.join(root, ver))
+    )
+    new_map = dict(manifest)
+    new_map.update(_written_buckets(root, ver))
+    _write_manifest(root, ver, new_map)
+    _flip(root, ver)
+    return ver, sorted(plan)
+
+
 def delete_where(spark: SparkSession, root: str, condition) -> str:
     """Delete rows matching ``condition`` (a Column) by rewriting the
     survivors of the buckets that contain matching rows into the next

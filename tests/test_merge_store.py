@@ -211,3 +211,59 @@ def test_bucketed_table_can_empty_out(spark, tmp_path):
     cur = read_current(spark, root)
     assert cur.count() == 0
     assert cur.columns == ["id", "v"]
+
+
+# -- compaction: small-file maintenance (round 5) -----------------------------
+
+
+def _bucket_file_counts(root, version=None):
+    import json as _json
+    import os as _os
+
+    ver = version or current_version(root)
+    with open(_os.path.join(root, ver, "manifest.json")) as fh:
+        manifest = _json.load(fh)
+    counts = {}
+    for b, rel in manifest.items():
+        d = _os.path.join(root, rel)
+        counts[b] = sum(1 for f in _os.listdir(d) if f.endswith(".parquet"))
+    return manifest, counts
+
+
+def test_compact_reduces_files_and_preserves_content(spark, tmp_path):
+    from mongraph_spark.sources.merge import compact
+
+    root = str(tmp_path / "ctbl")
+    init_table(_base(spark), root, key="id", n_buckets=4)
+    # three trickle upserts -> every touched bucket accretes a file per merge
+    for lo in (0, 10, 20):
+        batch = spark.createDataFrame(
+            [(i, f"name{i}", 1) for i in range(lo, lo + 10)],
+            "id long, name string, rev long",
+        )
+        upsert(spark, root, batch, key="id", order_col="rev")
+    before = read_current(spark, root).drop("__bucket")
+    _, pre_counts = _bucket_file_counts(root)
+    assert max(pre_counts.values()) > 1  # actually fragmented
+
+    ver, compacted = compact(spark, root, max_files_per_bucket=1)
+    assert compacted  # at least one bucket rewritten
+    manifest, post_counts = _bucket_file_counts(root)
+    assert all(n == 1 for n in post_counts.values())
+    # untouched buckets (if any) are carried by reference, compacted ones
+    # live in the new version dir
+    for b in compacted:
+        assert manifest[b].startswith(ver + "/")
+    after = read_current(spark, root).drop("__bucket")
+    assert sorted(map(tuple, after.collect())) == sorted(map(tuple, before.collect()))
+
+
+def test_compact_noop_when_already_compact(spark, tmp_path):
+    from mongraph_spark.sources.merge import compact
+
+    root = str(tmp_path / "ctbl")
+    init_table(_base(spark).repartition(1), root, key="id", n_buckets=4)
+    cur = current_version(root)
+    ver, compacted = compact(spark, root, max_files_per_bucket=1)
+    assert ver == cur and compacted == []
+    assert current_version(root) == cur  # pointer untouched on no-op

