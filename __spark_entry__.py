@@ -84,20 +84,22 @@ CORE_ORDER = [
     # — new round-5 operators (never driver-verified by construction) —
     "scd2_bitemporal_asknown",
     "corpus_zipf_fit",
+    "events_markov_transitions",
+    "dq_expectations",
+    "pipeline_weighted_sample",
+    "pipeline_score_calibration",
+    "graph_hits",
+    "store_compaction",
+    "zorder_data_skipping",
+    "corpus_bigram_xent",
     # — re-proof slots: one green row per operator family (reference surface
     #   G/M/populate/predicates, dedup, ANN, events, streaming, text, corpus,
     #   multimodal, pipeline, relational, graph analytics, store).  All were
-    #   driver-green in r4 (CORRECTNESS_r04.json); kept as insurance against
-    #   window off-by-ones.  New round-5 operators take slots from the TOP of
-    #   this group as they land.
-    "graph_association_rules",
-    "graph_degree_copurchase",
-    "events_funnel",
-    "events_retention_cohorts",
-    "corpus_source_overlap",
-    "text_winnowing",
-    "text_tfidf_topterms",
-    "profile_orders",
+    #   driver-green in r3/r4 (CORRECTNESS files); kept as insurance against
+    #   window off-by-ones.  New round-5 operators took 8 slots from the TOP
+    #   of this group (association_rules, degree_copurchase, funnel,
+    #   retention_cohorts, source_overlap, winnowing, tfidf_topterms,
+    #   profile_orders → all moved to extended, still strict-gate green).
     "pipeline_training_order",
     "pipeline_chunk_overlap",
     "dedup_passages",

@@ -335,6 +335,91 @@ FROM grid g LEFT JOIN actual a ON g.hour = a.hour AND g.event_type = a.event_typ
 """
 
 
+# -- EWMA smoothing over the gap-filled hourly series ---------------------------------
+
+EWMA_TAPS = 6  # trailing buckets; half-life = 1 bucket (weight 2^(TAPS-1-k))
+
+
+def events_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of hourly event counts per
+    type — the smoothing pass monitoring pipelines run before alerting so
+    a single noisy bucket doesn't page anyone.  Computed over the
+    GAP-FILLED series (missing hours count as 0 — skipping gaps would
+    silently stretch the decay horizon), which makes ``lag(k)`` exactly
+    "k hours ago".
+
+    Integer-exact EWMA: a true recursive EWMA is a sequential scan, but a
+    6-tap truncated kernel with power-of-two weights (2^5..2^0 — >98% of
+    the infinite mass at half-life 1) is just Σ lag_k·2^(TAPS-1-k), an
+    integer expression over window lags; the divisor sums only the taps
+    that exist (series warm-up), and the result is emitted ×10000 via
+    integer floor-div.  One window shuffle keyed on event_type over the
+    grid (hours × types — tiny relative to the raw stream at any scale;
+    the only scan-sized work is the hourly rollup it reuses)."""
+    grid = events_gapfill_hourly(spark, sf_dir).select(
+        "hour", "event_type", "n_events"
+    )
+    w = Window.partitionBy("event_type").orderBy("hour")
+    num = sum(
+        (
+            F.coalesce(F.lag("n_events", k).over(w), F.lit(0))
+            * F.lit(2 ** (EWMA_TAPS - 1 - k))
+        )
+        for k in range(EWMA_TAPS)
+    )
+    den = sum(
+        (
+            F.lag("n_events", k).over(w).isNotNull().cast("long")
+            * F.lit(2 ** (EWMA_TAPS - 1 - k))
+        )
+        for k in range(EWMA_TAPS)
+    )
+    return grid.select(
+        "hour",
+        "event_type",
+        "n_events",
+        (10000 * num).alias("num"),
+        den.alias("den"),
+    ).select(
+        "hour",
+        "event_type",
+        "n_events",
+        F.expr("num div den").cast("bigint").alias("ewma_x10k"),
+    )
+
+
+def _ewma_oracle() -> str:
+    num = " + ".join(
+        f"coalesce(lag(n_events, {k}) OVER w, 0) * {2 ** (EWMA_TAPS - 1 - k)}"
+        for k in range(EWMA_TAPS)
+    )
+    den = " + ".join(
+        f"CAST(lag(n_events, {k}) OVER w IS NOT NULL AS BIGINT) * {2 ** (EWMA_TAPS - 1 - k)}"
+        for k in range(EWMA_TAPS)
+    )
+    return f"""
+WITH actual AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events
+  FROM events GROUP BY 1, 2
+), spine AS (
+  SELECT unnest(generate_series(date_trunc('hour', (SELECT min(ts) FROM events)),
+                                date_trunc('hour', (SELECT max(ts) FROM events)),
+                                INTERVAL 1 HOUR)) AS hour
+), grid AS (
+  SELECT s.hour, t.event_type, coalesce(a.n_events, 0) AS n_events
+  FROM spine s CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+  LEFT JOIN actual a ON s.hour = a.hour AND t.event_type = a.event_type
+)
+SELECT hour, event_type, n_events,
+       CAST((10000 * ({num})) // ({den}) AS BIGINT) AS ewma_x10k
+FROM grid
+WINDOW w AS (PARTITION BY event_type ORDER BY hour)
+"""
+
+
+ORACLE_EWMA = _ewma_oracle()
+
+
 # -- min/max chart downsampling ---------------------------------------------------
 
 
@@ -839,6 +924,90 @@ GROUP BY change_type
 """
 
 
+# -- multi-touch attribution with exponential time decay ------------------------------
+
+ATTR_WINDOW_H = 24  # touches within 24h before the purchase get credit
+
+
+def events_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch time-decay attribution — the generalization of
+    :func:`events_asof_attribution`'s last-touch model: every non-purchase
+    touch in the 24 h before a purchase gets credit ∝ 2^(-Δhours), shares
+    normalized per purchase, then rolled up per touch type.
+
+    All-integer exactness: decay uses DISCRETE hour buckets, so the weight
+    is the integer 2^(23-Δh), the per-purchase normalizer is an integer
+    sum, and each touch's share is integer-floor basis points — no float
+    anywhere, engine-identical by construction.
+
+    Scale shape: ONE equi-join keyed on user_id with the range predicate
+    on top (same never-cartesian posture as ``interval_overlap_orders``;
+    per-user fan-out is bounded by touches-per-24h), one window keyed on
+    the purchase id for the normalizer, one tiny rollup.  At 100 TB the
+    join shuffles both sides once on user_id and everything downstream is
+    combiner-friendly."""
+    ev = read_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    touches = ev.filter(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_type").alias("touch_type"),
+        us.alias("t_us"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        us.alias("p_us"),
+    )
+    dh = F.expr(f"(p_us - t_us) div {3600 * 1_000_000}")
+    joined = (
+        purchases.join(touches, purchases["p_user"] == touches["t_user"])
+        .filter((F.col("t_us") <= F.col("p_us")) & (dh < ATTR_WINDOW_H))
+        .select(
+            "purchase_id",
+            "touch_type",
+            F.pow(F.lit(2.0), (F.lit(ATTR_WINDOW_H - 1) - dh))
+            .cast("long")
+            .alias("w"),
+        )
+    )
+    norm = Window.partitionBy("purchase_id")
+    credited = joined.select(
+        "touch_type",
+        F.expr("10000 * w").alias("w4"),
+        F.sum("w").over(norm).alias("total_w"),
+    ).select("touch_type", F.expr("w4 div total_w").alias("credit_bp"))
+    return credited.groupBy("touch_type").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.sum("credit_bp").cast("bigint").alias("total_credit_bp"),
+    )
+
+
+ORACLE_MULTITOUCH = f"""
+WITH touches AS (
+  SELECT user_id AS t_user, event_type AS touch_type, epoch_us(ts) AS t_us
+  FROM events WHERE event_type != 'purchase'
+),
+purchases AS (
+  SELECT user_id AS p_user, event_id AS purchase_id, epoch_us(ts) AS p_us
+  FROM events WHERE event_type = 'purchase'
+),
+joined AS (
+  SELECT purchase_id, touch_type,
+         CAST(2 ** ({ATTR_WINDOW_H - 1} - (p_us - t_us) // {3600 * 1_000_000}) AS BIGINT) AS w
+  FROM purchases JOIN touches ON p_user = t_user
+  WHERE t_us <= p_us AND (p_us - t_us) // {3600 * 1_000_000} < {ATTR_WINDOW_H}
+),
+credited AS (
+  SELECT touch_type,
+         (10000 * w) // sum(w) OVER (PARTITION BY purchase_id) AS credit_bp
+  FROM joined
+)
+SELECT touch_type, count(*) AS n_touches,
+       CAST(sum(credit_bp) AS BIGINT) AS total_credit_bp
+FROM credited GROUP BY touch_type
+"""
+
+
 # -- Markov transition matrix over per-user event sequences ---------------------------
 
 
@@ -919,6 +1088,8 @@ QUERIES = {
     "store_snapshot_diff": store_snapshot_diff,
     "events_ohlc_bars": events_ohlc_bars,
     "events_markov_transitions": events_markov_transitions,
+    "events_multitouch_attribution": events_multitouch_attribution,
+    "events_ewma_hourly": events_ewma_hourly,
 }
 
 ORACLES = {
@@ -939,4 +1110,6 @@ ORACLES = {
     "store_snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "events_ohlc_bars": ORACLE_OHLC,
     "events_markov_transitions": ORACLE_MARKOV,
+    "events_multitouch_attribution": ORACLE_MULTITOUCH,
+    "events_ewma_hourly": ORACLE_EWMA,
 }

@@ -1097,6 +1097,99 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk(hubs, "hub").unionByName(topk(auth_final, "auth"))
 
 
+CLOSENESS_K = 8  # landmark count
+CLOSENESS_HOPS = 4
+
+
+def graph_closeness_landmarks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark closeness — the scalable stand-in for all-pairs closeness
+    centrality: multi-source BFS from K=8 landmark suppliers over the
+    undirected customer↔supplier purchase graph, reporting each landmark's
+    reach and total distance within 4 hops (the landmark-distance sketch
+    of Potamias et al.; exact closeness needs N BFS runs, landmarks need
+    K).  Reach/sum-of-distances stay INTEGERS — no float normalization,
+    engine-exact.
+
+    Scale shape: the frontier state is (landmark, node, dist) ≤ K·N rows;
+    each hop is ONE shuffle (state ⋈ adjacency grouped by the far
+    endpoint, min-dist combiner), driven through
+    :func:`mongraph_spark.pregel.iterate` for bounded lineage — identical
+    posture to connected components, ×K landmarks carried in the key.
+    Node ids are parity-encoded (2c / 2s+1) so the two key spaces can't
+    collide."""
+    orders = tpch.read_table(spark, sf_dir, "orders")
+    lineitem = tpch.read_table(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).cast("long").alias("c"),
+            (F.col("l_suppkey") * 2 + 1).cast("long").alias("s"),
+        )
+        .distinct()
+    )
+    adj = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    landmarks = (
+        pairs.select("s").distinct().orderBy("s").limit(CLOSENESS_K)
+        .select(F.col("s").alias("lm"))
+    )
+    state0 = landmarks.select(
+        "lm", F.col("lm").alias("node_id"), F.lit(0).cast("int").alias("dist")
+    )
+
+    def hop(state):
+        expanded = (
+            state.join(adj, state["node_id"] == adj["src"])
+            .select("lm", F.col("dst").alias("node_id"), (F.col("dist") + 1).alias("dist"))
+        )
+        return (
+            state.unionByName(expanded)
+            .groupBy("lm", "node_id")
+            .agg(F.min("dist").alias("dist"))
+        )
+
+    state, _ = pregel.iterate(
+        state0, hop, max_rounds=CLOSENESS_HOPS, checkpoint_every=2
+    )
+    return state.groupBy("lm").agg(
+        F.count(F.lit(1)).alias("n_reached"),
+        F.sum("dist").cast("bigint").alias("sum_dist"),
+    )
+
+
+def _closeness_oracle() -> str:
+    body = f"""
+pairs AS (
+  SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS c,
+                  CAST(l_suppkey * 2 + 1 AS BIGINT) AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+adj AS (SELECT c AS src, s AS dst FROM pairs UNION ALL SELECT s, c FROM pairs),
+landmarks AS (SELECT DISTINCT s AS lm FROM pairs ORDER BY s LIMIT {CLOSENESS_K}),
+d0 AS (SELECT lm, lm AS node_id, 0 AS dist FROM landmarks)"""
+    prev = "d0"
+    for k in range(1, CLOSENESS_HOPS + 1):
+        body += f""",
+d{k} AS (
+  SELECT lm, node_id, min(dist) AS dist FROM (
+    SELECT lm, node_id, dist FROM {prev}
+    UNION ALL
+    SELECT p.lm, a.dst AS node_id, p.dist + 1 AS dist
+    FROM {prev} p JOIN adj a ON p.node_id = a.src
+  ) GROUP BY lm, node_id
+)"""
+        prev = f"d{k}"
+    return f"""
+WITH {body.lstrip()}
+SELECT lm, count(*) AS n_reached, CAST(sum(dist) AS BIGINT) AS sum_dist
+FROM {prev} GROUP BY lm
+"""
+
+
+ORACLE_CLOSENESS = _closeness_oracle()
+
+
 def _hits_oracle() -> str:
     return f"""
 WITH e AS (
@@ -1136,6 +1229,7 @@ QUERIES = {
     "graph_label_propagation": graph_label_propagation,
     "graph_association_rules": graph_association_rules,
     "graph_hits": graph_hits,
+    "graph_closeness_landmarks": graph_closeness_landmarks,
 }
 
 ORACLES = {
@@ -1156,4 +1250,5 @@ ORACLES = {
     "graph_label_propagation": ORACLE_LPA,
     "graph_association_rules": ORACLE_ASSOC,
     "graph_hits": ORACLE_HITS,
+    "graph_closeness_landmarks": ORACLE_CLOSENESS,
 }

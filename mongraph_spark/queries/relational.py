@@ -1598,8 +1598,82 @@ SELECT * FROM asv UNION ALL SELECT * FROM latestv
 """
 
 
+# -- robust outlier detection: median / MAD -------------------------------------------
+
+MAD_CONSISTENCY = 1.4826  # normal-consistency constant
+MAD_CUTOFF = 3.5  # Iglewicz-Hoaglin modified-z threshold
+
+
+def stats_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier detection by median absolute deviation —
+    the screening rule that survives the very outliers it hunts (mean/σ
+    z-scores are dragged by the tail they're meant to flag; the
+    median/MAD modified z-score |x−med| > 3.5·1.4826·MAD is the
+    Iglewicz-Hoaglin recommendation).
+
+    Two exact-percentile aggregations keyed on the group (median, then
+    median of residuals — the second NEEDS the first, so two passes is
+    the true data dependency, not a plan artifact), each a broadcast
+    1-row-per-group rejoin; the flag count is a conditional agg on the
+    second pass.  At 100 TB swap ``percentile`` for ``approx_percentile``
+    per the module's percentile policy and keep the shape."""
+    orders = read_table(spark, sf_dir, "orders")
+    med = orders.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("med")
+    )
+    resid = orders.join(F.broadcast(med), "o_orderpriority").select(
+        "o_orderpriority",
+        "med",
+        F.abs(F.col("o_totalprice") - F.col("med")).alias("r"),
+    )
+    mad = resid.groupBy("o_orderpriority").agg(
+        F.percentile("r", F.lit(0.5)).alias("mad")
+    )
+    return (
+        resid.join(F.broadcast(mad), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.first("med"), 2).alias("median_price"),
+            F.round(F.first("mad"), 2).alias("mad_price"),
+            F.sum(
+                (
+                    F.col("r")
+                    > F.lit(MAD_CUTOFF) * F.lit(MAD_CONSISTENCY) * F.col("mad")
+                ).cast("long")
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )
+
+
+ORACLE_MAD = f"""
+WITH med AS (
+  SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS med
+  FROM orders GROUP BY o_orderpriority
+),
+resid AS (
+  SELECT o.o_orderpriority, m.med, abs(o.o_totalprice - m.med) AS r
+  FROM orders o JOIN med m USING (o_orderpriority)
+),
+mad AS (
+  SELECT o_orderpriority, quantile_cont(r, 0.5) AS mad
+  FROM resid GROUP BY o_orderpriority
+)
+SELECT r.o_orderpriority, count(*) AS n_orders,
+       round(any_value(r.med), 2) AS median_price,
+       round(any_value(d.mad), 2) AS mad_price,
+       CAST(sum(CASE WHEN r.r > {MAD_CUTOFF} * {MAD_CONSISTENCY} * d.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM resid r JOIN mad d USING (o_orderpriority)
+GROUP BY r.o_orderpriority
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "stats_mad_outliers": stats_mad_outliers,
     "unpivot_lineitem_measures": unpivot_lineitem_measures,
     "profile_orders": profile_orders,
     "skew_profile": skew_profile,
@@ -1672,4 +1746,5 @@ ORACLES = {
     "scd2_bitemporal_asknown": ORACLE_BITEMPORAL,
     "window_customer_deciles": ORACLE_DECILES,
     "salted_revenue_by_priority": ORACLE_SALTED,
+    "stats_mad_outliers": ORACLE_MAD,
 }

@@ -177,3 +177,82 @@ def test_bigram_xent_bounds_and_coverage(spark):
     for r in rows:
         assert r.n_bigrams >= 1
         assert 0 <= r.xent_cb <= max_cb  # -log2 p <= log2(c_ctx + V)
+
+
+# -- multi-touch attribution --------------------------------------------------
+
+
+def test_multitouch_credit_conserved_per_purchase(spark):
+    from mongraph_spark.queries.events import events_multitouch_attribution
+
+    rows = events_multitouch_attribution(spark, SF).collect()
+    assert rows
+    assert all(r.touch_type != "purchase" for r in rows)
+    # every credited purchase distributes at most 10000 bp (floor loss only):
+    # total credit across types <= 10000 * (#purchases with >=1 touch)
+    ev = read_table(spark, SF, "events")
+    n_p = ev.filter(F.col("event_type") == "purchase").count()
+    total = sum(r.total_credit_bp for r in rows)
+    assert 0 < total <= 10000 * n_p
+
+
+# -- landmark closeness -------------------------------------------------------
+
+
+def test_closeness_landmarks_reach_and_bounds(spark):
+    from mongraph_spark.queries.graph_analytics import (
+        CLOSENESS_HOPS,
+        CLOSENESS_K,
+        graph_closeness_landmarks,
+    )
+
+    rows = graph_closeness_landmarks(spark, SF).collect()
+    n_supp = read_table(spark, SF, "supplier").count()
+    assert len(rows) == min(CLOSENESS_K, n_supp)
+    n_cust = read_table(spark, SF, "customer").count()
+    for r in rows:
+        assert r.lm % 2 == 1  # landmarks are suppliers (odd encoding)
+        assert 1 <= r.n_reached <= n_cust + n_supp
+        # max dist within the hop bound
+        assert 0 <= r.sum_dist <= r.n_reached * CLOSENESS_HOPS
+
+
+# -- MAD outliers -------------------------------------------------------------
+
+
+def test_mad_outliers_bounded_and_robust(spark):
+    from mongraph_spark.queries.relational import stats_mad_outliers
+
+    rows = stats_mad_outliers(spark, SF).collect()
+    assert len(rows) == 5  # one per priority class
+    for r in rows:
+        assert r.mad_price >= 0
+        assert 0 <= r.n_outliers < r.n_orders * 0.1  # robust rule flags a tail
+
+
+# -- EWMA ---------------------------------------------------------------------
+
+
+def test_ewma_warmup_and_bounds(spark):
+    from mongraph_spark.queries.events import EWMA_TAPS, events_ewma_hourly
+
+    df = events_ewma_hourly(spark, SF)
+    rows = sorted(df.collect(), key=lambda r: (r.event_type, r.hour))
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    full_weight = 2**EWMA_TAPS - 1  # 63 once warm
+    for series in by_type.values():
+        counts = [r.n_events for r in series]
+        for i, r in enumerate(series):
+            window = counts[max(0, i - EWMA_TAPS + 1) : i + 1]
+            assert min(window) * 10000 <= r.ewma_x10k <= max(window) * 10000
+        # after warm-up the smoothed value of a constant series equals it
+        assert len(series) > EWMA_TAPS
+    # spot-check: warm rows with constant trailing window are exact
+    for series in by_type.values():
+        counts = [r.n_events for r in series]
+        for i in range(EWMA_TAPS, len(series)):
+            if len(set(counts[i - EWMA_TAPS + 1 : i + 1])) == 1:
+                assert series[i].ewma_x10k == counts[i] * 10000
+                break
