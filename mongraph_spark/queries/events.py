@@ -924,6 +924,92 @@ GROUP BY change_type
 """
 
 
+# -- session journey paths (top path prefixes) ---------------------------------------
+
+PATH_LEN = 3  # first k event types define the journey prefix
+
+
+def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey mining: the frequency table of session-opening paths
+    (first 3 event types per 30-min session, `a>b>c`) — what funnels are
+    fit FROM: unlike :func:`events_funnel`'s fixed step list, this
+    discovers which orderings actually occur.
+
+    Determinism note: the path is built by POSITION PIVOT — one
+    ``min(when(rn=k, type))`` per slot + null-skipping concat_ws — not
+    ``collect_list``, whose intra-group order is partitioning-dependent
+    (the classic Spark nondeterminism trap; pinned here because the
+    oracle hash would catch any drift).  Shape: the same single user-keyed
+    window shuffle as sessionization (flag → running sum → session key),
+    one (user, session) re-agg, then a tiny path rollup — output is
+    bounded by |types|^k."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    with_id = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > SESSION_GAP_MIN * 60), 1).otherwise(0),
+    ).withColumn(
+        "session_seq",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    w2 = Window.partitionBy("user_id", "session_seq").orderBy("ts", "event_id")
+    slots = [
+        F.min(
+            F.when(F.col("rn") == k, F.col("event_type"))
+        ).alias(f"p{k}")
+        for k in range(1, PATH_LEN + 1)
+    ]
+    per_session = (
+        with_id.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= PATH_LEN)
+        .groupBy("user_id", "session_seq")
+        .agg(*slots)
+    )
+    return (
+        per_session.select(
+            F.concat_ws(">", *[F.col(f"p{k}") for k in range(1, PATH_LEN + 1)]).alias(
+                "path"
+            )
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )
+
+
+ORACLE_SESSION_PATHS = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > {SESSION_GAP_MIN * 60}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, event_id, ts, event_type,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+),
+ranked AS (
+  SELECT user_id, session_seq, event_type,
+         row_number() OVER (PARTITION BY user_id, session_seq
+                            ORDER BY ts, event_id) AS rn
+  FROM numbered
+),
+per_session AS (
+  SELECT user_id, session_seq,
+         {", ".join(f"min(CASE WHEN rn = {k} THEN event_type END) AS p{k}" for k in range(1, PATH_LEN + 1))}
+  FROM ranked WHERE rn <= {PATH_LEN}
+  GROUP BY user_id, session_seq
+)
+SELECT concat_ws('>', {", ".join(f"p{k}" for k in range(1, PATH_LEN + 1))}) AS path,
+       count(*) AS n_sessions
+FROM per_session GROUP BY path
+"""
+
+
 # -- multi-touch attribution with exponential time decay ------------------------------
 
 ATTR_WINDOW_H = 24  # touches within 24h before the purchase get credit
@@ -1090,6 +1176,7 @@ QUERIES = {
     "events_markov_transitions": events_markov_transitions,
     "events_multitouch_attribution": events_multitouch_attribution,
     "events_ewma_hourly": events_ewma_hourly,
+    "events_session_paths": events_session_paths,
 }
 
 ORACLES = {
@@ -1112,4 +1199,5 @@ ORACLES = {
     "events_markov_transitions": ORACLE_MARKOV,
     "events_multitouch_attribution": ORACLE_MULTITOUCH,
     "events_ewma_hourly": ORACLE_EWMA,
+    "events_session_paths": ORACLE_SESSION_PATHS,
 }

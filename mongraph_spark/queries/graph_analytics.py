@@ -1051,6 +1051,9 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     on key)."""
     orders = tpch.read_table(spark, sf_dir, "orders")
     lineitem = tpch.read_table(spark, sf_dir, "lineitem")
+    # materialize the edge list ONCE: every half-sweep references it twice
+    # and the loop runs several jobs — without the barrier each job would
+    # replay the orders⋈lineitem distinct (the dominant shuffle)
     edges = (
         orders.join(
             lineitem, orders["o_orderkey"] == lineitem["l_orderkey"], "inner"
@@ -1059,6 +1062,7 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst")
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
 
     def full_sweep(hubs: DataFrame) -> DataFrame:
@@ -1126,6 +1130,8 @@ def graph_closeness_landmarks(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_suppkey") * 2 + 1).cast("long").alias("s"),
         )
         .distinct()
+        # materialized once: the adjacency is referenced by every BFS hop
+        .localCheckpoint(eager=True)
     )
     adj = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))

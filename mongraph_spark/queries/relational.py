@@ -1598,6 +1598,183 @@ SELECT * FROM asv UNION ALL SELECT * FROM latestv
 """
 
 
+# -- mergeable KMV synopses: daily build, weekly rollup -------------------------------
+
+KMV_ROLLUP_K = 256
+
+
+def sketch_kmv_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGE half of the KMV sketch story (:func:`sketch_kmv_distinct_parts`
+    covers the estimator): per-day K-minimum-values synopses of distinct
+    event users, merged into WEEKLY distinct estimates by pooling the
+    daily minima and re-taking the K smallest — correct because any of
+    the week's K global minima is necessarily among its own day's K
+    minima.  This is how warehouses answer "distinct users any week,
+    any rollup" without re-scanning events: build synopses once at the
+    finest grain, merge upward for free.
+
+    Shape: one shuffle to build daily pools (day-keyed row_number over
+    distinct hashes), one K·|days|-row shuffle to merge weekly — the
+    second pass touches SYNOPSES, not events.  The exact comparison join
+    is the evidence column, not part of the production shape."""
+    ev = read_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    hashed = (
+        ev.select(day, F.md5(F.col("user_id").cast("string")).alias("h"))
+        .distinct()
+    )
+    wd = Window.partitionBy("day").orderBy("h")
+    daily = (
+        hashed.withColumn("rk", F.row_number().over(wd))
+        .filter(F.col("rk") <= KMV_ROLLUP_K)
+        .select("day", "h")
+    )
+    week = F.date_trunc("week", F.col("day")).alias("week")
+    ww = Window.partitionBy("week").orderBy("h")
+    merged = (
+        daily.select(week, "h")
+        .distinct()
+        .withColumn("rk", F.row_number().over(ww))
+        .filter(F.col("rk") <= KMV_ROLLUP_K)
+    )
+    frac = F.conv(F.substring(F.max("h"), 1, 15), 16, 10).cast("double") / F.lit(
+        float(16**15)
+    )
+    est = merged.groupBy("week").agg(
+        F.count(F.lit(1)).alias("k_used"),
+        F.when(F.count(F.lit(1)) < KMV_ROLLUP_K, F.count(F.lit(1)))
+        .otherwise(F.floor(F.lit(KMV_ROLLUP_K - 1) / frac))
+        .cast("long")
+        .alias("kmv_estimate"),
+    )
+    exact = ev.groupBy(F.date_trunc("week", F.col("ts")).alias("week")).agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, "week")
+
+
+ORACLE_KMV_ROLLUP = f"""
+WITH hashed AS (
+  SELECT DISTINCT date_trunc('day', ts) AS day, md5(CAST(user_id AS VARCHAR)) AS h
+  FROM events
+),
+daily AS (
+  SELECT day, h FROM (
+    SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rk FROM hashed
+  ) WHERE rk <= {KMV_ROLLUP_K}
+),
+merged AS (
+  SELECT week, h FROM (
+    SELECT week, h, row_number() OVER (PARTITION BY week ORDER BY h) AS rk
+    FROM (SELECT DISTINCT date_trunc('week', day) AS week, h FROM daily)
+  ) WHERE rk <= {KMV_ROLLUP_K}
+),
+est AS (
+  SELECT week, count(*) AS k_used,
+         CAST(CASE WHEN count(*) < {KMV_ROLLUP_K} THEN count(*)
+              ELSE floor(({KMV_ROLLUP_K} - 1) /
+                (CAST(('0x' || substr(max(h), 1, 15)) AS UBIGINT) / {float(16**15)}))
+              END AS BIGINT) AS kmv_estimate
+  FROM merged GROUP BY week
+)
+SELECT e.week, e.k_used, e.kmv_estimate, x.exact_distinct
+FROM est e JOIN (
+  SELECT date_trunc('week', ts) AS week, count(DISTINCT user_id) AS exact_distinct
+  FROM events GROUP BY 1
+) x ON e.week = x.week
+"""
+
+
+# -- Poisson-bootstrap confidence intervals -------------------------------------------
+
+BOOT_B = 32  # bootstrap replicas
+# Poisson(1) inverse-CDF thresholds (fixed 5-decimal constants so both
+# engines branch identically); tail collapsed at 4+
+_POIS_CDF = [0.36788, 0.73576, 0.91970, 0.98101, 0.99634]
+
+
+def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard error of the per-priority mean order value by the POISSON
+    BOOTSTRAP — the bootstrap that actually distributes: classical
+    resampling needs N draws from the full dataset per replica (a global
+    operation), but Binomial(N, 1/N) → Poisson(1), so each ROW draws its
+    own per-replica weight independently — map-only, streaming-friendly,
+    embarrassingly parallel (the Google "bag of little bootstraps" family's
+    workhorse).
+
+    Determinism: the replica weight is Poisson(1) by inverse-CDF over an
+    md5-derived uniform per (row, replica) — fixed decimal thresholds, no
+    rng state, stable under repartitioning (same lineage argument as the
+    pipeline sampling ops).  Plan: explode ×B (map-side), ONE shuffle to
+    (group, replica) means, a tiny second agg over B replica means per
+    group.  Point estimate and the replica-spread SE are floored to cents
+    ×100 — double summation-order slack ~1e-10 sits far below the grid."""
+    orders = read_table(spark, sf_dir, "orders")
+    rep = orders.select(
+        "o_orderpriority",
+        "o_orderkey",
+        "o_totalprice",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("o_orderkey"), F.col("b"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(float(1 << 32))
+    )
+    w = F.lit(len(_POIS_CDF))
+    for k in range(len(_POIS_CDF) - 1, -1, -1):
+        w = F.when(u < _POIS_CDF[k], F.lit(k)).otherwise(w)
+    per_rep = (
+        rep.withColumn("w", w)
+        .groupBy("o_orderpriority", "b")
+        .agg(
+            (F.sum(F.col("w") * F.col("o_totalprice")) / F.sum("w")).alias("mean_b")
+        )
+    )
+    return per_rep.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_replicas"),
+        F.floor(100 * F.avg("mean_b")).cast("long").alias("boot_mean_c"),
+        F.floor(100 * F.stddev_samp("mean_b")).cast("long").alias("boot_se_c"),
+    )
+
+
+def _bootstrap_oracle() -> str:
+    branches = "".join(
+        f"WHEN u < {_POIS_CDF[k]} THEN {k} "
+        for k in range(len(_POIS_CDF))
+    )
+    return f"""
+WITH rep AS (
+  SELECT o_orderpriority, o_totalprice,
+         ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 8))::BIGINT
+           / {float(1 << 32)} AS u,
+         b
+  FROM orders, (SELECT unnest(range({BOOT_B})) AS b)
+),
+weighted AS (
+  SELECT o_orderpriority, b, o_totalprice,
+         CASE {branches}ELSE {len(_POIS_CDF)} END AS w
+  FROM rep
+),
+per_rep AS (
+  SELECT o_orderpriority, b, sum(w * o_totalprice) / sum(w) AS mean_b
+  FROM weighted GROUP BY o_orderpriority, b
+)
+SELECT o_orderpriority, count(*) AS n_replicas,
+       CAST(floor(100 * avg(mean_b)) AS BIGINT) AS boot_mean_c,
+       CAST(floor(100 * stddev_samp(mean_b)) AS BIGINT) AS boot_se_c
+FROM per_rep GROUP BY o_orderpriority
+"""
+
+
+ORACLE_BOOTSTRAP = _bootstrap_oracle()
+
+
 # -- robust outlier detection: median / MAD -------------------------------------------
 
 MAD_CONSISTENCY = 1.4826  # normal-consistency constant
@@ -1674,6 +1851,8 @@ GROUP BY r.o_orderpriority
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "stats_mad_outliers": stats_mad_outliers,
+    "stats_bootstrap_ci": stats_bootstrap_ci,
+    "sketch_kmv_daily_rollup": sketch_kmv_daily_rollup,
     "unpivot_lineitem_measures": unpivot_lineitem_measures,
     "profile_orders": profile_orders,
     "skew_profile": skew_profile,
@@ -1747,4 +1926,6 @@ ORACLES = {
     "window_customer_deciles": ORACLE_DECILES,
     "salted_revenue_by_priority": ORACLE_SALTED,
     "stats_mad_outliers": ORACLE_MAD,
+    "stats_bootstrap_ci": ORACLE_BOOTSTRAP,
+    "sketch_kmv_daily_rollup": ORACLE_KMV_ROLLUP,
 }

@@ -78,9 +78,23 @@ def _flip(root: str, version: str) -> None:
     os.replace(tmp, os.path.join(root, _POINTER))  # atomic pointer swap
 
 
-def _write_meta(root: str, key: str | None, n_buckets: int | None, schema: T.StructType) -> None:
+def _write_meta(
+    root: str,
+    key: str | None,
+    n_buckets: int | None,
+    schema: T.StructType,
+    added: list[dict] | None = None,
+) -> None:
     with open(os.path.join(root, _META), "w") as fh:
-        json.dump({"key": key, "n_buckets": n_buckets, "schema": schema.json()}, fh)
+        json.dump(
+            {
+                "key": key,
+                "n_buckets": n_buckets,
+                "schema": schema.json(),
+                "added": added or [],
+            },
+            fh,
+        )
 
 
 def _read_meta(root: str) -> dict:
@@ -88,7 +102,7 @@ def _read_meta(root: str) -> dict:
         with open(os.path.join(root, _META)) as fh:
             return json.load(fh)
     except FileNotFoundError:  # pre-manifest table: legacy flat layout
-        return {"key": None, "n_buckets": None, "schema": None}
+        return {"key": None, "n_buckets": None, "schema": None, "added": []}
 
 
 def _write_manifest(root: str, ver: str, mapping: dict[str, str]) -> None:
@@ -118,13 +132,73 @@ def _written_buckets(root: str, ver: str) -> dict[str, str]:
     return out
 
 
-def _read_paths(spark: SparkSession, root: str, mapping: dict[str, str], schema_json: str | None) -> DataFrame:
+def _read_paths(
+    spark: SparkSession,
+    root: str,
+    mapping: dict[str, str],
+    schema_json: str | None,
+    added: list[dict] | None = None,
+) -> DataFrame:
+    """Read a manifest's files.  ``added`` (from table meta) carries
+    metadata-only ADD COLUMN facts: files written BEFORE a column's
+    ``added_in`` version lack it physically and read as the recorded
+    default; files written at-or-after read it normally (including
+    explicit NULLs) — the Delta/Iceberg schema-evolution contract with no
+    data rewrite."""
     paths = [os.path.join(root, rel) for rel in mapping.values()]
     if not paths:
         if schema_json is None:
             raise ValueError(f"empty table with no recorded schema under {root}")
         return spark.createDataFrame([], T.StructType.fromJson(json.loads(schema_json)))
-    return spark.read.parquet(*paths)
+    if not added:
+        return spark.read.parquet(*paths)
+    schema = T.StructType.fromJson(json.loads(schema_json))
+    ordered = [f.name for f in schema.fields]
+
+    def _ver_of(rel: str) -> int:
+        return int(rel.split("/", 1)[0].split("_")[1])
+
+    # one scan per distinct writer VERSION (bounded by version count, not
+    # file count): all files written by the same version share a physical
+    # schema, so they share one fill set
+    by_ver: dict[int, list[str]] = {}
+    for rel in mapping.values():
+        by_ver.setdefault(_ver_of(rel), []).append(os.path.join(root, rel))
+    out: DataFrame | None = None
+    for ver, ps in sorted(by_ver.items()):
+        part = spark.read.schema(schema).parquet(*ps)
+        for col in added:
+            if ver < col["added_in"]:
+                part = part.withColumn(
+                    col["name"],
+                    F.lit(col["default"]).cast(dict(part.dtypes)[col["name"]]),
+                )
+        part = part.select(*ordered)
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def add_column(root: str, name: str, dtype: str, default) -> None:
+    """Metadata-only ADD COLUMN (the Delta/Iceberg schema-evolution shape):
+    no file is touched — the column is recorded in table meta with the
+    version number at which it appears, and readers fill ``default`` for
+    every file written by an earlier version.  Subsequent ``upsert``
+    batches may omit the column (filled with the default) or carry it
+    (written physically, explicit NULLs preserved).  At 100 TB this is
+    the difference between an O(1) catalog update and rewriting the
+    table."""
+    meta = _read_meta(root)
+    if meta["schema"] is None:
+        raise ValueError(f"no table meta under {root}")
+    schema = T.StructType.fromJson(json.loads(meta["schema"]))
+    if name in schema.fieldNames():
+        raise ValueError(f"column {name!r} already exists")
+    schema = schema.add(name, dtype, True)
+    cur = current_version(root)
+    added_in = 0 if cur is None else int(cur.split("_")[1]) + 1
+    added = list(meta.get("added") or [])
+    added.append({"name": name, "added_in": added_in, "default": default})
+    _write_meta(root, meta["key"], meta["n_buckets"], schema, added)
 
 
 def read_version(spark: SparkSession, root: str, n: int) -> DataFrame:
@@ -134,14 +208,16 @@ def read_version(spark: SparkSession, root: str, n: int) -> DataFrame:
     safe concurrently with later upserts — the Delta/Iceberg ``VERSION AS
     OF`` shape."""
     ver = _version_name(n)
-    return _read_paths(spark, root, _read_manifest(root, ver), _read_meta(root)["schema"])
+    meta = _read_meta(root)
+    return _read_paths(spark, root, _read_manifest(root, ver), meta["schema"], meta.get("added"))
 
 
 def read_current(spark: SparkSession, root: str) -> DataFrame | None:
     ver = current_version(root)
     if ver is None:
         return None
-    return _read_paths(spark, root, _read_manifest(root, ver), _read_meta(root)["schema"])
+    meta = _read_meta(root)
+    return _read_paths(spark, root, _read_manifest(root, ver), meta["schema"], meta.get("added"))
 
 
 def init_table(
@@ -200,8 +276,19 @@ def upsert(
     ``key``); returns the new version name.  On a bucketed table only the
     buckets containing update keys are read, anti-joined, and rewritten —
     every other bucket is carried forward by manifest reference."""
-    deduped = _dedupe_updates(updates, key, order_col)
     meta = _read_meta(root)
+    # evolved columns a batch omits are filled with their recorded default
+    # (the write-side half of the add_column contract)
+    if meta.get("added") and meta["schema"]:
+        schema = T.StructType.fromJson(json.loads(meta["schema"]))
+        for col in meta["added"]:
+            if col["name"] not in updates.columns:
+                updates = updates.withColumn(
+                    col["name"],
+                    F.lit(col["default"]).cast(schema[col["name"]].dataType),
+                )
+        updates = updates.select(*[f.name for f in schema.fields])
+    deduped = _dedupe_updates(updates, key, order_col)
     cur = current_version(root)
     ver = _next_version(root)
 
@@ -218,7 +305,7 @@ def upsert(
         manifest = _read_manifest(root, cur) if cur is not None else {}
         base_map = {b: manifest[b] for b in touched if b in manifest}
         if base_map:
-            base = _read_paths(spark, root, base_map, meta["schema"])
+            base = _read_paths(spark, root, base_map, meta["schema"], meta.get("added"))
             keys = deduped.select(key)
             # The common case is a trickle of saves against a huge base,
             # where broadcasting the key set skips shuffling the base
@@ -299,7 +386,7 @@ def compact(
 
     ver = _next_version(root)
     base_map = {b: manifest[b] for b in plan}
-    df = _read_paths(spark, root, base_map, meta["schema"]).withColumn(
+    df = _read_paths(spark, root, base_map, meta["schema"], meta.get("added")).withColumn(
         _BUCKET, _bucket_expr(meta["key"], meta["n_buckets"])
     )
     slice_expr = F.lit(0)
@@ -342,7 +429,7 @@ def delete_where(spark: SparkSession, root: str, condition) -> str:
     if meta["key"] is not None:
         n_buckets = meta["n_buckets"]
         manifest = _read_manifest(root, cur)
-        full = _read_paths(spark, root, manifest, meta["schema"]).withColumn(
+        full = _read_paths(spark, root, manifest, meta["schema"], meta.get("added")).withColumn(
             _BUCKET, _bucket_expr(meta["key"], n_buckets)
         )
         # one pushdown-friendly scan to find which buckets hold doomed rows
@@ -353,7 +440,7 @@ def delete_where(spark: SparkSession, root: str, condition) -> str:
         base_map = {b: manifest[b] for b in touched if b in manifest}
         os.makedirs(os.path.join(root, ver), exist_ok=True)
         if base_map:
-            _read_paths(spark, root, base_map, meta["schema"]).filter(keep).withColumn(
+            _read_paths(spark, root, base_map, meta["schema"], meta.get("added")).filter(keep).withColumn(
                 _BUCKET, _bucket_expr(meta["key"], n_buckets)
             ).write.mode("overwrite").partitionBy(_BUCKET).parquet(
                 os.path.join(root, ver)

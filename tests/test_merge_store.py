@@ -267,3 +267,79 @@ def test_compact_noop_when_already_compact(spark, tmp_path):
     ver, compacted = compact(spark, root, max_files_per_bucket=1)
     assert ver == cur and compacted == []
     assert current_version(root) == cur  # pointer untouched on no-op
+
+
+# -- metadata-only schema evolution (round 5) ---------------------------------
+
+
+def test_add_column_is_metadata_only_and_readers_fill_default(spark, tmp_path):
+    import os as _os
+
+    from mongraph_spark.sources.merge import add_column
+
+    root = str(tmp_path / "etbl")
+    init_table(_base(spark), root, key="id", n_buckets=4)
+    files_before = {
+        d: sorted(_os.listdir(_os.path.join(root, "v_00000", d)))
+        for d in _os.listdir(_os.path.join(root, "v_00000"))
+        if d.startswith("__bucket=")
+    }
+    add_column(root, "quality", "double", 1.0)
+    # no data file was touched
+    files_after = {
+        d: sorted(_os.listdir(_os.path.join(root, "v_00000", d)))
+        for d in _os.listdir(_os.path.join(root, "v_00000"))
+        if d.startswith("__bucket=")
+    }
+    assert files_after == files_before
+    cur = read_current(spark, root)
+    assert "quality" in cur.columns
+    assert cur.filter(F.col("quality") == 1.0).count() == 100  # default fill
+
+
+def test_evolved_upsert_mixes_physical_and_default_values(spark, tmp_path):
+    from mongraph_spark.sources.merge import add_column
+
+    root = str(tmp_path / "etbl")
+    init_table(_base(spark), root, key="id", n_buckets=4)
+    add_column(root, "quality", "double", 1.0)
+    # batch WITH the column: explicit values (including one explicit NULL)
+    updates = spark.createDataFrame(
+        [(5, "five", 2, 0.25), (200, "new", 2, None)],
+        "id long, name string, rev long, quality double",
+    )
+    upsert(spark, root, updates, key="id", order_col="rev")
+    # batch WITHOUT the column: filled with the default
+    upsert(
+        spark,
+        root,
+        spark.createDataFrame([(300, "noq", 3)], "id long, name string, rev long"),
+        key="id",
+        order_col="rev",
+    )
+    cur = read_current(spark, root)
+    got = {r.id: r.quality for r in cur.filter(F.col("id").isin(5, 6, 200, 300)).collect()}
+    assert got[5] == 0.25          # explicit value
+    assert got[200] is None        # explicit NULL preserved (post-evolution file)
+    assert got[6] == 1.0           # pre-evolution row reads the default
+    assert got[300] == 1.0         # omitted column filled at write
+    assert cur.count() == 102
+
+
+def test_evolved_table_compaction_materializes_defaults(spark, tmp_path):
+    from mongraph_spark.sources.merge import add_column, compact
+
+    root = str(tmp_path / "etbl")
+    init_table(_base(spark), root, key="id", n_buckets=4)
+    add_column(root, "quality", "double", 1.0)
+    upsert(
+        spark,
+        root,
+        spark.createDataFrame([(1, "one", 2, 0.5)], "id long, name string, rev long, quality double"),
+        key="id",
+        order_col="rev",
+    )
+    before = sorted(map(tuple, read_current(spark, root).drop("__bucket").collect()))
+    compact(spark, root, max_files_per_bucket=1)
+    after = sorted(map(tuple, read_current(spark, root).drop("__bucket").collect()))
+    assert after == before

@@ -256,3 +256,76 @@ def test_ewma_warmup_and_bounds(spark):
             if len(set(counts[i - EWMA_TAPS + 1 : i + 1])) == 1:
                 assert series[i].ewma_x10k == counts[i] * 10000
                 break
+
+
+# -- session paths ------------------------------------------------------------
+
+
+def test_session_paths_conserve_sessions_and_avoid_collect_list(spark):
+    from mongraph_spark.queries.events import (
+        events_session_paths,
+        events_sessionization,
+    )
+
+    rows = events_session_paths(spark, SF).collect()
+    n_sessions = events_sessionization(spark, SF).count()
+    assert sum(r.n_sessions for r in rows) == n_sessions
+    types = {"click", "view", "purchase", "signup", "error"}
+    for r in rows:
+        parts = r.path.split(">")
+        assert 1 <= len(parts) <= 3
+        assert set(parts) <= types
+    # determinism: position pivot, not collect_list (order-dependent)
+    plan = _plan(events_session_paths(spark, SF))
+    assert "collect_list" not in plan
+
+
+# -- Poisson bootstrap --------------------------------------------------------
+
+
+def test_bootstrap_se_positive_and_near_clt(spark):
+    import math
+
+    from mongraph_spark.queries.relational import BOOT_B, stats_bootstrap_ci
+
+    rows = stats_bootstrap_ci(spark, SF).collect()
+    assert len(rows) == 5
+    orders = read_table(spark, SF, "orders")
+    stats = {
+        r.o_orderpriority: r
+        for r in orders.groupBy("o_orderpriority")
+        .agg(
+            F.avg("o_totalprice").alias("mu"),
+            F.stddev_samp("o_totalprice").alias("sd"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    for r in rows:
+        assert r.n_replicas == BOOT_B
+        s = stats[r.o_orderpriority]
+        # bootstrap mean within a few SEs of the true mean; SE within 3x CLT
+        clt_se = s.sd / math.sqrt(s.n)
+        assert abs(r.boot_mean_c / 100 - s.mu) < 5 * clt_se
+        assert 0 < r.boot_se_c / 100 < 3 * clt_se
+
+
+# -- KMV daily->weekly rollup -------------------------------------------------
+
+
+def test_kmv_rollup_merge_correctness(spark):
+    from mongraph_spark.queries.relational import (
+        KMV_ROLLUP_K,
+        sketch_kmv_daily_rollup,
+    )
+
+    rows = sketch_kmv_daily_rollup(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.k_used <= KMV_ROLLUP_K
+        if r.k_used < KMV_ROLLUP_K:
+            # unsaturated sketch degenerates to the exact count
+            assert r.kmv_estimate == r.exact_distinct
+        else:
+            # saturated: estimate within 30% (K=256 -> ~6% typical error)
+            assert abs(r.kmv_estimate - r.exact_distinct) < 0.3 * r.exact_distinct

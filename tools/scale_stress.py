@@ -60,6 +60,8 @@ def build_stress_dir(spark: SparkSession, sf_dir: str, repl_docs: int, repl_vecs
     shutil.rmtree(STRESS_DIR, ignore_errors=True)
     os.makedirs(STRESS_DIR, exist_ok=True)
 
+    if repl_docs <= 0:
+        return
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     replicas = []
     for i in range(repl_docs):
@@ -86,6 +88,41 @@ def build_stress_dir(spark: SparkSession, sf_dir: str, repl_docs: int, repl_vecs
     if repl_vecs <= 0:
         return
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    _build_vecs(spark, emb, repl_vecs)
+
+
+def build_stress_events(spark: SparkSession, sf_dir: str, repl_events: int) -> None:
+    """Replicate events repl_events× with shifted user/event ids (sequences
+    stay per-user bounded — the skew profile of a bigger fleet, not a
+    hotter user).  The source file is TIMESTAMP(NANOS); rewrite ts to
+    microsecond timestamps so the replica reads under any session."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ts_col = (
+        F.timestamp_micros(F.expr("ts div 1000"))
+        if dict(ev.dtypes)["ts"] == "bigint"
+        else F.col("ts")
+    )
+    replicas = []
+    for i in range(repl_events):
+        replicas.append(
+            ev.select(
+                (F.col("event_id") + F.lit(i * 1_000_000_000_000)).alias("event_id"),
+                ts_col.alias("ts"),
+                (F.col("user_id") + F.lit(i * 1_000_000_000)).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+        )
+    big = replicas[0]
+    for r in replicas[1:]:
+        big = big.unionByName(r)
+    big.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(STRESS_DIR, "events.parquet")
+    )
+
+
+def _build_vecs(spark: SparkSession, emb, repl_vecs: int) -> None:
     vec_replicas = []
     for i in range(repl_vecs):
         vec_replicas.append(
@@ -143,6 +180,12 @@ def _registry() -> dict:
     from mongraph_spark.queries.similarity import ann_ivf
     from mongraph_spark.queries.text import text_collocations, text_winnowing
 
+    from mongraph_spark.queries.corpus import corpus_bigram_xent
+    from mongraph_spark.queries.events import (
+        events_markov_transitions,
+        events_multitouch_attribution,
+    )
+
     return {
         "dedup_clusters": (dedup_clusters, False),
         "ann_ivf": (ann_ivf, True),
@@ -150,6 +193,10 @@ def _registry() -> dict:
         "text_tfidf_topterms": (text_tfidf_topterms, False),
         "text_collocations": (text_collocations, False),
         "corpus_common_token_ratio": (common_token_ratio, False),
+        "corpus_bigram_xent": (corpus_bigram_xent, False),
+        # events-backed (need --repl-events > 0)
+        "events_markov_transitions": (events_markov_transitions, False),
+        "events_multitouch_attribution": (events_multitouch_attribution, False),
     }
 
 
@@ -157,6 +204,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--repl-docs", type=int, default=64)
     ap.add_argument("--repl-vecs", type=int, default=256)
+    ap.add_argument("--repl-events", type=int, default=0)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument(
         "--queries",
@@ -178,6 +226,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
     t0 = time.perf_counter()
     build_stress_dir(spark, args.sf_dir, args.repl_docs, repl_vecs)
+    if args.repl_events > 0:
+        build_stress_events(spark, args.sf_dir, args.repl_events)
     print(f"STRESS build {time.perf_counter() - t0:.1f}s", flush=True)
 
     results = [
