@@ -22,7 +22,7 @@ import os
 import warnings
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -585,8 +585,91 @@ GROUP BY 1, 2
 """
 
 
+# -- streaming Markov transition counts (stateful, batch-equal twin) ------------------
+
+_MKV_STATE = "last_type STRING, last_us LONG, last_eid LONG"
+_MKV_OUT = "from_type STRING, to_type STRING, n LONG"
+
+
+def _transition_counts(key, pdf_iter, state: GroupState):
+    """Per-user transition counting with ONE event of state: the previous
+    (type, ts, event_id).  Each micro-batch sorts its own slice (micro-
+    batches are small; the stream source delivers batches in time order),
+    chains it onto the carried last event, and emits the batch's partial
+    (from,to) counts — the sink aggregates partials, so state stays O(1)
+    per user regardless of stream length."""
+    import collections
+
+    parts = [pdf for pdf in pdf_iter]
+    if not parts:
+        return
+    pdf = pd.concat(parts).sort_values(["us", "event_id"])
+    types = list(pdf["event_type"])
+    counts: collections.Counter = collections.Counter()
+    prev = state.get[0] if state.exists else None
+    for t in types:
+        if prev is not None:
+            counts[(prev, t)] += 1
+        prev = t
+    last = pdf.iloc[-1]
+    state.update((str(last["event_type"]), int(last["us"]), int(last["event_id"])))
+    if counts:
+        ks = list(counts)
+        yield pd.DataFrame(
+            {
+                "from_type": [k[0] for k in ks],
+                "to_type": [k[1] for k in ks],
+                "n": [counts[k] for k in ks],
+            }
+        )
+
+
+def streaming_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``events_markov_transitions``: the transition
+    matrix maintained INCREMENTALLY — per-user state is one event (the
+    last seen), each micro-batch emits partial pair counts, the sink
+    sums partials, and the row-normalized basis points are computed over
+    the final table.  The batch twin is the oracle: same matrix, same
+    floors (pinned in tests/test_streaming.py).
+
+    At scale this is the production shape for sequence models over
+    unbounded streams: O(1) state per key (vs the batch window's full
+    shuffle of history), partial counts combine associatively, and the
+    normalizing pass runs over the |types|² aggregate, never the stream."""
+    ev = events_stream(spark, sf_dir).withColumn(
+        "us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    counted = ev.groupBy("user_id").applyInPandasWithState(
+        _transition_counts,
+        outputStructType=_MKV_OUT,
+        stateStructType=_MKV_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    with _state_partitioning(spark, sf_dir):
+        out = run_to_table(counted, output_mode="append")
+    mat = out.groupBy("from_type", "to_type").agg(
+        F.sum("n").alias("n_transitions")
+    )
+    row_tot = Window.partitionBy("from_type")
+    return mat.select(
+        "from_type",
+        "to_type",
+        F.col("n_transitions").cast("bigint").alias("n_transitions"),
+        F.floor(
+            F.lit(10000) * F.col("n_transitions") / F.sum("n_transitions").over(row_tot)
+        )
+        .cast("bigint")
+        .alias("p_bp"),
+    )
+
+
+from mongraph_spark.queries.events import ORACLE_MARKOV as ORACLE_STREAM_MARKOV  # noqa: E402
+
+
 QUERIES = {
     "streaming_tumbling_window": streaming_tumbling_window,
+    "streaming_markov_transitions": streaming_markov_transitions,
     "streaming_sliding_window": streaming_sliding_window,
     "streaming_merge_upsert": streaming_merge_upsert,
     "streaming_click_purchase_join": streaming_click_purchase_join,
@@ -599,6 +682,7 @@ QUERIES = {
 
 ORACLES = {
     "streaming_threshold_anomaly": ORACLE_STREAM_ANOMALY,
+    "streaming_markov_transitions": ORACLE_STREAM_MARKOV,
     "streaming_click_purchase_outer": ORACLE_STREAM_OUTER,
     "streaming_tumbling_window": ORACLE_STREAM_TUMBLING,
     "streaming_sliding_window": ORACLE_STREAM_SLIDING,

@@ -49,3 +49,13 @@ def test_streaming_dedup_restores_exact_counts(spark):
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
     assert _sorted_rows(stream, "event_type") == _sorted_rows(batch, "event_type")
+
+
+def test_streaming_markov_equals_batch(spark):
+    from mongraph_spark.queries.events import events_markov_transitions
+    from mongraph_spark.streaming.events import streaming_markov_transitions
+
+    sf = "/root/testdata/sf0.001"
+    batch = sorted(map(tuple, events_markov_transitions(spark, sf).collect()))
+    stream = sorted(map(tuple, streaming_markov_transitions(spark, sf).collect()))
+    assert stream == batch
