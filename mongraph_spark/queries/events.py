@@ -924,6 +924,142 @@ GROUP BY change_type
 """
 
 
+# -- cumulative distinct users (first-seen trick) -------------------------------------
+
+
+def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active + CUMULATIVE distinct users — the growth-curve query
+    that's quadratic if written naively (running COUNT(DISTINCT) re-scans
+    all history per day).  The exact linear form: distinct-over-time =
+    running sum of FIRST APPEARANCES — one groupBy(user) min(day) pass,
+    a per-day count, and a running sum over the tiny day series (the
+    unbounded window runs over |days| rows, not events).
+
+    At 100 TB: two event-scan aggregations (user-keyed, then day-keyed,
+    both map-side combinable) and a driver-sized window — no state grows
+    with history, which is why warehouses precompute exactly this shape
+    for every retention dashboard."""
+    ev = read_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    daily_active = ev.groupBy(day).agg(F.count_distinct("user_id").alias("dau"))
+    first_seen = (
+        ev.groupBy("user_id")
+        .agg(F.min(F.date_trunc("day", F.col("ts"))).alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_new_users"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily_active.join(first_seen, "day", "left")
+        .select(
+            "day",
+            "dau",
+            F.coalesce("n_new_users", F.lit(0)).cast("bigint").alias("n_new_users"),
+        )
+        .withColumn(
+            "cumulative_users", F.sum("n_new_users").over(w).cast("bigint")
+        )
+    )
+
+
+ORACLE_CUMULATIVE_USERS = """
+WITH daily_active AS (
+  SELECT date_trunc('day', ts) AS day, count(DISTINCT user_id) AS dau
+  FROM events GROUP BY 1
+),
+first_seen AS (
+  SELECT day, count(*) AS n_new_users FROM (
+    SELECT user_id, min(date_trunc('day', ts)) AS day FROM events GROUP BY user_id
+  ) GROUP BY day
+)
+SELECT d.day, d.dau,
+       CAST(coalesce(f.n_new_users, 0) AS BIGINT) AS n_new_users,
+       CAST(sum(coalesce(f.n_new_users, 0))
+            OVER (ORDER BY d.day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_users
+FROM daily_active d LEFT JOIN first_seen f ON d.day = f.day
+"""
+
+
+# -- count-min sketch with exact verification -----------------------------------------
+
+CMS_D = 4  # hash rows
+CMS_W = 64  # counters per row
+
+
+def events_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over (user_id frequency), verified against exact
+    counts for the heavy-hitter users — the mergeable counter sketch that
+    answers point frequency queries in O(d) from O(d·w) space (Cormode &
+    Muthukrishnan), with the one-sided guarantee est ≥ exact that the
+    output exposes as evidence columns.
+
+    Build = ONE aggregation: explode each event into its d (row, col)
+    cells (col = md5(row:key) mod w — deterministic, engine-portable) and
+    count per cell; the sketch is d·w = 256 rows regardless of input.
+    Query = broadcast-join the candidate keys' d cells and take the MIN
+    per key.  Candidates come from :func:`events_heavy_hitters`'s exact
+    two-pass (so the comparison is itself exact).  At 100 TB the sketch
+    build is a combiner-friendly fixed-width aggregation — the shape
+    DDSketch/CMS sidecars use to answer per-key counts without a
+    per-key groupBy."""
+    ev = read_table(spark, sf_dir, "events").select("user_id")
+    d_rows = F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("r")
+    cell = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("r"), F.col("user_id"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % CMS_W
+    )
+    sketch = (
+        ev.select("user_id", d_rows)
+        .select("r", cell.alias("c"))
+        .groupBy("r", "c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    top = exact.orderBy(F.desc("exact_n"), "user_id").limit(20)
+    probes = top.select(
+        "user_id", "exact_n", F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("r")
+    ).withColumn("c", cell)
+    return (
+        probes.join(sketch, ["r", "c"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("cnt").cast("bigint").alias("cms_estimate"))
+        .select(
+            "user_id",
+            F.col("exact_n").cast("bigint").alias("exact_n"),
+            "cms_estimate",
+            (F.col("cms_estimate") >= F.col("exact_n")).alias("upper_bound_holds"),
+        )
+    )
+
+
+ORACLE_COUNT_MIN = f"""
+WITH ev AS (SELECT user_id FROM events),
+cells AS (
+  SELECT r, ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % {CMS_W} AS c
+  FROM ev, (SELECT unnest(range({CMS_D})) AS r)
+),
+sketch AS (SELECT r, c, count(*) AS cnt FROM cells GROUP BY r, c),
+exact AS (SELECT user_id, count(*) AS exact_n FROM ev GROUP BY user_id),
+top AS (SELECT user_id, exact_n FROM exact ORDER BY exact_n DESC, user_id LIMIT 20),
+probes AS (
+  SELECT t.user_id, t.exact_n, r.r,
+         ('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || CAST(t.user_id AS VARCHAR)), 1, 8))::BIGINT % {CMS_W} AS c
+  FROM top t, (SELECT unnest(range({CMS_D})) AS r) r
+)
+SELECT p.user_id, CAST(p.exact_n AS BIGINT) AS exact_n,
+       CAST(min(s.cnt) AS BIGINT) AS cms_estimate,
+       min(s.cnt) >= p.exact_n AS upper_bound_holds
+FROM probes p JOIN sketch s ON p.r = s.r AND p.c = s.c
+GROUP BY p.user_id, p.exact_n
+"""
+
+
 # -- session journey paths (top path prefixes) ---------------------------------------
 
 PATH_LEN = 3  # first k event types define the journey prefix
@@ -1177,6 +1313,8 @@ QUERIES = {
     "events_multitouch_attribution": events_multitouch_attribution,
     "events_ewma_hourly": events_ewma_hourly,
     "events_session_paths": events_session_paths,
+    "events_cumulative_users": events_cumulative_users,
+    "events_count_min": events_count_min,
 }
 
 ORACLES = {
@@ -1200,4 +1338,6 @@ ORACLES = {
     "events_multitouch_attribution": ORACLE_MULTITOUCH,
     "events_ewma_hourly": ORACLE_EWMA,
     "events_session_paths": ORACLE_SESSION_PATHS,
+    "events_cumulative_users": ORACLE_CUMULATIVE_USERS,
+    "events_count_min": ORACLE_COUNT_MIN,
 }

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mongraph_spark.queries.dedup import _shingles
+from mongraph_spark.queries.dedup import _shingles, dup_corpus
 from mongraph_spark.sparkutil import read_table, scale_out
 
 # function words whose density signals English-like text
@@ -500,6 +500,116 @@ FROM per_source p JOIN corpus c ON p.source = c.source
 """
 
 
+WINNOW_PAIR_MAX_DF = 10  # stop-fingerprints: shared by more docs are dropped
+WINNOW_PAIR_MIN_BP = 5000  # report pairs sharing a majority of fingerprints
+
+
+def text_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plagiarism-pair detection over winnowing fingerprints — what MOSS
+    does with the fingerprints :func:`text_winnowing` audits: explode each
+    doc's winnowed minima, self-join on the fingerprint key, and report
+    pairs whose shared-fingerprint CONTAINMENT (shared / smaller side)
+    clears 50%.  Runs on the planted near-dup corpus (verbatim copy minus
+    the last word) so the evidence row proves detection, not absence.
+
+    Scale guards, both load-bearing at 100 TB: (1) the join key is the
+    fingerprint, and STOP-fingerprints (document frequency >
+    {WINNOW_PAIR_MAX_DF}) are dropped before the self-join — boilerplate
+    shared by thousands of docs would otherwise contribute O(df²) pairs
+    (MOSS's own common-code filter); (2) the pair aggregation is keyed on
+    the (a,b) id pair, so candidate volume is bounded by Σ df² over
+    SURVIVING fingerprints, never |docs|².  Same candidate-generation
+    posture as the LSH dedup family, but fingerprint-local: shared
+    PASSAGES, not global similarity."""
+    corpus = dup_corpus(spark, sf_dir, drop_last=1)
+    words = F.split(F.col("text"), " ")
+    n_grams = F.greatest(F.size(words) - WINNOW_K + 1, F.lit(1))
+    gram_text = F.slice(words, 1, n_grams)
+    for _k in range(2, WINNOW_K + 1):
+        gram_text = F.zip_with(
+            gram_text, F.slice(words, _k, n_grams), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    grams = F.transform(gram_text, lambda g: F.md5(g))
+    with_grams = corpus.select("doc_id", grams.alias("grams")).localCheckpoint(
+        eager=True
+    )
+    wins = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size("grams") - WINNOW_W, F.lit(0))),
+        lambda j: F.array_min(F.slice("grams", j + 1, WINNOW_W)),
+    )
+    per_doc = with_grams.select("doc_id", F.array_distinct(wins).alias("fps"))
+    fp_tab = per_doc.select("doc_id", F.explode("fps").alias("fp"))
+    df_ok = (
+        fp_tab.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= WINNOW_PAIR_MAX_DF)
+        .select("fp")
+    )
+    kept = fp_tab.join(df_ok, "fp")
+    a = kept.select(F.col("doc_id").alias("id_a"), "fp")
+    b = kept.select(F.col("doc_id").alias("id_b"), "fp")
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sizes = per_doc.select("doc_id", F.size("fps").alias("nf"))
+    return (
+        shared.join(sizes.withColumnsRenamed({"doc_id": "id_a", "nf": "nf_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "id_b", "nf": "nf_b"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            F.floor(
+                F.lit(10000) * F.col("n_shared") / F.least("nf_a", "nf_b")
+            )
+            .cast("bigint")
+            .alias("containment_bp"),
+        )
+        .filter(F.col("containment_bp") >= WINNOW_PAIR_MIN_BP)
+    )
+
+
+def _oracle_winnowing_pairs() -> str:
+    from mongraph_spark.queries.dedup import _oracle_corpus_droplast
+
+    return f"""
+WITH {_oracle_corpus_droplast(1)},
+s AS (SELECT doc_id, string_split(text, ' ') AS words FROM corpus),
+g AS (
+  SELECT doc_id,
+         list_transform(
+           range(1, greatest(len(words) - {WINNOW_K}, 0) + 2),
+           i -> md5(array_to_string(words[i:i+{WINNOW_K - 1}], ' '))
+         ) AS grams
+  FROM s
+),
+wdoc AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(grams) - {WINNOW_W}, 0) + 2),
+           j -> list_min(grams[j:j+{WINNOW_W - 1}])
+         )) AS fps
+  FROM g
+),
+fp_tab AS (SELECT doc_id, unnest(fps) AS fp FROM wdoc),
+df_ok AS (SELECT fp FROM fp_tab GROUP BY fp HAVING count(*) <= {WINNOW_PAIR_MAX_DF}),
+kept AS (SELECT t.doc_id, t.fp FROM fp_tab t JOIN df_ok USING (fp)),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, len(fps) AS nf FROM wdoc)
+SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared,
+       CAST(floor(10000 * n_shared / least(sa.nf, sb.nf)) AS BIGINT) AS containment_bp
+FROM shared JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+WHERE floor(10000 * n_shared / least(sa.nf, sb.nf)) >= {WINNOW_PAIR_MIN_BP}
+"""
+
+
 def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation mining: adjacent-word bigrams ranked by LIFT — how much
     more often the pair co-occurs than its unigram frequencies predict (the
@@ -587,6 +697,7 @@ LIMIT 50
 
 
 QUERIES = {
+    "text_winnowing_pairs": text_winnowing_pairs,
     "text_metrics": text_metrics,
     "text_scan_redact": text_scan_redact,
     "text_token_counts": text_token_counts,
@@ -599,6 +710,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_winnowing_pairs": _oracle_winnowing_pairs(),
     "text_metrics": ORACLE_TEXT_METRICS,
     "text_scan_redact": ORACLE_SCAN_REDACT,
     "text_token_counts": ORACLE_TOKEN_COUNTS,
