@@ -259,6 +259,87 @@ GROUP BY source
 """
 
 
+# -- MERGE INTO end-to-end (update + delete + insert in one statement) ----------------
+
+
+def store_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end exercise of the full MERGE INTO surface
+    (:func:`mongraph_spark.sources.merge.merge_into`): build the documents
+    store, then ONE merge statement that simultaneously (a) updates docs
+    with doc_id%10==0 (n_chars += 1000 via a per-column expression),
+    (b) deletes docs with doc_id%10==1 (conditional matched-DELETE), and
+    (c) inserts shifted copies (doc_id+5e6) of docs with doc_id%10==2.
+    Output = per-source profile of the merged table; the oracle computes
+    the same final state in plain SQL over ``documents`` — a wrong clause
+    ordering, missed delete, or double-applied update breaks count,
+    char-sum, or checksum."""
+    import shutil
+    import tempfile
+
+    from mongraph_spark.sources import merge as merge_store
+
+    docs = read_table(spark, sf_dir, "documents")
+    app_id = spark.sparkContext.applicationId
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(tempfile.gettempdir(), f"mg_merge_into_{app_id}_{sf_tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    merge_store.init_table(docs, root, key="doc_id", n_buckets=8)
+    source = (
+        docs.filter(F.col("doc_id") % 10 < 2)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .unionByName(
+            docs.filter(F.col("doc_id") % 10 == 2).select(
+                (F.col("doc_id") + 5_000_000).alias("doc_id"),
+                "text",
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    )
+    merge_store.merge_into(
+        spark,
+        root,
+        source,
+        when_matched_set={"n_chars": "n_chars + 1000"},
+        when_matched_delete="src_doc_id % 10 = 1",
+    )
+    merged = merge_store.read_current(spark, root).drop("__bucket")
+    return merged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.col("doc_id"), F.col("n_chars"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+        )
+        .cast("bigint")
+        .alias("checksum"),
+    )
+
+
+ORACLE_MERGE_INTO = """
+WITH merged AS (
+  -- survivors: not deleted; %10==0 rows updated
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 10 = 0 THEN n_chars + 1000 ELSE n_chars END AS n_chars
+  FROM documents WHERE doc_id % 10 != 1
+  UNION ALL
+  -- inserts: shifted copies of %10==2 (no target match at doc_id+5e6)
+  SELECT doc_id + 5000000 AS doc_id, source, n_chars
+  FROM documents WHERE doc_id % 10 = 2
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(n_chars AS VARCHAR)), 1, 8))::BIGINT) AS BIGINT) AS checksum
+FROM merged GROUP BY source
+"""
+
+
 # -- Z-order layout & data skipping ---------------------------------------------------
 
 ZORDER_BITS = 4  # 16 levels per dimension -> 256 z-cells -> 64 files
@@ -358,11 +439,13 @@ ORACLE_ZORDER = _zorder_oracle()
 QUERIES = {
     "dq_expectations": dq_expectations,
     "store_compaction": store_compaction,
+    "store_merge_into": store_merge_into,
     "zorder_data_skipping": zorder_data_skipping,
 }
 
 ORACLES = {
     "dq_expectations": ORACLE_DQ,
     "store_compaction": ORACLE_COMPACTION,
+    "store_merge_into": ORACLE_MERGE_INTO,
     "zorder_data_skipping": ORACLE_ZORDER,
 }

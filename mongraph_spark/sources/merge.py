@@ -456,3 +456,142 @@ def delete_where(spark: SparkSession, root: str, condition) -> str:
         _write_manifest(root, ver, {"*": f"{ver}/data"})
     _flip(root, ver)
     return ver
+
+
+def merge_into(
+    spark: SparkSession,
+    root: str,
+    source: DataFrame,
+    when_matched_set: dict[str, str] | None = None,
+    when_matched_delete: str | None = None,
+    insert_not_matched: bool = True,
+) -> str:
+    """Full MERGE INTO semantics (the Delta/Iceberg statement) on the CoW
+    table — ``upsert`` is the replace-whole-row special case; this form
+    supports per-column UPDATE expressions, conditional DELETE, and
+    optional insert suppression:
+
+    - ``when_matched_set``: {target_col: SQL expr} evaluated with the
+      target row in scope and the source row's columns as ``src_<col>``
+      (e.g. ``{"rev": "rev + 1", "name": "src_name"}``).
+    - ``when_matched_delete``: SQL predicate (same scope); matched rows
+      satisfying it are dropped.  Checked BEFORE the update clause, like
+      the SQL statement's clause ordering.
+    - ``insert_not_matched``: insert source rows with no target match.
+
+    Bucket-scoped like ``upsert``: only buckets containing source keys
+    are read and rewritten; the matched/not-matched split is ONE
+    full-outer-shaped pass (left join target←source inside the touched
+    buckets + anti join for inserts), never a second scan."""
+    meta = _read_meta(root)
+    if meta["key"] is None:
+        raise ValueError("merge_into requires a bucketed table")
+    key = meta["key"]
+    schema = T.StructType.fromJson(json.loads(meta["schema"]))
+    cols = [f.name for f in schema.fields]
+    if meta.get("added"):
+        for col in meta["added"]:
+            if col["name"] not in source.columns:
+                source = source.withColumn(
+                    col["name"],
+                    F.lit(col["default"]).cast(schema[col["name"]].dataType),
+                )
+    src = _dedupe_updates(source.select(*cols), key, None)
+    src_pref = src.select(
+        F.col(key).alias("__src_key"),
+        *[F.col(c).alias(f"src_{c}") for c in cols],  # incl. src_<key>
+        F.lit(True).alias("__src_present"),
+    )
+
+    n_buckets = meta["n_buckets"]
+    cur = current_version(root)
+    ver = _next_version(root)
+    keys_b = src.select(key).withColumn(_BUCKET, _bucket_expr(key, n_buckets))
+    touched = sorted(
+        str(r[_BUCKET]) for r in keys_b.select(_BUCKET).distinct().collect()
+    )
+    manifest = _read_manifest(root, cur) if cur is not None else {}
+    base_map = {b: manifest[b] for b in touched if b in manifest}
+
+    parts = []
+    if base_map:
+        base = _read_paths(spark, root, base_map, meta["schema"], meta.get("added"))
+        joined = base.join(
+            F.broadcast(src_pref), base[key] == src_pref["__src_key"], "left"
+        )
+        matched = joined.filter(F.col("__src_present").isNotNull())
+        unmatched_target = joined.filter(F.col("__src_present").isNull()).select(*cols)
+        if when_matched_delete is not None:
+            matched = matched.filter(
+                ~F.coalesce(F.expr(when_matched_delete), F.lit(False))
+            )
+        if when_matched_set:
+            updated = matched.select(
+                *[
+                    F.expr(when_matched_set[c]).cast(schema[c].dataType).alias(c)
+                    if c in when_matched_set
+                    else F.col(c)
+                    for c in cols
+                ]
+            )
+        else:  # matched rows kept as-is (MERGE with only DELETE/INSERT clauses)
+            updated = matched.select(*cols)
+        parts.append(unmatched_target)
+        parts.append(updated)
+        if insert_not_matched:
+            inserts = src.join(base.select(key), key, "left_anti")
+            parts.append(inserts)
+    else:
+        if insert_not_matched:
+            parts.append(src)
+
+    if not parts:
+        return cur  # nothing to do
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    merged = merged.withColumn(_BUCKET, _bucket_expr(key, n_buckets))
+    os.makedirs(os.path.join(root, ver), exist_ok=True)
+    merged.write.mode("overwrite").partitionBy(_BUCKET).parquet(
+        os.path.join(root, ver)
+    )
+    new_map = dict(manifest)
+    for b in touched:  # a bucket can empty out entirely (all rows deleted)
+        new_map.pop(b, None)
+    new_map.update(_written_buckets(root, ver))
+    _write_manifest(root, ver, new_map)
+    _flip(root, ver)
+    return ver
+
+
+def vacuum(root: str, keep_last: int = 1) -> list[str]:
+    """Delete version directories no longer referenced — the Delta VACUUM
+    analog.  A version dir is retained iff it is one of the ``keep_last``
+    most recent versions OR any retained version's manifest still points
+    into it (structural sharing means old dirs stay live as long as an
+    untouched bucket references them).  Returns the removed dir names.
+
+    Time-travel reads older than the retention window break after a
+    vacuum, exactly like Delta; readers that pinned a manifest keep
+    working for dirs that survived."""
+    import shutil
+
+    cur = current_version(root)
+    if cur is None:
+        return []
+    n_cur = int(cur.split("_")[1])
+    versions = sorted(
+        d for d in os.listdir(root)
+        if d.startswith("v_") and os.path.isdir(os.path.join(root, d))
+    )
+    retained = {v for v in versions if int(v.split("_")[1]) > n_cur - keep_last}
+    live: set[str] = set(retained)
+    for v in retained:
+        for rel in _read_manifest(root, v).values():
+            live.add(rel.split("/", 1)[0])
+    removed = []
+    for v in versions:
+        if v not in live:
+            shutil.rmtree(os.path.join(root, v))
+            removed.append(v)
+    return removed

@@ -343,3 +343,89 @@ def test_evolved_table_compaction_materializes_defaults(spark, tmp_path):
     compact(spark, root, max_files_per_bucket=1)
     after = sorted(map(tuple, read_current(spark, root).drop("__bucket").collect()))
     assert after == before
+
+
+# -- MERGE INTO (matched / not-matched clauses) -------------------------------
+
+
+def test_merge_into_update_delete_insert(spark, tmp_path):
+    from mongraph_spark.sources.merge import merge_into
+
+    root = str(tmp_path / "mtbl")
+    init_table(_base(spark), root, key="id", n_buckets=4)
+    source = spark.createDataFrame(
+        [(5, "five-src", 9), (7, "seven-src", 0), (500, "brand-new", 1)],
+        "id long, name string, rev long",
+    )
+    # matched & src rev=0 -> DELETE; other matched -> rev=rev+1, name from src;
+    # unmatched source -> INSERT
+    merge_into(
+        spark,
+        root,
+        source,
+        when_matched_set={"rev": "rev + 1", "name": "src_name"},
+        when_matched_delete="src_rev = 0",
+    )
+    cur = read_current(spark, root)
+    assert cur.count() == 100  # 100 - 1 delete + 1 insert
+    got = {r.id: (r.name, r.rev) for r in cur.filter(F.col("id").isin(5, 7, 500, 8)).collect()}
+    assert got[5] == ("five-src", 1)   # updated: rev 0+1, src name
+    assert 7 not in got                # deleted
+    assert got[500] == ("brand-new", 1)  # inserted verbatim
+    assert got[8] == ("name8", 0)      # untouched
+
+
+def test_merge_into_insert_suppression_and_noop(spark, tmp_path):
+    from mongraph_spark.sources.merge import merge_into
+
+    root = str(tmp_path / "mtbl")
+    init_table(_base(spark), root, key="id", n_buckets=4)
+    source = spark.createDataFrame(
+        [(3, "three-src", 5), (900, "ghost", 1)], "id long, name string, rev long"
+    )
+    merge_into(
+        spark, root, source,
+        when_matched_set={"name": "src_name"},
+        insert_not_matched=False,
+    )
+    cur = read_current(spark, root)
+    assert cur.count() == 100  # no insert
+    assert cur.filter(F.col("id") == 900).count() == 0
+    assert cur.filter(F.col("id") == 3).first().name == "three-src"
+
+
+# -- VACUUM -------------------------------------------------------------------
+
+
+def test_vacuum_respects_structural_sharing(spark, tmp_path):
+    import os as _os
+
+    from mongraph_spark.sources.merge import vacuum
+
+    root = str(tmp_path / "vtbl")
+    init_table(_base(spark), root, key="id", n_buckets=4)  # v0
+    for i in range(3):  # v1..v3, each touching one key's bucket
+        upsert(
+            spark,
+            root,
+            spark.createDataFrame([(i, f"u{i}", 1)], "id long, name string, rev long"),
+            key="id",
+            order_col="rev",
+        )
+    before = sorted(map(tuple, read_current(spark, root).drop("__bucket").collect()))
+    removed = vacuum(root, keep_last=1)
+    # v0 must SURVIVE if the current manifest still references its buckets
+    dirs = {d for d in _os.listdir(root) if d.startswith("v_")}
+    assert "v_00003" in dirs
+    cur_manifest_versions = {
+        rel.split("/", 1)[0]
+        for rel in __import__("json").load(
+            open(_os.path.join(root, "v_00003", "manifest.json"))
+        ).values()
+    }
+    assert cur_manifest_versions <= dirs  # every referenced dir still exists
+    after = sorted(map(tuple, read_current(spark, root).drop("__bucket").collect()))
+    assert after == before  # vacuum never changes visible data
+    # intermediate versions whose dirs are fully superseded are gone
+    for v in removed:
+        assert v not in dirs
