@@ -412,7 +412,47 @@ ORACLE_COVARIANCE = "\nUNION ALL ".join(
 )
 
 
+# -- IVF recall vs the exact answer ---------------------------------------------------
+
+
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{K} of the IVF index against the exact brute-force answer —
+    the number every ANN deployment must publish before anyone trusts it:
+    per query, how many of the true top-{K} neighbors the nprobe-bounded
+    index actually returned.  Both sides are this module's own operators
+    (same scoring, same deterministic tie-breaks), so the report isolates
+    exactly the loss introduced by inverted-list pruning.
+
+    Shape: the two result sets are {N_QUERIES}·{K} rows each — the
+    comparison join is driver-trivial no matter how big the corpus was;
+    the cost IS the two retrievals, which keep their own documented scale
+    shapes.  Recall is integer-floor basis points (10000·hits div K)."""
+    brute = ann_cosine_topk(spark, sf_dir).select("q_id", "c_id")
+    ivf = ann_ivf(spark, sf_dir).select("q_id", "c_id", F.lit(1).alias("hit"))
+    return (
+        brute.join(ivf, ["q_id", "c_id"], "left")
+        .groupBy("q_id")
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_hits"))
+        .select(
+            "q_id",
+            "n_hits",
+            F.expr(f"(10000 * n_hits) div {TOP_K}").cast("bigint").alias("recall_bp"),
+        )
+    )
+
+
+ORACLE_RECALL = f"""
+WITH brute AS (SELECT q_id, c_id FROM ({ORACLE_TOPK})),
+ivf AS (SELECT q_id, c_id, 1 AS hit FROM ({ORACLE_IVF}))
+SELECT b.q_id, CAST(sum(coalesce(i.hit, 0)) AS BIGINT) AS n_hits,
+       CAST((10000 * sum(coalesce(i.hit, 0))) // {TOP_K} AS BIGINT) AS recall_bp
+FROM brute b LEFT JOIN ivf i ON b.q_id = i.q_id AND b.c_id = i.c_id
+GROUP BY b.q_id
+"""
+
+
 QUERIES = {
+    "ann_recall_report": ann_recall_report,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_cosine_topk_bucketed": ann_cosine_topk_bucketed,
     "ann_ivf": ann_ivf,
@@ -421,6 +461,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ann_recall_report": ORACLE_RECALL,
     "ann_cosine_topk": ORACLE_TOPK,
     "ann_cosine_topk_bucketed": ORACLE_TOPK_BUCKETED,
     "ann_ivf": ORACLE_IVF,

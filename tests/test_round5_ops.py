@@ -409,3 +409,17 @@ def test_ppm_decoder_is_real(spark):
         assert 0 <= r.sum_r <= 255 * npx
         # downsample checksum bounded by the full-image byte sum
         assert 0 <= r.half_checksum <= r.sum_r + r.sum_g + r.sum_b
+
+
+# -- ANN recall report ---------------------------------------------------------
+
+
+def test_ann_recall_bounds_and_nonzero(spark):
+    from mongraph_spark.queries.similarity import N_QUERIES, TOP_K, ann_recall_report
+
+    rows = ann_recall_report(spark, SF).collect()
+    assert len(rows) == N_QUERIES
+    assert all(0 <= r.n_hits <= TOP_K for r in rows)
+    assert all(r.recall_bp == (10000 * r.n_hits) // TOP_K for r in rows)
+    # nprobe=2 of 8 cells should still find a good share of true neighbors
+    assert sum(r.n_hits for r in rows) > 0
