@@ -567,8 +567,8 @@ def merge_into(
 def vacuum(root: str, keep_last: int = 1) -> list[str]:
     """Delete version directories no longer referenced — the Delta VACUUM
     analog.  A version dir is retained iff it is one of the ``keep_last``
-    most recent versions OR any retained version's manifest still points
-    into it (structural sharing means old dirs stay live as long as an
+    most recent versions, OR a tag points at it, OR any retained
+    version's manifest still points into it (structural sharing means old dirs stay live as long as an
     untouched bucket references them).  Returns the removed dir names.
 
     Time-travel reads older than the retention window break after a
@@ -585,6 +585,12 @@ def vacuum(root: str, keep_last: int = 1) -> list[str]:
         if d.startswith("v_") and os.path.isdir(os.path.join(root, d))
     )
     retained = {v for v in versions if int(v.split("_")[1]) > n_cur - keep_last}
+    tag_dir = os.path.join(root, "_tags")
+    if os.path.isdir(tag_dir):
+        for t in os.listdir(tag_dir):
+            if not t.startswith("."):
+                with open(os.path.join(tag_dir, t)) as fh:
+                    retained.add(fh.read().strip())
     live: set[str] = set(retained)
     for v in retained:
         for rel in _read_manifest(root, v).values():
@@ -595,3 +601,78 @@ def vacuum(root: str, keep_last: int = 1) -> list[str]:
             shutil.rmtree(os.path.join(root, v))
             removed.append(v)
     return removed
+
+
+def create_tag(root: str, name: str, version: int | None = None) -> str:
+    """Pin a named tag to a version (default: current) — the Iceberg
+    tag/branch primitive: readers address data by meaning ("train-v1",
+    "pre-backfill") instead of version arithmetic.  Tags are O(1) pointer
+    files, and ``vacuum`` retains tagged versions (plus every dir their
+    manifests reference) regardless of the retention window."""
+    if not name or "/" in name or name.startswith("_"):
+        raise ValueError(f"invalid tag name {name!r}")
+    cur = current_version(root)
+    if cur is None:
+        raise ValueError(f"no current version under {root}")
+    ver = _version_name(version) if version is not None else cur
+    if not os.path.isdir(os.path.join(root, ver)):
+        raise ValueError(f"version {ver} does not exist under {root}")
+    tag_dir = os.path.join(root, "_tags")
+    os.makedirs(tag_dir, exist_ok=True)
+    tmp = os.path.join(tag_dir, f".{name}.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(ver)
+    os.replace(tmp, os.path.join(tag_dir, name))
+    return ver
+
+
+def read_tag(spark: SparkSession, root: str, name: str) -> DataFrame:
+    """Read the version a tag points at (``VERSION AS OF <tag>``)."""
+    try:
+        with open(os.path.join(root, "_tags", name)) as fh:
+            ver = fh.read().strip()
+    except FileNotFoundError:
+        raise ValueError(f"no tag {name!r} under {root}") from None
+    return read_version(spark, root, int(ver.split("_")[1]))
+
+
+def describe(root: str) -> dict:
+    """Table metadata as a plain dict (the DESCRIBE EXTENDED surface):
+    layout, schema, evolution history, per-version bucket counts, live
+    file/byte totals of the CURRENT version — what an operator checks
+    before deciding to compact or vacuum."""
+    meta = _read_meta(root)
+    cur = current_version(root)
+    versions = sorted(
+        d for d in os.listdir(root)
+        if d.startswith("v_") and os.path.isdir(os.path.join(root, d))
+    )
+    out = {
+        "key": meta["key"],
+        "n_buckets": meta["n_buckets"],
+        "added_columns": meta.get("added") or [],
+        "current_version": cur,
+        "versions_on_disk": versions,
+        "tags": {},
+        "current_files": 0,
+        "current_bytes": 0,
+        "buckets_by_version": {},
+    }
+    tag_dir = os.path.join(root, "_tags")
+    if os.path.isdir(tag_dir):
+        for t in sorted(os.listdir(tag_dir)):
+            if not t.startswith("."):
+                with open(os.path.join(tag_dir, t)) as fh:
+                    out["tags"][t] = fh.read().strip()
+    if cur is not None:
+        for b, rel in _read_manifest(root, cur).items():
+            src_ver = rel.split("/", 1)[0]
+            out["buckets_by_version"][src_ver] = (
+                out["buckets_by_version"].get(src_ver, 0) + 1
+            )
+            d = os.path.join(root, rel)
+            for f in os.listdir(d):
+                if f.endswith(".parquet"):
+                    out["current_files"] += 1
+                    out["current_bytes"] += os.path.getsize(os.path.join(d, f))
+    return out

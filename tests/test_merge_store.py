@@ -429,3 +429,51 @@ def test_vacuum_respects_structural_sharing(spark, tmp_path):
     # intermediate versions whose dirs are fully superseded are gone
     for v in removed:
         assert v not in dirs
+
+
+# -- tags + describe ----------------------------------------------------------
+
+
+def test_tags_pin_versions_and_describe_reports_layout(spark, tmp_path):
+    from mongraph_spark.sources.merge import create_tag, describe, read_tag
+
+    root = str(tmp_path / "ttbl")
+    init_table(_base(spark), root, key="id", n_buckets=4)
+    create_tag(root, "baseline")
+    upsert(
+        spark, root,
+        spark.createDataFrame([(1, "changed", 1)], "id long, name string, rev long"),
+        key="id", order_col="rev",
+    )
+    create_tag(root, "after-fix")
+    # tag reads pin their version regardless of later writes
+    assert read_tag(spark, root, "baseline").filter(F.col("id") == 1).first().name == "name1"
+    assert read_tag(spark, root, "after-fix").filter(F.col("id") == 1).first().name == "changed"
+    d = describe(root)
+    assert d["key"] == "id" and d["n_buckets"] == 4
+    assert d["tags"] == {"baseline": "v_00000", "after-fix": "v_00001"}
+    assert d["current_version"] == "v_00001"
+    assert d["current_files"] > 0 and d["current_bytes"] > 0
+    # structural sharing is visible: current manifest mixes v0 and v1 dirs
+    assert set(d["buckets_by_version"]) == {"v_00000", "v_00001"}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="no tag"):
+        read_tag(spark, root, "missing")
+
+
+def test_vacuum_retains_tagged_versions(spark, tmp_path):
+    import os as _os
+
+    from mongraph_spark.sources.merge import create_tag, read_tag, vacuum
+
+    root = str(tmp_path / "tvtbl")
+    init_table(_base(spark), root, key="id", n_buckets=2)
+    create_tag(root, "keepme")  # pins v_00000
+    # three full-ish rewrites so v0's dirs would otherwise be superseded
+    for i in range(3):
+        upsert(spark, root, _base(spark).withColumn("rev", F.lit(i + 1)),
+               key="id", order_col="rev")
+    vacuum(root, keep_last=1)
+    dirs = {d for d in _os.listdir(root) if d.startswith("v_")}
+    assert "v_00000" in dirs  # tag kept it alive
+    assert read_tag(spark, root, "keepme").count() == 100
