@@ -18,7 +18,7 @@ compare is stable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mongraph_spark import pregel
@@ -1196,6 +1196,113 @@ FROM {prev} GROUP BY lm
 ORACLE_CLOSENESS = _closeness_oracle()
 
 
+WALK_STEPS = 4
+
+
+def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic random walks over the purchase graph — the corpus
+    generator for node2vec/DeepWalk-style graph embeddings: one
+    {WALK_STEPS}-step walk per customer, where step t at node v picks
+    neighbor rank ``md5(walk:step:v) mod degree(v)`` — no RNG state, so
+    walks are reproducible under any partitioning/replay (the same
+    lineage argument as the md5 sampling ops; true node2vec's p/q bias
+    only reweights this choice).
+
+    Scale shape: the adjacency is ranked ONCE (row_number per src — one
+    shuffle) and checkpointed; each step is one equi-join of the frontier
+    against (src, rank) — walks stay one row each, so the frontier is
+    |seeds| rows at every step, NOT multiplied by degree.  Output: the
+    walk string per seed (the "sentences" a skip-gram trainer consumes)."""
+    orders = tpch.read_table(spark, sf_dir, "orders")
+    lineitem = tpch.read_table(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).cast("long").alias("c"),
+            (F.col("l_suppkey") * 2 + 1).cast("long").alias("s"),
+        )
+        .distinct()
+    )
+    adj = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    w = Window.partitionBy("src").orderBy("dst")
+    ranked = (
+        adj.withColumn("rk", F.row_number().over(w))
+        .withColumn("deg", F.count(F.lit(1)).over(Window.partitionBy("src")))
+        .localCheckpoint(eager=True)
+    )
+    state = pairs.select("c").distinct().select(
+        F.col("c").alias("walk_id"),
+        F.col("c").alias("cur"),
+        F.col("c").cast("string").alias("path"),
+    )
+    for step in range(1, WALK_STEPS + 1):
+        pick = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":", F.col("walk_id"), F.lit(step), F.col("cur")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.col("deg")
+            + 1
+        )
+        state = (
+            state.join(ranked, state["cur"] == ranked["src"])
+            .filter(F.col("rk") == pick)
+            .select(
+                "walk_id",
+                F.col("dst").alias("cur"),
+                F.concat_ws(">", "path", F.col("dst")).alias("path"),
+            )
+        )
+    return state.select(
+        "walk_id", "path", F.col("cur").cast("bigint").alias("final_node")
+    )
+
+
+def _walks_oracle() -> str:
+    body = """
+pairs AS (
+  SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS c,
+                  CAST(l_suppkey * 2 + 1 AS BIGINT) AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+adj AS (SELECT c AS src, s AS dst FROM pairs UNION ALL SELECT s, c FROM pairs),
+ranked AS (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src ORDER BY dst) AS rk,
+         count(*) OVER (PARTITION BY src) AS deg
+  FROM adj
+),
+w0 AS (SELECT c AS walk_id, c AS cur, CAST(c AS VARCHAR) AS path
+       FROM (SELECT DISTINCT c FROM pairs))"""
+    prev = "w0"
+    for step in range(1, WALK_STEPS + 1):
+        body += f""",
+w{step} AS (
+  SELECT s.walk_id, r.dst AS cur, s.path || '>' || CAST(r.dst AS VARCHAR) AS path
+  FROM {prev} s JOIN ranked r ON s.cur = r.src
+  AND r.rk = ('0x' || substr(md5(CAST(s.walk_id AS VARCHAR) || ':{step}:' || CAST(s.cur AS VARCHAR)), 1, 8))::BIGINT % r.deg + 1
+)"""
+        prev = f"w{step}"
+    return f"""
+WITH {body.lstrip()}
+SELECT walk_id, path, CAST(cur AS BIGINT) AS final_node FROM {prev}
+"""
+
+
+ORACLE_WALKS = _walks_oracle()
+
+
 def _hits_oracle() -> str:
     return f"""
 WITH e AS (
@@ -1236,6 +1343,7 @@ QUERIES = {
     "graph_association_rules": graph_association_rules,
     "graph_hits": graph_hits,
     "graph_closeness_landmarks": graph_closeness_landmarks,
+    "graph_random_walks": graph_random_walks,
 }
 
 ORACLES = {
@@ -1257,4 +1365,5 @@ ORACLES = {
     "graph_association_rules": ORACLE_ASSOC,
     "graph_hits": ORACLE_HITS,
     "graph_closeness_landmarks": ORACLE_CLOSENESS,
+    "graph_random_walks": ORACLE_WALKS,
 }

@@ -412,6 +412,108 @@ ORACLE_COVARIANCE = "\nUNION ALL ".join(
 )
 
 
+# -- full k-means (multi-round Lloyd, bp-quantized) -----------------------------------
+
+KMEANS_ROUNDS = 3
+
+
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Lloyd k-means over the embeddings ({KMEANS_ROUNDS} rounds, K=8,
+    deterministic seeds) — the clustering :func:`ann_ivf` truncates at one
+    refinement, run to the shape production quantizer training uses.
+
+    Cross-engine exactness by CENTROID QUANTIZATION: after every round the
+    new centroids are floored to integer basis points BEFORE any distance
+    is computed against them, so both engines always measure against
+    bit-identical centroids and the (engine-dependent) float summation
+    order inside the mean can perturb a coordinate by at most one bp grid
+    cell — which the floor absorbs unless a mean sits exactly on a cell
+    edge.  Assignment ties break on cell id.  Each round is one broadcast
+    cross-join assignment (map-only, centroids are K rows) + one
+    (cell, dim)-keyed mean — the standard distributed Lloyd step; at
+    100 TB you run exactly this with K in the thousands and the
+    assignment still map-side.
+
+    Output: per-cell membership count + the first 4 centroid coordinates
+    in bp (the :func:`embedding_centroids` evidence shape)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    seeds = emb.filter(F.col("vec_id").isin(IVF_SEED_IDS)).select(
+        F.col("vec_id").alias("seed_id"),
+        F.col("embedding").cast("array<double>").alias("c_vec"),
+    )
+    centroids = seeds.withColumn(
+        "cell", F.row_number().over(Window.orderBy("seed_id")) - 1
+    ).select("cell", "c_vec")
+    d = F.expr(_SQ_DIST.format(v="vec", c="c_vec"))
+    assigned = per_dim = None
+    for _ in range(KMEANS_ROUNDS):
+        assigned = (
+            vecs.crossJoin(F.broadcast(centroids))
+            .withColumn("dist", d)
+            .groupBy("vec_id")
+            .agg(F.min_by("cell", F.struct("dist", "cell")).alias("cell"))
+            .join(vecs, "vec_id")
+        )
+        per_dim = (
+            assigned.select("cell", F.posexplode("vec").alias("dim", "v"))
+            .groupBy("cell", "dim")
+            .agg(F.floor(F.lit(10000) * F.avg("v")).cast("long").alias("c_bp"))
+        )
+        centroids = per_dim.groupBy("cell").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c_bp"))),
+                lambda s: s["c_bp"] / F.lit(10000.0),
+            ).alias("c_vec")
+        )
+    counts = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vectors"))
+    # head dims come from the last round's INTEGER bp table directly — a
+    # bp/1e4*1e4 round-trip through double can land one grid cell low
+    head = per_dim.filter(F.col("dim") < 4)
+    return counts.join(head, "cell").select("cell", "n_vectors", "dim", "c_bp")
+
+
+def _kmeans_oracle() -> str:
+    body = f"""
+vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, vec AS c_vec
+  FROM vecs WHERE vec_id IN ({_IDS_SQL})
+)"""
+    prev = "c0"
+    for r in range(1, KMEANS_ROUNDS + 1):
+        body += f""",
+a{r} AS (
+  SELECT vec_id, cell, vec FROM (
+    SELECT v.vec_id, c.cell, v.vec,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {_SQ_DIST_SQL.format(v='v.vec', c='c.c_vec')}, c.cell) AS rk
+    FROM vecs v CROSS JOIN {prev} c
+  ) WHERE rk = 1
+),
+pd{r} AS (
+  SELECT cell, d - 1 AS dim, CAST(floor(10000 * avg(vec[d])) AS BIGINT) AS c_bp
+  FROM a{r}, UNNEST(range(1, len(vec) + 1)) AS t(d)
+  GROUP BY cell, d
+),
+c{r} AS (
+  SELECT cell, list(c_bp / 10000.0 ORDER BY dim) AS c_vec FROM pd{r} GROUP BY cell
+)"""
+        prev = f"c{r}"
+    return f"""
+WITH {body.lstrip()}
+SELECT a.cell, a.n_vectors, h.dim, h.c_bp
+FROM (SELECT cell, count(*) AS n_vectors FROM a{KMEANS_ROUNDS} GROUP BY cell) a
+JOIN (SELECT cell, dim, c_bp FROM pd{KMEANS_ROUNDS} WHERE dim < 4) h
+  ON a.cell = h.cell
+"""
+
+
+ORACLE_KMEANS = _kmeans_oracle()
+
+
 # -- IVF recall vs the exact answer ---------------------------------------------------
 
 
@@ -453,6 +555,7 @@ GROUP BY b.q_id
 
 QUERIES = {
     "ann_recall_report": ann_recall_report,
+    "embedding_kmeans": embedding_kmeans,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_cosine_topk_bucketed": ann_cosine_topk_bucketed,
     "ann_ivf": ann_ivf,
@@ -462,6 +565,7 @@ QUERIES = {
 
 ORACLES = {
     "ann_recall_report": ORACLE_RECALL,
+    "embedding_kmeans": ORACLE_KMEANS,
     "ann_cosine_topk": ORACLE_TOPK,
     "ann_cosine_topk_bucketed": ORACLE_TOPK_BUCKETED,
     "ann_ivf": ORACLE_IVF,

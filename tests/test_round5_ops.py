@@ -423,3 +423,40 @@ def test_ann_recall_bounds_and_nonzero(spark):
     assert all(r.recall_bp == (10000 * r.n_hits) // TOP_K for r in rows)
     # nprobe=2 of 8 cells should still find a good share of true neighbors
     assert sum(r.n_hits for r in rows) > 0
+
+
+# -- deterministic random walks -----------------------------------------------
+
+
+def test_random_walks_bipartite_alternation_and_determinism(spark):
+    from mongraph_spark.queries.graph_analytics import WALK_STEPS, graph_random_walks
+
+    rows = graph_random_walks(spark, SF).collect()
+    # one walk per customer that appears in orders x lineitem
+    assert rows
+    for r in rows[:100]:
+        nodes = [int(x) for x in r.path.split(">")]
+        assert len(nodes) == WALK_STEPS + 1
+        assert nodes[0] == r.walk_id and nodes[-1] == r.final_node
+        for i, n in enumerate(nodes):
+            assert n % 2 == i % 2  # customer(even) / supplier(odd) alternate
+    again = graph_random_walks(spark, SF).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+# -- full k-means -------------------------------------------------------------
+
+
+def test_kmeans_partitions_all_vectors(spark):
+    from mongraph_spark.queries.similarity import IVF_CELLS, embedding_kmeans
+
+    rows = embedding_kmeans(spark, SF).collect()
+    n_vecs = read_table(spark, SF, "embeddings").count()
+    cells = {}
+    for r in rows:
+        cells.setdefault(r.cell, set()).add((r.dim, r.c_bp))
+        assert 0 <= r.cell < IVF_CELLS
+        assert 0 <= r.dim < 4
+    per_cell_n = {r.cell: r.n_vectors for r in rows}
+    assert sum(per_cell_n.values()) == n_vecs  # exact partition of the corpus
+    assert all(len(dims) == 4 for dims in cells.values())
