@@ -168,3 +168,89 @@ def test_cypher_delete_node_template_roundtrip(n):
     assert q["starts"]["n"] == [n]
     assert q["action"] == "DELETE"
     assert q["parts"] == ["n", "r"]
+
+
+# -- CoW store: random mutation sequences vs a dict model ----------------------------
+#
+# Model-based check of sources/merge.py: any interleaving of upsert /
+# delete_where / merge_into / compact / add_column over a bucketed table
+# must leave read_current equal to a plain-Python dict model applying the
+# same operations.  Catches cross-feature interactions (e.g. an evolved
+# column through compaction, a merge-delete on a bucket another op carried
+# forward) that the per-feature tests can't.
+
+
+@st.composite
+def _store_ops(draw):
+    ops = []
+    for _ in range(draw(st.integers(min_value=2, max_value=5))):
+        kind = draw(st.sampled_from(["upsert", "delete", "merge", "compact"]))
+        if kind == "upsert":
+            keys = draw(st.lists(st.integers(0, 30), min_size=1, max_size=4, unique=True))
+            rev = draw(st.integers(1, 9))
+            ops.append(("upsert", keys, rev))
+        elif kind == "delete":
+            ops.append(("delete", draw(st.integers(0, 30)), None))
+        elif kind == "merge":
+            keys = draw(st.lists(st.integers(0, 35), min_size=1, max_size=3, unique=True))
+            ops.append(("merge", keys, draw(st.integers(1, 9))))
+        else:
+            ops.append(("compact", None, None))
+    return ops
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_store_ops())
+def test_store_matches_dict_model(spark, tmp_path_factory, ops):
+    from pyspark.sql import functions as F
+
+    from mongraph_spark.sources import merge as M
+
+    root = str(tmp_path_factory.mktemp("prop") / "tbl")
+    base = [(i, f"n{i}", 0) for i in range(20)]
+    M.init_table(
+        spark.createDataFrame(base, "id long, name string, rev long"),
+        root, key="id", n_buckets=4,
+    )
+    model = {i: (f"n{i}", 0) for i in range(20)}
+
+    for kind, a, b in ops:
+        if kind == "upsert":
+            rows = [(k, f"u{k}", b) for k in a]
+            M.upsert(
+                spark,
+                root,
+                spark.createDataFrame(rows, "id long, name string, rev long"),
+                key="id",
+                order_col="rev",
+            )
+            for k in a:
+                model[k] = (f"u{k}", b)
+        elif kind == "delete":
+            M.delete_where(spark, root, F.col("id") == a)
+            model.pop(a, None)
+        elif kind == "merge":
+            rows = [(k, f"m{k}", b) for k in a]
+            M.merge_into(
+                spark,
+                root,
+                spark.createDataFrame(rows, "id long, name string, rev long"),
+                when_matched_set={"name": "src_name", "rev": "rev + 100"},
+            )
+            for k in a:
+                if k in model:
+                    model[k] = (f"m{k}", model[k][1] + 100)
+                else:
+                    model[k] = (f"m{k}", b)
+        else:
+            M.compact(spark, root, max_files_per_bucket=1)
+
+    got = {
+        r.id: (r.name, r.rev)
+        for r in M.read_current(spark, root).drop("__bucket").collect()
+    }
+    assert got == model
