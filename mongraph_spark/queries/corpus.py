@@ -601,6 +601,181 @@ GROUP BY doc_id
 """
 
 
+# -- RefinedWeb-style boilerplate-segment removal --------------------------------
+
+SEG_WORDS = 5  # pseudo-line width (the docs carry no newlines)
+BP_MIN_DOCS = 2  # a segment seen in >= 2 distinct docs is boilerplate
+
+
+def boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate report: split every document into
+    non-overlapping 5-word segments (the corpus has no newlines, so fixed
+    word windows stand in for lines), mark a segment as boilerplate when
+    its exact text occurs in >= 2 DISTINCT documents, and report how much
+    of each source the line-dedup pass would strip — the RefinedWeb /
+    CCNet line-level dedup step that removes navigation chrome, cookie
+    banners, and licence footers before model training.
+
+    Distributed shape: ONE explode scan; segment->distinct-doc counts are
+    one combiner-friendly aggregation keyed on the segment; the verdict
+    rejoins on the same segment key (AQE broadcasts the surviving
+    boilerplate set when it is small, as here); the report is a tiny
+    per-source rollup.  At 100 TB: xxhash64 the segment first (64-bit
+    shuffle keys), and keep the rejoin a semi-join so the wide text never
+    travels twice — both noted, neither changes semantics.  Never
+    all-pairs: cost is O(total segments), not O(docs^2)."""
+    docs = read_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_segs = F.floor((F.size(words) + F.lit(SEG_WORDS - 1)) / F.lit(SEG_WORDS))
+    segs = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), n_segs.cast("int")),
+                lambda i: F.array_join(
+                    F.slice(words, (i - 1) * SEG_WORDS + 1, SEG_WORDS), " "
+                ),
+            )
+        ).alias("seg"),
+    )
+    bp = (
+        segs.groupBy("seg")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= BP_MIN_DOCS)
+        .select("seg")
+    )
+    flagged = segs.join(bp.withColumn("is_bp", F.lit(1)), "seg", "left")
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.coalesce("is_bp", F.lit(0))).cast("long").alias("n_boilerplate"),
+            F.floor(
+                F.lit(10000)
+                * F.sum(F.coalesce("is_bp", F.lit(0)))
+                / F.count(F.lit(1))
+            )
+            .cast("long")
+            .alias("bp_ratio_bp"),
+        )
+    )
+
+
+ORACLE_BOILERPLATE = f"""
+WITH segs AS (
+  SELECT doc_id, source,
+         array_to_string(
+           words[(i - 1) * {SEG_WORDS} + 1 : (i - 1) * {SEG_WORDS} + {SEG_WORDS}],
+           ' ') AS seg
+  FROM (
+    SELECT doc_id, source, words,
+           unnest(range(1, CAST(floor((len(words) + {SEG_WORDS - 1}) / {SEG_WORDS})
+                               AS BIGINT) + 1)) AS i
+    FROM (SELECT doc_id, source, string_split(text, ' ') AS words FROM documents)
+  )
+), bp AS (
+  SELECT seg FROM segs GROUP BY seg
+  HAVING count(DISTINCT doc_id) >= {BP_MIN_DOCS}
+)
+SELECT source,
+       count(DISTINCT doc_id) AS n_docs,
+       count(*) AS n_segments,
+       CAST(sum(CASE WHEN b.seg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_boilerplate,
+       CAST(floor(10000 * sum(CASE WHEN b.seg IS NOT NULL THEN 1 ELSE 0 END)
+                  / count(*)) AS BIGINT) AS bp_ratio_bp
+FROM segs s LEFT JOIN bp b ON s.seg = b.seg
+GROUP BY source
+"""
+
+
+# -- C4-style sequential filter funnel -------------------------------------------
+
+MIN_CHARS = 150
+MIN_WORDS = 40
+MIN_DISTINCT_RATIO = 0.40
+
+
+def filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style quality-filter funnel: apply the standard pretraining
+    document filters IN SEQUENCE (min chars -> min words -> distinct-token
+    ratio -> language -> stopword presence) and report, per stage, how
+    many documents survive the cumulative filter and how many that stage
+    alone drops — the acceptance report every corpus build publishes.
+
+    Distributed shape: all five predicates are computed in ONE scan as
+    column expressions, the funnel is a single 5-sum aggregate (map-side
+    partials, 1-row shuffle), and the 5-row output is an unpivot of that
+    aggregate — no per-rule rescans, no Python.  The same plan at 100 TB
+    is scan-bound, which is the floor."""
+    docs = read_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    distinct_ratio = F.size(F.array_distinct(words)) / n_words
+    p1 = F.col("n_chars") >= MIN_CHARS
+    p2 = p1 & (n_words >= MIN_WORDS)
+    p3 = p2 & (distinct_ratio >= MIN_DISTINCT_RATIO)
+    p4 = p3 & (F.col("lang") == "en")
+    p5 = p4 & F.array_contains(words, "the")
+    agg = docs.agg(
+        F.count(F.lit(1)).alias("s0"),
+        *[
+            F.sum(p.cast("long")).alias(f"s{i}")
+            for i, p in enumerate([p1, p2, p3, p4, p5], start=1)
+        ],
+    )
+    rules = ["min_chars", "min_words", "distinct_ratio", "lang_en", "has_stopword"]
+    stacked = agg.select(
+        F.expr(
+            "stack(5, "
+            + ", ".join(
+                f"{i}, '{rules[i - 1]}', s{i - 1}, s{i}" for i in range(1, 6)
+            )
+            + ") as (stage, rule, entered, survivors)"
+        )
+    )
+    return stacked.select(
+        F.col("stage").cast("int").alias("stage"),
+        "rule",
+        F.col("entered").cast("long").alias("entered"),
+        F.col("survivors").cast("long").alias("survivors"),
+        (F.col("entered") - F.col("survivors")).cast("long").alias("dropped"),
+    )
+
+
+ORACLE_FILTER_FUNNEL = f"""
+WITH flags AS (
+  SELECT n_chars >= {MIN_CHARS} AS p1,
+         n_chars >= {MIN_CHARS} AND len(words) >= {MIN_WORDS} AS p2,
+         n_chars >= {MIN_CHARS} AND len(words) >= {MIN_WORDS}
+           AND len(list_distinct(words)) / len(words) >= {MIN_DISTINCT_RATIO} AS p3,
+         n_chars >= {MIN_CHARS} AND len(words) >= {MIN_WORDS}
+           AND len(list_distinct(words)) / len(words) >= {MIN_DISTINCT_RATIO}
+           AND lang = 'en' AS p4,
+         n_chars >= {MIN_CHARS} AND len(words) >= {MIN_WORDS}
+           AND len(list_distinct(words)) / len(words) >= {MIN_DISTINCT_RATIO}
+           AND lang = 'en' AND list_contains(words, 'the') AS p5
+  FROM (SELECT n_chars, lang, string_split(text, ' ') AS words FROM documents)
+), agg AS (
+  SELECT count(*) AS s0,
+         CAST(sum(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+         CAST(sum(CASE WHEN p2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+         CAST(sum(CASE WHEN p3 THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+         CAST(sum(CASE WHEN p4 THEN 1 ELSE 0 END) AS BIGINT) AS s4,
+         CAST(sum(CASE WHEN p5 THEN 1 ELSE 0 END) AS BIGINT) AS s5
+  FROM flags
+)
+SELECT 1 AS stage, 'min_chars' AS rule, s0 AS entered, s1 AS survivors,
+       s0 - s1 AS dropped FROM agg
+UNION ALL SELECT 2, 'min_words', s1, s2, s1 - s2 FROM agg
+UNION ALL SELECT 3, 'distinct_ratio', s2, s3, s2 - s3 FROM agg
+UNION ALL SELECT 4, 'lang_en', s3, s4, s3 - s4 FROM agg
+UNION ALL SELECT 5, 'has_stopword', s4, s5, s4 - s5 FROM agg
+"""
+
+
 QUERIES = {
     "corpus_decontaminate": decontaminate_splits,
     "corpus_repetition_filter": repetition_filter,
@@ -610,6 +785,8 @@ QUERIES = {
     "corpus_split_leakage": split_leakage,
     "corpus_zipf_fit": corpus_zipf_fit,
     "corpus_bigram_xent": corpus_bigram_xent,
+    "corpus_boilerplate_lines": boilerplate_lines,
+    "corpus_filter_funnel": filter_funnel,
 }
 
 ORACLES = {
@@ -621,4 +798,6 @@ ORACLES = {
     "corpus_split_leakage": _oracle_split_leakage(),
     "corpus_zipf_fit": ORACLE_ZIPF,
     "corpus_bigram_xent": ORACLE_BIGRAM_XENT,
+    "corpus_boilerplate_lines": ORACLE_BOILERPLATE,
+    "corpus_filter_funnel": ORACLE_FILTER_FUNNEL,
 }

@@ -1292,6 +1292,61 @@ FROM mat
 """
 
 
+# -- gaps-and-islands: consecutive-day activity streaks --------------------------
+
+
+def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-day activity-streak histogram — the gaps-and-islands
+    pattern (streaks, uptime runs, consecutive-login badges) done the
+    scalable way: day_index minus a per-user row_number is constant within
+    a run of consecutive days, so islands fall out of ONE user-partitioned
+    window plus a groupBy, never a self-join on adjacent days.
+
+    Distributed shape: distinct (user, day) is a combiner-friendly
+    aggregate; the window and the island rollup share the user_id shuffle
+    key (one exchange feeds both); the histogram is a tiny final agg.  The
+    arithmetic is all integer (epoch-day index), so the oracle is exact.
+    At 100 TB the user-keyed window partitions are bounded by days-per-
+    user, not event volume — no skew beyond the activity calendar."""
+    ev = read_table(spark, sf_dir, "events")
+    activity = ev.select(
+        "user_id",
+        F.datediff(
+            F.date_trunc("day", "ts"), F.lit("1970-01-01").cast("timestamp")
+        ).cast("long").alias("d"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = activity.withColumn("rn", F.row_number().over(w)).select(
+        "user_id", "d", (F.col("d") - F.col("rn")).alias("island")
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("streak_len")
+    )
+    return streaks.groupBy("streak_len").agg(
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+ORACLE_ACTIVITY_STREAKS = """
+WITH activity AS (
+  SELECT DISTINCT user_id,
+         CAST(date_diff('day', DATE '1970-01-01',
+                        CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS d
+  FROM events
+), islands AS (
+  SELECT user_id, d,
+         d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS island
+  FROM activity
+), streaks AS (
+  SELECT user_id, island, count(*) AS streak_len
+  FROM islands GROUP BY user_id, island
+)
+SELECT streak_len, count(*) AS n_streaks, count(DISTINCT user_id) AS n_users
+FROM streaks GROUP BY streak_len
+"""
+
+
 QUERIES = {
     "events_tumbling_window": events_tumbling_window,
     "events_funnel": events_funnel,
@@ -1315,6 +1370,7 @@ QUERIES = {
     "events_session_paths": events_session_paths,
     "events_cumulative_users": events_cumulative_users,
     "events_count_min": events_count_min,
+    "events_activity_streaks": events_activity_streaks,
 }
 
 ORACLES = {
@@ -1340,4 +1396,5 @@ ORACLES = {
     "events_session_paths": ORACLE_SESSION_PATHS,
     "events_cumulative_users": ORACLE_CUMULATIVE_USERS,
     "events_count_min": ORACLE_COUNT_MIN,
+    "events_activity_streaks": ORACLE_ACTIVITY_STREAKS,
 }

@@ -843,6 +843,59 @@ GROUP BY 1, 2, 3
 """
 
 
+# -- deterministic multi-epoch shuffle -------------------------------------------
+
+N_EPOCHS = 3
+EPOCH_HEAD = 10  # rows surfaced per epoch (the evidence slice)
+
+
+def pipeline_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multi-epoch training shuffle: each epoch orders the
+    corpus by md5(epoch || ':' || doc_id), so every epoch is a DIFFERENT
+    but fully REPRODUCIBLE permutation — resume-safe training order
+    without materializing a seed table.  Surfaces the first 10 docs of
+    each of 3 epochs.
+
+    Distributed shape: the per-epoch head compiles to
+    TakeOrderedAndProject (a per-partition top-k + k-row merge, NO global
+    sort); the position stamp is a window over the 10 surviving rows.  At
+    100 TB a full epoch materialization doesn't sort either: the shuffle
+    key's first bytes ARE the shard assignment, so writers hash-bucket by
+    key prefix and sort only within shards — noted here, same semantics."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    heads = []
+    for epoch in range(N_EPOCHS):
+        key = F.md5(F.concat(F.lit(str(epoch)), F.lit(":"), F.col("doc_id").cast("string")))
+        heads.append(
+            docs.select(F.lit(epoch).alias("epoch"), "doc_id", key.alias("k"))
+            .orderBy("k")
+            .limit(EPOCH_HEAD)
+        )
+    union = heads[0]
+    for h in heads[1:]:
+        union = union.unionByName(h)
+    w = Window.partitionBy("epoch").orderBy("k")
+    return union.select(
+        "epoch", F.row_number().over(w).alias("pos"), "doc_id"
+    )
+
+
+ORACLE_EPOCH_SHUFFLE = f"""
+WITH keyed AS (
+  SELECT e.epoch, d.doc_id,
+         md5(CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)) AS k
+  FROM documents d
+  CROSS JOIN (SELECT unnest(range({N_EPOCHS})) AS epoch) e
+), ranked AS (
+  SELECT epoch, doc_id,
+         row_number() OVER (PARTITION BY epoch ORDER BY k) AS pos
+  FROM keyed
+)
+SELECT CAST(epoch AS INT) AS epoch, CAST(pos AS INT) AS pos, doc_id
+FROM ranked WHERE pos <= {EPOCH_HEAD}
+"""
+
+
 QUERIES = {
     "dedup_clusters": dedup_clusters,
     "sample_and_split": sample_and_split,
@@ -857,6 +910,7 @@ QUERIES = {
     "pipeline_dataset_card": pipeline_dataset_card,
     "pipeline_weighted_sample": pipeline_weighted_sample,
     "pipeline_score_calibration": pipeline_score_calibration,
+    "pipeline_epoch_shuffle": pipeline_epoch_shuffle,
 }
 
 ORACLES = {
@@ -871,4 +925,5 @@ ORACLES = {
     "pipeline_dataset_card": ORACLE_DATASET_CARD,
     "pipeline_weighted_sample": ORACLE_WSAMPLE,
     "pipeline_score_calibration": ORACLE_CALIBRATION,
+    "pipeline_epoch_shuffle": ORACLE_EPOCH_SHUFFLE,
 }

@@ -483,6 +483,129 @@ FROM est CROSS JOIN both_h
 """
 
 
+# -- HyperLogLog sketch (mergeable registers, trailing-zero rank) --------------------
+
+HLL_M = 64  # registers (p = 6)
+HLL_WBITS = 54  # md5 60-bit hash minus 6 register bits
+# alpha_64 * m^2 * 100 * 2^54, with the power-of-two multiply exact (exponent
+# shift), so ONE float divide + floor remains in each engine's estimate.
+HLL_NUM = (0.709 * HLL_M * HLL_M * 100) * float(2**HLL_WBITS)
+
+
+def sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user sketches, one per event_type plus their
+    register-wise MERGE (the 'ALL' row) — the mergeability that makes HLL
+    the industry standard for distributed distinct counts: per-partition
+    register vectors combine with an elementwise max, so the full pipeline
+    is one combiner-friendly aggregation regardless of data volume.
+
+    Engine-deterministic by construction: the hash is the first 15 hex
+    chars of md5 (60 bits), the register is the low 6 bits, and the rank
+    is the TRAILING-zero count of the remaining 54 bits, computed as
+    log2(w & -w) — w & -w isolates the lowest set bit, an exact power of
+    two, where log2 is exact in IEEE double in both engines (no libm
+    last-ulp exposure, unlike leading-zero/log-floor formulations).  The
+    harmonic denominator is kept as an exact INTEGER (sum of 2^(55-rank)),
+    so the raw estimate is a single float divide + floor.  The standard
+    small-range correction m*ln(m/V) is applied when the raw estimate is
+    under 2.5m.  Exact distinct counts ride along as ground truth.
+
+    At 100 TB the sketch build is scan + one 64-row-per-scope aggregate —
+    no wide shuffle at all; this op is exactly what replaces
+    count(distinct) when the answer may be approximate."""
+    ev = read_table(spark, sf_dir, "events").select("event_type", "user_id")
+    h = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    base = ev.select(
+        "event_type",
+        (h % HLL_M).alias("reg"),
+        F.floor(h / HLL_M).cast("long").alias("w"),
+    ).withColumn(
+        "rho",
+        F.when(F.col("w") == 0, F.lit(HLL_WBITS + 1)).otherwise(
+            (F.log2(F.col("w").bitwiseAND(-F.col("w"))) + 1).cast("long")
+        ),
+    )
+    per_scope = base.groupBy(F.col("event_type").alias("scope"), "reg").agg(
+        F.max("rho").alias("r")
+    )
+    merged = per_scope.groupBy("reg").agg(F.max("r").alias("r")).select(
+        F.lit("ALL").alias("scope"), "reg", "r"
+    )
+    regs = per_scope.unionByName(merged)
+    est = regs.groupBy("scope").agg(
+        (F.lit(HLL_M) - F.count(F.lit(1))).cast("long").alias("v_zero"),
+        (
+            F.sum(F.pow(F.lit(2.0), F.lit(HLL_WBITS + 1) - F.col("r")).cast("long"))
+            + (F.lit(HLL_M) - F.count(F.lit(1))) * F.lit(2**(HLL_WBITS + 1))
+        ).cast("long").alias("harm_int"),
+    )
+    raw = F.floor(F.lit(HLL_NUM * 2) / F.col("harm_int")).cast("long")
+    corrected = F.when(
+        (raw <= F.lit(250 * HLL_M)) & (F.col("v_zero") > 0),
+        F.floor(F.lit(100.0 * HLL_M) * F.log(F.lit(float(HLL_M)) / F.col("v_zero"))),
+    ).otherwise(raw).cast("long")
+    exact = (
+        ev.groupBy(F.col("event_type").alias("scope"))
+        .agg(F.count_distinct("user_id").alias("exact_distinct"))
+        .unionByName(
+            ev.agg(F.count_distinct("user_id").alias("exact_distinct")).select(
+                F.lit("ALL").alias("scope"), "exact_distinct"
+            )
+        )
+    )
+    return (
+        est.select("scope", "v_zero", "harm_int", raw.alias("raw_x100"),
+                   corrected.alias("est_x100"))
+        .join(exact, "scope")
+    )
+
+
+ORACLE_HLL = f"""
+WITH base AS (
+  SELECT event_type,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h,
+         user_id
+  FROM events
+), rho_t AS (
+  SELECT event_type, h % {HLL_M} AS reg, CAST(floor(h / {HLL_M}) AS BIGINT) AS w,
+         user_id
+  FROM base
+), ranked AS (
+  SELECT event_type, reg,
+         CASE WHEN w = 0 THEN {HLL_WBITS + 1}
+              ELSE CAST(log2(CAST(w & (-w) AS DOUBLE)) + 1 AS BIGINT) END AS rho
+  FROM rho_t
+), per_scope AS (
+  SELECT event_type AS scope, reg, max(rho) AS r FROM ranked GROUP BY 1, 2
+), regs AS (
+  SELECT * FROM per_scope
+  UNION ALL
+  SELECT 'ALL' AS scope, reg, max(r) AS r FROM per_scope GROUP BY 2
+), est AS (
+  SELECT scope,
+         CAST({HLL_M} - count(*) AS BIGINT) AS v_zero,
+         CAST(sum(CAST(pow(2.0, {HLL_WBITS + 1} - r) AS BIGINT))
+              + ({HLL_M} - count(*)) * {2**(HLL_WBITS + 1)} AS BIGINT) AS harm_int
+  FROM regs GROUP BY scope
+), exact AS (
+  SELECT event_type AS scope, count(DISTINCT user_id) AS exact_distinct
+  FROM events GROUP BY 1
+  UNION ALL
+  SELECT 'ALL', count(DISTINCT user_id) FROM events
+)
+SELECT e.scope, v_zero, harm_int,
+       CAST(floor({HLL_NUM * 2!r} / harm_int) AS BIGINT) AS raw_x100,
+       CAST(CASE WHEN floor({HLL_NUM * 2!r} / harm_int) <= {250 * HLL_M}
+                  AND v_zero > 0
+                 THEN floor({100.0 * HLL_M} * ln({float(HLL_M)} / v_zero))
+                 ELSE floor({HLL_NUM * 2!r} / harm_int) END AS BIGINT) AS est_x100,
+       exact_distinct
+FROM est e JOIN exact x ON e.scope = x.scope
+"""
+
+
 # -- interval-overlap join (key-partitioned range join) ------------------------------
 
 
@@ -1874,6 +1997,7 @@ QUERIES = {
     "range_join_price_bands": range_join_price_bands,
     "sketch_kmv_distinct_parts": sketch_kmv_distinct_parts,
     "sketch_theta_setops": sketch_theta_setops,
+    "sketch_hll_mergeable": sketch_hll_mergeable,
     "interval_overlap_orders": interval_overlap_orders,
     "er_blocked_pairs": er_blocked_pairs,
     "setop_active_building_customers": setop_active_building_customers,
@@ -1909,6 +2033,7 @@ ORACLES = {
     "range_join_price_bands": ORACLE_RANGE_JOIN,
     "sketch_kmv_distinct_parts": ORACLE_KMV,
     "sketch_theta_setops": ORACLE_THETA,
+    "sketch_hll_mergeable": ORACLE_HLL,
     "interval_overlap_orders": ORACLE_INTERVAL_OVERLAP,
     "er_blocked_pairs": ORACLE_ER_BLOCKED,
     "setop_active_building_customers": ORACLE_SETOP,
