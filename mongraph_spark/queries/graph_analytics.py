@@ -1326,6 +1326,94 @@ FROM (SELECT * FROM a3 ORDER BY score DESC, node_id LIMIT {HITS_TOPK})
 ORACLE_HITS = _hits_oracle()
 
 
+# -- Adamic-Adar link prediction -------------------------------------------------
+
+AA_HUB_CAP = 50  # common neighbors above this degree are skipped (hub exclusion)
+AA_TOP = 100
+
+
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the co-purchase graph: for part
+    pairs NOT yet co-purchased, score Σ_z 1/ln(deg(z)) over their common
+    neighbors z — rare shared neighbors count more than hubs — and emit
+    the top 100 predicted links.  The standard link-prediction baseline
+    (friend suggestion, next-basket recommendation).
+
+    Engine-deterministic: each 1/ln(deg) term is floored to basis points
+    BEFORE summation, so the score is an exact integer sum (no float
+    accumulation-order exposure across engines or Spark partitionings).
+
+    Scale shape: candidates come from ONE self-join of the symmetric edge
+    list keyed on the common neighbor — Σ deg(z)² pairs, with hubs above
+    deg 50 excluded as intermediates (their terms are the smallest, and
+    the cap is what bounds the quadratic fan-out at 100 TB; same cap in
+    the oracle).  Existing edges drop via a left-anti join, the head is
+    TakeOrderedAndProject — never a global sort."""
+    pairs = graph_copurchase_pairs(spark, sf_dir)
+    sym = pairs.select(F.col("part_a").alias("u"), F.col("part_b").alias("v")).union(
+        pairs.select(F.col("part_b").alias("u"), F.col("part_a").alias("v"))
+    )
+    deg = sym.groupBy(F.col("u").alias("z")).agg(F.count(F.lit(1)).alias("deg_z"))
+    thru = deg.filter((F.col("deg_z") >= 2) & (F.col("deg_z") <= AA_HUB_CAP))
+    nbrs = sym.select(F.col("v").alias("z"), F.col("u").alias("p")).join(thru, "z")
+    cand = (
+        nbrs.select("z", F.col("p").alias("part_a"), "deg_z")
+        .join(nbrs.select("z", F.col("p").alias("part_b")), "z")
+        .filter(F.col("part_a") < F.col("part_b"))
+    )
+    scored = (
+        cand.join(pairs.select("part_a", "part_b"), ["part_a", "part_b"], "left_anti")
+        .withColumn(
+            "term_bp", F.floor(F.lit(10000.0) / F.log(F.col("deg_z"))).cast("long")
+        )
+        .groupBy("part_a", "part_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum("term_bp").cast("long").alias("aa_bp"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("aa_bp"), F.asc("part_a"), F.asc("part_b")
+    ).limit(AA_TOP)
+
+
+ORACLE_ADAMIC_ADAR = tpch.oracle_with(
+    f"""SELECT part_a, part_b, n_common, aa_bp FROM (
+  SELECT c.part_a, c.part_b, count(*) AS n_common,
+         CAST(sum(CAST(floor(10000.0 / ln(deg_z)) AS BIGINT)) AS BIGINT) AS aa_bp
+  FROM (
+    SELECT n1.p AS part_a, n2.p AS part_b, n1.z, n1.deg_z
+    FROM nbrs n1 JOIN nbrs n2 ON n1.z = n2.z AND n1.p < n2.p
+  ) c
+  LEFT JOIN pairs e ON e.part_a = c.part_a AND e.part_b = c.part_b
+  WHERE e.part_a IS NULL
+  GROUP BY c.part_a, c.part_b
+)
+ORDER BY aa_bp DESC, part_a, part_b
+LIMIT {AA_TOP}""",
+    extra_ctes=f"""contains_el AS (
+  SELECT DISTINCT src AS order_id, dst AS part_id FROM g_edges WHERE type = 'contains'
+),
+pairs AS (
+  SELECT a.part_id AS part_a, b.part_id AS part_b, count(*) AS n_orders
+  FROM contains_el a JOIN contains_el b
+    ON a.order_id = b.order_id AND a.part_id < b.part_id
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+sym AS (
+  SELECT part_a AS u, part_b AS v FROM pairs
+  UNION ALL SELECT part_b, part_a FROM pairs
+),
+degs AS (
+  SELECT u AS z, count(*) AS deg_z FROM sym GROUP BY u
+  HAVING count(*) >= 2 AND count(*) <= {AA_HUB_CAP}
+),
+nbrs AS (
+  SELECT s.v AS z, s.u AS p, d.deg_z FROM sym s JOIN degs d ON s.v = d.z
+)""",
+)
+
+
 QUERIES = {
     # degree_distribution + copurchase_pairs ride the merged
     # graph_degree_copurchase row (functions kept for internal callers)
@@ -1344,6 +1432,7 @@ QUERIES = {
     "graph_hits": graph_hits,
     "graph_closeness_landmarks": graph_closeness_landmarks,
     "graph_random_walks": graph_random_walks,
+    "graph_adamic_adar": graph_adamic_adar,
 }
 
 ORACLES = {
@@ -1366,4 +1455,5 @@ ORACLES = {
     "graph_hits": ORACLE_HITS,
     "graph_closeness_landmarks": ORACLE_CLOSENESS,
     "graph_random_walks": ORACLE_WALKS,
+    "graph_adamic_adar": ORACLE_ADAMIC_ADAR,
 }

@@ -436,11 +436,157 @@ GROUP BY 1
 ORACLE_ZORDER = _zorder_oracle()
 
 
+# -- bloom-filter data skipping --------------------------------------------------
+
+BLOOM_NB = 16  # store buckets (o_custkey % 16)
+BLOOM_WORDS = 16
+BLOOM_WBITS = 62  # bits per word kept < 2^62 so masks stay positive BIGINT
+BLOOM_M = BLOOM_WORDS * BLOOM_WBITS  # 992 bits (~10+ bits/key at sf0.01)
+BLOOM_PROBES = 30  # 30 present custkeys + 30 absent ones
+
+
+def bloom_filter_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter data skipping for point lookups — the metadata that
+    min/max zone maps (see :func:`zorder_data_skipping`) cannot provide
+    for high-cardinality keys: per-bucket 248-bit blooms (4×62-bit words,
+    2 md5-derived hashes) over o_custkey, probed with 60 keys.  Each probe
+    reports how many of the 16 buckets the bloom says MAY contain the key
+    vs. the single bucket that actually does — i.e. exactly how many
+    bucket reads the filter skips, false positives included.
+
+    Engine-deterministic: hashes are md5 prefixes, bit masks are exact
+    powers of two ≤ 2^61, and the filter words are integer bit_or
+    aggregates — no floats anywhere.
+
+    Scale shape: the build is one combiner-friendly (bucket, word) bit_or
+    aggregation over the distinct keys (bloom words OR associatively, so
+    partial aggregation absorbs everything map-side — this mergeability
+    is why blooms work as distributed file metadata); the probe is a
+    16-row broadcast against the probe set.  At 100 TB the bloom table
+    stays bytes-per-file while the data grows — the whole point."""
+    orders = read_table(spark, sf_dir, "orders")
+    keys = orders.select(F.col("o_custkey").alias("key")).distinct().withColumn(
+        "bucket", F.col("key") % BLOOM_NB
+    )
+
+    def bit_of(col: F.Column, salt: int) -> F.Column:
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(col.cast("string"), F.lit(f"#{salt}"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % BLOOM_M
+        )
+
+    def word_mask(bit: F.Column) -> tuple[F.Column, F.Column]:
+        return (
+            F.floor(bit / BLOOM_WBITS).cast("int"),
+            F.pow(F.lit(2.0), bit % BLOOM_WBITS).cast("long"),
+        )
+
+    bits = keys.select(
+        "bucket", F.explode(F.array(bit_of(F.col("key"), 1), bit_of(F.col("key"), 2))).alias("bit")
+    )
+    w, m = word_mask(F.col("bit"))
+    blooms = (
+        bits.select("bucket", w.alias("word"), m.alias("mask"))
+        .groupBy("bucket")
+        .agg(
+            *[
+                F.bit_or(
+                    F.when(F.col("word") == i, F.col("mask")).otherwise(F.lit(0))
+                ).alias(f"w{i}")
+                for i in range(BLOOM_WORDS)
+            ]
+        )
+    )
+    probes = (
+        spark.range(1, BLOOM_PROBES + 1)
+        .union(spark.range(1_000_001, 1_000_001 + BLOOM_PROBES))
+        .select(F.col("id").alias("probe_key"))
+    )
+    b1, b2 = bit_of(F.col("probe_key"), 1), bit_of(F.col("probe_key"), 2)
+    w1, m1 = word_mask(b1)
+    w2, m2 = word_mask(b2)
+    probed = probes.crossJoin(F.broadcast(blooms)).select(
+        "probe_key",
+        "bucket",
+        (
+            (F.element_at(F.array(*[F.col(f"w{i}") for i in range(BLOOM_WORDS)]), w1 + 1).bitwiseAND(m1) != 0)
+            & (F.element_at(F.array(*[F.col(f"w{i}") for i in range(BLOOM_WORDS)]), w2 + 1).bitwiseAND(m2) != 0)
+        ).cast("long").alias("maybe"),
+    )
+    actual = keys.select(F.col("key").alias("probe_key")).withColumn(
+        "n_actual", F.lit(1).cast("long")
+    )
+    return (
+        probed.groupBy("probe_key")
+        .agg(F.sum("maybe").cast("long").alias("n_maybe"))
+        .join(actual, "probe_key", "left")
+        .select(
+            "probe_key",
+            F.coalesce("n_actual", F.lit(0)).cast("long").alias("n_actual"),
+            "n_maybe",
+            (F.lit(BLOOM_NB) - F.col("n_maybe")).cast("long").alias("n_skipped"),
+        )
+    )
+
+
+def _bloom_oracle() -> str:
+    def bit_sql(expr: str, salt: int) -> str:
+        return (
+            f"(('0x' || substr(md5(CAST({expr} AS VARCHAR) || '#{salt}'), 1, 8))::BIGINT"
+            f" % {BLOOM_M})"
+        )
+
+    words_sel = ", ".join(
+        f"bit_or(CASE WHEN bit // {BLOOM_WBITS} = {i}"
+        f" THEN CAST(pow(2.0, bit % {BLOOM_WBITS}) AS BIGINT) ELSE 0 END) AS w{i}"
+        for i in range(BLOOM_WORDS)
+    )
+    warr = "[" + ", ".join(f"w{i}" for i in range(BLOOM_WORDS)) + "]"
+    b1, b2 = bit_sql("probe_key", 1), bit_sql("probe_key", 2)
+    return f"""
+WITH keys AS (
+  SELECT DISTINCT o_custkey AS key, o_custkey % {BLOOM_NB} AS bucket FROM orders
+), bits AS (
+  SELECT bucket, {bit_sql("key", 1)} AS bit FROM keys
+  UNION ALL
+  SELECT bucket, {bit_sql("key", 2)} AS bit FROM keys
+), blooms AS (
+  SELECT bucket, {words_sel} FROM bits GROUP BY bucket
+), probes AS (
+  SELECT unnest(range(1, {BLOOM_PROBES + 1})) AS probe_key
+  UNION ALL
+  SELECT unnest(range(1000001, {1000001 + BLOOM_PROBES})) AS probe_key
+), probed AS (
+  SELECT probe_key, bucket,
+         CASE WHEN ({warr}[CAST({b1} // {BLOOM_WBITS} AS INT) + 1]
+                    & CAST(pow(2.0, {b1} % {BLOOM_WBITS}) AS BIGINT)) <> 0
+               AND ({warr}[CAST({b2} // {BLOOM_WBITS} AS INT) + 1]
+                    & CAST(pow(2.0, {b2} % {BLOOM_WBITS}) AS BIGINT)) <> 0
+              THEN 1 ELSE 0 END AS maybe
+  FROM probes CROSS JOIN blooms
+)
+SELECT p.probe_key,
+       CAST(CASE WHEN k.key IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS n_actual,
+       CAST(sum(maybe) AS BIGINT) AS n_maybe,
+       CAST({BLOOM_NB} - sum(maybe) AS BIGINT) AS n_skipped
+FROM probed p LEFT JOIN keys k ON p.probe_key = k.key
+GROUP BY p.probe_key, k.key
+"""
+
+
+ORACLE_BLOOM = _bloom_oracle()
+
+
 QUERIES = {
     "dq_expectations": dq_expectations,
     "store_compaction": store_compaction,
     "store_merge_into": store_merge_into,
     "zorder_data_skipping": zorder_data_skipping,
+    "bloom_filter_skipping": bloom_filter_skipping,
 }
 
 ORACLES = {
@@ -448,4 +594,5 @@ ORACLES = {
     "store_compaction": ORACLE_COMPACTION,
     "store_merge_into": ORACLE_MERGE_INTO,
     "zorder_data_skipping": ORACLE_ZORDER,
+    "bloom_filter_skipping": ORACLE_BLOOM,
 }

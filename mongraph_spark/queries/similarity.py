@@ -553,6 +553,150 @@ GROUP BY b.q_id
 """
 
 
+# -- maximal marginal relevance (diversified top-k) ------------------------------
+
+MMR_POOL = 20  # candidate pool = top-20 by query relevance
+MMR_K = 5  # diversified picks
+MMR_REL_W, MMR_DIV_W = 7, 3  # lambda = 0.7, scaled x10 to stay integer
+
+
+def ann_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance retrieval: from the top-20 candidates by
+    cosine relevance to the anchor (vec_id 0), greedily pick 5 results
+    maximizing  7·rel − 3·max_sim(candidate, already-picked)  — the
+    diversified top-k used to de-redundify RAG context windows and search
+    results.
+
+    Engine-deterministic: relevance and pairwise similarity are floored to
+    integer basis points BEFORE the greedy loop, so selection compares
+    integers only (ties break on vec_id) and the oracle unrolls the same
+    5 greedy steps as chained SQL CTEs.
+
+    Scale shape: the DISTRIBUTED work is the relevance top-20
+    (TakeOrderedAndProject over a broadcast-query map-only scan) and the
+    20×20 pairwise-sim join; the greedy loop itself is inherently
+    sequential over ≤20+380 collected integer rows — a bounded_collect
+    (provably ≤ pool² rows), not a scale risk.  At 100 TB only the pool
+    scan grows; the MMR step is unchanged."""
+    from mongraph_spark.sparkutil import bounded_collect
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").cast("array<double>").alias("c_vec"),
+    )
+    anchor = corpus.filter(F.col("c_id") == 0).select(
+        F.col("c_vec").alias("q_vec")
+    )
+    dot_q = F.expr(
+        "aggregate(zip_with(q_vec, c_vec, (x, y) -> x * y), CAST(0.0 AS DOUBLE),"
+        " (acc, v) -> acc + v)"
+    )
+    qn = F.expr(
+        "aggregate(transform(q_vec, x -> x * x), CAST(0.0 AS DOUBLE), (a, v) -> a + v)"
+    )
+    cn = F.expr(
+        "aggregate(transform(c_vec, x -> x * x), CAST(0.0 AS DOUBLE), (a, v) -> a + v)"
+    )
+    pool = (
+        corpus.filter(F.col("c_id") != 0)
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "c_id",
+            "c_vec",
+            F.floor(F.lit(10000) * dot_q / (F.sqrt(qn) * F.sqrt(cn)))
+            .cast("long")
+            .alias("rel_bp"),
+        )
+        .orderBy(F.desc("rel_bp"), F.asc("c_id"))
+        .limit(MMR_POOL)
+    )
+    a = pool.select(F.col("c_id").alias("a_id"), F.col("c_vec").alias("q_vec"))
+    b = pool.select(F.col("c_id").alias("b_id"), "c_vec")
+    psim = (
+        a.join(F.broadcast(b), a.a_id != b.b_id)
+        .select(
+            "a_id",
+            "b_id",
+            F.floor(F.lit(10000) * dot_q / (F.sqrt(qn) * F.sqrt(cn)))
+            .cast("long")
+            .alias("sim_bp"),
+        )
+    )
+    pool_rows = bounded_collect(pool.select("c_id", "rel_bp"), context="mmr_pool")
+    sim_rows = bounded_collect(psim, context="mmr_pairs")
+    rel = {r.c_id: r.rel_bp for r in pool_rows}
+    sim = {(r.a_id, r.b_id): r.sim_bp for r in sim_rows}
+    picked: list[tuple] = []
+    selected: list[int] = []
+    for step in range(1, MMR_K + 1):
+        best = None
+        for cid, r in sorted(rel.items()):
+            if cid in selected:
+                continue
+            if not selected:
+                score = MMR_REL_W * r
+            else:
+                score = MMR_REL_W * r - MMR_DIV_W * max(
+                    sim[(cid, s)] for s in selected
+                )
+            if best is None or score > best[1]:
+                best = (cid, score)
+        picked.append((step, best[0], rel[best[0]], best[1]))
+        selected.append(best[0])
+    return spark.createDataFrame(
+        picked, "step int, c_id long, rel_bp long, mmr_x10 long"
+    )
+
+
+def _oracle_mmr() -> str:
+    dot = (
+        "list_sum(list_transform(range(1, len(q_vec) + 1), i -> q_vec[i] * c_vec[i]))"
+    )
+    head = f"""
+WITH corpus AS (
+  SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS c_vec FROM embeddings
+),
+anchor AS (SELECT c_vec AS q_vec FROM corpus WHERE c_id = 0),
+pool AS (
+  SELECT c_id, c_vec,
+         CAST(floor(10000 * {dot}
+           / (sqrt(list_sum(list_transform(q_vec, x -> x * x)))
+              * sqrt(list_sum(list_transform(c_vec, x -> x * x))))) AS BIGINT) AS rel_bp
+  FROM corpus CROSS JOIN anchor WHERE c_id <> 0
+  ORDER BY rel_bp DESC, c_id LIMIT {MMR_POOL}
+),
+psim AS (
+  SELECT p1.c_id AS a_id, p2.c_id AS b_id,
+         CAST(floor(10000 * list_sum(list_transform(range(1, len(p1.c_vec) + 1),
+                                                    i -> p1.c_vec[i] * p2.c_vec[i]))
+           / (sqrt(list_sum(list_transform(p1.c_vec, x -> x * x)))
+              * sqrt(list_sum(list_transform(p2.c_vec, x -> x * x))))) AS BIGINT)
+           AS sim_bp
+  FROM pool p1 JOIN pool p2 ON p1.c_id <> p2.c_id
+),
+sel1 AS (SELECT c_id, rel_bp, CAST({MMR_REL_W} * rel_bp AS BIGINT) AS mmr
+         FROM pool ORDER BY rel_bp DESC, c_id LIMIT 1),
+selall1 AS (SELECT c_id FROM sel1)"""
+    stages = []
+    for t in range(2, MMR_K + 1):
+        stages.append(f""",
+cand{t} AS (
+  SELECT p.c_id, p.rel_bp,
+         CAST({MMR_REL_W} * p.rel_bp - {MMR_DIV_W} * max(s.sim_bp) AS BIGINT) AS mmr
+  FROM pool p JOIN psim s ON s.a_id = p.c_id
+  WHERE s.b_id IN (SELECT c_id FROM selall{t - 1})
+    AND p.c_id NOT IN (SELECT c_id FROM selall{t - 1})
+  GROUP BY p.c_id, p.rel_bp
+),
+sel{t} AS (SELECT c_id, rel_bp, mmr FROM cand{t} ORDER BY mmr DESC, c_id LIMIT 1),
+selall{t} AS (SELECT c_id FROM selall{t - 1} UNION ALL SELECT c_id FROM sel{t})""")
+    finals = ["SELECT 1 AS step, c_id, rel_bp, mmr AS mmr_x10 FROM sel1"] + [
+        f"SELECT {t}, c_id, rel_bp, mmr FROM sel{t}" for t in range(2, MMR_K + 1)
+    ]
+    return head + "".join(stages) + "\n" + "\nUNION ALL ".join(finals)
+
+
 QUERIES = {
     "ann_recall_report": ann_recall_report,
     "embedding_kmeans": embedding_kmeans,
@@ -561,6 +705,7 @@ QUERIES = {
     "ann_ivf": ann_ivf,
     "embedding_centroids": embedding_centroids,
     "embedding_covariance": embedding_covariance,
+    "ann_mmr_diversified": ann_mmr_diversified,
 }
 
 ORACLES = {
@@ -571,4 +716,5 @@ ORACLES = {
     "ann_ivf": ORACLE_IVF,
     "embedding_centroids": ORACLE_CENTROIDS,
     "embedding_covariance": ORACLE_COVARIANCE,
+    "ann_mmr_diversified": _oracle_mmr(),
 }
