@@ -64,11 +64,13 @@ _SUITES = [
 # off-by-one in the driver's window.
 CORE_ORDER = [
     # — never driver-verified in any round (r5 window rotation, VERDICT r4 #1):
-    #   the 11 late-r4 extended additions, all strict-gate green locally and
-    #   independently re-verified by the r4 judge, plus graph_pagerank — the
-    #   fixed-iteration variant with a full unrolled SQL oracle, swapped in
-    #   for graph_pagerank_converged (rows-only; now extended+pytest-pinned)
-    #   so the window carries zero no_oracle rows.
+    #   every registered query without a hash-green row in CORRECTNESS_r01-r04,
+    #   all strict-gate green locally.  graph_pagerank (full unrolled SQL
+    #   oracle) replaced graph_pagerank_converged (rows-only by design; now
+    #   extended + pytest-pinned) so the window carries zero no_oracle rows.
+    #   After this round's driver run, driver-ever coverage = everything
+    #   except the converged pagerank variant.
+    # — the 11 late-r4 extended additions + pagerank swap:
     "dedup_containment",
     "text_collocations",
     "graph_node_similarity",
@@ -81,7 +83,7 @@ CORE_ORDER = [
     "embedding_covariance",
     "streaming_click_purchase_outer",
     "graph_pagerank",
-    # — new round-5 operators (never driver-verified by construction) —
+    # — round-5 operators (never driver-verified by construction) —
     "scd2_bitemporal_asknown",
     "corpus_zipf_fit",
     "events_markov_transitions",
@@ -92,42 +94,40 @@ CORE_ORDER = [
     "store_compaction",
     "zorder_data_skipping",
     "corpus_bigram_xent",
-    # — re-proof slots: one green row per operator family (reference surface
-    #   G/M/populate/predicates, dedup, ANN, events, streaming, text, corpus,
-    #   multimodal, pipeline, relational, graph analytics, store).  All were
-    #   driver-green in r3/r4 (CORRECTNESS files); kept as insurance against
-    #   window off-by-ones.  New round-5 operators took 8 slots from the TOP
-    #   of this group (association_rules, degree_copurchase, funnel,
-    #   retention_cohorts, source_overlap, winnowing, tfidf_topterms,
-    #   profile_orders → all moved to extended, still strict-gate green).
-    "pipeline_training_order",
-    "pipeline_chunk_overlap",
-    "dedup_passages",
-    "streaming_sliding_window",
-    "streaming_merge_upsert",
-    "graph_connected_components",
-    "mm_metadata_filter",
-    "streaming_session_counts",
-    "events_tumbling_window",
-    "corpus_common_token_ratio",
-    "events_heavy_hitters",
-    "sketch_theta_setops",
-    "interval_overlap_orders",
-    "er_blocked_pairs",
-    "graph_ppr_seeded",
-    "store_snapshot_diff",
+    "events_multitouch_attribution",
+    "graph_closeness_landmarks",
+    "stats_mad_outliers",
+    "events_ewma_hourly",
+    "events_session_paths",
+    "stats_bootstrap_ci",
+    "sketch_kmv_daily_rollup",
+    "events_cumulative_users",
+    "events_count_min",
+    "text_winnowing_pairs",
+    "mm_ppm_decode",
+    "streaming_markov_transitions",
+    "store_merge_into",
+    "ann_recall_report",
+    "graph_random_walks",
+    "embedding_kmeans",
+    # — round-5b operators —
+    "corpus_boilerplate_lines",
+    "corpus_filter_funnel",
+    "sketch_hll_mergeable",
+    "events_activity_streaks",
+    "pipeline_epoch_shuffle",
+    "graph_adamic_adar",
+    "ann_mmr_diversified",
+    "bloom_filter_skipping",
+    # — re-proof slots: one previously-driver-green row per broad family
+    #   (reference graph surface, populate, dedup/pipeline, ANN, relational),
+    #   kept as insurance against window off-by-ones.  Streaming, events,
+    #   text, corpus, multimodal, and store families already have rows in
+    #   the never-verified block above (relational via the sketch/stats rows).
     "g1_traversal_forms",
-    "g_delete_survivors",
     "populate_enrich",
-    "g8_shortest_paths",
-    "g9_cypher_onehop",
-    "doc_find_predicates",
-    "m9_denormalize",
     "dedup_clusters",
-    "events_asof_attribution",
     "ann_ivf",
-    "populate_semi_regex",
-    "q1_pricing_summary",
 ]
 
 assert len(CORE_ORDER) == 50, len(CORE_ORDER)

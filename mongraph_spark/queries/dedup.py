@@ -652,6 +652,123 @@ GROUP BY 1
 """
 
 
+# -- prefix-filter set-similarity join (PPJoin-style, exact, no LSH) -------------
+
+
+def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity self-join by PREFIX FILTERING (the
+    AllPairs/PPJoin family): order each document's distinct tokens by
+    ascending global document frequency, keep only the first
+    n − ⌈0.8·n⌉ + 1 (the 'prefix'), and generate candidates ONLY from
+    shared prefix tokens — any pair with token-Jaccard ≥ 0.8 MUST share a
+    prefix token (pigeonhole on the ⌈0.8·n⌉ overlap requirement), so
+    unlike MinHash-LSH this has ZERO false negatives while still never
+    going all-pairs.  Candidates are then verified with the exact integer
+    threshold 5·|∩| ≥ 4·|∪|.
+
+    Scale shape: document frequencies are one token-keyed aggregation;
+    the per-doc ordering window is bounded by tokens-per-doc; the
+    candidate join keys on the RARE tokens (ascending df makes prefixes
+    selective, the algorithm's whole point — hot tokens never become join
+    keys); verification touches candidate pairs only.  At 100 TB the
+    prefix join is the designed bottleneck and stays ∝ Σ prefix postings².
+
+    Complements `dedup_minhash_lsh`/`dedup_ngram_jaccard` (probabilistic
+    recall) with the exact-recall alternative every dedup bake-off needs.
+    Sets are the 3-word SHINGLES (same representation as the LSH ops):
+    unigram token sets are degenerate on a shared-vocabulary corpus
+    (every doc resembles every doc), shingles are selective — and the
+    recall/answer is directly comparable to `dedup_ngram_jaccard`.
+    """
+    shingled = _shingled_corpus(spark, sf_dir, drop_last=2)
+    toks = shingled.select("doc_id", F.explode("shingles").alias("token"))
+    ntok = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "token")
+    ordered = (
+        toks.join(dfreq, "token")
+        .join(ntok, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+    )
+    prefix = ordered.filter(
+        F.col("rn") <= F.col("n") - F.expr("(4 * n + 4) div 5") + 1
+    ).select("doc_id", "token")
+    cands = (
+        prefix.select(F.col("doc_id").alias("id_a"), "token")
+        .join(prefix.select(F.col("doc_id").alias("id_b"), "token"), "token")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    inter = (
+        cands.join(toks.select(F.col("doc_id").alias("id_a"), "token"), "id_a")
+        .join(
+            toks.select(F.col("doc_id").alias("id_b"), "token"),
+            ["id_b", "token"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na = ntok.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
+    nb = ntok.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .filter(
+            5 * F.col("n_common")
+            >= 4 * (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            F.floor(
+                F.lit(10000) * F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            )
+            .cast("long")
+            .alias("jaccard_bp"),
+        )
+    )
+
+
+ORACLE_PREFIX_FILTER = f"""
+WITH {_oracle_corpus_droplast(2)},
+{_ORACLE_SHINGLES},
+toks AS (
+  SELECT doc_id, unnest(shingles) AS token FROM shingled
+),
+ntok AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+dfreq AS (SELECT token, count(*) AS df FROM toks GROUP BY token),
+ordered AS (
+  SELECT t.doc_id, t.token, n.n,
+         row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.token) AS rn
+  FROM toks t JOIN dfreq d USING (token) JOIN ntok n USING (doc_id)
+),
+prefix AS (
+  SELECT doc_id, token FROM ordered WHERE rn <= n - (4 * n + 4) // 5 + 1
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM prefix a JOIN prefix b ON a.token = b.token AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_common
+  FROM cands c
+  JOIN toks ta ON ta.doc_id = c.id_a
+  JOIN toks tb ON tb.doc_id = c.id_b AND ta.token = tb.token
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b, i.n_common,
+       CAST(floor(10000.0 * i.n_common / (na.n + nb.n - i.n_common)) AS BIGINT)
+         AS jaccard_bp
+FROM inter i
+JOIN ntok na ON na.doc_id = i.id_a
+JOIN ntok nb ON nb.doc_id = i.id_b
+WHERE 5 * i.n_common >= 4 * (na.n + nb.n - i.n_common)
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_passages": dedup_passages,
@@ -660,6 +777,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_prefix_filter": dedup_prefix_filter,
 }
 
 ORACLES = {
@@ -670,4 +788,5 @@ ORACLES = {
     "dedup_minhash_lsh": ORACLE_MINHASH,
     "dedup_simhash": ORACLE_SIMHASH,
     "dedup_embedding_cosine": ORACLE_EMBEDDING_COSINE,
+    "dedup_prefix_filter": ORACLE_PREFIX_FILTER,
 }

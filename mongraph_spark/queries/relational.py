@@ -606,6 +606,144 @@ FROM est e JOIN exact x ON e.scope = x.scope
 """
 
 
+# -- mergeable equi-width histogram quantile sketch ----------------------------------
+
+HIST_BINS = 64
+HIST_QS = (50, 90, 99)  # percentiles reported
+
+
+def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable equi-width histogram quantile sketch over event values:
+    per-event_type 64-bin integer histograms (values snapped to exact
+    cents first), merged register-wise into an 'ALL' row by SUMMING bin
+    counts — the mergeability that lets percentile dashboards aggregate
+    per-partition synopses instead of sorting 100 TB.  Reports the
+    histogram's p50/p90/p99 estimate (lower bin edge) NEXT TO the exact
+    discrete percentile, so the sketch error is part of the evidence row.
+
+    Engine-deterministic: cents = round(value*100) is a single IEEE
+    multiply + half-away round in both engines (exact-.5 cases cannot
+    arise: (k+.5)/100 is never binary-representable), and everything
+    after — bin = (cents-min)*64 div (range+1), cumulative counts, edge
+    arithmetic — is integer.
+
+    Scale shape: the sketch is ONE combiner-friendly (scope, bin)
+    aggregation (map-side partials absorb everything; the exchange is
+    O(scopes × bins) like the HLL op); the exact percentiles alongside
+    cost a per-scope sort at this SF and are precisely what you would NOT
+    compute at 100 TB — the sketch row is the product, the exact row is
+    the test."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    rng = ev.agg(
+        F.min("cents").alias("minc"), F.max("cents").alias("maxc")
+    )
+    binned = ev.crossJoin(F.broadcast(rng)).select(
+        "event_type",
+        "cents",
+        "minc",
+        "maxc",
+        F.expr(f"(cents - minc) * {HIST_BINS} div (maxc - minc + 1)").alias("bin"),
+    )
+    per_scope = binned.groupBy(
+        F.col("event_type").alias("scope"), "bin", "minc", "maxc"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    merged = per_scope.groupBy("bin", "minc", "maxc").agg(
+        F.sum("n").alias("n")
+    ).select(F.lit("ALL").alias("scope"), "bin", "minc", "maxc", "n")
+    hist = per_scope.unionByName(merged)
+    wcum = Window.partitionBy("scope").orderBy("bin")
+    cum = hist.withColumn("cum", F.sum("n").over(wcum)).withColumn(
+        "total", F.sum("n").over(Window.partitionBy("scope"))
+    )
+    est_cols = []
+    for q in HIST_QS:
+        # smallest bin whose cumulative count reaches ceil(q% of total)
+        target = F.ceil(F.col("total") * q / 100)
+        est_cols.append(
+            F.min(
+                F.when(
+                    F.col("cum") >= target,
+                    F.col("minc")
+                    + F.expr(f"bin * (maxc - minc + 1) div {HIST_BINS}"),
+                )
+            ).alias(f"p{q}_est")
+        )
+    ests = cum.groupBy("scope").agg(*est_cols)
+    # exact discrete percentiles (the at-SF ground truth the sketch is judged by)
+    scoped = ev.select(F.col("event_type").alias("scope"), "cents").unionByName(
+        ev.select(F.lit("ALL").alias("scope"), "cents")
+    )
+    wr = Window.partitionBy("scope").orderBy("cents")
+    ranked = scoped.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "total", F.count(F.lit(1)).over(Window.partitionBy("scope"))
+    )
+    exact = ranked.groupBy("scope").agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("rn") == F.ceil(F.col("total") * q / 100), F.col("cents")
+                )
+            ).alias(f"p{q}_exact")
+            for q in HIST_QS
+        ]
+    )
+    return ests.join(exact, "scope")
+
+
+ORACLE_HISTOGRAM = f"""
+WITH ev AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+), rng AS (
+  SELECT min(cents) AS minc, max(cents) AS maxc FROM ev
+), binned AS (
+  SELECT event_type, cents, minc, maxc,
+         (cents - minc) * {HIST_BINS} // (maxc - minc + 1) AS bin
+  FROM ev CROSS JOIN rng
+), per_scope AS (
+  SELECT event_type AS scope, bin, minc, maxc, count(*) AS n
+  FROM binned GROUP BY 1, 2, 3, 4
+), hist AS (
+  SELECT * FROM per_scope
+  UNION ALL
+  SELECT 'ALL', bin, minc, maxc, sum(n) FROM per_scope GROUP BY 2, 3, 4
+), cum AS (
+  SELECT scope, bin, minc, maxc, n,
+         sum(n) OVER (PARTITION BY scope ORDER BY bin) AS cum,
+         sum(n) OVER (PARTITION BY scope) AS total
+  FROM hist
+), ests AS (
+  SELECT scope,
+         {", ".join(
+             f'''min(CASE WHEN cum >= ceil(total * {q} / 100)
+                 THEN minc + bin * (maxc - minc + 1) // {HIST_BINS} END) AS p{q}_est'''
+             for q in HIST_QS
+         )}
+  FROM cum GROUP BY scope
+), scoped AS (
+  SELECT event_type AS scope, cents FROM ev
+  UNION ALL SELECT 'ALL', cents FROM ev
+), ranked AS (
+  SELECT scope, cents,
+         row_number() OVER (PARTITION BY scope ORDER BY cents) AS rn,
+         count(*) OVER (PARTITION BY scope) AS total
+  FROM scoped
+), exact AS (
+  SELECT scope,
+         {", ".join(
+             f"min(CASE WHEN rn = ceil(total * {q} / 100) THEN cents END)"
+             f" AS p{q}_exact"
+             for q in HIST_QS
+         )}
+  FROM ranked GROUP BY scope
+)
+SELECT e.scope, {", ".join(f"p{q}_est" for q in HIST_QS)},
+       {", ".join(f"p{q}_exact" for q in HIST_QS)}
+FROM ests e JOIN exact x ON e.scope = x.scope
+"""
+
+
 # -- interval-overlap join (key-partitioned range join) ------------------------------
 
 
@@ -1998,6 +2136,7 @@ QUERIES = {
     "sketch_kmv_distinct_parts": sketch_kmv_distinct_parts,
     "sketch_theta_setops": sketch_theta_setops,
     "sketch_hll_mergeable": sketch_hll_mergeable,
+    "sketch_histogram_quantiles": sketch_histogram_quantiles,
     "interval_overlap_orders": interval_overlap_orders,
     "er_blocked_pairs": er_blocked_pairs,
     "setop_active_building_customers": setop_active_building_customers,
@@ -2034,6 +2173,7 @@ ORACLES = {
     "sketch_kmv_distinct_parts": ORACLE_KMV,
     "sketch_theta_setops": ORACLE_THETA,
     "sketch_hll_mergeable": ORACLE_HLL,
+    "sketch_histogram_quantiles": ORACLE_HISTOGRAM,
     "interval_overlap_orders": ORACLE_INTERVAL_OVERLAP,
     "er_blocked_pairs": ORACLE_ER_BLOCKED,
     "setop_active_building_customers": ORACLE_SETOP,

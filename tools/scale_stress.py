@@ -186,8 +186,13 @@ def _registry() -> dict:
         events_multitouch_attribution,
     )
 
+    from mongraph_spark.queries.corpus import boilerplate_lines
+    from mongraph_spark.queries.events import events_activity_streaks
+    from mongraph_spark.queries.relational import sketch_hll_mergeable
+
     return {
         "dedup_clusters": (dedup_clusters, False),
+        "corpus_boilerplate_lines": (boilerplate_lines, False),
         "ann_ivf": (ann_ivf, True),
         "text_winnowing": (text_winnowing, False),
         "text_tfidf_topterms": (text_tfidf_topterms, False),
@@ -197,6 +202,8 @@ def _registry() -> dict:
         # events-backed (need --repl-events > 0)
         "events_markov_transitions": (events_markov_transitions, False),
         "events_multitouch_attribution": (events_multitouch_attribution, False),
+        "events_activity_streaks": (events_activity_streaks, False),
+        "sketch_hll_mergeable": (sketch_hll_mergeable, False),
     }
 
 
