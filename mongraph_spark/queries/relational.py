@@ -514,10 +514,17 @@ def sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     no wide shuffle at all; this op is exactly what replaces
     count(distinct) when the answer may be approximate."""
     ev = read_table(spark, sf_dir, "events").select("event_type", "user_id")
+    per_scope = hll_register_table(ev)
+    return hll_finish(per_scope, ev)
+
+
+def hll_base(ev: DataFrame) -> DataFrame:
+    """(event_type, reg, rho) per event — the map-only sketch input.
+    Shared by the batch op and the streaming twin."""
     h = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10).cast(
         "long"
     )
-    base = ev.select(
+    return ev.select(
         "event_type",
         (h % HLL_M).alias("reg"),
         F.floor(h / HLL_M).cast("long").alias("w"),
@@ -527,9 +534,19 @@ def sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.log2(F.col("w").bitwiseAND(-F.col("w"))) + 1).cast("long")
         ),
     )
-    per_scope = base.groupBy(F.col("event_type").alias("scope"), "reg").agg(
+
+
+def hll_register_table(ev: DataFrame) -> DataFrame:
+    """(scope, reg, r): max-rho registers per event_type — the associative
+    aggregate that also runs unchanged as a streaming complete-mode agg."""
+    return hll_base(ev).groupBy(F.col("event_type").alias("scope"), "reg").agg(
         F.max("rho").alias("r")
     )
+
+
+def hll_finish(per_scope: DataFrame, ev_for_exact: DataFrame) -> DataFrame:
+    """Register-wise ALL merge + estimate + exact ride-along (shared by
+    the batch op and the streaming twin; see sketch_hll_mergeable)."""
     merged = per_scope.groupBy("reg").agg(F.max("r").alias("r")).select(
         F.lit("ALL").alias("scope"), "reg", "r"
     )
@@ -547,12 +564,12 @@ def sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.lit(100.0 * HLL_M) * F.log(F.lit(float(HLL_M)) / F.col("v_zero"))),
     ).otherwise(raw).cast("long")
     exact = (
-        ev.groupBy(F.col("event_type").alias("scope"))
+        ev_for_exact.groupBy(F.col("event_type").alias("scope"))
         .agg(F.count_distinct("user_id").alias("exact_distinct"))
         .unionByName(
-            ev.agg(F.count_distinct("user_id").alias("exact_distinct")).select(
-                F.lit("ALL").alias("scope"), "exact_distinct"
-            )
+            ev_for_exact.agg(
+                F.count_distinct("user_id").alias("exact_distinct")
+            ).select(F.lit("ALL").alias("scope"), "exact_distinct")
         )
     )
     return (

@@ -664,10 +664,39 @@ def streaming_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``sketch_hll_mergeable``: per-event_type
+    HyperLogLog registers maintained INCREMENTALLY by a complete-mode
+    streaming aggregation — max(rho) is associative and commutative, so
+    Structured Streaming's state store IS the sketch: O(scopes ×
+    registers) state forever, regardless of stream volume, and each
+    micro-batch folds its events into the registers map-side before the
+    state update.  The final micro-batch's register table feeds the same
+    merge/estimate arithmetic as the batch op, so the streaming answer is
+    REGISTER-EXACTLY the batch answer (shared ORACLE_HLL; equality pinned
+    in tests/test_streaming.py).
+
+    This is the production shape for live distinct-user dashboards at
+    100 TB/day: no count(distinct) over history, no per-user state — the
+    register vector is the whole memory."""
+    from mongraph_spark.queries.relational import hll_finish, hll_register_table
+
+    ev = events_stream(spark, sf_dir).select("event_type", "user_id")
+    regs_stream = hll_register_table(ev)
+    with _state_partitioning(spark, sf_dir):
+        regs = run_to_table(regs_stream, output_mode="complete")
+    from mongraph_spark.sparkutil import read_table
+
+    batch_ev = read_table(spark, sf_dir, "events").select("event_type", "user_id")
+    return hll_finish(regs, batch_ev)
+
+
 from mongraph_spark.queries.events import ORACLE_MARKOV as ORACLE_STREAM_MARKOV  # noqa: E402
+from mongraph_spark.queries.relational import ORACLE_HLL as ORACLE_STREAM_HLL  # noqa: E402
 
 
 QUERIES = {
+    "streaming_hll_distinct": streaming_hll_distinct,
     "streaming_tumbling_window": streaming_tumbling_window,
     "streaming_markov_transitions": streaming_markov_transitions,
     "streaming_sliding_window": streaming_sliding_window,
@@ -681,6 +710,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "streaming_hll_distinct": ORACLE_STREAM_HLL,
     "streaming_threshold_anomaly": ORACLE_STREAM_ANOMALY,
     "streaming_markov_transitions": ORACLE_STREAM_MARKOV,
     "streaming_click_purchase_outer": ORACLE_STREAM_OUTER,

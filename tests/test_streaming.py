@@ -59,3 +59,15 @@ def test_streaming_markov_equals_batch(spark):
     batch = sorted(map(tuple, events_markov_transitions(spark, sf).collect()))
     stream = sorted(map(tuple, streaming_markov_transitions(spark, sf).collect()))
     assert stream == batch
+
+
+def test_streaming_hll_equals_batch(spark):
+    """The streaming register store must reproduce the batch sketch
+    REGISTER-EXACTLY (max-rho is associative), so every derived column —
+    harmonics, raw and corrected estimates — is equal, not just close."""
+    from mongraph_spark.queries.relational import sketch_hll_mergeable
+    from mongraph_spark.streaming.events import streaming_hll_distinct
+
+    stream = streaming_hll_distinct(spark, SF_DIR)
+    batch = sketch_hll_mergeable(spark, SF_DIR)
+    assert _sorted_rows(stream, "scope") == _sorted_rows(batch, "scope")
