@@ -769,6 +769,94 @@ WHERE 5 * i.n_common >= 4 * (na.n + nb.n - i.n_common)
 """
 
 
+# -- cross-method recall report ---------------------------------------------------
+
+
+def dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Method bake-off on the planted ground truth: the corpus carries a
+    drop-2-words near-duplicate copy of every document (id ↔ id+1M), so
+    TRUTH = the planted pairs whose shingle-Jaccard actually clears 0.8 —
+    computable with ONE keyed join, no all-pairs.  Each dedup method's
+    found-pair set is then scored against it: pairs found, truth pairs
+    hit, recall in basis points.  Prefix filtering is exact-by-theorem
+    (recall must be 10000 — also pytest-pinned); MinHash-LSH's measured
+    recall quantifies the banding trade-off the same way
+    ``ann_recall_report`` quantifies IVF probe counts.
+
+    Scale shape: both found-sets are the (already bounded) outputs of the
+    underlying operators; truth is a key-equi join; the scoring is three
+    tiny aggregates.  This is the evaluation harness a production dedup
+    pipeline runs on seeded canaries after every config change."""
+    shingled = _shingled_corpus(spark, sf_dir, drop_last=2)
+    a = shingled.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = shingled.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    truth = (
+        a.join(b, F.col("id_b") == F.col("id_a") + ID_SHIFT)
+        .filter(5 * inter >= 4 * union)
+        .select("id_a", "id_b")
+    )
+
+    def score(method: str, found: DataFrame) -> DataFrame:
+        found = found.select("id_a", "id_b").distinct()
+        n_found = found.agg(F.count(F.lit(1)).alias("n_found"))
+        n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+        n_hit = found.join(truth, ["id_a", "id_b"], "left_semi").agg(
+            F.count(F.lit(1)).alias("n_hit")
+        )
+        return (
+            n_found.crossJoin(n_truth)
+            .crossJoin(n_hit)
+            .select(
+                F.lit(method).alias("method"),
+                "n_found",
+                "n_truth",
+                "n_hit",
+                F.floor(F.lit(10000) * F.col("n_hit") / F.col("n_truth"))
+                .cast("long")
+                .alias("recall_bp"),
+            )
+        )
+
+    return score("prefix_filter", dedup_prefix_filter(spark, sf_dir)).unionByName(
+        score("minhash_lsh_jaccard", dedup_ngram_jaccard(spark, sf_dir))
+    )
+
+
+def _oracle_recall_report() -> str:
+    truth = f"""
+truth AS (
+  WITH {_oracle_corpus_droplast(2)},
+  {_ORACLE_SHINGLES}
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM shingled a JOIN shingled b ON b.doc_id = a.doc_id + {ID_SHIFT}
+  WHERE 5 * len(list_intersect(a.shingles, b.shingles))
+        >= 4 * (len(a.shingles) + len(b.shingles)
+                - len(list_intersect(a.shingles, b.shingles)))
+)"""
+    return f"""
+WITH {truth.strip()},
+fp AS ({ORACLE_PREFIX_FILTER}),
+fl AS ({ORACLE_JACCARD})
+SELECT method, n_found, n_truth, n_hit,
+       CAST(floor(10000.0 * n_hit / n_truth) AS BIGINT) AS recall_bp
+FROM (
+  SELECT 'prefix_filter' AS method,
+         (SELECT count(*) FROM (SELECT DISTINCT id_a, id_b FROM fp)) AS n_found,
+         (SELECT count(*) FROM truth) AS n_truth,
+         (SELECT count(*) FROM (SELECT DISTINCT id_a, id_b FROM fp) f
+            JOIN truth t ON f.id_a = t.id_a AND f.id_b = t.id_b) AS n_hit
+  UNION ALL
+  SELECT 'minhash_lsh_jaccard',
+         (SELECT count(*) FROM (SELECT DISTINCT id_a, id_b FROM fl)),
+         (SELECT count(*) FROM truth),
+         (SELECT count(*) FROM (SELECT DISTINCT id_a, id_b FROM fl) f
+            JOIN truth t ON f.id_a = t.id_a AND f.id_b = t.id_b)
+)
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_passages": dedup_passages,
@@ -778,6 +866,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_prefix_filter": dedup_prefix_filter,
+    "dedup_recall_report": dedup_recall_report,
 }
 
 ORACLES = {
@@ -789,4 +878,5 @@ ORACLES = {
     "dedup_simhash": ORACLE_SIMHASH,
     "dedup_embedding_cosine": ORACLE_EMBEDDING_COSINE,
     "dedup_prefix_filter": ORACLE_PREFIX_FILTER,
+    "dedup_recall_report": _oracle_recall_report(),
 }

@@ -1326,6 +1326,75 @@ FROM (SELECT * FROM a3 ORDER BY score DESC, node_id LIMIT {HITS_TOPK})
 ORACLE_HITS = _hits_oracle()
 
 
+# -- per-edge triangle support (the k-truss building block) ----------------------
+
+
+def graph_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-edge triangle support histogram over the co-purchase graph:
+    for every edge (a, b), the number of triangles it participates in
+    (= connected common neighbors), rolled up as (support, n_edges) — the
+    building block of k-truss decomposition and the standard edge-strength
+    signal for community pruning.
+
+    Scale shape: ONE common-neighbor self-join of the symmetric edge list
+    keyed on the shared endpoint (Σ deg² candidate wedges, the same bound
+    as Adamic-Adar), then a semi-join against the edge set to keep only
+    CLOSED wedges — never enumerating triangles per edge.  The invariant
+    Σ support = 3 × triangle count is pinned against
+    :func:`graph_triangle_count` in tests.  All integer arithmetic."""
+    pairs = graph_copurchase_pairs(spark, sf_dir).select("part_a", "part_b")
+    sym = pairs.select(F.col("part_a").alias("u"), F.col("part_b").alias("v")).union(
+        pairs.select(F.col("part_b").alias("u"), F.col("part_a").alias("v"))
+    )
+    # wedges through z anchored at edge (a, b): neighbors z of a ...
+    wedges = pairs.join(
+        sym.select(F.col("u").alias("part_a"), F.col("v").alias("z")), "part_a"
+    ).filter(F.col("z") != F.col("part_b"))
+    # ... closed iff (b, z) is also an edge (canonical order for the probe)
+    closed = wedges.join(
+        pairs.select(
+            F.col("part_a").alias("blo"), F.col("part_b").alias("bhi")
+        ),
+        (F.least("part_b", "z") == F.col("blo"))
+        & (F.greatest("part_b", "z") == F.col("bhi")),
+        "left_semi",
+    )
+    support = closed.groupBy("part_a", "part_b").agg(
+        F.count(F.lit(1)).alias("support")
+    )
+    # edges in no triangle have support 0 — keep them in the histogram
+    all_edges = pairs.join(support, ["part_a", "part_b"], "left").select(
+        F.coalesce("support", F.lit(0)).cast("long").alias("support")
+    )
+    return all_edges.groupBy("support").agg(F.count(F.lit(1)).alias("n_edges"))
+
+
+ORACLE_EDGE_SUPPORT = tpch.oracle_with(
+    """SELECT support, count(*) AS n_edges FROM (
+  SELECT e.part_a, e.part_b,
+         CAST(count(CASE WHEN c.blo IS NOT NULL THEN 1 END) AS BIGINT) AS support
+  FROM pairs e
+  LEFT JOIN sym s ON s.u = e.part_a AND s.v <> e.part_b
+  LEFT JOIN (SELECT part_a AS blo, part_b AS bhi FROM pairs) c
+    ON c.blo = least(e.part_b, s.v) AND c.bhi = greatest(e.part_b, s.v)
+  GROUP BY e.part_a, e.part_b
+) GROUP BY support""",
+    extra_ctes="""contains_el AS (
+  SELECT DISTINCT src AS order_id, dst AS part_id FROM g_edges WHERE type = 'contains'
+),
+pairs AS (
+  SELECT a.part_id AS part_a, b.part_id AS part_b
+  FROM contains_el a JOIN contains_el b
+    ON a.order_id = b.order_id AND a.part_id < b.part_id
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+sym AS (
+  SELECT part_a AS u, part_b AS v FROM pairs
+  UNION ALL SELECT part_b, part_a FROM pairs
+)""",
+)
+
+
 # -- Adamic-Adar link prediction -------------------------------------------------
 
 AA_HUB_CAP = 50  # common neighbors above this degree are skipped (hub exclusion)
@@ -1433,6 +1502,7 @@ QUERIES = {
     "graph_closeness_landmarks": graph_closeness_landmarks,
     "graph_random_walks": graph_random_walks,
     "graph_adamic_adar": graph_adamic_adar,
+    "graph_edge_support": graph_edge_support,
 }
 
 ORACLES = {
@@ -1456,4 +1526,5 @@ ORACLES = {
     "graph_closeness_landmarks": ORACLE_CLOSENESS,
     "graph_random_walks": ORACLE_WALKS,
     "graph_adamic_adar": ORACLE_ADAMIC_ADAR,
+    "graph_edge_support": ORACLE_EDGE_SUPPORT,
 }

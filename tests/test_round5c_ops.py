@@ -88,3 +88,30 @@ def test_histogram_merge_is_count_sum(spark):
     # its p50 must lie within the min..max of the per-scope p50s
     per = [r.p50_exact for s, r in rows.items() if s != "ALL"]
     assert min(per) <= rows["ALL"].p50_exact <= max(per)
+
+
+# -- edge support & recall report ---------------------------------------------
+
+
+def test_edge_support_sums_to_three_triangles(spark):
+    """Every triangle contributes +1 support to each of its 3 edges, so
+    Σ support·n_edges == 3 × the independently-computed triangle count."""
+    from mongraph_spark.queries.graph_analytics import (
+        graph_edge_support,
+        graph_triangle_count,
+    )
+
+    hist = graph_edge_support(spark, SF).collect()
+    total_support = sum(r.support * r.n_edges for r in hist)
+    tri = graph_triangle_count(spark, SF).collect()[0].n_triangles
+    assert total_support == 3 * tri
+
+
+def test_recall_report_prefix_is_exact_lsh_bounded(spark):
+    from mongraph_spark.queries.dedup import dedup_recall_report
+
+    rows = {r.method: r for r in dedup_recall_report(spark, SF).collect()}
+    assert rows["prefix_filter"].recall_bp == 10000  # exact by theorem
+    assert rows["prefix_filter"].n_hit == rows["prefix_filter"].n_truth
+    lsh = rows["minhash_lsh_jaccard"]
+    assert 9000 <= lsh.recall_bp <= 10000  # banding misses are rare, not common
