@@ -1292,6 +1292,176 @@ FROM mat
 """
 
 
+# -- watermark late-data audit ----------------------------------------------------
+
+LATE_BUCKETS_MIN = (0, 1, 5, 15, 60)  # lateness histogram edges, minutes
+
+
+def events_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-policy audit: treating event_id as ARRIVAL order, how late
+    does each event arrive relative to the maximum event time already seen
+    (its disorder), bucketed into the watermark-delay bands an engineer
+    actually chooses between (on-time, <1 min, <5, <15, <60, ≥60)?  This
+    is the measurement that justifies a `withWatermark` setting — the
+    companion every watermarked query in the streaming suite needs: the
+    n-minute delay keeps exactly the rows this table says it keeps.
+
+    Scale shape: disorder = running max(ts) over arrival order, ONE window
+    whose natural production key is the ingest partition (here the single
+    replay stream, so the window is global at this SF — at 100 TB you
+    partition by kafka-partition/shard id, which is how arrival order is
+    even defined); the histogram is a tiny agg.  All-integer (epoch
+    micros), exact oracle.
+
+    The synthetic events file is emitted in perfect event-time order, so
+    arrival = event time + a DETERMINISTIC md5 transit delay of 0-120 s
+    (the md5-uniform idiom used across the suite) — the jittered replay a
+    watermark audit actually runs against."""
+    ev = read_table(spark, sf_dir, "events").select(
+        # NTZ parquet ts -> TIMESTAMP under the session's UTC zone (lossless)
+        "event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    )
+    jitter = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 120_000_000
+    )
+    ev = ev.withColumn("arrival_us", F.col("us") + jitter)
+    w = Window.orderBy("arrival_us", "event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    late_us = F.greatest(
+        F.max("us").over(w) - F.col("us"), F.lit(0)
+    )  # first row: null max -> greatest(null,0)=0
+    edges = [m * 60_000_000 for m in LATE_BUCKETS_MIN]
+    bucket = F.when(late_us <= edges[0], F.lit("on_time"))
+    for lo, m in zip(edges[1:], LATE_BUCKETS_MIN[1:]):
+        bucket = bucket.when(late_us < lo, F.lit(f"lt_{m}m"))
+    bucket = bucket.otherwise(F.lit(f"ge_{LATE_BUCKETS_MIN[-1]}m"))
+    return (
+        ev.select(bucket.alias("lateness"), late_us.alias("late_us"))
+        .groupBy("lateness")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("late_us").cast("long").alias("max_late_us"),
+        )
+    )
+
+
+def _oracle_late_audit() -> str:
+    edges = [m * 60_000_000 for m in LATE_BUCKETS_MIN]
+    whens = [f"WHEN late_us <= {edges[0]} THEN 'on_time'"]
+    for lo, m in zip(edges[1:], LATE_BUCKETS_MIN[1:]):
+        whens.append(f"WHEN late_us < {lo} THEN 'lt_{m}m'")
+    case = "CASE " + " ".join(whens) + f" ELSE 'ge_{LATE_BUCKETS_MIN[-1]}m' END"
+    return f"""
+WITH ev AS (
+  SELECT event_id, epoch_us(ts) AS us,
+         epoch_us(ts) + ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+           % 120000000 AS arrival_us
+  FROM events
+), lat AS (
+  SELECT greatest(coalesce(max(us) OVER (ORDER BY arrival_us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), us) - us, 0)
+         AS late_us
+  FROM ev
+)
+SELECT {case} AS lateness, count(*) AS n_events,
+       CAST(max(late_us) AS BIGINT) AS max_late_us
+FROM lat GROUP BY 1
+"""
+
+
+ORACLE_LATE_AUDIT = _oracle_late_audit()
+
+
+# -- A/B conversion lift with Wilson intervals -----------------------------------
+
+AB_CONV_MIN_PURCHASES = 14  # 'converted' = at least this many purchases
+
+# One shared SQL text for the Wilson 95% bounds: Spark (F.expr) and DuckDB
+# parse the IDENTICAL expression tree over (p DOUBLE, n DOUBLE), so every
+# IEEE op — including the sqrt — evaluates bit-identically in both engines
+# and the bp floor cannot straddle.  z = 1.96, z^2 = 3.8416.
+_WILSON = {
+    "lo": (
+        "((p + 3.8416 / (2 * n)) - 1.96 * sqrt(p * (1 - p) / n"
+        " + 3.8416 / (4 * n * n))) / (1 + 3.8416 / n)"
+    ),
+    "hi": (
+        "((p + 3.8416 / (2 * n)) + 1.96 * sqrt(p * (1 - p) / n"
+        " + 3.8416 / (4 * n * n))) / (1 + 3.8416 / n)"
+    ),
+}
+
+
+def events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B test readout: users split into two deterministic arms
+    (md5(user_id) % 2 — the hash-bucket assignment real experiment
+    platforms use), conversion = heavy purchaser (≥ 14 purchase events),
+    and per arm the conversion rate with its Wilson 95% interval — the
+    standard small-sample-safe proportion CI (never leaves [0,1], unlike
+    the normal approximation).  Two rows; overlap of the intervals IS the
+    significance read.
+
+    Scale shape: one user-keyed aggregate (purchases per user — combiner-
+    friendly), a map-only arm/conversion stamp, then a 2-row rollup.  At
+    100 TB this is scan-bound; the CI arithmetic is constant work."""
+    ev = read_table(spark, sf_dir, "events")
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum((F.col("event_type") == "purchase").cast("long")).alias(
+                "n_purch"
+            )
+        )
+        .select(
+            (
+                F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+                .cast("long") % 2
+            ).alias("arm"),
+            (F.col("n_purch") >= AB_CONV_MIN_PURCHASES).cast("long").alias("conv"),
+        )
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("conv").cast("long").alias("n_converted"),
+    )
+    base = arms.withColumn("n", F.col("n_users").cast("double")).withColumn(
+        "p", F.col("n_converted") / F.col("n_users")
+    )
+    return base.select(
+        "arm",
+        "n_users",
+        "n_converted",
+        F.floor(F.lit(10000) * F.col("p")).cast("long").alias("rate_bp"),
+        F.floor(F.lit(10000) * F.expr(_WILSON["lo"])).cast("long").alias("wilson_lo_bp"),
+        F.floor(F.lit(10000) * F.expr(_WILSON["hi"])).cast("long").alias("wilson_hi_bp"),
+    )
+
+
+ORACLE_AB_LIFT = f"""
+WITH per_user AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS arm,
+         CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   >= {AB_CONV_MIN_PURCHASES} THEN 1 ELSE 0 END AS conv
+  FROM events GROUP BY user_id
+), arms AS (
+  SELECT arm, count(*) AS n_users, CAST(sum(conv) AS BIGINT) AS n_converted
+  FROM per_user GROUP BY arm
+), base AS (
+  SELECT arm, n_users, n_converted,
+         CAST(n_users AS DOUBLE) AS n,
+         n_converted / CAST(n_users AS DOUBLE) AS p
+  FROM arms
+)
+SELECT arm, n_users, n_converted,
+       CAST(floor(10000 * p) AS BIGINT) AS rate_bp,
+       CAST(floor(10000 * ({_WILSON["lo"]})) AS BIGINT) AS wilson_lo_bp,
+       CAST(floor(10000 * ({_WILSON["hi"]})) AS BIGINT) AS wilson_hi_bp
+FROM base
+"""
+
+
 # -- gaps-and-islands: consecutive-day activity streaks --------------------------
 
 
@@ -1371,6 +1541,8 @@ QUERIES = {
     "events_cumulative_users": events_cumulative_users,
     "events_count_min": events_count_min,
     "events_activity_streaks": events_activity_streaks,
+    "events_late_data_audit": events_late_data_audit,
+    "events_ab_lift": events_ab_lift,
 }
 
 ORACLES = {
@@ -1397,4 +1569,6 @@ ORACLES = {
     "events_cumulative_users": ORACLE_CUMULATIVE_USERS,
     "events_count_min": ORACLE_COUNT_MIN,
     "events_activity_streaks": ORACLE_ACTIVITY_STREAKS,
+    "events_late_data_audit": ORACLE_LATE_AUDIT,
+    "events_ab_lift": ORACLE_AB_LIFT,
 }

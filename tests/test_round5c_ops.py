@@ -115,3 +115,27 @@ def test_recall_report_prefix_is_exact_lsh_bounded(spark):
     assert rows["prefix_filter"].n_hit == rows["prefix_filter"].n_truth
     lsh = rows["minhash_lsh_jaccard"]
     assert 9000 <= lsh.recall_bp <= 10000  # banding misses are rare, not common
+
+
+# -- late-data audit & A/B lift -----------------------------------------------
+
+
+def test_late_audit_conserves_events(spark):
+    from mongraph_spark.queries.events import events_late_data_audit
+
+    rows = events_late_data_audit(spark, SF).collect()
+    total = read_table(spark, SF, "events").count()
+    assert sum(r.n_events for r in rows) == total
+    for r in rows:
+        assert r.max_late_us >= 0
+
+
+def test_ab_lift_partitions_users_and_brackets_rate(spark):
+    from mongraph_spark.queries.events import events_ab_lift
+
+    rows = events_ab_lift(spark, SF).collect()
+    assert {r.arm for r in rows} == {0, 1}
+    n_users = read_table(spark, SF, "events").select("user_id").distinct().count()
+    assert sum(r.n_users for r in rows) == n_users
+    for r in rows:
+        assert 0 <= r.wilson_lo_bp <= r.rate_bp <= r.wilson_hi_bp <= 10000
