@@ -436,6 +436,124 @@ GROUP BY 1
 ORACLE_ZORDER = _zorder_oracle()
 
 
+# -- population-stability-index drift monitor ------------------------------------
+
+PSI_BINS = 10
+PSI_SPLIT = "2024-01-16"  # ref = first half of the window, cur = second
+PSI_ALERT_X1E6 = 100_000  # the standard PSI > 0.1 "investigate" threshold
+
+
+def quality_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event_type: the production drift
+    metric for ML feature monitoring —  PSI = Σ_bins (p−q)·ln(p/q)  over a
+    10-bin equi-width histogram of the value column, reference window vs
+    current window (fixed mid-month split), with add-one smoothing so
+    empty bins stay defined.  PSI > 0.1 flags the type for investigation,
+    > 0.25 means the feature shifted.
+
+    Engine-deterministic: bins are integer (exact-cents snap, one global
+    min/max), shares are single divides of exact integers, each bin's term
+    is floored to ×1e6 BEFORE summation (integer sum — no accumulation-
+    order exposure), and the per-term ln/multiply chain is the identical
+    expression tree in both engines.
+
+    Scale shape: ONE (type, window, bin) combiner-friendly aggregation —
+    the same O(scopes × bins) exchange as the histogram sketch — then
+    |types|×bins rows of constant arithmetic.  This runs per-day against
+    100 TB exactly this cheaply; the alternative (KS tests on raw data)
+    needs a sort per feature."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (F.col("ts").cast("date") < F.lit(PSI_SPLIT)).cast("int").alias("is_ref"),
+    )
+    rng = ev.agg(F.min("cents").alias("minc"), F.max("cents").alias("maxc"))
+    binned = ev.crossJoin(F.broadcast(rng)).select(
+        "event_type",
+        "is_ref",
+        F.expr(f"(cents - minc) * {PSI_BINS} div (maxc - minc + 1)").alias("bin"),
+    )
+    counts = binned.groupBy("event_type", "bin").agg(
+        F.sum("is_ref").cast("long").alias("n_ref"),
+        F.sum(1 - F.col("is_ref")).cast("long").alias("n_cur"),
+    )
+    # add-one smoothing + per-type totals; every bin 0..9 must exist, so
+    # build the full (type, bin) grid before the term arithmetic
+    types = counts.select("event_type").distinct()
+    grid = types.crossJoin(
+        spark.range(PSI_BINS).select(F.col("id").cast("long").alias("bin"))
+    )
+    full = grid.join(counts, ["event_type", "bin"], "left").select(
+        "event_type",
+        "bin",
+        (F.coalesce("n_ref", F.lit(0)) + 1).alias("r"),
+        (F.coalesce("n_cur", F.lit(0)) + 1).alias("c"),
+    )
+    tot = full.groupBy("event_type").agg(
+        F.sum("r").alias("tr"), F.sum("c").alias("tc")
+    )
+    term = (
+        (F.col("r") / F.col("tr") - F.col("c") / F.col("tc"))
+        * F.log((F.col("r") / F.col("tr")) / (F.col("c") / F.col("tc")))
+    )
+    return (
+        full.join(tot, "event_type")
+        .withColumn("term_x1e6", F.floor(F.lit(1e6) * term).cast("long"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("term_x1e6").cast("long").alias("psi_x1e6"),
+            (F.sum("r") - PSI_BINS).cast("long").alias("n_ref"),
+            (F.sum("c") - PSI_BINS).cast("long").alias("n_cur"),
+        )
+        .withColumn(
+            "drift_flag", (F.col("psi_x1e6") > PSI_ALERT_X1E6).cast("int")
+        )
+    )
+
+
+ORACLE_PSI = f"""
+WITH ev AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+         CASE WHEN CAST(ts AS DATE) < DATE '{PSI_SPLIT}' THEN 1 ELSE 0 END AS is_ref
+  FROM events
+), rng AS (SELECT min(cents) AS minc, max(cents) AS maxc FROM ev),
+binned AS (
+  SELECT event_type, is_ref,
+         (cents - minc) * {PSI_BINS} // (maxc - minc + 1) AS bin
+  FROM ev CROSS JOIN rng
+), counts AS (
+  SELECT event_type, bin,
+         CAST(sum(is_ref) AS BIGINT) AS n_ref,
+         CAST(sum(1 - is_ref) AS BIGINT) AS n_cur
+  FROM binned GROUP BY 1, 2
+), grid AS (
+  SELECT event_type, g.bin
+  FROM (SELECT DISTINCT event_type FROM counts)
+  CROSS JOIN (SELECT unnest(range({PSI_BINS})) AS bin) g
+), full_g AS (
+  SELECT g.event_type, g.bin,
+         coalesce(c.n_ref, 0) + 1 AS r, coalesce(c.n_cur, 0) + 1 AS c
+  FROM grid g LEFT JOIN counts c
+    ON c.event_type = g.event_type AND c.bin = g.bin
+), tot AS (
+  SELECT event_type, sum(r) AS tr, sum(c) AS tc FROM full_g GROUP BY 1
+)
+SELECT f.event_type,
+       CAST(sum(CAST(floor(1000000.0 *
+         ((r / CAST(tr AS DOUBLE) - c / CAST(tc AS DOUBLE))
+          * ln((r / CAST(tr AS DOUBLE)) / (c / CAST(tc AS DOUBLE)))))
+         AS BIGINT)) AS BIGINT) AS psi_x1e6,
+       CAST(sum(r) - {PSI_BINS} AS BIGINT) AS n_ref,
+       CAST(sum(c) - {PSI_BINS} AS BIGINT) AS n_cur,
+       CAST(CASE WHEN sum(CAST(floor(1000000.0 *
+         ((r / CAST(tr AS DOUBLE) - c / CAST(tc AS DOUBLE))
+          * ln((r / CAST(tr AS DOUBLE)) / (c / CAST(tc AS DOUBLE)))))
+         AS BIGINT)) > {PSI_ALERT_X1E6} THEN 1 ELSE 0 END AS INT) AS drift_flag
+FROM full_g f JOIN tot t ON f.event_type = t.event_type
+GROUP BY f.event_type
+"""
+
+
 # -- bloom-filter data skipping --------------------------------------------------
 
 BLOOM_NB = 16  # store buckets (o_custkey % 16)
@@ -587,6 +705,7 @@ QUERIES = {
     "store_merge_into": store_merge_into,
     "zorder_data_skipping": zorder_data_skipping,
     "bloom_filter_skipping": bloom_filter_skipping,
+    "quality_drift_psi": quality_drift_psi,
 }
 
 ORACLES = {
@@ -595,4 +714,5 @@ ORACLES = {
     "store_merge_into": ORACLE_MERGE_INTO,
     "zorder_data_skipping": ORACLE_ZORDER,
     "bloom_filter_skipping": ORACLE_BLOOM,
+    "quality_drift_psi": ORACLE_PSI,
 }

@@ -139,3 +139,19 @@ def test_ab_lift_partitions_users_and_brackets_rate(spark):
     assert sum(r.n_users for r in rows) == n_users
     for r in rows:
         assert 0 <= r.wilson_lo_bp <= r.rate_bp <= r.wilson_hi_bp <= 10000
+
+
+def test_psi_nonnegative_stationary_and_conserving(spark):
+    from mongraph_spark.queries.quality import quality_drift_psi
+
+    rows = quality_drift_psi(spark, SF).collect()
+    ev = read_table(spark, SF, "events")
+    totals = {r.event_type: r.n for r in ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert {r.event_type for r in rows} == set(totals)
+    for r in rows:
+        assert r.n_ref + r.n_cur == totals[r.event_type]
+        # (p-q)·ln(p/q) >= 0 per bin, so PSI is non-negative by construction
+        assert r.psi_x1e6 >= 0
+        # the synthetic stream is stationary: no type should flag drift
+        assert r.drift_flag == 0 and r.psi_x1e6 < 100_000
