@@ -681,7 +681,12 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall/answer is directly comparable to `dedup_ngram_jaccard`.
     """
     shingled = _shingled_corpus(spark, sf_dir, drop_last=2)
-    toks = shingled.select("doc_id", F.explode("shingles").alias("token"))
+    # the exploded posting list feeds FOUR branches (df, per-doc ordering,
+    # candidate join, verification) — materialize it once or every branch
+    # replays the corpus normalization + shingle build from the scan
+    toks = shingled.select(
+        "doc_id", F.explode("shingles").alias("token")
+    ).localCheckpoint(eager=True)
     ntok = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "token")
@@ -690,42 +695,48 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ntok, "doc_id")
         .withColumn("rn", F.row_number().over(w))
     )
+    # candidate keys are xxhash64(shingle): 8-byte shuffle keys instead of
+    # wide strings.  Output-neutral: a hash collision can only ADD a
+    # candidate, and verification below compares exact token sets — any
+    # true >= 0.8 pair still shares an exact prefix token (the theorem),
+    # so the final pair set is identical to the all-strings plan.
     prefix = ordered.filter(
         F.col("rn") <= F.col("n") - F.expr("(4 * n + 4) div 5") + 1
-    ).select("doc_id", "token")
+    ).select("doc_id", F.xxhash64("token").alias("tk"), "n")
+    # PPJoin length filter, also output-neutral by theorem: J(A,B) >= 0.8
+    # forces 5*min(|A|,|B|) >= 4*max(|A|,|B|) — kills cross-length pairs
+    # BEFORE the distinct/verify stages ever see them.
     cands = (
-        prefix.select(F.col("doc_id").alias("id_a"), "token")
-        .join(prefix.select(F.col("doc_id").alias("id_b"), "token"), "token")
-        .filter(F.col("id_a") < F.col("id_b"))
+        prefix.select(F.col("doc_id").alias("id_a"), "tk", F.col("n").alias("na"))
+        .join(
+            prefix.select(F.col("doc_id").alias("id_b"), "tk", F.col("n").alias("nb")),
+            "tk",
+        )
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (5 * F.least("na", "nb") >= 4 * F.greatest("na", "nb"))
+        )
         .select("id_a", "id_b")
         .distinct()
     )
-    inter = (
-        cands.join(toks.select(F.col("doc_id").alias("id_a"), "token"), "id_a")
-        .join(
-            toks.select(F.col("doc_id").alias("id_b"), "token"),
-            ["id_b", "token"],
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    na = ntok.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
-    nb = ntok.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
+    # verification joins the candidate pairs to the (small, broadcastable)
+    # per-doc shingle ARRAYS and intersects JVM-side — one array_intersect
+    # per candidate instead of re-shuffling the half-million-row posting
+    # list twice (the same verify shape as dedup_ngram_jaccard)
+    sa = shingled.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = shingled.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    j = cands.join(sa, "id_a").join(sb, "id_b")
+    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
+    union_sz = F.size("sh_a") + F.size("sh_b") - n_common
     return (
-        inter.join(na, "id_a")
-        .join(nb, "id_b")
-        .filter(
-            5 * F.col("n_common")
-            >= 4 * (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-        )
+        j.withColumn("n_common", n_common.cast("long"))
+        .withColumn("union_sz", union_sz)
+        .filter(5 * F.col("n_common") >= 4 * F.col("union_sz"))
         .select(
             "id_a",
             "id_b",
             "n_common",
-            F.floor(
-                F.lit(10000) * F.col("n_common")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-            )
+            F.floor(F.lit(10000) * F.col("n_common") / F.col("union_sz"))
             .cast("long")
             .alias("jaccard_bp"),
         )

@@ -187,12 +187,14 @@ def _registry() -> dict:
     )
 
     from mongraph_spark.queries.corpus import boilerplate_lines
+    from mongraph_spark.queries.dedup import dedup_prefix_filter
     from mongraph_spark.queries.events import events_activity_streaks
     from mongraph_spark.queries.relational import sketch_hll_mergeable
 
     return {
         "dedup_clusters": (dedup_clusters, False),
         "corpus_boilerplate_lines": (boilerplate_lines, False),
+        "dedup_prefix_filter": (dedup_prefix_filter, False),
         "ann_ivf": (ann_ivf, True),
         "text_winnowing": (text_winnowing, False),
         "text_tfidf_topterms": (text_tfidf_topterms, False),
