@@ -1517,6 +1517,131 @@ FROM streaks GROUP BY streak_len
 """
 
 
+# -- seasonal (hour-of-day) anomaly detection -------------------------------------
+
+SEASONAL_BASELINE_DAYS = 21  # weeks 1-3 train the per-(type, hour) baseline
+SEASONAL_Z2 = 9  # flag |z| > 3, tested as z^2 > 9 in exact integer arithmetic
+
+
+def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly detection: learn a per-(event_type,
+    hour-of-day) mean/variance of DAILY HOURLY COUNTS over the first
+    {SEASONAL_BASELINE_DAYS} days, then flag every later (type, day, hour)
+    cell whose count deviates by more than 3 sigma — the "traffic at 3am
+    looks like 3pm" monitor that a flat threshold (events_threshold_anomaly)
+    cannot express because normal load itself swings by hour of day.
+
+    Exactness: the z-test runs entirely in integers via cross-multiplication
+    — with n = baseline days, s = sum of counts, ss = sum of squares, x =
+    observed count, ``z^2 > Z2  <=>  (n*x - s)^2 > Z2*(n*ss - s^2)`` — so
+    both engines agree bit-for-bit with no float epsilon (same idiom as the
+    PSI/chi-square family).  Zero-variance baselines degenerate correctly:
+    any deviation flags, and ``z2_bp`` is NULL (division impossible).
+
+    Scale shape: ONE count aggregation over the scan (map-side combine,
+    key space |types| x days x 24), densified against a day x hour x type
+    grid built from a 1-row bounds agg (grid is broadcast — missing cells
+    MUST count as zero or quiet hours can never be anomalous); the baseline
+    is a second agg over the tiny dense table and broadcasts back.  At
+    100 TB nothing but the first agg touches the scan.  n*ss stays within
+    int64 up to ~1e6 events per (type, hour) cell; beyond that promote the
+    two quadratic terms to DECIMAL(38,0) (documented, not needed at any
+    test SF)."""
+    ev = read_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        F.hour("ts").cast("int").alias("hr"),
+        "event_type",
+    )
+    bounds = ev.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1")).alias("day"), "d0"
+    ).crossJoin(spark.range(24).select(F.col("id").cast("int").alias("hr")))
+    grid = spine.crossJoin(ev.select("event_type").distinct())
+    hourly = ev.groupBy("day", "hr", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    dense = (
+        F.broadcast(grid)
+        .join(hourly, ["day", "hr", "event_type"], "left")
+        .select(
+            "day",
+            "hr",
+            "event_type",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+            (F.col("day") < F.date_add("d0", SEASONAL_BASELINE_DAYS)).alias(
+                "is_base"
+            ),
+        )
+    )
+    base = (
+        dense.filter("is_base")
+        .groupBy("event_type", "hr")
+        .agg(
+            F.count(F.lit(1)).alias("bn"),
+            F.sum("n").alias("bs"),
+            F.sum(F.col("n") * F.col("n")).alias("bss"),
+        )
+    )
+    dev = F.col("bn") * F.col("n") - F.col("bs")  # n*x - s
+    var_t = F.col("bn") * F.col("bss") - F.col("bs") * F.col("bs")  # n*ss - s^2
+    return (
+        dense.filter(~F.col("is_base"))
+        .join(F.broadcast(base), ["event_type", "hr"])
+        .filter(dev * dev > F.lit(SEASONAL_Z2) * var_t)
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "hr",
+            "n",
+            F.floor(F.lit(10000) * F.col("bs") / F.col("bn"))
+            .cast("bigint")
+            .alias("base_mean_bp"),
+            F.expr(
+                "CAST(10000 * (bn*n - bs) * (bn*n - bs) DIV "
+                "nullif(bn*bss - bs*bs, 0) AS BIGINT)"
+            ).alias("z2_bp"),
+        )
+    )
+
+
+ORACLE_SEASONAL_ANOMALY = f"""
+WITH ev AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(hour(ts) AS INT) AS hr, event_type
+  FROM events
+), b AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+spine AS (
+  SELECT CAST(d0 + CAST(i AS INT) AS DATE) AS day, d0
+  FROM b, UNNEST(range(0, CAST(d1 - d0 AS BIGINT) + 1)) AS t(i)
+),
+grid AS (
+  SELECT s.day, s.d0, CAST(h.h AS INT) AS hr, ty.event_type
+  FROM spine s, UNNEST(range(0, 24)) AS h(h),
+       (SELECT DISTINCT event_type FROM ev) ty
+),
+hourly AS (
+  SELECT day, hr, event_type, count(*) AS n FROM ev GROUP BY day, hr, event_type
+),
+dense AS (
+  SELECT g.day, g.hr, g.event_type,
+         CAST(coalesce(h.n, 0) AS BIGINT) AS n,
+         g.day < g.d0 + {SEASONAL_BASELINE_DAYS} AS is_base
+  FROM grid g LEFT JOIN hourly h
+    ON g.day = h.day AND g.hr = h.hr AND g.event_type = h.event_type
+),
+base AS (
+  SELECT event_type, hr, count(*) AS bn, sum(n) AS bs, sum(n * n) AS bss
+  FROM dense WHERE is_base GROUP BY event_type, hr
+)
+SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day, d.hr, d.n,
+       CAST(floor(10000 * bs / bn) AS BIGINT) AS base_mean_bp,
+       CAST((10000 * (bn*n - bs) * (bn*n - bs)) //
+            nullif(bn*bss - bs*bs, 0) AS BIGINT) AS z2_bp
+FROM dense d JOIN base b ON d.event_type = b.event_type AND d.hr = b.hr
+WHERE NOT d.is_base
+  AND (bn*n - bs) * (bn*n - bs) > {SEASONAL_Z2} * (bn*bss - bs*bs)
+"""
+
+
 QUERIES = {
     "events_tumbling_window": events_tumbling_window,
     "events_funnel": events_funnel,
@@ -1543,6 +1668,7 @@ QUERIES = {
     "events_activity_streaks": events_activity_streaks,
     "events_late_data_audit": events_late_data_audit,
     "events_ab_lift": events_ab_lift,
+    "events_seasonal_anomaly": events_seasonal_anomaly,
 }
 
 ORACLES = {
@@ -1571,4 +1697,5 @@ ORACLES = {
     "events_activity_streaks": ORACLE_ACTIVITY_STREAKS,
     "events_late_data_audit": ORACLE_LATE_AUDIT,
     "events_ab_lift": ORACLE_AB_LIFT,
+    "events_seasonal_anomaly": ORACLE_SEASONAL_ANOMALY,
 }

@@ -2138,8 +2138,120 @@ GROUP BY r.o_orderpriority
 """
 
 
+# -- RFM customer segmentation ----------------------------------------------------
+
+RFM_QS = (0.2, 0.4, 0.6, 0.8)  # quintile edges
+
+
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic marketing/cohort partition of a
+    customer base: score every customer 1-5 on Recency (days since last
+    order), Frequency (order count), and Monetary (lifetime spend), then
+    profile each of the up-to-125 R·F·M segments.  Scores come from
+    ``percentile_disc`` quintile edges, whose smallest-value-with-
+    cum_dist>=p tie rule both engines implement identically — no float
+    interpolation anywhere (monetary is exact integer cents).
+
+    Scale shape: one groupBy over orders (map-side combine) reduces the
+    fact table to one row per customer; the quintile edges are ONE tiny
+    aggregate over that per-customer table, broadcast back as a 1-row
+    cross join, so scoring is map-only and the final segment rollup has a
+    ≤125-key space.  ``percentile_disc`` is a sort-based aggregate over
+    the per-customer table — at 100 TB (hundreds of millions of
+    customers) swap it for ``approx_percentile`` with the same scoring
+    expression, or compute edges on a salted sample; the fact-table scan
+    shape is unchanged either way."""
+    orders = read_table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("last_day"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias(
+            "m_cents"
+        ),
+    )
+    edge_aggs = [
+        F.expr(
+            f"percentile_disc({q}) WITHIN GROUP (ORDER BY {col})"
+        ).alias(f"{col}_q{i}")
+        for col in ("r_days", "freq", "m_cents")
+        for i, q in enumerate(RFM_QS, start=1)
+    ]
+    ref = cust.agg(F.max("last_day").alias("ref_day"))
+    scored = cust.crossJoin(F.broadcast(ref)).withColumn(
+        "r_days", F.datediff("ref_day", "last_day").cast("bigint")
+    )
+    edges = scored.agg(*edge_aggs)
+
+    def score(col: str) -> F.Column:
+        expr = F.lit(1)
+        for i in range(1, len(RFM_QS) + 1):
+            expr = expr + F.when(F.col(col) > F.col(f"{col}_q{i}"), 1).otherwise(0)
+        return expr
+
+    return (
+        scored.crossJoin(F.broadcast(edges))
+        .select(
+            (
+                score("r_days") * 100 + score("freq") * 10 + score("m_cents")
+            ).cast("bigint").alias("segment"),
+            "m_cents",
+            "freq",
+        )
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("m_cents").alias("sum_m_cents"),
+            F.sum("freq").alias("sum_orders"),
+        )
+    )
+
+
+def _rfm_oracle() -> str:
+    edge_cols = ",\n         ".join(
+        f"percentile_disc({q}) WITHIN GROUP (ORDER BY {col}) AS {col}_q{i}"
+        for col in ("r_days", "freq", "m_cents")
+        for i, q in enumerate(RFM_QS, start=1)
+    )
+
+    def score(col: str) -> str:
+        terms = " + ".join(
+            f"(CASE WHEN {col} > {col}_q{i} THEN 1 ELSE 0 END)"
+            for i in range(1, len(RFM_QS) + 1)
+        )
+        return f"(1 + {terms})"
+
+    return f"""
+WITH cust AS (
+  SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_day,
+         count(*) AS freq,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS m_cents
+  FROM orders GROUP BY o_custkey
+),
+scored AS (
+  SELECT c.*, CAST(date_diff('day', last_day,
+                   (SELECT max(last_day) FROM cust)) AS BIGINT) AS r_days
+  FROM cust c
+),
+edges AS (
+  SELECT {edge_cols}
+  FROM scored
+)
+SELECT CAST({score('r_days')} * 100 + {score('freq')} * 10
+            + {score('m_cents')} AS BIGINT) AS segment,
+       count(*) AS n_customers,
+       CAST(sum(m_cents) AS BIGINT) AS sum_m_cents,
+       CAST(sum(freq) AS BIGINT) AS sum_orders
+FROM scored, edges
+GROUP BY 1
+"""
+
+
+ORACLE_RFM = _rfm_oracle()
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "customer_rfm_segments": customer_rfm_segments,
     "stats_mad_outliers": stats_mad_outliers,
     "stats_bootstrap_ci": stats_bootstrap_ci,
     "sketch_kmv_daily_rollup": sketch_kmv_daily_rollup,
@@ -2216,6 +2328,7 @@ ORACLES = {
     "q22_wealthy_no_urgent": ORACLE_Q22,
     "scd2_priority_history": ORACLE_SCD2,
     "scd2_pit_join": ORACLE_SCD2_PIT,
+    "customer_rfm_segments": ORACLE_RFM,
     "scd2_bitemporal_asknown": ORACLE_BITEMPORAL,
     "window_customer_deciles": ORACLE_DECILES,
     "salted_revenue_by_priority": ORACLE_SALTED,
