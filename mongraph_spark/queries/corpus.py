@@ -29,7 +29,7 @@ all three carry exact DuckDB oracles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mongraph_spark.queries.dedup import _shingles
@@ -776,7 +776,108 @@ UNION ALL SELECT 5, 'has_stopword', s4, s5, s4 - s5 FROM agg
 """
 
 
+# -- n-gram novelty curve ---------------------------------------------------------
+
+NOVELTY_N = 5  # shingle width, shared with decontaminate
+NOVELTY_DECILES = 10
+
+
+def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty curve: for every document, the fraction of its
+    distinct {NOVELTY_N}-word shingles never seen in any EARLIER document
+    (by doc_id ingest order), rolled up per source × corpus decile — the
+    diminishing-returns measurement behind "how much new text does the
+    next crawl batch actually add?" and the saturation signal dataset
+    curation uses to stop ingesting a source.
+
+    Scale shape: first-occurrence is ``min(doc_id)`` grouped on the
+    shingle (ONE scan-sized shuffle, map-side combine); the join back to
+    per-doc shingles reuses the same shingle-hash partitioning, the
+    per-doc rollup shuffles once on doc_id, and the decile windows run
+    over one-row-per-doc partitioned by source.  Integer arithmetic
+    throughout (counts + floor-div basis points).  At 100 TB, shingles
+    shrink to ``xxhash64`` before the shuffle (same note as
+    decontaminate) and first-occurrence stays a single min-combine."""
+    docs = read_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    sh = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.array_distinct(_shingles(words, n=NOVELTY_N))).alias("shingle"),
+    )
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(first, "shingle")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long")).alias(
+                "n_novel"
+            ),
+        )
+    )
+    wsrc = Window.partitionBy("source")
+    ranked = per_doc.select(
+        "source",
+        "n_shingles",
+        "n_novel",
+        F.row_number().over(wsrc.orderBy("doc_id")).alias("rn"),
+        F.count(F.lit(1)).over(wsrc).alias("nd"),
+    )
+    return (
+        ranked.groupBy(
+            "source",
+            F.expr(f"CAST(({NOVELTY_DECILES} * (rn - 1)) DIV nd AS BIGINT)").alias(
+                "decile"
+            ),
+        )
+        .agg(
+            F.sum("n_shingles").alias("n_shingles"),
+            F.sum("n_novel").alias("n_novel"),
+        )
+        .select(
+            "source",
+            "decile",
+            "n_shingles",
+            "n_novel",
+            F.expr("CAST((10000 * n_novel) DIV n_shingles AS BIGINT)").alias(
+                "novelty_bp"
+            ),
+        )
+    )
+
+
+ORACLE_NOVELTY = f"""
+WITH sh AS (
+  SELECT doc_id, source,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(words) - {NOVELTY_N}, 0) + 2),
+           i -> array_to_string(words[i:i+{NOVELTY_N - 1}], ' ')
+         ))) AS shingle
+  FROM (SELECT doc_id, source, string_split(text, ' ') AS words FROM documents)
+), fo AS (
+  SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle
+), per_doc AS (
+  SELECT s.doc_id, s.source, count(*) AS n_shingles,
+         sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS n_novel
+  FROM sh s JOIN fo f USING (shingle) GROUP BY s.doc_id, s.source
+), ranked AS (
+  SELECT source, n_shingles, n_novel,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS nd
+  FROM per_doc
+)
+SELECT source,
+       CAST(({NOVELTY_DECILES} * (rn - 1)) // nd AS BIGINT) AS decile,
+       CAST(sum(n_shingles) AS BIGINT) AS n_shingles,
+       CAST(sum(n_novel) AS BIGINT) AS n_novel,
+       CAST((10000 * sum(n_novel)) // sum(n_shingles) AS BIGINT) AS novelty_bp
+FROM ranked GROUP BY source, decile
+"""
+
+
 QUERIES = {
+    "corpus_ngram_novelty": corpus_ngram_novelty,
     "corpus_decontaminate": decontaminate_splits,
     "corpus_repetition_filter": repetition_filter,
     "corpus_mixture_weights": source_mixture_weights,
@@ -790,6 +891,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_ngram_novelty": ORACLE_NOVELTY,
     "corpus_decontaminate": ORACLE_DECONTAMINATE,
     "corpus_repetition_filter": ORACLE_REPETITION,
     "corpus_mixture_weights": ORACLE_MIXTURE,

@@ -896,7 +896,109 @@ FROM ranked WHERE pos <= {EPOCH_HEAD}
 """
 
 
+# -- length-bucketed batch packing -----------------------------------------------
+
+BATCH_SIZE = 32  # sequences per training batch
+LEN_BUCKETS = (16, 32, 64, 128, 256, 512)  # pow2 bucket edges; >512 truncates
+
+
+def pipeline_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch packing with padding-waste accounting: assign
+    every document to the smallest power-of-two token bucket that holds it
+    (overflow truncates at {max}), shuffle deterministically inside each
+    bucket (md5 order — the stable-under-repartitioning idiom of
+    sample_and_split), cut {B}-sequence batches, and report per bucket how
+    many tokens dynamic padding wastes (batch_size x max_len - sum_len per
+    batch) — the measurement that justifies length bucketing to a training
+    team: fill_bp is the fraction of the padded tensor that is real data.
+    (Bucket edges 16..512 pow2; overflow truncates at 512; batches of 32.)
+
+    Scale shape: token counts and bucket assignment are map-only column
+    expressions; the ONLY shuffle is the per-bucket window (6 partitions
+    at any scale — at 100 TB sub-salt the window key by
+    ``md5 div batch-aligned block`` so one bucket is not one task, then
+    batch ids stay deterministic because the salt is itself the order
+    key's prefix).  All integers end-to-end."""
+    docs = read_table(spark, sf_dir, "documents")
+    ntok = F.size(F.split(F.col("text"), " "))
+    bucket = F.lit(LEN_BUCKETS[-1])
+    for edge in reversed(LEN_BUCKETS):
+        bucket = F.when(ntok <= edge, edge).otherwise(bucket)
+    eff = F.least(ntok, F.lit(LEN_BUCKETS[-1]))
+    base = docs.select(
+        "doc_id",
+        bucket.cast("bigint").alias("bucket"),
+        eff.cast("bigint").alias("eff_len"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    batched = base.select(
+        "bucket",
+        "eff_len",
+        F.expr(f"CAST((row_number() OVER (PARTITION BY bucket ORDER BY h, doc_id) - 1) DIV {BATCH_SIZE} AS BIGINT)").alias("batch_id"),
+    )
+    per_batch = batched.groupBy("bucket", "batch_id").agg(
+        F.count(F.lit(1)).alias("n_seq"),
+        F.max("eff_len").alias("max_len"),
+        F.sum("eff_len").alias("sum_len"),
+    )
+    return (
+        per_batch.groupBy("bucket")
+        .agg(
+            F.sum("n_seq").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_batches"),
+            F.sum(F.col("n_seq") * F.col("max_len") - F.col("sum_len")).alias(
+                "waste_tokens"
+            ),
+            F.sum("sum_len").alias("data_tokens"),
+            F.sum(F.col("n_seq") * F.col("max_len")).alias("padded_tokens"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "n_batches",
+            "waste_tokens",
+            F.expr(
+                "CAST((10000 * data_tokens) DIV padded_tokens AS BIGINT)"
+            ).alias("fill_bp"),
+        )
+    )
+
+
+def _length_batches_oracle() -> str:
+    cases = " ".join(
+        f"WHEN ntok <= {e} THEN {e}" for e in LEN_BUCKETS[:-1]
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(CASE {cases} ELSE {LEN_BUCKETS[-1]} END AS BIGINT) AS bucket,
+         CAST(least(ntok, {LEN_BUCKETS[-1]}) AS BIGINT) AS eff_len,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM (SELECT doc_id, len(string_split(text, ' ')) AS ntok FROM documents)
+), batched AS (
+  SELECT bucket, eff_len,
+         (row_number() OVER (PARTITION BY bucket ORDER BY h, doc_id) - 1)
+           // {BATCH_SIZE} AS batch_id
+  FROM base
+), per_batch AS (
+  SELECT bucket, batch_id, count(*) AS n_seq, max(eff_len) AS max_len,
+         sum(eff_len) AS sum_len
+  FROM batched GROUP BY bucket, batch_id
+)
+SELECT bucket,
+       CAST(sum(n_seq) AS BIGINT) AS n_docs,
+       count(*) AS n_batches,
+       CAST(sum(n_seq * max_len - sum_len) AS BIGINT) AS waste_tokens,
+       CAST((10000 * sum(sum_len)) // sum(n_seq * max_len) AS BIGINT) AS fill_bp
+FROM per_batch GROUP BY bucket
+"""
+
+
+ORACLE_LENGTH_BATCHES = _length_batches_oracle()
+
+
 QUERIES = {
+    "pipeline_length_batches": pipeline_length_batches,
     "dedup_clusters": dedup_clusters,
     "sample_and_split": sample_and_split,
     # cluster_stats + keep_best ride the merged dedup_clusters row;
@@ -914,6 +1016,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "pipeline_length_batches": ORACLE_LENGTH_BATCHES,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "sample_and_split": ORACLE_SAMPLE_SPLIT,
 

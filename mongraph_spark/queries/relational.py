@@ -2249,9 +2249,93 @@ GROUP BY 1
 ORACLE_RFM = _rfm_oracle()
 
 
+# -- chi-square test of independence ----------------------------------------------
+
+
+def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between customer market segment and
+    order priority — the categorical-association test behind "does segment
+    drive priority mix?" dashboards and feature-selection passes.  Emits
+    the full contingency diagnostic per cell: observed count, expected
+    count (e4 fixed point), and the cell's chi-square contribution in
+    basis points; the test statistic is ``sum(chi2_bp)/1e4`` against
+    chi2(dof) with dof = (R-1)(C-1) (documented, driver-side arithmetic).
+
+    Exactness: expected = rt*ct/n and the cell term (obs*n - rt*ct)^2 /
+    (rt*ct*n) are evaluated in DECIMAL(38,0) / HUGEINT integer arithmetic
+    with a single truncating division each — both engines floor the same
+    rationals, so no float summation order can flip the hash (the
+    quadratic term overflows int64 beyond ~40k orders, hence the wide
+    types).
+
+    Scale shape: one equi-join orders⋈customer (both sides shuffle-keyed
+    on custkey; at this SF the dim side broadcasts), ONE count aggregation
+    to the R×C contingency table (map-side combine, ≤25 keys), then all
+    marginals ride literal-partitioned windows over those 25 rows —
+    nothing after the first agg touches the scan."""
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    obs = (
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    wseg = Window.partitionBy("c_mktsegment")
+    wpri = Window.partitionBy("o_orderpriority")
+    wall = Window.partitionBy(F.lit(1))
+    t = obs.select(
+        "c_mktsegment",
+        "o_orderpriority",
+        "obs",
+        F.sum("obs").over(wseg).alias("rt"),
+        F.sum("obs").over(wpri).alias("ct"),
+        F.sum("obs").over(wall).alias("n"),
+    )
+    dec = "CAST({} AS DECIMAL(38,0))"
+    dev = f"({dec.format('obs')} * n - {dec.format('rt')} * ct)"
+    return t.select(
+        "c_mktsegment",
+        "o_orderpriority",
+        "obs",
+        F.expr(
+            f"CAST((CAST(10000 AS DECIMAL(38,0)) * rt * ct) div "
+            f"{dec.format('n')} AS BIGINT)"
+        ).alias("expected_e4"),
+        F.expr(
+            f"CAST((CAST(10000 AS DECIMAL(38,0)) * {dev} * {dev}) div "
+            f"({dec.format('rt')} * ct * n) AS BIGINT)"
+        ).alias("chi2_bp"),
+    )
+
+
+ORACLE_CHI2 = """
+WITH obs AS (
+  SELECT c_mktsegment, o_orderpriority, count(*) AS obs
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY c_mktsegment, o_orderpriority
+),
+t AS (
+  SELECT c_mktsegment, o_orderpriority, obs,
+         sum(obs) OVER (PARTITION BY c_mktsegment) AS rt,
+         sum(obs) OVER (PARTITION BY o_orderpriority) AS ct,
+         sum(obs) OVER () AS n
+  FROM obs
+)
+SELECT c_mktsegment, o_orderpriority, obs,
+       CAST((CAST(10000 AS HUGEINT) * rt * ct) // CAST(n AS HUGEINT)
+            AS BIGINT) AS expected_e4,
+       CAST((CAST(10000 AS HUGEINT)
+             * (CAST(obs AS HUGEINT) * n - CAST(rt AS HUGEINT) * ct)
+             * (CAST(obs AS HUGEINT) * n - CAST(rt AS HUGEINT) * ct))
+            // (CAST(rt AS HUGEINT) * ct * n) AS BIGINT) AS chi2_bp
+FROM t
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "customer_rfm_segments": customer_rfm_segments,
+    "stats_chi2_independence": stats_chi2_independence,
     "stats_mad_outliers": stats_mad_outliers,
     "stats_bootstrap_ci": stats_bootstrap_ci,
     "sketch_kmv_daily_rollup": sketch_kmv_daily_rollup,
@@ -2329,6 +2413,7 @@ ORACLES = {
     "scd2_priority_history": ORACLE_SCD2,
     "scd2_pit_join": ORACLE_SCD2_PIT,
     "customer_rfm_segments": ORACLE_RFM,
+    "stats_chi2_independence": ORACLE_CHI2,
     "scd2_bitemporal_asknown": ORACLE_BITEMPORAL,
     "window_customer_deciles": ORACLE_DECILES,
     "salted_revenue_by_priority": ORACLE_SALTED,
