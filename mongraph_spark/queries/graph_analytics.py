@@ -1483,6 +1483,191 @@ nbrs AS (
 )
 
 
+# -- landmark betweenness (fixed-point Brandes) ----------------------------------
+
+BETW_K = 4  # landmark sources
+BETW_HOPS = 4  # BFS depth (layers 0..4); backward pass runs 3..1
+BETW_SCALE = 1_000_000  # delta fixed-point scale
+
+
+def graph_betweenness_landmarks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark betweenness centrality — Brandes' dependency accumulation
+    run from {BETW_K} landmark sources over the undirected customer↔supplier
+    purchase graph (the standard sampled estimator: exact betweenness needs
+    all-N sources, Brandes-on-landmarks needs K; Riondato-Kornaropoulos
+    sampling bounds apply).  Completes the centrality family next to
+    degree / pagerank / HITS / closeness — betweenness is the broker
+    measure none of those capture.
+
+    Forward pass: per-landmark BFS layers 0..{BETW_HOPS} carrying σ
+    (shortest-path counts: σ(w) = Σ σ(v) over predecessors — exact
+    integers).  Backward pass: δ(v) = Σ_w σ(v)/σ(w)·(1+δ(w)) over
+    successors one layer deeper, held in {BETW_SCALE} fixed point with the
+    per-edge term ``(σ_v·(SCALE+δ_w)) div σ_w`` evaluated in
+    DECIMAL(38,0)/HUGEINT — truncating division of non-negative integers,
+    identical in both engines, so the driver hash is exact (same
+    fixed-point-per-round contract as embedding_pca_power).  bc(v) sums
+    δ over landmarks; landmarks themselves are excluded (Brandes s≠v).
+
+    Scale shape: each forward hop is ONE shuffle (frontier ⋈ adjacency,
+    σ-sum combiner, anti-join against the checkpointed visited set); each
+    backward layer is ONE shuffle (layer ⋈ adj ⋈ deeper-δ by (lm, node)).
+    State is ≤ K·N rows throughout — the multi-source-BFS posture of
+    graph_closeness_landmarks with σ/δ riding the key.  The layer tables
+    are what bound the cost: K·N rows each, never edges×layers."""
+    orders = tpch.read_table(spark, sf_dir, "orders")
+    lineitem = tpch.read_table(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).cast("long").alias("c"),
+            (F.col("l_suppkey") * 2 + 1).cast("long").alias("s"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    adj = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    landmarks = (
+        pairs.select("s").distinct().orderBy("s").limit(BETW_K)
+        .select(F.col("s").alias("lm"))
+    )
+    l0 = landmarks.select(
+        "lm", F.col("lm").alias("node"), F.lit(1).cast("bigint").alias("sigma")
+    ).localCheckpoint(eager=True)
+    layers = [l0]
+    visited = l0.select("lm", "node").localCheckpoint(eager=True)
+    for _ in range(BETW_HOPS):
+        frontier = layers[-1]
+        nxt = (
+            frontier.join(adj, frontier["node"] == adj["src"])
+            .groupBy("lm", F.col("dst").alias("node2"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .select("lm", F.col("node2").alias("node"), "sigma")
+            .join(visited, ["lm", "node"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        layers.append(nxt)
+        visited = visited.unionByName(nxt.select("lm", "node")).localCheckpoint(
+            eager=True
+        )
+    # backward: delta held in BETW_SCALE fixed point, deepest layer = 0
+    delta = layers[BETW_HOPS].select(
+        "lm", "node", "sigma", F.expr("CAST(0 AS DECIMAL(38,0))").alias("delta")
+    )
+    deltas = []
+    for d in range(BETW_HOPS - 1, 0, -1):
+        layer = layers[d]
+        contrib = (
+            layer.join(adj, layer["node"] == adj["src"])
+            .select("lm", "node", "sigma", F.col("dst").alias("wnode"))
+            .join(
+                delta.select(
+                    "lm",
+                    F.col("node").alias("wnode"),
+                    F.col("sigma").alias("wsigma"),
+                    F.col("delta").alias("wdelta"),
+                ),
+                ["lm", "wnode"],
+            )
+            .groupBy("lm", "node")
+            .agg(
+                F.sum(
+                    F.expr(
+                        f"(CAST(sigma AS DECIMAL(38,0)) * ({BETW_SCALE} + wdelta)) "
+                        f"div wsigma"
+                    )
+                ).alias("dsum")
+            )
+        )
+        delta = (
+            layer.join(contrib, ["lm", "node"], "left")
+            .select(
+                "lm",
+                "node",
+                "sigma",
+                F.expr("CAST(coalesce(dsum, 0) AS DECIMAL(38,0))").alias("delta"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        deltas.append(delta)
+    alld = deltas[0]
+    for d in deltas[1:]:
+        alld = alld.unionByName(d)
+    return (
+        alld.groupBy("node")
+        .agg(
+            F.expr("CAST(sum(delta) AS DECIMAL(38,0))").alias("dsum"),
+            F.count(F.lit(1)).alias("n_landmarks"),
+        )
+        .filter(F.col("dsum") > 0)
+        .select(
+            F.col("node").alias("node_id"),
+            F.expr("CAST(dsum AS BIGINT)").alias("bc_e6"),
+            "n_landmarks",
+        )
+    )
+
+
+def _betweenness_oracle() -> str:
+    body = f"""
+pairs AS MATERIALIZED (
+  SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS c,
+                  CAST(l_suppkey * 2 + 1 AS BIGINT) AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+adj AS MATERIALIZED (
+  SELECT c AS src, s AS dst FROM pairs UNION ALL SELECT s, c FROM pairs
+),
+landmarks AS (SELECT DISTINCT s AS lm FROM pairs ORDER BY s LIMIT {BETW_K}),
+l0 AS MATERIALIZED (
+  SELECT lm, lm AS node, CAST(1 AS BIGINT) AS sigma FROM landmarks
+),
+vis0 AS MATERIALIZED (SELECT lm, node FROM l0)"""
+    for d in range(1, BETW_HOPS + 1):
+        body += f""",
+l{d} AS MATERIALIZED (
+  SELECT l.lm, a.dst AS node, CAST(sum(l.sigma) AS BIGINT) AS sigma
+  FROM l{d - 1} l JOIN adj a ON l.node = a.src
+  WHERE NOT EXISTS (SELECT 1 FROM vis{d - 1} p
+                    WHERE p.lm = l.lm AND p.node = a.dst)
+  GROUP BY l.lm, a.dst
+),
+vis{d} AS MATERIALIZED (
+  SELECT lm, node FROM vis{d - 1} UNION ALL SELECT lm, node FROM l{d}
+)"""
+    body += f""",
+dl{BETW_HOPS} AS MATERIALIZED (
+  SELECT lm, node, sigma, CAST(0 AS HUGEINT) AS delta FROM l{BETW_HOPS}
+)"""
+    for d in range(BETW_HOPS - 1, 0, -1):
+        body += f""",
+dl{d} AS MATERIALIZED (
+  SELECT l.lm, l.node, l.sigma,
+         coalesce(sum((CAST(l.sigma AS HUGEINT) * ({BETW_SCALE} + w.delta))
+                      // w.sigma), 0) AS delta
+  FROM l{d} l
+  LEFT JOIN adj a ON a.src = l.node
+  LEFT JOIN dl{d + 1} w ON w.lm = l.lm AND w.node = a.dst
+  GROUP BY l.lm, l.node, l.sigma
+)"""
+    unions = "\nUNION ALL ".join(
+        f"SELECT lm, node, delta FROM dl{d}" for d in range(1, BETW_HOPS)
+    )
+    return f"""
+WITH {body.lstrip()}
+SELECT node AS node_id, CAST(sum(delta) AS BIGINT) AS bc_e6,
+       count(*) AS n_landmarks
+FROM ({unions})
+GROUP BY node
+HAVING sum(delta) > 0
+"""
+
+
+ORACLE_BETWEENNESS = _betweenness_oracle()
+
+
 QUERIES = {
     # degree_distribution + copurchase_pairs ride the merged
     # graph_degree_copurchase row (functions kept for internal callers)
@@ -1500,6 +1685,7 @@ QUERIES = {
     "graph_association_rules": graph_association_rules,
     "graph_hits": graph_hits,
     "graph_closeness_landmarks": graph_closeness_landmarks,
+    "graph_betweenness_landmarks": graph_betweenness_landmarks,
     "graph_random_walks": graph_random_walks,
     "graph_adamic_adar": graph_adamic_adar,
     "graph_edge_support": graph_edge_support,
@@ -1524,6 +1710,7 @@ ORACLES = {
     "graph_association_rules": ORACLE_ASSOC,
     "graph_hits": ORACLE_HITS,
     "graph_closeness_landmarks": ORACLE_CLOSENESS,
+    "graph_betweenness_landmarks": ORACLE_BETWEENNESS,
     "graph_random_walks": ORACLE_WALKS,
     "graph_adamic_adar": ORACLE_ADAMIC_ADAR,
     "graph_edge_support": ORACLE_EDGE_SUPPORT,

@@ -697,7 +697,185 @@ selall{t} AS (SELECT c_id FROM selall{t - 1} UNION ALL SELECT c_id FROM sel{t})"
     return head + "".join(stages) + "\n" + "\nUNION ALL ".join(finals)
 
 
+# -- top principal component (fixed-point power iteration) ----------------------
+
+PCA_ROUNDS = 8
+PCA_XQ = 1000  # embedding fixed-point scale (|x| <= ~0.6 -> |x_q| <= 600)
+PCA_VSCALE = 1_000_000  # eigenvector fixed-point scale
+
+
+def _pca_scatter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-centered scatter matrix S[i,j] = Σ_v (x_i - m_i)(x_j - m_j) in
+    EXACT integer arithmetic: embeddings quantize to {PCA_XQ} fixed point,
+    the mean is floor(Σx / n) (computed identically in both engines), and
+    centering expands algebraically — S = Sxx - m_i·Sx_j - m_j·Sx_i +
+    n·m_i·m_j — so no second pass over the vectors is needed."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x"),
+    ).select(
+        "vec_id", "i", F.floor(F.lit(PCA_XQ) * F.col("x")).cast("bigint").alias("x")
+    )
+    nrow = emb.agg(F.count(F.lit(1)).alias("n"))
+    mm = (
+        ex.groupBy("i")
+        .agg(F.sum("x").alias("sx"))
+        .crossJoin(F.broadcast(nrow))
+        .select("i", "sx", F.floor(F.col("sx") / F.col("n")).cast("bigint").alias("m"), "n")
+    )
+    sxx = (
+        ex.alias("a")
+        .join(ex.alias("b"), "vec_id")
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(F.sum(F.col("a.x") * F.col("b.x")).alias("sxx"))
+    )
+    mi = mm.select(F.col("i"), F.col("m").alias("mi"), F.col("sx").alias("sxi"), "n")
+    mj = mm.select(F.col("i").alias("j"), F.col("m").alias("mj"), F.col("sx").alias("sxj"))
+    return (
+        sxx.join(F.broadcast(mi), "i")
+        .join(F.broadcast(mj), "j")
+        .select(
+            "i",
+            "j",
+            (
+                F.col("sxx")
+                - F.col("mi") * F.col("sxj")
+                - F.col("mj") * F.col("sxi")
+                + F.col("n") * F.col("mi") * F.col("mj")
+            ).alias("s"),
+        )
+    )
+
+
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by power iteration —
+    the anisotropy/whitening diagnostic (and PCA-seeding primitive) run the
+    way a cluster actually runs it: the scatter matrix is ONE d²-cell
+    aggregation over the scan, and each of the {PCA_ROUNDS} matvec rounds
+    touches only the d²-row S and the d-row vector — never the corpus
+    again.
+
+    Cross-engine exactness mirrors embedding_kmeans' centroid-quantization
+    proof: S is exact integers (see :func:`_pca_scatter`), and after every
+    matvec the vector renormalizes by its MAX-ABS component (an exact
+    integer max, unlike an L2 norm) and requantizes to {PCA_VSCALE} fixed
+    point via sign·(scale·|w| div mx) — truncating division written
+    sign-symmetrically because Spark's DIV truncates toward zero while
+    DuckDB's // floors.  Matvec accumulation runs in DECIMAL(38,0) /
+    HUGEINT so no SF can overflow.  Output: per-dim loadings (v_e6), the
+    dominant eigenvalue of S (lam_scatter = max|S·v|/scale), and its share
+    of trace(S) in basis points (= explained-variance ratio of PC1).
+
+    Scale shape at 100 TB: the corpus is touched exactly twice (Sx and
+    Sxx — both map-side-combining aggs keyed on (i,j) with d² keys); the
+    iteration is driver-coordinated over d²-row joins driven through
+    pregel.iterate with bounded lineage, exactly the CC/pagerank posture.
+    d=64 here; the same plan serves d in the thousands (S is 10⁶ rows)."""
+    from mongraph_spark import pregel
+
+    s = _pca_scatter(spark, sf_dir).localCheckpoint(eager=True)
+    dims = s.select(F.col("i")).distinct()
+    v0 = dims.select("i", F.lit(PCA_VSCALE).cast("bigint").alias("v"))
+
+    def matvec(v: DataFrame) -> DataFrame:
+        return (
+            s.join(v.select(F.col("i").alias("j"), "v"), "j")
+            .groupBy("i")
+            .agg(
+                F.sum(F.expr("CAST(s AS DECIMAL(38,0)) * v")).alias("w")
+            )
+        )
+
+    def step(v: DataFrame) -> DataFrame:
+        w = matvec(v)
+        mx = w.agg(F.max(F.abs("w")).alias("mx"))
+        return w.crossJoin(F.broadcast(mx)).select(
+            "i",
+            F.expr(
+                f"CAST(CASE WHEN w < 0 THEN -1 ELSE 1 END "
+                f"* ((CAST({PCA_VSCALE} AS DECIMAL(38,0)) * abs(w)) div nullif(mx, 0)) "
+                f"AS BIGINT)"
+            ).alias("v"),
+        )
+
+    v, _ = pregel.iterate(v0, step, max_rounds=PCA_ROUNDS, checkpoint_every=2)
+    w9 = matvec(v)
+    lam = w9.agg(F.max(F.abs("w")).alias("mx"))
+    trace = s.filter(F.col("i") == F.col("j")).agg(F.sum("s").alias("tr"))
+    return (
+        v.crossJoin(F.broadcast(lam))
+        .crossJoin(F.broadcast(trace))
+        .select(
+            F.col("i").alias("dim"),
+            F.col("v").alias("v_e6"),
+            F.expr(f"CAST(mx div {PCA_VSCALE} AS BIGINT)").alias("lam_scatter"),
+            F.expr(
+                f"CAST((CAST(10000 AS DECIMAL(38,0)) * mx) "
+                f"div (CAST(tr AS DECIMAL(38,0)) * {PCA_VSCALE}) AS BIGINT)"
+            ).alias("ev_bp"),
+        )
+    )
+
+
+def _pca_oracle() -> str:
+    body = f"""
+ex AS MATERIALIZED (
+  SELECT vec_id, CAST(d - 1 AS INT) AS i,
+         CAST(floor({PCA_XQ} * CAST(embedding[d] AS DOUBLE)) AS BIGINT) AS x
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(d)
+),
+nrow AS (SELECT count(*) AS n FROM embeddings),
+mm AS (
+  SELECT i, sum(x) AS sx,
+         CAST(floor(sum(x) / (SELECT n FROM nrow)) AS BIGINT) AS m
+  FROM ex GROUP BY i
+),
+s AS MATERIALIZED (
+  SELECT a_i AS i, a_j AS j,
+         sxx - mi.m * mj.sx - mj.m * mi.sx
+             + (SELECT n FROM nrow) * mi.m * mj.m AS s
+  FROM (
+    SELECT a.i AS a_i, b.i AS a_j, sum(a.x * b.x) AS sxx
+    FROM ex a JOIN ex b USING (vec_id) GROUP BY a.i, b.i
+  ) JOIN mm mi ON a_i = mi.i JOIN mm mj ON a_j = mj.i
+),
+v0 AS (SELECT DISTINCT i, CAST({PCA_VSCALE} AS BIGINT) AS v FROM s)"""
+    prev = "v0"
+    for r in range(1, PCA_ROUNDS + 1):
+        body += f""",
+w{r} AS MATERIALIZED (
+  SELECT s.i, sum(CAST(s.s AS HUGEINT) * v.v) AS w
+  FROM s JOIN {prev} v ON s.j = v.i GROUP BY s.i
+),
+v{r} AS MATERIALIZED (
+  SELECT i, CAST((CASE WHEN w < 0 THEN -1 ELSE 1 END)
+         * ((CAST({PCA_VSCALE} AS HUGEINT) * abs(w))
+            // nullif((SELECT max(abs(w)) FROM w{r}), 0)) AS BIGINT) AS v
+  FROM w{r}
+)"""
+        prev = f"v{r}"
+    return f"""
+WITH {body.lstrip()},
+w9 AS (
+  SELECT s.i, sum(CAST(s.s AS HUGEINT) * v.v) AS w
+  FROM s JOIN {prev} v ON s.j = v.i GROUP BY s.i
+),
+fin AS (SELECT max(abs(w)) AS mx FROM w9),
+tr AS (SELECT sum(s) AS tr FROM s WHERE i = j)
+SELECT CAST(v.i AS INT) AS dim, v.v AS v_e6,
+       CAST(mx // {PCA_VSCALE} AS BIGINT) AS lam_scatter,
+       CAST((CAST(10000 AS HUGEINT) * mx)
+            // (CAST(tr AS HUGEINT) * {PCA_VSCALE}) AS BIGINT) AS ev_bp
+FROM {prev} v, fin, tr
+"""
+
+
+ORACLE_PCA = _pca_oracle()
+
+
 QUERIES = {
+    "embedding_pca_power": embedding_pca_power,
     "ann_recall_report": ann_recall_report,
     "embedding_kmeans": embedding_kmeans,
     "ann_cosine_topk": ann_cosine_topk,
@@ -709,6 +887,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "embedding_pca_power": ORACLE_PCA,
     "ann_recall_report": ORACLE_RECALL,
     "embedding_kmeans": ORACLE_KMEANS,
     "ann_cosine_topk": ORACLE_TOPK,
