@@ -699,7 +699,7 @@ selall{t} AS (SELECT c_id FROM selall{t - 1} UNION ALL SELECT c_id FROM sel{t})"
 
 # -- top principal component (fixed-point power iteration) ----------------------
 
-PCA_ROUNDS = 8
+PCA_ROUNDS = 48  # converges to cos>0.996 on this corpus's lam1/lam2=1.07 gap
 PCA_XQ = 1000  # embedding fixed-point scale (|x| <= ~0.6 -> |x_q| <= 600)
 PCA_VSCALE = 1_000_000  # eigenvector fixed-point scale
 
@@ -771,7 +771,13 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     Sxx — both map-side-combining aggs keyed on (i,j) with d² keys); the
     iteration is driver-coordinated over d²-row joins driven through
     pregel.iterate with bounded lineage, exactly the CC/pagerank posture.
-    d=64 here; the same plan serves d in the thousands (S is 10⁶ rows)."""
+    d=64 here; the same plan serves d in the thousands (S is 10⁶ rows).
+    Convergence is governed by (λ2/λ1)^rounds — this synthetic corpus is
+    near-isotropic (λ1/λ2 ≈ 1.07), hence {PCA_ROUNDS} rounds (verified
+    cos > 0.996 against numpy eigh in tests); a production corpus with a
+    real dominant direction converges in a handful, and a genuinely flat
+    spectrum calls for block power iteration / Lanczos, which compose
+    from this same matvec primitive."""
     from mongraph_spark import pregel
 
     s = _pca_scatter(spark, sf_dir).localCheckpoint(eager=True)
@@ -857,11 +863,11 @@ v{r} AS MATERIALIZED (
         prev = f"v{r}"
     return f"""
 WITH {body.lstrip()},
-w9 AS (
+wfin AS (
   SELECT s.i, sum(CAST(s.s AS HUGEINT) * v.v) AS w
   FROM s JOIN {prev} v ON s.j = v.i GROUP BY s.i
 ),
-fin AS (SELECT max(abs(w)) AS mx FROM w9),
+fin AS (SELECT max(abs(w)) AS mx FROM wfin),
 tr AS (SELECT sum(s) AS tr FROM s WHERE i = j)
 SELECT CAST(v.i AS INT) AS dim, v.v AS v_e6,
        CAST(mx // {PCA_VSCALE} AS BIGINT) AS lam_scatter,
