@@ -529,6 +529,145 @@ FROM s
 """
 
 
+# -- Heaps-law vocabulary growth -----------------------------------------------------
+
+HEAPS_POINTS = 10  # corpus deciles sampled for the growth curve
+
+
+def corpus_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth: cumulative distinct vocabulary V(n)
+    against cumulative token count n at each corpus decile (doc_id ingest
+    order), plus the fitted V = k·n^β in log-log closed form — natural
+    text sits near β ≈ 0.5; β drifting toward 0 means the source is
+    exhausted (same saturation story corpus_ngram_novelty tells at the
+    document level, here at the vocabulary level), β near 1 flags
+    machine-generated or ID-heavy text.  The companion statistic to
+    corpus_zipf_fit (Heaps and Zipf exponents are duals).
+
+    Scale shape: vocabulary first-occurrence is ``min(doc_id)`` grouped by
+    WORD (one token-keyed shuffle, min-combine — the decontaminate/novelty
+    posture); everything after runs on ONE ROW PER DOC (new-word count +
+    token count), where the running sums ride a single window ordered by
+    doc_id.  That window is global over docs — fine to ~10⁸ docs; beyond
+    that, partition by a doc_id block prefix and prefix-sum the per-block
+    totals (documented, the standard two-level scan).  The {HEAPS_POINTS}
+    curve points and the log-log fit are post-aggregation scalars (the
+    zipf_fit float-determinism pattern: ln over exact integers, floored
+    micro-units)."""
+    docs = read_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("w")
+    )
+    new_words = (
+        words.groupBy("w")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    per_doc = (
+        docs.select(
+            "doc_id", F.size(F.split(F.lower("text"), r"\s+")).alias("n_tok")
+        )
+        .join(new_words, "doc_id", "left")
+        .select(
+            "doc_id", "n_tok", F.coalesce("n_new", F.lit(0)).alias("n_new")
+        )
+    )
+    wdoc = Window.orderBy("doc_id")
+    wcum = wdoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    curve = per_doc.select(
+        F.row_number().over(wdoc).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(F.lit(1))).alias("nd"),
+        F.sum("n_tok").over(wcum).alias("cum_tokens"),
+        F.sum("n_new").over(wcum).alias("cum_vocab"),
+    )
+    points = (
+        curve.groupBy(
+            F.expr(f"CAST(({HEAPS_POINTS} * (rn - 1)) DIV nd AS BIGINT)").alias(
+                "decile"
+            )
+        )
+        .agg(
+            F.max_by("cum_tokens", "rn").alias("cum_tokens"),
+            F.max_by("cum_vocab", "rn").alias("cum_vocab"),
+        )
+    )
+    fit = points.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.log(F.col("cum_tokens").cast("double"))).alias("sx"),
+        F.sum(F.log(F.col("cum_vocab").cast("double"))).alias("sy"),
+        F.sum(
+            F.log(F.col("cum_tokens").cast("double"))
+            * F.log(F.col("cum_vocab").cast("double"))
+        ).alias("sxy"),
+        F.sum(
+            F.log(F.col("cum_tokens").cast("double"))
+            * F.log(F.col("cum_tokens").cast("double"))
+        ).alias("sxx"),
+    )
+    beta = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    logk = (F.col("sy") - beta * F.col("sx")) / F.col("n")
+    return points.crossJoin(
+        F.broadcast(
+            fit.select(
+                F.floor(beta * 1_000_000).cast("long").alias("beta_micro"),
+                F.floor(logk * 1_000_000).cast("long").alias("logk_micro"),
+            )
+        )
+    ).select("decile", "cum_tokens", "cum_vocab", "beta_micro", "logk_micro")
+
+
+ORACLE_HEAPS = f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w
+  FROM documents
+),
+new_words AS (
+  SELECT doc_id, count(*) AS n_new FROM (
+    SELECT w, min(doc_id) AS doc_id FROM words GROUP BY w
+  ) GROUP BY doc_id
+),
+per_doc AS (
+  SELECT d.doc_id, len(string_split_regex(lower(d.text), '\\s+')) AS n_tok,
+         coalesce(n.n_new, 0) AS n_new
+  FROM documents d LEFT JOIN new_words n ON d.doc_id = n.doc_id
+),
+curve AS (
+  SELECT row_number() OVER (ORDER BY doc_id) AS rn,
+         count(*) OVER () AS nd,
+         sum(n_tok) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
+         sum(n_new) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_vocab
+  FROM per_doc
+),
+points AS MATERIALIZED (
+  SELECT ({HEAPS_POINTS} * (rn - 1)) // nd AS decile,
+         max_by(cum_tokens, rn) AS cum_tokens,
+         max_by(cum_vocab, rn) AS cum_vocab
+  FROM curve GROUP BY 1
+),
+s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         sum(ln(CAST(cum_tokens AS DOUBLE))) AS sx,
+         sum(ln(CAST(cum_vocab AS DOUBLE))) AS sy,
+         sum(ln(CAST(cum_tokens AS DOUBLE)) * ln(CAST(cum_vocab AS DOUBLE))) AS sxy,
+         sum(ln(CAST(cum_tokens AS DOUBLE)) * ln(CAST(cum_tokens AS DOUBLE))) AS sxx
+  FROM points
+)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       CAST(cum_vocab AS BIGINT) AS cum_vocab,
+       CAST(floor(1000000 * (n * sxy - sx * sy) / (n * sxx - sx * sx)) AS BIGINT)
+         AS beta_micro,
+       CAST(floor(1000000 * (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n)
+            AS BIGINT) AS logk_micro
+FROM points, s
+"""
+
+
 # -- bigram-LM cross-entropy scoring ------------------------------------------------
 
 
@@ -885,6 +1024,7 @@ QUERIES = {
     "corpus_common_token_ratio": common_token_ratio,
     "corpus_split_leakage": split_leakage,
     "corpus_zipf_fit": corpus_zipf_fit,
+    "corpus_heaps_law": corpus_heaps_law,
     "corpus_bigram_xent": corpus_bigram_xent,
     "corpus_boilerplate_lines": boilerplate_lines,
     "corpus_filter_funnel": filter_funnel,
@@ -899,6 +1039,7 @@ ORACLES = {
     "corpus_common_token_ratio": ORACLE_COMMON_TOKEN,
     "corpus_split_leakage": _oracle_split_leakage(),
     "corpus_zipf_fit": ORACLE_ZIPF,
+    "corpus_heaps_law": ORACLE_HEAPS,
     "corpus_bigram_xent": ORACLE_BIGRAM_XENT,
     "corpus_boilerplate_lines": ORACLE_BOILERPLATE,
     "corpus_filter_funnel": ORACLE_FILTER_FUNNEL,

@@ -880,7 +880,147 @@ FROM {prev} v, fin, tr
 ORACLE_PCA = _pca_oracle()
 
 
+# -- product quantization codebooks ---------------------------------------------
+
+PQ_M = 8  # subspaces
+PQ_SUB = 8  # dims per subspace (PQ_M * PQ_SUB = 64)
+PQ_K = 4  # codes per subspace -> 2 bits/subspace, 2 bytes/vector total
+PQ_SEED_IDS = [10, 20, 30, 40]  # deterministic codebook seeds (vec_ids)
+
+
+def embedding_pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization training + assignment — THE memory-scale path
+    for billion-vector ANN (Jégou et al.): split each vector into {PQ_M}
+    subspaces of {PQ_SUB} dims, learn a tiny per-subspace codebook
+    ({PQ_K} codes = 2 bits), and store each vector as {PQ_M} code ids
+    (2 bytes here vs 256 float bytes).  Reports the codebook quality a
+    deployment reviews before committing: per-(subspace, code) occupancy
+    and summed quantization distortion.
+
+    Training mirrors embedding_kmeans' engine-exactness contract, per
+    subspace: fixed seed vectors, ONE Lloyd refinement whose centroid
+    coordinates are floored to integer basis points BEFORE any distance
+    is measured, fixed-order float accumulation for distances, ties break
+    on code id, and per-row distortion floors to integer micro-units so
+    the final sums are exact integer arithmetic.
+
+    Scale shape: subvector explode is map-only (N·{PQ_M} rows); both
+    assignment passes are broadcast joins against ≤{PQ_M}·{PQ_K} codebook
+    rows (map-only, no shuffle of the corpus); the Lloyd mean and the
+    final rollup are (m, code[, dim])-keyed aggs with ≤{PQ_M}·{PQ_K}·
+    {PQ_SUB} keys — map-side combine collapses everything.  At 100 TB
+    this is exactly the plan, with K in the hundreds and a handful of
+    Lloyd rounds."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    arr = F.col("embedding").cast("array<double>")
+    subs = F.array(*[F.slice(arr, m * PQ_SUB + 1, PQ_SUB) for m in range(PQ_M)])
+    sv = emb.select("vec_id", F.posexplode(subs).alias("m", "sv"))
+    seeds = (
+        sv.filter(F.col("vec_id").isin(PQ_SEED_IDS))
+        .select(
+            "m",
+            (
+                F.row_number().over(
+                    Window.partitionBy("m").orderBy("vec_id")
+                )
+                - 1
+            ).alias("code"),
+            F.col("sv").alias("c_sv"),
+        )
+    )
+    d = F.expr(_SQ_DIST.format(v="sv", c="c_sv"))
+    a1 = (
+        sv.join(F.broadcast(seeds), "m")
+        .withColumn("dist", d)
+        .groupBy("vec_id", "m")
+        .agg(F.min_by("code", F.struct("dist", "code")).alias("code"))
+        .join(sv, ["vec_id", "m"])
+    )
+    per_dim = (
+        a1.select("m", "code", F.posexplode("sv").alias("dim", "v"))
+        .groupBy("m", "code", "dim")
+        .agg(F.floor(F.lit(10000) * F.avg("v")).cast("long").alias("c_bp"))
+    )
+    cb = per_dim.groupBy("m", "code").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c_bp"))),
+            lambda s: s["c_bp"] / F.lit(10000.0),
+        ).alias("c_sv")
+    )
+    a2 = (
+        sv.join(F.broadcast(cb), "m")
+        .withColumn("dist", d)
+        .groupBy("vec_id", "m")
+        .agg(
+            F.min_by("code", F.struct("dist", "code")).alias("code"),
+            F.floor(F.lit(1_000_000) * F.min("dist")).cast("long").alias(
+                "distort_micro"
+            ),
+        )
+    )
+    return a2.groupBy("m", "code").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum("distort_micro").alias("sum_distort_micro"),
+    )
+
+
+def _pq_oracle() -> str:
+    sub_selects = "\n  UNION ALL ".join(
+        f"SELECT vec_id, {m} AS m, l[{m * PQ_SUB + 1}:{(m + 1) * PQ_SUB}] AS sv "
+        f"FROM base"
+        for m in range(PQ_M)
+    )
+    ids = ", ".join(str(i) for i in PQ_SEED_IDS)
+    return f"""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS l FROM embeddings),
+sv AS MATERIALIZED (
+  {sub_selects}
+),
+seeds AS MATERIALIZED (
+  SELECT m, row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1 AS code,
+         sv AS c_sv
+  FROM sv WHERE vec_id IN ({ids})
+),
+a1 AS MATERIALIZED (
+  SELECT vec_id, m, code, sv FROM (
+    SELECT v.vec_id, v.m, s.code, v.sv,
+           row_number() OVER (PARTITION BY v.vec_id, v.m
+             ORDER BY {_SQ_DIST_SQL.format(v="v.sv", c="s.c_sv")}, s.code) AS rk
+    FROM sv v JOIN seeds s ON v.m = s.m
+  ) WHERE rk = 1
+),
+pd AS (
+  SELECT m, code, d - 1 AS dim,
+         CAST(floor(10000 * avg(sv[d])) AS BIGINT) AS c_bp
+  FROM a1, UNNEST(range(1, {PQ_SUB} + 1)) AS t(d)
+  GROUP BY m, code, d
+),
+cb AS MATERIALIZED (
+  SELECT m, code, list(c_bp / 10000.0 ORDER BY dim) AS c_sv
+  FROM pd GROUP BY m, code
+),
+a2 AS MATERIALIZED (
+  SELECT vec_id, m, code,
+         CAST(floor(1000000 * dist) AS BIGINT) AS distort_micro
+  FROM (
+    SELECT v.vec_id, v.m, c.code,
+           {_SQ_DIST_SQL.format(v="v.sv", c="c.c_sv")} AS dist,
+           row_number() OVER (PARTITION BY v.vec_id, v.m
+             ORDER BY {_SQ_DIST_SQL.format(v="v.sv", c="c.c_sv")}, c.code) AS rk
+    FROM sv v JOIN cb c ON v.m = c.m
+  ) WHERE rk = 1
+)
+SELECT m, code, count(*) AS n_vectors,
+       CAST(sum(distort_micro) AS BIGINT) AS sum_distort_micro
+FROM a2 GROUP BY m, code
+"""
+
+
+ORACLE_PQ = _pq_oracle()
+
+
 QUERIES = {
+    "embedding_pq_codebooks": embedding_pq_codebooks,
     "embedding_pca_power": embedding_pca_power,
     "ann_recall_report": ann_recall_report,
     "embedding_kmeans": embedding_kmeans,
@@ -893,6 +1033,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "embedding_pq_codebooks": ORACLE_PQ,
     "embedding_pca_power": ORACLE_PCA,
     "ann_recall_report": ORACLE_RECALL,
     "embedding_kmeans": ORACLE_KMEANS,
