@@ -1523,6 +1523,51 @@ SEASONAL_BASELINE_DAYS = 21  # weeks 1-3 train the per-(type, hour) baseline
 SEASONAL_Z2 = 9  # flag |z| > 3, tested as z^2 > 9 in exact integer arithmetic
 
 
+def _seasonal_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense (day, hr, event_type, n, is_base) grid — the shared input of
+    the batch sweep and the streaming twin's baseline (zero-filled cells
+    matter: a quiet hour must train the baseline as 0, not be absent)."""
+    ev = read_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        F.hour("ts").cast("int").alias("hr"),
+        "event_type",
+    )
+    bounds = ev.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1")).alias("day"), "d0"
+    ).crossJoin(spark.range(24).select(F.col("id").cast("int").alias("hr")))
+    grid = spine.crossJoin(ev.select("event_type").distinct())
+    hourly = ev.groupBy("day", "hr", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        F.broadcast(grid)
+        .join(hourly, ["day", "hr", "event_type"], "left")
+        .select(
+            "day",
+            "hr",
+            "event_type",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+            (F.col("day") < F.date_add("d0", SEASONAL_BASELINE_DAYS)).alias(
+                "is_base"
+            ),
+        )
+    )
+
+
+def _seasonal_baseline(dense: DataFrame) -> DataFrame:
+    """Per-(event_type, hour) integer moment sums over the baseline days."""
+    return (
+        dense.filter("is_base")
+        .groupBy("event_type", "hr")
+        .agg(
+            F.count(F.lit(1)).alias("bn"),
+            F.sum("n").alias("bs"),
+            F.sum(F.col("n") * F.col("n")).alias("bss"),
+        )
+    )
+
+
 def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonal-baseline anomaly detection: learn a per-(event_type,
     hour-of-day) mean/variance of DAILY HOURLY COUNTS over the first
@@ -1547,41 +1592,8 @@ def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     int64 up to ~1e6 events per (type, hour) cell; beyond that promote the
     two quadratic terms to DECIMAL(38,0) (documented, not needed at any
     test SF)."""
-    ev = read_table(spark, sf_dir, "events").select(
-        F.to_date("ts").alias("day"),
-        F.hour("ts").cast("int").alias("hr"),
-        "event_type",
-    )
-    bounds = ev.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
-    spine = bounds.select(
-        F.explode(F.sequence("d0", "d1")).alias("day"), "d0"
-    ).crossJoin(spark.range(24).select(F.col("id").cast("int").alias("hr")))
-    grid = spine.crossJoin(ev.select("event_type").distinct())
-    hourly = ev.groupBy("day", "hr", "event_type").agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    dense = (
-        F.broadcast(grid)
-        .join(hourly, ["day", "hr", "event_type"], "left")
-        .select(
-            "day",
-            "hr",
-            "event_type",
-            F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
-            (F.col("day") < F.date_add("d0", SEASONAL_BASELINE_DAYS)).alias(
-                "is_base"
-            ),
-        )
-    )
-    base = (
-        dense.filter("is_base")
-        .groupBy("event_type", "hr")
-        .agg(
-            F.count(F.lit(1)).alias("bn"),
-            F.sum("n").alias("bs"),
-            F.sum(F.col("n") * F.col("n")).alias("bss"),
-        )
-    )
+    dense = _seasonal_dense(spark, sf_dir)
+    base = _seasonal_baseline(dense)
     dev = F.col("bn") * F.col("n") - F.col("bs")  # n*x - s
     var_t = F.col("bn") * F.col("bss") - F.col("bs") * F.col("bs")  # n*ss - s^2
     return (

@@ -695,7 +695,79 @@ from mongraph_spark.queries.events import ORACLE_MARKOV as ORACLE_STREAM_MARKOV 
 from mongraph_spark.queries.relational import ORACLE_HLL as ORACLE_STREAM_HLL  # noqa: E402
 
 
+# -- streaming seasonal anomaly (batch-baseline twin) ---------------------------------
+
+
+def streaming_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``queries.events.events_seasonal_anomaly``: the
+    per-(type, hour-of-day) baseline moments train BATCH-side over the
+    zero-filled first-{queries.events.SEASONAL_BASELINE_DAYS}-day grid
+    (shared builder — bit-identical moments), the stream maintains the
+    watermarked hourly rollup, and the exact integer z²-gate runs over the
+    continuously-updated rollup table (the alerting-layer pattern: slow
+    baseline refresh, fast stream probe).
+
+    Semantic delta vs the batch sweep, by construction of streams: an hour
+    with ZERO events produces no stream row, so unusually-QUIET cells
+    cannot fire here — the twin flags over-active cells only (oracle
+    carries the same ``n > 0`` restriction; the batch sweep owns quiet-
+    hour detection).  State: watermark-bounded window counts, O(types ×
+    open windows)."""
+    from mongraph_spark.queries.events import (
+        SEASONAL_BASELINE_DAYS,
+        SEASONAL_Z2,
+        _seasonal_baseline,
+        _seasonal_dense,
+    )
+    from mongraph_spark.sparkutil import read_table
+
+    base = _seasonal_baseline(_seasonal_dense(spark, sf_dir))
+    d0 = read_table(spark, sf_dir, "events").agg(
+        F.min(F.to_date("ts")).alias("d0")
+    )
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    with _state_partitioning(spark, sf_dir):
+        out = run_to_table(agg, output_mode="complete")
+    cells = out.select(
+        "event_type",
+        F.to_date("w.start").alias("day"),
+        F.hour("w.start").cast("int").alias("hr"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+    dev = F.col("bn") * F.col("n") - F.col("bs")
+    var_t = F.col("bn") * F.col("bss") - F.col("bs") * F.col("bs")
+    return (
+        cells.join(F.broadcast(base), ["event_type", "hr"])
+        .crossJoin(F.broadcast(d0))
+        .filter(F.col("day") >= F.date_add("d0", SEASONAL_BASELINE_DAYS))
+        .filter(dev * dev > F.lit(SEASONAL_Z2) * var_t)
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "hr",
+            "n",
+            F.floor(F.lit(10000) * F.col("bs") / F.col("bn"))
+            .cast("bigint")
+            .alias("base_mean_bp"),
+            F.expr(
+                "CAST(10000 * (bn*n - bs) * (bn*n - bs) DIV "
+                "nullif(bn*bss - bs*bs, 0) AS BIGINT)"
+            ).alias("z2_bp"),
+        )
+    )
+
+
+def _oracle_stream_seasonal() -> str:
+    from mongraph_spark.queries.events import ORACLE_SEASONAL_ANOMALY
+
+    return ORACLE_SEASONAL_ANOMALY.rstrip() + "\n  AND d.n > 0\n"
+
+
 QUERIES = {
+    "streaming_seasonal_anomaly": streaming_seasonal_anomaly,
     "streaming_hll_distinct": streaming_hll_distinct,
     "streaming_tumbling_window": streaming_tumbling_window,
     "streaming_markov_transitions": streaming_markov_transitions,
@@ -710,6 +782,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "streaming_seasonal_anomaly": _oracle_stream_seasonal(),
     "streaming_hll_distinct": ORACLE_STREAM_HLL,
     "streaming_threshold_anomaly": ORACLE_STREAM_ANOMALY,
     "streaming_markov_transitions": ORACLE_STREAM_MARKOV,

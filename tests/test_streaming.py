@@ -71,3 +71,15 @@ def test_streaming_hll_equals_batch(spark):
     stream = streaming_hll_distinct(spark, SF_DIR)
     batch = sketch_hll_mergeable(spark, SF_DIR)
     assert _sorted_rows(stream, "scope") == _sorted_rows(batch, "scope")
+
+
+def test_streaming_seasonal_anomaly_equals_batch_active_cells(spark):
+    """The seasonal twin must equal the batch sweep restricted to observed
+    (n > 0) cells — the only delta a stream can't see is an absent row."""
+    from mongraph_spark.queries.events import events_seasonal_anomaly
+    from mongraph_spark.streaming.events import streaming_seasonal_anomaly
+
+    batch = events_seasonal_anomaly(spark, SF_DIR).filter(F.col("n") > 0)
+    stream = streaming_seasonal_anomaly(spark, SF_DIR)
+    keys = ("event_type", "day", "hr")
+    assert _sorted_rows(stream, *keys) == _sorted_rows(batch, *keys)
