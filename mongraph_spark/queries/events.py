@@ -1654,7 +1654,70 @@ WHERE NOT d.is_base
 """
 
 
+# -- user activity concentration (Gini + Pareto share) ----------------------------
+
+
+def events_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity-concentration profile of the user base: the exact Gini
+    coefficient of per-user event counts plus the top-decile share — the
+    "do 10% of users generate 80% of traffic" measurement that sizes
+    per-key skew mitigation (salting thresholds, hot-key caches) and
+    flags bot cohorts when concentration jumps.
+
+    Exactness: with users ranked ascending by count (ties on user_id),
+    Gini = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) — every term an integer, one
+    floor at the end, so both engines agree bit-for-bit.  Top-decile
+    share counts the ⌊n/10⌋ highest-ranked users' events, same integer
+    policy.
+
+    Scale shape: ONE groupBy collapses the scan to a row per user; the
+    rank window runs over per-user rows (documented global-window note:
+    at 10⁹ users partition by a count-bucket prefix and prefix-sum block
+    totals — the running-sum two-level scan); everything after is a
+    1-row aggregate."""
+    ev = read_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("x"))
+    w = Window.partitionBy(F.lit(1)).orderBy("x", "user_id")
+    ranked = per_user.select(
+        "x",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy(F.lit(1))).alias("n"),
+    )
+    return ranked.agg(
+        F.max("n").alias("n_users"),
+        F.sum("x").alias("total_events"),
+        F.expr(
+            "CAST((10000 * (2 * sum(i * x) - (max(n) + 1) * sum(x))) "
+            "DIV (max(n) * sum(x)) AS BIGINT)"
+        ).alias("gini_bp"),
+        F.expr(
+            "CAST((10000 * sum(CASE WHEN i > n - n DIV 10 THEN x ELSE 0 END)) "
+            "DIV sum(x) AS BIGINT)"
+        ).alias("top_decile_bp"),
+    )
+
+
+ORACLE_USER_GINI = """
+WITH per_user AS (
+  SELECT user_id, count(*) AS x FROM events GROUP BY user_id
+),
+ranked AS (
+  SELECT x, row_number() OVER (ORDER BY x, user_id) AS i,
+         count(*) OVER () AS n
+  FROM per_user
+)
+SELECT CAST(max(n) AS BIGINT) AS n_users,
+       CAST(sum(x) AS BIGINT) AS total_events,
+       CAST((10000 * (2 * sum(i * x) - (max(n) + 1) * sum(x)))
+            // (max(n) * sum(x)) AS BIGINT) AS gini_bp,
+       CAST((10000 * sum(CASE WHEN i > n - n // 10 THEN x ELSE 0 END))
+            // sum(x) AS BIGINT) AS top_decile_bp
+FROM ranked
+"""
+
+
 QUERIES = {
+    "events_user_gini": events_user_gini,
     "events_tumbling_window": events_tumbling_window,
     "events_funnel": events_funnel,
     "events_pivot_daily": events_pivot_daily,
@@ -1710,4 +1773,5 @@ ORACLES = {
     "events_late_data_audit": ORACLE_LATE_AUDIT,
     "events_ab_lift": ORACLE_AB_LIFT,
     "events_seasonal_anomaly": ORACLE_SEASONAL_ANOMALY,
+    "events_user_gini": ORACLE_USER_GINI,
 }

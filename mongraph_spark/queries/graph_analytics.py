@@ -1668,6 +1668,119 @@ HAVING sum(delta) > 0
 ORACLE_BETWEENNESS = _betweenness_oracle()
 
 
+# -- diameter lower bound (double-sweep BFS) --------------------------------------
+
+DIAM_HOPS = 6  # per-sweep BFS cap (graph diameter at any tested SF is < 6)
+
+
+def graph_diameter_double_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph diameter lower bound by the double-sweep heuristic (Magnien-
+    Latapy-Habib): BFS from a fixed seed, take the farthest node u
+    (deterministic tie-break on node id), BFS again from u — u's
+    eccentricity is the classic tight diameter lower bound (exact on
+    trees, near-exact on small-world graphs).  The topology summary the
+    other landmark ops assume: it justifies their hop caps.
+
+    Scale shape: two single-source min-dist BFS runs driven through
+    ``pregel.iterate`` (state = (node, dist), one shuffle per hop —
+    the closeness posture with K=1), each capped at {DIAM_HOPS} hops;
+    the argmax handoff is a 1-row broadcast.  All integers."""
+    orders = tpch.read_table(spark, sf_dir, "orders")
+    lineitem = tpch.read_table(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).cast("long").alias("c"),
+            (F.col("l_suppkey") * 2 + 1).cast("long").alias("s"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    adj = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+
+    def bfs(seed: DataFrame) -> DataFrame:
+        state0 = seed.select(
+            F.col("node").alias("node_id"), F.lit(0).cast("int").alias("dist")
+        )
+
+        def hop(state: DataFrame) -> DataFrame:
+            expanded = state.join(adj, state["node_id"] == adj["src"]).select(
+                F.col("dst").alias("node_id"), (F.col("dist") + 1).alias("dist")
+            )
+            return (
+                state.unionByName(expanded)
+                .groupBy("node_id")
+                .agg(F.min("dist").alias("dist"))
+            )
+
+        out, _ = pregel.iterate(state0, hop, max_rounds=DIAM_HOPS, checkpoint_every=2)
+        return out
+
+    seed1 = pairs.select(F.min("s").alias("node"))
+    s1 = bfs(seed1)
+    far1 = s1.orderBy(F.desc("dist"), F.asc("node_id")).limit(1)
+    s2 = bfs(far1.select(F.col("node_id").alias("node")))
+    sum1 = s1.agg(
+        F.max("dist").alias("ecc_seed"), F.count(F.lit(1)).alias("n_reached_seed")
+    )
+    sum2 = s2.agg(
+        F.max("dist").alias("diameter_lb"), F.count(F.lit(1)).alias("n_reached_far")
+    )
+    return (
+        sum1.crossJoin(far1.select(F.col("node_id").alias("far_node")))
+        .crossJoin(sum2)
+        .select(
+            "ecc_seed", "n_reached_seed", "far_node", "diameter_lb", "n_reached_far"
+        )
+    )
+
+
+def _diameter_oracle() -> str:
+    def chain(tag: str, seed_sql: str) -> str:
+        out = f""",
+{tag}0 AS MATERIALIZED (SELECT {seed_sql} AS node_id, 0 AS dist)"""
+        for k in range(1, DIAM_HOPS + 1):
+            out += f""",
+{tag}{k} AS MATERIALIZED (
+  SELECT node_id, min(dist) AS dist FROM (
+    SELECT node_id, dist FROM {tag}{k - 1}
+    UNION ALL
+    SELECT a.dst AS node_id, p.dist + 1 AS dist
+    FROM {tag}{k - 1} p JOIN adj a ON p.node_id = a.src
+  ) GROUP BY node_id
+)"""
+        return out
+
+    body = f"""
+pairs AS MATERIALIZED (
+  SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS c,
+                  CAST(l_suppkey * 2 + 1 AS BIGINT) AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+adj AS MATERIALIZED (
+  SELECT c AS src, s AS dst FROM pairs UNION ALL SELECT s, c FROM pairs
+)"""
+    body += chain("sa", "(SELECT min(s) FROM pairs)")
+    body += f""",
+far AS MATERIALIZED (
+  SELECT node_id FROM sa{DIAM_HOPS} ORDER BY dist DESC, node_id ASC LIMIT 1
+)"""
+    body += chain("sb", "(SELECT node_id FROM far)")
+    return f"""
+WITH {body.lstrip()}
+SELECT (SELECT max(dist) FROM sa{DIAM_HOPS}) AS ecc_seed,
+       (SELECT count(*) FROM sa{DIAM_HOPS}) AS n_reached_seed,
+       (SELECT node_id FROM far) AS far_node,
+       (SELECT max(dist) FROM sb{DIAM_HOPS}) AS diameter_lb,
+       (SELECT count(*) FROM sb{DIAM_HOPS}) AS n_reached_far
+"""
+
+
+ORACLE_DIAMETER = _diameter_oracle()
+
+
 QUERIES = {
     # degree_distribution + copurchase_pairs ride the merged
     # graph_degree_copurchase row (functions kept for internal callers)
@@ -1686,6 +1799,7 @@ QUERIES = {
     "graph_hits": graph_hits,
     "graph_closeness_landmarks": graph_closeness_landmarks,
     "graph_betweenness_landmarks": graph_betweenness_landmarks,
+    "graph_diameter_double_sweep": graph_diameter_double_sweep,
     "graph_random_walks": graph_random_walks,
     "graph_adamic_adar": graph_adamic_adar,
     "graph_edge_support": graph_edge_support,
@@ -1711,6 +1825,7 @@ ORACLES = {
     "graph_hits": ORACLE_HITS,
     "graph_closeness_landmarks": ORACLE_CLOSENESS,
     "graph_betweenness_landmarks": ORACLE_BETWEENNESS,
+    "graph_diameter_double_sweep": ORACLE_DIAMETER,
     "graph_random_walks": ORACLE_WALKS,
     "graph_adamic_adar": ORACLE_ADAMIC_ADAR,
     "graph_edge_support": ORACLE_EDGE_SUPPORT,

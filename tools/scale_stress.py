@@ -122,6 +122,60 @@ def build_stress_events(spark: SparkSession, sf_dir: str, repl_events: int) -> N
     )
 
 
+def build_stress_relational(spark: SparkSession, sf_dir: str, repl: int) -> None:
+    """Replicate orders+lineitem repl× with shifted order/customer/supplier
+    keys — the purchase graph becomes repl disjoint copies (a bigger
+    *fleet*, same per-component topology), which is the honest scale test
+    for the landmark graph ops: the K landmarks stay fixed while the
+    adjacency they must traverse grows repl×."""
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    lineitem = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    date_cols = {c: t for c, t in orders.dtypes}
+    o_date = (
+        F.timestamp_micros(F.expr("o_orderdate div 1000"))
+        if date_cols.get("o_orderdate") == "bigint"
+        else F.col("o_orderdate")
+    )
+    o_reps, l_reps = [], []
+    for i in range(repl):
+        o_reps.append(
+            orders.select(
+                (F.col("o_orderkey") + F.lit(i * 1_000_000_000_000)).alias("o_orderkey"),
+                (F.col("o_custkey") + F.lit(i * 1_000_000_000)).alias("o_custkey"),
+                "o_orderstatus",
+                "o_totalprice",
+                o_date.alias("o_orderdate"),
+                "o_orderpriority",
+            )
+        )
+        l_reps.append(
+            lineitem.select(
+                (F.col("l_orderkey") + F.lit(i * 1_000_000_000_000)).alias("l_orderkey"),
+                "l_partkey",
+                (F.col("l_suppkey") + F.lit(i * 1_000_000_000)).alias("l_suppkey"),
+                "l_linenumber",
+                "l_quantity",
+                "l_extendedprice",
+                "l_discount",
+                "l_tax",
+                "l_returnflag",
+                "l_linestatus",
+                "l_shipdate",
+            )
+        )
+    big_o, big_l = o_reps[0], l_reps[0]
+    for r in o_reps[1:]:
+        big_o = big_o.unionByName(r)
+    for r in l_reps[1:]:
+        big_l = big_l.unionByName(r)
+    big_o.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(STRESS_DIR, "orders.parquet")
+    )
+    big_l.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(STRESS_DIR, "lineitem.parquet")
+    )
+
+
 def _build_vecs(spark: SparkSession, emb, repl_vecs: int) -> None:
     vec_replicas = []
     for i in range(repl_vecs):
@@ -191,7 +245,23 @@ def _registry() -> dict:
     from mongraph_spark.queries.events import events_activity_streaks
     from mongraph_spark.queries.relational import sketch_hll_mergeable
 
+    from mongraph_spark.queries.corpus import corpus_heaps_law, corpus_ngram_novelty
+    from mongraph_spark.queries.events import events_seasonal_anomaly
+    from mongraph_spark.queries.graph_analytics import graph_betweenness_landmarks
+    from mongraph_spark.queries.pipeline import pipeline_length_batches
+    from mongraph_spark.queries.similarity import (
+        embedding_pca_power,
+        embedding_pq_codebooks,
+    )
+
     return {
+        "corpus_ngram_novelty": (corpus_ngram_novelty, False),
+        "corpus_heaps_law": (corpus_heaps_law, False),
+        "pipeline_length_batches": (pipeline_length_batches, False),
+        "embedding_pca_power": (embedding_pca_power, True),
+        "embedding_pq_codebooks": (embedding_pq_codebooks, True),
+        "events_seasonal_anomaly": (events_seasonal_anomaly, False),
+        "graph_betweenness_landmarks": (graph_betweenness_landmarks, False),
         "dedup_clusters": (dedup_clusters, False),
         "corpus_boilerplate_lines": (boilerplate_lines, False),
         "dedup_prefix_filter": (dedup_prefix_filter, False),
@@ -214,6 +284,7 @@ def main() -> None:
     ap.add_argument("--repl-docs", type=int, default=64)
     ap.add_argument("--repl-vecs", type=int, default=256)
     ap.add_argument("--repl-events", type=int, default=0)
+    ap.add_argument("--repl-rel", type=int, default=0)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument(
         "--queries",
@@ -237,6 +308,8 @@ def main() -> None:
     build_stress_dir(spark, args.sf_dir, args.repl_docs, repl_vecs)
     if args.repl_events > 0:
         build_stress_events(spark, args.sf_dir, args.repl_events)
+    if args.repl_rel > 0:
+        build_stress_relational(spark, args.sf_dir, args.repl_rel)
     print(f"STRESS build {time.perf_counter() - t0:.1f}s", flush=True)
 
     results = [
