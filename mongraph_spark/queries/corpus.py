@@ -592,28 +592,43 @@ def corpus_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max_by("cum_vocab", "rn").alias("cum_vocab"),
         )
     )
-    fit = points.agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(F.log(F.col("cum_tokens").cast("double"))).alias("sx"),
-        F.sum(F.log(F.col("cum_vocab").cast("double"))).alias("sy"),
-        F.sum(
-            F.log(F.col("cum_tokens").cast("double"))
-            * F.log(F.col("cum_vocab").cast("double"))
-        ).alias("sxy"),
-        F.sum(
-            F.log(F.col("cum_tokens").cast("double"))
-            * F.log(F.col("cum_tokens").cast("double"))
-        ).alias("sxx"),
+    # log points quantize to integer micro-units BEFORE the fit sums, so the
+    # sums are EXACT integers in both engines — with a saturated vocabulary
+    # the slope sits at ~0 and raw float-sum ordering noise flips the floor's
+    # sign (observed at sf0.001); integer sums make the fit order-free.
+    xq = F.floor(F.lit(1_000_000) * F.log(F.col("cum_tokens").cast("double"))).cast(
+        "long"
     )
-    beta = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    yq = F.floor(F.lit(1_000_000) * F.log(F.col("cum_vocab").cast("double"))).cast(
+        "long"
     )
-    logk = (F.col("sy") - beta * F.col("sx")) / F.col("n")
+    fit = points.select(xq.alias("x"), yq.alias("y")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    # beta is a ratio of exact integers (the 1e6 scales cancel); the single
+    # IEEE division + floor is identical cross-engine
+    beta_micro = F.floor(
+        F.lit(1_000_000.0)
+        * (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    ).cast("long")
+    logk_micro = F.floor(
+        (
+            F.col("sy")
+            - (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * F.col("sx")
+        )
+        / F.col("n")
+    ).cast("long")
     return points.crossJoin(
         F.broadcast(
             fit.select(
-                F.floor(beta * 1_000_000).cast("long").alias("beta_micro"),
-                F.floor(logk * 1_000_000).cast("long").alias("logk_micro"),
+                beta_micro.alias("beta_micro"), logk_micro.alias("logk_micro")
             )
         )
     ).select("decile", "cum_tokens", "cum_vocab", "beta_micro", "logk_micro")
@@ -649,20 +664,22 @@ points AS MATERIALIZED (
          max_by(cum_vocab, rn) AS cum_vocab
   FROM curve GROUP BY 1
 ),
-s AS (
-  SELECT CAST(count(*) AS DOUBLE) AS n,
-         sum(ln(CAST(cum_tokens AS DOUBLE))) AS sx,
-         sum(ln(CAST(cum_vocab AS DOUBLE))) AS sy,
-         sum(ln(CAST(cum_tokens AS DOUBLE)) * ln(CAST(cum_vocab AS DOUBLE))) AS sxy,
-         sum(ln(CAST(cum_tokens AS DOUBLE)) * ln(CAST(cum_tokens AS DOUBLE))) AS sxx
+xy AS (
+  SELECT CAST(floor(1000000 * ln(CAST(cum_tokens AS DOUBLE))) AS BIGINT) AS x,
+         CAST(floor(1000000 * ln(CAST(cum_vocab AS DOUBLE))) AS BIGINT) AS y
   FROM points
+),
+s AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM xy
 )
 SELECT CAST(decile AS BIGINT) AS decile,
        CAST(cum_tokens AS BIGINT) AS cum_tokens,
        CAST(cum_vocab AS BIGINT) AS cum_vocab,
-       CAST(floor(1000000 * (n * sxy - sx * sy) / (n * sxx - sx * sx)) AS BIGINT)
+       CAST(floor(1000000.0 * (n * sxy - sx * sy) / (n * sxx - sx * sx)) AS BIGINT)
          AS beta_micro,
-       CAST(floor(1000000 * (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n)
+       CAST(floor((sy - 1.0 * (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n)
             AS BIGINT) AS logk_micro
 FROM points, s
 """

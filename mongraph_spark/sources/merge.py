@@ -603,6 +603,46 @@ def vacuum(root: str, keep_last: int = 1) -> list[str]:
     return removed
 
 
+def restore(root: str, version: int | None = None, tag: str | None = None) -> str:
+    """RESTORE TABLE — roll the table back to an earlier version (by
+    number or tag) by writing a NEW version whose manifest points at the
+    target's buckets.  Delta's RESTORE semantics: O(1) metadata, no data
+    copied, nothing deleted — the bad writes stay on disk as history
+    (``vacuum`` decides their fate later), and the restore itself is one
+    more auditable version in the log.  Fails loudly if any bucket the
+    target references was already vacuumed."""
+    if (version is None) == (tag is None):
+        raise ValueError("pass exactly one of version / tag")
+    if tag is not None:
+        try:
+            with open(os.path.join(root, "_tags", tag)) as fh:
+                target = fh.read().strip()
+        except FileNotFoundError:
+            raise ValueError(f"no tag {tag!r} under {root}") from None
+    else:
+        target = _version_name(version)
+    if not os.path.isdir(os.path.join(root, target)):
+        raise ValueError(f"version {target} does not exist under {root}")
+    mapping = _read_manifest(root, target)
+    missing = sorted(
+        {rel.split("/", 1)[0] for rel in mapping.values()}
+        - {
+            d
+            for d in os.listdir(root)
+            if os.path.isdir(os.path.join(root, d))
+        }
+    )
+    if missing:
+        raise ValueError(
+            f"cannot restore {target}: referenced dirs vacuumed: {missing}"
+        )
+    ver = _next_version(root)
+    os.makedirs(os.path.join(root, ver), exist_ok=True)
+    _write_manifest(root, ver, mapping)
+    _flip(root, ver)
+    return ver
+
+
 def create_tag(root: str, name: str, version: int | None = None) -> str:
     """Pin a named tag to a version (default: current) — the Iceberg
     tag/branch primitive: readers address data by meaning ("train-v1",

@@ -477,3 +477,61 @@ def test_vacuum_retains_tagged_versions(spark, tmp_path):
     dirs = {d for d in _os.listdir(root) if d.startswith("v_")}
     assert "v_00000" in dirs  # tag kept it alive
     assert read_tag(spark, root, "keepme").count() == 100
+
+
+def test_restore_rolls_back_without_deleting_history(spark, tmp_path):
+    """RESTORE writes a NEW version whose manifest points at the target's
+    buckets: data equals the target, bad-write history stays on disk, and
+    the restore composes with tags and survives further upserts."""
+    import os as _os
+
+    from mongraph_spark.sources.merge import create_tag, restore
+
+    root = str(tmp_path / "tbl")
+    init_table(_base(spark), root)  # v0: 100 rows
+    create_tag(root, "good")
+    upsert(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(i, "corrupt", 9) for i in range(50)], "id long, name string, rev long"
+        ),
+        key="id",
+        order_col="rev",
+    )  # v1: the bad write
+    assert read_current(spark, root).filter(F.col("name") == "corrupt").count() == 50
+    v2 = restore(root, tag="good")
+    assert current_version(root) == v2
+    cur = read_current(spark, root)
+    assert cur.count() == 100
+    assert cur.filter(F.col("name") == "corrupt").count() == 0
+    # history preserved: the bad version dir still exists
+    assert _os.path.isdir(_os.path.join(root, "v_00001"))
+    # numeric-version form agrees and keeps advancing the log
+    v3 = restore(root, version=1)
+    assert v3 > v2
+    assert read_current(spark, root).filter(F.col("name") == "corrupt").count() == 50
+    restore(root, version=0)
+    assert read_current(spark, root).count() == 100
+
+
+def test_restore_rejects_vacuumed_target_and_bad_args(spark, tmp_path):
+    import pytest as _pytest
+
+    from mongraph_spark.sources.merge import restore, vacuum
+
+    root = str(tmp_path / "tbl")
+    init_table(_base(spark), root)
+    upsert(
+        spark,
+        root,
+        spark.createDataFrame([(1, "a", 1)], "id long, name string, rev long"),
+        key="id",
+        order_col="rev",
+    )
+    with _pytest.raises(ValueError):
+        restore(root)  # neither arg
+    with _pytest.raises(ValueError):
+        restore(root, version=0, tag="x")  # both args
+    with _pytest.raises(ValueError):
+        restore(root, version=99)  # missing version
