@@ -935,6 +935,17 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Result: communities of size ≥ 2 with their member count (label =
     smallest attracting node id).
     """
+    labels = _lpa_labels(spark, sf_dir)
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .filter(F.col("n_members") >= 2)
+    )
+
+
+def _lpa_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node_id, label) after the fixed synchronous-LPA unroll — shared by
+    the community rollup and the modularity scorer."""
     pairs = graph_copurchase_pairs(spark, sf_dir).select("part_a", "part_b")
     adj = pairs.select(
         F.col("part_a").alias("src"), F.col("part_b").alias("dst")
@@ -969,14 +980,10 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_rounds=N_LPA_ROUNDS,
         checkpoint_every=N_LPA_ROUNDS,
     )
-    return (
-        labels.groupBy(F.col("label").alias("community"))
-        .agg(F.count(F.lit(1)).alias("n_members"))
-        .filter(F.col("n_members") >= 2)
-    )
+    return labels
 
 
-def _lpa_oracle() -> str:
+def _lpa_body() -> tuple[str, str]:
     body = """
 cop AS (
   SELECT part_a, part_b FROM (
@@ -1012,14 +1019,134 @@ lp{k} AS (
   FROM {prev} l LEFT JOIN wn{k} w ON l.node_id = w.node_id
 )"""
         prev = f"lp{k}"
+    return body.lstrip("\n"), prev
+
+
+def _lpa_oracle() -> str:
+    body, last = _lpa_body()
     return tpch.oracle_with(
         f"""SELECT label AS community, count(*) AS n_members
-FROM {prev} GROUP BY label HAVING count(*) >= 2""",
-        extra_ctes=body.lstrip("\n"),
+FROM {last} GROUP BY label HAVING count(*) >= 2""",
+        extra_ctes=body,
     )
 
 
 ORACLE_LPA = _lpa_oracle()
+
+
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LPA communities over the co-purchase graph
+    — the number that says whether the detected communities are REAL:
+    Q = Σ_c (e_c/m − (d_c/2m)²), compared against 0 (random) and reported
+    per community so weak communities are visible individually.  Scored in
+    exact integer arithmetic: Q·4m² = Σ_c (4m·e_c − d_c²), one float
+    division + floor at the very end (micro-units), identical cross-engine.
+
+    Scale shape: the labels come from the shared fixed-unroll LPA
+    (checkpointed once, used three times); intra-community edge counting
+    is ONE join of the edge list against the label map on each endpoint
+    (label map broadcasts when small, co-partitions otherwise); degree
+    and membership sums are label-keyed aggs.  Nothing iterates here —
+    modularity is a pure post-pass over (edges ⋈ labels)."""
+    labels = _lpa_labels(spark, sf_dir).localCheckpoint(eager=True)
+    pairs = graph_copurchase_pairs(spark, sf_dir).select("part_a", "part_b")
+    adj = pairs.select(
+        F.col("part_a").alias("src"), F.col("part_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
+    )
+    deg = adj.groupBy(F.col("src").alias("node_id")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    memb = labels.groupBy("label").agg(F.count(F.lit(1)).alias("n_members"))
+    dsum = (
+        labels.join(deg, "node_id")
+        .groupBy("label")
+        .agg(F.sum("d").alias("d_c"))
+    )
+    la = labels.select(F.col("node_id").alias("part_a"), F.col("label").alias("lab_a"))
+    lb = labels.select(F.col("node_id").alias("part_b"), F.col("label").alias("lab_b"))
+    intra = (
+        pairs.join(la, "part_a")
+        .join(lb, "part_b")
+        .filter(F.col("lab_a") == F.col("lab_b"))
+        .groupBy(F.col("lab_a").alias("label"))
+        .agg(F.count(F.lit(1)).alias("e_c"))
+    )
+    mm = pairs.agg(F.count(F.lit(1)).alias("m"))
+    per_c = (
+        dsum.join(intra, "label", "left")
+        .join(memb, "label")
+        .crossJoin(F.broadcast(mm))
+        .select(
+            "label",
+            "n_members",
+            F.coalesce("e_c", F.lit(0)).cast("bigint").alias("intra_edges"),
+            F.col("d_c").cast("bigint").alias("degree_sum"),
+            "m",
+        )
+    )
+    qn = per_c.agg(
+        F.sum(
+            F.lit(4) * F.col("m") * F.col("intra_edges")
+            - F.col("degree_sum") * F.col("degree_sum")
+        ).alias("qn")
+    )
+    return (
+        per_c.filter(F.col("n_members") >= 2)
+        .crossJoin(F.broadcast(qn))
+        .select(
+            F.col("label").alias("community"),
+            "n_members",
+            "intra_edges",
+            "degree_sum",
+            F.floor(
+                F.lit(1_000_000.0) * F.col("qn") / (F.lit(4) * F.col("m") * F.col("m"))
+            )
+            .cast("long")
+            .alias("modularity_micro"),
+        )
+    )
+
+
+def _modularity_oracle() -> str:
+    body, last = _lpa_body()
+    tail = f"""
+SELECT d.label AS community, mb.n_members,
+       CAST(coalesce(i.e_c, 0) AS BIGINT) AS intra_edges,
+       CAST(d.d_c AS BIGINT) AS degree_sum,
+       CAST(floor(1000000.0 * qn.qn / (4 * mm.m * mm.m)) AS BIGINT)
+         AS modularity_micro
+FROM (SELECT l.label, sum(dg.d) AS d_c
+      FROM {last} l JOIN (SELECT src AS node_id, count(*) AS d
+                          FROM lpa_adj GROUP BY src) dg
+        ON l.node_id = dg.node_id
+      GROUP BY l.label) d
+JOIN (SELECT label, count(*) AS n_members FROM {last} GROUP BY label) mb
+  ON d.label = mb.label
+LEFT JOIN (SELECT la.label, count(*) AS e_c
+           FROM cop c JOIN {last} la ON c.part_a = la.node_id
+                      JOIN {last} lb ON c.part_b = lb.node_id
+           WHERE la.label = lb.label GROUP BY la.label) i
+  ON d.label = i.label,
+(SELECT count(*) AS m FROM cop) mm,
+(SELECT sum(4 * mx.m * coalesce(i2.e_c, 0) - d2.d_c * d2.d_c) AS qn
+ FROM (SELECT l.label, sum(dg.d) AS d_c
+       FROM {last} l JOIN (SELECT src AS node_id, count(*) AS d
+                           FROM lpa_adj GROUP BY src) dg
+         ON l.node_id = dg.node_id
+       GROUP BY l.label) d2
+ LEFT JOIN (SELECT la.label, count(*) AS e_c
+            FROM cop c JOIN {last} la ON c.part_a = la.node_id
+                       JOIN {last} lb ON c.part_b = lb.node_id
+            WHERE la.label = lb.label GROUP BY la.label) i2
+   ON d2.label = i2.label,
+ (SELECT count(*) AS m FROM cop) mx) qn
+WHERE mb.n_members >= 2"""
+    return tpch.oracle_with(tail.lstrip("\n"), extra_ctes=body)
+
+
+ORACLE_MODULARITY = _modularity_oracle()
 
 
 # -- HITS hubs & authorities (bipartite customer → supplier) --------------------------
@@ -1800,6 +1927,7 @@ QUERIES = {
     "graph_closeness_landmarks": graph_closeness_landmarks,
     "graph_betweenness_landmarks": graph_betweenness_landmarks,
     "graph_diameter_double_sweep": graph_diameter_double_sweep,
+    "graph_modularity": graph_modularity,
     "graph_random_walks": graph_random_walks,
     "graph_adamic_adar": graph_adamic_adar,
     "graph_edge_support": graph_edge_support,
@@ -1826,6 +1954,7 @@ ORACLES = {
     "graph_closeness_landmarks": ORACLE_CLOSENESS,
     "graph_betweenness_landmarks": ORACLE_BETWEENNESS,
     "graph_diameter_double_sweep": ORACLE_DIAMETER,
+    "graph_modularity": ORACLE_MODULARITY,
     "graph_random_walks": ORACLE_WALKS,
     "graph_adamic_adar": ORACLE_ADAMIC_ADAR,
     "graph_edge_support": ORACLE_EDGE_SUPPORT,

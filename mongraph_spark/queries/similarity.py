@@ -880,6 +880,53 @@ FROM {prev} v, fin, tr
 ORACLE_PCA = _pca_oracle()
 
 
+# -- cosine range search --------------------------------------------------------
+
+RANGE_TAU_BP = 2500  # similarity threshold (basis points)
+
+
+def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (threshold) similarity search — the OTHER retrieval contract
+    next to top-k: return EVERY corpus vector with cosine ≥ τ of each
+    query, however many there are (dedup-candidate pulls, "all sufficiently
+    similar" compliance scans, radius joins).  Exact scoring with the
+    module's fixed-order float accumulation and integer-bp flooring; the
+    result-set size is data-dependent by design — per-query counts ride
+    along so callers can see saturation.
+
+    Scale shape: identical to the brute-force scorer (query side broadcast,
+    map-only scoring, NO shuffle of the corpus), except no top-k window at
+    all — the threshold filter pushes into the scan projection, so the
+    only post-scan data is the matches themselves.  At 100 TB you put the
+    same threshold on the IVF/LSH pruned candidate set (the dedup ops in
+    queries/dedup.py are exactly that composition)."""
+    scored = _scored_pairs(spark, sf_dir, bucketed=False).filter(
+        F.col("q_id") != F.col("c_id")
+    )
+    matches = scored.filter(F.col("cos_bp") >= RANGE_TAU_BP)
+    per_q = matches.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_matches"))
+    return matches.join(per_q, "q_id").select(
+        "q_id", "c_id", "cos_bp", "n_matches"
+    )
+
+
+ORACLE_RANGE = f"""
+WITH {_ORACLE_SCORE_BASE},
+scored AS (
+  SELECT q_id, c_id,
+         CAST(floor(10000 * {_DOT_SQL.strip()}
+           / (sqrt(list_sum(list_transform(q_vec, x -> x * x)))
+              * sqrt(list_sum(list_transform(c_vec, x -> x * x))))) AS BIGINT) AS cos_bp
+  FROM queries JOIN corpus ON q_id <> c_id
+),
+matches AS (SELECT * FROM scored WHERE cos_bp >= {RANGE_TAU_BP})
+SELECT m.q_id, m.c_id, m.cos_bp, p.n_matches
+FROM matches m JOIN (
+  SELECT q_id, count(*) AS n_matches FROM matches GROUP BY q_id
+) p ON m.q_id = p.q_id
+"""
+
+
 # -- product quantization codebooks ---------------------------------------------
 
 PQ_M = 8  # subspaces
@@ -1020,6 +1067,7 @@ ORACLE_PQ = _pq_oracle()
 
 
 QUERIES = {
+    "ann_range_search": ann_range_search,
     "embedding_pq_codebooks": embedding_pq_codebooks,
     "embedding_pca_power": embedding_pca_power,
     "ann_recall_report": ann_recall_report,
@@ -1033,6 +1081,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ann_range_search": ORACLE_RANGE,
     "embedding_pq_codebooks": ORACLE_PQ,
     "embedding_pca_power": ORACLE_PCA,
     "ann_recall_report": ORACLE_RECALL,
