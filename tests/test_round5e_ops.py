@@ -1,0 +1,118 @@
+"""Round-5e operators: user Gini, double-sweep diameter, Heaps law,
+PQ codebooks, modularity, cosine range search, streaming seasonal twin
+(its batch-equality pin lives in test_streaming).  Independent math
+checks + conservation laws the engine-parity oracle can't see."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from mongraph_spark.queries.corpus import corpus_heaps_law
+from mongraph_spark.queries.events import events_user_gini
+from mongraph_spark.queries.graph_analytics import (
+    graph_diameter_double_sweep,
+    graph_label_propagation,
+    graph_modularity,
+)
+from mongraph_spark.queries.similarity import (
+    PQ_K,
+    PQ_M,
+    RANGE_TAU_BP,
+    ann_cosine_topk,
+    ann_range_search,
+    embedding_pq_codebooks,
+)
+from mongraph_spark.sparkutil import read_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_gini_matches_independent_python(spark):
+    row = events_user_gini(spark, SF).collect()[0]
+    con = duckdb.connect()
+    xs = sorted(
+        n
+        for (n,) in con.execute(
+            f"SELECT count(*) FROM '{SF}/events.parquet' GROUP BY user_id"
+        ).fetchall()
+    )
+    n, tot = len(xs), sum(xs)
+    gini = (10000 * (2 * sum(i * x for i, x in enumerate(xs, 1)) - (n + 1) * tot)) // (
+        n * tot
+    )
+    top = sum(xs[n - n // 10 :])
+    assert row.n_users == n and row.total_events == tot
+    assert row.gini_bp == gini
+    assert row.top_decile_bp == (10000 * top) // tot
+    assert 0 <= row.gini_bp <= 10000
+
+
+def test_diameter_double_sweep_properties(spark):
+    row = graph_diameter_double_sweep(spark, SF).collect()[0]
+    # eccentricity can only grow on the second sweep (d(s,u) = ecc(s) <= ecc(u))
+    assert row.diameter_lb >= row.ecc_seed >= 1
+    # connected bipartite graph: both sweeps reach the same component
+    assert row.n_reached_far == row.n_reached_seed
+    assert row.far_node % 2 == 0  # farthest node from a supplier is a customer
+    # (parity encoding: even=customer; odd depth from odd seed lands even)
+
+
+def test_heaps_curve_monotone_and_conserving(spark):
+    rows = sorted(corpus_heaps_law(spark, SF).collect(), key=lambda r: r.decile)
+    con = duckdb.connect()
+    n_vocab, n_tok = con.execute(
+        f"""
+        SELECT count(DISTINCT w), count(*) FROM (
+          SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+          FROM '{SF}/documents.parquet')
+        """
+    ).fetchone()
+    assert rows[-1].cum_vocab == n_vocab
+    assert rows[-1].cum_tokens == n_tok
+    for a, b in zip(rows, rows[1:]):
+        assert b.cum_tokens > a.cum_tokens and b.cum_vocab >= a.cum_vocab
+    # sublinear growth; the sf0.001 corpus's ~31-word vocab saturates in the
+    # first decile, so the fitted slope can be exactly 0
+    assert 0 <= rows[0].beta_micro < 1_000_000
+
+
+def test_pq_codebooks_partition_and_valid_codes(spark):
+    rows = embedding_pq_codebooks(spark, SF).collect()
+    n_vecs = read_table(spark, SF, "embeddings").count()
+    per_m = {}
+    for r in rows:
+        assert 0 <= r.code < PQ_K and 0 <= r.m < PQ_M
+        assert r.sum_distort_micro >= 0
+        per_m[r.m] = per_m.get(r.m, 0) + r.n_vectors
+    assert per_m == {m: n_vecs for m in range(PQ_M)}
+
+
+def test_modularity_consistent_with_lpa_and_bounded(spark):
+    mod = graph_modularity(spark, SF).collect()
+    lpa = {
+        (r.community, r.n_members)
+        for r in graph_label_propagation(spark, SF).collect()
+    }
+    assert {(r.community, r.n_members) for r in mod} == lpa
+    q = {r.modularity_micro for r in mod}
+    assert len(q) == 1  # one global statistic
+    assert -1_000_000 <= q.pop() <= 1_000_000
+    for r in mod:
+        assert r.intra_edges <= r.degree_sum  # e_c <= sum of member degrees
+
+
+def test_range_search_consistent_with_topk(spark):
+    rng = ann_range_search(spark, SF).collect()
+    for r in rng:
+        assert r.cos_bp >= RANGE_TAU_BP
+    counts = {}
+    for r in rng:
+        counts[r.q_id] = counts.get(r.q_id, 0) + 1
+    for r in rng:
+        assert r.n_matches == counts[r.q_id]
+    # every top-k hit above the threshold must appear in the range result
+    got = {(r.q_id, r.c_id) for r in rng}
+    for r in ann_cosine_topk(spark, SF).collect():
+        if r.cos_bp >= RANGE_TAU_BP:
+            assert (r.q_id, r.c_id) in got
