@@ -946,30 +946,40 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     next crawl batch actually add?" and the saturation signal dataset
     curation uses to stop ingesting a source.
 
-    Scale shape: first-occurrence is ``min(doc_id)`` grouped on the
-    shingle (ONE scan-sized shuffle, map-side combine); the join back to
-    per-doc shingles reuses the same shingle-hash partitioning, the
-    per-doc rollup shuffles once on doc_id, and the decile windows run
-    over one-row-per-doc partitioned by source.  Integer arithmetic
-    throughout (counts + floor-div basis points).  At 100 TB, shingles
-    shrink to ``xxhash64`` before the shuffle (same note as
-    decontaminate) and first-occurrence stays a single min-combine."""
+    Scale shape: NO shingle-keyed join anywhere — both per-doc counts are
+    independent aggregations.  ``n_novel(d)`` = how many shingles have
+    ``min(doc_id) = d``, which falls straight out of the first-occurrence
+    groupBy re-grouped by its min (shingle shuffle #1, map-side min
+    combine, then a doc-keyed rollup of ALREADY-distinct shingles);
+    ``n_shingles(d)`` is a map-only per-doc array size.  The original
+    formulation joined first-occurrences back to the exploded shingle
+    table — measured at 64× sf0.1 that join was 58.7 s / 920 MB of
+    shuffle; this shape is the same answer with the scan-sized shuffle
+    paid ONCE.  Integer arithmetic throughout.  At 100 TB, shingles
+    shrink to ``xxhash64`` before shuffle #1 (same note as
+    decontaminate)."""
     docs = read_table(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
-    sh = docs.select(
+    shingled = docs.select(
         "doc_id",
         "source",
-        F.explode(F.array_distinct(_shingles(words, n=NOVELTY_N))).alias("shingle"),
+        F.array_distinct(_shingles(words, n=NOVELTY_N)).alias("shs"),
     )
-    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    novel = (
+        shingled.select("doc_id", F.explode("shs").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
     per_doc = (
-        sh.join(first, "shingle")
-        .groupBy("doc_id", "source")
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long")).alias(
-                "n_novel"
-            ),
+        shingled.select("doc_id", "source", F.size("shs").alias("n_shingles"))
+        .join(novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_shingles").cast("bigint").alias("n_shingles"),
+            F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel"),
         )
     )
     wsrc = Window.partitionBy("source")
@@ -1004,19 +1014,23 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_NOVELTY = f"""
-WITH sh AS (
+WITH shingled AS (
   SELECT doc_id, source,
-         unnest(list_distinct(list_transform(
+         list_distinct(list_transform(
            range(1, greatest(len(words) - {NOVELTY_N}, 0) + 2),
            i -> array_to_string(words[i:i+{NOVELTY_N - 1}], ' ')
-         ))) AS shingle
+         )) AS shs
   FROM (SELECT doc_id, source, string_split(text, ' ') AS words FROM documents)
-), fo AS (
-  SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle
+), novel AS (
+  SELECT doc_id, count(*) AS n_novel FROM (
+    SELECT shingle, min(doc_id) AS doc_id
+    FROM (SELECT doc_id, unnest(shs) AS shingle FROM shingled)
+    GROUP BY shingle
+  ) GROUP BY doc_id
 ), per_doc AS (
-  SELECT s.doc_id, s.source, count(*) AS n_shingles,
-         sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS n_novel
-  FROM sh s JOIN fo f USING (shingle) GROUP BY s.doc_id, s.source
+  SELECT s.doc_id, s.source, len(s.shs) AS n_shingles,
+         coalesce(n.n_novel, 0) AS n_novel
+  FROM shingled s LEFT JOIN novel n ON s.doc_id = n.doc_id
 ), ranked AS (
   SELECT source, n_shingles, n_novel,
          row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn,

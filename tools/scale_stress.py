@@ -60,6 +60,9 @@ def build_stress_dir(spark: SparkSession, sf_dir: str, repl_docs: int, repl_vecs
     shutil.rmtree(STRESS_DIR, ignore_errors=True)
     os.makedirs(STRESS_DIR, exist_ok=True)
 
+    if repl_vecs > 0:
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        _build_vecs(spark, emb, repl_vecs)
     if repl_docs <= 0:
         return
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -85,10 +88,7 @@ def build_stress_dir(spark: SparkSession, sf_dir: str, repl_docs: int, repl_vecs
         os.path.join(STRESS_DIR, "documents.parquet")
     )
 
-    if repl_vecs <= 0:
-        return
-    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    _build_vecs(spark, emb, repl_vecs)
+    # embeddings were built above (repl_vecs gate), independent of docs
 
 
 def build_stress_events(spark: SparkSession, sf_dir: str, repl_events: int) -> None:
