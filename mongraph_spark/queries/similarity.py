@@ -1157,7 +1157,156 @@ SELECT q_id, vec_id AS c_id, adc_micro, rank FROM (
 """
 
 
+# -- IVF-PQ composed retrieval ----------------------------------------------------
+
+
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the FAISS production architecture, composed from this
+    module's own two oracle-checked structures: the IVF coarse quantizer
+    prunes the corpus to the nprobe={nprobe} nearest cells' inverted
+    lists, and PQ asymmetric distance scores ONLY those candidates from
+    their stored codes (integer table-lookup sums — raw vectors never
+    touched at query time).  Exactly ann_pq_adc_topk's scoring under
+    ann_ivf's pruning; at 100 TB this is the shape that serves
+    billion-vector search from RAM.
+
+    Scale: candidate set = nprobe/|cells| of the corpus per query; the
+    cells and codes tables are the only corpus-sized inputs, both built
+    map-only with broadcast centroids/codebooks; scoring joins broadcast
+    the (q, cell) probe list and the Q·M·K distance table."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids = _ivf_centroids(emb)
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    d = F.expr(_SQ_DIST.format(v="vec", c="c_vec"))
+    cells = (
+        vecs.crossJoin(F.broadcast(centroids))
+        .withColumn("dist", d)
+        .groupBy("vec_id")
+        .agg(F.min_by("cell", F.struct("dist", "cell")).alias("cell"))
+        .select(F.col("vec_id").alias("c_id"), "cell")
+    )
+    wq = Window.partitionBy("q_id").orderBy("qdist", "cell")
+    probes = (
+        vecs.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec"))
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("qdist", F.expr(_SQ_DIST.format(v="q_vec", c="c_vec")))
+        .withColumn("probe_rank", F.row_number().over(wq))
+        .filter(F.col("probe_rank") <= IVF_NPROBE)
+        .select("q_id", "cell")
+    )
+    cb, codes = _pq_train(spark, sf_dir)
+    arr = F.col("embedding").cast("array<double>")
+    subs = F.array(*[F.slice(arr, m * PQ_SUB + 1, PQ_SUB) for m in range(PQ_M)])
+    qsub = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.posexplode(subs).alias("m", "qv")
+    )
+    qd = qsub.join(F.broadcast(cb), "m").select(
+        "q_id",
+        "m",
+        "code",
+        F.floor(F.lit(1_000_000) * F.expr(_SQ_DIST.format(v="qv", c="c_sv")))
+        .cast("long")
+        .alias("d_micro"),
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(cells, "cell")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id")
+    )
+    adc = (
+        F.broadcast(cand)
+        .join(codes.withColumnRenamed("vec_id", "c_id"), "c_id")
+        .join(F.broadcast(qd), ["q_id", "m", "code"])
+        .groupBy("q_id", "c_id")
+        .agg(F.sum("d_micro").alias("adc_micro"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc_micro"), F.asc("c_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= PQ_ADC_K)
+        .select("q_id", "c_id", "adc_micro", "rank")
+    )
+
+
+ann_ivfpq_topk.__doc__ = ann_ivfpq_topk.__doc__.replace("{nprobe}", str(IVF_NPROBE))
+
+
+ORACLE_IVFPQ = f"""
+WITH {_pq_oracle_body().lstrip()},
+vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+),
+iseeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, vec AS s_vec
+  FROM vecs WHERE vec_id IN ({_IDS_SQL})
+),
+iassign1 AS (
+  SELECT vec_id, cell, vec FROM (
+    SELECT v.vec_id, s.cell, v.vec,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {_SQ_DIST_SQL.format(v='v.vec', c='s.s_vec')}, s.cell) AS rk
+    FROM vecs v CROSS JOIN iseeds s
+  ) WHERE rk = 1
+),
+ipd AS (
+  SELECT cell, d - 1 AS dim, CAST(floor(10000 * avg(vec[d])) AS BIGINT) AS c_bp
+  FROM iassign1, UNNEST(range(1, len(vec) + 1)) AS t(d)
+  GROUP BY cell, d
+),
+icent AS (
+  SELECT cell, list(c_bp / 10000.0 ORDER BY dim) AS c_vec
+  FROM ipd GROUP BY cell
+),
+icells AS MATERIALIZED (
+  SELECT vec_id AS c_id, cell FROM (
+    SELECT v.vec_id, c.cell,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {_SQ_DIST_SQL.format(v='v.vec', c='c.c_vec')}, c.cell) AS rk
+    FROM vecs v CROSS JOIN icent c
+  ) WHERE rk = 1
+),
+iprobes AS MATERIALIZED (
+  SELECT q_id, cell FROM (
+    SELECT v.vec_id AS q_id, c.cell,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {_SQ_DIST_SQL.format(v='v.vec', c='c.c_vec')}, c.cell) AS rk
+    FROM vecs v CROSS JOIN icent c
+    WHERE v.vec_id < {N_QUERIES}
+  ) WHERE rk <= {IVF_NPROBE}
+),
+qd AS MATERIALIZED (
+  SELECT q.vec_id AS q_id, c.m, c.code,
+         CAST(floor(1000000 * {_SQ_DIST_SQL.format(v="q.sv", c="c.c_sv")})
+              AS BIGINT) AS d_micro
+  FROM sv q JOIN cb c ON q.m = c.m
+  WHERE q.vec_id < {N_QUERIES}
+),
+cand AS MATERIALIZED (
+  SELECT p.q_id, l.c_id FROM iprobes p JOIN icells l ON p.cell = l.cell
+  WHERE p.q_id <> l.c_id
+),
+adc AS (
+  SELECT cand.q_id, cand.c_id, CAST(sum(qd.d_micro) AS BIGINT) AS adc_micro
+  FROM cand
+  JOIN a2 ON a2.vec_id = cand.c_id
+  JOIN qd ON qd.q_id = cand.q_id AND qd.m = a2.m AND qd.code = a2.code
+  GROUP BY cand.q_id, cand.c_id
+)
+SELECT q_id, c_id, adc_micro, rank FROM (
+  SELECT q_id, c_id, adc_micro,
+         row_number() OVER (PARTITION BY q_id
+           ORDER BY adc_micro ASC, c_id ASC) AS rank
+  FROM adc
+) WHERE rank <= {PQ_ADC_K}
+"""
+
+
 QUERIES = {
+    "ann_ivfpq_topk": ann_ivfpq_topk,
     "ann_pq_adc_topk": ann_pq_adc_topk,
     "ann_range_search": ann_range_search,
     "embedding_pq_codebooks": embedding_pq_codebooks,
@@ -1173,6 +1322,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ann_ivfpq_topk": ORACLE_IVFPQ,
     "ann_pq_adc_topk": ORACLE_PQ_ADC,
     "ann_range_search": ORACLE_RANGE,
     "embedding_pq_codebooks": ORACLE_PQ,

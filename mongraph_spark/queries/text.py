@@ -696,7 +696,81 @@ LIMIT 50
 """
 
 
+# -- BPE merge-list tokenization --------------------------------------------------
+
+# An ordered BPE merge list, as a trained tokenizer ships it (training runs
+# offline; inference — applying merges in order, all occurrences per step —
+# is the corpus-scale job).  Pairs chosen for the corpus's English-like
+# character distribution; later merges build on earlier outputs.
+BPE_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("e", "r"), ("a", "n"),
+    ("s", "t"), ("a", "r"), ("o", "r"), ("a", "t"), ("r", "o"),
+    ("l", "e"), ("c", "h"), ("in", "g"), ("b", "a"), ("ba", "t"),
+    ("bat", "ch"),
+]
+
+
+def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BPE tokenizer inference — not the ceil(len/4) subword estimate
+    of text_token_counts: space out every character, then apply the
+    {n}-entry ordered merge list exactly as BPE inference does (each merge
+    rewrites ALL current occurrences of its pair before the next merge
+    runs), and count the resulting subword units.  Reports per-source
+    token economics: fertility (BPE tokens per whitespace word) is THE
+    number a training-data team budgets context length with.
+
+    Distributed shape: the whole tokenizer is a chain of {n} literal
+    ``replace`` calls on one projected column — map-only, whole-stage
+    codegen, zero shuffles before the per-source rollup, and
+    embarrassingly scan-bound at 100 TB.  Word boundaries need no
+    sentinel: the char-spacing doubles original spaces, so a merge pair
+    (single interior space) can never match across words."""
+    docs = read_table(spark, sf_dir, "documents")
+    spaced = F.regexp_replace(F.lower("text"), "(.)", "$1 ")
+    merged = spaced
+    for a, b in BPE_MERGES:
+        merged = F.call_function("replace", merged, F.lit(f"{a} {b}"), F.lit(f"{a}{b}"))
+    n_words = F.size(F.split(F.trim(F.lower("text")), r"\s+"))
+    n_bpe = F.size(F.split(F.trim(merged), r"\s+"))
+    per_doc = docs.select(
+        "source",
+        n_words.cast("bigint").alias("n_words"),
+        n_bpe.cast("bigint").alias("n_bpe"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("n_words"),
+        F.sum("n_bpe").alias("n_bpe_tokens"),
+        F.expr("CAST((10000 * sum(n_bpe)) DIV sum(n_words) AS BIGINT)").alias(
+            "fertility_bp"
+        ),
+    )
+
+
+def _bpe_oracle() -> str:
+    merged = "regexp_replace(lower(text), '(.)', '\\1 ', 'g')"
+    for a, b in BPE_MERGES:
+        merged = f"replace({merged}, '{a} {b}', '{a}{b}')"
+    return f"""
+WITH per_doc AS (
+  SELECT source,
+         CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS n_words,
+         CAST(len(string_split_regex(trim({merged}), '\\s+')) AS BIGINT) AS n_bpe
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS n_words,
+       CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
+       CAST((10000 * sum(n_bpe)) // sum(n_words) AS BIGINT) AS fertility_bp
+FROM per_doc GROUP BY source
+"""
+
+
+ORACLE_BPE = _bpe_oracle()
+
+
 QUERIES = {
+    "text_bpe_tokenize": text_bpe_tokenize,
     "text_winnowing_pairs": text_winnowing_pairs,
     "text_metrics": text_metrics,
     "text_scan_redact": text_scan_redact,
@@ -710,6 +784,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_bpe_tokenize": ORACLE_BPE,
     "text_winnowing_pairs": _oracle_winnowing_pairs(),
     "text_metrics": ORACLE_TEXT_METRICS,
     "text_scan_redact": ORACLE_SCAN_REDACT,

@@ -157,3 +157,34 @@ def test_pq_adc_topk_shape_and_recall(spark):
     # this operator returns — and only 0.26 even at 8 full rounds.  Pin
     # well above the 0.02 random baseline and at the measured level.
     assert recall >= 0.14, recall
+
+
+def test_bpe_tokenize_matches_independent_python(spark):
+    """The chained-replace tokenizer must equal a literal Python replay of
+    BPE inference (apply each merge to all occurrences, in order)."""
+    from mongraph_spark.queries.text import BPE_MERGES, text_bpe_tokenize
+
+    rows = {r.source: r for r in text_bpe_tokenize(spark, SF).collect()}
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT source, text FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    agg = {}
+    for source, text in docs:
+        spaced = "".join(c + " " for c in text.lower())
+        for a, b in BPE_MERGES:
+            spaced = spaced.replace(f"{a} {b}", f"{a}{b}")
+        n_bpe = len(spaced.split())
+        n_words = len(text.lower().split())
+        d = agg.setdefault(source, [0, 0, 0])
+        d[0] += 1
+        d[1] += n_words
+        d[2] += n_bpe
+    assert set(rows) == set(agg)
+    for source, (n_docs, n_words, n_bpe) in agg.items():
+        r = rows[source]
+        assert (r.n_docs, r.n_words, r.n_bpe_tokens) == (n_docs, n_words, n_bpe)
+        # merges actually compress: fewer units than raw characters,
+        # more than whitespace words
+        assert n_words < r.n_bpe_tokens
+        assert r.fertility_bp == (10000 * n_bpe) // n_words
