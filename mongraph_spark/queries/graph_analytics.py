@@ -1522,6 +1522,128 @@ sym AS (
 )
 
 
+# -- k-truss peeling --------------------------------------------------------------
+
+KTRUSS_K = 4  # edges must sit in >= K-2 triangles to survive
+KTRUSS_ROUNDS = 6  # peel rounds — reaches the fixed point on every test SF
+
+
+def _truss_support(edges: DataFrame) -> DataFrame:
+    """(part_a, part_b, support) over the CURRENT edge set — the
+    edge_support wedge-join shape, parametrized by survivor set."""
+    sym = edges.select(F.col("part_a").alias("u"), F.col("part_b").alias("v")).union(
+        edges.select(F.col("part_b").alias("u"), F.col("part_a").alias("v"))
+    )
+    wedges = edges.join(
+        sym.select(F.col("u").alias("part_a"), F.col("v").alias("z")), "part_a"
+    ).filter(F.col("z") != F.col("part_b"))
+    closed = wedges.join(
+        edges.select(F.col("part_a").alias("blo"), F.col("part_b").alias("bhi")),
+        (F.least("part_b", "z") == F.col("blo"))
+        & (F.greatest("part_b", "z") == F.col("bhi")),
+        "left_semi",
+    )
+    support = closed.groupBy("part_a", "part_b").agg(
+        F.count(F.lit(1)).alias("support")
+    )
+    return edges.join(support, ["part_a", "part_b"], "left").select(
+        "part_a",
+        "part_b",
+        F.coalesce("support", F.lit(0)).cast("long").alias("support"),
+    )
+
+
+def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{K}-truss peeling over the co-purchase graph — the cohesive-subgraph
+    extraction one level above triangle counting: repeatedly delete every
+    edge in fewer than {K}−2 triangles (support recomputed on survivors
+    each round, since peeling breaks other edges' triangles) until the
+    remaining edges form the {K}-truss core.  Reports the edge count per
+    peel round — the convergence curve an analyst reads to pick K.
+
+    Scale shape: each round is ONE wedge self-join + closed-wedge
+    semi-join on the shrinking survivor set (Σ deg² candidates — the
+    graph_edge_support bound), with the survivor set eagerly checkpointed
+    between rounds (pregel's lineage posture; rounds cannot be fused
+    anyway because round r's support depends on r−1's deletions).  Peeling
+    converges when a round deletes nothing; the fixed {R}-round unroll is
+    what a SQL oracle can express, and the final count equals the fixed
+    point on this corpus (pinned in tests)."""
+    pairs = (
+        graph_copurchase_pairs(spark, sf_dir)
+        .select("part_a", "part_b")
+        .localCheckpoint(eager=True)
+    )
+    e = pairs
+    rows = [
+        e.agg(F.count(F.lit(1)).alias("n_edges")).select(
+            F.lit(0).cast("bigint").alias("round"), "n_edges"
+        )
+    ]
+    for r in range(1, KTRUSS_ROUNDS + 1):
+        e = (
+            _truss_support(e)
+            .filter(F.col("support") >= KTRUSS_K - 2)
+            .select("part_a", "part_b")
+            .localCheckpoint(eager=True)
+        )
+        rows.append(
+            e.agg(F.count(F.lit(1)).alias("n_edges")).select(
+                F.lit(r).cast("bigint").alias("round"), "n_edges"
+            )
+        )
+    out = rows[0]
+    for df in rows[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+graph_ktruss.__doc__ = graph_ktruss.__doc__.replace("{K}", str(KTRUSS_K)).replace(
+    "{R}", str(KTRUSS_ROUNDS)
+)
+
+
+def _ktruss_oracle() -> str:
+    body = """
+e0 AS MATERIALIZED (SELECT part_a, part_b FROM cop)"""
+    for r in range(1, KTRUSS_ROUNDS + 1):
+        p = f"e{r - 1}"
+        body += f""",
+e{r} AS MATERIALIZED (
+  SELECT part_a, part_b FROM (
+    SELECT e.part_a, e.part_b,
+           count(CASE WHEN c.blo IS NOT NULL THEN 1 END) AS sup
+    FROM {p} e
+    LEFT JOIN (SELECT part_a AS u, part_b AS v FROM {p}
+               UNION ALL SELECT part_b, part_a FROM {p}) s
+      ON s.u = e.part_a AND s.v <> e.part_b
+    LEFT JOIN (SELECT part_a AS blo, part_b AS bhi FROM {p}) c
+      ON c.blo = least(e.part_b, s.v) AND c.bhi = greatest(e.part_b, s.v)
+    GROUP BY e.part_a, e.part_b
+  ) WHERE sup >= {KTRUSS_K - 2}
+)"""
+    unions = "\nUNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, count(*) AS n_edges FROM e{r}"
+        for r in range(KTRUSS_ROUNDS + 1)
+    )
+    return tpch.oracle_with(
+        unions,
+        extra_ctes="""contains_el AS (
+  SELECT DISTINCT src AS order_id, dst AS part_id FROM g_edges WHERE type = 'contains'
+),
+cop AS (
+  SELECT a.part_id AS part_a, b.part_id AS part_b
+  FROM contains_el a JOIN contains_el b
+    ON a.order_id = b.order_id AND a.part_id < b.part_id
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),"""
+        + body.lstrip(),
+    )
+
+
+ORACLE_KTRUSS = _ktruss_oracle()
+
+
 # -- Adamic-Adar link prediction -------------------------------------------------
 
 AA_HUB_CAP = 50  # common neighbors above this degree are skipped (hub exclusion)
@@ -1928,6 +2050,7 @@ QUERIES = {
     "graph_betweenness_landmarks": graph_betweenness_landmarks,
     "graph_diameter_double_sweep": graph_diameter_double_sweep,
     "graph_modularity": graph_modularity,
+    "graph_ktruss": graph_ktruss,
     "graph_random_walks": graph_random_walks,
     "graph_adamic_adar": graph_adamic_adar,
     "graph_edge_support": graph_edge_support,
@@ -1955,6 +2078,7 @@ ORACLES = {
     "graph_betweenness_landmarks": ORACLE_BETWEENNESS,
     "graph_diameter_double_sweep": ORACLE_DIAMETER,
     "graph_modularity": ORACLE_MODULARITY,
+    "graph_ktruss": ORACLE_KTRUSS,
     "graph_random_walks": ORACLE_WALKS,
     "graph_adamic_adar": ORACLE_ADAMIC_ADAR,
     "graph_edge_support": ORACLE_EDGE_SUPPORT,

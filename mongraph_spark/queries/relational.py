@@ -2332,7 +2332,109 @@ FROM t
 """
 
 
+# -- two-sample Kolmogorov-Smirnov test -------------------------------------------
+
+KS_SEG_A, KS_SEG_B = "BUILDING", "MACHINERY"
+
+
+def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic comparing the order-
+    value distributions of two customer segments — the distribution-shift
+    test that needs no binning choice (unlike the PSI monitor, its natural
+    companion): D = max |F₁(x) − F₂(x)| over the pooled sample.
+
+    Exactness: prices are integer cents; per distinct value the two
+    cumulative counts ride ONE ordered window, and D's maximization runs
+    on |n₂·cum₁ − n₁·cum₂| — pure integers; the single division to basis
+    points happens once at the end (and the argmax value is resolved by a
+    second exact pass: min value attaining the max — no reliance on either
+    engine's arg_max tie rule).
+
+    Scale shape: one orders⋈customer join + one (value)-keyed count agg
+    collapse the scan to |distinct values| rows; the cumulative window is
+    ordered over those (global-window note: block-prefix-sum at 100 TB,
+    same as the Gini/cumulative ops); the max and argmax are 1-row aggs.
+    n₁·n₂ stays in int64 below ~3M rows per side; DECIMAL beyond
+    (documented)."""
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    j = (
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .filter(F.col("c_mktsegment").isin(KS_SEG_A, KS_SEG_B))
+        .select(
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("v"),
+            (F.col("c_mktsegment") == KS_SEG_A).alias("is_a"),
+        )
+    )
+    per_v = j.groupBy("v").agg(
+        F.sum(F.col("is_a").cast("long")).alias("c1"),
+        F.sum((~F.col("is_a")).cast("long")).alias("c2"),
+    )
+    wall = Window.partitionBy(F.lit(1))
+    wcum = Window.partitionBy(F.lit(1)).orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_v.select(
+        "v",
+        F.sum("c1").over(wcum).alias("cum1"),
+        F.sum("c2").over(wcum).alias("cum2"),
+        F.sum("c1").over(wall).alias("n1"),
+        F.sum("c2").over(wall).alias("n2"),
+    ).withColumn(
+        "term",
+        F.abs(F.col("n2") * F.col("cum1") - F.col("n1") * F.col("cum2")),
+    )
+    mx = cum.agg(F.max("term").alias("mx"))
+    at = (
+        cum.crossJoin(F.broadcast(mx))
+        .filter(F.col("term") == F.col("mx"))
+        .agg(
+            F.min("v").alias("at_value_cents"),
+            F.max("n1").alias("n1"),
+            F.max("n2").alias("n2"),
+            F.max("mx").alias("mx"),
+        )
+    )
+    return at.select(
+        "n1",
+        "n2",
+        "at_value_cents",
+        F.expr("CAST((10000 * mx) DIV (n1 * n2) AS BIGINT)").alias("d_bp"),
+    )
+
+
+ORACLE_KS = f"""
+WITH j AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+         c_mktsegment = '{KS_SEG_A}' AS is_a
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c_mktsegment IN ('{KS_SEG_A}', '{KS_SEG_B}')
+),
+per_v AS (
+  SELECT v, CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS c2
+  FROM j GROUP BY v
+),
+cum AS (
+  SELECT v,
+         sum(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cum1,
+         sum(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cum2,
+         sum(c1) OVER () AS n1, sum(c2) OVER () AS n2
+  FROM per_v
+),
+t AS (SELECT *, abs(n2 * cum1 - n1 * cum2) AS term FROM cum),
+mx AS (SELECT max(term) AS mx FROM t)
+SELECT CAST(max(t.n1) AS BIGINT) AS n1, CAST(max(t.n2) AS BIGINT) AS n2,
+       CAST(min(t.v) AS BIGINT) AS at_value_cents,
+       CAST((10000 * max(t.term)) // (max(t.n1) * max(t.n2)) AS BIGINT) AS d_bp
+FROM t, mx WHERE t.term = mx.mx
+"""
+
+
 QUERIES = {
+    "stats_ks_test": stats_ks_test,
     "q1_pricing_summary": q1_pricing_summary,
     "customer_rfm_segments": customer_rfm_segments,
     "stats_chi2_independence": stats_chi2_independence,
@@ -2414,6 +2516,7 @@ ORACLES = {
     "scd2_pit_join": ORACLE_SCD2_PIT,
     "customer_rfm_segments": ORACLE_RFM,
     "stats_chi2_independence": ORACLE_CHI2,
+    "stats_ks_test": ORACLE_KS,
     "scd2_bitemporal_asknown": ORACLE_BITEMPORAL,
     "window_customer_deciles": ORACLE_DECILES,
     "salted_revenue_by_priority": ORACLE_SALTED,

@@ -188,3 +188,76 @@ def test_bpe_tokenize_matches_independent_python(spark):
         # more than whitespace words
         assert n_words < r.n_bpe_tokens
         assert r.fertility_bp == (10000 * n_bpe) // n_words
+
+
+def test_ktruss_matches_independent_python_peel(spark):
+    """Every peel round's survivor count must equal an independent Python
+    k-truss peel on the same co-purchase graph, and the unroll must reach
+    the fixed point."""
+    from collections import defaultdict
+
+    from mongraph_spark.queries.graph_analytics import (
+        KTRUSS_K,
+        KTRUSS_ROUNDS,
+        graph_ktruss,
+    )
+
+    rows = {r.round: r.n_edges for r in graph_ktruss(spark, SF).collect()}
+    assert sorted(rows) == list(range(KTRUSS_ROUNDS + 1))
+    con = duckdb.connect()
+    edges = con.execute(
+        f"""
+        WITH el AS (SELECT DISTINCT o_orderkey AS oid, l_partkey AS part
+          FROM '{SF}/orders.parquet' o JOIN '{SF}/lineitem.parquet' l
+            ON o.o_orderkey = l.l_orderkey)
+        SELECT a.part, b.part FROM el a JOIN el b
+          ON a.oid = b.oid AND a.part < b.part
+        GROUP BY 1, 2 HAVING count(*) >= 2
+        """
+    ).fetchall()
+    E = set(edges)
+    expect = {0: len(E)}
+    for r in range(1, KTRUSS_ROUNDS + 1):
+        adj = defaultdict(set)
+        for a, b in E:
+            adj[a].add(b)
+            adj[b].add(a)
+        E = {(a, b) for a, b in E if len(adj[a] & adj[b]) >= KTRUSS_K - 2}
+        expect[r] = len(E)
+    assert rows == expect
+    assert rows[KTRUSS_ROUNDS] == rows[KTRUSS_ROUNDS - 1]  # fixed point
+
+
+def test_ks_test_matches_independent_python(spark):
+    from mongraph_spark.queries.relational import (
+        KS_SEG_A,
+        KS_SEG_B,
+        stats_ks_test,
+    )
+
+    row = stats_ks_test(spark, SF).collect()[0]
+    con = duckdb.connect()
+    data = con.execute(
+        f"""
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v, c_mktsegment
+        FROM '{SF}/orders.parquet' o JOIN '{SF}/customer.parquet' c
+          ON o.o_custkey = c.c_custkey
+        WHERE c_mktsegment IN ('{KS_SEG_A}', '{KS_SEG_B}')
+        """
+    ).fetchall()
+    a = sorted(v for v, s in data if s == KS_SEG_A)
+    b = sorted(v for v, s in data if s == KS_SEG_B)
+    n1, n2 = len(a), len(b)
+    best, at = -1, None
+    ca = cb = 0
+    import itertools
+
+    for v in sorted(set(a) | set(b)):
+        ca += sum(1 for x in a if x == v)
+        cb += sum(1 for x in b if x == v)
+        term = abs(n2 * ca - n1 * cb)
+        if term > best:
+            best, at = term, v
+    assert (row.n1, row.n2) == (n1, n2)
+    assert row.d_bp == (10000 * best) // (n1 * n2)
+    assert row.at_value_cents == at
