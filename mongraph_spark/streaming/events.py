@@ -766,7 +766,37 @@ def _oracle_stream_seasonal() -> str:
     return ORACLE_SEASONAL_ANOMALY.rstrip() + "\n  AND d.n > 0\n"
 
 
+# -- streaming count-min sketch twin -------------------------------------------------
+
+
+def streaming_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``events_count_min``: the d×w cell counts are a
+    plain SUM aggregation — associative and commutative — so a
+    complete-mode streaming aggregation maintains the sketch
+    incrementally with O(d·w) state forever (the HLL-twin argument with
+    sum in place of max).  Every micro-batch pre-aggregates its events
+    into cell partials map-side; the state store holds exactly the 256
+    counters.  The final register table feeds the same heavy-hitter
+    probe as the batch op, so the streaming answer is CELL-EXACTLY the
+    batch answer (shared SQL oracle; equality pinned in tests)."""
+    from mongraph_spark.queries.events import cms_finish, cms_sketch
+    from mongraph_spark.sparkutil import read_table
+
+    ev = events_stream(spark, sf_dir).select("user_id")
+    with _state_partitioning(spark, sf_dir):
+        sketch = run_to_table(cms_sketch(ev), output_mode="complete")
+    batch_ev = read_table(spark, sf_dir, "events").select("user_id")
+    return cms_finish(sketch, batch_ev)
+
+
+def _oracle_stream_cms() -> str:
+    from mongraph_spark.queries.events import ORACLE_COUNT_MIN
+
+    return ORACLE_COUNT_MIN
+
+
 QUERIES = {
+    "streaming_count_min": streaming_count_min,
     "streaming_seasonal_anomaly": streaming_seasonal_anomaly,
     "streaming_hll_distinct": streaming_hll_distinct,
     "streaming_tumbling_window": streaming_tumbling_window,
@@ -782,6 +812,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "streaming_count_min": _oracle_stream_cms(),
     "streaming_seasonal_anomaly": _oracle_stream_seasonal(),
     "streaming_hll_distinct": ORACLE_STREAM_HLL,
     "streaming_threshold_anomaly": ORACLE_STREAM_ANOMALY,

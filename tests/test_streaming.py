@@ -83,3 +83,14 @@ def test_streaming_seasonal_anomaly_equals_batch_active_cells(spark):
     stream = streaming_seasonal_anomaly(spark, SF_DIR)
     keys = ("event_type", "day", "hr")
     assert _sorted_rows(stream, *keys) == _sorted_rows(batch, *keys)
+
+
+def test_streaming_count_min_equals_batch(spark):
+    """Sum cells are associative: the stream-maintained sketch must be
+    CELL-exactly the batch sketch, hence identical probe results."""
+    from mongraph_spark.queries.events import events_count_min
+    from mongraph_spark.streaming.events import streaming_count_min
+
+    batch = events_count_min(spark, SF_DIR)
+    stream = streaming_count_min(spark, SF_DIR)
+    assert _sorted_rows(stream, "user_id") == _sorted_rows(batch, "user_id")
