@@ -1733,7 +1733,94 @@ FROM ranked
 """
 
 
+# -- inter-arrival burstiness ------------------------------------------------------
+
+BURST_MIN_EVENTS = 20  # users below this have too few gaps to classify
+
+
+def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival burstiness per event type: the squared coefficient of
+    variation of per-user gap times — CV² ≈ 1 is Poisson (memoryless)
+    traffic, ≪ 1 periodic (heartbeats, cron), ≫ 1 bursty (sessions,
+    retries, bots).  The statistic capacity planning and bot triage read
+    off the event stream, per type.
+
+    Exactness: gaps are integer microseconds from ONE per-user lag
+    window; CV² cross-multiplies to integers — cv2_bp = 1e4·(n·Σg² −
+    (Σg)²)/(Σg)² — with a single truncating division (Σg² in
+    DECIMAL38/HUGEINT: microsecond squares overflow int64 past ~2-hour
+    gaps).  Classification thresholds compare the same integers.
+
+    Scale shape: one user-keyed window (the sequence shuffle every
+    per-user op here shares), a per-(type, user) gap aggregate, then a
+    per-type rollup of user CV²s.  Users under {BURST_MIN_EVENTS}
+    events are excluded (documented small-sample rule)."""
+    ev = read_table(spark, sf_dir, "events")
+    seq = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = (
+        ev.select(
+            "user_id",
+            "event_type",
+            (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.lag("ts").over(seq).cast("timestamp"))
+            ).alias("g"),
+        )
+        .filter(F.col("g").isNotNull())
+    )
+    per_user = (
+        gaps.groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("g").alias("sg"),
+            F.sum(F.expr("CAST(g AS DECIMAL(38,0)) * g")).alias("sgg"),
+        )
+        .filter(F.col("n") >= BURST_MIN_EVENTS - 1)
+        .withColumn(
+            "cv2_bp",
+            F.expr(
+                "CAST((CAST(10000 AS DECIMAL(38,0)) * (n * sgg - CAST(sg AS DECIMAL(38,0)) * sg)) "
+                "div (CAST(sg AS DECIMAL(38,0)) * sg) AS BIGINT)"
+            ),
+        )
+    )
+    return per_user.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n").alias("n_gaps"),
+        F.expr("CAST(floor(avg(cv2_bp)) AS BIGINT)").alias("mean_cv2_bp"),
+        F.sum((F.col("cv2_bp") > 20000).cast("long")).alias("n_bursty"),
+        F.sum((F.col("cv2_bp") < 5000).cast("long")).alias("n_periodic"),
+    )
+
+
+ORACLE_BURSTINESS = f"""
+WITH gaps AS (
+  SELECT user_id, event_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id) AS g
+  FROM events
+),
+per_user AS (
+  SELECT user_id, event_type, count(*) AS n,
+         sum(g) AS sg, sum(CAST(g AS HUGEINT) * g) AS sgg,
+         CAST((CAST(10000 AS HUGEINT) * (count(*) * sum(CAST(g AS HUGEINT) * g)
+               - CAST(sum(g) AS HUGEINT) * sum(g)))
+              // (CAST(sum(g) AS HUGEINT) * sum(g)) AS BIGINT) AS cv2_bp
+  FROM gaps WHERE g IS NOT NULL
+  GROUP BY user_id, event_type
+  HAVING count(*) >= {BURST_MIN_EVENTS - 1}
+)
+SELECT event_type, count(*) AS n_users,
+       CAST(sum(n) AS BIGINT) AS n_gaps,
+       CAST(floor(avg(cv2_bp)) AS BIGINT) AS mean_cv2_bp,
+       CAST(sum(CASE WHEN cv2_bp > 20000 THEN 1 ELSE 0 END) AS BIGINT) AS n_bursty,
+       CAST(sum(CASE WHEN cv2_bp < 5000 THEN 1 ELSE 0 END) AS BIGINT) AS n_periodic
+FROM per_user GROUP BY event_type
+"""
+
+
 QUERIES = {
+    "events_burstiness": events_burstiness,
     "events_user_gini": events_user_gini,
     "events_tumbling_window": events_tumbling_window,
     "events_funnel": events_funnel,
@@ -1791,4 +1878,5 @@ ORACLES = {
     "events_ab_lift": ORACLE_AB_LIFT,
     "events_seasonal_anomaly": ORACLE_SEASONAL_ANOMALY,
     "events_user_gini": ORACLE_USER_GINI,
+    "events_burstiness": ORACLE_BURSTINESS,
 }

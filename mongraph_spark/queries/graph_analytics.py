@@ -1661,6 +1661,87 @@ cop AS (
 ORACLE_KTRUSS = _ktruss_oracle()
 
 
+# -- degree assortativity ----------------------------------------------------------
+
+
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph — Newman's r: the
+    Pearson correlation of endpoint degrees over edges.  Positive = hubs
+    attach to hubs (social-network-like), negative = hub-and-spoke
+    (infrastructure-like); the single number that says which skew
+    mitigations the graph ops here will actually face.
+
+    Exactness: all five correlation sums are exact integers over the
+    directed edge incidence (each undirected edge counted both ways, the
+    standard symmetrization); the one float step is the final
+    sqrt+divide on exact integer operands — identical IEEE ops in both
+    engines (the zipf-fit float policy), emitted in floored micro-units.
+
+    Scale shape: ONE degree agg + ONE edge⋈degree join on each endpoint
+    (degree table broadcasts) + a 1-row moment aggregate.  Nothing
+    iterates; cost is the two broadcast joins over the edge list."""
+    pairs = graph_copurchase_pairs(spark, sf_dir).select("part_a", "part_b")
+    sym = pairs.select(F.col("part_a").alias("u"), F.col("part_b").alias("v")).union(
+        pairs.select(F.col("part_b").alias("u"), F.col("part_a").alias("v"))
+    )
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("dx"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dy"))
+    e = sym.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    s = e.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+    )
+    return s.select(
+        F.col("m").cast("bigint").alias("n_directed_edges"),
+        F.expr(
+            "CAST(floor(1000000.0 * (m * sxy - sx * sy) "
+            "/ (sqrt(CAST(m * sxx - sx * sx AS DOUBLE)) "
+            "* sqrt(CAST(m * syy - sy * sy AS DOUBLE)))) AS BIGINT)"
+        ).alias("assortativity_micro"),
+    )
+
+
+ORACLE_ASSORTATIVITY = tpch.oracle_with(
+    """SELECT CAST(m AS BIGINT) AS n_directed_edges,
+       CAST(floor(1000000.0 * (m * sxy - sx * sy)
+            / (sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
+               * sqrt(CAST(m * syy - sy * sy AS DOUBLE)))) AS BIGINT)
+         AS assortativity_micro
+FROM (
+  SELECT count(*) AS m, sum(dx * dy) AS sxy, sum(dx) AS sx, sum(dy) AS sy,
+         sum(dx * dx) AS sxx, sum(dy * dy) AS syy
+  FROM (
+    SELECT du.d AS dx, dv.d AS dy
+    FROM sym e
+    JOIN (SELECT u AS node, count(*) AS d FROM sym GROUP BY u) du
+      ON e.u = du.node
+    JOIN (SELECT u AS node, count(*) AS d FROM sym GROUP BY u) dv
+      ON e.v = dv.node
+  )
+)""",
+    extra_ctes="""contains_el AS (
+  SELECT DISTINCT src AS order_id, dst AS part_id FROM g_edges WHERE type = 'contains'
+),
+cop AS (
+  SELECT a.part_id AS part_a, b.part_id AS part_b
+  FROM contains_el a JOIN contains_el b
+    ON a.order_id = b.order_id AND a.part_id < b.part_id
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+sym AS (
+  SELECT part_a AS u, part_b AS v FROM cop
+  UNION ALL SELECT part_b, part_a FROM cop
+)""",
+)
+
+
 # -- Adamic-Adar link prediction -------------------------------------------------
 
 AA_HUB_CAP = 50  # common neighbors above this degree are skipped (hub exclusion)
@@ -2068,6 +2149,7 @@ QUERIES = {
     "graph_diameter_double_sweep": graph_diameter_double_sweep,
     "graph_modularity": graph_modularity,
     "graph_ktruss": graph_ktruss,
+    "graph_assortativity": graph_assortativity,
     "graph_random_walks": graph_random_walks,
     "graph_adamic_adar": graph_adamic_adar,
     "graph_edge_support": graph_edge_support,
@@ -2096,6 +2178,7 @@ ORACLES = {
     "graph_diameter_double_sweep": ORACLE_DIAMETER,
     "graph_modularity": ORACLE_MODULARITY,
     "graph_ktruss": ORACLE_KTRUSS,
+    "graph_assortativity": ORACLE_ASSORTATIVITY,
     "graph_random_walks": ORACLE_WALKS,
     "graph_adamic_adar": ORACLE_ADAMIC_ADAR,
     "graph_edge_support": ORACLE_EDGE_SUPPORT,
