@@ -603,6 +603,41 @@ def vacuum(root: str, keep_last: int = 1) -> list[str]:
     return removed
 
 
+def rebucket(spark: SparkSession, root: str, n_buckets: int) -> str:
+    """Partition evolution — change the table's hash-bucket count (the
+    Iceberg `REPLACE PARTITION FIELD` analog for this layout): ONE full
+    rewrite of the current version into the new bucket space, then every
+    subsequent upsert/delete/merge scopes to the new buckets.  The one
+    unavoidable full rewrite is the point of the operation (all rows
+    change bucket); history before the boundary stays readable by
+    time-travel (manifests are self-contained), but ``restore`` refuses
+    to cross the boundary — the write path's bucket arithmetic would
+    disagree with the restored data's layout (``meta.bucketed_since``
+    records the fence; re-run rebucket after such a restore instead)."""
+    meta = _read_meta(root)
+    if meta["key"] is None:
+        raise ValueError("rebucket requires a bucketed table")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    cur = read_current(spark, root)
+    if cur is None:
+        raise ValueError(f"no current version under {root}")
+    ver = _next_version(root)
+    cur.withColumn(_BUCKET, _bucket_expr(meta["key"], n_buckets)).write.mode(
+        "errorifexists"
+    ).partitionBy(_BUCKET).parquet(os.path.join(root, ver))
+    _write_manifest(root, ver, _written_buckets(root, ver))
+    schema = T.StructType.fromJson(json.loads(meta["schema"]))
+    _write_meta(root, meta["key"], n_buckets, schema, meta.get("added"))
+    with open(os.path.join(root, _META)) as fh:
+        m = json.load(fh)
+    m["bucketed_since"] = int(ver.split("_")[1])
+    with open(os.path.join(root, _META), "w") as fh:
+        json.dump(m, fh)
+    _flip(root, ver)
+    return ver
+
+
 def restore(root: str, version: int | None = None, tag: str | None = None) -> str:
     """RESTORE TABLE — roll the table back to an earlier version (by
     number or tag) by writing a NEW version whose manifest points at the
@@ -623,6 +658,13 @@ def restore(root: str, version: int | None = None, tag: str | None = None) -> st
         target = _version_name(version)
     if not os.path.isdir(os.path.join(root, target)):
         raise ValueError(f"version {target} does not exist under {root}")
+    fence = _read_meta(root).get("bucketed_since")
+    if fence is not None and int(target.split("_")[1]) < fence:
+        raise ValueError(
+            f"cannot restore {target}: table was rebucketed at v_{fence:05d} "
+            "and the write path's bucket arithmetic would disagree with the "
+            "restored layout — rebucket again after restoring via read_version"
+        )
     mapping = _read_manifest(root, target)
     missing = sorted(
         {rel.split("/", 1)[0] for rel in mapping.values()}

@@ -535,3 +535,46 @@ def test_restore_rejects_vacuumed_target_and_bad_args(spark, tmp_path):
         restore(root, version=0, tag="x")  # both args
     with _pytest.raises(ValueError):
         restore(root, version=99)  # missing version
+
+
+def test_rebucket_partition_evolution(spark, tmp_path):
+    """REBUCKET: one full rewrite into the new bucket space; data
+    identical; subsequent upserts scope to the NEW layout; restore
+    refuses to cross the boundary."""
+    import json as _json
+    import os as _os
+
+    import pytest as _pytest
+
+    from mongraph_spark.sources.merge import rebucket, restore
+
+    root = str(tmp_path / "tbl")
+    init_table(_base(spark), root, key="id", n_buckets=4)
+    v_re = rebucket(spark, root, 16)
+    cur = read_current(spark, root)
+    assert cur.count() == 100
+    assert {r.id for r in cur.collect()} == set(range(100))
+    # manifest now spans the new bucket space
+    with open(_os.path.join(root, v_re, "manifest.json")) as fh:
+        mf = _json.load(fh)
+    assert len(mf) > 4
+    # upsert of one key touches exactly one NEW-layout bucket
+    v2 = upsert(
+        spark,
+        root,
+        spark.createDataFrame([(5, "rewritten", 9)], "id long, name string, rev long"),
+        key="id",
+        order_col="rev",
+    )
+    with open(_os.path.join(root, v2, "manifest.json")) as fh:
+        mf2 = _json.load(fh)
+    changed = {b for b, rel in mf2.items() if rel.startswith(v2)}
+    assert len(changed) == 1
+    got = read_current(spark, root).filter(F.col("id") == 5).collect()
+    assert got[0].name == "rewritten"
+    # restore across the rebucket fence is refused
+    with _pytest.raises(ValueError, match="rebucketed"):
+        restore(root, version=0)
+    # restore to a post-fence version still works
+    restore(root, version=int(v_re.split("_")[1]))
+    assert read_current(spark, root).filter(F.col("name") == "rewritten").count() == 0
