@@ -1309,6 +1309,93 @@ FROM mat
 """
 
 
+# -- Markov sequence surprise ------------------------------------------------------
+
+SURPRISE_TOP = 25  # most improbable user journeys reported
+
+
+def events_markov_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-anomaly scoring from the Markov model: every user's
+    journey is scored by the mean surprisal of its transitions,
+    −log₂ p(to|from), against the population transition matrix — the
+    "this user's clickstream doesn't look like anyone's" detector the
+    transition matrix exists to power (bots replay improbable paths;
+    broken clients loop).  Top-{SURPRISE_TOP} most surprising users, with
+    their step counts.
+
+    Exactness: per-step surprisal floors to integer CENTIBITS before any
+    summation — log₂ of a ratio of exact integer counts is one IEEE op on
+    identical operands (the bigram-xent policy), and everything after is
+    integer sums/divisions.  No smoothing needed: every transition a user
+    took is, by construction, in the population matrix (p > 0).
+
+    Scale shape: ONE user-keyed lead window builds steps (the shared
+    sequence shuffle), the |types|² matrix broadcasts back, and the
+    per-user rollup is a second keyed agg; top-{SURPRISE_TOP} is a
+    TakeOrdered, no global sort."""
+    ev = read_table(spark, sf_dir, "events")
+    seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        "user_id",
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(seq).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    mat = steps.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_pair")
+    )
+    row_tot = Window.partitionBy("from_type")
+    mat = mat.withColumn("n_from", F.sum("n_pair").over(row_tot))
+    scored = steps.join(F.broadcast(mat), ["from_type", "to_type"]).select(
+        "user_id",
+        F.floor(F.lit(100) * F.log2(F.col("n_from") / F.col("n_pair")))
+        .cast("long")
+        .alias("cb"),
+    )
+    per_user = scored.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_steps"),
+        F.sum("cb").alias("total_cb"),
+    )
+    return (
+        per_user.select(
+            "user_id",
+            "n_steps",
+            F.expr("CAST(total_cb DIV n_steps AS BIGINT)").alias(
+                "mean_surprise_cb"
+            ),
+        )
+        .orderBy(F.desc("mean_surprise_cb"), F.asc("user_id"))
+        .limit(SURPRISE_TOP)
+    )
+
+
+ORACLE_MARKOV_SURPRISE = f"""
+WITH steps AS (
+  SELECT user_id, event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS to_type
+  FROM events
+),
+st AS (SELECT * FROM steps WHERE to_type IS NOT NULL),
+mat AS (
+  SELECT from_type, to_type, count(*) AS n_pair,
+         sum(count(*)) OVER (PARTITION BY from_type) AS n_from
+  FROM st GROUP BY from_type, to_type
+),
+per_user AS (
+  SELECT s.user_id, count(*) AS n_steps,
+         sum(CAST(floor(100 * log2(CAST(m.n_from AS DOUBLE) / m.n_pair))
+                  AS BIGINT)) AS total_cb
+  FROM st s JOIN mat m
+    ON s.from_type = m.from_type AND s.to_type = m.to_type
+  GROUP BY s.user_id
+)
+SELECT user_id, n_steps,
+       CAST(total_cb // n_steps AS BIGINT) AS mean_surprise_cb
+FROM per_user
+ORDER BY mean_surprise_cb DESC, user_id ASC LIMIT {SURPRISE_TOP}
+"""
+
+
 # -- watermark late-data audit ----------------------------------------------------
 
 LATE_BUCKETS_MIN = (0, 1, 5, 15, 60)  # lateness histogram edges, minutes
@@ -1821,6 +1908,7 @@ FROM per_user GROUP BY event_type
 
 QUERIES = {
     "events_burstiness": events_burstiness,
+    "events_markov_surprise": events_markov_surprise,
     "events_user_gini": events_user_gini,
     "events_tumbling_window": events_tumbling_window,
     "events_funnel": events_funnel,
@@ -1879,4 +1967,5 @@ ORACLES = {
     "events_seasonal_anomaly": ORACLE_SEASONAL_ANOMALY,
     "events_user_gini": ORACLE_USER_GINI,
     "events_burstiness": ORACLE_BURSTINESS,
+    "events_markov_surprise": ORACLE_MARKOV_SURPRISE,
 }
