@@ -261,3 +261,51 @@ def test_ks_test_matches_independent_python(spark):
     assert (row.n1, row.n2) == (n1, n2)
     assert row.d_bp == (10000 * best) // (n1 * n2)
     assert row.at_value_cents == at
+
+
+def test_markov_surprise_top_list_properties(spark):
+    from mongraph_spark.queries.events import (
+        SURPRISE_TOP,
+        events_markov_surprise,
+    )
+
+    rows = events_markov_surprise(spark, SF).collect()
+    n_users = read_table(spark, SF, "events").select("user_id").distinct().count()
+    assert len(rows) == min(SURPRISE_TOP, n_users)
+    cbs = [r.mean_surprise_cb for r in rows]
+    assert cbs == sorted(cbs, reverse=True)
+    assert all(c >= 0 for c in cbs)  # surprisal of p<=1 is non-negative
+    assert all(r.n_steps >= 1 for r in rows)
+
+
+def test_assortativity_bounded_and_edge_count_consistent(spark):
+    from mongraph_spark.queries.graph_analytics import graph_assortativity
+
+    row = graph_assortativity(spark, SF).collect()[0]
+    assert -1_000_000 <= row.assortativity_micro <= 1_000_000
+    con = duckdb.connect()
+    n_pairs = con.execute(
+        f"""
+        SELECT count(*) FROM (
+          SELECT a.part, b.part FROM
+            (SELECT DISTINCT o_orderkey AS oid, l_partkey AS part
+             FROM '{SF}/orders.parquet' o JOIN '{SF}/lineitem.parquet' l
+               ON o.o_orderkey = l.l_orderkey) a
+          JOIN (SELECT DISTINCT o_orderkey AS oid, l_partkey AS part
+                FROM '{SF}/orders.parquet' o JOIN '{SF}/lineitem.parquet' l
+                  ON o.o_orderkey = l.l_orderkey) b
+            ON a.oid = b.oid AND a.part < b.part
+          GROUP BY 1, 2 HAVING count(*) >= 2)
+        """
+    ).fetchone()[0]
+    assert row.n_directed_edges == 2 * n_pairs
+
+
+def test_burstiness_partitions_and_classes(spark):
+    from mongraph_spark.queries.events import events_burstiness
+
+    rows = events_burstiness(spark, SF).collect()
+    for r in rows:
+        assert r.n_bursty + r.n_periodic <= r.n_users
+        assert r.mean_cv2_bp >= 0
+        assert r.n_gaps >= r.n_users  # each counted user has >= 19 gaps
