@@ -173,7 +173,7 @@ def test_cypher_delete_node_template_roundtrip(n):
 # -- CoW store: random mutation sequences vs a dict model ----------------------------
 #
 # Model-based check of sources/merge.py: any interleaving of upsert /
-# delete_where / merge_into / compact / add_column over a bucketed table
+# delete_where / merge_into / compact / rebucket / restore over a bucketed table
 # must leave read_current equal to a plain-Python dict model applying the
 # same operations.  Catches cross-feature interactions (e.g. an evolved
 # column through compaction, a merge-delete on a bucket another op carried
@@ -184,7 +184,11 @@ def test_cypher_delete_node_template_roundtrip(n):
 def _store_ops(draw):
     ops = []
     for _ in range(draw(st.integers(min_value=2, max_value=5))):
-        kind = draw(st.sampled_from(["upsert", "delete", "merge", "compact"]))
+        kind = draw(
+            st.sampled_from(
+                ["upsert", "delete", "merge", "compact", "rebucket", "restore"]
+            )
+        )
         if kind == "upsert":
             keys = draw(st.lists(st.integers(0, 30), min_size=1, max_size=4, unique=True))
             rev = draw(st.integers(1, 9))
@@ -194,6 +198,11 @@ def _store_ops(draw):
         elif kind == "merge":
             keys = draw(st.lists(st.integers(0, 35), min_size=1, max_size=3, unique=True))
             ops.append(("merge", keys, draw(st.integers(1, 9))))
+        elif kind == "rebucket":
+            ops.append(("rebucket", draw(st.sampled_from([2, 8])), None))
+        elif kind == "restore":
+            # index drawn against the history length at execution time
+            ops.append(("restore", draw(st.integers(0, 10)), None))
         else:
             ops.append(("compact", None, None))
     return ops
@@ -217,9 +226,26 @@ def test_store_matches_dict_model(spark, tmp_path_factory, ops):
         root, key="id", n_buckets=4,
     )
     model = {i: (f"n{i}", 0) for i in range(20)}
+    # version history for restore: (version number, model snapshot);
+    # rebucket sets the fence restore must refuse to cross
+    history = [(0, dict(model))]
+    fence = None
 
     for kind, a, b in ops:
-        if kind == "upsert":
+        if kind == "rebucket":
+            ver = M.rebucket(spark, root, a)
+            fence = int(ver.split("_")[1])
+        elif kind == "restore":
+            tgt_ver, tgt_model = history[a % len(history)]
+            if fence is not None and tgt_ver < fence:
+                import pytest as _pytest
+
+                with _pytest.raises(ValueError, match="rebucketed"):
+                    M.restore(root, version=tgt_ver)
+            else:
+                M.restore(root, version=tgt_ver)
+                model = dict(tgt_model)
+        elif kind == "upsert":
             rows = [(k, f"u{k}", b) for k in a]
             M.upsert(
                 spark,
@@ -248,6 +274,9 @@ def test_store_matches_dict_model(spark, tmp_path_factory, ops):
                     model[k] = (f"m{k}", b)
         else:
             M.compact(spark, root, max_files_per_bucket=1)
+        history.append(
+            (int(M.current_version(root).split("_")[1]), dict(model))
+        )
 
     got = {
         r.id: (r.name, r.rev)
