@@ -2433,7 +2433,89 @@ FROM t, mx WHERE t.term = mx.mx
 """
 
 
+# -- band join --------------------------------------------------------------------
+
+BAND_CENTS = 5  # |price difference| <= 5 cents
+BAND_BUCKET = 10  # bucket width; > BAND_CENTS so a pair spans <= 2 buckets
+
+
+def band_join_close_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band self-join — the third join-strategy exhibit next to the range
+    join and the interval join: order pairs whose totals differ by at most
+    {BAND_CENTS} cents (duplicate-charge screening, price-collusion
+    scans).  The naive plan is a cartesian product with an inequality
+    filter; the scalable plan buckets the value axis at width
+    {BAND_BUCKET} > band and equi-joins each row against its own and the
+    NEXT bucket — every qualifying pair co-locates in one of the two
+    bucket keys, so the join is a plain hash shuffle on integers and the
+    band predicate only refines bucket-local candidates.
+
+    Exactness/dedup: a pair is found once per direction at most; the
+    (k_a < k_b) canonical filter plus DISTINCT collapses the same-bucket
+    double-hit.  All integer cents.  Output: per-priority-pair counts of
+    close-price order pairs (the collusion screen's summary table).
+
+    At 100 TB: identical plan — bucket keys are `v div {BAND_BUCKET}`,
+    skew only if one price point dominates (then salt the hot bucket);
+    candidate volume is sum over buckets of n_b·(n_b + n_{{b+1}}),
+    never n²."""
+    orders = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("prio"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("v"),
+    )
+    left = orders.select(
+        "k", "prio", "v", F.expr(f"v DIV {BAND_BUCKET}").alias("b")
+    )
+    right = orders.select(
+        F.col("k").alias("k2"),
+        F.col("prio").alias("prio2"),
+        F.col("v").alias("v2"),
+        F.explode(
+            F.array(
+                F.expr(f"v DIV {BAND_BUCKET}"),
+                F.expr(f"v DIV {BAND_BUCKET} + 1"),
+            )
+        ).alias("b"),
+    )
+    # canonicalize AFTER the bucket match with least/greatest (not a k<k2
+    # filter): a pair whose buckets differ is only discovered in one of the
+    # two role assignments, and that assignment's key order is arbitrary
+    pairs = (
+        left.join(right, "b")
+        .filter(
+            (F.col("k") != F.col("k2"))
+            & (F.abs(F.col("v") - F.col("v2")) <= BAND_CENTS)
+        )
+        .select(
+            F.least("k", "k2").alias("ka"),
+            F.greatest("k", "k2").alias("kb"),
+            F.least("prio", "prio2").alias("prio_a"),
+            F.greatest("prio", "prio2").alias("prio_b"),
+        )
+        .distinct()
+    )
+    return pairs.groupBy("prio_a", "prio_b").agg(
+        F.count(F.lit(1)).alias("n_close_pairs")
+    )
+
+
+ORACLE_BAND_JOIN = f"""
+WITH o AS (
+  SELECT o_orderkey AS k, o_orderpriority AS prio,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders
+)
+SELECT least(a.prio, b.prio) AS prio_a, greatest(a.prio, b.prio) AS prio_b,
+       count(*) AS n_close_pairs
+FROM o a JOIN o b
+  ON a.k < b.k AND b.v BETWEEN a.v - {BAND_CENTS} AND a.v + {BAND_CENTS}
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
+    "band_join_close_prices": band_join_close_prices,
     "stats_ks_test": stats_ks_test,
     "q1_pricing_summary": q1_pricing_summary,
     "customer_rfm_segments": customer_rfm_segments,
@@ -2517,6 +2599,7 @@ ORACLES = {
     "customer_rfm_segments": ORACLE_RFM,
     "stats_chi2_independence": ORACLE_CHI2,
     "stats_ks_test": ORACLE_KS,
+    "band_join_close_prices": ORACLE_BAND_JOIN,
     "scd2_bitemporal_asknown": ORACLE_BITEMPORAL,
     "window_customer_deciles": ORACLE_DECILES,
     "salted_revenue_by_priority": ORACLE_SALTED,

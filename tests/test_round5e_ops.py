@@ -309,3 +309,30 @@ def test_burstiness_partitions_and_classes(spark):
         assert r.n_bursty + r.n_periodic <= r.n_users
         assert r.mean_cv2_bp >= 0
         assert r.n_gaps >= r.n_users  # each counted user has >= 19 gaps
+
+
+def test_band_join_equals_bruteforce(spark):
+    """The bucketed band join must find EXACTLY the brute-force pair set
+    (the adjacent-bucket emission covers every band pair; canonicalization
+    loses none)."""
+    from mongraph_spark.queries.relational import (
+        BAND_CENTS,
+        band_join_close_prices,
+    )
+
+    got = {
+        (r.prio_a, r.prio_b): r.n_close_pairs
+        for r in band_join_close_prices(spark, SF).collect()
+    }
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        WITH o AS (SELECT o_orderkey k, o_orderpriority p,
+                          CAST(round(o_totalprice*100) AS BIGINT) v
+                   FROM '{SF}/orders.parquet')
+        SELECT least(a.p, b.p), greatest(a.p, b.p), count(*)
+        FROM o a JOIN o b ON a.k < b.k AND abs(a.v - b.v) <= {BAND_CENTS}
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    assert got == {(a, b): n for a, b, n in rows}
