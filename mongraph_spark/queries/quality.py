@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mongraph_spark.sparkutil import read_table
@@ -436,6 +436,193 @@ GROUP BY 1
 ORACLE_ZORDER = _zorder_oracle()
 
 
+# -- measured pruning benefit: z-order vs single-column sort ----------------------
+
+PRUNE_FILES = 256  # files per layout (equal counts -> fair comparison)
+PRUNE_QUERIES = 20  # deterministic 2-D box workload
+PRUNE_DAY_SPAN = 30  # box: 30-day window ...
+PRUNE_PART_PCT = 10  # ... x 10% of the part-key range
+
+
+def zorder_pruning_benefit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured data-skipping benefit — the companion that justifies
+    zorder_data_skipping with a NUMBER instead of an argument: build the
+    per-file zone maps of two equal-file-count layouts (Morton z-order vs
+    a plain sort on ship-day), replay a deterministic workload of
+    {PRUNE_QUERIES} two-dimensional box queries (30-day × 10%-of-parts),
+    and count the files whose zone map each query must scan.  The
+    skip-rate gap is exactly what Delta/Iceberg OPTIMIZE ZORDER buys on
+    multi-dimensional predicates; the day-sorted layout wins only if
+    queries never constrain the second column.
+
+    All-integer: codes, z-values, file ids, box bounds, and the
+    intersects test; the workload derives from the same 1-row min/max
+    agg as the layout.  The linear layout's row_number IS a global sort —
+    that is what a sort-by-day writer does (and the z-order side's
+    equal-z-range files need none; the contrast is part of the point)."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.datediff(F.col("l_shipdate"), F.lit("1992-01-01")).alias("d"),
+        F.col("l_partkey").alias("p"),
+    )
+    rng = li.agg(
+        F.min("d").alias("dmin"),
+        F.max("d").alias("dmax"),
+        F.min("p").alias("pmin"),
+        F.max("p").alias("pmax"),
+        F.count(F.lit(1)).alias("nrows"),
+    )
+    lv = 2**ZORDER_BITS
+    coded = li.crossJoin(F.broadcast(rng)).select(
+        "d",
+        "p",
+        "dmin",
+        "dmax",
+        "pmin",
+        "pmax",
+        "nrows",
+        F.expr(f"(d - dmin) * {lv} div (dmax - dmin + 1)").alias("cd"),
+        F.expr(f"(p - pmin) * {lv} div (pmax - pmin + 1)").alias("cp"),
+    )
+    zfiles = (
+        coded.withColumn("z", _interleave(F.col("cd"), F.col("cp")))
+        .withColumn(
+            "file_id", F.expr(f"z * {PRUNE_FILES} div {lv * lv}").cast("long")
+        )
+        .groupBy("file_id")
+        .agg(
+            F.min("d").alias("min_d"),
+            F.max("d").alias("max_d"),
+            F.min("p").alias("min_p"),
+            F.max("p").alias("max_p"),
+        )
+        .withColumn("layout", F.lit("zorder"))
+    )
+    w = Window.partitionBy(F.lit(1)).orderBy("d", "p")
+    lfiles = (
+        coded.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "file_id",
+            F.expr(f"(rn - 1) * {PRUNE_FILES} div nrows").cast("long"),
+        )
+        .groupBy("file_id")
+        .agg(
+            F.min("d").alias("min_d"),
+            F.max("d").alias("max_d"),
+            F.min("p").alias("min_p"),
+            F.max("p").alias("max_p"),
+        )
+        .withColumn("layout", F.lit("day_sorted"))
+    )
+    zones = zfiles.unionByName(lfiles)
+    queries = (
+        spark.range(PRUNE_QUERIES)
+        .select(F.col("id").cast("long").alias("q"))
+        .crossJoin(F.broadcast(rng))
+        .select(
+            "q",
+            (F.col("dmin") + (F.col("q") * 37) % (F.col("dmax") - F.col("dmin") - PRUNE_DAY_SPAN + 1)).alias("q_dlo"),
+            F.expr("pmin + ((q * 53) % 90) * (pmax - pmin) DIV 100").cast("long").alias("q_plo"),
+            F.expr(f"(pmax - pmin) * {PRUNE_PART_PCT} DIV 100").cast("long").alias("q_pw"),
+        )
+        .select(
+            "q",
+            "q_dlo",
+            (F.col("q_dlo") + PRUNE_DAY_SPAN - 1).alias("q_dhi"),
+            "q_plo",
+            (F.col("q_plo") + F.col("q_pw")).alias("q_phi"),
+        )
+    )
+    hits = zones.crossJoin(F.broadcast(queries)).filter(
+        (F.col("min_d") <= F.col("q_dhi"))
+        & (F.col("max_d") >= F.col("q_dlo"))
+        & (F.col("min_p") <= F.col("q_phi"))
+        & (F.col("max_p") >= F.col("q_plo"))
+    )
+    per_layout_files = zones.groupBy("layout").agg(
+        F.count(F.lit(1)).alias("n_files")
+    )
+    return (
+        hits.groupBy("layout")
+        .agg(F.count(F.lit(1)).alias("files_scanned_total"))
+        .join(per_layout_files, "layout")
+        .select(
+            "layout",
+            "n_files",
+            F.lit(PRUNE_QUERIES).cast("bigint").alias("n_queries"),
+            "files_scanned_total",
+            F.expr(
+                f"CAST(10000 - (10000 * files_scanned_total) "
+                f"DIV (n_files * {PRUNE_QUERIES}) AS BIGINT)"
+            ).alias("skip_bp"),
+        )
+    )
+
+
+def _pruning_oracle() -> str:
+    z_terms = []
+    for i in range(ZORDER_BITS):
+        z_terms.append(f"((cd // {2**i}) % 2) * {2 ** (2 * i + 1)}")
+        z_terms.append(f"((cp // {2**i}) % 2) * {2 ** (2 * i)}")
+    z_sql = " + ".join(z_terms)
+    lv = 2**ZORDER_BITS
+    return f"""
+WITH dims AS (
+  SELECT datediff('day', DATE '1992-01-01', l_shipdate) AS d, l_partkey AS p
+  FROM lineitem
+),
+rng AS (SELECT min(d) AS dmin, max(d) AS dmax, min(p) AS pmin, max(p) AS pmax,
+               count(*) AS nrows FROM dims),
+coded AS (
+  SELECT d, p, dmin, dmax, pmin, pmax, nrows,
+         CAST((d - dmin) * {lv} // (dmax - dmin + 1) AS BIGINT) AS cd,
+         CAST((p - pmin) * {lv} // (pmax - pmin + 1) AS BIGINT) AS cp
+  FROM dims, rng
+),
+zfiles AS (
+  SELECT 'zorder' AS layout, CAST(z * {PRUNE_FILES} // {lv * lv} AS BIGINT) AS file_id,
+         min(d) AS min_d, max(d) AS max_d, min(p) AS min_p, max(p) AS max_p
+  FROM (SELECT d, p, ({z_sql}) AS z FROM coded) GROUP BY 2
+),
+lfiles AS (
+  SELECT 'day_sorted' AS layout,
+         CAST((rn - 1) * {PRUNE_FILES} // nrows AS BIGINT) AS file_id,
+         min(d) AS min_d, max(d) AS max_d, min(p) AS min_p, max(p) AS max_p
+  FROM (SELECT d, p, nrows,
+               row_number() OVER (ORDER BY d, p) AS rn FROM coded)
+  GROUP BY 2
+),
+zones AS (SELECT * FROM zfiles UNION ALL SELECT * FROM lfiles),
+queries AS (
+  SELECT q,
+         q_dlo, q_dlo + {PRUNE_DAY_SPAN} - 1 AS q_dhi,
+         q_plo, q_plo + q_pw AS q_phi
+  FROM (
+    SELECT q,
+           dmin + (q * 37) % (dmax - dmin - {PRUNE_DAY_SPAN} + 1) AS q_dlo,
+           CAST(pmin + ((q * 53) % 90) * (pmax - pmin) // 100 AS BIGINT) AS q_plo,
+           CAST((pmax - pmin) * {PRUNE_PART_PCT} // 100 AS BIGINT) AS q_pw
+    FROM (SELECT unnest(range({PRUNE_QUERIES})) AS q), rng
+  )
+),
+hits AS (
+  SELECT z.layout FROM zones z, queries qq
+  WHERE z.min_d <= qq.q_dhi AND z.max_d >= qq.q_dlo
+    AND z.min_p <= qq.q_phi AND z.max_p >= qq.q_plo
+),
+pf AS (SELECT layout, count(*) AS n_files FROM zones GROUP BY layout)
+SELECT h.layout, pf.n_files,
+       CAST({PRUNE_QUERIES} AS BIGINT) AS n_queries,
+       count(*) AS files_scanned_total,
+       CAST(10000 - (10000 * count(*)) // (pf.n_files * {PRUNE_QUERIES}) AS BIGINT)
+         AS skip_bp
+FROM hits h JOIN pf ON h.layout = pf.layout
+GROUP BY h.layout, pf.n_files
+"""
+
+
+ORACLE_PRUNING = _pruning_oracle()
+
+
 # -- population-stability-index drift monitor ------------------------------------
 
 PSI_BINS = 10
@@ -705,6 +892,7 @@ QUERIES = {
     "store_merge_into": store_merge_into,
     "zorder_data_skipping": zorder_data_skipping,
     "bloom_filter_skipping": bloom_filter_skipping,
+    "zorder_pruning_benefit": zorder_pruning_benefit,
     "quality_drift_psi": quality_drift_psi,
 }
 
@@ -714,5 +902,6 @@ ORACLES = {
     "store_merge_into": ORACLE_MERGE_INTO,
     "zorder_data_skipping": ORACLE_ZORDER,
     "bloom_filter_skipping": ORACLE_BLOOM,
+    "zorder_pruning_benefit": ORACLE_PRUNING,
     "quality_drift_psi": ORACLE_PSI,
 }

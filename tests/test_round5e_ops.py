@@ -336,3 +336,23 @@ def test_band_join_equals_bruteforce(spark):
         """
     ).fetchall()
     assert got == {(a, b): n for a, b, n in rows}
+
+
+def test_zorder_pruning_beats_single_column_sort(spark):
+    """The whole point of the Morton layout, measured: on a 2-D box
+    workload it must scan no MORE files than the day-sorted layout
+    (measured at sf0.01: 60 vs 82 of 256x20)."""
+    from mongraph_spark.queries.quality import (
+        PRUNE_FILES,
+        zorder_pruning_benefit,
+    )
+
+    rows = {r.layout: r for r in zorder_pruning_benefit(spark, SF).collect()}
+    assert set(rows) == {"zorder", "day_sorted"}
+    for r in rows.values():
+        assert r.n_files == PRUNE_FILES
+        assert 0 < r.files_scanned_total <= r.n_files * r.n_queries
+    assert (
+        rows["zorder"].files_scanned_total
+        <= rows["day_sorted"].files_scanned_total
+    )
