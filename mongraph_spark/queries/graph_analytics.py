@@ -1661,6 +1661,103 @@ cop AS (
 ORACLE_KTRUSS = _ktruss_oracle()
 
 
+# -- frequent 3-itemsets (Apriori level 3) -----------------------------------------
+
+ITEMSET3_MIN_SUPPORT = 2  # the synthetic baskets max out at support 2 for triples
+
+
+def graph_itemsets3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apriori level 3 — the iteration graph_association_rules' docstring
+    promises: frequent part TRIPLES with support ≥ {ITEMSET3_MIN_SUPPORT}
+    and the (pair → third item) confidence that turns them into
+    next-item recommendations a pair model cannot express.
+
+    A-priori pruning, distributed: baskets are first restricted to parts
+    that appear in ANY frequent pair (downward closure says no other part
+    can be in a frequent triple — the prune that keeps the triple join
+    from cubing the raw basket), then ONE three-way self-join per order
+    with a < b < c enumerates candidate triples, and a count agg applies
+    the support threshold.  Confidence divides by the (a,b) pair support
+    via one broadcast join against the frequent-pair table.  At 100 TB
+    the per-order fanout is C(n_frequent_items_in_order, 3) — the prune
+    plus a per-order frequent-item cap (documented standard practice)
+    bounds it; every join is order-keyed, no shuffle of enumerated
+    triples before their map-side-combining count."""
+    eng = tpch.bulk_engine(spark, sf_dir)
+    baskets = (
+        eng.store.edges_df()
+        .filter(F.col("type") == "contains")
+        .select(F.col("src").alias("order_id"), F.col("dst").alias("part_id"))
+        .distinct()
+    )
+    pairs = graph_copurchase_pairs(spark, sf_dir)  # part_a < part_b, support >= 2
+    freq_items = (
+        pairs.select(F.col("part_a").alias("part_id"))
+        .union(pairs.select(F.col("part_b")))
+        .distinct()
+    )
+    b2 = baskets.join(F.broadcast(freq_items), "part_id").select(
+        "order_id", "part_id"
+    )
+    a = b2.select("order_id", F.col("part_id").alias("pa"))
+    b = b2.select("order_id", F.col("part_id").alias("pb"))
+    c = b2.select("order_id", F.col("part_id").alias("pc"))
+    triples = (
+        a.join(b, "order_id")
+        .filter(F.col("pa") < F.col("pb"))
+        .join(c, "order_id")
+        .filter(F.col("pb") < F.col("pc"))
+        .groupBy("pa", "pb", "pc")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= ITEMSET3_MIN_SUPPORT)
+    )
+    ab = pairs.select(
+        F.col("part_a").alias("pa"),
+        F.col("part_b").alias("pb"),
+        F.col("n_orders").alias("n_ab"),
+    )
+    return triples.join(F.broadcast(ab), ["pa", "pb"]).select(
+        F.col("pa").alias("part_a"),
+        F.col("pb").alias("part_b"),
+        F.col("pc").alias("part_c"),
+        "support",
+        F.floor(F.lit(10000) * F.col("support") / F.col("n_ab"))
+        .cast("long")
+        .alias("conf_ab_to_c_bp"),
+    )
+
+
+ORACLE_ITEMSETS3 = tpch.oracle_with(
+    f"""SELECT t.pa AS part_a, t.pb AS part_b, t.pc AS part_c, t.support,
+       CAST(floor(10000 * t.support / p.n_orders) AS BIGINT) AS conf_ab_to_c_bp
+FROM (
+  SELECT a.part_id AS pa, b.part_id AS pb, c.part_id AS pc,
+         count(*) AS support
+  FROM b2 a JOIN b2 b ON a.order_id = b.order_id AND a.part_id < b.part_id
+            JOIN b2 c ON a.order_id = c.order_id AND b.part_id < c.part_id
+  GROUP BY 1, 2, 3 HAVING count(*) >= {ITEMSET3_MIN_SUPPORT}
+) t JOIN cop p ON t.pa = p.part_a AND t.pb = p.part_b""",
+    extra_ctes="""contains_el AS (
+  SELECT DISTINCT src AS order_id, dst AS part_id FROM g_edges WHERE type = 'contains'
+),
+cop AS (
+  SELECT a.part_id AS part_a, b.part_id AS part_b, count(*) AS n_orders
+  FROM contains_el a JOIN contains_el b
+    ON a.order_id = b.order_id AND a.part_id < b.part_id
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+freq_items AS (
+  SELECT DISTINCT part_id FROM (
+    SELECT part_a AS part_id FROM cop UNION SELECT part_b FROM cop
+  )
+),
+b2 AS (
+  SELECT e.order_id, e.part_id FROM contains_el e
+  JOIN freq_items f ON e.part_id = f.part_id
+)""",
+)
+
+
 # -- degree assortativity ----------------------------------------------------------
 
 
@@ -2150,6 +2247,7 @@ QUERIES = {
     "graph_modularity": graph_modularity,
     "graph_ktruss": graph_ktruss,
     "graph_assortativity": graph_assortativity,
+    "graph_itemsets3": graph_itemsets3,
     "graph_random_walks": graph_random_walks,
     "graph_adamic_adar": graph_adamic_adar,
     "graph_edge_support": graph_edge_support,
@@ -2179,6 +2277,7 @@ ORACLES = {
     "graph_modularity": ORACLE_MODULARITY,
     "graph_ktruss": ORACLE_KTRUSS,
     "graph_assortativity": ORACLE_ASSORTATIVITY,
+    "graph_itemsets3": ORACLE_ITEMSETS3,
     "graph_random_walks": ORACLE_WALKS,
     "graph_adamic_adar": ORACLE_ADAMIC_ADAR,
     "graph_edge_support": ORACLE_EDGE_SUPPORT,

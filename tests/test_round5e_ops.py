@@ -356,3 +356,41 @@ def test_zorder_pruning_beats_single_column_sort(spark):
         rows["zorder"].files_scanned_total
         <= rows["day_sorted"].files_scanned_total
     )
+
+
+def test_itemsets3_downward_closure_and_bruteforce(spark):
+    """Every reported triple must match the brute-force count, and its
+    confidence denominator must be the exact (a,b) pair support."""
+    from mongraph_spark.queries.graph_analytics import (
+        ITEMSET3_MIN_SUPPORT,
+        graph_itemsets3,
+    )
+
+    rows = graph_itemsets3(spark, SF).collect()
+    con = duckdb.connect()
+    brute = {
+        (a, b, c): s
+        for a, b, c, s in con.execute(
+            f"""
+            WITH el AS (SELECT DISTINCT o_orderkey AS oid, l_partkey AS part
+              FROM '{SF}/orders.parquet' o JOIN '{SF}/lineitem.parquet' l
+                ON o.o_orderkey = l.l_orderkey)
+            SELECT a.part, b.part, c.part, count(*)
+            FROM el a JOIN el b ON a.oid = b.oid AND a.part < b.part
+                      JOIN el c ON a.oid = c.oid AND b.part < c.part
+            GROUP BY 1, 2, 3 HAVING count(*) >= {ITEMSET3_MIN_SUPPORT}
+            """
+        ).fetchall()
+    }
+    # graph-store node ids are namespaced: part -> code*10^12 + partkey
+    from mongraph_spark.graphs.tpch import _CODE_BASE
+
+    def raw(x):
+        return x % _CODE_BASE
+
+    got = {
+        (raw(r.part_a), raw(r.part_b), raw(r.part_c)): r.support for r in rows
+    }
+    assert got == brute
+    for r in rows:
+        assert 0 < r.conf_ab_to_c_bp <= 10000  # support3 <= pair support
