@@ -2514,7 +2514,110 @@ GROUP BY 1, 2
 """
 
 
+# -- incremental view maintenance (join view) --------------------------------------
+
+IVM_SPLIT_DATE = "1997-01-01"  # orders delta = on/after; base = before
+IVM_CUST_MOD = 10  # customer delta = custkey % 10 == 0
+
+
+def ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view — the algebra every
+    streaming/materialized-view engine implements: with base states A, B
+    and deltas ΔA, ΔB, the view change is EXACTLY
+    ΔV = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB (insert-only case), so refreshing
+    V = orders⋈customer costs |Δ|-proportional work instead of a full
+    re-join.  This operator RUNS the identity and PROVES it: per market
+    segment it emits the three delta-term counts, the incrementally
+    maintained total (old + Σ deltas), and the full-recompute total —
+    with a boolean that they are equal (also pinned in tests; the
+    companion to events_incremental_rollup, which maintains an AGG view).
+
+    Scale shape: the delta terms join a small side against a big one —
+    exactly why IVM wins: ΔA⋈B shuffles only ΔA against B's existing
+    partitioning (or broadcasts ΔA), never re-joining A⋈B.  All counts
+    exact integers."""
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("d")
+    )
+    customer = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    a_old = orders.filter(F.col("d") < F.lit(IVM_SPLIT_DATE))
+    da = orders.filter(F.col("d") >= F.lit(IVM_SPLIT_DATE))
+    b_old = customer.filter(F.col("c_custkey") % IVM_CUST_MOD != 0)
+    db = customer.filter(F.col("c_custkey") % IVM_CUST_MOD == 0)
+
+    def seg_counts(o: DataFrame, c: DataFrame, name: str) -> DataFrame:
+        return (
+            o.join(c, o["o_custkey"] == c["c_custkey"])
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    old_v = seg_counts(a_old, b_old, "n_old")
+    t1 = seg_counts(da, b_old, "n_da_b")
+    t2 = seg_counts(a_old, db, "n_a_db")
+    t3 = seg_counts(da, db, "n_da_db")
+    full = seg_counts(orders, customer, "n_full")
+    out = (
+        full.join(old_v, "c_mktsegment", "left")
+        .join(t1, "c_mktsegment", "left")
+        .join(t2, "c_mktsegment", "left")
+        .join(t3, "c_mktsegment", "left")
+        .na.fill(0, ["n_old", "n_da_b", "n_a_db", "n_da_db"])
+    )
+    return out.select(
+        "c_mktsegment",
+        "n_old",
+        "n_da_b",
+        "n_a_db",
+        "n_da_db",
+        (
+            F.col("n_old") + F.col("n_da_b") + F.col("n_a_db") + F.col("n_da_db")
+        ).alias("n_maintained"),
+        "n_full",
+        (
+            F.col("n_old")
+            + F.col("n_da_b")
+            + F.col("n_a_db")
+            + F.col("n_da_db")
+            == F.col("n_full")
+        ).alias("identity_holds"),
+    )
+
+
+ORACLE_IVM = f"""
+WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders),
+a_old AS (SELECT * FROM o WHERE d < DATE '{IVM_SPLIT_DATE}'),
+da AS (SELECT * FROM o WHERE d >= DATE '{IVM_SPLIT_DATE}'),
+b_old AS (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % {IVM_CUST_MOD} <> 0),
+db AS (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % {IVM_CUST_MOD} = 0),
+oldv AS (SELECT c_mktsegment, count(*) AS n_old FROM a_old a JOIN b_old b ON a.o_custkey = b.c_custkey GROUP BY 1),
+t1 AS (SELECT c_mktsegment, count(*) AS n_da_b FROM da a JOIN b_old b ON a.o_custkey = b.c_custkey GROUP BY 1),
+t2 AS (SELECT c_mktsegment, count(*) AS n_a_db FROM a_old a JOIN db b ON a.o_custkey = b.c_custkey GROUP BY 1),
+t3 AS (SELECT c_mktsegment, count(*) AS n_da_db FROM da a JOIN db b ON a.o_custkey = b.c_custkey GROUP BY 1),
+fullv AS (SELECT c_mktsegment, count(*) AS n_full FROM o a JOIN customer b ON a.o_custkey = b.c_custkey GROUP BY 1)
+SELECT f.c_mktsegment,
+       coalesce(oldv.n_old, 0) AS n_old,
+       coalesce(t1.n_da_b, 0) AS n_da_b,
+       coalesce(t2.n_a_db, 0) AS n_a_db,
+       coalesce(t3.n_da_db, 0) AS n_da_db,
+       coalesce(oldv.n_old, 0) + coalesce(t1.n_da_b, 0)
+         + coalesce(t2.n_a_db, 0) + coalesce(t3.n_da_db, 0) AS n_maintained,
+       f.n_full,
+       coalesce(oldv.n_old, 0) + coalesce(t1.n_da_b, 0)
+         + coalesce(t2.n_a_db, 0) + coalesce(t3.n_da_db, 0) = f.n_full
+         AS identity_holds
+FROM fullv f
+LEFT JOIN oldv ON f.c_mktsegment = oldv.c_mktsegment
+LEFT JOIN t1 ON f.c_mktsegment = t1.c_mktsegment
+LEFT JOIN t2 ON f.c_mktsegment = t2.c_mktsegment
+LEFT JOIN t3 ON f.c_mktsegment = t3.c_mktsegment
+"""
+
+
 QUERIES = {
+    "ivm_join_delta": ivm_join_delta,
     "band_join_close_prices": band_join_close_prices,
     "stats_ks_test": stats_ks_test,
     "q1_pricing_summary": q1_pricing_summary,
@@ -2600,6 +2703,7 @@ ORACLES = {
     "stats_chi2_independence": ORACLE_CHI2,
     "stats_ks_test": ORACLE_KS,
     "band_join_close_prices": ORACLE_BAND_JOIN,
+    "ivm_join_delta": ORACLE_IVM,
     "scd2_bitemporal_asknown": ORACLE_BITEMPORAL,
     "window_customer_deciles": ORACLE_DECILES,
     "salted_revenue_by_priority": ORACLE_SALTED,

@@ -394,3 +394,14 @@ def test_itemsets3_downward_closure_and_bruteforce(spark):
     assert got == brute
     for r in rows:
         assert 0 < r.conf_ab_to_c_bp <= 10000  # support3 <= pair support
+
+
+def test_ivm_identity_holds_everywhere(spark):
+    from mongraph_spark.queries.relational import ivm_join_delta
+
+    rows = ivm_join_delta(spark, SF).collect()
+    assert rows and all(r.identity_holds for r in rows)
+    for r in rows:
+        assert r.n_maintained == r.n_full
+        # deltas are a proper split: every term strictly smaller than full
+        assert max(r.n_old, r.n_da_b, r.n_a_db, r.n_da_db) < r.n_full
