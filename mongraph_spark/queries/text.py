@@ -169,6 +169,67 @@ FROM t
 """
 
 
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation of the language-ID heuristic against the
+    corpus's labeled ``lang`` column — the confusion matrix + per-class
+    precision/recall every filter model must publish before it gates a
+    pipeline (the text-side sibling of ann_recall_report and
+    dedup_recall_report): each (actual, predicted) cell with count, and
+    the predicted class's precision / actual class's recall in floored
+    basis points.
+
+    Labels beyond 'en' all map to the heuristic's 'und', so the matrix
+    also shows WHICH non-English labels leak into 'en' (stopword false
+    hits).  Shape: the predictor is map-only (same scan as text_lang_id);
+    the matrix is a ≤ |langs|·2 count agg, marginals ride two tiny
+    windows over it.  All integers."""
+    docs = read_table(spark, sf_dir, "documents")
+    words = _words()
+    n_tokens = F.size(words)
+    stop_hits = F.size(F.filter(words, lambda w: w.isin(STOPWORDS)))
+    labeled = docs.select(
+        F.col("lang").alias("actual"),
+        F.when(20 * stop_hits >= n_tokens, "en").otherwise("und").alias(
+            "predicted"
+        ),
+    )
+    cells = labeled.groupBy("actual", "predicted").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return cells.select(
+        "actual",
+        "predicted",
+        "n",
+        F.expr("CAST((10000 * n) DIV sum(n) OVER (PARTITION BY predicted) AS BIGINT)").alias(
+            "precision_bp"
+        ),
+        F.expr("CAST((10000 * n) DIV sum(n) OVER (PARTITION BY actual) AS BIGINT)").alias(
+            "recall_bp"
+        ),
+    )
+
+
+ORACLE_LANGID_CONFUSION = f"""
+WITH labeled AS (
+  SELECT lang AS actual,
+         CASE WHEN 20 * len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                        w -> w IN ('{_STOP_SQL}')))
+                   >= len(string_split_regex(lower(text), '\\s+'))
+              THEN 'en' ELSE 'und' END AS predicted
+  FROM documents
+),
+cells AS (
+  SELECT actual, predicted, count(*) AS n FROM labeled GROUP BY 1, 2
+)
+SELECT actual, predicted, n,
+       CAST((10000 * n) // sum(n) OVER (PARTITION BY predicted) AS BIGINT)
+         AS precision_bp,
+       CAST((10000 * n) // sum(n) OVER (PARTITION BY actual) AS BIGINT)
+         AS recall_bp
+FROM cells
+"""
+
+
 # -- fingerprinting: whole-doc hash + minimum shingle hash (winnowing-style) -----
 
 
@@ -771,6 +832,7 @@ ORACLE_BPE = _bpe_oracle()
 
 QUERIES = {
     "text_bpe_tokenize": text_bpe_tokenize,
+    "text_langid_confusion": text_langid_confusion,
     "text_winnowing_pairs": text_winnowing_pairs,
     "text_metrics": text_metrics,
     "text_scan_redact": text_scan_redact,
@@ -785,6 +847,7 @@ QUERIES = {
 
 ORACLES = {
     "text_bpe_tokenize": ORACLE_BPE,
+    "text_langid_confusion": ORACLE_LANGID_CONFUSION,
     "text_winnowing_pairs": _oracle_winnowing_pairs(),
     "text_metrics": ORACLE_TEXT_METRICS,
     "text_scan_redact": ORACLE_SCAN_REDACT,
