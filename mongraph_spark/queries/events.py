@@ -1309,6 +1309,91 @@ FROM mat
 """
 
 
+# -- multi-window SLO burn rate ----------------------------------------------------
+
+SLO_TARGET_BP = 2500  # error budget: 25% of events may be errors
+SLO_SLOW_HOURS = 6  # slow window length (fast window = 1 hour)
+SLO_FAST_THRESH_BP = 12000  # page when fast burn > 1.2x ...
+SLO_SLOW_THRESH_BP = 10000  # ... AND slow burn > 1.0x (multiwindow policy)
+
+
+def events_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window error-budget burn rate — the SRE alerting arithmetic
+    (Google SRE workbook ch. 5): per hour, the error ratio relative to
+    the SLO target over a 1-hour fast window and a {SLO_SLOW_HOURS}-hour
+    rolling slow window; a page fires only when BOTH exceed their
+    thresholds (fast catches the spike, slow filters the blip).  Emits
+    every hour with both burn rates and the page flag.
+
+    Exactness: burn_bp = (10⁸·errors) div (total·target_bp) — pure
+    integer arithmetic from hourly counts; the rolling slow window sums
+    integers over {SLO_SLOW_HOURS} hourly rows.  Scale shape: ONE hourly
+    rollup collapses the scan; the rolling window runs over |hours| rows
+    (time-ordered, partition by stream/shard at 100 TB — the
+    hypertable-rollup note)."""
+    ev = read_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour")).agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias("errors"),
+    )
+    w = (
+        Window.partitionBy(F.lit(1))
+        .orderBy("hour")
+        .rowsBetween(-(SLO_SLOW_HOURS - 1), Window.currentRow)
+    )
+    rolled = hourly.select(
+        "hour",
+        "total",
+        "errors",
+        F.sum("total").over(w).alias("slow_total"),
+        F.sum("errors").over(w).alias("slow_errors"),
+    )
+    fast = F.expr(
+        f"CAST((100000000 * errors) DIV (total * {SLO_TARGET_BP}) AS BIGINT)"
+    )
+    slow = F.expr(
+        f"CAST((100000000 * slow_errors) DIV (slow_total * {SLO_TARGET_BP}) AS BIGINT)"
+    )
+    return rolled.select(
+        F.date_format("hour", "yyyy-MM-dd HH:00").alias("hour"),
+        "total",
+        "errors",
+        fast.alias("fast_burn_bp"),
+        slow.alias("slow_burn_bp"),
+        (
+            (fast > SLO_FAST_THRESH_BP) & (slow > SLO_SLOW_THRESH_BP)
+        ).alias("page"),
+    )
+
+
+ORACLE_SLO_BURN = f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, count(*) AS total,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+           AS errors
+  FROM events GROUP BY 1
+),
+rolled AS (
+  SELECT hour, total, errors,
+         sum(total) OVER (ORDER BY hour ROWS BETWEEN {SLO_SLOW_HOURS - 1}
+                          PRECEDING AND CURRENT ROW) AS slow_total,
+         sum(errors) OVER (ORDER BY hour ROWS BETWEEN {SLO_SLOW_HOURS - 1}
+                           PRECEDING AND CURRENT ROW) AS slow_errors
+  FROM hourly
+)
+SELECT strftime(hour, '%Y-%m-%d %H:00') AS hour,
+       CAST(total AS BIGINT) AS total, errors,
+       CAST((100000000 * errors) // (total * {SLO_TARGET_BP}) AS BIGINT)
+         AS fast_burn_bp,
+       CAST((100000000 * slow_errors) // (slow_total * {SLO_TARGET_BP}) AS BIGINT)
+         AS slow_burn_bp,
+       (100000000 * errors) // (total * {SLO_TARGET_BP}) > {SLO_FAST_THRESH_BP}
+         AND (100000000 * slow_errors) // (slow_total * {SLO_TARGET_BP})
+             > {SLO_SLOW_THRESH_BP} AS page
+FROM rolled
+"""
+
+
 # -- Markov sequence surprise ------------------------------------------------------
 
 SURPRISE_TOP = 25  # most improbable user journeys reported
@@ -1909,6 +1994,7 @@ FROM per_user GROUP BY event_type
 QUERIES = {
     "events_burstiness": events_burstiness,
     "events_markov_surprise": events_markov_surprise,
+    "events_slo_burn_rate": events_slo_burn_rate,
     "events_user_gini": events_user_gini,
     "events_tumbling_window": events_tumbling_window,
     "events_funnel": events_funnel,
@@ -1968,4 +2054,5 @@ ORACLES = {
     "events_user_gini": ORACLE_USER_GINI,
     "events_burstiness": ORACLE_BURSTINESS,
     "events_markov_surprise": ORACLE_MARKOV_SURPRISE,
+    "events_slo_burn_rate": ORACLE_SLO_BURN,
 }
