@@ -997,7 +997,73 @@ FROM per_batch GROUP BY bucket
 ORACLE_LENGTH_BATCHES = _length_batches_oracle()
 
 
+def pipeline_length_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance weights that reshape the corpus's length distribution to
+    UNIFORM over the pow2 token buckets — the distribution-matching
+    companion to corpus_mixture_weights (which balances sources): train-
+    time resampling by these weights makes every length bucket equally
+    likely, and the effective sample size (Kish: (Σw)²/Σw²) quantifies
+    how much corpus the reweighting effectively discards — the number
+    that says whether to reweight or to go collect more long documents.
+
+    All integer: weight_bp = ⌊10⁴·n_total/(B·n_b)⌋ per bucket, and the
+    ESS sums run over per-bucket integer products (weights are constant
+    within a bucket, so the doc-level sums collapse to bucket-level
+    arithmetic — no per-doc pass beyond the bucket count agg).  Scale
+    shape: ONE map-only bucket assignment + a B-key count agg; everything
+    after is B-row arithmetic."""
+    docs = read_table(spark, sf_dir, "documents")
+    ntok = F.size(F.split(F.col("text"), " "))
+    bucket = F.lit(LEN_BUCKETS[-1])
+    for edge in reversed(LEN_BUCKETS):
+        bucket = F.when(ntok <= edge, edge).otherwise(bucket)
+    per_b = docs.select(bucket.cast("bigint").alias("bucket")).groupBy(
+        "bucket"
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = per_b.agg(
+        F.sum("n_docs").alias("n_total"), F.count(F.lit(1)).alias("n_buckets")
+    )
+    weighted = per_b.crossJoin(F.broadcast(tot)).withColumn(
+        "weight_bp",
+        F.expr("CAST((10000 * n_total) DIV (n_buckets * n_docs) AS BIGINT)"),
+    )
+    ess = weighted.agg(
+        F.expr(
+            "CAST((sum(n_docs * weight_bp) * sum(n_docs * weight_bp)) "
+            "DIV sum(n_docs * weight_bp * weight_bp) AS BIGINT)"
+        ).alias("ess_docs")
+    )
+    return weighted.crossJoin(F.broadcast(ess)).select(
+        "bucket", "n_docs", "weight_bp", "ess_docs"
+    )
+
+
+ORACLE_LENGTH_MATCHING = f"""
+WITH per_b AS (
+  SELECT bucket, count(*) AS n_docs FROM (
+    SELECT CAST(CASE {' '.join(f"WHEN ntok <= {e} THEN {e}" for e in LEN_BUCKETS[:-1])}
+                ELSE {LEN_BUCKETS[-1]} END AS BIGINT) AS bucket
+    FROM (SELECT len(string_split(text, ' ')) AS ntok FROM documents)
+  ) GROUP BY bucket
+),
+tot AS (SELECT sum(n_docs) AS n_total, count(*) AS n_buckets FROM per_b),
+weighted AS (
+  SELECT bucket, n_docs,
+         CAST((10000 * n_total) // (n_buckets * n_docs) AS BIGINT) AS weight_bp
+  FROM per_b, tot
+),
+ess AS (
+  SELECT CAST((sum(n_docs * weight_bp) * sum(n_docs * weight_bp))
+              // sum(n_docs * weight_bp * weight_bp) AS BIGINT) AS ess_docs
+  FROM weighted
+)
+SELECT bucket, CAST(n_docs AS BIGINT) AS n_docs, weight_bp, ess_docs
+FROM weighted, ess
+"""
+
+
 QUERIES = {
+    "pipeline_length_matching": pipeline_length_matching,
     "pipeline_length_batches": pipeline_length_batches,
     "dedup_clusters": dedup_clusters,
     "sample_and_split": sample_and_split,
@@ -1017,6 +1083,7 @@ QUERIES = {
 
 ORACLES = {
     "pipeline_length_batches": ORACLE_LENGTH_BATCHES,
+    "pipeline_length_matching": ORACLE_LENGTH_MATCHING,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "sample_and_split": ORACLE_SAMPLE_SPLIT,
 
