@@ -795,7 +795,72 @@ def _oracle_stream_cms() -> str:
     return ORACLE_COUNT_MIN
 
 
+# -- streaming SLO burn-rate twin ------------------------------------------------------
+
+
+def streaming_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``events_slo_burn_rate``: the per-hour
+    total/error counts are watermark-bounded window aggregations
+    maintained by the stream (the alerting pipeline's hot path); the
+    {queries.events.SLO_SLOW_HOURS}-hour rolling slow window and the
+    dual-threshold page flag run as the post-pass over the continuously
+    updated hourly table — burn arithmetic identical to the batch op
+    (shared SQL oracle, batch-equality pinned)."""
+    from mongraph_spark.queries.events import (
+        SLO_FAST_THRESH_BP,
+        SLO_SLOW_HOURS,
+        SLO_SLOW_THRESH_BP,
+        SLO_TARGET_BP,
+    )
+
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = ev.groupBy(F.window("ts", "1 hour").alias("w")).agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias("errors"),
+    )
+    with _state_partitioning(spark, sf_dir):
+        out = run_to_table(agg, output_mode="complete")
+    hourly = out.select(F.col("w.start").alias("hour"), "total", "errors")
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy(F.lit(1))
+        .orderBy("hour")
+        .rowsBetween(-(SLO_SLOW_HOURS - 1), W.currentRow)
+    )
+    rolled = hourly.select(
+        "hour",
+        "total",
+        "errors",
+        F.sum("total").over(w).alias("slow_total"),
+        F.sum("errors").over(w).alias("slow_errors"),
+    )
+    fast = F.expr(
+        f"CAST((100000000 * errors) DIV (total * {SLO_TARGET_BP}) AS BIGINT)"
+    )
+    slow = F.expr(
+        f"CAST((100000000 * slow_errors) DIV (slow_total * {SLO_TARGET_BP}) AS BIGINT)"
+    )
+    return rolled.select(
+        F.date_format("hour", "yyyy-MM-dd HH:00").alias("hour"),
+        "total",
+        "errors",
+        fast.alias("fast_burn_bp"),
+        slow.alias("slow_burn_bp"),
+        ((fast > SLO_FAST_THRESH_BP) & (slow > SLO_SLOW_THRESH_BP)).alias(
+            "page"
+        ),
+    )
+
+
+def _oracle_stream_slo() -> str:
+    from mongraph_spark.queries.events import ORACLE_SLO_BURN
+
+    return ORACLE_SLO_BURN
+
+
 QUERIES = {
+    "streaming_slo_burn_rate": streaming_slo_burn_rate,
     "streaming_count_min": streaming_count_min,
     "streaming_seasonal_anomaly": streaming_seasonal_anomaly,
     "streaming_hll_distinct": streaming_hll_distinct,
@@ -812,6 +877,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "streaming_slo_burn_rate": _oracle_stream_slo(),
     "streaming_count_min": _oracle_stream_cms(),
     "streaming_seasonal_anomaly": _oracle_stream_seasonal(),
     "streaming_hll_distinct": ORACLE_STREAM_HLL,

@@ -94,3 +94,12 @@ def test_streaming_count_min_equals_batch(spark):
     batch = events_count_min(spark, SF_DIR)
     stream = streaming_count_min(spark, SF_DIR)
     assert _sorted_rows(stream, "user_id") == _sorted_rows(batch, "user_id")
+
+
+def test_streaming_slo_burn_equals_batch(spark):
+    from mongraph_spark.queries.events import events_slo_burn_rate
+    from mongraph_spark.streaming.events import streaming_slo_burn_rate
+
+    batch = events_slo_burn_rate(spark, SF_DIR)
+    stream = streaming_slo_burn_rate(spark, SF_DIR)
+    assert _sorted_rows(stream, "hour") == _sorted_rows(batch, "hour")
