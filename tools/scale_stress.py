@@ -174,6 +174,23 @@ def build_stress_relational(spark: SparkSession, sf_dir: str, repl: int) -> None
     big_l.repartition(32).write.mode("overwrite").parquet(
         os.path.join(STRESS_DIR, "lineitem.parquet")
     )
+    customer = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    c_reps = [
+        customer.select(
+            (F.col("c_custkey") + F.lit(i * 1_000_000_000)).alias("c_custkey"),
+            "c_name",
+            "c_nationkey",
+            "c_acctbal",
+            "c_mktsegment",
+        )
+        for i in range(repl)
+    ]
+    big_c = c_reps[0]
+    for r in c_reps[1:]:
+        big_c = big_c.unionByName(r)
+    big_c.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(STRESS_DIR, "customer.parquet")
+    )
 
 
 def _build_vecs(spark: SparkSession, emb, repl_vecs: int) -> None:
@@ -254,7 +271,20 @@ def _registry() -> dict:
         embedding_pq_codebooks,
     )
 
+    from mongraph_spark.queries.relational import (
+        band_join_close_prices,
+        customer_rfm_segments,
+        ivm_join_delta,
+        stats_chi2_independence,
+        stats_ks_test,
+    )
+
     return {
+        "band_join_close_prices": (band_join_close_prices, False),
+        "ivm_join_delta": (ivm_join_delta, False),
+        "stats_ks_test": (stats_ks_test, False),
+        "customer_rfm_segments": (customer_rfm_segments, False),
+        "stats_chi2_independence": (stats_chi2_independence, False),
         "corpus_ngram_novelty": (corpus_ngram_novelty, False),
         "corpus_heaps_law": (corpus_heaps_law, False),
         "pipeline_length_batches": (pipeline_length_batches, False),
