@@ -611,7 +611,87 @@ FROM hx
 """
 
 
+TAR_BLOCK = 512  # POSIX tar block size
+
+
+def mm_tar_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-offset index for the WebDataset shards — the sidecar that
+    makes packed tar archives random-accessible without reading them:
+    for every member, its shard, its byte offset inside the shard, and
+    its on-disk entry size under POSIX-tar framing (512-byte header +
+    payload padded to a 512 multiple).  Shard assignment REUSES
+    mm_shard_packing's exclusive-cumulative rule bit-for-bit, so this
+    index describes exactly the archives that op lays out.
+
+    All integer arithmetic: entry = 512 + ceil(n/512)·512 via div; the
+    offset is an exclusive running sum within (source, shard) — a second
+    window over the same (source, doc_id) ordering, so Spark plans ONE
+    sort for both.  At 100 TB the note from shard packing applies
+    unchanged (range-partitioned sort, source-bounded parallelism)."""
+    docs = read_table(spark, sf_dir, "documents")
+    media = docs.select(
+        "doc_id",
+        "source",
+        (16 * (F.col("n_chars") % 4 + 1)).cast("long").alias("n_bytes"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    shard_seq = F.floor(
+        F.coalesce(F.sum("n_bytes").over(w), F.lit(0)) / F.lit(SHARD_BYTES)
+    ).cast("long")
+    entry = F.expr(
+        f"CAST({TAR_BLOCK} + ((n_bytes + {TAR_BLOCK - 1}) DIV {TAR_BLOCK}) "
+        f"* {TAR_BLOCK} AS BIGINT)"
+    )
+    staged = media.select(
+        "doc_id", "source", "n_bytes", shard_seq.alias("shard_seq"), entry.alias("entry_bytes")
+    )
+    w2 = (
+        Window.partitionBy("source", "shard_seq")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return staged.select(
+        "source",
+        "shard_seq",
+        "doc_id",
+        F.coalesce(F.sum("entry_bytes").over(w2), F.lit(0))
+        .cast("long")
+        .alias("offset_bytes"),
+        "entry_bytes",
+    )
+
+
+ORACLE_TAR_INDEX = f"""
+WITH media AS (
+  SELECT doc_id, source, CAST(16 * (n_chars % 4 + 1) AS BIGINT) AS n_bytes
+  FROM documents
+),
+staged AS (
+  SELECT doc_id, source, n_bytes,
+         CAST(floor(coalesce(sum(n_bytes) OVER (
+                PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              / {SHARD_BYTES}) AS BIGINT) AS shard_seq,
+         CAST({TAR_BLOCK} + ((n_bytes + {TAR_BLOCK - 1}) // {TAR_BLOCK})
+              * {TAR_BLOCK} AS BIGINT) AS entry_bytes
+  FROM media
+)
+SELECT source, shard_seq, doc_id,
+       CAST(coalesce(sum(entry_bytes) OVER (
+              PARTITION BY source, shard_seq ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         AS offset_bytes,
+       entry_bytes
+FROM staged
+"""
+
+
 QUERIES = {
+    "mm_tar_index": mm_tar_index,
     "mm_ppm_decode": mm_ppm_decode,
     "mm_image_features": mm_image_features,
     "mm_metadata_filter": mm_metadata_filter,
@@ -631,4 +711,5 @@ ORACLES = {
     "mm_audio_windows": ORACLE_AUDIO_WINDOWS,
     "mm_phash_neardup": ORACLE_PHASH,
     "mm_shard_packing": ORACLE_SHARD_PACKING,
+    "mm_tar_index": ORACLE_TAR_INDEX,
 }

@@ -405,3 +405,21 @@ def test_ivm_identity_holds_everywhere(spark):
         assert r.n_maintained == r.n_full
         # deltas are a proper split: every term strictly smaller than full
         assert max(r.n_old, r.n_da_b, r.n_a_db, r.n_da_db) < r.n_full
+
+
+def test_tar_index_frames_are_contiguous_and_block_aligned(spark):
+    from mongraph_spark.queries.multimodal import TAR_BLOCK, mm_tar_index
+
+    rows = mm_tar_index(spark, SF).collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault((r.source, r.shard_seq), []).append(r)
+    for (_, _), members in by_shard.items():
+        members.sort(key=lambda r: r.doc_id)
+        expect = 0
+        for m in members:
+            # entries tile the archive with no gaps or overlaps
+            assert m.offset_bytes == expect
+            assert m.offset_bytes % TAR_BLOCK == 0
+            assert m.entry_bytes % TAR_BLOCK == 0 and m.entry_bytes >= 2 * TAR_BLOCK
+            expect += m.entry_bytes
