@@ -1309,6 +1309,107 @@ FROM mat
 """
 
 
+# -- session-level type co-occurrence ----------------------------------------------
+
+
+def events_session_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket analysis at the SESSION level: which event types
+    co-occur inside the same 30-minute session, with lift — the signal
+    behind "users who view in a session also purchase in it" product
+    analytics, and the session-scoped complement of
+    events_markov_transitions (which orders steps; this asks only
+    whether they share a session).
+
+    Exactness: lift numerator/denominator stay integers until ONE
+    floored division — lift_bp = ⌊10⁴·n_ab·n_sessions/(n_a·n_b)⌋
+    evaluated as chained 64-bit integer ops in both engines.  Scale
+    shape: sessionization is the shared user-keyed lag window; distinct
+    (session, type) collapses the scan; the pair self-join is keyed on
+    the session id with per-session fanout ≤ |types|² = 25; marginals
+    broadcast back onto the ≤25-row matrix."""
+    ev = read_table(spark, sf_dir, "events")
+    seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_min = (
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        - F.unix_micros(F.lag("ts").over(seq).cast("timestamp"))
+    ) / 60_000_000
+    newsess = F.when(
+        gap_min.isNull() | (gap_min > SESSION_GAP_MIN), 1
+    ).otherwise(0)
+    sess = ev.select(
+        "user_id",
+        "event_type",
+        F.sum(newsess).over(
+            seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("sess_seq"),
+    ).select(
+        F.concat_ws("#", "user_id", "sess_seq").alias("session_id"),
+        "event_type",
+    ).distinct()
+    ns = sess.agg(F.count_distinct("session_id").alias("n_sessions"))
+    per_type = sess.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_t")
+    )
+    a = sess.select("session_id", F.col("event_type").alias("type_a"))
+    b = sess.select("session_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "session_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    ta = per_type.select(F.col("event_type").alias("type_a"), F.col("n_t").alias("n_a"))
+    tb = per_type.select(F.col("event_type").alias("type_b"), F.col("n_t").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            F.expr(
+                "CAST((10000 * n_ab * n_sessions) DIV (n_a * n_b) AS BIGINT)"
+            ).alias("lift_bp"),
+        )
+    )
+
+
+ORACLE_SESSION_COOC = f"""
+WITH seqd AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR (epoch_us(ts) - epoch_us(lag(ts) OVER w)) / 60000000.0
+                   > {SESSION_GAP_MIN}
+              THEN 1 ELSE 0 END AS newsess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT DISTINCT user_id || '#' || CAST(sum(newsess) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR)
+           AS session_id,
+         event_type
+  FROM seqd
+),
+ns AS (SELECT count(DISTINCT session_id) AS n_sessions FROM sess),
+per_type AS (SELECT event_type, count(*) AS n_t FROM sess GROUP BY event_type),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_ab
+  FROM sess a JOIN sess b
+    ON a.session_id = b.session_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, p.n_ab,
+       CAST((10000 * p.n_ab * ns.n_sessions) // (ta.n_t * tb.n_t) AS BIGINT)
+         AS lift_bp
+FROM pairs p
+JOIN per_type ta ON p.type_a = ta.event_type
+JOIN per_type tb ON p.type_b = tb.event_type, ns
+"""
+
+
 # -- multi-window SLO burn rate ----------------------------------------------------
 
 SLO_TARGET_BP = 2500  # error budget: 25% of events may be errors
@@ -1995,6 +2096,7 @@ QUERIES = {
     "events_burstiness": events_burstiness,
     "events_markov_surprise": events_markov_surprise,
     "events_slo_burn_rate": events_slo_burn_rate,
+    "events_session_cooccurrence": events_session_cooccurrence,
     "events_user_gini": events_user_gini,
     "events_tumbling_window": events_tumbling_window,
     "events_funnel": events_funnel,
@@ -2055,4 +2157,5 @@ ORACLES = {
     "events_burstiness": ORACLE_BURSTINESS,
     "events_markov_surprise": ORACLE_MARKOV_SURPRISE,
     "events_slo_burn_rate": ORACLE_SLO_BURN,
+    "events_session_cooccurrence": ORACLE_SESSION_COOC,
 }
