@@ -795,6 +795,41 @@ def _oracle_stream_cms() -> str:
     return ORACLE_COUNT_MIN
 
 
+# -- streaming hourly top-type twin ----------------------------------------------------
+
+
+def streaming_hourly_top_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``events_hourly_top_type``: the per-(hour, type)
+    counts are the watermark-bounded streaming aggregation (the live
+    leaderboard's hot path); the per-hour winner is the rank post-pass
+    over the continuously maintained counts — a RANKING cannot stream
+    incrementally (a late row can dethrone a winner), which is exactly
+    why production leaderboards are 'streamed counts + served rank', the
+    split this twin demonstrates.  Batch-equality pinned; shared SQL
+    oracle."""
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = ev.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    with _state_partitioning(spark, sf_dir):
+        out = run_to_table(agg, output_mode="complete")
+    from pyspark.sql import Window as W
+
+    hourly = out.select(F.col("w.start").alias("hour"), "event_type", "n")
+    wr = W.partitionBy("hour").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        hourly.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 1)
+        .select("hour", F.col("event_type").alias("top_type"), "n")
+    )
+
+
+def _oracle_stream_hourly_top() -> str:
+    from mongraph_spark.queries.events import ORACLE_HOURLY_TOP
+
+    return ORACLE_HOURLY_TOP
+
+
 # -- streaming SLO burn-rate twin ------------------------------------------------------
 
 
@@ -861,6 +896,7 @@ def _oracle_stream_slo() -> str:
 
 QUERIES = {
     "streaming_slo_burn_rate": streaming_slo_burn_rate,
+    "streaming_hourly_top_type": streaming_hourly_top_type,
     "streaming_count_min": streaming_count_min,
     "streaming_seasonal_anomaly": streaming_seasonal_anomaly,
     "streaming_hll_distinct": streaming_hll_distinct,
@@ -878,6 +914,7 @@ QUERIES = {
 
 ORACLES = {
     "streaming_slo_burn_rate": _oracle_stream_slo(),
+    "streaming_hourly_top_type": _oracle_stream_hourly_top(),
     "streaming_count_min": _oracle_stream_cms(),
     "streaming_seasonal_anomaly": _oracle_stream_seasonal(),
     "streaming_hll_distinct": ORACLE_STREAM_HLL,

@@ -103,3 +103,12 @@ def test_streaming_slo_burn_equals_batch(spark):
     batch = events_slo_burn_rate(spark, SF_DIR)
     stream = streaming_slo_burn_rate(spark, SF_DIR)
     assert _sorted_rows(stream, "hour") == _sorted_rows(batch, "hour")
+
+
+def test_streaming_hourly_top_equals_batch(spark):
+    from mongraph_spark.queries.events import events_hourly_top_type
+    from mongraph_spark.streaming.events import streaming_hourly_top_type
+
+    batch = events_hourly_top_type(spark, SF_DIR)
+    stream = streaming_hourly_top_type(spark, SF_DIR)
+    assert _sorted_rows(stream, "hour") == _sorted_rows(batch, "hour")
