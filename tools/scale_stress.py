@@ -271,6 +271,13 @@ def _registry() -> dict:
         embedding_pq_codebooks,
     )
 
+    from mongraph_spark.queries.events import (
+        events_burstiness,
+        events_markov_surprise,
+        events_session_cooccurrence,
+        events_slo_burn_rate,
+        events_user_gini,
+    )
     from mongraph_spark.queries.relational import (
         band_join_close_prices,
         customer_rfm_segments,
@@ -280,6 +287,11 @@ def _registry() -> dict:
     )
 
     return {
+        "events_user_gini": (events_user_gini, False),
+        "events_burstiness": (events_burstiness, False),
+        "events_markov_surprise": (events_markov_surprise, False),
+        "events_slo_burn_rate": (events_slo_burn_rate, False),
+        "events_session_cooccurrence": (events_session_cooccurrence, False),
         "band_join_close_prices": (band_join_close_prices, False),
         "ivm_join_delta": (ivm_join_delta, False),
         "stats_ks_test": (stats_ks_test, False),
