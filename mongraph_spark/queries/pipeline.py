@@ -1062,7 +1062,136 @@ FROM weighted, ess
 """
 
 
+FUNNEL_Q_MIN = 5000  # quality gate (corpus median ~5765 at sf0.01)
+
+
+def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation funnel — the suite's own operators composed
+    the way a training-data pipeline actually chains them, with the
+    per-stage yield a curation review reads: raw crawl (the dup-planted
+    corpus) → near-dup canonical selection (LSH clusters, keep-best; exact
+    dups are the J=1 case so no separate exact stage) → quality gate
+    (quality_bp ≥ {FUNNEL_Q_MIN}) → train split (md5 bucket).  Docs AND
+    tokens per stage: token yield is what the training budget consumes,
+    and the two can diverge (keep-best preferentially KEEPS long docs).
+
+    One pass: all stage flags are cumulative booleans on one labeled
+    corpus, so the whole funnel is the clustering pipeline + ONE
+    conditional aggregate + a 4-row stack — no per-stage rescans.  Scale
+    shape inherits dedup_clusters' (checkpointed LSH pair graph) and
+    sample_and_split's (md5) postures."""
+    from mongraph_spark.queries.text import with_quality
+
+    shingled = _shingled_corpus(spark, sf_dir, drop_last=1).persist()
+    try:
+        labels = _cluster_labels(shingled)
+        corpus = with_quality(dup_corpus(spark, sf_dir, drop_last=1)).select(
+            "doc_id", "n_tokens", "quality_bp"
+        )
+        member = labels.join(corpus, "doc_id")
+        w = Window.partitionBy("label").orderBy(
+            F.desc("n_tokens"), F.asc("doc_id")
+        )
+        staged = (
+            member.withColumn("rk", F.row_number().over(w))
+            .withColumn("s_canon", F.col("rk") == 1)
+            .withColumn(
+                "s_quality",
+                F.col("s_canon") & (F.col("quality_bp") >= FUNNEL_Q_MIN),
+            )
+            .withColumn(
+                "s_train",
+                F.col("s_quality") & (_doc_hash() % 100 < TRAIN_PCT),
+            )
+        )
+        agg = staged.agg(
+            F.count(F.lit(1)).alias("d0"),
+            F.sum("n_tokens").alias("t0"),
+            F.sum(F.col("s_canon").cast("long")).alias("d1"),
+            F.sum(F.when(F.col("s_canon"), F.col("n_tokens")).otherwise(0)).alias("t1"),
+            F.sum(F.col("s_quality").cast("long")).alias("d2"),
+            F.sum(F.when(F.col("s_quality"), F.col("n_tokens")).otherwise(0)).alias("t2"),
+            F.sum(F.col("s_train").cast("long")).alias("d3"),
+            F.sum(F.when(F.col("s_train"), F.col("n_tokens")).otherwise(0)).alias("t3"),
+        )
+        out = agg.selectExpr(
+            "stack(4, 0L, 'raw', d0, t0, 1L, 'canonical', d1, t1, "
+            "2L, 'quality', d2, t2, 3L, 'train', d3, t3) "
+            "AS (stage_idx, stage, n_docs, n_tokens)"
+        ).selectExpr(
+            "stage_idx",
+            "stage",
+            "CAST(n_docs AS BIGINT) AS n_docs",
+            "CAST(n_tokens AS BIGINT) AS n_tokens",
+        )
+        # materialize before the persisted input is released
+        rows = out.localCheckpoint(eager=True)
+        return rows
+    finally:
+        shingled.unpersist()
+
+
+def _oracle_curation_funnel() -> str:
+    from mongraph_spark.queries.text import _STOP_SQL
+
+    ctes, final = _oracle_cluster_ctes()
+    return f"""
+WITH {_oracle_corpus_droplast(1)},
+{_ORACLE_SHINGLES},
+{_oracle_minhash_sig_sql()},
+{_oracle_cands_sql()},
+{ctes},
+qual AS (
+  SELECT doc_id, n_tokens,
+         CAST(floor(CASE WHEN n_tokens < 5 THEN 0 ELSE
+           (least(10000, n_tokens * 100) * 5
+            + least(10000, CAST(floor(10000.0 * chars_adj / (8 * n_tokens)) AS BIGINT)) * 3
+            + (10000 - least(10000, CAST(floor(10000.0 * stop_hits * 5 / n_tokens) AS BIGINT))) * 2) / 10.0
+         END) AS BIGINT) AS quality_bp
+  FROM (
+    SELECT doc_id, len(words) AS n_tokens,
+           length(text) - (len(words) - 1) AS chars_adj,
+           len(list_filter(words, w -> w IN ('{_STOP_SQL}'))) AS stop_hits
+    FROM (SELECT doc_id, text, string_split_regex(lower(text), '\\s+') AS words
+          FROM corpus)
+  )
+),
+staged AS (
+  SELECT q.doc_id, q.n_tokens,
+         row_number() OVER (PARTITION BY l.label
+                            ORDER BY q.n_tokens DESC, q.doc_id ASC) = 1 AS s_canon,
+         q.quality_bp
+  FROM {final} l JOIN qual q ON l.doc_id = q.doc_id
+),
+flags AS (
+  SELECT n_tokens, s_canon,
+         s_canon AND quality_bp >= {FUNNEL_Q_MIN} AS s_quality,
+         s_canon AND quality_bp >= {FUNNEL_Q_MIN}
+           AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % 100 < {TRAIN_PCT} AS s_train
+  FROM staged
+)
+SELECT * FROM (
+  SELECT CAST(0 AS BIGINT) AS stage_idx, 'raw' AS stage,
+         count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM flags
+  UNION ALL
+  SELECT 1, 'canonical', CAST(sum(CASE WHEN s_canon THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(sum(CASE WHEN s_canon THEN n_tokens ELSE 0 END) AS BIGINT) FROM flags
+  UNION ALL
+  SELECT 2, 'quality', CAST(sum(CASE WHEN s_quality THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(sum(CASE WHEN s_quality THEN n_tokens ELSE 0 END) AS BIGINT) FROM flags
+  UNION ALL
+  SELECT 3, 'train', CAST(sum(CASE WHEN s_train THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(sum(CASE WHEN s_train THEN n_tokens ELSE 0 END) AS BIGINT) FROM flags
+)
+"""
+
+
+ORACLE_CURATION_FUNNEL = _oracle_curation_funnel()
+
+
 QUERIES = {
+    "pipeline_curation_funnel": pipeline_curation_funnel,
     "pipeline_length_matching": pipeline_length_matching,
     "pipeline_length_batches": pipeline_length_batches,
     "dedup_clusters": dedup_clusters,
@@ -1084,6 +1213,7 @@ QUERIES = {
 ORACLES = {
     "pipeline_length_batches": ORACLE_LENGTH_BATCHES,
     "pipeline_length_matching": ORACLE_LENGTH_MATCHING,
+    "pipeline_curation_funnel": ORACLE_CURATION_FUNNEL,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "sample_and_split": ORACLE_SAMPLE_SPLIT,
 

@@ -423,3 +423,19 @@ def test_tar_index_frames_are_contiguous_and_block_aligned(spark):
             assert m.offset_bytes % TAR_BLOCK == 0
             assert m.entry_bytes % TAR_BLOCK == 0 and m.entry_bytes >= 2 * TAR_BLOCK
             expect += m.entry_bytes
+
+
+def test_curation_funnel_monotone_and_consistent(spark):
+    from mongraph_spark.queries.dedup import dup_corpus
+    from mongraph_spark.queries.pipeline import pipeline_curation_funnel
+
+    rows = sorted(
+        pipeline_curation_funnel(spark, SF).collect(), key=lambda r: r.stage_idx
+    )
+    assert [r.stage for r in rows] == ["raw", "canonical", "quality", "train"]
+    assert rows[0].n_docs == dup_corpus(spark, SF, drop_last=1).count()
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_docs < a.n_docs  # every stage removes something
+        assert b.n_tokens <= a.n_tokens
+    # near-dup stage removes roughly the planted half of the corpus
+    assert rows[1].n_docs < 0.7 * rows[0].n_docs
