@@ -286,7 +286,13 @@ def _registry() -> dict:
         stats_ks_test,
     )
 
+    from mongraph_spark.queries.multimodal import mm_shard_packing, mm_tar_index
+    from mongraph_spark.queries.pipeline import pipeline_curation_funnel
+
     return {
+        "pipeline_curation_funnel": (pipeline_curation_funnel, False),
+        "mm_shard_packing": (mm_shard_packing, False),
+        "mm_tar_index": (mm_tar_index, False),
         "events_user_gini": (events_user_gini, False),
         "events_burstiness": (events_burstiness, False),
         "events_markov_surprise": (events_markov_surprise, False),
