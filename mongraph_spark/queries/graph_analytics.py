@@ -1758,6 +1758,87 @@ b2 AS (
 )
 
 
+# -- bipartite squares (C4) clustering ---------------------------------------------
+
+
+def graph_bipartite_squares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite clustering via 4-cycles — triangles cannot exist in a
+    bipartite graph, so its cohesion statistic is the SQUARE (Latapy et
+    al.): customer pairs sharing ≥2 suppliers close a C4.  Reports, per
+    side, the number of same-side pairs with ≥1 common neighbor (paths),
+    pairs with ≥2 (squares, i.e. C4-closed), total C4 count
+    (Σ C(cn,2)), and the closure ratio in bp — the bipartite analog of
+    the triangle clustering coefficient.
+
+    Scale shape: ONE common-neighbor self-join per side keyed on the
+    shared endpoint (Σ deg² wedges — the triangle/adamic bound), grouped
+    to (pair, cn) with map-side combine, then a 2-row rollup.  All
+    integer; C(cn,2) = cn·(cn−1) div 2 exact."""
+    orders = tpch.read_table(spark, sf_dir, "orders")
+    lineitem = tpch.read_table(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(
+            F.col("o_custkey").cast("long").alias("c"),
+            F.col("l_suppkey").cast("long").alias("s"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def side(key: str, other: str, name: str) -> DataFrame:
+        a = pairs.select(F.col(key).alias("u"), F.col(other).alias("w"))
+        b = pairs.select(F.col(key).alias("v"), F.col(other).alias("w"))
+        cn = (
+            a.join(b, "w")
+            .filter(F.col("u") < F.col("v"))
+            .groupBy("u", "v")
+            .agg(F.count(F.lit(1)).alias("cn"))
+        )
+        return cn.agg(
+            F.lit(name).alias("side"),
+            F.count(F.lit(1)).alias("n_pairs_connected"),
+            F.sum((F.col("cn") >= 2).cast("long")).alias("n_pairs_squared"),
+            F.sum(F.expr("cn * (cn - 1) DIV 2")).alias("n_squares"),
+            F.expr(
+                "CAST((10000 * sum(CASE WHEN cn >= 2 THEN 1 ELSE 0 END)) "
+                "DIV count(1) AS BIGINT)"
+            ).alias("closure_bp"),
+        )
+
+    return side("c", "s", "customer").unionByName(side("s", "c", "supplier"))
+
+
+ORACLE_BIPARTITE_SQ = """
+WITH el AS (
+  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS c, CAST(l_suppkey AS BIGINT) AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+ccn AS (
+  SELECT a.c AS u, b.c AS v, count(*) AS cn
+  FROM el a JOIN el b ON a.s = b.s AND a.c < b.c
+  GROUP BY 1, 2
+),
+scn AS (
+  SELECT a.s AS u, b.s AS v, count(*) AS cn
+  FROM el a JOIN el b ON a.c = b.c AND a.s < b.s
+  GROUP BY 1, 2
+)
+SELECT 'customer' AS side, count(*) AS n_pairs_connected,
+       CAST(sum(CASE WHEN cn >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs_squared,
+       CAST(sum(cn * (cn - 1) // 2) AS BIGINT) AS n_squares,
+       CAST((10000 * sum(CASE WHEN cn >= 2 THEN 1 ELSE 0 END)) // count(*) AS BIGINT)
+         AS closure_bp
+FROM ccn
+UNION ALL
+SELECT 'supplier', count(*),
+       CAST(sum(CASE WHEN cn >= 2 THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(cn * (cn - 1) // 2) AS BIGINT),
+       CAST((10000 * sum(CASE WHEN cn >= 2 THEN 1 ELSE 0 END)) // count(*) AS BIGINT)
+FROM scn
+"""
+
+
 # -- degree assortativity ----------------------------------------------------------
 
 
@@ -2248,6 +2329,7 @@ QUERIES = {
     "graph_ktruss": graph_ktruss,
     "graph_assortativity": graph_assortativity,
     "graph_itemsets3": graph_itemsets3,
+    "graph_bipartite_squares": graph_bipartite_squares,
     "graph_random_walks": graph_random_walks,
     "graph_adamic_adar": graph_adamic_adar,
     "graph_edge_support": graph_edge_support,
@@ -2278,6 +2360,7 @@ ORACLES = {
     "graph_ktruss": ORACLE_KTRUSS,
     "graph_assortativity": ORACLE_ASSORTATIVITY,
     "graph_itemsets3": ORACLE_ITEMSETS3,
+    "graph_bipartite_squares": ORACLE_BIPARTITE_SQ,
     "graph_random_walks": ORACLE_WALKS,
     "graph_adamic_adar": ORACLE_ADAMIC_ADAR,
     "graph_edge_support": ORACLE_EDGE_SUPPORT,

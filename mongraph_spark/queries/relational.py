@@ -2616,7 +2616,78 @@ LEFT JOIN t3 ON f.c_mktsegment = t3.c_mktsegment
 """
 
 
+def stats_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT weighted median — the quantity-weighted median line price per
+    order priority: 'the price at which half the UNITS (not half the
+    lines) sell cheaper'.  Plain medians mis-state unit economics when
+    line quantities vary; percentile functions don't take weights, so
+    this is the cumulative-weight construction every warehouse ends up
+    writing by hand — here exact and engine-portable.
+
+    All integer: prices in cents, integer quantities as weights, ONE
+    (priority, price)-keyed weight agg, a cumulative window over the
+    collapsed price rows (distinct prices, far smaller than lines), and
+    the lower-median pick 2·cumw ≥ totw as an exact integer comparison
+    with a min() tiebreak — no interpolation, no floats anywhere."""
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("v"),
+        F.col("l_quantity").cast("long").alias("wgt"),
+    )
+    j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+    per_v = j.groupBy("o_orderpriority", "v").agg(F.sum("wgt").alias("wsum"))
+    wcum = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("o_orderpriority")
+    staged = per_v.select(
+        "o_orderpriority",
+        "v",
+        F.sum("wsum").over(wcum).alias("cumw"),
+        F.sum("wsum").over(wall).alias("totw"),
+    )
+    return (
+        staged.filter(2 * F.col("cumw") >= F.col("totw"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.min("v").alias("weighted_median_cents"),
+            F.max("totw").alias("total_quantity"),
+        )
+    )
+
+
+ORACLE_WEIGHTED_MEDIAN = """
+WITH j AS (
+  SELECT o_orderpriority,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+         CAST(l_quantity AS BIGINT) AS wgt
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+per_v AS (
+  SELECT o_orderpriority, v, sum(wgt) AS wsum FROM j GROUP BY 1, 2
+),
+staged AS (
+  SELECT o_orderpriority, v,
+         sum(wsum) OVER (PARTITION BY o_orderpriority ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+         sum(wsum) OVER (PARTITION BY o_orderpriority) AS totw
+  FROM per_v
+)
+SELECT o_orderpriority,
+       CAST(min(v) AS BIGINT) AS weighted_median_cents,
+       CAST(max(totw) AS BIGINT) AS total_quantity
+FROM staged WHERE 2 * cumw >= totw
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
+    "stats_weighted_median": stats_weighted_median,
     "ivm_join_delta": ivm_join_delta,
     "band_join_close_prices": band_join_close_prices,
     "stats_ks_test": stats_ks_test,
@@ -2704,6 +2775,7 @@ ORACLES = {
     "stats_ks_test": ORACLE_KS,
     "band_join_close_prices": ORACLE_BAND_JOIN,
     "ivm_join_delta": ORACLE_IVM,
+    "stats_weighted_median": ORACLE_WEIGHTED_MEDIAN,
     "scd2_bitemporal_asknown": ORACLE_BITEMPORAL,
     "window_customer_deciles": ORACLE_DECILES,
     "salted_revenue_by_priority": ORACLE_SALTED,

@@ -439,3 +439,44 @@ def test_curation_funnel_monotone_and_consistent(spark):
         assert b.n_tokens <= a.n_tokens
     # near-dup stage removes roughly the planted half of the corpus
     assert rows[1].n_docs < 0.7 * rows[0].n_docs
+
+
+def test_weighted_median_matches_independent_python(spark):
+    from mongraph_spark.queries.relational import stats_weighted_median
+
+    rows = {r.o_orderpriority: r for r in stats_weighted_median(spark, SF).collect()}
+    con = duckdb.connect()
+    data = con.execute(
+        f"""
+        SELECT o_orderpriority, CAST(round(l_extendedprice*100) AS BIGINT) v,
+               CAST(l_quantity AS BIGINT) w
+        FROM '{SF}/lineitem.parquet' l JOIN '{SF}/orders.parquet' o
+          ON l.l_orderkey = o.o_orderkey
+        """
+    ).fetchall()
+    by_p = {}
+    for p, v, w in data:
+        by_p.setdefault(p, []).append((v, w))
+    for p, vw in by_p.items():
+        vw.sort()
+        tot = sum(w for _, w in vw)
+        cum = 0
+        for v, w in vw:
+            cum += w
+            if 2 * cum >= tot:
+                assert rows[p].weighted_median_cents == v
+                break
+        assert rows[p].total_quantity == tot
+
+
+def test_bipartite_squares_counts_consistent(spark):
+    from mongraph_spark.queries.graph_analytics import graph_bipartite_squares
+
+    rows = {r.side: r for r in graph_bipartite_squares(spark, SF).collect()}
+    assert set(rows) == {"customer", "supplier"}
+    for r in rows.values():
+        assert 0 <= r.n_pairs_squared <= r.n_pairs_connected
+        assert r.n_squares >= r.n_pairs_squared  # C(cn,2) >= 1 when cn >= 2
+        assert 0 <= r.closure_bp <= 10000
+    # every C4 involves one customer pair AND one supplier pair: totals match
+    assert rows["customer"].n_squares == rows["supplier"].n_squares
