@@ -1309,6 +1309,75 @@ FROM mat
 """
 
 
+# -- DAU / WAU stickiness ----------------------------------------------------------
+
+WAU_DAYS = 7
+
+
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / stickiness per day — the product-health headline trio:
+    daily active users, trailing-{WAU_DAYS}-day active users (EXACT
+    distinct, not a sum of DAUs — users active on several days count
+    once), and stickiness = DAU/WAU in bp (the "how habitual is usage"
+    ratio every growth team tracks).
+
+    Exactness + shape: activity collapses to distinct (user, day) pairs
+    (ONE scan-sized shuffle with map-side distinct); WAU(d) joins the
+    day spine against pairs in [d−{WAU_DAYS}−1, d] — a range predicate on
+    an already-tiny table (pairs ≤ users×days), then an exact
+    count_distinct per day.  At 100 TB the trailing-distinct becomes the
+    textbook sliding-HLL (sketch_hll_mergeable is the building block);
+    the exact form here is the ORACLE for that approximation.  Integers
+    throughout."""
+    ev = read_table(spark, sf_dir, "events")
+    pairs = (
+        ev.select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    days = pairs.select("day").distinct()
+    dau = pairs.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    wau = (
+        days.alias("d")
+        .join(
+            pairs.alias("p"),
+            (F.col("p.day") <= F.col("d.day"))
+            & (F.col("p.day") > F.date_sub(F.col("d.day"), WAU_DAYS)),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.count_distinct("p.user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            F.expr("CAST((10000 * dau) DIV wau AS BIGINT)").alias(
+                "stickiness_bp"
+            ),
+        )
+    )
+
+
+ORACLE_DAU_WAU = f"""
+WITH pairs AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+days AS (SELECT DISTINCT day FROM pairs),
+dau AS (SELECT day, count(*) AS dau FROM pairs GROUP BY day),
+wau AS (
+  SELECT d.day, count(DISTINCT p.user_id) AS wau
+  FROM days d JOIN pairs p
+    ON p.day <= d.day AND p.day > d.day - {WAU_DAYS}
+  GROUP BY d.day
+)
+SELECT strftime(a.day, '%Y-%m-%d') AS day, a.dau, w.wau,
+       CAST((10000 * a.dau) // w.wau AS BIGINT) AS stickiness_bp
+FROM dau a JOIN wau w ON a.day = w.day
+"""
+
+
 # -- session-level type co-occurrence ----------------------------------------------
 
 
@@ -2097,6 +2166,7 @@ QUERIES = {
     "events_markov_surprise": events_markov_surprise,
     "events_slo_burn_rate": events_slo_burn_rate,
     "events_session_cooccurrence": events_session_cooccurrence,
+    "events_dau_wau": events_dau_wau,
     "events_user_gini": events_user_gini,
     "events_tumbling_window": events_tumbling_window,
     "events_funnel": events_funnel,
@@ -2158,4 +2228,5 @@ ORACLES = {
     "events_markov_surprise": ORACLE_MARKOV_SURPRISE,
     "events_slo_burn_rate": ORACLE_SLO_BURN,
     "events_session_cooccurrence": ORACLE_SESSION_COOC,
+    "events_dau_wau": ORACLE_DAU_WAU,
 }

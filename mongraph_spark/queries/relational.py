@@ -2616,6 +2616,73 @@ LEFT JOIN t3 ON f.c_mktsegment = t3.c_mktsegment
 """
 
 
+# Benford expected first-digit shares, floor(1e4*log10(1+1/d)) — precomputed
+# so NEITHER engine evaluates a log (the float-free extreme of the module's
+# exactness policy)
+BENFORD_BP = {1: 3010, 2: 1760, 3: 1249, 4: 969, 5: 791, 6: 669, 7: 579, 8: 511, 9: 457}
+
+
+def stats_benford_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit screening of order totals — the forensic-
+    accounting classic: naturally occurring multi-magnitude amounts
+    follow P(d) = log10(1+1/d); fabricated or capped numbers don't.  Per
+    digit: observed count, observed share (bp), the Benford expectation
+    (precomputed integer constants — no log evaluates in either engine),
+    and the absolute deviation; the headline MAD-style statistic is the
+    sum of deviations, reconstructible from the rows.
+
+    (This synthetic corpus's totals are range-bounded, so it FAILS the
+    screen — which is the correct answer and what the oracle pins; the
+    operator's job is the measurement, not a verdict.)
+
+    Scale shape: first digit is a string op on the scan, ONE 9-key count
+    agg with map-side combine, marginal via a literal-partition window
+    over 9 rows.  Integer end to end."""
+    orders = read_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.expr("CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING)"), 1, 1
+    ).cast("int")
+    obs = orders.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    expected = F.create_map(
+        *[F.lit(x) for kv in BENFORD_BP.items() for x in kv]
+    )
+    return obs.select(
+        "digit",
+        "n",
+        F.expr(
+            "CAST((10000 * n) DIV sum(n) OVER (PARTITION BY 1) AS BIGINT)"
+        ).alias("observed_bp"),
+        expected[F.col("digit")].cast("bigint").alias("benford_bp"),
+        F.abs(
+            F.expr("CAST((10000 * n) DIV sum(n) OVER (PARTITION BY 1) AS BIGINT)")
+            - expected[F.col("digit")]
+        ).cast("bigint").alias("abs_dev_bp"),
+    )
+
+
+def _benford_oracle() -> str:
+    cases = " ".join(f"WHEN {d} THEN {bp}" for d, bp in BENFORD_BP.items())
+    return f"""
+WITH obs AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+              AS INT) AS digit,
+         count(*) AS n
+  FROM orders GROUP BY 1
+)
+SELECT digit, n,
+       CAST((10000 * n) // sum(n) OVER () AS BIGINT) AS observed_bp,
+       CAST(CASE digit {cases} END AS BIGINT) AS benford_bp,
+       CAST(abs((10000 * n) // sum(n) OVER () - CASE digit {cases} END) AS BIGINT)
+         AS abs_dev_bp
+FROM obs
+"""
+
+
+ORACLE_BENFORD = _benford_oracle()
+
+
 def stats_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT weighted median — the quantity-weighted median line price per
     order priority: 'the price at which half the UNITS (not half the
@@ -2688,6 +2755,7 @@ GROUP BY o_orderpriority
 
 QUERIES = {
     "stats_weighted_median": stats_weighted_median,
+    "stats_benford_test": stats_benford_test,
     "ivm_join_delta": ivm_join_delta,
     "band_join_close_prices": band_join_close_prices,
     "stats_ks_test": stats_ks_test,
@@ -2776,6 +2844,7 @@ ORACLES = {
     "band_join_close_prices": ORACLE_BAND_JOIN,
     "ivm_join_delta": ORACLE_IVM,
     "stats_weighted_median": ORACLE_WEIGHTED_MEDIAN,
+    "stats_benford_test": ORACLE_BENFORD,
     "scd2_bitemporal_asknown": ORACLE_BITEMPORAL,
     "window_customer_deciles": ORACLE_DECILES,
     "salted_revenue_by_priority": ORACLE_SALTED,

@@ -480,3 +480,27 @@ def test_bipartite_squares_counts_consistent(spark):
         assert 0 <= r.closure_bp <= 10000
     # every C4 involves one customer pair AND one supplier pair: totals match
     assert rows["customer"].n_squares == rows["supplier"].n_squares
+
+
+def test_benford_rows_complete_and_shares_sum(spark):
+    from mongraph_spark.queries.relational import BENFORD_BP, stats_benford_test
+
+    rows = {r.digit: r for r in stats_benford_test(spark, SF).collect()}
+    assert set(rows) <= set(range(1, 10))
+    tot_bp = sum(r.observed_bp for r in rows.values())
+    assert 10000 - 9 <= tot_bp <= 10000  # floor loss only
+    for d, r in rows.items():
+        assert r.benford_bp == BENFORD_BP[d]
+        assert r.abs_dev_bp == abs(r.observed_bp - r.benford_bp)
+
+
+def test_dau_wau_invariants(spark):
+    from mongraph_spark.queries.events import events_dau_wau
+
+    rows = sorted(events_dau_wau(spark, SF).collect(), key=lambda r: r.day)
+    assert rows
+    for r in rows:
+        assert 1 <= r.dau <= r.wau  # a day's actives are a subset of the week's
+        assert 0 < r.stickiness_bp <= 10000
+    # trailing window ramps up: first day WAU == DAU
+    assert rows[0].wau == rows[0].dau
