@@ -1323,7 +1323,8 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness + shape: activity collapses to distinct (user, day) pairs
     (ONE scan-sized shuffle with map-side distinct); WAU(d) joins the
-    day spine against pairs in [d−{WAU_DAYS}−1, d] — a range predicate on
+    day spine against pairs in (d−{WAU_DAYS}, d] (i.e. the {WAU_DAYS}
+    days d−{WAU_DAYS}+1 .. d) — a range predicate on
     an already-tiny table (pairs ≤ users×days), then an exact
     count_distinct per day.  At 100 TB the trailing-distinct becomes the
     textbook sliding-HLL (sketch_hll_mergeable is the building block);

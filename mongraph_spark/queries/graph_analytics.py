@@ -1037,10 +1037,13 @@ ORACLE_LPA = _lpa_oracle()
 def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Newman modularity of the LPA communities over the co-purchase graph
     — the number that says whether the detected communities are REAL:
-    Q = Σ_c (e_c/m − (d_c/2m)²), compared against 0 (random) and reported
-    per community so weak communities are visible individually.  Scored in
-    exact integer arithmetic: Q·4m² = Σ_c (4m·e_c − d_c²), one float
-    division + floor at the very end (micro-units), identical cross-engine.
+    Q = Σ_c (e_c/m − (d_c/2m)²), compared against 0 (random).  Each row
+    carries BOTH the global Q (``modularity_micro``, identical on every
+    row) and that community's own contribution (``q_c_micro`` =
+    (4m·e_c − d_c²)/4m², negative for communities sparser than random) so
+    weak communities are visible individually.  Scored in exact integer
+    arithmetic: Q·4m² = Σ_c (4m·e_c − d_c²), one float division + floor at
+    the very end (micro-units), identical cross-engine.
 
     Scale shape: the labels come from the shared fixed-unroll LPA
     (checkpointed once, used three times); intra-community edge counting
@@ -1105,6 +1108,16 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("long")
             .alias("modularity_micro"),
+            F.floor(
+                F.lit(1_000_000.0)
+                * (
+                    F.lit(4) * F.col("m") * F.col("intra_edges")
+                    - F.col("degree_sum") * F.col("degree_sum")
+                )
+                / (F.lit(4) * F.col("m") * F.col("m"))
+            )
+            .cast("long")
+            .alias("q_c_micro"),
         )
     )
 
@@ -1116,7 +1129,10 @@ SELECT d.label AS community, mb.n_members,
        CAST(coalesce(i.e_c, 0) AS BIGINT) AS intra_edges,
        CAST(d.d_c AS BIGINT) AS degree_sum,
        CAST(floor(1000000.0 * qn.qn / (4 * mm.m * mm.m)) AS BIGINT)
-         AS modularity_micro
+         AS modularity_micro,
+       CAST(floor(1000000.0 * (4 * mm.m * coalesce(i.e_c, 0) - d.d_c * d.d_c)
+                  / (4 * mm.m * mm.m)) AS BIGINT)
+         AS q_c_micro
 FROM (SELECT l.label, sum(dg.d) AS d_c
       FROM {last} l JOIN (SELECT src AS node_id, count(*) AS d
                           FROM lpa_adj GROUP BY src) dg

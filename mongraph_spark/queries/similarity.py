@@ -993,8 +993,9 @@ def embedding_pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization training + assignment — THE memory-scale path
     for billion-vector ANN (Jégou et al.): split each vector into {PQ_M}
     subspaces of {PQ_SUB} dims, learn a tiny per-subspace codebook
-    ({PQ_K} codes = 2 bits), and store each vector as {PQ_M} code ids
-    (2 bytes here vs 256 float bytes).  Reports the codebook quality a
+    ({PQ_K} codes = {PQ_BITS} bits), and store each vector as {PQ_M} code
+    ids ({PQ_BYTES} bytes here vs 256 float bytes).  Reports the codebook
+    quality a
     deployment reviews before committing: per-(subspace, code) occupancy
     and summed quantization distortion.
 
@@ -1017,6 +1018,13 @@ def embedding_pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_vectors"),
         F.sum("distort_micro").alias("sum_distort_micro"),
     )
+
+
+# derive the storage-cost figures from the actual constants so the
+# docstring cannot drift when PQ_K / PQ_M are tuned
+embedding_pq_codebooks.__doc__ = embedding_pq_codebooks.__doc__.replace(
+    "{PQ_BITS}", str(PQ_K.bit_length() - 1)
+).replace("{PQ_BYTES}", str(PQ_M * (PQ_K.bit_length() - 1) // 8))
 
 
 def _pq_oracle_body() -> str:

@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -68,7 +69,15 @@ def current_version(root: str) -> str | None:
 
 def _next_version(root: str) -> str:
     cur = current_version(root)
-    return _version_name(0 if cur is None else int(cur.split("_")[1]) + 1)
+    ver = _version_name(0 if cur is None else int(cur.split("_")[1]) + 1)
+    # The pointer is the commit point and always names the max committed
+    # version, so a dir already holding next-version's name can only be an
+    # uncommitted leftover from a crashed writer.  Clear it so the retry's
+    # errorifexists parquet write starts clean instead of failing forever.
+    leftover = os.path.join(root, ver)
+    if os.path.isdir(leftover):
+        shutil.rmtree(leftover)
+    return ver
 
 
 def _flip(root: str, version: str) -> None:
@@ -84,20 +93,58 @@ def _write_meta(
     n_buckets: int | None,
     schema: T.StructType,
     added: list[dict] | None = None,
+    bucketed_since: int | None = None,
 ) -> None:
-    with open(os.path.join(root, _META), "w") as fh:
-        json.dump(
-            {
-                "key": key,
-                "n_buckets": n_buckets,
-                "schema": schema.json(),
-                "added": added or [],
-            },
-            fh,
-        )
+    meta = {
+        "key": key,
+        "n_buckets": n_buckets,
+        "schema": schema.json(),
+        "added": added or [],
+    }
+    if bucketed_since is not None:
+        meta["bucketed_since"] = bucketed_since
+    # If the current version dir carries a staged meta copy (it is
+    # authoritative after a rebucket commit — see _read_meta), update it
+    # first so a crash between the two writes leaves the authoritative
+    # copy new and the root cache stale (read-repaired), never the
+    # reverse.
+    cur = current_version(root)
+    if cur is not None and os.path.exists(os.path.join(root, cur, _META)):
+        with open(os.path.join(root, cur, _META), "w") as fh:
+            json.dump(meta, fh)
+    _sync_root_meta(root, meta)
+
+
+def _sync_root_meta(root: str, meta: dict) -> None:
+    tmp = os.path.join(root, _META + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, os.path.join(root, _META))  # atomic
 
 
 def _read_meta(root: str) -> dict:
+    # Layout-changing commits (rebucket) stage their new meta INSIDE the
+    # version dir so the atomic pointer flip commits data and meta as one
+    # unit; when the current version carries a staged copy it is
+    # authoritative, and we read-repair the root fast-path copy here (the
+    # store is single-writer, so the atomic replace cannot race another
+    # repair mid-commit).
+    cur = current_version(root)
+    if cur is not None:
+        try:
+            with open(os.path.join(root, cur, _META)) as fh:
+                staged = json.load(fh)
+        except (FileNotFoundError, NotADirectoryError):
+            staged = None
+        if staged is not None:
+            try:
+                with open(os.path.join(root, _META)) as fh:
+                    root_copy = json.load(fh)
+            except FileNotFoundError:
+                root_copy = None
+            if root_copy != staged:
+                _sync_root_meta(root, staged)
+            return staged
     try:
         with open(os.path.join(root, _META)) as fh:
             return json.load(fh)
@@ -198,7 +245,14 @@ def add_column(root: str, name: str, dtype: str, default) -> None:
     added_in = 0 if cur is None else int(cur.split("_")[1]) + 1
     added = list(meta.get("added") or [])
     added.append({"name": name, "added_in": added_in, "default": default})
-    _write_meta(root, meta["key"], meta["n_buckets"], schema, added)
+    _write_meta(
+        root,
+        meta["key"],
+        meta["n_buckets"],
+        schema,
+        added,
+        bucketed_since=meta.get("bucketed_since"),
+    )
 
 
 def read_version(spark: SparkSession, root: str, n: int) -> DataFrame:
@@ -627,14 +681,22 @@ def rebucket(spark: SparkSession, root: str, n_buckets: int) -> str:
         "errorifexists"
     ).partitionBy(_BUCKET).parquet(os.path.join(root, ver))
     _write_manifest(root, ver, _written_buckets(root, ver))
-    schema = T.StructType.fromJson(json.loads(meta["schema"]))
-    _write_meta(root, meta["key"], n_buckets, schema, meta.get("added"))
-    with open(os.path.join(root, _META)) as fh:
-        m = json.load(fh)
-    m["bucketed_since"] = int(ver.split("_")[1])
-    with open(os.path.join(root, _META), "w") as fh:
-        json.dump(m, fh)
+    staged = {
+        "key": meta["key"],
+        "n_buckets": n_buckets,
+        "schema": meta["schema"],
+        "added": meta.get("added") or [],
+        "bucketed_since": int(ver.split("_")[1]),
+    }
+    # Stage the new-layout meta INSIDE the version dir, then commit data
+    # and meta together with the single atomic pointer flip: a crash on
+    # either side of the flip leaves meta and current layout consistent
+    # (old/old before, new/new after — _read_meta prefers the current
+    # version's staged copy).  The root copy is a synced fast path only.
+    with open(os.path.join(root, ver, _META), "w") as fh:
+        json.dump(staged, fh)
     _flip(root, ver)
+    _sync_root_meta(root, staged)
     return ver
 
 

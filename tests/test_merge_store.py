@@ -578,3 +578,58 @@ def test_rebucket_partition_evolution(spark, tmp_path):
     # restore to a post-fence version still works
     restore(root, version=int(v_re.split("_")[1]))
     assert read_current(spark, root).filter(F.col("name") == "rewritten").count() == 0
+
+
+def test_rebucket_commit_is_atomic_with_meta(spark, tmp_path):
+    """The rebucket layout change commits meta WITH the pointer flip: the
+    staged copy inside the version dir is authoritative, so a crash that
+    loses the root _TABLE.json cache after the flip still leaves readers
+    and writers on the new bucket count (read-repair), and a crashed
+    writer's leftover next-version dir never wedges the retry."""
+    import json as _json
+    import os as _os
+
+    from mongraph_spark.sources.merge import _read_meta, rebucket
+
+    root = str(tmp_path / "tbl")
+    init_table(_base(spark), root, key="id", n_buckets=4)
+    rebucket(spark, root, 16)
+    # simulate crash-after-flip-before-root-sync: drop the root cache
+    _os.remove(_os.path.join(root, "_TABLE.json"))
+    meta = _read_meta(root)
+    assert meta["n_buckets"] == 16 and meta["bucketed_since"] == 1
+    # read-repair restored the root cache atomically
+    with open(_os.path.join(root, "_TABLE.json")) as fh:
+        assert _json.load(fh)["n_buckets"] == 16
+    # a crashed writer's uncommitted version dir (next version name) is
+    # cleared on retry instead of tripping errorifexists forever
+    leftover = _os.path.join(root, "v_00002")
+    _os.makedirs(_os.path.join(leftover, "junk"))
+    v2 = upsert(
+        spark,
+        root,
+        spark.createDataFrame([(5, "retry", 9)], "id long, name string, rev long"),
+        key="id",
+        order_col="rev",
+    )
+    assert v2 == "v_00002"
+    got = read_current(spark, root).filter(F.col("id") == 5).collect()
+    assert got[0].name == "retry" and read_current(spark, root).count() == 100
+
+
+def test_add_column_preserves_rebucket_fence(spark, tmp_path):
+    """ADD COLUMN rewrites table meta; the bucketed_since restore fence
+    from an earlier rebucket must survive that rewrite."""
+    import pytest as _pytest
+
+    from mongraph_spark.sources.merge import _read_meta, add_column, rebucket, restore
+
+    root = str(tmp_path / "tbl")
+    init_table(_base(spark), root, key="id", n_buckets=4)
+    rebucket(spark, root, 8)
+    add_column(root, "score", "long", 0)
+    assert _read_meta(root).get("bucketed_since") == 1
+    with _pytest.raises(ValueError, match="rebucketed"):
+        restore(root, version=0)
+    cur = read_current(spark, root)
+    assert cur.filter(F.col("score") == 0).count() == 100

@@ -97,9 +97,16 @@ def test_modularity_consistent_with_lpa_and_bounded(spark):
     assert {(r.community, r.n_members) for r in mod} == lpa
     q = {r.modularity_micro for r in mod}
     assert len(q) == 1  # one global statistic
-    assert -1_000_000 <= q.pop() <= 1_000_000
+    q_global = q.pop()
+    assert -1_000_000 <= q_global <= 1_000_000
     for r in mod:
         assert r.intra_edges <= r.degree_sum  # e_c <= sum of member degrees
+    # per-community contributions reconstruct the global Q (communities of
+    # size 1 are filtered from the output but contribute only their own
+    # -d_c^2 term; the displayed rows must still each stay within bounds
+    # and sum to <= the global, since dropped singleton terms are <= 0)
+    assert all(-1_000_000 <= r.q_c_micro <= 1_000_000 for r in mod)
+    assert sum(r.q_c_micro for r in mod) >= q_global - len(mod)  # floor slack
 
 
 def test_range_search_consistent_with_topk(spark):
