@@ -115,12 +115,20 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pagerank_ranks_summary(ranks)
 
 
+# Convergence-loop constants shared by the Spark loop AND its SQL replay
+# oracle (_pagerank_converged_oracle): both engines must stop at the same
+# round by construction.
+PR_CONV_TOL_BP = 1.0
+PR_CONV_MAX_ITER = 50
+PR_CONV_CHECK_EVERY = 2
+
+
 def pagerank_until_convergence(
     spark: SparkSession,
     sf_dir: str,
-    tol_bp: float = 1.0,
-    max_iter: int = 50,
-    check_every: int = 2,
+    tol_bp: float = PR_CONV_TOL_BP,
+    max_iter: int = PR_CONV_MAX_ITER,
+    check_every: int = PR_CONV_CHECK_EVERY,
 ):
     """Production PageRank loop: iterate until max |Δrank| over a checkpoint
     group < tol_bp/10000.  ``check_every`` rounds run as ONE lazy chain
@@ -184,46 +192,110 @@ def pagerank_until_convergence(
 
 
 def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """queries() wrapper: converged ranks, aggregate summary shape (rows-only
-    correctness check — the iteration count is data-dependent, so there is no
-    fixed-depth SQL oracle; the convergence semantics are pinned by
-    tests/test_graph_convergence.py instead)."""
-    ranks, _ = pagerank_until_convergence(spark, sf_dir)
-    return _pagerank_ranks_summary(ranks)
+    """queries() wrapper: converged ranks + the round the loop actually
+    stopped at (``rounds_run``) — hash-checked end to end.  The oracle
+    REPLAYS the convergence rule in SQL rather than pinning a recorded
+    round count: it unrolls the full {PR_CONV_MAX_ITER}-round horizon,
+    computes each checkpoint-group delta (max |rank_k − rank_(k−1)| at
+    every round k divisible by {PR_CONV_CHECK_EVERY} — exactly the probe
+    :func:`mongraph_spark.pregel.iterate` runs on the checkpointed group
+    output), and selects ranks at the FIRST round whose delta drops below
+    tol.  Both engines therefore stop at the same round by construction,
+    for any data; the loop mechanics themselves stay additionally pinned
+    by tests/test_graph_convergence.py."""
+    ranks, iters = pagerank_until_convergence(spark, sf_dir)
+    return _pagerank_ranks_summary(ranks).withColumn(
+        "rounds_run", F.lit(iters).cast("long")
+    )
 
 
-def _pagerank_oracle() -> str:
+def _pagerank_unroll(n_rounds: int) -> str:
+    """Shared fixed-depth unroll: CTEs nodes0/outdeg/r0..r{n}.
+
+    Every multiply-referenced CTE is MATERIALIZED: DuckDB otherwise
+    inlines CTE bodies per reference, so a deep unroll whose rounds are
+    re-referenced by delta probes re-evaluates the whole chain per
+    reference (quadratic work) and re-opens the backing parquet files
+    per round (fd exhaustion at 50 rounds)."""
     body = """
-nodes0 AS (SELECT node_id FROM g_nodes),
-outdeg AS (SELECT src, count(*) AS out_deg FROM g_edges GROUP BY src),
+nodes0 AS MATERIALIZED (SELECT node_id FROM g_nodes),
+edges0 AS MATERIALIZED (SELECT src, dst FROM g_edges),
+outdeg AS MATERIALIZED (SELECT src, count(*) AS out_deg FROM edges0 GROUP BY src),
 r0 AS (SELECT node_id, 1.0 AS rank FROM nodes0)"""
     prev = "r0"
-    for k in range(1, N_ITER + 1):
+    for k in range(1, n_rounds + 1):
         body += f""",
 c{k} AS (
   SELECT e.dst AS node_id, sum(r.rank / d.out_deg) AS contrib
-  FROM {prev} r JOIN g_edges e ON r.node_id = e.src
+  FROM {prev} r JOIN edges0 e ON r.node_id = e.src
   JOIN outdeg d ON e.src = d.src
   GROUP BY e.dst
 ),
-r{k} AS (
+r{k} AS MATERIALIZED (
   SELECT n.node_id, {1 - DAMPING} + {DAMPING} * coalesce(c.contrib, 0.0) AS rank
   FROM nodes0 n LEFT JOIN c{k} c ON n.node_id = c.node_id
 )"""
         prev = f"r{k}"
-    return tpch.oracle_with(
-        f"""SELECT CAST(node_id // 1000000000000 AS BIGINT) AS coll_code,
+    return body.lstrip(",\n")
+
+
+_SUMMARY_SELECT = """SELECT CAST(node_id // 1000000000000 AS BIGINT) AS coll_code,
        count(*) AS n_nodes,
        CAST(floor(10000 * min(rank)) AS BIGINT) AS min_rank_bp,
        CAST(floor(10000 * max(rank)) AS BIGINT) AS max_rank_bp,
-       CAST(floor(10000 * sum(rank)) AS BIGINT) AS sum_rank_bp
-FROM {prev}
-GROUP BY 1""",
-        extra_ctes=body.lstrip(",\n"),
+       CAST(floor(10000 * sum(rank)) AS BIGINT) AS sum_rank_bp"""
+
+
+def _pagerank_oracle() -> str:
+    return tpch.oracle_with(
+        f"{_SUMMARY_SELECT}\nFROM r{N_ITER}\nGROUP BY 1",
+        extra_ctes=_pagerank_unroll(N_ITER),
     )
 
 
 ORACLE_PAGERANK = _pagerank_oracle()
+
+
+def _pagerank_converged_oracle() -> str:
+    """SQL replay of pregel.iterate's convergence detection (see
+    graph_pagerank_converged docstring): after every group of
+    PR_CONV_CHECK_EVERY rounds the loop probes max |Δrank| of the group's
+    LAST round against tol and stops on the first pass; rounds_run caps at
+    PR_CONV_MAX_ITER."""
+    tol = PR_CONV_TOL_BP / 10000.0
+    checks = list(
+        range(PR_CONV_CHECK_EVERY, PR_CONV_MAX_ITER + 1, PR_CONV_CHECK_EVERY)
+    )
+    deltas = "\nUNION ALL\n".join(
+        f"SELECT {k} AS k, max(abs(a.rank - b.rank)) AS d"
+        f" FROM r{k} a JOIN r{k - 1} b ON a.node_id = b.node_id"
+        for k in checks
+    )
+    ranks_all = "\nUNION ALL\n".join(
+        f"SELECT {k} AS k, node_id, rank FROM r{k}" for k in checks
+    )
+    body = f"""{_pagerank_unroll(PR_CONV_MAX_ITER)},
+deltas AS (
+{deltas}
+),
+chosen AS (
+  SELECT CAST(coalesce(min(k), {PR_CONV_MAX_ITER}) AS BIGINT) AS rounds_run
+  FROM deltas WHERE d < {tol!r}
+),
+ranks_all AS (
+{ranks_all}
+)"""
+    return tpch.oracle_with(
+        f"""{_SUMMARY_SELECT},
+       ch.rounds_run
+FROM ranks_all ra, chosen ch
+WHERE ra.k = ch.rounds_run
+GROUP BY 1, ch.rounds_run""",
+        extra_ctes=body,
+    )
+
+
+ORACLE_PAGERANK_CONVERGED = _pagerank_converged_oracle()
 
 
 def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2357,9 +2429,10 @@ ORACLES = {
     "graph_degree_copurchase": ORACLE_DEGREE_COPURCHASE,
     "graph_pagerank": ORACLE_PAGERANK,
     "graph_ppr_seeded": ORACLE_PPR,
-    # graph_pagerank_converged: no SQL oracle on purpose — iteration depth is
-    # data-dependent (rows-only driver check; semantics pinned by
-    # tests/test_graph_convergence.py)
+    # the converged variant's oracle replays the convergence rule itself in
+    # SQL (group-delta probe over the full unrolled horizon), so the
+    # data-dependent iteration depth is hash-checked, not just rows-only
+    "graph_pagerank_converged": ORACLE_PAGERANK_CONVERGED,
     "graph_connected_components": ORACLE_CC,
     # the converged CC reaches the same fixed point the 4-round unroll proves,
     # so it shares the full value-hash oracle
