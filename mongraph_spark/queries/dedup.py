@@ -273,8 +273,14 @@ WITH {_oracle_corpus_droplast(1)},
 # candidates first, then exact Jaccard only on candidate pairs.
 
 
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    shingled = _shingled_corpus(spark, sf_dir, drop_last=2).persist()
+def dedup_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, shingled: DataFrame | None = None
+) -> DataFrame:
+    # callers that already materialized the shingled corpus (the recall
+    # bake-off scores several methods over ONE build) pass it in; the
+    # standalone query builds and persists its own
+    if shingled is None:
+        shingled = _shingled_corpus(spark, sf_dir, drop_last=2).persist()
     cands = _lsh_candidate_pairs(shingled)
     sa = shingled.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
     sb = shingled.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
@@ -655,7 +661,9 @@ GROUP BY 1
 # -- prefix-filter set-similarity join (PPJoin-style, exact, no LSH) -------------
 
 
-def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_prefix_filter(
+    spark: SparkSession, sf_dir: str, shingled: DataFrame | None = None
+) -> DataFrame:
     """Exact set-similarity self-join by PREFIX FILTERING (the
     AllPairs/PPJoin family): order each document's distinct tokens by
     ascending global document frequency, keep only the first
@@ -680,7 +688,8 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     (every doc resembles every doc), shingles are selective — and the
     recall/answer is directly comparable to `dedup_ngram_jaccard`.
     """
-    shingled = _shingled_corpus(spark, sf_dir, drop_last=2)
+    if shingled is None:
+        shingled = _shingled_corpus(spark, sf_dir, drop_last=2)
     # the exploded posting list feeds FOUR branches (df, per-doc ordering,
     # candidate join, verification) — materialize it once or every branch
     # replays the corpus normalization + shingle build from the scan
@@ -797,8 +806,13 @@ def dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: both found-sets are the (already bounded) outputs of the
     underlying operators; truth is a key-equi join; the scoring is three
     tiny aggregates.  This is the evaluation harness a production dedup
-    pipeline runs on seeded canaries after every config change."""
-    shingled = _shingled_corpus(spark, sf_dir, drop_last=2)
+    pipeline runs on seeded canaries after every config change.
+
+    The shingled corpus is built and checkpointed ONCE and threaded
+    through BOTH method branches and the truth join — the bake-off costs
+    one shingle build, not three (the methods' own builds are for their
+    standalone registrations)."""
+    shingled = _shingled_corpus(spark, sf_dir, drop_last=2).localCheckpoint(eager=True)
     a = shingled.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
     b = shingled.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -830,8 +844,13 @@ def dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    return score("prefix_filter", dedup_prefix_filter(spark, sf_dir)).unionByName(
-        score("minhash_lsh_jaccard", dedup_ngram_jaccard(spark, sf_dir))
+    return score(
+        "prefix_filter", dedup_prefix_filter(spark, sf_dir, shingled=shingled)
+    ).unionByName(
+        score(
+            "minhash_lsh_jaccard",
+            dedup_ngram_jaccard(spark, sf_dir, shingled=shingled),
+        )
     )
 
 
