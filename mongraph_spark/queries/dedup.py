@@ -789,6 +789,172 @@ WHERE 5 * i.n_common >= 4 * (na.n + nb.n - i.n_common)
 """
 
 
+# -- exact substring-span dedup (suffix-array-class, distributed) -----------------
+
+SPAN_GRAM = 8  # tokens per seed gram
+MIN_SPAN = 20  # report maximal duplicated spans of at least this many tokens
+SPAN_ID_SHIFT = 2_000_000
+CHIM_HEAD = 15  # chimera head tokens from its own base doc (< MIN_SPAN on purpose)
+CHIM_START = 11  # 1-based start of the window copied from the partner doc
+CHIM_SPAN = 40  # tokens copied from the partner (>= MIN_SPAN -> must be found)
+
+
+def _positioned_grams(words: Column, k: int) -> Column:
+    """All FULL k-token grams in document order — element i (0-based) is
+    the gram starting at token i+1.  Chained ``zip_with`` over shifted
+    slices (the `_shingles` anti-capture shape: inputs evaluate per ROW,
+    not per element), no ``array_distinct`` (positions matter here), and
+    the truncated tail grams are sliced off (span arithmetic needs every
+    gram to cover exactly k tokens)."""
+    n_full = F.greatest(F.size(words) - k + 1, F.lit(0))
+    guard = F.greatest(n_full, F.lit(1))
+    acc = F.slice(words, 1, guard)
+    for j in range(2, k + 1):
+        acc = F.zip_with(
+            acc, F.slice(words, j, guard), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    return F.slice(acc, 1, n_full)
+
+
+def span_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ chimera docs (id+2M): each chimera is {CHIM_HEAD} head
+    tokens from its own base doc followed by an exact {CHIM_SPAN}-token
+    window (tokens {CHIM_START}..{CHIM_START}+{CHIM_SPAN}-1) copied from
+    the NEXT doc — a duplicated span inside an otherwise-distinct
+    document, the exact shape suffix-array dedup exists for.  The head
+    stays below MIN_SPAN so each chimera's only reportable partner is the
+    window's source."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", _norm().alias("text")
+    )
+    wd = F.split(F.col("d.text"), " ")
+    wp = F.split(F.col("p.text"), " ")
+    chim = (
+        docs.alias("d")
+        .join(docs.alias("p"), F.col("p.doc_id") == F.col("d.doc_id") + 1)
+        .select(
+            (F.col("d.doc_id") + SPAN_ID_SHIFT).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.concat(
+                    F.slice(wd, 1, CHIM_HEAD), F.slice(wp, CHIM_START, CHIM_SPAN)
+                ),
+            ).alias("text"),
+        )
+    )
+    return scale_out(docs.unionByName(chim))
+
+
+def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT duplicated-substring spans across otherwise-distinct
+    documents — the dedup mode real pretraining corpora run (the
+    suffix-array / ≥50-token-overlap family of Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): find every MAXIMAL span
+    of ≥ {MIN_SPAN} tokens that appears verbatim in two documents, with
+    its position in both, so a trim pass can cut the copy.
+
+    Distributed shape (NO suffix array, nothing driver-side): a
+    positioned {SPAN_GRAM}-token gram inverted index; matching grams
+    between two docs land on DIAGONALS (pos_a − pos_b constant across a
+    shared span), so maximal spans are runs of consecutive gram starts
+    per (id_a, id_b, diagonal) — classic gaps-and-islands run-length
+    encoding (island = pos − row_number over the diagonal), one window
+    partitioned by (pair, diagonal).  A duplicated span of L ≥ {MIN_SPAN}
+    tokens contains exactly L−{SPAN_GRAM}+1 consecutive matching grams,
+    so recall is 100% by construction — no banding, no probability.
+
+    Scale: the gram self-join shuffles only MATCHING gram hits (never
+    all-pairs); joining on the literal gram string keeps the result
+    exact-by-equality (a production 100 TB run keys on a 128-bit gram
+    hash to narrow the shuffle — collision odds ~2⁻¹²⁸ — and drops
+    ubiquitous boilerplate grams by df-cap the way text_winnowing_pairs
+    caps fingerprints; both engines here share the uncapped exact form).
+    The RLE window is bounded by matches-per-diagonal, and every stage
+    is gram/pair-keyed — linear in total matching-gram mass."""
+    corpus = span_corpus(spark, sf_dir)
+    grams = corpus.select(
+        "doc_id",
+        F.posexplode(_positioned_grams(F.split(F.col("text"), " "), SPAN_GRAM)).alias(
+            "pos", "gram"
+        ),
+    ).localCheckpoint(eager=True)  # feeds both sides of the self-join
+    a = grams.select(
+        F.col("doc_id").alias("id_a"), F.col("pos").alias("pa"), "gram"
+    )
+    b = grams.select(
+        F.col("doc_id").alias("id_b"), F.col("pos").alias("pb"), "gram"
+    )
+    hits = (
+        a.join(b, "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "pa", "pb", (F.col("pa") - F.col("pb")).alias("diag"))
+    )
+    w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
+    runs = hits.withColumn("island", F.col("pa") - F.row_number().over(w))
+    return (
+        runs.groupBy("id_a", "id_b", "diag", "island")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.min("pa").alias("pa0"),
+            F.min("pb").alias("pb0"),
+        )
+        .filter(F.col("n_grams") + SPAN_GRAM - 1 >= MIN_SPAN)
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("pa0") + 1).cast("long").alias("start_a"),
+            (F.col("pb0") + 1).cast("long").alias("start_b"),
+            (F.col("n_grams") + SPAN_GRAM - 1).cast("long").alias("span_tokens"),
+        )
+    )
+
+
+ORACLE_SPAN_EXACT = f"""
+WITH nd AS MATERIALIZED (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')
+           AS words
+  FROM documents
+),
+span_corpus AS (
+  SELECT doc_id, words FROM nd
+  UNION ALL
+  SELECT d.doc_id + {SPAN_ID_SHIFT},
+         d.words[1:{CHIM_HEAD}] || p.words[{CHIM_START}:{CHIM_START + CHIM_SPAN - 1}]
+  FROM nd d JOIN nd p ON p.doc_id = d.doc_id + 1
+),
+grams AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(range(1, greatest(len(words) - {SPAN_GRAM - 1}, 0) + 1)) AS i,
+         words
+  FROM span_corpus
+),
+gstr AS MATERIALIZED (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(words[i:i + {SPAN_GRAM - 1}], ' ') AS gram
+  FROM grams
+),
+hits AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa, b.pos AS pb,
+         a.pos - b.pos AS diag
+  FROM gstr a JOIN gstr b ON a.gram = b.gram AND a.doc_id < b.doc_id
+),
+runs AS (
+  SELECT id_a, id_b, diag, pa, pb,
+         pa - row_number() OVER (PARTITION BY id_a, id_b, diag ORDER BY pa)
+           AS island
+  FROM hits
+)
+SELECT id_a, id_b,
+       CAST(min(pa) + 1 AS BIGINT) AS start_a,
+       CAST(min(pb) + 1 AS BIGINT) AS start_b,
+       CAST(count(*) + {SPAN_GRAM - 1} AS BIGINT) AS span_tokens
+FROM runs
+GROUP BY id_a, id_b, diag, island
+HAVING count(*) + {SPAN_GRAM - 1} >= {MIN_SPAN}
+"""
+
+
 # -- cross-method recall report ---------------------------------------------------
 
 
@@ -896,6 +1062,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_prefix_filter": dedup_prefix_filter,
+    "dedup_span_exact": dedup_span_exact,
     "dedup_recall_report": dedup_recall_report,
 }
 
@@ -908,5 +1075,6 @@ ORACLES = {
     "dedup_simhash": ORACLE_SIMHASH,
     "dedup_embedding_cosine": ORACLE_EMBEDDING_COSINE,
     "dedup_prefix_filter": ORACLE_PREFIX_FILTER,
+    "dedup_span_exact": ORACLE_SPAN_EXACT,
     "dedup_recall_report": _oracle_recall_report(),
 }

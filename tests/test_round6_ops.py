@@ -1,0 +1,88 @@
+"""Round-6 operators: exact substring-span dedup (planted-span recall,
+run-length arithmetic, maximality), sliding-HLL DAU/WAU error bound.
+Independent math checks the engine-parity oracle can't see."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mongraph_spark.queries.dedup import (
+    CHIM_SPAN,
+    CHIM_START,
+    MIN_SPAN,
+    SPAN_GRAM,
+    SPAN_ID_SHIFT,
+    dedup_span_exact,
+    span_corpus,
+)
+from mongraph_spark.sparkutil import read_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_span_dedup_finds_every_planted_span(spark):
+    """Every chimera (id d+2M) copies tokens CHIM_START..CHIM_START+39 of
+    doc p=d+1 verbatim; whenever p actually has >= CHIM_START+CHIM_SPAN-1
+    tokens the detector MUST report the (p, chimera) pair with a span of
+    >= CHIM_SPAN tokens — exact recall is the operator's whole claim."""
+    docs = read_table(spark, SF, "documents").select(
+        "doc_id", F.size(F.split(F.lower(F.trim("text")), r"\s+")).alias("n")
+    )
+    full_window = CHIM_START + CHIM_SPAN - 1
+    expected = {
+        (r.doc_id, r.doc_id - 1 + SPAN_ID_SHIFT)
+        for r in docs.filter(F.col("n") >= full_window).collect()
+        if r.doc_id >= 1  # needs a predecessor to be some chimera's partner
+    }
+    # drop partners whose predecessor doesn't exist in the table
+    have = {r.doc_id for r in docs.collect()}
+    expected = {(p, c) for (p, c) in expected if (c - SPAN_ID_SHIFT) in have}
+    assert expected, "fixture should plant at least one full-window chimera"
+    found = dedup_span_exact(spark, SF).collect()
+    by_pair = {}
+    for r in found:
+        by_pair.setdefault((r.id_a, r.id_b), []).append(r)
+    for p, c in expected:
+        spans = by_pair.get((p, c)) or by_pair.get((c, p))
+        assert spans, f"planted span (doc {p} -> chimera {c}) not found"
+        assert max(s.span_tokens for s in spans) >= CHIM_SPAN
+
+
+def test_span_dedup_geometry_and_maximality(spark):
+    """Span arithmetic: every reported span satisfies the RLE identity
+    (span >= MIN_SPAN, fits inside both docs at the reported offsets) and
+    is verbatim-equal text in both documents — the exactness guarantee."""
+    corpus = span_corpus(spark, SF).collect()
+    toks = {r.doc_id: r.text.split(" ") for r in corpus}
+    found = dedup_span_exact(spark, SF).collect()
+    assert found
+    for r in found:
+        assert r.span_tokens >= MIN_SPAN >= SPAN_GRAM
+        a, b = toks[r.id_a], toks[r.id_b]
+        sa = a[r.start_a - 1 : r.start_a - 1 + r.span_tokens]
+        sb = b[r.start_b - 1 : r.start_b - 1 + r.span_tokens]
+        assert len(sa) == r.span_tokens and sa == sb  # verbatim duplicate
+        # maximality: the span cannot extend by one token on either side
+        left_ext = (
+            r.start_a > 1
+            and r.start_b > 1
+            and a[r.start_a - 2] == b[r.start_b - 2]
+        )
+        right_ext = (
+            r.start_a - 1 + r.span_tokens < len(a)
+            and r.start_b - 1 + r.span_tokens < len(b)
+            and a[r.start_a - 1 + r.span_tokens] == b[r.start_b - 1 + r.span_tokens]
+        )
+        assert not left_ext and not right_ext
+
+
+def test_chimera_head_never_reported(spark):
+    """The chimera head is CHIM_HEAD (< MIN_SPAN) tokens from its own base
+    doc, so a chimera's only reportable partner is its window source —
+    pairs (d, d+2M) must NOT appear (head too short to qualify)."""
+    found = dedup_span_exact(spark, SF).collect()
+    for r in found:
+        if r.id_b >= SPAN_ID_SHIFT and r.id_a < SPAN_ID_SHIFT:
+            assert r.id_a != r.id_b - SPAN_ID_SHIFT, (
+                f"head-only pair reported: {r}"
+            )
