@@ -1327,9 +1327,9 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     days d−{WAU_DAYS}+1 .. d) — a range predicate on
     an already-tiny table (pairs ≤ users×days), then an exact
     count_distinct per day.  At 100 TB the trailing-distinct becomes the
-    textbook sliding-HLL (sketch_hll_mergeable is the building block);
-    the exact form here is the ORACLE for that approximation.  Integers
-    throughout."""
+    textbook sliding-HLL — implemented as :func:`events_dau_wau_hll`,
+    which carries this exact form as its ride-along truth and pins the
+    estimate error within the HLL 3σ bound.  Integers throughout."""
     ev = read_table(spark, sf_dir, "events")
     pairs = (
         ev.select("user_id", F.to_date("ts").alias("day"))
@@ -1377,6 +1377,161 @@ SELECT strftime(a.day, '%Y-%m-%d') AS day, a.dau, w.wau,
        CAST((10000 * a.dau) // w.wau AS BIGINT) AS stickiness_bp
 FROM dau a JOIN wau w ON a.day = w.day
 """
+
+
+def events_dau_wau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window DAU/WAU on MERGEABLE per-day HLL sketches — the
+    100 TB form :func:`events_dau_wau` names itself the oracle for: one
+    64-register sketch per day (map-only build, combiner-friendly max),
+    and WAU(d) is a register-wise max over the trailing {WAU_DAYS} daily
+    sketches — the rollup touches {WAU_DAYS}·64 register rows per day,
+    never the events.  The exact trailing-distinct twin rides along so
+    the output itself carries the estimate-vs-truth relative error in bp
+    (pytest pins it within the 3σ HLL standard-error bound for m=64);
+    sketch math is byte-identical to sketch_hll_mergeable's contract
+    (md5 60-bit hash, trailing-zero rank via log2(w & −w), exact integer
+    harmonic denominator, one float divide + floor per estimate)."""
+    from mongraph_spark.queries.relational import HLL_M, hll_base, hll_estimate
+
+    ev = read_table(spark, sf_dir, "events")
+    day_regs = (
+        hll_base(
+            ev.select(
+                F.to_date("ts").cast("string").alias("event_type"), "user_id"
+            )
+        )
+        .groupBy(F.to_date("event_type").alias("day"), "reg")
+        .agg(F.max("rho").alias("r"))
+        .localCheckpoint(eager=True)  # feeds the DAU estimate + every window slot
+    )
+    days = day_regs.select("day").distinct()
+    # daily/weekly actives sit squarely in the 2.5m-5m bias region for
+    # m=64, so linear counting extends to 5m (the HLL++ correction range)
+    lc_limit = 500 * HLL_M
+    dau_est = hll_estimate(day_regs, ["day"], lc_limit_x100=lc_limit).select(
+        "day", F.col("est_x100").alias("dau_est_x100")
+    )
+    wau_regs = (
+        days.alias("d")
+        .join(
+            day_regs.alias("p"),
+            (F.col("p.day") <= F.col("d.day"))
+            & (F.col("p.day") > F.date_sub(F.col("d.day"), WAU_DAYS)),
+        )
+        .groupBy(F.col("d.day").alias("day"), F.col("p.reg").alias("reg"))
+        .agg(F.max("p.r").alias("r"))
+    )
+    wau_est = hll_estimate(wau_regs, ["day"], lc_limit_x100=lc_limit).select(
+        "day", F.col("est_x100").alias("wau_est_x100")
+    )
+    pairs = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    dau = pairs.groupBy("day").agg(F.count_distinct("user_id").alias("dau"))
+    wau = (
+        days.alias("d")
+        .join(
+            pairs.alias("p"),
+            (F.col("p.day") <= F.col("d.day"))
+            & (F.col("p.day") > F.date_sub(F.col("d.day"), WAU_DAYS)),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.count_distinct("p.user_id").alias("wau"))
+    )
+    return (
+        dau_est.join(wau_est, "day")
+        .join(dau, "day")
+        .join(wau, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            "dau_est_x100",
+            "wau_est_x100",
+            F.expr(
+                "CAST((100 * abs(dau_est_x100 - 100 * dau)) DIV dau AS BIGINT)"
+            ).alias("dau_err_bp"),
+            F.expr(
+                "CAST((100 * abs(wau_est_x100 - 100 * wau)) DIV wau AS BIGINT)"
+            ).alias("wau_err_bp"),
+            F.expr(
+                "CAST((10000 * dau_est_x100) DIV wau_est_x100 AS BIGINT)"
+            ).alias("stickiness_est_bp"),
+        )
+    )
+
+
+def _oracle_dau_wau_hll() -> str:
+    from mongraph_spark.queries.relational import HLL_M, HLL_NUM, HLL_WBITS
+
+    def est(src: str) -> str:
+        return f"""(
+  SELECT day,
+         CAST(CASE WHEN floor({HLL_NUM * 2!r} / harm_int) <= {500 * HLL_M}
+                    AND v_zero > 0
+                   THEN floor({100.0 * HLL_M} * ln({float(HLL_M)} / v_zero))
+                   ELSE floor({HLL_NUM * 2!r} / harm_int) END AS BIGINT) AS est_x100
+  FROM (
+    SELECT day,
+           CAST({HLL_M} - count(*) AS BIGINT) AS v_zero,
+           CAST(sum(CAST(pow(2.0, {HLL_WBITS + 1} - r) AS BIGINT))
+                + ({HLL_M} - count(*)) * {2 ** (HLL_WBITS + 1)} AS BIGINT)
+             AS harm_int
+    FROM {src} GROUP BY day
+  )
+)"""
+
+    return f"""
+WITH base AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           AS h,
+         user_id
+  FROM events
+),
+rho_t AS (
+  SELECT day, h % {HLL_M} AS reg, CAST(floor(h / {HLL_M}) AS BIGINT) AS w,
+         user_id
+  FROM base
+),
+day_regs AS MATERIALIZED (
+  SELECT day, reg,
+         max(CASE WHEN w = 0 THEN {HLL_WBITS + 1}
+                  ELSE CAST(log2(CAST(w & (-w) AS DOUBLE)) + 1 AS BIGINT)
+             END) AS r
+  FROM rho_t GROUP BY 1, 2
+),
+days AS (SELECT DISTINCT day FROM day_regs),
+wau_regs AS (
+  SELECT d.day, p.reg, max(p.r) AS r
+  FROM days d JOIN day_regs p
+    ON p.day <= d.day AND p.day > d.day - {WAU_DAYS}
+  GROUP BY 1, 2
+),
+dau_est AS {est('day_regs')},
+wau_est AS {est('wau_regs')},
+pairs AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+dau AS (SELECT day, count(*) AS dau FROM pairs GROUP BY day),
+wau AS (
+  SELECT d.day, count(DISTINCT p.user_id) AS wau
+  FROM days d JOIN pairs p
+    ON p.day <= d.day AND p.day > d.day - {WAU_DAYS}
+  GROUP BY d.day
+)
+SELECT strftime(a.day, '%Y-%m-%d') AS day, a.dau, w.wau,
+       de.est_x100 AS dau_est_x100, we.est_x100 AS wau_est_x100,
+       CAST((100 * abs(de.est_x100 - 100 * a.dau)) // a.dau AS BIGINT)
+         AS dau_err_bp,
+       CAST((100 * abs(we.est_x100 - 100 * w.wau)) // w.wau AS BIGINT)
+         AS wau_err_bp,
+       CAST((10000 * de.est_x100) // we.est_x100 AS BIGINT)
+         AS stickiness_est_bp
+FROM dau a
+JOIN wau w ON a.day = w.day
+JOIN dau_est de ON a.day = de.day
+JOIN wau_est we ON a.day = we.day
+"""
+
+
+ORACLE_DAU_WAU_HLL = _oracle_dau_wau_hll()
 
 
 # -- session-level type co-occurrence ----------------------------------------------
@@ -2168,6 +2323,7 @@ QUERIES = {
     "events_slo_burn_rate": events_slo_burn_rate,
     "events_session_cooccurrence": events_session_cooccurrence,
     "events_dau_wau": events_dau_wau,
+    "events_dau_wau_hll": events_dau_wau_hll,
     "events_user_gini": events_user_gini,
     "events_tumbling_window": events_tumbling_window,
     "events_funnel": events_funnel,
@@ -2230,4 +2386,5 @@ ORACLES = {
     "events_slo_burn_rate": ORACLE_SLO_BURN,
     "events_session_cooccurrence": ORACLE_SESSION_COOC,
     "events_dau_wau": ORACLE_DAU_WAU,
+    "events_dau_wau_hll": ORACLE_DAU_WAU_HLL,
 }

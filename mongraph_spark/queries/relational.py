@@ -544,14 +544,21 @@ def hll_register_table(ev: DataFrame) -> DataFrame:
     )
 
 
-def hll_finish(per_scope: DataFrame, ev_for_exact: DataFrame) -> DataFrame:
-    """Register-wise ALL merge + estimate + exact ride-along (shared by
-    the batch op and the streaming twin; see sketch_hll_mergeable)."""
-    merged = per_scope.groupBy("reg").agg(F.max("r").alias("r")).select(
-        F.lit("ALL").alias("scope"), "reg", "r"
-    )
-    regs = per_scope.unionByName(merged)
-    est = regs.groupBy("scope").agg(
+def hll_estimate(
+    regs: DataFrame, scope_cols: list[str], lc_limit_x100: int = 250 * HLL_M
+) -> DataFrame:
+    """(scope..., v_zero, harm_int, raw_x100, est_x100) from a register
+    table (scope..., reg, r) — the shared HLL finisher (see
+    sketch_hll_mergeable for the exactness contract).  Scope-polymorphic
+    so the sliding DAU/WAU twin can estimate per day.
+
+    ``lc_limit_x100``: linear counting applies while the raw estimate is
+    at or below this (and zero registers remain).  Default 2.5m — the
+    original Flajolet threshold, kept for sketch_hll_mergeable's pinned
+    contract; callers sizing for the 2.5m–5m bias region (small m, the
+    HLL++ correction range) pass 5m, where linear counting is still the
+    better estimator as long as any register is empty."""
+    est = regs.groupBy(*scope_cols).agg(
         (F.lit(HLL_M) - F.count(F.lit(1))).cast("long").alias("v_zero"),
         (
             F.sum(F.pow(F.lit(2.0), F.lit(HLL_WBITS + 1) - F.col("r")).cast("long"))
@@ -560,9 +567,23 @@ def hll_finish(per_scope: DataFrame, ev_for_exact: DataFrame) -> DataFrame:
     )
     raw = F.floor(F.lit(HLL_NUM * 2) / F.col("harm_int")).cast("long")
     corrected = F.when(
-        (raw <= F.lit(250 * HLL_M)) & (F.col("v_zero") > 0),
+        (raw <= F.lit(lc_limit_x100)) & (F.col("v_zero") > 0),
         F.floor(F.lit(100.0 * HLL_M) * F.log(F.lit(float(HLL_M)) / F.col("v_zero"))),
     ).otherwise(raw).cast("long")
+    return est.select(
+        *scope_cols, "v_zero", "harm_int", raw.alias("raw_x100"),
+        corrected.alias("est_x100"),
+    )
+
+
+def hll_finish(per_scope: DataFrame, ev_for_exact: DataFrame) -> DataFrame:
+    """Register-wise ALL merge + estimate + exact ride-along (shared by
+    the batch op and the streaming twin; see sketch_hll_mergeable)."""
+    merged = per_scope.groupBy("reg").agg(F.max("r").alias("r")).select(
+        F.lit("ALL").alias("scope"), "reg", "r"
+    )
+    regs = per_scope.unionByName(merged)
+    est = hll_estimate(regs, ["scope"])
     exact = (
         ev_for_exact.groupBy(F.col("event_type").alias("scope"))
         .agg(F.count_distinct("user_id").alias("exact_distinct"))
@@ -572,11 +593,7 @@ def hll_finish(per_scope: DataFrame, ev_for_exact: DataFrame) -> DataFrame:
             ).select(F.lit("ALL").alias("scope"), "exact_distinct")
         )
     )
-    return (
-        est.select("scope", "v_zero", "harm_int", raw.alias("raw_x100"),
-                   corrected.alias("est_x100"))
-        .join(exact, "scope")
-    )
+    return est.join(exact, "scope")
 
 
 ORACLE_HLL = f"""

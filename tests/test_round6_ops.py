@@ -86,3 +86,23 @@ def test_chimera_head_never_reported(spark):
             assert r.id_a != r.id_b - SPAN_ID_SHIFT, (
                 f"head-only pair reported: {r}"
             )
+
+
+def test_dau_wau_hll_error_within_3sigma(spark):
+    """The sliding-HLL estimates must sit within the 3-sigma HLL
+    standard-error envelope for m=64 registers (3 x 1.04/sqrt(64) = 39%),
+    for every day, at both test scales' regimes (linear-counting range
+    here; the raw-estimate range is exercised at larger SF by the
+    cross-scale gate)."""
+    from mongraph_spark.queries.events import events_dau_wau_hll
+
+    bound_bp = 3900
+    rows = events_dau_wau_hll(spark, SF).collect()
+    assert rows
+    assert max(r.dau_err_bp for r in rows) <= bound_bp
+    assert max(r.wau_err_bp for r in rows) <= bound_bp
+    # the sketch is a union over exactly the exact twin's window: WAU est
+    # can never legitimately fall below the same day's DAU est by more
+    # than rounding (register-wise max is monotone under union)
+    for r in rows:
+        assert r.wau_est_x100 >= r.dau_est_x100
