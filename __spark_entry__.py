@@ -63,72 +63,69 @@ _SUITES = [
 # first (rounds 1-2), previously-green last, as insurance against any
 # off-by-one in the driver's window.
 CORE_ORDER = [
-    # — never driver-verified in any round (r5 window rotation, VERDICT r4 #1):
-    #   every registered query without a hash-green row in CORRECTNESS_r01-r04,
-    #   all strict-gate green locally.  graph_pagerank (full unrolled SQL
-    #   oracle) replaced graph_pagerank_converged (rows-only by design; now
-    #   extended + pytest-pinned) so the window carries zero no_oracle rows.
-    #   After this round's driver run, driver-ever coverage = everything
-    #   except the converged pagerank variant.
-    # — the late-r4 extended additions (all also strict-verified by the r4
-    #   judge; mm_shard_packing + pipeline_dataset_card stay extended on
-    #   that judge evidence — the window can't fit every candidate):
-    "dedup_containment",
-    "text_collocations",
-    "graph_node_similarity",
-    "scd2_pit_join",
-    "events_ohlc_bars",
-    "streaming_threshold_anomaly",
-    "corpus_split_leakage",
-    "embedding_covariance",
-    "streaming_click_purchase_outer",
-    # — round-5 operators (never driver-verified by construction) —
-    "scd2_bitemporal_asknown",
-    "corpus_zipf_fit",
-    "events_markov_transitions",
-    "dq_expectations",
-    "pipeline_weighted_sample",
-    "pipeline_score_calibration",
-    "graph_hits",
-    "store_compaction",
-    "zorder_data_skipping",
-    "corpus_bigram_xent",
-    "events_multitouch_attribution",
-    "graph_closeness_landmarks",
-    "stats_mad_outliers",
-    "events_ewma_hourly",
-    "events_session_paths",
-    "stats_bootstrap_ci",
-    "sketch_kmv_daily_rollup",
-    "events_cumulative_users",
-    "events_count_min",
-    "text_winnowing_pairs",
-    "mm_ppm_decode",
-    "streaming_markov_transitions",
-    "store_merge_into",
-    "ann_recall_report",
-    "graph_random_walks",
-    "embedding_kmeans",
-    # — round-5b operators —
-    "corpus_boilerplate_lines",
-    "corpus_filter_funnel",
-    "sketch_hll_mergeable",
-    "events_activity_streaks",
-    "pipeline_epoch_shuffle",
-    "graph_adamic_adar",
-    "ann_mmr_diversified",
-    "bloom_filter_skipping",
-    # — round-5c operators —
-    "dedup_prefix_filter",
+    # — round-6 window (VERDICT r5 order #1): the 43 registered queries
+    #   that had no driver hash row after r1-r5 (the late-r5 additions
+    #   that outgrew that round's 50-slot window — all judge-verified
+    #   strict-green at r5 HEAD), ordered never-verified-first; then the
+    #   two new round-6 operators (never verified by construction); then
+    #   5 re-proof slots covering this round's riskiest refactors.
+    #   After this round's driver run, driver-ever coverage = all 226
+    #   registered queries.
+    # — never driver-verified (r5 window overflow) —
+    "graph_pagerank_converged",  # r6: gained a convergence-replay SQL oracle
+    "ann_ivfpq_topk",
+    "ann_pq_adc_topk",
+    "ann_range_search",
+    "band_join_close_prices",
+    "corpus_heaps_law",
+    "corpus_ngram_novelty",
+    "customer_rfm_segments",
+    "embedding_pca_power",
+    "embedding_pq_codebooks",
+    "events_burstiness",
+    "events_dau_wau",
+    "events_markov_surprise",
+    "events_seasonal_anomaly",
+    "events_session_cooccurrence",
+    "events_slo_burn_rate",
+    "events_user_gini",
+    "graph_assortativity",
+    "graph_betweenness_landmarks",
+    "graph_bipartite_squares",
+    "graph_diameter_double_sweep",
+    "graph_itemsets3",
+    "graph_ktruss",
+    "graph_modularity",  # r6: + per-community q_c_micro column
+    "ivm_join_delta",
+    "mm_shard_packing",
+    "mm_tar_index",
+    "pipeline_curation_funnel",
+    "pipeline_dataset_card",
+    "pipeline_length_batches",
+    "pipeline_length_matching",
+    "quality_drift_psi",
+    "stats_benford_test",
+    "stats_chi2_independence",
+    "stats_ks_test",
+    "stats_weighted_median",
+    "streaming_count_min",
+    "streaming_hourly_top_type",
+    "streaming_seasonal_anomaly",
+    "streaming_slo_burn_rate",
+    "text_bpe_tokenize",
+    "text_langid_confusion",
+    "zorder_pruning_benefit",
+    # — new round-6 operators (never driver-verified by construction) —
+    "dedup_span_exact",
+    "events_dau_wau_hll",
+    # — re-proof slots: the queries this round's refactors touched
+    #   (shared shingled corpus threading, PPJoin signature, shared HLL
+    #   finisher extraction, CoW-store atomic-commit rework) —
     "dedup_recall_report",
-    "sketch_histogram_quantiles",
-    "streaming_hll_distinct",
-    "graph_edge_support",
-    "events_late_data_audit",
-    "events_ab_lift",
-    # (no re-proof slots this round: every slot goes to a query without a
-    #  prior driver hash row; graph_pagerank — hash-green in r3 — and the
-    #  family re-proofs live in extended, still strict-gate checked.)
+    "dedup_prefix_filter",
+    "dedup_ngram_jaccard",
+    "sketch_hll_mergeable",
+    "store_merge_into",
 ]
 
 assert len(CORE_ORDER) == 50, len(CORE_ORDER)

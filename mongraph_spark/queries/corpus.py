@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from mongraph_spark.queries.dedup import _shingles
 from mongraph_spark.queries.pipeline import TRAIN_PCT, VAL_PCT, _doc_hash
-from mongraph_spark.sparkutil import read_table, scale_out
+from mongraph_spark.sparkutil import const_part, read_table, scale_out
 
 TEST_LO = TRAIN_PCT + VAL_PCT  # md5 bucket >= 90 -> test split
 
@@ -481,7 +481,9 @@ def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     rank = F.row_number().over(
-        Window.orderBy(F.desc("n_tok"), F.asc("token"))  # N rows post-limit
+        Window.partitionBy(const_part(F.col("token"))).orderBy(
+            F.desc("n_tok"), F.asc("token")
+        )  # N rows post-limit
     )
     xy = top.select(
         F.log(rank.cast("double")).alias("x"), F.log(F.col("n_tok").cast("double")).alias("y")
@@ -573,11 +575,13 @@ def corpus_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "n_tok", F.coalesce("n_new", F.lit(0)).alias("n_new")
         )
     )
-    wdoc = Window.orderBy("doc_id")
+    wdoc = Window.partitionBy(const_part(F.col("doc_id"))).orderBy("doc_id")
     wcum = wdoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     curve = per_doc.select(
         F.row_number().over(wdoc).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy(F.lit(1))).alias("nd"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy(const_part(F.col("doc_id")))
+        ).alias("nd"),
         F.sum("n_tok").over(wcum).alias("cum_tokens"),
         F.sum("n_new").over(wcum).alias("cum_vocab"),
     )

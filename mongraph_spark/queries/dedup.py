@@ -909,21 +909,24 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_SPAN_EXACT = f"""
-WITH nd AS MATERIALIZED (
+# shared CTE prefix (normalized token lists + chimera corpus) and span body,
+# reused by the trim pass's oracle
+_SPAN_CORPUS_CTES = f"""nd AS MATERIALIZED (
   SELECT doc_id,
          string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')
            AS words
   FROM documents
 ),
-span_corpus AS (
+span_corpus AS MATERIALIZED (
   SELECT doc_id, words FROM nd
   UNION ALL
   SELECT d.doc_id + {SPAN_ID_SHIFT},
          d.words[1:{CHIM_HEAD}] || p.words[{CHIM_START}:{CHIM_START + CHIM_SPAN - 1}]
   FROM nd d JOIN nd p ON p.doc_id = d.doc_id + 1
-),
-grams AS MATERIALIZED (
+)"""
+
+_SPAN_BODY_SQL = f"""
+WITH grams AS (
   SELECT doc_id,
          unnest(range(1, greatest(len(words) - {SPAN_GRAM - 1}, 0) + 1)) AS i,
          words
@@ -952,6 +955,109 @@ SELECT id_a, id_b,
 FROM runs
 GROUP BY id_a, id_b, diag, island
 HAVING count(*) + {SPAN_GRAM - 1} >= {MIN_SPAN}
+"""
+
+ORACLE_SPAN_EXACT = f"WITH {_SPAN_CORPUS_CTES}\n{_SPAN_BODY_SQL.strip()}"
+
+
+def dedup_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRIM pass over :func:`dedup_span_exact`'s findings — what a
+    production pipeline actually does with detected spans (cut the copy,
+    keep the original): every reported span is removed from the
+    HIGHER-id document (the keep-lowest convention dedup_exact uses for
+    whole docs), and the trimmed text is rebuilt token-exactly.
+    Overlapping spans need no merge step: removal is a positional
+    anti-join, so the union of covered positions falls out of the join
+    itself.  Output per trimmed doc: raw span count, token counts
+    before/removed, and the rebuilt text (hash-compared cross-engine —
+    the strongest possible equality for a rewrite op).
+
+    Scale shape: spans are the (bounded) detector output, checkpointed
+    once; the anti-join keys on doc_id with per-doc fanout = that doc's
+    interval count; text rebuild is one doc-keyed agg whose in-group sort
+    is bounded by document length.  Nothing global anywhere."""
+    spans = dedup_span_exact(spark, sf_dir).localCheckpoint(eager=True)
+    ivals = spans.select(
+        F.col("id_b").alias("doc_id"),
+        F.col("start_b").alias("s"),
+        (F.col("start_b") + F.col("span_tokens") - 1).alias("e"),
+    )
+    toks = (
+        span_corpus(spark, sf_dir)
+        .join(ivals.select("doc_id").distinct(), "doc_id")  # trimmed docs only
+        .select("doc_id", F.posexplode(F.split("text", " ")).alias("p0", "tok"))
+        .withColumn("pos", (F.col("p0") + 1).cast("long"))
+    )
+    kept = toks.alias("t").join(
+        ivals.alias("v"),
+        (F.col("t.doc_id") == F.col("v.doc_id"))
+        & (F.col("t.pos") >= F.col("v.s"))
+        & (F.col("t.pos") <= F.col("v.e")),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_after"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+        ).alias("text_trimmed"),
+    )
+    stats = ivals.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))
+    before = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens_before"))
+    return (
+        stats.join(before, "doc_id")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_tokens_before",
+            (F.col("n_tokens_before") - F.coalesce("n_after", F.lit(0)))
+            .cast("long")
+            .alias("n_tokens_removed"),
+            F.coalesce("text_trimmed", F.lit("")).alias("text_trimmed"),
+        )
+    )
+
+
+ORACLE_SPAN_TRIM = f"""
+WITH {_SPAN_CORPUS_CTES},
+sp AS ({_SPAN_BODY_SQL.strip()}),
+ivals AS MATERIALIZED (
+  SELECT id_b AS doc_id, start_b AS s, start_b + span_tokens - 1 AS e FROM sp
+),
+toks AS MATERIALIZED (
+  SELECT c.doc_id, unnest(range(1, len(c.words) + 1)) AS pos, c.words
+  FROM span_corpus c JOIN (SELECT DISTINCT doc_id FROM ivals) d
+    ON c.doc_id = d.doc_id
+),
+tok1 AS MATERIALIZED (
+  SELECT doc_id, CAST(pos AS BIGINT) AS pos, words[pos] AS tok FROM toks
+),
+kept AS (
+  SELECT t.doc_id, t.pos, t.tok
+  FROM tok1 t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM ivals v
+    WHERE v.doc_id = t.doc_id AND t.pos >= v.s AND t.pos <= v.e
+  )
+),
+rebuilt AS (
+  SELECT doc_id, count(*) AS n_after,
+         string_agg(tok, ' ' ORDER BY pos) AS text_trimmed
+  FROM kept GROUP BY doc_id
+),
+stats AS (SELECT doc_id, count(*) AS n_spans FROM ivals GROUP BY doc_id),
+before AS (SELECT doc_id, count(*) AS n_tokens_before FROM tok1 GROUP BY doc_id)
+SELECT s.doc_id, s.n_spans, b.n_tokens_before,
+       CAST(b.n_tokens_before - coalesce(r.n_after, 0) AS BIGINT)
+         AS n_tokens_removed,
+       coalesce(r.text_trimmed, '') AS text_trimmed
+FROM stats s
+JOIN before b ON s.doc_id = b.doc_id
+LEFT JOIN rebuilt r ON s.doc_id = r.doc_id
 """
 
 
@@ -1063,6 +1169,7 @@ QUERIES = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_prefix_filter": dedup_prefix_filter,
     "dedup_span_exact": dedup_span_exact,
+    "dedup_span_trim": dedup_span_trim,
     "dedup_recall_report": dedup_recall_report,
 }
 
@@ -1076,5 +1183,6 @@ ORACLES = {
     "dedup_embedding_cosine": ORACLE_EMBEDDING_COSINE,
     "dedup_prefix_filter": ORACLE_PREFIX_FILTER,
     "dedup_span_exact": ORACLE_SPAN_EXACT,
+    "dedup_span_trim": ORACLE_SPAN_TRIM,
     "dedup_recall_report": _oracle_recall_report(),
 }

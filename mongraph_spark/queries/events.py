@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from mongraph_spark.sparkutil import read_table
+from mongraph_spark.sparkutil import const_part, read_table
 
 SESSION_GAP_MIN = 30
 
@@ -948,7 +948,11 @@ def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.count(F.lit(1)).alias("n_new_users"))
     )
-    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    w = (
+        Window.partitionBy(const_part(F.col("day")))
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     return (
         daily_active.join(first_seen, "day", "left")
         .select(
@@ -1663,7 +1667,7 @@ def events_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("event_type") == "error").cast("long")).alias("errors"),
     )
     w = (
-        Window.partitionBy(F.lit(1))
+        Window.partitionBy(const_part(F.col("hour")))
         .orderBy("hour")
         .rowsBetween(-(SLO_SLOW_HOURS - 1), Window.currentRow)
     )
@@ -1841,9 +1845,9 @@ def events_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long") % 120_000_000
     )
     ev = ev.withColumn("arrival_us", F.col("us") + jitter)
-    w = Window.orderBy("arrival_us", "event_id").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
+    w = Window.partitionBy(const_part(F.col("event_id"))).orderBy(
+        "arrival_us", "event_id"
+    ).rowsBetween(Window.unboundedPreceding, -1)
     late_us = F.greatest(
         F.max("us").over(w) - F.col("us"), F.lit(0)
     )  # first row: null max -> greatest(null,0)=0
@@ -2192,11 +2196,13 @@ def events_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row aggregate."""
     ev = read_table(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("x"))
-    w = Window.partitionBy(F.lit(1)).orderBy("x", "user_id")
+    w = Window.partitionBy(const_part(F.col("x"))).orderBy("x", "user_id")
     ranked = per_user.select(
         "x",
         F.row_number().over(w).alias("i"),
-        F.count(F.lit(1)).over(Window.partitionBy(F.lit(1))).alias("n"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy(const_part(F.col("x")))
+        ).alias("n"),
     )
     return ranked.agg(
         F.max("n").alias("n_users"),

@@ -40,7 +40,7 @@ from mongraph_spark.queries.dedup import (
     _shingled_corpus,
     dup_corpus,
 )
-from mongraph_spark.sparkutil import read_table
+from mongraph_spark.sparkutil import const_part, read_table
 
 N_CLUSTER_ROUNDS = 4  # planted dup clusters have diameter 1; 4 covers chains
 
@@ -577,7 +577,8 @@ def pipeline_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("shuffle_key")
         .limit(ORDER_TOPN)
     )
-    w = Window.orderBy("shuffle_key")  # 50 rows post-limit: single tiny task
+    # 50 rows post-limit: single tiny task
+    w = Window.partitionBy(const_part(F.col("shuffle_key"))).orderBy("shuffle_key")
     return top.withColumn("pos", F.row_number().over(w).cast("long")).select(
         "pos", "doc_id", "source", "shuffle_key"
     )

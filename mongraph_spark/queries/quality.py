@@ -18,7 +18,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from mongraph_spark.sparkutil import read_table
+from mongraph_spark.sparkutil import const_part, read_table
 
 
 # -- declarative data-quality expectations -------------------------------------------
@@ -497,7 +497,7 @@ def zorder_pruning_benefit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("layout", F.lit("zorder"))
     )
-    w = Window.partitionBy(F.lit(1)).orderBy("d", "p")
+    w = Window.partitionBy(const_part(F.col("d"))).orderBy("d", "p")
     lfiles = (
         coded.withColumn("rn", F.row_number().over(w))
         .withColumn(

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from mongraph_spark.sparkutil import read_table
+from mongraph_spark.sparkutil import const_part, read_table
 
 
 # -- Q1-style: scan + filter + groupBy aggregate (map-side partial aggs) ------
@@ -1499,7 +1499,9 @@ def window_customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     spend = orders.groupBy("o_custkey").agg(
         F.round(F.sum("o_totalprice"), 2).alias("spend")
     )
-    w = Window.orderBy(F.desc("spend"), F.asc("o_custkey"))
+    w = Window.partitionBy(const_part(F.col("o_custkey"))).orderBy(
+        F.desc("spend"), F.asc("o_custkey")
+    )
     # explicit round() before the long cast: Spark's double→long cast
     # truncates while DuckDB's rounds, so the cast must never see x.99…
     cents = F.round(F.col("spend") * 100).cast("long")
@@ -2299,7 +2301,7 @@ def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wseg = Window.partitionBy("c_mktsegment")
     wpri = Window.partitionBy("o_orderpriority")
-    wall = Window.partitionBy(F.lit(1))
+    wall = Window.partitionBy(const_part(F.col("c_mktsegment")))
     t = obs.select(
         "c_mktsegment",
         "o_orderpriority",
@@ -2387,8 +2389,8 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("is_a").cast("long")).alias("c1"),
         F.sum((~F.col("is_a")).cast("long")).alias("c2"),
     )
-    wall = Window.partitionBy(F.lit(1))
-    wcum = Window.partitionBy(F.lit(1)).orderBy("v").rowsBetween(
+    wall = Window.partitionBy(const_part(F.col("v")))
+    wcum = Window.partitionBy(const_part(F.col("v"))).orderBy("v").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     cum = per_v.select(

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from mongraph_spark.sparkutil import read_table
+from mongraph_spark.sparkutil import const_part, read_table
 
 N_QUERIES = 5  # anchors: the N smallest vec_ids
 TOP_K = 10
@@ -171,7 +171,10 @@ def _ivf_centroids(emb: DataFrame) -> DataFrame:
     # cell number = rank of the seed id (0..K-1), deterministic
     seeds = seeds.withColumn(
         "cell",
-        F.row_number().over(Window.orderBy("seed_id")) - 1,
+        F.row_number().over(
+            Window.partitionBy(const_part(F.col("seed_id"))).orderBy("seed_id")
+        )
+        - 1,
     )
     vecs = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec")
@@ -445,7 +448,11 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").cast("array<double>").alias("c_vec"),
     )
     centroids = seeds.withColumn(
-        "cell", F.row_number().over(Window.orderBy("seed_id")) - 1
+        "cell",
+        F.row_number().over(
+            Window.partitionBy(const_part(F.col("seed_id"))).orderBy("seed_id")
+        )
+        - 1,
     ).select("cell", "c_vec")
     d = F.expr(_SQ_DIST.format(v="vec", c="c_vec"))
     assigned = per_dim = None

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from mongraph_spark.sparkutil import normalize_event_ts
+from mongraph_spark.sparkutil import const_part, normalize_event_ts
 
 _sink_seq = itertools.count(1)
 
@@ -859,7 +859,7 @@ def streaming_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     w = (
-        W.partitionBy(F.lit(1))
+        W.partitionBy(const_part(F.col("hour")))
         .orderBy("hour")
         .rowsBetween(-(SLO_SLOW_HOURS - 1), W.currentRow)
     )

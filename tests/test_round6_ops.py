@@ -106,3 +106,24 @@ def test_dau_wau_hll_error_within_3sigma(spark):
     # than rounding (register-wise max is monotone under union)
     for r in rows:
         assert r.wau_est_x100 >= r.dau_est_x100
+
+
+def test_span_trim_removes_planted_windows(spark):
+    """After the trim pass, the planted window is actually gone: every
+    trimmed chimera loses >= its detected span tokens, the rebuilt text
+    is consistent (before - removed tokens), and the partner's copied
+    window no longer appears verbatim in the trimmed text."""
+    from mongraph_spark.queries.dedup import dedup_span_trim
+
+    corpus = {r.doc_id: r.text.split(" ") for r in span_corpus(spark, SF).collect()}
+    trimmed = dedup_span_trim(spark, SF).collect()
+    assert trimmed
+    for r in trimmed:
+        kept = r.text_trimmed.split(" ") if r.text_trimmed else []
+        assert len(kept) == r.n_tokens_before - r.n_tokens_removed
+        assert r.n_tokens_removed >= MIN_SPAN
+        if r.doc_id >= SPAN_ID_SHIFT:  # a chimera: its planted window must be cut
+            partner = corpus.get(r.doc_id - SPAN_ID_SHIFT + 1)
+            if partner and len(partner) >= CHIM_START + CHIM_SPAN - 1:
+                window = " ".join(partner[CHIM_START - 1 : CHIM_START - 1 + CHIM_SPAN])
+                assert window not in (r.text_trimmed or "")

@@ -2,7 +2,8 @@
 on Spark and its oracle_sql() on DuckDB at a given SF, compare row count +
 column names + order-insensitive values.
 
-Usage: python tools/check_oracle.py [--strict] [--extended|--all] [sf_dir] [query_name ...]
+Usage: python tools/check_oracle.py [--strict] [--extended|--all]
+           [--shuffle-partitions N] [sf_dir] [query_name ...]
 
 ``--extended`` checks the registry entries OUTSIDE the driver's core window
 (``extended_queries()``); ``--all`` checks core + extended.  Default: core.
@@ -57,21 +58,35 @@ def main() -> int:
     strict = "--strict" in argv
     extended = "--extended" in argv
     all_q = "--all" in argv
+    # --shuffle-partitions N: force spark.sql.shuffle.partitions, for the
+    # cross-partitioning determinism gate (the registry's numeric claims —
+    # md5-derived randomness, fixed-order float accumulation, integer
+    # floors — must not drift with partition count; run once at a small
+    # prime and once at 32 and both must be N/N green)
+    shuffle_parts = None
+    if "--shuffle-partitions" in argv:
+        i = argv.index("--shuffle-partitions")
+        shuffle_parts = argv[i + 1]
+        del argv[i : i + 2]
     argv = [a for a in argv if a not in ("--strict", "--extended", "--all")]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
     if strict:
         from pyspark.sql import SparkSession
 
-        spark = (
+        builder = (
             SparkSession.builder.master("local[32]")
             .appName("check_oracle_strict")
             .config("spark.ui.enabled", "false")
-            .getOrCreate()
         )
+        if shuffle_parts is not None:
+            builder = builder.config("spark.sql.shuffle.partitions", shuffle_parts)
+        spark = builder.getOrCreate()
         spark.sparkContext.setLogLevel("WARN")
     else:
         spark = get_spark("check_oracle")
+        if shuffle_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", shuffle_parts)
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
