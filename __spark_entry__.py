@@ -117,13 +117,14 @@ CORE_ORDER = [
     "zorder_pruning_benefit",
     # — new round-6 operators (never driver-verified by construction) —
     "dedup_span_exact",
+    "dedup_span_trim",
     "events_dau_wau_hll",
     # — re-proof slots: the queries this round's refactors touched
-    #   (shared shingled corpus threading, PPJoin signature, shared HLL
-    #   finisher extraction, CoW-store atomic-commit rework) —
+    #   (shared shingled corpus threading + PPJoin signature — recall
+    #   report exercises both passed-in paths; shared HLL finisher
+    #   extraction; CoW-store atomic-commit rework) —
     "dedup_recall_report",
     "dedup_prefix_filter",
-    "dedup_ngram_jaccard",
     "sketch_hll_mergeable",
     "store_merge_into",
 ]
