@@ -113,6 +113,13 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_event_ts(raw)
 
 
+# state-store metrics of the most recent run_to_table execution
+# (stateOperators from the final progress event): list of dicts with
+# operatorName / numRowsTotal / memoryUsedBytes.  Evidence channel for the
+# watermark-bounds-state claim — see tools/stream_state_stress.py.
+LAST_STATE_METRICS: list[dict] = []
+
+
 def run_to_table(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
     """Execute a finite replay (availableNow) into a memory sink and return
     the sink table."""
@@ -125,6 +132,19 @@ def run_to_table(stream_df: DataFrame, output_mode: str = "complete") -> DataFra
         .start()
     )
     q.awaitTermination()
+    global LAST_STATE_METRICS
+    try:
+        prog = q.lastProgress or {}
+        LAST_STATE_METRICS = [
+            {
+                "operatorName": so.get("operatorName"),
+                "numRowsTotal": so.get("numRowsTotal"),
+                "memoryUsedBytes": so.get("memoryUsedBytes"),
+            }
+            for so in (prog.get("stateOperators") or [])
+        ]
+    except Exception:  # pragma: no cover — metrics are evidence, not output
+        LAST_STATE_METRICS = []
     return stream_df.sparkSession.table(name)
 
 
