@@ -1061,6 +1061,124 @@ LEFT JOIN rebuilt r ON s.doc_id = r.doc_id
 """
 
 
+def corpus_span_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN-LEVEL decontamination — the eval-leakage scan frontier labs
+    actually run before training: find every verbatim span of
+    ≥ {MIN_SPAN} tokens shared between a TRAIN document and an EVAL
+    document (train/eval assigned by the pipeline's md5-bucket split, so
+    the scan is a pure function of the data), and report per eval doc how
+    contaminated it is: distinct train docs touching it, span count, and
+    the longest leaked span.  Doc-level decontamination
+    (corpus.decontamination) misses exactly this case — an eval answer
+    embedded inside an otherwise-different train doc; the span machinery
+    from :func:`dedup_span_exact` (positioned grams → diagonal RLE) is
+    what catches it.  Runs over the chimera corpus so planted cross-split
+    spans exist to find; on the raw corpus the true answer is empty and
+    the oracle proves that too.
+
+    Scale shape: identical to dedup_span_exact, with the self-join
+    replaced by a train×eval gram join (strictly smaller); the per-eval
+    rollup is one keyed agg.  At 100 TB the eval side is tiny, so the
+    gram join broadcasts the eval postings — a map-only scan of the
+    train corpus."""
+    from mongraph_spark.queries.pipeline import TRAIN_PCT
+
+    # SPAN_TRAIN_PCT mirrors pipeline.TRAIN_PCT (module-level import would
+    # be circular — pipeline imports dedup); the assert pins the mirror
+    assert TRAIN_PCT == SPAN_TRAIN_PCT
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    docs = span_corpus(spark, sf_dir).withColumn(
+        "split",
+        F.when(bucket < SPAN_TRAIN_PCT, F.lit("train")).otherwise(F.lit("eval")),
+    )
+    grams = docs.select(
+        "doc_id",
+        "split",
+        F.posexplode(_positioned_grams(F.split(F.col("text"), " "), SPAN_GRAM)).alias(
+            "pos", "gram"
+        ),
+    ).localCheckpoint(eager=True)
+    tr = grams.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_id"), F.col("pos").alias("pt"), "gram"
+    )
+    ev = grams.filter(F.col("split") == "eval").select(
+        F.col("doc_id").alias("eval_id"), F.col("pos").alias("pe"), "gram"
+    )
+    hits = tr.join(ev, "gram").select(
+        "train_id", "eval_id", "pt", "pe", (F.col("pt") - F.col("pe")).alias("diag")
+    )
+    w = Window.partitionBy("train_id", "eval_id", "diag").orderBy("pt")
+    spans = (
+        hits.withColumn("island", F.col("pt") - F.row_number().over(w))
+        .groupBy("train_id", "eval_id", "diag", "island")
+        .agg(F.count(F.lit(1)).alias("n_grams"))
+        .filter(F.col("n_grams") + SPAN_GRAM - 1 >= MIN_SPAN)
+        .select(
+            "train_id",
+            "eval_id",
+            (F.col("n_grams") + SPAN_GRAM - 1).alias("span_tokens"),
+        )
+    )
+    return spans.groupBy("eval_id").agg(
+        F.count_distinct("train_id").cast("long").alias("n_train_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.max("span_tokens").cast("long").alias("max_span_tokens"),
+    )
+
+
+SPAN_TRAIN_PCT = 80  # = pipeline.TRAIN_PCT (asserted in the function)
+
+ORACLE_SPAN_DECONTAM = f"""
+WITH {_SPAN_CORPUS_CTES},
+tagged AS (
+  SELECT doc_id,
+         CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 100 < {SPAN_TRAIN_PCT}
+              THEN 'train' ELSE 'eval' END AS split,
+         words
+  FROM span_corpus
+),
+grams AS (
+  SELECT doc_id, split,
+         unnest(range(1, greatest(len(words) - {SPAN_GRAM - 1}, 0) + 1)) AS i,
+         words
+  FROM tagged
+),
+gstr AS MATERIALIZED (
+  SELECT doc_id, split, i - 1 AS pos,
+         array_to_string(words[i:i + {SPAN_GRAM - 1}], ' ') AS gram
+  FROM grams
+),
+hits AS (
+  SELECT t.doc_id AS train_id, e.doc_id AS eval_id, t.pos AS pt, e.pos AS pe,
+         t.pos - e.pos AS diag
+  FROM gstr t JOIN gstr e ON t.gram = e.gram
+  WHERE t.split = 'train' AND e.split = 'eval'
+),
+runs AS (
+  SELECT train_id, eval_id, diag, pt,
+         pt - row_number() OVER (PARTITION BY train_id, eval_id, diag ORDER BY pt)
+           AS island
+  FROM hits
+),
+spans AS (
+  SELECT train_id, eval_id, count(*) + {SPAN_GRAM - 1} AS span_tokens
+  FROM runs
+  GROUP BY train_id, eval_id, diag, island
+  HAVING count(*) + {SPAN_GRAM - 1} >= {MIN_SPAN}
+)
+SELECT eval_id,
+       CAST(count(DISTINCT train_id) AS BIGINT) AS n_train_docs,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(max(span_tokens) AS BIGINT) AS max_span_tokens
+FROM spans
+GROUP BY eval_id
+"""
+
+
 # -- cross-method recall report ---------------------------------------------------
 
 
@@ -1170,6 +1288,7 @@ QUERIES = {
     "dedup_prefix_filter": dedup_prefix_filter,
     "dedup_span_exact": dedup_span_exact,
     "dedup_span_trim": dedup_span_trim,
+    "corpus_span_decontamination": corpus_span_decontamination,
     "dedup_recall_report": dedup_recall_report,
 }
 
@@ -1184,5 +1303,6 @@ ORACLES = {
     "dedup_prefix_filter": ORACLE_PREFIX_FILTER,
     "dedup_span_exact": ORACLE_SPAN_EXACT,
     "dedup_span_trim": ORACLE_SPAN_TRIM,
+    "corpus_span_decontamination": ORACLE_SPAN_DECONTAM,
     "dedup_recall_report": _oracle_recall_report(),
 }

@@ -1601,6 +1601,52 @@ def graph_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     return all_edges.groupBy("support").agg(F.count(F.lit(1)).alias("n_edges"))
 
 
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node LOCAL clustering coefficient over the co-purchase graph:
+    cc(v) = 2·t(v) / (d(v)·(d(v)−1)) where t(v) counts triangles through
+    v — the node-level "how clique-like is my neighborhood" signal that
+    complements the edge-level :func:`graph_edge_support` (same wedge
+    machinery, anchored at the CENTER node instead of an edge).  Exact
+    integers end to end: cc_bp = (20000·t) DIV (d·(d−1)), nodes with
+    d < 2 excluded (coefficient undefined).
+
+    Scale shape: one neighbor-pair self-join of the symmetric edge list
+    keyed on the center node (Σ deg² wedges — the triangle-counting
+    bound), closed-ness via ONE semi-join against the canonical edge set,
+    then two node-keyed aggs.  Σ triangles = 3 × global triangle count is
+    pinned in tests against the independent count."""
+    pairs = graph_copurchase_pairs(spark, sf_dir).select(
+        "part_a", "part_b"
+    ).localCheckpoint(eager=True)  # feeds sym twice + the closed-ness probe
+    sym = pairs.select(F.col("part_a").alias("u"), F.col("part_b").alias("v")).union(
+        pairs.select(F.col("part_b").alias("u"), F.col("part_a").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    nbr_pairs = (
+        sym.select("u", F.col("v").alias("z1"))
+        .join(sym.select("u", F.col("v").alias("z2")), "u")
+        .filter(F.col("z1") < F.col("z2"))
+    )
+    closed = nbr_pairs.join(
+        pairs.select(F.col("part_a").alias("z1"), F.col("part_b").alias("z2")),
+        ["z1", "z2"],
+        "left_semi",
+    )
+    tri = closed.groupBy("u").agg(F.count(F.lit(1)).alias("t"))
+    return (
+        deg.filter(F.col("d") >= 2)
+        .join(tri, "u", "left")
+        .select(
+            F.col("u").alias("node_id"),
+            F.col("d").cast("long").alias("degree"),
+            F.coalesce("t", F.lit(0)).cast("long").alias("triangles"),
+            F.expr("CAST((20000 * coalesce(t, 0)) DIV (d * (d - 1)) AS BIGINT)").alias(
+                "cc_bp"
+            ),
+        )
+    )
+
+
 ORACLE_EDGE_SUPPORT = tpch.oracle_with(
     """SELECT support, count(*) AS n_edges FROM (
   SELECT e.part_a, e.part_b,
@@ -1611,6 +1657,36 @@ ORACLE_EDGE_SUPPORT = tpch.oracle_with(
     ON c.blo = least(e.part_b, s.v) AND c.bhi = greatest(e.part_b, s.v)
   GROUP BY e.part_a, e.part_b
 ) GROUP BY support""",
+    extra_ctes="""contains_el AS (
+  SELECT DISTINCT src AS order_id, dst AS part_id FROM g_edges WHERE type = 'contains'
+),
+pairs AS (
+  SELECT a.part_id AS part_a, b.part_id AS part_b
+  FROM contains_el a JOIN contains_el b
+    ON a.order_id = b.order_id AND a.part_id < b.part_id
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+sym AS (
+  SELECT part_a AS u, part_b AS v FROM pairs
+  UNION ALL SELECT part_b, part_a FROM pairs
+)""",
+)
+
+
+ORACLE_CLUSTERING_COEFF = tpch.oracle_with(
+    """SELECT d.u AS node_id,
+       CAST(d.d AS BIGINT) AS degree,
+       CAST(coalesce(t.t, 0) AS BIGINT) AS triangles,
+       CAST((20000 * coalesce(t.t, 0)) // (d.d * (d.d - 1)) AS BIGINT) AS cc_bp
+FROM (SELECT u, count(*) AS d FROM sym GROUP BY u) d
+LEFT JOIN (
+  SELECT n.u, count(*) AS t
+  FROM (SELECT a.u, a.v AS z1, b.v AS z2
+        FROM sym a JOIN sym b ON a.u = b.u AND a.v < b.v) n
+  JOIN pairs p ON p.part_a = n.z1 AND p.part_b = n.z2
+  GROUP BY n.u
+) t ON d.u = t.u
+WHERE d.d >= 2""",
     extra_ctes="""contains_el AS (
   SELECT DISTINCT src AS order_id, dst AS part_id FROM g_edges WHERE type = 'contains'
 ),
@@ -2421,6 +2497,7 @@ QUERIES = {
     "graph_random_walks": graph_random_walks,
     "graph_adamic_adar": graph_adamic_adar,
     "graph_edge_support": graph_edge_support,
+    "graph_clustering_coefficient": graph_clustering_coefficient,
 }
 
 ORACLES = {
@@ -2453,4 +2530,5 @@ ORACLES = {
     "graph_random_walks": ORACLE_WALKS,
     "graph_adamic_adar": ORACLE_ADAMIC_ADAR,
     "graph_edge_support": ORACLE_EDGE_SUPPORT,
+    "graph_clustering_coefficient": ORACLE_CLUSTERING_COEFF,
 }

@@ -127,3 +127,63 @@ def test_span_trim_removes_planted_windows(spark):
             if partner and len(partner) >= CHIM_START + CHIM_SPAN - 1:
                 window = " ".join(partner[CHIM_START - 1 : CHIM_START - 1 + CHIM_SPAN])
                 assert window not in (r.text_trimmed or "")
+
+
+def test_clustering_coefficient_invariants(spark):
+    """Sum of per-node triangles = 3 x global triangle count (each
+    triangle has 3 corners), cc_bp bounded by 10000, and the degree
+    column matches an independent recount."""
+    from mongraph_spark.queries.graph_analytics import (
+        graph_clustering_coefficient,
+        graph_triangle_count,
+    )
+
+    cc = graph_clustering_coefficient(spark, SF).collect()
+    assert cc
+    tri_row = graph_triangle_count(spark, SF).collect()[0]
+    n_tri = tri_row.n_triangles if hasattr(tri_row, "n_triangles") else tri_row[0]
+    assert sum(r.triangles for r in cc) == 3 * n_tri
+    for r in cc:
+        assert 0 <= r.cc_bp <= 10000
+        assert r.degree >= 2
+        # cc_bp is exactly the floored ratio
+        assert r.cc_bp == (20000 * r.triangles) // (r.degree * (r.degree - 1))
+
+
+def test_span_decontamination_matches_span_exact_cross_split(spark):
+    """The decontamination report must be exactly dedup_span_exact's
+    pair set restricted to cross-split pairs (train side x eval side),
+    aggregated per eval doc — same machinery, same answer."""
+    import hashlib
+
+    from mongraph_spark.queries.dedup import (
+        SPAN_TRAIN_PCT,
+        corpus_span_decontamination,
+        dedup_span_exact,
+    )
+
+    def split_of(doc_id: int) -> str:
+        b = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 100
+        return "train" if b < SPAN_TRAIN_PCT else "eval"
+
+    spans = dedup_span_exact(spark, SF).collect()
+    expected: dict[int, dict] = {}
+    for r in spans:
+        sa, sb = split_of(r.id_a), split_of(r.id_b)
+        if sa == sb:
+            continue
+        train_id, eval_id = (r.id_a, r.id_b) if sa == "train" else (r.id_b, r.id_a)
+        e = expected.setdefault(
+            eval_id, {"train": set(), "n": 0, "mx": 0}
+        )
+        e["train"].add(train_id)
+        e["n"] += 1
+        e["mx"] = max(e["mx"], r.span_tokens)
+    got = {r.eval_id: r for r in corpus_span_decontamination(spark, SF).collect()}
+    assert set(got) == set(expected)
+    assert expected, "fixture should plant at least one cross-split span"
+    for eval_id, e in expected.items():
+        g = got[eval_id]
+        assert g.n_train_docs == len(e["train"])
+        assert g.n_spans == e["n"]
+        assert g.max_span_tokens == e["mx"]
