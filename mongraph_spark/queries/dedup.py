@@ -925,8 +925,7 @@ span_corpus AS MATERIALIZED (
   FROM nd d JOIN nd p ON p.doc_id = d.doc_id + 1
 )"""
 
-_SPAN_BODY_SQL = f"""
-WITH grams AS (
+_SPAN_BODY_CTES = f"""grams AS (
   SELECT doc_id,
          unnest(range(1, greatest(len(words) - {SPAN_GRAM - 1}, 0) + 1)) AS i,
          words
@@ -947,17 +946,24 @@ runs AS (
          pa - row_number() OVER (PARTITION BY id_a, id_b, diag ORDER BY pa)
            AS island
   FROM hits
-)
-SELECT id_a, id_b,
+)"""
+
+_SPAN_BODY_SELECT = f"""SELECT id_a, id_b,
        CAST(min(pa) + 1 AS BIGINT) AS start_a,
        CAST(min(pb) + 1 AS BIGINT) AS start_b,
        CAST(count(*) + {SPAN_GRAM - 1} AS BIGINT) AS span_tokens
 FROM runs
 GROUP BY id_a, id_b, diag, island
-HAVING count(*) + {SPAN_GRAM - 1} >= {MIN_SPAN}
-"""
+HAVING count(*) + {SPAN_GRAM - 1} >= {MIN_SPAN}"""
 
-ORACLE_SPAN_EXACT = f"WITH {_SPAN_CORPUS_CTES}\n{_SPAN_BODY_SQL.strip()}"
+# standalone statement form (embeddable parenthesized, as the trim oracle
+# does with `sp AS ({...})`) and the merged-CTE-chain form for the direct
+# oracle — a leading WITH after the corpus CTE list is a syntax error
+_SPAN_BODY_SQL = f"WITH {_SPAN_BODY_CTES}\n{_SPAN_BODY_SELECT}"
+
+ORACLE_SPAN_EXACT = (
+    f"WITH {_SPAN_CORPUS_CTES},\n{_SPAN_BODY_CTES}\n{_SPAN_BODY_SELECT}"
+)
 
 
 def dedup_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
