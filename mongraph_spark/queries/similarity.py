@@ -205,7 +205,9 @@ def _ivf_centroids(emb: DataFrame) -> DataFrame:
     )
 
 
-def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_ivf(
+    spark: SparkSession, sf_dir: str, nprobe: int = IVF_NPROBE
+) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     centroids = _ivf_centroids(emb)
     vecs = emb.select(
@@ -231,7 +233,7 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries.crossJoin(F.broadcast(centroids))
         .withColumn("qdist", qd)
         .withColumn("probe_rank", F.row_number().over(wq))
-        .filter(F.col("probe_rank") <= IVF_NPROBE)
+        .filter(F.col("probe_rank") <= nprobe)
         .select("q_id", "q_vec", "cell")
     )
     dot = F.expr(
@@ -266,7 +268,8 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IDS_SQL = ", ".join(str(i) for i in IVF_SEED_IDS)
 _SQ_DIST_SQL = "list_sum(list_transform(range(1, len({v}) + 1), i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])))"
 
-ORACLE_IVF = f"""
+def _oracle_ivf(nprobe: int = IVF_NPROBE) -> str:
+    return f"""
 WITH vecs AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
 ),
@@ -306,7 +309,7 @@ probes AS (
              ORDER BY {_SQ_DIST_SQL.format(v='v.vec', c='c.c_vec')}, c.cell) AS rk
     FROM vecs v CROSS JOIN centroids c
     WHERE v.vec_id < {N_QUERIES}
-  ) WHERE rk <= {IVF_NPROBE}
+  ) WHERE rk <= {nprobe}
 ),
 scored AS (
   SELECT p.q_id, l.c_id,
@@ -321,6 +324,9 @@ SELECT q_id, c_id, cos_bp, rank FROM (
   FROM scored
 ) WHERE rank <= {TOP_K}
 """
+
+
+ORACLE_IVF = _oracle_ivf()
 
 
 # -- vector aggregation: per-label centroids via posexplode + groupBy -----------------
@@ -558,6 +564,66 @@ SELECT b.q_id, CAST(sum(coalesce(i.hit, 0)) AS BIGINT) AS n_hits,
 FROM brute b LEFT JOIN ivf i ON b.q_id = i.q_id AND b.c_id = i.c_id
 GROUP BY b.q_id
 """
+
+
+RECALL_CURVE_PROBES = [1, 2, 4]
+
+
+def ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{K} as a CURVE over nprobe ∈ {RECALL_CURVE_PROBES} — the
+    accuracy/cost tradeoff sheet an IVF deployment tunes against
+    (:func:`ann_recall_report` is the single-config row; this sweeps the
+    knob).  Per (nprobe, query): hits against the exact brute-force
+    top-{K} and floor-bp recall; recall is monotone non-decreasing in
+    nprobe by construction (probe sets are nested), pinned in tests.
+
+    Shape: ONE brute-force truth retrieval (checkpointed), then one
+    nprobe-bounded IVF retrieval per curve point — each keeps ann_ivf's
+    documented scale posture (broadcast probes, inverted-list join); the
+    scoring joins are {N_QUERIES}·{K}-row trivia."""
+    brute = (
+        ann_cosine_topk(spark, sf_dir)
+        .select("q_id", "c_id")
+        .localCheckpoint(eager=True)
+    )
+    out = None
+    for nprobe in RECALL_CURVE_PROBES:
+        ivf = ann_ivf(spark, sf_dir, nprobe=nprobe).select(
+            "q_id", "c_id", F.lit(1).alias("hit")
+        )
+        part = (
+            brute.join(ivf, ["q_id", "c_id"], "left")
+            .groupBy("q_id")
+            .agg(F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_hits"))
+            .select(
+                F.lit(nprobe).cast("long").alias("nprobe"),
+                "q_id",
+                "n_hits",
+                F.expr(f"(10000 * n_hits) div {TOP_K}")
+                .cast("bigint")
+                .alias("recall_bp"),
+            )
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def _oracle_recall_curve() -> str:
+    parts = []
+    for nprobe in RECALL_CURVE_PROBES:
+        parts.append(
+            f"""SELECT CAST({nprobe} AS BIGINT) AS nprobe, b.q_id,
+       CAST(sum(coalesce(i.hit, 0)) AS BIGINT) AS n_hits,
+       CAST((10000 * sum(coalesce(i.hit, 0))) // {TOP_K} AS BIGINT) AS recall_bp
+FROM (SELECT q_id, c_id FROM ({ORACLE_TOPK})) b
+LEFT JOIN (SELECT q_id, c_id, 1 AS hit FROM ({_oracle_ivf(nprobe)})) i
+  ON b.q_id = i.q_id AND b.c_id = i.c_id
+GROUP BY b.q_id"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+ORACLE_RECALL_CURVE = _oracle_recall_curve()
 
 
 # -- maximal marginal relevance (diversified top-k) ------------------------------
@@ -1327,6 +1393,7 @@ QUERIES = {
     "embedding_pq_codebooks": embedding_pq_codebooks,
     "embedding_pca_power": embedding_pca_power,
     "ann_recall_report": ann_recall_report,
+    "ann_recall_curve": ann_recall_curve,
     "embedding_kmeans": embedding_kmeans,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_cosine_topk_bucketed": ann_cosine_topk_bucketed,
@@ -1343,6 +1410,7 @@ ORACLES = {
     "embedding_pq_codebooks": ORACLE_PQ,
     "embedding_pca_power": ORACLE_PCA,
     "ann_recall_report": ORACLE_RECALL,
+    "ann_recall_curve": ORACLE_RECALL_CURVE,
     "embedding_kmeans": ORACLE_KMEANS,
     "ann_cosine_topk": ORACLE_TOPK,
     "ann_cosine_topk_bucketed": ORACLE_TOPK_BUCKETED,

@@ -187,3 +187,27 @@ def test_span_decontamination_matches_span_exact_cross_split(spark):
         assert g.n_train_docs == len(e["train"])
         assert g.n_spans == e["n"]
         assert g.max_span_tokens == e["mx"]
+
+
+def test_recall_curve_monotone_in_nprobe(spark):
+    """Probe sets are nested, so recall@k is monotone non-decreasing in
+    nprobe for every query; the largest probe count must reach at least
+    the single-config report's recall."""
+    from mongraph_spark.queries.similarity import (
+        RECALL_CURVE_PROBES,
+        ann_recall_curve,
+        ann_recall_report,
+    )
+
+    curve = ann_recall_curve(spark, SF).collect()
+    by_q: dict[int, dict[int, int]] = {}
+    for r in curve:
+        by_q.setdefault(r.q_id, {})[r.nprobe] = r.recall_bp
+    assert by_q
+    for q, pts in by_q.items():
+        assert sorted(pts) == sorted(RECALL_CURVE_PROBES)
+        seq = [pts[p] for p in sorted(pts)]
+        assert seq == sorted(seq), f"recall not monotone for query {q}: {seq}"
+    report = {r.q_id: r.recall_bp for r in ann_recall_report(spark, SF).collect()}
+    for q, bp in report.items():
+        assert by_q[q][2] == bp  # nprobe=2 point reproduces the report
