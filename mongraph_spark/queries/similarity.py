@@ -878,6 +878,10 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("v"),
         )
 
+    # cadence 2 measured best at sf0.1: the per-round plan nests a 1-row
+    # broadcast (max-abs renorm), so longer lazy groups grow analysis
+    # cost faster than they save checkpoint jobs (6 rounds/group was
+    # ~8% slower than 2)
     v, _ = pregel.iterate(v0, step, max_rounds=PCA_ROUNDS, checkpoint_every=2)
     w9 = matvec(v)
     lam = w9.agg(F.max(F.abs("w")).alias("mx"))
