@@ -1538,6 +1538,95 @@ JOIN wau_est we ON a.day = we.day
 ORACLE_DAU_WAU_HLL = _oracle_dau_wau_hll()
 
 
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint screen per event type — the classic "did the
+    level shift, and when" monitoring statistic: over the daily count
+    series x_1..x_n, CUSUM_k = Σ_{i≤k}(x_i − μ) peaks (in absolute
+    value) at the most likely changepoint.  Scored in EXACT integers by
+    clearing the mean's denominator: S_k = n·P_k − k·T (P_k prefix sum,
+    T total, n days) = n·CUSUM_k — same argmax, no float anywhere.
+    Reports per type: the changepoint day (earliest day at the max, a
+    deterministic tie-break), max |S_k|, and the normalized peak in bp
+    of n·T (scale-free comparability across types).
+
+    Scale shape: daily counts are one (type, day) agg; the prefix sum is
+    a type-partitioned window over ≤ n_days rows per type; the argmax is
+    a second tiny agg.  At 100 TB the windowed series stays (types ×
+    days)-sized — scan-dominated, like every screen in this family."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", F.to_date("ts").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    wtot = Window.partitionBy("event_type")
+    wcum = Window.partitionBy("event_type").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    scored = daily.select(
+        "event_type",
+        "day",
+        F.sum("x").over(wcum).alias("p"),
+        F.row_number().over(Window.partitionBy("event_type").orderBy("day")).alias("k"),
+        F.sum("x").over(wtot).alias("t"),
+        F.count(F.lit(1)).over(wtot).alias("n"),
+    ).withColumn("s", F.col("n") * F.col("p") - F.col("k") * F.col("t"))
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.abs(F.col("s"))).alias("neg_abs_s"), F.col("day").alias("day")
+                )
+            ).alias("best"),
+            F.max("n").alias("n_days"),
+            F.max("t").alias("total_events"),
+        )
+        .select(
+            "event_type",
+            F.date_format(F.col("best.day"), "yyyy-MM-dd").alias("cp_day"),
+            (-F.col("best.neg_abs_s")).cast("long").alias("s_abs_max"),
+            F.col("n_days").cast("long").alias("n_days"),
+            F.col("total_events").cast("long").alias("total_events"),
+            F.expr("CAST((10000 * -best.neg_abs_s) DIV (n_days * total_events) AS BIGINT)")
+            .alias("peak_bp"),
+        )
+    )
+
+
+ORACLE_CUSUM = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS x
+  FROM events GROUP BY 1, 2
+),
+scored AS (
+  SELECT event_type, day,
+         sum(x) OVER (PARTITION BY event_type ORDER BY day
+                      ROWS UNBOUNDED PRECEDING) AS p,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS k,
+         sum(x) OVER (PARTITION BY event_type) AS t,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM daily
+),
+s AS (
+  SELECT event_type, day, n * p - k * t AS s, n, t FROM scored
+),
+best AS (
+  SELECT event_type, day, abs(s) AS abs_s, n, t,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY abs(s) DESC, day ASC) AS rn
+  FROM s
+)
+SELECT event_type,
+       strftime(day, '%Y-%m-%d') AS cp_day,
+       CAST(abs_s AS BIGINT) AS s_abs_max,
+       CAST(n AS BIGINT) AS n_days,
+       CAST(t AS BIGINT) AS total_events,
+       CAST((10000 * abs_s) // (n * t) AS BIGINT) AS peak_bp
+FROM best WHERE rn = 1
+"""
+
+
 # -- session-level type co-occurrence ----------------------------------------------
 
 
@@ -2330,6 +2419,7 @@ QUERIES = {
     "events_session_cooccurrence": events_session_cooccurrence,
     "events_dau_wau": events_dau_wau,
     "events_dau_wau_hll": events_dau_wau_hll,
+    "events_cusum_changepoint": events_cusum_changepoint,
     "events_user_gini": events_user_gini,
     "events_tumbling_window": events_tumbling_window,
     "events_funnel": events_funnel,
@@ -2393,4 +2483,5 @@ ORACLES = {
     "events_session_cooccurrence": ORACLE_SESSION_COOC,
     "events_dau_wau": ORACLE_DAU_WAU,
     "events_dau_wau_hll": ORACLE_DAU_WAU_HLL,
+    "events_cusum_changepoint": ORACLE_CUSUM,
 }

@@ -211,3 +211,35 @@ def test_recall_curve_monotone_in_nprobe(spark):
     report = {r.q_id: r.recall_bp for r in ann_recall_report(spark, SF).collect()}
     for q, bp in report.items():
         assert by_q[q][2] == bp  # nprobe=2 point reproduces the report
+
+
+def test_cusum_changepoint_matches_python_replay(spark):
+    """Exact replay: daily counts -> integer S_k = n*P_k - k*T per type;
+    the reported peak and day must equal the independent computation."""
+    from collections import defaultdict
+
+    from mongraph_spark.queries.events import events_cusum_changepoint
+
+    ev = read_table(spark, SF, "events").select(
+        "event_type", F.to_date("ts").alias("day")
+    ).collect()
+    daily = defaultdict(lambda: defaultdict(int))
+    for r in ev:
+        daily[r.event_type][r.day] += 1
+    got = {r.event_type: r for r in events_cusum_changepoint(spark, SF).collect()}
+    assert set(got) == set(daily)
+    for et, series in daily.items():
+        days = sorted(series)
+        n, t = len(days), sum(series.values())
+        p = 0
+        best = None
+        for k, d in enumerate(days, start=1):
+            p += series[d]
+            s_abs = abs(n * p - k * t)
+            if best is None or s_abs > best[0]:
+                best = (s_abs, d)
+        r = got[et]
+        assert r.s_abs_max == best[0]
+        assert r.cp_day == best[1].strftime("%Y-%m-%d")
+        assert r.n_days == n and r.total_events == t
+        assert r.peak_bp == (10000 * best[0]) // (n * t)
