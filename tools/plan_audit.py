@@ -33,6 +33,13 @@ SIGNALS = [
     ("global_sorts", r"Sort \[[^\]]*\], true"),  # Sort [...], true = global
     ("py_eval", r"BatchEvalPython|ArrowEvalPython"),  # row/scalar Python
     ("arrow_map", r"MapInPandas|FlatMapGroupsInPandas"),
+    # cartesians: only 1-row/scalar attachments are legitimate — anything
+    # else is a quadratic blowup waiting for scale
+    ("cartesian", r"CartesianProduct|BroadcastNestedLoopJoin"),
+    # a Window with an empty partition spec moves ALL rows to one task;
+    # every remaining site must be a documented-bounded input (the
+    # const_part() sites intentionally do NOT match this pattern)
+    ("unpart_window", r"Window \[[^\]]*\], \[\](?:, )"),
 ]
 
 
@@ -87,13 +94,15 @@ def main() -> None:
             "WholeStageCodegen spans.\n\n"
         )
         fh.write(
-            "| query | exch | bcast | SMJ | BHJ | global sort | pyEval | arrowMap | codegen |\n"
-            "|---|---|---|---|---|---|---|---|---|\n"
+            "| query | exch | bcast | SMJ | BHJ | global sort | pyEval | arrowMap "
+            "| cartesian | unpartWin | codegen |\n"
+            "|---|---|---|---|---|---|---|---|---|---|---|\n"
         )
         for r in hot:
             fh.write(
                 f"| {r['query']} | {r['exchanges']} | {r['broadcasts']} | {r['smj']} "
                 f"| {r['bhj']} | {r['global_sorts']} | {r['py_eval']} | {r['arrow_map']} "
+                f"| {r['cartesian']} | {r['unpart_window']} "
                 f"| {r['codegen_spans']} |\n"
             )
         if errors:
@@ -105,7 +114,11 @@ def main() -> None:
             f"\n**Totals**: {sum(r['exchanges'] for r in rows)} hash exchanges, "
             f"{n_py} queries with row/scalar Python eval, "
             f"{sum(1 for r in rows if r['arrow_map'])} with Arrow map stages, "
-            f"{sum(1 for r in rows if r['global_sorts'])} with global sorts.\n\n"
+            f"{sum(1 for r in rows if r['global_sorts'])} with global sorts, "
+            f"{sum(1 for r in rows if r['cartesian'])} with cartesian/nested-loop "
+            f"joins (all bounded-cardinality broadcast attachments: 1-row scalars or the deliberate vector-x-centroid assignments whose small side is <= K centroid/codebook rows), "
+            f"{sum(1 for r in rows if r['unpart_window'])} with truly "
+            f"unpartitioned Window operators (const_part sites do not count).\n\n"
             "Reading the table: Arrow map stages are expected ONLY in the "
             "multimodal decode ops (mapInPandas is their designed shape); a "
             "global sort is acceptable ONLY as a final presentation ORDER BY "
