@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from mongraph_spark import pregel
 from mongraph_spark.graphs import tpch
+from mongraph_spark.sparkutil import const_part
 
 DAMPING = 0.85
 N_ITER = 3
@@ -1347,6 +1348,17 @@ def graph_closeness_landmarks(spark: SparkSession, sf_dir: str) -> DataFrame:
     posture to connected components, ×K landmarks carried in the key.
     Node ids are parity-encoded (2c / 2s+1) so the two key spaces can't
     collide."""
+    state = _landmark_state(spark, sf_dir)
+    return state.groupBy("lm").agg(
+        F.count(F.lit(1)).alias("n_reached"),
+        F.sum("dist").cast("bigint").alias("sum_dist"),
+    )
+
+
+def _landmark_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lm, node_id, dist) within CLOSENESS_HOPS of the K landmarks —
+    the shared multi-source-BFS state under closeness AND harmonic
+    centrality (see graph_closeness_landmarks for the loop contract)."""
     orders = tpch.read_table(spark, sf_dir, "orders")
     lineitem = tpch.read_table(spark, sf_dir, "lineitem")
     pairs = (
@@ -1384,9 +1396,45 @@ def graph_closeness_landmarks(spark: SparkSession, sf_dir: str) -> DataFrame:
     state, _ = pregel.iterate(
         state0, hop, max_rounds=CLOSENESS_HOPS, checkpoint_every=2
     )
-    return state.groupBy("lm").agg(
-        F.count(F.lit(1)).alias("n_reached"),
-        F.sum("dist").cast("bigint").alias("sum_dist"),
+    return state
+
+
+HARMONIC_TOPK = 20
+
+
+def graph_harmonic_landmarks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark HARMONIC centrality — closeness' disconnected-robust
+    sibling (Boldi–Vigna: H(v) = Σ 1/d(u,v), unreachable terms contribute
+    0 instead of poisoning the sum): per NODE, the integer-exact score
+    Σ_landmarks (10⁶ div d) over the shared K-source BFS distances, top
+    {HARMONIC_TOPK} with (score DESC, node_id ASC) tie-break.  Landmarks
+    themselves are excluded as targets (their d=0 self-term is undefined
+    and their scores are landmark-count artifacts, not centrality).
+
+    Scale shape: REUSES :func:`_landmark_state` (state ≤ K·N rows, one
+    shuffle per hop); the score is one node-keyed agg of integer
+    divisions and the top-k is a TakeOrdered, no global sort."""
+    state = _landmark_state(spark, sf_dir)
+    lms = state.filter(F.col("dist") == 0).select(F.col("node_id").alias("lm_node"))
+    scored = (
+        state.filter(F.col("dist") > 0)
+        .join(lms, state["node_id"] == lms["lm_node"], "left_anti")
+        .groupBy("node_id")
+        .agg(
+            F.sum(F.expr("1000000 DIV dist")).cast("long").alias("h_micro"),
+            F.count(F.lit(1)).cast("long").alias("n_landmarks_reaching"),
+        )
+    )
+    top = scored.orderBy(F.desc("h_micro"), F.asc("node_id")).limit(HARMONIC_TOPK)
+    # rank within the already-taken top-k ({HARMONIC_TOPK} rows post-limit)
+    w = Window.partitionBy(const_part(F.col("node_id"))).orderBy(
+        F.desc("h_micro"), F.asc("node_id")
+    )
+    return top.select(
+        "node_id",
+        "h_micro",
+        "n_landmarks_reaching",
+        F.row_number().over(w).cast("long").alias("rk"),
     )
 
 
@@ -1420,6 +1468,31 @@ FROM {prev} GROUP BY lm
 
 
 ORACLE_CLOSENESS = _closeness_oracle()
+
+
+def _harmonic_oracle() -> str:
+    # same unroll as the closeness oracle; final select scores per NODE
+    closeness = _closeness_oracle()
+    prev = f"d{CLOSENESS_HOPS}"
+    head, _, _ = closeness.rpartition("SELECT lm, count(*)")
+    return f"""{head}
+SELECT node_id, h_micro, n_landmarks_reaching,
+       CAST(row_number() OVER (ORDER BY h_micro DESC, node_id ASC) AS BIGINT)
+         AS rk
+FROM (
+  SELECT node_id,
+         CAST(sum(1000000 // dist) AS BIGINT) AS h_micro,
+         CAST(count(*) AS BIGINT) AS n_landmarks_reaching
+  FROM {prev}
+  WHERE dist > 0 AND node_id NOT IN (SELECT lm FROM landmarks)
+  GROUP BY node_id
+)
+ORDER BY h_micro DESC, node_id ASC
+LIMIT {HARMONIC_TOPK}
+"""
+
+
+ORACLE_HARMONIC = _harmonic_oracle()
 
 
 WALK_STEPS = 4
@@ -2539,6 +2612,7 @@ QUERIES = {
     "graph_adamic_adar": graph_adamic_adar,
     "graph_edge_support": graph_edge_support,
     "graph_clustering_coefficient": graph_clustering_coefficient,
+    "graph_harmonic_landmarks": graph_harmonic_landmarks,
 }
 
 ORACLES = {
@@ -2572,4 +2646,5 @@ ORACLES = {
     "graph_adamic_adar": ORACLE_ADAMIC_ADAR,
     "graph_edge_support": ORACLE_EDGE_SUPPORT,
     "graph_clustering_coefficient": ORACLE_CLUSTERING_COEFF,
+    "graph_harmonic_landmarks": ORACLE_HARMONIC,
 }

@@ -243,3 +243,33 @@ def test_cusum_changepoint_matches_python_replay(spark):
         assert r.cp_day == best[1].strftime("%Y-%m-%d")
         assert r.n_days == n and r.total_events == t
         assert r.peak_bp == (10000 * best[0]) // (n * t)
+
+
+def test_harmonic_landmarks_consistent_with_closeness_state(spark):
+    """Harmonic scores must be reconstructible from the shared landmark
+    BFS state: for every reported node, h_micro equals the sum of
+    1000000 // d over landmarks reaching it, landmarks never appear as
+    targets, and ranks are the (score DESC, node_id ASC) order."""
+    from mongraph_spark.queries.graph_analytics import (
+        _landmark_state,
+        graph_harmonic_landmarks,
+    )
+
+    state = _landmark_state(spark, SF).collect()
+    lms = {r.node_id for r in state if r.dist == 0}
+    per_node: dict[int, list[int]] = {}
+    for r in state:
+        if r.dist > 0 and r.node_id not in lms:
+            per_node.setdefault(r.node_id, []).append(r.dist)
+    got = graph_harmonic_landmarks(spark, SF).collect()
+    assert got and len(got) <= 20
+    expected_order = sorted(
+        ((sum(1_000_000 // d for d in ds), -n) for n, ds in per_node.items()),
+        reverse=True,
+    )[: len(got)]
+    for rk, r in enumerate(sorted(got, key=lambda r: r.rk), start=1):
+        assert r.rk == rk
+        assert r.node_id not in lms
+        assert r.h_micro == sum(1_000_000 // d for d in per_node[r.node_id])
+        assert r.n_landmarks_reaching == len(per_node[r.node_id])
+        assert (r.h_micro, -r.node_id) == expected_order[rk - 1]
