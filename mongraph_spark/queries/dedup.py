@@ -789,6 +789,68 @@ WHERE 5 * i.n_common >= 4 * (na.n + nb.n - i.n_common)
 """
 
 
+def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHO duplicates WHOM: the verified near-dup pairs rolled up to a
+    (source, source) matrix — the diagnostic a corpus team reads before
+    deciding which crawls/dumps to drop or down-weight (cross-source
+    cells = shared upstream content, e.g. two crawls of the same sites;
+    diagonal cells = within-source template duplication).  Pair sources
+    resolve through the planted-copy id scheme (id ≥ {ID_SHIFT} → base
+    doc id − {ID_SHIFT}); cells are canonical (least/greatest) so the
+    symmetric matrix is stored once.
+
+    Scale shape: input is the (already bounded) verified-pair output of
+    :func:`dedup_ngram_jaccard`; two doc_id-keyed joins attach sources
+    (dim side prunable to ids in pairs — at 100 TB a semi-join first);
+    the rollup is |sources|²-keyed with map-side combine."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+
+    def base(c: str) -> Column:
+        return F.when(
+            F.col(c) >= ID_SHIFT, F.col(c) - ID_SHIFT
+        ).otherwise(F.col(c))
+
+    j = (
+        pairs.withColumn("ba", base("id_a"))
+        .withColumn("bb", base("id_b"))
+        .join(
+            docs.select(F.col("doc_id").alias("ba"), F.col("source").alias("sa")),
+            "ba",
+        )
+        .join(
+            docs.select(F.col("doc_id").alias("bb"), F.col("source").alias("sb")),
+            "bb",
+        )
+    )
+    return (
+        j.select(
+            F.least("sa", "sb").alias("source_lo"),
+            F.greatest("sa", "sb").alias("source_hi"),
+        )
+        .groupBy("source_lo", "source_hi")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+def _oracle_source_matrix() -> str:
+    return f"""
+WITH fl AS ({ORACLE_JACCARD}),
+m AS (
+  SELECT CASE WHEN id_a >= {ID_SHIFT} THEN id_a - {ID_SHIFT} ELSE id_a END AS ba,
+         CASE WHEN id_b >= {ID_SHIFT} THEN id_b - {ID_SHIFT} ELSE id_b END AS bb
+  FROM fl
+)
+SELECT least(da.source, db.source) AS source_lo,
+       greatest(da.source, db.source) AS source_hi,
+       count(*) AS n_pairs
+FROM m
+JOIN documents da ON da.doc_id = m.ba
+JOIN documents db ON db.doc_id = m.bb
+GROUP BY 1, 2
+"""
+
+
 # -- exact substring-span dedup (suffix-array-class, distributed) -----------------
 
 SPAN_GRAM = 8  # tokens per seed gram
@@ -1292,6 +1354,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_prefix_filter": dedup_prefix_filter,
+    "dedup_source_matrix": dedup_source_matrix,
     "dedup_span_exact": dedup_span_exact,
     "dedup_span_trim": dedup_span_trim,
     "corpus_span_decontamination": corpus_span_decontamination,
@@ -1307,6 +1370,7 @@ ORACLES = {
     "dedup_simhash": ORACLE_SIMHASH,
     "dedup_embedding_cosine": ORACLE_EMBEDDING_COSINE,
     "dedup_prefix_filter": ORACLE_PREFIX_FILTER,
+    "dedup_source_matrix": _oracle_source_matrix(),
     "dedup_span_exact": ORACLE_SPAN_EXACT,
     "dedup_span_trim": ORACLE_SPAN_TRIM,
     "corpus_span_decontamination": ORACLE_SPAN_DECONTAM,

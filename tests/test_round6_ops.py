@@ -273,3 +273,19 @@ def test_harmonic_landmarks_consistent_with_closeness_state(spark):
         assert r.h_micro == sum(1_000_000 // d for d in per_node[r.node_id])
         assert r.n_landmarks_reaching == len(per_node[r.node_id])
         assert (r.h_micro, -r.node_id) == expected_order[rk - 1]
+
+
+def test_source_matrix_conserves_pair_count(spark):
+    """The matrix cells must sum to exactly the number of verified dup
+    pairs, and every planted (base, base+1M) pair lands on the DIAGONAL
+    (a copy inherits its base doc's source)."""
+    from mongraph_spark.queries.dedup import dedup_ngram_jaccard, dedup_source_matrix
+
+    pairs = dedup_ngram_jaccard(spark, SF).select("id_a", "id_b").collect()
+    cells = dedup_source_matrix(spark, SF).collect()
+    assert sum(c.n_pairs for c in cells) == len(pairs)
+    planted = [p for p in pairs if p.id_b == p.id_a + 1_000_000]
+    if planted:  # planted pairs resolve to the same base doc -> diagonal
+        assert any(c.source_lo == c.source_hi for c in cells)
+    for c in cells:
+        assert c.source_lo <= c.source_hi and c.n_pairs > 0
