@@ -1559,6 +1559,13 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "day")
         .agg(F.count(F.lit(1)).alias("x"))
     )
+    return _cusum_finish(daily)
+
+
+def _cusum_finish(daily: DataFrame) -> DataFrame:
+    """CUSUM finishing over a (event_type, day, x) daily-count table —
+    shared by the batch op and its streaming twin (the twin's rollup is
+    maintained by the stream; the screen itself is this batch pass)."""
     wtot = Window.partitionBy("event_type")
     wcum = Window.partitionBy("event_type").orderBy("day").rowsBetween(
         Window.unboundedPreceding, Window.currentRow

@@ -786,6 +786,38 @@ def _oracle_stream_seasonal() -> str:
     return ORACLE_SEASONAL_ANOMALY.rstrip() + "\n  AND d.n > 0\n"
 
 
+# -- streaming CUSUM changepoint twin -------------------------------------------------
+
+
+def streaming_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``queries.events.events_cusum_changepoint``: the
+    stream maintains the watermarked per-(type, day) count rollup; the
+    CUSUM screen itself (integer S_k = n·P_k − k·T, earliest-day argmax)
+    is the SHARED batch finisher over the continuously-updated rollup
+    table — the monitoring deployment shape (cheap stream state, the
+    level-shift scan re-runs on read).  Fully batch-equal: the batch op's
+    daily counts also carry no zero-fill, so the two rollups are
+    identical by construction.  State: O(types × days-in-watermark)."""
+    from mongraph_spark.queries.events import _cusum_finish
+
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 day")
+    agg = ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    with _state_partitioning(spark, sf_dir):
+        out = run_to_table(agg, output_mode="complete")
+    daily = out.select(
+        "event_type", F.to_date("w.start").alias("day"), F.col("x")
+    )
+    return _cusum_finish(daily)
+
+
+def _oracle_stream_cusum() -> str:
+    from mongraph_spark.queries.events import ORACLE_CUSUM
+
+    return ORACLE_CUSUM
+
+
 # -- streaming count-min sketch twin -------------------------------------------------
 
 
@@ -919,6 +951,7 @@ QUERIES = {
     "streaming_hourly_top_type": streaming_hourly_top_type,
     "streaming_count_min": streaming_count_min,
     "streaming_seasonal_anomaly": streaming_seasonal_anomaly,
+    "streaming_cusum_changepoint": streaming_cusum_changepoint,
     "streaming_hll_distinct": streaming_hll_distinct,
     "streaming_tumbling_window": streaming_tumbling_window,
     "streaming_markov_transitions": streaming_markov_transitions,
@@ -937,6 +970,7 @@ ORACLES = {
     "streaming_hourly_top_type": _oracle_stream_hourly_top(),
     "streaming_count_min": _oracle_stream_cms(),
     "streaming_seasonal_anomaly": _oracle_stream_seasonal(),
+    "streaming_cusum_changepoint": _oracle_stream_cusum(),
     "streaming_hll_distinct": ORACLE_STREAM_HLL,
     "streaming_threshold_anomaly": ORACLE_STREAM_ANOMALY,
     "streaming_markov_transitions": ORACLE_STREAM_MARKOV,

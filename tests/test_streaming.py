@@ -112,3 +112,14 @@ def test_streaming_hourly_top_equals_batch(spark):
     batch = events_hourly_top_type(spark, SF_DIR)
     stream = streaming_hourly_top_type(spark, SF_DIR)
     assert _sorted_rows(stream, "hour") == _sorted_rows(batch, "hour")
+
+
+def test_streaming_cusum_equals_batch(spark):
+    """The CUSUM twin's rollup is maintained by the stream but the screen
+    is the shared batch finisher — results must be row-identical."""
+    from mongraph_spark.queries.events import events_cusum_changepoint
+    from mongraph_spark.streaming.events import streaming_cusum_changepoint
+
+    batch = events_cusum_changepoint(spark, SF_DIR)
+    stream = streaming_cusum_changepoint(spark, SF_DIR)
+    assert _sorted_rows(stream, "event_type") == _sorted_rows(batch, "event_type")
