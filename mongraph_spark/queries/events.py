@@ -2009,6 +2009,181 @@ _WILSON = {
 }
 
 
+CUPED_PRE_DAYS = 15  # pre-experiment covariate window
+
+
+def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout (Deng et al., the technique
+    every large experimentation platform runs): the post-period metric
+    y (purchases after day {CUPED_PRE_DAYS}) is adjusted by the
+    PRE-period covariate x (all events in the first {CUPED_PRE_DAYS}
+    days) — ŷ = y − θ(x − x̄) with θ = Cov(x,y)/Var(x) — which removes
+    the between-user variance that pre-dated the experiment and shrinks
+    the CI without biasing the contrast (E[ŷ_A − ŷ_B] = E[y_A − y_B]
+    because assignment is independent of x).  Arms are the same
+    md5(user)%2 buckets as :func:`events_ab_lift`.
+
+    Exact integers end to end: θ clears denominators as
+    θ_micro = ±(10⁶·|n·Sxy − Sx·Sy|) div (n·Sxx − Sx²) (sign-symmetric
+    truncation — identical in Spark DIV and DuckDB // for positive
+    divisors), the per-user adjustment is scaled by n to stay integral
+    (A_u = 10⁶·n·y_u − θ_micro·(n·x_u − Sx)), and arm means divide at
+    the very end.  DECIMAL(38)/HUGEINT accumulation so no SF overflows.
+    Each row also carries ρ²_bp — the guaranteed variance-reduction
+    fraction (Var(ŷ) = (1−ρ²)·Var(y)) that justifies the adjustment.
+
+    Scale shape: one user-keyed aggregate builds (x, y); the moment
+    rollup is a 1-row reduce; the adjustment is map-only; the arm rollup
+    is 2 keys.  Scan-bound at any scale."""
+    ev = read_table(spark, sf_dir, "events")
+    d0 = ev.agg(F.min(F.to_date("ts")).alias("d0"))
+    per_user = (
+        ev.crossJoin(F.broadcast(d0))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                (F.to_date("ts") < F.date_add("d0", CUPED_PRE_DAYS)).cast("long")
+            ).alias("x"),
+            F.sum(
+                (
+                    (F.to_date("ts") >= F.date_add("d0", CUPED_PRE_DAYS))
+                    & (F.col("event_type") == "purchase")
+                ).cast("long")
+            ).alias("y"),
+        )
+        .select(
+            (
+                F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+                .cast("long") % 2
+            ).alias("arm"),
+            "x",
+            "y",
+        )
+        .localCheckpoint(eager=True)  # feeds the moment reduce AND the adjustment
+    )
+    mom = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sxx"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).alias("sxy"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).alias("syy"),
+    ).select(
+        "n", "sx", "sy",
+        F.expr("CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy")
+        .alias("covn"),
+        F.expr("CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx")
+        .alias("varxn"),
+        F.expr("CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy")
+        .alias("varyn"),
+    ).select(
+        "n", "sx",
+        F.expr(
+            "CAST(CASE WHEN covn < 0 "
+            "THEN -((CAST(1000000 AS DECIMAL(38,0)) * (-covn)) DIV varxn) "
+            "ELSE (CAST(1000000 AS DECIMAL(38,0)) * covn) DIV varxn END AS BIGINT)"
+        ).alias("theta_micro"),
+        F.expr(
+            "CAST((CAST(10000 AS DECIMAL(38,0)) * covn * covn) "
+            "DIV (varxn * varyn) AS BIGINT)"
+        ).alias("rho2_bp"),
+    )
+    adj = per_user.crossJoin(F.broadcast(mom)).select(
+        "arm",
+        "y",
+        F.expr(
+            "CAST(1000000 AS DECIMAL(38,0)) * n * y "
+            "- CAST(theta_micro AS DECIMAL(38,0)) * (CAST(n AS DECIMAL(38,0)) * x - sx)"
+        ).alias("a_u"),
+        "n",
+        "theta_micro",
+        "rho2_bp",
+    )
+    return (
+        adj.groupBy("arm", "n", "theta_micro", "rho2_bp")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("y").cast("long").alias("sum_y"),
+            F.sum("a_u").alias("sa"),
+        )
+        .select(
+            "arm",
+            F.col("n_users").cast("long").alias("n_users"),
+            "sum_y",
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * sum_y) DIV n_users AS BIGINT)"
+            ).alias("mean_y_micro"),
+            F.expr(
+                "CAST(CASE WHEN sa < 0 "
+                "THEN -((-sa) DIV (CAST(n AS DECIMAL(38,0)) * n_users)) "
+                "ELSE sa DIV (CAST(n AS DECIMAL(38,0)) * n_users) END AS BIGINT)"
+            ).alias("mean_adj_micro"),
+            "theta_micro",
+            "rho2_bp",
+        )
+    )
+
+
+ORACLE_AB_CUPED = f"""
+WITH d0 AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+pu AS (
+  SELECT user_id,
+         sum(CASE WHEN CAST(ts AS DATE) < d0.d0 + {CUPED_PRE_DAYS}
+                  THEN 1 ELSE 0 END) AS x,
+         sum(CASE WHEN CAST(ts AS DATE) >= d0.d0 + {CUPED_PRE_DAYS}
+                   AND event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+  FROM events, d0 GROUP BY user_id
+),
+armed AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS arm,
+         CAST(x AS HUGEINT) AS x, CAST(y AS HUGEINT) AS y
+  FROM pu
+),
+mom AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+  FROM armed
+),
+th AS (
+  SELECT n, sx,
+         n * sxy - sx * sy AS covn,
+         n * sxx - sx * sx AS varxn,
+         n * syy - sy * sy AS varyn
+  FROM mom
+),
+th2 AS (
+  SELECT n, sx,
+         CAST(CASE WHEN covn < 0
+              THEN -((CAST(1000000 AS HUGEINT) * (-covn)) // varxn)
+              ELSE (CAST(1000000 AS HUGEINT) * covn) // varxn END AS BIGINT)
+           AS theta_micro,
+         CAST((CAST(10000 AS HUGEINT) * covn * covn) // (varxn * varyn)
+              AS BIGINT) AS rho2_bp
+  FROM th
+),
+adj AS (
+  SELECT a.arm, a.y,
+         CAST(1000000 AS HUGEINT) * t.n * a.y
+           - CAST(t.theta_micro AS HUGEINT) * (t.n * a.x - t.sx) AS a_u,
+         t.n, t.theta_micro, t.rho2_bp
+  FROM armed a, th2 t
+)
+SELECT arm,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(y) AS BIGINT) AS sum_y,
+       CAST((CAST(1000000 AS HUGEINT) * sum(y)) // count(*) AS BIGINT)
+         AS mean_y_micro,
+       CAST(CASE WHEN sum(a_u) < 0
+            THEN -((-sum(a_u)) // (CAST(max(n) AS HUGEINT) * count(*)))
+            ELSE sum(a_u) // (CAST(max(n) AS HUGEINT) * count(*)) END AS BIGINT)
+         AS mean_adj_micro,
+       CAST(max(theta_micro) AS BIGINT) AS theta_micro,
+       CAST(max(rho2_bp) AS BIGINT) AS rho2_bp
+FROM adj
+GROUP BY arm
+"""
+
+
 def events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A/B test readout: users split into two deterministic arms
     (md5(user_id) % 2 — the hash-bucket assignment real experiment
@@ -2427,6 +2602,7 @@ QUERIES = {
     "events_dau_wau": events_dau_wau,
     "events_dau_wau_hll": events_dau_wau_hll,
     "events_cusum_changepoint": events_cusum_changepoint,
+    "events_ab_cuped": events_ab_cuped,
     "events_user_gini": events_user_gini,
     "events_tumbling_window": events_tumbling_window,
     "events_funnel": events_funnel,
@@ -2491,4 +2667,5 @@ ORACLES = {
     "events_dau_wau": ORACLE_DAU_WAU,
     "events_dau_wau_hll": ORACLE_DAU_WAU_HLL,
     "events_cusum_changepoint": ORACLE_CUSUM,
+    "events_ab_cuped": ORACLE_AB_CUPED,
 }

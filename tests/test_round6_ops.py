@@ -289,3 +289,53 @@ def test_source_matrix_conserves_pair_count(spark):
         assert any(c.source_lo == c.source_hi for c in cells)
     for c in cells:
         assert c.source_lo <= c.source_hi and c.n_pairs > 0
+
+
+def test_ab_cuped_invariants(spark):
+    """CUPED must preserve the global mean EXACTLY (Σ(x−x̄) = 0 makes the
+    adjustment sum-free even after θ quantization) and match an
+    independent python replay of θ and ρ²."""
+    import hashlib
+
+    from mongraph_spark.queries.events import CUPED_PRE_DAYS, events_ab_cuped
+
+    ev = read_table(spark, SF, "events").select(
+        "user_id", F.to_date("ts").alias("day"), "event_type"
+    ).collect()
+    d0 = min(r.day for r in ev)
+    xs, ys = {}, {}
+    for r in ev:
+        xs.setdefault(r.user_id, 0)
+        ys.setdefault(r.user_id, 0)
+        if (r.day - d0).days < CUPED_PRE_DAYS:
+            xs[r.user_id] += 1
+        elif r.event_type == "purchase":
+            ys[r.user_id] += 1
+    users = sorted(xs)
+    n = len(users)
+    sx, sy = sum(xs.values()), sum(ys.values())
+    sxx = sum(v * v for v in xs.values())
+    sxy = sum(xs[u] * ys[u] for u in users)
+    syy = sum(v * v for v in ys.values())
+    covn, varxn, varyn = n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy
+    theta = (
+        -((1_000_000 * -covn) // varxn) if covn < 0 else (1_000_000 * covn) // varxn
+    )
+    rho2 = (10_000 * covn * covn) // (varxn * varyn)
+    rows = {r.arm: r for r in events_ab_cuped(spark, SF).collect()}
+    assert set(rows) == {0, 1}
+    for r in rows.values():
+        assert r.theta_micro == theta
+        assert r.rho2_bp == rho2
+        assert 0 <= r.rho2_bp <= 10_000
+    # arms partition users by the md5 bucket
+    arm_of = lambda u: int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16) % 2
+    for arm in (0, 1):
+        members = [u for u in users if arm_of(u) == arm]
+        assert rows[arm].n_users == len(members)
+        assert rows[arm].sum_y == sum(ys[u] for u in members)
+    # global-mean preservation: weighted mean of adjusted == mean of y,
+    # exactly in the pre-floor arithmetic -> within 1 micro per arm after
+    total_y_micro = (1_000_000 * sy) // n
+    w_adj = sum(rows[a].mean_adj_micro * rows[a].n_users for a in (0, 1))
+    assert abs(w_adj - total_y_micro * n) <= n + 2 * 1  # floor slack per arm
