@@ -322,6 +322,118 @@ def store_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def store_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY for the copy-on-write store — the audit surface
+    every lakehouse table format exposes: build the table (init v0 =
+    docs with doc_id%3≠0), run an upsert (v1: docs with doc_id%10<3,
+    n_chars+7 — updates where the key existed, inserts where it
+    didn't) and a predicate delete (v2: rows whose CURRENT n_chars is
+    divisible by 7), then report per VERSION: row count, keys added and
+    keys removed vs the previous version, and the current-pointer flag.
+    The oracle replays the exact three states in SQL over ``documents``,
+    so a wrong writer (lost update, resurrection after delete, version
+    skew) breaks a count or a key-diff.
+
+    Scale shape: the history scan reads each version through its
+    manifest (structural sharing — only touched buckets differ) and the
+    key-diffs are consecutive-version FULL OUTER joins on the bucketed
+    key; version count, not data volume, drives the report."""
+    import shutil
+    import tempfile
+
+    from mongraph_spark.sources import merge as merge_store
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    app_id = spark.sparkContext.applicationId
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(tempfile.gettempdir(), f"mg_history_{app_id}_{sf_tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    merge_store.init_table(
+        docs.filter(F.col("doc_id") % 3 != 0), root, key="doc_id", n_buckets=8
+    )
+    merge_store.upsert(
+        spark,
+        root,
+        docs.filter(F.col("doc_id") % 10 < 3).withColumn(
+            "n_chars", F.col("n_chars") + 7
+        ),
+        key="doc_id",
+        order_col="n_chars",
+    )
+    merge_store.delete_where(spark, root, F.col("n_chars") % 7 == 0)
+    states = [
+        merge_store.read_version(spark, root, v)
+        .select("doc_id")
+        .withColumn("version", F.lit(v).cast("long"))
+        for v in range(3)
+    ]
+    allv = states[0].unionByName(states[1]).unionByName(states[2])
+    counts = allv.groupBy("version").agg(F.count(F.lit(1)).alias("n_rows"))
+
+    def diff(prev: DataFrame, cur: DataFrame, v: int) -> DataFrame:
+        p = prev.select(F.col("doc_id").alias("k")).withColumn("in_p", F.lit(1))
+        c = cur.select(F.col("doc_id").alias("k")).withColumn("in_c", F.lit(1))
+        j = p.join(c, "k", "full_outer")
+        return j.agg(
+            F.lit(v).cast("long").alias("version"),
+            F.sum(F.when(F.col("in_p").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_added"),
+            F.sum(F.when(F.col("in_c").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    first = spark.range(1).select(
+        F.lit(0).cast("long").alias("version"),
+        F.lit(None).cast("long").alias("n_added"),
+        F.lit(0).cast("long").alias("n_removed"),
+    )
+    diffs = first.unionByName(diff(states[0], states[1], 1)).unionByName(
+        diff(states[1], states[2], 2)
+    )
+    cur_v = int(merge_store.current_version(root).split("_")[1])
+    return (
+        counts.join(diffs, "version")
+        .select(
+            "version",
+            "n_rows",
+            # v0's "added" is its full row count (no predecessor)
+            F.coalesce("n_added", "n_rows").alias("n_added"),
+            "n_removed",
+            (F.col("version") == F.lit(cur_v)).cast("long").alias("is_current"),
+        )
+    )
+
+
+ORACLE_STORE_HISTORY = """
+WITH s0 AS (
+  SELECT doc_id, n_chars FROM documents WHERE doc_id % 3 != 0
+),
+s1 AS (
+  -- upsert: %10<3 rows replace/insert with n_chars+7 (last-writer-wins)
+  SELECT doc_id, n_chars + 7 AS n_chars FROM documents WHERE doc_id % 10 < 3
+  UNION ALL
+  SELECT doc_id, n_chars FROM s0 WHERE doc_id % 10 >= 3
+),
+s2 AS (SELECT doc_id, n_chars FROM s1 WHERE n_chars % 7 != 0)
+SELECT 0 AS version, (SELECT count(*) FROM s0) AS n_rows,
+       (SELECT count(*) FROM s0) AS n_added, 0 AS n_removed,
+       CAST(0 AS BIGINT) AS is_current
+UNION ALL
+SELECT 1, (SELECT count(*) FROM s1),
+       (SELECT count(*) FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM s0)),
+       (SELECT count(*) FROM s0 WHERE doc_id NOT IN (SELECT doc_id FROM s1)),
+       CAST(0 AS BIGINT)
+UNION ALL
+SELECT 2, (SELECT count(*) FROM s2),
+       (SELECT count(*) FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM s1)),
+       (SELECT count(*) FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM s2)),
+       CAST(1 AS BIGINT)
+"""
+
+
 ORACLE_MERGE_INTO = """
 WITH merged AS (
   -- survivors: not deleted; %10==0 rows updated
@@ -890,6 +1002,7 @@ QUERIES = {
     "dq_expectations": dq_expectations,
     "store_compaction": store_compaction,
     "store_merge_into": store_merge_into,
+    "store_history": store_history,
     "zorder_data_skipping": zorder_data_skipping,
     "bloom_filter_skipping": bloom_filter_skipping,
     "zorder_pruning_benefit": zorder_pruning_benefit,
@@ -900,6 +1013,7 @@ ORACLES = {
     "dq_expectations": ORACLE_DQ,
     "store_compaction": ORACLE_COMPACTION,
     "store_merge_into": ORACLE_MERGE_INTO,
+    "store_history": ORACLE_STORE_HISTORY,
     "zorder_data_skipping": ORACLE_ZORDER,
     "bloom_filter_skipping": ORACLE_BLOOM,
     "zorder_pruning_benefit": ORACLE_PRUNING,

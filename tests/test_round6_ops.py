@@ -339,3 +339,20 @@ def test_ab_cuped_invariants(spark):
     total_y_micro = (1_000_000 * sy) // n
     w_adj = sum(rows[a].mean_adj_micro * rows[a].n_users for a in (0, 1))
     assert abs(w_adj - total_y_micro * n) <= n + 2 * 1  # floor slack per arm
+
+
+def test_store_history_conservation(spark):
+    """Version-over-version accounting must balance: n_rows(v) =
+    n_rows(v-1) + n_added(v) - n_removed(v), v0's added is its own row
+    count, and exactly the last version is current."""
+    from mongraph_spark.queries.quality import store_history
+
+    rows = {r.version: r for r in store_history(spark, SF).collect()}
+    assert set(rows) == {0, 1, 2}
+    assert rows[0].n_added == rows[0].n_rows and rows[0].n_removed == 0
+    for v in (1, 2):
+        assert (
+            rows[v].n_rows
+            == rows[v - 1].n_rows + rows[v].n_added - rows[v].n_removed
+        )
+    assert [rows[v].is_current for v in (0, 1, 2)] == [0, 0, 1]
