@@ -1247,6 +1247,117 @@ GROUP BY eval_id
 """
 
 
+DEDUP_THRESHOLDS_BP = [7000, 8000, 9000]
+
+
+def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold tuning sheet — pair yield and planted-truth hits as a
+    CURVE over the Jaccard cutoff ∈ {DEDUP_THRESHOLDS_BP} bp (the dedup
+    sibling of ann_recall_curve's nprobe sweep): ONE LSH candidate build
+    + ONE exact intersection pass, then each threshold is a pure filter
+    over the scored pairs, so the whole curve costs one pipeline run.
+    Per threshold: candidate pairs passing, planted pairs passing
+    (id ↔ id+1M whose true Jaccard clears the SAME cutoff — the keyed
+    truth join, never all-pairs), and the hit count.  Monotone
+    non-increasing in the threshold by construction (pinned).
+
+    Exact integers: cutoff test is 10⁴·|∩| ≥ t_bp·|∪| — no float
+    crosses the engines.  Scale: inherits dedup_ngram_jaccard's shapes;
+    the sweep adds only per-threshold filters of the bounded scored
+    set."""
+    shingled = _shingled_corpus(spark, sf_dir, drop_last=2).localCheckpoint(
+        eager=True
+    )
+    cands = _lsh_candidate_pairs(shingled)
+    sa = shingled.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = shingled.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    scored = (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            inter.alias("c"),
+            (F.size("sh_a") + F.size("sh_b") - inter).alias("u"),
+        )
+        .localCheckpoint(eager=True)  # one scoring pass feeds every threshold
+    )
+    truth = (
+        sa.join(sb, F.col("id_b") == F.col("id_a") + ID_SHIFT)
+        .select(
+            "id_a",
+            "id_b",
+            inter.alias("c"),
+            (F.size("sh_a") + F.size("sh_b") - inter).alias("u"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    out = None
+    for t in DEDUP_THRESHOLDS_BP:
+        found = scored.filter(10000 * F.col("c") >= t * F.col("u")).select(
+            "id_a", "id_b"
+        )
+        tr = truth.filter(10000 * F.col("c") >= t * F.col("u")).select("id_a", "id_b")
+        part = (
+            found.agg(F.count(F.lit(1)).alias("n_pairs"))
+            .crossJoin(tr.agg(F.count(F.lit(1)).alias("n_truth")))
+            .crossJoin(
+                found.join(tr, ["id_a", "id_b"], "left_semi").agg(
+                    F.count(F.lit(1)).alias("n_hit")
+                )
+            )
+            .select(
+                F.lit(t).cast("long").alias("threshold_bp"),
+                "n_pairs",
+                "n_truth",
+                "n_hit",
+            )
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def _oracle_threshold_curve() -> str:
+    parts = []
+    for t in DEDUP_THRESHOLDS_BP:
+        parts.append(
+            f"""SELECT CAST({t} AS BIGINT) AS threshold_bp,
+       (SELECT count(*) FROM sc
+        WHERE 10000 * c >= {t} * u) AS n_pairs,
+       (SELECT count(*) FROM tr
+        WHERE 10000 * c >= {t} * u) AS n_truth,
+       (SELECT count(*) FROM sc s JOIN tr t2
+          ON s.id_a = t2.id_a AND s.id_b = t2.id_b
+        WHERE 10000 * s.c >= {t} * s.u
+          AND 10000 * t2.c >= {t} * t2.u) AS n_hit"""
+        )
+    body = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH {_oracle_corpus_droplast(2).strip().lstrip(",")},
+{_ORACLE_SHINGLES.strip()},
+{_oracle_minhash_sig_sql()},
+{_oracle_cands_sql()},
+sc AS MATERIALIZED (
+  SELECT c.id_a, c.id_b,
+         len(list_intersect(sa.shingles, sb.shingles)) AS c,
+         len(sa.shingles) + len(sb.shingles)
+           - len(list_intersect(sa.shingles, sb.shingles)) AS u
+  FROM cands c
+  JOIN shingled sa ON sa.doc_id = c.id_a
+  JOIN shingled sb ON sb.doc_id = c.id_b
+),
+tr AS MATERIALIZED (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.shingles, b.shingles)) AS c,
+         len(a.shingles) + len(b.shingles)
+           - len(list_intersect(a.shingles, b.shingles)) AS u
+  FROM shingled a JOIN shingled b ON b.doc_id = a.doc_id + {ID_SHIFT}
+)
+{body}
+"""
+
+
 # -- cross-method recall report ---------------------------------------------------
 
 
@@ -1359,6 +1470,7 @@ QUERIES = {
     "dedup_span_trim": dedup_span_trim,
     "corpus_span_decontamination": corpus_span_decontamination,
     "dedup_recall_report": dedup_recall_report,
+    "dedup_threshold_curve": dedup_threshold_curve,
 }
 
 ORACLES = {
@@ -1375,4 +1487,5 @@ ORACLES = {
     "dedup_span_trim": ORACLE_SPAN_TRIM,
     "corpus_span_decontamination": ORACLE_SPAN_DECONTAM,
     "dedup_recall_report": _oracle_recall_report(),
+    "dedup_threshold_curve": _oracle_threshold_curve(),
 }

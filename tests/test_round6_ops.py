@@ -356,3 +356,25 @@ def test_store_history_conservation(spark):
             == rows[v - 1].n_rows + rows[v].n_added - rows[v].n_removed
         )
     assert [rows[v].is_current for v in (0, 1, 2)] == [0, 0, 1]
+
+
+def test_threshold_curve_monotone(spark):
+    """Pair yield, truth size, and hits are monotone non-increasing in
+    the threshold (filters are nested), and the 8000 bp point reproduces
+    dedup_ngram_jaccard's pair count."""
+    from mongraph_spark.queries.dedup import (
+        DEDUP_THRESHOLDS_BP,
+        dedup_ngram_jaccard,
+        dedup_threshold_curve,
+    )
+
+    rows = {r.threshold_bp: r for r in dedup_threshold_curve(spark, SF).collect()}
+    assert sorted(rows) == sorted(DEDUP_THRESHOLDS_BP)
+    ts = sorted(rows)
+    for a, b in zip(ts, ts[1:]):
+        assert rows[a].n_pairs >= rows[b].n_pairs
+        assert rows[a].n_truth >= rows[b].n_truth
+        assert rows[a].n_hit >= rows[b].n_hit
+    for r in rows.values():
+        assert r.n_hit <= min(r.n_pairs, r.n_truth)
+    assert rows[8000].n_pairs == dedup_ngram_jaccard(spark, SF).count()
