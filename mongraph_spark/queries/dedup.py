@@ -933,10 +933,16 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     caps fingerprints; both engines here share the uncapped exact form).
     The RLE window is bounded by matches-per-diagonal, and every stage
     is gram/pair-keyed — linear in total matching-gram mass."""
-    corpus = span_corpus(spark, sf_dir)
+    return span_pairs(span_corpus(spark, sf_dir), SPAN_GRAM, MIN_SPAN)
+
+
+def span_pairs(corpus: DataFrame, k: int, min_span: int) -> DataFrame:
+    """The detection core on an arbitrary (doc_id, text) DataFrame —
+    exposed separately so property-based tests can drive it against a
+    brute-force reference on random corpora (tests/test_property_based)."""
     grams = corpus.select(
         "doc_id",
-        F.posexplode(_positioned_grams(F.split(F.col("text"), " "), SPAN_GRAM)).alias(
+        F.posexplode(_positioned_grams(F.split(F.col("text"), " "), k)).alias(
             "pos", "gram"
         ),
     ).localCheckpoint(eager=True)  # feeds both sides of the self-join
@@ -960,13 +966,13 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("pa").alias("pa0"),
             F.min("pb").alias("pb0"),
         )
-        .filter(F.col("n_grams") + SPAN_GRAM - 1 >= MIN_SPAN)
+        .filter(F.col("n_grams") + k - 1 >= min_span)
         .select(
             "id_a",
             "id_b",
             (F.col("pa0") + 1).cast("long").alias("start_a"),
             (F.col("pb0") + 1).cast("long").alias("start_b"),
-            (F.col("n_grams") + SPAN_GRAM - 1).cast("long").alias("span_tokens"),
+            (F.col("n_grams") + k - 1).cast("long").alias("span_tokens"),
         )
     )
 

@@ -283,3 +283,59 @@ def test_store_matches_dict_model(spark, tmp_path_factory, ops):
         for r in M.read_current(spark, root).drop("__bucket").collect()
     }
     assert got == model
+
+
+# -- span RLE detector == brute-force diagonal walk ----------------------------------
+#
+# For ANY corpus, the positioned-gram + gaps-and-islands detector must
+# report exactly the maximal cross-doc token runs of length >= min_span
+# (a token run of L >= k contributes exactly L-k+1 consecutive matching
+# grams on one diagonal).  Tiny alphabet on purpose: accidental matches
+# everywhere, so runs split/merge/abut in adversarial ways.
+
+_SPAN_K, _SPAN_MIN = 3, 4
+
+
+def _brute_spans(docs: dict[int, list[str]]) -> set[tuple]:
+    out = set()
+    ids = sorted(docs)
+    for i, ia in enumerate(ids):
+        for ib in ids[i + 1 :]:
+            a, b = docs[ia], docs[ib]
+            for d in range(-(len(b) - 1), len(a)):
+                run = 0
+                for pa in range(max(0, d), min(len(a), len(b) + d) + 1):
+                    match = (
+                        pa < len(a)
+                        and 0 <= pa - d < len(b)
+                        and a[pa] == b[pa - d]
+                    )
+                    if match:
+                        run += 1
+                    else:
+                        if run >= _SPAN_MIN:
+                            out.add((ia, ib, pa - run + 1, pa - run - d + 1, run))
+                        run = 0
+    return out
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=26),
+        min_size=2,
+        max_size=4,
+    )
+)
+def test_span_detector_equals_bruteforce(spark, docs_tokens):
+    from mongraph_spark.queries.dedup import span_pairs
+
+    docs = {i: toks for i, toks in enumerate(docs_tokens)}
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in docs.items()], "doc_id long, text string"
+    )
+    got = {
+        (r.id_a, r.id_b, r.start_a, r.start_b, r.span_tokens)
+        for r in span_pairs(df, _SPAN_K, _SPAN_MIN).collect()
+    }
+    assert got == _brute_spans(docs)
