@@ -110,8 +110,11 @@ def _write_meta(
     # reverse.
     cur = current_version(root)
     if cur is not None and os.path.exists(os.path.join(root, cur, _META)):
-        with open(os.path.join(root, cur, _META), "w") as fh:
+        staged = os.path.join(root, cur, _META)
+        tmp = staged + ".tmp"
+        with open(tmp, "w") as fh:
             json.dump(meta, fh)
+        os.replace(tmp, staged)  # atomic: never leave truncated staged meta
     _sync_root_meta(root, meta)
 
 
@@ -135,6 +138,11 @@ def _read_meta(root: str) -> dict:
             with open(os.path.join(root, cur, _META)) as fh:
                 staged = json.load(fh)
         except (FileNotFoundError, NotADirectoryError):
+            staged = None
+        except json.JSONDecodeError:
+            # Pre-fix truncated staged copy (non-atomic write crashed
+            # mid-flush): fall back to the root fast-path copy rather
+            # than wedging every read.
             staged = None
         if staged is not None:
             try:

@@ -57,3 +57,47 @@ def test_iterative_loops_have_bounded_lineage(spark):
     assert iters >= 2
     plan = ranks._jdf.queryExecution().optimizedPlan().toString()
     assert "Join" not in plan, plan
+
+
+def test_pagerank_converged_probe_deltas_far_from_tol():
+    """ADVICE r6: the convergence-replay oracle compares float max|Δrank| to
+    tol independently in each engine; a delta within float noise of tol could
+    pick a different rounds_run per engine.  Pin that this cannot happen on
+    the driver's data: at every probed round the delta is either >> tol or
+    << tol (the doc graph is a shallow DAG — deltas collapse to EXACTLY 0 at
+    round 6), so engine-order float noise (~1e-12 relative) cannot flip the
+    threshold test."""
+    import os
+
+    import duckdb
+
+    from mongraph_spark.graphs import tpch
+    from mongraph_spark.queries import graph_analytics as ga
+
+    tol = ga.PR_CONV_TOL_BP / 10000.0
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        con = duckdb.connect()
+        tables = "region nation customer supplier part orders lineitem events documents embeddings"
+        for t in tables.split():
+            p = f"{sf_dir}/{t}.parquet"
+            if os.path.exists(p):
+                con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+        checks = list(
+            range(ga.PR_CONV_CHECK_EVERY, ga.PR_CONV_MAX_ITER + 1, ga.PR_CONV_CHECK_EVERY)
+        )
+        deltas = "\nUNION ALL\n".join(
+            f"SELECT {k} AS k, max(abs(a.rank-b.rank)) AS d"
+            f" FROM r{k} a JOIN r{k-1} b ON a.node_id = b.node_id"
+            for k in checks
+        )
+        sql = tpch.oracle_with(
+            "SELECT k, d FROM deltas ORDER BY k",
+            extra_ctes=f"{ga._pagerank_unroll(ga.PR_CONV_MAX_ITER)},\ndeltas AS (\n{deltas}\n)",
+        )
+        rows = con.execute(sql).fetchall()
+        assert rows
+        for _k, d in rows:
+            # every probe must be at least 100x away from the threshold in
+            # one direction or the other — float noise is ~1e-12 relative
+            assert d > 100 * tol or d < tol / 100, (sf_dir, _k, d, tol)
+        con.close()

@@ -36,11 +36,39 @@ SIGNALS = [
     # cartesians: only 1-row/scalar attachments are legitimate — anything
     # else is a quadratic blowup waiting for scale
     ("cartesian", r"CartesianProduct|BroadcastNestedLoopJoin"),
-    # a Window with an empty partition spec moves ALL rows to one task;
-    # every remaining site must be a documented-bounded input (the
-    # const_part() sites intentionally do NOT match this pattern)
-    ("unpart_window", r"Window \[[^\]]*\], \[\](?:, )"),
 ]
+
+# A Window with an empty partition spec moves ALL rows to one task.  Spark
+# ELIDES an empty partition spec from the plan string (an unpartitioned
+# window prints `Window [exprs], [order]` — no `[]` marker), so it cannot
+# be detected from the Window line alone; what IS reliable is the physical
+# prerequisite: an `Exchange SinglePartition` feeding the Window (through
+# the Sort Spark inserts for the frame ordering).  const_part() sites hash-
+# partition on a literal and so do NOT produce Exchange SinglePartition.
+_UNPART_WINDOW = re.compile(
+    r"Window [^\n]*\n(?:[^\n]*\n){0,2}?[^\n]*Exchange SinglePartition"
+)
+
+
+def count_unpart_windows(plan: str) -> int:
+    return len(_UNPART_WINDOW.findall(plan))
+
+
+def selftest_unpart_window(spark) -> None:
+    """The r6 pattern could never match (silent false-negative in the
+    evidence channel); pin that this one matches a known unpartitioned
+    window and does NOT match a partitioned one."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).withColumn("r", F.row_number().over(W.orderBy("id")))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert count_unpart_windows(plan) >= 1, plan
+    part = spark.range(100).withColumn(
+        "r", F.row_number().over(W.partitionBy(F.col("id") % 7).orderBy("id"))
+    )
+    pplan = part._jdf.queryExecution().executedPlan().toString()
+    assert count_unpart_windows(pplan) == 0, pplan
 
 
 def audit_one(spark, name, fn, sf_dir) -> dict | None:
@@ -53,6 +81,7 @@ def audit_one(spark, name, fn, sf_dir) -> dict | None:
     row = {"query": name, "compile_sec": round(time.perf_counter() - t0, 2)}
     for key, pat in SIGNALS:
         row[key] = len(re.findall(pat, plan))
+    row["unpart_window"] = count_unpart_windows(plan)
     row["codegen_spans"] = len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan)))
     return row
 
@@ -66,6 +95,7 @@ def main() -> None:
 
     spark = get_spark("plan_audit", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
     spark.sparkContext.setLogLevel("ERROR")
+    selftest_unpart_window(spark)
 
     qs = dict(entrymod.queries())
     if args.extended:
