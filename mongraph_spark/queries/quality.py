@@ -434,6 +434,107 @@ SELECT 2, (SELECT count(*) FROM s2),
 """
 
 
+def store_conflict_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimistic-concurrency contract of the CoW store, end to end: a
+    SECOND live writer racing the same snapshot must get a typed
+    :class:`mongraph_spark.sources.merge.CommitConflict` at claim time
+    (fail-fast, before spending compute), and its clean retry via
+    :func:`mongraph_spark.sources.merge.commit_with_retry` must recompute
+    against the winner's committed snapshot — the Delta-style conflict
+    protocol, driver-verifiable.
+
+    Deterministic replay of the race: writer A claims the next version
+    (``_next_version``) and stalls; writer B's upsert (+3 n_chars on
+    doc_id%10==4) raises CommitConflict — counted — then A "crashes" (its
+    claim is aged past CLAIM_TTL_S) and B's retry takes the stale claim
+    over, clears A's leftover, and commits.  A second, uncontended upsert
+    (+5 on doc_id%10==5) then advances the table again.  Output = final
+    per-source profile + the observed conflict count + final version
+    number; the oracle replays the expected final state in SQL, so a lost
+    update, double-applied batch, or resurrected row breaks the hash.
+
+    At scale the claim file is one O_EXCL create per commit on the table
+    root (an object-store conditional PUT in production) — contention cost
+    is per-COMMIT, never per-row, and losers fail before reading data."""
+    import shutil
+    import tempfile
+
+    from mongraph_spark.sources import merge as merge_store
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    app_id = spark.sparkContext.applicationId
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(tempfile.gettempdir(), f"mg_conflict_{app_id}_{sf_tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    merge_store.init_table(docs, root, key="doc_id", n_buckets=8)
+
+    # writer A: claims v1, then stalls (simulated live writer mid-commit)
+    ver_a = merge_store._next_version(root)
+    batch_b = docs.filter(F.col("doc_id") % 10 == 4).withColumn(
+        "n_chars", F.col("n_chars") + 3
+    )
+    n_conflicts = 0
+
+    def b_upsert():
+        return merge_store.upsert(spark, root, batch_b, key="doc_id")
+
+    try:
+        b_upsert()
+    except merge_store.CommitConflict:
+        n_conflicts += 1
+    # A crashes; its claim ages out, B's retry takes over and commits
+    claim = merge_store._claim_path(root, ver_a)
+    os.utime(claim, (10.0, 10.0))
+    merge_store.commit_with_retry(b_upsert, max_retries=3, backoff_s=0.01)
+    # an uncontended follow-up commit
+    merge_store.upsert(
+        spark,
+        root,
+        docs.filter(F.col("doc_id") % 10 == 5).withColumn(
+            "n_chars", F.col("n_chars") + 5
+        ),
+        key="doc_id",
+    )
+    final_v = int(merge_store.current_version(root).split("_")[1])
+    cur = merge_store.read_current(spark, root).drop("__bucket")
+    return cur.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.col("doc_id"), F.col("n_chars"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+        )
+        .cast("bigint")
+        .alias("checksum"),
+        F.lit(n_conflicts).cast("bigint").alias("n_conflicts"),
+        F.lit(final_v).cast("bigint").alias("final_version"),
+    )
+
+
+ORACLE_CONFLICT_RETRY = """
+WITH final AS (
+  SELECT doc_id, source,
+         n_chars + CASE WHEN doc_id % 10 = 4 THEN 3
+                        WHEN doc_id % 10 = 5 THEN 5 ELSE 0 END AS n_chars
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(n_chars AS VARCHAR)), 1, 8))::BIGINT) AS BIGINT) AS checksum,
+       CAST(1 AS BIGINT) AS n_conflicts,
+       CAST(2 AS BIGINT) AS final_version
+FROM final
+GROUP BY source
+"""
+
+
 ORACLE_MERGE_INTO = """
 WITH merged AS (
   -- survivors: not deleted; %10==0 rows updated
@@ -1003,6 +1104,7 @@ QUERIES = {
     "store_compaction": store_compaction,
     "store_merge_into": store_merge_into,
     "store_history": store_history,
+    "store_conflict_retry": store_conflict_retry,
     "zorder_data_skipping": zorder_data_skipping,
     "bloom_filter_skipping": bloom_filter_skipping,
     "zorder_pruning_benefit": zorder_pruning_benefit,
@@ -1014,6 +1116,7 @@ ORACLES = {
     "store_compaction": ORACLE_COMPACTION,
     "store_merge_into": ORACLE_MERGE_INTO,
     "store_history": ORACLE_STORE_HISTORY,
+    "store_conflict_retry": ORACLE_CONFLICT_RETRY,
     "zorder_data_skipping": ORACLE_ZORDER,
     "bloom_filter_skipping": ORACLE_BLOOM,
     "zorder_pruning_benefit": ORACLE_PRUNING,

@@ -43,6 +43,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -53,6 +54,27 @@ _META = "_TABLE.json"
 _MANIFEST = "manifest.json"
 _BUCKET = "__bucket"
 DEFAULT_BUCKETS = 16
+
+# A live writer's claim on the next version is considered abandoned after
+# this many seconds (crashed writer); a fresh claim raises CommitConflict
+# instead of being clobbered.  Tests shrink this to exercise takeover.
+CLAIM_TTL_S = 600.0
+
+
+class CommitConflict(RuntimeError):
+    """Optimistic-concurrency conflict: another live writer holds (or won)
+    the commit for the version this writer targeted.  The Delta-style
+    contract: the losing writer's work is discarded and the caller retries
+    the WHOLE mutation, which re-reads the advanced snapshot and recomputes
+    against the new base (see :func:`commit_with_retry`)."""
+
+    def __init__(self, root: str, target: str, detail: str):
+        self.root = root
+        self.target = target
+        super().__init__(
+            f"commit conflict on {root}: {detail} (target version {target}); "
+            "retry the mutation against the advanced snapshot"
+        )
 
 
 def _version_name(n: int) -> str:
@@ -67,24 +89,114 @@ def current_version(root: str) -> str | None:
         return None
 
 
+def _claim_path(root: str, ver: str) -> str:
+    return os.path.join(root, ver + ".claim")
+
+
 def _next_version(root: str) -> str:
+    """Claim the next version name ATOMICALLY (optimistic concurrency).
+
+    The claim is a sibling marker file ``<ver>.claim`` created with
+    O_CREAT|O_EXCL — exactly one of any number of racing writers wins it;
+    losers get :class:`CommitConflict` immediately, BEFORE spending any
+    compute on the merge (fail-fast is the cheap half of the Delta
+    protocol; the winner's pointer flip is the commit).  A claim older
+    than :data:`CLAIM_TTL_S` belongs to a crashed writer: takeover is an
+    atomic ``os.replace`` of the claim (exactly one racer's rename
+    succeeds), after which the winner clears the dead writer's leftover
+    version dir and re-claims.  A leftover dir with NO claim (pre-OCC
+    crash) is cleared as before — the pointer always names the max
+    COMMITTED version, so an uncommitted next-version dir is never live
+    data."""
     cur = current_version(root)
     ver = _version_name(0 if cur is None else int(cur.split("_")[1]) + 1)
-    # The pointer is the commit point and always names the max committed
-    # version, so a dir already holding next-version's name can only be an
-    # uncommitted leftover from a crashed writer.  Clear it so the retry's
-    # errorifexists parquet write starts clean instead of failing forever.
-    leftover = os.path.join(root, ver)
-    if os.path.isdir(leftover):
-        shutil.rmtree(leftover)
-    return ver
+    claim = _claim_path(root, ver)
+    for attempt in (0, 1):
+        try:
+            fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            try:
+                age = time.time() - os.path.getmtime(claim)
+            except FileNotFoundError:
+                continue  # holder just committed/released; re-try the claim
+            if age <= CLAIM_TTL_S or attempt == 1:
+                raise CommitConflict(
+                    root, ver, f"live writer holds claim {ver}.claim (age {age:.1f}s)"
+                ) from None
+            # stale claim: atomic takeover — exactly one racer's replace
+            # succeeds; anyone else sees FileNotFoundError and loops
+            try:
+                os.replace(claim, claim + f".stale.{os.getpid()}")
+            except FileNotFoundError:
+                continue
+            leftover = os.path.join(root, ver)
+            if os.path.isdir(leftover):
+                shutil.rmtree(leftover)
+            try:
+                os.unlink(claim + f".stale.{os.getpid()}")
+            except FileNotFoundError:
+                pass
+            continue
+        with os.fdopen(fd, "w") as fh:
+            json.dump({"pid": os.getpid(), "ts": time.time()}, fh)
+        leftover = os.path.join(root, ver)
+        if os.path.isdir(leftover):
+            # un-claimed leftover from a pre-OCC crashed writer
+            shutil.rmtree(leftover)
+        return ver
+    raise CommitConflict(root, ver, "could not win claim")  # pragma: no cover
 
 
 def _flip(root: str, version: str) -> None:
+    """Commit: verify the snapshot this writer planned against is STILL
+    current (defense in depth — the claim already serializes writers),
+    atomically swap the pointer, then release the claim."""
+    cur = current_version(root)
+    expected = (
+        None if version == _version_name(0) else _version_name(int(version.split("_")[1]) - 1)
+    )
+    if cur != expected:
+        # another writer advanced the table between our read and our flip;
+        # discard our staged version and surface the typed conflict
+        staged = os.path.join(root, version)
+        if os.path.isdir(staged):
+            shutil.rmtree(staged)
+        try:
+            os.unlink(_claim_path(root, version))
+        except FileNotFoundError:
+            pass
+        raise CommitConflict(
+            root, version, f"snapshot advanced: expected {expected}, found {cur}"
+        )
     tmp = os.path.join(root, _POINTER + ".tmp")
     with open(tmp, "w") as fh:
         fh.write(version)
     os.replace(tmp, os.path.join(root, _POINTER))  # atomic pointer swap
+    try:
+        os.unlink(_claim_path(root, version))
+    except FileNotFoundError:
+        pass
+
+
+def commit_with_retry(mutation, max_retries: int = 5, backoff_s: float = 0.05):
+    """Run a store mutation under optimistic-concurrency retry: on
+    :class:`CommitConflict` the WHOLE closure re-runs — every mutator
+    re-reads ``_CURRENT`` and the meta at call time, so the retry
+    recomputes against the advanced snapshot (never replays a stale plan).
+    Linear backoff keeps racing writers from lock-stepping.
+
+    ``mutation`` is a zero-arg callable, e.g.
+    ``commit_with_retry(lambda: upsert(spark, root, batch, key="id"))``."""
+    last: CommitConflict | None = None
+    for attempt in range(max_retries + 1):
+        try:
+            return mutation()
+        except CommitConflict as exc:
+            last = exc
+            if attempt < max_retries:
+                time.sleep(backoff_s * (attempt + 1))
+    assert last is not None
+    raise last
 
 
 def _write_meta(

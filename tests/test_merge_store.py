@@ -633,3 +633,114 @@ def test_add_column_preserves_rebucket_fence(spark, tmp_path):
         restore(root, version=0)
     cur = read_current(spark, root)
     assert cur.filter(F.col("score") == 0).count() == 100
+
+
+# -- optimistic concurrency (live-writer contract) ----------------------------
+
+
+def test_live_writer_conflict_fails_fast(spark, tmp_path):
+    """Two LIVE writers racing the same snapshot: the second one must get a
+    typed CommitConflict at claim time (before spending compute), not
+    clobber the first writer's in-flight version dir."""
+    import pytest as _pytest
+
+    from mongraph_spark.sources import merge as M
+
+    root = str(tmp_path / "tbl")
+    init_table(_base(spark), root, key="id", n_buckets=4)
+    # writer A begins: claims v_00001 (fresh claim, still uncommitted)
+    ver_a = M._next_version(root)
+    assert ver_a == "v_00001" and os.path.exists(M._claim_path(root, ver_a))
+    # writer B races the same snapshot: typed conflict, fail-fast
+    batch = spark.createDataFrame([(1, "b", 1)], "id long, name string, rev long")
+    with _pytest.raises(M.CommitConflict, match="live writer holds claim"):
+        upsert(spark, root, batch, key="id", order_col="rev")
+    # A commits; B's clean retry recomputes against the ADVANCED snapshot
+    a_rows = spark.createDataFrame([(2, "a", 1)], "id long, name string, rev long")
+    a_rows.withColumn("__bucket", M._bucket_expr("id", 4)).write.mode(
+        "overwrite"
+    ).partitionBy("__bucket").parquet(os.path.join(root, ver_a))
+    man = M._read_manifest(root, "v_00000")
+    new_map = dict(man)
+    new_map.update(M._written_buckets(root, ver_a))
+    M._write_manifest(root, ver_a, new_map)
+    M._flip(root, ver_a)
+    assert not os.path.exists(M._claim_path(root, ver_a))  # claim released
+    v2 = upsert(spark, root, batch, key="id", order_col="rev")
+    assert v2 == "v_00002"
+    got = {r.id: r.name for r in read_current(spark, root).filter(
+        F.col("id").isin(1, 2)).collect()}
+    assert got == {1: "b", 2: "a"}
+
+
+def test_stale_claim_takeover(spark, tmp_path):
+    """A crashed writer's claim (older than CLAIM_TTL_S) must not wedge the
+    table: the next writer atomically takes the claim over, clears the dead
+    writer's leftover dir, and commits."""
+    from mongraph_spark.sources import merge as M
+
+    root = str(tmp_path / "tbl")
+    init_table(_base(spark), root, key="id", n_buckets=4)
+    claim = M._claim_path(root, "v_00001")
+    with open(claim, "w") as fh:
+        fh.write("{}")
+    os.makedirs(os.path.join(root, "v_00001", "junk"))
+    old = 10.0  # epoch 1970: way past any TTL
+    os.utime(claim, (old, old))
+    batch = spark.createDataFrame([(7, "takeover", 1)], "id long, name string, rev long")
+    ver = upsert(spark, root, batch, key="id", order_col="rev")
+    assert ver == "v_00001"
+    assert not os.path.exists(claim)
+    assert read_current(spark, root).filter(F.col("id") == 7).first().name == "takeover"
+
+
+def test_snapshot_advance_detected_at_flip(spark, tmp_path):
+    """Defense in depth: a flip whose target does not directly succeed the
+    CURRENT pointer (snapshot advanced underneath) raises CommitConflict and
+    discards the staged version instead of committing a lost update."""
+    import pytest as _pytest
+
+    from mongraph_spark.sources import merge as M
+
+    root = str(tmp_path / "tbl")
+    init_table(_base(spark), root, key="id", n_buckets=4)  # current: v_00000
+    os.makedirs(os.path.join(root, "v_00002"))
+    with _pytest.raises(M.CommitConflict, match="snapshot advanced"):
+        M._flip(root, "v_00002")
+    assert current_version(root) == "v_00000"
+    assert not os.path.isdir(os.path.join(root, "v_00002"))  # staged discarded
+
+
+def test_commit_with_retry_concurrent_writers(spark, tmp_path):
+    """Two genuinely concurrent writers under commit_with_retry: both
+    mutations land (serialized by the claim; the loser re-runs against the
+    winner's committed version), no lost update, version advances twice."""
+    import threading
+
+    from mongraph_spark.sources import merge as M
+
+    root = str(tmp_path / "tbl")
+    init_table(_base(spark), root, key="id", n_buckets=4)
+    errs = []
+
+    def writer(lo, hi, tag):
+        rows = [(i, f"{tag}{i}", 1) for i in range(lo, hi)]
+        batch = spark.createDataFrame(rows, "id long, name string, rev long")
+        try:
+            M.commit_with_retry(
+                lambda: upsert(spark, root, batch, key="id", order_col="rev"),
+                max_retries=20,
+                backoff_s=0.2,
+            )
+        except Exception as exc:  # noqa: BLE001
+            errs.append(exc)
+
+    t1 = threading.Thread(target=writer, args=(0, 5, "w1_"))
+    t2 = threading.Thread(target=writer, args=(50, 55, "w2_"))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs, errs
+    assert current_version(root) == "v_00002"
+    cur = read_current(spark, root)
+    got = {r.id: r.name for r in cur.filter(F.col("id").isin(0, 4, 50, 54)).collect()}
+    assert got == {0: "w1_0", 4: "w1_4", 50: "w2_50", 54: "w2_54"}
+    assert cur.count() == 100  # upserts replaced, never duplicated

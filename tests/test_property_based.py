@@ -339,3 +339,70 @@ def test_span_detector_equals_bruteforce(spark, docs_tokens):
         for r in span_pairs(df, _SPAN_K, _SPAN_MIN).collect()
     }
     assert got == _brute_spans(docs)
+
+
+# -- racing writers == sequential model (optimistic concurrency) ---------------
+#
+# For ANY interleaving of two live writers racing disjoint-key upserts under
+# commit_with_retry, the claim protocol must serialize them into SOME order;
+# disjoint keys make the two orders commute, so the final table must equal
+# the sequential model with both batches applied and the version log must
+# advance exactly once per writer (no lost update, no duplicate commit).
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(
+    keys1=st.sets(st.integers(0, 9), min_size=1, max_size=4),
+    keys2=st.sets(st.integers(10, 19), min_size=1, max_size=4),
+    rounds=st.integers(1, 2),
+)
+def test_racing_writers_match_sequential_model(
+    spark, tmp_path_factory, keys1, keys2, rounds
+):
+    import threading
+
+    from mongraph_spark.sources import merge as M
+
+    root = str(tmp_path_factory.mktemp("race") / "tbl")
+    base = [(i, f"n{i}", 0) for i in range(20)]
+    M.init_table(
+        spark.createDataFrame(base, "id long, name string, rev long"),
+        root, key="id", n_buckets=4,
+    )
+    model = {i: (f"n{i}", 0) for i in range(20)}
+
+    for rnd in range(1, rounds + 1):
+        errs = []
+
+        def writer(keys, tag, rnd=rnd):
+            rows = [(k, f"{tag}{k}r{rnd}", rnd) for k in sorted(keys)]
+            batch = spark.createDataFrame(rows, "id long, name string, rev long")
+            try:
+                M.commit_with_retry(
+                    lambda: M.upsert(spark, root, batch, key="id", order_col="rev"),
+                    max_retries=30,
+                    backoff_s=0.2,
+                )
+            except Exception as exc:  # noqa: BLE001
+                errs.append(exc)
+
+        t1 = threading.Thread(target=writer, args=(keys1, "a"))
+        t2 = threading.Thread(target=writer, args=(keys2, "b"))
+        t1.start(); t2.start(); t1.join(); t2.join()
+        assert not errs, errs
+        for k in keys1:
+            model[k] = (f"a{k}r{rnd}", rnd)
+        for k in keys2:
+            model[k] = (f"b{k}r{rnd}", rnd)
+        # exactly one committed version per writer per round
+        assert M.current_version(root) == f"v_{2 * rnd:05d}"
+
+    got = {
+        r.id: (r.name, r.rev)
+        for r in M.read_current(spark, root).drop("__bucket").collect()
+    }
+    assert got == model
