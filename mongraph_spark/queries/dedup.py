@@ -1253,6 +1253,232 @@ GROUP BY eval_id
 """
 
 
+# -- df-capped span dedup (the production knob, measured) ----------------------------
+#
+# dedup_span_exact's docstring documents the 100 TB move: drop ubiquitous
+# boilerplate grams by df-cap and key the shuffle on a gram HASH instead of
+# the gram string.  This variant RUNS that form against a corpus with
+# planted boilerplate (a license header prepended to every third doc) and
+# reports the tradeoff as data: shuffle mass dropped, quadratic pair
+# blowup avoided, and recall on the planted true spans.
+
+BOILER_HEADER = (
+    "license notice this document is distributed under the creative commons "
+    "attribution share alike license version four all rights reserved see "
+    "terms of use for details"
+)  # 28 tokens >= MIN_SPAN, so uncapped detection would pair EVERY two carriers
+BOILER_MOD = 3  # every third doc carries the header
+SPAN_DF_CAP = 8  # keep grams appearing in at most this many docs
+
+
+def span_boiler_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`span_corpus` (chimera plants = rare true spans) with the
+    license header prepended to every ``doc_id % BOILER_MOD == 0`` doc —
+    high-df boilerplate grams shared by a third of the corpus."""
+    return span_corpus(spark, sf_dir).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % BOILER_MOD == 0,
+            F.concat(F.lit(BOILER_HEADER + " "), F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+
+
+def span_pairs_capped(
+    corpus: DataFrame, k: int, min_span: int, df_cap: int
+) -> tuple[DataFrame, DataFrame]:
+    """Df-capped, hash-keyed span detection: positioned grams are keyed by
+    md5(gram) (128-bit, cross-engine deterministic — the gram STRING never
+    enters the shuffle), grams occurring in more than ``df_cap`` documents
+    are dropped BEFORE the self-join (each such gram contributes O(df²)
+    hit rows — the quadratic term boilerplate injects), and the surviving
+    hits run the same diagonal RLE as :func:`span_pairs`.
+
+    Returns ``(spans, gram_stats)`` where gram_stats is one row:
+    total gram occurrences, occurrences dropped by the cap, and distinct
+    docs carrying a dropped gram."""
+    grams = corpus.select(
+        "doc_id",
+        F.posexplode(_positioned_grams(F.split(F.col("text"), " "), k)).alias(
+            "pos", "gram"
+        ),
+    ).select("doc_id", "pos", F.md5("gram").alias("gh"))
+    grams = grams.localCheckpoint(eager=True)  # feeds df-count AND both join sides
+    df_per_gram = grams.groupBy("gh").agg(
+        F.countDistinct("doc_id").alias("gram_df")
+    )
+    tagged = grams.join(df_per_gram, "gh")
+    gram_stats = tagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_gram_occurrences"),
+        F.sum((F.col("gram_df") > df_cap).cast("long"))
+        .cast("long")
+        .alias("n_occ_dropped"),
+    )
+    keep = tagged.filter(F.col("gram_df") <= df_cap)
+    a = keep.select(F.col("doc_id").alias("id_a"), F.col("pos").alias("pa"), "gh")
+    b = keep.select(F.col("doc_id").alias("id_b"), F.col("pos").alias("pb"), "gh")
+    hits = (
+        a.join(b, "gh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "pa", "pb", (F.col("pa") - F.col("pb")).alias("diag"))
+    )
+    w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
+    runs = hits.withColumn("island", F.col("pa") - F.row_number().over(w))
+    spans = (
+        runs.groupBy("id_a", "id_b", "diag", "island")
+        .agg(F.count(F.lit(1)).alias("n_grams"), F.min("pa").alias("pa0"))
+        .filter(F.col("n_grams") + k - 1 >= min_span)
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("n_grams") + k - 1).cast("long").alias("span_tokens"),
+        )
+    )
+    return spans, gram_stats
+
+
+def dedup_span_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production form of span dedup, measured on planted boilerplate:
+    run :func:`span_pairs_capped` (df-cap {SPAN_DF_CAP}, md5 gram keys)
+    over :func:`span_boiler_corpus` and report ONE summary row —
+
+    - ``n_docs`` / ``n_boiler_docs``: corpus size and header carriers;
+    - ``n_gram_occurrences`` / ``n_occ_dropped``: total positioned-gram
+      shuffle mass and the share the cap removed (every dropped
+      occurrence would otherwise fan out ~df ways in the self-join);
+    - ``boiler_pairs_avoided`` = C(n_boiler_docs, 2): the quadratic pair
+      count the header ALONE would have injected uncapped (the header is
+      {MIN_SPAN}+ tokens, so every carrier pair would report a span);
+    - ``n_true_pairs`` / ``n_pairs_found`` / ``n_full_found``: planted
+      chimera pairs; those detected with any ≥{MIN_SPAN}-token span;
+      those whose detected span still covers the full {CHIM_SPAN}-token
+      plant (a mid-window gram over the cap splits a run — the
+      recall/efficiency tradeoff made visible);
+    - ``recall_bp`` = 10000·found/true.
+
+    The oracle replays cap, hash-keying, RLE, and every count in SQL.
+    At 100 TB: the df-count is one gram-keyed agg (mergeable), the cap is
+    the skew guard (no gram key fans out more than df_cap ways), and the
+    md5 key fixes shuffle width regardless of gram length."""
+    corpus = span_boiler_corpus(spark, sf_dir)
+    spans, gram_stats = span_pairs_capped(corpus, SPAN_GRAM, MIN_SPAN, SPAN_DF_CAP)
+    spans = spans.localCheckpoint(eager=True)
+
+    counts = corpus.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("doc_id") % BOILER_MOD == 0).cast("long"))
+        .cast("long")
+        .alias("n_boiler_docs"),
+        F.sum((F.col("doc_id") >= SPAN_ID_SHIFT).cast("long"))
+        .cast("long")
+        .alias("n_true_pairs"),
+    )
+    planted = spans.filter(
+        (F.col("id_b") >= SPAN_ID_SHIFT)
+        & (F.col("id_a") == F.col("id_b") - SPAN_ID_SHIFT + 1)
+    )
+    found = planted.agg(
+        F.countDistinct("id_b").cast("long").alias("n_pairs_found"),
+        F.countDistinct(F.when(F.col("span_tokens") >= CHIM_SPAN, F.col("id_b")))
+        .cast("long")
+        .alias("n_full_found"),
+    )
+    return (
+        counts.join(gram_stats)
+        .join(found)
+        .select(
+            "n_docs",
+            "n_boiler_docs",
+            "n_gram_occurrences",
+            "n_occ_dropped",
+            (F.col("n_boiler_docs") * (F.col("n_boiler_docs") - 1) / 2)
+            .cast("long")
+            .alias("boiler_pairs_avoided"),
+            "n_true_pairs",
+            "n_pairs_found",
+            "n_full_found",
+            F.floor(F.lit(10000) * F.col("n_pairs_found") / F.col("n_true_pairs"))
+            .cast("long")
+            .alias("recall_bp"),
+        )
+    )
+
+
+ORACLE_SPAN_CAPPED = f"""
+WITH {_SPAN_CORPUS_CTES},
+boiler AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN doc_id % {BOILER_MOD} = 0
+              THEN string_split('{BOILER_HEADER}', ' ') || words
+              ELSE words END AS words
+  FROM span_corpus
+),
+grams AS (
+  SELECT doc_id,
+         unnest(range(1, greatest(len(words) - {SPAN_GRAM - 1}, 0) + 1)) AS i,
+         words
+  FROM boiler
+),
+ghash AS MATERIALIZED (
+  SELECT doc_id, i - 1 AS pos,
+         md5(array_to_string(words[i:i + {SPAN_GRAM - 1}], ' ')) AS gh
+  FROM grams
+),
+dfreq AS MATERIALIZED (
+  SELECT gh, count(DISTINCT doc_id) AS gram_df FROM ghash GROUP BY gh
+),
+gram_stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_gram_occurrences,
+         CAST(sum(CASE WHEN d.gram_df > {SPAN_DF_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_occ_dropped
+  FROM ghash g JOIN dfreq d ON g.gh = d.gh
+),
+keep AS MATERIALIZED (
+  SELECT g.doc_id, g.pos, g.gh
+  FROM ghash g JOIN dfreq d ON g.gh = d.gh
+  WHERE d.gram_df <= {SPAN_DF_CAP}
+),
+hits AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa, a.pos - b.pos AS diag
+  FROM keep a JOIN keep b ON a.gh = b.gh AND a.doc_id < b.doc_id
+),
+runs AS (
+  SELECT id_a, id_b, diag, pa,
+         pa - row_number() OVER (PARTITION BY id_a, id_b, diag ORDER BY pa)
+           AS island
+  FROM hits
+),
+spans AS MATERIALIZED (
+  SELECT id_a, id_b, count(*) + {SPAN_GRAM - 1} AS span_tokens
+  FROM runs
+  GROUP BY id_a, id_b, diag, island
+  HAVING count(*) + {SPAN_GRAM - 1} >= {MIN_SPAN}
+),
+counts AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN doc_id % {BOILER_MOD} = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_boiler_docs,
+         CAST(sum(CASE WHEN doc_id >= {SPAN_ID_SHIFT} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_true_pairs
+  FROM span_corpus
+),
+found AS (
+  SELECT CAST(count(DISTINCT id_b) AS BIGINT) AS n_pairs_found,
+         CAST(count(DISTINCT CASE WHEN span_tokens >= {CHIM_SPAN} THEN id_b END)
+              AS BIGINT) AS n_full_found
+  FROM spans
+  WHERE id_b >= {SPAN_ID_SHIFT} AND id_a = id_b - {SPAN_ID_SHIFT} + 1
+)
+SELECT c.n_docs, c.n_boiler_docs, g.n_gram_occurrences, g.n_occ_dropped,
+       CAST(c.n_boiler_docs * (c.n_boiler_docs - 1) / 2 AS BIGINT)
+         AS boiler_pairs_avoided,
+       c.n_true_pairs, f.n_pairs_found, f.n_full_found,
+       CAST(floor(10000.0 * f.n_pairs_found / c.n_true_pairs) AS BIGINT)
+         AS recall_bp
+FROM counts c, gram_stats g, found f
+"""
+
+
 DEDUP_THRESHOLDS_BP = [7000, 8000, 9000]
 
 
@@ -1474,6 +1700,7 @@ QUERIES = {
     "dedup_source_matrix": dedup_source_matrix,
     "dedup_span_exact": dedup_span_exact,
     "dedup_span_trim": dedup_span_trim,
+    "dedup_span_capped": dedup_span_capped,
     "corpus_span_decontamination": corpus_span_decontamination,
     "dedup_recall_report": dedup_recall_report,
     "dedup_threshold_curve": dedup_threshold_curve,
@@ -1491,6 +1718,7 @@ ORACLES = {
     "dedup_source_matrix": _oracle_source_matrix(),
     "dedup_span_exact": ORACLE_SPAN_EXACT,
     "dedup_span_trim": ORACLE_SPAN_TRIM,
+    "dedup_span_capped": ORACLE_SPAN_CAPPED,
     "corpus_span_decontamination": ORACLE_SPAN_DECONTAM,
     "dedup_recall_report": _oracle_recall_report(),
     "dedup_threshold_curve": _oracle_threshold_curve(),

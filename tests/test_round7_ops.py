@@ -1,0 +1,57 @@
+"""Round-7 operators: df-capped span dedup, IVM aggregate delta, and the
+concurrency-adjacent store behaviors not covered by test_merge_store."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_span_capped_nonbinding_cap_equals_uncapped(spark):
+    """With a cap no gram can exceed, the hash-keyed capped detector must
+    report EXACTLY the uncapped detector's (pair, span) multiset — the cap
+    and md5 keying change the plan, never the semantics."""
+    from mongraph_spark.queries.dedup import (
+        MIN_SPAN,
+        SPAN_GRAM,
+        span_boiler_corpus,
+        span_pairs,
+        span_pairs_capped,
+    )
+
+    corpus = span_boiler_corpus(spark, SF).localCheckpoint(eager=True)
+    capped, _ = span_pairs_capped(corpus, SPAN_GRAM, MIN_SPAN, df_cap=1_000_000_000)
+    got = sorted(
+        (r.id_a, r.id_b, r.span_tokens) for r in capped.collect()
+    )
+    want = sorted(
+        (r.id_a, r.id_b, r.span_tokens) for r in span_pairs(corpus, SPAN_GRAM, MIN_SPAN).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_span_capped_drops_boilerplate_keeps_planted(spark):
+    """The summary's own invariants: boilerplate mass is actually dropped
+    (n_occ_dropped > 0), the reported span count stays orders below the
+    avoided quadratic pair count, and planted-truth recall is positive with
+    full-span hits a subset of pair hits."""
+    from mongraph_spark.queries.dedup import dedup_span_capped, span_pairs_capped
+    from mongraph_spark.queries.dedup import (
+        MIN_SPAN,
+        SPAN_DF_CAP,
+        SPAN_GRAM,
+        span_boiler_corpus,
+    )
+
+    row = dedup_span_capped(spark, SF).first()
+    assert row.n_occ_dropped > 0
+    assert 0 < row.n_pairs_found <= row.n_true_pairs
+    assert row.n_full_found <= row.n_pairs_found
+    assert row.recall_bp == 10000 * row.n_pairs_found // row.n_true_pairs
+    spans, _ = span_pairs_capped(
+        span_boiler_corpus(spark, SF), SPAN_GRAM, MIN_SPAN, SPAN_DF_CAP
+    )
+    n_spans = spans.count()
+    # the C(n_boiler, 2) blowup is avoided, not just reduced
+    assert n_spans < row.boiler_pairs_avoided / 10
