@@ -518,6 +518,185 @@ def store_conflict_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivm_agg_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of an AGGREGATE view over the CoW store —
+    the materialized-view refresh real pipelines run (the groupBy/agg
+    sibling of relational.ivm_join_delta's join algebra): the view
+    V(source) = (count(*), sum(n_chars)) is maintained from the store's
+    CDC diff alone, never from a rescan of the base.
+
+    Three-version history exercising every CDC class: v0 = documents;
+    v1 = one upsert carrying value updates (doc_id%10==0: n_chars+13),
+    GROUP-CHANGING updates (doc_id%10==1: source -> 'moved' — the case
+    naive per-group arithmetic silently corrupts), and inserts
+    (doc_id%10==7 cloned at +{IVM_ID_SHIFT} with n_chars+1); v2 = a
+    predicate delete (n_chars%5==0 on the CURRENT state).  The CDC diff
+    (full-outer join of read_version(0) and read_version(2) on the store
+    key) is exploded into SIGNED group contributions — the old row's
+    group gets (−1, −old.n_chars), the new row's group gets
+    (+1, +new.n_chars), unchanged rows emit nothing — so a group change
+    is just a −/+ pair landing in different groups.  ΔV is one agg over
+    the contributions; maintained = V0 + ΔV is checked per group against
+    the full recompute, with the equality emitted as ``identity_holds``.
+
+    Scale shape: the diff joins two versions of the compacted keyed table
+    (manifest-shared buckets; both sides co-bucketed on the key), the
+    contribution explode is a map-only flatten (≤2 rows per CHANGED key,
+    0 per unchanged), and ΔV aggregates |changed keys| rows — refresh
+    cost tracks the delta, never the base, which is the entire point of
+    IVM at 100 TB."""
+    import shutil
+    import tempfile
+
+    from mongraph_spark.sources import merge as merge_store
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    app_id = spark.sparkContext.applicationId
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(tempfile.gettempdir(), f"mg_ivm_agg_{app_id}_{sf_tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    merge_store.init_table(docs, root, key="doc_id", n_buckets=8)  # v0
+    batch = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .withColumn("n_chars", F.col("n_chars") + 13)
+        .unionByName(
+            docs.filter(F.col("doc_id") % 10 == 1).withColumn(
+                "source", F.lit("moved")
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 10 == 7).select(
+                (F.col("doc_id") + IVM_ID_SHIFT).alias("doc_id"),
+                "source",
+                (F.col("n_chars") + 1).alias("n_chars"),
+            )
+        )
+    )
+    merge_store.upsert(spark, root, batch, key="doc_id")  # v1
+    merge_store.delete_where(spark, root, F.col("n_chars") % 5 == 0)  # v2
+
+    v0 = merge_store.read_version(spark, root, 0).drop("__bucket").alias("old")
+    v2 = merge_store.read_version(spark, root, 2).drop("__bucket").alias("new")
+    diff = v2.join(v0, F.col("new.doc_id") == F.col("old.doc_id"), "full_outer")
+    changed = diff.filter(
+        F.col("old.doc_id").isNull()
+        | F.col("new.doc_id").isNull()
+        | (F.col("new.source") != F.col("old.source"))
+        | (F.col("new.n_chars") != F.col("old.n_chars"))
+    )
+    # signed group contributions: old side -(1, chars), new side +(1, chars)
+    contribs = changed.select(
+        F.explode(
+            F.array_compact(
+                F.array(
+                    F.when(
+                        F.col("old.doc_id").isNotNull(),
+                        F.struct(
+                            F.col("old.source").alias("source"),
+                            F.lit(-1).cast("long").alias("dc"),
+                            (-F.col("old.n_chars")).cast("long").alias("dch"),
+                        ),
+                    ),
+                    F.when(
+                        F.col("new.doc_id").isNotNull(),
+                        F.struct(
+                            F.col("new.source").alias("source"),
+                            F.lit(1).cast("long").alias("dc"),
+                            F.col("new.n_chars").cast("long").alias("dch"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("c")
+    ).select("c.source", "c.dc", "c.dch")
+    dv = contribs.groupBy("source").agg(
+        F.sum("dc").cast("long").alias("d_docs"),
+        F.sum("dch").cast("long").alias("d_chars"),
+    )
+    view0 = v0.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_v0"),
+        F.sum("n_chars").cast("long").alias("sum_chars_v0"),
+    )
+    full = v2.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_full"),
+        F.sum("n_chars").cast("long").alias("sum_chars_full"),
+    )
+    out = (
+        view0.join(full, "source", "full_outer")
+        .join(dv, "source", "left")
+        .na.fill(
+            0,
+            [
+                "n_docs_v0",
+                "sum_chars_v0",
+                "n_docs_full",
+                "sum_chars_full",
+                "d_docs",
+                "d_chars",
+            ],
+        )
+    )
+    maintained_n = F.col("n_docs_v0") + F.col("d_docs")
+    maintained_s = F.col("sum_chars_v0") + F.col("d_chars")
+    return out.select(
+        "source",
+        "n_docs_v0",
+        "sum_chars_v0",
+        "d_docs",
+        "d_chars",
+        maintained_n.cast("long").alias("n_docs_maintained"),
+        maintained_s.cast("long").alias("sum_chars_maintained"),
+        "n_docs_full",
+        "sum_chars_full",
+        (
+            (maintained_n == F.col("n_docs_full"))
+            & (maintained_s == F.col("sum_chars_full"))
+        ).alias("identity_holds"),
+    ).filter(  # drop all-zero phantom groups (group vanished in BOTH states)
+        (F.col("n_docs_v0") != 0) | (F.col("n_docs_full") != 0)
+    )
+
+
+IVM_ID_SHIFT = 7_000_000
+
+ORACLE_IVM_AGG = f"""
+WITH s0 AS (SELECT doc_id, source, n_chars FROM documents),
+s1 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 1 THEN 'moved' ELSE source END AS source,
+         CASE WHEN doc_id % 10 = 0 THEN n_chars + 13 ELSE n_chars END AS n_chars
+  FROM s0
+  UNION ALL
+  SELECT doc_id + {IVM_ID_SHIFT}, source, n_chars + 1
+  FROM s0 WHERE doc_id % 10 = 7
+),
+s2 AS (SELECT * FROM s1 WHERE n_chars % 5 != 0),
+v0 AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs_v0,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars_v0
+  FROM s0 GROUP BY source
+),
+fullv AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs_full,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars_full
+  FROM s2 GROUP BY source
+)
+SELECT coalesce(v.source, f.source) AS source,
+       coalesce(v.n_docs_v0, 0) AS n_docs_v0,
+       coalesce(v.sum_chars_v0, 0) AS sum_chars_v0,
+       coalesce(f.n_docs_full, 0) - coalesce(v.n_docs_v0, 0) AS d_docs,
+       coalesce(f.sum_chars_full, 0) - coalesce(v.sum_chars_v0, 0) AS d_chars,
+       coalesce(f.n_docs_full, 0) AS n_docs_maintained,
+       coalesce(f.sum_chars_full, 0) AS sum_chars_maintained,
+       coalesce(f.n_docs_full, 0) AS n_docs_full,
+       coalesce(f.sum_chars_full, 0) AS sum_chars_full,
+       TRUE AS identity_holds
+FROM v0 v FULL OUTER JOIN fullv f ON v.source = f.source
+"""
+
+
 ORACLE_CONFLICT_RETRY = """
 WITH final AS (
   SELECT doc_id, source,
@@ -1105,6 +1284,7 @@ QUERIES = {
     "store_merge_into": store_merge_into,
     "store_history": store_history,
     "store_conflict_retry": store_conflict_retry,
+    "ivm_agg_delta": ivm_agg_delta,
     "zorder_data_skipping": zorder_data_skipping,
     "bloom_filter_skipping": bloom_filter_skipping,
     "zorder_pruning_benefit": zorder_pruning_benefit,
@@ -1117,6 +1297,7 @@ ORACLES = {
     "store_merge_into": ORACLE_MERGE_INTO,
     "store_history": ORACLE_STORE_HISTORY,
     "store_conflict_retry": ORACLE_CONFLICT_RETRY,
+    "ivm_agg_delta": ORACLE_IVM_AGG,
     "zorder_data_skipping": ORACLE_ZORDER,
     "bloom_filter_skipping": ORACLE_BLOOM,
     "zorder_pruning_benefit": ORACLE_PRUNING,

@@ -55,3 +55,21 @@ def test_span_capped_drops_boilerplate_keeps_planted(spark):
     n_spans = spans.count()
     # the C(n_boiler, 2) blowup is avoided, not just reduced
     assert n_spans < row.boiler_pairs_avoided / 10
+
+
+def test_ivm_agg_delta_identity_and_group_moves(spark):
+    """Every group's maintained view must equal the full recompute, the
+    group-changing update must materialize the 'moved' group (absent at
+    v0), and deltas must be nonzero somewhere (the mutations did work)."""
+    from mongraph_spark.queries.quality import ivm_agg_delta
+
+    rows = ivm_agg_delta(spark, SF).collect()
+    assert rows and all(r.identity_holds for r in rows)
+    by_src = {r.source: r for r in rows}
+    assert "moved" in by_src and by_src["moved"].n_docs_v0 == 0
+    assert by_src["moved"].n_docs_full > 0
+    assert any(r.d_docs != 0 or r.d_chars != 0 for r in rows)
+    # maintained arithmetic is literally v0 + delta
+    for r in rows:
+        assert r.n_docs_maintained == r.n_docs_v0 + r.d_docs
+        assert r.sum_chars_maintained == r.sum_chars_v0 + r.d_chars
