@@ -957,6 +957,14 @@ def span_pairs(corpus: DataFrame, k: int, min_span: int) -> DataFrame:
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "pa", "pb", (F.col("pa") - F.col("pb")).alias("diag"))
     )
+    return spans_from_hits(hits, k, min_span)
+
+
+def spans_from_hits(hits: DataFrame, k: int, min_span: int) -> DataFrame:
+    """Diagonal gaps-and-islands RLE over matching-gram hits
+    ``(id_a, id_b, pa, pb, diag)`` → maximal spans.  Shared by the batch
+    detectors and the streaming twin (whose hits come from an incremental
+    gram index instead of a single self-join)."""
     w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
     runs = hits.withColumn("island", F.col("pa") - F.row_number().over(w))
     return (

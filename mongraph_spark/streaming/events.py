@@ -946,7 +946,145 @@ def _oracle_stream_slo() -> str:
     return ORACLE_SLO_BURN
 
 
+# -- streaming span dedup: incremental gram index over arriving documents -----------
+
+
+def streaming_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of queries.dedup.dedup_span_exact — exact
+    substring-span dedup in the INGEST path: documents arrive in
+    micro-batches and each batch is matched, the moment it lands, against
+    the accumulated corpus via an incrementally-maintained positioned-gram
+    index, then its own grams join the index.  Union of all batch outputs
+    must equal the batch detector on the full corpus — which is exactly
+    what the oracle (the batch op's own SQL) checks.
+
+    Per micro-batch (``foreachBatch``):
+    1. positioned {SPAN_GRAM}-grams of the arriving docs;
+    2. CROSS hits = batch grams ⋈ index grams (gram-keyed — only matching
+       gram mass shuffles), pair-normalized so the lower doc_id is always
+       ``id_a`` (arrival order is irrelevant to the result);
+    3. INTRA hits = batch self-join (id_a < id_b) — pairs landing in the
+       same batch, which the index can't see yet;
+    4. shared diagonal RLE (queries.dedup.spans_from_hits) → spans
+       appended to the result log;
+    5. batch grams appended to the index.
+    Every unordered pair is matched exactly once: cross when the later doc
+    arrives, intra when both share a batch — so the union over batches is
+    the batch detector's output, with per-arrival latency of one
+    gram-keyed join against the index instead of a corpus rescan.
+
+    State model (documented cost, like the stream-stream joins in
+    COVERAGE's state table): the gram index IS the state and grows with
+    the accumulated corpus — inherent to ingest-path span dedup (the
+    index is the queryable artifact, stored as a table, not in executor
+    state).  At 100 TB the index is df-capped and hash-keyed
+    (dedup_span_capped's form) and bucketed by gram hash, making step 2
+    a bucket-pruned join."""
+    import shutil
+    import tempfile
+
+    from mongraph_spark.queries.dedup import (
+        MIN_SPAN,
+        SPAN_GRAM,
+        _positioned_grams,
+        span_corpus,
+        spans_from_hits,
+    )
+
+    app_id = spark.sparkContext.applicationId
+    sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    base = os.path.join(tempfile.gettempdir(), f"mg_stream_span_{app_id}_{sf_tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    staging = os.path.join(base, "arrivals")
+    index_dir = os.path.join(base, "gram_index")
+    out_dir = os.path.join(base, "spans")
+
+    # stage the corpus as 4 id-ordered arrival files (mtime-ordered so the
+    # file source replays them as 4 micro-batches; correctness does not
+    # depend on the order — pairs are normalized)
+    corpus = span_corpus(spark, sf_dir)
+    batched = corpus.withColumn(
+        "arrival", F.ntile(4).over(Window.orderBy("doc_id"))
+    )
+    for i in range(1, 5):
+        batched.filter(F.col("arrival") == i).drop("arrival").coalesce(
+            1
+        ).write.mode("append").parquet(staging)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        grams_b = batch_df.select(
+            "doc_id",
+            F.posexplode(
+                _positioned_grams(F.split(F.col("text"), " "), SPAN_GRAM)
+            ).alias("pos", "gram"),
+        ).localCheckpoint(eager=True)  # feeds cross join, intra join, index append
+        a = grams_b.select(
+            F.col("doc_id").alias("id_x"), F.col("pos").alias("px"), "gram"
+        )
+        intra = (
+            a.join(
+                grams_b.select(
+                    F.col("doc_id").alias("id_y"), F.col("pos").alias("py"), "gram"
+                ),
+                "gram",
+            )
+            .filter(F.col("id_x") < F.col("id_y"))
+            .select(
+                F.col("id_x").alias("id_a"),
+                F.col("id_y").alias("id_b"),
+                F.col("px").alias("pa"),
+                F.col("py").alias("pb"),
+            )
+        )
+        hits = intra
+        if os.path.isdir(index_dir):
+            idx = s.read.parquet(index_dir).select(
+                F.col("doc_id").alias("id_y"), F.col("pos").alias("py"), "gram"
+            )
+            lo_first = F.col("id_y") < F.col("id_x")  # normalize: lower id is a
+            cross = a.join(idx, "gram").select(
+                F.when(lo_first, F.col("id_y")).otherwise(F.col("id_x")).alias("id_a"),
+                F.when(lo_first, F.col("id_x")).otherwise(F.col("id_y")).alias("id_b"),
+                F.when(lo_first, F.col("py")).otherwise(F.col("px")).alias("pa"),
+                F.when(lo_first, F.col("px")).otherwise(F.col("py")).alias("pb"),
+            )
+            hits = hits.unionByName(cross)
+        spans = spans_from_hits(
+            hits.withColumn("diag", F.col("pa") - F.col("pb")),
+            SPAN_GRAM,
+            MIN_SPAN,
+        )
+        spans.write.mode("append").parquet(out_dir)
+        grams_b.write.mode("append").parquet(index_dir)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+        .writeStream.foreachBatch(process)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
+def _oracle_stream_span() -> str:
+    from mongraph_spark.queries.dedup import ORACLE_SPAN_EXACT
+
+    return ORACLE_SPAN_EXACT
+
+
 QUERIES = {
+    "streaming_span_dedup": streaming_span_dedup,
     "streaming_slo_burn_rate": streaming_slo_burn_rate,
     "streaming_hourly_top_type": streaming_hourly_top_type,
     "streaming_count_min": streaming_count_min,
@@ -966,6 +1104,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "streaming_span_dedup": _oracle_stream_span(),
     "streaming_slo_burn_rate": _oracle_stream_slo(),
     "streaming_hourly_top_type": _oracle_stream_hourly_top(),
     "streaming_count_min": _oracle_stream_cms(),

@@ -73,3 +73,15 @@ def test_ivm_agg_delta_identity_and_group_moves(spark):
     for r in rows:
         assert r.n_docs_maintained == r.n_docs_v0 + r.d_docs
         assert r.sum_chars_maintained == r.sum_chars_v0 + r.d_chars
+
+
+def test_streaming_span_dedup_equals_batch_detector(spark):
+    """The micro-batched incremental gram-index twin must report EXACTLY the
+    batch detector's span set on the same corpus (pair-normalized, so the
+    equality holds regardless of arrival batching)."""
+    from mongraph_spark.queries.dedup import dedup_span_exact
+    from mongraph_spark.streaming.events import streaming_span_dedup
+
+    got = sorted(map(tuple, streaming_span_dedup(spark, SF).collect()))
+    want = sorted(map(tuple, dedup_span_exact(spark, SF).collect()))
+    assert got == want and len(got) > 0
