@@ -63,70 +63,71 @@ _SUITES = [
 # first (rounds 1-2), previously-green last, as insurance against any
 # off-by-one in the driver's window.
 CORE_ORDER = [
-    # — round-6 window (VERDICT r5 order #1): the 43 registered queries
-    #   that had no driver hash row after r1-r5 (the late-r5 additions
-    #   that outgrew that round's 50-slot window — all judge-verified
-    #   strict-green at r5 HEAD), ordered never-verified-first; then the
-    #   two new round-6 operators (never verified by construction); then
-    #   5 re-proof slots covering this round's riskiest refactors.
-    #   After this round's driver run, driver-ever coverage = all 226
-    #   registered queries.
-    # — never driver-verified (r5 window overflow) —
-    "graph_pagerank_converged",  # r6: gained a convergence-replay SQL oracle
-    "ann_ivfpq_topk",
-    "ann_pq_adc_topk",
-    "ann_range_search",
-    "band_join_close_prices",
-    "corpus_heaps_law",
-    "corpus_ngram_novelty",
-    "customer_rfm_segments",
-    "embedding_pca_power",
-    "embedding_pq_codebooks",
-    "events_burstiness",
-    "events_dau_wau",
-    "events_markov_surprise",
-    "events_seasonal_anomaly",
-    "events_session_cooccurrence",
-    "events_slo_burn_rate",
-    "events_user_gini",
-    "graph_assortativity",
-    "graph_betweenness_landmarks",
-    "graph_bipartite_squares",
-    "graph_diameter_double_sweep",
-    "graph_itemsets3",
-    "graph_ktruss",
-    "graph_modularity",  # r6: + per-community q_c_micro column
-    "ivm_join_delta",
-    "mm_shard_packing",
-    "mm_tar_index",
-    "pipeline_curation_funnel",
-    "pipeline_dataset_card",
-    "pipeline_length_batches",
-    "pipeline_length_matching",
-    "quality_drift_psi",
-    "stats_benford_test",
-    "stats_chi2_independence",
-    "stats_ks_test",
-    "stats_weighted_median",
-    "streaming_count_min",
-    "streaming_hourly_top_type",
-    "streaming_seasonal_anomaly",
-    "streaming_slo_burn_rate",
-    "text_bpe_tokenize",
-    "text_langid_confusion",
-    "zorder_pruning_benefit",
-    # — new round-6 operators (never driver-verified by construction) —
-    "dedup_span_exact",
-    "dedup_span_trim",
-    "events_dau_wau_hll",
-    # — re-proof slots: the queries this round's refactors touched
-    #   (shared shingled corpus threading + PPJoin signature — recall
-    #   report exercises both passed-in paths; shared HLL finisher
-    #   extraction; CoW-store atomic-commit rework) —
-    "dedup_recall_report",
-    "dedup_prefix_filter",
-    "sketch_hll_mergeable",
-    "store_merge_into",
+    # — round-7 window (VERDICT r6 order #1): the 10 round-6 post-window
+    #   additions that have never had a driver CORRECTNESS row (all
+    #   judge-verified strict-green at r6 HEAD); then the 4 new round-7
+    #   operators (never verified by construction); then 3 re-proof
+    #   slots for this round's refactors (merge.py optimistic-concurrency
+    #   rework touches every store mutator; spans_from_hits extraction
+    #   touches the span detectors); then the 33 LONGEST-unverified rows
+    #   (r1/r2 vintage) for freshness.  After this round's driver run,
+    #   driver-ever coverage = 241/241 minus the 11 r2-vintage rows
+    #   deferred to r8 (TPC-H q10–q19 + window_top_orders — all still
+    #   strict-green in the local full gate).
+    # — never driver-verified (round-6 post-window additions) —
+    "corpus_span_decontamination",
+    "graph_clustering_coefficient",
+    "ann_recall_curve",
+    "events_cusum_changepoint",
+    "streaming_cusum_changepoint",
+    "events_ab_cuped",
+    "graph_harmonic_landmarks",
+    "dedup_source_matrix",
+    "store_history",
+    "dedup_threshold_curve",
+    # — new round-7 operators (never driver-verified by construction) —
+    "store_conflict_retry",
+    "dedup_span_capped",
+    "ivm_agg_delta",
+    "streaming_span_dedup",
+    # — re-proof slots for round-7 refactors —
+    "dedup_span_exact",  # spans_from_hits extraction
+    "store_merge_into",  # merge.py OCC rework (claim/commit in every mutator)
+    "store_compaction",  # compact + upsert through the new claim protocol
+    # — longest-unverified driver rows (r1/r2 vintage), oldest first —
+    "ann_cosine_topk_bucketed",
+    "embedding_centroids",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality",
+    "above_customer_avg",
+    "anti_customers_without_orders",
+    "cube_quantity",
+    "g11_remove_node_survivors",
+    "g12_delete_writeback",
+    "g1_both_union_types",
+    "g1_count_forms",
+    "g1_incoming_typed",
+    "g1_outgoing_1hop",
+    "g1_rel_where",
+    "g5_between",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q20_surplus_suppliers",
+    "q22_wealthy_no_urgent",
+    "rollup_revenue",
+    "semi_parts_shipped",
+    "setop_active_building_customers",
+    "stats_order_percentiles",
+    "stats_price_quantity_corr",
+    "window_customer_deciles",
+    "window_running_sum",
 ]
 
 assert len(CORE_ORDER) == 50, len(CORE_ORDER)
