@@ -198,25 +198,42 @@ SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
 
 def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
+    # l_extendedprice joins the frame order as the last tie-breaker: the
+    # synthetic lineitem does NOT enforce (orderkey, linenumber) uniqueness
+    # (sf0.1 carries one (suppkey, shipdate, orderkey, linenumber) tie with
+    # different prices), and an ambiguous frame order makes a prefix sum
+    # engine-nondeterministic.  Rows still tied after the price key have
+    # equal summands, so every order yields the same running values.
     w = (
         Window.partitionBy("l_suppkey")
-        .orderBy(F.asc("l_shipdate"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+        .orderBy(
+            F.asc("l_shipdate"),
+            F.asc("l_orderkey"),
+            F.asc("l_linenumber"),
+            F.asc("l_extendedprice"),
+        )
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # integer cents: a float prefix sum is bracketing-sensitive (DuckDB's
+    # window agg uses a segment tree, Spark accumulates sequentially — same
+    # addends, different parenthesization), and at sf0.1 one of 600k rows
+    # landed on a round(.,2) half-boundary and hash-mismatched.  Exact
+    # integers are order- and bracketing-free.
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
     return li.select(
         "l_suppkey",
         "l_orderkey",
         "l_linenumber",
-        F.round(F.sum("l_extendedprice").over(w), 2).alias("running_revenue"),
+        F.sum(cents).over(w).cast("long").alias("running_cents"),
     )
 
 
 ORACLE_RUNNING = """
 SELECT l_suppkey, l_orderkey, l_linenumber,
-       round(sum(l_extendedprice) OVER (
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) OVER (
          PARTITION BY l_suppkey
-         ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_revenue
+         ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC, l_extendedprice ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
 FROM lineitem
 """
 
