@@ -830,7 +830,121 @@ FROM per_doc GROUP BY source
 ORACLE_BPE = _bpe_oracle()
 
 
+BPE_TRAIN_ROUNDS = 6
+
+
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING (Sennrich et al. 2016) — the iterative loop
+    that *learns* the merge list :func:`text_bpe_tokenize` only applies:
+    start from the char-spaced corpus, and for BPE_TRAIN_ROUNDS rounds (a) count every
+    adjacent symbol pair corpus-wide, (b) take the most frequent pair
+    (ties: count DESC, then pair ASC — a total order, so the argmax is
+    engine-independent), (c) rewrite all its occurrences into one symbol.
+    This is the real "train a tokenizer on the corpus you just cleaned"
+    step of a training-data pipeline, run where the corpus lives instead
+    of funneling 100 TB through a single-node trainer.
+
+    Distributed shape: each round is ONE corpus scan → map-side-combined
+    pair count (shuffle width = |distinct pairs|, vocabulary-bounded, not
+    corpus-bounded) → ``TakeOrderedAndProject(1)`` for the argmax (per-
+    partition top-1 + driver merge — never a global sort) → a map-only
+    literal ``replace`` rewrite, localCheckpointed so round k+1 scans the
+    merged text rather than a k-deep expression chain.  Only the single
+    winning pair ever reaches the driver (1 row/round).  At a production
+    32k-merge vocabulary you batch the top-J non-conflicting pairs per
+    scan (J ~ hundreds) to amortize passes; the per-round algebra is
+    unchanged.  Overlap semantics (``replace`` = leftmost non-overlapping)
+    are identical in Spark and DuckDB, so the oracle replays training
+    exactly — merges, counts, and the post-merge corpus token total.
+
+    Output: one row per learned merge — rank, the pair, its count at
+    selection time, and the corpus token count after applying it (strictly
+    decreasing; pinned in tests)."""
+    docs = read_table(spark, sf_dir, "documents")
+    state = docs.select(
+        F.regexp_replace(F.lower("text"), "(.)", "$1 ").alias("t")
+    ).localCheckpoint(eager=False)
+    learned = []
+    for rank in range(1, BPE_TRAIN_ROUNDS + 1):
+        toks = F.split(F.col("t"), " ")
+        n = F.size(toks)
+        pairs = F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        )
+        best = (
+            state.select(F.explode(pairs).alias("p"))
+            .filter((F.col("p.w1") != "") & (F.col("p.w2") != ""))
+            .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.desc("c"), "w1", "w2")
+            .limit(1)
+            .collect()[0]
+        )
+        state = state.select(
+            F.call_function(
+                "replace",
+                F.col("t"),
+                F.lit(f"{best['w1']} {best['w2']}"),
+                F.lit(best["w1"] + best["w2"]),
+            ).alias("t")
+        ).localCheckpoint(eager=True)
+        n_after = state.agg(
+            F.sum(F.size(F.filter(F.split("t", " "), lambda x: x != ""))).alias("n")
+        ).collect()[0]["n"]
+        learned.append((rank, best["w1"], best["w2"], int(best["c"]), int(n_after)))
+    return spark.createDataFrame(
+        learned,
+        "merge_rank INT, w1 STRING, w2 STRING, pair_count BIGINT, n_tokens_after BIGINT",
+    )
+
+
+def _bpe_train_oracle() -> str:
+    # MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and the round
+    # chain (s_k referencing b_k referencing s_{k-1}, twice via the scalar
+    # subqueries) would otherwise re-expand exponentially in the round count
+    # (measured: >120 s at sf0.001 inlined, sub-second materialized).
+    body = """s0 AS MATERIALIZED (
+  SELECT doc_id, regexp_replace(lower(text), '(.)', '\\1 ', 'g') AS t
+  FROM documents
+)"""
+    prev = "s0"
+    for r in range(1, BPE_TRAIN_ROUNDS + 1):
+        body += f""",
+b{r} AS MATERIALIZED (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM (
+    SELECT l[d] AS w1, l[d + 1] AS w2
+    FROM (SELECT string_split(t, ' ') AS l FROM {prev}),
+         UNNEST(range(1, len(l))) AS r(d)
+  ) WHERE w1 <> '' AND w2 <> ''
+  GROUP BY w1, w2 ORDER BY c DESC, w1, w2 LIMIT 1
+),
+s{r} AS MATERIALIZED (
+  SELECT doc_id,
+         replace(t, (SELECT w1 || ' ' || w2 FROM b{r}),
+                    (SELECT w1 || w2 FROM b{r})) AS t
+  FROM {prev}
+),
+n{r} AS MATERIALIZED (
+  SELECT CAST(sum(len(list_filter(string_split(t, ' '), x -> x <> ''))) AS BIGINT)
+         AS n_tokens_after
+  FROM s{r}
+)"""
+        prev = f"s{r}"
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {r} AS merge_rank, w1, w2, c AS pair_count,"
+        f" (SELECT n_tokens_after FROM n{r}) AS n_tokens_after FROM b{r}"
+        for r in range(1, BPE_TRAIN_ROUNDS + 1)
+    )
+    return f"WITH {body}\n{selects}"
+
+
+ORACLE_BPE_TRAIN = _bpe_train_oracle()
+
+
 QUERIES = {
+    "text_bpe_train": text_bpe_train,
     "text_bpe_tokenize": text_bpe_tokenize,
     "text_langid_confusion": text_langid_confusion,
     "text_winnowing_pairs": text_winnowing_pairs,
@@ -846,6 +960,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_bpe_train": ORACLE_BPE_TRAIN,
     "text_bpe_tokenize": ORACLE_BPE,
     "text_langid_confusion": ORACLE_LANGID_CONFUSION,
     "text_winnowing_pairs": _oracle_winnowing_pairs(),

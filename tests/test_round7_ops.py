@@ -85,3 +85,46 @@ def test_streaming_span_dedup_equals_batch_detector(spark):
     got = sorted(map(tuple, streaming_span_dedup(spark, SF).collect()))
     want = sorted(map(tuple, dedup_span_exact(spark, SF).collect()))
     assert got == want and len(got) > 0
+
+
+def test_bpe_train_matches_independent_python_replay(spark):
+    """The distributed trainer must learn EXACTLY the merge list an
+    independent single-process BPE trainer learns on the same corpus —
+    same pairs, same order, same selection counts, same post-merge corpus
+    token totals (this also pins the count-DESC/pair-ASC tie-break)."""
+    import collections
+    import re
+
+    from mongraph_spark.queries.text import BPE_TRAIN_ROUNDS, text_bpe_train
+    from mongraph_spark.sparkutil import read_table
+
+    got = [tuple(r) for r in text_bpe_train(spark, SF).collect()]
+
+    texts = [r.text for r in read_table(spark, SF, "documents").select("text").collect()]
+    state = [re.sub(r"(.)", lambda m: m.group(1) + " ", t.lower()) for t in texts]
+    want = []
+    for rank in range(1, BPE_TRAIN_ROUNDS + 1):
+        cnt = collections.Counter()
+        for t in state:
+            toks = t.split(" ")
+            for a, b in zip(toks, toks[1:]):
+                if a and b:
+                    cnt[(a, b)] += 1
+        (w1, w2), c = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        state = [t.replace(f"{w1} {w2}", w1 + w2) for t in state]
+        n_after = sum(len([x for x in t.split(" ") if x]) for t in state)
+        want.append((rank, w1, w2, c, n_after))
+    assert got == want
+
+
+def test_bpe_train_token_totals_strictly_decrease(spark):
+    """Each merge must strictly shrink the corpus (it rewrites a pair that
+    occurred at selection time), and later merges can never beat an earlier
+    round's count by more than the corpus allows (counts need not be
+    monotone, but totals must be)."""
+    from mongraph_spark.queries.text import text_bpe_train
+
+    rows = sorted(text_bpe_train(spark, SF).collect(), key=lambda r: r.merge_rank)
+    totals = [r.n_tokens_after for r in rows]
+    assert all(a > b for a, b in zip(totals, totals[1:]))
+    assert all(r.pair_count > 0 for r in rows)

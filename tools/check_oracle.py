@@ -3,7 +3,14 @@ on Spark and its oracle_sql() on DuckDB at a given SF, compare row count +
 column names + order-insensitive values.
 
 Usage: python tools/check_oracle.py [--strict] [--extended|--all]
-           [--shuffle-partitions N] [sf_dir] [query_name ...]
+           [--shuffle-partitions N] [--driver-memory SIZE] [sf_dir] [query_name ...]
+
+``--driver-memory`` raises the strict session's heap (default: Spark's 1g).
+CAPACITY ONLY, never semantics: the strict contract is about vanilla
+*behavioral* configs (timezone, AQE, nanosAsLong) and exact value strings;
+heap size just has to fit the SF under test.  The full-registry run at
+sf0.1 needs it — 241 queries in one 1g JVM OOM on accumulated
+localCheckpoint blocks long before any single query would.
 
 ``--extended`` checks the registry entries OUTSIDE the driver's core window
 (``extended_queries()``); ``--all`` checks core + extended.  Default: core.
@@ -68,6 +75,11 @@ def main() -> int:
         i = argv.index("--shuffle-partitions")
         shuffle_parts = argv[i + 1]
         del argv[i : i + 2]
+    driver_mem = None
+    if "--driver-memory" in argv:
+        i = argv.index("--driver-memory")
+        driver_mem = argv[i + 1]
+        del argv[i : i + 2]
     argv = [a for a in argv if a not in ("--strict", "--extended", "--all")]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
@@ -81,6 +93,8 @@ def main() -> int:
         )
         if shuffle_parts is not None:
             builder = builder.config("spark.sql.shuffle.partitions", shuffle_parts)
+        if driver_mem is not None:
+            builder = builder.config("spark.driver.memory", driver_mem)
         spark = builder.getOrCreate()
         spark.sparkContext.setLogLevel("WARN")
     else:
@@ -112,6 +126,14 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {exc}")
             failures.append(name)
             continue
+        finally:
+            # Drop the py4j refs the finished query left behind so the
+            # ContextCleaner can actually free its localCheckpoint blocks:
+            # across a 241-query session those blocks otherwise accumulate
+            # to an OOM no individual query would ever cause.
+            import gc
+
+            gc.collect()
         sql = oracles.get(name)
         if sql is None:
             print(f"SKIP {name}: rows-only ({len(sdf)} rows)")
