@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from mongraph_spark.sparkutil import read_table, scale_out
+from mongraph_spark.sparkutil import const_part, read_table, scale_out
 
 ID_SHIFT = 1_000_000
 
@@ -1696,7 +1696,240 @@ FROM (
 """
 
 
+# -- SemDeDup: k-means-pruned semantic dedup -----------------------------------------
+
+SEMDEDUP_ROUNDS = 2
+
+
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-dup removal where the
+    candidate space is pruned by CLUSTERING, not hashing — k-means the
+    embedding corpus, compare pairs only WITHIN a cluster, and in each
+    duplicate pair keep the member LEAST similar to its cluster centroid
+    (the paper's keep rule: retain the less-prototypical example; ties on
+    centroid-similarity keep the smaller id).  The third pruning geometry
+    in this module's vector-dedup family, complementing sign-pattern LSH
+    (:func:`dedup_embedding_cosine`, fixed random planes) and banded
+    MinHash: clusters adapt to the corpus's density, so a production
+    pipeline trains K to its duplicate scale instead of re-tuning hash
+    widths.
+
+    Same planted corpus as the LSH twin (copies at +ID_SHIFT with the
+    tail zeroed, cosine >= 0.9 to their originals) so the two operators'
+    recall is directly comparable on identical truth.
+
+    Cross-engine exactness: centroids are bp-quantized every Lloyd round
+    (the :func:`similarity.embedding_kmeans` contract), and both the
+    pairwise cosine and the centroid-similarity rank are integer floored
+    bp, so the keep/drop decision is bit-identical in both engines.
+
+    Scale shape: clustering is SEMDEDUP_ROUNDS broadcast-assign passes (K
+    rows broadcast, map-only) + a (cell, dim)-keyed mean; the pair stage
+    shuffles once on cell and is quadratic only within a cluster —
+    Σ|c|² work, the quantity K controls (paper runs K ~ 10⁵ on web scale
+    so |c| stays ~10³ — the blowup knob is explicit, like SIGN_BITS /
+    band count).  The keep rule is a per-pair predicate (no iterative
+    connected components), so dedup is one more cluster-keyed pass."""
+    from mongraph_spark.queries.similarity import IVF_SEED_IDS, _SQ_DIST
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    n_dims = F.size("vec")
+    copies = vecs.select(
+        (F.col("vec_id") + ID_SHIFT).alias("vec_id"),
+        F.transform(
+            "vec",
+            lambda v, i: F.when(i < n_dims - ZERO_TAIL, v).otherwise(F.lit(0.0)),
+        ).alias("vec"),
+    )
+    corpus = vecs.unionByName(copies).localCheckpoint(eager=True)
+    seeds = corpus.filter(F.col("vec_id").isin(IVF_SEED_IDS)).select(
+        F.col("vec_id").alias("seed_id"), F.col("vec").alias("c_vec")
+    )
+    centroids = seeds.withColumn(
+        "cell",
+        F.row_number().over(
+            Window.partitionBy(const_part(F.col("seed_id"))).orderBy("seed_id")
+        )
+        - 1,
+    ).select("cell", "c_vec")
+    d = F.expr(_SQ_DIST.format(v="vec", c="c_vec"))
+    assigned = None
+    for _ in range(SEMDEDUP_ROUNDS):
+        assigned = (
+            corpus.crossJoin(F.broadcast(centroids))
+            .withColumn("dist", d)
+            .groupBy("vec_id")
+            .agg(F.min_by("cell", F.struct("dist", "cell")).alias("cell"))
+            .join(corpus, "vec_id")
+        )
+        per_dim = (
+            assigned.select("cell", F.posexplode("vec").alias("dim", "v"))
+            .groupBy("cell", "dim")
+            .agg(F.floor(F.lit(10000) * F.avg("v")).cast("long").alias("c_bp"))
+        )
+        centroids = per_dim.groupBy("cell").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c_bp"))),
+                lambda s: s["c_bp"] / F.lit(10000.0),
+            ).alias("c_vec")
+        )
+
+    def _cos_bp(u: str, v: str):
+        dot = F.expr(
+            f"aggregate(zip_with({u}, {v}, (x, y) -> x * y), "
+            "CAST(0.0 AS DOUBLE), (acc, p) -> acc + p)"
+        )
+        nu = F.expr(
+            f"aggregate(transform({u}, x -> x * x), "
+            "CAST(0.0 AS DOUBLE), (acc, p) -> acc + p)"
+        )
+        nv = F.expr(
+            f"aggregate(transform({v}, x -> x * x), "
+            "CAST(0.0 AS DOUBLE), (acc, p) -> acc + p)"
+        )
+        return F.floor(F.lit(10000) * dot / (F.sqrt(nu) * F.sqrt(nv))).cast("long")
+
+    scored = (
+        assigned.join(centroids, "cell")
+        .select("cell", "vec_id", "vec", _cos_bp("vec", "c_vec").alias("cs_bp"))
+        .localCheckpoint(eager=True)
+    )
+    a = scored.select(
+        "cell",
+        F.col("vec_id").alias("id_a"),
+        F.col("vec").alias("vec_a"),
+        F.col("cs_bp").alias("cs_a"),
+    )
+    b = scored.select(
+        "cell",
+        F.col("vec_id").alias("id_b"),
+        F.col("vec").alias("vec_b"),
+        F.col("cs_bp").alias("cs_b"),
+    )
+    dup = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(_cos_bp("vec_a", "vec_b") >= COS_THRESHOLD_BP)
+        .select("cell", "id_a", "id_b", "cs_a", "cs_b")
+        .localCheckpoint(eager=True)
+    )
+    # keep rule: the pair member with the smaller (cs_bp, vec_id) survives;
+    # given id_a < id_b that collapses to: b drops when cs_a <= cs_b, a
+    # drops when cs_b < cs_a
+    dropped = (
+        dup.filter(F.col("cs_a") <= F.col("cs_b"))
+        .select("cell", F.col("id_b").alias("vec_id"))
+        .unionByName(
+            dup.filter(F.col("cs_b") < F.col("cs_a")).select(
+                "cell", F.col("id_a").alias("vec_id")
+            )
+        )
+        .distinct()
+    )
+    nvec = scored.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vectors"))
+    dstats = dup.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_dup_pairs"),
+        F.sum(
+            F.when(F.col("id_b") == F.col("id_a") + ID_SHIFT, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_planted_pairs"),
+    )
+    dr = dropped.groupBy("cell").agg(F.count(F.lit(1)).alias("n_dropped"))
+    return (
+        nvec.join(dstats, "cell", "left")
+        .join(dr, "cell", "left")
+        .na.fill(0, ["n_dup_pairs", "n_planted_pairs", "n_dropped"])
+    )
+
+
+def _oracle_semdedup() -> str:
+    from mongraph_spark.queries.similarity import _IDS_SQL, _SQ_DIST_SQL
+
+    def cos_sql(u: str, v: str) -> str:
+        return (
+            f"CAST(floor(10000 * list_sum(list_transform(range(1, len({u}) + 1),"
+            f" i -> {u}[i] * {v}[i]))"
+            f" / (sqrt(list_sum(list_transform({u}, x -> x * x)))"
+            f" * sqrt(list_sum(list_transform({v}, x -> x * x))))) AS BIGINT)"
+        )
+
+    body = f"""vecs AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+),
+corpus AS MATERIALIZED (
+  SELECT vec_id, vec FROM vecs
+  UNION ALL
+  SELECT vec_id + {ID_SHIFT},
+         list_transform(range(1, len(vec) + 1),
+                        i -> CASE WHEN i <= len(vec) - {ZERO_TAIL} THEN vec[i] ELSE 0.0 END)
+  FROM vecs
+),
+c0 AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, vec AS c_vec
+  FROM corpus WHERE vec_id IN ({_IDS_SQL})
+)"""
+    prev = "c0"
+    for r in range(1, SEMDEDUP_ROUNDS + 1):
+        body += f""",
+a{r} AS MATERIALIZED (
+  SELECT vec_id, cell, vec FROM (
+    SELECT v.vec_id, c.cell, v.vec,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {_SQ_DIST_SQL.format(v='v.vec', c='c.c_vec')}, c.cell) AS rk
+    FROM corpus v CROSS JOIN {prev} c
+  ) WHERE rk = 1
+),
+pd{r} AS MATERIALIZED (
+  SELECT cell, d - 1 AS dim, CAST(floor(10000 * avg(vec[d])) AS BIGINT) AS c_bp
+  FROM a{r}, UNNEST(range(1, len(vec) + 1)) AS t(d)
+  GROUP BY cell, d
+),
+c{r} AS MATERIALIZED (
+  SELECT cell, list(c_bp / 10000.0 ORDER BY dim) AS c_vec FROM pd{r} GROUP BY cell
+)"""
+        prev = f"c{r}"
+    last = SEMDEDUP_ROUNDS
+    return f"""WITH {body},
+scored AS MATERIALIZED (
+  SELECT a.cell, a.vec_id, a.vec, {cos_sql('a.vec', 'c.c_vec')} AS cs_bp
+  FROM a{last} a JOIN c{last} c ON a.cell = c.cell
+),
+dup AS MATERIALIZED (
+  SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b,
+         a.cs_bp AS cs_a, b.cs_bp AS cs_b
+  FROM scored a JOIN scored b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE {cos_sql('a.vec', 'b.vec')} >= {COS_THRESHOLD_BP}
+),
+dropped AS (
+  SELECT DISTINCT cell, vec_id FROM (
+    SELECT cell, id_b AS vec_id FROM dup WHERE cs_a <= cs_b
+    UNION ALL
+    SELECT cell, id_a FROM dup WHERE cs_b < cs_a
+  )
+)
+SELECT s.cell, s.n_vectors,
+       CAST(coalesce(d.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+       CAST(coalesce(d.n_planted_pairs, 0) AS BIGINT) AS n_planted_pairs,
+       CAST(coalesce(r.n_dropped, 0) AS BIGINT) AS n_dropped
+FROM (SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors FROM scored GROUP BY cell) s
+LEFT JOIN (SELECT cell, CAST(count(*) AS BIGINT) AS n_dup_pairs,
+                  CAST(sum(CASE WHEN id_b = id_a + {ID_SHIFT} THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_planted_pairs
+           FROM dup GROUP BY cell) d ON s.cell = d.cell
+LEFT JOIN (SELECT cell, CAST(count(*) AS BIGINT) AS n_dropped
+           FROM dropped GROUP BY cell) r ON s.cell = r.cell
+"""
+
+
+ORACLE_SEMDEDUP = _oracle_semdedup()
+
+
 QUERIES = {
+    "dedup_semdedup": dedup_semdedup,
     "dedup_exact": dedup_exact,
     "dedup_passages": dedup_passages,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -1715,6 +1948,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_semdedup": ORACLE_SEMDEDUP,
     "dedup_exact": ORACLE_EXACT,
     "dedup_passages": ORACLE_PASSAGES,
     "dedup_ngram_jaccard": ORACLE_JACCARD,

@@ -128,3 +128,23 @@ def test_bpe_train_token_totals_strictly_decrease(spark):
     totals = [r.n_tokens_after for r in rows]
     assert all(a > b for a, b in zip(totals, totals[1:]))
     assert all(r.pair_count > 0 for r in rows)
+
+
+def test_semdedup_planted_recall_and_keep_rule(spark):
+    """Cluster pruning must still catch most planted copy-pairs (a copy can
+    land in a different cell than its original — that loss is the operator's
+    honest recall), every caught pair must be a planted one on this corpus
+    (random vectors don't hit cosine >= 0.9), and the keep rule drops at
+    most one member per pair (n_dropped <= n_dup_pairs per cell)."""
+    from mongraph_spark.queries.dedup import dedup_semdedup
+    from mongraph_spark.sparkutil import read_table
+
+    rows = dedup_semdedup(spark, SF).collect()
+    n_emb = read_table(spark, SF, "embeddings").count()
+    assert sum(r.n_vectors for r in rows) == 2 * n_emb
+    total_pairs = sum(r.n_dup_pairs for r in rows)
+    total_planted = sum(r.n_planted_pairs for r in rows)
+    assert total_planted == total_pairs  # no false positives on this corpus
+    assert total_planted > 0.7 * n_emb  # cluster pruning keeps most truth
+    for r in rows:
+        assert 0 <= r.n_dropped <= r.n_dup_pairs
