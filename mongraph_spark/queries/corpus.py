@@ -1050,7 +1050,140 @@ FROM ranked GROUP BY source, decile
 """
 
 
+# -- DSIR: hashed-n-gram importance resampling weights --------------------------------
+
+DSIR_BUCKETS = 512
+
+
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw document
+    by how target-like its hashed-unigram distribution is.  Target here =
+    the English slice (the Wikipedia-proxy role); raw = the whole corpus.
+    Per md5-hash bucket b, the log-likelihood ratio
+    λ_b = ln(p_target(b) / p_raw(b)) (add-one smoothed) is floored to an
+    integer MICRO-NAT — the engines' last-ulp ``ln`` slack (~1e-10 µnat)
+    sits six orders below the grid — and a document's importance is the
+    exact integer Σ tokens λ_bucket(token).  DSIR selects by RANK, not
+    sign: add-one smoothing over the mostly-empty hash buckets shifts
+    every λ by ln((t_r+B)/(t_t+B)) − ln(t_r/t_t) (measured ≈ −0.03
+    nat/token on this corpus — target mass is diluted more than raw mass
+    because t_t < t_r), so "score > 0" would select nothing.  The audit
+    therefore reports, per language, how many docs beat the CORPUS-MEAN
+    importance — decided by the exact integer cross-product
+    score·N > Σscores, no float division — and the en slice must
+    dominate, which the tests pin.
+
+    Scale shape: the "model" is two aggregations of one token explode
+    (shuffle width = DSIR_BUCKETS, corpus-independent) broadcast back as a
+    512-row table; scoring is a map-side broadcast join + one doc-keyed
+    sum; the per-lang rollup is a 5-row agg.  This is THE cheap
+    quality-targeting pass production pipelines run before expensive
+    scoring: one corpus scan trains the model, one scan scores 100 TB, no
+    pairwise anything.  Bucket hashing is the same md5-prefix arithmetic
+    as pipeline.py's samplers — no RNG, partition-count-independent."""
+    docs = read_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("w"))
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
+                % DSIR_BUCKETS
+            ).alias("b"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    counts_r = tok.groupBy("b").agg(F.count(F.lit(1)).alias("c_r"))
+    counts_t = tok.filter(F.col("lang") == "en").groupBy("b").agg(
+        F.count(F.lit(1)).alias("c_t")
+    )
+    totals = tok.agg(
+        F.count(F.lit(1)).alias("t_r"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("t_t"),
+    )
+    lam = (
+        counts_r.join(counts_t, "b", "left")
+        .na.fill(0, ["c_t"])
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            F.floor(
+                F.lit(1_000_000)
+                * F.log(
+                    ((F.col("c_t") + 1) * (F.col("t_r") + DSIR_BUCKETS))
+                    / ((F.col("c_r") + 1) * (F.col("t_t") + DSIR_BUCKETS))
+                )
+            )
+            .cast("long")
+            .alias("lam"),
+        )
+    )
+    perdoc = (
+        tok.join(F.broadcast(lam), "b")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("lam").alias("score"))
+    )
+    corpus_tot = perdoc.agg(
+        F.sum("score").alias("s_all"), F.count(F.lit(1)).alias("n_all")
+    )
+    return (
+        perdoc.crossJoin(F.broadcast(corpus_tot))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("score") * F.col("n_all") > F.col("s_all"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_above_mean"),
+            F.sum("score").cast("long").alias("sum_score_micro"),
+            F.max("score").cast("long").alias("max_score_micro"),
+        )
+    )
+
+
+ORACLE_DSIR = f"""
+WITH tok AS MATERIALIZED (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(w), 1, 8))::BIGINT % {DSIR_BUCKETS} AS b
+  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents)
+),
+cr AS (SELECT b, CAST(count(*) AS BIGINT) AS c_r FROM tok GROUP BY b),
+ct AS (SELECT b, CAST(count(*) AS BIGINT) AS c_t FROM tok WHERE lang = 'en' GROUP BY b),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS t_r,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS t_t
+  FROM tok
+),
+lam AS (
+  SELECT cr.b,
+         CAST(floor(1000000 * ln(
+           ((coalesce(ct.c_t, 0) + 1) * (tot.t_r + {DSIR_BUCKETS}))
+           / ((cr.c_r + 1) * (tot.t_t + {DSIR_BUCKETS})))) AS BIGINT) AS lam
+  FROM cr LEFT JOIN ct ON cr.b = ct.b CROSS JOIN tot
+),
+perdoc AS MATERIALIZED (
+  SELECT t.doc_id, t.lang, CAST(sum(l.lam) AS BIGINT) AS score
+  FROM tok t JOIN lam l ON t.b = l.b
+  GROUP BY t.doc_id, t.lang
+),
+corpus_tot AS (
+  SELECT CAST(sum(score) AS BIGINT) AS s_all, CAST(count(*) AS BIGINT) AS n_all
+  FROM perdoc
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN score * n_all > s_all THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_above_mean,
+       CAST(sum(score) AS BIGINT) AS sum_score_micro,
+       CAST(max(score) AS BIGINT) AS max_score_micro
+FROM perdoc CROSS JOIN corpus_tot GROUP BY lang
+"""
+
+
 QUERIES = {
+    "corpus_dsir_weights": corpus_dsir_weights,
     "corpus_ngram_novelty": corpus_ngram_novelty,
     "corpus_decontaminate": decontaminate_splits,
     "corpus_repetition_filter": repetition_filter,
@@ -1066,6 +1199,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_dsir_weights": ORACLE_DSIR,
     "corpus_ngram_novelty": ORACLE_NOVELTY,
     "corpus_decontaminate": ORACLE_DECONTAMINATE,
     "corpus_repetition_filter": ORACLE_REPETITION,

@@ -148,3 +148,20 @@ def test_semdedup_planted_recall_and_keep_rule(spark):
     assert total_planted > 0.7 * n_emb  # cluster pruning keeps most truth
     for r in rows:
         assert 0 <= r.n_dropped <= r.n_dup_pairs
+
+
+def test_dsir_en_slice_dominates(spark):
+    """The target (en) slice must rank highest under its own importance
+    model: strictly the largest above-corpus-mean share AND the largest
+    mean score of any language (both compared with exact integer
+    cross-multiplication, mirroring the operator's own arithmetic)."""
+    from mongraph_spark.queries.corpus import corpus_dsir_weights
+
+    rows = {r.lang: r for r in corpus_dsir_weights(spark, SF).collect()}
+    en = rows.pop("en")
+    assert rows  # other languages exist
+    for r in rows.values():
+        # share: en.n_above/en.n > r.n_above/r.n
+        assert en.n_above_mean * r.n_docs > r.n_above_mean * en.n_docs
+        # mean score: en.sum/en.n > r.sum/r.n  (scores are negative ints)
+        assert en.sum_score_micro * r.n_docs > r.sum_score_micro * en.n_docs
