@@ -518,6 +518,92 @@ def store_conflict_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivm_build_history(spark: SparkSession, sf_dir: str, tag: str) -> str:
+    """Build the canonical 3-version CoW history both IVM operators maintain
+    against: v0 = documents (doc_id, source, n_chars); v1 = one upsert with
+    value updates (doc_id%10==0: n_chars+13), GROUP-CHANGING updates
+    (doc_id%10==1: source → 'moved') and inserts (doc_id%10==7 cloned at
+    +IVM_ID_SHIFT, n_chars+1); v2 = a predicate delete (n_chars%5==0 on the
+    current state).  Returns the store root (app-id + sf + tag namespaced,
+    so the batch and streaming twins never race on one dir)."""
+    import shutil
+    import tempfile
+
+    from mongraph_spark.sources import merge as merge_store
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    app_id = spark.sparkContext.applicationId
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(
+        tempfile.gettempdir(), f"mg_ivm_{tag}_{app_id}_{sf_tag}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    merge_store.init_table(docs, root, key="doc_id", n_buckets=8)  # v0
+    batch = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .withColumn("n_chars", F.col("n_chars") + 13)
+        .unionByName(
+            docs.filter(F.col("doc_id") % 10 == 1).withColumn(
+                "source", F.lit("moved")
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 10 == 7).select(
+                (F.col("doc_id") + IVM_ID_SHIFT).alias("doc_id"),
+                "source",
+                (F.col("n_chars") + 1).alias("n_chars"),
+            )
+        )
+    )
+    merge_store.upsert(spark, root, batch, key="doc_id")  # v1
+    merge_store.delete_where(spark, root, F.col("n_chars") % 5 == 0)  # v2
+    return root
+
+
+def ivm_signed_contribs(old_v: DataFrame, new_v: DataFrame) -> DataFrame:
+    """CDC diff of two store versions exploded into SIGNED group
+    contributions — the old row's group gets (−1, −old.n_chars), the new
+    row's group gets (+1, +new.n_chars), unchanged rows emit nothing — so a
+    group change is a −/+ pair landing in different groups.  ≤2 rows per
+    CHANGED key, 0 per unchanged: refresh cost tracks the delta, never the
+    base."""
+    v0 = old_v.alias("old")
+    v2 = new_v.alias("new")
+    diff = v2.join(v0, F.col("new.doc_id") == F.col("old.doc_id"), "full_outer")
+    changed = diff.filter(
+        F.col("old.doc_id").isNull()
+        | F.col("new.doc_id").isNull()
+        | (F.col("new.source") != F.col("old.source"))
+        | (F.col("new.n_chars") != F.col("old.n_chars"))
+    )
+    return changed.select(
+        F.explode(
+            F.array_compact(
+                F.array(
+                    F.when(
+                        F.col("old.doc_id").isNotNull(),
+                        F.struct(
+                            F.col("old.source").alias("source"),
+                            F.lit(-1).cast("long").alias("dc"),
+                            (-F.col("old.n_chars")).cast("long").alias("dch"),
+                        ),
+                    ),
+                    F.when(
+                        F.col("new.doc_id").isNotNull(),
+                        F.struct(
+                            F.col("new.source").alias("source"),
+                            F.lit(1).cast("long").alias("dc"),
+                            F.col("new.n_chars").cast("long").alias("dch"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("c")
+    ).select("c.source", "c.dc", "c.dch")
+
+
 def ivm_agg_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental maintenance of an AGGREGATE view over the CoW store —
     the materialized-view refresh real pipelines run (the groupBy/agg
@@ -545,72 +631,12 @@ def ivm_agg_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     0 per unchanged), and ΔV aggregates |changed keys| rows — refresh
     cost tracks the delta, never the base, which is the entire point of
     IVM at 100 TB."""
-    import shutil
-    import tempfile
-
     from mongraph_spark.sources import merge as merge_store
 
-    docs = read_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", "n_chars"
-    )
-    app_id = spark.sparkContext.applicationId
-    sf_tag = os.path.basename(os.path.normpath(sf_dir))
-    root = os.path.join(tempfile.gettempdir(), f"mg_ivm_agg_{app_id}_{sf_tag}")
-    shutil.rmtree(root, ignore_errors=True)
-    merge_store.init_table(docs, root, key="doc_id", n_buckets=8)  # v0
-    batch = (
-        docs.filter(F.col("doc_id") % 10 == 0)
-        .withColumn("n_chars", F.col("n_chars") + 13)
-        .unionByName(
-            docs.filter(F.col("doc_id") % 10 == 1).withColumn(
-                "source", F.lit("moved")
-            )
-        )
-        .unionByName(
-            docs.filter(F.col("doc_id") % 10 == 7).select(
-                (F.col("doc_id") + IVM_ID_SHIFT).alias("doc_id"),
-                "source",
-                (F.col("n_chars") + 1).alias("n_chars"),
-            )
-        )
-    )
-    merge_store.upsert(spark, root, batch, key="doc_id")  # v1
-    merge_store.delete_where(spark, root, F.col("n_chars") % 5 == 0)  # v2
-
-    v0 = merge_store.read_version(spark, root, 0).drop("__bucket").alias("old")
-    v2 = merge_store.read_version(spark, root, 2).drop("__bucket").alias("new")
-    diff = v2.join(v0, F.col("new.doc_id") == F.col("old.doc_id"), "full_outer")
-    changed = diff.filter(
-        F.col("old.doc_id").isNull()
-        | F.col("new.doc_id").isNull()
-        | (F.col("new.source") != F.col("old.source"))
-        | (F.col("new.n_chars") != F.col("old.n_chars"))
-    )
-    # signed group contributions: old side -(1, chars), new side +(1, chars)
-    contribs = changed.select(
-        F.explode(
-            F.array_compact(
-                F.array(
-                    F.when(
-                        F.col("old.doc_id").isNotNull(),
-                        F.struct(
-                            F.col("old.source").alias("source"),
-                            F.lit(-1).cast("long").alias("dc"),
-                            (-F.col("old.n_chars")).cast("long").alias("dch"),
-                        ),
-                    ),
-                    F.when(
-                        F.col("new.doc_id").isNotNull(),
-                        F.struct(
-                            F.col("new.source").alias("source"),
-                            F.lit(1).cast("long").alias("dc"),
-                            F.col("new.n_chars").cast("long").alias("dch"),
-                        ),
-                    ),
-                )
-            )
-        ).alias("c")
-    ).select("c.source", "c.dc", "c.dch")
+    root = ivm_build_history(spark, sf_dir, tag="agg")
+    v0 = merge_store.read_version(spark, root, 0).drop("__bucket")
+    v2 = merge_store.read_version(spark, root, 2).drop("__bucket")
+    contribs = ivm_signed_contribs(v0, v2)
     dv = contribs.groupBy("source").agg(
         F.sum("dc").cast("long").alias("d_docs"),
         F.sum("dch").cast("long").alias("d_chars"),

@@ -1088,7 +1088,144 @@ def _oracle_stream_span() -> str:
     return ORACLE_SPAN_EXACT
 
 
+def streaming_ivm_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of quality.ivm_agg_delta: the aggregate view
+    V(source) = (count, sum_chars) maintained CONTINUOUSLY from the CoW
+    store's CDC change feed — the "materialized view subscribed to a
+    change stream" shape (Delta CDF → streaming agg → MERGE INTO view)
+    every warehouse-adjacent pipeline runs.
+
+    The same 3-version history is replayed as a change STREAM: each
+    version transition's signed contributions (quality.ivm_signed_contribs
+    — commutative ±(1, chars) rows, so micro-batch boundaries can NEVER
+    change the result) land as files in a CDC directory; a file-source
+    stream aggregates them in update mode, and each micro-batch MERGEs the
+    changed groups' running Δ onto the V0 baseline in a view store keyed
+    by source.  The final table must equal the full recompute from the
+    store's current version — emitted per group as ``identity_holds``,
+    checked by the SAME oracle as the batch twin.
+
+    Scale shape: streaming state is one (Δcount, Δsum) pair per GROUP
+    (group-bounded, not row-bounded — the state-size table's best class);
+    per batch the sink rewrites only changed groups' buckets.  At 100 TB
+    the CDC feed is the store's commit log, and view refresh cost tracks
+    the change rate, never the base — the entire point of IVM."""
+    import shutil
+
+    from mongraph_spark.queries.quality import ivm_build_history, ivm_signed_contribs
+    from mongraph_spark.sources import merge as merge_store
+
+    root = ivm_build_history(spark, sf_dir, tag="stream")
+
+    def rv(n: int) -> DataFrame:
+        return merge_store.read_version(spark, root, n).drop("__bucket")
+
+    v0, v1, v2 = rv(0), rv(1), rv(2)
+    cdc_dir = root + "_cdc"
+    shutil.rmtree(cdc_dir, ignore_errors=True)
+    ivm_signed_contribs(v0, v1).write.mode("append").parquet(cdc_dir)
+    ivm_signed_contribs(v1, v2).write.mode("append").parquet(cdc_dir)
+
+    view0 = v0.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    ).localCheckpoint(eager=True)
+    view_root = root + "_view"
+    shutil.rmtree(view_root, ignore_errors=True)
+    merge_store.init_table(view0, view_root, key="source", n_buckets=4)
+
+    changes = (
+        spark.readStream.schema("source STRING, dc BIGINT, dch BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(cdc_dir)
+    )
+    dv = changes.groupBy("source").agg(
+        F.sum("dc").alias("dd"), F.sum("dch").alias("dsc")
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        merged = (
+            batch_df.join(view0, "source", "left")
+            .na.fill(0, ["n_docs", "sum_chars"])
+            .select(
+                "source",
+                (F.col("n_docs") + F.col("dd")).cast("long").alias("n_docs"),
+                (F.col("sum_chars") + F.col("dsc")).cast("long").alias("sum_chars"),
+            )
+        )
+        merge_store.upsert(batch_df.sparkSession, view_root, merged, key="source")
+
+    with _state_partitioning(spark, sf_dir):
+        q = (
+            dv.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    maintained = (
+        merge_store.read_current(spark, view_root)
+        .drop("__bucket")
+        .select(
+            "source",
+            F.col("n_docs").alias("n_docs_maintained"),
+            F.col("sum_chars").alias("sum_chars_maintained"),
+        )
+    )
+    base = view0.select(
+        "source",
+        F.col("n_docs").alias("n_docs_v0"),
+        F.col("sum_chars").alias("sum_chars_v0"),
+    )
+    full = v2.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_full"),
+        F.sum("n_chars").cast("long").alias("sum_chars_full"),
+    )
+    out = (
+        base.join(full, "source", "full_outer")
+        .join(maintained, "source", "left")
+        .na.fill(
+            0,
+            [
+                "n_docs_v0",
+                "sum_chars_v0",
+                "n_docs_full",
+                "sum_chars_full",
+                "n_docs_maintained",
+                "sum_chars_maintained",
+            ],
+        )
+    )
+    return out.select(
+        "source",
+        "n_docs_v0",
+        "sum_chars_v0",
+        (F.col("n_docs_maintained") - F.col("n_docs_v0"))
+        .cast("long")
+        .alias("d_docs"),
+        (F.col("sum_chars_maintained") - F.col("sum_chars_v0"))
+        .cast("long")
+        .alias("d_chars"),
+        "n_docs_maintained",
+        "sum_chars_maintained",
+        "n_docs_full",
+        "sum_chars_full",
+        (
+            (F.col("n_docs_maintained") == F.col("n_docs_full"))
+            & (F.col("sum_chars_maintained") == F.col("sum_chars_full"))
+        ).alias("identity_holds"),
+    ).filter((F.col("n_docs_v0") != 0) | (F.col("n_docs_full") != 0))
+
+
+def _oracle_stream_ivm() -> str:
+    from mongraph_spark.queries.quality import ORACLE_IVM_AGG
+
+    return ORACLE_IVM_AGG
+
+
 QUERIES = {
+    "streaming_ivm_agg": streaming_ivm_agg,
     "streaming_span_dedup": streaming_span_dedup,
     "streaming_slo_burn_rate": streaming_slo_burn_rate,
     "streaming_hourly_top_type": streaming_hourly_top_type,
@@ -1109,6 +1246,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "streaming_ivm_agg": _oracle_stream_ivm(),
     "streaming_span_dedup": _oracle_stream_span(),
     "streaming_slo_burn_rate": _oracle_stream_slo(),
     "streaming_hourly_top_type": _oracle_stream_hourly_top(),

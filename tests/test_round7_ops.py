@@ -165,3 +165,17 @@ def test_dsir_en_slice_dominates(spark):
         assert en.n_above_mean * r.n_docs > r.n_above_mean * en.n_docs
         # mean score: en.sum/en.n > r.sum/r.n  (scores are negative ints)
         assert en.sum_score_micro * r.n_docs > r.sum_score_micro * en.n_docs
+
+
+def test_streaming_ivm_agg_equals_batch_twin(spark):
+    """The stream-maintained view must hold the identity per group AND be
+    row-for-row equal to the batch IVM twin (same history, same output
+    contract) — micro-batch boundaries cannot perturb commutative signed
+    contributions."""
+    from mongraph_spark.queries.quality import ivm_agg_delta
+    from mongraph_spark.streaming.events import streaming_ivm_agg
+
+    got = sorted(map(tuple, streaming_ivm_agg(spark, SF).collect()))
+    assert got and all(r[-1] for r in got)  # identity_holds everywhere
+    want = sorted(map(tuple, ivm_agg_delta(spark, SF).collect()))
+    assert got == want
