@@ -108,6 +108,10 @@ def _next_version(root: str) -> str:
     crash) is cleared as before — the pointer always names the max
     COMMITTED version, so an uncommitted next-version dir is never live
     data."""
+    # first-write-creates-table: a mutator may claim v0 on a root no
+    # init_table ever touched (streaming_merge_upsert's sink does exactly
+    # this) — the claim file needs its parent dir to exist
+    os.makedirs(root, exist_ok=True)
     cur = current_version(root)
     ver = _version_name(0 if cur is None else int(cur.split("_")[1]) + 1)
     claim = _claim_path(root, ver)

@@ -744,3 +744,18 @@ def test_commit_with_retry_concurrent_writers(spark, tmp_path):
     got = {r.id: r.name for r in cur.filter(F.col("id").isin(0, 4, 50, 54)).collect()}
     assert got == {0: "w1_0", 4: "w1_4", 50: "w2_50", 54: "w2_54"}
     assert cur.count() == 100  # upserts replaced, never duplicated
+
+
+def test_first_upsert_creates_table_without_init(spark, tmp_path):
+    """A mutator may be the table's FIRST writer (streaming sinks upsert
+    into roots no init_table ever touched): the v0 claim must create the
+    root rather than crash on a missing parent dir — the OCC-rework
+    regression the sf0.1 full gate caught."""
+    root = str(tmp_path / "fresh")
+    updates = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    upsert(spark, root, updates, key="id")
+    cur = read_current(spark, root)
+    assert sorted((r.id, r.name) for r in cur.collect()) == [(1, "a"), (2, "b")]
+    # and the claim was released: a second upsert commits v1 cleanly
+    upsert(spark, root, spark.createDataFrame([(2, "b2")], "id long, name string"), key="id")
+    assert {r.name for r in read_current(spark, root).filter("id = 2").collect()} == {"b2"}
