@@ -63,17 +63,22 @@ _SUITES = [
 # first (rounds 1-2), previously-green last, as insurance against any
 # off-by-one in the driver's window.
 CORE_ORDER = [
-    # — round-7 window (VERDICT r6 order #1): the 10 round-6 post-window
-    #   additions that have never had a driver CORRECTNESS row (all
-    #   judge-verified strict-green at r6 HEAD); then the 4 new round-7
-    #   operators (never verified by construction); then 3 re-proof
-    #   slots for this round's refactors (merge.py optimistic-concurrency
-    #   rework touches every store mutator; spans_from_hits extraction
-    #   touches the span detectors); then the 33 LONGEST-unverified rows
-    #   (r1/r2 vintage) for freshness.  After this round's driver run,
-    #   driver-ever coverage = 241/241 minus the 11 r2-vintage rows
-    #   deferred to r8 (TPC-H q10–q19 + window_top_orders — all still
-    #   strict-green in the local full gate).
+    # — round-7 window (VERDICT r6 order #1), 50 slots exactly:
+    #   10 round-6 post-window additions with no driver row yet
+    #   + 4 early-round-7 operators (store_conflict_retry,
+    #     dedup_span_capped, ivm_agg_delta, streaming_span_dedup)
+    #   + 3 refactor re-proofs (dedup_span_exact for the spans_from_hits
+    #     extraction; store_merge_into + store_compaction for the
+    #     merge.py OCC rework)
+    #   + 5 mid-round-7 slots: 4 new operators (text_bpe_train,
+    #     dedup_semdedup, corpus_dsir_weights, streaming_ivm_agg) and the
+    #     streaming_merge_upsert re-proof (the sf0.1 full gate caught the
+    #     OCC rework breaking its first-write-creates-table sink; fixed)
+    #   + 28 LONGEST-unverified rows (r1/r2 vintage), oldest first.
+    #   Deferred to r8, all strict-green in the local full gate: TPC-H
+    #   q10–q19 + window_top_orders (r2) and rollup_revenue,
+    #   semi_parts_shipped, setop_active_building_customers,
+    #   stats_order_percentiles, stats_price_quantity_corr (r1).
     # — never driver-verified (round-6 post-window additions) —
     "corpus_span_decontamination",
     "graph_clustering_coefficient",
@@ -94,7 +99,18 @@ CORE_ORDER = [
     "dedup_span_exact",  # spans_from_hits extraction
     "store_merge_into",  # merge.py OCC rework (claim/commit in every mutator)
     "store_compaction",  # compact + upsert through the new claim protocol
-    # — longest-unverified driver rows (r1/r2 vintage), oldest first —
+    # — mid-round-7 additions (never driver-verified by construction) and
+    #   the regression re-proof: the sf0.1 full gate caught the OCC rework
+    #   breaking first-write-creates-table in streaming_merge_upsert's
+    #   sink; fixed, so its driver row renews at HEAD —
+    "text_bpe_train",
+    "dedup_semdedup",
+    "corpus_dsir_weights",
+    "streaming_ivm_agg",
+    "streaming_merge_upsert",
+    # — longest-unverified driver rows (r1/r2 vintage), oldest first
+    #   (rollup/semi/setop/stats r1 rows defer to r8 with the TPC-H block:
+    #   never-verified entries outrank freshness re-proofs for slots) —
     "ann_cosine_topk_bucketed",
     "embedding_centroids",
     "text_fingerprint",
@@ -121,11 +137,6 @@ CORE_ORDER = [
     "q9_product_profit",
     "q20_surplus_suppliers",
     "q22_wealthy_no_urgent",
-    "rollup_revenue",
-    "semi_parts_shipped",
-    "setop_active_building_customers",
-    "stats_order_percentiles",
-    "stats_price_quantity_corr",
     "window_customer_deciles",
     "window_running_sum",
 ]

@@ -1985,21 +1985,21 @@ FROM (
             JOIN b2 c ON a.order_id = c.order_id AND b.part_id < c.part_id
   GROUP BY 1, 2, 3 HAVING count(*) >= {ITEMSET3_MIN_SUPPORT}
 ) t JOIN cop p ON t.pa = p.part_a AND t.pb = p.part_b""",
-    extra_ctes="""contains_el AS (
+    extra_ctes="""contains_el AS MATERIALIZED (
   SELECT DISTINCT src AS order_id, dst AS part_id FROM g_edges WHERE type = 'contains'
 ),
-cop AS (
+cop AS MATERIALIZED (
   SELECT a.part_id AS part_a, b.part_id AS part_b, count(*) AS n_orders
   FROM contains_el a JOIN contains_el b
     ON a.order_id = b.order_id AND a.part_id < b.part_id
   GROUP BY 1, 2 HAVING count(*) >= 2
 ),
-freq_items AS (
+freq_items AS MATERIALIZED (
   SELECT DISTINCT part_id FROM (
     SELECT part_a AS part_id FROM cop UNION SELECT part_b FROM cop
   )
 ),
-b2 AS (
+b2 AS MATERIALIZED (
   SELECT e.order_id, e.part_id FROM contains_el e
   JOIN freq_items f ON e.part_id = f.part_id
 )""",
