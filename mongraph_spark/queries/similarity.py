@@ -1390,7 +1390,137 @@ SELECT q_id, c_id, adc_micro, rank FROM (
 """
 
 
+# -- Matryoshka truncation-recall curve ----------------------------------------------
+
+MATRYOSHKA_DIMS = [4, 8, 16, 32, 64]  # 64 = full width (the truth row)
+
+
+def ann_matryoshka_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation sweep (Kusupati et al. 2022, MRL): recall@K
+    of TRUNCATED-dimension cosine retrieval against the full-width exact
+    truth, one row per prefix width — the curve that prices the #1
+    serving-cost knob (embedding width) on YOUR corpus before anyone
+    ships a truncated index.  Same queries, K, integer-bp scoring, and
+    (cos_bp DESC, c_id) tie-break as :func:`ann_cosine_topk`, so the
+    full-width row is pinned at recall 10000 by construction.
+
+    Distributed shape: ONE broadcast cross join scores every (query,
+    candidate) pair at ALL widths in a single pass (prefix slices of one
+    array column — no rescan per width), a stack to long form, and one
+    (q_id, dim)-keyed window for the per-width top-K.  At 100 TB the
+    candidate scan stays the brute-force baseline's single pass; widths
+    multiply only the per-row arithmetic, never the shuffle.  Scores are
+    floored integer bp (null-guarded to -20000: DuckDB sorts NULL first
+    on DESC, Spark last — a zero-norm prefix must not diverge engines).
+    A width with ZERO hits emits no row (both engines drop the empty
+    group identically — at sf0.1 the 4-wide prefix of these random
+    vectors recalls nothing, and its absent row says so)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    corpus = vecs.select(F.col("vec_id").alias("c_id"), F.col("vec").alias("c_vec"))
+    queries = vecs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec")
+    )
+    pairs = corpus.crossJoin(F.broadcast(queries)).filter(
+        F.col("q_id") != F.col("c_id")
+    )
+
+    def cos_bp(d: int):
+        q, c = f"slice(q_vec, 1, {d})", f"slice(c_vec, 1, {d})"
+        expr = (
+            f"floor(10000 * aggregate(zip_with({q}, {c}, (x, y) -> x * y), "
+            "CAST(0.0 AS DOUBLE), (acc, p) -> acc + p) / "
+            f"(sqrt(aggregate(transform({q}, x -> x * x), CAST(0.0 AS DOUBLE), (a2, p) -> a2 + p)) * "
+            f"sqrt(aggregate(transform({c}, x -> x * x), CAST(0.0 AS DOUBLE), (a3, p) -> a3 + p))))"
+        )
+        return F.coalesce(F.expr(expr).cast("long"), F.lit(-20000))
+
+    scored = pairs.select(
+        "q_id", "c_id", *[cos_bp(d).alias(f"s{d}") for d in MATRYOSHKA_DIMS]
+    )
+    n_dims = len(MATRYOSHKA_DIMS)
+    stack_args = ", ".join(f"{d}L, s{d}" for d in MATRYOSHKA_DIMS)
+    long = scored.selectExpr(
+        "q_id", "c_id", f"stack({n_dims}, {stack_args}) AS (dim, cos_bp)"
+    )
+    w = Window.partitionBy("q_id", "dim").orderBy(F.desc("cos_bp"), F.asc("c_id"))
+    topk = (
+        long.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .localCheckpoint(eager=True)
+    )
+    full = MATRYOSHKA_DIMS[-1]
+    truth = topk.filter(F.col("dim") == full).select("q_id", "c_id")
+    nq = queries.agg(F.count(F.lit(1)).alias("n_q"))
+    return (
+        topk.join(truth, ["q_id", "c_id"], "left_semi")
+        .groupBy("dim")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .crossJoin(F.broadcast(nq))
+        .select(
+            "dim",
+            "n_hits",
+            F.expr(f"CAST((10000 * n_hits) DIV (n_q * {TOP_K}) AS BIGINT)").alias(
+                "recall_bp"
+            ),
+        )
+    )
+
+
+def _oracle_matryoshka() -> str:
+    def cos_sql(d: int) -> str:
+        q, c = f"q_vec[1:{d}]", f"c_vec[1:{d}]"
+        return (
+            f"coalesce(CAST(floor(10000 * list_sum(list_transform(range(1, {d} + 1),"
+            f" i -> q_vec[i] * c_vec[i]))"
+            f" / (sqrt(list_sum(list_transform({q}, x -> x * x)))"
+            f" * sqrt(list_sum(list_transform({c}, x -> x * x))))) AS BIGINT), -20000)"
+        )
+
+    per_dim = "\n  UNION ALL\n".join(
+        f"  SELECT q_id, c_id, CAST({d} AS BIGINT) AS dim, {cos_sql(d)} AS cos_bp FROM pairs"
+        for d in MATRYOSHKA_DIMS
+    )
+    full = MATRYOSHKA_DIMS[-1]
+    return f"""
+WITH corpus AS MATERIALIZED (
+  SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS c_vec FROM embeddings
+),
+queries AS MATERIALIZED (
+  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+pairs AS MATERIALIZED (
+  SELECT q_id, q_vec, c_id, c_vec FROM queries CROSS JOIN corpus WHERE q_id <> c_id
+),
+long AS MATERIALIZED (
+{per_dim}
+),
+topk AS MATERIALIZED (
+  SELECT q_id, c_id, dim, rank FROM (
+    SELECT q_id, c_id, dim,
+           row_number() OVER (PARTITION BY q_id, dim
+                              ORDER BY cos_bp DESC, c_id) AS rank
+    FROM long
+  ) WHERE rank <= {TOP_K}
+),
+truth AS (SELECT q_id, c_id FROM topk WHERE dim = {full}),
+nq AS (SELECT CAST(count(*) AS BIGINT) AS n_q FROM queries)
+SELECT t.dim, CAST(count(*) AS BIGINT) AS n_hits,
+       CAST((10000 * count(*)) // (nq.n_q * {TOP_K}) AS BIGINT) AS recall_bp
+FROM topk t SEMI JOIN truth u ON t.q_id = u.q_id AND t.c_id = u.c_id
+CROSS JOIN nq
+GROUP BY t.dim, nq.n_q
+"""
+
+
+ORACLE_MATRYOSHKA = _oracle_matryoshka()
+
+
 QUERIES = {
+    "ann_matryoshka_curve": ann_matryoshka_curve,
     "ann_ivfpq_topk": ann_ivfpq_topk,
     "ann_pq_adc_topk": ann_pq_adc_topk,
     "ann_range_search": ann_range_search,
@@ -1408,6 +1538,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ann_matryoshka_curve": ORACLE_MATRYOSHKA,
     "ann_ivfpq_topk": ORACLE_IVFPQ,
     "ann_pq_adc_topk": ORACLE_PQ_ADC,
     "ann_range_search": ORACLE_RANGE,

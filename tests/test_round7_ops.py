@@ -179,3 +179,23 @@ def test_streaming_ivm_agg_equals_batch_twin(spark):
     assert got and all(r[-1] for r in got)  # identity_holds everywhere
     want = sorted(map(tuple, ivm_agg_delta(spark, SF).collect()))
     assert got == want
+
+
+def test_matryoshka_full_width_anchor_and_shape(spark):
+    """The full-width row IS the truth (recall exactly 10000), every width
+    has exactly one row, hits are bounded by n_queries*K, and the widest
+    truncation can never beat full width."""
+    from mongraph_spark.queries.similarity import (
+        MATRYOSHKA_DIMS,
+        N_QUERIES,
+        TOP_K,
+        ann_matryoshka_curve,
+    )
+
+    rows = {r.dim: r for r in ann_matryoshka_curve(spark, SF).collect()}
+    assert sorted(rows) == MATRYOSHKA_DIMS
+    full = rows[MATRYOSHKA_DIMS[-1]]
+    assert full.recall_bp == 10000 and full.n_hits == N_QUERIES * TOP_K
+    for d, r in rows.items():
+        assert 0 <= r.n_hits <= N_QUERIES * TOP_K
+        assert r.recall_bp == (10000 * r.n_hits) // (N_QUERIES * TOP_K)
