@@ -1730,8 +1730,9 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles once on cell and is quadratic only within a cluster —
     Σ|c|² work, the quantity SEMDEDUP_K controls (paper runs K ~ 10⁵ on
     web scale so |c| stays ~10³ — the blowup knob is explicit, like
-    SIGN_BITS / band count; K=8→16 measured 14.6→? s at sf0.1 by halving
-    Σ|c|²).  Vector norms are hoisted out of the quadratic stage (one
+    SIGN_BITS / band count; K=8→16 + the norm hoist below measured
+    14.6→5.4 s warm at sf0.1 by halving Σ|c|² and cutting 2/3 of its
+    flops).  Vector norms are hoisted out of the quadratic stage (one
     sqrt-aggregate per vector, not two per pair).  The keep rule is a
     per-pair predicate (no iterative connected components), so dedup is
     one more cluster-keyed pass."""
