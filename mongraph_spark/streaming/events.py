@@ -1010,7 +1010,7 @@ def streaming_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(
             Window.partitionBy(const_part(F.col("doc_id"))).orderBy("doc_id")
         ),
-    )
+    ).localCheckpoint(eager=True)  # staged once; 4 filtered writes, not 4 rebuilds
     for i in range(1, 5):
         batched.filter(F.col("arrival") == i).drop("arrival").coalesce(
             1
