@@ -870,8 +870,23 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism)
         .localCheckpoint(eager=False)
     )
-    learned = []
-    for rank in range(1, BPE_TRAIN_ROUNDS + 1):
+    learned = bpe_train_merges(state, BPE_TRAIN_ROUNDS)
+    return spark.createDataFrame(
+        learned,
+        "merge_rank INT, w1 STRING, w2 STRING, pair_count BIGINT, n_tokens_after BIGINT",
+    )
+
+
+def bpe_train_merges(
+    state: DataFrame, rounds: int
+) -> list[tuple[int, str, str, int, int]]:
+    """The training core over an explicit corpus (column ``t``, char-spaced
+    lowercase): property-tested set-equal to an independent single-process
+    BPE trainer over random corpora (tests/test_property_based.py).  Stops
+    early when no adjacent pair remains (degenerate corpora — all docs a
+    single symbol)."""
+    learned: list[tuple[int, str, str, int, int]] = []
+    for rank in range(1, rounds + 1):
         toks = F.split(F.col("t"), " ")
         n = F.size(toks)
         pairs = F.zip_with(
@@ -879,18 +894,21 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(toks, 2, n - 1),
             lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
         )
-        best = (
+        rows = (
             state.select(F.explode(pairs).alias("p"))
             .filter((F.col("p.w1") != "") & (F.col("p.w2") != ""))
             .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
             .agg(F.count(F.lit(1)).alias("c"))
             .orderBy(F.desc("c"), "w1", "w2")
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not rows:
+            break
+        best = rows[0]
         # fold the post-merge token count into the checkpoint job itself
         # (Observation rides the materialization — 2 jobs/round, not 3)
-        obs = Observation(f"bpe_r{rank}")
+        obs = Observation(f"bpe_{id(state)}_r{rank}")
         state = (
             state.select(
                 F.call_function(
@@ -902,18 +920,16 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .observe(
                 obs,
-                F.sum(
-                    F.size(F.filter(F.split("t", " "), lambda x: x != ""))
+                F.coalesce(
+                    F.sum(F.size(F.filter(F.split("t", " "), lambda x: x != ""))),
+                    F.lit(0),
                 ).alias("n"),
             )
             .localCheckpoint(eager=True)
         )
         n_after = obs.get["n"]
         learned.append((rank, best["w1"], best["w2"], int(best["c"]), int(n_after)))
-    return spark.createDataFrame(
-        learned,
-        "merge_rank INT, w1 STRING, w2 STRING, pair_count BIGINT, n_tokens_after BIGINT",
-    )
+    return learned
 
 
 def _bpe_train_oracle() -> str:

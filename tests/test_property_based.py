@@ -406,3 +406,54 @@ def test_racing_writers_match_sequential_model(
         for r in M.read_current(spark, root).drop("__bucket").collect()
     }
     assert got == model
+
+
+# -- BPE trainer == independent single-process trainer -------------------------
+#
+# For ANY corpus, the distributed trainer must learn EXACTLY the merge list
+# a reference in-memory BPE trainer learns: same pairs in the same order,
+# same selection counts, same post-merge corpus token totals.  Random
+# corpora over a tiny alphabet force heavy count ties, so this also proves
+# the (count DESC, pair ASC) tie-break is total and engine-independent.
+
+
+def _brute_bpe(texts: list[str], rounds: int):
+    import collections
+    import re
+
+    state = [re.sub(r"(.)", lambda m: m.group(1) + " ", t.lower()) for t in texts]
+    out = []
+    for rank in range(1, rounds + 1):
+        cnt = collections.Counter()
+        for t in state:
+            toks = t.split(" ")
+            for a, b in zip(toks, toks[1:]):
+                if a and b:
+                    cnt[(a, b)] += 1
+        if not cnt:
+            break
+        (w1, w2), c = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        state = [t.replace(f"{w1} {w2}", w1 + w2) for t in state]
+        n_after = sum(len([x for x in t.split(" ") if x]) for t in state)
+        out.append((rank, w1, w2, c, n_after))
+    return out
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.text(alphabet="ab c", min_size=1, max_size=18),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_bpe_trainer_equals_bruteforce(spark, texts):
+    from mongraph_spark.queries.text import bpe_train_merges
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    state = df.select(
+        F.regexp_replace(F.lower("text"), "(.)", "$1 ").alias("t")
+    )
+    got = bpe_train_merges(state, 3)
+    assert got == _brute_bpe(texts, 3)
