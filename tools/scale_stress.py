@@ -289,7 +289,16 @@ def _registry() -> dict:
     from mongraph_spark.queries.multimodal import mm_shard_packing, mm_tar_index
     from mongraph_spark.queries.pipeline import pipeline_curation_funnel
 
+    from mongraph_spark.queries.corpus import corpus_dsir_weights
+    from mongraph_spark.queries.dedup import dedup_semdedup
+    from mongraph_spark.queries.similarity import ann_matryoshka_curve
+    from mongraph_spark.queries.text import text_bpe_train
+
     return {
+        "text_bpe_train": (text_bpe_train, False),
+        "dedup_semdedup": (dedup_semdedup, True),
+        "corpus_dsir_weights": (corpus_dsir_weights, False),
+        "ann_matryoshka_curve": (ann_matryoshka_curve, True),
         "pipeline_curation_funnel": (pipeline_curation_funnel, False),
         "mm_shard_packing": (mm_shard_packing, False),
         "mm_tar_index": (mm_tar_index, False),
