@@ -1736,6 +1736,16 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sqrt-aggregate per vector, not two per pair).  The keep rule is a
     per-pair predicate (no iterative connected components), so dedup is
     one more cluster-keyed pass."""
+    return semdedup_report(spark, sf_dir, SEMDEDUP_SEED_IDS)
+
+
+def semdedup_report(
+    spark: SparkSession, sf_dir: str, seed_ids: list[int]
+) -> DataFrame:
+    """The SemDeDup core with an explicit seed set — K = len(seed_ids) is
+    the Σ|c|² knob; tools/scale_stress.py drives this with K scaled ∝
+    corpus size to demonstrate the documented linear regime (fixed-K is
+    quadratic by construction)."""
     from mongraph_spark.queries.similarity import _SQ_DIST
 
     emb = read_table(spark, sf_dir, "embeddings")
@@ -1751,7 +1761,7 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("vec"),
     )
     corpus = vecs.unionByName(copies).localCheckpoint(eager=True)
-    seeds = corpus.filter(F.col("vec_id").isin(SEMDEDUP_SEED_IDS)).select(
+    seeds = corpus.filter(F.col("vec_id").isin(seed_ids)).select(
         F.col("vec_id").alias("seed_id"), F.col("vec").alias("c_vec")
     )
     centroids = seeds.withColumn(

@@ -294,9 +294,21 @@ def _registry() -> dict:
     from mongraph_spark.queries.similarity import ann_matryoshka_curve
     from mongraph_spark.queries.text import text_bpe_train
 
+    def _semdedup_scaled_k(spark, sf_dir):
+        # K ∝ corpus: 16 seeds per replica band (ids 10..160 + i·1e9) → 256
+        # cells at 16× vectors, holding |c| ≈ the 1× regime.  The contrast
+        # with the fixed-K row IS the Σ|c|² cost model's demonstration.
+        from mongraph_spark.queries.dedup import semdedup_report
+
+        seeds = [
+            10 * (j + 1) + i * 1_000_000_000 for i in range(16) for j in range(16)
+        ]
+        return semdedup_report(spark, sf_dir, seeds)
+
     return {
         "text_bpe_train": (text_bpe_train, False),
         "dedup_semdedup": (dedup_semdedup, True),
+        "dedup_semdedup_scaledK": (_semdedup_scaled_k, True),
         "corpus_dsir_weights": (corpus_dsir_weights, False),
         "ann_matryoshka_curve": (ann_matryoshka_curve, True),
         "pipeline_curation_funnel": (pipeline_curation_funnel, False),
