@@ -1311,24 +1311,44 @@ def span_pairs_capped(
             "pos", "gram"
         ),
     ).select("doc_id", "pos", F.md5("gram").alias("gh"))
-    grams = grams.localCheckpoint(eager=True)  # feeds df-count AND both join sides
-    df_per_gram = grams.groupBy("gh").agg(
-        F.countDistinct("doc_id").alias("gram_df")
+    # ONE gram-keyed shuffle: collect each gram's occurrence list and its
+    # doc-frequency together, then expand hit pairs MAP-SIDE inside the
+    # (cap-bounded) group — replaces the df-count agg + join-back + a×b
+    # self-join (three passes over the full gram mass) of the naive form.
+    # After the cap no group spans more than df_cap docs, so the expansion
+    # is O(df_cap²)-bounded per gram — the skew guard IS the bound.
+    occ = (
+        grams.groupBy("gh")
+        .agg(
+            F.collect_list(F.struct("doc_id", "pos")).alias("occs"),
+            F.countDistinct("doc_id").alias("gram_df"),
+        )
+        .localCheckpoint(eager=True)  # feeds gram_stats AND the hit expansion
     )
-    tagged = grams.join(df_per_gram, "gh")
-    gram_stats = tagged.agg(
-        F.count(F.lit(1)).cast("long").alias("n_gram_occurrences"),
-        F.sum((F.col("gram_df") > df_cap).cast("long"))
+    gram_stats = occ.agg(
+        F.sum(F.size("occs")).cast("long").alias("n_gram_occurrences"),
+        F.sum(F.when(F.col("gram_df") > df_cap, F.size("occs")).otherwise(F.lit(0)))
         .cast("long")
         .alias("n_occ_dropped"),
     )
-    keep = tagged.filter(F.col("gram_df") <= df_cap)
-    a = keep.select(F.col("doc_id").alias("id_a"), F.col("pos").alias("pa"), "gh")
-    b = keep.select(F.col("doc_id").alias("id_b"), F.col("pos").alias("pb"), "gh")
     hits = (
-        a.join(b, "gh")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "pa", "pb", (F.col("pa") - F.col("pb")).alias("diag"))
+        occ.filter(F.col("gram_df") <= df_cap)
+        .select(
+            F.explode(
+                F.expr(
+                    "filter(flatten(transform(occs, a -> transform(occs, b -> "
+                    "struct(a.doc_id AS id_a, b.doc_id AS id_b, "
+                    "a.pos AS pa, b.pos AS pb)))), p -> p.id_a < p.id_b)"
+                )
+            ).alias("h")
+        )
+        .select(
+            "h.id_a",
+            "h.id_b",
+            "h.pa",
+            "h.pb",
+            (F.col("h.pa") - F.col("h.pb")).alias("diag"),
+        )
     )
     w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
     runs = hits.withColumn("island", F.col("pa") - F.row_number().over(w))

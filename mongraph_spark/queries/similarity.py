@@ -205,17 +205,10 @@ def _ivf_centroids(emb: DataFrame) -> DataFrame:
     )
 
 
-def ann_ivf(
-    spark: SparkSession, sf_dir: str, nprobe: int = IVF_NPROBE
-) -> DataFrame:
-    emb = read_table(spark, sf_dir, "embeddings")
-    centroids = _ivf_centroids(emb)
-    vecs = emb.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
-    )
+def _ivf_lists(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Inverted lists: every vector -> its refined cell (map-only at scale)."""
     d = F.expr(_SQ_DIST.format(v="vec", c="c_vec"))
-    # inverted lists: every vector -> its refined cell (map-only at scale)
-    lists = (
+    return (
         vecs.crossJoin(F.broadcast(centroids))
         .withColumn("dist", d)
         .groupBy("vec_id")
@@ -223,7 +216,15 @@ def ann_ivf(
         .join(vecs, "vec_id")
         .select(F.col("vec_id").alias("c_id"), "cell", F.col("vec").alias("c_vec"))
     )
-    # queries probe their nprobe nearest cells
+
+
+def _ivf_scored(vecs: DataFrame, centroids: DataFrame, max_probe: int) -> DataFrame:
+    """(q_id, c_id, cos_bp, probe_rank) for every candidate within the
+    ``max_probe`` nearest cells of each query.  ``probe_rank`` is the rank
+    of the candidate's cell in the query's probe order, so any smaller
+    nprobe is a pure filter on this one scored set (probe sets are nested
+    by construction) — the shared pass :func:`ann_recall_curve` sweeps."""
+    lists = _ivf_lists(vecs, centroids)
     queries = vecs.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec")
     )
@@ -233,8 +234,8 @@ def ann_ivf(
         queries.crossJoin(F.broadcast(centroids))
         .withColumn("qdist", qd)
         .withColumn("probe_rank", F.row_number().over(wq))
-        .filter(F.col("probe_rank") <= nprobe)
-        .select("q_id", "q_vec", "cell")
+        .filter(F.col("probe_rank") <= max_probe)
+        .select("q_id", "q_vec", "cell", "probe_rank")
     )
     dot = F.expr(
         "aggregate(zip_with(q_vec, c_vec, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
@@ -245,7 +246,7 @@ def ann_ivf(
     cn = F.expr(
         "aggregate(transform(c_vec, xc -> xc * xc), CAST(0.0 AS DOUBLE), (accc, vc) -> accc + vc)"
     )
-    scored = (
+    return (
         F.broadcast(probes)
         .join(lists, "cell")
         .filter(F.col("q_id") != F.col("c_id"))
@@ -255,8 +256,20 @@ def ann_ivf(
             F.floor(F.lit(10000) * dot / (F.sqrt(qn) * F.sqrt(cn)))
             .cast("long")
             .alias("cos_bp"),
+            "probe_rank",
         )
     )
+
+
+def ann_ivf(
+    spark: SparkSession, sf_dir: str, nprobe: int = IVF_NPROBE
+) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids = _ivf_centroids(emb)
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    scored = _ivf_scored(vecs, centroids, nprobe)
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_bp"), F.asc("c_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -577,19 +590,33 @@ def ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-{K} and floor-bp recall; recall is monotone non-decreasing in
     nprobe by construction (probe sets are nested), pinned in tests.
 
-    Shape: ONE brute-force truth retrieval (checkpointed), then one
-    nprobe-bounded IVF retrieval per curve point — each keeps ann_ivf's
-    documented scale posture (broadcast probes, inverted-list join); the
-    scoring joins are {N_QUERIES}·{K}-row trivia."""
+    Shape: ONE brute-force truth retrieval (checkpointed) and ONE IVF
+    index build + scoring pass at max(nprobe) (checkpointed) — probe sets
+    are nested, so every smaller curve point is a pure ``probe_rank``
+    filter over the shared scored set, exactly the one-candidate-build
+    sweep :func:`dedup_threshold_curve` uses; per-point work is then a
+    {N_QUERIES}·pool-row window + a {N_QUERIES}·{K}-row join."""
     brute = (
         ann_cosine_topk(spark, sf_dir)
         .select("q_id", "c_id")
         .localCheckpoint(eager=True)
     )
+    emb = read_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    centroids = _ivf_centroids(emb)
+    scored = _ivf_scored(
+        vecs, centroids, max(RECALL_CURVE_PROBES)
+    ).localCheckpoint(eager=True)
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_bp"), F.asc("c_id"))
     out = None
     for nprobe in RECALL_CURVE_PROBES:
-        ivf = ann_ivf(spark, sf_dir, nprobe=nprobe).select(
-            "q_id", "c_id", F.lit(1).alias("hit")
+        ivf = (
+            scored.filter(F.col("probe_rank") <= nprobe)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .select("q_id", "c_id", F.lit(1).alias("hit"))
         )
         part = (
             brute.join(ivf, ["q_id", "c_id"], "left")
