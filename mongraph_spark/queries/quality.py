@@ -524,8 +524,13 @@ def ivm_build_history(spark: SparkSession, sf_dir: str, tag: str) -> str:
     value updates (doc_id%10==0: n_chars+13), GROUP-CHANGING updates
     (doc_id%10==1: source → 'moved') and inserts (doc_id%10==7 cloned at
     +IVM_ID_SHIFT, n_chars+1); v2 = a predicate delete (n_chars%5==0 on the
-    current state).  Returns the store root (app-id + sf + tag namespaced,
-    so the batch and streaming twins never race on one dir)."""
+    current state).  Returns the store root (app-id + sf + tag namespaced;
+    the history is READ-ONLY once built, so a completed build — marked by a
+    ``_HISTORY_DONE`` sentinel written after v2 commits — is reused as-is:
+    both IVM twins share one "shared"-tagged build per session instead of
+    re-running the ~10-job 3-version construction each, and repeat runs of
+    either skip it entirely.  A crashed partial build has no sentinel and
+    is torn down and rebuilt."""
     import shutil
     import tempfile
 
@@ -539,6 +544,9 @@ def ivm_build_history(spark: SparkSession, sf_dir: str, tag: str) -> str:
     root = os.path.join(
         tempfile.gettempdir(), f"mg_ivm_{tag}_{app_id}_{sf_tag}"
     )
+    done = os.path.join(root, "_HISTORY_DONE")
+    if os.path.exists(done):
+        return root
     shutil.rmtree(root, ignore_errors=True)
     merge_store.init_table(docs, root, key="doc_id", n_buckets=8)  # v0
     batch = (
@@ -559,6 +567,8 @@ def ivm_build_history(spark: SparkSession, sf_dir: str, tag: str) -> str:
     )
     merge_store.upsert(spark, root, batch, key="doc_id")  # v1
     merge_store.delete_where(spark, root, F.col("n_chars") % 5 == 0)  # v2
+    with open(done, "w") as f:
+        f.write("ok\n")
     return root
 
 
@@ -633,7 +643,7 @@ def ivm_agg_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVM at 100 TB."""
     from mongraph_spark.sources import merge as merge_store
 
-    root = ivm_build_history(spark, sf_dir, tag="agg")
+    root = ivm_build_history(spark, sf_dir, tag="shared")
     v0 = merge_store.read_version(spark, root, 0).drop("__bucket")
     v2 = merge_store.read_version(spark, root, 2).drop("__bucket")
     contribs = ivm_signed_contribs(v0, v2)

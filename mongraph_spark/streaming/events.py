@@ -1115,7 +1115,7 @@ def streaming_ivm_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mongraph_spark.queries.quality import ivm_build_history, ivm_signed_contribs
     from mongraph_spark.sources import merge as merge_store
 
-    root = ivm_build_history(spark, sf_dir, tag="stream")
+    root = ivm_build_history(spark, sf_dir, tag="shared")
 
     def rv(n: int) -> DataFrame:
         return merge_store.read_version(spark, root, n).drop("__bucket")
