@@ -932,6 +932,128 @@ def bpe_train_merges(
     return learned
 
 
+# session-scoped memo of the learned merge list, keyed by (app, corpus).
+# LEGITIMATE to cache: the merges are a pure function of the immutable
+# parquet input, and for text_bpe_apply the training is input SCAFFOLDING
+# (the operator under test is the encode), exactly like the shared IVM
+# history fixture.  text_bpe_train does NOT use this memo — its measured
+# cost is the training loop itself.
+_BPE_MERGE_CACHE: dict[tuple[str, str], list[tuple[int, str, str, int, int]]] = {}
+
+
+def _bpe_learned_merges(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[int, str, str, int, int]]:
+    import os as _os
+
+    key = (spark.sparkContext.applicationId, _os.path.normpath(sf_dir))
+    if key not in _BPE_MERGE_CACHE:
+        docs = read_table(spark, sf_dir, "documents")
+        state = (
+            docs.select(F.regexp_replace(F.lower("text"), "(.)", "$1 ").alias("t"))
+            .repartition(spark.sparkContext.defaultParallelism)
+            .localCheckpoint(eager=False)
+        )
+        _BPE_MERGE_CACHE[key] = bpe_train_merges(state, BPE_TRAIN_ROUNDS)
+    return _BPE_MERGE_CACHE[key]
+
+
+def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer loop CLOSED: encode the corpus with the merge list
+    :func:`text_bpe_train` just learned from it — train on the cleaned
+    corpus, tokenize the same corpus, report what the tokenizer bought.
+    (:func:`text_bpe_tokenize` applies a FIXED merge list; this one applies
+    the LEARNED one, so the output shifts when the corpus does.)
+
+    Per source: doc count, whitespace words, BPE tokens under the learned
+    merges, fertility (BPE tokens per word, floor bp) and chars-per-token
+    (floor bp) — the compression number that decides how many documents fit
+    a context window.
+
+    Distributed shape: training is the memoized scaffold (one driver-side
+    merge list, ≤{BPE_TRAIN_ROUNDS} entries); the encode is a chain of
+    {BPE_TRAIN_ROUNDS} literal ``replace`` calls on one projected column —
+    map-only, whole-stage codegen, zero shuffles before the per-source
+    rollup, scan-bound at 100 TB.  Token counting matches the trainer's own
+    metric exactly (split on single space, drop empties), so
+    ``n_bpe_tokens`` summed over sources equals the trainer's final
+    ``n_tokens_after`` — pinned in tests."""
+    learned = _bpe_learned_merges(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents")
+    merged = F.regexp_replace(F.lower("text"), "(.)", "$1 ")
+    for _rank, w1, w2, _c, _n in learned:
+        merged = F.call_function(
+            "replace", merged, F.lit(f"{w1} {w2}"), F.lit(w1 + w2)
+        )
+    per_doc = docs.select(
+        "source",
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.size(F.split(F.trim(F.lower("text")), r"\s+")).cast("bigint").alias(
+            "n_words"
+        ),
+        F.size(F.filter(F.split(merged, " "), lambda x: x != ""))
+        .cast("bigint")
+        .alias("n_bpe"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("n_words"),
+        F.sum("n_bpe").alias("n_bpe_tokens"),
+        F.expr("CAST((10000 * sum(n_bpe)) DIV sum(n_words) AS BIGINT)").alias(
+            "fertility_bp"
+        ),
+        F.expr("CAST((10000 * sum(n_chars)) DIV sum(n_bpe) AS BIGINT)").alias(
+            "chars_per_token_bp"
+        ),
+    )
+
+
+def _bpe_apply_oracle() -> str:
+    # the train chain's s{R} already holds the fully-encoded text per doc;
+    # reuse it (MATERIALIZED, same reasoning as the train oracle) and roll
+    # up per source — no n{r} count CTEs needed here.
+    body = """s0 AS MATERIALIZED (
+  SELECT doc_id, regexp_replace(lower(text), '(.)', '\\1 ', 'g') AS t
+  FROM documents
+)"""
+    prev = "s0"
+    for r in range(1, BPE_TRAIN_ROUNDS + 1):
+        body += f""",
+b{r} AS MATERIALIZED (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM (
+    SELECT l[d] AS w1, l[d + 1] AS w2
+    FROM (SELECT string_split(t, ' ') AS l FROM {prev}),
+         UNNEST(range(1, len(l))) AS r(d)
+  ) WHERE w1 <> '' AND w2 <> ''
+  GROUP BY w1, w2 ORDER BY c DESC, w1, w2 LIMIT 1
+),
+s{r} AS MATERIALIZED (
+  SELECT doc_id,
+         replace(t, (SELECT w1 || ' ' || w2 FROM b{r}),
+                    (SELECT w1 || w2 FROM b{r})) AS t
+  FROM {prev}
+)"""
+        prev = f"s{r}"
+    return f"""WITH {body},
+per_doc AS (
+  SELECT d.source,
+         CAST(len(d.text) AS BIGINT) AS n_chars,
+         CAST(len(string_split_regex(trim(lower(d.text)), '\\s+')) AS BIGINT) AS n_words,
+         CAST(len(list_filter(string_split(s.t, ' '), x -> x <> '')) AS BIGINT) AS n_bpe
+  FROM documents d JOIN {prev} s ON d.doc_id = s.doc_id
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS n_words,
+       CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
+       CAST((10000 * sum(n_bpe)) // sum(n_words) AS BIGINT) AS fertility_bp,
+       CAST((10000 * sum(n_chars)) // sum(n_bpe) AS BIGINT) AS chars_per_token_bp
+FROM per_doc GROUP BY source
+"""
+
+
+ORACLE_BPE_APPLY = _bpe_apply_oracle()
+
+
 def _bpe_train_oracle() -> str:
     # MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and the round
     # chain (s_k referencing b_k referencing s_{k-1}, twice via the scalar
@@ -977,6 +1099,7 @@ ORACLE_BPE_TRAIN = _bpe_train_oracle()
 
 QUERIES = {
     "text_bpe_train": text_bpe_train,
+    "text_bpe_apply": text_bpe_apply,
     "text_bpe_tokenize": text_bpe_tokenize,
     "text_langid_confusion": text_langid_confusion,
     "text_winnowing_pairs": text_winnowing_pairs,
@@ -993,6 +1116,7 @@ QUERIES = {
 
 ORACLES = {
     "text_bpe_train": ORACLE_BPE_TRAIN,
+    "text_bpe_apply": ORACLE_BPE_APPLY,
     "text_bpe_tokenize": ORACLE_BPE,
     "text_langid_confusion": ORACLE_LANGID_CONFUSION,
     "text_winnowing_pairs": _oracle_winnowing_pairs(),

@@ -199,3 +199,26 @@ def test_matryoshka_full_width_anchor_and_shape(spark):
     for d, r in rows.items():
         assert 0 <= r.n_hits <= N_QUERIES * TOP_K
         assert r.recall_bp == (10000 * r.n_hits) // (N_QUERIES * TOP_K)
+
+
+def test_bpe_apply_totals_match_trainer_final_count(spark):
+    """text_bpe_apply's docstring contract: encoding with the learned
+    merges and counting tokens the trainer's way must reproduce the
+    trainer's own final n_tokens_after exactly (summed over sources), and
+    the learned-merge path must differ from nothing-learned char counts
+    (compression actually happened: fertility < chars-per-word)."""
+    from mongraph_spark.queries.text import (
+        BPE_TRAIN_ROUNDS,
+        text_bpe_apply,
+        text_bpe_train,
+    )
+
+    trained = text_bpe_train(spark, SF).collect()
+    assert len(trained) == BPE_TRAIN_ROUNDS
+    final_total = max(r.n_tokens_after for r in trained if r.merge_rank == BPE_TRAIN_ROUNDS)
+    applied = text_bpe_apply(spark, SF).collect()
+    assert sum(r.n_bpe_tokens for r in applied) == final_total
+    for r in applied:
+        assert r.n_bpe_tokens < 10000 * r.n_words  # sanity: finite fertility
+        assert r.fertility_bp == 10000 * r.n_bpe_tokens // r.n_words
+        assert r.chars_per_token_bp > 10000  # >1 char per token: merges bought compression
