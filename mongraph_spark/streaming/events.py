@@ -1088,6 +1088,153 @@ def _oracle_stream_span() -> str:
     return ORACLE_SPAN_EXACT
 
 
+def streaming_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of queries.dedup.dedup_ngram_jaccard — MinHash-LSH
+    NEAR-dup detection in the INGEST path (the crawl-pipeline shape:
+    every arriving document is checked against the accumulated corpus the
+    moment it lands, without rescanning it).  streaming_span_dedup is the
+    exact-substring sibling; this is the band-bucket/Jaccard one.
+
+    Per micro-batch (``foreachBatch``):
+    1. shingle the arriving docs, fold minhash signatures into band keys
+       (queries.dedup._banded_sigs — the batch op's own machinery);
+    2. CROSS candidates = batch band rows ⋈ accumulated band index on
+       (band_index, band_key) — only matching band mass shuffles —
+       normalized so the lower doc_id is always ``id_a``;
+    3. INTRA candidates = batch band self-join (pairs sharing a batch,
+       which the index can't see yet); distinct over 2∪3 (a pair can
+       collide in several bands);
+    4. exact-Jaccard verify against the accumulated shingle store ∪ the
+       batch's own shingles (integer 5·common ≥ 4·union, floor-bp score —
+       identical to the batch op), appended to the result log;
+    5. the batch's band rows and shingles join the index.
+    Every unordered pair is matched exactly once — cross when the later
+    doc arrives, intra when both share a batch — so the union over
+    batches IS dedup_ngram_jaccard's output, checked by that op's own SQL
+    oracle (same batch-equal contract as streaming_span_dedup).
+
+    State model: the band index + shingle store ARE the state and grow
+    with the accumulated corpus (stored as tables, not executor state —
+    the queryable dedup index itself).  At 100 TB both are bucketed by
+    band key / doc_id so step 2 is a bucket-pruned join and step 4 a
+    co-located lookup."""
+    import shutil
+    import tempfile
+
+    from mongraph_spark.queries.dedup import (
+        N_BANDS,
+        _banded_sigs,
+        _shingles,
+        dup_corpus,
+    )
+
+    app_id = spark.sparkContext.applicationId
+    sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    base = os.path.join(tempfile.gettempdir(), f"mg_stream_lsh_{app_id}_{sf_tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    staging = os.path.join(base, "arrivals")
+    band_dir = os.path.join(base, "band_index")
+    sh_dir = os.path.join(base, "shingle_store")
+    out_dir = os.path.join(base, "pairs")
+
+    corpus = dup_corpus(spark, sf_dir, drop_last=2)
+    batched = corpus.withColumn(
+        "arrival",
+        F.ntile(4).over(
+            Window.partitionBy(const_part(F.col("doc_id"))).orderBy("doc_id")
+        ),
+    ).localCheckpoint(eager=True)  # staged once; 4 filtered writes
+    for i in range(1, 5):
+        batched.filter(F.col("arrival") == i).drop("arrival").coalesce(
+            1
+        ).write.mode("append").parquet(staging)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        shingled_b = batch_df.select(
+            "doc_id", _shingles(F.split(F.col("text"), " ")).alias("shingles")
+        ).localCheckpoint(eager=True)  # feeds sigs, verify join, store append
+        bl = (
+            _banded_sigs(shingled_b)
+            .select(
+                "doc_id",
+                F.posexplode(
+                    F.array(*[F.col(f"band{b}") for b in range(N_BANDS)])
+                ).alias("bidx", "bk"),
+            )
+            .localCheckpoint(eager=True)  # feeds intra, cross, index append
+        )
+        cands = (
+            bl.select("bidx", "bk", F.col("doc_id").alias("id_a"))
+            .join(bl.select("bidx", "bk", F.col("doc_id").alias("id_b")), ["bidx", "bk"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        if os.path.isdir(band_dir):
+            idx = s.read.parquet(band_dir).select(
+                "bidx", "bk", F.col("doc_id").alias("id_y")
+            )
+            lo_first = F.col("id_y") < F.col("doc_id")  # normalize: lower id is a
+            cross = (
+                bl.join(idx, ["bidx", "bk"])
+                .select(
+                    F.when(lo_first, F.col("id_y")).otherwise(F.col("doc_id")).alias("id_a"),
+                    F.when(lo_first, F.col("doc_id")).otherwise(F.col("id_y")).alias("id_b"),
+                )
+            )
+            cands = cands.unionByName(cross)
+        cands = cands.distinct()
+        store = shingled_b
+        if os.path.isdir(sh_dir):
+            store = s.read.parquet(sh_dir).unionByName(shingled_b)
+        sa = store.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+        sb = store.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+        n_common = F.size(F.array_intersect("sh_a", "sh_b"))
+        union_sz = F.size("sh_a") + F.size("sh_b") - n_common
+        verified = (
+            cands.join(sa, "id_a")
+            .join(sb, "id_b")
+            .withColumn("n_common", n_common)
+            .withColumn("union_sz", union_sz)
+            .filter(5 * F.col("n_common") >= 4 * F.col("union_sz"))
+            .select(
+                "id_a",
+                "id_b",
+                "n_common",
+                F.floor(F.lit(10000) * F.col("n_common") / F.col("union_sz"))
+                .cast("long")
+                .alias("jaccard_bp"),
+            )
+        )
+        verified.write.mode("append").parquet(out_dir)
+        bl.write.mode("append").parquet(band_dir)
+        shingled_b.write.mode("append").parquet(sh_dir)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+        .writeStream.foreachBatch(process)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
+def _oracle_stream_lsh() -> str:
+    from mongraph_spark.queries.dedup import ORACLE_JACCARD
+
+    return ORACLE_JACCARD
+
+
 def streaming_ivm_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of quality.ivm_agg_delta: the aggregate view
     V(source) = (count, sum_chars) maintained CONTINUOUSLY from the CoW
@@ -1225,6 +1372,7 @@ def _oracle_stream_ivm() -> str:
 
 
 QUERIES = {
+    "streaming_lsh_dedup": streaming_lsh_dedup,
     "streaming_ivm_agg": streaming_ivm_agg,
     "streaming_span_dedup": streaming_span_dedup,
     "streaming_slo_burn_rate": streaming_slo_burn_rate,
@@ -1246,6 +1394,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "streaming_lsh_dedup": _oracle_stream_lsh(),
     "streaming_ivm_agg": _oracle_stream_ivm(),
     "streaming_span_dedup": _oracle_stream_span(),
     "streaming_slo_burn_rate": _oracle_stream_slo(),

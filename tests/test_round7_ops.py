@@ -222,3 +222,16 @@ def test_bpe_apply_totals_match_trainer_final_count(spark):
         assert r.n_bpe_tokens < 10000 * r.n_words  # sanity: finite fertility
         assert r.fertility_bp == 10000 * r.n_bpe_tokens // r.n_words
         assert r.chars_per_token_bp > 10000  # >1 char per token: merges bought compression
+
+
+def test_streaming_lsh_dedup_equals_batch_twin(spark):
+    """The ingest-path LSH twin's contract: the union of per-batch verified
+    pairs must equal dedup_ngram_jaccard on the full corpus, row for row
+    (cross pairs match when the later doc arrives, intra pairs when both
+    share a batch — exactly once either way)."""
+    from mongraph_spark.queries.dedup import dedup_ngram_jaccard
+    from mongraph_spark.streaming.events import streaming_lsh_dedup
+
+    got = sorted(map(tuple, streaming_lsh_dedup(spark, SF).collect()))
+    want = sorted(map(tuple, dedup_ngram_jaccard(spark, SF).collect()))
+    assert got == want and len(got) > 0
