@@ -235,3 +235,35 @@ def test_streaming_lsh_dedup_equals_batch_twin(spark):
     got = sorted(map(tuple, streaming_lsh_dedup(spark, SF).collect()))
     want = sorted(map(tuple, dedup_ngram_jaccard(spark, SF).collect()))
     assert got == want and len(got) > 0
+
+
+def test_hybrid_rrf_fusion_algebra(spark):
+    """search_hybrid_rrf pins: 10 fused rows per anchor with dense ranks
+    1..10, every candidate came from at least one branch's top-L, and
+    rrf_ppb is EXACTLY the integer RRF of the reported branch ranks
+    (floor(1e9/(60+rank)) per present branch, absent branch contributes 0)."""
+    from mongraph_spark.queries.search import (
+        HY_ANCHORS,
+        HY_L,
+        HY_TOP,
+        RRF_K,
+        RRF_SCALE,
+        search_hybrid_rrf,
+    )
+
+    rows = search_hybrid_rrf(spark, SF).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append(r)
+    assert sorted(by_q) == list(range(HY_ANCHORS))
+    for q, rs in by_q.items():
+        assert sorted(r.fused_rank for r in rs) == list(range(1, HY_TOP + 1))
+        for r in rs:
+            assert r.lex_rank != -1 or r.dense_rank != -1
+            assert r.c_id != q
+            want = 0
+            for rk in (r.lex_rank, r.dense_rank):
+                if rk != -1:
+                    assert 1 <= rk <= HY_L
+                    want += RRF_SCALE // (RRF_K + rk)
+            assert r.rrf_ppb == want
