@@ -228,6 +228,14 @@ def _ivf_scored(vecs: DataFrame, centroids: DataFrame, max_probe: int) -> DataFr
     queries = vecs.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec")
     )
+    return _ivf_probe_score(lists, queries, centroids, max_probe)
+
+
+def _ivf_probe_score(
+    lists: DataFrame, queries: DataFrame, centroids: DataFrame, max_probe: int
+) -> DataFrame:
+    """Query-time path over PREBUILT inverted lists (shared by the batch ops
+    and the streaming ingest twin, whose lists accumulate incrementally)."""
     qd = F.expr(_SQ_DIST.format(v="q_vec", c="c_vec"))
     wq = Window.partitionBy("q_id").orderBy("qdist", "cell")
     probes = (
@@ -340,6 +348,75 @@ SELECT q_id, c_id, cos_bp, rank FROM (
 
 
 ORACLE_IVF = _oracle_ivf()
+
+
+def _oracle_ivf_frozen(nprobe: int = IVF_NPROBE) -> str:
+    """SQL replay of streaming_ann_ivf's frozen-quantizer contract: Lloyd
+    training restricted to the FIRST ntile(4) arrival group (what the twin
+    saw when it trained), inverted lists over the full accumulated corpus."""
+    return f"""
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+),
+train AS (
+  SELECT vec_id, vec FROM (
+    SELECT vec_id, vec, ntile(4) OVER (ORDER BY vec_id) AS arrival FROM vecs
+  ) WHERE arrival = 1
+),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, vec AS s_vec
+  FROM train WHERE vec_id IN ({_IDS_SQL})
+),
+assign1 AS (
+  SELECT vec_id, cell, vec FROM (
+    SELECT v.vec_id, s.cell, v.vec,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {_SQ_DIST_SQL.format(v='v.vec', c='s.s_vec')}, s.cell) AS rk
+    FROM train v CROSS JOIN seeds s
+  ) WHERE rk = 1
+),
+per_dim AS (
+  SELECT cell, d - 1 AS dim, CAST(floor(10000 * avg(vec[d])) AS BIGINT) AS c_bp
+  FROM assign1, UNNEST(range(1, len(vec) + 1)) AS t(d)
+  GROUP BY cell, d
+),
+centroids AS (
+  SELECT cell, list(c_bp / 10000.0 ORDER BY dim) AS c_vec
+  FROM per_dim GROUP BY cell
+),
+lists AS (
+  SELECT vec_id AS c_id, cell, vec AS c_vec FROM (
+    SELECT v.vec_id, c.cell, v.vec,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {_SQ_DIST_SQL.format(v='v.vec', c='c.c_vec')}, c.cell) AS rk
+    FROM vecs v CROSS JOIN centroids c
+  ) WHERE rk = 1
+),
+probes AS (
+  SELECT q_id, q_vec, cell FROM (
+    SELECT v.vec_id AS q_id, v.vec AS q_vec, c.cell,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {_SQ_DIST_SQL.format(v='v.vec', c='c.c_vec')}, c.cell) AS rk
+    FROM vecs v CROSS JOIN centroids c
+    WHERE v.vec_id < {N_QUERIES}
+  ) WHERE rk <= {nprobe}
+),
+scored AS (
+  SELECT p.q_id, l.c_id,
+         CAST(floor(10000 * list_sum(list_transform(range(1, len(p.q_vec) + 1), i -> p.q_vec[i] * l.c_vec[i]))
+           / (sqrt(list_sum(list_transform(p.q_vec, x -> x * x)))
+              * sqrt(list_sum(list_transform(l.c_vec, x -> x * x))))) AS BIGINT) AS cos_bp
+  FROM probes p JOIN lists l ON p.cell = l.cell AND p.q_id <> l.c_id
+)
+SELECT q_id, c_id, cos_bp, rank FROM (
+  SELECT q_id, c_id, cos_bp,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos_bp DESC, c_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+"""
+
+
+ORACLE_IVF_FROZEN = _oracle_ivf_frozen()
 
 
 # -- vector aggregation: per-label centroids via posexplode + groupBy -----------------

@@ -1371,8 +1371,124 @@ def _oracle_stream_ivm() -> str:
     return ORACLE_IVM_AGG
 
 
+def streaming_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of queries.similarity.ann_ivf — IVF vector-index
+    maintenance in the INGEST path (the FAISS operational contract: the
+    coarse quantizer is TRAINED ONCE, on the first arrival batch, then
+    FROZEN; every arriving vector is assigned map-side to its cell and
+    appended to the inverted lists, so the index is queryable the moment a
+    batch lands — no retraining, no corpus rescans).  Completes the
+    ingest-path triple: exact spans (streaming_span_dedup), near-dup
+    Jaccard (streaming_lsh_dedup), vector similarity (this).
+
+    Per micro-batch (``foreachBatch``):
+    1. first batch only: train the quantizer — IVF seeds + one Lloyd
+       iteration over THIS batch's vectors (similarity._ivf_centroids,
+       the batch op's own machinery) — and persist it;
+    2. assign the batch's vectors against the frozen broadcast quantizer
+       (similarity._ivf_lists: one broadcast join, map-only — per-batch
+       cost is O(batch·K), never O(corpus)) and append to the lists store.
+    Query time = the shared probe/score/top-k finisher
+    (similarity._ivf_probe_score) over the ACCUMULATED lists.
+
+    The oracle replays exactly this contract in SQL (ORACLE_IVF_FROZEN:
+    Lloyd training restricted to the first ntile(4) arrival group, lists
+    over the full corpus) — so what is hash-checked is the twin's
+    frozen-quantizer semantics, not batch ann_ivf's full-corpus training.
+    Quantizer staleness as the corpus grows is the documented trade of
+    train-once indexes; its recall cost is ann_recall_curve's subject.
+
+    State model: the lists store IS the state — a table, bucketed by cell
+    at 100 TB so query-time probes prune to nprobe buckets; state grows
+    with the indexed corpus because the index is itself the product (same
+    framing as the dedup twins' band/gram stores)."""
+    import shutil
+    import tempfile
+
+    from mongraph_spark.queries.similarity import (
+        IVF_NPROBE,
+        N_QUERIES,
+        TOP_K,
+        _ivf_centroids,
+        _ivf_lists,
+        _ivf_probe_score,
+    )
+    from mongraph_spark.sparkutil import read_table
+
+    app_id = spark.sparkContext.applicationId
+    sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    base = os.path.join(tempfile.gettempdir(), f"mg_stream_ivf_{app_id}_{sf_tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    staging = os.path.join(base, "arrivals")
+    cent_dir = os.path.join(base, "quantizer")
+    lists_dir = os.path.join(base, "inverted_lists")
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    batched = emb.withColumn(
+        "arrival",
+        F.ntile(4).over(
+            Window.partitionBy(const_part(F.col("vec_id"))).orderBy("vec_id")
+        ),
+    ).localCheckpoint(eager=True)  # staged once; 4 filtered writes
+    for i in range(1, 5):
+        batched.filter(F.col("arrival") == i).drop("arrival").coalesce(
+            1
+        ).write.mode("append").parquet(staging)
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("vec", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        if not os.path.isdir(cent_dir):
+            # train-once: seeds + one Lloyd iteration over the FIRST batch
+            _ivf_centroids(
+                batch_df.select("vec_id", F.col("vec").alias("embedding"))
+            ).write.parquet(cent_dir)
+        cents = s.read.parquet(cent_dir)
+        _ivf_lists(batch_df.select("vec_id", "vec"), cents).write.mode(
+            "append"
+        ).parquet(lists_dir)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+        .writeStream.foreachBatch(process)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    lists = spark.read.parquet(lists_dir)
+    cents = spark.read.parquet(cent_dir)
+    queries = lists.filter(F.col("c_id") < N_QUERIES).select(
+        F.col("c_id").alias("q_id"), F.col("c_vec").alias("q_vec")
+    )
+    scored = _ivf_probe_score(lists, queries, cents, IVF_NPROBE)
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_bp"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "c_id", "cos_bp", "rank")
+    )
+
+
+def _oracle_stream_ivf() -> str:
+    from mongraph_spark.queries.similarity import ORACLE_IVF_FROZEN
+
+    return ORACLE_IVF_FROZEN
+
+
 QUERIES = {
     "streaming_lsh_dedup": streaming_lsh_dedup,
+    "streaming_ann_ivf": streaming_ann_ivf,
     "streaming_ivm_agg": streaming_ivm_agg,
     "streaming_span_dedup": streaming_span_dedup,
     "streaming_slo_burn_rate": streaming_slo_burn_rate,
@@ -1395,6 +1511,7 @@ QUERIES = {
 
 ORACLES = {
     "streaming_lsh_dedup": _oracle_stream_lsh(),
+    "streaming_ann_ivf": _oracle_stream_ivf(),
     "streaming_ivm_agg": _oracle_stream_ivm(),
     "streaming_span_dedup": _oracle_stream_span(),
     "streaming_slo_burn_rate": _oracle_stream_slo(),

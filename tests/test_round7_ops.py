@@ -267,3 +267,58 @@ def test_hybrid_rrf_fusion_algebra(spark):
                     assert 1 <= rk <= HY_L
                     want += RRF_SCALE // (RRF_K + rk)
             assert r.rrf_ppb == want
+
+
+def test_streaming_ann_ivf_equals_frozen_quantizer_replay(spark):
+    """The ingest-path IVF twin's contract: train-once on the first ntile(4)
+    arrival group + incremental list appends must equal a batch replay with
+    the SAME frozen quantizer (centroids from the first group, lists over
+    the full corpus) — and the fused index must actually contain vectors
+    that arrived after training (accumulation is visible in the top-k)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mongraph_spark.queries.similarity import (
+        IVF_NPROBE,
+        N_QUERIES,
+        TOP_K,
+        _ivf_centroids,
+        _ivf_lists,
+        _ivf_probe_score,
+    )
+    from mongraph_spark.sparkutil import const_part, read_table
+    from mongraph_spark.streaming.events import streaming_ann_ivf
+
+    got = sorted(map(tuple, streaming_ann_ivf(spark, SF).collect()))
+
+    emb = read_table(spark, SF, "embeddings")
+    first = (
+        emb.withColumn(
+            "arrival",
+            F.ntile(4).over(
+                Window.partitionBy(const_part(F.col("vec_id"))).orderBy("vec_id")
+            ),
+        )
+        .filter(F.col("arrival") == 1)
+        .select("vec_id", "embedding")
+    )
+    cents = _ivf_centroids(first)
+    vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("vec"))
+    lists = _ivf_lists(vecs, cents)
+    queries = lists.filter(F.col("c_id") < N_QUERIES).select(
+        F.col("c_id").alias("q_id"), F.col("c_vec").alias("q_vec")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_bp"), F.asc("c_id"))
+    want = sorted(
+        map(
+            tuple,
+            _ivf_probe_score(lists, queries, cents, IVF_NPROBE)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .select("q_id", "c_id", "cos_bp", "rank")
+            .collect(),
+        )
+    )
+    assert got == want and len(got) == N_QUERIES * TOP_K
+    first_sz = first.count()
+    assert any(c_id >= first_sz for (_, c_id, _, _) in got)  # post-training arrivals retrieved
