@@ -795,6 +795,169 @@ FROM ests e JOIN exact x ON e.scope = x.scope
 """
 
 
+# -- DDSketch-class relative-error quantile sketch -----------------------------------
+#
+# The synopsis sketch_histogram_quantiles can't be: that one is EQUI-WIDTH —
+# it needs a min/max pre-pass (a second job over the data) and its error is
+# ABSOLUTE (bin width ∝ range, so one outlier order poisons every estimate).
+# This is the DDSketch / HdrHistogram family (Masson et al., VLDB 2019):
+# log-scaled buckets give a GUARANTEED RELATIVE error, and bucketing needs
+# no range information at all — a true one-pass, bucket-wise-mergeable
+# sketch, the right synopsis for long-tailed money/latency distributions.
+#
+# Bucketing is INTEGER-EXACT in both engines (no libm log anywhere): for
+# cents ≥ 1, the octave e = length(bin(cents)) − 1 (floor-log2 via the
+# binary-string length — exact string arithmetic), and the sub-bucket
+# m = (cents·16) div 2^e − 16 ∈ [0,16) splits each octave into 16 linear
+# slots (HdrHistogram's bucketing).  Bucket width ratio ≤ 17/16, so the
+# lower-edge estimate's relative error is < 1/17 ≈ 588 bp — pinned in
+# tests at ≤ 600 bp for every reported quantile.
+#
+# Scale shape: the sketch is ONE combiner-friendly (e, m) aggregation —
+# O(#buckets) ≈ 16·64 rows of state regardless of input volume; per-group
+# sub-sketches merge by bucket-wise SUM (both the merged and the directly-
+# built global sketch are emitted; the hash check pins them equal).  The
+# exact discrete percentile rides along as at-SF ground truth — the row
+# you would NOT compute at 100 TB; the sketch row is the product.
+
+DD_PCTS = [50, 90, 99]
+DD_SUB = 16  # linear sub-buckets per octave
+
+
+def sketch_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    binned = o.select(
+        "prio",
+        "cents",
+        (F.length(F.expr("bin(cents)")) - 1).cast("long").alias("e"),
+    ).withColumn(
+        "m",
+        F.expr(
+            f"(cents * {DD_SUB}) div shiftleft(cast(1 as bigint), cast(e as int)) - {DD_SUB}"
+        ),
+    )
+    # per-group sub-sketches → bucket-wise-summed merge; direct global build
+    sub = binned.groupBy("prio", "e", "m").agg(F.count(F.lit(1)).alias("c"))
+    merged = sub.groupBy("e", "m").agg(F.sum("c").alias("c"))
+    direct = binned.groupBy("e", "m").agg(F.count(F.lit(1)).alias("c"))
+    n_row = o.agg(
+        F.count(F.lit(1)).alias("n"),
+    )
+    targets = (
+        spark.range(1)
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            F.explode(F.array(*[F.lit(p) for p in DD_PCTS])).alias("p"),
+            F.col("n"),
+        )
+        .select("p", ((F.col("p") * F.col("n") + 99) / 100).cast("long").alias("target"))
+    )
+
+    def estimate(sketch: DataFrame, out: str) -> DataFrame:
+        cum = sketch.withColumn(
+            "cum",
+            F.sum("c").over(
+                Window.partitionBy(const_part(F.col("e"))).orderBy("e", "m")
+            ),
+        )
+        return (
+            cum.crossJoin(F.broadcast(targets))
+            .filter(F.col("cum") >= F.col("target"))
+            .groupBy("p")
+            .agg(F.min(F.col("e") * DD_SUB + F.col("m")).alias("bid"))
+            .select(
+                "p",
+                F.expr(
+                    f"(({DD_SUB} + bid % {DD_SUB})"
+                    f" * shiftleft(cast(1 as bigint), cast(bid div {DD_SUB} as int)))"
+                    f" div {DD_SUB}"
+                ).alias(out),
+            )
+        )
+
+    est_m = estimate(merged, "est_merged_cents")
+    est_d = estimate(direct, "est_cents")
+    wr = Window.partitionBy(const_part(F.col("cents"))).orderBy("cents")
+    exact = (
+        o.withColumn("rn", F.row_number().over(wr))
+        .join(F.broadcast(targets), F.col("rn") == F.col("target"))
+        .select("p", F.col("cents").alias("exact_cents"))
+    )
+    n_buckets = direct.agg(F.count(F.lit(1)).alias("n_buckets"))
+    return (
+        est_d.join(est_m, "p")
+        .join(exact, "p")
+        .crossJoin(F.broadcast(n_buckets))
+        .select(
+            F.col("p").cast("long").alias("p"),
+            "est_cents",
+            "est_merged_cents",
+            "exact_cents",
+            F.expr("(10000 * (exact_cents - est_cents)) div exact_cents").alias(
+                "rel_err_bp"
+            ),
+            "n_buckets",
+        )
+    )
+
+
+ORACLE_DDSKETCH = f"""
+WITH o AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         o_orderpriority AS prio
+  FROM orders
+), binned AS (
+  SELECT prio, cents, e,
+         (cents * {DD_SUB}) // (1::BIGINT << CAST(e AS INTEGER)) - {DD_SUB} AS m
+  FROM (SELECT prio, cents, CAST(length(bin(cents)) - 1 AS BIGINT) AS e FROM o)
+), sub AS (
+  SELECT prio, e, m, CAST(count(*) AS BIGINT) AS c FROM binned GROUP BY 1, 2, 3
+), merged AS (
+  SELECT e, m, CAST(sum(c) AS BIGINT) AS c FROM sub GROUP BY 1, 2
+), direct AS (
+  SELECT e, m, CAST(count(*) AS BIGINT) AS c FROM binned GROUP BY 1, 2
+), targets AS (
+  SELECT p, (p * n + 99) // 100 AS target
+  FROM (VALUES {", ".join(f"({p})" for p in DD_PCTS)}) t(p)
+  CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n FROM o)
+), est_d AS (
+  SELECT p,
+         (({DD_SUB} + bid % {DD_SUB}) * (1::BIGINT << CAST(bid // {DD_SUB} AS INTEGER))) // {DD_SUB} AS est_cents
+  FROM (
+    SELECT t.p, min(s.e * {DD_SUB} + s.m) AS bid
+    FROM (SELECT e, m, sum(c) OVER (ORDER BY e, m) AS cum FROM direct) s
+    CROSS JOIN targets t
+    WHERE s.cum >= t.target
+    GROUP BY t.p
+  )
+), est_m AS (
+  SELECT p,
+         (({DD_SUB} + bid % {DD_SUB}) * (1::BIGINT << CAST(bid // {DD_SUB} AS INTEGER))) // {DD_SUB} AS est_merged_cents
+  FROM (
+    SELECT t.p, min(s.e * {DD_SUB} + s.m) AS bid
+    FROM (SELECT e, m, sum(c) OVER (ORDER BY e, m) AS cum FROM merged) s
+    CROSS JOIN targets t
+    WHERE s.cum >= t.target
+    GROUP BY t.p
+  )
+), exact AS (
+  SELECT t.p, r.cents AS exact_cents
+  FROM (SELECT cents, row_number() OVER (ORDER BY cents) AS rn FROM o) r
+  JOIN targets t ON r.rn = t.target
+), nb AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_buckets FROM direct
+)
+SELECT CAST(d.p AS BIGINT) AS p, d.est_cents, m.est_merged_cents, x.exact_cents,
+       (10000 * (x.exact_cents - d.est_cents)) // x.exact_cents AS rel_err_bp,
+       nb.n_buckets
+FROM est_d d JOIN est_m m ON d.p = m.p JOIN exact x ON d.p = x.p
+CROSS JOIN nb
+"""
+
+
 # -- interval-overlap join (key-partitioned range join) ------------------------------
 
 
@@ -2829,6 +2992,7 @@ QUERIES = {
     "sketch_theta_setops": sketch_theta_setops,
     "sketch_hll_mergeable": sketch_hll_mergeable,
     "sketch_histogram_quantiles": sketch_histogram_quantiles,
+    "sketch_ddsketch_quantiles": sketch_ddsketch_quantiles,
     "interval_overlap_orders": interval_overlap_orders,
     "er_blocked_pairs": er_blocked_pairs,
     "setop_active_building_customers": setop_active_building_customers,
@@ -2866,6 +3030,7 @@ ORACLES = {
     "sketch_theta_setops": ORACLE_THETA,
     "sketch_hll_mergeable": ORACLE_HLL,
     "sketch_histogram_quantiles": ORACLE_HISTOGRAM,
+    "sketch_ddsketch_quantiles": ORACLE_DDSKETCH,
     "interval_overlap_orders": ORACLE_INTERVAL_OVERLAP,
     "er_blocked_pairs": ORACLE_ER_BLOCKED,
     "setop_active_building_customers": ORACLE_SETOP,

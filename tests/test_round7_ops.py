@@ -322,3 +322,22 @@ def test_streaming_ann_ivf_equals_frozen_quantizer_replay(spark):
     assert got == want and len(got) == N_QUERIES * TOP_K
     first_sz = first.count()
     assert any(c_id >= first_sz for (_, c_id, _, _) in got)  # post-training arrivals retrieved
+
+
+def test_ddsketch_error_bound_and_mergeability(spark):
+    """sketch_ddsketch_quantiles pins: the bucket-wise-merged per-priority
+    sketches reproduce the directly-built global sketch's estimate EXACTLY
+    (mergeability), every estimate is a lower bound within the documented
+    <1/17 relative-error guarantee (≤600bp with the /16 edge floor), and
+    the synopsis stays O(#buckets) — tiny next to the row count."""
+    from mongraph_spark.queries.relational import sketch_ddsketch_quantiles
+    from mongraph_spark.sparkutil import read_table
+
+    rows = {r.p: r for r in sketch_ddsketch_quantiles(spark, SF).collect()}
+    assert sorted(rows) == [50, 90, 99]
+    n = read_table(spark, SF, "orders").count()
+    for p, r in rows.items():
+        assert r.est_merged_cents == r.est_cents  # bucket-wise sum == direct build
+        assert r.est_cents <= r.exact_cents  # lower-edge estimate
+        assert 0 <= r.rel_err_bp <= 600  # < 1/17 relative error, pinned
+        assert r.n_buckets < n // 10  # synopsis, not a copy of the data
