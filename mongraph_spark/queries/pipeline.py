@@ -1191,7 +1191,98 @@ SELECT * FROM (
 ORACLE_CURATION_FUNNEL = _oracle_curation_funnel()
 
 
+# -- rendezvous (HRW) sharding: consistent assignment under shard-count change -------
+#
+# The incremental-reshard primitive (Thaler & Ravishankar, HRW hashing):
+# doc d goes to argmax_s md5(d ':' s).  When the shard count grows n → n+1,
+# a doc moves IFF the new shard's hash beats all n old ones — probability
+# exactly 1/(n+1) — so a reshard rewrites ~1/(n+1) of a 100 TB corpus
+# instead of (n-1)/n under mod-n hashing.  The operator assigns every
+# document under n=8 and n=9 and reports, per target shard, how many stayed
+# vs arrived — the movement bill a real reshard would pay, with balance
+# evidence riding along.
+#
+# Engine-deterministic: the argmax is over md5 hex strings (lexicographic
+# string max, identical in both engines), resolved as a greatest() +
+# first-match CASE chain — map-only per row, no explode, no shuffle until
+# the final 9-group count.  Scale shape: one scan + one tiny agg; the
+# assignment column itself is what a writer would partitionBy.
+
+RV_SHARDS_OLD = 8
+RV_SHARDS_NEW = 9
+
+
+def _rv_shard(n: int) -> F.Column:
+    hs = [
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{s}")))
+        for s in range(n)
+    ]
+    g = F.greatest(*hs)
+    expr = F.lit(None).cast("long")
+    for s in range(n - 1, -1, -1):
+        expr = F.when(hs[s] == g, F.lit(s).cast("long")).otherwise(expr)
+    return expr
+
+
+def pipeline_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    assigned = docs.select(
+        "doc_id",
+        _rv_shard(RV_SHARDS_OLD).alias("s_old"),
+        _rv_shard(RV_SHARDS_NEW).alias("s_new"),
+    )
+    by_new = assigned.groupBy(F.col("s_new").alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_at9"),
+        F.sum((F.col("s_old") == F.col("s_new")).cast("long")).alias("stayed"),
+        F.sum((F.col("s_old") != F.col("s_new")).cast("long")).alias("arrived"),
+    )
+    by_old = assigned.groupBy(F.col("s_old").alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_at8")
+    )
+    return (
+        by_new.join(by_old, "shard", "left")
+        .select(
+            "shard",
+            F.coalesce(F.col("n_at8"), F.lit(0)).alias("n_at8"),
+            "n_at9",
+            "stayed",
+            "arrived",
+        )
+    )
+
+
+def _oracle_rendezvous() -> str:
+    def shard_sql(n: int) -> str:
+        hs = [f"md5(CAST(doc_id AS VARCHAR) || ':{s}')" for s in range(n)]
+        g = f"greatest({', '.join(hs)})"
+        cases = " ".join(f"WHEN {hs[s]} = {g} THEN {s}" for s in range(n))
+        return f"CAST(CASE {cases} END AS BIGINT)"
+
+    return f"""
+WITH assigned AS (
+  SELECT doc_id,
+         {shard_sql(RV_SHARDS_OLD)} AS s_old,
+         {shard_sql(RV_SHARDS_NEW)} AS s_new
+  FROM documents
+), by_new AS (
+  SELECT s_new AS shard,
+         CAST(count(*) AS BIGINT) AS n_at9,
+         CAST(sum(CASE WHEN s_old = s_new THEN 1 ELSE 0 END) AS BIGINT) AS stayed,
+         CAST(sum(CASE WHEN s_old <> s_new THEN 1 ELSE 0 END) AS BIGINT) AS arrived
+  FROM assigned GROUP BY 1
+), by_old AS (
+  SELECT s_old AS shard, CAST(count(*) AS BIGINT) AS n_at8 FROM assigned GROUP BY 1
+)
+SELECT n.shard, COALESCE(o.n_at8, 0) AS n_at8, n.n_at9, n.stayed, n.arrived
+FROM by_new n LEFT JOIN by_old o ON n.shard = o.shard
+"""
+
+
+ORACLE_RENDEZVOUS = _oracle_rendezvous()
+
+
 QUERIES = {
+    "pipeline_rendezvous_shards": pipeline_rendezvous_shards,
     "pipeline_curation_funnel": pipeline_curation_funnel,
     "pipeline_length_matching": pipeline_length_matching,
     "pipeline_length_batches": pipeline_length_batches,
@@ -1212,6 +1303,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "pipeline_rendezvous_shards": ORACLE_RENDEZVOUS,
     "pipeline_length_batches": ORACLE_LENGTH_BATCHES,
     "pipeline_length_matching": ORACLE_LENGTH_MATCHING,
     "pipeline_curation_funnel": ORACLE_CURATION_FUNNEL,

@@ -341,3 +341,27 @@ def test_ddsketch_error_bound_and_mergeability(spark):
         assert r.est_cents <= r.exact_cents  # lower-edge estimate
         assert 0 <= r.rel_err_bp <= 600  # < 1/17 relative error, pinned
         assert r.n_buckets < n // 10  # synopsis, not a copy of the data
+
+
+def test_rendezvous_movement_is_one_over_n(spark):
+    """pipeline_rendezvous_shards pins: growing 8→9 shards moves ~1/9 of
+    docs (the HRW theorem — binomial-banded around 11.1%), every doc that
+    lands on the NEW shard 8 arrived by definition, per-shard accounting
+    conserves (stayed+arrived = n_at9, Σn_at8 = Σn_at9 = corpus), and
+    balance holds (no shard 2× the mean)."""
+    from mongraph_spark.queries.pipeline import (
+        RV_SHARDS_NEW,
+        pipeline_rendezvous_shards,
+    )
+
+    rows = {r.shard: r for r in pipeline_rendezvous_shards(spark, SF).collect()}
+    assert sorted(rows) == list(range(RV_SHARDS_NEW))
+    total = sum(r.n_at9 for r in rows.values())
+    assert sum(r.n_at8 for r in rows.values()) == total
+    moved = sum(r.arrived for r in rows.values())
+    assert 0.06 * total <= moved <= 0.17 * total  # E[moved] = total/9
+    newest = rows[RV_SHARDS_NEW - 1]
+    assert newest.stayed == 0 and newest.n_at8 == 0  # shard 8 didn't exist at n=8
+    for r in rows.values():
+        assert r.stayed + r.arrived == r.n_at9
+        assert r.n_at9 <= 2 * total // RV_SHARDS_NEW  # balance
