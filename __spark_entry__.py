@@ -74,12 +74,14 @@ CORE_ORDER = [
     #     dedup_semdedup, corpus_dsir_weights, streaming_ivm_agg) and the
     #     streaming_merge_upsert re-proof (the sf0.1 full gate caught the
     #     OCC rework breaking its first-write-creates-table sink; fixed)
-    #   + 3 late-round-7 operators (ann_matryoshka_curve, text_bpe_apply,
-    #     streaming_lsh_dedup — never driver-verified by construction)
-    #   + 25 LONGEST-unverified rows (r1/r2 vintage), oldest first.
+    #   + 7 late-round-7 operators (ann_matryoshka_curve, text_bpe_apply,
+    #     streaming_lsh_dedup, search_hybrid_rrf, streaming_ann_ivf,
+    #     sketch_ddsketch_quantiles, pipeline_rendezvous_shards — never
+    #     driver-verified by construction)
+    #   + 21 LONGEST-unverified rows (r1/r2 vintage), oldest first.
     #   Deferred to r8, all strict-green in the local full gate: TPC-H
-    #   q2, q10–q19, q20, q22 + window_top_orders (r2) and rollup_revenue,
-    #   semi_parts_shipped, setop_active_building_customers,
+    #   q2–q6, q10–q19, q20, q22 + window_top_orders (r2) and
+    #   rollup_revenue, semi_parts_shipped, setop_active_building_customers,
     #   stats_order_percentiles, stats_price_quantity_corr (r1).
     # — never driver-verified (round-6 post-window additions) —
     "corpus_span_decontamination",
@@ -114,6 +116,10 @@ CORE_ORDER = [
     "ann_matryoshka_curve",
     "text_bpe_apply",
     "streaming_lsh_dedup",
+    "search_hybrid_rrf",
+    "streaming_ann_ivf",
+    "sketch_ddsketch_quantiles",
+    "pipeline_rendezvous_shards",
     # — longest-unverified driver rows (r1/r2 vintage), oldest first
     #   (rollup/semi/setop/stats r1 rows defer to r8 with the TPC-H block:
     #   never-verified entries outrank freshness re-proofs for slots) —
@@ -133,10 +139,6 @@ CORE_ORDER = [
     "g1_outgoing_1hop",
     "g1_rel_where",
     "g5_between",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
     "q7_volume_shipping",
     "q8_market_share",
     "q9_product_profit",
