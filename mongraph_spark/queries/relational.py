@@ -824,29 +824,26 @@ DD_PCTS = [50, 90, 99]
 DD_SUB = 16  # linear sub-buckets per octave
 
 
-def sketch_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = read_table(spark, sf_dir, "orders").select(
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-        F.col("o_orderpriority").alias("prio"),
-    )
-    binned = o.select(
-        "prio",
-        "cents",
-        (F.length(F.expr("bin(cents)")) - 1).cast("long").alias("e"),
+def dd_binned(df: DataFrame) -> DataFrame:
+    """Attach DDSketch bucket coordinates to a frame carrying a ``cents``
+    long column (cents ≥ 1): octave ``e`` = floor-log2 via binary-string
+    length, sub-bucket ``m`` = (cents·16) div 2^e − 16 ∈ [0, 16).
+    Integer-exact in both engines; map-only."""
+    return df.withColumn(
+        "e", (F.length(F.expr("bin(cents)")) - 1).cast("long")
     ).withColumn(
         "m",
         F.expr(
             f"(cents * {DD_SUB}) div shiftleft(cast(1 as bigint), cast(e as int)) - {DD_SUB}"
         ),
     )
-    # per-group sub-sketches → bucket-wise-summed merge; direct global build
-    sub = binned.groupBy("prio", "e", "m").agg(F.count(F.lit(1)).alias("c"))
-    merged = sub.groupBy("e", "m").agg(F.sum("c").alias("c"))
-    direct = binned.groupBy("e", "m").agg(F.count(F.lit(1)).alias("c"))
-    n_row = o.agg(
-        F.count(F.lit(1)).alias("n"),
-    )
-    targets = (
+
+
+def dd_targets(n_row: DataFrame) -> DataFrame:
+    """Per-percentile rank targets (ceil(p·n/100)) from a 1-row count frame
+    with column ``n``; broadcast-sized (|DD_PCTS| rows)."""
+    spark = n_row.sparkSession
+    return (
         spark.range(1)
         .crossJoin(F.broadcast(n_row))
         .select(
@@ -856,36 +853,59 @@ def sketch_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p", ((F.col("p") * F.col("n") + 99) / 100).cast("long").alias("target"))
     )
 
-    def estimate(sketch: DataFrame, out: str) -> DataFrame:
-        cum = sketch.withColumn(
-            "cum",
-            F.sum("c").over(
-                Window.partitionBy(const_part(F.col("e"))).orderBy("e", "m")
-            ),
-        )
-        return (
-            cum.crossJoin(F.broadcast(targets))
-            .filter(F.col("cum") >= F.col("target"))
-            .groupBy("p")
-            .agg(F.min(F.col("e") * DD_SUB + F.col("m")).alias("bid"))
-            .select(
-                "p",
-                F.expr(
-                    f"(({DD_SUB} + bid % {DD_SUB})"
-                    f" * shiftleft(cast(1 as bigint), cast(bid div {DD_SUB} as int)))"
-                    f" div {DD_SUB}"
-                ).alias(out),
-            )
-        )
 
-    est_m = estimate(merged, "est_merged_cents")
-    est_d = estimate(direct, "est_cents")
+def dd_estimate(sketch: DataFrame, targets: DataFrame, out: str) -> DataFrame:
+    """Lower-edge quantile estimates from an (e, m, c) bucket table: total
+    cumulative order over (e, m) — a const-part window over O(#buckets)
+    rows, never over the data — then the first bucket whose cumulative
+    count reaches each rank target decodes back to its lower edge."""
+    cum = sketch.withColumn(
+        "cum",
+        F.sum("c").over(
+            Window.partitionBy(const_part(F.col("e"))).orderBy("e", "m")
+        ),
+    )
+    return (
+        cum.crossJoin(F.broadcast(targets))
+        .filter(F.col("cum") >= F.col("target"))
+        .groupBy("p")
+        .agg(F.min(F.col("e") * DD_SUB + F.col("m")).alias("bid"))
+        .select(
+            "p",
+            F.expr(
+                f"(({DD_SUB} + bid % {DD_SUB})"
+                f" * shiftleft(cast(1 as bigint), cast(bid div {DD_SUB} as int)))"
+                f" div {DD_SUB}"
+            ).alias(out),
+        )
+    )
+
+
+def dd_exact(o: DataFrame, targets: DataFrame) -> DataFrame:
+    """Exact discrete percentiles (the at-SF ground-truth row you would NOT
+    compute at 100 TB) from a ``cents`` frame."""
     wr = Window.partitionBy(const_part(F.col("cents"))).orderBy("cents")
-    exact = (
+    return (
         o.withColumn("rn", F.row_number().over(wr))
         .join(F.broadcast(targets), F.col("rn") == F.col("target"))
         .select("p", F.col("cents").alias("exact_cents"))
     )
+
+
+def sketch_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    binned = dd_binned(o).select("prio", "cents", "e", "m")
+    # per-group sub-sketches → bucket-wise-summed merge; direct global build
+    sub = binned.groupBy("prio", "e", "m").agg(F.count(F.lit(1)).alias("c"))
+    merged = sub.groupBy("e", "m").agg(F.sum("c").alias("c"))
+    direct = binned.groupBy("e", "m").agg(F.count(F.lit(1)).alias("c"))
+    targets = dd_targets(o.agg(F.count(F.lit(1)).alias("n")))
+    est_m = dd_estimate(merged, targets, "est_merged_cents")
+    est_d = dd_estimate(direct, targets, "est_cents")
+    exact = dd_exact(o, targets)
     n_buckets = direct.agg(F.count(F.lit(1)).alias("n_buckets"))
     return (
         est_d.join(est_m, "p")

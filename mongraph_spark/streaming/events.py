@@ -847,6 +847,102 @@ def _oracle_stream_cms() -> str:
     return ORACLE_COUNT_MIN
 
 
+# -- streaming DDSketch quantile twin --------------------------------------------------
+
+
+def streaming_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``sketch_ddsketch_quantiles``, over the events
+    stream's ``value`` column: the (octave, sub-bucket) cell counts are a
+    plain COUNT aggregation — associative and commutative — so a
+    complete-mode streaming aggregation maintains the log-scaled sketch
+    incrementally with O(#buckets) state forever (the HLL/count-min
+    argument, with DDSketch's range-free bucketing in place of hashing).
+    Each micro-batch bins its events map-side (integer-exact: octave via
+    binary-string length, no libm) and folds them into at most ~16·64
+    cells; the state store IS the sketch.  The estimate finisher
+    (`dd_estimate`) is SHARED with the batch op, and the exact discrete
+    percentile rides along from a batch read as at-SF ground truth — the
+    row a 100 TB deployment would not compute, kept here so the <1/17
+    relative-error guarantee stays pinned.  This is the production shape
+    for live latency/value dashboards: p50/p90/p99 served from a
+    constant-size synopsis, no sort, no history replay."""
+    from mongraph_spark.queries.relational import (
+        dd_binned,
+        dd_estimate,
+        dd_exact,
+        dd_targets,
+    )
+    from mongraph_spark.sparkutil import read_table
+
+    ev = events_stream(spark, sf_dir).select(
+        F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    agg = dd_binned(ev).groupBy("e", "m").agg(F.count(F.lit(1)).alias("c"))
+    with _state_partitioning(spark, sf_dir):
+        sketch = run_to_table(agg, output_mode="complete")
+    batch = read_table(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    targets = dd_targets(batch.agg(F.count(F.lit(1)).alias("n")))
+    est = dd_estimate(sketch, targets, "est_cents")
+    exact = dd_exact(batch, targets)
+    n_buckets = sketch.agg(F.count(F.lit(1)).alias("n_buckets"))
+    return (
+        est.join(exact, "p")
+        .crossJoin(F.broadcast(n_buckets))
+        .select(
+            F.col("p").cast("long").alias("p"),
+            "est_cents",
+            "exact_cents",
+            F.expr("(10000 * (exact_cents - est_cents)) div exact_cents").alias(
+                "rel_err_bp"
+            ),
+            F.col("n_buckets").cast("long").alias("n_buckets"),
+        )
+    )
+
+
+from mongraph_spark.queries.relational import DD_PCTS as _DD_PCTS  # noqa: E402
+from mongraph_spark.queries.relational import DD_SUB as _DD_SUB  # noqa: E402
+
+ORACLE_STREAM_DDSKETCH = f"""
+WITH o AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events
+), binned AS (
+  SELECT cents, e,
+         (cents * {_DD_SUB}) // (1::BIGINT << CAST(e AS INTEGER)) - {_DD_SUB} AS m
+  FROM (SELECT cents, CAST(length(bin(cents)) - 1 AS BIGINT) AS e FROM o)
+), direct AS (
+  SELECT e, m, CAST(count(*) AS BIGINT) AS c FROM binned GROUP BY 1, 2
+), targets AS (
+  SELECT p, (p * n + 99) // 100 AS target
+  FROM (VALUES {", ".join(f"({p})" for p in _DD_PCTS)}) t(p)
+  CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n FROM o)
+), est_d AS (
+  SELECT p,
+         (({_DD_SUB} + bid % {_DD_SUB}) * (1::BIGINT << CAST(bid // {_DD_SUB} AS INTEGER))) // {_DD_SUB} AS est_cents
+  FROM (
+    SELECT t.p, min(s.e * {_DD_SUB} + s.m) AS bid
+    FROM (SELECT e, m, sum(c) OVER (ORDER BY e, m) AS cum FROM direct) s
+    CROSS JOIN targets t
+    WHERE s.cum >= t.target
+    GROUP BY t.p
+  )
+), exact AS (
+  SELECT t.p, r.cents AS exact_cents
+  FROM (SELECT cents, row_number() OVER (ORDER BY cents) AS rn FROM o) r
+  JOIN targets t ON r.rn = t.target
+), nb AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_buckets FROM direct
+)
+SELECT CAST(d.p AS BIGINT) AS p, d.est_cents, x.exact_cents,
+       (10000 * (x.exact_cents - d.est_cents)) // x.exact_cents AS rel_err_bp,
+       nb.n_buckets
+FROM est_d d JOIN exact x ON d.p = x.p
+CROSS JOIN nb
+"""
+
+
 # -- streaming hourly top-type twin ----------------------------------------------------
 
 
@@ -1494,6 +1590,7 @@ QUERIES = {
     "streaming_slo_burn_rate": streaming_slo_burn_rate,
     "streaming_hourly_top_type": streaming_hourly_top_type,
     "streaming_count_min": streaming_count_min,
+    "streaming_ddsketch_quantiles": streaming_ddsketch_quantiles,
     "streaming_seasonal_anomaly": streaming_seasonal_anomaly,
     "streaming_cusum_changepoint": streaming_cusum_changepoint,
     "streaming_hll_distinct": streaming_hll_distinct,
@@ -1517,6 +1614,7 @@ ORACLES = {
     "streaming_slo_burn_rate": _oracle_stream_slo(),
     "streaming_hourly_top_type": _oracle_stream_hourly_top(),
     "streaming_count_min": _oracle_stream_cms(),
+    "streaming_ddsketch_quantiles": ORACLE_STREAM_DDSKETCH,
     "streaming_seasonal_anomaly": _oracle_stream_seasonal(),
     "streaming_cusum_changepoint": _oracle_stream_cusum(),
     "streaming_hll_distinct": ORACLE_STREAM_HLL,
