@@ -68,6 +68,14 @@ def _cluster_labels(shingled: DataFrame) -> DataFrame:
         ).localCheckpoint(eager=True)
     finally:
         banded.unpersist()
+    return _cluster_labels_from_pairs(shingled, adj)
+
+
+def _cluster_labels_from_pairs(shingled: DataFrame, adj: DataFrame) -> DataFrame:
+    """The propagation loop alone, over a PREBUILT symmetric adjacency —
+    lets callers that also need the raw pair set (e.g. the leakage meter in
+    :func:`corpus_cluster_split`) build candidates once instead of paying
+    the LSH band join twice."""
     labels = shingled.select("doc_id", F.col("doc_id").alias("label"))
     for _ in range(N_CLUSTER_ROUNDS):
         neighbor_min = (
@@ -246,6 +254,167 @@ FROM (
 ORACLE_DEDUP_CLUSTERS = _oracle_dedup_clusters()
 
 
+# -- leakage-free split construction: assign splits at cluster granularity ------
+
+TRAIN_PCT, VAL_PCT = 80, 10  # test = remainder
+
+
+def _md5_bucket(col: str) -> F.Column:
+    """Deterministic 0-99 bucket from the md5 of a column — the same pure-
+    function-of-the-row split rule sample_and_split uses, applicable to any
+    id-typed column (doc ids AND cluster labels)."""
+    return (
+        F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        )
+        % 100
+    )
+
+
+def _split_of(col: str) -> F.Column:
+    b = _md5_bucket(col)
+    return (
+        F.when(b < TRAIN_PCT, F.lit("train"))
+        .when(b < TRAIN_PCT + VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def corpus_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-FREE train/val/test construction — the REPAIR operator for
+    what ``corpus_split_leakage`` measures: hash-splitting per DOCUMENT
+    puts the two sides of a near-dup pair in different splits with
+    probability ~2·p·(1−p), leaking answers from train into test.  The fix
+    every serious corpus release ships: assign splits at near-dup-CLUSTER
+    granularity — split = md5-bucket of the cluster LABEL, so every member
+    of a cluster (hence every verified near-dup pair, pairs being
+    intra-cluster by construction of the propagation over the candidate
+    graph) lands in ONE split.  Output is the movement bill — the
+    (doc-level split → cluster-level split) matrix; off-diagonal cells are
+    the docs the repair moved — with the before/after leakage meter
+    (verified cross-split pair counts under each rule) carried on every
+    row: ``leaked_pairs_cluster_split`` is structurally 0.
+
+    Scale shape: candidates are built ONCE (checkpointed LSH pair graph —
+    the corpus's dominant shuffle) and shared by the propagation loop and
+    the Jaccard verifier; split derivation is a pure map (no assignment
+    table, no join); the matrix and the leakage meter are tiny rollups.
+    Singleton docs never move: their cluster label IS their doc_id, so the
+    two rules agree — the movement bill is bounded by the dup mass, not
+    the corpus."""
+    shingled = _shingled_corpus(spark, sf_dir, drop_last=1).persist()
+    try:
+        banded = _banded_sigs(shingled).persist()
+        try:
+            pairs = _pairs_from_banded(banded).localCheckpoint(eager=True)
+        finally:
+            banded.unpersist()
+        adj = pairs.unionByName(
+            pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+        )
+        labels = _cluster_labels_from_pairs(shingled, adj)
+        assigned = labels.select(
+            "doc_id",
+            _split_of("doc_id").alias("doc_split"),
+            _split_of("label").alias("cluster_split"),
+        ).localCheckpoint(eager=True)  # reread by the matrix + both pair joins
+
+        sa = shingled.select(
+            F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")
+        )
+        sb = shingled.select(
+            F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b")
+        )
+        j = pairs.join(sa, "id_a").join(sb, "id_b")
+        n_common = F.size(F.array_intersect("sh_a", "sh_b"))
+        union_sz = F.size("sh_a") + F.size("sh_b") - n_common
+        verified = j.filter(5 * n_common >= 4 * union_sz).select("id_a", "id_b")
+
+        av = assigned.select(
+            F.col("doc_id").alias("id_a"),
+            F.col("doc_split").alias("da"),
+            F.col("cluster_split").alias("ca"),
+        )
+        bv = assigned.select(
+            F.col("doc_id").alias("id_b"),
+            F.col("doc_split").alias("db"),
+            F.col("cluster_split").alias("cb"),
+        )
+        leaked = (
+            verified.join(av, "id_a")
+            .join(bv, "id_b")
+            .agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("da") != F.col("db"), 1).otherwise(0)),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias("leaked_pairs_doc_split"),
+                F.coalesce(
+                    F.sum(F.when(F.col("ca") != F.col("cb"), 1).otherwise(0)),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias("leaked_pairs_cluster_split"),
+            )
+        )
+        return (
+            assigned.groupBy("doc_split", "cluster_split")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+            .crossJoin(F.broadcast(leaked))
+        )
+    finally:
+        shingled.unpersist()
+
+
+def _oracle_cluster_split() -> str:
+    ctes, final = _oracle_cluster_ctes()
+    split_case = (
+        "CASE WHEN ('0x' || substr(md5(CAST({c} AS VARCHAR)), 1, 8))::BIGINT % 100 < "
+        f"{TRAIN_PCT} THEN 'train' "
+        "WHEN ('0x' || substr(md5(CAST({c} AS VARCHAR)), 1, 8))::BIGINT % 100 < "
+        f"{TRAIN_PCT + VAL_PCT} THEN 'val' ELSE 'test' END"
+    )
+    return f"""
+WITH {_oracle_corpus_droplast(1)},
+{_ORACLE_SHINGLES},
+{_oracle_minhash_sig_sql()},
+{_oracle_cands_sql()},
+{ctes},
+assigned AS (
+  SELECT doc_id,
+         {split_case.format(c="doc_id")} AS doc_split,
+         {split_case.format(c="label")} AS cluster_split
+  FROM {final}
+),
+ver AS (
+  SELECT id_a, id_b FROM cands
+  JOIN shingled sa ON sa.doc_id = id_a
+  JOIN shingled sb ON sb.doc_id = id_b
+  WHERE 5 * len(list_intersect(sa.shingles, sb.shingles))
+        >= 4 * (len(sa.shingles) + len(sb.shingles)
+                - len(list_intersect(sa.shingles, sb.shingles)))
+),
+leaked AS (
+  SELECT
+    CAST(coalesce(sum(CASE WHEN a.doc_split <> b.doc_split THEN 1 ELSE 0 END), 0)
+         AS BIGINT) AS leaked_pairs_doc_split,
+    CAST(coalesce(sum(CASE WHEN a.cluster_split <> b.cluster_split THEN 1 ELSE 0 END), 0)
+         AS BIGINT) AS leaked_pairs_cluster_split
+  FROM ver
+  JOIN assigned a ON a.doc_id = ver.id_a
+  JOIN assigned b ON b.doc_id = ver.id_b
+)
+SELECT doc_split, cluster_split, CAST(count(*) AS BIGINT) AS n_docs,
+       leaked_pairs_doc_split, leaked_pairs_cluster_split
+FROM assigned CROSS JOIN leaked
+GROUP BY 1, 2, 4, 5
+"""
+
+
+ORACLE_CLUSTER_SPLIT = _oracle_cluster_split()
+
+
 # -- deterministic stratified sampling ------------------------------------------
 
 # per-language keep rates in basis points: downsample the dominant language,
@@ -303,9 +472,7 @@ GROUP BY lang
 """
 
 
-# -- deterministic train/val/test split -----------------------------------------
-
-TRAIN_PCT, VAL_PCT = 80, 10  # test = remainder
+# -- deterministic train/val/test split (TRAIN_PCT/VAL_PCT defined above) --------
 
 
 def train_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1287,6 +1454,7 @@ QUERIES = {
     "pipeline_length_matching": pipeline_length_matching,
     "pipeline_length_batches": pipeline_length_batches,
     "dedup_clusters": dedup_clusters,
+    "corpus_cluster_split": corpus_cluster_split,
     "sample_and_split": sample_and_split,
     # cluster_stats + keep_best ride the merged dedup_clusters row;
     # sample_stratified + train_split_assign ride sample_and_split
@@ -1308,6 +1476,7 @@ ORACLES = {
     "pipeline_length_matching": ORACLE_LENGTH_MATCHING,
     "pipeline_curation_funnel": ORACLE_CURATION_FUNNEL,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
+    "corpus_cluster_split": ORACLE_CLUSTER_SPLIT,
     "sample_and_split": ORACLE_SAMPLE_SPLIT,
 
     "embedding_quantize_int8": ORACLE_QUANTIZE,

@@ -365,3 +365,37 @@ def test_rendezvous_movement_is_one_over_n(spark):
     for r in rows.values():
         assert r.stayed + r.arrived == r.n_at9
         assert r.n_at9 <= 2 * total // RV_SHARDS_NEW  # balance
+
+
+def test_cluster_split_repair_zeroes_leakage(spark):
+    """The cluster-granularity split must (a) zero the verified cross-split
+    pair count that the doc-level rule leaks, (b) never move a singleton
+    (cluster label == doc_id ⇒ same md5 bucket), and (c) conserve docs —
+    the movement matrix totals the dup corpus exactly."""
+    from mongraph_spark.queries.dedup import dup_corpus
+    from mongraph_spark.queries.pipeline import corpus_cluster_split
+
+    rows = corpus_cluster_split(spark, SF).collect()
+    assert len(rows) > 0
+    # (a) repair meter: doc-level leaks, cluster-level leaks nothing
+    assert all(r.leaked_pairs_cluster_split == 0 for r in rows)
+    assert rows[0].leaked_pairs_doc_split > 0
+    # (c) conservation: matrix covers every doc of the dup corpus once
+    n_docs = dup_corpus(spark, SF, drop_last=1).count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    # (b) movement is bounded by the non-singleton (dup-cluster) mass
+    moved = sum(r.n_docs for r in rows if r.doc_split != r.cluster_split)
+    from mongraph_spark.queries.dedup import _shingled_corpus
+    from mongraph_spark.queries.pipeline import _cluster_labels
+
+    shingled = _shingled_corpus(spark, SF, drop_last=1)
+    labels = _cluster_labels(shingled)
+    non_singleton = (
+        labels.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .filter(F.col("sz") > 1)
+        .agg(F.sum("sz"))
+        .collect()[0][0]
+        or 0
+    )
+    assert moved <= non_singleton
