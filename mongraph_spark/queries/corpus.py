@@ -761,6 +761,148 @@ GROUP BY doc_id
 """
 
 
+# -- CCNet-style cross-domain LM filter: curated-slice model, tercile buckets ----
+
+CCNET_REF_SOURCES = ["src0", "src1", "src2", "src3"]  # the 'curated' slice
+
+
+def corpus_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTUAL CCNet filter shape (Wenzek et al. 2020), which
+    :func:`corpus_bigram_xent` approximates with a self-trained model: the
+    LM is trained per-language on a CURATED reference slice only (CCNet:
+    Wikipedia; here: sources src0–src3), every document is scored under
+    its language's reference model — so text that doesn't look like the
+    curated domain scores high even if it is self-consistent — and each
+    language is cut into CCNet's head/middle/tail perplexity terciles.
+    The report is the filter-config artifact a release records: per
+    (lang, bucket) doc/char volume, the bucket's xent ceiling (the
+    threshold a production filter would pin), and how many curated-slice
+    docs landed there (they should concentrate in the head — the model
+    recognizing its own domain).
+
+    Distributed shape: model = two aggregations of the REFERENCE bigram
+    table keyed (lang, w1, w2) — strictly smaller than the self-trained
+    op's; scoring = two LEFT equi-joins (unseen bigrams/contexts hit the
+    add-one floor, coalesce(·, 0)) + a broadcast 5-row vocab join + one
+    per-doc re-agg.  The tercile ntile is a per-language sort — fine here,
+    and at 100 TB you swap it for two quantile cutoffs read off the
+    mergeable DDSketch synopsis (`dd_estimate`) and a map-side CASE: the
+    bucketing becomes scan-shaped at the cost of <1/17 boundary error.
+    Per-doc xent in floored CENTIBITS (the proven cross-engine grid)."""
+    docs = read_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        words.alias("words"),
+        F.size(words).alias("n"),
+    )
+    pairs = F.zip_with(
+        F.slice(F.col("words"), 1, F.col("n") - 1),
+        F.slice(F.col("words"), 2, F.col("n") - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg = base.select(
+        "doc_id", "lang", "source", "n_chars", F.explode(pairs).alias("p")
+    ).select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.col("p.w1").alias("w1"),
+        F.col("p.w2").alias("w2"),
+    )
+    is_ref = F.col("source").isin(CCNET_REF_SOURCES)
+    c_bg = (
+        bg.filter(is_ref)
+        .groupBy("lang", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_bg"))
+    )
+    c_ctx = c_bg.groupBy("lang", "w1").agg(F.sum("c_bg").alias("c_ctx"))
+    vocab = (
+        base.filter(is_ref)
+        .select("lang", F.explode("words").alias("w"))
+        .groupBy("lang")
+        .agg(F.count_distinct("w").alias("v"))
+    )
+    lp = F.log2(
+        (F.coalesce(F.col("c_bg"), F.lit(0)) + 1)
+        / (F.coalesce(F.col("c_ctx"), F.lit(0)) + F.col("v"))
+    )
+    scored = (
+        bg.join(c_bg, ["lang", "w1", "w2"], "left")
+        .join(c_ctx, ["lang", "w1"], "left")
+        .join(F.broadcast(vocab), "lang")
+        .groupBy("doc_id", "lang", "source", "n_chars")
+        .agg(F.floor(F.lit(-100.0) * F.avg(lp)).cast("long").alias("xent_cb"))
+    )
+    t = F.ntile(3).over(Window.partitionBy("lang").orderBy("xent_cb", "doc_id"))
+    bucketed = scored.withColumn(
+        "bucket",
+        F.when(t == 1, F.lit("head"))
+        .when(t == 2, F.lit("middle"))
+        .otherwise(F.lit("tail")),
+    )
+    return bucketed.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(is_ref.cast("int")).cast("long").alias("n_ref_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.max("xent_cb").alias("max_xent_cb"),
+    )
+
+
+ORACLE_CCNET_BUCKETS = f"""
+WITH base AS (
+  SELECT doc_id, lang, source, n_chars, string_split(text, ' ') AS words
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, lang, source, n_chars, words[i] AS w1, words[i + 1] AS w2
+  FROM (SELECT doc_id, lang, source, n_chars, words,
+               unnest(range(1, greatest(len(words), 1))) AS i
+        FROM base)
+),
+c_bg AS (
+  SELECT lang, w1, w2, count(*) AS c_bg FROM bg
+  WHERE source IN ({", ".join(f"'{s}'" for s in CCNET_REF_SOURCES)})
+  GROUP BY 1, 2, 3
+),
+c_ctx AS (SELECT lang, w1, sum(c_bg) AS c_ctx FROM c_bg GROUP BY 1, 2),
+vocab AS (
+  SELECT lang, count(DISTINCT w) AS v
+  FROM (SELECT lang, unnest(words) AS w FROM base
+        WHERE source IN ({", ".join(f"'{s}'" for s in CCNET_REF_SOURCES)}))
+  GROUP BY 1
+),
+scored AS (
+  SELECT b.doc_id, b.lang, b.source, b.n_chars,
+         CAST(floor(-100.0 * avg(log2(
+           (coalesce(c.c_bg, 0) + 1) / (coalesce(x.c_ctx, 0) + v.v)
+         ))) AS BIGINT) AS xent_cb
+  FROM bg b
+  LEFT JOIN c_bg c ON b.lang = c.lang AND b.w1 = c.w1 AND b.w2 = c.w2
+  LEFT JOIN c_ctx x ON b.lang = x.lang AND b.w1 = x.w1
+  JOIN vocab v ON b.lang = v.lang
+  GROUP BY 1, 2, 3, 4
+),
+bucketed AS (
+  SELECT *,
+         CASE ntile(3) OVER (PARTITION BY lang ORDER BY xent_cb, doc_id)
+           WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+  FROM scored
+)
+SELECT lang, bucket, count(*) AS n_docs,
+       CAST(sum(CASE WHEN source IN ({", ".join(f"'{s}'" for s in CCNET_REF_SOURCES)})
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_ref_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       max(xent_cb) AS max_xent_cb
+FROM bucketed
+GROUP BY 1, 2
+"""
+
+
 # -- RefinedWeb-style boilerplate-segment removal --------------------------------
 
 SEG_WORDS = 5  # pseudo-line width (the docs carry no newlines)
@@ -1194,6 +1336,7 @@ QUERIES = {
     "corpus_zipf_fit": corpus_zipf_fit,
     "corpus_heaps_law": corpus_heaps_law,
     "corpus_bigram_xent": corpus_bigram_xent,
+    "corpus_ccnet_buckets": corpus_ccnet_buckets,
     "corpus_boilerplate_lines": boilerplate_lines,
     "corpus_filter_funnel": filter_funnel,
 }
@@ -1210,6 +1353,7 @@ ORACLES = {
     "corpus_zipf_fit": ORACLE_ZIPF,
     "corpus_heaps_law": ORACLE_HEAPS,
     "corpus_bigram_xent": ORACLE_BIGRAM_XENT,
+    "corpus_ccnet_buckets": ORACLE_CCNET_BUCKETS,
     "corpus_boilerplate_lines": ORACLE_BOILERPLATE,
     "corpus_filter_funnel": ORACLE_FILTER_FUNNEL,
 }

@@ -399,3 +399,31 @@ def test_cluster_split_repair_zeroes_leakage(spark):
         or 0
     )
     assert moved <= non_singleton
+
+
+def test_ccnet_buckets_invariants(spark):
+    """CCNet-filter contract per language: (a) tercile xent ceilings are
+    strictly monotone head < middle < tail, (b) the curated reference
+    slice concentrates in the head (the model recognizes its own domain),
+    (c) terciles are balanced within one doc, (d) the matrix conserves the
+    scored corpus."""
+    from collections import defaultdict
+
+    from mongraph_spark.queries.corpus import corpus_ccnet_buckets
+    from mongraph_spark.sparkutil import read_table
+
+    rows = corpus_ccnet_buckets(spark, SF).collect()
+    per_lang = defaultdict(dict)
+    for r in rows:
+        per_lang[r.lang][r.bucket] = r
+    assert set(per_lang)  # at least one language scored
+    for lang, b in per_lang.items():
+        assert set(b) == {"head", "middle", "tail"}, lang
+        assert (
+            b["head"].max_xent_cb < b["middle"].max_xent_cb < b["tail"].max_xent_cb
+        ), lang
+        assert b["head"].n_ref_docs > b["middle"].n_ref_docs + b["tail"].n_ref_docs
+        sizes = [b[k].n_docs for k in ("head", "middle", "tail")]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+    n_docs = read_table(spark, SF, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
