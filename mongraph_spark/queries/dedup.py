@@ -587,6 +587,158 @@ SELECT id_a, id_b, cos_bp FROM (
 ORACLE_EMBEDDING_COSINE = _oracle_embedding_cosine()
 
 
+# -- semantic cross-split decontamination (embedding-level leakage) ----------------
+
+# md5-bucket split bounds, the same 80/10/10 rule the pipeline split ops use
+# (literals here: pipeline.py imports this module, so importing back would cycle)
+SEM_TRAIN_LT, SEM_VAL_LT = 80, 90
+
+
+def corpus_semantic_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC cross-split decontamination — the third leg of the decon
+    triple: ``corpus_span_decontamination`` catches exact substring leaks,
+    ``corpus_split_leakage`` catches lexical near-dups, and this catches
+    what both miss — an eval doc that is a PARAPHRASE-level copy of a
+    train doc (same embedding direction, no shared n-gram required).  The
+    planted corpus is the embedding suite's (vecs ∪ tail-zeroed copies —
+    guaranteed near-dup mass); splits are md5 buckets of vec_id, so a
+    copy's split is independent of its original's and a fixed fraction of
+    planted pairs crosses the train→eval boundary.  Candidates come from
+    the same sign-pattern LSH bucket join as ``dedup_embedding_cosine``,
+    RESTRICTED to train × (val ∪ test) before the quadratic stage — the
+    decon direction is the only one scored.  One row per flagged eval
+    doc: its split, best train match (max cosine, tie lowest train id),
+    and how many train docs implicate it — the quarantine list an eval
+    release ships with.
+
+    Scale shape: identical to the dedup op (bucket join, per-cell
+    quadratic bounded by SIGN_BITS), with the train×eval restriction
+    cutting the pair space ~5× further; the per-eval-doc window is keyed
+    on the flagged set only (tiny).  Cites the planted-copy construction
+    at dedup.py:488."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    n_dims = F.size("vec")
+    copies = vecs.select(
+        (F.col("vec_id") + ID_SHIFT).alias("vec_id"),
+        F.transform(
+            "vec",
+            lambda v, i: F.when(i < n_dims - ZERO_TAIL, v).otherwise(F.lit(0.0)),
+        ).alias("vec"),
+    )
+    corpus = scale_out(vecs.unionByName(copies))
+    bucket = F.concat(
+        *[
+            F.when(F.element_at("vec", i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(SIGN_BITS)
+        ]
+    )
+    b100 = (
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(b100 < SEM_TRAIN_LT, F.lit("train"))
+        .when(b100 < SEM_VAL_LT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    bucketed = corpus.select(
+        "vec_id", "vec", bucket.alias("bk"), split.alias("split")
+    ).localCheckpoint(eager=True)  # one build feeds both join sides
+    train = bucketed.filter(F.col("split") == "train").select(
+        F.col("vec_id").alias("train_id"), F.col("vec").alias("vec_a"), "bk"
+    )
+    ev = bucketed.filter(F.col("split") != "train").select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("split").alias("eval_split"),
+        F.col("vec").alias("vec_b"),
+        "bk",
+    )
+    pairs = train.join(ev, "bk")
+    dot = F.expr(
+        "aggregate(zip_with(vec_a, vec_b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    na = F.expr(
+        "aggregate(transform(vec_a, xa -> xa * xa), CAST(0.0 AS DOUBLE), (acca, va) -> acca + va)"
+    )
+    nb = F.expr(
+        "aggregate(transform(vec_b, xb -> xb * xb), CAST(0.0 AS DOUBLE), (accb, vb) -> accb + vb)"
+    )
+    flagged = pairs.select(
+        "eval_id",
+        "eval_split",
+        "train_id",
+        F.floor(F.lit(10000) * dot / (F.sqrt(na) * F.sqrt(nb)))
+        .cast("long")
+        .alias("cos_bp"),
+    ).filter(F.col("cos_bp") >= COS_THRESHOLD_BP)
+    w = Window.partitionBy("eval_id").orderBy(F.desc("cos_bp"), F.asc("train_id"))
+    return (
+        flagged.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_train_matches",
+            F.count(F.lit(1)).over(Window.partitionBy("eval_id")),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "eval_id",
+            "eval_split",
+            F.col("train_id").alias("best_train_id"),
+            F.col("cos_bp").alias("best_cos_bp"),
+            F.col("n_train_matches").cast("long").alias("n_train_matches"),
+        )
+    )
+
+
+def _oracle_semantic_decon() -> str:
+    sign = " || ".join(
+        f"CASE WHEN vec[{i + 1}] >= 0 THEN '1' ELSE '0' END"
+        for i in range(SIGN_BITS)
+    )
+    split_case = (
+        "CASE WHEN ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 100 < "
+        f"{SEM_TRAIN_LT} THEN 'train' "
+        "WHEN ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 100 < "
+        f"{SEM_VAL_LT} THEN 'val' ELSE 'test' END"
+    )
+    return f"""
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+),
+corpus AS (
+  SELECT vec_id, vec FROM vecs
+  UNION ALL
+  SELECT vec_id + {ID_SHIFT},
+         list_transform(range(1, len(vec) + 1),
+                        i -> CASE WHEN i <= len(vec) - {ZERO_TAIL} THEN vec[i] ELSE 0.0 END)
+  FROM vecs
+),
+bucketed AS (
+  SELECT vec_id, vec, {sign} AS bk, {split_case} AS split FROM corpus
+),
+flagged AS (
+  SELECT b.vec_id AS eval_id, b.split AS eval_split, a.vec_id AS train_id,
+         CAST(floor(10000 * list_sum(list_transform(range(1, len(a.vec) + 1), i -> a.vec[i] * b.vec[i]))
+           / (sqrt(list_sum(list_transform(a.vec, x -> x * x)))
+              * sqrt(list_sum(list_transform(b.vec, x -> x * x))))) AS BIGINT) AS cos_bp
+  FROM bucketed a JOIN bucketed b ON a.bk = b.bk
+  WHERE a.split = 'train' AND b.split <> 'train'
+)
+SELECT eval_id, eval_split, best_train_id, best_cos_bp, n_train_matches FROM (
+  SELECT eval_id, eval_split, train_id AS best_train_id, cos_bp AS best_cos_bp,
+         row_number() OVER (PARTITION BY eval_id ORDER BY cos_bp DESC, train_id ASC) AS rn,
+         CAST(count(*) OVER (PARTITION BY eval_id) AS BIGINT) AS n_train_matches
+  FROM flagged WHERE cos_bp >= {COS_THRESHOLD_BP}
+) WHERE rn = 1
+"""
+
+
+ORACLE_SEMANTIC_DECON = _oracle_semantic_decon()
+
+
 # -- passage-level exact dedup (the CCNet paragraph-hash move) ---------------------
 
 PASSAGE_WORDS = 10
@@ -2000,6 +2152,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "corpus_semantic_decon": corpus_semantic_decon,
     "dedup_prefix_filter": dedup_prefix_filter,
     "dedup_source_matrix": dedup_source_matrix,
     "dedup_span_exact": dedup_span_exact,
@@ -2019,6 +2172,7 @@ ORACLES = {
     "dedup_minhash_lsh": ORACLE_MINHASH,
     "dedup_simhash": ORACLE_SIMHASH,
     "dedup_embedding_cosine": ORACLE_EMBEDDING_COSINE,
+    "corpus_semantic_decon": ORACLE_SEMANTIC_DECON,
     "dedup_prefix_filter": ORACLE_PREFIX_FILTER,
     "dedup_source_matrix": _oracle_source_matrix(),
     "dedup_span_exact": ORACLE_SPAN_EXACT,

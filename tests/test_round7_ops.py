@@ -427,3 +427,53 @@ def test_ccnet_buckets_invariants(spark):
         assert max(sizes) - min(sizes) <= 1, (lang, sizes)
     n_docs = read_table(spark, SF, "documents").count()
     assert sum(r.n_docs for r in rows) == n_docs
+
+
+def test_semantic_decon_flags_planted_cross_split_copies(spark):
+    """Every planted (original, tail-zeroed copy) pair that (a) crosses the
+    train/eval boundary and (b) actually clears the cosine threshold —
+    cos(orig, copy) = ‖head‖/‖orig‖, which varies with the random tail
+    energy — must be flagged with the planted partner as the best train
+    match (unrelated 64-d vectors never get close to 0.9)."""
+    import hashlib
+    import math
+
+    from mongraph_spark.queries.dedup import (
+        COS_THRESHOLD_BP,
+        ID_SHIFT,
+        SEM_TRAIN_LT,
+        ZERO_TAIL,
+        corpus_semantic_decon,
+    )
+    from mongraph_spark.sparkutil import read_table
+
+    def split_of(vid: int) -> str:
+        b = int(hashlib.md5(str(vid).encode()).hexdigest()[:8], 16) % 100
+        return "train" if b < SEM_TRAIN_LT else "eval"
+
+    embs = read_table(spark, SF, "embeddings").collect()
+    expected = {}  # eval_id -> its planted train partner
+    n_crossing = 0
+    for r in embs:
+        vid, vec = r.vec_id, [float(x) for x in r.embedding]
+        head = sum(x * x for x in vec[: len(vec) - ZERO_TAIL])
+        total = sum(x * x for x in vec)
+        cos_bp = math.floor(10000 * math.sqrt(head) / math.sqrt(total))
+        cid = vid + ID_SHIFT
+        cross = {split_of(vid), split_of(cid)} == {"train", "eval"}
+        n_crossing += cross
+        if not (cross and cos_bp >= COS_THRESHOLD_BP):
+            continue
+        if split_of(vid) == "train":
+            expected[cid] = vid
+        else:
+            expected[vid] = cid
+    assert n_crossing > 0, "corpus too small: no planted pair crosses the boundary"
+    assert expected, "no crossing pair clears the threshold at this SF"
+    rows = {r.eval_id: r for r in corpus_semantic_decon(spark, SF).collect()}
+    missing = set(expected) - set(rows)
+    assert not missing, f"planted cross-split copies not flagged: {missing}"
+    for eval_id, partner in expected.items():
+        r = rows[eval_id]
+        assert r.best_train_id == partner, (eval_id, r.best_train_id, partner)
+        assert r.best_cos_bp >= COS_THRESHOLD_BP
