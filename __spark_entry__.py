@@ -78,11 +78,19 @@ CORE_ORDER = [
     #     streaming_lsh_dedup, search_hybrid_rrf, streaming_ann_ivf,
     #     sketch_ddsketch_quantiles, pipeline_rendezvous_shards — never
     #     driver-verified by construction)
-    #   + 21 LONGEST-unverified rows (r1/r2 vintage), oldest first.
+    #   + 4 closing-round-7 operators (streaming_ddsketch_quantiles,
+    #     corpus_cluster_split, corpus_ccnet_buckets, corpus_semantic_decon
+    #     — never driver-verified by construction; sketch_ddsketch_quantiles
+    #     stays as the re-proof for the dd_* helper extraction and
+    #     dedup_clusters re-proves the _cluster_labels_from_pairs split)
+    #   + 17 LONGEST-unverified rows (r1/r2 vintage), oldest first.
     #   Deferred to r8, all strict-green in the local full gate: TPC-H
-    #   q2–q6, q10–q19, q20, q22 + window_top_orders (r2) and
+    #   q2–q6, q10–q19, q20, q22 + window_top_orders (r2),
     #   rollup_revenue, semi_parts_shipped, setop_active_building_customers,
-    #   stats_order_percentiles, stats_price_quantity_corr (r1).
+    #   stats_order_percentiles, stats_price_quantity_corr (r1), and the
+    #   r1-vintage refresh rows ann_cosine_topk_bucketed, embedding_centroids,
+    #   text_fingerprint, text_lang_id, text_quality displaced by the
+    #   closing-round ops (4 new + 1 re-proof take 5 refresh slots).
     # — never driver-verified (round-6 post-window additions) —
     "corpus_span_decontamination",
     "graph_clustering_coefficient",
@@ -120,14 +128,16 @@ CORE_ORDER = [
     "streaming_ann_ivf",
     "sketch_ddsketch_quantiles",
     "pipeline_rendezvous_shards",
+    # — closing-round-7 operators (never driver-verified by construction);
+    #   dedup_clusters re-proves the _cluster_labels_from_pairs extraction —
+    "streaming_ddsketch_quantiles",
+    "corpus_cluster_split",
+    "corpus_ccnet_buckets",
+    "corpus_semantic_decon",
+    "dedup_clusters",
     # — longest-unverified driver rows (r1/r2 vintage), oldest first
     #   (rollup/semi/setop/stats r1 rows defer to r8 with the TPC-H block:
     #   never-verified entries outrank freshness re-proofs for slots) —
-    "ann_cosine_topk_bucketed",
-    "embedding_centroids",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_quality",
     "above_customer_avg",
     "anti_customers_without_orders",
     "cube_quantity",

@@ -294,6 +294,10 @@ def _registry() -> dict:
     from mongraph_spark.queries.similarity import ann_matryoshka_curve
     from mongraph_spark.queries.text import text_bpe_train
 
+    from mongraph_spark.queries.corpus import corpus_ccnet_buckets
+    from mongraph_spark.queries.dedup import corpus_semantic_decon
+    from mongraph_spark.queries.pipeline import corpus_cluster_split
+
     def _semdedup_scaled_k(spark, sf_dir):
         # K ∝ corpus: 16 seeds per replica band (ids 10..160 + i·1e9) → 256
         # cells at 16× vectors, holding |c| ≈ the 1× regime.  The contrast
@@ -306,6 +310,9 @@ def _registry() -> dict:
         return semdedup_report(spark, sf_dir, seeds)
 
     return {
+        "corpus_ccnet_buckets": (corpus_ccnet_buckets, False),
+        "corpus_cluster_split": (corpus_cluster_split, False),
+        "corpus_semantic_decon": (corpus_semantic_decon, True),
         "text_bpe_train": (text_bpe_train, False),
         "dedup_semdedup": (dedup_semdedup, True),
         "dedup_semdedup_scaledK": (_semdedup_scaled_k, True),
