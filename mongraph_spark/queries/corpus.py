@@ -790,6 +790,13 @@ def corpus_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketing becomes scan-shaped at the cost of <1/17 boundary error.
     Per-doc xent in floored CENTIBITS (the proven cross-engine grid)."""
     docs = read_table(spark, sf_dir, "documents")
+    c_bg, c_ctx, vocab = ccnet_model(docs)
+    scored = ccnet_score(docs, c_bg, c_ctx, vocab)
+    return ccnet_finish(scored)
+
+
+def _ccnet_bigrams(docs: DataFrame) -> DataFrame:
+    """Per-doc bigram table (doc keys + w1/w2) — map-side explode."""
     words = F.split(F.col("text"), " ")
     base = docs.select(
         "doc_id",
@@ -804,7 +811,7 @@ def corpus_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(F.col("words"), 2, F.col("n") - 1),
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
-    bg = base.select(
+    return base.select(
         "doc_id", "lang", "source", "n_chars", F.explode(pairs).alias("p")
     ).select(
         "doc_id",
@@ -814,30 +821,50 @@ def corpus_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.w1").alias("w1"),
         F.col("p.w2").alias("w2"),
     )
+
+
+def ccnet_model(docs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Train the per-language reference LM on the curated slice: bigram
+    counts, context counts, and vocab size — the three tables a frozen
+    CCNet model IS."""
     is_ref = F.col("source").isin(CCNET_REF_SOURCES)
-    c_bg = (
-        bg.filter(is_ref)
-        .groupBy("lang", "w1", "w2")
-        .agg(F.count(F.lit(1)).alias("c_bg"))
-    )
+    bg_ref = _ccnet_bigrams(docs.filter(is_ref))
+    c_bg = bg_ref.groupBy("lang", "w1", "w2").agg(F.count(F.lit(1)).alias("c_bg"))
     c_ctx = c_bg.groupBy("lang", "w1").agg(F.sum("c_bg").alias("c_ctx"))
     vocab = (
-        base.filter(is_ref)
-        .select("lang", F.explode("words").alias("w"))
+        docs.filter(is_ref)
+        .select("lang", F.explode(F.split(F.col("text"), " ")).alias("w"))
         .groupBy("lang")
         .agg(F.count_distinct("w").alias("v"))
     )
+    return c_bg, c_ctx, vocab
+
+
+def ccnet_score(
+    docs: DataFrame, c_bg: DataFrame, c_ctx: DataFrame, vocab: DataFrame
+) -> DataFrame:
+    """Score documents under a frozen reference model: two LEFT equi-joins
+    (unseen bigrams/contexts hit the add-one floor) + a broadcast vocab
+    join + one per-doc re-agg.  Pure function of (doc, model) — the
+    property that makes the streaming twin batch-equal."""
+    bg = _ccnet_bigrams(docs)
     lp = F.log2(
         (F.coalesce(F.col("c_bg"), F.lit(0)) + 1)
         / (F.coalesce(F.col("c_ctx"), F.lit(0)) + F.col("v"))
     )
-    scored = (
+    return (
         bg.join(c_bg, ["lang", "w1", "w2"], "left")
         .join(c_ctx, ["lang", "w1"], "left")
         .join(F.broadcast(vocab), "lang")
         .groupBy("doc_id", "lang", "source", "n_chars")
         .agg(F.floor(F.lit(-100.0) * F.avg(lp)).cast("long").alias("xent_cb"))
     )
+
+
+def ccnet_finish(scored: DataFrame) -> DataFrame:
+    """Tercile bucketing + per-(lang, bucket) rollup — the served finisher
+    (a rank cannot stream; at 100 TB swap the ntile for DDSketch cutoffs)."""
+    is_ref = F.col("source").isin(CCNET_REF_SOURCES)
     t = F.ntile(3).over(Window.partitionBy("lang").orderBy("xent_cb", "doc_id"))
     bucketed = scored.withColumn(
         "bucket",

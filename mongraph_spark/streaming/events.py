@@ -943,6 +943,86 @@ CROSS JOIN nb
 """
 
 
+# -- streaming CCNet quality-scoring twin ----------------------------------------------
+
+
+def streaming_ccnet_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``corpus_ccnet_buckets`` — reference-LM quality
+    scoring in the INGEST path, extending the ingest quadruple: exact
+    spans, near-dup Jaccard, vector similarity, and now perplexity
+    filtering.  The CCNet contract is frozen-model by definition (the
+    reference LM trains on the curated slice offline, not on the stream),
+    so the model tables are built ONCE batch-side (`ccnet_model`) and
+    persisted; each arriving micro-batch of documents is scored against
+    them with the SHARED pure scorer (`ccnet_score` — two LEFT joins +
+    broadcast vocab + per-doc re-agg, a pure function of (doc, model))
+    and appended to the scored store.  ZERO streaming state: scoring is
+    per-document, so unlike every aggregation twin there is no state
+    store at all — the cheapest possible ingest operator.  The tercile
+    bucketing is the served finisher (`ccnet_finish`; a rank cannot
+    stream — the leaderboard argument), run over the accumulated scores,
+    making the final table EXACTLY the batch op's (shared SQL oracle;
+    collect-equality pinned in tests)."""
+    import shutil
+    import tempfile
+
+    from mongraph_spark.queries.corpus import ccnet_finish, ccnet_model, ccnet_score
+    from mongraph_spark.sparkutil import read_table
+
+    app_id = spark.sparkContext.applicationId
+    sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    base = os.path.join(tempfile.gettempdir(), f"mg_stream_ccnet_{app_id}_{sf_tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    staging = os.path.join(base, "arrivals")
+    model_dir = os.path.join(base, "model")
+    scored_dir = os.path.join(base, "scored")
+
+    docs = read_table(spark, sf_dir, "documents")
+    # freeze the reference model once (curated slice is static)
+    c_bg, c_ctx, vocab = ccnet_model(docs)
+    c_bg.write.parquet(os.path.join(model_dir, "c_bg"))
+    c_ctx.write.parquet(os.path.join(model_dir, "c_ctx"))
+    vocab.write.parquet(os.path.join(model_dir, "vocab"))
+
+    # stage the corpus as 4 arrival batches (one checkpoint, 4 filtered writes)
+    batched = docs.withColumn(
+        "arrival",
+        F.ntile(4).over(
+            Window.partitionBy(const_part(F.col("doc_id"))).orderBy("doc_id")
+        ),
+    ).localCheckpoint(eager=True)
+    for i in range(1, 5):
+        batched.filter(F.col("arrival") == i).drop("arrival").coalesce(1).write.mode(
+            "append"
+        ).parquet(staging)
+
+    schema = spark.read.parquet(staging).schema
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        mb = s.read.parquet(os.path.join(model_dir, "c_bg"))
+        mx = s.read.parquet(os.path.join(model_dir, "c_ctx"))
+        mv = s.read.parquet(os.path.join(model_dir, "vocab"))
+        ccnet_score(batch_df, mb, mx, mv).write.mode("append").parquet(scored_dir)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+        .writeStream.foreachBatch(process)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return ccnet_finish(spark.read.parquet(scored_dir))
+
+
+def _oracle_stream_ccnet() -> str:
+    from mongraph_spark.queries.corpus import ORACLE_CCNET_BUCKETS
+
+    return ORACLE_CCNET_BUCKETS
+
+
 # -- streaming hourly top-type twin ----------------------------------------------------
 
 
@@ -1591,6 +1671,7 @@ QUERIES = {
     "streaming_hourly_top_type": streaming_hourly_top_type,
     "streaming_count_min": streaming_count_min,
     "streaming_ddsketch_quantiles": streaming_ddsketch_quantiles,
+    "streaming_ccnet_score": streaming_ccnet_score,
     "streaming_seasonal_anomaly": streaming_seasonal_anomaly,
     "streaming_cusum_changepoint": streaming_cusum_changepoint,
     "streaming_hll_distinct": streaming_hll_distinct,
@@ -1615,6 +1696,7 @@ ORACLES = {
     "streaming_hourly_top_type": _oracle_stream_hourly_top(),
     "streaming_count_min": _oracle_stream_cms(),
     "streaming_ddsketch_quantiles": ORACLE_STREAM_DDSKETCH,
+    "streaming_ccnet_score": _oracle_stream_ccnet(),
     "streaming_seasonal_anomaly": _oracle_stream_seasonal(),
     "streaming_cusum_changepoint": _oracle_stream_cusum(),
     "streaming_hll_distinct": ORACLE_STREAM_HLL,

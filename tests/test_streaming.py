@@ -166,3 +166,18 @@ def test_streaming_cusum_equals_batch(spark):
     batch = events_cusum_changepoint(spark, SF_DIR)
     stream = streaming_cusum_changepoint(spark, SF_DIR)
     assert _sorted_rows(stream, "event_type") == _sorted_rows(batch, "event_type")
+
+
+def test_streaming_ccnet_equals_batch(spark):
+    """Scoring under a frozen model is a pure function of (doc, model), so
+    the streamed scores — accumulated over 4 arrival micro-batches — must
+    reproduce the batch op's tercile report EXACTLY (no tolerance), and
+    the twin must use zero streaming state (foreachBatch, no aggregation
+    before the sink)."""
+    from mongraph_spark.queries.corpus import corpus_ccnet_buckets
+    from mongraph_spark.streaming.events import streaming_ccnet_score
+
+    stream = streaming_ccnet_score(spark, SF_DIR)
+    batch = corpus_ccnet_buckets(spark, SF_DIR)
+    keys = ("lang", "bucket")
+    assert _sorted_rows(stream, *keys) == _sorted_rows(batch, *keys)
