@@ -761,6 +761,132 @@ GROUP BY doc_id
 """
 
 
+# -- UniMax per-language budget allocation (water-fill under an epoch cap) -------
+
+UNIMAX_EPOCH_CAP = 2  # no language repeats more than 2 epochs
+UNIMAX_BUDGET_NUM, UNIMAX_BUDGET_DEN = 3, 2  # budget B = 1.5 x corpus tokens
+
+
+def corpus_unimax_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023) — THE principled
+    multilingual sampling allocator, vs ``corpus_mixture_weights``' plain
+    equalizer: given a total token budget B and a per-language epoch cap
+    E, water-fill the budget as uniformly as possible subject to
+    alloc_i ≤ E·n_i.  Low-resource languages are upsampled exactly to the
+    cap (never past it — the overfitting guard), and the remainder pools
+    in the high-resource languages.  Closed form, NO iteration: with
+    languages sorted by cap ascending, language at rank r (of N, cumsum
+    C_r) is capped iff cap_r·(N−r+1) < B−C_{r−1} — each row decides
+    itself from a window cumsum, then one tiny capped-mass reduce sets
+    the shared water line (B−ΣC*)/(N−n_capped).  Greedy-correctness: the
+    per-step fair share only RISES as capped languages leave the pool,
+    so the ascending scan's decisions are globally consistent.
+
+    ALL-integer arithmetic (token counts, cross-multiplied comparisons,
+    div for the water line and the epochs grid) — exact cross-engine
+    hashes.  Scale shape: one per-language token count (the corpus scan),
+    then every window/join runs on N_LANG rows — at 100 TB the allocator
+    costs one aggregation, the same shape DSIR/mixture ops pay.  Here
+    (E=2, B=1.5×corpus) the four smaller languages pin to 2 epochs and
+    the dominant one absorbs the remaining budget below 1 epoch — the
+    canonical UniMax picture."""
+    docs = read_table(spark, sf_dir, "documents")
+    stats = docs.groupBy("lang").agg(
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("n_tokens")
+    )
+    caps = stats.select(
+        "lang",
+        "n_tokens",
+        (F.lit(UNIMAX_EPOCH_CAP) * F.col("n_tokens")).alias("cap_tokens"),
+    )
+    totals = caps.agg(
+        F.expr(
+            f"(sum(n_tokens) * {UNIMAX_BUDGET_NUM}) div {UNIMAX_BUDGET_DEN}"
+        ).alias("budget"),
+        F.count(F.lit(1)).alias("n_langs"),
+    )
+    w = Window.partitionBy(const_part(F.col("cap_tokens"))).orderBy(
+        "cap_tokens", "lang"
+    )
+    ranked = (
+        caps.withColumn("r", F.row_number().over(w))
+        .withColumn("cum", F.sum("cap_tokens").over(w))
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "is_capped",
+            (
+                F.col("cap_tokens") * (F.col("n_langs") - F.col("r") + 1)
+                < F.col("budget") - (F.col("cum") - F.col("cap_tokens"))
+            ).cast("int"),
+        )
+    )
+    capped_mass = ranked.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("is_capped") == 1, F.col("cap_tokens"))), F.lit(0)
+        ).alias("capped_tokens"),
+        F.coalesce(F.sum("is_capped"), F.lit(0)).alias("n_capped"),
+    )
+    water = F.expr(
+        "(budget - capped_tokens) div nullif(n_langs - n_capped, 0)"
+    )
+    alloc = F.when(F.col("is_capped") == 1, F.col("cap_tokens")).otherwise(
+        F.coalesce(water, F.col("cap_tokens"))
+    )
+    return (
+        ranked.crossJoin(F.broadcast(capped_mass))
+        .withColumn("alloc_tokens", alloc.cast("long"))
+        .select(
+            "lang",
+            "n_tokens",
+            F.col("cap_tokens").cast("long").alias("cap_tokens"),
+            "is_capped",
+            "alloc_tokens",
+            F.expr("(10000 * alloc_tokens) div n_tokens").alias("epochs_bp"),
+        )
+    )
+
+
+ORACLE_UNIMAX = f"""
+WITH stats AS (
+  SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang
+),
+caps AS (
+  SELECT lang, n_tokens, {UNIMAX_EPOCH_CAP} * n_tokens AS cap_tokens FROM stats
+),
+totals AS (
+  SELECT CAST((sum(n_tokens) * {UNIMAX_BUDGET_NUM}) // {UNIMAX_BUDGET_DEN} AS BIGINT)
+           AS budget,
+         count(*) AS n_langs
+  FROM caps
+),
+ranked AS (
+  SELECT lang, n_tokens, cap_tokens,
+         row_number() OVER (ORDER BY cap_tokens, lang) AS r,
+         sum(cap_tokens) OVER (ORDER BY cap_tokens, lang) AS cum,
+         budget, n_langs,
+         CASE WHEN cap_tokens * (n_langs - row_number() OVER (ORDER BY cap_tokens, lang) + 1)
+                   < budget - (sum(cap_tokens) OVER (ORDER BY cap_tokens, lang) - cap_tokens)
+              THEN 1 ELSE 0 END AS is_capped
+  FROM caps CROSS JOIN totals
+),
+mass AS (
+  SELECT CAST(coalesce(sum(CASE WHEN is_capped = 1 THEN cap_tokens END), 0) AS BIGINT)
+           AS capped_tokens,
+         CAST(coalesce(sum(is_capped), 0) AS BIGINT) AS n_capped
+  FROM ranked
+)
+SELECT lang, n_tokens, CAST(cap_tokens AS BIGINT) AS cap_tokens, is_capped,
+       CAST(CASE WHEN is_capped = 1 THEN cap_tokens
+                 ELSE coalesce((budget - capped_tokens) // nullif(n_langs - n_capped, 0),
+                               cap_tokens) END AS BIGINT) AS alloc_tokens,
+       CAST((10000 * (CASE WHEN is_capped = 1 THEN cap_tokens
+                      ELSE coalesce((budget - capped_tokens) // nullif(n_langs - n_capped, 0),
+                                    cap_tokens) END)) // n_tokens AS BIGINT) AS epochs_bp
+FROM ranked CROSS JOIN mass
+"""
+
+
 # -- CCNet-style cross-domain LM filter: curated-slice model, tercile buckets ----
 
 CCNET_REF_SOURCES = ["src0", "src1", "src2", "src3"]  # the 'curated' slice
@@ -1364,6 +1490,7 @@ QUERIES = {
     "corpus_heaps_law": corpus_heaps_law,
     "corpus_bigram_xent": corpus_bigram_xent,
     "corpus_ccnet_buckets": corpus_ccnet_buckets,
+    "corpus_unimax_budget": corpus_unimax_budget,
     "corpus_boilerplate_lines": boilerplate_lines,
     "corpus_filter_funnel": filter_funnel,
 }
@@ -1381,6 +1508,7 @@ ORACLES = {
     "corpus_heaps_law": ORACLE_HEAPS,
     "corpus_bigram_xent": ORACLE_BIGRAM_XENT,
     "corpus_ccnet_buckets": ORACLE_CCNET_BUCKETS,
+    "corpus_unimax_budget": ORACLE_UNIMAX,
     "corpus_boilerplate_lines": ORACLE_BOILERPLATE,
     "corpus_filter_funnel": ORACLE_FILTER_FUNNEL,
 }

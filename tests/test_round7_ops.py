@@ -477,3 +477,39 @@ def test_semantic_decon_flags_planted_cross_split_copies(spark):
         r = rows[eval_id]
         assert r.best_train_id == partner, (eval_id, r.best_train_id, partner)
         assert r.best_cos_bp >= COS_THRESHOLD_BP
+
+
+def test_unimax_waterfill_invariants(spark):
+    """UniMax contract: (a) no language exceeds its epoch cap, (b) capped
+    languages sit EXACTLY at the cap, (c) uncapped languages share one
+    water line that is ≥ every capped language's cap (else the fill would
+    be non-uniform), and (d) the allocation exhausts the budget up to
+    integer-division remainder (< n_uncapped tokens)."""
+    from mongraph_spark.queries.corpus import (
+        UNIMAX_BUDGET_DEN,
+        UNIMAX_BUDGET_NUM,
+        UNIMAX_EPOCH_CAP,
+        corpus_unimax_budget,
+    )
+
+    rows = corpus_unimax_budget(spark, SF).collect()
+    assert rows
+    total_tokens = sum(r.n_tokens for r in rows)
+    budget = total_tokens * UNIMAX_BUDGET_NUM // UNIMAX_BUDGET_DEN
+    capped = [r for r in rows if r.is_capped == 1]
+    uncapped = [r for r in rows if r.is_capped == 0]
+    for r in rows:
+        assert r.alloc_tokens <= r.cap_tokens
+        assert r.cap_tokens == UNIMAX_EPOCH_CAP * r.n_tokens
+        assert r.epochs_bp == 10000 * r.alloc_tokens // r.n_tokens
+    for r in capped:
+        assert r.alloc_tokens == r.cap_tokens and r.epochs_bp == 10000 * UNIMAX_EPOCH_CAP
+    if uncapped:
+        lines = {r.alloc_tokens for r in uncapped}
+        assert len(lines) == 1  # one shared water line
+        line = lines.pop()
+        assert all(line >= r.cap_tokens for r in capped)
+        spent = sum(r.alloc_tokens for r in rows)
+        assert 0 <= budget - spent < len(uncapped)
+    else:
+        assert sum(r.alloc_tokens for r in rows) <= budget
