@@ -890,6 +890,7 @@ FROM ranked CROSS JOIN mass
 # -- CCNet-style cross-domain LM filter: curated-slice model, tercile buckets ----
 
 CCNET_REF_SOURCES = ["src0", "src1", "src2", "src3"]  # the 'curated' slice
+CCNET_DD_SUB = 256  # cutoff-sketch sub-buckets per octave: <1/257 rel. error
 
 
 def corpus_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1006,8 +1007,7 @@ def ccnet_finish(scored: DataFrame) -> DataFrame:
     )
 
 
-ORACLE_CCNET_BUCKETS = f"""
-WITH base AS (
+_ORACLE_CCNET_SCORED = f"""base AS (
   SELECT doc_id, lang, source, n_chars, string_split(text, ' ') AS words
   FROM documents
 ),
@@ -1039,7 +1039,10 @@ scored AS (
   LEFT JOIN c_ctx x ON b.lang = x.lang AND b.w1 = x.w1
   JOIN vocab v ON b.lang = v.lang
   GROUP BY 1, 2, 3, 4
-),
+)"""
+
+ORACLE_CCNET_BUCKETS = f"""
+WITH {_ORACLE_CCNET_SCORED},
 bucketed AS (
   SELECT *,
          CASE ntile(3) OVER (PARTITION BY lang ORDER BY xent_cb, doc_id)
@@ -1055,8 +1058,165 @@ FROM bucketed
 GROUP BY 1, 2
 """
 
+ORACLE_CCNET_SKETCH = f"""
+WITH {_ORACLE_CCNET_SCORED},
+bm AS (
+  SELECT lang, doc_id, xent_cb, e,
+         (cents * {CCNET_DD_SUB}) // (1::BIGINT << CAST(e AS INTEGER)) - {CCNET_DD_SUB} AS m
+  FROM (SELECT lang, doc_id, xent_cb, cents,
+               CAST(length(bin(cents)) - 1 AS BIGINT) AS e
+        FROM (SELECT lang, doc_id, xent_cb, greatest(xent_cb, 1) AS cents
+              FROM scored))
+),
+sk AS (SELECT lang, e, m, CAST(count(*) AS BIGINT) AS c FROM bm GROUP BY 1, 2, 3),
+tg AS (
+  SELECT lang, p, (p * n + 99) // 100 AS target
+  FROM (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM scored GROUP BY 1)
+  CROSS JOIN (VALUES (33), (67)) t(p)
+),
+cum AS (
+  SELECT lang, e, m, sum(c) OVER (PARTITION BY lang ORDER BY e, m) AS cum FROM sk
+),
+cuts AS (
+  SELECT lang, p,
+         (({CCNET_DD_SUB} + bid % {CCNET_DD_SUB})
+          * (1::BIGINT << CAST(bid // {CCNET_DD_SUB} AS INTEGER))) // {CCNET_DD_SUB} AS cut
+  FROM (SELECT t.lang, t.p, min(s.e * {CCNET_DD_SUB} + s.m) AS bid
+        FROM cum s JOIN tg t ON s.lang = t.lang AND s.cum >= t.target
+        GROUP BY 1, 2)
+),
+cw AS (
+  SELECT lang,
+         CAST(min(CASE WHEN p = 33 THEN cut END) AS BIGINT) AS cut33,
+         CAST(min(CASE WHEN p = 67 THEN cut END) AS BIGINT) AS cut67
+  FROM cuts GROUP BY 1
+),
+exact AS (
+  SELECT doc_id,
+         CASE ntile(3) OVER (PARTITION BY lang ORDER BY xent_cb, doc_id)
+           WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket_exact
+  FROM scored
+),
+assigned AS (
+  SELECT s.lang,
+         CASE WHEN s.xent_cb <= cw.cut33 THEN 'head'
+              WHEN s.xent_cb <= cw.cut67 THEN 'middle'
+              ELSE 'tail' END AS bucket,
+         x.bucket_exact, cw.cut33, cw.cut67
+  FROM scored s JOIN cw ON s.lang = cw.lang JOIN exact x ON s.doc_id = x.doc_id
+)
+SELECT lang, bucket, count(*) AS n_docs,
+       CAST(sum(CASE WHEN bucket <> bucket_exact THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_moved,
+       cut33, cut67
+FROM assigned
+GROUP BY 1, 2, 5, 6
+"""
 
-# -- RefinedWeb-style boilerplate-segment removal --------------------------------
+
+# -- CCNet terciles from the DDSketch synopsis: the 100 TB bucketing path --------
+# (CCNET_DD_SUB defined with the CCNet constants above)
+
+
+def corpus_ccnet_sketch_cutoffs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path ``corpus_ccnet_buckets``' docstring promises, made a
+    MEASURED operator (the way ``dedup_span_capped`` closed the span
+    family's prose-only claim): per-language tercile CUTOFFS read off a
+    DDSketch synopsis of the xent distribution instead of the exact ntile
+    sort.  The sketch is one (lang, octave, sub-bucket) aggregation —
+    O(langs × ~buckets) rows regardless of corpus size — and bucketing
+    becomes a map-side CASE against two broadcast cutoffs: the per-language
+    SORT disappears from the plan, which is the difference between a
+    shuffle-and-sort of every score at 100 TB and a scan.  The price is
+    DDSketch's <1/17 relative error AT THE BOUNDARY only, and the operator
+    REPORTS it: per (lang, bucket) doc counts under sketch cutoffs, the
+    count that moved vs the exact terciles (n_moved), and the cutoffs a
+    production filter config would pin.  The sketch granularity is THE
+    DDSketch accuracy knob, and this op demonstrates sizing it to the
+    value scale: xent centibits concentrate in one octave (~450–600 cb,
+    CV ≈ 5%), where the quantile suite's 16 sub-buckets (<1/17 error,
+    ±30 cb) would swallow both tercile boundaries — so the cutoff sketch
+    uses {CCNET_DD_SUB} sub-buckets per octave (<1/{CCNET_DD_SUB + 1}
+    relative error, ±2 cb here), still only O(octaves×{CCNET_DD_SUB})
+    synopsis rows.  Integer-exact end to end (xent centibits, integer
+    bucket decode)."""
+    docs = read_table(spark, sf_dir, "documents")
+    scored = ccnet_score(docs, *ccnet_model(docs)).localCheckpoint(
+        eager=True
+    )  # reused by the sketch, the exact terciles, and the assignment
+    binned = scored.select(
+        "lang",
+        "doc_id",
+        "xent_cb",
+        F.greatest(F.col("xent_cb"), F.lit(1)).alias("cents"),
+    ).withColumn(
+        "e", (F.length(F.expr("bin(cents)")) - 1).cast("long")
+    ).withColumn(
+        "m",
+        F.expr(
+            f"(cents * {CCNET_DD_SUB}) div shiftleft(cast(1 as bigint), cast(e as int))"
+            f" - {CCNET_DD_SUB}"
+        ),
+    )
+    sk = binned.groupBy("lang", "e", "m").agg(F.count(F.lit(1)).alias("c"))
+    nl = scored.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    tg = nl.select(
+        "lang",
+        F.explode(F.array(F.lit(33), F.lit(67))).alias("p"),
+        "n",
+    ).select(
+        "lang", "p", ((F.col("p") * F.col("n") + 99) / 100).cast("long").alias("target")
+    )
+    cum = sk.withColumn(
+        "cum", F.sum("c").over(Window.partitionBy("lang").orderBy("e", "m"))
+    )
+    decode = F.expr(
+        f"((({CCNET_DD_SUB} + bid % {CCNET_DD_SUB})"
+        f" * shiftleft(cast(1 as bigint), cast(bid div {CCNET_DD_SUB} as int)))"
+        f" div {CCNET_DD_SUB})"
+    )
+    cuts = (
+        cum.join(F.broadcast(tg), "lang")
+        .filter(F.col("cum") >= F.col("target"))
+        .groupBy("lang", "p")
+        .agg(F.min(F.col("e") * CCNET_DD_SUB + F.col("m")).alias("bid"))
+        .select("lang", "p", decode.alias("cut"))
+    )
+    cw = cuts.groupBy("lang").agg(
+        F.min(F.when(F.col("p") == 33, F.col("cut"))).cast("long").alias("cut33"),
+        F.min(F.when(F.col("p") == 67, F.col("cut"))).cast("long").alias("cut67"),
+    )
+    t = F.ntile(3).over(Window.partitionBy("lang").orderBy("xent_cb", "doc_id"))
+    exact = scored.select(
+        "doc_id",
+        F.when(t == 1, F.lit("head"))
+        .when(t == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket_exact"),
+    )
+    assigned = (
+        scored.join(F.broadcast(cw), "lang")
+        .join(exact, "doc_id")
+        .withColumn(
+            "bucket",
+            F.when(F.col("xent_cb") <= F.col("cut33"), F.lit("head"))
+            .when(F.col("xent_cb") <= F.col("cut67"), F.lit("middle"))
+            .otherwise(F.lit("tail")),
+        )
+    )
+    return (
+        assigned.groupBy("lang", "bucket", "cut33", "cut67")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("bucket") != F.col("bucket_exact")).cast("int"))
+            .cast("long")
+            .alias("n_moved"),
+        )
+        .select("lang", "bucket", "n_docs", "n_moved", "cut33", "cut67")
+    )
+
+
+# -- CCNet-style cross-domain LM filter: curated-slice model, tercile buckets ----
 
 SEG_WORDS = 5  # pseudo-line width (the docs carry no newlines)
 BP_MIN_DOCS = 2  # a segment seen in >= 2 distinct docs is boilerplate
@@ -1491,6 +1651,7 @@ QUERIES = {
     "corpus_bigram_xent": corpus_bigram_xent,
     "corpus_ccnet_buckets": corpus_ccnet_buckets,
     "corpus_unimax_budget": corpus_unimax_budget,
+    "corpus_ccnet_sketch_cutoffs": corpus_ccnet_sketch_cutoffs,
     "corpus_boilerplate_lines": boilerplate_lines,
     "corpus_filter_funnel": filter_funnel,
 }
@@ -1509,6 +1670,7 @@ ORACLES = {
     "corpus_bigram_xent": ORACLE_BIGRAM_XENT,
     "corpus_ccnet_buckets": ORACLE_CCNET_BUCKETS,
     "corpus_unimax_budget": ORACLE_UNIMAX,
+    "corpus_ccnet_sketch_cutoffs": ORACLE_CCNET_SKETCH,
     "corpus_boilerplate_lines": ORACLE_BOILERPLATE,
     "corpus_filter_funnel": ORACLE_FILTER_FUNNEL,
 }

@@ -513,3 +513,40 @@ def test_unimax_waterfill_invariants(spark):
         assert 0 <= budget - spent < len(uncapped)
     else:
         assert sum(r.alloc_tokens for r in rows) <= budget
+
+
+def test_ccnet_sketch_cutoffs_guarantee(spark):
+    """The sketch-cutoff path must honor DDSketch's contract: each cutoff
+    is the lower edge of the bucket holding the rank-target value, so
+    cut ≤ v_target and v_target − cut ≤ v_target/256 + 1; buckets conserve
+    the scored corpus, cut33 ≤ cut67, and boundary movement vs the exact
+    terciles stays a small fraction."""
+    from collections import defaultdict
+
+    from mongraph_spark.queries.corpus import (
+        ccnet_model,
+        ccnet_score,
+        corpus_ccnet_sketch_cutoffs,
+    )
+    from mongraph_spark.sparkutil import read_table
+
+    rows = corpus_ccnet_sketch_cutoffs(spark, SF).collect()
+    per_lang = defaultdict(list)
+    for r in rows:
+        per_lang[r.lang].append(r)
+    docs = read_table(spark, SF, "documents")
+    scored = ccnet_score(docs, *ccnet_model(docs)).collect()
+    xents = defaultdict(list)
+    for s in scored:
+        xents[s.lang].append(s.xent_cb)
+    for lang, cells in per_lang.items():
+        vals = sorted(xents[lang])
+        n = len(vals)
+        assert sum(c.n_docs for c in cells) == n  # conservation
+        cut33, cut67 = cells[0].cut33, cells[0].cut67
+        assert cut33 <= cut67
+        for p, cut in ((33, cut33), (67, cut67)):
+            v = vals[(p * n + 99) // 100 - 1]
+            assert cut <= v and v - cut <= v // 256 + 1, (lang, p, cut, v)
+        moved = sum(c.n_moved for c in cells)
+        assert moved <= max(2, n // 5), (lang, moved, n)
