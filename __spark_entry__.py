@@ -135,12 +135,17 @@ CORE_ORDER = [
     "corpus_ccnet_buckets",
     "corpus_semantic_decon",
     "dedup_clusters",
+    # — final closing-round-7 operators (never driver-verified by
+    #   construction; corpus_ccnet_buckets above re-proves the
+    #   ccnet_model/score/finish helper split they share) —
+    "streaming_ccnet_score",
+    "corpus_unimax_budget",
+    "corpus_ccnet_sketch_cutoffs",
     # — longest-unverified driver rows (r1/r2 vintage), oldest first
     #   (rollup/semi/setop/stats r1 rows defer to r8 with the TPC-H block:
-    #   never-verified entries outrank freshness re-proofs for slots) —
-    "above_customer_avg",
-    "anti_customers_without_orders",
-    "cube_quantity",
+    #   never-verified entries outrank freshness re-proofs for slots;
+    #   above_customer_avg, anti_customers_without_orders, cube_quantity
+    #   displaced to r8 by the final closing ops) —
     "g11_remove_node_survivors",
     "g12_delete_writeback",
     "g1_both_union_types",
