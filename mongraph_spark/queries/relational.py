@@ -2977,8 +2977,151 @@ GROUP BY o_orderpriority
 """
 
 
+# -- Neyman optimal stratified-sample allocation --------------------------------
+
+NEYMAN_BUDGET = 1000  # total sample rows to allocate across strata
+
+
+def stats_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman (optimal) stratified-sample allocation over order priorities:
+    given a total sample budget n, allocate n_h ∝ N_h·S_h — strata that
+    are big OR internally variable get more samples, which minimizes the
+    variance of the stratified mean estimator (the textbook improvement
+    over proportional allocation, and the standard design for QA-sampling
+    a 100 TB corpus: audit budget goes where the uncertainty is).
+
+    Cross-engine exactness without a cross-stratum float reduction: the
+    per-stratum variance numerator V_h = N_h·Σx² − (Σx)² is EXACT
+    (DECIMAL(38)/HUGEINT — cents² sums overflow int64 at sf0.1), the
+    only float op is one per-stratum sqrt (libm-identical), QUANTIZED
+    IMMEDIATELY to integer cents (σ here is ~10^7 cents, so the cent grid
+    already carries 1e-7 relative precision AND keeps budget·N_h·S_h far
+    inside int64 — the micro grid would overflow), and every downstream
+    step —
+    weight products, the shared denominator, the floor division, the
+    largest-remainder top-up ranked by (n·w mod Σw, stratum) — is
+    integer arithmetic.  One aggregation over the data; everything else
+    runs on |strata| rows.  Allocations sum to the budget EXACTLY
+    (largest-remainder), pinned in tests alongside the
+    high-variance-oversampled invariant."""
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    per = o.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("sx"),
+        F.sum(
+            (F.col("cents").cast("decimal(38,0)") * F.col("cents")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("sxx"),
+    )
+    v_num = (
+        F.col("n_rows").cast("decimal(38,0)") * F.col("sxx")
+        - F.col("sx") * F.col("sx")
+    )
+    # S_h in whole cents: sqrt(V_h)/N_h — quantized per stratum, no
+    # cross-stratum float ever happens
+    s_cents = F.floor(
+        F.sqrt(v_num.cast("double")) / F.col("n_rows")
+    ).cast("long")
+    w = per.select(
+        "priority",
+        "n_rows",
+        F.floor(F.col("sx").cast("double") / F.col("n_rows"))
+        .cast("long")
+        .alias("mean_cents"),
+        s_cents.alias("s_cents"),
+        (F.col("n_rows") * s_cents).alias("w_h"),
+    )
+    tot = w.agg(
+        F.sum("w_h").alias("w_sum"),
+        F.sum("n_rows").alias("n_total"),
+    )
+    j = w.crossJoin(F.broadcast(tot))
+    base = F.expr(f"({NEYMAN_BUDGET} * w_h) div w_sum")
+    rem = F.expr(f"({NEYMAN_BUDGET} * w_h) % w_sum")
+    staged = j.select(
+        "priority",
+        "n_rows",
+        "mean_cents",
+        "s_cents",
+        base.alias("base_alloc"),
+        rem.alias("rem"),
+        F.expr(f"({NEYMAN_BUDGET} * n_rows) div n_total").alias(
+            "alloc_proportional"
+        ),
+    )
+    shortfall = staged.agg(
+        (F.lit(NEYMAN_BUDGET) - F.sum("base_alloc")).cast("long").alias("k")
+    )
+    rk = F.row_number().over(
+        Window.partitionBy(const_part(F.col("rem"))).orderBy(
+            F.desc("rem"), F.asc("priority")
+        )
+    )
+    return (
+        staged.crossJoin(F.broadcast(shortfall))
+        .withColumn("rk", rk)
+        .select(
+            "priority",
+            "n_rows",
+            "mean_cents",
+            "s_cents",
+            (F.col("base_alloc") + (F.col("rk") <= F.col("k")).cast("long")).alias(
+                "alloc_neyman"
+            ),
+            "alloc_proportional",
+        )
+    )
+
+
+ORACLE_NEYMAN = f"""
+WITH o AS (
+  SELECT o_orderpriority AS priority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+per AS (
+  SELECT priority, CAST(count(*) AS BIGINT) AS n_rows,
+         sum(CAST(cents AS HUGEINT)) AS sx,
+         sum(CAST(cents AS HUGEINT) * cents) AS sxx
+  FROM o GROUP BY 1
+),
+w AS (
+  SELECT priority, n_rows,
+         CAST(floor(CAST(sx AS DOUBLE) / n_rows) AS BIGINT) AS mean_cents,
+         CAST(floor(sqrt(CAST(n_rows * sxx - sx * sx AS DOUBLE)) / n_rows)
+              AS BIGINT) AS s_cents
+  FROM per
+),
+w2 AS (SELECT *, n_rows * s_cents AS w_h FROM w),
+tot AS (
+  SELECT CAST(sum(w_h) AS BIGINT) AS w_sum, CAST(sum(n_rows) AS BIGINT) AS n_total
+  FROM w2
+),
+staged AS (
+  SELECT priority, n_rows, mean_cents, s_cents,
+         ({NEYMAN_BUDGET} * w_h) // w_sum AS base_alloc,
+         ({NEYMAN_BUDGET} * w_h) % w_sum AS rem,
+         ({NEYMAN_BUDGET} * n_rows) // n_total AS alloc_proportional
+  FROM w2 CROSS JOIN tot
+),
+shortfall AS (
+  SELECT CAST({NEYMAN_BUDGET} - sum(base_alloc) AS BIGINT) AS k FROM staged
+)
+SELECT priority, n_rows, mean_cents, s_cents,
+       CAST(base_alloc + CASE WHEN row_number() OVER (ORDER BY rem DESC, priority)
+                              <= k THEN 1 ELSE 0 END AS BIGINT) AS alloc_neyman,
+       CAST(alloc_proportional AS BIGINT) AS alloc_proportional
+FROM staged CROSS JOIN shortfall
+"""
+
+
 QUERIES = {
     "stats_weighted_median": stats_weighted_median,
+    "stats_neyman_allocation": stats_neyman_allocation,
     "stats_benford_test": stats_benford_test,
     "ivm_join_delta": ivm_join_delta,
     "band_join_close_prices": band_join_close_prices,
@@ -3070,6 +3213,7 @@ ORACLES = {
     "band_join_close_prices": ORACLE_BAND_JOIN,
     "ivm_join_delta": ORACLE_IVM,
     "stats_weighted_median": ORACLE_WEIGHTED_MEDIAN,
+    "stats_neyman_allocation": ORACLE_NEYMAN,
     "stats_benford_test": ORACLE_BENFORD,
     "scd2_bitemporal_asknown": ORACLE_BITEMPORAL,
     "window_customer_deciles": ORACLE_DECILES,

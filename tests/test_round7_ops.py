@@ -550,3 +550,48 @@ def test_ccnet_sketch_cutoffs_guarantee(spark):
             assert cut <= v and v - cut <= v // 256 + 1, (lang, p, cut, v)
         moved = sum(c.n_moved for c in cells)
         assert moved <= max(2, n // 5), (lang, moved, n)
+
+
+def test_neyman_allocation_exact_integer_replay(spark):
+    """The whole allocation must replay exactly in python from the raw
+    cents (same decimal-exact variance numerator, same cent-grid sqrt
+    quantization, same largest-remainder) and sum to the budget exactly;
+    the max-weight stratum can never receive less than the min-weight
+    one."""
+    import math
+    from collections import defaultdict
+
+    from mongraph_spark.queries.relational import (
+        NEYMAN_BUDGET,
+        stats_neyman_allocation,
+    )
+    from mongraph_spark.sparkutil import read_table
+
+    rows = {r.priority: r for r in stats_neyman_allocation(spark, SF).collect()}
+    assert sum(r.alloc_neyman for r in rows.values()) == NEYMAN_BUDGET
+
+    cents = defaultdict(list)
+    for o in read_table(spark, SF, "orders").select(
+        "o_orderpriority", F.round(F.col("o_totalprice") * 100).cast("long").alias("c")
+    ).collect():
+        cents[o.o_orderpriority].append(o.c)
+    w = {}
+    for p, xs in cents.items():
+        n, sx, sxx = len(xs), sum(xs), sum(x * x for x in xs)
+        s_cents = math.floor(math.sqrt(n * sxx - sx * sx) / n)
+        assert rows[p].s_cents == s_cents
+        assert rows[p].mean_cents == math.floor(sx / n)  # sx/n float ok at SF
+        w[p] = n * s_cents
+    w_sum = sum(w.values())
+    base = {p: NEYMAN_BUDGET * wh // w_sum for p, wh in w.items()}
+    rem = sorted(
+        w, key=lambda p: (-(NEYMAN_BUDGET * w[p] % w_sum), p)
+    )
+    k = NEYMAN_BUDGET - sum(base.values())
+    for i, p in enumerate(rem):
+        base[p] += 1 if i < k else 0
+    for p in w:
+        assert rows[p].alloc_neyman == base[p], (p, rows[p].alloc_neyman, base[p])
+    wmax = max(w, key=lambda p: (w[p], p))
+    wmin = min(w, key=lambda p: (w[p], p))
+    assert rows[wmax].alloc_neyman >= rows[wmin].alloc_neyman
