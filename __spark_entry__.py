@@ -78,12 +78,16 @@ CORE_ORDER = [
     #     streaming_lsh_dedup, search_hybrid_rrf, streaming_ann_ivf,
     #     sketch_ddsketch_quantiles, pipeline_rendezvous_shards — never
     #     driver-verified by construction)
-    #   + 4 closing-round-7 operators (streaming_ddsketch_quantiles,
+    #   + 5 closing-round-7 slots (streaming_ddsketch_quantiles,
     #     corpus_cluster_split, corpus_ccnet_buckets, corpus_semantic_decon
-    #     — never driver-verified by construction; sketch_ddsketch_quantiles
-    #     stays as the re-proof for the dd_* helper extraction and
-    #     dedup_clusters re-proves the _cluster_labels_from_pairs split)
-    #   + 17 LONGEST-unverified rows (r1/r2 vintage), oldest first.
+    #     — never driver-verified by construction — plus the dedup_clusters
+    #     re-proof for the _cluster_labels_from_pairs split;
+    #     sketch_ddsketch_quantiles above doubles as the dd_* helper
+    #     re-proof and corpus_ccnet_buckets as the ccnet helper re-proof)
+    #   + 4 final closing operators (streaming_ccnet_score,
+    #     corpus_unimax_budget, corpus_ccnet_sketch_cutoffs,
+    #     stats_neyman_allocation — never driver-verified by construction)
+    #   + 12 LONGEST-unverified rows (r1/r2 vintage), oldest first.
     #   Deferred to r8, all strict-green in the local full gate: TPC-H
     #   q2–q6, q10–q19, q20, q22 + window_top_orders (r2),
     #   rollup_revenue, semi_parts_shipped, setop_active_building_customers,
@@ -141,11 +145,12 @@ CORE_ORDER = [
     "streaming_ccnet_score",
     "corpus_unimax_budget",
     "corpus_ccnet_sketch_cutoffs",
+    "stats_neyman_allocation",
     # — longest-unverified driver rows (r1/r2 vintage), oldest first
     #   (rollup/semi/setop/stats r1 rows defer to r8 with the TPC-H block:
     #   never-verified entries outrank freshness re-proofs for slots;
-    #   above_customer_avg, anti_customers_without_orders, cube_quantity
-    #   displaced to r8 by the final closing ops) —
+    #   above_customer_avg, anti_customers_without_orders, cube_quantity,
+    #   window_customer_deciles displaced to r8 by the final closing ops) —
     "g11_remove_node_survivors",
     "g12_delete_writeback",
     "g1_both_union_types",
@@ -157,7 +162,6 @@ CORE_ORDER = [
     "q7_volume_shipping",
     "q8_market_share",
     "q9_product_profit",
-    "window_customer_deciles",
     "window_running_sum",
 ]
 
