@@ -794,14 +794,27 @@ def corpus_unimax_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = docs.groupBy("lang").agg(
         F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("n_tokens")
     )
+    return unimax_allocate(stats)
+
+
+def unimax_allocate(
+    stats: DataFrame,
+    epoch_cap: int = UNIMAX_EPOCH_CAP,
+    budget_num: int = UNIMAX_BUDGET_NUM,
+    budget_den: int = UNIMAX_BUDGET_DEN,
+) -> DataFrame:
+    """The water-fill core over a (lang, n_tokens) frame — separated so the
+    hypothesis property test can drive it with arbitrary corpora against
+    an independent greedy reference (the same contract the BPE trainer
+    has)."""
     caps = stats.select(
         "lang",
         "n_tokens",
-        (F.lit(UNIMAX_EPOCH_CAP) * F.col("n_tokens")).alias("cap_tokens"),
+        (F.lit(epoch_cap) * F.col("n_tokens")).alias("cap_tokens"),
     )
     totals = caps.agg(
         F.expr(
-            f"(sum(n_tokens) * {UNIMAX_BUDGET_NUM}) div {UNIMAX_BUDGET_DEN}"
+            f"(sum(n_tokens) * {budget_num}) div {budget_den}"
         ).alias("budget"),
         F.count(F.lit(1)).alias("n_langs"),
     )

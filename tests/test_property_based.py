@@ -457,3 +457,115 @@ def test_bpe_trainer_equals_bruteforce(spark, texts):
     )
     got = bpe_train_merges(state, 3)
     assert got == _brute_bpe(texts, 3)
+
+
+# -- UniMax water-fill: Spark closed form == independent greedy reference ------------
+
+
+@st.composite
+def _unimax_cases(draw):
+    n = draw(st.integers(min_value=1, max_value=7))
+    counts = {
+        f"l{i}": draw(st.integers(min_value=1, max_value=1_000_000))
+        for i in range(n)
+    }
+    epoch_cap = draw(st.integers(min_value=1, max_value=4))
+    budget_num, budget_den = draw(
+        st.sampled_from([(3, 2), (1, 1), (2, 1), (5, 1), (1, 3)])
+    )
+    return counts, epoch_cap, budget_num, budget_den
+
+
+def _first_uncapped(order, caps, budget):
+    remaining = budget
+    for i, lang in enumerate(order):
+        m = len(order) - i
+        if caps[lang] * m < remaining:
+            remaining -= caps[lang]
+        else:
+            return i
+    return len(order)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_unimax_cases())
+def test_unimax_matches_greedy_reference(spark, case):
+    counts, epoch_cap, budget_num, budget_den = case
+    from mongraph_spark.queries.corpus import unimax_allocate
+
+    stats = spark.createDataFrame(
+        [(lang, n) for lang, n in counts.items()], "lang string, n_tokens long"
+    )
+    got = {
+        r.lang: (r.n_tokens, r.cap_tokens, r.is_capped, r.alloc_tokens)
+        for r in unimax_allocate(stats, epoch_cap, budget_num, budget_den).collect()
+    }
+    caps = {lang: epoch_cap * n for lang, n in counts.items()}
+    order = sorted(caps, key=lambda lang: (caps[lang], lang))
+    cut = _first_uncapped(order, caps, sum(counts.values()) * budget_num // budget_den)
+    capped = set(order[:cut])
+    budget = sum(counts.values()) * budget_num // budget_den
+    line = (
+        (budget - sum(caps[lang] for lang in capped)) // (len(order) - cut)
+        if cut < len(order)
+        else None
+    )
+    for lang, n in counts.items():
+        want_alloc = caps[lang] if lang in capped else line
+        assert got[lang] == (n, caps[lang], 1 if lang in capped else 0, want_alloc), (
+            lang,
+            got[lang],
+            (n, caps[lang], lang in capped, want_alloc),
+        )
+
+
+# -- DDSketch bucketing: Spark integer binning == python replica + error bound --------
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=10**9), min_size=1, max_size=60
+    )
+)
+def test_ddsketch_binning_and_error_bound(spark, values):
+    """For ANY positive-int corpus: (a) the Spark (e, m) bucketing equals an
+    independent python replica (e = bit_length−1, m = (v·16 >> e) − 16),
+    and (b) every estimated percentile is the lower edge of the bucket
+    holding the true value — est ≤ v and v − est ≤ est/16 + 1."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from mongraph_spark.queries.relational import (
+        dd_binned,
+        dd_estimate,
+        dd_targets,
+    )
+
+    df = spark.createDataFrame([(v,) for v in values], "cents long")
+    direct = (
+        dd_binned(df).groupBy("e", "m").agg(F.count(F.lit(1)).alias("c"))
+    )
+    got_cells = {(r.e, r.m): r.c for r in direct.collect()}
+    want_cells = Counter(
+        ((v.bit_length() - 1), ((v * 16) >> (v.bit_length() - 1)) - 16)
+        for v in values
+    )
+    assert got_cells == dict(want_cells)
+    targets = dd_targets(df.agg(F.count(F.lit(1)).alias("n")))
+    est = {r.p: r.est for r in dd_estimate(direct, targets, "est").collect()}
+    vs = sorted(values)
+    n = len(vs)
+    for p in (50, 90, 99):
+        v = vs[(p * n + 99) // 100 - 1]
+        e = est[p]
+        assert e <= v and v - e <= e // 16 + 1, (p, e, v)
