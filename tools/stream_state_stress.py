@@ -41,6 +41,7 @@ STRESS_DIR = os.path.join(
 # every registered stateful twin (memory-sink complete/append aggregations,
 # dedup, stream-stream joins); the stateless broadcast-join twin is omitted
 STATEFUL_TWINS = [
+    "streaming_ddsketch_quantiles",
     "streaming_tumbling_window",
     "streaming_sliding_window",
     "streaming_session_counts",
