@@ -1083,6 +1083,130 @@ GROUP BY p.user_id, p.exact_n
 
 # -- session journey paths (top path prefixes) ---------------------------------------
 
+# -- AMS (tug-of-war) F2 frequency-moment sketch --------------------------------
+
+AMS_D = 8  # independent estimators
+
+
+def _ams_sign(j: int) -> F.Column:
+    """±1 four-wise-ish hash sign for estimator j: md5 parity of (j:key) —
+    deterministic, engine-portable (the CMS column-hash convention)."""
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(j), F.col("user_id"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    return F.lit(1) - 2 * h
+
+
+def ams_xs(ev: DataFrame) -> DataFrame:
+    """The AMS accumulator row: X_j = Σ_events sign_j(user) for all
+    {AMS_D} estimators in ONE map-side pass — 8 conditional sums, no
+    explode, no per-key state, 1-row output.  Associative and
+    commutative, so the SAME aggregation runs as a complete-mode
+    streaming aggregation with ONE state row (streaming_ams_f2)."""
+    return ev.agg(
+        *[F.sum(_ams_sign(j)).cast("long").alias(f"x{j}") for j in range(AMS_D)]
+    )
+
+
+def ams_finish(xs: DataFrame, ev: DataFrame) -> DataFrame:
+    """Shared estimate/evidence finisher: E[X_j²] = F2 (Alon-Matias-
+    Szegedy), median of the {AMS_D} squares as the robust estimate, with
+    the exact second moment (the row you would NOT compute at 100 TB)
+    and the |error| in bp riding along."""
+    rows = xs.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"), F.col(f"x{j}").alias("x")
+                    )
+                    for j in range(AMS_D)
+                ]
+            )
+        ).alias("s")
+    ).select(F.col("s.j").cast("int").alias("j"), F.col("s.x").alias("x"))
+    est = rows.withColumn("x2", F.col("x") * F.col("x"))
+    rn = F.row_number().over(
+        Window.partitionBy(const_part(F.col("x2"))).orderBy("x2", "j")
+    )
+    med = (
+        est.withColumn("rn", rn)
+        .filter(F.col("rn").isin(AMS_D // 2, AMS_D // 2 + 1))
+        .agg(F.expr("sum(x2) div 2").alias("f2_med_est"))
+    )
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).alias("exact_f2"))
+    )
+    return (
+        est.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "j",
+            "x",
+            "x2",
+            "f2_med_est",
+            "exact_f2",
+            F.expr("(10000 * abs(f2_med_est - exact_f2)) div exact_f2").alias(
+                "abs_err_bp"
+            ),
+        )
+    )
+
+
+def events_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS tug-of-war sketch for the SECOND FREQUENCY MOMENT F2 = Σ c_u²
+    (Alon, Matias & Szegedy 1996) — the moment sketch that completes the
+    synopsis quartet: point frequency (count-min), distinct count
+    (HLL/KMV/theta), quantiles (DDSketch/histogram), and now moments.
+    F2 is the self-join size / skew statistic: it prices every user-keyed
+    shuffle join and Gini-style imbalance check, and this sketch answers
+    it from {AMS_D} integers — NO per-user state at any scale, unlike the
+    exact Σc² which needs the full user rollup.
+
+    Shape: ONE map-side pass accumulates all {AMS_D} signed sums
+    (conditional sums, not an explode — zero row blowup), the finisher
+    runs on 8 rows, and the exact F2 rides along as at-SF ground truth
+    with |err| bp.  Median-of-squares is the textbook variance-reduction;
+    the estimate is unbiased per estimator (E[X²] = F2), pinned in tests
+    by exact python sign replay."""
+    ev = read_table(spark, sf_dir, "events").select("user_id")
+    return ams_finish(ams_xs(ev), ev)
+
+
+ORACLE_AMS_F2 = f"""
+WITH ev AS (SELECT user_id FROM events),
+xs AS (
+  SELECT j,
+         CAST(sum(1 - 2 * (('0x' || substr(md5(CAST(j AS VARCHAR) || ':' ||
+                  CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2)) AS BIGINT) AS x
+  FROM ev CROSS JOIN (VALUES {", ".join(f"({j})" for j in range(AMS_D))}) t(j)
+  GROUP BY j
+),
+est AS (SELECT CAST(j AS INTEGER) AS j, x, x * x AS x2 FROM xs),
+med AS (
+  SELECT CAST(sum(x2) // 2 AS BIGINT) AS f2_med_est
+  FROM (SELECT x2, row_number() OVER (ORDER BY x2, j) AS rn FROM est)
+  WHERE rn IN ({AMS_D // 2}, {AMS_D // 2 + 1})
+),
+exact AS (
+  SELECT CAST(sum(c * c) AS BIGINT) AS exact_f2
+  FROM (SELECT count(*) AS c FROM ev GROUP BY user_id)
+)
+SELECT j, x, x2, f2_med_est, exact_f2,
+       (10000 * abs(f2_med_est - exact_f2)) // exact_f2 AS abs_err_bp
+FROM est CROSS JOIN med CROSS JOIN exact
+"""
+
+
 PATH_LEN = 3  # first k event types define the journey prefix
 
 
@@ -2626,6 +2750,7 @@ QUERIES = {
     "events_session_paths": events_session_paths,
     "events_cumulative_users": events_cumulative_users,
     "events_count_min": events_count_min,
+    "events_ams_f2": events_ams_f2,
     "events_activity_streaks": events_activity_streaks,
     "events_late_data_audit": events_late_data_audit,
     "events_ab_lift": events_ab_lift,
@@ -2655,6 +2780,7 @@ ORACLES = {
     "events_session_paths": ORACLE_SESSION_PATHS,
     "events_cumulative_users": ORACLE_CUMULATIVE_USERS,
     "events_count_min": ORACLE_COUNT_MIN,
+    "events_ams_f2": ORACLE_AMS_F2,
     "events_activity_streaks": ORACLE_ACTIVITY_STREAKS,
     "events_late_data_audit": ORACLE_LATE_AUDIT,
     "events_ab_lift": ORACLE_AB_LIFT,

@@ -943,6 +943,35 @@ CROSS JOIN nb
 """
 
 
+# -- streaming AMS F2 moment-sketch twin -------------------------------------------------
+
+
+def streaming_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``events_ams_f2``: the signed sums X_j are
+    associative and commutative, so a complete-mode streaming aggregation
+    maintains the tug-of-war sketch with EXACTLY ONE state row (8
+    columns) forever — the smallest state footprint any stateful twin can
+    have, answering the self-join-size/skew question live without a
+    per-user rollup.  Every micro-batch folds its events into the signed
+    sums map-side; the finisher is SHARED with the batch op, so the
+    streaming answer is register-exactly the batch answer (shared SQL
+    oracle; equality pinned in tests)."""
+    from mongraph_spark.queries.events import ams_finish, ams_xs
+    from mongraph_spark.sparkutil import read_table
+
+    ev = events_stream(spark, sf_dir).select("user_id")
+    with _state_partitioning(spark, sf_dir):
+        xs = run_to_table(ams_xs(ev), output_mode="complete")
+    batch_ev = read_table(spark, sf_dir, "events").select("user_id")
+    return ams_finish(xs, batch_ev)
+
+
+def _oracle_stream_ams() -> str:
+    from mongraph_spark.queries.events import ORACLE_AMS_F2
+
+    return ORACLE_AMS_F2
+
+
 # -- streaming CCNet quality-scoring twin ----------------------------------------------
 
 
@@ -980,9 +1009,12 @@ def streaming_ccnet_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     # freeze the reference model once (curated slice is static)
     c_bg, c_ctx, vocab = ccnet_model(docs)
-    c_bg.write.parquet(os.path.join(model_dir, "c_bg"))
-    c_ctx.write.parquet(os.path.join(model_dir, "c_ctx"))
-    vocab.write.parquet(os.path.join(model_dir, "vocab"))
+    # few, right-sized files: every micro-batch re-reads these three tables,
+    # so 3×32 shuffle-partition shards would mean hundreds of file opens per
+    # replay (model size is vocab-bounded — single-digit MB at any SF here)
+    c_bg.coalesce(4).write.parquet(os.path.join(model_dir, "c_bg"))
+    c_ctx.coalesce(1).write.parquet(os.path.join(model_dir, "c_ctx"))
+    vocab.coalesce(1).write.parquet(os.path.join(model_dir, "vocab"))
 
     # stage the corpus as 4 arrival batches (one checkpoint, 4 filtered writes)
     batched = docs.withColumn(
@@ -1672,6 +1704,7 @@ QUERIES = {
     "streaming_count_min": streaming_count_min,
     "streaming_ddsketch_quantiles": streaming_ddsketch_quantiles,
     "streaming_ccnet_score": streaming_ccnet_score,
+    "streaming_ams_f2": streaming_ams_f2,
     "streaming_seasonal_anomaly": streaming_seasonal_anomaly,
     "streaming_cusum_changepoint": streaming_cusum_changepoint,
     "streaming_hll_distinct": streaming_hll_distinct,
@@ -1697,6 +1730,7 @@ ORACLES = {
     "streaming_count_min": _oracle_stream_cms(),
     "streaming_ddsketch_quantiles": ORACLE_STREAM_DDSKETCH,
     "streaming_ccnet_score": _oracle_stream_ccnet(),
+    "streaming_ams_f2": _oracle_stream_ams(),
     "streaming_seasonal_anomaly": _oracle_stream_seasonal(),
     "streaming_cusum_changepoint": _oracle_stream_cusum(),
     "streaming_hll_distinct": ORACLE_STREAM_HLL,

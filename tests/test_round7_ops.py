@@ -595,3 +595,47 @@ def test_neyman_allocation_exact_integer_replay(spark):
     wmax = max(w, key=lambda p: (w[p], p))
     wmin = min(w, key=lambda p: (w[p], p))
     assert rows[wmax].alloc_neyman >= rows[wmin].alloc_neyman
+
+
+def test_ams_f2_exact_python_replay_and_unbiasedness_shape(spark):
+    """Every estimator's signed sum must replay exactly in python from the
+    md5 parities; the median-of-squares and exact-F2 arithmetic must
+    match; and the estimate must be within the coarse 8-estimator band
+    (|err| sanity, not a theorem — the exact replay IS the contract)."""
+    import hashlib
+    from collections import Counter
+
+    from mongraph_spark.queries.events import AMS_D, events_ams_f2
+    from mongraph_spark.sparkutil import read_table
+
+    rows = sorted(events_ams_f2(spark, SF).collect(), key=lambda r: r.j)
+    users = [
+        r.user_id for r in read_table(spark, SF, "events").select("user_id").collect()
+    ]
+
+    def sign(j, u):
+        h = int(hashlib.md5(f"{j}:{u}".encode()).hexdigest()[:8], 16) % 2
+        return 1 - 2 * h
+
+    for j in range(AMS_D):
+        want = sum(sign(j, u) for u in users)
+        assert rows[j].x == want and rows[j].x2 == want * want, (j, rows[j].x, want)
+    x2s = sorted((r.x2, r.j) for r in rows)
+    want_med = (x2s[AMS_D // 2 - 1][0] + x2s[AMS_D // 2][0]) // 2
+    exact = sum(c * c for c in Counter(users).values())
+    for r in rows:
+        assert r.f2_med_est == want_med
+        assert r.exact_f2 == exact
+        assert r.abs_err_bp == 10000 * abs(want_med - exact) // exact
+
+
+def test_streaming_ams_equals_batch(spark):
+    """Signed sums are associative: the one-state-row streaming sketch
+    must reproduce the batch accumulator row register-exactly, hence the
+    identical finisher output."""
+    from mongraph_spark.queries.events import events_ams_f2
+    from mongraph_spark.streaming.events import streaming_ams_f2
+
+    got = sorted(map(tuple, streaming_ams_f2(spark, SF).collect()))
+    want = sorted(map(tuple, events_ams_f2(spark, SF).collect()))
+    assert got == want
