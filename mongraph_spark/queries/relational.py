@@ -3008,6 +3008,14 @@ def stats_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("priority"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
+    return neyman_allocate(o)
+
+
+def neyman_allocate(o: DataFrame) -> DataFrame:
+    """The allocation core over a (priority, cents) frame — separated so
+    tests can drive degenerate strata.  Zero-variance degenerate case
+    (every stratum constant ⇒ all weights 0): falls back to PROPORTIONAL
+    weights, the canonical allocation when variances carry no signal."""
     per = o.groupBy("priority").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("cents").cast("decimal(38,0)")).alias("sx"),
@@ -3039,9 +3047,22 @@ def stats_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("w_h").alias("w_sum"),
         F.sum("n_rows").alias("n_total"),
     )
-    j = w.crossJoin(F.broadcast(tot))
-    base = F.expr(f"({NEYMAN_BUDGET} * w_h) div w_sum")
-    rem = F.expr(f"({NEYMAN_BUDGET} * w_h) % w_sum")
+    j = (
+        w.crossJoin(F.broadcast(tot))
+        # zero-variance degenerate case: proportional fallback
+        .withColumn(
+            "w_eff",
+            F.when(F.col("w_sum") == 0, F.col("n_rows")).otherwise(F.col("w_h")),
+        )
+        .withColumn(
+            "wsum_eff",
+            F.when(F.col("w_sum") == 0, F.col("n_total")).otherwise(
+                F.col("w_sum")
+            ),
+        )
+    )
+    base = F.expr(f"({NEYMAN_BUDGET} * w_eff) div wsum_eff")
+    rem = F.expr(f"({NEYMAN_BUDGET} * w_eff) % wsum_eff")
     staged = j.select(
         "priority",
         "n_rows",
@@ -3103,10 +3124,13 @@ tot AS (
 ),
 staged AS (
   SELECT priority, n_rows, mean_cents, s_cents,
-         ({NEYMAN_BUDGET} * w_h) // w_sum AS base_alloc,
-         ({NEYMAN_BUDGET} * w_h) % w_sum AS rem,
+         ({NEYMAN_BUDGET} * w_eff) // wsum_eff AS base_alloc,
+         ({NEYMAN_BUDGET} * w_eff) % wsum_eff AS rem,
          ({NEYMAN_BUDGET} * n_rows) // n_total AS alloc_proportional
-  FROM w2 CROSS JOIN tot
+  FROM (SELECT w2.*, n_total,
+               CASE WHEN w_sum = 0 THEN n_rows ELSE w_h END AS w_eff,
+               CASE WHEN w_sum = 0 THEN n_total ELSE w_sum END AS wsum_eff
+        FROM w2 CROSS JOIN tot)
 ),
 shortfall AS (
   SELECT CAST({NEYMAN_BUDGET} - sum(base_alloc) AS BIGINT) AS k FROM staged

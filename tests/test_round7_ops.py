@@ -639,3 +639,19 @@ def test_streaming_ams_equals_batch(spark):
     got = sorted(map(tuple, streaming_ams_f2(spark, SF).collect()))
     want = sorted(map(tuple, events_ams_f2(spark, SF).collect()))
     assert got == want
+
+
+def test_neyman_degenerate_zero_variance_falls_back_proportional(spark):
+    """All-constant strata give every weight 0; the allocator must fall
+    back to proportional weights instead of dividing by zero, and still
+    exhaust the budget exactly."""
+    from mongraph_spark.queries.relational import NEYMAN_BUDGET, neyman_allocate
+
+    df = spark.createDataFrame(
+        [("a", 100)] * 30 + [("b", 100)] * 10, "priority string, cents long"
+    )
+    rows = {r.priority: r for r in neyman_allocate(df).collect()}
+    assert all(r.s_cents == 0 for r in rows.values())
+    assert sum(r.alloc_neyman for r in rows.values()) == NEYMAN_BUDGET
+    assert rows["a"].alloc_neyman == NEYMAN_BUDGET * 30 // 40
+    assert rows["a"].alloc_proportional == NEYMAN_BUDGET * 30 // 40
