@@ -1083,6 +1083,117 @@ GROUP BY p.user_id, p.exact_n
 
 # -- session journey paths (top path prefixes) ---------------------------------------
 
+# -- Kaplan-Meier survival over user lifetimes -----------------------------------
+
+
+def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier product-limit survival estimate over user LIFETIMES —
+    the censored time-to-event family the stats battery lacked: lifetime
+    L = last_day − first_day per user, a CHURN event if the user's last
+    activity precedes the observation end, RIGHT-CENSORED otherwise
+    (still active when the data stops — dropping those users, the naive
+    churn-rate mistake, biases survival down; KM is exactly the fix).
+    S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ) with censored-at-t subjects at risk for
+    events at t (the standard convention).
+
+    Shape: ONE user-keyed aggregation (first/last day — the retention
+    op's shuffle), then the whole estimator runs on |distinct lifetimes|
+    rows: per-lifetime (d, c) counts, the at-risk ladder as a
+    DESC-ordered window cumsum, and the survival product as an
+    ASC-ordered window sum of logs.  Determinism: both window sums run
+    over the SAME total order (lifetime), so the float log accumulation
+    order is engine-identical — ln/exp are libm-identical — and the
+    floored micro-nat / bp grids hash exactly (the bigram-xent
+    argument).  Steps where dᵢ = nᵢ drive S to 0: ln output NULLs, bp
+    output 0, both engines alike."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    span = ev.groupBy("user_id").agg(
+        F.min("day").alias("first_day"), F.max("day").alias("last_day")
+    )
+    horizon = ev.agg(F.max("day").alias("end_day"))
+    subj = span.crossJoin(F.broadcast(horizon)).select(
+        F.datediff("last_day", "first_day").cast("long").alias("t"),
+        (F.col("last_day") < F.col("end_day")).cast("int").alias("churned"),
+    )
+    steps = subj.groupBy("t").agg(
+        F.sum("churned").cast("long").alias("d"),
+        F.sum(1 - F.col("churned")).cast("long").alias("c"),
+    )
+    w_desc = Window.partitionBy(const_part(F.col("t"))).orderBy(F.desc("t"))
+    w_asc = (
+        Window.partitionBy(const_part(F.col("t")))
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    laddered = steps.withColumn(
+        "n_at_risk", F.sum(F.col("d") + F.col("c")).over(w_desc)
+    )
+    term = F.when(
+        F.col("d") < F.col("n_at_risk"),
+        F.log(1.0 - F.col("d") / F.col("n_at_risk")),
+    )  # d == n: survival hits zero; NULL marks -inf
+    cum = laddered.withColumn("lnS", F.sum(term).over(w_asc)).withColumn(
+        "hit_zero",
+        F.max((F.col("d") >= F.col("n_at_risk")).cast("int")).over(w_asc),
+    )
+    return (
+        cum.filter(F.col("d") > 0)
+        .select(
+            "t",
+            "n_at_risk",
+            "d",
+            "c",
+            F.when(
+                F.col("hit_zero") == 0,
+                F.floor(F.lit(-1e6) * F.col("lnS")).cast("long"),
+            ).alias("neg_ln_s_micro"),
+            F.when(F.col("hit_zero") == 1, F.lit(0))
+            .otherwise(F.floor(F.lit(10000) * F.exp(F.col("lnS"))))
+            .cast("long")
+            .alias("surv_bp"),
+        )
+    )
+
+
+ORACLE_KAPLAN_MEIER = """
+WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+span AS (
+  SELECT user_id, min(day) AS first_day, max(day) AS last_day
+  FROM ev GROUP BY user_id
+),
+horizon AS (SELECT max(day) AS end_day FROM ev),
+subj AS (
+  SELECT CAST(date_diff('day', first_day, last_day) AS BIGINT) AS t,
+         CASE WHEN last_day < end_day THEN 1 ELSE 0 END AS churned
+  FROM span CROSS JOIN horizon
+),
+steps AS (
+  SELECT t, CAST(sum(churned) AS BIGINT) AS d,
+         CAST(sum(1 - churned) AS BIGINT) AS c
+  FROM subj GROUP BY t
+),
+laddered AS (
+  SELECT *, sum(d + c) OVER (ORDER BY t DESC) AS n_at_risk FROM steps
+),
+cum AS (
+  SELECT *,
+         sum(CASE WHEN d < n_at_risk THEN ln(1.0 - CAST(d AS DOUBLE) / n_at_risk) END)
+           OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lnS,
+         max(CASE WHEN d >= n_at_risk THEN 1 ELSE 0 END)
+           OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hit_zero
+  FROM laddered
+)
+SELECT t, CAST(n_at_risk AS BIGINT) AS n_at_risk, d, c,
+       CASE WHEN hit_zero = 0 THEN CAST(floor(-1e6 * lnS) AS BIGINT) END
+         AS neg_ln_s_micro,
+       CAST(CASE WHEN hit_zero = 1 THEN 0
+                 ELSE floor(10000 * exp(lnS)) END AS BIGINT) AS surv_bp
+FROM cum WHERE d > 0
+"""
+
+
 # -- AMS (tug-of-war) F2 frequency-moment sketch --------------------------------
 
 AMS_D = 8  # independent estimators
@@ -2751,6 +2862,7 @@ QUERIES = {
     "events_cumulative_users": events_cumulative_users,
     "events_count_min": events_count_min,
     "events_ams_f2": events_ams_f2,
+    "events_kaplan_meier": events_kaplan_meier,
     "events_activity_streaks": events_activity_streaks,
     "events_late_data_audit": events_late_data_audit,
     "events_ab_lift": events_ab_lift,
@@ -2781,6 +2893,7 @@ ORACLES = {
     "events_cumulative_users": ORACLE_CUMULATIVE_USERS,
     "events_count_min": ORACLE_COUNT_MIN,
     "events_ams_f2": ORACLE_AMS_F2,
+    "events_kaplan_meier": ORACLE_KAPLAN_MEIER,
     "events_activity_streaks": ORACLE_ACTIVITY_STREAKS,
     "events_late_data_audit": ORACLE_LATE_AUDIT,
     "events_ab_lift": ORACLE_AB_LIFT,

@@ -655,3 +655,49 @@ def test_neyman_degenerate_zero_variance_falls_back_proportional(spark):
     assert sum(r.alloc_neyman for r in rows.values()) == NEYMAN_BUDGET
     assert rows["a"].alloc_neyman == NEYMAN_BUDGET * 30 // 40
     assert rows["a"].alloc_proportional == NEYMAN_BUDGET * 30 // 40
+
+
+def test_kaplan_meier_exact_python_replay(spark):
+    """The whole product-limit estimate must replay exactly in python from
+    per-user (first_day, last_day): same churn/censor split, same at-risk
+    ladder, same floored micro-nat log-survival, and survival must be
+    non-increasing across steps."""
+    import math
+    from collections import Counter
+
+    from mongraph_spark.queries.events import events_kaplan_meier
+    from mongraph_spark.sparkutil import read_table
+
+    rows = sorted(events_kaplan_meier(spark, SF).collect(), key=lambda r: r.t)
+    assert rows
+    ev = read_table(spark, SF, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    spans = {}
+    for r in ev.collect():
+        lo, hi = spans.get(r.user_id, (r.day, r.day))
+        spans[r.user_id] = (min(lo, r.day), max(hi, r.day))
+    end = max(hi for _, hi in spans.values())
+    d, c = Counter(), Counter()
+    for lo, hi in spans.values():
+        t = (hi - lo).days
+        (d if hi < end else c)[t] += 1
+    ts = sorted(set(d) | set(c))
+    at_risk, run = {}, 0
+    for t in sorted(ts, reverse=True):
+        run += d[t] + c[t]
+        at_risk[t] = run
+    lnS, got_i, prev_bp = 0.0, 0, None
+    for t in ts:
+        if d[t] > 0 and d[t] < at_risk[t]:
+            lnS += math.log(1.0 - d[t] / at_risk[t])
+        if d[t] > 0:
+            r = rows[got_i]
+            got_i += 1
+            assert (r.t, r.n_at_risk, r.d, r.c) == (t, at_risk[t], d[t], c[t])
+            if d[t] < at_risk[t]:
+                assert r.neg_ln_s_micro == math.floor(-1e6 * lnS)
+            if prev_bp is not None:
+                assert r.surv_bp <= prev_bp
+            prev_bp = r.surv_bp
+    assert got_i == len(rows)
