@@ -84,11 +84,11 @@ CORE_ORDER = [
     #     re-proof for the _cluster_labels_from_pairs split;
     #     sketch_ddsketch_quantiles above doubles as the dd_* helper
     #     re-proof and corpus_ccnet_buckets as the ccnet helper re-proof)
-    #   + 6 final closing operators (streaming_ccnet_score,
+    #   + 7 final closing operators (streaming_ccnet_score,
     #     corpus_unimax_budget, corpus_ccnet_sketch_cutoffs,
-    #     stats_neyman_allocation, events_ams_f2, streaming_ams_f2 —
-    #     never driver-verified by construction)
-    #   + 10 LONGEST-unverified rows (r1/r2 vintage), oldest first.
+    #     stats_neyman_allocation, events_ams_f2, streaming_ams_f2,
+    #     events_kaplan_meier — never driver-verified by construction)
+    #   + 9 LONGEST-unverified rows (r1/r2 vintage), oldest first.
     #   Deferred to r8, all strict-green in the local full gate: TPC-H
     #   q2–q6, q10–q19, q20, q22 + window_top_orders (r2),
     #   rollup_revenue, semi_parts_shipped, setop_active_building_customers,
@@ -149,12 +149,13 @@ CORE_ORDER = [
     "stats_neyman_allocation",
     "events_ams_f2",
     "streaming_ams_f2",
+    "events_kaplan_meier",
     # — longest-unverified driver rows (r1/r2 vintage), oldest first
     #   (rollup/semi/setop/stats r1 rows defer to r8 with the TPC-H block:
     #   never-verified entries outrank freshness re-proofs for slots;
     #   above_customer_avg, anti_customers_without_orders, cube_quantity,
-    #   window_customer_deciles, q7_volume_shipping, q8_market_share
-    #   displaced to r8 by the final closing ops) —
+    #   window_customer_deciles, q7_volume_shipping, q8_market_share,
+    #   q9_product_profit displaced to r8 by the final closing ops) —
     "g11_remove_node_survivors",
     "g12_delete_writeback",
     "g1_both_union_types",
@@ -163,7 +164,6 @@ CORE_ORDER = [
     "g1_outgoing_1hop",
     "g1_rel_where",
     "g5_between",
-    "q9_product_profit",
     "window_running_sum",
 ]
 
