@@ -2977,6 +2977,136 @@ GROUP BY o_orderpriority
 """
 
 
+# -- Mann-Whitney U rank-sum test -------------------------------------------------
+
+MW_GROUP_A, MW_GROUP_B = "1-URGENT", "5-LOW"
+
+
+def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) two-sample test — THE
+    nonparametric location test, the gap in a stats battery that had
+    KS/χ²/bootstrap but nothing rank-based: does one order-priority's
+    price distribution stochastically dominate another's, with no
+    normality assumption.
+
+    Rank statistics are where cross-engine exactness is FREE if you keep
+    the arithmetic doubled-integer: the tie-averaged rank (min+max)/2 is
+    half-integer, so every quantity carries a factor 2 — per-row doubled
+    rank 2·r̄ = 2·rank() + tiecount − 1 (rank() is the tie block's min in
+    both engines), doubled U, doubled mean 2μ = n_a·n_b — and the
+    tie-corrected variance is the exact rational
+    4σ² = n_a·n_b·(N³−N−Σ(t³−t)) / (3·N·(N−1)), so
+    z² = (2U−2μ)²·3·N·(N−1) / (n_a·n_b·(N³−N−T)) is a ratio of exact
+    DECIMAL(38)/HUGEINT products, floored once onto the bp grid.
+
+    Shape: one total-order rank window (the sort every rank test pays —
+    at 100 TB you pre-aggregate to per-value counts first, as here via
+    the tie window, so the sort runs on |distinct values|), two tiny
+    aggregations, a 1-row finisher."""
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin(MW_GROUP_A, MW_GROUP_B)
+    ).select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    w_rank = Window.partitionBy(const_part(F.col("cents"))).orderBy("cents")
+    w_tie = Window.partitionBy("cents")
+    ranked = o.withColumn("r_min", F.rank().over(w_rank)).withColumn(
+        "tie_n", F.count(F.lit(1)).over(w_tie)
+    )
+    per = ranked.agg(
+        F.sum(
+            F.when(
+                F.col("grp") == MW_GROUP_A,
+                2 * F.col("r_min") + F.col("tie_n") - 1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("r2_a"),
+        F.sum((F.col("grp") == MW_GROUP_A).cast("int")).cast("long").alias("n_a"),
+        F.sum((F.col("grp") == MW_GROUP_B).cast("int")).cast("long").alias("n_b"),
+    )
+    ties = (
+        o.groupBy("cents")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    d = "cast({} as decimal(38,0))"
+    return (
+        per.crossJoin(F.broadcast(ties))
+        .withColumn("n_all", F.col("n_a") + F.col("n_b"))
+        .withColumn("u2_a", F.col("r2_a") - F.col("n_a") * (F.col("n_a") + 1))
+        .withColumn("mu2", F.col("n_a") * F.col("n_b"))
+        .select(
+            "n_a",
+            "n_b",
+            "u2_a",
+            "mu2",
+            "tie_term",
+            F.expr(
+                f"(10000 * {d.format('(u2_a - mu2)')} * {d.format('(u2_a - mu2)')}"
+                f" * 3 * n_all * (n_all - 1))"
+                f" div ({d.format('n_a')} * n_b *"
+                f" ({d.format('n_all')} * n_all * n_all - n_all - tie_term))"
+            )
+            .cast("long")
+            .alias("z2_bp"),
+        )
+        .withColumn("significant_95", (F.col("z2_bp") >= 38416).cast("int"))
+    )
+
+
+ORACLE_MANN_WHITNEY = f"""
+WITH o AS (
+  SELECT o_orderpriority AS grp,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+  WHERE o_orderpriority IN ('{MW_GROUP_A}', '{MW_GROUP_B}')
+),
+ranked AS (
+  SELECT grp, cents,
+         rank() OVER (ORDER BY cents) AS r_min,
+         count(*) OVER (PARTITION BY cents) AS tie_n
+  FROM o
+),
+per AS (
+  SELECT CAST(sum(CASE WHEN grp = '{MW_GROUP_A}'
+                       THEN 2 * r_min + tie_n - 1 ELSE 0 END) AS BIGINT) AS r2_a,
+         CAST(sum(CASE WHEN grp = '{MW_GROUP_A}' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN grp = '{MW_GROUP_B}' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM ranked
+),
+ties AS (
+  SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tie_term
+  FROM (SELECT count(*) AS t FROM o GROUP BY cents)
+),
+fin AS (
+  SELECT n_a, n_b,
+         r2_a - n_a * (n_a + 1) AS u2_a,
+         n_a * n_b AS mu2,
+         tie_term,
+         n_a + n_b AS n_all
+  FROM per CROSS JOIN ties
+)
+SELECT n_a, n_b, u2_a, mu2, tie_term,
+       CAST((10000 * CAST(u2_a - mu2 AS HUGEINT) * (u2_a - mu2)
+             * 3 * n_all * (n_all - 1))
+            // (CAST(n_a AS HUGEINT) * n_b
+                * (CAST(n_all AS HUGEINT) * n_all * n_all - n_all - tie_term))
+         AS BIGINT) AS z2_bp,
+       CASE WHEN (10000 * CAST(u2_a - mu2 AS HUGEINT) * (u2_a - mu2)
+                  * 3 * n_all * (n_all - 1))
+                 // (CAST(n_a AS HUGEINT) * n_b
+                     * (CAST(n_all AS HUGEINT) * n_all * n_all - n_all - tie_term))
+                 >= 38416 THEN 1 ELSE 0 END AS significant_95
+FROM fin
+"""
+
+
 # -- Neyman optimal stratified-sample allocation --------------------------------
 
 NEYMAN_BUDGET = 1000  # total sample rows to allocate across strata
@@ -3146,6 +3276,7 @@ FROM staged CROSS JOIN shortfall
 QUERIES = {
     "stats_weighted_median": stats_weighted_median,
     "stats_neyman_allocation": stats_neyman_allocation,
+    "stats_mann_whitney": stats_mann_whitney,
     "stats_benford_test": stats_benford_test,
     "ivm_join_delta": ivm_join_delta,
     "band_join_close_prices": band_join_close_prices,
@@ -3238,6 +3369,7 @@ ORACLES = {
     "ivm_join_delta": ORACLE_IVM,
     "stats_weighted_median": ORACLE_WEIGHTED_MEDIAN,
     "stats_neyman_allocation": ORACLE_NEYMAN,
+    "stats_mann_whitney": ORACLE_MANN_WHITNEY,
     "stats_benford_test": ORACLE_BENFORD,
     "scd2_bitemporal_asknown": ORACLE_BITEMPORAL,
     "window_customer_deciles": ORACLE_DECILES,

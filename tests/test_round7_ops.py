@@ -701,3 +701,51 @@ def test_kaplan_meier_exact_python_replay(spark):
                 assert r.surv_bp <= prev_bp
             prev_bp = r.surv_bp
     assert got_i == len(rows)
+
+
+def test_mann_whitney_exact_python_replay(spark):
+    """Doubled tie-averaged ranks, U, tie correction, and the bp-floored
+    z² must all replay exactly in python from the raw cents."""
+    from collections import Counter
+
+    from mongraph_spark.queries.relational import (
+        MW_GROUP_A,
+        MW_GROUP_B,
+        stats_mann_whitney,
+    )
+    from mongraph_spark.sparkutil import read_table
+
+    row = stats_mann_whitney(spark, SF).first()
+    data = [
+        (r.o_orderpriority, int(round(r.o_totalprice * 100)))
+        for r in read_table(spark, SF, "orders")
+        .select("o_orderpriority", "o_totalprice")
+        .collect()
+        if r.o_orderpriority in (MW_GROUP_A, MW_GROUP_B)
+    ]
+    vals = sorted(c for _, c in data)
+    # doubled tie-averaged rank per value: (min_rank + max_rank)
+    first = {}
+    for i, v in enumerate(vals, 1):
+        first.setdefault(v, i)
+    tie = Counter(vals)
+    dr2 = {v: 2 * first[v] + tie[v] - 1 for v in tie}
+    n_a = sum(1 for g, _ in data if g == MW_GROUP_A)
+    n_b = len(data) - n_a
+    r2_a = sum(dr2[c] for g, c in data if g == MW_GROUP_A)
+    u2 = r2_a - n_a * (n_a + 1)
+    mu2 = n_a * n_b
+    t_term = sum(t**3 - t for t in tie.values())
+    n = n_a + n_b
+    z2_bp = (
+        10000 * (u2 - mu2) ** 2 * 3 * n * (n - 1)
+    ) // (n_a * n_b * (n**3 - n - t_term))
+    assert (row.n_a, row.n_b, row.u2_a, row.mu2, row.tie_term) == (
+        n_a,
+        n_b,
+        u2,
+        mu2,
+        t_term,
+    )
+    assert row.z2_bp == z2_bp
+    assert row.significant_95 == (1 if z2_bp >= 38416 else 0)
