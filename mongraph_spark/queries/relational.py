@@ -2977,6 +2977,132 @@ GROUP BY o_orderpriority
 """
 
 
+# -- Spearman rank correlation ------------------------------------------------------
+
+
+def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between per-order ITEM COUNT and
+    per-order REVENUE (a genuinely associated pair — revenue is a sum of
+    per-item terms), with the raw Pearson riding along as the contrast
+    column — the robust monotone-association statistic vs the linear one
+    (heavy-tailed revenue moves Pearson, not Spearman).  Tie handling is
+    exact:
+    Pearson over DOUBLED tie-averaged ranks (2·r̄ = 2·rank() + tiecount −
+    1, integers always — the Mann-Whitney trick), so every moment
+    Σdx, Σdy, Σdxdy, Σdx², Σdy² is an exact DECIMAL(38)/HUGEINT; the only
+    float step is the final normalized quotient, where both engines cast
+    the SAME exact integers to double and apply the same sqrt/divide —
+    deterministic to the last bit, floored once onto the bp grid.
+
+    Shape: two total-order rank windows (the sorts every rank statistic
+    pays; at 100 TB rank over per-value count pre-aggregates so the sort
+    is |distinct values|), then ONE five-moment aggregation and a 1-row
+    finisher."""
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("q"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("p"),
+        )
+        .select("q", "p")
+    )
+    wq = Window.partitionBy(const_part(F.col("q"))).orderBy("q")
+    wp = Window.partitionBy(const_part(F.col("p"))).orderBy("p")
+    ranked = (
+        li.withColumn("rq", 2 * F.rank().over(wq))
+        .withColumn("tq", F.count(F.lit(1)).over(Window.partitionBy("q")))
+        .withColumn("rp", 2 * F.rank().over(wp))
+        .withColumn("tp", F.count(F.lit(1)).over(Window.partitionBy("p")))
+        .select(
+            "q",
+            "p",
+            (F.col("rq") + F.col("tq") - 1).alias("dx"),
+            (F.col("rp") + F.col("tp") - 1).alias("dy"),
+        )
+    )
+    mom = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("dx").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("dy").cast("decimal(38,0)")).alias("sy"),
+        F.sum(
+            (F.col("dx").cast("decimal(38,0)") * F.col("dy")).cast("decimal(38,0)")
+        ).alias("sxy"),
+        F.sum(
+            (F.col("dx").cast("decimal(38,0)") * F.col("dx")).cast("decimal(38,0)")
+        ).alias("sxx"),
+        F.sum(
+            (F.col("dy").cast("decimal(38,0)") * F.col("dy")).cast("decimal(38,0)")
+        ).alias("syy"),
+        F.sum(F.col("q").cast("decimal(38,0)")).alias("rsx"),
+        F.sum(F.col("p").cast("decimal(38,0)")).alias("rsy"),
+        F.sum(
+            (F.col("q").cast("decimal(38,0)") * F.col("p")).cast("decimal(38,0)")
+        ).alias("rsxy"),
+        F.sum(
+            (F.col("q").cast("decimal(38,0)") * F.col("q")).cast("decimal(38,0)")
+        ).alias("rsxx"),
+        F.sum(
+            (F.col("p").cast("decimal(38,0)") * F.col("p")).cast("decimal(38,0)")
+        ).alias("rsyy"),
+    )
+
+    def corr_bp(sxy, sx, sy, sxx, syy):
+        num = f"(cast(n as decimal(38,0)) * {sxy} - {sx} * {sy})"
+        va = f"(cast(n as decimal(38,0)) * {sxx} - {sx} * {sx})"
+        vb = f"(cast(n as decimal(38,0)) * {syy} - {sy} * {sy})"
+        return F.expr(
+            f"cast(floor(10000 * cast({num} as double)"
+            f" / (sqrt(cast({va} as double)) * sqrt(cast({vb} as double))))"
+            f" as bigint)"
+        )
+
+    return mom.select(
+        F.col("n").cast("long").alias("n_rows"),
+        corr_bp("sxy", "sx", "sy", "sxx", "syy").alias("spearman_bp"),
+        corr_bp("rsxy", "rsx", "rsy", "rsxx", "rsyy").alias("pearson_bp"),
+    )
+
+
+ORACLE_SPEARMAN = """
+WITH li AS (
+  SELECT CAST(count(*) AS BIGINT) AS q,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS p
+  FROM lineitem GROUP BY l_orderkey
+),
+ranked AS (
+  SELECT q, p,
+         2 * rank() OVER (ORDER BY q) + count(*) OVER (PARTITION BY q) - 1 AS dx,
+         2 * rank() OVER (ORDER BY p) + count(*) OVER (PARTITION BY p) - 1 AS dy
+  FROM li
+),
+mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(dx AS HUGEINT)) AS sx, sum(CAST(dy AS HUGEINT)) AS sy,
+         sum(CAST(dx AS HUGEINT) * dy) AS sxy,
+         sum(CAST(dx AS HUGEINT) * dx) AS sxx,
+         sum(CAST(dy AS HUGEINT) * dy) AS syy,
+         sum(CAST(q AS HUGEINT)) AS rsx, sum(CAST(p AS HUGEINT)) AS rsy,
+         sum(CAST(q AS HUGEINT) * p) AS rsxy,
+         sum(CAST(q AS HUGEINT) * q) AS rsxx,
+         sum(CAST(p AS HUGEINT) * p) AS rsyy
+  FROM ranked
+)
+SELECT n AS n_rows,
+       CAST(floor(10000 * CAST(n * sxy - sx * sy AS DOUBLE)
+            / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+               * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))) AS BIGINT)
+         AS spearman_bp,
+       CAST(floor(10000 * CAST(n * rsxy - rsx * rsy AS DOUBLE)
+            / (sqrt(CAST(n * rsxx - rsx * rsx AS DOUBLE))
+               * sqrt(CAST(n * rsyy - rsy * rsy AS DOUBLE)))) AS BIGINT)
+         AS pearson_bp
+FROM mom
+"""
+
+
 # -- Mann-Whitney U rank-sum test -------------------------------------------------
 
 MW_GROUP_A, MW_GROUP_B = "1-URGENT", "5-LOW"
@@ -3277,6 +3403,7 @@ QUERIES = {
     "stats_weighted_median": stats_weighted_median,
     "stats_neyman_allocation": stats_neyman_allocation,
     "stats_mann_whitney": stats_mann_whitney,
+    "stats_spearman_corr": stats_spearman_corr,
     "stats_benford_test": stats_benford_test,
     "ivm_join_delta": ivm_join_delta,
     "band_join_close_prices": band_join_close_prices,
@@ -3370,6 +3497,7 @@ ORACLES = {
     "stats_weighted_median": ORACLE_WEIGHTED_MEDIAN,
     "stats_neyman_allocation": ORACLE_NEYMAN,
     "stats_mann_whitney": ORACLE_MANN_WHITNEY,
+    "stats_spearman_corr": ORACLE_SPEARMAN,
     "stats_benford_test": ORACLE_BENFORD,
     "scd2_bitemporal_asknown": ORACLE_BITEMPORAL,
     "window_customer_deciles": ORACLE_DECILES,

@@ -749,3 +749,53 @@ def test_mann_whitney_exact_python_replay(spark):
     )
     assert row.z2_bp == z2_bp
     assert row.significant_95 == (1 if z2_bp >= 38416 else 0)
+
+
+def test_spearman_exact_python_replay(spark):
+    """Spearman on doubled tie-averaged ranks and the contrast Pearson
+    must replay in python to the same bp floor; Spearman must be
+    invariant to a monotone transform of revenue (rank property) while
+    Pearson is not pinned to be."""
+    import math
+    from collections import Counter, defaultdict
+
+    from mongraph_spark.queries.relational import stats_spearman_corr
+    from mongraph_spark.sparkutil import read_table
+
+    row = stats_spearman_corr(spark, SF).first()
+    per = defaultdict(lambda: [0, 0])
+    for r in (
+        read_table(spark, SF, "lineitem")
+        .select("l_orderkey", "l_extendedprice")
+        .collect()
+    ):
+        per[r.l_orderkey][0] += 1
+        per[r.l_orderkey][1] += int(round(r.l_extendedprice * 100))
+    pairs = [(q, p) for q, p in per.values()]
+    n = len(pairs)
+
+    def dranks(vals):
+        first, tie = {}, Counter(vals)
+        for i, v in enumerate(sorted(vals), 1):
+            first.setdefault(v, i)
+        return [2 * first[v] + tie[v] - 1 for v in vals]
+
+    def corr_bp(xs, ys):
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        sxx = sum(x * x for x in xs)
+        syy = sum(y * y for y in ys)
+        return math.floor(
+            10000
+            * float(n * sxy - sx * sy)
+            / (math.sqrt(float(n * sxx - sx * sx)) * math.sqrt(float(n * syy - sy * sy)))
+        )
+
+    qs = [q for q, _ in pairs]
+    ps = [p for _, p in pairs]
+    dq, dp = dranks(qs), dranks(ps)
+    assert row.n_rows == n
+    assert row.spearman_bp == corr_bp(dq, dp)
+    assert row.pearson_bp == corr_bp(qs, ps)
+    # rank property: squaring revenue (monotone) leaves Spearman unchanged
+    assert corr_bp(dq, dranks([p * p for p in ps])) == row.spearman_bp
