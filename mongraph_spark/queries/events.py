@@ -1083,6 +1083,143 @@ GROUP BY p.user_id, p.exact_n
 
 # -- session journey paths (top path prefixes) ---------------------------------------
 
+# -- difference-in-differences panel estimator ------------------------------------
+
+DID_CUT_DAYS = 15  # post-period starts this many days after the corpus start
+DID_TREAT_MOD = 7  # user_id % 7 == 0 -> exposed cohort (deterministic panel)
+
+
+def events_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences — the OBSERVATIONAL-panel causal
+    estimator, completing the causal trio: `events_ab_lift` (randomized
+    readout), `events_ab_cuped` (variance reduction), and now the
+    design for when you could NOT randomize: an exposed cohort vs a
+    control cohort, before vs after an intervention date, with
+    DiD = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre) differencing away
+    both the stable cohort gap and the common time shock (the
+    parallel-trends identification).
+
+    Exactness: the four cell means are exact integer rationals
+    (Σcents / n); the estimate is their alternating sum over the common
+    denominator n_TPost·n_TPre·n_CPost·n_CPre — DECIMAL(38)/HUGEINT
+    products, floored ONCE to micro-cents.  One scan → four-cell
+    aggregation (map-side combined), 1-row finisher broadcast back onto
+    the 4-row cell table — the whole estimator costs a groupBy at any
+    scale."""
+    ev = read_table(spark, sf_dir, "events")
+    d0 = ev.agg(F.min(F.to_date("ts")).alias("d0"))
+    cells = (
+        ev.crossJoin(F.broadcast(d0))
+        .select(
+            F.when(F.col("user_id") % DID_TREAT_MOD == 0, "treated")
+            .otherwise("control")
+            .alias("grp"),
+            F.when(
+                F.datediff(F.to_date("ts"), F.col("d0")) >= DID_CUT_DAYS, "post"
+            )
+            .otherwise("pre")
+            .alias("period"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("grp", "period")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("sum_cents"),
+        )
+    )
+    d = "cast({} as decimal(38,0))"
+    # conditional 1-row reduce (a pivot would reorder columns; keep explicit)
+    one = cells.agg(
+        *[
+            F.sum(
+                F.when(
+                    (F.col("grp") == g) & (F.col("period") == p), F.col(c)
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"{a}_{g[0]}{p}")
+            for g in ("treated", "control")
+            for p in ("pre", "post")
+            for a, c in (("n", "n_events"), ("s", "sum_cents"))
+        ]
+    )
+    num = (
+        f"({d.format('s_tpost')} * n_tpre - {d.format('s_tpre')} * n_tpost)"
+        f" * n_cpre * n_cpost"
+        f" - ({d.format('s_cpost')} * n_cpre - {d.format('s_cpre')} * n_cpost)"
+        f" * n_tpre * n_tpost"
+    )
+    den = f"{d.format('n_tpost')} * n_tpre * n_cpost * n_cpre"
+    did = one.select(
+        F.expr(
+            f"cast(case when ({num}) >= 0"
+            f" then (1000000 * ({num})) div ({den})"
+            f" else -((1000000 * -({num})) div ({den})) end as bigint)"
+        ).alias("did_micro_cents")
+    )
+    return (
+        cells.crossJoin(F.broadcast(did))
+        .select(
+            "grp",
+            "period",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("sum_cents").cast("long").alias("sum_cents"),
+            F.expr("(1000000 * sum_cents) div n_events").alias(
+                "mean_micro_cents"
+            ),
+            "did_micro_cents",
+        )
+    )
+
+
+ORACLE_DID = f"""
+WITH ev AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+d0 AS (SELECT min(day) AS d0 FROM ev),
+cells AS (
+  SELECT CASE WHEN user_id % {DID_TREAT_MOD} = 0 THEN 'treated'
+              ELSE 'control' END AS grp,
+         CASE WHEN date_diff('day', d0, day) >= {DID_CUT_DAYS} THEN 'post'
+              ELSE 'pre' END AS period,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(cents) AS BIGINT) AS sum_cents
+  FROM ev CROSS JOIN d0
+  GROUP BY 1, 2
+),
+one AS (
+  SELECT
+    CAST(sum(CASE WHEN grp = 'treated' AND period = 'pre' THEN n_events ELSE 0 END) AS HUGEINT) AS n_tpre,
+    CAST(sum(CASE WHEN grp = 'treated' AND period = 'pre' THEN sum_cents ELSE 0 END) AS HUGEINT) AS s_tpre,
+    CAST(sum(CASE WHEN grp = 'treated' AND period = 'post' THEN n_events ELSE 0 END) AS HUGEINT) AS n_tpost,
+    CAST(sum(CASE WHEN grp = 'treated' AND period = 'post' THEN sum_cents ELSE 0 END) AS HUGEINT) AS s_tpost,
+    CAST(sum(CASE WHEN grp = 'control' AND period = 'pre' THEN n_events ELSE 0 END) AS HUGEINT) AS n_cpre,
+    CAST(sum(CASE WHEN grp = 'control' AND period = 'pre' THEN sum_cents ELSE 0 END) AS HUGEINT) AS s_cpre,
+    CAST(sum(CASE WHEN grp = 'control' AND period = 'post' THEN n_events ELSE 0 END) AS HUGEINT) AS n_cpost,
+    CAST(sum(CASE WHEN grp = 'control' AND period = 'post' THEN sum_cents ELSE 0 END) AS HUGEINT) AS s_cpost
+  FROM cells
+),
+did AS (
+  SELECT CAST(CASE WHEN ((s_tpost * n_tpre - s_tpre * n_tpost) * n_cpre * n_cpost
+                         - (s_cpost * n_cpre - s_cpre * n_cpost) * n_tpre * n_tpost) >= 0
+              THEN (1000000 * ((s_tpost * n_tpre - s_tpre * n_tpost) * n_cpre * n_cpost
+                               - (s_cpost * n_cpre - s_cpre * n_cpost) * n_tpre * n_tpost))
+                   // (n_tpost * n_tpre * n_cpost * n_cpre)
+              ELSE -((1000000 * -((s_tpost * n_tpre - s_tpre * n_tpost) * n_cpre * n_cpost
+                                  - (s_cpost * n_cpre - s_cpre * n_cpost) * n_tpre * n_tpost))
+                     // (n_tpost * n_tpre * n_cpost * n_cpre)) END AS BIGINT)
+           AS did_micro_cents
+  FROM one
+)
+SELECT grp, period, n_events, sum_cents,
+       (1000000 * sum_cents) // n_events AS mean_micro_cents,
+       did_micro_cents
+FROM cells CROSS JOIN did
+"""
+
+
 # -- Kaplan-Meier survival over user lifetimes -----------------------------------
 
 
@@ -2863,6 +3000,7 @@ QUERIES = {
     "events_count_min": events_count_min,
     "events_ams_f2": events_ams_f2,
     "events_kaplan_meier": events_kaplan_meier,
+    "events_did": events_did,
     "events_activity_streaks": events_activity_streaks,
     "events_late_data_audit": events_late_data_audit,
     "events_ab_lift": events_ab_lift,
@@ -2894,6 +3032,7 @@ ORACLES = {
     "events_count_min": ORACLE_COUNT_MIN,
     "events_ams_f2": ORACLE_AMS_F2,
     "events_kaplan_meier": ORACLE_KAPLAN_MEIER,
+    "events_did": ORACLE_DID,
     "events_activity_streaks": ORACLE_ACTIVITY_STREAKS,
     "events_late_data_audit": ORACLE_LATE_AUDIT,
     "events_ab_lift": ORACLE_AB_LIFT,

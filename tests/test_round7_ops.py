@@ -799,3 +799,45 @@ def test_spearman_exact_python_replay(spark):
     assert row.pearson_bp == corr_bp(qs, ps)
     # rank property: squaring revenue (monotone) leaves Spearman unchanged
     assert corr_bp(dq, dranks([p * p for p in ps])) == row.spearman_bp
+
+
+def test_did_exact_python_replay(spark):
+    """The four-cell table and the micro-cent DiD estimate must replay
+    exactly in python (Fraction arithmetic — the alternating sum of four
+    exact rationals, floored toward -inf as both engines do via the
+    sign-split)."""
+    from fractions import Fraction
+
+    from mongraph_spark.queries.events import (
+        DID_CUT_DAYS,
+        DID_TREAT_MOD,
+        events_did,
+    )
+    from mongraph_spark.sparkutil import read_table
+
+    rows = {(r.grp, r.period): r for r in events_did(spark, SF).collect()}
+    ev = read_table(spark, SF, "events").select("user_id", "ts", "value").collect()
+    d0 = min(r.ts.date() for r in ev)
+    cells = {}
+    for r in ev:
+        grp = "treated" if r.user_id % DID_TREAT_MOD == 0 else "control"
+        per = "post" if (r.ts.date() - d0).days >= DID_CUT_DAYS else "pre"
+        n, s = cells.get((grp, per), (0, 0))
+        cells[(grp, per)] = (n + 1, s + int(round(r.value * 100)))
+    assert set(rows) == set(cells)
+    for k, (n, s) in cells.items():
+        assert (rows[k].n_events, rows[k].sum_cents) == (n, s)
+        assert rows[k].mean_micro_cents == 1000000 * s // n
+    m = {k: Fraction(s, n) for k, (n, s) in cells.items()}
+    did = (
+        m[("treated", "post")]
+        - m[("treated", "pre")]
+        - (m[("control", "post")] - m[("control", "pre")])
+    )
+    scaled = 1000000 * did
+    want = (
+        scaled.numerator // scaled.denominator
+        if scaled >= 0
+        else -((-scaled).numerator // (-scaled).denominator)
+    )
+    assert all(r.did_micro_cents == want for r in rows.values())
