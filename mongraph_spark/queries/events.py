@@ -1083,6 +1083,127 @@ GROUP BY p.user_id, p.exact_n
 
 # -- session journey paths (top path prefixes) ---------------------------------------
 
+# -- Theil-Sen robust trend estimator ----------------------------------------------
+
+
+def events_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend over daily event volume — the median of all
+    pairwise slopes, the breakdown-point-29% alternative to OLS that one
+    outage day cannot drag (the OLS slope rides along as the contrast
+    column).  The estimator family the battery lacked: robust REGRESSION
+    (MAD covers robust scale, Spearman robust association).
+
+    Exactness: slopes are rationals (Δcount/Δdays) with day-grid
+    denominators, so distinct slopes differ by ≥ 1/(D·(D−1)) — far above
+    double rounding — making the double-keyed ORDER a total order both
+    engines agree on (ties broken on the integer pair); the median
+    element's value is then floored from ITS integers (sign-split for
+    the trunc-vs-floor divide), never from an accumulated float.  OLS is
+    the exact rational (nΣxy−ΣxΣy)/(nΣxx−(Σx)²), same floor.
+
+    Scale shape: pairs are built on the |days| PRE-AGGREGATE, never the
+    events — C(D,2) rows for D days (435 here; a year is ~66k) — so the
+    quadratic stage costs nothing at any event volume; the one data-sized
+    operation is the daily count."""
+    ev = read_table(spark, sf_dir, "events")
+    d0 = ev.agg(F.min(F.to_date("ts")).alias("d0"))
+    daily = (
+        ev.crossJoin(F.broadcast(d0))
+        .groupBy(F.datediff(F.to_date("ts"), F.col("d0")).alias("x"))
+        .agg(F.count(F.lit(1)).alias("y"))
+        .localCheckpoint(eager=True)  # reused by pairs (both sides) + OLS
+    )
+    a = daily.select(F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = daily.select(F.col("x").alias("xb"), F.col("y").alias("yb"))
+    pairs = (
+        a.join(b, F.col("xa") < F.col("xb"))
+        .select(
+            (F.col("yb") - F.col("ya")).cast("long").alias("num"),
+            (F.col("xb") - F.col("xa")).cast("long").alias("den"),
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy(const_part(F.col("num"))).orderBy(
+            (F.col("num") / F.col("den")).asc(), "num", "den"
+        )
+    )
+    k_row = pairs.agg(((F.count(F.lit(1)) + 1) / 2).cast("long").alias("k"))
+    median = (
+        pairs.withColumn("rn", rn)
+        .crossJoin(F.broadcast(k_row))
+        .filter(F.col("rn") == F.col("k"))
+        .select(
+            F.expr(
+                "cast(case when num >= 0 then (1000000 * num) div den"
+                " else -((1000000 * -num) div den) end as bigint)"
+            ).alias("theil_sen_micro_per_day")
+        )
+    )
+    mom = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    n_pairs = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    return (
+        mom.crossJoin(F.broadcast(median))
+        .crossJoin(F.broadcast(n_pairs))
+        .select(
+            "n_days",
+            "n_pairs",
+            "theil_sen_micro_per_day",
+            F.expr(
+                "cast(case when (n_days * sxy - sx * sy) >= 0"
+                " then (1000000 * (n_days * sxy - sx * sy))"
+                "      div (n_days * sxx - sx * sx)"
+                " else -((1000000 * -(n_days * sxy - sx * sy))"
+                "        div (n_days * sxx - sx * sx)) end as bigint)"
+            ).alias("ols_micro_per_day"),
+        )
+    )
+
+
+ORACLE_THEIL_SEN = """
+WITH ev AS (SELECT CAST(ts AS DATE) AS day FROM events),
+d0 AS (SELECT min(day) AS d0 FROM ev),
+daily AS (
+  SELECT CAST(date_diff('day', d0, day) AS BIGINT) AS x,
+         CAST(count(*) AS BIGINT) AS y
+  FROM ev CROSS JOIN d0 GROUP BY 1
+),
+pairs AS (
+  SELECT b.y - a.y AS num, b.x - a.x AS den
+  FROM daily a JOIN daily b ON a.x < b.x
+),
+k_row AS (SELECT (count(*) + 1) // 2 AS k, CAST(count(*) AS BIGINT) AS n_pairs FROM pairs),
+median AS (
+  SELECT CAST(CASE WHEN num >= 0 THEN (1000000 * num) // den
+              ELSE -((1000000 * -num) // den) END AS BIGINT)
+           AS theil_sen_micro_per_day,
+         n_pairs
+  FROM (SELECT num, den,
+               row_number() OVER (ORDER BY CAST(num AS DOUBLE) / den, num, den) AS rn
+        FROM pairs)
+  CROSS JOIN k_row
+  WHERE rn = k
+),
+mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM daily
+)
+SELECT n_days, n_pairs, theil_sen_micro_per_day,
+       CAST(CASE WHEN (n_days * sxy - sx * sy) >= 0
+            THEN (1000000 * (n_days * sxy - sx * sy)) // (n_days * sxx - sx * sx)
+            ELSE -((1000000 * -(n_days * sxy - sx * sy)) // (n_days * sxx - sx * sx))
+            END AS BIGINT) AS ols_micro_per_day
+FROM mom CROSS JOIN median
+"""
+
+
 # -- difference-in-differences panel estimator ------------------------------------
 
 DID_CUT_DAYS = 15  # post-period starts this many days after the corpus start
@@ -3001,6 +3122,7 @@ QUERIES = {
     "events_ams_f2": events_ams_f2,
     "events_kaplan_meier": events_kaplan_meier,
     "events_did": events_did,
+    "events_theil_sen": events_theil_sen,
     "events_activity_streaks": events_activity_streaks,
     "events_late_data_audit": events_late_data_audit,
     "events_ab_lift": events_ab_lift,
@@ -3033,6 +3155,7 @@ ORACLES = {
     "events_ams_f2": ORACLE_AMS_F2,
     "events_kaplan_meier": ORACLE_KAPLAN_MEIER,
     "events_did": ORACLE_DID,
+    "events_theil_sen": ORACLE_THEIL_SEN,
     "events_activity_streaks": ORACLE_ACTIVITY_STREAKS,
     "events_late_data_audit": ORACLE_LATE_AUDIT,
     "events_ab_lift": ORACLE_AB_LIFT,

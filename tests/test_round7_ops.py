@@ -841,3 +841,59 @@ def test_did_exact_python_replay(spark):
         else -((-scaled).numerator // (-scaled).denominator)
     )
     assert all(r.did_micro_cents == want for r in rows.values())
+
+
+def test_theil_sen_exact_python_replay_and_robustness(spark):
+    """Median-of-slopes and OLS must replay exactly in python (Fraction
+    ordering, lower median, sign-split floor), and Theil–Sen must be
+    robust where OLS is not: corrupting one day's count by 10× moves the
+    OLS slope but leaves the Theil–Sen median within the slope grid."""
+    from collections import Counter
+    from fractions import Fraction
+
+    from mongraph_spark.queries.events import events_theil_sen
+    from mongraph_spark.sparkutil import read_table
+
+    row = events_theil_sen(spark, SF).first()
+    days = Counter(
+        r.d for r in read_table(spark, SF, "events").select(
+            F.to_date("ts").alias("d")
+        ).collect()
+    )
+    d0 = min(days)
+    pts = sorted(((d - d0).days, c) for d, c in days.items())
+
+    def floor_micro(fr):
+        scaled = 1000000 * fr
+        if scaled >= 0:
+            return scaled.numerator // scaled.denominator
+        return -((-scaled).numerator // (-scaled).denominator)
+
+    def theil_sen(points):
+        slopes = sorted(
+            (Fraction(yb - ya, xb - xa), yb - ya, xb - xa)
+            for i, (xa, ya) in enumerate(points)
+            for xb, yb in points[i + 1 :]
+        )
+        k = (len(slopes) + 1) // 2
+        fr, num, den = slopes[k - 1]
+        return floor_micro(Fraction(num, den)), len(slopes)
+
+    ts_micro, n_pairs = theil_sen(pts)
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    ols_micro = floor_micro(Fraction(n * sxy - sx * sy, n * sxx - sx * sx))
+    assert (row.n_days, row.n_pairs) == (n, n_pairs)
+    assert row.theil_sen_micro_per_day == ts_micro
+    assert row.ols_micro_per_day == ols_micro
+    # robustness: 10x one middle day
+    corrupted = [(x, y * 10 if i == len(pts) // 2 else y) for i, (x, y) in enumerate(pts)]
+    ts_c, _ = theil_sen(corrupted)
+    nc, sxc = n, sx
+    syc = sum(y for _, y in corrupted)
+    sxyc = sum(x * y for x, y in corrupted)
+    ols_c = floor_micro(Fraction(nc * sxyc - sxc * syc, nc * sxx - sxc * sxc))
+    assert abs(ols_c - ols_micro) > 10 * abs(ts_c - ts_micro)
