@@ -1083,6 +1083,165 @@ GROUP BY p.user_id, p.exact_n
 
 # -- session journey paths (top path prefixes) ---------------------------------------
 
+# -- coarsened exact matching (CEM) ATT ---------------------------------------------
+
+CEM_BIN_WIDTH = 5  # pre-period activity coarsening width
+# shared panel design (also used by events_did below)
+DID_CUT_DAYS = 15  # post-period starts this many days after the corpus start
+DID_TREAT_MOD = 7  # user_id % 7 == 0 -> exposed cohort (deterministic panel)
+
+
+def events_cem_att(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarsened Exact Matching ATT (Iacus, King & Porro) — the MATCHING
+    leg of the causal suite: instead of differencing away confounding
+    over time (`events_did`), balance the two cohorts on a coarsened
+    covariate BEFORE comparing — here each user's pre-period activity
+    count, coarsened into width-{CEM_BIN_WIDTH} bins; strata containing
+    both cohorts contribute their treated-vs-control post-period outcome
+    gap, weighted by treated mass; one-cohort strata are PRUNED (the
+    honesty CEM buys: off-support treated users are reported as
+    unmatched, not extrapolated).
+
+    Exactness: per-stratum means are exact rationals; chaining their
+    weighted sum exactly would stack every stratum denominator
+    (overflows any fixed precision), so the estimator is DEFINED on the
+    micro grid — each stratum's gap floored to integer micro-cents
+    FIRST, then the treated-weighted average floored once (sign-split
+    both times).  Deterministic in both engines; documented as the
+    grid estimator and replayed exactly in tests.
+
+    Shape: two user-keyed aggregations (pre covariate, post outcome),
+    a broadcast 1-row horizon, then everything runs on |strata| rows."""
+    ev = read_table(spark, sf_dir, "events")
+    d0 = ev.agg(F.min(F.to_date("ts")).alias("d0"))
+    per_user = (
+        ev.crossJoin(F.broadcast(d0))
+        .withColumn(
+            "period",
+            F.when(
+                F.datediff(F.to_date("ts"), F.col("d0")) >= DID_CUT_DAYS, "post"
+            ).otherwise("pre"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum((F.col("period") == "pre").cast("int")).alias("n_pre"),
+            F.sum(
+                F.when(
+                    F.col("period") == "post",
+                    F.round(F.col("value") * 100).cast("long"),
+                ).otherwise(0)
+            ).alias("post_cents"),
+            F.sum((F.col("period") == "post").cast("int")).alias("n_post"),
+        )
+        .filter(F.col("n_post") > 0)  # outcome defined on post-active users
+        .select(
+            (F.col("user_id") % DID_TREAT_MOD == 0).cast("int").alias("treated"),
+            (F.col("n_pre") / CEM_BIN_WIDTH).cast("long").alias("bin"),
+            F.expr("(1000000 * post_cents) div n_post").alias("y_micro"),
+        )
+    )
+    strata = per_user.groupBy("bin").agg(
+        F.sum("treated").cast("long").alias("n_t"),
+        F.sum(1 - F.col("treated")).cast("long").alias("n_c"),
+        F.sum(F.when(F.col("treated") == 1, F.col("y_micro")).otherwise(0))
+        .cast("long")
+        .alias("sy_t"),
+        F.sum(F.when(F.col("treated") == 0, F.col("y_micro")).otherwise(0))
+        .cast("long")
+        .alias("sy_c"),
+    )
+    sdiv = (
+        "cast(case when ({n}) >= 0 then ({n}) div ({d})"
+        " else -((-({n})) div ({d})) end as bigint)"
+    )
+    gap = sdiv.format(n="sy_t * n_c - sy_c * n_t", d="n_t * n_c")
+    matched = strata.withColumn(
+        "matched", ((F.col("n_t") > 0) & (F.col("n_c") > 0)).cast("int")
+    ).withColumn(
+        "gap_micro", F.when(F.col("matched") == 1, F.expr(gap))
+    )
+    att = matched.agg(
+        F.expr(
+            "cast(case when coalesce(sum(case when matched = 1 then n_t * gap_micro end), 0) >= 0"
+            " then coalesce(sum(case when matched = 1 then n_t * gap_micro end), 0)"
+            "      div nullif(sum(case when matched = 1 then n_t end), 0)"
+            " else -((-coalesce(sum(case when matched = 1 then n_t * gap_micro end), 0))"
+            "        div nullif(sum(case when matched = 1 then n_t end), 0)) end as bigint)"
+        ).alias("att_micro"),
+        F.coalesce(
+            F.sum(F.when(F.col("matched") == 0, F.col("n_t"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_treated_unmatched"),
+    )
+    return (
+        matched.crossJoin(F.broadcast(att))
+        .select(
+            "bin",
+            "n_t",
+            "n_c",
+            "matched",
+            "gap_micro",
+            "att_micro",
+            "n_treated_unmatched",
+        )
+    )
+
+
+ORACLE_CEM = f"""
+WITH ev AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+d0 AS (SELECT min(day) AS d0 FROM ev),
+per_user AS (
+  SELECT CASE WHEN user_id % {DID_TREAT_MOD} = 0 THEN 1 ELSE 0 END AS treated,
+         CAST(sum(CASE WHEN date_diff('day', d0, day) < {DID_CUT_DAYS}
+                  THEN 1 ELSE 0 END) // {CEM_BIN_WIDTH} AS BIGINT) AS bin,
+         (1000000 * sum(CASE WHEN date_diff('day', d0, day) >= {DID_CUT_DAYS}
+                        THEN cents ELSE 0 END))
+           // sum(CASE WHEN date_diff('day', d0, day) >= {DID_CUT_DAYS}
+                  THEN 1 ELSE 0 END) AS y_micro
+  FROM ev CROSS JOIN d0
+  GROUP BY user_id
+  HAVING sum(CASE WHEN date_diff('day', d0, day) >= {DID_CUT_DAYS}
+             THEN 1 ELSE 0 END) > 0
+),
+strata AS (
+  SELECT bin,
+         CAST(sum(treated) AS BIGINT) AS n_t,
+         CAST(sum(1 - treated) AS BIGINT) AS n_c,
+         CAST(sum(CASE WHEN treated = 1 THEN y_micro ELSE 0 END) AS BIGINT) AS sy_t,
+         CAST(sum(CASE WHEN treated = 0 THEN y_micro ELSE 0 END) AS BIGINT) AS sy_c
+  FROM per_user GROUP BY bin
+),
+matched AS (
+  SELECT *,
+         CASE WHEN n_t > 0 AND n_c > 0 THEN 1 ELSE 0 END AS matched,
+         CASE WHEN n_t > 0 AND n_c > 0 THEN
+           CAST(CASE WHEN (sy_t * n_c - sy_c * n_t) >= 0
+                THEN (sy_t * n_c - sy_c * n_t) // (n_t * n_c)
+                ELSE -((-(sy_t * n_c - sy_c * n_t)) // (n_t * n_c)) END AS BIGINT)
+         END AS gap_micro
+  FROM strata
+),
+att AS (
+  SELECT CAST(CASE WHEN coalesce(sum(CASE WHEN matched = 1 THEN n_t * gap_micro END), 0) >= 0
+              THEN coalesce(sum(CASE WHEN matched = 1 THEN n_t * gap_micro END), 0)
+                   // nullif(sum(CASE WHEN matched = 1 THEN n_t END), 0)
+              ELSE -((-coalesce(sum(CASE WHEN matched = 1 THEN n_t * gap_micro END), 0))
+                     // nullif(sum(CASE WHEN matched = 1 THEN n_t END), 0)) END AS BIGINT)
+           AS att_micro,
+         CAST(coalesce(sum(CASE WHEN matched = 0 THEN n_t END), 0) AS BIGINT)
+           AS n_treated_unmatched
+  FROM matched
+)
+SELECT bin, n_t, n_c, matched, gap_micro, att_micro, n_treated_unmatched
+FROM matched CROSS JOIN att
+"""
+
+
 # -- Theil-Sen robust trend estimator ----------------------------------------------
 
 
@@ -1205,9 +1364,7 @@ FROM mom CROSS JOIN median
 
 
 # -- difference-in-differences panel estimator ------------------------------------
-
-DID_CUT_DAYS = 15  # post-period starts this many days after the corpus start
-DID_TREAT_MOD = 7  # user_id % 7 == 0 -> exposed cohort (deterministic panel)
+# (DID_CUT_DAYS / DID_TREAT_MOD defined with the CEM section above)
 
 
 def events_did(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3123,6 +3280,7 @@ QUERIES = {
     "events_kaplan_meier": events_kaplan_meier,
     "events_did": events_did,
     "events_theil_sen": events_theil_sen,
+    "events_cem_att": events_cem_att,
     "events_activity_streaks": events_activity_streaks,
     "events_late_data_audit": events_late_data_audit,
     "events_ab_lift": events_ab_lift,
@@ -3156,6 +3314,7 @@ ORACLES = {
     "events_kaplan_meier": ORACLE_KAPLAN_MEIER,
     "events_did": ORACLE_DID,
     "events_theil_sen": ORACLE_THEIL_SEN,
+    "events_cem_att": ORACLE_CEM,
     "events_activity_streaks": ORACLE_ACTIVITY_STREAKS,
     "events_late_data_audit": ORACLE_LATE_AUDIT,
     "events_ab_lift": ORACLE_AB_LIFT,

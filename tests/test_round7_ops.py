@@ -897,3 +897,63 @@ def test_theil_sen_exact_python_replay_and_robustness(spark):
     sxyc = sum(x * y for x, y in corrupted)
     ols_c = floor_micro(Fraction(nc * sxyc - sxc * syc, nc * sxx - sxc * sxc))
     assert abs(ols_c - ols_micro) > 10 * abs(ts_c - ts_micro)
+
+
+def test_cem_att_exact_python_replay(spark):
+    """CEM's grid estimator must replay exactly in python: per-user
+    pre-bins and post means, per-stratum floored gaps, treated-weighted
+    ATT, and the off-support treated count; matched strata must contain
+    both cohorts."""
+    from collections import defaultdict
+
+    from mongraph_spark.queries.events import (
+        CEM_BIN_WIDTH,
+        DID_CUT_DAYS,
+        DID_TREAT_MOD,
+        events_cem_att,
+    )
+    from mongraph_spark.sparkutil import read_table
+
+    rows = {r.bin: r for r in events_cem_att(spark, SF).collect()}
+    ev = read_table(spark, SF, "events").select("user_id", "ts", "value").collect()
+    d0 = min(r.ts.date() for r in ev)
+    acc = defaultdict(lambda: [0, 0, 0])  # n_pre, post_cents, n_post
+    for r in ev:
+        a = acc[r.user_id]
+        if (r.ts.date() - d0).days >= DID_CUT_DAYS:
+            a[1] += int(round(r.value * 100))
+            a[2] += 1
+        else:
+            a[0] += 1
+
+    def sdiv(n, d):
+        return n // d if n >= 0 else -((-n) // d)
+
+    strata = defaultdict(lambda: [0, 0, 0, 0])  # n_t n_c sy_t sy_c
+    for uid, (n_pre, pc, n_post) in acc.items():
+        if n_post == 0:
+            continue
+        b = n_pre // CEM_BIN_WIDTH
+        y = (1000000 * pc) // n_post
+        t = 1 if uid % DID_TREAT_MOD == 0 else 0
+        s = strata[b]
+        s[0] += t
+        s[1] += 1 - t
+        (s.__setitem__(2, s[2] + y) if t else s.__setitem__(3, s[3] + y))
+    num = den = unmatched = 0
+    for b, (n_t, n_c, sy_t, sy_c) in strata.items():
+        r = rows[b]
+        assert (r.n_t, r.n_c) == (n_t, n_c)
+        if n_t > 0 and n_c > 0:
+            gap = sdiv(sy_t * n_c - sy_c * n_t, n_t * n_c)
+            assert r.matched == 1 and r.gap_micro == gap
+            num += n_t * gap
+            den += n_t
+        else:
+            assert r.matched == 0 and r.gap_micro is None
+            unmatched += n_t
+    att = sdiv(num, den)
+    for r in rows.values():
+        assert r.att_micro == att
+        assert r.n_treated_unmatched == unmatched
+    assert set(rows) == set(strata)
