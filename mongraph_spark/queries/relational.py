@@ -2977,6 +2977,105 @@ GROUP BY o_orderpriority
 """
 
 
+# -- trimmed / winsorized means (robust location) -------------------------------------
+
+TRIM_PCT_BP = 1000  # 10% per tail
+
+
+def stats_trimmed_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trimmed and winsorized means of order value — robust LOCATION,
+    completing the robust battery (MAD = scale, Spearman = association,
+    Theil–Sen = regression, and now location): trim drops the k = ⌊n/10⌋
+    extreme values per tail, winsorize CLAMPS them to the surviving
+    boundary values (keeping n constant — the estimator A/B platforms
+    use when heavy spenders shred the mean's variance).  The raw mean
+    rides along as the contrast column.
+
+    Exactness: one total-order rank (at 100 TB: rank per-value count
+    pre-aggregates, as the rank-test ops note), then all three means are
+    exact integer rationals floored once to micro-cents — the boundary
+    values joined back by rank equality, no float anywhere.  Everything
+    after the rank runs in one aggregation + a 2-row broadcast."""
+    o = read_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    w = Window.partitionBy(const_part(F.col("cents"))).orderBy(
+        "cents", F.monotonically_increasing_id()
+    )
+    # monotonically_increasing_id is partition-dependent — rank ties on
+    # cents are interchangeable for every statistic below, so the order
+    # within a tie block cannot change any output (values equal); use
+    # row_number over cents only in the oracle for the same reason.
+    ranked = o.withColumn("rn", F.row_number().over(w))
+    nk = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"count(1) * {TRIM_PCT_BP} div 10000").alias("k"),
+    )
+    j = ranked.crossJoin(F.broadcast(nk))
+    lo = j.filter(F.col("rn") == F.col("k") + 1).select(
+        F.col("cents").alias("lo_val")
+    )
+    hi = j.filter(F.col("rn") == F.col("n") - F.col("k")).select(
+        F.col("cents").alias("hi_val")
+    )
+    agg = (
+        j.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .agg(
+            F.max("n").alias("n"),
+            F.max("k").alias("k"),
+            F.sum("cents").alias("s_all"),
+            F.sum(
+                F.when(
+                    (F.col("rn") > F.col("k"))
+                    & (F.col("rn") <= F.col("n") - F.col("k")),
+                    F.col("cents"),
+                ).otherwise(0)
+            ).alias("s_mid"),
+            F.sum(
+                F.greatest(F.least(F.col("cents"), F.col("hi_val")), F.col("lo_val"))
+            ).alias("s_wins"),
+        )
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_rows"),
+        F.col("k").cast("long").alias("k_per_tail"),
+        F.expr("(1000000 * s_all) div n").alias("mean_micro"),
+        F.expr("(1000000 * s_mid) div (n - 2 * k)").alias("trimmed_micro"),
+        F.expr("(1000000 * s_wins) div n").alias("winsorized_micro"),
+    )
+
+
+ORACLE_TRIMMED = f"""
+WITH o AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+),
+ranked AS (
+  SELECT cents, row_number() OVER (ORDER BY cents) AS rn FROM o
+),
+nk AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) * {TRIM_PCT_BP} // 10000 AS BIGINT) AS k
+  FROM o
+),
+lo AS (SELECT cents AS lo_val FROM ranked CROSS JOIN nk WHERE rn = k + 1),
+hi AS (SELECT cents AS hi_val FROM ranked CROSS JOIN nk WHERE rn = n - k),
+agg AS (
+  SELECT max(n) AS n, max(k) AS k,
+         CAST(sum(cents) AS BIGINT) AS s_all,
+         CAST(sum(CASE WHEN rn > k AND rn <= n - k THEN cents ELSE 0 END)
+              AS BIGINT) AS s_mid,
+         CAST(sum(greatest(least(cents, hi_val), lo_val)) AS BIGINT) AS s_wins
+  FROM ranked CROSS JOIN nk CROSS JOIN lo CROSS JOIN hi
+)
+SELECT n AS n_rows, k AS k_per_tail,
+       (1000000 * s_all) // n AS mean_micro,
+       (1000000 * s_mid) // (n - 2 * k) AS trimmed_micro,
+       (1000000 * s_wins) // n AS winsorized_micro
+FROM agg
+"""
+
+
 # -- Spearman rank correlation ------------------------------------------------------
 
 
@@ -3404,6 +3503,7 @@ QUERIES = {
     "stats_neyman_allocation": stats_neyman_allocation,
     "stats_mann_whitney": stats_mann_whitney,
     "stats_spearman_corr": stats_spearman_corr,
+    "stats_trimmed_means": stats_trimmed_means,
     "stats_benford_test": stats_benford_test,
     "ivm_join_delta": ivm_join_delta,
     "band_join_close_prices": band_join_close_prices,
@@ -3498,6 +3598,7 @@ ORACLES = {
     "stats_neyman_allocation": ORACLE_NEYMAN,
     "stats_mann_whitney": ORACLE_MANN_WHITNEY,
     "stats_spearman_corr": ORACLE_SPEARMAN,
+    "stats_trimmed_means": ORACLE_TRIMMED,
     "stats_benford_test": ORACLE_BENFORD,
     "scd2_bitemporal_asknown": ORACLE_BITEMPORAL,
     "window_customer_deciles": ORACLE_DECILES,

@@ -957,3 +957,35 @@ def test_cem_att_exact_python_replay(spark):
         assert r.att_micro == att
         assert r.n_treated_unmatched == unmatched
     assert set(rows) == set(strata)
+
+
+def test_trimmed_means_exact_python_replay(spark):
+    """All three location estimates must replay exactly in python, the
+    trimmed/winsorized pair must sit between min and max, and injecting a
+    huge outlier (python-side) must move the raw mean while leaving the
+    trimmed mean unchanged on the micro grid."""
+    from mongraph_spark.queries.relational import TRIM_PCT_BP, stats_trimmed_means
+    from mongraph_spark.sparkutil import read_table
+
+    row = stats_trimmed_means(spark, SF).first()
+    cents = sorted(
+        int(round(r.o_totalprice * 100))
+        for r in read_table(spark, SF, "orders").select("o_totalprice").collect()
+    )
+    n = len(cents)
+    k = n * TRIM_PCT_BP // 10000
+    lo, hi = cents[k], cents[n - k - 1]
+    mid = cents[k : n - k]
+    wins = [min(max(c, lo), hi) for c in cents]
+    assert (row.n_rows, row.k_per_tail) == (n, k)
+    assert row.mean_micro == 1000000 * sum(cents) // n
+    assert row.trimmed_micro == 1000000 * sum(mid) // (n - 2 * k)
+    assert row.winsorized_micro == 1000000 * sum(wins) // n
+    # robustness: one huge outlier moves the mean, not the trim
+    poisoned = sorted(cents + [10**12])
+    n2 = n + 1
+    k2 = n2 * TRIM_PCT_BP // 10000
+    mid2 = poisoned[k2 : n2 - k2]
+    t2 = 1000000 * sum(mid2) // (n2 - 2 * k2)
+    m2 = 1000000 * sum(poisoned) // n2
+    assert abs(m2 - row.mean_micro) > 100 * abs(t2 - row.trimmed_micro)
