@@ -63,108 +63,70 @@ _SUITES = [
 # first (rounds 1-2), previously-green last, as insurance against any
 # off-by-one in the driver's window.
 CORE_ORDER = [
-    # — round-7 window (VERDICT r6 order #1), 50 slots exactly:
-    #   10 round-6 post-window additions with no driver row yet
-    #   + 4 early-round-7 operators (store_conflict_retry,
-    #     dedup_span_capped, ivm_agg_delta, streaming_span_dedup)
-    #   + 3 refactor re-proofs (dedup_span_exact for the spans_from_hits
-    #     extraction; store_merge_into + store_compaction for the
-    #     merge.py OCC rework)
-    #   + 5 mid-round-7 slots: 4 new operators (text_bpe_train,
-    #     dedup_semdedup, corpus_dsir_weights, streaming_ivm_agg) and the
-    #     streaming_merge_upsert re-proof (the sf0.1 full gate caught the
-    #     OCC rework breaking its first-write-creates-table sink; fixed)
-    #   + 7 late-round-7 operators (ann_matryoshka_curve, text_bpe_apply,
-    #     streaming_lsh_dedup, search_hybrid_rrf, streaming_ann_ivf,
-    #     sketch_ddsketch_quantiles, pipeline_rendezvous_shards — never
-    #     driver-verified by construction)
-    #   + 5 closing-round-7 slots (streaming_ddsketch_quantiles,
-    #     corpus_cluster_split, corpus_ccnet_buckets, corpus_semantic_decon
-    #     — never driver-verified by construction — plus the dedup_clusters
-    #     re-proof for the _cluster_labels_from_pairs split;
-    #     sketch_ddsketch_quantiles above doubles as the dd_* helper
-    #     re-proof and corpus_ccnet_buckets as the ccnet helper re-proof)
-    #   + 7 final closing operators (streaming_ccnet_score,
-    #     corpus_unimax_budget, corpus_ccnet_sketch_cutoffs,
-    #     stats_neyman_allocation, events_ams_f2, streaming_ams_f2,
-    #     events_kaplan_meier — never driver-verified by construction)
-    #   + 9 LONGEST-unverified rows (r1/r2 vintage), oldest first.
-    #   Deferred to r8, all strict-green in the local full gate: TPC-H
-    #   q2–q6, q10–q19, q20, q22 + window_top_orders (r2),
-    #   rollup_revenue, semi_parts_shipped, setop_active_building_customers,
-    #   stats_order_percentiles, stats_price_quantity_corr (r1), and the
-    #   r1-vintage refresh rows ann_cosine_topk_bucketed, embedding_centroids,
-    #   text_fingerprint, text_lang_id, text_quality displaced by the
-    #   closing-round ops (4 new + 1 re-proof take 5 refresh slots).
-    # — never driver-verified (round-6 post-window additions) —
-    "corpus_span_decontamination",
-    "graph_clustering_coefficient",
-    "ann_recall_curve",
-    "events_cusum_changepoint",
-    "streaming_cusum_changepoint",
-    "events_ab_cuped",
-    "graph_harmonic_landmarks",
-    "dedup_source_matrix",
-    "store_history",
-    "dedup_threshold_curve",
-    # — new round-7 operators (never driver-verified by construction) —
-    "store_conflict_retry",
-    "dedup_span_capped",
-    "ivm_agg_delta",
-    "streaming_span_dedup",
-    # — re-proof slots for round-7 refactors —
-    "dedup_span_exact",  # spans_from_hits extraction
-    "store_merge_into",  # merge.py OCC rework (claim/commit in every mutator)
-    "store_compaction",  # compact + upsert through the new claim protocol
-    # — mid-round-7 additions (never driver-verified by construction) and
-    #   the regression re-proof: the sf0.1 full gate caught the OCC rework
-    #   breaking first-write-creates-table in streaming_merge_upsert's
-    #   sink; fixed, so its driver row renews at HEAD —
-    "text_bpe_train",
-    "dedup_semdedup",
-    "corpus_dsir_weights",
-    "streaming_ivm_agg",
-    "streaming_merge_upsert",
-    # — late-round-7 additions (never driver-verified by construction) —
-    "ann_matryoshka_curve",
-    "text_bpe_apply",
-    "streaming_lsh_dedup",
-    "search_hybrid_rrf",
-    "streaming_ann_ivf",
-    "sketch_ddsketch_quantiles",
-    "pipeline_rendezvous_shards",
-    # — closing-round-7 operators (never driver-verified by construction);
-    #   dedup_clusters re-proves the _cluster_labels_from_pairs extraction —
-    "streaming_ddsketch_quantiles",
-    "corpus_cluster_split",
-    "corpus_ccnet_buckets",
-    "corpus_semantic_decon",
-    "dedup_clusters",
-    # — final closing-round-7 operators (never driver-verified by
-    #   construction; corpus_ccnet_buckets above re-proves the
-    #   ccnet_model/score/finish helper split they share) —
-    "streaming_ccnet_score",
-    "corpus_unimax_budget",
-    "corpus_ccnet_sketch_cutoffs",
-    "stats_neyman_allocation",
-    "events_ams_f2",
-    "streaming_ams_f2",
-    "events_kaplan_meier",
-    # — longest-unverified driver rows (r1/r2 vintage), oldest first
-    #   (rollup/semi/setop/stats r1 rows defer to r8 with the TPC-H block:
-    #   never-verified entries outrank freshness re-proofs for slots;
-    #   above_customer_avg, anti_customers_without_orders, cube_quantity,
-    #   window_customer_deciles, q7_volume_shipping, q8_market_share,
-    #   q9_product_profit displaced to r8 by the final closing ops) —
-    "g11_remove_node_survivors",
-    "g12_delete_writeback",
-    "g1_both_union_types",
-    "g1_count_forms",
-    "g1_incoming_typed",
-    "g1_outgoing_1hop",
-    "g1_rel_where",
-    "g5_between",
-    "window_running_sum",
+    # — round-8 window (VERDICT r7 order #1), 50 slots exactly:
+    #   the 6 round-7 post-window stats/causal additions with no driver
+    #   row yet, then the deferred TPC-H block q2–q22 + window_top_orders
+    #   (r2-vintage evidence), then the r1-vintage refresh rows — all 42
+    #   strict-green in the local full gate — plus 8 round-8 slots:
+    #   re-proofs for code touched this round (the ADVICE dd_targets
+    #   integer-div + ddsketch clamp fixes, the streaming_lsh_dedup
+    #   staging fix, dedup_semdedup's scaled-K parameterization, the
+    #   streaming span-dedup bucketed-state demo, the merge.py OCC
+    #   conflict-matrix extension) and the new VACUUM-retention query.
+    # — never driver-verified (round-7 post-window additions) —
+    "stats_mann_whitney",
+    "stats_spearman_corr",
+    "events_did",
+    "events_theil_sen",
+    "events_cem_att",
+    "stats_trimmed_means",
+    # — deferred TPC-H block (r2-vintage driver evidence) —
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_priority_by_linestatus",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_parts_supplier_count",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_discounted_revenue",
+    "q20_surplus_suppliers",
+    "q21_waiting_suppliers",
+    "q22_wealthy_no_urgent",
+    "window_top_orders",
+    # — r1-vintage refresh rows —
+    "rollup_revenue",
+    "semi_parts_shipped",
+    "setop_active_building_customers",
+    "stats_order_percentiles",
+    "stats_price_quantity_corr",
+    "above_customer_avg",
+    "anti_customers_without_orders",
+    "cube_quantity",
+    "window_customer_deciles",
+    "ann_cosine_topk_bucketed",
+    "embedding_centroids",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality",
+    # — round-8 re-proof / new-operator slots —
+    "sketch_ddsketch_quantiles",  # dd_targets integer-div fix (ADVICE r7)
+    "streaming_ddsketch_quantiles",  # cents>=1 clamp (ADVICE r7)
+    "corpus_ccnet_sketch_cutoffs",  # dd rank-target integer-div fix
+    "streaming_lsh_dedup",  # checkpoint-staging fix (VERDICT r7 #5)
+    "dedup_semdedup",  # scaled-K parameterization (VERDICT r7 #2)
+    "streaming_span_dedup",  # bucketed state demo (VERDICT r7 #3)
+    "store_merge_into",  # merge.py OCC conflict-matrix extension (#7)
+    "store_vacuum_retention",  # NEW round-8: retention VACUUM + orphan GC
 ]
 
 assert len(CORE_ORDER) == 50, len(CORE_ORDER)

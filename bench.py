@@ -75,13 +75,26 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    # Two SEPARATE detail lines, pass1 first: the driver's tail-buffered log
+    # capture keeps the END of stdout, and r7's single combined line lost the
+    # first 38 best-of-3 entries to the buffer (VERDICT r7 "what's wrong" #1).
+    # With pass1 emitted first, any truncation eats pass1's front while the
+    # best-of-3 detail and the compact summary always survive intact.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_pass1_detail",
+                "queries_pass1": pass1,
+                "pass1_total": round(sum(pass1.values()), 3),
+                "sf": sf_of(sf_dir),
+            }
+        )
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_queries_wall_detail",
                 "queries": timings,
-                "queries_pass1": pass1,
-                "pass1_total": round(sum(pass1.values()), 3),
                 "sf": sf_of(sf_dir),
             }
         )

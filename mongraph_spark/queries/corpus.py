@@ -1178,7 +1178,7 @@ def corpus_ccnet_sketch_cutoffs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array(F.lit(33), F.lit(67))).alias("p"),
         "n",
     ).select(
-        "lang", "p", ((F.col("p") * F.col("n") + 99) / 100).cast("long").alias("target")
+        "lang", "p", F.expr("(p * n + 99) div 100").alias("target")
     )
     cum = sk.withColumn(
         "cum", F.sum("c").over(Window.partitionBy("lang").orderBy("e", "m"))

@@ -1199,10 +1199,16 @@ per_user AS (
   SELECT CASE WHEN user_id % {DID_TREAT_MOD} = 0 THEN 1 ELSE 0 END AS treated,
          CAST(sum(CASE WHEN date_diff('day', d0, day) < {DID_CUT_DAYS}
                   THEN 1 ELSE 0 END) // {CEM_BIN_WIDTH} AS BIGINT) AS bin,
-         (1000000 * sum(CASE WHEN date_diff('day', d0, day) >= {DID_CUT_DAYS}
-                        THEN cents ELSE 0 END))
-           // sum(CASE WHEN date_diff('day', d0, day) >= {DID_CUT_DAYS}
-                  THEN 1 ELSE 0 END) AS y_micro
+         CAST(CASE WHEN (1000000 * sum(CASE WHEN date_diff('day', d0, day) >= {DID_CUT_DAYS}
+                                       THEN cents ELSE 0 END)) >= 0
+              THEN (1000000 * sum(CASE WHEN date_diff('day', d0, day) >= {DID_CUT_DAYS}
+                                  THEN cents ELSE 0 END))
+                   // sum(CASE WHEN date_diff('day', d0, day) >= {DID_CUT_DAYS}
+                          THEN 1 ELSE 0 END)
+              ELSE -((-(1000000 * sum(CASE WHEN date_diff('day', d0, day) >= {DID_CUT_DAYS}
+                                      THEN cents ELSE 0 END)))
+                     // sum(CASE WHEN date_diff('day', d0, day) >= {DID_CUT_DAYS}
+                            THEN 1 ELSE 0 END)) END AS BIGINT) AS y_micro
   FROM ev CROSS JOIN d0
   GROUP BY user_id
   HAVING sum(CASE WHEN date_diff('day', d0, day) >= {DID_CUT_DAYS}
@@ -1492,7 +1498,9 @@ did AS (
   FROM one
 )
 SELECT grp, period, n_events, sum_cents,
-       (1000000 * sum_cents) // n_events AS mean_micro_cents,
+       CAST(CASE WHEN sum_cents >= 0 THEN (1000000 * sum_cents) // n_events
+            ELSE -((-(1000000 * sum_cents)) // n_events) END AS BIGINT)
+         AS mean_micro_cents,
        did_micro_cents
 FROM cells CROSS JOIN did
 """

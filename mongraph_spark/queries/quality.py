@@ -1314,8 +1314,115 @@ GROUP BY p.probe_key, k.key
 ORACLE_BLOOM = _bloom_oracle()
 
 
+def store_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based VACUUM + orphan GC for the CoW store, driver-verifiable —
+    the ``VACUUM ... RETAIN n HOURS`` operational contract a shared 100 TB
+    table needs (count-based ``store_history`` vacuuming keeps N versions;
+    real deployments reason in wall-clock).
+
+    Deterministic scenario (injected ``now``, explicit utimes): build
+    v0 init → v1 rebucket (full rewrite: v0 becomes unreferenced) →
+    v2 upsert (+11 n_chars on doc_id==1 — ONE key, so exactly bucket 2 of
+    8 rewrites and the other 7 keep referencing v1: the structural-sharing
+    retention is pinned at every SF, not a row-count accident), tag
+    "checkpoint" → v3 upsert (+13 on doc_id==2, bucket 5, committed
+    through the REBASE OCC path — the staging + serializability-check
+    protocol, uncontended here), age
+    v0/v1/v2 out of the window, plant an aged crashed-writer orphan
+    (claimed v4 dir + claim file), then ``vacuum_retention``.  Expected,
+    all asserted through the oracle hash: v0 removed (age), v1 retained
+    (structural sharing — v3's manifest still references its untouched
+    buckets), v2 retained (tag), v3 retained (current), the orphan
+    collected, the tag still readable, and time travel to v0 now failing.
+
+    At 100 TB this is O(#versions + #tags) metadata work plus unlinks —
+    no data scan; the query's Spark work is only the final-state profile."""
+    import shutil
+    import tempfile
+
+    from mongraph_spark.sources import merge as merge_store
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    app_id = spark.sparkContext.applicationId
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(tempfile.gettempdir(), f"mg_vacret_{app_id}_{sf_tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    merge_store.init_table(docs, root, key="doc_id", n_buckets=16)
+    merge_store.rebucket(spark, root, n_buckets=8)
+    merge_store.upsert(
+        spark,
+        root,
+        docs.filter(F.col("doc_id") == 1).withColumn(
+            "n_chars", F.col("n_chars") + 11
+        ),
+        key="doc_id",
+    )
+    merge_store.create_tag(root, "checkpoint")
+    merge_store.upsert(
+        spark,
+        root,
+        docs.filter(F.col("doc_id") == 2).withColumn(
+            "n_chars", F.col("n_chars") + 13
+        ),
+        key="doc_id",
+        occ="rebase",
+    )
+    now, old = 1_000_000.0, 500.0
+    for v in ("v_00000", "v_00001", "v_00002"):
+        os.utime(os.path.join(root, v, merge_store._MANIFEST), (old, old))
+    # aged crashed writer: claimed v4, wrote junk, died
+    os.makedirs(os.path.join(root, "v_00004"))
+    with open(merge_store._claim_path(root, "v_00004"), "w") as fh:
+        fh.write("{}")
+    os.utime(os.path.join(root, "v_00004"), (old, old))
+    os.utime(merge_store._claim_path(root, "v_00004"), (old, old))
+
+    out = merge_store.vacuum_retention(root, retention_s=1000.0, now=now)
+    tag_rows = merge_store.read_tag(spark, root, "checkpoint").count()
+    try:
+        merge_store.read_version(spark, root, 0).count()
+        tt_fails = 0
+    except Exception:  # noqa: BLE001 — vacuumed version must not read
+        tt_fails = 1
+    cur = merge_store.read_current(spark, root).drop("__bucket")
+    return cur.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.lit(len(out["removed"])).cast("bigint").alias("n_removed"),
+        F.lit(int("v_00000" in out["removed"])).cast("bigint").alias("v0_removed"),
+        F.lit(len(out["retained"])).cast("bigint").alias("n_retained"),
+        F.lit(len(out["orphans_removed"]))
+        .cast("bigint")
+        .alias("n_orphans_removed"),
+        F.lit(tag_rows).cast("bigint").alias("tag_rows"),
+        F.lit(tt_fails).cast("bigint").alias("time_travel_fails"),
+    )
+
+
+ORACLE_VACUUM_RETENTION = """
+WITH final AS (
+  SELECT doc_id, source,
+         n_chars + CASE WHEN doc_id = 1 THEN 11
+                        WHEN doc_id = 2 THEN 13 ELSE 0 END AS n_chars
+  FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(1 AS BIGINT) AS n_removed,
+       CAST(1 AS BIGINT) AS v0_removed,
+       CAST(3 AS BIGINT) AS n_retained,
+       CAST(1 AS BIGINT) AS n_orphans_removed,
+       (SELECT CAST(count(*) AS BIGINT) FROM documents) AS tag_rows,
+       CAST(1 AS BIGINT) AS time_travel_fails
+FROM final GROUP BY source
+"""
+
+
 QUERIES = {
     "dq_expectations": dq_expectations,
+    "store_vacuum_retention": store_vacuum_retention,
     "store_compaction": store_compaction,
     "store_merge_into": store_merge_into,
     "store_history": store_history,
@@ -1329,6 +1436,7 @@ QUERIES = {
 
 ORACLES = {
     "dq_expectations": ORACLE_DQ,
+    "store_vacuum_retention": ORACLE_VACUUM_RETENTION,
     "store_compaction": ORACLE_COMPACTION,
     "store_merge_into": ORACLE_MERGE_INTO,
     "store_history": ORACLE_STORE_HISTORY,

@@ -850,7 +850,7 @@ def dd_targets(n_row: DataFrame) -> DataFrame:
             F.explode(F.array(*[F.lit(p) for p in DD_PCTS])).alias("p"),
             F.col("n"),
         )
-        .select("p", ((F.col("p") * F.col("n") + 99) / 100).cast("long").alias("target"))
+        .select("p", F.expr("(p * n + 99) div 100").alias("target"))
     )
 
 

@@ -52,8 +52,17 @@ from pyspark.sql import types as T
 _POINTER = "_CURRENT"
 _META = "_TABLE.json"
 _MANIFEST = "manifest.json"
+_COMMIT = "_commit.json"
+_STAGING = "_staging"
 _BUCKET = "__bucket"
 DEFAULT_BUCKETS = 16
+
+# Conflict-classification sets for the rebase commit path (see
+# _classify_conflict): bucket-scoped ops record the bucket dirs they
+# REWROTE; content-preserving ops re-layout bytes without changing any
+# row, so they never invalidate a concurrent bucket-disjoint write.
+_BUCKET_SCOPED_OPS = {"upsert", "merge", "delete"}
+_CONTENT_PRESERVING_OPS = {"compact"}
 
 # A live writer's claim on the next version is considered abandoned after
 # this many seconds (crashed writer); a fresh claim raises CommitConflict
@@ -201,6 +210,117 @@ def commit_with_retry(mutation, max_retries: int = 5, backoff_s: float = 0.05):
                 time.sleep(backoff_s * (attempt + 1))
     assert last is not None
     raise last
+
+
+def _write_commit(root: str, ver: str, op: str, buckets) -> None:
+    """Record a committed version's WRITE SET next to its manifest:
+    ``op`` names the mutator and ``buckets`` is the sorted list of bucket
+    ids it rewrote (or ``"*"`` for a whole-table write).  The record is
+    what lets a later writer decide whether an intervening commit
+    logically conflicts with its own (Delta's serializability check reads
+    exactly this from the transaction log)."""
+    rec = {"op": op, "buckets": buckets, "pid": os.getpid(), "ts": time.time()}
+    tmp = os.path.join(root, ver, _COMMIT + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(rec, fh)
+    os.replace(tmp, os.path.join(root, ver, _COMMIT))
+
+
+def _read_commit(root: str, ver: str) -> dict | None:
+    try:
+        with open(os.path.join(root, ver, _COMMIT)) as fh:
+            return json.load(fh)
+    except (FileNotFoundError, NotADirectoryError, json.JSONDecodeError):
+        return None
+
+
+def _meta_fingerprint(meta: dict) -> str:
+    """Canonical string over everything a staged write plan depends on:
+    key column, bucket count, schema, evolved-column fills, rebucket
+    fence.  Any change (add_column, rebucket) between a writer's snapshot
+    read and its commit invalidates the staged files — they were written
+    under the OLD physical schema/layout."""
+    return json.dumps(
+        {
+            "key": meta.get("key"),
+            "n_buckets": meta.get("n_buckets"),
+            "schema": meta.get("schema"),
+            "added": meta.get("added") or [],
+            "bucketed_since": meta.get("bucketed_since"),
+        },
+        sort_keys=True,
+    )
+
+
+def _claim_next(root: str, wait_s: float = 5.0, poll_s: float = 0.05) -> str:
+    """Claim the next version, WAITING (bounded) on a live holder instead
+    of failing fast: used by the rebase commit path, where the caller has
+    already spent the compute and the holder's claim window is short (it
+    covers only manifest write + pointer flip, never a Spark job).  Each
+    poll recomputes the target from the advanced pointer, so a committer
+    releasing its claim moves the waiter FORWARD, never into a stale
+    version name."""
+    deadline = time.time() + wait_s
+    while True:
+        try:
+            return _next_version(root)
+        except CommitConflict:
+            if time.time() >= deadline:
+                raise
+            time.sleep(poll_s)
+
+
+def _release_claim(root: str, ver: str) -> None:
+    try:
+        os.unlink(_claim_path(root, ver))
+    except FileNotFoundError:
+        pass
+
+
+def _classify_conflict(
+    root: str, snapshot: str, current: str, ours: set[str]
+) -> str | None:
+    """The Delta-style logical-conflict check: given OUR bucket write set
+    (computed against ``snapshot``) and the commits that landed between
+    ``snapshot`` and ``current``, decide whether committing our staged
+    files on top of ``current`` is serializable.  Returns ``None`` when
+    every intervening commit is rebase-safe, else a reason string.
+
+    Conflict matrix (intervening op vs a bucket-scoped requester):
+
+    ===================  =========================================
+    upsert/merge/delete  safe iff its recorded bucket set is
+                         DISJOINT from ours (same key ⇒ same
+                         bucket, so disjoint buckets ⇒ disjoint
+                         keys ⇒ the serial order "theirs, then
+                         ours" produces exactly the overlaid state)
+    compact              always safe — content-preserving
+                         re-layout; our files carry the same rows
+                         either way
+    init/rebucket/       never safe — whole-table writes (and
+    restore              restore jumps the state our plan read)
+    no commit record     never safe — unknown write set
+    ===================  =========================================
+
+    add_column never creates a version; it is caught separately by the
+    meta fingerprint check (the staged files lack the evolved column's
+    fill metadata)."""
+    lo = int(snapshot.split("_")[1])
+    hi = int(current.split("_")[1])
+    for n in range(lo + 1, hi + 1):
+        ver = _version_name(n)
+        rec = _read_commit(root, ver)
+        if rec is None:
+            return f"{ver} has no commit record (unknown write set)"
+        op, buckets = rec.get("op"), rec.get("buckets")
+        if op in _CONTENT_PRESERVING_OPS:
+            continue
+        if op not in _BUCKET_SCOPED_OPS or buckets == "*":
+            return f"{ver} ({op}) rewrote the whole table"
+        overlap = ours & set(buckets)
+        if overlap:
+            return f"{ver} ({op}) wrote overlapping buckets {sorted(overlap)}"
+    return None
 
 
 def _write_meta(
@@ -419,6 +539,7 @@ def init_table(
         _write_meta(root, None, None, df.schema)
         df.write.mode("errorifexists").parquet(os.path.join(root, ver, "data"))
         _write_manifest(root, ver, {"*": f"{ver}/data"})
+    _write_commit(root, ver, "init", "*")
     _flip(root, ver)
     return ver
 
@@ -449,11 +570,32 @@ def upsert(
     updates: DataFrame,
     key: str = "_id",
     order_col: str | None = None,
+    occ: str = "failfast",
 ) -> str:
     """MERGE ``updates`` into the current version (insert-or-replace by
     ``key``); returns the new version name.  On a bucketed table only the
     buckets containing update keys are read, anti-joined, and rewritten —
-    every other bucket is carried forward by manifest reference."""
+    every other bucket is carried forward by manifest reference.
+
+    ``occ`` picks the optimistic-concurrency commit protocol:
+
+    - ``"failfast"`` (default): claim the next version BEFORE any compute;
+      a racing live writer gets :class:`CommitConflict` immediately and
+      its :func:`commit_with_retry` recomputes against the advanced
+      snapshot.  Cheapest when conflicts are likely to be logical
+      (overlapping keys).
+    - ``"rebase"``: compute the new bucket files FIRST into a private
+      ``_staging`` dir, then claim and run the Delta-style
+      serializability check (:func:`_classify_conflict`) against every
+      commit that landed since this writer's snapshot.  If all of them
+      are bucket-DISJOINT (or content-preserving compactions), the staged
+      files commit as-is on top of the advanced manifest — two writers
+      upserting disjoint keys both commit with ZERO recompute.  Only a
+      logical conflict (overlapping buckets, whole-table write, schema /
+      layout evolution) raises :class:`CommitConflict` for the
+      whole-closure retry.  Requires a bucketed, already-initialized
+      table; otherwise falls back to fail-fast (a first-write or flat
+      table is a whole-table write — nothing to rebase onto)."""
     meta = _read_meta(root)
     # evolved columns a batch omits are filled with their recorded default
     # (the write-side half of the add_column contract)
@@ -468,6 +610,8 @@ def upsert(
         updates = updates.select(*[f.name for f in schema.fields])
     deduped = _dedupe_updates(updates, key, order_col)
     cur = current_version(root)
+    if occ == "rebase" and meta["key"] is not None and cur is not None:
+        return _upsert_rebase(spark, root, deduped, key, meta, cur)
     ver = _next_version(root)
 
     if meta["key"] is not None:
@@ -504,6 +648,7 @@ def upsert(
         new_map = dict(manifest)
         new_map.update(_written_buckets(root, ver))
         _write_manifest(root, ver, new_map)
+        _write_commit(root, ver, "upsert", touched)
     else:
         base = read_current(spark, root)
         if base is None:
@@ -515,6 +660,75 @@ def upsert(
             merged = base.join(keys, key, "left_anti").unionByName(deduped)
         merged.write.mode("errorifexists").parquet(os.path.join(root, ver, "data"))
         _write_manifest(root, ver, {"*": f"{ver}/data"})
+        _write_commit(root, ver, "upsert", "*")
+    _flip(root, ver)
+    return ver
+
+
+def _upsert_rebase(
+    spark: SparkSession,
+    root: str,
+    deduped: DataFrame,
+    key: str,
+    meta: dict,
+    snapshot: str,
+) -> str:
+    """The compute-first / claim-last half of :func:`upsert` (see its
+    docstring for the protocol).  The staged parquet is identical to what
+    the fail-fast path writes; only the commit sequencing differs."""
+    from uuid import uuid4
+
+    if meta["key"] != key:
+        raise ValueError(
+            f"table is bucketed on {meta['key']!r}, upsert keyed on {key!r}"
+        )
+    fp = _meta_fingerprint(meta)
+    n_buckets = meta["n_buckets"]
+    deduped = deduped.withColumn(_BUCKET, _bucket_expr(key, n_buckets))
+    touched = sorted(
+        str(r[_BUCKET]) for r in deduped.select(_BUCKET).distinct().collect()
+    )
+    manifest = _read_manifest(root, snapshot)
+    base_map = {b: manifest[b] for b in touched if b in manifest}
+    if base_map:
+        base = _read_paths(spark, root, base_map, meta["schema"], meta.get("added"))
+        keys = deduped.select(key)
+        if keys.count() <= 1_000_000:
+            keys = F.broadcast(keys)
+        survivors = base.join(keys, key, "left_anti").withColumn(
+            _BUCKET, _bucket_expr(key, n_buckets)
+        )
+        merged = survivors.unionByName(deduped)
+    else:
+        merged = deduped
+    staging = os.path.join(root, _STAGING, f"up_{os.getpid()}_{uuid4().hex}")
+    os.makedirs(os.path.dirname(staging), exist_ok=True)
+    merged.write.mode("errorifexists").partitionBy(_BUCKET).parquet(staging)
+    try:
+        ver = _claim_next(root)
+    except CommitConflict:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    cur2 = current_version(root)
+    reason: str | None = None
+    if _meta_fingerprint(_read_meta(root)) != fp:
+        reason = "table metadata changed since snapshot (schema/layout evolution)"
+    elif cur2 != snapshot:
+        reason = _classify_conflict(root, snapshot, cur2, set(touched))
+        if reason is None:
+            # rebase: overlay OUR buckets onto the ADVANCED manifest — the
+            # intervening commits were bucket-disjoint, so every other
+            # bucket's latest files are theirs and ours stay correct
+            manifest = _read_manifest(root, cur2)
+    if reason is not None:
+        shutil.rmtree(staging, ignore_errors=True)
+        _release_claim(root, ver)
+        raise CommitConflict(root, ver, reason)
+    os.rename(staging, os.path.join(root, ver))
+    new_map = dict(manifest)
+    new_map.update(_written_buckets(root, ver))
+    _write_manifest(root, ver, new_map)
+    _write_commit(root, ver, "upsert", touched)
     _flip(root, ver)
     return ver
 
@@ -585,6 +799,7 @@ def compact(
     new_map = dict(manifest)
     new_map.update(_written_buckets(root, ver))
     _write_manifest(root, ver, new_map)
+    _write_commit(root, ver, "compact", sorted(plan))
     _flip(root, ver)
     return ver, sorted(plan)
 
@@ -626,12 +841,14 @@ def delete_where(spark: SparkSession, root: str, condition) -> str:
         new_map = {b: rel for b, rel in manifest.items() if b not in set(touched)}
         new_map.update(_written_buckets(root, ver))  # survivors only; empty dropped
         _write_manifest(root, ver, new_map)
+        _write_commit(root, ver, "delete", touched)
     else:
         base = read_current(spark, root)
         base.filter(keep).write.mode("errorifexists").parquet(
             os.path.join(root, ver, "data")
         )
         _write_manifest(root, ver, {"*": f"{ver}/data"})
+        _write_commit(root, ver, "delete", "*")
     _flip(root, ver)
     return ver
 
@@ -738,6 +955,7 @@ def merge_into(
         new_map.pop(b, None)
     new_map.update(_written_buckets(root, ver))
     _write_manifest(root, ver, new_map)
+    _write_commit(root, ver, "merge", touched)
     _flip(root, ver)
     return ver
 
@@ -781,6 +999,136 @@ def vacuum(root: str, keep_last: int = 1) -> list[str]:
     return removed
 
 
+def vacuum_retention(
+    root: str, retention_s: float, now: float | None = None
+) -> dict:
+    """Time-based VACUUM + orphan GC — the ``VACUUM ... RETAIN n HOURS``
+    operational contract a shared 100 TB table needs (count-based
+    :func:`vacuum` keeps the N newest versions regardless of age; a real
+    deployment reasons in wall-clock: "time travel works for 7 days").
+
+    A COMMITTED version dir (number ≤ the current pointer) is retained iff
+    any of:
+
+    - it IS the current version;
+    - its commit time (manifest mtime) is within the retention window;
+    - a tag points at it;
+    - any retained version's manifest references into it (structural
+      sharing keeps an old dir live as long as one untouched bucket of a
+      retained version still points there).
+
+    Orphan GC collects crashed-writer leftovers — claimed-but-never-
+    committed version dirs (number ABOVE the pointer) with their claim
+    files, orphaned claim/stale-takeover/tmp marker files, and abandoned
+    ``_staging`` dirs from the rebase commit path — but ONLY when they are
+    older than the window.  That age gate is the crash-safety contract:
+    an IN-FLIGHT writer's claim, staged dir, or half-written version is
+    never touched while younger than ``retention_s``, so the window must
+    exceed the longest-running commit (Delta documents the same
+    constraint for its 7-day default).
+
+    ``now`` is injectable for deterministic tests.  Returns
+    ``{"removed": [committed version dirs], "retained": [...],
+    "orphans_removed": [names relative to root]}``, each sorted."""
+    import shutil
+
+    now = time.time() if now is None else now
+    cutoff = now - retention_s
+    cur = current_version(root)
+    n_cur = -1 if cur is None else int(cur.split("_")[1])
+    entries = os.listdir(root)
+    versions = sorted(
+        d
+        for d in entries
+        if d.startswith("v_") and os.path.isdir(os.path.join(root, d))
+    )
+    committed = [v for v in versions if int(v.split("_")[1]) <= n_cur]
+    uncommitted = [v for v in versions if int(v.split("_")[1]) > n_cur]
+
+    def commit_time(v: str) -> float:
+        man = os.path.join(root, v, _MANIFEST)
+        try:
+            return os.path.getmtime(man)
+        except FileNotFoundError:  # pre-manifest dir: best effort
+            return os.path.getmtime(os.path.join(root, v))
+
+    retained = {v for v in committed if v == cur or commit_time(v) >= cutoff}
+    tag_dir = os.path.join(root, "_tags")
+    if os.path.isdir(tag_dir):
+        for t in os.listdir(tag_dir):
+            if not t.startswith("."):
+                with open(os.path.join(tag_dir, t)) as fh:
+                    retained.add(fh.read().strip())
+    live: set[str] = set(retained)
+    for v in sorted(retained):
+        if v in committed:
+            for rel in _read_manifest(root, v).values():
+                live.add(rel.split("/", 1)[0])
+
+    removed, orphans = [], []
+    for v in committed:
+        if v not in live:
+            shutil.rmtree(os.path.join(root, v))
+            removed.append(v)
+    for v in uncommitted:
+        # newest trace wins: a writer touching EITHER the dir or its claim
+        # within the window is presumed alive
+        stamps = [os.path.getmtime(os.path.join(root, v))]
+        claim = _claim_path(root, v)
+        try:
+            stamps.append(os.path.getmtime(claim))
+        except FileNotFoundError:
+            pass
+        if max(stamps) < cutoff:
+            shutil.rmtree(os.path.join(root, v))
+            try:
+                os.unlink(claim)
+            except FileNotFoundError:
+                pass
+            orphans.append(v)
+    for f in entries:
+        path = os.path.join(root, f)
+        if not os.path.isfile(path):
+            continue
+        is_marker = (
+            # a claim for a committed version is released at flip, so a
+            # surviving one is dead; a claim ABOVE the pointer with no
+            # version dir is a writer that crashed before its first write
+            # (with a dir, the uncommitted-dir loop above owns both)
+            (
+                f.endswith(".claim")
+                and (
+                    int(f.split(".")[0].split("_")[1]) <= n_cur
+                    or not os.path.isdir(os.path.join(root, f[: -len(".claim")]))
+                )
+            )
+            or ".claim.stale." in f
+            or f.endswith(".tmp")
+        )
+        if is_marker:
+            try:
+                if os.path.getmtime(path) < cutoff:
+                    os.unlink(path)
+                    orphans.append(f)
+            except FileNotFoundError:
+                pass
+    staging_root = os.path.join(root, _STAGING)
+    if os.path.isdir(staging_root):
+        for d in os.listdir(staging_root):
+            path = os.path.join(staging_root, d)
+            try:
+                if os.path.getmtime(path) < cutoff:
+                    shutil.rmtree(path, ignore_errors=True)
+                    orphans.append(f"{_STAGING}/{d}")
+            except FileNotFoundError:
+                pass
+    return {
+        "removed": sorted(removed),
+        "retained": sorted(v for v in committed if v in live),
+        "orphans_removed": sorted(orphans),
+    }
+
+
 def rebucket(spark: SparkSession, root: str, n_buckets: int) -> str:
     """Partition evolution — change the table's hash-bucket count (the
     Iceberg `REPLACE PARTITION FIELD` analog for this layout): ONE full
@@ -819,6 +1167,7 @@ def rebucket(spark: SparkSession, root: str, n_buckets: int) -> str:
     # version's staged copy).  The root copy is a synced fast path only.
     with open(os.path.join(root, ver, _META), "w") as fh:
         json.dump(staged, fh)
+    _write_commit(root, ver, "rebucket", "*")
     _flip(root, ver)
     _sync_root_meta(root, staged)
     return ver
@@ -867,6 +1216,7 @@ def restore(root: str, version: int | None = None, tag: str | None = None) -> st
     ver = _next_version(root)
     os.makedirs(os.path.join(root, ver), exist_ok=True)
     _write_manifest(root, ver, mapping)
+    _write_commit(root, ver, "restore", "*")
     _flip(root, ver)
     return ver
 

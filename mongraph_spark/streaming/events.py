@@ -874,14 +874,24 @@ def streaming_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from mongraph_spark.sparkutil import read_table
 
+    # One-cent domain floor: DDSketch is defined on positive reals, and
+    # sf0.1 events contain rows with round(value*100)=0 whose bucket
+    # (e=0, m=-16) sits outside the [0, DD_SUB) sub-bucket contract (and a
+    # negative cent would diverge on bin() between engines).  Clamp at the
+    # source — mirrored in ORACLE_STREAM_DDSKETCH — exactly as
+    # corpus_ccnet_sketch_cutoffs does.
     ev = events_stream(spark, sf_dir).select(
-        F.round(F.col("value") * 100).cast("long").alias("cents")
+        F.greatest(F.round(F.col("value") * 100).cast("long"), F.lit(1)).alias(
+            "cents"
+        )
     )
     agg = dd_binned(ev).groupBy("e", "m").agg(F.count(F.lit(1)).alias("c"))
     with _state_partitioning(spark, sf_dir):
         sketch = run_to_table(agg, output_mode="complete")
     batch = read_table(spark, sf_dir, "events").select(
-        F.round(F.col("value") * 100).cast("long").alias("cents")
+        F.greatest(F.round(F.col("value") * 100).cast("long"), F.lit(1)).alias(
+            "cents"
+        )
     )
     targets = dd_targets(batch.agg(F.count(F.lit(1)).alias("n")))
     est = dd_estimate(sketch, targets, "est_cents")
@@ -907,7 +917,7 @@ from mongraph_spark.queries.relational import DD_SUB as _DD_SUB  # noqa: E402
 
 ORACLE_STREAM_DDSKETCH = f"""
 WITH o AS (
-  SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events
+  SELECT greatest(CAST(round(value * 100) AS BIGINT), 1) AS cents FROM events
 ), binned AS (
   SELECT cents, e,
          (cents * {_DD_SUB}) // (1::BIGINT << CAST(e AS INTEGER)) - {_DD_SUB} AS m

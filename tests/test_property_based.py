@@ -408,6 +408,84 @@ def test_racing_writers_match_sequential_model(
     assert got == model
 
 
+# -- racing REBASE writers == sequential model, zero recompute when disjoint ----
+#
+# The rebase protocol's serializability matrix: for ANY pair of key sets,
+# two racing occ="rebase" writers must converge to the sequential model;
+# when their key sets hash to DISJOINT buckets, neither writer may surface
+# a CommitConflict at all (both staged commits land — the Delta-style
+# "disjoint transactions don't retry" guarantee).
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(
+    keys1=st.sets(st.integers(0, 9), min_size=1, max_size=4),
+    keys2=st.sets(st.integers(10, 19), min_size=1, max_size=4),
+)
+def test_racing_rebase_writers_match_sequential_model(
+    spark, tmp_path_factory, keys1, keys2
+):
+    import threading
+
+    from mongraph_spark.sources import merge as M
+
+    root = str(tmp_path_factory.mktemp("rebase_race") / "tbl")
+    base = [(i, f"n{i}", 0) for i in range(20)]
+    M.init_table(
+        spark.createDataFrame(base, "id long, name string, rev long"),
+        root, key="id", n_buckets=4,
+    )
+    bucket = {
+        r.id: str(r.b)
+        for r in spark.createDataFrame([(i,) for i in range(20)], "id long")
+        .select("id", M._bucket_expr("id", 4).alias("b"))
+        .collect()
+    }
+    disjoint = not ({bucket[k] for k in keys1} & {bucket[k] for k in keys2})
+    errs, conflicts = [], []
+
+    def writer(keys, tag):
+        rows = [(k, f"{tag}{k}", 1) for k in sorted(keys)]
+        batch = spark.createDataFrame(rows, "id long, name string, rev long")
+
+        def mut():
+            try:
+                return M.upsert(
+                    spark, root, batch, key="id", order_col="rev", occ="rebase"
+                )
+            except M.CommitConflict:
+                conflicts.append(tag)
+                raise
+
+        try:
+            M.commit_with_retry(mut, max_retries=30, backoff_s=0.2)
+        except Exception as exc:  # noqa: BLE001
+            errs.append(exc)
+
+    t1 = threading.Thread(target=writer, args=(keys1, "a"))
+    t2 = threading.Thread(target=writer, args=(keys2, "b"))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs, errs
+    if disjoint:
+        # the matrix's payoff: disjoint-bucket writers NEVER conflict
+        assert conflicts == [], conflicts
+    assert M.current_version(root) == "v_00002"
+    model = {i: (f"n{i}", 0) for i in range(20)}
+    for k in keys1:
+        model[k] = (f"a{k}", 1)
+    for k in keys2:
+        model[k] = (f"b{k}", 1)
+    got = {
+        r.id: (r.name, r.rev)
+        for r in M.read_current(spark, root).drop("__bucket").collect()
+    }
+    assert got == model
+
+
 # -- BPE trainer == independent single-process trainer -------------------------
 #
 # For ANY corpus, the distributed trainer must learn EXACTLY the merge list
