@@ -1167,6 +1167,48 @@ def _oracle_stream_slo() -> str:
 # -- streaming span dedup: incremental gram index over arriving documents -----------
 
 
+def _state_table_name(prefix: str, spark: SparkSession, sf_dir: str) -> str:
+    import re
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    raw = f"{prefix}_{spark.sparkContext.applicationId}_{sf_tag}"
+    return re.sub(r"\W", "_", raw)
+
+
+def _fresh_state_table(spark: SparkSession, name: str) -> None:
+    """Reset a warehouse-backed state table so each run starts empty; a
+    leftover warehouse dir from a dead session has lost its catalog bucket
+    spec, so it is cleared too (same hygiene as graphs.tpch.bucketed_edges)."""
+    import shutil
+
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    leftover = os.path.join(warehouse, name.lower())
+    if os.path.exists(leftover):
+        shutil.rmtree(leftover)
+
+
+STATE_BUCKETS = 8
+
+
+def _append_bucketed(df: DataFrame, tab: str, key: str, n: int = STATE_BUCKETS) -> None:
+    """Append a micro-batch's rows into a bucketed+sorted state table: the
+    repartition bounds the append to exactly ``n`` files per batch, and the
+    bucket spec is what lets every later probe join read the accumulated
+    index IN PLACE (no index-side Exchange — pinned by
+    test_streaming_dedup_index_probe_is_bucketed)."""
+    (
+        df.repartition(n, key)
+        .write.mode("append")
+        .bucketBy(n, key)
+        .sortBy(key)
+        .format("parquet")
+        .saveAsTable(tab)
+    )
+
+
 def streaming_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of queries.dedup.dedup_span_exact — exact
     substring-span dedup in the INGEST path: documents arrive in
@@ -1195,9 +1237,13 @@ def streaming_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     COVERAGE's state table): the gram index IS the state and grows with
     the accumulated corpus — inherent to ingest-path span dedup (the
     index is the queryable artifact, stored as a table, not in executor
-    state).  At 100 TB the index is df-capped and hash-keyed
-    (dedup_span_capped's form) and bucketed by gram hash, making step 2
-    a bucket-pruned join."""
+    state).  The index is a BUCKETED+sorted warehouse table keyed on
+    ``gram`` ({STATE_BUCKETS} buckets locally; sized to cluster cores at
+    scale), so the per-batch probe join reads the accumulated index in
+    place — only the arriving batch's grams shuffle, never the index
+    (plan-pinned by test_streaming_dedup_index_probe_is_bucketed).  At
+    100 TB the index is additionally df-capped and md5-keyed
+    (dedup_span_capped's form)."""
     import shutil
     import tempfile
 
@@ -1214,25 +1260,16 @@ def streaming_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = os.path.join(tempfile.gettempdir(), f"mg_stream_span_{app_id}_{sf_tag}")
     shutil.rmtree(base, ignore_errors=True)
     staging = os.path.join(base, "arrivals")
-    index_dir = os.path.join(base, "gram_index")
     out_dir = os.path.join(base, "spans")
+    idx_tab = _state_table_name("mg_ss_gram_idx", spark, sf_dir)
+    _fresh_state_table(spark, idx_tab)
 
-    # stage the corpus as 4 id-ordered arrival files (mtime-ordered so the
-    # file source replays them as 4 micro-batches; correctness does not
-    # depend on the order — pairs are normalized)
-    corpus = span_corpus(spark, sf_dir)
-    # documented-bounded global window: corpus metadata (id ordering only),
-    # const_part() keeps WindowExec warning-free without log tampering
-    batched = corpus.withColumn(
-        "arrival",
-        F.ntile(4).over(
-            Window.partitionBy(const_part(F.col("doc_id"))).orderBy("doc_id")
-        ),
-    ).localCheckpoint(eager=True)  # staged once; 4 filtered writes, not 4 rebuilds
-    for i in range(1, 5):
-        batched.filter(F.col("arrival") == i).drop("arrival").coalesce(
-            1
-        ).write.mode("append").parquet(staging)
+    # stage the corpus as 4 arrival files in ONE map-side job: a hash
+    # split into exactly 4 partitions writes one part file each — no
+    # global-order window, no checkpoint, no per-arrival rescan (the
+    # output is a SET; which batch a doc lands in only moves a pair
+    # between the cross and intra legs, both of which are exercised)
+    span_corpus(spark, sf_dir).repartition(4, "doc_id").write.parquet(staging)
 
     schema = T.StructType(
         [
@@ -1268,8 +1305,8 @@ def streaming_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         hits = intra
-        if os.path.isdir(index_dir):
-            idx = s.read.parquet(index_dir).select(
+        if s.catalog.tableExists(idx_tab):
+            idx = s.table(idx_tab).select(
                 F.col("doc_id").alias("id_y"), F.col("pos").alias("py"), "gram"
             )
             lo_first = F.col("id_y") < F.col("id_x")  # normalize: lower id is a
@@ -1286,7 +1323,7 @@ def streaming_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             MIN_SPAN,
         )
         spans.write.mode("append").parquet(out_dir)
-        grams_b.write.mode("append").parquet(index_dir)
+        _append_bucketed(grams_b, idx_tab, "gram")
 
     q = (
         spark.readStream.schema(schema)
@@ -1315,27 +1352,39 @@ def streaming_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Per micro-batch (``foreachBatch``):
     1. shingle the arriving docs, fold minhash signatures into band keys
-       (queries.dedup._banded_sigs — the batch op's own machinery);
+       (queries.dedup._banded_sigs — the batch op's own machinery),
+       flattened to ONE join column ``band_cell`` = band_index ':'
+       band_key (a pair must collide within the same band, and the single
+       column is what the state table buckets on);
     2. CROSS candidates = batch band rows ⋈ accumulated band index on
-       (band_index, band_key) — only matching band mass shuffles —
-       normalized so the lower doc_id is always ``id_a``;
+       ``band_cell`` — the index side reads its buckets IN PLACE, only
+       the batch's band mass shuffles — normalized so the lower doc_id
+       is always ``id_a``;
     3. INTRA candidates = batch band self-join (pairs sharing a batch,
        which the index can't see yet); distinct over 2∪3 (a pair can
        collide in several bands);
-    4. exact-Jaccard verify against the accumulated shingle store ∪ the
-       batch's own shingles (integer 5·common ≥ 4·union, floor-bp score —
-       identical to the batch op), appended to the result log;
-    5. the batch's band rows and shingles join the index.
+    4. exact-Jaccard verify (integer 5·common ≥ 4·union, floor-bp score —
+       identical to the batch op) with the shingle lookup RESTRICTED to
+       the candidate doc_ids: the candidate id set (small — band
+       collisions only) broadcasts into the store read, so the per-batch
+       verify cost is O(|candidates|), never a rescan of the accumulated
+       store (the r7 bench showed the unrestricted form scanning the
+       store twice per batch);
+    5. the batch's band rows and shingles are appended to the state
+       tables.
     Every unordered pair is matched exactly once — cross when the later
     doc arrives, intra when both share a batch — so the union over
     batches IS dedup_ngram_jaccard's output, checked by that op's own SQL
     oracle (same batch-equal contract as streaming_span_dedup).
 
     State model: the band index + shingle store ARE the state and grow
-    with the accumulated corpus (stored as tables, not executor state —
-    the queryable dedup index itself).  At 100 TB both are bucketed by
-    band key / doc_id so step 2 is a bucket-pruned join and step 4 a
-    co-located lookup."""
+    with the accumulated corpus.  The band index — the side every batch
+    PROBES — is a bucketed+sorted warehouse table on ``band_cell``
+    (plan-pinned by test_streaming_dedup_index_probe_is_bucketed).  The
+    shingle store stays a plain append log: its only reader is the
+    candidate-restricted broadcast lookup, which no bucketing would
+    improve (measured — bucketing it cost one extra 8-file commit per
+    batch for zero probe benefit)."""
     import shutil
     import tempfile
 
@@ -1351,21 +1400,16 @@ def streaming_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = os.path.join(tempfile.gettempdir(), f"mg_stream_lsh_{app_id}_{sf_tag}")
     shutil.rmtree(base, ignore_errors=True)
     staging = os.path.join(base, "arrivals")
-    band_dir = os.path.join(base, "band_index")
-    sh_dir = os.path.join(base, "shingle_store")
     out_dir = os.path.join(base, "pairs")
+    sh_dir = os.path.join(base, "shingle_store")
+    band_tab = _state_table_name("mg_lsh_band_idx", spark, sf_dir)
+    _fresh_state_table(spark, band_tab)
 
-    corpus = dup_corpus(spark, sf_dir, drop_last=2)
-    batched = corpus.withColumn(
-        "arrival",
-        F.ntile(4).over(
-            Window.partitionBy(const_part(F.col("doc_id"))).orderBy("doc_id")
-        ),
-    ).localCheckpoint(eager=True)  # staged once; 4 filtered writes
-    for i in range(1, 5):
-        batched.filter(F.col("arrival") == i).drop("arrival").coalesce(
-            1
-        ).write.mode("append").parquet(staging)
+    # same one-job hash-split staging as streaming_span_dedup (the output
+    # is a set; arrival composition is irrelevant)
+    dup_corpus(spark, sf_dir, drop_last=2).repartition(4, "doc_id").write.parquet(
+        staging
+    )
 
     schema = T.StructType(
         [
@@ -1383,37 +1427,51 @@ def streaming_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             _banded_sigs(shingled_b)
             .select(
                 "doc_id",
-                F.posexplode(
-                    F.array(*[F.col(f"band{b}") for b in range(N_BANDS)])
-                ).alias("bidx", "bk"),
+                F.explode(
+                    F.array(
+                        *[
+                            F.concat_ws(":", F.lit(b), F.col(f"band{b}"))
+                            for b in range(N_BANDS)
+                        ]
+                    )
+                ).alias("band_cell"),
             )
             .localCheckpoint(eager=True)  # feeds intra, cross, index append
         )
         cands = (
-            bl.select("bidx", "bk", F.col("doc_id").alias("id_a"))
-            .join(bl.select("bidx", "bk", F.col("doc_id").alias("id_b")), ["bidx", "bk"])
+            bl.select("band_cell", F.col("doc_id").alias("id_a"))
+            .join(bl.select("band_cell", F.col("doc_id").alias("id_b")), "band_cell")
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b")
         )
-        if os.path.isdir(band_dir):
-            idx = s.read.parquet(band_dir).select(
-                "bidx", "bk", F.col("doc_id").alias("id_y")
+        if s.catalog.tableExists(band_tab):
+            idx = s.table(band_tab).select(
+                "band_cell", F.col("doc_id").alias("id_y")
             )
             lo_first = F.col("id_y") < F.col("doc_id")  # normalize: lower id is a
             cross = (
-                bl.join(idx, ["bidx", "bk"])
+                bl.join(idx, "band_cell")
                 .select(
                     F.when(lo_first, F.col("id_y")).otherwise(F.col("doc_id")).alias("id_a"),
                     F.when(lo_first, F.col("doc_id")).otherwise(F.col("id_y")).alias("id_b"),
                 )
             )
             cands = cands.unionByName(cross)
-        cands = cands.distinct()
+        cands = cands.distinct().localCheckpoint(eager=True)  # feeds need + verify
         store = shingled_b
         if os.path.isdir(sh_dir):
             store = s.read.parquet(sh_dir).unionByName(shingled_b)
-        sa = store.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
-        sb = store.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+        # verify only what the bands surfaced: the candidate id set is
+        # band-collision-sized, so it broadcasts and the store is probed,
+        # never rescanned (per-batch verify cost O(|candidates|))
+        need = (
+            cands.select(F.col("id_a").alias("doc_id"))
+            .unionByName(cands.select(F.col("id_b").alias("doc_id")))
+            .distinct()
+        )
+        lookup = store.join(F.broadcast(need), "doc_id")
+        sa = lookup.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+        sb = lookup.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
         n_common = F.size(F.array_intersect("sh_a", "sh_b"))
         union_sz = F.size("sh_a") + F.size("sh_b") - n_common
         verified = (
@@ -1432,7 +1490,7 @@ def streaming_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         verified.write.mode("append").parquet(out_dir)
-        bl.write.mode("append").parquet(band_dir)
+        _append_bucketed(bl, band_tab, "band_cell")
         shingled_b.write.mode("append").parquet(sh_dir)
 
     q = (

@@ -347,3 +347,59 @@ def test_vacuum_retention_orphan_gc_and_crash_safety(spark, tmp_path):
     # current version itself is always retained
     assert out["retained"] == ["v_00000"]
     assert M.read_current(spark, root).count() == 40
+
+
+# -- streaming dedup twins: bucketed state probe reads buckets in place ---------
+
+
+def test_streaming_dedup_index_probe_is_bucketed(spark):
+    """VERDICT r7 #3: the dedup twins' accumulated index is a bucketed
+    warehouse table, and the per-batch probe join must read it IN PLACE —
+    a bucketed scan with NO Exchange on the index side; only the arriving
+    batch is exchanged into the matching partitioning.  Built exactly the
+    twin's way: several micro-batch appends through _append_bucketed."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from mongraph_spark.streaming.events import (
+        STATE_BUCKETS,
+        _append_bucketed,
+        _fresh_state_table,
+    )
+
+    tab = "test_probe_band_idx"
+    _fresh_state_table(spark, tab)
+    for b in range(3):  # three accumulated micro-batches
+        rows = [(i + 10_000 * b, f"cell{i % 500}") for i in range(5_000)]
+        _append_bucketed(
+            spark.createDataFrame(rows, "doc_id long, band_cell string"),
+            tab,
+            "band_cell",
+        )
+    # bucket spec registered and respected across appends
+    assert spark.table(tab).count() == 15_000
+    probe = spark.createDataFrame(
+        [(99_991, "cell1"), (99_992, "cell2")], "doc_id long, band_cell string"
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # the accumulated index dwarfs any batch at scale — disable the
+        # local-size broadcast shortcut so the plan shows the scale shape
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = probe.join(
+            spark.table(tab).select("band_cell", F.col("doc_id").alias("id_y")),
+            "band_cell",
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan, plan
+    assert re.search(r"Bucketed: true", plan), plan
+    # only the probe side is exchanged; the index side reads its buckets
+    n_ex = len(re.findall(r"Exchange hashpartitioning\(band_cell", plan))
+    assert n_ex == 1, plan
+    # and the exchange lands on STATE_BUCKETS partitions (bucket-compatible)
+    assert f"hashpartitioning(band_cell#" in plan
+    assert f", {STATE_BUCKETS})" in plan, plan
+    spark.sql(f"DROP TABLE IF EXISTS {tab}")
