@@ -3252,7 +3252,126 @@ FROM per_user GROUP BY event_type
 """
 
 
+HOLT_HORIZON = 3  # h-step-ahead forecasts emitted past the last observed day
+
+
+def events_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend exponential smoothing (double exponential
+    smoothing) over daily event value — the FORECASTING leg of the
+    time-series battery (EWMA smooths level only; CUSUM detects breaks;
+    Theil–Sen fits one global slope; Holt tracks a time-varying level AND
+    trend and extrapolates).  α = β = 1/2:
+
+        forecast_t = l_{t-1} + b_{t-1}
+        l_t = (l_{t-1} + b_{t-1} + y_t) / 2
+        b_t = (b_{t-1} + (l_t - l_{t-1})) / 2
+
+    with the classical init l_0 = y_0, b_0 = y_1 − y_0, plus
+    {HOLT_HORIZON} out-of-sample forecasts l_T + h·b_T past the last day.
+
+    Integer-exact across engines: the recursion runs on exact cents with
+    per-step floor-halving — ``shiftright(x, 1)`` in Spark and ``x // 2``
+    in DuckDB are BOTH floor division by 2 for signed BIGINT (the trend
+    can go negative), so every (level, trend) state is bit-identical; no
+    float ever enters.  A true recursion cannot be a window expression,
+    but the DAILY series is a bounded pre-aggregate (|days| rows — the
+    Theil–Sen argument), so Spark folds it with ONE ``aggregate`` HOF over
+    the collected array and DuckDB replays it as a recursive CTE.
+
+    Scale shape: one scan-sized map-side-combined daily rollup, then all
+    recursion work happens on |days| rows on one executor — O(30), not
+    O(events).  Precondition: ≥ 2 observed days (the init needs y_1)."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("y")
+    )
+    arr = daily.agg(F.array_sort(F.collect_list(F.struct("day", "y"))).alias("a"))
+    lp = "shiftright(acc.l + acc.b + x.y, 1)"  # l_t, floor-halved
+    row = (
+        "named_struct("
+        "'t', acc.t, "
+        "'actual_cents', x.y, "
+        "'forecast_cents', acc.l + acc.b, "
+        f"'level_cents', {lp}, "
+        f"'trend_cents', shiftright(acc.b + {lp} - acc.l, 1))"
+    )
+    future = ", ".join(
+        "named_struct("
+        f"'t', acc.t - 1 + {h}L, "
+        "'actual_cents', cast(null as bigint), "
+        f"'forecast_cents', acc.l + {h}L * acc.b, "
+        "'level_cents', acc.l, "
+        "'trend_cents', acc.b)"
+        for h in range(1, HOLT_HORIZON + 1)
+    )
+    trace = arr.select(
+        F.expr(
+            f"""
+            aggregate(
+              slice(a, 2, size(a) - 1),
+              named_struct(
+                't', cast(1 as bigint),
+                'l', a[0].y,
+                'b', a[1].y - a[0].y,
+                'rows', cast(array() as array<struct<
+                  t: bigint, actual_cents: bigint, forecast_cents: bigint,
+                  level_cents: bigint, trend_cents: bigint>>)),
+              (acc, x) -> named_struct(
+                't', acc.t + 1L,
+                'l', {lp},
+                'b', shiftright(acc.b + {lp} - acc.l, 1),
+                'rows', concat(acc.rows, array({row}))),
+              acc -> concat(acc.rows, array({future}))
+            )
+            """
+        ).alias("rows")
+    )
+    return trace.select(F.explode("rows").alias("r")).select(
+        F.col("r.t").alias("t"),
+        F.col("r.actual_cents").alias("actual_cents"),
+        F.col("r.forecast_cents").alias("forecast_cents"),
+        (F.col("r.actual_cents") - F.col("r.forecast_cents")).alias("err_cents"),
+        F.col("r.level_cents").alias("level_cents"),
+        F.col("r.trend_cents").alias("trend_cents"),
+    )
+
+
+ORACLE_HOLT = f"""
+WITH RECURSIVE daily AS (
+  SELECT CAST(row_number() OVER (ORDER BY day) - 1 AS BIGINT) AS t, y
+  FROM (SELECT CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        FROM events GROUP BY 1)
+),
+mx AS (SELECT max(t) AS maxt FROM daily),
+r(t, l, b, fc, actual) AS (
+  SELECT CAST(0 AS BIGINT),
+         (SELECT y FROM daily WHERE t = 0),
+         (SELECT y FROM daily WHERE t = 1) - (SELECT y FROM daily WHERE t = 0),
+         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+  UNION ALL
+  SELECT d.t,
+         CAST((r.l + r.b + d.y) >> 1 AS BIGINT),
+         CAST((r.b + ((r.l + r.b + d.y) >> 1) - r.l) >> 1 AS BIGINT),
+         CAST(r.l + r.b AS BIGINT),
+         d.y
+  FROM r JOIN daily d ON d.t = r.t + 1
+)
+SELECT t, actual AS actual_cents, fc AS forecast_cents,
+       CAST(actual - fc AS BIGINT) AS err_cents,
+       l AS level_cents, b AS trend_cents
+FROM r WHERE t >= 1
+UNION ALL
+SELECT mx.maxt + h, CAST(NULL AS BIGINT),
+       CAST(r.l + h * r.b AS BIGINT), CAST(NULL AS BIGINT), r.l, r.b
+FROM r CROSS JOIN mx
+CROSS JOIN (VALUES {", ".join(f"({h})" for h in range(1, HOLT_HORIZON + 1))}) hs(h)
+WHERE r.t = mx.maxt
+"""
+
+
 QUERIES = {
+    "events_holt_trend": events_holt_trend,
     "events_burstiness": events_burstiness,
     "events_markov_surprise": events_markov_surprise,
     "events_slo_burn_rate": events_slo_burn_rate,
@@ -3315,6 +3434,7 @@ ORACLES = {
     "events_markov_transitions": ORACLE_MARKOV,
     "events_multitouch_attribution": ORACLE_MULTITOUCH,
     "events_ewma_hourly": ORACLE_EWMA,
+    "events_holt_trend": ORACLE_HOLT,
     "events_session_paths": ORACLE_SESSION_PATHS,
     "events_cumulative_users": ORACLE_CUMULATIVE_USERS,
     "events_count_min": ORACLE_COUNT_MIN,

@@ -1448,7 +1448,137 @@ FROM by_new n LEFT JOIN by_old o ON n.shard = o.shard
 ORACLE_RENDEZVOUS = _oracle_rendezvous()
 
 
+# -- k-anonymity report: privacy risk of a quasi-identifier release -------------------
+
+K_ANON_K = 5
+_K_ANON_LEVELS = [
+    # (level label, QI columns besides the balance bin, bin width in cents)
+    ("L0_nation_segment_bal100", ["nation", "segment"], 10_000),
+    ("L1_nation_segment_bal1000", ["nation", "segment"], 100_000),
+    ("L2_segment_bal1000", ["segment"], 100_000),
+]
+
+
+def pipeline_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of a quasi-identifier release — the data-governance
+    gate a training-data pipeline runs before publishing user-derived
+    tables (Sweeney 2002: a row is re-identifiable when its QI equivalence
+    class has fewer than k members).  Three rungs of a generalization
+    ladder over customer quasi-identifiers (nation × segment × account-
+    balance bin, then a coarser bin, then nation dropped) are audited in
+    one pass each: class count, extreme class sizes, rows violating k=5
+    (the rows suppression would remove), the suppression rate, and the
+    discernibility metric DM = Σ|c|² over published classes + |suppressed|
+    · n (Bayardo & Agrawal 2005) — the standard utility cost that lets an
+    operator pick the cheapest rung that reaches k.
+
+    Integer discipline: balance bins are trunc-division of exact cents
+    (oracle sign-split to match Spark's ``div``); every metric is an
+    integer count or a floored bp ratio.
+
+    Scale shape: per rung ONE map-side-combined groupBy on low-cardinality
+    QI columns followed by a |classes|-row aggregate — no joins, no
+    windows; at 100 TB this is three scan-bound passes (or one shared scan
+    with a grouping-sets rewrite if the ladder grows)."""
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    outs = []
+    for label, qi, binsz in _K_ANON_LEVELS:
+        classes = (
+            cust.select(*qi, F.expr(f"cents div {binsz}").alias("bal_bin"))
+            .groupBy(*qi, "bal_bin")
+            .agg(F.count(F.lit(1)).alias("sz"))
+        )
+        outs.append(
+            classes.agg(
+                F.lit(label).alias("level"),
+                F.sum("sz").cast("long").alias("n_rows"),
+                F.count(F.lit(1)).cast("long").alias("n_classes"),
+                F.min("sz").cast("long").alias("min_class"),
+                F.max("sz").cast("long").alias("max_class"),
+                F.sum((F.col("sz") < K_ANON_K).cast("long"))
+                .cast("long")
+                .alias("n_small_classes"),
+                F.sum(F.when(F.col("sz") < K_ANON_K, F.col("sz")).otherwise(0))
+                .cast("long")
+                .alias("n_rows_suppressed"),
+                F.sum(
+                    F.when(
+                        F.col("sz") >= K_ANON_K, F.col("sz") * F.col("sz")
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias("dm_published"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.select(
+        "level",
+        "n_rows",
+        "n_classes",
+        "min_class",
+        "max_class",
+        "n_small_classes",
+        "n_rows_suppressed",
+        F.expr("(10000 * n_rows_suppressed) div n_rows")
+        .cast("long")
+        .alias("suppression_bp"),
+        (F.col("dm_published") + F.col("n_rows_suppressed") * F.col("n_rows"))
+        .cast("long")
+        .alias("discernibility"),
+        (F.col("n_small_classes") == 0).cast("long").alias("is_k_anonymous"),
+    )
+
+
+def _oracle_k_anonymity() -> str:
+    parts = []
+    for label, qi, binsz in _K_ANON_LEVELS:
+        qi_sql = ", ".join(qi)
+        parts.append(
+            f"""
+  SELECT '{label}' AS level, sz FROM (
+    SELECT count(*) AS sz FROM (
+      SELECT c_nationkey AS nation, c_mktsegment AS segment,
+             CASE WHEN cents >= 0 THEN cents // {binsz}
+                  ELSE -((-cents) // {binsz}) END AS bal_bin
+      FROM (SELECT *, CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+            FROM customer)
+    ) GROUP BY {qi_sql}, bal_bin
+  )"""
+        )
+    union = " UNION ALL ".join(parts)
+    return f"""
+WITH classes AS ({union})
+SELECT level,
+       CAST(sum(sz) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(min(sz) AS BIGINT) AS min_class,
+       CAST(max(sz) AS BIGINT) AS max_class,
+       CAST(sum(CASE WHEN sz < {K_ANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_small_classes,
+       CAST(sum(CASE WHEN sz < {K_ANON_K} THEN sz ELSE 0 END) AS BIGINT)
+         AS n_rows_suppressed,
+       CAST((10000 * sum(CASE WHEN sz < {K_ANON_K} THEN sz ELSE 0 END))
+            // sum(sz) AS BIGINT) AS suppression_bp,
+       CAST(sum(CASE WHEN sz >= {K_ANON_K} THEN sz * sz ELSE 0 END)
+            + sum(CASE WHEN sz < {K_ANON_K} THEN sz ELSE 0 END) * sum(sz)
+            AS BIGINT) AS discernibility,
+       CAST(CASE WHEN sum(CASE WHEN sz < {K_ANON_K} THEN 1 ELSE 0 END) = 0
+            THEN 1 ELSE 0 END AS BIGINT) AS is_k_anonymous
+FROM classes GROUP BY level
+"""
+
+
+ORACLE_K_ANONYMITY = _oracle_k_anonymity()
+
+
 QUERIES = {
+    "pipeline_k_anonymity": pipeline_k_anonymity,
     "pipeline_rendezvous_shards": pipeline_rendezvous_shards,
     "pipeline_curation_funnel": pipeline_curation_funnel,
     "pipeline_length_matching": pipeline_length_matching,
@@ -1471,6 +1601,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "pipeline_k_anonymity": ORACLE_K_ANONYMITY,
     "pipeline_rendezvous_shards": ORACLE_RENDEZVOUS,
     "pipeline_length_batches": ORACLE_LENGTH_BATCHES,
     "pipeline_length_matching": ORACLE_LENGTH_MATCHING,

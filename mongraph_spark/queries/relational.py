@@ -1119,6 +1119,181 @@ FROM sizes JOIN pair_stats USING (block_key)
 """
 
 
+def er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter probabilistic record linkage (1969) on the SAME
+    blocked candidate pairs as :func:`er_blocked_pairs` — the scoring leg
+    that turns candidate generation into match DECISIONS: each pair's
+    agreement pattern γ over comparison fields (p_type, p_size,
+    retail-price band) gets a likelihood-ratio weight LR(γ) = Π_i m_i/u_i over
+    agreeing fields × (1−m_i)/(1−u_i) over disagreeing ones, and
+    thresholds on LR partition patterns into match / possible / non-match
+    (the Splink/Dedupe.io production shape).
+
+    Parameter estimation without EM, fully deterministic: u-probabilities
+    from ALL blocked pairs (the classical "random pair" approximation,
+    restricted to blocks exactly as production linkers do), m-probabilities
+    from the labeled-match subset (edit-distance ≤ 4 on p_name — the same
+    rule er_blocked_pairs reports), both add-one smoothed so no term is
+    ever 0/0.  Exactness: each per-field probability is floored ONCE to a
+    ppm grid (the documented estimator — raw count products overflow any
+    fixed precision once the pair count passes ~10⁶, which sf0.1 already
+    does), clamped ≥ 1 ppm; the 3-field likelihood product is then exact
+    integer arithmetic on grid values (≤ 10¹⁸) with one final bp floor —
+    no logs, no floats, hash-identical across engines at ANY table size.
+
+    Scale shape: the blocked self-join (bounded fan-out, composite key)
+    feeds ONE map-side-combined aggregation producing both the 8-row
+    pattern table and the 1-row global m/u counts; everything after runs
+    on ≤ 8 rows with a broadcast of the 1-row stats."""
+    part = read_table(spark, sf_dir, "part")
+    blocked = part.select(
+        F.concat_ws(
+            "|", "p_brand", F.element_at(F.split("p_name", " "), -1)
+        ).alias("block_key"),
+        F.col("p_partkey").alias("key"),
+        F.col("p_name").alias("name"),
+        F.col("p_type").alias("ptype"),
+        F.col("p_size").alias("psize"),
+        # third comparator: retail-price band (100-currency-unit bins of
+        # exact cents; prices are positive so trunc == floor)
+        F.expr("cast(round(p_retailprice * 100) as bigint) div 10000").alias(
+            "pcont"
+        ),
+    )
+    a = blocked.select(
+        "block_key",
+        *[F.col(c).alias(f"{c}_a") for c in ("key", "name", "ptype", "psize", "pcont")],
+    )
+    b = blocked.select(
+        "block_key",
+        *[F.col(c).alias(f"{c}_b") for c in ("key", "name", "ptype", "psize", "pcont")],
+    )
+    flags = (
+        a.join(b, "block_key")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select(
+            (F.col("ptype_a") == F.col("ptype_b")).cast("long").alias("g_type"),
+            (F.col("psize_a") == F.col("psize_b")).cast("long").alias("g_size"),
+            (F.col("pcont_a") == F.col("pcont_b")).cast("long").alias("g_cont"),
+            (F.levenshtein("name_a", "name_b") <= 4).cast("long").alias("lab"),
+        )
+    )
+    pat = flags.groupBy("g_type", "g_size", "g_cont").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("lab").cast("long").alias("n_labeled_matches"),
+    )
+    glob = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("u_n"),
+        F.sum("lab").cast("long").alias("m_n"),
+        *[
+            x
+            for f in ("type", "size", "cont")
+            for x in (
+                F.sum(f"g_{f}").cast("long").alias(f"u_{f}"),
+                F.sum(F.col(f"g_{f}") * F.col("lab")).cast("long").alias(f"m_{f}"),
+            )
+        ],
+    )
+    # per-field add-one-smoothed probabilities on the ppm grid, clamped
+    # >= 1 ppm so no denominator term is ever 0; products of three 10^6-
+    # bounded values stay under 10^18 (BIGINT), and only the final *10^4
+    # rides a DECIMAL(38)
+    num_terms, den_terms = [], []
+    for f in ("type", "size", "cont"):
+        num_terms.append(
+            f"greatest(case when g_{f} = 1"
+            f" then (1000000 * (m_{f} + 1)) div (m_n + 2)"
+            f" else (1000000 * (m_n - m_{f} + 1)) div (m_n + 2) end, 1)"
+        )
+        den_terms.append(
+            f"greatest(case when g_{f} = 1"
+            f" then (1000000 * (u_{f} + 1)) div (u_n + 2)"
+            f" else (1000000 * (u_n - u_{f} + 1)) div (u_n + 2) end, 1)"
+        )
+    num = " * ".join(num_terms)
+    den = " * ".join(den_terms)
+    return (
+        pat.crossJoin(F.broadcast(glob))
+        .withColumn(
+            "weight_bp",
+            F.expr(
+                f"cast((10000 * cast({num} as decimal(38,0)))"
+                f" div cast({den} as decimal(38,0)) as bigint)"
+            ),
+        )
+        .select(
+            "g_type",
+            "g_size",
+            "g_cont",
+            "n_pairs",
+            "n_labeled_matches",
+            "weight_bp",
+            F.when(F.col("weight_bp") >= 20000, "match")
+            .when(F.col("weight_bp") <= 5000, "non_match")
+            .otherwise("possible")
+            .alias("fs_class"),
+        )
+    )
+
+
+def _oracle_fellegi_sunter() -> str:
+    num_terms, den_terms = [], []
+    for f in ("type", "size", "cont"):
+        num_terms.append(
+            f"greatest(CASE WHEN g_{f} = 1"
+            f" THEN (1000000 * (m_{f} + 1)) // (m_n + 2)"
+            f" ELSE (1000000 * (m_n - m_{f} + 1)) // (m_n + 2) END, 1)"
+        )
+        den_terms.append(
+            f"greatest(CASE WHEN g_{f} = 1"
+            f" THEN (1000000 * (u_{f} + 1)) // (u_n + 2)"
+            f" ELSE (1000000 * (u_n - u_{f} + 1)) // (u_n + 2) END, 1)"
+        )
+    num = "CAST(" + " * ".join(num_terms) + " AS HUGEINT)"
+    den = "CAST(" + " * ".join(den_terms) + " AS HUGEINT)"
+    return f"""
+WITH blocked AS (
+  SELECT p_partkey, p_name, p_type, p_size,
+         CAST(round(p_retailprice * 100) AS BIGINT) // 10000 AS pband,
+         p_brand || '|' || string_split(p_name, ' ')[-1] AS block_key
+  FROM part
+),
+flags AS (
+  SELECT CAST(a.p_type = b.p_type AS BIGINT) AS g_type,
+         CAST(a.p_size = b.p_size AS BIGINT) AS g_size,
+         CAST(a.pband = b.pband AS BIGINT) AS g_cont,
+         CAST(levenshtein(a.p_name, b.p_name) <= 4 AS BIGINT) AS lab
+  FROM blocked a JOIN blocked b
+    ON a.block_key = b.block_key AND a.p_partkey < b.p_partkey
+),
+pat AS (
+  SELECT g_type, g_size, g_cont,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(lab) AS BIGINT) AS n_labeled_matches
+  FROM flags GROUP BY 1, 2, 3
+),
+gstats AS (
+  SELECT CAST(count(*) AS BIGINT) AS u_n, CAST(sum(lab) AS BIGINT) AS m_n,
+         CAST(sum(g_type) AS BIGINT) AS u_type,
+         CAST(sum(g_type * lab) AS BIGINT) AS m_type,
+         CAST(sum(g_size) AS BIGINT) AS u_size,
+         CAST(sum(g_size * lab) AS BIGINT) AS m_size,
+         CAST(sum(g_cont) AS BIGINT) AS u_cont,
+         CAST(sum(g_cont * lab) AS BIGINT) AS m_cont
+  FROM flags
+)
+SELECT g_type, g_size, g_cont, n_pairs, n_labeled_matches,
+       CAST((10000 * ({num})) // ({den}) AS BIGINT) AS weight_bp,
+       CASE WHEN CAST((10000 * ({num})) // ({den}) AS BIGINT) >= 20000 THEN 'match'
+            WHEN CAST((10000 * ({num})) // ({den}) AS BIGINT) <= 5000 THEN 'non_match'
+            ELSE 'possible' END AS fs_class
+FROM pat CROSS JOIN gstats
+"""
+
+
+ORACLE_FELLEGI_SUNTER = _oracle_fellegi_sunter()
+
+
 # -- set operations ------------------------------------------------------------------
 
 
@@ -3540,6 +3715,7 @@ QUERIES = {
     "sketch_ddsketch_quantiles": sketch_ddsketch_quantiles,
     "interval_overlap_orders": interval_overlap_orders,
     "er_blocked_pairs": er_blocked_pairs,
+    "er_fellegi_sunter": er_fellegi_sunter,
     "setop_active_building_customers": setop_active_building_customers,
     "anti_customers_without_orders": anti_customers_without_orders,
     "semi_parts_shipped": semi_parts_shipped,
@@ -3578,6 +3754,7 @@ ORACLES = {
     "sketch_ddsketch_quantiles": ORACLE_DDSKETCH,
     "interval_overlap_orders": ORACLE_INTERVAL_OVERLAP,
     "er_blocked_pairs": ORACLE_ER_BLOCKED,
+    "er_fellegi_sunter": ORACLE_FELLEGI_SUNTER,
     "setop_active_building_customers": ORACLE_SETOP,
     "anti_customers_without_orders": ORACLE_ANTI,
     "semi_parts_shipped": ORACLE_SEMI,

@@ -403,3 +403,115 @@ def test_streaming_dedup_index_probe_is_bucketed(spark):
     assert f"hashpartitioning(band_cell#" in plan
     assert f", {STATE_BUCKETS})" in plan, plan
     spark.sql(f"DROP TABLE IF EXISTS {tab}")
+
+
+# -- round-8 new operators: hand-computed pins on crafted inputs ----------------
+
+
+def test_holt_trend_replays_recursion(spark, tmp_path):
+    """Five crafted days (one with a big drop so the trend goes NEGATIVE)
+    replayed exactly in Python with floor-halving — pins the per-step grid
+    estimator, the init, the error column, and the 3 horizon rows."""
+    import datetime
+
+    from mongraph_spark.queries.events import HOLT_HORIZON, events_holt_trend
+
+    days = [100, 200, 260, 40, 90]  # cents
+    rows = [
+        (i * 10 + 1, datetime.datetime(2024, 1, d + 1, 12, 0), 7, "click", c / 100.0, "{}")
+        for d, c in enumerate(days)
+        for i, c in [(d, c)]
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r.t: (r.actual_cents, r.forecast_cents, r.err_cents, r.level_cents, r.trend_cents)
+        for r in events_holt_trend(spark, str(tmp_path)).collect()
+    }
+
+    # python replay with floor-halving (// 2 floors in python — same as >> 1)
+    y = days
+    l, b = y[0], y[1] - y[0]
+    exp = {}
+    for t in range(1, len(y)):
+        fc = l + b
+        l2 = (l + b + y[t]) >> 1
+        b2 = (b + l2 - l) >> 1
+        exp[t] = (y[t], fc, y[t] - fc, l2, b2)
+        l, b = l2, b2
+    for h in range(1, HOLT_HORIZON + 1):
+        exp[len(y) - 1 + h] = (None, l + h * b, None, l, b)
+    assert got == exp
+    # trend actually went negative somewhere (the floor-halving sign case)
+    assert any(v[4] < 0 for v in exp.values())
+
+
+def test_k_anonymity_crafted_classes(spark, tmp_path):
+    """Crafted customers: at the finest rung one class of 2 (violates k=5)
+    and one of 6; the coarser bal bin merges them into one k-anonymous
+    class of 8 — pins class counting, suppression, DM, and the ladder."""
+    from mongraph_spark.queries.pipeline import pipeline_k_anonymity
+
+    rows = [(i, f"c{i}", 1, "BUILDING", 150.0 if i < 2 else 950.0) for i in range(8)]
+    spark.createDataFrame(
+        rows, "c_custkey long, c_name string, c_nationkey long, "
+        "c_mktsegment string, c_acctbal double"
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+    got = {r.level: r.asDict() for r in pipeline_k_anonymity(spark, str(tmp_path)).collect()}
+    l0 = got["L0_nation_segment_bal100"]
+    # bins at 100-width: 150 -> bin 1 (class of 2), 950 -> bin 9 (class of 6)
+    assert l0["n_classes"] == 2 and l0["min_class"] == 2 and l0["max_class"] == 6
+    assert l0["n_small_classes"] == 1 and l0["n_rows_suppressed"] == 2
+    assert l0["suppression_bp"] == 2500  # 2/8
+    assert l0["discernibility"] == 36 + 2 * 8  # 6² published + 2·n
+    assert l0["is_k_anonymous"] == 0
+    l1 = got["L1_nation_segment_bal1000"]
+    # 1000-width bin merges both into bin 0: one class of 8, k holds
+    assert l1["n_classes"] == 1 and l1["is_k_anonymous"] == 1
+    assert l1["n_rows_suppressed"] == 0 and l1["discernibility"] == 64
+
+
+def test_fellegi_sunter_weights_exact(spark, tmp_path):
+    """Crafted part file: one block of three records — two true duplicates
+    (name edit distance ≤ 4, all fields agree) and one stranger — replayed
+    with python Fractions over the add-one-smoothed FS estimator."""
+    from fractions import Fraction
+
+    from mongraph_spark.queries.relational import er_fellegi_sunter
+
+    rows = [
+        (1, "ivory navy widget", "B1", "STD", 5, 100.0),
+        (2, "ivory navi widget", "B1", "STD", 5, 100.5),  # dup of 1
+        (3, "completely different thing widget", "B1", "ALT", 9, 950.0),
+    ]
+    spark.createDataFrame(
+        rows, "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size long, p_retailprice double"
+    ).write.parquet(str(tmp_path / "part.parquet"))
+    out = {
+        (r.g_type, r.g_size, r.g_cont): r.asDict()
+        for r in er_fellegi_sunter(spark, str(tmp_path)).collect()
+    }
+    # pairs: (1,2) all-agree + labeled match; (1,3), (2,3) all-disagree
+    assert out[(1, 1, 1)]["n_pairs"] == 1
+    assert out[(1, 1, 1)]["n_labeled_matches"] == 1
+    assert out[(0, 0, 0)]["n_pairs"] == 2
+    assert out[(0, 0, 0)]["n_labeled_matches"] == 0
+    # replay: U=3 pairs, M=1 match; per field a_i=1 (agreeing matches),
+    # b_i=1 (agreeing pairs); add-one smoothing floored to the ppm grid
+    # (the operator's documented estimator), clamp >= 1 ppm
+    U, M = 3, 1
+    a = b = 1
+    m_ag = max(1_000_000 * (a + 1) // (M + 2), 1)
+    u_ag = max(1_000_000 * (b + 1) // (U + 2), 1)
+    m_dis = max(1_000_000 * (M - a + 1) // (M + 2), 1)
+    u_dis = max(1_000_000 * (U - b + 1) // (U + 2), 1)
+    w_all_agree = int(10000 * Fraction(m_ag**3, u_ag**3))
+    w_all_disagree = int(10000 * Fraction(m_dis**3, u_dis**3))
+    assert out[(1, 1, 1)]["weight_bp"] == w_all_agree
+    assert out[(0, 0, 0)]["weight_bp"] == w_all_disagree
+    assert out[(1, 1, 1)]["fs_class"] == "match"
+    assert out[(0, 0, 0)]["fs_class"] == "non_match"

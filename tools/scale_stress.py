@@ -196,10 +196,19 @@ def build_stress_relational(spark: SparkSession, sf_dir: str, repl: int) -> None
 def _build_vecs(spark: SparkSession, emb, repl_vecs: int) -> None:
     vec_replicas = []
     for i in range(repl_vecs):
+        # Shift each replica by a constant per-dim offset so the embedding
+        # SPACE grows with the corpus (identical replicas collapse any
+        # K ∝ corpus clustering to K distinct points — the r8 semdedup
+        # scaled-K run measured Σ|c|² unchanged at 16× because all 256
+        # seeds coincided pairwise; a 0.75·i shift separates replica bands
+        # by 0.75²·dims, far above intra-band spread, while keeping every
+        # WITHIN-replica structure — planted copies, labels — intact).
         vec_replicas.append(
             emb.select(
                 (F.col("vec_id") + F.lit(i * 1_000_000_000)).alias("vec_id"),
-                "embedding",
+                F.transform(
+                    "embedding", lambda v: (v + F.lit(float(i) * 0.75)).cast("float")
+                ).alias("embedding"),
                 "label",
             )
         )
