@@ -3285,6 +3285,14 @@ def events_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("y")
     )
+    return holt_finish(daily)
+
+
+def holt_finish(daily: DataFrame) -> DataFrame:
+    """The Holt recursion + horizon finisher over a (day, y) frame —
+    shared verbatim by the batch op and the streaming twin (the twin's
+    daily rollup is maintained by the stream; the forecast finisher is a
+    batch read of that state table)."""
     arr = daily.agg(F.array_sort(F.collect_list(F.struct("day", "y"))).alias("a"))
     lp = "shiftright(acc.l + acc.b + x.y, 1)"  # l_t, floor-halved
     row = (

@@ -1577,8 +1577,134 @@ FROM classes GROUP BY level
 ORACLE_K_ANONYMITY = _oracle_k_anonymity()
 
 
+PSEUDO_SALT = "mg_release_2026_08"  # production rotates this per data release
+
+
+def pipeline_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted-token pseudonymization with a referential-integrity audit —
+    the governance step between :func:`pipeline_k_anonymity` (measure the
+    risk) and release: replace the linking key everywhere with a keyed
+    hash token so analysts can still JOIN, but no raw identifier leaves
+    the pipeline (GDPR Art. 4(5) pseudonymization; the salt rotates per
+    release so tokens don't link ACROSS releases).
+
+    The audit proves the two properties that make a pseudonymized release
+    usable, per market segment: (1) referential integrity — the
+    customer↔orders join cardinality through TOKENS equals the raw-key
+    join exactly; (2) injectivity — distinct token count equals distinct
+    key count on both sides (a token collision would silently merge two
+    people; md5-128 makes one astronomically unlikely, and this CHECKS
+    instead of assuming).
+
+    Scale shape: tokenization is a map-only column expression; the audit
+    is the same key-shuffled join the release's consumers will run, plus
+    two map-side distinct-count aggregates.  No window, no driver work."""
+    tok = "md5(concat('{salt}:', cast({key} as string)))"
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ckey"),
+        F.expr(tok.format(salt=PSEUDO_SALT, key="c_custkey")).alias("ctok"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("okey"),
+        F.expr(tok.format(salt=PSEUDO_SALT, key="o_custkey")).alias("otok"),
+    )
+    raw = (
+        cust.join(orders, cust["ckey"] == orders["okey"])
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders_raw_join"))
+    )
+    via_tok = (
+        cust.join(orders, cust["ctok"] == orders["otok"])
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders_token_join"))
+    )
+    inj = (
+        cust.agg(
+            F.countDistinct("ckey").cast("long").alias("n_keys"),
+            F.countDistinct("ctok").cast("long").alias("n_tokens"),
+        )
+        .crossJoin(
+            orders.agg(
+                F.countDistinct("okey").cast("long").alias("n_order_keys"),
+                F.countDistinct("otok").cast("long").alias("n_order_tokens"),
+            )
+        )
+        .select(
+            "n_keys",
+            "n_tokens",
+            (
+                (F.col("n_keys") == F.col("n_tokens"))
+                & (F.col("n_order_keys") == F.col("n_order_tokens"))
+            )
+            .cast("long")
+            .alias("collision_free"),
+        )
+    )
+    per_seg = cust.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers")
+    )
+    return (
+        per_seg.join(raw, "segment")
+        .join(via_tok, "segment")
+        .crossJoin(F.broadcast(inj))
+        .select(
+            "segment",
+            "n_customers",
+            "n_orders_raw_join",
+            "n_orders_token_join",
+            (F.col("n_orders_raw_join") == F.col("n_orders_token_join"))
+            .cast("long")
+            .alias("joins_equal"),
+            "n_keys",
+            "n_tokens",
+            "collision_free",
+        )
+    )
+
+
+ORACLE_PSEUDONYMIZE = f"""
+WITH cust AS (
+  SELECT c_custkey AS ckey,
+         md5('{PSEUDO_SALT}:' || CAST(c_custkey AS VARCHAR)) AS ctok,
+         c_mktsegment AS segment
+  FROM customer
+),
+ords AS (
+  SELECT o_custkey AS okey,
+         md5('{PSEUDO_SALT}:' || CAST(o_custkey AS VARCHAR)) AS otok
+  FROM orders
+),
+raw AS (
+  SELECT segment, CAST(count(*) AS BIGINT) AS n_orders_raw_join
+  FROM cust JOIN ords ON ckey = okey GROUP BY segment
+),
+via_tok AS (
+  SELECT segment, CAST(count(*) AS BIGINT) AS n_orders_token_join
+  FROM cust JOIN ords ON ctok = otok GROUP BY segment
+),
+inj AS (
+  SELECT (SELECT CAST(count(DISTINCT ckey) AS BIGINT) FROM cust) AS n_keys,
+         (SELECT CAST(count(DISTINCT ctok) AS BIGINT) FROM cust) AS n_tokens,
+         (SELECT CAST(count(DISTINCT okey) AS BIGINT) FROM ords) AS n_order_keys,
+         (SELECT CAST(count(DISTINCT otok) AS BIGINT) FROM ords) AS n_order_tokens
+),
+per_seg AS (
+  SELECT segment, CAST(count(*) AS BIGINT) AS n_customers FROM cust GROUP BY segment
+)
+SELECT p.segment, p.n_customers, r.n_orders_raw_join, v.n_orders_token_join,
+       CAST(r.n_orders_raw_join = v.n_orders_token_join AS BIGINT) AS joins_equal,
+       i.n_keys, i.n_tokens,
+       CAST(i.n_keys = i.n_tokens AND i.n_order_keys = i.n_order_tokens AS BIGINT)
+         AS collision_free
+FROM per_seg p JOIN raw r USING (segment) JOIN via_tok v USING (segment)
+CROSS JOIN inj i
+"""
+
+
 QUERIES = {
     "pipeline_k_anonymity": pipeline_k_anonymity,
+    "pipeline_pseudonymize": pipeline_pseudonymize,
     "pipeline_rendezvous_shards": pipeline_rendezvous_shards,
     "pipeline_curation_funnel": pipeline_curation_funnel,
     "pipeline_length_matching": pipeline_length_matching,
@@ -1602,6 +1728,7 @@ QUERIES = {
 
 ORACLES = {
     "pipeline_k_anonymity": ORACLE_K_ANONYMITY,
+    "pipeline_pseudonymize": ORACLE_PSEUDONYMIZE,
     "pipeline_rendezvous_shards": ORACLE_RENDEZVOUS,
     "pipeline_length_batches": ORACLE_LENGTH_BATCHES,
     "pipeline_length_matching": ORACLE_LENGTH_MATCHING,

@@ -818,6 +818,34 @@ def _oracle_stream_cusum() -> str:
     return ORACLE_CUSUM
 
 
+def streaming_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``queries.events.events_holt_trend``: the stream
+    maintains the watermarked per-day cents rollup — the forecast's
+    ENTIRE sufficient statistic, O(days) state — and the Holt recursion +
+    horizon finisher (``holt_finish``, shared verbatim) re-runs on read
+    over the continuously-updated rollup table.  The live-dashboard
+    forecasting shape: cheap associative stream state, an O(|days|)
+    finisher per refresh, never a history replay.  Fully batch-equal (the
+    batch op's daily rollup also carries no zero-fill), checked by the
+    batch op's own recursive-CTE oracle."""
+    from mongraph_spark.queries.events import holt_finish
+
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 day")
+    agg = ev.groupBy(F.window("ts", "1 day").alias("w")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("y")
+    )
+    with _state_partitioning(spark, sf_dir):
+        out = run_to_table(agg, output_mode="complete")
+    daily = out.select(F.to_date("w.start").alias("day"), "y")
+    return holt_finish(daily)
+
+
+def _oracle_stream_holt() -> str:
+    from mongraph_spark.queries.events import ORACLE_HOLT
+
+    return ORACLE_HOLT
+
+
 # -- streaming count-min sketch twin -------------------------------------------------
 
 
@@ -1775,6 +1803,7 @@ QUERIES = {
     "streaming_ams_f2": streaming_ams_f2,
     "streaming_seasonal_anomaly": streaming_seasonal_anomaly,
     "streaming_cusum_changepoint": streaming_cusum_changepoint,
+    "streaming_holt_trend": streaming_holt_trend,
     "streaming_hll_distinct": streaming_hll_distinct,
     "streaming_tumbling_window": streaming_tumbling_window,
     "streaming_markov_transitions": streaming_markov_transitions,
@@ -1801,6 +1830,7 @@ ORACLES = {
     "streaming_ams_f2": _oracle_stream_ams(),
     "streaming_seasonal_anomaly": _oracle_stream_seasonal(),
     "streaming_cusum_changepoint": _oracle_stream_cusum(),
+    "streaming_holt_trend": _oracle_stream_holt(),
     "streaming_hll_distinct": ORACLE_STREAM_HLL,
     "streaming_threshold_anomaly": ORACLE_STREAM_ANOMALY,
     "streaming_markov_transitions": ORACLE_STREAM_MARKOV,

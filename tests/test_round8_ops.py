@@ -515,3 +515,41 @@ def test_fellegi_sunter_weights_exact(spark, tmp_path):
     assert out[(0, 0, 0)]["weight_bp"] == w_all_disagree
     assert out[(1, 1, 1)]["fs_class"] == "match"
     assert out[(0, 0, 0)]["fs_class"] == "non_match"
+
+
+def test_streaming_holt_equals_batch(spark):
+    """The streaming twin's rollup + shared finisher must reproduce the
+    batch op EXACTLY (same recursion over the same daily sufficient
+    statistic) — the strongest twin contract in the suite."""
+    from mongraph_spark.queries.events import events_holt_trend
+    from mongraph_spark.streaming.events import streaming_holt_trend
+
+    sf = "/root/testdata/sf0.001"
+    batch = {tuple(r) for r in events_holt_trend(spark, sf).collect()}
+    stream = {tuple(r) for r in streaming_holt_trend(spark, sf).collect()}
+    assert batch == stream and len(batch) > 0
+
+
+def test_pseudonymize_crafted_integrity(spark, tmp_path):
+    """Crafted customers/orders: tokens must preserve the join exactly and
+    be collision-free; a customer with no orders and an order with a
+    dangling key exercise both join edges."""
+    from mongraph_spark.queries.pipeline import pipeline_pseudonymize
+
+    spark.createDataFrame(
+        [(1, "BUILDING"), (2, "BUILDING"), (3, "AUTOMOBILE")],
+        "c_custkey long, c_mktsegment string",
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+    spark.createDataFrame(
+        [(10, 1), (11, 1), (12, 2), (13, 99)],  # 99: dangling key
+        "o_orderkey long, o_custkey long",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    got = {r.segment: r.asDict() for r in
+           pipeline_pseudonymize(spark, str(tmp_path)).collect()}
+    b = got["BUILDING"]
+    assert b["n_customers"] == 2
+    assert b["n_orders_raw_join"] == 3 == b["n_orders_token_join"]
+    assert b["joins_equal"] == 1 and b["collision_free"] == 1
+    assert b["n_keys"] == 3 and b["n_tokens"] == 3
+    # AUTOMOBILE has a customer but no orders -> inner join drops it
+    assert "AUTOMOBILE" not in got

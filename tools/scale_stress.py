@@ -196,18 +196,27 @@ def build_stress_relational(spark: SparkSession, sf_dir: str, repl: int) -> None
 def _build_vecs(spark: SparkSession, emb, repl_vecs: int) -> None:
     vec_replicas = []
     for i in range(repl_vecs):
-        # Shift each replica by a constant per-dim offset so the embedding
-        # SPACE grows with the corpus (identical replicas collapse any
-        # K ∝ corpus clustering to K distinct points — the r8 semdedup
-        # scaled-K run measured Σ|c|² unchanged at 16× because all 256
-        # seeds coincided pairwise; a 0.75·i shift separates replica bands
-        # by 0.75²·dims, far above intra-band spread, while keeping every
-        # WITHIN-replica structure — planted copies, labels — intact).
+        # Shift each replica by a constant offset in the HEAD dims so the
+        # embedding SPACE grows with the corpus (identical replicas
+        # collapse any K ∝ corpus clustering to K distinct points — the
+        # r8 semdedup scaled-K run measured Σ|c|² unchanged at 16×
+        # because all 256 seeds coincided pairwise).  Only dims the
+        # planted-copy rule KEEPS are shifted (semdedup's copies zero the
+        # last ZERO_TAIL dims — a tail shift would push every replica's
+        # copies away from their originals and silently destroy the
+        # planted recall the stress is supposed to hold fixed).
+        from mongraph_spark.queries.dedup import ZERO_TAIL
+
+        n_dims = F.size("embedding")
+        off = float(i) * 0.75
         vec_replicas.append(
             emb.select(
                 (F.col("vec_id") + F.lit(i * 1_000_000_000)).alias("vec_id"),
                 F.transform(
-                    "embedding", lambda v: (v + F.lit(float(i) * 0.75)).cast("float")
+                    "embedding",
+                    lambda v, j: F.when(
+                        j < n_dims - ZERO_TAIL, (v + F.lit(off)).cast("float")
+                    ).otherwise(v),
                 ).alias("embedding"),
                 "label",
             )
