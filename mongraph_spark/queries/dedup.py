@@ -1911,15 +1911,9 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_report(spark, sf_dir, SEMDEDUP_SEED_IDS)
 
 
-def semdedup_report(
-    spark: SparkSession, sf_dir: str, seed_ids: list[int]
-) -> DataFrame:
-    """The SemDeDup core with an explicit seed set — K = len(seed_ids) is
-    the Σ|c|² knob; tools/scale_stress.py drives this with K scaled ∝
-    corpus size to demonstrate the documented linear regime (fixed-K is
-    quadratic by construction)."""
-    from mongraph_spark.queries.similarity import _SQ_DIST
-
+def _semdedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ∪ planted near-dup copies (+ID_SHIFT, tail zeroed) — the
+    shared truth corpus of the vector-dedup family."""
     emb = read_table(spark, sf_dir, "embeddings")
     vecs = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec")
@@ -1932,7 +1926,22 @@ def semdedup_report(
             lambda v, i: F.when(i < n_dims - ZERO_TAIL, v).otherwise(F.lit(0.0)),
         ).alias("vec"),
     )
-    corpus = vecs.unionByName(copies).localCheckpoint(eager=True)
+    return vecs.unionByName(copies).localCheckpoint(eager=True)
+
+
+def semdedup_report(
+    spark: SparkSession, sf_dir: str, seed_ids: list[int]
+) -> DataFrame:
+    """The SemDeDup core with an explicit seed set — K = len(seed_ids) is
+    the Σ|c|² knob; tools/scale_stress.py drives this with K scaled ∝
+    corpus size to demonstrate the documented linear regime (fixed-K is
+    quadratic by construction).  FLAT Lloyd assignment: O(N·K·d) map-side
+    flops per round — with K ∝ N this itself turns quadratic at the next
+    scale rung, which is what :func:`semdedup_hier_report` (IVF-style
+    coarse→fine training, O(N·(K₁+K₂)·d)) is for."""
+    from mongraph_spark.queries.similarity import _SQ_DIST
+
+    corpus = _semdedup_corpus(spark, sf_dir)
     seeds = corpus.filter(F.col("vec_id").isin(seed_ids)).select(
         F.col("vec_id").alias("seed_id"), F.col("vec").alias("c_vec")
     )
@@ -1964,6 +1973,13 @@ def semdedup_report(
                 lambda s: s["c_bp"] / F.lit(10000.0),
             ).alias("c_vec")
         )
+    return _semdedup_finish(assigned, centroids)
+
+
+def _semdedup_finish(assigned: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Shared SemDeDup pair stage + per-cell report over an assignment
+    (vec_id, cell, vec) and its centroids (cell, c_vec) — the quadratic-
+    within-cluster half, identical under any clustering strategy."""
 
     def _cos_bp(u: str, v: str):
         dot = F.expr(
@@ -2057,6 +2073,104 @@ def semdedup_report(
         .join(dr, "cell", "left")
         .na.fill(0, ["n_dup_pairs", "n_planted_pairs", "n_dropped"])
     )
+
+
+def semdedup_hier_report(
+    spark: SparkSession, sf_dir: str, coarse_ids: list[int], sub_k: int = 16
+) -> DataFrame:
+    """IVF-style hierarchical SemDeDup training — the two-level shape the
+    paper's K ~ 10⁵ web-scale runs actually use (faiss coarse quantizer +
+    per-list fine cells): a coarse quantizer of K₁ = len(coarse_ids)
+    cells assigns every vector map-side, each coarse cell trains
+    ``sub_k`` fine cells from its own members (deterministic seeds: the
+    sub_k smallest vec_ids per cell), and vectors compare only against
+    their OWN cell's sub-centroids.  Assignment cost O(N·(K₁+sub_k)·d)
+    versus the flat path's O(N·K₁·sub_k·d) for the same effective cell
+    count — with K ∝ N the FLAT assignment itself turns quadratic, which
+    is the next wall after the pair stage is tamed (measured at 16×:
+    flat K=256 assignment alone 13.3 s).  Both levels are broadcast
+    joins — map-only flops, no shuffle beyond the argmin groupBy the
+    flat path also pays; the sub-seed pick is one rank-k window keyed on
+    the coarse cell (at true scale: sample per cell instead of ranking).
+    The quadratic pair stage + keep rule are the shared
+    :func:`_semdedup_finish` — identical dedup semantics."""
+    from mongraph_spark.queries.similarity import _SQ_DIST
+
+    corpus = _semdedup_corpus(spark, sf_dir)
+    d = F.expr(_SQ_DIST.format(v="vec", c="c_vec"))
+
+    def bp_mean(assigned: DataFrame, keys: list[str]) -> DataFrame:
+        """The flat path's bp-quantized centroid update, per key tuple."""
+        per_dim = (
+            assigned.select(*keys, F.posexplode("vec").alias("dim", "v"))
+            .groupBy(*keys, "dim")
+            .agg(F.floor(F.lit(10000) * F.avg("v")).cast("long").alias("c_bp"))
+        )
+        return per_dim.groupBy(*keys).agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c_bp"))),
+                lambda s: s["c_bp"] / F.lit(10000.0),
+            ).alias("c_vec")
+        )
+
+    # level 1: coarse quantizer, same SEMDEDUP_ROUNDS Lloyd shape as flat
+    seeds = corpus.filter(F.col("vec_id").isin(coarse_ids)).select(
+        F.col("vec_id").alias("seed_id"), F.col("vec").alias("c_vec")
+    )
+    coarse = seeds.withColumn(
+        "cell0",
+        F.row_number().over(
+            Window.partitionBy(const_part(F.col("seed_id"))).orderBy("seed_id")
+        )
+        - 1,
+    ).select("cell0", "c_vec")
+    assign1 = None
+    for _ in range(SEMDEDUP_ROUNDS):
+        assign1 = (
+            corpus.crossJoin(F.broadcast(coarse))
+            .withColumn("dist", d)
+            .groupBy("vec_id")
+            .agg(F.min_by("cell0", F.struct("dist", "cell0")).alias("cell0"))
+            .join(corpus, "vec_id")
+        )
+        coarse = bp_mean(assign1, ["cell0"])
+    assign1 = assign1.localCheckpoint(eager=True)  # feeds level-2 rounds
+
+    # level 2: per-cell fine cells, seeded deterministically and refined
+    # with the SAME number of Lloyd rounds (without refinement the raw
+    # rank-k seeds cost ~24% planted recall — measured, hence this loop)
+    w = Window.partitionBy("cell0").orderBy("vec_id")
+    subs = (
+        assign1.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= sub_k)
+        .select(
+            "cell0", (F.col("rn") - 1).alias("sub"), F.col("vec").alias("c_vec")
+        )
+    )
+    assign2 = None
+    for _ in range(SEMDEDUP_ROUNDS):
+        assign2 = (
+            assign1.join(F.broadcast(subs), "cell0")
+            .withColumn("dist", d)
+            .groupBy("vec_id")
+            .agg(
+                F.min_by(
+                    F.struct("cell0", "sub"), F.struct("dist", "cell0", "sub")
+                ).alias("cs")
+            )
+            .select(
+                "vec_id", F.col("cs.cell0").alias("cell0"), F.col("cs.sub").alias("sub")
+            )
+            .join(corpus, "vec_id")
+        )
+        subs = bp_mean(assign2, ["cell0", "sub"])
+    assigned = assign2.select(
+        "vec_id", (F.col("cell0") * 100000 + F.col("sub")).alias("cell"), "vec"
+    )
+    centroids = subs.select(
+        (F.col("cell0") * 100000 + F.col("sub")).alias("cell"), "c_vec"
+    )
+    return _semdedup_finish(assigned, centroids)
 
 
 def _oracle_semdedup() -> str:

@@ -553,3 +553,31 @@ def test_pseudonymize_crafted_integrity(spark, tmp_path):
     assert b["n_keys"] == 3 and b["n_tokens"] == 3
     # AUTOMOBILE has a customer but no orders -> inner join drops it
     assert "AUTOMOBILE" not in got
+
+
+def test_semdedup_hier_matches_flat_recall(spark):
+    """The IVF-style two-level trainer must find (essentially) the same
+    planted near-dup pairs as the flat trainer at the same effective cell
+    count — the assignment strategy changes the COST, not the dedup
+    semantics (shared pair stage + keep rule)."""
+    from pyspark.sql import functions as F
+
+    from mongraph_spark.queries.dedup import (
+        SEMDEDUP_SEED_IDS,
+        semdedup_hier_report,
+        semdedup_report,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    flat = semdedup_report(spark, sf, SEMDEDUP_SEED_IDS)
+    hier = semdedup_hier_report(spark, sf, SEMDEDUP_SEED_IDS[:4], sub_k=4)
+    f = flat.agg(
+        F.sum("n_planted_pairs").alias("p"), F.sum("n_vectors").alias("n")
+    ).first()
+    h = hier.agg(
+        F.sum("n_planted_pairs").alias("p"), F.sum("n_vectors").alias("n")
+    ).first()
+    assert h.n == f.n  # every vector assigned exactly once in both
+    assert f.p > 0
+    # same effective cell count (4x4 == 16): recall within 5% of flat
+    assert h.p >= 0.95 * f.p, (h.p, f.p)

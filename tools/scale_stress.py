@@ -327,7 +327,18 @@ def _registry() -> dict:
         ]
         return semdedup_report(spark, sf_dir, seeds)
 
+    def _semdedup_hier(spark, sf_dir):
+        # IVF-style coarse->fine training: ONE coarse seed per replica band
+        # (K1 = 16) + 16 fine cells per coarse cell = the same 256
+        # effective cells as the flat scaled-K row, at O(N*32*d) assignment
+        # flops instead of O(N*256*d)
+        from mongraph_spark.queries.dedup import semdedup_hier_report
+
+        coarse = [10 + i * 1_000_000_000 for i in range(16)]
+        return semdedup_hier_report(spark, sf_dir, coarse, sub_k=16)
+
     return {
+        "dedup_semdedup_hier": (_semdedup_hier, True),
         "corpus_ccnet_buckets": (corpus_ccnet_buckets, False),
         "corpus_cluster_split": (corpus_cluster_split, False),
         "corpus_semantic_decon": (corpus_semantic_decon, True),
