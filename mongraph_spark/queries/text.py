@@ -1097,7 +1097,93 @@ n{r} AS MATERIALIZED (
 ORACLE_BPE_TRAIN = _bpe_train_oracle()
 
 
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch–Kincaid grade + Flesch reading ease per source — the
+    readability feature corpus-quality filters score on (Gopher/CCNet
+    pipelines gate on FK-style proxies): words = non-space runs,
+    sentences = terminal-punctuation runs (clamped ≥1 per doc), syllables
+    ≈ vowel GROUPS (the standard cheap proxy — a vowel run is one
+    nucleus), all via one regexp_count pass per doc (JVM regex and
+    DuckDB RE2 agree on these character-class patterns; parity pinned by
+    the oracle hash).
+
+    Exactness: both scores are single exact rationals over per-source
+    sums — FK·10³ = (390·W² + 11800·Y·S − 15590·S·W)/(S·W), FRE·10³ =
+    (206835·S·W − 1015·W² − 84600·Y·S)/(S·W) — floored ONCE (trunc both
+    engines; FK can go negative on trivial text).  BIGINT holds to ~10⁸
+    words per source (W² term); swap to DECIMAL(38) past that.
+
+    Scale shape: one scan with map-side-combined per-source sums; the
+    score arithmetic runs on |sources| rows.  No joins, no windows."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "source",
+        F.regexp_count("text", F.lit(r"[^ ]+")).alias("w"),
+        F.greatest(F.regexp_count("text", F.lit(r"[.!?]+")), F.lit(1)).alias("s"),
+        F.regexp_count(F.lower("text"), F.lit(r"[aeiou]+")).alias("y"),
+    )
+    agg = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("w").cast("long").alias("words"),
+        F.sum("s").cast("long").alias("sentences"),
+        F.sum("y").cast("long").alias("syllables"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "words",
+        "sentences",
+        "syllables",
+        F.expr(
+            "(390 * words * words + 11800 * syllables * sentences"
+            " - 15590 * sentences * words) div (sentences * words)"
+        )
+        .cast("long")
+        .alias("fk_grade_mb"),
+        F.expr(
+            "(206835 * sentences * words - 1015 * words * words"
+            " - 84600 * syllables * sentences) div (sentences * words)"
+        )
+        .cast("long")
+        .alias("fre_mb"),
+    )
+
+
+ORACLE_READABILITY = """
+WITH per_doc AS (
+  SELECT source,
+         len(regexp_extract_all(text, '[^ ]+')) AS w,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+         len(regexp_extract_all(lower(text), '[aeiou]+')) AS y
+  FROM documents
+),
+agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(w) AS BIGINT) AS words,
+         CAST(sum(s) AS BIGINT) AS sentences,
+         CAST(sum(y) AS BIGINT) AS syllables
+  FROM per_doc GROUP BY source
+)
+SELECT source, n_docs, words, sentences, syllables,
+       CAST(CASE WHEN (390 * words * words + 11800 * syllables * sentences
+                       - 15590 * sentences * words) >= 0
+            THEN (390 * words * words + 11800 * syllables * sentences
+                  - 15590 * sentences * words) // (sentences * words)
+            ELSE -((-(390 * words * words + 11800 * syllables * sentences
+                      - 15590 * sentences * words)) // (sentences * words))
+            END AS BIGINT) AS fk_grade_mb,
+       CAST(CASE WHEN (206835 * sentences * words - 1015 * words * words
+                       - 84600 * syllables * sentences) >= 0
+            THEN (206835 * sentences * words - 1015 * words * words
+                  - 84600 * syllables * sentences) // (sentences * words)
+            ELSE -((-(206835 * sentences * words - 1015 * words * words
+                      - 84600 * syllables * sentences)) // (sentences * words))
+            END AS BIGINT) AS fre_mb
+FROM agg
+"""
+
+
 QUERIES = {
+    "text_readability": text_readability,
     "text_bpe_train": text_bpe_train,
     "text_bpe_apply": text_bpe_apply,
     "text_bpe_tokenize": text_bpe_tokenize,
@@ -1115,6 +1201,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_readability": ORACLE_READABILITY,
     "text_bpe_train": ORACLE_BPE_TRAIN,
     "text_bpe_apply": ORACLE_BPE_APPLY,
     "text_bpe_tokenize": ORACLE_BPE,

@@ -581,3 +581,33 @@ def test_semdedup_hier_matches_flat_recall(spark):
     assert f.p > 0
     # same effective cell count (4x4 == 16): recall within 5% of flat
     assert h.p >= 0.95 * f.p, (h.p, f.p)
+
+
+def test_readability_crafted_grades(spark, tmp_path):
+    """Crafted docs with hand-countable words/sentences/vowel-groups pin
+    the FK and FRE integer grids exactly."""
+    from fractions import Fraction
+
+    from mongraph_spark.queries.text import text_readability
+
+    # "aa bb. cc dd ee!"  -> w=5? no: words = non-space runs
+    docs = [
+        (1, "the cat sat. it ran!", "web"),   # w=5, s=2, y: e,a,a,i,a -> groups
+        (2, "zzz", "web"),                     # w=1, s=0->1, y=0
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, source string"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    row = text_readability(spark, str(tmp_path)).first()
+    # hand counts: doc1 words=5 ("the","cat","sat.","it","ran!"), sents=2,
+    # vowel groups: the(1) cat(1) sat(1) it(1) ran(1) = 5; doc2: w=1,s=1,y=0
+    W, S, Y = 5 + 1, 2 + 1, 5 + 0
+    assert (row.words, row.sentences, row.syllables) == (W, S, Y)
+    fk = Fraction(390 * W * W + 11800 * Y * S - 15590 * S * W, S * W)
+    fre = Fraction(206835 * S * W - 1015 * W * W - 84600 * Y * S, S * W)
+
+    def trunc(fr):
+        return int(fr) if fr >= 0 else -int(-fr)
+
+    assert row.fk_grade_mb == trunc(fk)
+    assert row.fre_mb == trunc(fre)
