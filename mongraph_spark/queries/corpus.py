@@ -1650,7 +1650,133 @@ FROM perdoc CROSS JOIN corpus_tot GROUP BY lang
 """
 
 
+GOPHER_RULES = [
+    # (name, per-doc pass predicate over the counter columns) — applied in
+    # this order for the cumulative funnel; all integer comparisons
+    ("word_count_50_100k", "w >= 50 AND w <= 100000"),
+    ("mean_word_len_3_10", "10000 * chars_adj >= 30000 * w AND 10000 * chars_adj <= 100000 * w"),
+    ("hash_ratio_le_10pct", "10 * hashes <= w"),
+    ("ellipsis_ratio_le_30pct", "10 * ell <= 3 * w"),
+    ("alpha_word_ratio_ge_80pct", "10 * alpha_words >= 8 * w"),
+    ("stopword_presence_ge_2", "n_stop_distinct >= 2"),
+]
+
+
+def corpus_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NAMED Gopher quality-filter battery (Rae et al. 2021, table A1
+    — the rule set production LLM pipelines cite by name, where
+    text_quality is a generic score): word-count bounds, mean-word-length
+    bounds, symbol-to-word ratios (#, ellipsis), alphabetic-word ratio,
+    and minimum stopword presence, applied as a CUMULATIVE funnel in
+    documented order.  Per rule: docs entering, marginal failures (docs
+    the rule rejects regardless of order — what a rule-tuning review
+    reads), cumulative survivors, and surviving tokens (the number the
+    training budget consumes).
+
+    Exactness: every predicate is an integer cross-multiplication (no
+    ratio ever materializes); counters come from one regexp_count pass
+    (JVM regex ≡ DuckDB RE2 on these patterns).
+
+    Scale shape: ONE scan computes all per-doc counters and rule
+    booleans; the funnel is a single conditional aggregate to ONE row,
+    then a |rules|-row stack — no per-stage rescans, no joins."""
+    from mongraph_spark.queries.text import STOPWORDS
+
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    docs = read_table(spark, sf_dir, "documents").select(
+        F.regexp_count("text", F.lit(r"[^ ]+")).alias("w"),
+        (F.length("text") - (F.regexp_count("text", F.lit(r"[^ ]+")) - 1)).alias(
+            "chars_adj"
+        ),
+        F.regexp_count("text", F.lit(r"#")).alias("hashes"),
+        F.regexp_count("text", F.lit(r"\.\.\.")).alias("ell"),
+        F.size(
+            F.filter(
+                F.split(F.col("text"), " "),
+                lambda x: x.rlike("[a-zA-Z]"),
+            )
+        ).alias("alpha_words"),
+        F.size(
+            F.array_intersect(
+                F.array_distinct(F.split(F.lower(F.col("text")), " ")), stop_arr
+            )
+        ).alias("n_stop_distinct"),
+        F.size(F.split(F.lower(F.col("text")), " ")).alias("n_tokens"),
+    )
+    flags = docs
+    cum = None
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_docs")]
+    for i, (name, pred) in enumerate(GOPHER_RULES):
+        flags = flags.withColumn(f"r{i}", F.expr(pred))
+        cum = F.col(f"r{i}") if cum is None else (cum & F.col(f"r{i}"))
+        flags = flags.withColumn(f"c{i}", cum)
+        aggs.append(
+            F.sum((~F.col(f"r{i}")).cast("long")).cast("long").alias(f"fail{i}")
+        )
+        aggs.append(F.sum(F.col(f"c{i}").cast("long")).cast("long").alias(f"surv{i}"))
+        aggs.append(
+            F.sum(F.when(F.col(f"c{i}"), F.col("n_tokens")).otherwise(0))
+            .cast("long")
+            .alias(f"tok{i}")
+        )
+    one = flags.agg(*aggs)
+    stack = ", ".join(
+        f"{i}L, '{name}', fail{i}, surv{i}, tok{i}"
+        for i, (name, _) in enumerate(GOPHER_RULES)
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(GOPHER_RULES)}, {stack})"
+            " as (rule_order, rule, n_fail_marginal, n_survivors, tokens_surviving)"
+        ),
+        F.col("n_docs"),
+    ).select(
+        "rule_order", "rule", "n_docs", "n_fail_marginal", "n_survivors",
+        "tokens_surviving",
+    )
+
+
+def _oracle_gopher() -> str:
+    cum_terms, rows = [], []
+    for i, (name, pred) in enumerate(GOPHER_RULES):
+        cum_terms.append(f"({pred})")
+        cum = " AND ".join(cum_terms)
+        rows.append(
+            f"SELECT {i} AS rule_order, '{name}' AS rule,"
+            f" (SELECT n_docs FROM one) AS n_docs,"
+            f" (SELECT CAST(sum(CASE WHEN NOT ({pred}) THEN 1 ELSE 0 END) AS BIGINT)"
+            f"  FROM flags) AS n_fail_marginal,"
+            f" (SELECT CAST(sum(CASE WHEN {cum} THEN 1 ELSE 0 END) AS BIGINT)"
+            f"  FROM flags) AS n_survivors,"
+            f" (SELECT CAST(sum(CASE WHEN {cum} THEN n_tokens ELSE 0 END) AS BIGINT)"
+            f"  FROM flags) AS tokens_surviving"
+        )
+    union = " UNION ALL ".join(rows)
+    from mongraph_spark.queries.text import STOPWORDS as _SW
+    stop_sql = "', '".join(_SW)
+    return f"""
+WITH flags AS (
+  SELECT len(regexp_extract_all(text, '[^ ]+')) AS w,
+         length(text) - (len(regexp_extract_all(text, '[^ ]+')) - 1) AS chars_adj,
+         len(regexp_extract_all(text, '#')) AS hashes,
+         len(regexp_extract_all(text, '\.\.\.')) AS ell,
+         len(list_filter(string_split(text, ' '),
+                         x -> regexp_matches(x, '[a-zA-Z]'))) AS alpha_words,
+         len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+                            ['{stop_sql}'])) AS n_stop_distinct,
+         len(string_split(lower(text), ' ')) AS n_tokens
+  FROM documents
+),
+one AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM flags)
+{union}
+"""
+
+
+ORACLE_GOPHER = _oracle_gopher()
+
+
 QUERIES = {
+    "corpus_gopher_rules": corpus_gopher_rules,
     "corpus_dsir_weights": corpus_dsir_weights,
     "corpus_ngram_novelty": corpus_ngram_novelty,
     "corpus_decontaminate": decontaminate_splits,
@@ -1670,6 +1796,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_gopher_rules": ORACLE_GOPHER,
     "corpus_dsir_weights": ORACLE_DSIR,
     "corpus_ngram_novelty": ORACLE_NOVELTY,
     "corpus_decontaminate": ORACLE_DECONTAMINATE,

@@ -611,3 +611,29 @@ def test_readability_crafted_grades(spark, tmp_path):
 
     assert row.fk_grade_mb == trunc(fk)
     assert row.fre_mb == trunc(fre)
+
+
+def test_gopher_rules_crafted_funnel(spark, tmp_path):
+    """Crafted docs exercise each rule's marginal failure and the
+    cumulative funnel order."""
+    from mongraph_spark.queries.text import STOPWORDS
+
+    from mongraph_spark.queries.corpus import corpus_gopher_rules
+
+    good = "the quick brown foxes jumped over lazy dogs rivers of " * 6  # 60 words, mean len ~4, stopwords {the, of}
+    short = "the a of"  # fails word_count
+    hashy = ("the a of and to in is it " + "# " * 30) * 3  # hash ratio fails
+    docs = [(1, good.strip(), "web"), (2, short, "web"), (3, hashy.strip(), "web")]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, source string"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    rows = {r.rule: r.asDict() for r in corpus_gopher_rules(spark, str(tmp_path)).collect()}
+    assert rows["word_count_50_100k"]["n_docs"] == 3
+    assert rows["word_count_50_100k"]["n_fail_marginal"] == 1  # short
+    assert rows["hash_ratio_le_10pct"]["n_fail_marginal"] == 1  # hashy
+    # funnel: short dies at rule 0; hashy survives word count (104 words)
+    # then dies at the hash rule; good survives everything
+    assert rows["word_count_50_100k"]["n_survivors"] == 2
+    assert rows["hash_ratio_le_10pct"]["n_survivors"] == 1
+    assert rows["stopword_presence_ge_2"]["n_survivors"] == 1
+    assert rows["stopword_presence_ge_2"]["tokens_surviving"] == 60
