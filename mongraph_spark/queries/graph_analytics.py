@@ -1063,8 +1063,12 @@ def _lpa_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lpa_body() -> tuple[str, str]:
+    # MATERIALIZED on every multiply-referenced CTE: the modularity tail
+    # references cop 6x and the final labels 7x, and DuckDB inlining the
+    # contains self-join per reference spilled past its allocator at sf0.1
+    # under memory pressure (same class as the r7 graph_itemsets3 fix)
     body = """
-cop AS (
+cop AS MATERIALIZED (
   SELECT part_a, part_b FROM (
     SELECT a.part_id AS part_a, b.part_id AS part_b, count(*) AS n_orders
     FROM (SELECT DISTINCT src AS order_id, dst AS part_id FROM g_edges WHERE type = 'contains') a
@@ -1073,11 +1077,11 @@ cop AS (
     GROUP BY 1, 2
   ) WHERE n_orders >= 2
 ),
-lpa_adj AS (
+lpa_adj AS MATERIALIZED (
   SELECT part_a AS src, part_b AS dst FROM cop
   UNION ALL SELECT part_b AS src, part_a AS dst FROM cop
 ),
-lp0 AS (SELECT DISTINCT src AS node_id, src AS label FROM lpa_adj)"""
+lp0 AS MATERIALIZED (SELECT DISTINCT src AS node_id, src AS label FROM lpa_adj)"""
     prev = "lp0"
     for k in range(1, N_LPA_ROUNDS + 1):
         body += f""",
@@ -1093,7 +1097,7 @@ wn{k} AS (
     FROM vt{k}
   ) WHERE rn = 1
 ),
-lp{k} AS (
+lp{k} AS MATERIALIZED (
   SELECT l.node_id, coalesce(w.new_label, l.label) AS label
   FROM {prev} l LEFT JOIN wn{k} w ON l.node_id = w.node_id
 )"""
