@@ -1680,10 +1680,18 @@ def corpus_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: ONE scan computes all per-doc counters and rule
     booleans; the funnel is a single conditional aggregate to ONE row,
     then a |rules|-row stack — no per-stage rescans, no joins."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return gopher_funnel(gopher_flags(docs), GOPHER_RULES)
+
+
+def gopher_flags(docs: DataFrame) -> DataFrame:
+    """Per-doc Gopher counters + rule booleans + cumulative-funnel flags —
+    map-only column expressions, shared verbatim by the batch op and the
+    streaming ingest scorer (which appends these rows per micro-batch)."""
     from mongraph_spark.queries.text import STOPWORDS
 
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    docs = read_table(spark, sf_dir, "documents").select(
+    flags = docs.select(
         F.regexp_count("text", F.lit(r"[^ ]+")).alias("w"),
         (F.length("text") - (F.regexp_count("text", F.lit(r"[^ ]+")) - 1)).alias(
             "chars_adj"
@@ -1703,13 +1711,21 @@ def corpus_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_stop_distinct"),
         F.size(F.split(F.lower(F.col("text")), " ")).alias("n_tokens"),
     )
-    flags = docs
     cum = None
-    aggs = [F.count(F.lit(1)).cast("long").alias("n_docs")]
     for i, (name, pred) in enumerate(GOPHER_RULES):
         flags = flags.withColumn(f"r{i}", F.expr(pred))
         cum = F.col(f"r{i}") if cum is None else (cum & F.col(f"r{i}"))
         flags = flags.withColumn(f"c{i}", cum)
+    return flags.select(
+        "n_tokens",
+        *[c for i in range(len(GOPHER_RULES)) for c in (f"r{i}", f"c{i}")],
+    )
+
+
+def gopher_funnel(flags: DataFrame, rules) -> DataFrame:
+    """ONE conditional aggregate over the flag rows → |rules|-row stack."""
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_docs")]
+    for i in range(len(rules)):
         aggs.append(
             F.sum((~F.col(f"r{i}")).cast("long")).cast("long").alias(f"fail{i}")
         )
@@ -1722,11 +1738,11 @@ def corpus_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     one = flags.agg(*aggs)
     stack = ", ".join(
         f"{i}L, '{name}', fail{i}, surv{i}, tok{i}"
-        for i, (name, _) in enumerate(GOPHER_RULES)
+        for i, (name, _) in enumerate(rules)
     )
     return one.select(
         F.expr(
-            f"stack({len(GOPHER_RULES)}, {stack})"
+            f"stack({len(rules)}, {stack})"
             " as (rule_order, rule, n_fail_marginal, n_survivors, tokens_surviving)"
         ),
         F.col("n_docs"),

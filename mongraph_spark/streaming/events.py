@@ -846,6 +846,67 @@ def _oracle_stream_holt() -> str:
     return ORACLE_HOLT
 
 
+def streaming_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``queries.corpus.corpus_gopher_rules`` — the
+    filter-at-ingest shape: every arriving document is scored against the
+    frozen Gopher rule battery the moment it lands (map-only — the rules
+    are pure column expressions, so the scorer carries ZERO streaming
+    state), and the per-doc flag rows append to a log table.  The funnel
+    report is the batch finisher over the accumulated flags: rule
+    decisions are per-doc predicates, so the union over batches IS the
+    batch op's funnel (its own SQL oracle checks that exactly).
+
+    This is the production crawl-intake shape: reject/score at ingest,
+    keep the per-doc decisions queryable for rule-tuning reviews, never
+    rescan the corpus to re-total the funnel."""
+    import shutil
+    import tempfile
+
+    from mongraph_spark.queries.corpus import GOPHER_RULES, gopher_flags
+    from mongraph_spark.queries.text import STOPWORDS  # noqa: F401 (rule dep)
+
+    app_id = spark.sparkContext.applicationId
+    sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    base = os.path.join(tempfile.gettempdir(), f"mg_stream_gopher_{app_id}_{sf_tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    staging = os.path.join(base, "arrivals")
+    flags_dir = os.path.join(base, "flags")
+    from mongraph_spark.sparkutil import read_table
+
+    read_table(spark, sf_dir, "documents").select("doc_id", "text").repartition(
+        4, "doc_id"
+    ).write.parquet(staging)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        gopher_flags(batch_df).write.mode("append").parquet(flags_dir)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+        .writeStream.foreachBatch(process)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from mongraph_spark.queries.corpus import gopher_funnel
+
+    return gopher_funnel(spark.read.parquet(flags_dir), GOPHER_RULES)
+
+
+def _oracle_stream_gopher() -> str:
+    from mongraph_spark.queries.corpus import ORACLE_GOPHER
+
+    return ORACLE_GOPHER
+
+
 # -- streaming count-min sketch twin -------------------------------------------------
 
 
@@ -1804,6 +1865,7 @@ QUERIES = {
     "streaming_seasonal_anomaly": streaming_seasonal_anomaly,
     "streaming_cusum_changepoint": streaming_cusum_changepoint,
     "streaming_holt_trend": streaming_holt_trend,
+    "streaming_gopher_rules": streaming_gopher_rules,
     "streaming_hll_distinct": streaming_hll_distinct,
     "streaming_tumbling_window": streaming_tumbling_window,
     "streaming_markov_transitions": streaming_markov_transitions,
@@ -1831,6 +1893,7 @@ ORACLES = {
     "streaming_seasonal_anomaly": _oracle_stream_seasonal(),
     "streaming_cusum_changepoint": _oracle_stream_cusum(),
     "streaming_holt_trend": _oracle_stream_holt(),
+    "streaming_gopher_rules": _oracle_stream_gopher(),
     "streaming_hll_distinct": ORACLE_STREAM_HLL,
     "streaming_threshold_anomaly": ORACLE_STREAM_ANOMALY,
     "streaming_markov_transitions": ORACLE_STREAM_MARKOV,

@@ -637,3 +637,16 @@ def test_gopher_rules_crafted_funnel(spark, tmp_path):
     assert rows["hash_ratio_le_10pct"]["n_survivors"] == 1
     assert rows["stopword_presence_ge_2"]["n_survivors"] == 1
     assert rows["stopword_presence_ge_2"]["tokens_surviving"] == 60
+
+
+def test_streaming_gopher_equals_batch(spark):
+    """The ingest scorer's accumulated flags + shared funnel finisher must
+    reproduce the batch funnel EXACTLY (per-doc predicates are batch-
+    independent, so the union over batches is the batch answer)."""
+    from mongraph_spark.queries.corpus import corpus_gopher_rules
+    from mongraph_spark.streaming.events import streaming_gopher_rules
+
+    sf = "/root/testdata/sf0.001"
+    batch = {tuple(r) for r in corpus_gopher_rules(spark, sf).collect()}
+    stream = {tuple(r) for r in streaming_gopher_rules(spark, sf).collect()}
+    assert batch == stream and len(batch) == 6
