@@ -704,6 +704,28 @@ def _upsert_rebase(
     staging = os.path.join(root, _STAGING, f"up_{os.getpid()}_{uuid4().hex}")
     os.makedirs(os.path.dirname(staging), exist_ok=True)
     merged.write.mode("errorifexists").partitionBy(_BUCKET).parquet(staging)
+    return _rebase_commit(
+        root, staging, touched, fp, snapshot, manifest, op="upsert"
+    )
+
+
+def _rebase_commit(
+    root: str,
+    staging: str,
+    touched: list[str],
+    fp: str,
+    snapshot: str,
+    manifest: dict[str, str],
+    op: str,
+    drop_touched_first: bool = False,
+) -> str:
+    """Shared claim-last commit loop for staged (rebase-mode) mutations:
+    claim the next version (bounded wait), run the serializability check
+    against everything that committed since ``snapshot``, then promote
+    the staged dir and overlay OUR buckets onto the winning manifest.
+    ``drop_touched_first`` is the merge_into contract — a touched bucket
+    can empty out entirely (all rows deleted), so its old manifest entry
+    is removed even when no new files replace it."""
     try:
         ver = _claim_next(root)
     except CommitConflict:
@@ -726,9 +748,12 @@ def _upsert_rebase(
         raise CommitConflict(root, ver, reason)
     os.rename(staging, os.path.join(root, ver))
     new_map = dict(manifest)
+    if drop_touched_first:
+        for b in touched:
+            new_map.pop(b, None)
     new_map.update(_written_buckets(root, ver))
     _write_manifest(root, ver, new_map)
-    _write_commit(root, ver, "upsert", touched)
+    _write_commit(root, ver, op, touched)
     _flip(root, ver)
     return ver
 
@@ -860,6 +885,7 @@ def merge_into(
     when_matched_set: dict[str, str] | None = None,
     when_matched_delete: str | None = None,
     insert_not_matched: bool = True,
+    occ: str = "failfast",
 ) -> str:
     """Full MERGE INTO semantics (the Delta/Iceberg statement) on the CoW
     table — ``upsert`` is the replace-whole-row special case; this form
@@ -877,7 +903,14 @@ def merge_into(
     Bucket-scoped like ``upsert``: only buckets containing source keys
     are read and rewritten; the matched/not-matched split is ONE
     full-outer-shaped pass (left join target←source inside the touched
-    buckets + anti join for inserts), never a second scan."""
+    buckets + anti join for inserts), never a second scan.
+
+    ``occ="rebase"`` uses the same compute-first / claim-last commit
+    protocol as :func:`upsert` (see its docstring and
+    :func:`_classify_conflict`): the staged merge commits on top of
+    bucket-disjoint intervening writers with zero recompute.  MERGE's
+    read AND write sets are both exactly the source keys' buckets, so the
+    bucket-overlap test is its full serializability condition."""
     meta = _read_meta(root)
     if meta["key"] is None:
         raise ValueError("merge_into requires a bucketed table")
@@ -900,7 +933,8 @@ def merge_into(
 
     n_buckets = meta["n_buckets"]
     cur = current_version(root)
-    ver = _next_version(root)
+    rebase = occ == "rebase" and cur is not None
+    ver = None if rebase else _next_version(root)
     keys_b = src.select(key).withColumn(_BUCKET, _bucket_expr(key, n_buckets))
     touched = sorted(
         str(r[_BUCKET]) for r in keys_b.select(_BUCKET).distinct().collect()
@@ -941,11 +975,29 @@ def merge_into(
             parts.append(src)
 
     if not parts:
+        if ver is not None:
+            _release_claim(root, ver)  # fail-fast path claimed eagerly
         return cur  # nothing to do
     merged = parts[0]
     for p in parts[1:]:
         merged = merged.unionByName(p)
     merged = merged.withColumn(_BUCKET, _bucket_expr(key, n_buckets))
+    if rebase:
+        from uuid import uuid4
+
+        staging = os.path.join(root, _STAGING, f"mg_{os.getpid()}_{uuid4().hex}")
+        os.makedirs(os.path.dirname(staging), exist_ok=True)
+        merged.write.mode("errorifexists").partitionBy(_BUCKET).parquet(staging)
+        return _rebase_commit(
+            root,
+            staging,
+            touched,
+            _meta_fingerprint(meta),
+            cur,
+            manifest,
+            op="merge",
+            drop_touched_first=True,
+        )
     os.makedirs(os.path.join(root, ver), exist_ok=True)
     merged.write.mode("overwrite").partitionBy(_BUCKET).parquet(
         os.path.join(root, ver)

@@ -650,3 +650,63 @@ def test_streaming_gopher_equals_batch(spark):
     batch = {tuple(r) for r in corpus_gopher_rules(spark, sf).collect()}
     stream = {tuple(r) for r in streaming_gopher_rules(spark, sf).collect()}
     assert batch == stream and len(batch) == 6
+
+
+def test_merge_into_rebase_disjoint_and_claim_release(spark, tmp_path):
+    """merge_into occ="rebase": two threaded disjoint-key merges both
+    commit without conflict; and the fail-fast nothing-to-do path must
+    RELEASE its eagerly-claimed version (pre-r8 it leaked the claim,
+    wedging the table until the TTL)."""
+    root = str(tmp_path / "tbl")
+    M.init_table(_base(spark), root, key="id", n_buckets=4)
+    ida, idb, _ = _pick_disjoint_and_overlapping(spark)
+    errs: list[Exception] = []
+
+    def writer(i, tag):
+        src = spark.createDataFrame(
+            [(i, tag, 1)], "id long, name string, rev long"
+        )
+        try:
+            M.merge_into(
+                spark, root, src,
+                when_matched_set={"name": "src_name", "rev": "rev + 1"},
+                occ="rebase",
+            )
+        except Exception as exc:  # noqa: BLE001
+            errs.append(exc)
+
+    t1 = threading.Thread(target=writer, args=(ida, "MA"))
+    t2 = threading.Thread(target=writer, args=(idb, "MB"))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs, errs
+    assert M.current_version(root) == "v_00002"
+    got = {
+        r.id: (r.name, r.rev)
+        for r in M.read_current(spark, root)
+        .filter(F.col("id").isin(ida, idb))
+        .collect()
+    }
+    assert got == {ida: ("MA", 1), idb: ("MB", 1)}
+
+    # nothing-to-do (source keys hash to a bucket the table does not even
+    # have, inserts suppressed): the eager claim must be released —
+    # pre-r8 it leaked, wedging the table until the TTL.  Build a table
+    # whose manifest holds ONE bucket, then merge a key from another.
+    root2 = str(tmp_path / "tbl2")
+    M.init_table(
+        spark.createDataFrame([(ida, "only", 0)], "id long, name string, rev long"),
+        root2, key="id", n_buckets=4,
+    )
+    empty_src = spark.createDataFrame(
+        [(idb, "zz", 0)], "id long, name string, rev long"  # different bucket
+    )
+    out = M.merge_into(spark, root2, empty_src, insert_not_matched=False)
+    assert out == "v_00000"  # no new version
+    assert not os.path.exists(M._claim_path(root2, "v_00001"))
+    # and a follow-up commit succeeds immediately (no stale-claim wait)
+    M.upsert(
+        spark, root2,
+        spark.createDataFrame([(ida, "after", 2)], "id long, name string, rev long"),
+        key="id", order_col="rev",
+    )
+    assert M.current_version(root2) == "v_00001"
