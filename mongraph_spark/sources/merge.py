@@ -1296,6 +1296,38 @@ def create_tag(root: str, name: str, version: int | None = None) -> str:
     return ver
 
 
+def read_as_of(spark: SparkSession, root: str, ts: float) -> DataFrame:
+    """``TIMESTAMP AS OF`` time travel: read the latest version whose
+    COMMIT time (the ``ts`` its commit record carries; manifest mtime for
+    pre-record versions) is ≤ ``ts``.  Versions above the current pointer
+    (uncommitted claims) never qualify.  Raises if the table has no
+    version that old — same contract as Delta's timestamp travel."""
+    cur = current_version(root)
+    if cur is None:
+        raise ValueError(f"no current version under {root}")
+    n_cur = int(cur.split("_")[1])
+    best: tuple[float, int] | None = None
+    for n in range(n_cur + 1):
+        ver = _version_name(n)
+        if not os.path.isdir(os.path.join(root, ver)):
+            continue  # vacuumed
+        rec = _read_commit(root, ver)
+        if rec is not None and "ts" in rec:
+            committed = float(rec["ts"])
+        else:
+            try:
+                committed = os.path.getmtime(os.path.join(root, ver, _MANIFEST))
+            except FileNotFoundError:
+                committed = os.path.getmtime(os.path.join(root, ver))
+        if committed <= ts and (best is None or committed >= best[0]):
+            best = (committed, n)
+    if best is None:
+        raise ValueError(
+            f"no version of {root} committed at or before ts={ts}"
+        )
+    return read_version(spark, root, best[1])
+
+
 def read_tag(spark: SparkSession, root: str, name: str) -> DataFrame:
     """Read the version a tag points at (``VERSION AS OF <tag>``)."""
     try:

@@ -710,3 +710,41 @@ def test_merge_into_rebase_disjoint_and_claim_release(spark, tmp_path):
         key="id", order_col="rev",
     )
     assert M.current_version(root2) == "v_00001"
+
+
+def test_read_as_of_timestamp_travel(spark, tmp_path):
+    """TIMESTAMP AS OF: picks the latest version committed <= ts from the
+    commit records; refuses a ts before the first commit; vacuumed
+    versions are skipped."""
+    root = str(tmp_path / "tbl")
+    M.init_table(_base(spark), root, key="id", n_buckets=4)
+    M.upsert(
+        spark, root,
+        spark.createDataFrame([(1, "v1", 1)], "id long, name string, rev long"),
+        key="id", order_col="rev",
+    )
+    M.upsert(
+        spark, root,
+        spark.createDataFrame([(1, "v2", 2)], "id long, name string, rev long"),
+        key="id", order_col="rev",
+    )
+    # pin deterministic commit times into the records
+    for n, ts in ((0, 100.0), (1, 200.0), (2, 300.0)):
+        path = os.path.join(root, f"v_{n:05d}", M._COMMIT)
+        rec = json.load(open(path))
+        rec["ts"] = ts
+        json.dump(rec, open(path, "w"))
+    name_at = lambda ts: (  # noqa: E731
+        M.read_as_of(spark, root, ts).filter(F.col("id") == 1).first().name
+    )
+    assert name_at(150.0) == "name1"  # v0
+    assert name_at(200.0) == "v1"     # inclusive boundary
+    assert name_at(1e12) == "v2"      # far future -> current
+    with pytest.raises(ValueError, match="committed at or before"):
+        M.read_as_of(spark, root, 50.0)
+    # vacuumed versions are skipped: v1's dir is unreferenced (v2 rewrote
+    # the same bucket), so after its removal ts=200 falls back to v0
+    import shutil
+
+    shutil.rmtree(os.path.join(root, "v_00001"))
+    assert name_at(200.0) == "name1"
