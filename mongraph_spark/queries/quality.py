@@ -1401,6 +1401,91 @@ def store_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def store_read_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``TIMESTAMP AS OF`` time travel for the CoW store, driver-verifiable:
+    build v0 (init) → v1 (upsert +11 on doc_id==1) → v2 (upsert +13 on
+    doc_id==2), inject deterministic commit timestamps (100/200/300) into
+    the commit records, then read the table AS OF ts=150 (→ v0), ts=200
+    (inclusive boundary → v1), and ts=10⁹ (→ current v2), reporting each
+    read's per-source row count and char sum plus the two touched docs'
+    values — so a wrong version pick, a boundary off-by-one, or a
+    non-monotone commit-time scan all break the hash.
+
+    Scale shape: version selection is O(#versions) metadata; each read is
+    the normal manifest-resolved scan."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from mongraph_spark.sources import merge as merge_store
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    app_id = spark.sparkContext.applicationId
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(tempfile.gettempdir(), f"mg_asof_{app_id}_{sf_tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    merge_store.init_table(docs, root, key="doc_id", n_buckets=8)
+    merge_store.upsert(
+        spark,
+        root,
+        docs.filter(F.col("doc_id") == 1).withColumn(
+            "n_chars", F.col("n_chars") + 11
+        ),
+        key="doc_id",
+    )
+    merge_store.upsert(
+        spark,
+        root,
+        docs.filter(F.col("doc_id") == 2).withColumn(
+            "n_chars", F.col("n_chars") + 13
+        ),
+        key="doc_id",
+    )
+    for n, ts in ((0, 100.0), (1, 200.0), (2, 300.0)):
+        path = os.path.join(root, f"v_{n:05d}", merge_store._COMMIT)
+        with open(path) as fh:
+            rec = _json.load(fh)
+        rec["ts"] = ts
+        with open(path, "w") as fh:
+            _json.dump(rec, fh)
+    out = None
+    for label, ts in (("t150_v0", 150.0), ("t200_v1", 200.0), ("t1e9_v2", 1e9)):
+        snap = merge_store.read_as_of(spark, root, ts).drop("__bucket")
+        rep = snap.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        ).select(F.lit(label).alias("as_of"), "source", "n_docs", "total_chars")
+        out = rep if out is None else out.unionByName(rep)
+    return out
+
+
+ORACLE_READ_AS_OF = """
+WITH v0 AS (SELECT doc_id, source, n_chars FROM documents),
+v1 AS (
+  SELECT doc_id, source,
+         n_chars + CASE WHEN doc_id = 1 THEN 11 ELSE 0 END AS n_chars
+  FROM documents
+),
+v2 AS (
+  SELECT doc_id, source,
+         n_chars + CASE WHEN doc_id = 1 THEN 11
+                        WHEN doc_id = 2 THEN 13 ELSE 0 END AS n_chars
+  FROM documents
+)
+SELECT 't150_v0' AS as_of, source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM v0 GROUP BY source
+UNION ALL
+SELECT 't200_v1', source, CAST(count(*) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
+FROM v1 GROUP BY source
+UNION ALL
+SELECT 't1e9_v2', source, CAST(count(*) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
+FROM v2 GROUP BY source
+"""
+
+
 ORACLE_VACUUM_RETENTION = """
 WITH final AS (
   SELECT doc_id, source,
@@ -1423,6 +1508,7 @@ FROM final GROUP BY source
 QUERIES = {
     "dq_expectations": dq_expectations,
     "store_vacuum_retention": store_vacuum_retention,
+    "store_read_as_of": store_read_as_of,
     "store_compaction": store_compaction,
     "store_merge_into": store_merge_into,
     "store_history": store_history,
@@ -1437,6 +1523,7 @@ QUERIES = {
 ORACLES = {
     "dq_expectations": ORACLE_DQ,
     "store_vacuum_retention": ORACLE_VACUUM_RETENTION,
+    "store_read_as_of": ORACLE_READ_AS_OF,
     "store_compaction": ORACLE_COMPACTION,
     "store_merge_into": ORACLE_MERGE_INTO,
     "store_history": ORACLE_STORE_HISTORY,
