@@ -647,3 +647,81 @@ def test_ddsketch_binning_and_error_bound(spark, values):
         v = vs[(p * n + 99) // 100 - 1]
         e = est[p]
         assert e <= v and v - e <= e // 16 + 1, (p, e, v)
+
+
+# -- vacuum_retention never breaks a retained reader ----------------------------
+#
+# For ANY sequence of upserts/deletes, any tag placement, and any subset of
+# versions aged out of the window, time-based VACUUM must preserve — bit
+# for bit — the current read, every tagged read, and every committed read
+# inside the window; and a second vacuum must be a no-op (idempotence).
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(
+    steps=st.lists(
+        st.tuples(st.sampled_from(["upsert", "delete"]), st.integers(0, 19)),
+        min_size=2,
+        max_size=5,
+    ),
+    tag_at=st.integers(0, 2),
+    aged=st.sets(st.integers(0, 5), max_size=4),
+)
+def test_vacuum_retention_preserves_retained_readers(
+    spark, tmp_path_factory, steps, tag_at, aged
+):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mongraph_spark.sources import merge as M
+
+    root = str(tmp_path_factory.mktemp("vacret") / "tbl")
+    base = [(i, f"n{i}", 0) for i in range(20)]
+    M.init_table(
+        spark.createDataFrame(base, "id long, name string, rev long"),
+        root, key="id", n_buckets=4,
+    )
+    for rev, (op, k) in enumerate(steps, start=1):
+        if op == "upsert":
+            M.upsert(
+                spark, root,
+                spark.createDataFrame(
+                    [(k, f"u{k}r{rev}", rev)], "id long, name string, rev long"
+                ),
+                key="id", order_col="rev",
+            )
+        else:
+            M.delete_where(spark, root, F.col("id") == k)
+    n_cur = int(M.current_version(root).split("_")[1])
+    tag_v = min(tag_at, n_cur)
+    M.create_tag(root, "keep", version=tag_v)
+    now, old = 1_000_000.0, 500.0
+    for n in aged:
+        if n <= n_cur:
+            man = os.path.join(root, f"v_{n:05d}", M._MANIFEST)
+            if os.path.exists(man):
+                os.utime(man, (old, old))
+    windowed = [
+        n for n in range(n_cur + 1)
+        if n not in aged and os.path.isdir(os.path.join(root, f"v_{n:05d}"))
+    ]
+    before_cur = sorted(map(tuple, M.read_current(spark, root).drop("__bucket").collect()))
+    before_tag = sorted(map(tuple, M.read_tag(spark, root, "keep").drop("__bucket").collect()))
+    before_win = {
+        n: sorted(map(tuple, M.read_version(spark, root, n).drop("__bucket").collect()))
+        for n in windowed
+    }
+    out1 = M.vacuum_retention(root, retention_s=1000.0, now=now)
+    assert sorted(map(tuple, M.read_current(spark, root).drop("__bucket").collect())) == before_cur
+    assert sorted(map(tuple, M.read_tag(spark, root, "keep").drop("__bucket").collect())) == before_tag
+    for n, rows in before_win.items():
+        assert sorted(map(tuple, M.read_version(spark, root, n).drop("__bucket").collect())) == rows
+    # idempotence: nothing left to collect on the second pass
+    out2 = M.vacuum_retention(root, retention_s=1000.0, now=now)
+    assert out2["removed"] == [] and out2["orphans_removed"] == []
+    assert out2["retained"] == sorted(set(out1["retained"]))
