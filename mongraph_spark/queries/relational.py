@@ -3628,6 +3628,65 @@ def neyman_allocate(o: DataFrame) -> DataFrame:
     )
 
 
+def stats_neyman_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DRAW that completes :func:`stats_neyman_allocation`: actually
+    take the allocated per-stratum sample — deterministically, by ranking
+    each stratum's rows on a salted md5 of the order key (the portable
+    "uniform" order both engines compute identically; no rng state, fully
+    reproducible — the property an auditable QA sample needs) and keeping
+    the first ``alloc_neyman``.  Reports, per stratum: population size,
+    allocation, rows actually drawn (== allocation; a short stratum would
+    expose itself here), the SAMPLE mean vs the TRUE stratum mean in
+    exact floored micro-cents — the audit table a sampling review reads
+    to see both the design and how far this draw landed from truth.
+
+    Scale shape: the allocation is one aggregation + |strata|-row math
+    (broadcast back); the draw is ONE window shuffle keyed on the stratum
+    (rank truncated at the allocation, so only sample-sized output
+    survives the filter).  At 100 TB with huge strata, swap row_number
+    for a two-pass threshold-on-hash (approximate rank cutoff) — the
+    documented scale knob; the semantics stay rank-by-hash."""
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderkey").alias("okey"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    alloc = neyman_allocate(o.select("priority", "cents"))
+    rk = F.row_number().over(
+        Window.partitionBy("priority").orderBy(
+            F.md5(F.concat(F.lit("samp:"), F.col("okey").cast("string"))), "okey"
+        )
+    )
+    drawn = (
+        o.withColumn("rk", rk)
+        .join(
+            F.broadcast(alloc.select("priority", "alloc_neyman")), "priority"
+        )
+        .filter(F.col("rk") <= F.col("alloc_neyman"))
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_drawn"),
+            F.sum("cents").cast("long").alias("s_sample"),
+        )
+    )
+    truth = o.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("cents").cast("long").alias("s_all"),
+    )
+    return (
+        truth.join(drawn, "priority")
+        .join(alloc.select("priority", "alloc_neyman"), "priority")
+        .select(
+            "priority",
+            "n_rows",
+            "alloc_neyman",
+            "n_drawn",
+            F.expr("(1000000 * s_sample) div n_drawn").alias("sample_mean_micro"),
+            F.expr("(1000000 * s_all) div n_rows").alias("true_mean_micro"),
+        )
+    )
+
+
 ORACLE_NEYMAN = f"""
 WITH o AS (
   SELECT o_orderpriority AS priority,
@@ -3672,10 +3731,46 @@ SELECT priority, n_rows, mean_cents, s_cents,
 FROM staged CROSS JOIN shortfall
 """
 
+ORACLE_NEYMAN_SAMPLE = f"""
+WITH alloc AS ({ORACLE_NEYMAN}),
+o2 AS (
+  SELECT o_orderpriority AS priority, o_orderkey AS okey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+ranked AS (
+  SELECT priority, cents,
+         row_number() OVER (
+           PARTITION BY priority
+           ORDER BY md5('samp:' || CAST(okey AS VARCHAR)), okey
+         ) AS rk
+  FROM o2
+),
+drawn AS (
+  SELECT r.priority, CAST(count(*) AS BIGINT) AS n_drawn,
+         CAST(sum(r.cents) AS BIGINT) AS s_sample
+  FROM ranked r JOIN alloc a ON r.priority = a.priority
+  WHERE r.rk <= a.alloc_neyman
+  GROUP BY r.priority
+),
+truth AS (
+  SELECT priority, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(cents) AS BIGINT) AS s_all
+  FROM o2 GROUP BY priority
+)
+SELECT t.priority, t.n_rows, a.alloc_neyman, d.n_drawn,
+       CAST((1000000 * d.s_sample) // d.n_drawn AS BIGINT) AS sample_mean_micro,
+       CAST((1000000 * t.s_all) // t.n_rows AS BIGINT) AS true_mean_micro
+FROM truth t JOIN drawn d ON t.priority = d.priority
+JOIN alloc a ON t.priority = a.priority
+"""
+
+
 
 QUERIES = {
     "stats_weighted_median": stats_weighted_median,
     "stats_neyman_allocation": stats_neyman_allocation,
+    "stats_neyman_sample": stats_neyman_sample,
     "stats_mann_whitney": stats_mann_whitney,
     "stats_spearman_corr": stats_spearman_corr,
     "stats_trimmed_means": stats_trimmed_means,
@@ -3773,6 +3868,7 @@ ORACLES = {
     "ivm_join_delta": ORACLE_IVM,
     "stats_weighted_median": ORACLE_WEIGHTED_MEDIAN,
     "stats_neyman_allocation": ORACLE_NEYMAN,
+    "stats_neyman_sample": ORACLE_NEYMAN_SAMPLE,
     "stats_mann_whitney": ORACLE_MANN_WHITNEY,
     "stats_spearman_corr": ORACLE_SPEARMAN,
     "stats_trimmed_means": ORACLE_TRIMMED,

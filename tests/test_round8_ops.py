@@ -748,3 +748,23 @@ def test_read_as_of_timestamp_travel(spark, tmp_path):
 
     shutil.rmtree(os.path.join(root, "v_00001"))
     assert name_at(200.0) == "name1"
+
+
+def test_neyman_sample_draws_exact_allocation(spark):
+    """The draw must fill every stratum's allocation exactly and be
+    reproducible run-to-run (rank-by-salted-hash has no rng state)."""
+    from pyspark.sql import functions as F
+
+    from mongraph_spark.queries.relational import (
+        NEYMAN_BUDGET,
+        stats_neyman_sample,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    a = stats_neyman_sample(spark, sf)
+    rows = {r.priority: r.asDict() for r in a.collect()}
+    assert all(v["n_drawn"] == v["alloc_neyman"] for v in rows.values())
+    assert sum(v["alloc_neyman"] for v in rows.values()) == NEYMAN_BUDGET
+    assert all(v["n_drawn"] <= v["n_rows"] for v in rows.values())
+    b = {r.priority: r.asDict() for r in stats_neyman_sample(spark, sf).collect()}
+    assert rows == b  # deterministic draw
