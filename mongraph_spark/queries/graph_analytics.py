@@ -2588,7 +2588,113 @@ SELECT (SELECT max(dist) FROM sa{DIAM_HOPS}) AS ecc_seed,
 ORACLE_DIAMETER = _diameter_oracle()
 
 
+RICH_CLUB_KS = [2, 4, 8, 16]
+
+
+def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient of the co-purchase graph (Colizza et al.
+    2006): for each degree threshold k, take the subgraph induced by
+    nodes with degree > k and measure how densely THEY interconnect —
+    φ(k) = 2·E_k / (N_k·(N_k−1)) — the standard probe for whether hubs
+    form an elite core (φ rising with k) or avoid each other.  Reported
+    in exact floored basis points alongside N_k, E_k, and the full
+    graph's edge count for context.
+
+    Scale shape: degrees are one aggregation over the (checkpointed)
+    pair list; each threshold's E_k is the pair list SEMI-JOINED against
+    the high-degree node set on both endpoints (broadcast — hub sets are
+    small by definition); the φ arithmetic runs on |K| rows.  No
+    quadratic stage anywhere — the subgraph is counted, never
+    materialized as pairs²."""
+    pairs = (
+        graph_copurchase_pairs(spark, sf_dir)
+        .select("part_a", "part_b")
+        .localCheckpoint(eager=True)  # feeds degrees + |K| edge counts
+    )
+    adj = pairs.select(F.col("part_a").alias("node_id")).unionByName(
+        pairs.select(F.col("part_b").alias("node_id"))
+    )
+    deg = adj.groupBy("node_id").agg(F.count(F.lit(1)).alias("d"))
+    m_row = pairs.agg(F.count(F.lit(1)).cast("long").alias("m_total"))
+    out = None
+    for k in RICH_CLUB_KS:
+        rich = deg.filter(F.col("d") > k).select("node_id")
+        nk = rich.agg(F.count(F.lit(1)).cast("long").alias("n_k"))
+        ek = (
+            pairs.join(
+                F.broadcast(rich.select(F.col("node_id").alias("part_a"))),
+                "part_a",
+                "left_semi",
+            )
+            .join(
+                F.broadcast(rich.select(F.col("node_id").alias("part_b"))),
+                "part_b",
+                "left_semi",
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("e_k"))
+        )
+        row = (
+            nk.crossJoin(ek)
+            .crossJoin(F.broadcast(m_row))
+            .select(
+                F.lit(k).cast("long").alias("k"),
+                "n_k",
+                "e_k",
+                F.when(
+                    F.col("n_k") >= 2,
+                    F.expr("(10000 * 2 * e_k) div (n_k * (n_k - 1))"),
+                )
+                .cast("long")
+                .alias("phi_bp"),
+                "m_total",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _rich_club_oracle() -> str:
+    rows = []
+    for k in RICH_CLUB_KS:
+        rows.append(
+            f"""SELECT {k} AS k,
+  (SELECT CAST(count(*) AS BIGINT) FROM deg WHERE d > {k}) AS n_k,
+  (SELECT CAST(count(*) AS BIGINT) FROM cop c
+   WHERE c.part_a IN (SELECT node_id FROM deg WHERE d > {k})
+     AND c.part_b IN (SELECT node_id FROM deg WHERE d > {k})) AS e_k,
+  CAST(CASE WHEN (SELECT count(*) FROM deg WHERE d > {k}) >= 2 THEN
+    (10000 * 2 * (SELECT count(*) FROM cop c
+                  WHERE c.part_a IN (SELECT node_id FROM deg WHERE d > {k})
+                    AND c.part_b IN (SELECT node_id FROM deg WHERE d > {k})))
+    // ((SELECT count(*) FROM deg WHERE d > {k})
+        * ((SELECT count(*) FROM deg WHERE d > {k}) - 1))
+  END AS BIGINT) AS phi_bp,
+  (SELECT CAST(count(*) AS BIGINT) FROM cop) AS m_total"""
+        )
+    body = "\nUNION ALL\n".join(rows)
+    extra = """cop AS MATERIALIZED (
+  SELECT part_a, part_b FROM (
+    SELECT a.part_id AS part_a, b.part_id AS part_b, count(*) AS n_orders
+    FROM (SELECT DISTINCT src AS order_id, dst AS part_id FROM g_edges WHERE type = 'contains') a
+    JOIN (SELECT DISTINCT src AS order_id, dst AS part_id FROM g_edges WHERE type = 'contains') b
+      ON a.order_id = b.order_id AND a.part_id < b.part_id
+    GROUP BY 1, 2
+  ) WHERE n_orders >= 2
+),
+deg AS MATERIALIZED (
+  SELECT node_id, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT part_a AS node_id FROM cop
+    UNION ALL SELECT part_b AS node_id FROM cop
+  ) GROUP BY node_id
+)"""
+    return tpch.oracle_with(body, extra_ctes=extra)
+
+
+ORACLE_RICH_CLUB = _rich_club_oracle()
+
+
 QUERIES = {
+    "graph_rich_club": graph_rich_club,
     # degree_distribution + copurchase_pairs ride the merged
     # graph_degree_copurchase row (functions kept for internal callers)
     "graph_degree_copurchase": graph_degree_copurchase,
@@ -2620,6 +2726,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "graph_rich_club": ORACLE_RICH_CLUB,
     "graph_triangle_count": ORACLE_TRIANGLES,
     "graph_kcore": ORACLE_KCORE,
     "graph_degree_copurchase": ORACLE_DEGREE_COPURCHASE,

@@ -1892,6 +1892,82 @@ def window_customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto analysis of part revenue — the inventory-management
+    classic (class A: parts covering the first 70% of cumulative revenue,
+    B: to 90%, C: the tail), the named report behind "20% of SKUs are 80%
+    of revenue".  Classification is a cumulative-share window over the
+    one-row-per-part REDUCTION (the deciles argument: the global window's
+    input is already reduced; at 100 TB swap for percentile boundaries +
+    a broadcast range join).  Class thresholds are integer
+    cross-multiplications on exact cents (10·cum ≤ 7·total, ≤ 9·total);
+    ties broken (revenue DESC, partkey ASC) so the boundary part is
+    deterministic in both engines.  Output: per class, member count,
+    revenue, exact floored share/cumulative-share bp."""
+    li = read_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("cents")
+    )
+    w = Window.partitionBy(const_part(F.col("partkey"))).orderBy(
+        F.desc("cents"), F.asc("partkey")
+    )
+    classed = (
+        per_part.withColumn("cum", F.sum("cents").over(w))
+        .crossJoin(
+            F.broadcast(per_part.agg(F.sum("cents").alias("total")))
+        )
+        .withColumn(
+            "abc_class",
+            F.when(10 * F.col("cum") <= 7 * F.col("total"), "A")
+            .when(10 * F.col("cum") <= 9 * F.col("total"), "B")
+            .otherwise("C"),
+        )
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("cents").cast("long").alias("class_cents"),
+            F.min("total").cast("long").alias("total_cents"),
+        )
+        .select(
+            "abc_class",
+            "n_parts",
+            "class_cents",
+            F.expr("(10000 * class_cents) div total_cents")
+            .cast("long")
+            .alias("share_bp"),
+        )
+    )
+
+
+ORACLE_ABC = """
+WITH per_part AS (
+  SELECT l_partkey AS partkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem GROUP BY l_partkey
+),
+classed AS (
+  SELECT cents,
+         CASE WHEN 10 * cum <= 7 * total THEN 'A'
+              WHEN 10 * cum <= 9 * total THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM (
+    SELECT cents,
+           sum(cents) OVER (ORDER BY cents DESC, partkey ASC
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+           sum(cents) OVER () AS total
+    FROM per_part
+  )
+)
+SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(cents) AS BIGINT) AS class_cents,
+       CAST((10000 * sum(cents)) // (SELECT sum(cents) FROM per_part) AS BIGINT)
+         AS share_bp
+FROM classed GROUP BY abc_class
+"""
+
+
 ORACLE_DECILES = """
 SELECT decile, count(*) AS n_customers,
        CAST(sum(cents) AS BIGINT) AS decile_spend_cents,
@@ -3792,6 +3868,7 @@ QUERIES = {
     "scd2_pit_join": scd2_pit_join,
     "scd2_bitemporal_asknown": scd2_bitemporal_asknown,
     "window_customer_deciles": window_customer_deciles,
+    "window_abc_analysis": window_abc_analysis,
     "salted_revenue_by_priority": salted_revenue_by_priority,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -3875,6 +3952,7 @@ ORACLES = {
     "stats_benford_test": ORACLE_BENFORD,
     "scd2_bitemporal_asknown": ORACLE_BITEMPORAL,
     "window_customer_deciles": ORACLE_DECILES,
+    "window_abc_analysis": ORACLE_ABC,
     "salted_revenue_by_priority": ORACLE_SALTED,
     "stats_mad_outliers": ORACLE_MAD,
     "stats_bootstrap_ci": ORACLE_BOOTSTRAP,

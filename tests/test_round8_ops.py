@@ -768,3 +768,52 @@ def test_neyman_sample_draws_exact_allocation(spark):
     assert all(v["n_drawn"] <= v["n_rows"] for v in rows.values())
     b = {r.priority: r.asDict() for r in stats_neyman_sample(spark, sf).collect()}
     assert rows == b  # deterministic draw
+
+
+def test_abc_analysis_crafted_pareto(spark, tmp_path):
+    """Crafted revenues with a hand-computable Pareto split: one dominant
+    part (60%), one mid (25%), two small ones — classes land A/B/C with
+    deterministic boundary handling."""
+    from mongraph_spark.queries.relational import window_abc_analysis
+
+    rows = [
+        (1, 60.0), (1, 0.0),   # part 1: 6000 cents
+        (2, 25.0),              # part 2: 2500
+        (3, 10.0),              # part 3: 1000
+        (4, 5.0),               # part 4: 500
+    ]
+    spark.createDataFrame(
+        rows, "l_partkey long, l_extendedprice double"
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    got = {r.abc_class: r.asDict() for r in
+           window_abc_analysis(spark, str(tmp_path)).collect()}
+    # cum shares: p1 60% (A), p2 85% (B), p3 95% (C), p4 100% (C)
+    assert got["A"]["n_parts"] == 1 and got["A"]["class_cents"] == 6000
+    assert got["B"]["n_parts"] == 1 and got["B"]["class_cents"] == 2500
+    assert got["C"]["n_parts"] == 2 and got["C"]["class_cents"] == 1500
+    assert got["A"]["share_bp"] == 6000
+    assert got["B"]["share_bp"] == 2500
+    assert got["C"]["share_bp"] == 1500
+
+
+def test_rich_club_invariants(spark):
+    """Structural invariants of the rich-club report on the real derived
+    graph: thresholds nest (n_k non-increasing), edge counts bounded by
+    the clique and the graph, phi on the bp grid and defined iff n_k>=2."""
+    from mongraph_spark.queries.graph_analytics import graph_rich_club
+
+    rows = sorted(
+        (r.asDict() for r in graph_rich_club(spark, "/root/testdata/sf0.01").collect()),
+        key=lambda r: r["k"],
+    )
+    assert [r["k"] for r in rows] == [2, 4, 8, 16]
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_k"] <= a["n_k"]
+        assert b["e_k"] <= a["e_k"]
+    for r in rows:
+        assert r["e_k"] <= r["n_k"] * (r["n_k"] - 1) // 2
+        assert r["e_k"] <= r["m_total"]
+        if r["n_k"] >= 2:
+            assert 0 <= r["phi_bp"] <= 10000
+        else:
+            assert r["phi_bp"] is None
