@@ -1182,8 +1182,101 @@ FROM agg
 """
 
 
+MSTTR_W = 25  # tokens per segment
+
+
+def text_msttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity per source: MSTTR (mean segmental type-token
+    ratio, Johnson 1944) next to the raw TTR it corrects — raw TTR falls
+    mechanically with document length (types saturate; the Heaps-law
+    effect corpus_heaps_law measures), so corpora of different document
+    lengths can't be compared on it; fixed-size segments make the ratio
+    length-free.  Segments are non-overlapping {MSTTR_W}-token chunks
+    (only FULL chunks count — the standard MSTTR contract; the tail is
+    reported as dropped tokens, no silent truncation).
+
+    Exactness: per-chunk distinct counts are integers; both ratios are
+    single exact rationals floored once to bp.  Engine parity: Spark
+    ``slice``/``array_distinct`` ≡ DuckDB 1-based inclusive list slicing
+    /``list_distinct`` (verified semantics, hash-pinned).
+
+    Scale shape: one scan, all chunk work inside per-row HOFs (no
+    explode), one map-side-combined per-source aggregate."""
+    w = MSTTR_W
+    words = F.split(F.lower(F.col("text")), " ")
+    n_tokens = F.size(words)
+    n_chunks = F.expr(f"size(split(lower(text), ' ')) div {w}")
+    chunk_distinct_sum = F.expr(
+        f"aggregate(transform(sequence(0, size(split(lower(text), ' ')) div {w} - 1),"
+        f" i -> size(array_distinct(slice(split(lower(text), ' '), i * {w} + 1, {w})))),"
+        " cast(0 as bigint), (acc, x) -> acc + x)"
+    )
+    docs = read_table(spark, sf_dir, "documents").select(
+        "source",
+        n_tokens.alias("n_tokens"),
+        F.size(F.array_distinct(words)).alias("n_types"),
+        n_chunks.alias("n_chunks"),
+        F.when(n_chunks > 0, chunk_distinct_sum).otherwise(0).alias("chunk_types"),
+    )
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("tokens"),
+            F.sum("n_types").cast("long").alias("types"),
+            F.sum("n_chunks").cast("long").alias("chunks"),
+            F.sum("chunk_types").cast("long").alias("chunk_types"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "tokens",
+            "chunks",
+            F.expr("(10000 * types) div tokens").cast("long").alias("raw_ttr_bp"),
+            F.expr(f"(10000 * chunk_types) div ({w} * chunks)")
+            .cast("long")
+            .alias("msttr_bp"),
+            (F.col("tokens") - F.lit(w) * F.col("chunks"))
+            .cast("long")
+            .alias("tail_tokens_dropped"),
+        )
+    )
+
+
+ORACLE_MSTTR = f"""
+WITH per_doc AS (
+  SELECT source,
+         string_split(lower(text), ' ') AS wl
+  FROM documents
+),
+m AS (
+  SELECT source,
+         len(wl) AS n_tokens,
+         len(list_distinct(wl)) AS n_types,
+         len(wl) // {MSTTR_W} AS n_chunks,
+         CASE WHEN len(wl) // {MSTTR_W} > 0 THEN
+           list_sum(list_transform(range(len(wl) // {MSTTR_W}),
+             i -> CAST(len(list_distinct(
+                    wl[i * {MSTTR_W} + 1 : i * {MSTTR_W} + {MSTTR_W}]
+                  )) AS BIGINT)))
+         ELSE 0 END AS chunk_types
+  FROM per_doc
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS tokens,
+       CAST(sum(n_chunks) AS BIGINT) AS chunks,
+       CAST((10000 * sum(n_types)) // sum(n_tokens) AS BIGINT) AS raw_ttr_bp,
+       CAST((10000 * sum(chunk_types)) // ({MSTTR_W} * sum(n_chunks)) AS BIGINT)
+         AS msttr_bp,
+       CAST(sum(n_tokens) - {MSTTR_W} * sum(n_chunks) AS BIGINT)
+         AS tail_tokens_dropped
+FROM m GROUP BY source
+"""
+
+
 QUERIES = {
     "text_readability": text_readability,
+    "text_msttr": text_msttr,
     "text_bpe_train": text_bpe_train,
     "text_bpe_apply": text_bpe_apply,
     "text_bpe_tokenize": text_bpe_tokenize,
@@ -1202,6 +1295,7 @@ QUERIES = {
 
 ORACLES = {
     "text_readability": ORACLE_READABILITY,
+    "text_msttr": ORACLE_MSTTR,
     "text_bpe_train": ORACLE_BPE_TRAIN,
     "text_bpe_apply": ORACLE_BPE_APPLY,
     "text_bpe_tokenize": ORACLE_BPE,

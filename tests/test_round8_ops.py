@@ -817,3 +817,29 @@ def test_rich_club_invariants(spark):
             assert 0 <= r["phi_bp"] <= 10000
         else:
             assert r["phi_bp"] is None
+
+
+def test_msttr_crafted_segments(spark, tmp_path):
+    """Hand-computed MSTTR on crafted docs: a repetitive doc scores low,
+    a diverse one high; the tail below one segment is dropped and
+    reported; raw TTR shows the length bias MSTTR removes."""
+    from mongraph_spark.queries.text import MSTTR_W, text_msttr
+
+    rep = " ".join(["aa bb cc dd ee"] * 10)  # 50 tokens, 5 types
+    div = " ".join(f"w{i}" for i in range(55))  # 55 tokens, all distinct
+    spark.createDataFrame(
+        [(1, rep, "rep"), (2, div, "div")],
+        "doc_id long, text string, source string",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {r.source: r.asDict() for r in text_msttr(spark, str(tmp_path)).collect()}
+    assert MSTTR_W == 25
+    r = got["rep"]
+    # 50 tokens -> 2 chunks, each with 5 distinct types
+    assert (r["tokens"], r["chunks"], r["tail_tokens_dropped"]) == (50, 2, 0)
+    assert r["msttr_bp"] == 10000 * 10 // 50   # (5+5)/(25*2)
+    assert r["raw_ttr_bp"] == 10000 * 5 // 50
+    d = got["div"]
+    # 55 tokens -> 2 full chunks (25 distinct each), 5-token tail dropped
+    assert (d["tokens"], d["chunks"], d["tail_tokens_dropped"]) == (55, 2, 5)
+    assert d["msttr_bp"] == 10000
+    assert d["raw_ttr_bp"] == 10000
