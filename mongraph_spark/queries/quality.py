@@ -1320,7 +1320,8 @@ def store_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     table needs (count-based ``store_history`` vacuuming keeps N versions;
     real deployments reason in wall-clock).
 
-    Deterministic scenario (injected ``now``, explicit utimes): build
+    Deterministic scenario (injected ``now``, injected commit-record
+    timestamps — the one clock ``read_as_of`` also travels on): build
     v0 init → v1 rebucket (full rewrite: v0 becomes unreferenced) →
     v2 upsert (+11 n_chars on doc_id==1 — ONE key, so exactly bucket 2 of
     8 rewrites and the other 7 keep referencing v1: the structural-sharing
@@ -1371,7 +1372,9 @@ def store_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     now, old = 1_000_000.0, 500.0
     for v in ("v_00000", "v_00001", "v_00002"):
-        os.utime(os.path.join(root, v, merge_store._MANIFEST), (old, old))
+        # age via the commit record — vacuum_retention and read_as_of share
+        # ONE commit clock (_commit_ts); manifest mtime no longer moves it
+        merge_store._set_commit_ts(root, v, old)
     # aged crashed writer: claimed v4, wrote junk, died
     os.makedirs(os.path.join(root, "v_00004"))
     with open(merge_store._claim_path(root, "v_00004"), "w") as fh:

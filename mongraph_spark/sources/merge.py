@@ -54,6 +54,7 @@ _META = "_TABLE.json"
 _MANIFEST = "manifest.json"
 _COMMIT = "_commit.json"
 _STAGING = "_staging"
+_TOMBSTONES = "_vacuumed.json"
 _BUCKET = "__bucket"
 DEFAULT_BUCKETS = 16
 
@@ -68,6 +69,24 @@ _CONTENT_PRESERVING_OPS = {"compact"}
 # this many seconds (crashed writer); a fresh claim raises CommitConflict
 # instead of being clobbered.  Tests shrink this to exercise takeover.
 CLAIM_TTL_S = 600.0
+
+# How long a rebase committer polls for the claim before giving up and
+# discarding its staged files.  Deliberately much larger than the 5 s
+# fail-fast wait: the rebase caller has ALREADY paid the compute, and the
+# claim holder it is most likely waiting on is a fail-fast writer that
+# claims before compute and holds across its whole Spark job — discarding
+# a fully staged write because a coexisting writer is slow would redo the
+# expensive half to save the cheap one.  Staging is preserved for the
+# whole wait; only the final timeout (or a LOGICAL conflict) deletes it.
+REBASE_CLAIM_WAIT_S = 60.0
+
+
+class VersionVacuumedError(ValueError):
+    """``TIMESTAMP AS OF`` travel landed in a vacuumed gap: the version
+    that was TRULY current at the requested timestamp has been deleted by
+    a vacuum, so answering from an older survivor would silently return
+    STALER data than asked for.  Delta errors here too — time travel
+    either answers exactly or not at all."""
 
 
 class CommitConflict(RuntimeError):
@@ -234,6 +253,67 @@ def _read_commit(root: str, ver: str) -> dict | None:
         return None
 
 
+def _commit_ts(root: str, ver: str) -> float:
+    """A committed version's commit time — ONE clock for every feature
+    that reasons about when a version landed (``vacuum_retention``'s
+    window and ``read_as_of``'s travel must agree, or a version the
+    latter says is within the window could be GC'd by the former): the
+    commit record's ``ts`` field, with manifest/dir mtime only as the
+    pre-record fallback.  mtime is NOT the same clock — any path that
+    rewrites or re-syncs a manifest (read-repair, backup restore) shifts
+    it, while the commit record is immutable once written."""
+    rec = _read_commit(root, ver)
+    if rec is not None and "ts" in rec:
+        return float(rec["ts"])
+    try:
+        return os.path.getmtime(os.path.join(root, ver, _MANIFEST))
+    except FileNotFoundError:  # pre-manifest dir: best effort
+        return os.path.getmtime(os.path.join(root, ver))
+
+
+def _record_tombstones(root: str, ts_by_ver: dict[str, float]) -> None:
+    """Record vacuumed versions' commit times in ``_vacuumed.json`` —
+    the sliver of Delta's surviving transaction log that ``read_as_of``
+    needs: with the timestamp of a DELETED version still known, a
+    timestamp query resolves to its true target exactly, erroring only
+    when that target is genuinely gone instead of conservatively
+    whenever any neighboring version is missing."""
+    if not ts_by_ver:
+        return
+    path = os.path.join(root, _TOMBSTONES)
+    try:
+        with open(path) as fh:
+            data = json.load(fh)
+    except (FileNotFoundError, json.JSONDecodeError):
+        data = {}
+    data.update(ts_by_ver)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(data, fh, sort_keys=True)
+    os.replace(tmp, path)
+
+
+def _read_tombstones(root: str) -> dict[str, float]:
+    try:
+        with open(os.path.join(root, _TOMBSTONES)) as fh:
+            return {k: float(v) for k, v in json.load(fh).items()}
+    except (FileNotFoundError, json.JSONDecodeError):
+        return {}
+
+
+def _set_commit_ts(root: str, ver: str, ts: float) -> None:
+    """Deterministic-test hook: overwrite a committed version's recorded
+    commit time.  This is how fixtures age versions now that
+    :func:`_commit_ts` is the single clock — ``os.utime`` on the manifest
+    no longer moves it (that was the whole point of unifying)."""
+    rec = _read_commit(root, ver) or {}
+    rec["ts"] = ts
+    tmp = os.path.join(root, ver, _COMMIT + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(rec, fh)
+    os.replace(tmp, os.path.join(root, ver, _COMMIT))
+
+
 def _meta_fingerprint(meta: dict) -> str:
     """Canonical string over everything a staged write plan depends on:
     key column, bucket count, schema, evolved-column fills, rebucket
@@ -255,11 +335,15 @@ def _meta_fingerprint(meta: dict) -> str:
 def _claim_next(root: str, wait_s: float = 5.0, poll_s: float = 0.05) -> str:
     """Claim the next version, WAITING (bounded) on a live holder instead
     of failing fast: used by the rebase commit path, where the caller has
-    already spent the compute and the holder's claim window is short (it
-    covers only manifest write + pointer flip, never a Spark job).  Each
-    poll recomputes the target from the advanced pointer, so a committer
-    releasing its claim moves the waiter FORWARD, never into a stale
-    version name."""
+    already spent the compute.  The holder's claim window is short when
+    every writer uses rebase mode (manifest write + pointer flip), but a
+    coexisting ``occ="failfast"`` writer claims BEFORE its compute and
+    holds across the whole Spark job — which is why the rebase commit
+    path passes a much larger ``wait_s`` (:data:`REBASE_CLAIM_WAIT_S`):
+    waiting is cheap, while giving up discards fully staged files and
+    forces the entire compute to rerun.  Each poll recomputes the target
+    from the advanced pointer, so a committer releasing its claim moves
+    the waiter FORWARD, never into a stale version name."""
     deadline = time.time() + wait_s
     while True:
         try:
@@ -298,13 +382,14 @@ def _classify_conflict(
                          re-layout; our files carry the same rows
                          either way
     init/rebucket/       never safe — whole-table writes (and
-    restore              restore jumps the state our plan read)
+    restore/add_column   restore jumps the state our plan read;
+                         add_column commits as a version since r9
+                         and invalidates staged files, which were
+                         written without the evolved column's fill
+                         metadata — the fingerprint check catches
+                         the same thing, belt and braces)
     no commit record     never safe — unknown write set
-    ===================  =========================================
-
-    add_column never creates a version; it is caught separately by the
-    meta fingerprint check (the staged files lack the evolved column's
-    fill metadata)."""
+    ===================  ========================================="""
     lo = int(snapshot.split("_")[1])
     hi = int(current.split("_")[1])
     for n in range(lo + 1, hi + 1):
@@ -316,7 +401,7 @@ def _classify_conflict(
         if op in _CONTENT_PRESERVING_OPS:
             continue
         if op not in _BUCKET_SCOPED_OPS or buckets == "*":
-            return f"{ver} ({op}) rewrote the whole table"
+            return f"{ver} ({op}) is not bucket-scoped (whole-table write set)"
         overlap = ours & set(buckets)
         if overlap:
             return f"{ver} ({op}) wrote overlapping buckets {sorted(overlap)}"
@@ -471,29 +556,87 @@ def _read_paths(
 
 def add_column(root: str, name: str, dtype: str, default) -> None:
     """Metadata-only ADD COLUMN (the Delta/Iceberg schema-evolution shape):
-    no file is touched — the column is recorded in table meta with the
-    version number at which it appears, and readers fill ``default`` for
-    every file written by an earlier version.  Subsequent ``upsert``
+    no data file is touched — the column is recorded in table meta with
+    the version number at which it appears, and readers fill ``default``
+    for every file written by an earlier version.  Subsequent ``upsert``
     batches may omit the column (filled with the default) or carry it
     (written physically, explicit NULLs preserved).  At 100 TB this is
     the difference between an O(1) catalog update and rewriting the
-    table."""
+    table.
+
+    The change COMMITS AS A VERSION of its own — claim, metadata-only
+    version dir whose manifest references the same data as the prior
+    current, commit record ``op="add_column"``, pointer flip — so it
+    serializes with every concurrent writer through the same claim
+    protocol instead of racing them: a fail-fast writer mid-compute holds
+    the claim and add_column waits (bounded) or conflicts; a rebase
+    committer that claims first wins the version number and add_column
+    lands AFTER it (``added_in`` = the version after theirs, so their
+    files correctly read as default-filled); a rebase committer arriving
+    after add_column sees a fingerprint mismatch AND a non-bucket-scoped
+    commit record and retries.  Without this, add_column could land
+    between a rebase committer's fingerprint check and its flip and stamp
+    ``added_in`` equal to the in-flight writer's version, making readers
+    treat files written WITHOUT the column as physically carrying it.
+
+    The new meta is staged INSIDE the new version dir and becomes
+    authoritative at the atomic flip (the rebucket pattern): a crash
+    before the flip aborts cleanly (root meta untouched, claim
+    TTL-expires), after the flip ``_read_meta`` prefers the staged copy."""
     meta = _read_meta(root)
     if meta["schema"] is None:
         raise ValueError(f"no table meta under {root}")
+    cur = current_version(root)
+    if cur is None:
+        # no committed version yet: nothing can race a claim window, and
+        # there is no manifest to reference — plain metadata update
+        _append_column_meta(root, meta, name, dtype, default, added_in=0)
+        return
+    ver = _claim_next(root)
+    try:
+        # revalidate UNDER the claim: a racing add_column may have landed
+        meta = _read_meta(root)
+        schema = T.StructType.fromJson(json.loads(meta["schema"]))
+        if name in schema.fieldNames():
+            raise ValueError(f"column {name!r} already exists")
+        added_in = int(ver.split("_")[1])
+        added = list(meta.get("added") or [])
+        added.append({"name": name, "added_in": added_in, "default": default})
+        staged = {
+            "key": meta["key"],
+            "n_buckets": meta["n_buckets"],
+            "schema": schema.add(name, dtype, True).json(),
+            "added": added,
+        }
+        if meta.get("bucketed_since") is not None:
+            staged["bucketed_since"] = meta["bucketed_since"]
+        cur2 = current_version(root)  # the claim pins it: cur2 == cur
+        os.makedirs(os.path.join(root, ver))
+        _write_manifest(root, ver, _read_manifest(root, cur2))
+        with open(os.path.join(root, ver, _META), "w") as fh:
+            json.dump(staged, fh)
+        _write_commit(root, ver, "add_column", "*")
+    except BaseException:
+        shutil.rmtree(os.path.join(root, ver), ignore_errors=True)
+        _release_claim(root, ver)
+        raise
+    _flip(root, ver)
+    _sync_root_meta(root, staged)
+
+
+def _append_column_meta(
+    root: str, meta: dict, name: str, dtype: str, default, added_in: int
+) -> None:
     schema = T.StructType.fromJson(json.loads(meta["schema"]))
     if name in schema.fieldNames():
         raise ValueError(f"column {name!r} already exists")
-    schema = schema.add(name, dtype, True)
-    cur = current_version(root)
-    added_in = 0 if cur is None else int(cur.split("_")[1]) + 1
     added = list(meta.get("added") or [])
     added.append({"name": name, "added_in": added_in, "default": default})
     _write_meta(
         root,
         meta["key"],
         meta["n_buckets"],
-        schema,
+        schema.add(name, dtype, True),
         added,
         bucketed_since=meta.get("bucketed_since"),
     )
@@ -718,16 +861,25 @@ def _rebase_commit(
     manifest: dict[str, str],
     op: str,
     drop_touched_first: bool = False,
+    recheck=None,
+    claim_wait_s: float = REBASE_CLAIM_WAIT_S,
 ) -> str:
     """Shared claim-last commit loop for staged (rebase-mode) mutations:
-    claim the next version (bounded wait), run the serializability check
+    claim the next version (bounded wait — staging survives the whole
+    wait, see :data:`REBASE_CLAIM_WAIT_S`), run the serializability check
     against everything that committed since ``snapshot``, then promote
     the staged dir and overlay OUR buckets onto the winning manifest.
-    ``drop_touched_first`` is the merge_into contract — a touched bucket
-    can empty out entirely (all rows deleted), so its old manifest entry
-    is removed even when no new files replace it."""
+    ``drop_touched_first`` is the merge_into/delete contract — a touched
+    bucket can empty out entirely (all rows deleted), so its old manifest
+    entry is removed even when no new files replace it.  ``recheck``, if
+    given, is called with the list of intervening version names AFTER the
+    bucket-disjointness check passes and may return an extra conflict
+    reason — delete_where uses it to re-evaluate its predicate over the
+    intervening writers' files (bucket-disjointness alone does not prove
+    a DELETE serializes: a disjoint upsert may have inserted rows the
+    predicate matches)."""
     try:
-        ver = _claim_next(root)
+        ver = _claim_next(root, wait_s=claim_wait_s)
     except CommitConflict:
         shutil.rmtree(staging, ignore_errors=True)
         raise
@@ -737,6 +889,9 @@ def _rebase_commit(
         reason = "table metadata changed since snapshot (schema/layout evolution)"
     elif cur2 != snapshot:
         reason = _classify_conflict(root, snapshot, cur2, set(touched))
+        if reason is None and recheck is not None:
+            lo, hi = int(snapshot.split("_")[1]), int(cur2.split("_")[1])
+            reason = recheck([_version_name(n) for n in range(lo + 1, hi + 1)])
         if reason is None:
             # rebase: overlay OUR buckets onto the ADVANCED manifest — the
             # intervening commits were bucket-disjoint, so every other
@@ -763,6 +918,7 @@ def compact(
     root: str,
     max_files_per_bucket: int = 1,
     target_bytes: int = 128 << 20,
+    occ: str = "failfast",
 ) -> tuple[str, list[str]]:
     """Small-file compaction — the maintenance half of copy-on-write:
     repeated trickle upserts leave each touched bucket with one part file
@@ -781,7 +937,20 @@ def compact(
     dir with exactly its target file count.  Content is bit-identical by
     construction (pure re-layout, no filter/agg), returns
     ``(new_version, compacted_bucket_ids)``; no-op (no fragmented
-    buckets) returns the current version and ``[]``."""
+    buckets) returns the current version and ``[]``.
+
+    ``occ="rebase"``: compute-first / claim-last, with a commit rule
+    STRONGER than the generic serializability check — compaction is
+    content-preserving, so the per-bucket condition is simply "nobody
+    rewrote bucket b since we read it" (current manifest[b] == snapshot
+    manifest[b]).  Buckets that lost that race are SKIPPED, not
+    conflicted: their staged files are discarded and the newer writer's
+    files stay, while every still-valid bucket commits.  A long
+    compaction therefore neither blocks concurrent writers (no claim is
+    held during the Spark job) nor redoes work when one of its buckets
+    is overwritten mid-flight — the operational posture a 100 TB table's
+    maintenance job needs.  Only schema/layout evolution (fingerprint
+    change) discards the whole staged set."""
     meta = _read_meta(root)
     cur = current_version(root)
     if cur is None:
@@ -800,8 +969,29 @@ def compact(
             plan[b] = int(n_target)
     if not plan:
         return cur, []
+    if occ == "rebase":
+        return _compact_rebase(spark, root, meta, cur, manifest, plan)
 
     ver = _next_version(root)
+    _compact_write(spark, root, meta, manifest, plan, os.path.join(root, ver))
+    new_map = dict(manifest)
+    new_map.update(_written_buckets(root, ver))
+    _write_manifest(root, ver, new_map)
+    _write_commit(root, ver, "compact", sorted(plan))
+    _flip(root, ver)
+    return ver, sorted(plan)
+
+
+def _compact_write(
+    spark: SparkSession,
+    root: str,
+    meta: dict,
+    manifest: dict[str, str],
+    plan: dict[str, int],
+    dest: str,
+) -> None:
+    """One Spark job writing every planned bucket's right-sized files to
+    ``dest`` (a version dir or a rebase staging dir)."""
     base_map = {b: manifest[b] for b in plan}
     df = _read_paths(spark, root, base_map, meta["schema"], meta.get("added")).withColumn(
         _BUCKET, _bucket_expr(meta["key"], meta["n_buckets"])
@@ -819,30 +1009,92 @@ def compact(
         .drop("__slice")
         .write.mode("errorifexists")
         .partitionBy(_BUCKET)
-        .parquet(os.path.join(root, ver))
+        .parquet(dest)
     )
-    new_map = dict(manifest)
-    new_map.update(_written_buckets(root, ver))
+
+
+def _compact_rebase(
+    spark: SparkSession,
+    root: str,
+    meta: dict,
+    snapshot: str,
+    manifest: dict[str, str],
+    plan: dict[str, int],
+) -> tuple[str, list[str]]:
+    """The compute-first / per-bucket-commit half of :func:`compact` (see
+    its docstring).  Not routed through :func:`_rebase_commit` because
+    compaction's conflict rule is per-bucket SKIP, not all-or-nothing."""
+    from uuid import uuid4
+
+    fp = _meta_fingerprint(meta)
+    staging = os.path.join(root, _STAGING, f"cp_{os.getpid()}_{uuid4().hex}")
+    os.makedirs(os.path.dirname(staging), exist_ok=True)
+    _compact_write(spark, root, meta, manifest, plan, staging)
+    try:
+        ver = _claim_next(root, wait_s=REBASE_CLAIM_WAIT_S)
+    except CommitConflict:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    cur2 = current_version(root)
+    if _meta_fingerprint(_read_meta(root)) != fp:
+        shutil.rmtree(staging, ignore_errors=True)
+        _release_claim(root, ver)
+        raise CommitConflict(
+            root, ver,
+            "table metadata changed since snapshot (schema/layout evolution)",
+        )
+    man2 = _read_manifest(root, cur2)
+    # per-bucket validity: our staged re-layout of bucket b is committable
+    # iff b still points at the files we compacted
+    valid = {b for b in plan if man2.get(b) == manifest.get(b)}
+    for d in os.listdir(staging):
+        if d.startswith(_BUCKET + "=") and d.split("=", 1)[1] not in valid:
+            shutil.rmtree(os.path.join(staging, d))
+    if not valid:
+        shutil.rmtree(staging, ignore_errors=True)
+        _release_claim(root, ver)
+        return cur2, []
+    os.rename(staging, os.path.join(root, ver))
+    written = _written_buckets(root, ver)
+    committed = sorted(b for b in written if b in valid)
+    new_map = dict(man2)
+    new_map.update({b: written[b] for b in committed})
     _write_manifest(root, ver, new_map)
-    _write_commit(root, ver, "compact", sorted(plan))
+    _write_commit(root, ver, "compact", committed)
     _flip(root, ver)
-    return ver, sorted(plan)
+    return ver, committed
 
 
-def delete_where(spark: SparkSession, root: str, condition) -> str:
+def delete_where(
+    spark: SparkSession, root: str, condition, occ: str = "failfast"
+) -> str:
     """Delete rows matching ``condition`` (a Column) by rewriting the
     survivors of the buckets that contain matching rows into the next
     version (legacy flat tables rewrite in full).
 
     SQL DELETE semantics: only rows where the predicate is TRUE are removed.
     A bare ``filter(~condition)`` would also drop NULL-predicate rows (e.g. a
-    comparison against a NULL column), so NULL is coalesced to "keep"."""
+    comparison against a NULL column), so NULL is coalesced to "keep".
+
+    ``occ="rebase"`` (bucketed tables): compute the survivors FIRST into a
+    private staging dir, then claim-last with the serializability check —
+    but DELETE's read set is the whole predicate scan, not just its write
+    set, so bucket-disjointness alone is not sufficient: an intervening
+    bucket-disjoint upsert may have inserted/updated rows the predicate
+    MATCHES, which the serial order "theirs, then ours" would delete.  The
+    commit therefore re-evaluates the predicate over ONLY the intervening
+    writers' written files (bounded by their write sets, never a table
+    rescan); zero matches proves the staged survivors equal the serial
+    result, any match raises :class:`CommitConflict` for the
+    whole-closure retry."""
     meta = _read_meta(root)
     cur = current_version(root)
     if cur is None:
         raise ValueError(f"no current version under {root}")
-    ver = _next_version(root)
     keep = ~F.coalesce(condition, F.lit(False))
+    if occ == "rebase" and meta["key"] is not None:
+        return _delete_rebase(spark, root, condition, keep, meta, cur)
+    ver = _next_version(root)
 
     if meta["key"] is not None:
         n_buckets = meta["n_buckets"]
@@ -876,6 +1128,72 @@ def delete_where(spark: SparkSession, root: str, condition) -> str:
         _write_commit(root, ver, "delete", "*")
     _flip(root, ver)
     return ver
+
+
+def _delete_rebase(
+    spark: SparkSession, root: str, condition, keep, meta: dict, snapshot: str
+) -> str:
+    """The compute-first / claim-last half of :func:`delete_where` (see its
+    docstring for the protocol and the predicate-recheck rationale)."""
+    from uuid import uuid4
+
+    n_buckets = meta["n_buckets"]
+    fp = _meta_fingerprint(meta)
+    manifest = _read_manifest(root, snapshot)
+    full = _read_paths(spark, root, manifest, meta["schema"], meta.get("added")).withColumn(
+        _BUCKET, _bucket_expr(meta["key"], n_buckets)
+    )
+    touched = sorted(
+        str(r[_BUCKET])
+        for r in full.filter(~keep).select(_BUCKET).distinct().collect()
+    )
+    if not touched:
+        return snapshot  # nothing matched at this snapshot: DELETE is a no-op
+    base_map = {b: manifest[b] for b in touched if b in manifest}
+    staging = os.path.join(root, _STAGING, f"dl_{os.getpid()}_{uuid4().hex}")
+    os.makedirs(os.path.dirname(staging), exist_ok=True)
+    _read_paths(spark, root, base_map, meta["schema"], meta.get("added")).filter(
+        keep
+    ).withColumn(_BUCKET, _bucket_expr(meta["key"], n_buckets)).write.mode(
+        "errorifexists"
+    ).partitionBy(_BUCKET).parquet(staging)
+
+    match = F.coalesce(condition, F.lit(False))
+
+    def recheck(intervening: list[str]) -> str | None:
+        # bucket-disjointness already passed; re-evaluate the predicate over
+        # ONLY the files the intervening writers wrote (bounded by their
+        # write sets).  Compactions are skipped: they re-lay out rows the
+        # snapshot scan already saw and judged.
+        paths: dict[str, str] = {}
+        for v in intervening:
+            rec = _read_commit(root, v)
+            if rec is not None and rec.get("op") in _CONTENT_PRESERVING_OPS:
+                continue
+            paths.update(
+                {f"{v}:{b}": rel for b, rel in _written_buckets(root, v).items()}
+            )
+        if not paths:
+            return None
+        wrote = _read_paths(spark, root, paths, meta["schema"], meta.get("added"))
+        if wrote.filter(match).limit(1).count() > 0:
+            return (
+                "an intervening writer added rows matching the DELETE "
+                "predicate; the staged survivors are not the serial result"
+            )
+        return None
+
+    return _rebase_commit(
+        root,
+        staging,
+        touched,
+        fp,
+        snapshot,
+        manifest,
+        op="delete",
+        drop_touched_first=True,
+        recheck=recheck,
+    )
 
 
 def merge_into(
@@ -1044,15 +1362,18 @@ def vacuum(root: str, keep_last: int = 1) -> list[str]:
         for rel in _read_manifest(root, v).values():
             live.add(rel.split("/", 1)[0])
     removed = []
+    ts_by_ver = {}
     for v in versions:
         if v not in live:
+            ts_by_ver[v] = _commit_ts(root, v)
             shutil.rmtree(os.path.join(root, v))
             removed.append(v)
+    _record_tombstones(root, ts_by_ver)
     return removed
 
 
 def vacuum_retention(
-    root: str, retention_s: float, now: float | None = None
+    root: str, retention_s: float, now: float | None = None, force: bool = False
 ) -> dict:
     """Time-based VACUUM + orphan GC — the ``VACUUM ... RETAIN n HOURS``
     operational contract a shared 100 TB table needs (count-based
@@ -1063,7 +1384,9 @@ def vacuum_retention(
     any of:
 
     - it IS the current version;
-    - its commit time (manifest mtime) is within the retention window;
+    - its commit time (:func:`_commit_ts` — the commit record's ``ts``,
+      the SAME clock :func:`read_as_of` travels on, so a version AS-OF
+      says is within the window is never GC'd) is within the window;
     - a tag points at it;
     - any retained version's manifest references into it (structural
       sharing keeps an old dir live as long as one untouched bucket of a
@@ -1077,15 +1400,31 @@ def vacuum_retention(
     an IN-FLIGHT writer's claim, staged dir, or half-written version is
     never touched while younger than ``retention_s``, so the window must
     exceed the longest-running commit (Delta documents the same
-    constraint for its 7-day default).
+    constraint for its 7-day default) — and it is ENFORCED, not just
+    documented: ``retention_s < CLAIM_TTL_S`` raises unless ``force=True``
+    (the ``retentionDurationCheck`` analog; a live claim younger than its
+    TTL is by definition a possibly-alive writer, so a shorter window
+    would let the GC delete an in-flight commit's files).  Even under
+    ``force``, a claim/staged dir younger than :data:`CLAIM_TTL_S` is
+    never collected.
 
     ``now`` is injectable for deterministic tests.  Returns
     ``{"removed": [committed version dirs], "retained": [...],
     "orphans_removed": [names relative to root]}``, each sorted."""
     import shutil
 
+    if retention_s < CLAIM_TTL_S and not force:
+        raise ValueError(
+            f"retention_s={retention_s} is below CLAIM_TTL_S={CLAIM_TTL_S}: "
+            "the window must exceed the longest-running commit or the GC can "
+            "delete an in-flight writer's files; pass force=True to override"
+        )
     now = time.time() if now is None else now
     cutoff = now - retention_s
+    # orphan GC (claims / staged dirs / half-written versions) additionally
+    # floors at the claim TTL even under force: anything younger might be a
+    # live writer
+    orphan_cutoff = min(cutoff, now - CLAIM_TTL_S)
     cur = current_version(root)
     n_cur = -1 if cur is None else int(cur.split("_")[1])
     entries = os.listdir(root)
@@ -1097,14 +1436,7 @@ def vacuum_retention(
     committed = [v for v in versions if int(v.split("_")[1]) <= n_cur]
     uncommitted = [v for v in versions if int(v.split("_")[1]) > n_cur]
 
-    def commit_time(v: str) -> float:
-        man = os.path.join(root, v, _MANIFEST)
-        try:
-            return os.path.getmtime(man)
-        except FileNotFoundError:  # pre-manifest dir: best effort
-            return os.path.getmtime(os.path.join(root, v))
-
-    retained = {v for v in committed if v == cur or commit_time(v) >= cutoff}
+    retained = {v for v in committed if v == cur or _commit_ts(root, v) >= cutoff}
     tag_dir = os.path.join(root, "_tags")
     if os.path.isdir(tag_dir):
         for t in os.listdir(tag_dir):
@@ -1118,10 +1450,13 @@ def vacuum_retention(
                 live.add(rel.split("/", 1)[0])
 
     removed, orphans = [], []
+    ts_by_ver = {}
     for v in committed:
         if v not in live:
+            ts_by_ver[v] = _commit_ts(root, v)
             shutil.rmtree(os.path.join(root, v))
             removed.append(v)
+    _record_tombstones(root, ts_by_ver)
     for v in uncommitted:
         # newest trace wins: a writer touching EITHER the dir or its claim
         # within the window is presumed alive
@@ -1131,7 +1466,7 @@ def vacuum_retention(
             stamps.append(os.path.getmtime(claim))
         except FileNotFoundError:
             pass
-        if max(stamps) < cutoff:
+        if max(stamps) < orphan_cutoff:
             shutil.rmtree(os.path.join(root, v))
             try:
                 os.unlink(claim)
@@ -1159,7 +1494,7 @@ def vacuum_retention(
         )
         if is_marker:
             try:
-                if os.path.getmtime(path) < cutoff:
+                if os.path.getmtime(path) < orphan_cutoff:
                     os.unlink(path)
                     orphans.append(f)
             except FileNotFoundError:
@@ -1169,7 +1504,7 @@ def vacuum_retention(
         for d in os.listdir(staging_root):
             path = os.path.join(staging_root, d)
             try:
-                if os.path.getmtime(path) < cutoff:
+                if os.path.getmtime(path) < orphan_cutoff:
                     shutil.rmtree(path, ignore_errors=True)
                     orphans.append(f"{_STAGING}/{d}")
             except FileNotFoundError:
@@ -1298,34 +1633,79 @@ def create_tag(root: str, name: str, version: int | None = None) -> str:
 
 def read_as_of(spark: SparkSession, root: str, ts: float) -> DataFrame:
     """``TIMESTAMP AS OF`` time travel: read the latest version whose
-    COMMIT time (the ``ts`` its commit record carries; manifest mtime for
-    pre-record versions) is ≤ ``ts``.  Versions above the current pointer
-    (uncommitted claims) never qualify.  Raises if the table has no
-    version that old — same contract as Delta's timestamp travel."""
+    COMMIT time (:func:`_commit_ts` — the same clock ``vacuum_retention``
+    retains on) is ≤ ``ts``.  Versions above the current pointer
+    (uncommitted claims) never qualify.  Raises ``ValueError`` if the
+    table has no version that old, and :class:`VersionVacuumedError` if
+    the version that was truly current at ``ts`` has been vacuumed —
+    answering from an older survivor would silently return STALER data
+    than asked for (Delta errors here too).
+
+    Resolution uses two sources: surviving version dirs (exact commit
+    times) and the vacuum tombstone log (``_vacuumed.json`` — the
+    vacuumed versions' commit times, Delta's log-survives-VACUUM shape).
+    The newest version overall with ts ≤ requested is the TRUE target;
+    if it is tombstoned, the error is exact.  A version missing from
+    BOTH (deleted outside the vacuum API, or pre-tombstone history)
+    falls back to the conservative rule: commits serialize through the
+    claim protocol, so commit times are monotone in version number, and
+    an unknown-time version strictly between the best known candidate ≤
+    ts and the first known version > ts could have been the true
+    target — refuse rather than risk answering stale."""
     cur = current_version(root)
     if cur is None:
         raise ValueError(f"no current version under {root}")
     n_cur = int(cur.split("_")[1])
-    best: tuple[float, int] | None = None
+    tombs = _read_tombstones(root)
+    best: tuple[int, bool] | None = None  # (version n, survives?)
+    first_after: int | None = None
+    unknown: list[int] = []
     for n in range(n_cur + 1):
         ver = _version_name(n)
-        if not os.path.isdir(os.path.join(root, ver)):
-            continue  # vacuumed
-        rec = _read_commit(root, ver)
-        if rec is not None and "ts" in rec:
-            committed = float(rec["ts"])
+        if os.path.isdir(os.path.join(root, ver)):
+            committed, survives = _commit_ts(root, ver), True
+        elif ver in tombs:
+            committed, survives = tombs[ver], False
         else:
-            try:
-                committed = os.path.getmtime(os.path.join(root, ver, _MANIFEST))
-            except FileNotFoundError:
-                committed = os.path.getmtime(os.path.join(root, ver))
-        if committed <= ts and (best is None or committed >= best[0]):
-            best = (committed, n)
+            unknown.append(n)
+            continue
+        if committed <= ts:
+            best = (n, survives)  # monotone ts ⇒ last known ≤ ts is the max
+        elif first_after is None:
+            first_after = n
     if best is None:
+        lo_gap = [
+            n for n in unknown
+            if n < (first_after if first_after is not None else n_cur + 1)
+        ]
+        if lo_gap:
+            raise VersionVacuumedError(
+                f"as-of ts={ts} on {root}: versions "
+                f"{[_version_name(n) for n in lo_gap]} are missing with no "
+                "tombstoned commit time and may be the true target; "
+                "refusing to answer"
+            )
         raise ValueError(
             f"no version of {root} committed at or before ts={ts}"
         )
-    return read_version(spark, root, best[1])
+    n_best, survives = best
+    if not survives:
+        raise VersionVacuumedError(
+            f"as-of ts={ts} on {root}: the true target "
+            f"{_version_name(n_best)} was vacuumed; refusing to answer "
+            "from a staler snapshot"
+        )
+    gap_hi = first_after if first_after is not None else n_cur + 1
+    in_gap = [n for n in unknown if n_best < n < gap_hi]
+    if in_gap:
+        raise VersionVacuumedError(
+            f"as-of ts={ts} on {root}: versions "
+            f"{[_version_name(n) for n in in_gap]} are missing with no "
+            f"tombstoned commit time and may be the true target (newest "
+            f"known version at or before ts is {_version_name(n_best)}); "
+            "refusing to answer from a possibly-staler snapshot"
+        )
+    return read_version(spark, root, n_best)
 
 
 def read_tag(spark: SparkSession, root: str, name: str) -> DataFrame:

@@ -702,10 +702,8 @@ def test_vacuum_retention_preserves_retained_readers(
     M.create_tag(root, "keep", version=tag_v)
     now, old = 1_000_000.0, 500.0
     for n in aged:
-        if n <= n_cur:
-            man = os.path.join(root, f"v_{n:05d}", M._MANIFEST)
-            if os.path.exists(man):
-                os.utime(man, (old, old))
+        if n <= n_cur and os.path.isdir(os.path.join(root, f"v_{n:05d}")):
+            M._set_commit_ts(root, f"v_{n:05d}", old)
     windowed = [
         n for n in range(n_cur + 1)
         if n not in aged and os.path.isdir(os.path.join(root, f"v_{n:05d}"))
@@ -716,11 +714,32 @@ def test_vacuum_retention_preserves_retained_readers(
         n: sorted(map(tuple, M.read_version(spark, root, n).drop("__bucket").collect()))
         for n in windowed
     }
+    # the unified-clock contract (VERDICT r8 order #2): every timestamp
+    # read_as_of can reach inside the retention window must keep answering
+    # IDENTICALLY across the vacuum — retention and travel share _commit_ts
+    asof_ts = {n: M._commit_ts(root, f"v_{n:05d}") for n in windowed}
+    before_asof = {
+        n: sorted(
+            map(tuple, M.read_as_of(spark, root, ts).drop("__bucket").collect())
+        )
+        for n, ts in asof_ts.items()
+        if ts >= now - 1000.0
+    }
     out1 = M.vacuum_retention(root, retention_s=1000.0, now=now)
     assert sorted(map(tuple, M.read_current(spark, root).drop("__bucket").collect())) == before_cur
     assert sorted(map(tuple, M.read_tag(spark, root, "keep").drop("__bucket").collect())) == before_tag
     for n, rows in before_win.items():
         assert sorted(map(tuple, M.read_version(spark, root, n).drop("__bucket").collect())) == rows
+    for n, rows in before_asof.items():
+        assert (
+            sorted(
+                map(
+                    tuple,
+                    M.read_as_of(spark, root, asof_ts[n]).drop("__bucket").collect(),
+                )
+            )
+            == rows
+        ), f"as-of read at v{n}'s commit time changed across the vacuum"
     # idempotence: nothing left to collect on the second pass
     out2 = M.vacuum_retention(root, retention_s=1000.0, now=now)
     assert out2["removed"] == [] and out2["orphans_removed"] == []

@@ -116,8 +116,9 @@ def test_rebase_overlapping_buckets_conflicts(spark, tmp_path):
 
 def test_rebase_whole_table_and_meta_changes_conflict(spark, tmp_path):
     """The rest of the matrix: an intervening restore (whole-table write)
-    conflicts; an add_column (no new version, meta change) is caught by the
-    fingerprint; an intervening version with NO commit record conflicts."""
+    conflicts; an add_column (committed as a metadata-only version since
+    r9, but still a schema change) is caught by the fingerprint; an
+    intervening version with NO commit record conflicts."""
     root = str(tmp_path / "tbl")
     M.init_table(_base(spark), root, key="id", n_buckets=4)
     ida, idb, _ = _pick_disjoint_and_overlapping(spark)
@@ -131,7 +132,7 @@ def test_rebase_whole_table_and_meta_changes_conflict(spark, tmp_path):
     batch = spark.createDataFrame(
         [(idb, "B", 1)], "id long, name string, rev long"
     )
-    with pytest.raises(M.CommitConflict, match="rewrote the whole table"):
+    with pytest.raises(M.CommitConflict, match="whole-table write set"):
         M._upsert_rebase(
             spark, root, M._dedupe_updates(batch, "id", "rev"), "id",
             meta_v0, "v_00000",
@@ -261,7 +262,9 @@ def _retention_fixture(spark, tmp_path):
         key="id", order_col="rev",
     )
     for v in ("v_00000", "v_00001", "v_00002"):
-        os.utime(os.path.join(root, v, M._MANIFEST), (OLD, OLD))
+        # age via the commit record — the ONE clock _commit_ts reads
+        # (manifest mtime no longer moves the window)
+        M._set_commit_ts(root, v, OLD)
     return root
 
 
@@ -714,8 +717,10 @@ def test_merge_into_rebase_disjoint_and_claim_release(spark, tmp_path):
 
 def test_read_as_of_timestamp_travel(spark, tmp_path):
     """TIMESTAMP AS OF: picks the latest version committed <= ts from the
-    commit records; refuses a ts before the first commit; vacuumed
-    versions are skipped."""
+    commit records; refuses a ts before the first commit; a ts whose TRUE
+    target was vacuumed raises VersionVacuumedError instead of silently
+    answering from a staler survivor (the Delta contract), while a ts
+    that unambiguously maps to a survivor still works."""
     root = str(tmp_path / "tbl")
     M.init_table(_base(spark), root, key="id", n_buckets=4)
     M.upsert(
@@ -742,12 +747,29 @@ def test_read_as_of_timestamp_travel(spark, tmp_path):
     assert name_at(1e12) == "v2"      # far future -> current
     with pytest.raises(ValueError, match="committed at or before"):
         M.read_as_of(spark, root, 50.0)
-    # vacuumed versions are skipped: v1's dir is unreferenced (v2 rewrote
-    # the same bucket), so after its removal ts=200 falls back to v0
+    # vacuumed-target contract: v1's dir is unreferenced (v2 rewrote the
+    # same bucket), so vacuum removes it AND tombstones its commit time;
+    # a ts whose TRUE target is the vacuumed v1 must ERROR, not silently
+    # answer from the staler v0 — while the tombstone keeps every ts that
+    # truly maps to a survivor answering exactly
+    removed = M.vacuum(root, keep_last=1)
+    assert removed == ["v_00001"]
+    with pytest.raises(M.VersionVacuumedError, match="vacuumed"):
+        name_at(200.0)
+    with pytest.raises(M.VersionVacuumedError, match="vacuumed"):
+        name_at(250.0)  # anywhere inside [v1.ts, v2.ts)
+    assert name_at(150.0) == "name1"  # v0: tombstone proves v1.ts=200 > 150
+    assert name_at(1e12) == "v2"      # current always survives
+    # a version deleted OUTSIDE the vacuum API (no tombstone) falls back to
+    # the conservative refusal for any ts it might have owned
     import shutil
 
-    shutil.rmtree(os.path.join(root, "v_00001"))
-    assert name_at(200.0) == "name1"
+    os.unlink(os.path.join(root, M._TOMBSTONES))
+    shutil.rmtree(os.path.join(root, "v_00000"), ignore_errors=True)
+    with pytest.raises(ValueError):  # nothing known <= 150 anymore
+        name_at(150.0)
+    with pytest.raises(M.VersionVacuumedError, match="missing"):
+        name_at(250.0)  # best known = none survive below v2; v1 unknown gap
 
 
 def test_neyman_sample_draws_exact_allocation(spark):

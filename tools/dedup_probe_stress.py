@@ -33,12 +33,6 @@ PLAIN_DIR = os.path.join(
 )
 
 
-def _stage_totals(spark) -> dict[str, int]:
-    from tools.scale_stress import _stage_totals as st
-
-    return st()
-
-
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--repl", type=int, default=16)
