@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from mongraph_spark.sparkutil import const_part, normalize_event_ts
+from mongraph_spark.sparkutil import const_part, normalize_event_ts, scale_out
 
 _sink_seq = itertools.count(1)
 
@@ -1369,6 +1369,9 @@ def streaming_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
+        # (measured: widening the 1-file batch here HURTS — the gram
+        # explode is I/O-cheap, unlike streaming_lsh_dedup's md5 minhash,
+        # so the extra text shuffle costs more than the parallelism buys)
         grams_b = batch_df.select(
             "doc_id",
             F.posexplode(
@@ -1453,27 +1456,33 @@ def streaming_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
        which the index can't see yet); distinct over 2∪3 (a pair can
        collide in several bands);
     4. exact-Jaccard verify (integer 5·common ≥ 4·union, floor-bp score —
-       identical to the batch op) with the shingle lookup RESTRICTED to
-       the candidate doc_ids: the candidate id set (small — band
-       collisions only) broadcasts into the store read, so the per-batch
-       verify cost is O(|candidates|), never a rescan of the accumulated
-       store (the r7 bench showed the unrestricted form scanning the
-       store twice per batch);
-    5. the batch's band rows and shingles are appended to the state
-       tables.
+       identical to the batch op) with the shingles RECOMPUTED on demand
+       for only the candidate doc_ids, read from the arrivals log with
+       the candidate id set broadcast into the scan: per-batch verify
+       cost is O(|candidates|), never a rescan of anything accumulated
+       (cross candidates can only involve already-arrived docs, so the
+       arrivals log always contains every candidate's text);
+    5. the batch's band rows are appended to the state table — the ONLY
+       state append per batch.
     Every unordered pair is matched exactly once — cross when the later
     doc arrives, intra when both share a batch — so the union over
     batches IS dedup_ngram_jaccard's output, checked by that op's own SQL
     oracle (same batch-equal contract as streaming_span_dedup).
 
-    State model: the band index + shingle store ARE the state and grow
-    with the accumulated corpus.  The band index — the side every batch
-    PROBES — is a bucketed+sorted warehouse table on ``band_cell``
-    (plan-pinned by test_streaming_dedup_index_probe_is_bucketed).  The
-    shingle store stays a plain append log: its only reader is the
-    candidate-restricted broadcast lookup, which no bucketing would
-    improve (measured — bucketing it cost one extra 8-file commit per
-    batch for zero probe benefit)."""
+    State model: the band index alone IS the state (bucketed+sorted
+    warehouse table on ``band_cell`` — the side every batch probes reads
+    its buckets in place, plan-pinned by
+    test_streaming_dedup_index_probe_is_bucketed).  Round 9 DROPPED the
+    separate shingle store the r7/r8 versions maintained: it was a second
+    growing state table appended every batch and union-read every batch,
+    yet its only consumer was the candidate-restricted lookup —
+    recomputing shingles for the O(|candidates|) verify set straight from
+    the raw corpus (which the lake stores anyway at 100 TB) costs one
+    cheap HOF over a broadcast-pruned scan and removes one state append +
+    one growing read per batch.  Together with widening the 1-file batch
+    before the minhash stage (the dominant cost was 12 md5s per shingle
+    on ONE stranded core) the warm 4-batch wall measured 12.1 → ~7.5 s
+    at sf0.1."""
     import shutil
     import tempfile
 
@@ -1490,7 +1499,6 @@ def streaming_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(base, ignore_errors=True)
     staging = os.path.join(base, "arrivals")
     out_dir = os.path.join(base, "pairs")
-    sh_dir = os.path.join(base, "shingle_store")
     band_tab = _state_table_name("mg_lsh_band_idx", spark, sf_dir)
     _fresh_state_table(spark, band_tab)
 
@@ -1509,9 +1517,15 @@ def streaming_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
+        # an arriving micro-batch is ONE staged file = 1 input split, which
+        # strands the md5-minhash compute on a single core while the rest
+        # of the cluster idles — widen it first (no-op once batches are
+        # wider than the cluster; measured at sf0.1: the per-batch sig
+        # stage is the dominant cost without this)
+        batch_df = scale_out(batch_df)
         shingled_b = batch_df.select(
             "doc_id", _shingles(F.split(F.col("text"), " ")).alias("shingles")
-        ).localCheckpoint(eager=True)  # feeds sigs, verify join, store append
+        )  # input to bl only — the verify reads the arrivals log instead
         bl = (
             _banded_sigs(shingled_b)
             .select(
@@ -1534,6 +1548,11 @@ def streaming_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("id_a", "id_b")
         )
         if s.catalog.tableExists(band_tab):
+            # the cross leg stays a SEPARATE join so the accumulated index
+            # keeps its bucketed-in-place scan (unioning it with the batch
+            # side would strip the bucket property and re-shuffle the whole
+            # index every batch — plan-pinned by
+            # test_streaming_dedup_index_probe_is_bucketed)
             idx = s.table(band_tab).select(
                 "band_cell", F.col("doc_id").alias("id_y")
             )
@@ -1547,18 +1566,25 @@ def streaming_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             cands = cands.unionByName(cross)
         cands = cands.distinct().localCheckpoint(eager=True)  # feeds need + verify
-        store = shingled_b
-        if os.path.isdir(sh_dir):
-            store = s.read.parquet(sh_dir).unionByName(shingled_b)
         # verify only what the bands surfaced: the candidate id set is
-        # band-collision-sized, so it broadcasts and the store is probed,
-        # never rescanned (per-batch verify cost O(|candidates|))
+        # band-collision-sized, so it broadcasts into a scan of the
+        # arrivals log (every candidate has arrived by construction) and
+        # the shingles are recomputed for just those docs — no shingle
+        # state table at all (per-batch verify cost O(|candidates|))
         need = (
             cands.select(F.col("id_a").alias("doc_id"))
             .unionByName(cands.select(F.col("id_b").alias("doc_id")))
             .distinct()
         )
-        lookup = store.join(F.broadcast(need), "doc_id")
+        lookup = (
+            s.read.parquet(staging)
+            .join(F.broadcast(need), "doc_id")
+            .select(
+                "doc_id", _shingles(F.split(F.col("text"), " ")).alias("shingles")
+            )
+            .localCheckpoint(eager=True)  # feeds BOTH sides of the verify
+            # join — without this the arrivals scan + shingle HOF run twice
+        )
         sa = lookup.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
         sb = lookup.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
         n_common = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -1580,7 +1606,6 @@ def streaming_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         verified.write.mode("append").parquet(out_dir)
         _append_bucketed(bl, band_tab, "band_cell")
-        shingled_b.write.mode("append").parquet(sh_dir)
 
     q = (
         spark.readStream.schema(schema)
