@@ -1508,10 +1508,268 @@ FROM final GROUP BY source
 """
 
 
+def store_delete_rebase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE under the rebase OCC protocol (round 9), driver-verifiable —
+    both halves of its serializability rule:
+
+    1. zero-recompute rebase: a delete of doc_id==1 (bucket 2 of 8)
+       staged against v0 commits ON TOP of an intervening upsert to
+       doc_id==2 (bucket 5, +7 n_chars) because the write sets are
+       bucket-disjoint AND the intervening writer's files contain no row
+       matching the predicate (the recheck leg);
+    2. predicate-recheck conflict: a delete of doc_id ∈ {3, 9000002}
+       staged against the advanced snapshot must CONFLICT when an
+       intervening upsert INSERTS doc 9000002 (bucket 1 — disjoint from
+       doc 3's bucket 3, so bucket-overlap alone would wrongly admit it):
+       the serial order "theirs, then ours" would delete the new row the
+       staged survivors never saw.  The whole-closure retry
+       (``delete_where(..., occ='rebase')``) then deletes both.
+
+    Expected final state, all hash-asserted: docs 1 and 3 gone, doc 2 at
+    +7, the planted 9000002 inserted-then-deleted (absent), exactly one
+    rebase commit and one recheck conflict observed, final version 4.
+
+    Scale shape: the recheck reads ONLY the intervening writers' written
+    bucket dirs (bounded by their write sets), never the table."""
+    import shutil
+    import tempfile
+
+    from mongraph_spark.sources import merge as merge_store
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    app_id = spark.sparkContext.applicationId
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(tempfile.gettempdir(), f"mg_delreb_{app_id}_{sf_tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    merge_store.init_table(docs, root, key="doc_id", n_buckets=8)
+    meta_v0 = merge_store._read_meta(root)
+
+    # leg 1: intervening disjoint upsert, then the stale-snapshot delete
+    merge_store.upsert(
+        spark,
+        root,
+        docs.filter(F.col("doc_id") == 2).withColumn(
+            "n_chars", F.col("n_chars") + 7
+        ),
+        key="doc_id",
+    )
+    cond1 = F.col("doc_id") == 1
+    n_rebased = 0
+    ver = merge_store._delete_rebase(
+        spark, root, cond1, ~F.coalesce(cond1, F.lit(False)), meta_v0, "v_00000"
+    )
+    if ver == "v_00002":
+        n_rebased += 1
+
+    # leg 2: intervening upsert INSERTS a row MATCHING the next predicate
+    snap = merge_store.current_version(root)
+    meta_now = merge_store._read_meta(root)
+    planted = spark.createDataFrame(
+        [(9000002, "planted", 50)], "doc_id long, source string, n_chars long"
+    )
+    merge_store.upsert(spark, root, planted, key="doc_id")
+    cond2 = F.col("doc_id").isin(3, 9000002)
+    n_conflicts = 0
+    try:
+        merge_store._delete_rebase(
+            spark, root, cond2, ~F.coalesce(cond2, F.lit(False)), meta_now, snap
+        )
+    except merge_store.CommitConflict:
+        n_conflicts += 1
+    merge_store.delete_where(spark, root, cond2, occ="rebase")
+
+    final_v = int(merge_store.current_version(root).split("_")[1])
+    cur = merge_store.read_current(spark, root).drop("__bucket")
+    return cur.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.lit(n_rebased).cast("bigint").alias("n_rebased"),
+        F.lit(n_conflicts).cast("bigint").alias("n_conflicts"),
+        F.lit(final_v).cast("bigint").alias("final_version"),
+    )
+
+
+ORACLE_DELETE_REBASE = """
+WITH final AS (
+  SELECT doc_id, source,
+         n_chars + CASE WHEN doc_id = 2 THEN 7 ELSE 0 END AS n_chars
+  FROM documents
+  WHERE doc_id NOT IN (1, 3)
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(1 AS BIGINT) AS n_rebased,
+       CAST(1 AS BIGINT) AS n_conflicts,
+       CAST(4 AS BIGINT) AS final_version
+FROM final GROUP BY source
+"""
+
+
+def store_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only ADD COLUMN end to end, driver-verifiable — including
+    the round-9 change that the schema commit is a VERSION of its own
+    (claim-serialized, op='add_column' commit record) so it can never
+    race a writer's fingerprint check:
+
+    v0 init → v1 ``add_column('quality', double, 1.0)`` (no data file
+    touched; manifest references v0's files) → v2 upsert WITH the column
+    (doc 1 = 0.25, doc 2 = explicit NULL — must be preserved, not
+    default-filled) → v3 upsert WITHOUT the column (doc 3, +5 n_chars —
+    filled with the default at write).  Readers fill 1.0 for every file
+    written before v1.
+
+    Hash-asserted per source: doc counts, chars (+5 on doc 3), quality
+    buckets (default/0.25/NULL), the v1 commit record's op, final
+    version 3 — a wrong fill version, a lost explicit NULL, or a
+    non-committing add_column all break the hash."""
+    import shutil
+    import tempfile
+
+    from mongraph_spark.sources import merge as merge_store
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    app_id = spark.sparkContext.applicationId
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(tempfile.gettempdir(), f"mg_schevo_{app_id}_{sf_tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    merge_store.init_table(docs, root, key="doc_id", n_buckets=8)
+    merge_store.add_column(root, "quality", "double", 1.0)
+    with_q = (
+        docs.filter(F.col("doc_id").isin(1, 2))
+        .withColumn(
+            "quality",
+            F.when(F.col("doc_id") == 1, F.lit(0.25)).otherwise(
+                F.lit(None).cast("double")
+            ),
+        )
+    )
+    merge_store.upsert(spark, root, with_q, key="doc_id")
+    merge_store.upsert(
+        spark,
+        root,
+        docs.filter(F.col("doc_id") == 3).withColumn(
+            "n_chars", F.col("n_chars") + 5
+        ),
+        key="doc_id",
+    )
+    rec = merge_store._read_commit(root, "v_00001") or {}
+    final_v = int(merge_store.current_version(root).split("_")[1])
+    cur = merge_store.read_current(spark, root).drop("__bucket")
+    return cur.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum((F.col("quality") == 1.0).cast("int")).cast("bigint").alias("n_q_default"),
+        F.sum((F.col("quality") == 0.25).cast("int")).cast("bigint").alias("n_q_quarter"),
+        F.sum(F.col("quality").isNull().cast("int")).cast("bigint").alias("n_q_null"),
+        F.lit(rec.get("op", "")).alias("v1_op"),
+        F.lit(final_v).cast("bigint").alias("final_version"),
+    )
+
+
+ORACLE_SCHEMA_EVOLUTION = """
+WITH final AS (
+  SELECT doc_id, source,
+         n_chars + CASE WHEN doc_id = 3 THEN 5 ELSE 0 END AS n_chars,
+         CASE WHEN doc_id = 1 THEN 0.25
+              WHEN doc_id = 2 THEN NULL
+              ELSE 1.0 END AS quality
+  FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(CASE WHEN quality = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_q_default,
+       CAST(sum(CASE WHEN quality = 0.25 THEN 1 ELSE 0 END) AS BIGINT) AS n_q_quarter,
+       CAST(sum(CASE WHEN quality IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_q_null,
+       'add_column' AS v1_op,
+       CAST(3 AS BIGINT) AS final_version
+FROM final GROUP BY source
+"""
+
+
+def store_compact_rebase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction under the rebase OCC protocol (round 9), driver-
+    verifiable — the per-bucket commit rule: a compaction PLANNED against
+    v0 for buckets 0 and 6 (docs 12 and 14 of the 8-bucket layout) stages
+    its files with NO claim held, an intervening upsert rewrites bucket 6
+    (doc 14, +3 n_chars), and the commit then lands bucket 0 (still
+    pointing at the files the plan read) while SKIPPING bucket 6 (the
+    newer writer's files win) — content bit-identical throughout, exactly
+    one planned bucket committed, bucket 0 at exactly its 1-file target.
+
+    This is the maintenance posture a 100 TB table needs: a long
+    compaction holds no claim during its Spark job (writers never queue
+    behind it) and a lost bucket race skips that bucket instead of
+    discarding the whole staged set."""
+    import shutil
+    import tempfile
+
+    from mongraph_spark.sources import merge as merge_store
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    app_id = spark.sparkContext.applicationId
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(tempfile.gettempdir(), f"mg_cpreb_{app_id}_{sf_tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    merge_store.init_table(docs, root, key="doc_id", n_buckets=8)
+    meta_v0 = merge_store._read_meta(root)
+    manifest_v0 = merge_store._read_manifest(root, "v_00000")
+    plan = {"0": 1, "6": 1}  # buckets of doc 12 and doc 14 under xxhash64%8
+
+    # intervening writer rewrites bucket 6 AFTER the plan read it
+    merge_store.upsert(
+        spark,
+        root,
+        docs.filter(F.col("doc_id") == 14).withColumn(
+            "n_chars", F.col("n_chars") + 3
+        ),
+        key="doc_id",
+    )
+    ver, committed = merge_store._compact_rebase(
+        spark, root, meta_v0, "v_00000", manifest_v0, plan
+    )
+    man = merge_store._read_manifest(root, ver)
+    b0_dir = os.path.join(root, man["0"])
+    b0_files = len([f for f in os.listdir(b0_dir) if f.endswith(".parquet")])
+    cur = merge_store.read_current(spark, root).drop("__bucket")
+    return cur.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.lit(len(committed)).cast("bigint").alias("n_committed"),
+        F.lit(int(committed == ["0"])).cast("bigint").alias("committed_is_b0"),
+        F.lit(b0_files).cast("bigint").alias("b0_files"),
+        F.lit(int(ver.split("_")[1])).cast("bigint").alias("final_version"),
+    )
+
+
+ORACLE_COMPACT_REBASE = """
+WITH final AS (
+  SELECT doc_id, source,
+         n_chars + CASE WHEN doc_id = 14 THEN 3 ELSE 0 END AS n_chars
+  FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(1 AS BIGINT) AS n_committed,
+       CAST(1 AS BIGINT) AS committed_is_b0,
+       CAST(1 AS BIGINT) AS b0_files,
+       CAST(2 AS BIGINT) AS final_version
+FROM final GROUP BY source
+"""
+
+
 QUERIES = {
     "dq_expectations": dq_expectations,
     "store_vacuum_retention": store_vacuum_retention,
     "store_read_as_of": store_read_as_of,
+    "store_delete_rebase": store_delete_rebase,
+    "store_schema_evolution": store_schema_evolution,
+    "store_compact_rebase": store_compact_rebase,
     "store_compaction": store_compaction,
     "store_merge_into": store_merge_into,
     "store_history": store_history,
@@ -1527,6 +1785,9 @@ ORACLES = {
     "dq_expectations": ORACLE_DQ,
     "store_vacuum_retention": ORACLE_VACUUM_RETENTION,
     "store_read_as_of": ORACLE_READ_AS_OF,
+    "store_delete_rebase": ORACLE_DELETE_REBASE,
+    "store_schema_evolution": ORACLE_SCHEMA_EVOLUTION,
+    "store_compact_rebase": ORACLE_COMPACT_REBASE,
     "store_compaction": ORACLE_COMPACTION,
     "store_merge_into": ORACLE_MERGE_INTO,
     "store_history": ORACLE_STORE_HISTORY,
