@@ -63,70 +63,67 @@ _SUITES = [
 # first (rounds 1-2), previously-green last, as insurance against any
 # off-by-one in the driver's window.
 CORE_ORDER = [
-    # — round-8 window (VERDICT r7 order #1), 50 slots exactly:
-    #   the 6 round-7 post-window stats/causal additions with no driver
-    #   row yet, then the deferred TPC-H block q2–q22 + window_top_orders
-    #   (r2-vintage evidence), then the r1-vintage refresh rows — all 42
-    #   strict-green in the local full gate — plus 8 round-8 slots:
-    #   re-proofs for code touched this round (the ADVICE dd_targets
-    #   integer-div + ddsketch clamp fixes, the streaming_lsh_dedup
-    #   staging fix, dedup_semdedup's scaled-K parameterization, the
-    #   streaming span-dedup bucketed-state demo, the merge.py OCC
-    #   conflict-matrix extension) and the new VACUUM-retention query.
-    # — never driver-verified (round-7 post-window additions) —
-    "stats_mann_whitney",
-    "stats_spearman_corr",
-    "events_did",
-    "events_theil_sen",
-    "events_cem_att",
-    "stats_trimmed_means",
-    # — deferred TPC-H block (r2-vintage driver evidence) —
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q12_priority_by_linestatus",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_parts_supplier_count",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_discounted_revenue",
-    "q20_surplus_suppliers",
-    "q21_waiting_suppliers",
-    "q22_wealthy_no_urgent",
-    "window_top_orders",
-    # — r1-vintage refresh rows —
-    "rollup_revenue",
-    "semi_parts_shipped",
-    "setop_active_building_customers",
-    "stats_order_percentiles",
-    "stats_price_quantity_corr",
-    "above_customer_avg",
-    "anti_customers_without_orders",
-    "cube_quantity",
-    "window_customer_deciles",
-    "ann_cosine_topk_bucketed",
-    "embedding_centroids",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_quality",
-    # — round-8 re-proof / new-operator slots —
-    "sketch_ddsketch_quantiles",  # dd_targets integer-div fix (ADVICE r7)
-    "streaming_ddsketch_quantiles",  # cents>=1 clamp (ADVICE r7)
-    "corpus_ccnet_sketch_cutoffs",  # dd rank-target integer-div fix
-    "streaming_lsh_dedup",  # checkpoint-staging fix (VERDICT r7 #5)
-    "dedup_semdedup",  # scaled-K parameterization (VERDICT r7 #2)
-    "streaming_span_dedup",  # bucketed state demo (VERDICT r7 #3)
-    "store_merge_into",  # merge.py OCC conflict-matrix extension (#7)
-    "store_vacuum_retention",  # NEW round-8: retention VACUUM + orphan GC
+    # — round-9 window (VERDICT r8 order #1), 50 slots exactly:
+    #   the 17 never-driver-verified rows (the 13 round-8 post-window
+    #   additions the verdict names, plus this round's 4 new ops:
+    #   dedup_semdedup_hier and the three round-9 store queries), then
+    #   6 re-proof slots for code round 9 touched (merge.py OCC/clock/
+    #   vacuum rework, the streaming_lsh_dedup state-write shave), then
+    #   27 refreshes of the STALEST driver evidence (r3-vintage rows).
+    # — never driver-verified (r8 post-window additions) —
+    "window_abc_analysis",
+    "graph_rich_club",
+    "text_msttr",
+    "text_readability",
+    "corpus_gopher_rules",
+    "streaming_gopher_rules",
+    "stats_neyman_sample",
+    "store_read_as_of",
+    "er_fellegi_sunter",
+    "events_holt_trend",
+    "streaming_holt_trend",
+    "pipeline_k_anonymity",
+    "pipeline_pseudonymize",
+    # — never driver-verified (new round-9 ops) —
+    "dedup_semdedup_hier",  # hierarchical trainer registered (VERDICT r8 #3)
+    "store_delete_rebase",  # delete_where occ="rebase" + predicate recheck (#5)
+    "store_compact_rebase",  # per-bucket compact commit rule (#5)
+    "store_schema_evolution",  # version-committing add_column (ADVICE r8 medium)
+    # — round-9 re-proof slots (merge.py + streaming lsh touched) —
+    "streaming_lsh_dedup",  # shingle-store removal + batch widening (#4)
+    "store_vacuum_retention",  # unified commit clock + retention floor (#2)
+    "store_merge_into",  # merge.py rebase-commit wait + classify message
+    "store_compaction",  # compact refactor (_compact_write split)
+    "store_conflict_retry",  # claim protocol paths re-proved
+    "store_history",  # version/commit mechanics re-proved
+    # — stalest driver evidence refresh (r3-vintage rows) —
+    "ann_cosine_topk",
+    "corpus_decontaminate",
+    "corpus_mixture_weights",
+    "corpus_repetition_filter",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "embedding_quantize_int8",
+    "events_gapfill_hourly",
+    "events_hourly_top_type",
+    "events_hypertable_rollup",
+    "events_minmax_downsample",
+    "events_sessionization",
+    "graph_cc_converged",
+    "graph_kcore",
+    "graph_pagerank",
+    "graph_triangle_count",
+    "mm_audio_windows",
+    "mm_frame_sample",
+    "mm_image_features",
+    "pipeline_pack_chunks",
+    "pipeline_source_cap",
+    "range_join_price_bands",
+    "rollup_cube_revenue",
+    "salted_revenue_by_priority",
 ]
 
 assert len(CORE_ORDER) == 50, len(CORE_ORDER)
