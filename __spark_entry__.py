@@ -89,6 +89,10 @@ CORE_ORDER = [
     "store_delete_rebase",  # delete_where occ="rebase" + predicate recheck (#5)
     "store_compact_rebase",  # per-bucket compact commit rule (#5)
     "store_schema_evolution",  # version-committing add_column (ADVICE r8 medium)
+    "store_shallow_clone",  # zero-copy clone + divergence isolation
+    "corpus_soft_dedup",  # SoftDeDup reweighting (He et al. 2024)
+    "stats_benjamini_hochberg",  # exact sign-test p-values + BH step-up
+    "stats_ab_power",  # two-proportion experiment sizing (IEEE-exact)
     # — round-9 re-proof slots (merge.py + streaming lsh touched) —
     "streaming_lsh_dedup",  # shingle-store removal + batch widening (#4)
     "store_vacuum_retention",  # unified commit clock + retention floor (#2)
@@ -107,8 +111,6 @@ CORE_ORDER = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "embedding_quantize_int8",
-    "events_gapfill_hourly",
-    "events_hourly_top_type",
     "events_hypertable_rollup",
     "events_minmax_downsample",
     "events_sessionization",
@@ -122,8 +124,6 @@ CORE_ORDER = [
     "pipeline_pack_chunks",
     "pipeline_source_cap",
     "range_join_price_bands",
-    "rollup_cube_revenue",
-    "salted_revenue_by_priority",
 ]
 
 assert len(CORE_ORDER) == 50, len(CORE_ORDER)

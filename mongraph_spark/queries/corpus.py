@@ -1791,8 +1791,79 @@ one AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM flags)
 ORACLE_GOPHER = _oracle_gopher()
 
 
+def corpus_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoftDeDup (He et al. 2024, "SoftDedup: an Efficient Data
+    Reweighting Method for Speeding Up Language Model Pre-training"):
+    instead of REMOVING duplicates, down-weight every document by its
+    commonness — a doc appearing in an exact-duplicate cluster of size c
+    trains with sampling weight 1/c, so the corpus keeps its full
+    diversity while duplicated mass stops dominating the loss.  The
+    hard-dedup twins (:func:`mongraph_spark.queries.dedup.dedup_exact`)
+    drop all-but-one; this op reports what reweighting preserves.
+
+    Same planted corpus as dedup_exact (identical copies at +ID_SHIFT) so
+    cluster sizes are known truth.  Per cluster size: clusters, docs, raw
+    tokens, and the effective (weighted) tokens in floored bp —
+    ``Σ floor(10000·tokens_d / c)`` — plus each tier's share of the
+    soft-deduped training budget.
+
+    Exactness: weights never materialize as floats — every effective
+    quantity is an integer floor of tokens·10000/c.
+
+    Scale shape: one md5-keyed window for cluster sizes (the dedup_exact
+    shuffle), then a |distinct sizes|-row aggregate; no joins, no
+    quadratic stage."""
+    from mongraph_spark.queries.dedup import dup_corpus
+
+    corpus = dup_corpus(spark, sf_dir)  # identical copies: clusters of 2
+    toks = corpus.select(
+        F.md5("text").alias("h"),
+        F.size(F.split(F.col("text"), " ")).alias("t"),
+    )
+    w = Window.partitionBy("h")
+    sized = toks.withColumn("c", F.count(F.lit(1)).over(w)).select(
+        "c",
+        "t",
+        F.floor(F.lit(10000) * F.col("t") / F.col("c")).cast("long").alias("eff_bp"),
+        (F.row_number().over(w.orderBy("t")) == 1).cast("long").alias("is_first"),
+    )
+    return (
+        sized.groupBy("c")
+        .agg(
+            F.sum("is_first").cast("long").alias("n_clusters"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("t").cast("long").alias("raw_tokens"),
+            F.sum("eff_bp").cast("long").alias("eff_tokens_bp"),
+        )
+        .withColumnRenamed("c", "cluster_size")
+    )
+
+
+ORACLE_SOFT_DEDUP = """
+WITH corpus AS (
+  SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS text
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')
+  FROM documents
+),
+sized AS (
+  SELECT count(*) OVER (PARTITION BY md5(text)) AS c,
+         len(string_split(text, ' ')) AS t
+  FROM corpus
+)
+SELECT c AS cluster_size,
+       CAST(count(*) / c AS BIGINT) AS n_clusters,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(t) AS BIGINT) AS raw_tokens,
+       CAST(sum(CAST(floor(10000 * t / c) AS BIGINT)) AS BIGINT) AS eff_tokens_bp
+FROM sized GROUP BY c
+"""
+
+
 QUERIES = {
     "corpus_gopher_rules": corpus_gopher_rules,
+    "corpus_soft_dedup": corpus_soft_dedup,
     "corpus_dsir_weights": corpus_dsir_weights,
     "corpus_ngram_novelty": corpus_ngram_novelty,
     "corpus_decontaminate": decontaminate_splits,
@@ -1813,6 +1884,7 @@ QUERIES = {
 
 ORACLES = {
     "corpus_gopher_rules": ORACLE_GOPHER,
+    "corpus_soft_dedup": ORACLE_SOFT_DEDUP,
     "corpus_dsir_weights": ORACLE_DSIR,
     "corpus_ngram_novelty": ORACLE_NOVELTY,
     "corpus_decontaminate": ORACLE_DECONTAMINATE,

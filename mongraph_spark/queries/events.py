@@ -3378,8 +3378,230 @@ WHERE r.t = mx.maxt
 """
 
 
+def stats_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR control (the multiple-testing step-up every
+    experimentation platform runs when it scores many metrics at once)
+    over 50 hypotheses — one per (event_type × user-cohort) cell — with
+    EXACT sign-test p-values, so no normal approximation and no float
+    ever crosses the engines:
+
+    - statistic: s = number of days the cell's daily mean value exceeds
+      the corpus-wide mean (integer cross-multiplication on exact cents;
+      a day the cell has no events counts as not-above, making every
+      hypothesis an n-trial test with the SAME n = total distinct days —
+      uniform n is what lets p-values be compared by numerator alone);
+    - p-value: the exact binomial tail P(Bin(n,1/2) ≥ s) as the integer
+      pair (tail = Σ_{k≥s} C(n,k), 2ⁿ) — C(n,k) built by the
+      multiplicative recurrence inside ONE ``aggregate`` HOF (every
+      intermediate division is exact); BIGINT-safe for n ≤ 52, far above
+      the 30-day span (the oracle replays it as a recursive CTE);
+    - step-up: rank cells by p ascending (deterministic tie-break), find
+      the largest rank i with p_(i) ≤ α·i/m — cross-multiplied as
+      ``1000·tail ≤ i·2ⁿ`` for α = 0.05, m = 50 — and reject every rank
+      at or below it.
+
+    Scale shape: one scan-sized daily rollup (map-side combined), the
+    recurrence runs on |cells| rows against a length-n sequence, the
+    step-up is one window + one scalar max — nothing is per-event."""
+    ev = read_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    g = ev.agg(
+        F.sum(cents).alias("g_sum"),
+        F.count(F.lit(1)).alias("g_cnt"),
+        F.countDistinct(F.to_date("ts")).alias("nd"),
+    )
+    cell_day = (
+        ev.groupBy(
+            "event_type",
+            F.pmod(F.col("user_id"), F.lit(10)).alias("cohort"),
+            F.to_date("ts").alias("day"),
+        )
+        .agg(F.sum(cents).alias("ds"), F.count(F.lit(1)).alias("dc"))
+    )
+    cells = (
+        cell_day.crossJoin(F.broadcast(g))
+        .groupBy("event_type", "cohort")
+        .agg(
+            F.sum(
+                (F.col("ds") * F.col("g_cnt") > F.col("g_sum") * F.col("dc"))
+                .cast("long")
+            ).alias("s_above"),
+            F.first("nd").alias("nd"),
+        )
+    )
+    # exact binomial tail: fold k = 1..n, carrying C(n,k) and the partial
+    # tail; the k = 0 term (C = 1) seeds the tail when s == 0
+    tail = F.expr(
+        """
+        aggregate(
+          sequence(1L, nd),
+          named_struct('c', cast(1 as bigint),
+                       'tl', cast(if(s_above <= 0, 1, 0) as bigint)),
+          (acc, k) -> named_struct(
+            'c', acc.c * (nd - k + 1) div k,
+            'tl', acc.tl + if(k >= s_above, acc.c * (nd - k + 1) div k, cast(0 as bigint))),
+          acc -> acc.tl)
+        """
+    )
+    scored = cells.select(
+        "event_type", "cohort", "s_above", "nd", tail.alias("p_num")
+    )
+    w = Window.partitionBy(const_part(F.col("p_num"))).orderBy(
+        "p_num", "event_type", "cohort"
+    )
+    two_n = F.expr("shiftleft(cast(1 as bigint), cast(nd as int))")
+    ranked = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .withColumn("p_den", two_n)
+        .withColumn(
+            "passes",
+            F.lit(1000) * F.col("p_num") <= F.col("rk") * F.col("p_den"),
+        )
+    )
+    kmax = ranked.agg(
+        F.coalesce(F.max(F.when(F.col("passes"), F.col("rk"))), F.lit(0)).alias(
+            "kmax"
+        )
+    )
+    return (
+        ranked.crossJoin(F.broadcast(kmax))
+        .select(
+            "event_type",
+            "cohort",
+            F.col("s_above").cast("long").alias("s_above"),
+            F.col("p_num").cast("long").alias("p_num"),
+            F.col("p_den").cast("long").alias("p_den"),
+            F.col("rk").cast("long").alias("bh_rank"),
+            (F.col("rk") <= F.col("kmax")).cast("long").alias("rejected"),
+        )
+    )
+
+
+ORACLE_BH = """
+WITH RECURSIVE g AS (
+  SELECT CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS g_sum,
+         CAST(count(*) AS BIGINT) AS g_cnt,
+         CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS nd
+  FROM events
+),
+cell_day AS (
+  SELECT event_type, user_id % 10 AS cohort, CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS ds,
+         CAST(count(*) AS BIGINT) AS dc
+  FROM events GROUP BY 1, 2, 3
+),
+cells AS (
+  SELECT event_type, cohort,
+         CAST(sum(CASE WHEN ds * (SELECT g_cnt FROM g) > (SELECT g_sum FROM g) * dc
+                       THEN 1 ELSE 0 END) AS BIGINT) AS s_above
+  FROM cell_day GROUP BY 1, 2
+),
+binom(k, c, tl) AS (
+  SELECT CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+  UNION ALL
+  SELECT k + 1,
+         c * ((SELECT nd FROM g) - k) / (k + 1),
+         tl + c * ((SELECT nd FROM g) - k) / (k + 1)
+  FROM binom WHERE k < (SELECT nd FROM g)
+),
+scored AS (
+  SELECT c.event_type, c.cohort, c.s_above,
+         -- tail = 2^n - (partial sum below s) = sum_{k>=s} C(n,k)
+         (SELECT CAST(sum(b.c) AS BIGINT) FROM binom b
+          WHERE b.k >= c.s_above) AS p_num
+  FROM cells c
+),
+ranked AS (
+  SELECT event_type, cohort, s_above, p_num,
+         CAST(row_number() OVER (ORDER BY p_num, event_type, cohort) AS BIGINT)
+           AS bh_rank
+  FROM scored
+),
+kmax AS (
+  SELECT coalesce(max(CASE WHEN 1000 * p_num
+                                <= bh_rank * (CAST(1 AS BIGINT) << (SELECT nd FROM g))
+                           THEN bh_rank END), 0) AS kmax
+  FROM ranked
+)
+SELECT event_type, cohort, s_above, p_num,
+       CAST(CAST(1 AS BIGINT) << (SELECT nd FROM g) AS BIGINT) AS p_den,
+       bh_rank,
+       CAST(CASE WHEN bh_rank <= (SELECT kmax FROM kmax) THEN 1 ELSE 0 END AS BIGINT)
+         AS rejected
+FROM ranked
+"""
+
+
+def stats_ab_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B power analysis — the experiment-DESIGN half the stats battery
+    was missing (CUPED/lift/DiD measure after the fact; this sizes the
+    experiment before it): per event type, the required per-arm sample
+    size to detect an absolute +2pp lift in the conversion rate (share of
+    events with value > 100) at α = 0.05 two-sided, 80% power, via the
+    standard two-proportion formula
+
+        n = ceil( (z_α·√(2·p̄·q̄) + z_β·√(p₁q₁ + p₂q₂))² / δ² )
+
+    with p̄ the pooled rate under H₁ and FIXED z constants (1.96, 0.8416)
+    — the textbook values, so the only data-dependent input is p₁.
+
+    Cross-engine exactness: p₁ = hi/n is one IEEE double division, and
+    every subsequent op (±, ×, √) is exactly rounded per IEEE-754 and
+    applied in the SAME order in the oracle, so the double result — and
+    its ceil — is bit-identical (this is the cosine-family argument;
+    unlike log/exp, sqrt IS correctly rounded).
+
+    Scale shape: one conditional aggregate per event type — a single
+    map-side-combined pass."""
+    ev = read_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("value") > 100.0).cast("long")).alias("n_hi"),
+    )
+    p1 = F.col("n_hi") / F.col("n_events")
+    p2 = F.least(p1 + F.lit(0.02), F.lit(1.0))
+    pbar = (p1 + p2) / F.lit(2.0)
+    za, zb, delta = F.lit(1.96), F.lit(0.8416), F.lit(0.02)
+    root = za * F.sqrt(F.lit(2.0) * pbar * (F.lit(1.0) - pbar)) + zb * F.sqrt(
+        p1 * (F.lit(1.0) - p1) + p2 * (F.lit(1.0) - p2)
+    )
+    n_req = F.ceil(root * root / (delta * delta)).cast("long")
+    return agg.select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("n_hi").cast("long").alias("n_hi"),
+        F.floor(F.lit(10000) * p1).cast("long").alias("p1_bp"),
+        n_req.alias("n_required_per_arm"),
+    )
+
+
+ORACLE_AB_POWER = """
+WITH agg AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CASE WHEN value > 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi
+  FROM events GROUP BY 1
+),
+p AS (SELECT *, CAST(n_hi AS DOUBLE) / n_events AS p1 FROM agg),
+p2t AS (SELECT *, least(p1 + 0.02, 1.0) AS p2 FROM p),
+pb AS (SELECT *, (p1 + p2) / 2.0 AS pbar FROM p2t),
+-- root*root, never pow(x, 2): pow is not guaranteed correctly rounded,
+-- while *, /, sqrt are — the cross-engine exactness argument
+rt AS (
+  SELECT *, 1.96 * sqrt(2.0 * pbar * (1.0 - pbar))
+            + 0.8416 * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2)) AS root
+  FROM pb
+)
+SELECT event_type, n_events, n_hi,
+       CAST(floor(10000 * p1) AS BIGINT) AS p1_bp,
+       CAST(ceil(root * root / (0.02 * 0.02)) AS BIGINT) AS n_required_per_arm
+FROM rt
+"""
+
+
 QUERIES = {
     "events_holt_trend": events_holt_trend,
+    "stats_benjamini_hochberg": stats_benjamini_hochberg,
+    "stats_ab_power": stats_ab_power,
     "events_burstiness": events_burstiness,
     "events_markov_surprise": events_markov_surprise,
     "events_slo_burn_rate": events_slo_burn_rate,
@@ -3423,6 +3645,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stats_benjamini_hochberg": ORACLE_BH,
+    "stats_ab_power": ORACLE_AB_POWER,
     "events_tumbling_window": ORACLE_TUMBLING,
     "events_funnel": ORACLE_FUNNEL,
     "events_pivot_daily": ORACLE_PIVOT_DAILY,

@@ -1763,8 +1763,117 @@ FROM final GROUP BY source
 """
 
 
+def store_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE end to end, driver-verifiable: clone the documents
+    table (v0 of the clone references the source's files by absolute
+    path — ZERO parquet files copied, asserted by listing the clone's v0
+    dir), mutate the CLONE (upsert +9 n_chars on doc 5, delete doc 7),
+    then prove isolation in both directions — the source still reads its
+    original state bit-for-bit, the clone carries both mutations, and a
+    subsequent SOURCE upsert (+4 on doc 9) is invisible to the clone.
+
+    Hash-asserted: both tables' per-source profiles, the zero-copy file
+    count, the clone's v0 commit op, and both tables' final versions.
+
+    At 100 TB this is the milliseconds-vs-days difference between
+    metadata clone and physical copy for a production-safe experiment."""
+    import shutil
+    import tempfile
+
+    from mongraph_spark.sources import merge as merge_store
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    app_id = spark.sparkContext.applicationId
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    src = os.path.join(tempfile.gettempdir(), f"mg_clone_src_{app_id}_{sf_tag}")
+    dst = os.path.join(tempfile.gettempdir(), f"mg_clone_dst_{app_id}_{sf_tag}")
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(dst, ignore_errors=True)
+    merge_store.init_table(docs, src, key="doc_id", n_buckets=8)
+    merge_store.shallow_clone(src, dst)
+    # zero-copy: the clone's v0 dir holds metadata only, no parquet
+    v0_files = [
+        f
+        for _, _, files in os.walk(os.path.join(dst, "v_00000"))
+        for f in files
+        if f.endswith(".parquet")
+    ]
+    merge_store.upsert(
+        spark,
+        dst,
+        docs.filter(F.col("doc_id") == 5).withColumn(
+            "n_chars", F.col("n_chars") + 9
+        ),
+        key="doc_id",
+    )
+    merge_store.delete_where(spark, dst, F.col("doc_id") == 7)
+    merge_store.upsert(  # source moves on; the clone must not see it
+        spark,
+        src,
+        docs.filter(F.col("doc_id") == 9).withColumn(
+            "n_chars", F.col("n_chars") + 4
+        ),
+        key="doc_id",
+    )
+    rec = merge_store._read_commit(dst, "v_00000") or {}
+    src_v = int(merge_store.current_version(src).split("_")[1])
+    dst_v = int(merge_store.current_version(dst).split("_")[1])
+
+    def profile(root: str, side: str) -> DataFrame:
+        return (
+            merge_store.read_current(spark, root)
+            .drop("__bucket")
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").cast("bigint").alias("total_chars"),
+            )
+            .select(F.lit(side).alias("side"), "source", "n_docs", "total_chars")
+        )
+
+    return (
+        profile(src, "source_table")
+        .unionByName(profile(dst, "clone"))
+        .withColumn("v0_parquet_files", F.lit(len(v0_files)).cast("bigint"))
+        .withColumn("clone_v0_op", F.lit(rec.get("op", "")))
+        .withColumn("src_version", F.lit(src_v).cast("bigint"))
+        .withColumn("clone_version", F.lit(dst_v).cast("bigint"))
+    )
+
+
+ORACLE_SHALLOW_CLONE = """
+WITH src_final AS (
+  SELECT doc_id, source,
+         n_chars + CASE WHEN doc_id = 9 THEN 4 ELSE 0 END AS n_chars
+  FROM documents
+),
+clone_final AS (
+  SELECT doc_id, source,
+         n_chars + CASE WHEN doc_id = 5 THEN 9 ELSE 0 END AS n_chars
+  FROM documents WHERE doc_id <> 7
+),
+both_sides AS (
+  SELECT 'source_table' AS side, source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars
+  FROM src_final GROUP BY source
+  UNION ALL
+  SELECT 'clone', source, CAST(count(*) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
+  FROM clone_final GROUP BY source
+)
+SELECT side, source, n_docs, total_chars,
+       CAST(0 AS BIGINT) AS v0_parquet_files,
+       'clone' AS clone_v0_op,
+       CAST(1 AS BIGINT) AS src_version,
+       CAST(2 AS BIGINT) AS clone_version
+FROM both_sides
+"""
+
+
 QUERIES = {
     "dq_expectations": dq_expectations,
+    "store_shallow_clone": store_shallow_clone,
     "store_vacuum_retention": store_vacuum_retention,
     "store_read_as_of": store_read_as_of,
     "store_delete_rebase": store_delete_rebase,
@@ -1785,6 +1894,7 @@ ORACLES = {
     "dq_expectations": ORACLE_DQ,
     "store_vacuum_retention": ORACLE_VACUUM_RETENTION,
     "store_read_as_of": ORACLE_READ_AS_OF,
+    "store_shallow_clone": ORACLE_SHALLOW_CLONE,
     "store_delete_rebase": ORACLE_DELETE_REBASE,
     "store_schema_evolution": ORACLE_SCHEMA_EVOLUTION,
     "store_compact_rebase": ORACLE_COMPACT_REBASE,

@@ -532,7 +532,15 @@ def _read_paths(
     ordered = [f.name for f in schema.fields]
 
     def _ver_of(rel: str) -> int:
-        return int(rel.split("/", 1)[0].split("_")[1])
+        # manifests normally hold root-relative "v_NNNNN/..." entries, but a
+        # shallow clone's v0 references the SOURCE's files by absolute path —
+        # parse the version component wherever it sits
+        import re as _re
+
+        m = _re.search(r"v_(\d+)", rel)
+        if m is None:  # legacy flat layout ("data" dirs) never carries fills
+            return 0
+        return int(m.group(1))
 
     # one scan per distinct writer VERSION (bounded by version count, not
     # file count): all files written by the same version share a physical
@@ -1628,6 +1636,62 @@ def create_tag(root: str, name: str, version: int | None = None) -> str:
     with open(tmp, "w") as fh:
         fh.write(ver)
     os.replace(tmp, os.path.join(tag_dir, name))
+    return ver
+
+
+def shallow_clone(src_root: str, dst_root: str) -> str:
+    """Delta-style SHALLOW CLONE: create a NEW table whose v0 manifest
+    references the source's current data files by absolute path — zero
+    bytes copied, O(#buckets) metadata, and the clone then evolves
+    independently (its mutations write clone-local versions; the shared
+    files stay immutable by the CoW contract, so neither table can see
+    the other's writes).  The canonical use is a production-safe
+    experiment: clone a 100 TB table in milliseconds, run a destructive
+    backfill against the clone, keep or discard.
+
+    Supported on the clone: reads, upsert / delete_where / merge_into /
+    compact (all bucket-scoped ops — the copied meta carries the key and
+    bucket count), vacuum (clone-local; absolute references protect
+    nothing locally, which is correct — they point at the source), tags,
+    clone-local time travel.  NOT carried over: the source's history
+    (the clone starts at v0) and ``restore``/``rebucket`` across the
+    clone boundary.
+
+    Delta's documented shallow-clone hazard applies verbatim: a VACUUM
+    of the SOURCE does not know about the clone's references, so
+    vacuuming source versions the clone still points at breaks the
+    clone — retain (tag) the cloned-from version on the source side for
+    the clone's lifetime.
+
+    Tables with evolved columns are refused: the clone's own version
+    numbering would collide with the source's ``added_in`` fences in the
+    default-fill read path (clone-local v1 files physically carry every
+    column, but a source fence of added_in=3 would wrongly default-fill
+    them)."""
+    meta = _read_meta(src_root)
+    if meta.get("added"):
+        raise ValueError(
+            "shallow_clone of a table with evolved columns is not supported: "
+            "the clone's version numbering would collide with the source's "
+            "added_in fences; compact the source first to materialize fills"
+        )
+    cur = current_version(src_root)
+    if cur is None:
+        raise ValueError(f"no current version under {src_root}")
+    if current_version(dst_root) is not None:
+        raise ValueError(f"destination {dst_root} already has a table")
+    os.makedirs(dst_root, exist_ok=True)
+    ver = _next_version(dst_root)  # v_00000 under the clone's own claim
+    src_abs = os.path.abspath(src_root)
+    mapping = {
+        b: os.path.join(src_abs, rel)
+        for b, rel in _read_manifest(src_root, cur).items()
+    }
+    os.makedirs(os.path.join(dst_root, ver))
+    _write_manifest(dst_root, ver, mapping)
+    _sync_root_meta(dst_root, meta)
+    _write_commit(dst_root, ver, "clone", "*")
+    _flip(dst_root, ver)
     return ver
 
 

@@ -357,6 +357,61 @@ def test_compact_rebase_all_skipped_is_noop(spark, tmp_path):
     assert not os.path.isdir(staging) or os.listdir(staging) == []
 
 
+# -- shallow clone ---------------------------------------------------------------
+
+
+def test_shallow_clone_zero_copy_and_isolation(spark, tmp_path):
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    M.init_table(_base(spark), src, key="id", n_buckets=4)
+    ver = M.shallow_clone(src, dst)
+    assert ver == "v_00000"
+    # zero data files in the clone's v0; reads resolve to the source files
+    v0 = os.path.join(dst, "v_00000")
+    assert not any(f.endswith(".parquet") for f in os.listdir(v0))
+    assert M.read_current(spark, dst).count() == 40
+    # clone mutations are invisible to the source, and vice versa
+    M.upsert(
+        spark, dst,
+        spark.createDataFrame([(1, "clone", 1)], "id long, name string, rev long"),
+        key="id", order_col="rev",
+    )
+    M.delete_where(spark, dst, F.col("id") == 2)
+    M.upsert(
+        spark, src,
+        spark.createDataFrame([(3, "src", 1)], "id long, name string, rev long"),
+        key="id", order_col="rev",
+    )
+    src_rows = {r.id: r.name for r in M.read_current(spark, src).collect()}
+    dst_rows = {r.id: r.name for r in M.read_current(spark, dst).collect()}
+    assert src_rows[1] == "name1" and src_rows[3] == "src" and 2 in src_rows
+    assert dst_rows[1] == "clone" and dst_rows[3] == "name3" and 2 not in dst_rows
+    # rebase OCC works on the clone too (meta carries key + buckets)
+    ida, idb, _ = _pick_disjoint_and_overlapping(spark)
+    M.upsert(
+        spark, dst,
+        spark.createDataFrame([(ida, "A", 2)], "id long, name string, rev long"),
+        key="id", order_col="rev", occ="rebase",
+    )
+    assert M.read_current(spark, dst).filter(F.col("id") == ida).first().name == "A"
+    # vacuum on the clone never touches the source's files
+    M.vacuum(dst, keep_last=1)
+    assert M.read_current(spark, src).count() == 40  # src fully readable
+    assert M.read_current(spark, dst).count() == 39  # 40 - deleted id 2
+
+
+def test_shallow_clone_refuses_evolved_table_and_existing_dst(spark, tmp_path):
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    M.init_table(_base(spark), src, key="id", n_buckets=4)
+    M.shallow_clone(src, dst)
+    with pytest.raises(ValueError, match="already has a table"):
+        M.shallow_clone(src, dst)
+    src2 = str(tmp_path / "src2")
+    M.init_table(_base(spark), src2, key="id", n_buckets=4)
+    M.add_column(src2, "quality", "double", 1.0)
+    with pytest.raises(ValueError, match="evolved columns"):
+        M.shallow_clone(src2, str(tmp_path / "dst2"))
+
+
 # -- unified commit clock + retention floor -------------------------------------
 
 
