@@ -1577,6 +1577,119 @@ FROM classes GROUP BY level
 ORACLE_K_ANONYMITY = _oracle_k_anonymity()
 
 
+L_DIV_L = 2  # distinct-l threshold; o_orderstatus has 3 values
+
+
+def pipeline_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the sensitive-attribute half the k-anonymity
+    gate misses (Machanavajjhala et al. 2007): a class can hold ≥ k
+    members yet still disclose, when every member shares one sensitive
+    value (homogeneity attack).  The released view joins the customer
+    quasi-identifiers (same generalization ladder as
+    :func:`pipeline_k_anonymity`) with each customer's ORDER STATUS as
+    the sensitive attribute; per rung we audit distinct-l (every class
+    needs ≥ {L_DIV_L} distinct statuses), the rows in violating classes,
+    and the worst-class disclosure probability — max over classes of the
+    dominant status share, in floored bp (the adversary's best
+    posterior; entropy-l needs log so the DISTINCT + max-share pair is
+    the engine-portable audit).
+
+    Scale shape: one customer⋈orders join (broadcast-eligible dims at
+    this SF; key-partitioned at 100 TB), then per rung ONE
+    (QI, status)-grouped count re-aggregated to classes — no windows, no
+    per-class scans."""
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    release = orders.join(cust, "custkey")
+    outs = []
+    for label, qi, binsz in _K_ANON_LEVELS:
+        qs = release.select(
+            *qi, F.expr(f"cents div {binsz}").alias("bal_bin"), "status"
+        )
+        per_status = qs.groupBy(*qi, "bal_bin", "status").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        classes = per_status.groupBy(*qi, "bal_bin").agg(
+            F.sum("cnt").alias("sz"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("cnt").alias("max_cnt"),
+        )
+        outs.append(
+            classes.agg(
+                F.lit(label).alias("level"),
+                F.sum("sz").cast("long").alias("n_rows"),
+                F.count(F.lit(1)).cast("long").alias("n_classes"),
+                F.sum((F.col("n_distinct") < L_DIV_L).cast("long"))
+                .cast("long")
+                .alias("n_classes_violating"),
+                F.sum(
+                    F.when(F.col("n_distinct") < L_DIV_L, F.col("sz")).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_rows_at_risk"),
+                F.max(
+                    F.expr("(10000 * max_cnt) div sz")
+                )
+                .cast("long")
+                .alias("worst_disclosure_bp"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.withColumn(
+        "is_l_diverse", (F.col("n_classes_violating") == 0).cast("long")
+    )
+
+
+def _oracle_l_diversity() -> str:
+    parts = []
+    for label, qi, binsz in _K_ANON_LEVELS:
+        qi_sql = ", ".join(qi)
+        parts.append(
+            f"""
+  SELECT '{label}' AS level, sz, n_distinct, max_cnt FROM (
+    SELECT sum(cnt) AS sz, count(*) AS n_distinct, max(cnt) AS max_cnt FROM (
+      SELECT {qi_sql}, bal_bin, status, count(*) AS cnt FROM (
+        SELECT c_nationkey AS nation, c_mktsegment AS segment,
+               CASE WHEN cents >= 0 THEN cents // {binsz}
+                    ELSE -((-cents) // {binsz}) END AS bal_bin,
+               o_orderstatus AS status
+        FROM orders
+        JOIN (SELECT *, CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+              FROM customer) ON o_custkey = c_custkey
+      ) GROUP BY {qi_sql}, bal_bin, status
+    ) GROUP BY {qi_sql}, bal_bin
+  )"""
+        )
+    union = " UNION ALL ".join(parts)
+    return f"""
+WITH classes AS ({union})
+SELECT level,
+       CAST(sum(sz) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(CASE WHEN n_distinct < {L_DIV_L} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_classes_violating,
+       CAST(sum(CASE WHEN n_distinct < {L_DIV_L} THEN sz ELSE 0 END) AS BIGINT)
+         AS n_rows_at_risk,
+       CAST(max((10000 * max_cnt) // sz) AS BIGINT) AS worst_disclosure_bp,
+       CAST(CASE WHEN sum(CASE WHEN n_distinct < {L_DIV_L} THEN 1 ELSE 0 END) = 0
+            THEN 1 ELSE 0 END AS BIGINT) AS is_l_diverse
+FROM classes GROUP BY level
+"""
+
+
+ORACLE_L_DIVERSITY = _oracle_l_diversity()
+
+
 PSEUDO_SALT = "mg_release_2026_08"  # production rotates this per data release
 
 
@@ -1704,6 +1817,7 @@ CROSS JOIN inj i
 
 QUERIES = {
     "pipeline_k_anonymity": pipeline_k_anonymity,
+    "pipeline_l_diversity": pipeline_l_diversity,
     "pipeline_pseudonymize": pipeline_pseudonymize,
     "pipeline_rendezvous_shards": pipeline_rendezvous_shards,
     "pipeline_curation_funnel": pipeline_curation_funnel,
@@ -1728,6 +1842,7 @@ QUERIES = {
 
 ORACLES = {
     "pipeline_k_anonymity": ORACLE_K_ANONYMITY,
+    "pipeline_l_diversity": ORACLE_L_DIVERSITY,
     "pipeline_pseudonymize": ORACLE_PSEUDONYMIZE,
     "pipeline_rendezvous_shards": ORACLE_RENDEZVOUS,
     "pipeline_length_batches": ORACLE_LENGTH_BATCHES,

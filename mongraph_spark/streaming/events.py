@@ -907,6 +907,99 @@ def _oracle_stream_gopher() -> str:
     return ORACLE_GOPHER
 
 
+def streaming_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``queries.corpus.corpus_soft_dedup`` — SoftDeDup
+    weights maintained INCREMENTALLY at ingest: exact-duplicate cluster
+    state is one row per distinct text hash ``(h, c, t)`` (count and the
+    shared token length — exact duplicates share the same text, hence the
+    same t), and every micro-batch folds its arrivals in with ONE
+    ``merge_into`` on the CoW store (matched ⇒ c += batch count;
+    unmatched ⇒ insert).  The sampling weight of every member of cluster
+    h is always current as 1/c — the crawl-side shape where duplicates
+    keep arriving and the trainer reads weights, never rescans.
+
+    State model: |distinct texts| rows in a bucketed CoW table — the
+    merge rewrites only the buckets containing the batch's hashes (the
+    store's partition-scoped contract), so per-batch cost tracks the
+    batch, not the corpus.  The final report (per cluster size:
+    clusters, docs, raw tokens, effective bp tokens = c·floor(10000·t/c))
+    reads the state table alone and must equal the batch op — checked by
+    that op's own SQL oracle."""
+    import shutil
+    import tempfile
+
+    from mongraph_spark.queries.dedup import dup_corpus
+    from mongraph_spark.sources import merge as merge_store
+
+    app_id = spark.sparkContext.applicationId
+    sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    base = os.path.join(tempfile.gettempdir(), f"mg_stream_soft_{app_id}_{sf_tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    staging = os.path.join(base, "arrivals")
+    state_root = os.path.join(base, "clusters")
+
+    dup_corpus(spark, sf_dir).repartition(4, "doc_id").write.parquet(staging)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        batch = (
+            batch_df.select(
+                F.md5("text").alias("h"),
+                F.size(F.split(F.col("text"), " ")).alias("t"),
+            )
+            .groupBy("h", "t")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .select("h", "c", "t")
+        )
+        if merge_store.current_version(state_root) is None:
+            merge_store.init_table(batch, state_root, key="h", n_buckets=STATE_BUCKETS)
+        else:
+            merge_store.merge_into(
+                s,
+                state_root,
+                batch,
+                when_matched_set={"c": "c + src_c"},
+            )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+        .writeStream.foreachBatch(process)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    state = merge_store.read_current(spark, state_root).drop("__bucket")
+    return (
+        state.groupBy("c")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("c").cast("long").alias("n_docs"),
+            F.sum(F.col("c") * F.col("t")).cast("long").alias("raw_tokens"),
+            F.sum(
+                F.col("c") * F.floor(F.lit(10000) * F.col("t") / F.col("c"))
+            )
+            .cast("long")
+            .alias("eff_tokens_bp"),
+        )
+        .withColumnRenamed("c", "cluster_size")
+    )
+
+
+def _oracle_stream_soft_dedup() -> str:
+    from mongraph_spark.queries.corpus import ORACLE_SOFT_DEDUP
+
+    return ORACLE_SOFT_DEDUP
+
+
 # -- streaming count-min sketch twin -------------------------------------------------
 
 
@@ -1891,6 +1984,7 @@ QUERIES = {
     "streaming_cusum_changepoint": streaming_cusum_changepoint,
     "streaming_holt_trend": streaming_holt_trend,
     "streaming_gopher_rules": streaming_gopher_rules,
+    "streaming_soft_dedup": streaming_soft_dedup,
     "streaming_hll_distinct": streaming_hll_distinct,
     "streaming_tumbling_window": streaming_tumbling_window,
     "streaming_markov_transitions": streaming_markov_transitions,
@@ -1919,6 +2013,7 @@ ORACLES = {
     "streaming_cusum_changepoint": _oracle_stream_cusum(),
     "streaming_holt_trend": _oracle_stream_holt(),
     "streaming_gopher_rules": _oracle_stream_gopher(),
+    "streaming_soft_dedup": _oracle_stream_soft_dedup(),
     "streaming_hll_distinct": ORACLE_STREAM_HLL,
     "streaming_threshold_anomaly": ORACLE_STREAM_ANOMALY,
     "streaming_markov_transitions": ORACLE_STREAM_MARKOV,

@@ -412,6 +412,21 @@ def test_shallow_clone_refuses_evolved_table_and_existing_dst(spark, tmp_path):
         M.shallow_clone(src2, str(tmp_path / "dst2"))
 
 
+# -- streaming soft-dedup twin ----------------------------------------------------
+
+
+def test_streaming_soft_dedup_equals_batch(spark):
+    """The merge_into-maintained cluster state must reproduce the batch
+    op's report exactly (same SQL oracle; equality pinned here too)."""
+    from mongraph_spark.queries.corpus import corpus_soft_dedup
+    from mongraph_spark.streaming.events import streaming_soft_dedup
+
+    sf = "/root/testdata/sf0.001"
+    batch = sorted(map(tuple, corpus_soft_dedup(spark, sf).collect()))
+    stream = sorted(map(tuple, streaming_soft_dedup(spark, sf).collect()))
+    assert stream == batch and batch  # non-empty and identical
+
+
 # -- unified commit clock + retention floor -------------------------------------
 
 
