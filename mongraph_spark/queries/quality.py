@@ -1690,6 +1690,80 @@ FROM final GROUP BY source
 """
 
 
+def store_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only DROP COLUMN end to end, driver-verifiable: v0 init →
+    v1 add ``quality`` (default 1.0) → v2 ``drop_column('n_chars')`` (no
+    file touched; every read now projects the column away — parquet never
+    even scans those bytes) → v3 upsert doc 1 under the narrowed schema
+    (quality 0.5) → re-adding ``n_chars`` REFUSED (tombstoned name: old
+    files still carry the previous incarnation and would resurrect stale
+    values without column-mapping ids) → v4 add ``flag`` (default 7) —
+    proving the tombstone blocks exactly the colliding name, not
+    evolution in general.
+
+    Hash-asserted: per-source doc counts, the quality default/updated
+    split, the flag default, the dropped column's absence from the read
+    schema, the refused re-add, the v2 commit op, final version 4."""
+    import shutil
+    import tempfile
+
+    from mongraph_spark.sources import merge as merge_store
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    app_id = spark.sparkContext.applicationId
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(tempfile.gettempdir(), f"mg_dropcol_{app_id}_{sf_tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    merge_store.init_table(docs, root, key="doc_id", n_buckets=8)
+    merge_store.add_column(root, "quality", "double", 1.0)
+    merge_store.drop_column(root, "n_chars")
+    upd = spark.createDataFrame(
+        [(1, "src1", 0.5)], "doc_id long, source string, quality double"
+    )
+    merge_store.upsert(spark, root, upd, key="doc_id")
+    refused = 0
+    try:
+        merge_store.add_column(root, "n_chars", "long", 0)
+    except ValueError:
+        refused = 1
+    merge_store.add_column(root, "flag", "long", 7)
+    rec = merge_store._read_commit(root, "v_00002") or {}
+    final_v = int(merge_store.current_version(root).split("_")[1])
+    cur = merge_store.read_current(spark, root).drop("__bucket")
+    has_nchars = int("n_chars" in cur.columns)
+    return cur.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("quality") == 1.0).cast("int")).cast("bigint").alias("n_q_default"),
+        F.sum((F.col("quality") == 0.5).cast("int")).cast("bigint").alias("n_q_half"),
+        F.sum("flag").cast("bigint").alias("sum_flag"),
+        F.lit(has_nchars).cast("bigint").alias("has_n_chars"),
+        F.lit(refused).cast("bigint").alias("re_add_refused"),
+        F.lit(rec.get("op", "")).alias("v2_op"),
+        F.lit(final_v).cast("bigint").alias("final_version"),
+    )
+
+
+ORACLE_DROP_COLUMN = """
+WITH final AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id = 1 THEN 0.5 ELSE 1.0 END AS quality,
+         7 AS flag
+  FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN quality = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_q_default,
+       CAST(sum(CASE WHEN quality = 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_q_half,
+       CAST(sum(flag) AS BIGINT) AS sum_flag,
+       CAST(0 AS BIGINT) AS has_n_chars,
+       CAST(1 AS BIGINT) AS re_add_refused,
+       'drop_column' AS v2_op,
+       CAST(4 AS BIGINT) AS final_version
+FROM final GROUP BY source
+"""
+
+
 def store_compact_rebase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compaction under the rebase OCC protocol (round 9), driver-
     verifiable — the per-bucket commit rule: a compaction PLANNED against
@@ -1878,6 +1952,7 @@ QUERIES = {
     "store_read_as_of": store_read_as_of,
     "store_delete_rebase": store_delete_rebase,
     "store_schema_evolution": store_schema_evolution,
+    "store_drop_column": store_drop_column,
     "store_compact_rebase": store_compact_rebase,
     "store_compaction": store_compaction,
     "store_merge_into": store_merge_into,
@@ -1897,6 +1972,7 @@ ORACLES = {
     "store_shallow_clone": ORACLE_SHALLOW_CLONE,
     "store_delete_rebase": ORACLE_DELETE_REBASE,
     "store_schema_evolution": ORACLE_SCHEMA_EVOLUTION,
+    "store_drop_column": ORACLE_DROP_COLUMN,
     "store_compact_rebase": ORACLE_COMPACT_REBASE,
     "store_compaction": ORACLE_COMPACTION,
     "store_merge_into": ORACLE_MERGE_INTO,

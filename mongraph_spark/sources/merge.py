@@ -415,6 +415,7 @@ def _write_meta(
     schema: T.StructType,
     added: list[dict] | None = None,
     bucketed_since: int | None = None,
+    dropped: list[str] | None = None,
 ) -> None:
     meta = {
         "key": key,
@@ -422,6 +423,8 @@ def _write_meta(
         "schema": schema.json(),
         "added": added or [],
     }
+    if dropped:
+        meta["dropped"] = sorted(dropped)
     if bucketed_since is not None:
         meta["bucketed_since"] = bucketed_since
     # If the current version dir carries a staged meta copy (it is
@@ -527,7 +530,21 @@ def _read_paths(
             raise ValueError(f"empty table with no recorded schema under {root}")
         return spark.createDataFrame([], T.StructType.fromJson(json.loads(schema_json)))
     if not added:
-        return spark.read.parquet(*paths)
+        df = spark.read.parquet(*paths)
+        if schema_json is not None:
+            # project to the RECORDED schema: a metadata-only drop_column
+            # narrows the schema while old files still physically carry the
+            # column — the projection (parquet column pruning, the bytes
+            # are never scanned) is what makes the drop real for readers.
+            # __bucket (the partition dir column) rides along when present.
+            cols = [
+                f.name
+                for f in T.StructType.fromJson(json.loads(schema_json)).fields
+            ]
+            keep = cols + ([_BUCKET] if _BUCKET in df.columns else [])
+            if [c for c in df.columns if c not in keep]:
+                df = df.select(*keep)
+        return df
     schema = T.StructType.fromJson(json.loads(schema_json))
     ordered = [f.name for f in schema.fields]
 
@@ -607,6 +624,12 @@ def add_column(root: str, name: str, dtype: str, default) -> None:
         schema = T.StructType.fromJson(json.loads(meta["schema"]))
         if name in schema.fieldNames():
             raise ValueError(f"column {name!r} already exists")
+        if name in (meta.get("dropped") or []):
+            raise ValueError(
+                f"column {name!r} was dropped and cannot be re-added: old "
+                "files still physically carry the previous incarnation and "
+                "reads would resurrect stale values (no column-mapping ids)"
+            )
         added_in = int(ver.split("_")[1])
         added = list(meta.get("added") or [])
         added.append({"name": name, "added_in": added_in, "default": default})
@@ -616,6 +639,8 @@ def add_column(root: str, name: str, dtype: str, default) -> None:
             "schema": schema.add(name, dtype, True).json(),
             "added": added,
         }
+        if meta.get("dropped"):
+            staged["dropped"] = meta["dropped"]
         if meta.get("bucketed_since") is not None:
             staged["bucketed_since"] = meta["bucketed_since"]
         cur2 = current_version(root)  # the claim pins it: cur2 == cur
@@ -632,12 +657,86 @@ def add_column(root: str, name: str, dtype: str, default) -> None:
     _sync_root_meta(root, staged)
 
 
+def drop_column(root: str, name: str) -> None:
+    """Metadata-only DROP COLUMN — the logical-drop half of schema
+    evolution (the Delta/Iceberg shape): no data file is touched; the
+    column leaves the recorded schema, so every read projects it away
+    (parquet column pruning — the dropped bytes are never even scanned),
+    every subsequent write omits it, and the next compaction of a bucket
+    materializes the drop physically as a side effect of rewriting
+    through the current schema.
+
+    Commits as a claim-serialized metadata-only version exactly like
+    :func:`add_column` (op=``drop_column``), so it can never race a
+    writer's fingerprint check.
+
+    The dropped NAME is tombstoned in table meta and may never be
+    re-added: without Delta's column-mapping ids, a re-added column of
+    the same name would collide with old files still physically carrying
+    the previous incarnation (possibly with a different type), and reads
+    would resurrect stale values.  Time travel reads through the CURRENT
+    schema (this store's meta is table-level, not per-version) — a
+    pre-drop version read after the drop also projects the column away.
+
+    The table key and any not-null base column can be dropped only over
+    the store's dead body: the key is the bucket layout."""
+    meta = _read_meta(root)
+    if meta["schema"] is None:
+        raise ValueError(f"no table meta under {root}")
+    if name == meta.get("key"):
+        raise ValueError(f"cannot drop the table key {name!r} (bucket layout)")
+    schema = T.StructType.fromJson(json.loads(meta["schema"]))
+    if name not in schema.fieldNames():
+        raise ValueError(f"no column {name!r} to drop")
+    cur = current_version(root)
+    new_schema = T.StructType([f for f in schema.fields if f.name != name])
+    added = [c for c in (meta.get("added") or []) if c["name"] != name]
+    dropped = sorted(set(meta.get("dropped") or []) | {name})
+    if cur is None:
+        new_meta = {
+            "key": meta["key"],
+            "n_buckets": meta["n_buckets"],
+            "schema": new_schema.json(),
+            "added": added,
+            "dropped": dropped,
+        }
+        if meta.get("bucketed_since") is not None:
+            new_meta["bucketed_since"] = meta["bucketed_since"]
+        _sync_root_meta(root, new_meta)
+        return
+    ver = _claim_next(root)
+    try:
+        staged = {
+            "key": meta["key"],
+            "n_buckets": meta["n_buckets"],
+            "schema": new_schema.json(),
+            "added": added,
+            "dropped": dropped,
+        }
+        if meta.get("bucketed_since") is not None:
+            staged["bucketed_since"] = meta["bucketed_since"]
+        cur2 = current_version(root)  # pinned by the claim
+        os.makedirs(os.path.join(root, ver))
+        _write_manifest(root, ver, _read_manifest(root, cur2))
+        with open(os.path.join(root, ver, _META), "w") as fh:
+            json.dump(staged, fh)
+        _write_commit(root, ver, "drop_column", "*")
+    except BaseException:
+        shutil.rmtree(os.path.join(root, ver), ignore_errors=True)
+        _release_claim(root, ver)
+        raise
+    _flip(root, ver)
+    _sync_root_meta(root, staged)
+
+
 def _append_column_meta(
     root: str, meta: dict, name: str, dtype: str, default, added_in: int
 ) -> None:
     schema = T.StructType.fromJson(json.loads(meta["schema"]))
     if name in schema.fieldNames():
         raise ValueError(f"column {name!r} already exists")
+    if name in (meta.get("dropped") or []):
+        raise ValueError(f"column {name!r} was dropped and cannot be re-added")
     added = list(meta.get("added") or [])
     added.append({"name": name, "added_in": added_in, "default": default})
     _write_meta(
@@ -647,6 +746,7 @@ def _append_column_meta(
         schema.add(name, dtype, True),
         added,
         bucketed_since=meta.get("bucketed_since"),
+        dropped=meta.get("dropped"),
     )
 
 
@@ -1555,6 +1655,8 @@ def rebucket(spark: SparkSession, root: str, n_buckets: int) -> str:
         "added": meta.get("added") or [],
         "bucketed_since": int(ver.split("_")[1]),
     }
+    if meta.get("dropped"):
+        staged["dropped"] = meta["dropped"]
     # Stage the new-layout meta INSIDE the version dir, then commit data
     # and meta together with the single atomic pointer flip: a crash on
     # either side of the flip leaves meta and current layout consistent
@@ -1797,6 +1899,7 @@ def describe(root: str) -> dict:
         "key": meta["key"],
         "n_buckets": meta["n_buckets"],
         "added_columns": meta.get("added") or [],
+        "dropped_columns": meta.get("dropped") or [],
         "current_version": cur,
         "versions_on_disk": versions,
         "tags": {},

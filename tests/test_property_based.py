@@ -669,10 +669,14 @@ def test_ddsketch_binning_and_error_bound(spark, values):
         max_size=5,
     ),
     tag_at=st.integers(0, 2),
-    aged=st.sets(st.integers(0, 5), max_size=4),
+    # versions age oldest-first: a PREFIX of the history falls out of the
+    # window, never an interior version alone — commit times are monotone
+    # in version number (commits serialize through the claim), and
+    # read_as_of's resolution is specified under that invariant
+    aged_upto=st.integers(0, 5),
 )
 def test_vacuum_retention_preserves_retained_readers(
-    spark, tmp_path_factory, steps, tag_at, aged
+    spark, tmp_path_factory, steps, tag_at, aged_upto
 ):
     import os
 
@@ -701,9 +705,10 @@ def test_vacuum_retention_preserves_retained_readers(
     tag_v = min(tag_at, n_cur)
     M.create_tag(root, "keep", version=tag_v)
     now, old = 1_000_000.0, 500.0
-    for n in aged:
-        if n <= n_cur and os.path.isdir(os.path.join(root, f"v_{n:05d}")):
-            M._set_commit_ts(root, f"v_{n:05d}", old)
+    aged = {n for n in range(min(aged_upto, n_cur + 1))}
+    for n in sorted(aged):
+        if os.path.isdir(os.path.join(root, f"v_{n:05d}")):
+            M._set_commit_ts(root, f"v_{n:05d}", old + n)  # keep ts monotone
     windowed = [
         n for n in range(n_cur + 1)
         if n not in aged and os.path.isdir(os.path.join(root, f"v_{n:05d}"))

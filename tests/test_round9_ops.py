@@ -412,6 +412,46 @@ def test_shallow_clone_refuses_evolved_table_and_existing_dst(spark, tmp_path):
         M.shallow_clone(src2, str(tmp_path / "dst2"))
 
 
+# -- drop_column -------------------------------------------------------------------
+
+
+def test_drop_column_projects_away_and_compaction_materializes(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "tbl")
+    M.init_table(_base(spark), root, key="id", n_buckets=4)
+    M.drop_column(root, "rev")
+    rec = M._read_commit(root, "v_00001")
+    assert rec["op"] == "drop_column" and rec["buckets"] == "*"
+    cur = M.read_current(spark, root)
+    assert "rev" not in cur.columns and cur.count() == 40
+    # v0's files still physically carry the column (metadata-only drop) …
+    man = M._read_manifest(root, M.current_version(root))
+    some_dir = os.path.join(root, next(iter(man.values())))
+    f = next(x for x in os.listdir(some_dir) if x.endswith(".parquet"))
+    assert "rev" in pq.read_schema(os.path.join(some_dir, f)).names
+    # … and compaction materializes the drop for the buckets it rewrites
+    ver, compacted = M.compact(spark, root, max_files_per_bucket=1)
+    man2 = M._read_manifest(root, ver)
+    for b in compacted:
+        d = os.path.join(root, man2[b])
+        for x in os.listdir(d):
+            if x.endswith(".parquet"):
+                assert "rev" not in pq.read_schema(os.path.join(d, x)).names
+    # tombstone: the dropped name can never come back; other names can
+    with pytest.raises(ValueError, match="cannot be re-added"):
+        M.add_column(root, "rev", "long", 0)
+    M.add_column(root, "flag", "long", 3)
+    assert M.read_current(spark, root).filter(F.col("flag") == 3).count() == 40
+    # the key is not droppable; a missing column raises
+    with pytest.raises(ValueError, match="table key"):
+        M.drop_column(root, "id")
+    with pytest.raises(ValueError, match="no column"):
+        M.drop_column(root, "nope")
+    # time travel reads through the CURRENT schema (documented contract)
+    assert "rev" not in M.read_version(spark, root, 0).columns
+
+
 # -- streaming soft-dedup twin ----------------------------------------------------
 
 
