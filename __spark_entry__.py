@@ -93,6 +93,9 @@ CORE_ORDER = [
     "corpus_soft_dedup",  # SoftDeDup reweighting (He et al. 2024)
     "stats_benjamini_hochberg",  # exact sign-test p-values + BH step-up
     "stats_ab_power",  # two-proportion experiment sizing (IEEE-exact)
+    "store_drop_column",  # metadata-only logical drop + tombstoned names
+    "pipeline_l_diversity",  # sensitive-attribute disclosure audit
+    "streaming_soft_dedup",  # merge_into-maintained SoftDeDup weights
     # — round-9 re-proof slots (merge.py + streaming lsh touched) —
     "streaming_lsh_dedup",  # shingle-store removal + batch widening (#4)
     "store_vacuum_retention",  # unified commit clock + retention floor (#2)
@@ -112,9 +115,6 @@ CORE_ORDER = [
     "dedup_simhash",
     "embedding_quantize_int8",
     "events_hypertable_rollup",
-    "events_minmax_downsample",
-    "events_sessionization",
-    "graph_cc_converged",
     "graph_kcore",
     "graph_pagerank",
     "graph_triangle_count",
