@@ -1690,6 +1690,162 @@ FROM classes GROUP BY level
 ORACLE_L_DIVERSITY = _oracle_l_diversity()
 
 
+T_CLOSE_T_BP = 2000  # t = 0.20 — max allowed EMD(class, global) in basis points
+
+
+def pipeline_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the third rung of the release-governance ladder
+    (Li, Li & Venkatasubramanian 2007): k-anonymity bounds class SIZE,
+    l-diversity bounds sensitive-value VARIETY, but a class whose status
+    distribution merely SKEWS far from the corpus-wide distribution still
+    leaks (skewness attack: 90% 'F' in a class vs 25% globally updates the
+    adversary's posterior massively even with all 3 values present).
+    t-closeness requires EMD(class distribution, global distribution) ≤ t
+    for every class; for an unordered categorical sensitive attribute the
+    EMD with unit ground distance IS the total-variation distance
+    ½·Σ_v |p_class(v) − p_global(v)|.
+
+    Exact across engines: with cnt_v the class's status-v count, sz the
+    class size, gcnt_v the global count and N the release size,
+    ½·Σ|cnt_v/sz − gcnt_v/N| = Σ_v |cnt_v·N − gcnt_v·sz| / (2·sz·N) —
+    an integer numerator.  Statuses ABSENT from a class contribute
+    gcnt_v·sz each, folded in without a domain cross-join as
+    (N − Σ_present gcnt_v)·sz.  Reported floored to bp; every comparison
+    against t is on the integer bp value.  Worst case 10⁴·2·sz·N ≤
+    2·10⁴·N² ≈ 4.5·10¹⁴ at sf0.1 — BIGINT-safe.
+
+    Scale shape: the same one customer⋈orders release join as the k/l
+    audits, a 3-row global-distribution broadcast onto the (QI, status)
+    counts, then per rung ONE class re-aggregate — no windows, no
+    per-class scans, no domain cross-join."""
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    release = orders.join(cust, "custkey")
+    glob = release.groupBy("status").agg(F.count(F.lit(1)).alias("gcnt"))
+    total = release.agg(F.count(F.lit(1)).alias("N"))
+    outs = []
+    for label, qi, binsz in _K_ANON_LEVELS:
+        qs = release.select(
+            *qi, F.expr(f"cents div {binsz}").alias("bal_bin"), "status"
+        )
+        per_status = (
+            qs.groupBy(*qi, "bal_bin", "status")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .join(F.broadcast(glob), "status")
+            .crossJoin(F.broadcast(total))
+        )
+        # class size / present-mass via a window PARTITIONED on the class
+        # key (same shuffle the class groupBy needs anyway — no join-back)
+        w = Window.partitionBy(*qi, "bal_bin")
+        classes = (
+            per_status.withColumn("sz", F.sum("cnt").over(w))
+            .withColumn("g_present", F.sum("gcnt").over(w))
+            .groupBy(*qi, "bal_bin", "sz", "g_present", "N")
+            .agg(
+                F.sum(
+                    F.abs(F.col("cnt") * F.col("N") - F.col("gcnt") * F.col("sz"))
+                ).alias("s1")
+            )
+            .select(
+                "sz",
+                F.expr(
+                    "(10000 * (s1 + (N - g_present) * sz)) div (2 * sz * N)"
+                ).alias("tv_bp"),
+            )
+        )
+        outs.append(
+            classes.agg(
+                F.lit(label).alias("level"),
+                F.sum("sz").cast("long").alias("n_rows"),
+                F.count(F.lit(1)).cast("long").alias("n_classes"),
+                F.max("tv_bp").cast("long").alias("worst_emd_bp"),
+                F.sum((F.col("tv_bp") > T_CLOSE_T_BP).cast("long"))
+                .cast("long")
+                .alias("n_classes_violating"),
+                F.sum(
+                    F.when(F.col("tv_bp") > T_CLOSE_T_BP, F.col("sz")).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_rows_at_risk"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.withColumn(
+        "is_t_close", (F.col("n_classes_violating") == 0).cast("long")
+    )
+
+
+def _oracle_t_closeness() -> str:
+    parts = []
+    for label, qi, binsz in _K_ANON_LEVELS:
+        qi_sql = ", ".join(qi)
+        parts.append(
+            f"""
+  SELECT '{label}' AS level, sz,
+         (10000 * (s1 + (N - g_present) * sz)) // (2 * sz * N) AS tv_bp
+  FROM (
+    SELECT sz, g_present, N,
+           sum(abs(cnt * N - gcnt * sz)) AS s1
+    FROM (
+      SELECT {qi_sql}, bal_bin, status, cnt,
+             sum(cnt) OVER (PARTITION BY {qi_sql}, bal_bin) AS sz,
+             sum(gcnt) OVER (PARTITION BY {qi_sql}, bal_bin) AS g_present,
+             gcnt, N
+      FROM (
+        SELECT {qi_sql}, bal_bin, status, count(*) AS cnt FROM release
+        GROUP BY {qi_sql}, bal_bin, status
+      ) JOIN gdist USING (status) CROSS JOIN total
+    ) GROUP BY {qi_sql}, bal_bin, sz, g_present, N
+  )"""
+        )
+        # re-bin per rung: bal_bin differs, so each part re-derives it inline
+        parts[-1] = parts[-1].replace(
+            "FROM release",
+            f"""FROM (
+          SELECT nation, segment,
+                 CASE WHEN cents >= 0 THEN cents // {binsz}
+                      ELSE -((-cents) // {binsz}) END AS bal_bin,
+                 status
+          FROM release)""",
+        )
+    union = " UNION ALL ".join(parts)
+    return f"""
+WITH release AS (
+  SELECT c_nationkey AS nation, c_mktsegment AS segment,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+         o_orderstatus AS status
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+gdist AS (SELECT status, count(*) AS gcnt FROM release GROUP BY status),
+total AS (SELECT count(*) AS N FROM release),
+classes AS ({union})
+SELECT level,
+       CAST(sum(sz) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(max(tv_bp) AS BIGINT) AS worst_emd_bp,
+       CAST(sum(CASE WHEN tv_bp > {T_CLOSE_T_BP} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_classes_violating,
+       CAST(sum(CASE WHEN tv_bp > {T_CLOSE_T_BP} THEN sz ELSE 0 END) AS BIGINT)
+         AS n_rows_at_risk,
+       CAST(CASE WHEN sum(CASE WHEN tv_bp > {T_CLOSE_T_BP} THEN 1 ELSE 0 END) = 0
+            THEN 1 ELSE 0 END AS BIGINT) AS is_t_close
+FROM classes GROUP BY level
+"""
+
+
+ORACLE_T_CLOSENESS = _oracle_t_closeness()
+
+
 PSEUDO_SALT = "mg_release_2026_08"  # production rotates this per data release
 
 
@@ -1818,6 +1974,7 @@ CROSS JOIN inj i
 QUERIES = {
     "pipeline_k_anonymity": pipeline_k_anonymity,
     "pipeline_l_diversity": pipeline_l_diversity,
+    "pipeline_t_closeness": pipeline_t_closeness,
     "pipeline_pseudonymize": pipeline_pseudonymize,
     "pipeline_rendezvous_shards": pipeline_rendezvous_shards,
     "pipeline_curation_funnel": pipeline_curation_funnel,
@@ -1843,6 +2000,7 @@ QUERIES = {
 ORACLES = {
     "pipeline_k_anonymity": ORACLE_K_ANONYMITY,
     "pipeline_l_diversity": ORACLE_L_DIVERSITY,
+    "pipeline_t_closeness": ORACLE_T_CLOSENESS,
     "pipeline_pseudonymize": ORACLE_PSEUDONYMIZE,
     "pipeline_rendezvous_shards": ORACLE_RENDEZVOUS,
     "pipeline_length_batches": ORACLE_LENGTH_BATCHES,

@@ -502,3 +502,75 @@ def test_vacuum_and_read_as_of_share_one_clock(spark, tmp_path):
     # and as-of travel on the same clock still reaches v0
     ts0 = M._commit_ts(root, "v_00000")
     assert M.read_as_of(spark, root, ts0).count() == 40
+
+
+# -- t-closeness: the skewness-attack audit -------------------------------------
+
+
+def test_t_closeness_crafted_distributions(spark, tmp_path):
+    """Crafted release with hand-computed total-variation EMDs: three
+    L0 classes — (3O,1F) tv=5/16, (4O) tv=9/16 (status F absent: the
+    no-domain-cross-join fold), (8F) tv=7/16 against the global (7O,9F)
+    — and the coarser rung merging the first two into a (7O,1F) class
+    at tv=7/16.  Pins the exact bp values, the violation counts at
+    t=0.20, and the absent-status contribution."""
+    from mongraph_spark.queries.pipeline import pipeline_t_closeness
+
+    cust = [
+        (1, 1, "BUILDING", 150.0),   # L0 bin 1
+        (2, 1, "BUILDING", 950.0),   # L0 bin 9
+        (3, 1, "BUILDING", 1950.0),  # L0 bin 19; L1 bin 1
+    ]
+    spark.createDataFrame(
+        cust, "c_custkey long, c_nationkey long, c_mktsegment string, "
+        "c_acctbal double"
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+    orders = (
+        [(10 + i, 1, "O") for i in range(3)]
+        + [(13, 1, "F")]
+        + [(20 + i, 2, "O") for i in range(4)]
+        + [(30 + i, 3, "F") for i in range(8)]
+    )
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_orderstatus string"
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    got = {
+        r.level: r.asDict()
+        for r in pipeline_t_closeness(spark, str(tmp_path)).collect()
+    }
+    l0 = got["L0_nation_segment_bal100"]
+    # tv in bp: 3125 = 10000*5/16, 5625 = 9/16, 4375 = 7/16
+    assert l0["n_rows"] == 16 and l0["n_classes"] == 3
+    assert l0["worst_emd_bp"] == 5625
+    assert l0["n_classes_violating"] == 3  # all exceed t = 2000 bp
+    assert l0["n_rows_at_risk"] == 16 and l0["is_t_close"] == 0
+    l1 = got["L1_nation_segment_bal1000"]
+    # classes: {cust1+cust2} = (7O,1F) tv=7/16, {cust3} = (8F) tv=7/16
+    assert l1["n_classes"] == 2 and l1["worst_emd_bp"] == 4375
+    l2 = got["L2_segment_bal1000"]  # nation constant: same classes as L1
+    assert l2["n_classes"] == 2 and l2["worst_emd_bp"] == 4375
+
+
+def test_t_closeness_identical_distribution_is_zero(spark, tmp_path):
+    """A class whose status distribution EQUALS the global one has EMD 0
+    and passes any t — the audit's fixed point."""
+    from mongraph_spark.queries.pipeline import pipeline_t_closeness
+
+    cust = [(1, 1, "AUTO", 150.0), (2, 1, "AUTO", 950.0)]
+    spark.createDataFrame(
+        cust, "c_custkey long, c_nationkey long, c_mktsegment string, "
+        "c_acctbal double"
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+    orders = [
+        (1, 1, "O"), (2, 1, "F"),
+        (3, 2, "O"), (4, 2, "F"),
+    ]
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_orderstatus string"
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    got = {
+        r.level: r.asDict()
+        for r in pipeline_t_closeness(spark, str(tmp_path)).collect()
+    }
+    for lvl in got.values():
+        assert lvl["worst_emd_bp"] == 0 and lvl["is_t_close"] == 1
