@@ -3378,6 +3378,197 @@ WHERE r.t = mx.maxt
 """
 
 
+HW_PERIOD = 7  # weekly additive seasonality over the daily rollup
+HW_HORIZON = 7  # one full season of out-of-sample forecasts
+
+_SLOTS = ["sa", "sb", "sc", "sd", "se", "sf", "sg"]  # rotating season ring
+
+
+def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt–Winters additive triple exponential smoothing over daily event
+    value — the SEASONAL leg the Holt pair can't express (Holt's trend
+    chases the weekly cycle up and down; Holt–Winters factors it into a
+    {HW_PERIOD}-slot seasonal ring and forecasts level + trend + season).
+    α = β = γ = 1/2, period m = {HW_PERIOD}:
+
+        forecast_t = l_{{t-1}} + b_{{t-1}} + s_{{t-m}}
+        l_t = ((y_t − s_{{t-m}}) + (l_{{t-1}} + b_{{t-1}})) / 2
+        b_t = (b_{{t-1}} + (l_t − l_{{t-1}})) / 2
+        s_t = ((y_t − l_t) + s_{{t-m}}) / 2
+
+    with the classical two-season init l_0 = mean(y_0..y_6),
+    b_0 = (mean(y_7..y_13) − mean(y_0..y_6)) / m, s_i = y_i − l_0, the
+    recursion consuming y_7 onward, plus {HW_HORIZON} out-of-sample
+    forecasts l_T + h·b_T + s_{{T+h−m}}.
+
+    Integer-exact across engines: the recursion runs on exact cents with
+    per-step floor-halving (``shiftright`` in Spark ≡ ``>>`` in DuckDB for
+    signed BIGINT — the Holt parity already pinned); the init's /7 and
+    /49 are sign-split floor divisions.  The seasonal state is an
+    EXPLICIT 7-field ring rotated each step (head = the slot the current
+    step consumes), so both engines carry bit-identical state with no
+    array support needed in the recursive CTE.
+
+    Scale shape: identical to Holt — one map-side-combined daily rollup,
+    then all recursion work on |days| rows on one executor; O(30) state,
+    not O(events).  Precondition: ≥ 2m = 14 observed days."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("y")
+    )
+    return holt_winters_finish(daily)
+
+
+def _fdiv(x: str, d: int) -> str:
+    """Floor division by a positive constant as a SQL expression (Spark
+    ``div`` and DuckDB ``//`` both truncate toward zero on BIGINT)."""
+    return f"(if(({x}) >= 0, ({x}) div {d}, -((-({x}) + {d - 1}) div {d})))"
+
+
+def holt_winters_finish(daily: DataFrame) -> DataFrame:
+    """The Holt–Winters recursion + horizon finisher over a (day, y)
+    frame — shared verbatim by the batch op and the streaming twin."""
+    m = HW_PERIOD
+    arr = daily.agg(F.array_sort(F.collect_list(F.struct("day", "y"))).alias("a"))
+    s1 = "(" + " + ".join(f"a[{i}].y" for i in range(m)) + ")"
+    s2 = "(" + " + ".join(f"a[{i}].y" for i in range(m, 2 * m)) + ")"
+    l0 = _fdiv(s1, m)
+    b0 = _fdiv(f"{s2} - {s1}", m * m)
+    init_season = ", ".join(
+        f"'{slot}', a[{i}].y - {l0}" for i, slot in enumerate(_SLOTS)
+    )
+    lp = "shiftright((x.y - acc.sa) + acc.l + acc.b, 1)"  # l_t
+    bp = f"shiftright(acc.b + {lp} - acc.l, 1)"  # b_t
+    sp = f"shiftright((x.y - {lp}) + acc.sa, 1)"  # s_t
+    row = (
+        "named_struct("
+        "'t', acc.t + 1L, "
+        "'actual_cents', x.y, "
+        "'forecast_cents', acc.l + acc.b + acc.sa, "
+        f"'level_cents', {lp}, "
+        f"'trend_cents', {bp}, "
+        f"'season_cents', {sp})"
+    )
+    rotate = ", ".join(
+        f"'{_SLOTS[i]}', acc.{_SLOTS[i + 1]}" for i in range(m - 1)
+    )
+    future = ", ".join(
+        "named_struct("
+        f"'t', acc.t + {h}L, "
+        "'actual_cents', cast(null as bigint), "
+        f"'forecast_cents', acc.l + {h}L * acc.b + acc.{_SLOTS[h - 1]}, "
+        "'level_cents', acc.l, "
+        "'trend_cents', acc.b, "
+        f"'season_cents', acc.{_SLOTS[h - 1]})"
+        for h in range(1, HW_HORIZON + 1)
+    )
+    trace = arr.select(
+        F.expr(
+            f"""
+            aggregate(
+              slice(a, {m + 1}, size(a) - {m}),
+              named_struct(
+                't', cast({m - 1} as bigint),
+                'l', {l0},
+                'b', {b0},
+                {init_season},
+                'rows', cast(array() as array<struct<
+                  t: bigint, actual_cents: bigint, forecast_cents: bigint,
+                  level_cents: bigint, trend_cents: bigint,
+                  season_cents: bigint>>)),
+              (acc, x) -> named_struct(
+                't', acc.t + 1L,
+                'l', {lp},
+                'b', {bp},
+                {rotate},
+                'sg', {sp},
+                'rows', concat(acc.rows, array({row}))),
+              acc -> concat(acc.rows, array({future}))
+            )
+            """
+        ).alias("rows")
+    )
+    return trace.select(F.explode("rows").alias("r")).select(
+        F.col("r.t").alias("t"),
+        F.col("r.actual_cents").alias("actual_cents"),
+        F.col("r.forecast_cents").alias("forecast_cents"),
+        (F.col("r.actual_cents") - F.col("r.forecast_cents")).alias("err_cents"),
+        F.col("r.level_cents").alias("level_cents"),
+        F.col("r.trend_cents").alias("trend_cents"),
+        F.col("r.season_cents").alias("season_cents"),
+    )
+
+
+def _oracle_holt_winters() -> str:
+    m = HW_PERIOD
+
+    def fdiv(x: str, d: int) -> str:
+        return (
+            f"(CASE WHEN ({x}) >= 0 THEN ({x}) // {d} "
+            f"ELSE -((-({x}) + {d - 1}) // {d}) END)"
+        )
+
+    lp = "((d.y - r.sa + r.l + r.b) >> 1)"
+    bp = f"((r.b + {lp} - r.l) >> 1)"
+    sp = f"((d.y - {lp} + r.sa) >> 1)"
+    base_season = ",\n         ".join(
+        f"(SELECT y FROM daily WHERE t = {i}) - i.l0 AS {slot}"
+        for i, slot in enumerate(_SLOTS)
+    )
+    shift = ", ".join(f"r.{_SLOTS[i + 1]}" for i in range(m - 1))
+    season_case = " ".join(
+        f"WHEN {h} THEN r.{_SLOTS[h - 1]}" for h in range(1, HW_HORIZON + 1)
+    )
+    return f"""
+WITH RECURSIVE daily AS (
+  SELECT CAST(row_number() OVER (ORDER BY day) - 1 AS BIGINT) AS t, y
+  FROM (SELECT CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        FROM events GROUP BY 1)
+),
+mx AS (SELECT max(t) AS maxt FROM daily),
+init AS (
+  -- CASTs: DuckDB sum(BIGINT) is HUGEINT, which pandas renders as float —
+  -- pin every derived state column back to BIGINT
+  SELECT CAST({fdiv(f"sum(CASE WHEN t < {m} THEN y END)", m)} AS BIGINT) AS l0,
+         CAST({fdiv(f"sum(CASE WHEN t >= {m} AND t < {2 * m} THEN y END)"
+               f" - sum(CASE WHEN t < {m} THEN y END)", m * m)} AS BIGINT) AS b0
+  FROM daily
+),
+r(t, l, b, sa, sb, sc, sd, se, sf, sg, fc, actual, season) AS (
+  SELECT CAST({m - 1} AS BIGINT), i.l0, i.b0,
+         {base_season},
+         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+  FROM init i
+  UNION ALL
+  SELECT d.t,
+         CAST({lp} AS BIGINT),
+         CAST({bp} AS BIGINT),
+         {shift},
+         CAST({sp} AS BIGINT),
+         CAST(r.l + r.b + r.sa AS BIGINT),
+         d.y,
+         CAST({sp} AS BIGINT)
+  FROM r JOIN daily d ON d.t = r.t + 1
+)
+SELECT t, actual AS actual_cents, fc AS forecast_cents,
+       CAST(actual - fc AS BIGINT) AS err_cents,
+       l AS level_cents, b AS trend_cents, season AS season_cents
+FROM r WHERE t >= {m}
+UNION ALL
+SELECT mx.maxt + h, CAST(NULL AS BIGINT),
+       CAST(r.l + h * r.b + CASE h {season_case} END AS BIGINT),
+       CAST(NULL AS BIGINT), r.l, r.b,
+       CAST(CASE h {season_case} END AS BIGINT)
+FROM r CROSS JOIN mx
+CROSS JOIN (VALUES {", ".join(f"({h})" for h in range(1, HW_HORIZON + 1))}) hs(h)
+WHERE r.t = mx.maxt
+"""
+
+
+ORACLE_HOLT_WINTERS = _oracle_holt_winters()
+
+
 def stats_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benjamini–Hochberg FDR control (the multiple-testing step-up every
     experimentation platform runs when it scores many metrics at once)
@@ -3600,6 +3791,7 @@ FROM rt
 
 QUERIES = {
     "events_holt_trend": events_holt_trend,
+    "events_holt_winters": events_holt_winters,
     "stats_benjamini_hochberg": stats_benjamini_hochberg,
     "stats_ab_power": stats_ab_power,
     "events_burstiness": events_burstiness,
@@ -3667,6 +3859,7 @@ ORACLES = {
     "events_multitouch_attribution": ORACLE_MULTITOUCH,
     "events_ewma_hourly": ORACLE_EWMA,
     "events_holt_trend": ORACLE_HOLT,
+    "events_holt_winters": ORACLE_HOLT_WINTERS,
     "events_session_paths": ORACLE_SESSION_PATHS,
     "events_cumulative_users": ORACLE_CUMULATIVE_USERS,
     "events_count_min": ORACLE_COUNT_MIN,

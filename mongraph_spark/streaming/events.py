@@ -846,6 +846,33 @@ def _oracle_stream_holt() -> str:
     return ORACLE_HOLT
 
 
+def streaming_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``queries.events.events_holt_winters`` — the same
+    watermarked per-day cents rollup as the Holt twin (the seasonal
+    forecast's ENTIRE sufficient statistic, O(days) state) with the
+    Holt–Winters recursion + horizon finisher (``holt_winters_finish``,
+    shared verbatim) re-run on read over the continuously-updated rollup.
+    The live-dashboard seasonal-forecast shape: cheap associative stream
+    state, an O(|days|) finisher per refresh, never a history replay.
+    Fully batch-equal, checked by the batch op's recursive-CTE oracle."""
+    from mongraph_spark.queries.events import holt_winters_finish
+
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 day")
+    agg = ev.groupBy(F.window("ts", "1 day").alias("w")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("y")
+    )
+    with _state_partitioning(spark, sf_dir):
+        out = run_to_table(agg, output_mode="complete")
+    daily = out.select(F.to_date("w.start").alias("day"), "y")
+    return holt_winters_finish(daily)
+
+
+def _oracle_stream_holt_winters() -> str:
+    from mongraph_spark.queries.events import ORACLE_HOLT_WINTERS
+
+    return ORACLE_HOLT_WINTERS
+
+
 def streaming_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of ``queries.corpus.corpus_gopher_rules`` — the
     filter-at-ingest shape: every arriving document is scored against the
@@ -1983,6 +2010,7 @@ QUERIES = {
     "streaming_seasonal_anomaly": streaming_seasonal_anomaly,
     "streaming_cusum_changepoint": streaming_cusum_changepoint,
     "streaming_holt_trend": streaming_holt_trend,
+    "streaming_holt_winters": streaming_holt_winters,
     "streaming_gopher_rules": streaming_gopher_rules,
     "streaming_soft_dedup": streaming_soft_dedup,
     "streaming_hll_distinct": streaming_hll_distinct,
@@ -2012,6 +2040,7 @@ ORACLES = {
     "streaming_seasonal_anomaly": _oracle_stream_seasonal(),
     "streaming_cusum_changepoint": _oracle_stream_cusum(),
     "streaming_holt_trend": _oracle_stream_holt(),
+    "streaming_holt_winters": _oracle_stream_holt_winters(),
     "streaming_gopher_rules": _oracle_stream_gopher(),
     "streaming_soft_dedup": _oracle_stream_soft_dedup(),
     "streaming_hll_distinct": ORACLE_STREAM_HLL,

@@ -574,3 +574,79 @@ def test_t_closeness_identical_distribution_is_zero(spark, tmp_path):
     }
     for lvl in got.values():
         assert lvl["worst_emd_bp"] == 0 and lvl["is_t_close"] == 1
+
+
+# -- Holt–Winters: seasonal triple exponential smoothing -------------------------
+
+
+def _hw_replay(y, m=7, horizon=7):
+    """Pure-python floor-halving replay of the Holt–Winters recursion."""
+    l = sum(y[:m]) // m  # daily sums positive in the crafted series
+    b = (sum(y[m : 2 * m]) - sum(y[:m])) // (m * m)
+    season = [y[i] - l for i in range(m)]
+    exp = {}
+    for t in range(m, len(y)):
+        sa = season[0]
+        fc = l + b + sa
+        l2 = ((y[t] - sa) + l + b) >> 1
+        b2 = (b + l2 - l) >> 1
+        s2 = ((y[t] - l2) + sa) >> 1
+        exp[t] = (y[t], fc, y[t] - fc, l2, b2, s2)
+        l, b = l2, b2
+        season = season[1:] + [s2]
+    for h in range(1, horizon + 1):
+        fc = l + h * b + season[h - 1]
+        exp[len(y) - 1 + h] = (None, fc, None, l, b, season[h - 1])
+    return exp
+
+
+def test_holt_winters_crafted_seasonal_series(spark, tmp_path):
+    """A planted weekly cycle + linear trend, replayed exactly in python:
+    pins the init (l0, b0, s_0..s_6), the rotating ring, the floor-halving
+    (negative seasonals exercise the sign case), and the 7-step horizon."""
+    import datetime as dt
+
+    from mongraph_spark.queries.events import events_holt_winters
+
+    # 21 days: value = 1000 + 10*t + planted weekly wave (some negative offsets)
+    wave = [300, -200, 50, 0, -120, 260, -90]
+    y = [1000 + 10 * t + wave[t % 7] for t in range(21)]
+    rows = [
+        (t, dt.datetime(2024, 3, 1 + t, 12, 0, 0), 1, "view", y[t] / 100.0, "{}")
+        for t in range(21)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r.t: (
+            r.actual_cents,
+            r.forecast_cents,
+            r.err_cents,
+            r.level_cents,
+            r.trend_cents,
+            r.season_cents,
+        )
+        for r in events_holt_winters(spark, str(tmp_path)).collect()
+    }
+    exp = {
+        t: (a, fc, e, l, b, s)
+        for t, (a, fc, e, l, b, s) in _hw_replay(y).items()
+    }
+    assert got == exp
+    # the planted wave must surface: some seasonal state is negative
+    assert any(v[5] < 0 for v in exp.values())
+
+
+def test_streaming_holt_winters_equals_batch(spark):
+    """Twin contract: the streamed rollup + shared finisher reproduces the
+    batch op exactly."""
+    from mongraph_spark.queries.events import events_holt_winters
+    from mongraph_spark.streaming.events import streaming_holt_winters
+
+    sf = "/root/testdata/sf0.001"
+    batch = sorted(map(tuple, events_holt_winters(spark, sf).collect()))
+    stream = sorted(map(tuple, streaming_holt_winters(spark, sf).collect()))
+    assert stream == batch and batch
