@@ -1607,6 +1607,70 @@ FROM final GROUP BY source
 """
 
 
+def store_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O(one bucket file) point reads through ``merge.read_point`` — the
+    store's OLTP get path, driver-verifiable: build the documents store
+    (8 buckets), upsert +17 n_chars onto doc 5 (so the probed state is
+    multi-version: doc 5's bucket resolves to the v1 file, every other
+    bucket to v0), then probe four live keys and one absent key
+    (9000001).  Each probe reads EXACTLY ONE bucket file — the manifest
+    is the index; the pruning itself is pinned in pytest via
+    ``inputFiles()`` (1 vs 8), while this oracle hash-checks the values
+    every probe returns.
+
+    Scale shape: per probe, one 1-row bucket-routing job + one
+    single-file scan with the key filter pushed to parquet; never a
+    table scan, never a shuffle."""
+    import shutil
+    import tempfile
+
+    from mongraph_spark.sources import merge as merge_store
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    app_id = spark.sparkContext.applicationId
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(tempfile.gettempdir(), f"mg_point_{app_id}_{sf_tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    merge_store.init_table(docs, root, key="doc_id", n_buckets=8)
+    merge_store.upsert(
+        spark,
+        root,
+        docs.filter(F.col("doc_id") == 5).withColumn(
+            "n_chars", F.col("n_chars") + 17
+        ),
+        key="doc_id",
+    )
+    out = None
+    for probe in (1, 2, 5, 7, 9000001):
+        hit = merge_store.read_point(spark, root, probe)
+        rep = hit.agg(
+            F.lit(probe).cast("long").alias("probe_id"),
+            F.count(F.lit(1)).cast("long").alias("n_found"),
+            F.coalesce(F.sum("n_chars"), F.lit(0)).cast("long").alias("n_chars"),
+            F.coalesce(F.min("source"), F.lit("")).alias("source"),
+        )
+        out = rep if out is None else out.unionByName(rep)
+    return out
+
+
+ORACLE_POINT_LOOKUP = """
+WITH cur AS (
+  SELECT doc_id, source,
+         n_chars + CASE WHEN doc_id = 5 THEN 17 ELSE 0 END AS n_chars
+  FROM documents
+),
+probes(probe_id) AS (VALUES (1), (2), (5), (7), (9000001))
+SELECT CAST(p.probe_id AS BIGINT) AS probe_id,
+       CAST(count(cur.doc_id) AS BIGINT) AS n_found,
+       CAST(COALESCE(sum(cur.n_chars), 0) AS BIGINT) AS n_chars,
+       COALESCE(min(cur.source), '') AS source
+FROM probes p LEFT JOIN cur ON cur.doc_id = p.probe_id
+GROUP BY p.probe_id
+"""
+
+
 def store_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only ADD COLUMN end to end, driver-verifiable — including
     the round-9 change that the schema commit is a VERSION of its own
@@ -1950,6 +2014,7 @@ QUERIES = {
     "store_shallow_clone": store_shallow_clone,
     "store_vacuum_retention": store_vacuum_retention,
     "store_read_as_of": store_read_as_of,
+    "store_point_lookup": store_point_lookup,
     "store_delete_rebase": store_delete_rebase,
     "store_schema_evolution": store_schema_evolution,
     "store_drop_column": store_drop_column,
@@ -1969,6 +2034,7 @@ ORACLES = {
     "dq_expectations": ORACLE_DQ,
     "store_vacuum_retention": ORACLE_VACUUM_RETENTION,
     "store_read_as_of": ORACLE_READ_AS_OF,
+    "store_point_lookup": ORACLE_POINT_LOOKUP,
     "store_shallow_clone": ORACLE_SHALLOW_CLONE,
     "store_delete_rebase": ORACLE_DELETE_REBASE,
     "store_schema_evolution": ORACLE_SCHEMA_EVOLUTION,

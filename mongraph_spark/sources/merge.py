@@ -769,6 +769,49 @@ def read_current(spark: SparkSession, root: str) -> DataFrame | None:
     return _read_paths(spark, root, _read_manifest(root, ver), meta["schema"], meta.get("added"))
 
 
+def read_point(spark: SparkSession, root: str, key_value) -> DataFrame:
+    """O(one bucket file) point lookup — the OLTP get path (the store-side
+    generalization of the reference's findCorrespondingNode id fetch,
+    src/processtools.coffee:117-131): compute the key's bucket with the
+    SAME ``pmod(xxhash64(key), n)`` expression the writers route rows by
+    (one 1-row local job — replicating Spark's xxhash64 in Python would
+    be a silent-divergence trap), then read ONLY that bucket's directory from
+    the current manifest and filter to the key.
+
+    At 100 TB this is the difference between a point read costing one
+    file's footer + one row group and a full-table scan: the manifest IS
+    the index.  Schema evolution rides along (default fills / dropped-
+    column projection via ``_read_paths``); a bucket absent from the
+    manifest (no rows ever hashed there) returns an empty frame with the
+    recorded schema.  Legacy flat tables (no key) fall back to a filtered
+    full read — documented, not optimized."""
+    ver = current_version(root)
+    if ver is None:
+        raise ValueError(f"no committed version under {root}")
+    meta = _read_meta(root)
+    schema_json = meta["schema"]
+    key, n_buckets = meta.get("key"), meta.get("n_buckets")
+    if key is None:
+        df = read_current(spark, root)
+        return df.filter(F.col(df.columns[0]) == key_value)
+    schema = T.StructType.fromJson(json.loads(schema_json))
+    key_type = next(f.dataType for f in schema.fields if f.name == key)
+    lit = F.lit(key_value).cast(key_type)
+    bucket = spark.range(1).select(
+        F.pmod(F.xxhash64(lit), F.lit(n_buckets)).alias("b")
+    ).collect()[0]["b"]
+    mapping = _read_manifest(root, ver)
+    rel = mapping.get(str(bucket))
+    if rel is None:
+        return spark.createDataFrame([], schema)
+    df = _read_paths(
+        spark, root, {str(bucket): rel}, schema_json, meta.get("added")
+    )
+    if _BUCKET in df.columns:
+        df = df.drop(_BUCKET)
+    return df.filter(F.col(key) == lit)
+
+
 def init_table(
     df: DataFrame,
     root: str,

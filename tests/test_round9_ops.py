@@ -650,3 +650,48 @@ def test_streaming_holt_winters_equals_batch(spark):
     batch = sorted(map(tuple, events_holt_winters(spark, sf).collect()))
     stream = sorted(map(tuple, streaming_holt_winters(spark, sf).collect()))
     assert stream == batch and batch
+
+
+# -- read_point: the O(one-bucket-file) OLTP get path ----------------------------
+
+
+def test_read_point_scans_exactly_one_file(spark, tmp_path):
+    """The manifest IS the index: a point read's scan set is ONE bucket
+    file while the full read touches all buckets; values match a filtered
+    full read, including through a multi-version manifest."""
+    root = str(tmp_path / "tbl")
+    M.init_table(_base(spark), root, key="id", n_buckets=4)
+    M.upsert(
+        spark, root,
+        spark.createDataFrame([(7, "seven2", 1)], "id long, name string, rev long"),
+        key="id", order_col="rev",
+    )
+    def bucket_dirs(df):
+        return {f.rsplit("/", 1)[0] for f in df.inputFiles()}
+
+    full = M.read_current(spark, root)
+    assert len(bucket_dirs(full)) >= 4  # every bucket dir scanned
+    hit = M.read_point(spark, root, 7)
+    assert len(bucket_dirs(hit)) == 1  # one bucket dir only
+    assert [(r.id, r.name) for r in hit.collect()] == [(7, "seven2")]
+    # a key routed to an untouched bucket resolves to its v0 file
+    other = M.read_point(spark, root, 3)
+    assert len(bucket_dirs(other)) == 1
+    assert [(r.id, r.name) for r in other.collect()] == [(3, "name3")]
+    # absent key: empty, recorded schema
+    miss = M.read_point(spark, root, 999999)
+    assert miss.count() == 0
+    assert [f.name for f in miss.schema.fields if f.name != "__bucket"] == [
+        "id", "name", "rev"
+    ]
+
+
+def test_read_point_schema_evolution_fill(spark, tmp_path):
+    """Point reads honor metadata-only ADD COLUMN: a key in a pre-evolution
+    bucket file reads the recorded default."""
+    root = str(tmp_path / "tbl")
+    M.init_table(_base(spark), root, key="id", n_buckets=4)
+    M.add_column(root, "quality", "double", 2.5)
+    hit = M.read_point(spark, root, 5)
+    rows = hit.collect()
+    assert len(rows) == 1 and rows[0]["quality"] == 2.5
