@@ -1755,19 +1755,22 @@ FROM final GROUP BY source
 
 
 def store_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Metadata-only DROP COLUMN end to end, driver-verifiable: v0 init →
-    v1 add ``quality`` (default 1.0) → v2 ``drop_column('n_chars')`` (no
-    file touched; every read now projects the column away — parquet never
-    even scans those bytes) → v3 upsert doc 1 under the narrowed schema
-    (quality 0.5) → re-adding ``n_chars`` REFUSED (tombstoned name: old
-    files still carry the previous incarnation and would resurrect stale
-    values without column-mapping ids) → v4 add ``flag`` (default 7) —
-    proving the tombstone blocks exactly the colliding name, not
-    evolution in general.
+    """Metadata-only DROP COLUMN + safe REINCARNATION, driver-verifiable:
+    v0 init → v1 add ``quality`` (default 1.0) → v2
+    ``drop_column('n_chars')`` (no file touched; every read now projects
+    the column away — parquet never even scans those bytes) → v3 upsert
+    doc 1 under the narrowed schema (quality 0.5) → v4 RE-ADD
+    ``n_chars`` (default 0): the version-fenced default fill masks every
+    pre-re-add file, so NOT ONE original n_chars value resurrects — all
+    rows read 0 (the guarantee Delta needs column-mapping ids for) → v5
+    add ``flag`` (default 7) → v6 upsert doc 2 carrying the reincarnated
+    column physically (n_chars 42).
 
     Hash-asserted: per-source doc counts, the quality default/updated
-    split, the flag default, the dropped column's absence from the read
-    schema, the refused re-add, the v2 commit op, final version 4."""
+    split, the flag default, the n_chars sum after reincarnation (42,
+    ONLY doc 2's physical write — any resurrection of the original
+    values breaks the hash massively), the v2 commit op, final
+    version 6."""
     import shutil
     import tempfile
 
@@ -1787,23 +1790,22 @@ def store_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(1, "src1", 0.5)], "doc_id long, source string, quality double"
     )
     merge_store.upsert(spark, root, upd, key="doc_id")
-    refused = 0
-    try:
-        merge_store.add_column(root, "n_chars", "long", 0)
-    except ValueError:
-        refused = 1
+    merge_store.add_column(root, "n_chars", "long", 0)  # reincarnation
     merge_store.add_column(root, "flag", "long", 7)
+    upd2 = spark.createDataFrame(
+        [(2, "src2", 1.0, 42, 7)],
+        "doc_id long, source string, quality double, n_chars long, flag long",
+    )
+    merge_store.upsert(spark, root, upd2, key="doc_id")
     rec = merge_store._read_commit(root, "v_00002") or {}
     final_v = int(merge_store.current_version(root).split("_")[1])
     cur = merge_store.read_current(spark, root).drop("__bucket")
-    has_nchars = int("n_chars" in cur.columns)
     return cur.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum((F.col("quality") == 1.0).cast("int")).cast("bigint").alias("n_q_default"),
         F.sum((F.col("quality") == 0.5).cast("int")).cast("bigint").alias("n_q_half"),
         F.sum("flag").cast("bigint").alias("sum_flag"),
-        F.lit(has_nchars).cast("bigint").alias("has_n_chars"),
-        F.lit(refused).cast("bigint").alias("re_add_refused"),
+        F.sum("n_chars").cast("bigint").alias("sum_n_chars_reincarnated"),
         F.lit(rec.get("op", "")).alias("v2_op"),
         F.lit(final_v).cast("bigint").alias("final_version"),
     )
@@ -1813,17 +1815,17 @@ ORACLE_DROP_COLUMN = """
 WITH final AS (
   SELECT doc_id, source,
          CASE WHEN doc_id = 1 THEN 0.5 ELSE 1.0 END AS quality,
-         7 AS flag
+         7 AS flag,
+         CASE WHEN doc_id = 2 THEN 42 ELSE 0 END AS n_chars
   FROM documents
 )
 SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(CASE WHEN quality = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_q_default,
        CAST(sum(CASE WHEN quality = 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_q_half,
        CAST(sum(flag) AS BIGINT) AS sum_flag,
-       CAST(0 AS BIGINT) AS has_n_chars,
-       CAST(1 AS BIGINT) AS re_add_refused,
+       CAST(sum(n_chars) AS BIGINT) AS sum_n_chars_reincarnated,
        'drop_column' AS v2_op,
-       CAST(4 AS BIGINT) AS final_version
+       CAST(6 AS BIGINT) AS final_version
 FROM final GROUP BY source
 """
 

@@ -624,12 +624,16 @@ def add_column(root: str, name: str, dtype: str, default) -> None:
         schema = T.StructType.fromJson(json.loads(meta["schema"]))
         if name in schema.fieldNames():
             raise ValueError(f"column {name!r} already exists")
-        if name in (meta.get("dropped") or []):
-            raise ValueError(
-                f"column {name!r} was dropped and cannot be re-added: old "
-                "files still physically carry the previous incarnation and "
-                "reads would resurrect stale values (no column-mapping ids)"
-            )
+        # Re-adding a DROPPED name is safe REINCARNATION, not resurrection:
+        # every file written before this version's added_in reads the new
+        # default — the fill in _read_paths REPLACES the column for those
+        # files unconditionally, so stale pre-drop bytes are never
+        # surfaced (and Catalyst prunes the replaced column out of the
+        # scan entirely, which also makes a TYPE-CHANGED re-add safe: the
+        # old physical incarnation is never even decoded).  This is the
+        # guarantee Delta needs column-mapping ids for; the version-fenced
+        # default fill gives it to this store for free.
+        dropped = [d for d in (meta.get("dropped") or []) if d != name]
         added_in = int(ver.split("_")[1])
         added = list(meta.get("added") or [])
         added.append({"name": name, "added_in": added_in, "default": default})
@@ -639,8 +643,8 @@ def add_column(root: str, name: str, dtype: str, default) -> None:
             "schema": schema.add(name, dtype, True).json(),
             "added": added,
         }
-        if meta.get("dropped"):
-            staged["dropped"] = meta["dropped"]
+        if dropped:
+            staged["dropped"] = dropped
         if meta.get("bucketed_since") is not None:
             staged["bucketed_since"] = meta["bucketed_since"]
         cur2 = current_version(root)  # the claim pins it: cur2 == cur
@@ -670,13 +674,14 @@ def drop_column(root: str, name: str) -> None:
     :func:`add_column` (op=``drop_column``), so it can never race a
     writer's fingerprint check.
 
-    The dropped NAME is tombstoned in table meta and may never be
-    re-added: without Delta's column-mapping ids, a re-added column of
-    the same name would collide with old files still physically carrying
-    the previous incarnation (possibly with a different type), and reads
-    would resurrect stale values.  Time travel reads through the CURRENT
-    schema (this store's meta is table-level, not per-version) — a
-    pre-drop version read after the drop also projects the column away.
+    The dropped NAME is tombstoned in table meta until (if ever) it is
+    re-added; :func:`add_column` REINCARNATES it safely — the re-add's
+    version-fenced default fill replaces the column for every pre-re-add
+    file, so stale pre-drop bytes are never surfaced, even across a type
+    change (the old physical incarnation is pruned out of the scan).
+    Time travel reads through the CURRENT schema (this store's meta is
+    table-level, not per-version) — a pre-drop version read after the
+    drop also projects the column away.
 
     The table key and any not-null base column can be dropped only over
     the store's dead body: the key is the bucket layout."""
@@ -735,8 +740,6 @@ def _append_column_meta(
     schema = T.StructType.fromJson(json.loads(meta["schema"]))
     if name in schema.fieldNames():
         raise ValueError(f"column {name!r} already exists")
-    if name in (meta.get("dropped") or []):
-        raise ValueError(f"column {name!r} was dropped and cannot be re-added")
     added = list(meta.get("added") or [])
     added.append({"name": name, "added_in": added_in, "default": default})
     _write_meta(
@@ -746,7 +749,9 @@ def _append_column_meta(
         schema.add(name, dtype, True),
         added,
         bucketed_since=meta.get("bucketed_since"),
-        dropped=meta.get("dropped"),
+        # reincarnation: a re-added name leaves the tombstone list (no
+        # committed version exists here, so there are no old files at all)
+        dropped=[d for d in (meta.get("dropped") or []) if d != name],
     )
 
 

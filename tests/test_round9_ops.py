@@ -438,18 +438,29 @@ def test_drop_column_projects_away_and_compaction_materializes(spark, tmp_path):
         for x in os.listdir(d):
             if x.endswith(".parquet"):
                 assert "rev" not in pq.read_schema(os.path.join(d, x)).names
-    # tombstone: the dropped name can never come back; other names can
-    with pytest.raises(ValueError, match="cannot be re-added"):
-        M.add_column(root, "rev", "long", 0)
+    # reincarnation: the dropped name comes back TYPE-CHANGED (long →
+    # string) and not one stale value resurrects — every pre-re-add file
+    # reads the new default, and the old physical incarnation is pruned
+    # out of the scan (a decode of long-as-string would error loudly)
+    M.add_column(root, "rev", "string", "fresh")
+    reborn = M.read_current(spark, root)
+    assert reborn.schema["rev"].dataType.simpleString() == "string"
+    assert reborn.filter(F.col("rev") == "fresh").count() == 40
     M.add_column(root, "flag", "long", 3)
     assert M.read_current(spark, root).filter(F.col("flag") == 3).count() == 40
+    # and the tombstone is gone from meta
+    assert "rev" not in (M._read_meta(root).get("dropped") or [])
     # the key is not droppable; a missing column raises
     with pytest.raises(ValueError, match="table key"):
         M.drop_column(root, "id")
     with pytest.raises(ValueError, match="no column"):
         M.drop_column(root, "nope")
-    # time travel reads through the CURRENT schema (documented contract)
-    assert "rev" not in M.read_version(spark, root, 0).columns
+    # time travel reads through the CURRENT schema (documented contract):
+    # after the reincarnation, v0 reads rev AS THE NEW INCARNATION —
+    # string-typed, default-filled, no stale long bytes
+    v0 = M.read_version(spark, root, 0)
+    assert v0.schema["rev"].dataType.simpleString() == "string"
+    assert v0.filter(F.col("rev") == "fresh").count() == 40
 
 
 # -- streaming soft-dedup twin ----------------------------------------------------
