@@ -3789,11 +3789,85 @@ FROM rt
 """
 
 
+def stats_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score confidence interval per event type for the conversion
+    rate (share of events with value > 100) — the READ-OUT companion to
+    :func:`stats_ab_power`'s design-time sizing: the Wilson interval is
+    the binomial CI that behaves at extreme rates and small n (never
+    escapes [0,1], no add-2 hack), which is why it's the standard for
+    dashboard error bars.
+
+        center = p̂ + z²/2n,  half = z·√(p̂(1−p̂)/n + z²/4n²),
+        (lo, hi) = (center ∓ half) / (1 + z²/n),  z = 1.96
+
+    Cross-engine exactness: the ab_power argument — one double division
+    for p̂, then ±, ×, /, √ (all IEEE exactly-rounded) applied in the
+    SAME textual order in the oracle, so the doubles are bit-identical
+    and the ppm floors hash exactly.
+
+    Scale shape: one conditional aggregate per event type — a single
+    map-side-combined pass; the interval math is per-group scalar."""
+    ev = read_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("value") > 100.0).cast("long")).alias("n_hi"),
+    )
+    n = F.col("n_events").cast("double")
+    p = F.col("n_hi").cast("double") / n
+    z = F.lit(1.96)
+    z2 = z * z
+    denom = F.lit(1.0) + z2 / n
+    center = p + z2 / (F.lit(2.0) * n)
+    half = z * F.sqrt(
+        p * (F.lit(1.0) - p) / n + z2 / (F.lit(4.0) * n * n)
+    )
+    return agg.select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("n_hi").cast("long").alias("n_hi"),
+        F.floor(F.lit(1000000.0) * p).cast("long").alias("p_hat_ppm"),
+        F.floor(F.lit(1000000.0) * ((center - half) / denom))
+        .cast("long")
+        .alias("wilson_lo_ppm"),
+        F.floor(F.lit(1000000.0) * ((center + half) / denom))
+        .cast("long")
+        .alias("wilson_hi_ppm"),
+    )
+
+
+ORACLE_WILSON_CI = """
+WITH agg AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CASE WHEN value > 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi
+  FROM events GROUP BY 1
+),
+p AS (
+  SELECT *, CAST(n_events AS DOUBLE) AS n,
+         CAST(n_hi AS DOUBLE) / CAST(n_events AS DOUBLE) AS phat
+  FROM agg
+),
+parts AS (
+  SELECT *,
+         1.0 + (1.96 * 1.96) / n AS denom,
+         phat + (1.96 * 1.96) / (2.0 * n) AS center,
+         1.96 * sqrt(phat * (1.0 - phat) / n
+                     + (1.96 * 1.96) / (4.0 * n * n)) AS half
+  FROM p
+)
+SELECT event_type, n_events, n_hi,
+       CAST(floor(1000000.0 * phat) AS BIGINT) AS p_hat_ppm,
+       CAST(floor(1000000.0 * ((center - half) / denom)) AS BIGINT) AS wilson_lo_ppm,
+       CAST(floor(1000000.0 * ((center + half) / denom)) AS BIGINT) AS wilson_hi_ppm
+FROM parts
+"""
+
+
 QUERIES = {
     "events_holt_trend": events_holt_trend,
     "events_holt_winters": events_holt_winters,
     "stats_benjamini_hochberg": stats_benjamini_hochberg,
     "stats_ab_power": stats_ab_power,
+    "stats_wilson_ci": stats_wilson_ci,
     "events_burstiness": events_burstiness,
     "events_markov_surprise": events_markov_surprise,
     "events_slo_burn_rate": events_slo_burn_rate,
@@ -3839,6 +3913,7 @@ QUERIES = {
 ORACLES = {
     "stats_benjamini_hochberg": ORACLE_BH,
     "stats_ab_power": ORACLE_AB_POWER,
+    "stats_wilson_ci": ORACLE_WILSON_CI,
     "events_tumbling_window": ORACLE_TUMBLING,
     "events_funnel": ORACLE_FUNNEL,
     "events_pivot_daily": ORACLE_PIVOT_DAILY,

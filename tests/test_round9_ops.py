@@ -706,3 +706,54 @@ def test_read_point_schema_evolution_fill(spark, tmp_path):
     hit = M.read_point(spark, root, 5)
     rows = hit.collect()
     assert len(rows) == 1 and rows[0]["quality"] == 2.5
+
+
+# -- Wilson score interval ---------------------------------------------------------
+
+
+def test_wilson_ci_crafted_exact(spark, tmp_path):
+    """Known counts replayed in python doubles with the operator's exact
+    op order; also pins the interval's defining properties (contains
+    p-hat, stays inside [0,1] even at an extreme rate)."""
+    import datetime as dt
+    import math
+
+    from mongraph_spark.queries.events import stats_wilson_ci
+
+    # type 'a': 3 of 4 above 100; type 'b': 0 of 3 above (extreme rate)
+    vals = [("a", 150.0), ("a", 200.0), ("a", 250.0), ("a", 50.0),
+            ("b", 10.0), ("b", 20.0), ("b", 30.0)]
+    rows = [
+        (i, dt.datetime(2024, 5, 1, 1 + i), 1, t, v, "{}")
+        for i, (t, v) in enumerate(vals)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = {r.event_type: r.asDict() for r in stats_wilson_ci(spark, str(tmp_path)).collect()}
+
+    def wilson(n_hi, n_events):
+        n = float(n_events)
+        p = float(n_hi) / n
+        z = 1.96
+        z2 = z * z
+        denom = 1.0 + z2 / n
+        center = p + z2 / (2.0 * n)
+        half = z * math.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n))
+        return (
+            math.floor(1000000.0 * p),
+            math.floor(1000000.0 * ((center - half) / denom)),
+            math.floor(1000000.0 * ((center + half) / denom)),
+        )
+
+    for t, (hi, n) in {"a": (3, 4), "b": (0, 3)}.items():
+        p_ppm, lo_ppm, hi_ppm = wilson(hi, n)
+        assert got[t]["p_hat_ppm"] == p_ppm
+        assert got[t]["wilson_lo_ppm"] == lo_ppm
+        assert got[t]["wilson_hi_ppm"] == hi_ppm
+        assert 0 <= got[t]["wilson_lo_ppm"] <= p_ppm
+        assert p_ppm <= got[t]["wilson_hi_ppm"] <= 1000000
+    # the zero-successes arm still gets a non-degenerate upper bound
+    assert got["b"]["wilson_lo_ppm"] == 0 and got["b"]["wilson_hi_ppm"] > 0
