@@ -1671,6 +1671,92 @@ GROUP BY p.probe_id
 """
 
 
+def store_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planning-time data skipping from manifest-recorded file stats,
+    driver-verifiable: init the documents store fragmented (16 input
+    partitions → many part files per bucket), ``compact(cluster_by=
+    'n_chars', max_files_per_bucket=4)`` — each bucket's rows range-slice
+    into 4 sorted files whose footer [min, max] land in the version's
+    ``_stats.json`` — then answer three n_chars range probes through
+    ``read_where``, which drops non-overlapping files from the scan set
+    BEFORE Spark lists them (the Delta stats-in-the-log shape; the
+    file-count reduction itself is pinned in pytest via inputFiles —
+    this oracle hash-checks that pruning never changes an answer).
+
+    Scale shape: clustering cost is one windowed re-sort inside the
+    maintenance job; every subsequent selective range scan prunes
+    listing + footers + task scheduling, the dominant costs over
+    millions of files."""
+    import shutil
+    import tempfile
+
+    from mongraph_spark.sources import merge as merge_store
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    app_id = spark.sparkContext.applicationId
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(tempfile.gettempdir(), f"mg_skip_{app_id}_{sf_tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    merge_store.init_table(
+        docs.repartition(16), root, key="doc_id", n_buckets=4
+    )
+    ver, compacted = merge_store.compact(
+        spark, root, max_files_per_bucket=4, cluster_by="n_chars"
+    )
+    lo_all = docs.agg(F.min("n_chars")).collect()[0][0]
+    hi_all = docs.agg(F.max("n_chars")).collect()[0][0]
+    mid = (lo_all + hi_all) // 2
+    probes = [
+        ("low_quarter", lo_all, lo_all + (hi_all - lo_all) // 4),
+        ("mid_point", mid, mid),
+        ("full_range", lo_all, hi_all),
+    ]
+    out = None
+    for label, lo, hi in probes:
+        hit = merge_store.read_where(spark, root, "n_chars", lo, hi)
+        rep = hit.agg(
+            F.lit(label).alias("probe"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum("n_chars"), F.lit(0)).cast("long").alias("sum_chars"),
+            F.coalesce(F.countDistinct("source"), F.lit(0))
+            .cast("long")
+            .alias("n_sources"),
+        )
+        out = rep if out is None else out.unionByName(rep)
+    return out.crossJoin(
+        F.broadcast(
+            spark.createDataFrame(
+                [(len(compacted),)], "n_buckets_clustered long"
+            )
+        )
+    )
+
+
+ORACLE_STATS_SKIPPING = """
+WITH bounds AS (
+  SELECT min(n_chars) AS lo, max(n_chars) AS hi,
+         (min(n_chars) + max(n_chars)) // 2 AS mid
+  FROM documents
+),
+probes AS (
+  SELECT 'low_quarter' AS probe, lo AS p_lo, lo + (hi - lo) // 4 AS p_hi
+  FROM bounds
+  UNION ALL SELECT 'mid_point', mid, mid FROM bounds
+  UNION ALL SELECT 'full_range', lo, hi FROM bounds
+)
+SELECT p.probe,
+       CAST(count(d.doc_id) AS BIGINT) AS n_docs,
+       CAST(COALESCE(sum(d.n_chars), 0) AS BIGINT) AS sum_chars,
+       CAST(COALESCE(count(DISTINCT d.source), 0) AS BIGINT) AS n_sources,
+       CAST(4 AS BIGINT) AS n_buckets_clustered
+FROM probes p
+LEFT JOIN documents d ON d.n_chars >= p.p_lo AND d.n_chars <= p.p_hi
+GROUP BY p.probe
+"""
+
+
 def store_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only ADD COLUMN end to end, driver-verifiable — including
     the round-9 change that the schema commit is a VERSION of its own
@@ -2017,6 +2103,7 @@ QUERIES = {
     "store_vacuum_retention": store_vacuum_retention,
     "store_read_as_of": store_read_as_of,
     "store_point_lookup": store_point_lookup,
+    "store_stats_skipping": store_stats_skipping,
     "store_delete_rebase": store_delete_rebase,
     "store_schema_evolution": store_schema_evolution,
     "store_drop_column": store_drop_column,
@@ -2037,6 +2124,7 @@ ORACLES = {
     "store_vacuum_retention": ORACLE_VACUUM_RETENTION,
     "store_read_as_of": ORACLE_READ_AS_OF,
     "store_point_lookup": ORACLE_POINT_LOOKUP,
+    "store_stats_skipping": ORACLE_STATS_SKIPPING,
     "store_shallow_clone": ORACLE_SHALLOW_CLONE,
     "store_delete_rebase": ORACLE_DELETE_REBASE,
     "store_schema_evolution": ORACLE_SCHEMA_EVOLUTION,

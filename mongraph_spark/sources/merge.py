@@ -55,6 +55,7 @@ _MANIFEST = "manifest.json"
 _COMMIT = "_commit.json"
 _STAGING = "_staging"
 _TOMBSTONES = "_vacuumed.json"
+_STATS = "_stats.json"
 _BUCKET = "__bucket"
 DEFAULT_BUCKETS = 16
 
@@ -817,6 +818,106 @@ def read_point(spark: SparkSession, root: str, key_value) -> DataFrame:
     return df.filter(F.col(key) == lit)
 
 
+def _record_stats(root: str, ver: str, col: str) -> None:
+    """Per-file [min, max] of ``col`` for every bucket dir the version
+    wrote, read from the parquet FOOTERS (row-group statistics — metadata
+    only, the data is never re-scanned), persisted as a ``_stats.json``
+    sidecar inside the version dir.  Bounded by the version's own file
+    count — a maintenance-job cost, never a read-path one."""
+    import pyarrow.parquet as pq
+
+    stats: dict[str, dict[str, list]] = {}
+    base = os.path.join(root, ver)
+    for d in sorted(os.listdir(base)):
+        if not d.startswith(_BUCKET + "="):
+            continue
+        bucket = d.split("=", 1)[1]
+        per_file = {}
+        for f in sorted(os.listdir(os.path.join(base, d))):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.read_metadata(os.path.join(base, d, f))
+            idx = md.schema.to_arrow_schema().get_field_index(col)
+            if idx < 0:
+                continue
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    lo = hi = None
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if lo is not None:
+                per_file[f] = [lo, hi]
+        if per_file:
+            stats[bucket] = per_file
+    if stats:
+        with open(os.path.join(base, _STATS), "w") as fh:
+            json.dump({"col": col, "buckets": stats}, fh, sort_keys=True)
+
+
+def read_where(spark: SparkSession, root: str, col: str, lo, hi) -> DataFrame:
+    """Range read with PLANNING-time file skipping: for every manifest
+    entry whose version recorded ``_stats.json`` on ``col`` (written by
+    ``compact(cluster_by=col)``), files whose [min, max] cannot intersect
+    [lo, hi] are dropped from the scan set before Spark ever lists them —
+    the Delta data-skipping shape (stats in the log, not the footers).
+    Entries without stats are read in full (skipping is an optimization,
+    never a correctness dependency), and the predicate is applied on top
+    either way, so the result ALWAYS equals ``read_current`` + filter.
+
+    Tables with pending metadata-only ADD COLUMN fills fall back to the
+    unpruned read (the fill logic is version-grouped; compacted buckets
+    materialize fills, so a compact-then-read_where cycle regains the
+    skip).  At 100 TB: pruning a clustered column's range query this way
+    removes file listing, footer fetches, AND task scheduling for the
+    skipped files — the dominant cost of a selective scan over millions
+    of files."""
+    ver = current_version(root)
+    if ver is None:
+        raise ValueError(f"no committed version under {root}")
+    meta = _read_meta(root)
+    pred = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+    if meta.get("key") is None or meta.get("added"):
+        return read_current(spark, root).filter(pred)
+    mapping = _read_manifest(root, ver)
+    schema = T.StructType.fromJson(json.loads(meta["schema"]))
+    stats_cache: dict[str, dict | None] = {}
+    paths: list[str] = []
+    for rel in mapping.values():
+        bucket_dir = os.path.join(root, rel)  # absolute rels (clones) win
+        ver_dir = os.path.dirname(bucket_dir)
+        if ver_dir not in stats_cache:
+            try:
+                with open(os.path.join(ver_dir, _STATS)) as fh:
+                    st = json.load(fh)
+                stats_cache[ver_dir] = st if st.get("col") == col else None
+            except (FileNotFoundError, json.JSONDecodeError):
+                stats_cache[ver_dir] = None
+        st = stats_cache[ver_dir]
+        bucket = rel.rsplit("=", 1)[-1]
+        per_file = (st or {}).get("buckets", {}).get(bucket)
+        if not per_file:
+            paths.append(bucket_dir)  # no stats: scan the whole dir
+            continue
+        known = set()
+        for f, (fmin, fmax) in per_file.items():
+            known.add(f)
+            if not (fmax < lo or fmin > hi):
+                paths.append(os.path.join(bucket_dir, f))
+        # files the sidecar doesn't know (footer without min/max) scan anyway
+        for f in os.listdir(bucket_dir):
+            if f.endswith(".parquet") and f not in known:
+                paths.append(os.path.join(bucket_dir, f))
+    if not paths:
+        return spark.createDataFrame([], schema)
+    df = spark.read.schema(schema).parquet(*paths)
+    if _BUCKET in df.columns:
+        df = df.drop(_BUCKET)
+    return df.filter(pred)
+
+
 def init_table(
     df: DataFrame,
     root: str,
@@ -1075,6 +1176,7 @@ def compact(
     max_files_per_bucket: int = 1,
     target_bytes: int = 128 << 20,
     occ: str = "failfast",
+    cluster_by: str | None = None,
 ) -> tuple[str, list[str]]:
     """Small-file compaction — the maintenance half of copy-on-write:
     repeated trickle upserts leave each touched bucket with one part file
@@ -1106,7 +1208,20 @@ def compact(
     held during the Spark job) nor redoes work when one of its buckets
     is overwritten mid-flight — the operational posture a 100 TB table's
     maintenance job needs.  Only schema/layout evolution (fingerprint
-    change) discards the whole staged set."""
+    change) discards the whole staged set.
+
+    ``cluster_by``: liquid-clustering-lite (the Delta OPTIMIZE ZORDER /
+    data-skipping shape).  Instead of the hash slice, each compacted
+    bucket's rows are RANGE-sliced by the named column (``ntile`` over a
+    per-bucket sort) and sorted within every output file, and the
+    per-file [min, max] of that column — read from the parquet FOOTERS
+    the write just produced, no data pass — is recorded in a
+    ``_stats.json`` sidecar next to the version's manifest.
+    :func:`read_where` then prunes whole files at PLANNING time: at
+    100 TB the win isn't the row-group skip (Spark's scan already does
+    that from footers) — it's never listing, opening, or scheduling
+    tasks for the pruned files at all, which is why Delta keeps stats in
+    the log rather than relying on footers."""
     meta = _read_meta(root)
     cur = current_version(root)
     if cur is None:
@@ -1126,10 +1241,16 @@ def compact(
     if not plan:
         return cur, []
     if occ == "rebase":
-        return _compact_rebase(spark, root, meta, cur, manifest, plan)
+        return _compact_rebase(
+            spark, root, meta, cur, manifest, plan, cluster_by=cluster_by
+        )
 
     ver = _next_version(root)
-    _compact_write(spark, root, meta, manifest, plan, os.path.join(root, ver))
+    _compact_write(
+        spark, root, meta, manifest, plan, os.path.join(root, ver), cluster_by
+    )
+    if cluster_by is not None:
+        _record_stats(root, ver, cluster_by)
     new_map = dict(manifest)
     new_map.update(_written_buckets(root, ver))
     _write_manifest(root, ver, new_map)
@@ -1145,28 +1266,40 @@ def _compact_write(
     manifest: dict[str, str],
     plan: dict[str, int],
     dest: str,
+    cluster_by: str | None = None,
 ) -> None:
     """One Spark job writing every planned bucket's right-sized files to
-    ``dest`` (a version dir or a rebase staging dir)."""
+    ``dest`` (a version dir or a rebase staging dir).  With ``cluster_by``
+    the slice is a per-bucket RANGE (ntile over the cluster column) and
+    rows are sorted within output files, so file-level [min, max] stats
+    are tight; without it, a content-hash slice (no clustering claim)."""
+    W = Window
     base_map = {b: manifest[b] for b in plan}
     df = _read_paths(spark, root, base_map, meta["schema"], meta.get("added")).withColumn(
         _BUCKET, _bucket_expr(meta["key"], meta["n_buckets"])
     )
-    slice_expr = F.lit(0)
+    slice_of = {}
     for b, n_target in plan.items():
         if n_target > 1:
-            slice_expr = F.when(
-                F.col(_BUCKET) == int(b),
-                F.pmod(F.xxhash64(F.col(meta["key"]), F.lit(1)), F.lit(n_target)),
-            ).otherwise(slice_expr)
-    (
+            if cluster_by is not None:
+                slice_of[b] = F.ntile(int(n_target)).over(
+                    W.partitionBy(_BUCKET).orderBy(cluster_by, meta["key"])
+                )
+            else:
+                slice_of[b] = F.pmod(
+                    F.xxhash64(F.col(meta["key"]), F.lit(1)), F.lit(n_target)
+                )
+    slice_expr = F.lit(0)
+    for b, expr in slice_of.items():
+        slice_expr = F.when(F.col(_BUCKET) == int(b), expr).otherwise(slice_expr)
+    out = (
         df.withColumn("__slice", slice_expr)
         .repartition(sum(plan.values()), _BUCKET, "__slice")
         .drop("__slice")
-        .write.mode("errorifexists")
-        .partitionBy(_BUCKET)
-        .parquet(dest)
     )
+    if cluster_by is not None:
+        out = out.sortWithinPartitions(cluster_by)
+    out.write.mode("errorifexists").partitionBy(_BUCKET).parquet(dest)
 
 
 def _compact_rebase(
@@ -1176,6 +1309,7 @@ def _compact_rebase(
     snapshot: str,
     manifest: dict[str, str],
     plan: dict[str, int],
+    cluster_by: str | None = None,
 ) -> tuple[str, list[str]]:
     """The compute-first / per-bucket-commit half of :func:`compact` (see
     its docstring).  Not routed through :func:`_rebase_commit` because
@@ -1185,7 +1319,7 @@ def _compact_rebase(
     fp = _meta_fingerprint(meta)
     staging = os.path.join(root, _STAGING, f"cp_{os.getpid()}_{uuid4().hex}")
     os.makedirs(os.path.dirname(staging), exist_ok=True)
-    _compact_write(spark, root, meta, manifest, plan, staging)
+    _compact_write(spark, root, meta, manifest, plan, staging, cluster_by)
     try:
         ver = _claim_next(root, wait_s=REBASE_CLAIM_WAIT_S)
     except CommitConflict:
@@ -1211,6 +1345,8 @@ def _compact_rebase(
         _release_claim(root, ver)
         return cur2, []
     os.rename(staging, os.path.join(root, ver))
+    if cluster_by is not None:
+        _record_stats(root, ver, cluster_by)  # committed buckets only remain
     written = _written_buckets(root, ver)
     committed = sorted(b for b in written if b in valid)
     new_map = dict(man2)

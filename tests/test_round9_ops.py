@@ -757,3 +757,61 @@ def test_wilson_ci_crafted_exact(spark, tmp_path):
         assert p_ppm <= got[t]["wilson_hi_ppm"] <= 1000000
     # the zero-successes arm still gets a non-degenerate upper bound
     assert got["b"]["wilson_lo_ppm"] == 0 and got["b"]["wilson_hi_ppm"] > 0
+
+
+# -- cluster_by compaction + manifest-stats file skipping -------------------------
+
+
+def test_cluster_by_compact_records_stats_and_prunes(spark, tmp_path):
+    """compact(cluster_by=) range-slices each bucket into sorted files and
+    records their footer [min,max] in _stats.json; read_where then scans
+    FEWER files for a selective range and exactly matches the filtered
+    full read; an out-of-range probe scans zero files."""
+    import json as _json
+
+    root = str(tmp_path / "tbl")
+    # value column v correlates 1:1 with id so planted ranges are known
+    df = spark.createDataFrame(
+        [(i, i * 10) for i in range(400)], "id long, v long"
+    ).repartition(16)
+    M.init_table(df, root, key="id", n_buckets=4)
+    ver, compacted = M.compact(spark, root, max_files_per_bucket=4, cluster_by="v")
+    assert sorted(compacted) == ["0", "1", "2", "3"]
+    with open(os.path.join(root, ver, M._STATS)) as fh:
+        st = _json.load(fh)
+    assert st["col"] == "v" and set(st["buckets"]) == {"0", "1", "2", "3"}
+    # every bucket got multiple files with stats; ranges are non-degenerate
+    n_files_total = sum(len(v) for v in st["buckets"].values())
+    assert n_files_total >= 8
+    for per_file in st["buckets"].values():
+        assert len(per_file) >= 2
+        for lo, hi in per_file.values():
+            assert lo <= hi
+
+    full = M.read_current(spark, root)
+    narrow = M.read_where(spark, root, "v", 0, 200)
+    assert len(narrow.inputFiles()) < len(full.inputFiles())
+    exp = sorted(
+        (r.id, r.v)
+        for r in full.filter((F.col("v") >= 0) & (F.col("v") <= 200)).collect()
+    )
+    assert sorted((r.id, r.v) for r in narrow.collect()) == exp and exp
+    # an empty range prunes EVERY file at planning time
+    none = M.read_where(spark, root, "v", 10**9, 2 * 10**9)
+    assert none.inputFiles() == [] and none.count() == 0
+    # full range loses nothing
+    assert M.read_where(spark, root, "v", 0, 4000).count() == 400
+
+
+def test_read_where_without_stats_falls_back(spark, tmp_path):
+    """No cluster_by ever ran: read_where still answers correctly by
+    scanning everything (skipping is an optimization, not a dependency);
+    pending add_column fills also take the safe unpruned path."""
+    root = str(tmp_path / "tbl")
+    M.init_table(_base(spark), root, key="id", n_buckets=4)
+    got = M.read_where(spark, root, "id", 10, 19)
+    assert got.count() == 10
+    M.add_column(root, "q", "long", 5)
+    with_fill = M.read_where(spark, root, "id", 10, 19)
+    assert with_fill.count() == 10
+    assert with_fill.filter(F.col("q") == 5).count() == 10
