@@ -64,12 +64,15 @@ _SUITES = [
 # off-by-one in the driver's window.
 CORE_ORDER = [
     # — round-9 window (VERDICT r8 order #1), 50 slots exactly:
-    #   the 17 never-driver-verified rows (the 13 round-8 post-window
-    #   additions the verdict names, plus this round's 4 new ops:
-    #   dedup_semdedup_hier and the three round-9 store queries), then
-    #   6 re-proof slots for code round 9 touched (merge.py OCC/clock/
-    #   vacuum rework, the streaming_lsh_dedup state-write shave), then
-    #   27 refreshes of the STALEST driver evidence (r3-vintage rows).
+    #   the 31 never-driver-verified rows (the 13 round-8 post-window
+    #   additions the verdict names, plus this round's 18 new ops:
+    #   dedup_semdedup_hier, the store protocol/skipping/point-read
+    #   queries, the governance additions, the Holt–Winters pair,
+    #   SoftDeDup + its streaming twin, BH/power/Wilson), then 6
+    #   re-proof slots for code round 9 touched (merge.py OCC/clock/
+    #   vacuum/cluster_by rework, the streaming_lsh_dedup state-write
+    #   shave), then 13 refreshes of the STALEST driver evidence
+    #   (r3-vintage rows).
     # — never driver-verified (r8 post-window additions) —
     "window_abc_analysis",
     "graph_rich_club",
@@ -93,9 +96,16 @@ CORE_ORDER = [
     "corpus_soft_dedup",  # SoftDeDup reweighting (He et al. 2024)
     "stats_benjamini_hochberg",  # exact sign-test p-values + BH step-up
     "stats_ab_power",  # two-proportion experiment sizing (IEEE-exact)
-    "store_drop_column",  # metadata-only logical drop + tombstoned names
+    "store_drop_column",  # logical drop + safe column reincarnation
     "pipeline_l_diversity",  # sensitive-attribute disclosure audit
     "streaming_soft_dedup",  # merge_into-maintained SoftDeDup weights
+    "pipeline_t_closeness",  # EMD skewness-attack audit (governance trio)
+    "events_holt_winters",  # seasonal triple smoothing, exact integer ring
+    "streaming_holt_winters",  # its streamed-rollup twin
+    "store_point_lookup",  # manifest-indexed single-bucket point reads
+    "stats_wilson_ci",  # score-interval error bars, ppm-exact
+    "store_stats_skipping",  # cluster_by compact + planning-time file skip
+    "events_forecast_backtest",  # 4-model hold-out MAE/MASE, integer-exact
     # — round-9 re-proof slots (merge.py + streaming lsh touched) —
     "streaming_lsh_dedup",  # shingle-store removal + batch widening (#4)
     "store_vacuum_retention",  # unified commit clock + retention floor (#2)
@@ -106,23 +116,16 @@ CORE_ORDER = [
     # — stalest driver evidence refresh (r3-vintage rows) —
     "ann_cosine_topk",
     "corpus_decontaminate",
-    "corpus_mixture_weights",
     "corpus_repetition_filter",
-    "dedup_embedding_cosine",
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
     "embedding_quantize_int8",
     "events_hypertable_rollup",
     "graph_kcore",
     "graph_pagerank",
     "graph_triangle_count",
-    "mm_audio_windows",
-    "mm_frame_sample",
     "mm_image_features",
     "pipeline_pack_chunks",
-    "pipeline_source_cap",
     "range_join_price_bands",
 ]
 

@@ -3569,6 +3569,198 @@ WHERE r.t = mx.maxt
 ORACLE_HOLT_WINTERS = _oracle_holt_winters()
 
 
+BACKTEST_H = 7  # hold-out horizon: the last season of observed days
+
+
+def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast BACKTEST over the daily-value series — the evaluation leg
+    the forecasting battery needs before anyone trusts a forecast: hold
+    out the last {BACKTEST_H} observed days, fit every model on the
+    train prefix only, score the hold-out.  Four models, exactly the
+    production ladder: naive (last train value), seasonal naive
+    (same-weekday last train week — the standard benchmark MASE scales
+    against), Holt (level+trend), Holt–Winters (level+trend+season; both
+    recursions shared bit-for-bit with their standalone ops).
+
+    Metrics, integer-exact: MAE as the raw |error| cents sum over the
+    horizon, and MASE in floored bp via cross-multiplication —
+    ``(10⁴·Σ|err|·(n_train−1)) div (Σ_train|y_t−y_{{t−1}}|·h)`` — the
+    Hyndman & Koehler scale-free form, no float anywhere.
+
+    Scale shape: the same one daily rollup as Holt/HW; every fold and
+    error sum runs on the |days| array on one executor (O(30), not
+    O(events)).  Precondition: ≥ 21 observed days (14 for the HW init +
+    the hold-out)."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("y")
+    )
+    m, h = HW_PERIOD, BACKTEST_H
+    arr = daily.agg(F.array_sort(F.collect_list(F.struct("day", "y"))).alias("a"))
+    n = "size(a)"
+    # Holt fold over the train prefix (consumes a[1] .. a[n-8])
+    lp = "shiftright(acc.l + acc.b + x.y, 1)"
+    holt = f"""aggregate(
+        slice(a, 2, {n} - {h + 1}),
+        named_struct('l', a[0].y, 'b', a[1].y - a[0].y),
+        (acc, x) -> named_struct('l', {lp},
+                                 'b', shiftright(acc.b + {lp} - acc.l, 1)))"""
+    # Holt-Winters fold over the train prefix (consumes a[7] .. a[n-8])
+    s1 = "(" + " + ".join(f"a[{i}].y" for i in range(m)) + ")"
+    s2 = "(" + " + ".join(f"a[{i}].y" for i in range(m, 2 * m)) + ")"
+    l0, b0 = _fdiv(s1, m), _fdiv(f"{s2} - {s1}", m * m)
+    init_season = ", ".join(
+        f"'{slot}', a[{i}].y - {l0}" for i, slot in enumerate(_SLOTS)
+    )
+    wlp = "shiftright((x.y - acc.sa) + acc.l + acc.b, 1)"
+    rotate = ", ".join(f"'{_SLOTS[i]}', acc.{_SLOTS[i + 1]}" for i in range(m - 1))
+    hw = f"""aggregate(
+        slice(a, {m + 1}, {n} - {h + m}),
+        named_struct('l', {l0}, 'b', {b0}, {init_season}),
+        (acc, x) -> named_struct(
+            'l', {wlp},
+            'b', shiftright(acc.b + {wlp} - acc.l, 1),
+            {rotate},
+            'sg', shiftright((x.y - {wlp}) + acc.sa, 1)))"""
+    # in-sample naive denominator: sum |y_t - y_{t-1}| over the train prefix
+    denom = f"""aggregate(sequence(1, {n} - {h + 1}), 0L,
+                          (s, i) -> s + abs(a[i].y - a[i - 1].y))"""
+    staged = arr.select(
+        "a",
+        F.expr(holt).alias("hs"),
+        F.expr(hw).alias("ws"),
+        F.expr(denom).alias("d"),
+        F.expr(n).cast("long").alias("n_days"),
+    )
+    season_case = " ".join(
+        f"WHEN {k} THEN ws.{_SLOTS[k]}" for k in range(h)
+    )
+    errs = {
+        "naive": f"a[{n} - {h + 1}].y",
+        "seasonal_naive": f"a[{n} - {h + m} + k].y",
+        "holt": "hs.l + (k + 1L) * hs.b",
+        "holt_winters": f"ws.l + (k + 1L) * ws.b + (CASE k {season_case} END)",
+    }
+    rows = ", ".join(
+        f"""named_struct('model', '{name}',
+                         'mae_total_cents', aggregate(
+                             sequence(0, {h - 1}), 0L,
+                             (s, k) -> s + abs(a[{n} - {h} + k].y - ({fc}))))"""
+        for name, fc in errs.items()
+    )
+    return (
+        staged.select(
+            F.expr(f"explode(array({rows}))").alias("r"), "d", "n_days"
+        )
+        .select(
+            F.col("r.model").alias("model"),
+            F.col("r.mae_total_cents").alias("mae_total_cents"),
+            F.expr(
+                f"(10000 * r.mae_total_cents * (n_days - {h + 1}))"
+                f" div (d * {h})"
+            )
+            .cast("long")
+            .alias("mase_bp"),
+            (F.col("n_days") - F.lit(h)).cast("long").alias("n_train"),
+            F.lit(h).cast("long").alias("n_test"),
+        )
+    )
+
+
+def _oracle_forecast_backtest() -> str:
+    m, h = HW_PERIOD, BACKTEST_H
+
+    def fdiv(x: str, d: int) -> str:
+        return (
+            f"(CASE WHEN ({x}) >= 0 THEN ({x}) // {d} "
+            f"ELSE -((-({x}) + {d - 1}) // {d}) END)"
+        )
+
+    lp = "((r.l + r.b + d.y) >> 1)"
+    wlp = "((d.y - r.sa + r.l + r.b) >> 1)"
+    shift = ", ".join(f"r.{_SLOTS[i + 1]}" for i in range(m - 1))
+    base_season = ",\n         ".join(
+        f"(SELECT y FROM daily WHERE t = {i}) - i.l0 AS {slot}"
+        for i, slot in enumerate(_SLOTS)
+    )
+    season_case = " ".join(f"WHEN {k} THEN w.{_SLOTS[k]}" for k in range(h))
+    return f"""
+WITH RECURSIVE daily AS (
+  SELECT CAST(row_number() OVER (ORDER BY day) - 1 AS BIGINT) AS t, y
+  FROM (SELECT CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        FROM events GROUP BY 1)
+),
+mx AS (SELECT max(t) + 1 AS n FROM daily),
+init AS (
+  SELECT CAST({fdiv(f"sum(CASE WHEN t < {m} THEN y END)", m)} AS BIGINT) AS l0,
+         CAST({fdiv(f"sum(CASE WHEN t >= {m} AND t < {2 * m} THEN y END)"
+               f" - sum(CASE WHEN t < {m} THEN y END)", m * m)} AS BIGINT) AS b0
+  FROM daily
+),
+rh(t, l, b) AS (
+  SELECT CAST(0 AS BIGINT), (SELECT y FROM daily WHERE t = 0),
+         (SELECT y FROM daily WHERE t = 1) - (SELECT y FROM daily WHERE t = 0)
+  UNION ALL
+  SELECT d.t, CAST({lp} AS BIGINT),
+         CAST((r.b + {lp} - r.l) >> 1 AS BIGINT)
+  FROM rh r JOIN daily d ON d.t = r.t + 1
+  WHERE d.t <= (SELECT n - {h + 1} FROM mx)
+),
+rw(t, l, b, sa, sb, sc, sd, se, sf, sg) AS (
+  SELECT CAST({m - 1} AS BIGINT), i.l0, i.b0,
+         {base_season}
+  FROM init i
+  UNION ALL
+  SELECT d.t, CAST({wlp} AS BIGINT),
+         CAST((r.b + {wlp} - r.l) >> 1 AS BIGINT),
+         {shift},
+         CAST((d.y - {wlp} + r.sa) >> 1 AS BIGINT)
+  FROM rw r JOIN daily d ON d.t = r.t + 1
+  WHERE d.t <= (SELECT n - {h + 1} FROM mx)
+),
+hstate AS (SELECT l, b FROM rh WHERE t = (SELECT n - {h + 1} FROM mx)),
+wstate AS (SELECT * FROM rw WHERE t = (SELECT n - {h + 1} FROM mx)),
+denom AS (
+  SELECT CAST(sum(abs(d1.y - d0.y)) AS BIGINT) AS d
+  FROM daily d1 JOIN daily d0 ON d0.t = d1.t - 1
+  WHERE d1.t <= (SELECT n - {h + 1} FROM mx)
+),
+test AS (
+  SELECT t - (SELECT n - {h} FROM mx) AS k, y FROM daily
+  WHERE t >= (SELECT n - {h} FROM mx)
+),
+errs AS (
+  SELECT 'naive' AS model,
+         CAST(sum(abs(test.y - (SELECT y FROM daily
+                                WHERE t = (SELECT n - {h + 1} FROM mx))))
+              AS BIGINT) AS mae_total_cents
+  FROM test
+  UNION ALL
+  SELECT 'seasonal_naive',
+         CAST(sum(abs(test.y - sn.y)) AS BIGINT)
+  FROM test JOIN daily sn ON sn.t = (SELECT n - {h + m} FROM mx) + test.k
+  UNION ALL
+  SELECT 'holt', CAST(sum(abs(test.y - (hs.l + (test.k + 1) * hs.b))) AS BIGINT)
+  FROM test CROSS JOIN hstate hs
+  UNION ALL
+  SELECT 'holt_winters',
+         CAST(sum(abs(test.y - (w.l + (test.k + 1) * w.b
+                                + CASE test.k {season_case} END))) AS BIGINT)
+  FROM test CROSS JOIN wstate w
+)
+SELECT e.model, e.mae_total_cents,
+       CAST((10000 * e.mae_total_cents * ((SELECT n - {h + 1} FROM mx)))
+            // (denom.d * {h}) AS BIGINT) AS mase_bp,
+       CAST((SELECT n - {h} FROM mx) AS BIGINT) AS n_train,
+       CAST({h} AS BIGINT) AS n_test
+FROM errs e CROSS JOIN denom
+"""
+
+
+ORACLE_FORECAST_BACKTEST = _oracle_forecast_backtest()
+
+
 def stats_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benjamini–Hochberg FDR control (the multiple-testing step-up every
     experimentation platform runs when it scores many metrics at once)
@@ -3865,6 +4057,7 @@ FROM parts
 QUERIES = {
     "events_holt_trend": events_holt_trend,
     "events_holt_winters": events_holt_winters,
+    "events_forecast_backtest": events_forecast_backtest,
     "stats_benjamini_hochberg": stats_benjamini_hochberg,
     "stats_ab_power": stats_ab_power,
     "stats_wilson_ci": stats_wilson_ci,
@@ -3935,6 +4128,7 @@ ORACLES = {
     "events_ewma_hourly": ORACLE_EWMA,
     "events_holt_trend": ORACLE_HOLT,
     "events_holt_winters": ORACLE_HOLT_WINTERS,
+    "events_forecast_backtest": ORACLE_FORECAST_BACKTEST,
     "events_session_paths": ORACLE_SESSION_PATHS,
     "events_cumulative_users": ORACLE_CUMULATIVE_USERS,
     "events_count_min": ORACLE_COUNT_MIN,

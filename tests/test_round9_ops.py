@@ -815,3 +815,71 @@ def test_read_where_without_stats_falls_back(spark, tmp_path):
     with_fill = M.read_where(spark, root, "id", 10, 19)
     assert with_fill.count() == 10
     assert with_fill.filter(F.col("q") == 5).count() == 10
+
+
+# -- forecast backtest -------------------------------------------------------------
+
+
+def test_forecast_backtest_crafted_replay(spark, tmp_path):
+    """Planted wave+trend series (30 days), fully replayed in python:
+    exact MAE sums and MASE bp for all four models, and the sanity that
+    the seasonal models beat plain naive on a seasonal series."""
+    import datetime as dt
+
+    from mongraph_spark.queries.events import events_forecast_backtest
+
+    wave = [300, -200, 50, 0, -120, 260, -90]
+    y = [1000 + 10 * t + wave[t % 7] for t in range(30)]
+    rows = [
+        (t, dt.datetime(2024, 3, 1, 12) + dt.timedelta(days=t), 1, "view",
+         y[t] / 100.0, "{}")
+        for t in range(30)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    n, h, m = 30, 7, 7
+    train, test = y[: n - h], y[n - h :]
+    # holt on train
+    l, b = train[0], train[1] - train[0]
+    for t in range(2, len(train)):
+        l2 = (l + b + train[t]) >> 1
+        b2 = (b + l2 - l) >> 1
+        l, b = l2, b2
+    hl, hb = l, b
+    # holt-winters on train
+    l = sum(train[:m]) // m
+    b = (sum(train[m : 2 * m]) - sum(train[:m])) // (m * m)
+    season = [train[i] - l for i in range(m)]
+    for t in range(m, len(train)):
+        sa = season[0]
+        l2 = ((train[t] - sa) + l + b) >> 1
+        b2 = (b + l2 - l) >> 1
+        s2 = ((train[t] - l2) + sa) >> 1
+        l, b = l2, b2
+        season = season[1:] + [s2]
+    d = sum(abs(train[i] - train[i - 1]) for i in range(1, len(train)))
+    exp = {}
+    fcs = {
+        "naive": [train[-1]] * h,
+        "seasonal_naive": [train[len(train) - m + k] for k in range(h)],
+        "holt": [hl + (k + 1) * hb for k in range(h)],
+        "holt_winters": [l + (k + 1) * b + season[k] for k in range(h)],
+    }
+    for model, fc in fcs.items():
+        mae = sum(abs(test[k] - fc[k]) for k in range(h))
+        exp[model] = (mae, (10000 * mae * (len(train) - 1)) // (d * h))
+    got = {
+        r.model: (r.mae_total_cents, r.mase_bp, r.n_train, r.n_test)
+        for r in events_forecast_backtest(spark, str(tmp_path)).collect()
+    }
+    assert {k: v[:2] for k, v in got.items()} == exp
+    assert all(v[2] == 23 and v[3] == 7 for v in got.values())
+    # a seasonal series: the seasonal models dominate plain naive
+    assert exp["holt_winters"][0] < exp["naive"][0]
+    assert exp["seasonal_naive"][0] < exp["naive"][0]
+    # MASE < 10000bp means "beats in-sample naive" — HW must clear it here
+    assert exp["holt_winters"][1] < 10000
