@@ -3595,6 +3595,12 @@ def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("y")
     )
+    return backtest_finish(daily)
+
+
+def backtest_finish(daily: DataFrame) -> DataFrame:
+    """The four-model fit + hold-out scoring over a (day, y) frame —
+    shared verbatim by the batch op and the streaming twin."""
     m, h = HW_PERIOD, BACKTEST_H
     arr = daily.agg(F.array_sort(F.collect_list(F.struct("day", "y"))).alias("a"))
     n = "size(a)"

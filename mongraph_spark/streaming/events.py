@@ -873,6 +873,34 @@ def _oracle_stream_holt_winters() -> str:
     return ORACLE_HOLT_WINTERS
 
 
+def streaming_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``queries.events.events_forecast_backtest`` — the
+    nightly-model-review shape: the stream maintains the same watermarked
+    daily rollup (the ENTIRE sufficient statistic for every model in the
+    ladder), and the backtest — hold out the trailing season, fit
+    naive/seasonal-naive/Holt/Holt–Winters on the prefix, score MAE +
+    MASE — re-runs as an O(|days|) finisher over the continuously-updated
+    state.  Model selection stays current as data arrives without ever
+    replaying history; fully batch-equal (shared finisher), checked by
+    the batch op's own oracle."""
+    from mongraph_spark.queries.events import backtest_finish
+
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 day")
+    agg = ev.groupBy(F.window("ts", "1 day").alias("w")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("y")
+    )
+    with _state_partitioning(spark, sf_dir):
+        out = run_to_table(agg, output_mode="complete")
+    daily = out.select(F.to_date("w.start").alias("day"), "y")
+    return backtest_finish(daily)
+
+
+def _oracle_stream_forecast_backtest() -> str:
+    from mongraph_spark.queries.events import ORACLE_FORECAST_BACKTEST
+
+    return ORACLE_FORECAST_BACKTEST
+
+
 def streaming_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of ``queries.corpus.corpus_gopher_rules`` — the
     filter-at-ingest shape: every arriving document is scored against the
@@ -2011,6 +2039,7 @@ QUERIES = {
     "streaming_cusum_changepoint": streaming_cusum_changepoint,
     "streaming_holt_trend": streaming_holt_trend,
     "streaming_holt_winters": streaming_holt_winters,
+    "streaming_forecast_backtest": streaming_forecast_backtest,
     "streaming_gopher_rules": streaming_gopher_rules,
     "streaming_soft_dedup": streaming_soft_dedup,
     "streaming_hll_distinct": streaming_hll_distinct,
@@ -2041,6 +2070,7 @@ ORACLES = {
     "streaming_cusum_changepoint": _oracle_stream_cusum(),
     "streaming_holt_trend": _oracle_stream_holt(),
     "streaming_holt_winters": _oracle_stream_holt_winters(),
+    "streaming_forecast_backtest": _oracle_stream_forecast_backtest(),
     "streaming_gopher_rules": _oracle_stream_gopher(),
     "streaming_soft_dedup": _oracle_stream_soft_dedup(),
     "streaming_hll_distinct": ORACLE_STREAM_HLL,

@@ -883,3 +883,13 @@ def test_forecast_backtest_crafted_replay(spark, tmp_path):
     assert exp["seasonal_naive"][0] < exp["naive"][0]
     # MASE < 10000bp means "beats in-sample naive" — HW must clear it here
     assert exp["holt_winters"][1] < 10000
+
+
+def test_streaming_forecast_backtest_equals_batch(spark):
+    from mongraph_spark.queries.events import events_forecast_backtest
+    from mongraph_spark.streaming.events import streaming_forecast_backtest
+
+    sf = "/root/testdata/sf0.001"
+    batch = sorted(map(tuple, events_forecast_backtest(spark, sf).collect()))
+    stream = sorted(map(tuple, streaming_forecast_backtest(spark, sf).collect()))
+    assert stream == batch and batch
