@@ -2395,9 +2395,137 @@ LEFT JOIN (SELECT cell, CAST(count(*) AS BIGINT) AS n_dropped
 ORACLE_SEMDEDUP_HIER = _oracle_semdedup_hier()
 
 
+def dedup_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (CDC) dedup — the storage/dataset dedup
+    technique fixed-size chunking can't match: chunk boundaries are
+    picked by the CONTENT (a rolling word-trigram hash — cut after word
+    i when md5's last hex nibble is '0', mean chunk ≈ 16 words), so an
+    edit or truncation shifts only the chunks it touches while every
+    other boundary re-synchronizes — unlike fixed windows, where one
+    inserted word re-frames the whole tail.  The planted corpus is
+    exactly that case: each doc's copy is truncated by 3 words
+    (``dup_corpus(drop_last=3)``), and CDC still dedupes every chunk
+    except the trailing one.
+
+    Report per occurrence-count cluster: distinct chunks, chunks seen in
+    ≥2 docs, total vs distinct word mass — the dedup-savings ledger, all
+    integer.
+
+    Cross-engine exactness: the boundary rule is md5 (identical hex in
+    both engines) and both sides build chunks from explicit cut-position
+    arrays (0-based HOFs in Spark, 1-based list lambdas in DuckDB — the
+    convention mapping is the whole oracle).
+
+    Scale shape: chunking is map-only per document (one HOF pass, no
+    explode until the chunk list is final); the ledger is one
+    (hash, wlen)-grouped count + a |cluster sizes| re-aggregate — the
+    exact-dedup shuffle shape at chunk granularity."""
+    corpus = dup_corpus(spark, sf_dir, drop_last=3)
+    chunks = (
+        corpus.withColumn("w", F.split(F.col("text"), " "))
+        .withColumn(
+            "cuts",
+            F.expr(
+                """
+                if(size(w) >= 4,
+                   filter(sequence(2, size(w) - 2),
+                          i -> substring(md5(concat_ws(' ', w[i-2], w[i-1], w[i])),
+                                         32, 1) = '0'),
+                   cast(array() as array<int>))
+                """
+            ),
+        )
+        .withColumn(
+            "starts",
+            F.expr("concat(array(0), transform(cuts, b -> b + 1))"),
+        )
+        .withColumn(
+            "ends",
+            F.expr("concat(transform(cuts, b -> b + 1), array(size(w)))"),
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    """
+                    transform(
+                      sequence(0, size(starts) - 1),
+                      j -> named_struct(
+                        'h', md5(array_join(slice(
+                              w,
+                              element_at(starts, j + 1) + 1,
+                              element_at(ends, j + 1) - element_at(starts, j + 1)),
+                            ' ')),
+                        'wlen', element_at(ends, j + 1) - element_at(starts, j + 1)))
+                    """
+                )
+            ).alias("c"),
+        )
+        .select("doc_id", F.col("c.h").alias("h"), F.col("c.wlen").alias("wlen"))
+    )
+    occ = chunks.groupBy("h", "wlen").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.countDistinct("doc_id").alias("d"),
+    )
+    return (
+        occ.groupBy("c")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum((F.col("d") >= 2).cast("long")).cast("long").alias(
+                "n_multi_doc_chunks"
+            ),
+            F.sum(F.col("c") * F.col("wlen")).cast("long").alias("total_words"),
+            F.sum("wlen").cast("long").alias("distinct_words"),
+        )
+        .withColumnRenamed("c", "cluster_size")
+        .withColumn("cluster_size", F.col("cluster_size").cast("long"))
+    )
+
+
+ORACLE_CDC_CHUNKING = f"""
+WITH {_oracle_corpus_droplast(3)},
+worded AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM corpus
+),
+cutset AS (
+  SELECT doc_id, w,
+         CASE WHEN len(w) >= 4 THEN
+           list_filter(range(3, len(w)),
+                       p -> substr(md5(w[p-2] || ' ' || w[p-1] || ' ' || w[p]),
+                                   32, 1) = '0')
+         ELSE [] END AS cuts
+  FROM worded
+),
+bounded AS (
+  SELECT doc_id, w,
+         list_concat([1], list_transform(cuts, p -> p + 1)) AS starts,
+         list_concat(cuts, [len(w)]) AS ends
+  FROM cutset
+),
+chunks AS (
+  SELECT doc_id,
+         md5(array_to_string(w[starts[j] : ends[j]], ' ')) AS h,
+         ends[j] - starts[j] + 1 AS wlen
+  FROM bounded, unnest(range(1, len(starts) + 1)) AS t(j)
+),
+occ AS (
+  SELECT h, wlen, count(*) AS c, count(DISTINCT doc_id) AS d
+  FROM chunks GROUP BY h, wlen
+)
+SELECT CAST(c AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN d >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_multi_doc_chunks,
+       CAST(sum(c * wlen) AS BIGINT) AS total_words,
+       CAST(sum(wlen) AS BIGINT) AS distinct_words
+FROM occ GROUP BY c
+"""
+
+
 QUERIES = {
     "dedup_semdedup": dedup_semdedup,
     "dedup_semdedup_hier": dedup_semdedup_hier,
+    "dedup_cdc_chunking": dedup_cdc_chunking,
     "dedup_exact": dedup_exact,
     "dedup_passages": dedup_passages,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -2419,6 +2547,7 @@ QUERIES = {
 ORACLES = {
     "dedup_semdedup": ORACLE_SEMDEDUP,
     "dedup_semdedup_hier": ORACLE_SEMDEDUP_HIER,
+    "dedup_cdc_chunking": ORACLE_CDC_CHUNKING,
     "dedup_exact": ORACLE_EXACT,
     "dedup_passages": ORACLE_PASSAGES,
     "dedup_ngram_jaccard": ORACLE_JACCARD,

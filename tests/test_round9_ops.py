@@ -893,3 +893,60 @@ def test_streaming_forecast_backtest_equals_batch(spark):
     batch = sorted(map(tuple, events_forecast_backtest(spark, sf).collect()))
     stream = sorted(map(tuple, streaming_forecast_backtest(spark, sf).collect()))
     assert stream == batch and batch
+
+
+# -- content-defined chunking dedup ------------------------------------------------
+
+
+def test_cdc_chunking_crafted_resync(spark, tmp_path):
+    """CDC's defining property on a crafted pair: the tail-truncated copy
+    shares every chunk with the original except the trailing one(s) —
+    boundaries re-synchronize because they depend only on local content.
+    Replays the md5-trigram cut rule in python for exact parity."""
+    import hashlib
+
+    from mongraph_spark.queries.dedup import dedup_cdc_chunking
+
+    words = [f"tok{i}" for i in range(200)]
+    text = " ".join(words)
+
+    def cuts_of(ws):
+        return [
+            i
+            for i in range(2, len(ws) - 1)
+            if hashlib.md5(
+                (" ".join(ws[i - 2 : i + 1])).encode()
+            ).hexdigest()[-1] == "0"
+        ]
+
+    def chunks_of(ws):
+        cs = cuts_of(ws)
+        starts = [0] + [c + 1 for c in cs]
+        ends = [c + 1 for c in cs] + [len(ws)]
+        return [" ".join(ws[s:e]) for s, e in zip(starts, ends)]
+
+    orig = chunks_of(words)
+    assert len(orig) >= 4  # the rule actually cuts on this vocabulary
+    spark.createDataFrame(
+        [(1, text)], "doc_id long, text string"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.cluster_size: r.asDict()
+        for r in dedup_cdc_chunking(spark, str(tmp_path)).collect()
+    }
+    # dup_corpus(drop_last=3) plants doc 1 + its copy missing 3 words;
+    # python replay of BOTH docs' chunk multisets gives the exact ledger
+    copy = chunks_of(words[:-3])
+    from collections import Counter
+
+    occ = Counter()
+    for ch in orig:
+        occ[ch] += 1
+    for ch in copy:
+        occ[ch] += 1
+    by_c = Counter(occ.values())
+    assert {c: v["n_chunks"] for c, v in got.items()} == dict(by_c)
+    # resync: all but the copy's last chunk also occur in the original
+    assert all(ch in set(orig) for ch in copy[:-1])
+    # word-mass conservation: totals equal both docs' word counts
+    assert sum(v["total_words"] for v in got.values()) == 200 + 197
