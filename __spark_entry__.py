@@ -64,14 +64,14 @@ _SUITES = [
 # off-by-one in the driver's window.
 CORE_ORDER = [
     # — round-9 window (VERDICT r8 order #1), 50 slots exactly:
-    #   the 31 never-driver-verified rows (the 13 round-8 post-window
-    #   additions the verdict names, plus this round's 18 new ops:
+    #   the 33 never-driver-verified rows (the 13 round-8 post-window
+    #   additions the verdict names, plus this round's 20 new ops:
     #   dedup_semdedup_hier, the store protocol/skipping/point-read
     #   queries, the governance additions, the Holt–Winters pair,
     #   SoftDeDup + its streaming twin, BH/power/Wilson), then 6
     #   re-proof slots for code round 9 touched (merge.py OCC/clock/
     #   vacuum/cluster_by rework, the streaming_lsh_dedup state-write
-    #   shave), then 13 refreshes of the STALEST driver evidence
+    #   shave), then 11 refreshes of the STALEST driver evidence
     #   (r3-vintage rows).
     # — never driver-verified (r8 post-window additions) —
     "window_abc_analysis",
@@ -106,6 +106,8 @@ CORE_ORDER = [
     "stats_wilson_ci",  # score-interval error bars, ppm-exact
     "store_stats_skipping",  # cluster_by compact + planning-time file skip
     "events_forecast_backtest",  # 4-model hold-out MAE/MASE, integer-exact
+    "streaming_forecast_backtest",  # its streamed-rollup twin
+    "dedup_cdc_chunking",  # content-defined chunk dedup, resync cut rule
     # — round-9 re-proof slots (merge.py + streaming lsh touched) —
     "streaming_lsh_dedup",  # shingle-store removal + batch widening (#4)
     "store_vacuum_retention",  # unified commit clock + retention floor (#2)
@@ -115,7 +117,6 @@ CORE_ORDER = [
     "store_history",  # version/commit mechanics re-proved
     # — stalest driver evidence refresh (r3-vintage rows) —
     "ann_cosine_topk",
-    "corpus_decontaminate",
     "corpus_repetition_filter",
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -123,7 +124,6 @@ CORE_ORDER = [
     "events_hypertable_rollup",
     "graph_kcore",
     "graph_pagerank",
-    "graph_triangle_count",
     "mm_image_features",
     "pipeline_pack_chunks",
     "range_join_price_bands",
