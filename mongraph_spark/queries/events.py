@@ -4060,8 +4060,282 @@ FROM parts
 """
 
 
+def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test per event type — the parametric
+    two-sample companion the battery was missing (Mann–Whitney is the
+    rank test; Welch is THE default mean-comparison since equal-variance
+    Student is never safe on production metrics): arms are the user-id
+    parity cohorts (the BH split's coarsest rung), statistic
+
+        t = (m̄_a − m̄_b) / √(s²_a/n_a + s²_b/n_b)
+
+    with Welch–Satterthwaite degrees of freedom
+
+        ν = (s²_a/n_a + s²_b/n_b)² /
+            ((s²_a/n_a)²/(n_a−1) + (s²_b/n_b)²/(n_b−1)).
+
+    Cross-engine exactness: the moment sums are EXACT BIGINTs on the
+    cents grid (Σv, Σv² — v ≤ 10⁵ cents ⇒ Σv² ≤ 10¹⁰·n, BIGINT-safe far
+    past this SF), and the finisher is a fixed scalar tree of IEEE
+    exactly-rounded ops (±, ×, /, √ — never pow) applied in the SAME
+    textual order in the oracle, so the doubles are bit-identical and
+    the ppm/milli floors hash exactly (the ab_power/wilson_ci argument).
+
+    Scale shape: ONE map-side-combined conditional aggregate per event
+    type; the t/ν math is per-group scalar."""
+    ev = read_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    arm_a = F.pmod(F.col("user_id"), F.lit(2)) == 0
+    agg = ev.groupBy("event_type").agg(
+        F.sum(arm_a.cast("long")).alias("n_a"),
+        F.sum(F.when(arm_a, cents).otherwise(0)).alias("s_a"),
+        F.sum(F.when(arm_a, cents * cents).otherwise(0)).alias("q_a"),
+        F.sum((~arm_a).cast("long")).alias("n_b"),
+        F.sum(F.when(~arm_a, cents).otherwise(0)).alias("s_b"),
+        F.sum(F.when(~arm_a, cents * cents).otherwise(0)).alias("q_b"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    ma = F.col("s_a").cast("double") / na
+    mb = F.col("s_b").cast("double") / nb
+    va = (F.col("q_a").cast("double") - na * ma * ma) / (na - F.lit(1.0))
+    vb = (F.col("q_b").cast("double") - nb * mb * mb) / (nb - F.lit(1.0))
+    se2a = va / na
+    se2b = vb / nb
+    se2 = se2a + se2b
+    t = (ma - mb) / F.sqrt(se2)
+    df = se2 * se2 / (
+        se2a * se2a / (na - F.lit(1.0)) + se2b * se2b / (nb - F.lit(1.0))
+    )
+    return agg.select(
+        "event_type",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.floor(F.lit(1000.0) * (ma - mb)).cast("long").alias("mean_diff_millicents"),
+        F.floor(F.lit(1000000.0) * t).cast("long").alias("t_stat_ppm"),
+        F.floor(F.lit(1000.0) * df).cast("long").alias("welch_df_milli"),
+    )
+
+
+ORACLE_WELCH_TTEST = """
+WITH agg AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN user_id % 2 = 0
+                       THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS s_a,
+         CAST(sum(CASE WHEN user_id % 2 = 0
+                       THEN CAST(round(value * 100) AS BIGINT)
+                            * CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS q_a,
+         CAST(sum(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN user_id % 2 = 0 THEN 0
+                       ELSE CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS s_b,
+         CAST(sum(CASE WHEN user_id % 2 = 0 THEN 0
+                       ELSE CAST(round(value * 100) AS BIGINT)
+                            * CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS q_b
+  FROM events GROUP BY 1
+),
+m AS (
+  SELECT *,
+         CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+         CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
+         CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb
+  FROM agg
+),
+v AS (
+  SELECT *,
+         (CAST(q_a AS DOUBLE) - na * ma * ma) / (na - 1.0) / na AS se2a,
+         (CAST(q_b AS DOUBLE) - nb * mb * mb) / (nb - 1.0) / nb AS se2b
+  FROM m
+),
+s AS (SELECT *, se2a + se2b AS se2 FROM v)
+SELECT event_type, n_a, n_b,
+       CAST(floor(1000.0 * (ma - mb)) AS BIGINT) AS mean_diff_millicents,
+       CAST(floor(1000000.0 * ((ma - mb) / sqrt(se2))) AS BIGINT) AS t_stat_ppm,
+       CAST(floor(1000.0 * (se2 * se2 / (se2a * se2a / (na - 1.0)
+                                          + se2b * se2b / (nb - 1.0)))) AS BIGINT)
+         AS welch_df_milli
+FROM s
+"""
+
+
+def events_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB chart decimation (Steinarsson's Largest-Triangle-Three-Buckets
+    — the downsample Grafana/Timescale use when min/max bars aren't
+    enough, because it preserves the SHAPE of the series: per bucket it
+    keeps the point forming the largest triangle with its neighbor
+    buckets).  This is the PARALLEL fixed-anchor variant: both anchors
+    are the neighbor buckets' average points (the sequential original
+    chains on the previously selected point, which would serialize the
+    scan; the paper's own evaluation shows the averaged variant tracks
+    it closely) — so every bucket's argmax is independent and the whole
+    op is two windows + one join, no recursion.
+
+    Exactness: the triangle-area comparison is cleared of BOTH anchor
+    divisions — for candidate (x, y) with left bucket (n_p, Sx_p, Sy_p)
+    and right (n_n, Sx_n, Sy_n),
+
+        2·Area·n_p²·n_n = |(Sx_p·n_n − Sx_n·n_p)·(y·n_p − Sy_p)
+                           − (Sx_p − x·n_p)·(Sy_n·n_p − Sy_p·n_n)|
+
+    an exact DECIMAL(38)/HUGEINT integer, so the per-bucket argmax (ties
+    → earliest x) is bit-identical cross-engine.  x is the HOUR INDEX
+    from the series start (epoch differences — timezone cancels), y the
+    hourly cents sum.
+
+    Scale shape: the hourly rollup is the data-sized reduction (one
+    map-side-combined pass); everything after runs on |series|×|hours|
+    rows with per-series windows — at 100 TB you downsample thousands of
+    series, each bounded, never one unpartitioned window."""
+    ev = read_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.sum(cents).alias("y"))
+    w_all = Window.partitionBy("event_type")
+    w_ord = Window.partitionBy("event_type").orderBy("hour")
+    pts = (
+        hourly.withColumn("rn", F.row_number().over(w_ord))
+        .withColumn("m", F.count(F.lit(1)).over(w_all))
+        .withColumn(
+            "x",
+            (
+                (
+                    F.unix_timestamp("hour")
+                    - F.min(F.unix_timestamp("hour")).over(w_all)
+                )
+                / F.lit(3600)
+            ).cast("long"),
+        )
+    )
+    beff = F.least(F.lit(12), F.col("m") - 2)
+    lab = pts.withColumn(
+        "b",
+        F.when(F.col("rn") == 1, F.lit(-1).cast("long"))
+        .when(F.col("rn") == F.col("m"), beff.cast("long"))
+        .otherwise(F.expr("((rn - 2) * least(12, m - 2)) div (m - 2)")),
+    )
+    bk = lab.groupBy("event_type", "b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+    )
+    w_b = Window.partitionBy("event_type").orderBy("b")
+    nbr = bk.select(
+        "event_type",
+        "b",
+        F.lag("n").over(w_b).alias("np"),
+        F.lag("sx").over(w_b).alias("sxp"),
+        F.lag("sy").over(w_b).alias("syp"),
+        F.lead("n").over(w_b).alias("nn"),
+        F.lead("sx").over(w_b).alias("sxn"),
+        F.lead("sy").over(w_b).alias("syn"),
+    )
+
+    def d(c):
+        return c.cast("decimal(38,0)")
+
+    a2 = F.abs(
+        (d(F.col("sxp")) * F.col("nn") - d(F.col("sxn")) * F.col("np"))
+        * (d(F.col("y")) * F.col("np") - F.col("syp"))
+        - (d(F.col("sxp")) - d(F.col("x")) * F.col("np"))
+        * (d(F.col("syn")) * F.col("np") - d(F.col("syp")) * F.col("nn"))
+    )
+    w_pick = Window.partitionBy("event_type", "b").orderBy(
+        F.desc("a2"), F.asc("x")
+    )
+    picked = (
+        lab.filter((F.col("rn") > 1) & (F.col("rn") < F.col("m")))
+        .join(nbr, ["event_type", "b"])
+        .withColumn("a2", a2)
+        .withColumn("pr", F.row_number().over(w_pick))
+        .withColumn(
+            "n_candidates",
+            F.count(F.lit(1)).over(Window.partitionBy("event_type", "b")),
+        )
+        .filter(F.col("pr") == 1)
+        .select(
+            "event_type",
+            F.col("b").cast("long").alias("slot"),
+            "hour",
+            F.col("y").cast("long").alias("y_cents"),
+            F.col("n_candidates").cast("long").alias("n_candidates"),
+        )
+    )
+    ends = lab.filter((F.col("rn") == 1) | (F.col("rn") == F.col("m"))).select(
+        "event_type",
+        F.col("b").cast("long").alias("slot"),
+        "hour",
+        F.col("y").cast("long").alias("y_cents"),
+        F.lit(1).cast("long").alias("n_candidates"),
+    )
+    return picked.unionByName(ends)
+
+
+ORACLE_LTTB = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+pts AS (
+  SELECT event_type, hour, y,
+         row_number() OVER (PARTITION BY event_type ORDER BY hour) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS m,
+         CAST((CAST(epoch(hour) AS BIGINT)
+               - min(CAST(epoch(hour) AS BIGINT))
+                   OVER (PARTITION BY event_type)) / 3600 AS BIGINT) AS x
+  FROM hourly
+),
+lab AS (
+  SELECT *,
+         CASE WHEN rn = 1 THEN CAST(-1 AS BIGINT)
+              WHEN rn = m THEN CAST(least(12, m - 2) AS BIGINT)
+              ELSE CAST(((rn - 2) * least(12, m - 2)) // (m - 2) AS BIGINT)
+         END AS b
+  FROM pts
+),
+bk AS (
+  SELECT event_type, b, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy
+  FROM lab GROUP BY 1, 2
+),
+nbr AS (
+  SELECT event_type, b,
+         lag(n) OVER w AS np, lag(sx) OVER w AS sxp, lag(sy) OVER w AS syp,
+         lead(n) OVER w AS nn, lead(sx) OVER w AS sxn, lead(sy) OVER w AS syn
+  FROM bk WINDOW w AS (PARTITION BY event_type ORDER BY b)
+),
+cand AS (
+  SELECT l.event_type, l.b, l.hour, l.x, l.y,
+         abs( (CAST(nb.sxp AS HUGEINT) * nb.nn - CAST(nb.sxn AS HUGEINT) * nb.np)
+              * (CAST(l.y AS HUGEINT) * nb.np - nb.syp)
+            - (CAST(nb.sxp AS HUGEINT) - CAST(l.x AS HUGEINT) * nb.np)
+              * (CAST(nb.syn AS HUGEINT) * nb.np - CAST(nb.syp AS HUGEINT) * nb.nn)
+         ) AS a2
+  FROM lab l JOIN nbr nb ON l.event_type = nb.event_type AND l.b = nb.b
+  WHERE l.rn > 1 AND l.rn < l.m
+),
+picked AS (
+  SELECT event_type, b, hour, x, y,
+         row_number() OVER (PARTITION BY event_type, b
+                            ORDER BY a2 DESC, x ASC) AS pr,
+         count(*) OVER (PARTITION BY event_type, b) AS n_candidates
+  FROM cand
+)
+SELECT event_type, b AS slot, hour, CAST(y AS BIGINT) AS y_cents,
+       CAST(n_candidates AS BIGINT) AS n_candidates
+FROM picked WHERE pr = 1
+UNION ALL
+SELECT event_type, b AS slot, hour, CAST(y AS BIGINT) AS y_cents,
+       CAST(1 AS BIGINT) AS n_candidates
+FROM lab WHERE rn = 1 OR rn = m
+"""
+
+
 QUERIES = {
     "events_holt_trend": events_holt_trend,
+    "stats_welch_ttest": stats_welch_ttest,
+    "events_lttb_downsample": events_lttb_downsample,
     "events_holt_winters": events_holt_winters,
     "events_forecast_backtest": events_forecast_backtest,
     "stats_benjamini_hochberg": stats_benjamini_hochberg,
@@ -4111,6 +4385,8 @@ QUERIES = {
 
 ORACLES = {
     "stats_benjamini_hochberg": ORACLE_BH,
+    "stats_welch_ttest": ORACLE_WELCH_TTEST,
+    "events_lttb_downsample": ORACLE_LTTB,
     "stats_ab_power": ORACLE_AB_POWER,
     "stats_wilson_ci": ORACLE_WILSON_CI,
     "events_tumbling_window": ORACLE_TUMBLING,

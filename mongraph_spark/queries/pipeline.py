@@ -1971,8 +1971,90 @@ CROSS JOIN inj i
 """
 
 
+def pipeline_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit per (lang × source) — THE multilingual
+    tokenizer-quality metric (subword units per whitespace word; a
+    tokenizer trained on English typically shows 2-3× fertility on
+    under-represented scripts, which silently inflates those languages'
+    compute cost and truncation rate): for every cell, document count,
+    byte mass, whitespace-word count, the corpus's BPE-ish subword
+    estimate (``ceil(len(word)/4)`` — the same unit text_token_counts
+    reports per-document), and the derived ratios on the ppm grid —
+    fertility = subwords/word and bytes/subword (the compression-rate
+    read).  Integer-exact end to end: counts are BIGINTs, ratios are
+    floored cross-multiplications, no float crosses the engines.
+
+    Scale shape: one map-only pass computes per-document counts inside
+    higher-order functions (no explode — a 10k-word doc contributes ONE
+    row to the shuffle, not 10k), then one map-side-combined aggregate
+    over |lang × source| cells."""
+    docs = read_table(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.col("text")), r"\s+")
+    n_words = F.size(words)
+    n_subwords = F.aggregate(
+        F.transform(
+            words, lambda w: F.ceil(F.length(w) / F.lit(4.0)).cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    per_doc = docs.select(
+        "lang",
+        "source",
+        F.octet_length("text").cast("long").alias("n_bytes"),
+        n_words.cast("long").alias("n_words"),
+        n_subwords.alias("n_subwords"),
+    )
+    agg = per_doc.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_bytes").cast("long").alias("total_bytes"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.sum("n_subwords").cast("long").alias("total_subwords"),
+    )
+    return agg.select(
+        "lang",
+        "source",
+        "n_docs",
+        "total_bytes",
+        "total_words",
+        "total_subwords",
+        # integer `div`, never a double division: the ppm numerators pass
+        # 2^53 long before BIGINT overflows at corpus scale
+        F.expr("total_subwords * 1000000 div total_words").alias("fertility_ppm"),
+        F.expr("total_bytes * 1000000 div total_subwords").alias(
+            "bytes_per_subword_ppm"
+        ),
+    )
+
+
+ORACLE_TOKENIZER_FERTILITY = """
+WITH per_doc AS (
+  SELECT lang, source,
+         CAST(strlen(text) AS BIGINT) AS n_bytes,
+         CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS n_words,
+         CAST(list_sum(list_transform(string_split_regex(lower(text), '\\s+'),
+                  w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT)
+           AS n_subwords
+  FROM documents
+),
+agg AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+         CAST(sum(n_words) AS BIGINT) AS total_words,
+         CAST(sum(n_subwords) AS BIGINT) AS total_subwords
+  FROM per_doc GROUP BY 1, 2
+)
+SELECT lang, source, n_docs, total_bytes, total_words, total_subwords,
+       CAST(total_subwords * 1000000 // total_words AS BIGINT) AS fertility_ppm,
+       CAST(total_bytes * 1000000 // total_subwords AS BIGINT)
+         AS bytes_per_subword_ppm
+FROM agg
+"""
+
+
 QUERIES = {
     "pipeline_k_anonymity": pipeline_k_anonymity,
+    "pipeline_tokenizer_fertility": pipeline_tokenizer_fertility,
     "pipeline_l_diversity": pipeline_l_diversity,
     "pipeline_t_closeness": pipeline_t_closeness,
     "pipeline_pseudonymize": pipeline_pseudonymize,
@@ -1999,6 +2081,7 @@ QUERIES = {
 
 ORACLES = {
     "pipeline_k_anonymity": ORACLE_K_ANONYMITY,
+    "pipeline_tokenizer_fertility": ORACLE_TOKENIZER_FERTILITY,
     "pipeline_l_diversity": ORACLE_L_DIVERSITY,
     "pipeline_t_closeness": ORACLE_T_CLOSENESS,
     "pipeline_pseudonymize": ORACLE_PSEUDONYMIZE,

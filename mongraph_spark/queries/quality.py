@@ -2097,8 +2097,212 @@ FROM both_sides
 """
 
 
+def store_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TABLE — Delta's roll-back-as-roll-FORWARD (restore writes a
+    NEW version whose manifest points at the target's buckets; history is
+    never mutated, nothing is copied), driver-verifiable end-to-end:
+
+    v0 init → v1 upsert (+11 on doc 1) → tag ``good`` pinned at v1 →
+    v2 delete of doc 2 (the "bad write") → ``restore(tag='good')`` = v3 →
+    v4 upsert (+5 on doc 3) — the restored table keeps evolving normally.
+
+    Hash-asserted invariants: the final state is v1's data plus the
+    post-restore upsert (doc 2 PRESENT again, doc 1 at +11, doc 3 at +5);
+    the bad v2 stays readable as history (doc 2 row-count 0 there — a
+    restore that rewrote history would break this); the restore itself is
+    one more auditable version (final_version == 4, restore == v3); and
+    it copied ZERO data — v3's manifest is bucket-for-bucket IDENTICAL to
+    v1's (manifest_identical == 1), the O(1)-metadata contract that makes
+    RESTORE instant on a 100 TB table.
+
+    Scale shape: restore is pure manifest metadata; the reads are normal
+    manifest-resolved scans."""
+    import shutil
+    import tempfile
+
+    from mongraph_spark.sources import merge as merge_store
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    app_id = spark.sparkContext.applicationId
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(tempfile.gettempdir(), f"mg_restore_{app_id}_{sf_tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    merge_store.init_table(docs, root, key="doc_id", n_buckets=8)
+    merge_store.upsert(
+        spark,
+        root,
+        docs.filter(F.col("doc_id") == 1).withColumn(
+            "n_chars", F.col("n_chars") + 11
+        ),
+        key="doc_id",
+    )
+    merge_store.create_tag(root, "good")  # pins v1
+    merge_store.delete_where(spark, root, F.col("doc_id") == 2)  # v2: bad write
+    restored = merge_store.restore(root, tag="good")  # v3
+    merge_store.upsert(
+        spark,
+        root,
+        docs.filter(F.col("doc_id") == 3).withColumn(
+            "n_chars", F.col("n_chars") + 5
+        ),
+        key="doc_id",
+    )  # v4
+    doc2_at_v2 = (
+        merge_store.read_version(spark, root, 2)
+        .filter(F.col("doc_id") == 2)
+        .count()
+    )
+    manifest_identical = int(
+        merge_store._read_manifest(root, restored)
+        == merge_store._read_manifest(root, "v_00001")
+    )
+    final_v = int(merge_store.current_version(root).split("_")[1])
+    cur = merge_store.read_current(spark, root).drop("__bucket")
+    return cur.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.lit(final_v).cast("bigint").alias("final_version"),
+        F.lit(doc2_at_v2).cast("bigint").alias("doc2_rows_at_bad_v2"),
+        F.lit(manifest_identical).cast("bigint").alias("manifest_identical"),
+    )
+
+
+def store_check_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK constraints on the CoW store (Delta's
+    ``ALTER TABLE ADD CONSTRAINT`` / ``InvariantViolationException``
+    surface), driver-verifiable across the whole lifecycle:
+
+    v0 init → v1 ``add_check_constraint('chars_nonneg', 'n_chars >= 0')``
+    (validates EXISTING data, commits as a claim-serialized metadata-only
+    version) → v2 passing upsert (+21 on doc 1) → a VIOLATING upsert
+    (doc 2 at −5) rejected before a single file stages → v3 upsert of a
+    NULL ``n_chars`` row (SQL CHECK three-valued logic: NULL passes) → a
+    violating ``merge_into`` (doc 3 to −10⁹) rejected with its eagerly
+    claimed version RELEASED (no wedged table) → an ``ALTER`` adding a
+    rule existing data already breaks is itself rejected and NOT
+    recorded.
+
+    Hash-asserted: final state carries the passing write and the NULL row
+    but neither violation; exactly 2 write rejections + 1 alter
+    rejection; 1 recorded constraint; final_version == 3 (rejected
+    writes burn no version number); zero claim files left behind.
+
+    Scale shape: enforcement is one short-circuiting ``limit(1)`` job per
+    constraint over the UPDATE batch only (never the table), before any
+    staging I/O."""
+    import shutil
+    import tempfile
+
+    from mongraph_spark.sources import merge as merge_store
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    app_id = spark.sparkContext.applicationId
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(tempfile.gettempdir(), f"mg_chk_{app_id}_{sf_tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    merge_store.init_table(docs, root, key="doc_id", n_buckets=8)
+    merge_store.add_check_constraint(spark, root, "chars_nonneg", "n_chars >= 0")
+    merge_store.upsert(
+        spark,
+        root,
+        docs.filter(F.col("doc_id") == 1).withColumn(
+            "n_chars", F.col("n_chars") + 21
+        ),
+        key="doc_id",
+    )
+    n_rejected = 0
+    try:
+        merge_store.upsert(
+            spark,
+            root,
+            docs.filter(F.col("doc_id") == 2).withColumn("n_chars", F.lit(-5)),
+            key="doc_id",
+        )
+    except merge_store.ConstraintViolation:
+        n_rejected += 1
+    merge_store.upsert(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(9000005, "planted", None)], "doc_id long, source string, n_chars long"
+        ),
+        key="doc_id",
+    )
+    try:
+        merge_store.merge_into(
+            spark,
+            root,
+            docs.filter(F.col("doc_id") == 3),
+            when_matched_set={"n_chars": "n_chars - 1000000000"},
+            insert_not_matched=False,
+        )
+    except merge_store.ConstraintViolation:
+        n_rejected += 1
+    n_alter_rejected = 0
+    try:
+        merge_store.add_check_constraint(
+            spark, root, "chars_huge", "n_chars > 100000000"
+        )
+    except merge_store.ConstraintViolation:
+        n_alter_rejected += 1
+    constraints = merge_store.describe(root)["constraints"]
+    claims_left = len([f for f in os.listdir(root) if f.endswith(".claim")])
+    final_v = int(merge_store.current_version(root).split("_")[1])
+    cur = merge_store.read_current(spark, root).drop("__bucket")
+    return cur.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum("n_chars"), F.lit(-1)).cast("bigint").alias("total_chars"),
+        F.lit(n_rejected).cast("bigint").alias("n_rejected"),
+        F.lit(n_alter_rejected).cast("bigint").alias("n_alter_rejected"),
+        F.lit(len(constraints)).cast("bigint").alias("n_constraints"),
+        F.lit(final_v).cast("bigint").alias("final_version"),
+        F.lit(claims_left).cast("bigint").alias("claims_leaked"),
+    )
+
+
+ORACLE_CHECK_CONSTRAINT = """
+WITH final AS (
+  SELECT doc_id, source,
+         n_chars + CASE WHEN doc_id = 1 THEN 21 ELSE 0 END AS n_chars
+  FROM documents
+  UNION ALL
+  SELECT 9000005, 'planted', NULL
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(coalesce(sum(n_chars), -1) AS BIGINT) AS total_chars,
+       CAST(2 AS BIGINT) AS n_rejected,
+       CAST(1 AS BIGINT) AS n_alter_rejected,
+       CAST(1 AS BIGINT) AS n_constraints,
+       CAST(3 AS BIGINT) AS final_version,
+       CAST(0 AS BIGINT) AS claims_leaked
+FROM final GROUP BY source
+"""
+
+
+ORACLE_RESTORE = """
+WITH final AS (
+  SELECT doc_id, source,
+         n_chars + CASE WHEN doc_id = 1 THEN 11
+                        WHEN doc_id = 3 THEN 5 ELSE 0 END AS n_chars
+  FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(4 AS BIGINT) AS final_version,
+       CAST(0 AS BIGINT) AS doc2_rows_at_bad_v2,
+       CAST(1 AS BIGINT) AS manifest_identical
+FROM final GROUP BY source
+"""
+
+
 QUERIES = {
     "dq_expectations": dq_expectations,
+    "store_restore": store_restore,
+    "store_check_constraint": store_check_constraint,
     "store_shallow_clone": store_shallow_clone,
     "store_vacuum_retention": store_vacuum_retention,
     "store_read_as_of": store_read_as_of,
@@ -2121,6 +2325,8 @@ QUERIES = {
 
 ORACLES = {
     "dq_expectations": ORACLE_DQ,
+    "store_restore": ORACLE_RESTORE,
+    "store_check_constraint": ORACLE_CHECK_CONSTRAINT,
     "store_vacuum_retention": ORACLE_VACUUM_RETENTION,
     "store_read_as_of": ORACLE_READ_AS_OF,
     "store_point_lookup": ORACLE_POINT_LOOKUP,

@@ -90,6 +90,22 @@ class VersionVacuumedError(ValueError):
     either answers exactly or not at all."""
 
 
+class ConstraintViolation(ValueError):
+    """A CHECK constraint rejected a write — the Delta
+    ``InvariantViolationException`` analog.  Carries the constraint name,
+    its SQL predicate, and ONE sample violating row (bounded driver
+    transfer: the enforcement scan short-circuits at the first hit)."""
+
+    def __init__(self, name: str, expr: str, sample: dict, op: str):
+        self.constraint = name
+        self.expr = expr
+        self.sample = sample
+        super().__init__(
+            f"CHECK constraint {name!r} ({expr}) violated by {op} — "
+            f"sample row: {sample}"
+        )
+
+
 class CommitConflict(RuntimeError):
     """Optimistic-concurrency conflict: another live writer holds (or won)
     the commit for the version this writer targeted.  The Delta-style
@@ -328,9 +344,144 @@ def _meta_fingerprint(meta: dict) -> str:
             "schema": meta.get("schema"),
             "added": meta.get("added") or [],
             "bucketed_since": meta.get("bucketed_since"),
+            # staged files were VALIDATED under the constraint set of the
+            # writer's snapshot; a constraint added mid-flight must
+            # invalidate them (they may contain rows the new rule rejects)
+            "constraints": meta.get("constraints") or {},
         },
         sort_keys=True,
     )
+
+
+def _carry_constraints(meta: dict, staged: dict) -> dict:
+    """Copy the optional constraint set into a hand-built staged meta so a
+    schema/layout commit never silently drops the table's CHECK rules."""
+    if meta.get("constraints"):
+        staged["constraints"] = meta["constraints"]
+    return staged
+
+
+def _check_constraints(df: DataFrame, meta: dict, op: str) -> None:
+    """Enforce every recorded CHECK constraint on the NEW rows of a write
+    (SQL CHECK semantics: a row violates only when the predicate is
+    FALSE — NULL/unknown passes, as in Delta and the standard).  One
+    short-circuiting Spark job per constraint (``limit(1)``), run BEFORE
+    any file is staged, so a rejected write costs no cleanup."""
+    constraints = meta.get("constraints") or {}
+    for name in sorted(constraints):
+        expr = constraints[name]
+        bad = df.filter(~F.coalesce(F.expr(expr), F.lit(True))).limit(1).collect()
+        if bad:
+            sample = {k: v for k, v in bad[0].asDict().items() if k != _BUCKET}
+            raise ConstraintViolation(name, expr, sample, op)
+
+
+def add_check_constraint(
+    spark: SparkSession, root: str, name: str, expr: str
+) -> None:
+    """``ALTER TABLE ADD CONSTRAINT name CHECK (expr)`` — Delta semantics:
+
+    1. EXISTING data is validated first (one short-circuiting scan of the
+       current version); a violating row rejects the ALTER itself, so a
+       recorded constraint is always a true invariant of the table.
+    2. The constraint commits as a claim-serialized METADATA-ONLY version
+       (op=``add_constraint``, the :func:`add_column` pattern), so it can
+       never race a writer: a rebase committer whose files were validated
+       under the old rule set sees a fingerprint mismatch AND a
+       non-bucket-scoped commit record and retries (its staged rows may
+       violate the new rule).
+    3. Every subsequent ``upsert`` / ``merge_into`` enforces the rule on
+       its new rows before staging a single file.
+
+    NULL predicate passes (SQL CHECK three-valued logic).  ``restore`` is
+    a metadata op and does NOT re-validate (Delta parity): restoring to a
+    pre-constraint version can resurface rows the rule would reject —
+    the constraint guards writes, not time travel."""
+    if not name or "/" in name or name.startswith("_"):
+        raise ValueError(f"invalid constraint name {name!r}")
+    meta = _read_meta(root)
+    if meta["schema"] is None:
+        raise ValueError(f"no table meta under {root}")
+    if name in (meta.get("constraints") or {}):
+        raise ValueError(f"constraint {name!r} already exists")
+    F.expr(expr)  # fail fast on unparseable SQL
+    cur = current_version(root)
+    existing = read_current(spark, root) if cur is not None else None
+    if existing is not None:
+        _check_constraints(
+            existing, {"constraints": {name: expr}}, "add_check_constraint"
+        )
+    if cur is None:
+        constraints = dict(meta.get("constraints") or {})
+        constraints[name] = expr
+        new_meta = dict(meta)
+        new_meta["constraints"] = constraints
+        _sync_root_meta(root, new_meta)
+        return
+    ver = _claim_next(root)
+    try:
+        meta = _read_meta(root)  # revalidate under the claim
+        constraints = dict(meta.get("constraints") or {})
+        if name in constraints:
+            raise ValueError(f"constraint {name!r} already exists")
+        constraints[name] = expr
+        staged = dict(meta)
+        staged["constraints"] = constraints
+        cur2 = current_version(root)  # pinned by the claim
+        os.makedirs(os.path.join(root, ver))
+        _write_manifest(root, ver, _read_manifest(root, cur2))
+        with open(os.path.join(root, ver, _META), "w") as fh:
+            json.dump(staged, fh)
+        _write_commit(root, ver, "add_constraint", "*")
+    except BaseException:
+        shutil.rmtree(os.path.join(root, ver), ignore_errors=True)
+        _release_claim(root, ver)
+        raise
+    _flip(root, ver)
+    _sync_root_meta(root, staged)
+
+
+def drop_check_constraint(root: str, name: str) -> None:
+    """``ALTER TABLE DROP CONSTRAINT`` — removes the rule as a
+    claim-serialized metadata-only version (op=``drop_constraint``).
+    Dropping only LOOSENS the write contract, but it still serializes
+    through the claim (and bumps the meta fingerprint) so concurrent
+    rebase writers re-read a consistent rule set rather than racing a
+    half-applied ALTER."""
+    meta = _read_meta(root)
+    if name not in (meta.get("constraints") or {}):
+        raise ValueError(f"no constraint {name!r} under {root}")
+    cur = current_version(root)
+    if cur is None:
+        new_meta = dict(meta)
+        new_meta["constraints"] = {
+            k: v for k, v in meta["constraints"].items() if k != name
+        }
+        if not new_meta["constraints"]:
+            del new_meta["constraints"]
+        _sync_root_meta(root, new_meta)
+        return
+    ver = _claim_next(root)
+    try:
+        meta = _read_meta(root)  # revalidate under the claim
+        staged = dict(meta)
+        staged["constraints"] = {
+            k: v for k, v in (meta.get("constraints") or {}).items() if k != name
+        }
+        if not staged["constraints"]:
+            del staged["constraints"]
+        cur2 = current_version(root)
+        os.makedirs(os.path.join(root, ver))
+        _write_manifest(root, ver, _read_manifest(root, cur2))
+        with open(os.path.join(root, ver, _META), "w") as fh:
+            json.dump(staged, fh)
+        _write_commit(root, ver, "drop_constraint", "*")
+    except BaseException:
+        shutil.rmtree(os.path.join(root, ver), ignore_errors=True)
+        _release_claim(root, ver)
+        raise
+    _flip(root, ver)
+    _sync_root_meta(root, staged)
 
 
 def _claim_next(root: str, wait_s: float = 5.0, poll_s: float = 0.05) -> str:
@@ -417,6 +568,7 @@ def _write_meta(
     added: list[dict] | None = None,
     bucketed_since: int | None = None,
     dropped: list[str] | None = None,
+    constraints: dict[str, str] | None = None,
 ) -> None:
     meta = {
         "key": key,
@@ -428,6 +580,8 @@ def _write_meta(
         meta["dropped"] = sorted(dropped)
     if bucketed_since is not None:
         meta["bucketed_since"] = bucketed_since
+    if constraints:
+        meta["constraints"] = constraints
     # If the current version dir carries a staged meta copy (it is
     # authoritative after a rebucket commit — see _read_meta), update it
     # first so a crash between the two writes leaves the authoritative
@@ -648,6 +802,7 @@ def add_column(root: str, name: str, dtype: str, default) -> None:
             staged["dropped"] = dropped
         if meta.get("bucketed_since") is not None:
             staged["bucketed_since"] = meta["bucketed_since"]
+        _carry_constraints(meta, staged)
         cur2 = current_version(root)  # the claim pins it: cur2 == cur
         os.makedirs(os.path.join(root, ver))
         _write_manifest(root, ver, _read_manifest(root, cur2))
@@ -708,6 +863,7 @@ def drop_column(root: str, name: str) -> None:
         }
         if meta.get("bucketed_since") is not None:
             new_meta["bucketed_since"] = meta["bucketed_since"]
+        _carry_constraints(meta, new_meta)
         _sync_root_meta(root, new_meta)
         return
     ver = _claim_next(root)
@@ -721,6 +877,7 @@ def drop_column(root: str, name: str) -> None:
         }
         if meta.get("bucketed_since") is not None:
             staged["bucketed_since"] = meta["bucketed_since"]
+        _carry_constraints(meta, staged)
         cur2 = current_version(root)  # pinned by the claim
         os.makedirs(os.path.join(root, ver))
         _write_manifest(root, ver, _read_manifest(root, cur2))
@@ -753,6 +910,7 @@ def _append_column_meta(
         # reincarnation: a re-added name leaves the tombstone list (no
         # committed version exists here, so there are no old files at all)
         dropped=[d for d in (meta.get("dropped") or []) if d != name],
+        constraints=meta.get("constraints"),
     )
 
 
@@ -1009,6 +1167,7 @@ def upsert(
                 )
         updates = updates.select(*[f.name for f in schema.fields])
     deduped = _dedupe_updates(updates, key, order_col)
+    _check_constraints(deduped, meta, "upsert")
     cur = current_version(root)
     if occ == "rebase" and meta["key"] is not None and cur is not None:
         return _upsert_rebase(spark, root, deduped, key, meta, cur)
@@ -1577,17 +1736,30 @@ def merge_into(
             updated = matched.select(*cols)
         parts.append(unmatched_target)
         parts.append(updated)
+        new_rows = updated  # unmatched_target rows are carried unchanged —
+        # they satisfied the constraints when THEY were written
         if insert_not_matched:
             inserts = src.join(base.select(key), key, "left_anti")
             parts.append(inserts)
+            new_rows = new_rows.unionByName(inserts)
     else:
+        new_rows = None
         if insert_not_matched:
             parts.append(src)
+            new_rows = src
 
     if not parts:
         if ver is not None:
             _release_claim(root, ver)  # fail-fast path claimed eagerly
         return cur  # nothing to do
+    if new_rows is not None:
+        try:
+            _check_constraints(new_rows, meta, "merge")
+        except ConstraintViolation:
+            if ver is not None:
+                _release_claim(root, ver)  # fail-fast claimed eagerly —
+                # a rejected merge must not wedge the table for CLAIM_TTL_S
+            raise
     merged = parts[0]
     for p in parts[1:]:
         merged = merged.unionByName(p)
@@ -1841,6 +2013,7 @@ def rebucket(spark: SparkSession, root: str, n_buckets: int) -> str:
     }
     if meta.get("dropped"):
         staged["dropped"] = meta["dropped"]
+    _carry_constraints(meta, staged)
     # Stage the new-layout meta INSIDE the version dir, then commit data
     # and meta together with the single atomic pointer flip: a crash on
     # either side of the flip leaves meta and current layout consistent
@@ -2084,6 +2257,7 @@ def describe(root: str) -> dict:
         "n_buckets": meta["n_buckets"],
         "added_columns": meta.get("added") or [],
         "dropped_columns": meta.get("dropped") or [],
+        "constraints": meta.get("constraints") or {},
         "current_version": cur,
         "versions_on_disk": versions,
         "tags": {},
