@@ -4084,9 +4084,18 @@ def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: ONE map-side-combined conditional aggregate per event
     type; the t/ν math is per-group scalar."""
     ev = read_table(spark, sf_dir, "events")
+    agg = welch_moments(ev)
+    return welch_finish(agg)
+
+
+def welch_moments(ev: DataFrame) -> DataFrame:
+    """The test's ENTIRE sufficient statistic: per event type, exact
+    BIGINT moment sums (n, Σv, Σv²) for each user-parity arm — six
+    mergeable counters per group, which is what lets the streaming twin
+    maintain them as O(|types|) state."""
     cents = F.round(F.col("value") * 100).cast("long")
     arm_a = F.pmod(F.col("user_id"), F.lit(2)) == 0
-    agg = ev.groupBy("event_type").agg(
+    return ev.groupBy("event_type").agg(
         F.sum(arm_a.cast("long")).alias("n_a"),
         F.sum(F.when(arm_a, cents).otherwise(0)).alias("s_a"),
         F.sum(F.when(arm_a, cents * cents).otherwise(0)).alias("q_a"),
@@ -4094,6 +4103,12 @@ def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(~arm_a, cents).otherwise(0)).alias("s_b"),
         F.sum(F.when(~arm_a, cents * cents).otherwise(0)).alias("q_b"),
     )
+
+
+def welch_finish(agg: DataFrame) -> DataFrame:
+    """The fixed scalar IEEE tree (t statistic + Satterthwaite ν) over the
+    moment sums — shared verbatim by the streaming twin so batch and
+    stream are equal by construction."""
     na = F.col("n_a").cast("double")
     nb = F.col("n_b").cast("double")
     ma = F.col("s_a").cast("double") / na

@@ -901,6 +901,32 @@ def _oracle_stream_forecast_backtest() -> str:
     return ORACLE_FORECAST_BACKTEST
 
 
+def streaming_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``queries.events.stats_welch_ttest`` — the live
+    A/B readout: the stream maintains the test's ENTIRE sufficient
+    statistic (per event type, six exact BIGINT moment counters — n, Σv,
+    Σv² per parity arm, ``welch_moments`` shared verbatim), so state is
+    O(|types|) rows REGARDLESS of event volume — the state store IS the
+    sufficient statistic, and the Welch t + Satterthwaite ν finisher
+    (``welch_finish``, shared verbatim) re-runs on read.  A dashboard
+    refreshing mid-experiment pays the O(|types|) finisher, never a
+    history replay.  Fully batch-equal, checked by the batch op's own
+    oracle."""
+    from mongraph_spark.queries.events import welch_finish, welch_moments
+
+    ev = events_stream(spark, sf_dir)
+    agg = welch_moments(ev)
+    with _state_partitioning(spark, sf_dir):
+        out = run_to_table(agg, output_mode="complete")
+    return welch_finish(out)
+
+
+def _oracle_stream_welch() -> str:
+    from mongraph_spark.queries.events import ORACLE_WELCH_TTEST
+
+    return ORACLE_WELCH_TTEST
+
+
 def streaming_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of ``queries.corpus.corpus_gopher_rules`` — the
     filter-at-ingest shape: every arriving document is scored against the
@@ -2038,6 +2064,7 @@ QUERIES = {
     "streaming_seasonal_anomaly": streaming_seasonal_anomaly,
     "streaming_cusum_changepoint": streaming_cusum_changepoint,
     "streaming_holt_trend": streaming_holt_trend,
+    "streaming_welch_ttest": streaming_welch_ttest,
     "streaming_holt_winters": streaming_holt_winters,
     "streaming_forecast_backtest": streaming_forecast_backtest,
     "streaming_gopher_rules": streaming_gopher_rules,
@@ -2069,6 +2096,7 @@ ORACLES = {
     "streaming_seasonal_anomaly": _oracle_stream_seasonal(),
     "streaming_cusum_changepoint": _oracle_stream_cusum(),
     "streaming_holt_trend": _oracle_stream_holt(),
+    "streaming_welch_ttest": _oracle_stream_welch(),
     "streaming_holt_winters": _oracle_stream_holt_winters(),
     "streaming_forecast_backtest": _oracle_stream_forecast_backtest(),
     "streaming_gopher_rules": _oracle_stream_gopher(),

@@ -143,3 +143,115 @@ def test_store_restore_query_invariants(spark):
         assert r.final_version == 4
         assert r.doc2_rows_at_bad_v2 == 0
         assert r.manifest_identical == 1
+
+
+def _events_df(spark, rows):
+    """rows: (event_id, ts_str, user_id, event_type, value)"""
+    return spark.createDataFrame(
+        [(i, ts, u, t, v, None) for (i, ts, u, t, v) in rows],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_welch_ttest_python_replay(spark, tmp_path):
+    """Crafted two-arm series; python IEEE doubles replay the exact t and
+    Satterthwaite df the query floors onto the ppm/milli grids (same op
+    order — the cross-engine exactness argument, pinned in-process)."""
+    import math
+
+    from mongraph_spark.queries.events import stats_welch_ttest
+
+    a = [100.0, 120.0, 90.0, 115.0]   # even user_ids
+    b = [80.0, 70.0, 95.0]            # odd user_ids
+    rows = [
+        (i, f"2024-01-0{i+1} 00:00:00", 2 * i, "click", v)
+        for i, v in enumerate(a)
+    ] + [
+        (10 + i, f"2024-01-1{i} 00:00:00", 2 * i + 1, "click", v)
+        for i, v in enumerate(b)
+    ]
+    _events_df(spark, rows).write.parquet(str(tmp_path / "events.parquet"))
+    got = stats_welch_ttest(spark, str(tmp_path)).collect()[0]
+
+    ca = [round(v * 100) for v in a]
+    cb = [round(v * 100) for v in b]
+    na, nb = float(len(ca)), float(len(cb))
+    ma = float(sum(ca)) / na
+    mb = float(sum(cb)) / nb
+    va = (float(sum(x * x for x in ca)) - na * ma * ma) / (na - 1.0)
+    vb = (float(sum(x * x for x in cb)) - nb * mb * mb) / (nb - 1.0)
+    se2a, se2b = va / na, vb / nb
+    se2 = se2a + se2b
+    t = (ma - mb) / math.sqrt(se2)
+    df = se2 * se2 / (se2a * se2a / (na - 1.0) + se2b * se2b / (nb - 1.0))
+    assert got.n_a == 4 and got.n_b == 3
+    assert got.mean_diff_millicents == math.floor(1000.0 * (ma - mb))
+    assert got.t_stat_ppm == math.floor(1000000.0 * t)
+    assert got.welch_df_milli == math.floor(1000.0 * df)
+    # Welch df lands strictly between min(n)-1 and n_a+n_b-2
+    assert (min(na, nb) - 1) * 1000 <= got.welch_df_milli <= (na + nb - 2) * 1000
+
+
+def test_streaming_welch_equals_batch(spark):
+    """Twin equality at smoke SF: the stream's moment state + shared
+    finisher reproduce the batch rows exactly."""
+    from mongraph_spark.queries.events import stats_welch_ttest
+    from mongraph_spark.streaming.events import streaming_welch_ttest
+
+    sf = "/root/testdata/sf0.001"
+    batch = {r.event_type: r.asDict() for r in stats_welch_ttest(spark, sf).collect()}
+    stream = {r.event_type: r.asDict() for r in streaming_welch_ttest(spark, sf).collect()}
+    assert batch == stream
+
+
+def test_lttb_downsample_invariants_and_argmax(spark, tmp_path):
+    """Planted hourly series: endpoints always kept, one point per bucket,
+    and the picked interior point maximizes the EXACT integer triangle
+    area against the fixed neighbor-average anchors (python replay with
+    arbitrary-precision ints)."""
+    from mongraph_spark.queries.events import events_lttb_downsample
+
+    # 16 hourly points, values chosen so each bucket has a clear spike
+    vals = [10, 11, 50, 12, 13, 60, 14, 15, 70, 16, 17, 80, 18, 19, 90, 20]
+    rows = [
+        (i, f"2024-01-01 {i:02d}:30:00", i, "click", float(v))
+        for i, v in enumerate(vals)
+    ]
+    _events_df(spark, rows).write.parquet(str(tmp_path / "events.parquet"))
+    out = events_lttb_downsample(spark, str(tmp_path)).collect()
+    m = len(vals)
+    beff = min(12, m - 2)
+    slots = sorted(r.slot for r in out)
+    assert slots == list(range(-1, beff + 1))  # endpoints + one per bucket
+    by_slot = {r.slot: r for r in out}
+    assert by_slot[-1].y_cents == 1000 and by_slot[beff].y_cents == 2000
+
+    # python replay of the fixed-anchor argmax on exact ints
+    pts = [(i, v * 100) for i, v in enumerate(vals)]  # (hour idx, cents)
+    buckets = {-1: [pts[0]], beff: [pts[-1]]}
+    for rn in range(2, m):  # 1-based interior rn in [2, m-1]
+        b = (rn - 2) * beff // (m - 2)
+        buckets.setdefault(b, []).append(pts[rn - 1])
+    for b in range(beff):
+        np_, sxp, syp = (
+            len(buckets[b - 1]),
+            sum(x for x, _ in buckets[b - 1]),
+            sum(y for _, y in buckets[b - 1]),
+        )
+        nn, sxn, syn = (
+            len(buckets[b + 1]),
+            sum(x for x, _ in buckets[b + 1]),
+            sum(y for _, y in buckets[b + 1]),
+        )
+        best = max(
+            buckets[b],
+            key=lambda p: (
+                abs(
+                    (sxp * nn - sxn * np_) * (p[1] * np_ - syp)
+                    - (sxp - p[0] * np_) * (syn * np_ - syp * nn)
+                ),
+                -p[0],
+            ),
+        )
+        assert by_slot[b].y_cents == best[1], f"bucket {b}"
