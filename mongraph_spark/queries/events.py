@@ -4206,6 +4206,12 @@ def events_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("hour")
     ).agg(F.sum(cents).alias("y"))
+    return lttb_finish(hourly)
+
+
+def lttb_finish(hourly: DataFrame) -> DataFrame:
+    """The decimation itself over a (event_type, hour, y) rollup — shared
+    verbatim by the streaming twin, whose state is exactly this rollup."""
     w_all = Window.partitionBy("event_type")
     w_ord = Window.partitionBy("event_type").orderBy("hour")
     pts = (
@@ -4235,9 +4241,12 @@ def events_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("y").alias("sy"),
     )
     w_b = Window.partitionBy("event_type").orderBy("b")
+    # fresh join-key names: lab and nbr share lineage (both derive from the
+    # rollup), and the streaming twin's memory-sink view makes Spark's
+    # attribute dedup refuse the ambiguous self-join otherwise
     nbr = bk.select(
-        "event_type",
-        "b",
+        F.col("event_type").alias("nbr_event_type"),
+        F.col("b").alias("nbr_b"),
         F.lag("n").over(w_b).alias("np"),
         F.lag("sx").over(w_b).alias("sxp"),
         F.lag("sy").over(w_b).alias("syp"),
@@ -4260,7 +4269,12 @@ def events_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     picked = (
         lab.filter((F.col("rn") > 1) & (F.col("rn") < F.col("m")))
-        .join(nbr, ["event_type", "b"])
+        .join(
+            nbr,
+            (F.col("event_type") == F.col("nbr_event_type"))
+            & (F.col("b") == F.col("nbr_b")),
+        )
+        .drop("nbr_event_type", "nbr_b")
         .withColumn("a2", a2)
         .withColumn("pr", F.row_number().over(w_pick))
         .withColumn(

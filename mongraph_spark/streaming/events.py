@@ -927,6 +927,33 @@ def _oracle_stream_welch() -> str:
     return ORACLE_WELCH_TTEST
 
 
+def streaming_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``queries.events.events_lttb_downsample`` — the
+    live-chart decimation shape: the stream maintains the watermarked
+    per-(type, hour) cents rollup (the decimation's ENTIRE input,
+    O(|series|·|hours|) state), and the parallel fixed-anchor LTTB pick
+    (``lttb_finish``, shared verbatim) re-runs on read over the
+    continuously-updated rollup.  A dashboard refresh pays the bounded
+    finisher — two windows + one join over hours — never a raw-event
+    replay.  Fully batch-equal, checked by the batch op's own oracle."""
+    from mongraph_spark.queries.events import lttb_finish
+
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 day")
+    agg = ev.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"))
+    with _state_partitioning(spark, sf_dir):
+        out = run_to_table(agg, output_mode="complete")
+    hourly = out.select("event_type", F.col("w.start").alias("hour"), "y")
+    return lttb_finish(hourly)
+
+
+def _oracle_stream_lttb() -> str:
+    from mongraph_spark.queries.events import ORACLE_LTTB
+
+    return ORACLE_LTTB
+
+
 def streaming_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of ``queries.corpus.corpus_gopher_rules`` — the
     filter-at-ingest shape: every arriving document is scored against the
@@ -2065,6 +2092,7 @@ QUERIES = {
     "streaming_cusum_changepoint": streaming_cusum_changepoint,
     "streaming_holt_trend": streaming_holt_trend,
     "streaming_welch_ttest": streaming_welch_ttest,
+    "streaming_lttb_downsample": streaming_lttb_downsample,
     "streaming_holt_winters": streaming_holt_winters,
     "streaming_forecast_backtest": streaming_forecast_backtest,
     "streaming_gopher_rules": streaming_gopher_rules,
@@ -2097,6 +2125,7 @@ ORACLES = {
     "streaming_cusum_changepoint": _oracle_stream_cusum(),
     "streaming_holt_trend": _oracle_stream_holt(),
     "streaming_welch_ttest": _oracle_stream_welch(),
+    "streaming_lttb_downsample": _oracle_stream_lttb(),
     "streaming_holt_winters": _oracle_stream_holt_winters(),
     "streaming_forecast_backtest": _oracle_stream_forecast_backtest(),
     "streaming_gopher_rules": _oracle_stream_gopher(),

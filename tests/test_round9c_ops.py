@@ -255,3 +255,16 @@ def test_lttb_downsample_invariants_and_argmax(spark, tmp_path):
             ),
         )
         assert by_slot[b].y_cents == best[1], f"bucket {b}"
+
+
+def test_streaming_lttb_equals_batch(spark):
+    """Twin equality at smoke SF: the stream's hourly rollup state +
+    shared lttb_finish reproduce the batch decimation exactly."""
+    from mongraph_spark.queries.events import events_lttb_downsample
+    from mongraph_spark.streaming.events import streaming_lttb_downsample
+
+    sf = "/root/testdata/sf0.001"
+    key = lambda r: (r.event_type, r.slot)  # noqa: E731
+    batch = {key(r): r.asDict() for r in events_lttb_downsample(spark, sf).collect()}
+    stream = {key(r): r.asDict() for r in streaming_lttb_downsample(spark, sf).collect()}
+    assert batch == stream
