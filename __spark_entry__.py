@@ -64,15 +64,16 @@ _SUITES = [
 # off-by-one in the driver's window.
 CORE_ORDER = [
     # — round-9 window (VERDICT r8 order #1), 50 slots exactly:
-    #   the 33 never-driver-verified rows (the 13 round-8 post-window
-    #   additions the verdict names, plus this round's 20 new ops:
-    #   dedup_semdedup_hier, the store protocol/skipping/point-read
-    #   queries, the governance additions, the Holt–Winters pair,
-    #   SoftDeDup + its streaming twin, BH/power/Wilson), then 6
-    #   re-proof slots for code round 9 touched (merge.py OCC/clock/
-    #   vacuum/cluster_by rework, the streaming_lsh_dedup state-write
-    #   shave), then 11 refreshes of the STALEST driver evidence
-    #   (r3-vintage rows).
+    #   41 never-driver-verified rows (the 13 round-8 post-window
+    #   additions the verdict names, the round-9 first/second-sweep 20
+    #   — dedup_semdedup_hier, store protocol/skipping/point-read,
+    #   governance, Holt–Winters pair, SoftDeDup twins, BH/power/Wilson,
+    #   forecast backtest pair, CDC chunking — and the third sweep's 8:
+    #   CHECK constraints, generated columns, RESTORE, the Welch pair,
+    #   the LTTB pair, tokenizer fertility), then 6 re-proof slots for
+    #   code round 9 touched (merge.py OCC/clock/vacuum/cluster_by/
+    #   constraint rework, the streaming_lsh_dedup state-write shave),
+    #   then 3 refreshes of the STALEST (r3-vintage) driver evidence.
     # — never driver-verified (r8 post-window additions) —
     "window_abc_analysis",
     "graph_rich_club",
@@ -108,24 +109,25 @@ CORE_ORDER = [
     "events_forecast_backtest",  # 4-model hold-out MAE/MASE, integer-exact
     "streaming_forecast_backtest",  # its streamed-rollup twin
     "dedup_cdc_chunking",  # content-defined chunk dedup, resync cut rule
+    # — never driver-verified (round-9 third sweep) —
+    "store_check_constraint",  # Delta CHECK constraints, full lifecycle
+    "store_generated_column",  # GENERATED ALWAYS AS, fill/validate/re-derive
+    "store_restore",  # RESTORE as roll-forward, manifest identity
+    "stats_welch_ttest",  # unequal-variance t + Satterthwaite df
+    "streaming_welch_ttest",  # O(|types|) moment-state twin
+    "events_lttb_downsample",  # parallel fixed-anchor LTTB, integer argmax
+    "streaming_lttb_downsample",  # live-chart decimation over rollup state
+    "pipeline_tokenizer_fertility",  # subwords/word + bytes/subword audit
     # — round-9 re-proof slots (merge.py + streaming lsh touched) —
     "streaming_lsh_dedup",  # shingle-store removal + batch widening (#4)
     "store_vacuum_retention",  # unified commit clock + retention floor (#2)
-    "store_merge_into",  # merge.py rebase-commit wait + classify message
+    "store_merge_into",  # merge.py rebase-commit wait + constraint hooks
     "store_compaction",  # compact refactor (_compact_write split)
     "store_conflict_retry",  # claim protocol paths re-proved
     "store_history",  # version/commit mechanics re-proved
     # — stalest driver evidence refresh (r3-vintage rows) —
-    "ann_cosine_topk",
-    "corpus_repetition_filter",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "embedding_quantize_int8",
-    "events_hypertable_rollup",
-    "graph_kcore",
     "graph_pagerank",
     "mm_image_features",
-    "pipeline_pack_chunks",
     "range_join_price_bands",
 ]
 

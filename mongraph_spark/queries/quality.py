@@ -2283,6 +2283,116 @@ FROM final GROUP BY source
 """
 
 
+def store_generated_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-style GENERATED column, driver-verifiable across its whole
+    contract: v0 init → v1 ``add_generated_column('chars_x2', 'long',
+    'n_chars * 2 + 7')`` (metadata-only claim-serialized commit; v0's
+    files EVALUATE the expression at read) → v2 upsert omitting the
+    column (computed + physically materialized at write) → v3 upsert
+    CARRYING the correct value (validated, accepted) → an upsert carrying
+    a WRONG value rejected before staging → v4 merge updating a base
+    column (the generated value re-derives from the POST-update row) →
+    a ``when_matched_set`` targeting the generated column refused.
+
+    Hash-asserted: every row of the final read satisfies
+    chars_x2 == n_chars·2+7 (the sum over all rows — one stale or NULL
+    fill breaks it), exactly 1 write rejection and 1 refused SET,
+    final_version == 4 (refusals burn no version), zero leaked claims.
+
+    Scale shape: the ALTER is O(1) metadata; read-side fills are
+    per-version projections (never a rewrite); write-side validation is
+    one short-circuiting ``limit(1)`` probe over the batch."""
+    import shutil
+    import tempfile
+
+    from mongraph_spark.sources import merge as merge_store
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    app_id = spark.sparkContext.applicationId
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(tempfile.gettempdir(), f"mg_gen_{app_id}_{sf_tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    merge_store.init_table(docs, root, key="doc_id", n_buckets=8)
+    merge_store.add_generated_column(
+        spark, root, "chars_x2", "long", "n_chars * 2 + 7"
+    )
+    merge_store.upsert(
+        spark,
+        root,
+        docs.filter(F.col("doc_id") == 1).withColumn(
+            "n_chars", F.col("n_chars") + 11
+        ),
+        key="doc_id",
+    )
+    merge_store.upsert(
+        spark,
+        root,
+        docs.filter(F.col("doc_id") == 2).withColumn(
+            "chars_x2", F.col("n_chars") * 2 + 7
+        ),
+        key="doc_id",
+    )
+    n_rejected = 0
+    try:
+        merge_store.upsert(
+            spark,
+            root,
+            docs.filter(F.col("doc_id") == 3).withColumn("chars_x2", F.lit(999)),
+            key="doc_id",
+        )
+    except merge_store.ConstraintViolation:
+        n_rejected += 1
+    merge_store.merge_into(
+        spark,
+        root,
+        docs.filter(F.col("doc_id") == 4),
+        when_matched_set={"n_chars": "n_chars + 3"},
+        insert_not_matched=False,
+    )
+    n_refused_set = 0
+    try:
+        merge_store.merge_into(
+            spark,
+            root,
+            docs.filter(F.col("doc_id") == 4),
+            when_matched_set={"chars_x2": "1"},
+        )
+    except ValueError:
+        n_refused_set += 1
+    claims_left = len([f for f in os.listdir(root) if f.endswith(".claim")])
+    final_v = int(merge_store.current_version(root).split("_")[1])
+    cur = merge_store.read_current(spark, root).drop("__bucket")
+    return cur.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum("chars_x2").cast("bigint").alias("total_gen"),
+        F.lit(n_rejected).cast("bigint").alias("n_rejected"),
+        F.lit(n_refused_set).cast("bigint").alias("n_refused_set"),
+        F.lit(final_v).cast("bigint").alias("final_version"),
+        F.lit(claims_left).cast("bigint").alias("claims_leaked"),
+    )
+
+
+ORACLE_GENERATED_COLUMN = """
+WITH final AS (
+  SELECT doc_id, source,
+         n_chars + CASE WHEN doc_id = 1 THEN 11
+                        WHEN doc_id = 4 THEN 3 ELSE 0 END AS n_chars
+  FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(n_chars * 2 + 7) AS BIGINT) AS total_gen,
+       CAST(1 AS BIGINT) AS n_rejected,
+       CAST(1 AS BIGINT) AS n_refused_set,
+       CAST(4 AS BIGINT) AS final_version,
+       CAST(0 AS BIGINT) AS claims_leaked
+FROM final GROUP BY source
+"""
+
+
 ORACLE_RESTORE = """
 WITH final AS (
   SELECT doc_id, source,
@@ -2303,6 +2413,7 @@ QUERIES = {
     "dq_expectations": dq_expectations,
     "store_restore": store_restore,
     "store_check_constraint": store_check_constraint,
+    "store_generated_column": store_generated_column,
     "store_shallow_clone": store_shallow_clone,
     "store_vacuum_retention": store_vacuum_retention,
     "store_read_as_of": store_read_as_of,
@@ -2327,6 +2438,7 @@ ORACLES = {
     "dq_expectations": ORACLE_DQ,
     "store_restore": ORACLE_RESTORE,
     "store_check_constraint": ORACLE_CHECK_CONSTRAINT,
+    "store_generated_column": ORACLE_GENERATED_COLUMN,
     "store_vacuum_retention": ORACLE_VACUUM_RETENTION,
     "store_read_as_of": ORACLE_READ_AS_OF,
     "store_point_lookup": ORACLE_POINT_LOOKUP,

@@ -376,6 +376,112 @@ def _check_constraints(df: DataFrame, meta: dict, op: str) -> None:
             raise ConstraintViolation(name, expr, sample, op)
 
 
+def _check_generated(df: DataFrame, col: dict, schema, op: str) -> None:
+    """A write batch that CARRIES a generated column must agree with the
+    expression (Delta rejects explicit mismatching values): one
+    short-circuiting ``limit(1)`` probe, null-safe equality."""
+    name = col["name"]
+    expected = F.expr(col["expr"]).cast(schema[name].dataType)
+    bad = df.filter(~F.col(name).eqNullSafe(expected)).limit(1).collect()
+    if bad:
+        sample = {k: v for k, v in bad[0].asDict().items() if k != _BUCKET}
+        raise ConstraintViolation(
+            f"generated:{name}", col["expr"], sample, op
+        )
+
+
+def add_generated_column(
+    spark: SparkSession, root: str, name: str, dtype: str, expr: str
+) -> None:
+    """Delta-style GENERATED column — ``name dtype GENERATED ALWAYS AS
+    (expr)``: no data file is touched; the column is recorded in table
+    meta with its defining expression, and
+
+    - READS of files written before the add EVALUATE the expression over
+      each row's base columns (the version-fenced fill, expression form);
+    - WRITES that omit the column compute it (physically materialized in
+      the new files); writes that carry it are VALIDATED against the
+      expression (mismatch → :class:`ConstraintViolation`, the Delta
+      contract);
+    - MERGE updates re-derive it from the post-update base values, and a
+      ``when_matched_set`` targeting it is refused;
+    - the next ``compact`` materializes it for old files as a side effect
+      of rewriting through the current schema.
+
+    The expression may reference only base columns present at add time
+    (resolved against the recorded schema here, fail-fast).  Commits as a
+    claim-serialized metadata-only version (op=``add_generated``) exactly
+    like :func:`add_column`, so it serializes with every writer and
+    conflicts any in-flight rebase commit (whole-table write set +
+    fingerprint bump — staged files were written without the fill)."""
+    meta = _read_meta(root)
+    if meta["schema"] is None:
+        raise ValueError(f"no table meta under {root}")
+    schema = T.StructType.fromJson(json.loads(meta["schema"]))
+    # fail-fast resolution: expr must be computable from the CURRENT schema
+    spark.createDataFrame([], schema).select(
+        F.expr(expr).cast(dtype).alias(name)
+    )
+    cur = current_version(root)
+    if cur is None:
+        if name in schema.fieldNames():
+            raise ValueError(f"column {name!r} already exists")
+        added = list(meta.get("added") or [])
+        added.append(
+            {"name": name, "added_in": 0, "default": None, "expr": expr}
+        )
+        _write_meta(
+            root,
+            meta["key"],
+            meta["n_buckets"],
+            schema.add(name, dtype, True),
+            added,
+            bucketed_since=meta.get("bucketed_since"),
+            dropped=[d for d in (meta.get("dropped") or []) if d != name],
+            constraints=meta.get("constraints"),
+        )
+        return
+    ver = _claim_next(root)
+    try:
+        meta = _read_meta(root)  # revalidate under the claim
+        schema = T.StructType.fromJson(json.loads(meta["schema"]))
+        if name in schema.fieldNames():
+            raise ValueError(f"column {name!r} already exists")
+        dropped = [d for d in (meta.get("dropped") or []) if d != name]
+        added = list(meta.get("added") or [])
+        added.append(
+            {
+                "name": name,
+                "added_in": int(ver.split("_")[1]),
+                "default": None,
+                "expr": expr,
+            }
+        )
+        staged = {
+            "key": meta["key"],
+            "n_buckets": meta["n_buckets"],
+            "schema": schema.add(name, dtype, True).json(),
+            "added": added,
+        }
+        if dropped:
+            staged["dropped"] = dropped
+        if meta.get("bucketed_since") is not None:
+            staged["bucketed_since"] = meta["bucketed_since"]
+        _carry_constraints(meta, staged)
+        cur2 = current_version(root)  # pinned by the claim
+        os.makedirs(os.path.join(root, ver))
+        _write_manifest(root, ver, _read_manifest(root, cur2))
+        with open(os.path.join(root, ver, _META), "w") as fh:
+            json.dump(staged, fh)
+        _write_commit(root, ver, "add_generated", "*")
+    except BaseException:
+        shutil.rmtree(os.path.join(root, ver), ignore_errors=True)
+        _release_claim(root, ver)
+        raise
+    _flip(root, ver)
+    _sync_root_meta(root, staged)
+
+
 def add_check_constraint(
     spark: SparkSession, root: str, name: str, expr: str
 ) -> None:
@@ -727,11 +833,20 @@ def _read_paths(
             if ver < col["added_in"]:
                 part = part.withColumn(
                     col["name"],
-                    F.lit(col["default"]).cast(dict(part.dtypes)[col["name"]]),
+                    _fill_expr(col, schema[col["name"]].dataType),
                 )
         part = part.select(*ordered)
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def _fill_expr(col: dict, dtype):
+    """The fill for an evolved column a file (or update batch) does not
+    carry: a GENERATED column evaluates its expression over the row's
+    base columns; a plain added column fills its recorded constant."""
+    if col.get("expr") is not None:
+        return F.expr(col["expr"]).cast(dtype)
+    return F.lit(col["default"]).cast(dtype)
 
 
 def add_column(root: str, name: str, dtype: str, default) -> None:
@@ -1162,9 +1277,10 @@ def upsert(
         for col in meta["added"]:
             if col["name"] not in updates.columns:
                 updates = updates.withColumn(
-                    col["name"],
-                    F.lit(col["default"]).cast(schema[col["name"]].dataType),
+                    col["name"], _fill_expr(col, schema[col["name"]].dataType)
                 )
+            elif col.get("expr") is not None:
+                _check_generated(updates, col, schema, "upsert")
         updates = updates.select(*[f.name for f in schema.fields])
     deduped = _dedupe_updates(updates, key, order_col)
     _check_constraints(deduped, meta, "upsert")
@@ -1686,13 +1802,27 @@ def merge_into(
     key = meta["key"]
     schema = T.StructType.fromJson(json.loads(meta["schema"]))
     cols = [f.name for f in schema.fields]
+    gen_cols = {
+        c["name"]: c
+        for c in (meta.get("added") or [])
+        if c.get("expr") is not None
+    }
+    # refused BEFORE the fail-fast claim below — a bad request must not
+    # wedge the table for CLAIM_TTL_S
+    if when_matched_set and set(when_matched_set) & set(gen_cols):
+        raise ValueError(
+            "cannot SET a generated column "
+            f"{sorted(set(when_matched_set) & set(gen_cols))} — it is "
+            "recomputed from its expression on every update"
+        )
     if meta.get("added"):
         for col in meta["added"]:
             if col["name"] not in source.columns:
                 source = source.withColumn(
-                    col["name"],
-                    F.lit(col["default"]).cast(schema[col["name"]].dataType),
+                    col["name"], _fill_expr(col, schema[col["name"]].dataType)
                 )
+            elif col.get("expr") is not None:
+                _check_generated(source, col, schema, "merge")
     src = _dedupe_updates(source.select(*cols), key, None)
     src_pref = src.select(
         F.col(key).alias("__src_key"),
@@ -1732,6 +1862,12 @@ def merge_into(
                     for c in cols
                 ]
             )
+            # generated columns re-derive from the POST-update base values
+            # (a second step — the select above still sees pre-update rows)
+            for name, col in gen_cols.items():
+                updated = updated.withColumn(
+                    name, F.expr(col["expr"]).cast(schema[name].dataType)
+                )
         else:  # matched rows kept as-is (MERGE with only DELETE/INSERT clauses)
             updated = matched.select(*cols)
         parts.append(unmatched_target)

@@ -268,3 +268,72 @@ def test_streaming_lttb_equals_batch(spark):
     batch = {key(r): r.asDict() for r in events_lttb_downsample(spark, sf).collect()}
     stream = {key(r): r.asDict() for r in streaming_lttb_downsample(spark, sf).collect()}
     assert batch == stream
+
+
+def test_generated_column_lifecycle(spark, tmp_path):
+    """GENERATED ALWAYS AS: read-side evaluation for pre-add files,
+    write-side compute/validate, merge re-derivation, SET refusal, and
+    physical materialization when a bucket is rewritten."""
+    root = str(tmp_path / "gen")
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "id long, s string, v long"
+    )
+    M.init_table(df, root, key="id", n_buckets=4)
+    M.add_generated_column(spark, root, "v2", "long", "v * 2 + 7")
+    assert M._read_commit(root, "v_00001")["op"] == "add_generated"
+    # pre-add files evaluate the expression at read
+    got = {r.id: r.v2 for r in M.read_current(spark, root).collect()}
+    assert got == {1: 27, 2: 47, 3: 67}
+    # omitted at write -> computed; carried correct -> validated ok
+    M.upsert(spark, root, spark.createDataFrame([(4, "d", 40)], "id long, s string, v long"), key="id")
+    M.upsert(spark, root, spark.createDataFrame([(5, "e", 50, 107)], "id long, s string, v long, v2 long"), key="id")
+    # carried wrong -> rejected before staging
+    with pytest.raises(M.ConstraintViolation) as exc:
+        M.upsert(spark, root, spark.createDataFrame([(6, "f", 60, 999)], "id long, s string, v long, v2 long"), key="id")
+    assert exc.value.constraint == "generated:v2"
+    # merge updates re-derive from POST-update base values
+    M.merge_into(
+        spark,
+        root,
+        spark.createDataFrame([(1, "a", 10)], "id long, s string, v long"),
+        when_matched_set={"v": "v + 100"},
+    )
+    got = {r.id: (r.v, r.v2) for r in M.read_current(spark, root).collect()}
+    assert got[1] == (110, 227) and got[4] == (40, 87) and got[5] == (50, 107)
+    # SET of a generated column refused BEFORE the claim (no wedge)
+    with pytest.raises(ValueError):
+        M.merge_into(
+            spark,
+            root,
+            spark.createDataFrame([(1, "a", 10)], "id long, s string, v long"),
+            when_matched_set={"v2": "1"},
+        )
+    assert _no_claims(root)
+    # unresolvable expression fails fast, records nothing
+    with pytest.raises(Exception):
+        M.add_generated_column(spark, root, "bad", "long", "nope + 1")
+    assert "bad" not in [c["name"] for c in M.describe(root)["added_columns"]]
+
+
+def test_generated_column_materializes_on_rewrite(spark, tmp_path):
+    """Any bucket rewrite (upsert absorbing the bucket, or compaction of a
+    fragmented bucket) physically materializes the generated column via
+    the _read_paths fill — the new files read correctly WITHOUT the fill
+    (they are at a version >= added_in, so readers assume physical)."""
+    root = str(tmp_path / "genmat")
+    df = spark.createDataFrame(
+        [(i, f"s{i}", 10 * i) for i in range(12)], "id long, s string, v long"
+    )
+    # fragment the buckets so compact has work to do
+    M.init_table(df.repartition(6), root, key="id", n_buckets=2)
+    M.add_generated_column(spark, root, "v2", "long", "v * 2 + 7")
+    M.compact(spark, root)
+    cur = M.current_version(root)
+    paths = [
+        str(tmp_path / "genmat" / rel)
+        for rel in M._read_manifest(root, cur).values()
+    ]
+    raw = spark.read.parquet(*paths)  # NO fill applied: physical bytes only
+    assert "v2" in raw.columns
+    got = {r.id: r.v2 for r in raw.collect()}
+    assert got == {i: 10 * i * 2 + 7 for i in range(12)}
