@@ -4173,6 +4173,135 @@ FROM s
 """
 
 
+def stats_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe test (Levene's test with the MEDIAN center — the
+    robust default) for equality of variances between the user-parity
+    arms, per event type: Welch answers "do the means differ?", this
+    answers "do the SPREADS differ?" — the diagnostic run before trusting
+    any equal-variance assumption, and a metric drift alarm in its own
+    right (a variance shift with a stable mean is invisible to the t).
+
+        z_ij = |v_ij − median_i|,  W = (N−k)/(k−1) ·
+               Σ n_i (z̄_i − z̄)² / Σ_ij (z_ij − z̄_i)²   (k = 2)
+
+    Cross-engine exactness: the center is the LOWER median — the
+    ((n+1) div 2)-th order statistic on the cents grid, an exact integer
+    in both engines (row_number over equal cents is tie-arbitrary but
+    the VALUE at rank k is well-defined) — so every z is an exact
+    BIGINT, the moment sums are exact, and the W finisher is the same
+    fixed IEEE tree argument as Welch, floored once onto ppm.
+
+    Scale shape: one rank window per (type, arm) — the sort every order
+    statistic pays, partitioned so no global pass — then one map-side-
+    combined aggregate; the F math is per-group scalar."""
+    ev = read_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.pmod(F.col("user_id"), F.lit(2)).alias("arm"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w_ord = Window.partitionBy("event_type", "arm").orderBy("cents")
+    w_arm = Window.partitionBy("event_type", "arm")
+    ranked = base.withColumn("rn", F.row_number().over(w_ord)).withColumn(
+        "cnt", F.count(F.lit(1)).over(w_arm)
+    )
+    med = ranked.withColumn(
+        "med",
+        F.max(
+            F.when(F.col("rn") == F.expr("(cnt + 1) div 2"), F.col("cents"))
+        ).over(w_arm),
+    )
+    z = med.select(
+        "event_type",
+        "arm",
+        "med",
+        F.abs(F.col("cents") - F.col("med")).alias("z"),
+    )
+    a = F.col("arm") == 0
+    agg = z.groupBy("event_type").agg(
+        F.sum(a.cast("long")).alias("n_a"),
+        F.sum(F.when(a, F.col("z")).otherwise(0)).alias("s_a"),
+        F.sum(F.when(a, F.col("z") * F.col("z")).otherwise(0)).alias("q_a"),
+        F.max(F.when(a, F.col("med"))).alias("med_a_cents"),
+        F.sum((~a).cast("long")).alias("n_b"),
+        F.sum(F.when(~a, F.col("z")).otherwise(0)).alias("s_b"),
+        F.sum(F.when(~a, F.col("z") * F.col("z")).otherwise(0)).alias("q_b"),
+        F.max(F.when(~a, F.col("med"))).alias("med_b_cents"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    nn = na + nb
+    zba = F.col("s_a").cast("double") / na
+    zbb = F.col("s_b").cast("double") / nb
+    zb = (F.col("s_a") + F.col("s_b")).cast("double") / nn
+    between = na * (zba - zb) * (zba - zb) + nb * (zbb - zb) * (zbb - zb)
+    within = (F.col("q_a").cast("double") - na * zba * zba) + (
+        F.col("q_b").cast("double") - nb * zbb * zbb
+    )
+    w_stat = (nn - F.lit(2.0)) * between / within
+    return agg.select(
+        "event_type",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("med_a_cents").cast("long").alias("med_a_cents"),
+        F.col("med_b_cents").cast("long").alias("med_b_cents"),
+        F.floor(F.lit(1000000.0) * w_stat).cast("long").alias("bf_w_ppm"),
+    )
+
+
+ORACLE_BROWN_FORSYTHE = """
+WITH base AS (
+  SELECT event_type, user_id % 2 AS arm,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type, arm
+                               ORDER BY cents) AS rn,
+         count(*) OVER (PARTITION BY event_type, arm) AS cnt
+  FROM base
+),
+med AS (
+  SELECT *, max(CASE WHEN rn = (cnt + 1) // 2 THEN cents END)
+              OVER (PARTITION BY event_type, arm) AS med
+  FROM ranked
+),
+z AS (SELECT event_type, arm, med, abs(cents - med) AS z FROM med),
+agg AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN arm = 0 THEN z ELSE 0 END) AS BIGINT) AS s_a,
+         CAST(sum(CASE WHEN arm = 0 THEN z * z ELSE 0 END) AS BIGINT) AS q_a,
+         CAST(max(CASE WHEN arm = 0 THEN med END) AS BIGINT) AS med_a_cents,
+         CAST(sum(CASE WHEN arm = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN arm = 0 THEN 0 ELSE z END) AS BIGINT) AS s_b,
+         CAST(sum(CASE WHEN arm = 0 THEN 0 ELSE z * z END) AS BIGINT) AS q_b,
+         CAST(max(CASE WHEN arm = 1 THEN med END) AS BIGINT) AS med_b_cents
+  FROM z GROUP BY 1
+),
+m AS (
+  SELECT *, CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+         CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS zba,
+         CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS zbb,
+         CAST(s_a + s_b AS DOUBLE)
+           / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS zb
+  FROM agg
+),
+f AS (
+  SELECT *,
+         na * (zba - zb) * (zba - zb) + nb * (zbb - zb) * (zbb - zb)
+           AS between_ss,
+         (CAST(q_a AS DOUBLE) - na * zba * zba)
+           + (CAST(q_b AS DOUBLE) - nb * zbb * zbb) AS within_ss
+  FROM m
+)
+SELECT event_type, n_a, n_b, med_a_cents, med_b_cents,
+       CAST(floor(1000000.0 * (((na + nb) - 2.0) * between_ss / within_ss))
+            AS BIGINT) AS bf_w_ppm
+FROM f
+"""
+
+
 def events_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LTTB chart decimation (Steinarsson's Largest-Triangle-Three-Buckets
     — the downsample Grafana/Timescale use when min/max bars aren't
@@ -4364,6 +4493,7 @@ FROM lab WHERE rn = 1 OR rn = m
 QUERIES = {
     "events_holt_trend": events_holt_trend,
     "stats_welch_ttest": stats_welch_ttest,
+    "stats_brown_forsythe": stats_brown_forsythe,
     "events_lttb_downsample": events_lttb_downsample,
     "events_holt_winters": events_holt_winters,
     "events_forecast_backtest": events_forecast_backtest,
@@ -4415,6 +4545,7 @@ QUERIES = {
 ORACLES = {
     "stats_benjamini_hochberg": ORACLE_BH,
     "stats_welch_ttest": ORACLE_WELCH_TTEST,
+    "stats_brown_forsythe": ORACLE_BROWN_FORSYTHE,
     "events_lttb_downsample": ORACLE_LTTB,
     "stats_ab_power": ORACLE_AB_POWER,
     "stats_wilson_ci": ORACLE_WILSON_CI,

@@ -337,3 +337,40 @@ def test_generated_column_materializes_on_rewrite(spark, tmp_path):
     assert "v2" in raw.columns
     got = {r.id: r.v2 for r in raw.collect()}
     assert got == {i: 10 * i * 2 + 7 for i in range(12)}
+
+
+def test_brown_forsythe_python_replay(spark, tmp_path):
+    """Crafted arms with distinct spreads; python replays the lower
+    medians (exact order statistics) and the W finisher in the same IEEE
+    op order."""
+    import math
+
+    from mongraph_spark.queries.events import stats_brown_forsythe
+
+    a = [10.0, 20.0, 30.0, 40.0]   # even user_ids, median(lower) = 20
+    b = [24.0, 25.0, 26.0]         # odd user_ids, median = 25 (tight arm)
+    rows = [
+        (i, f"2024-01-0{i+1} 00:00:00", 2 * i, "click", v)
+        for i, v in enumerate(a)
+    ] + [
+        (10 + i, f"2024-01-1{i} 00:00:00", 2 * i + 1, "click", v)
+        for i, v in enumerate(b)
+    ]
+    _events_df(spark, rows).write.parquet(str(tmp_path / "events.parquet"))
+    got = stats_brown_forsythe(spark, str(tmp_path)).collect()[0]
+    assert got.med_a_cents == 2000 and got.med_b_cents == 2500
+
+    ca, cb = [round(v * 100) for v in a], [round(v * 100) for v in b]
+    za = [abs(c - 2000) for c in ca]
+    zb_ = [abs(c - 2500) for c in cb]
+    na, nb = float(len(za)), float(len(zb_))
+    zba = float(sum(za)) / na
+    zbb = float(sum(zb_)) / nb
+    zb = float(sum(za) + sum(zb_)) / (na + nb)
+    between = na * (zba - zb) * (zba - zb) + nb * (zbb - zb) * (zbb - zb)
+    within = (float(sum(x * x for x in za)) - na * zba * zba) + (
+        float(sum(x * x for x in zb_)) - nb * zbb * zbb
+    )
+    w = ((na + nb) - 2.0) * between / within
+    assert got.bf_w_ppm == math.floor(1000000.0 * w)
+    assert w > 1.0  # the spreads genuinely differ in this fixture
