@@ -374,3 +374,26 @@ def test_brown_forsythe_python_replay(spark, tmp_path):
     w = ((na + nb) - 2.0) * between / within
     assert got.bf_w_ppm == math.floor(1000000.0 * w)
     assert w > 1.0  # the spreads genuinely differ in this fixture
+
+
+def test_new_ops_plans_stay_partitioned(spark):
+    """Plan pins for the third-sweep ops: every window shuffles on its
+    series/group key — no Exchange SinglePartition anywhere (the one
+    operator shape that cannot survive a 100x scale-up)."""
+    from mongraph_spark.queries.events import (
+        events_lttb_downsample,
+        stats_brown_forsythe,
+        stats_welch_ttest,
+    )
+    from mongraph_spark.queries.pipeline import pipeline_tokenizer_fertility
+
+    sf = "/root/testdata/sf0.001"
+    for fn in (
+        events_lttb_downsample,
+        stats_brown_forsythe,
+        stats_welch_ttest,
+        pipeline_tokenizer_fertility,
+    ):
+        plan = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan, fn.__name__
+        assert "BatchEvalPython" not in plan, fn.__name__
