@@ -3842,12 +3842,352 @@ JOIN alloc a ON t.priority = a.priority
 """
 
 
+# -- Kruskal-Wallis k-sample rank test -------------------------------------------
+
+KW_GROUPS = ("1-URGENT", "2-HIGH", "3-MEDIUM")
+
+
+def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis H test — the k-sample generalization of
+    Mann–Whitney (which this battery already has for k=2): do the three
+    most-urgent order priorities share a price distribution, with no
+    normality assumption?  The one-way ANOVA replacement every experiment
+    readout reaches for when the metric is skewed.
+
+    Exactness follows the battery's two house patterns at once: the rank
+    layer keeps the tie-averaged rank doubled-integer (2·r̄ = 2·rank() +
+    tiecount − 1, exact in both engines), and the k-group finisher —
+    which unlike Mann–Whitney needs a CROSS-GROUP sum of non-integer
+    rationals Σ R̄ᵢ²/nᵢ — PIVOTS the three groups into one row (the
+    Welch/Brown–Forsythe trick) so the double arithmetic is a fixed
+    left-to-right IEEE expression tree, bit-identical cross-engine, then
+    floors once onto ppm.  Tie correction: H' = H / (1 − ΣT/(N³−N)).
+
+    Scale shape: one total-order rank window (every rank test's price —
+    at 100 TB pre-aggregate to per-value counts first), ONE map-side-
+    combined aggregation pivoting to a single row, scalar finisher."""
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin(*KW_GROUPS)
+    ).select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    w_rank = Window.partitionBy(const_part(F.col("cents"))).orderBy("cents")
+    w_tie = Window.partitionBy("cents")
+    ranked = o.withColumn("r_min", F.rank().over(w_rank)).withColumn(
+        "tie_n", F.count(F.lit(1)).over(w_tie)
+    )
+    r2 = 2 * F.col("r_min") + F.col("tie_n") - 1
+    per = ranked.agg(
+        *[
+            x
+            for i, g in enumerate(KW_GROUPS, 1)
+            for x in (
+                F.sum((F.col("grp") == g).cast("int")).cast("long").alias(f"n{i}"),
+                F.sum(F.when(F.col("grp") == g, r2).otherwise(0))
+                .cast("long")
+                .alias(f"r{i}"),
+            )
+        ]
+    )
+    ties = (
+        o.groupBy("cents")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    # fixed IEEE tree — written ONCE as SQL text shared verbatim with the
+    # oracle so the parenthesization cannot drift between engines
+    return (
+        per.crossJoin(F.broadcast(ties))
+        .withColumn("n_all", F.col("n1") + F.col("n2") + F.col("n3"))
+        .selectExpr(
+            "n1",
+            "n2",
+            "n3",
+            "tie_term",
+            f"CAST(floor({KW_H_EXPR}) AS BIGINT) AS kw_h_ppm",
+        )
+        .withColumn(
+            "significant_95", (F.col("kw_h_ppm") >= 5991465).cast("int")
+        )  # chi2(0.95, df=2) = 5.991465
+    )
+
+
+# H' on doubled rank sums rᵢ (= 2·Σr̄): H = 3·S/(N(N+1)) − 3(N+1) with
+# S = Σ rᵢ²/nᵢ, divided by the tie factor (1 − T/(N³−N)).  Shared Spark/DuckDB.
+KW_H_EXPR = (
+    "1000000.0 * ((3.0 * ((CAST(r1 AS DOUBLE) * CAST(r1 AS DOUBLE)"
+    " / CAST(n1 AS DOUBLE))"
+    " + (CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE) / CAST(n2 AS DOUBLE))"
+    " + (CAST(r3 AS DOUBLE) * CAST(r3 AS DOUBLE) / CAST(n3 AS DOUBLE)))"
+    " / (CAST(n_all AS DOUBLE) * (CAST(n_all AS DOUBLE) + 1.0))"
+    " - 3.0 * (CAST(n_all AS DOUBLE) + 1.0))"
+    " / (1.0 - CAST(tie_term AS DOUBLE)"
+    " / (CAST(n_all AS DOUBLE) * CAST(n_all AS DOUBLE) * CAST(n_all AS DOUBLE)"
+    " - CAST(n_all AS DOUBLE))))"
+)
+
+_KW_IN = ", ".join(f"'{g}'" for g in KW_GROUPS)
+
+ORACLE_KRUSKAL_WALLIS = f"""
+WITH o AS (
+  SELECT o_orderpriority AS grp,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+  WHERE o_orderpriority IN ({_KW_IN})
+),
+ranked AS (
+  SELECT grp, cents,
+         rank() OVER (ORDER BY cents) AS r_min,
+         count(*) OVER (PARTITION BY cents) AS tie_n
+  FROM o
+),
+per AS (
+  SELECT
+    CAST(sum(CASE WHEN grp = '{KW_GROUPS[0]}' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(sum(CASE WHEN grp = '{KW_GROUPS[0]}'
+             THEN 2 * r_min + tie_n - 1 ELSE 0 END) AS BIGINT) AS r1,
+    CAST(sum(CASE WHEN grp = '{KW_GROUPS[1]}' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+    CAST(sum(CASE WHEN grp = '{KW_GROUPS[1]}'
+             THEN 2 * r_min + tie_n - 1 ELSE 0 END) AS BIGINT) AS r2,
+    CAST(sum(CASE WHEN grp = '{KW_GROUPS[2]}' THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+    CAST(sum(CASE WHEN grp = '{KW_GROUPS[2]}'
+             THEN 2 * r_min + tie_n - 1 ELSE 0 END) AS BIGINT) AS r3
+  FROM ranked
+),
+ties AS (
+  SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tie_term
+  FROM (SELECT count(*) AS t FROM o GROUP BY cents)
+),
+fin AS (
+  SELECT *, n1 + n2 + n3 AS n_all
+  FROM per CROSS JOIN ties
+)
+SELECT n1, n2, n3, tie_term,
+       CAST(floor({KW_H_EXPR}) AS BIGINT) AS kw_h_ppm,
+       CASE WHEN CAST(floor({KW_H_EXPR}) AS BIGINT) >= 5991465
+            THEN 1 ELSE 0 END AS significant_95
+FROM fin
+"""
+
+
+# -- McNemar paired-binary test ---------------------------------------------------
+
+MCNEMAR_YEAR_A, MCNEMAR_YEAR_B = 1996, 1997
+
+
+def stats_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test for paired binary outcomes — did customers' purchase
+    propensity CHANGE between two years?  Each customer is its own
+    control (paired design), so only the DISCORDANT pairs carry signal:
+    b = active in year A only, c = active in year B only, and
+    χ² = (b−c)²/(b+c) against chi2(df=1).  The standard readout for
+    before/after product changes where each unit is observed twice.
+
+    Fully integer-exact: the per-customer flags are max(CASE) bits from
+    one grouped pass over orders (year predicate pushed to the scan),
+    b/c/concordant are integer counts, and the statistic is one
+    truncating division onto the bp grid — no floats anywhere.
+    Customers with no orders in either year are concordant (0,0) pairs
+    and contribute nothing, so the orders-only aggregation loses no
+    information (documented; n_pairs counts the active-either-year
+    customers actually aggregated)."""
+    o = read_table(spark, sf_dir, "orders")
+    flags = (
+        o.filter(F.year("o_orderdate").isin(MCNEMAR_YEAR_A, MCNEMAR_YEAR_B))
+        .groupBy("o_custkey")
+        .agg(
+            F.max((F.year("o_orderdate") == MCNEMAR_YEAR_A).cast("int")).alias("a"),
+            F.max((F.year("o_orderdate") == MCNEMAR_YEAR_B).cast("int")).alias("b"),
+        )
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(((F.col("a") == 1) & (F.col("b") == 1)).cast("int"))
+        .cast("long")
+        .alias("concordant_both"),
+        F.sum(((F.col("a") == 1) & (F.col("b") == 0)).cast("int"))
+        .cast("long")
+        .alias("only_a"),
+        F.sum(((F.col("a") == 0) & (F.col("b") == 1)).cast("int"))
+        .cast("long")
+        .alias("only_b"),
+    )
+    return agg.select(
+        "n_pairs",
+        "concordant_both",
+        "only_a",
+        "only_b",
+        F.expr(
+            "CAST((10000 * CAST(only_a - only_b AS DECIMAL(38,0))"
+            " * (only_a - only_b)) div"
+            " CAST(only_a + only_b AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("chi2_bp"),
+    ).withColumn(
+        "significant_95", (F.col("chi2_bp") >= 38415).cast("int")
+    )  # chi2(0.95, df=1) = 3.8415
+
+
+ORACLE_MCNEMAR = f"""
+WITH flags AS (
+  SELECT o_custkey,
+         max(CASE WHEN year(o_orderdate) = {MCNEMAR_YEAR_A} THEN 1 ELSE 0 END) AS a,
+         max(CASE WHEN year(o_orderdate) = {MCNEMAR_YEAR_B} THEN 1 ELSE 0 END) AS b
+  FROM orders
+  WHERE year(o_orderdate) IN ({MCNEMAR_YEAR_A}, {MCNEMAR_YEAR_B})
+  GROUP BY o_custkey
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS concordant_both,
+         CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS only_a,
+         CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS only_b
+  FROM flags
+)
+SELECT n_pairs, concordant_both, only_a, only_b,
+       CAST((10000 * CAST(only_a - only_b AS HUGEINT) * (only_a - only_b))
+            // CAST(only_a + only_b AS HUGEINT) AS BIGINT) AS chi2_bp,
+       CASE WHEN (10000 * CAST(only_a - only_b AS HUGEINT) * (only_a - only_b))
+                 // CAST(only_a + only_b AS HUGEINT) >= 38415
+            THEN 1 ELSE 0 END AS significant_95
+FROM agg
+"""
+
+
+# -- Cramér's V association strength ---------------------------------------------
+
+
+def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V — the normalized effect size the chi-square test
+    (stats_chi2_independence) is missing: at 100 TB row counts EVERY
+    association is "significant", so the dashboard question is "how
+    strong?", which V = sqrt(χ²/(N·(min(R,C)−1))) ∈ [0,1] answers
+    scale-free.  Measured here between order status and order priority
+    (5×3 table, single-table, no join — the chi2 query covers the joined
+    segment×priority pair).
+
+    Exactness: each cell's χ² contribution is floored ONTO THE e8 GRID
+    individually as an exact DECIMAL(38)/HUGEINT rational — per-cell
+    flooring is the defined semantic, so the cross-cell reduction is a
+    sum of INTEGERS (order-independent, unlike a float sum) — and the
+    only float op is one terminal sqrt (IEEE-correctly-rounded in both
+    engines), floored onto ppm.
+
+    Scale shape: ONE count aggregation to the R×C table (map-side
+    combine, 15 keys); marginals ride literal-partitioned windows over
+    those 15 rows; nothing after the first agg touches the scan."""
+    o = read_table(spark, sf_dir, "orders")
+    seen = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("obs")
+    )
+    # complete the R×C grid: a structurally EMPTY cell still carries a χ²
+    # contribution (obs=0 against expected rt·ct/n) — groupBy alone would
+    # silently drop it and understate the statistic exactly when the
+    # association is strongest
+    obs = (
+        seen.select("o_orderstatus")
+        .distinct()
+        .crossJoin(seen.select("o_orderpriority").distinct())
+        .join(seen, ["o_orderstatus", "o_orderpriority"], "left")
+        .withColumn("obs", F.coalesce(F.col("obs"), F.lit(0)))
+    )
+    wr = Window.partitionBy("o_orderstatus")
+    wc = Window.partitionBy("o_orderpriority")
+    wall = Window.partitionBy(const_part(F.col("obs")))
+    t = obs.select(
+        "obs",
+        F.sum("obs").over(wr).alias("rt"),
+        F.sum("obs").over(wc).alias("ct"),
+        F.sum("obs").over(wall).alias("n"),
+    )
+    dec = "CAST({} AS DECIMAL(38,0))"
+    dev = f"({dec.format('obs')} * n - {dec.format('rt')} * ct)"
+    cells = t.selectExpr(
+        f"CAST((CAST(100000000 AS DECIMAL(38,0)) * {dev} * {dev}) div "
+        f"({dec.format('rt')} * ct * n) AS BIGINT) AS cell_e8",
+        "n",
+    )
+    dims = obs.agg(
+        F.least(
+            F.countDistinct("o_orderstatus"), F.countDistinct("o_orderpriority")
+        )
+        .cast("long")
+        .alias("min_dim")
+    )
+    agg = cells.agg(
+        F.sum("cell_e8").cast("long").alias("chi2_e8"),
+        F.max("n").cast("long").alias("n"),
+    ).crossJoin(F.broadcast(dims))
+    return agg.selectExpr(
+        "n",
+        "chi2_e8",
+        "min_dim - 1 AS dof_min",
+        "CAST(floor(1000000.0 * sqrt((CAST(chi2_e8 AS DOUBLE) / 100000000.0)"
+        " / (CAST(n AS DOUBLE) * CAST(min_dim - 1 AS DOUBLE)))) AS BIGINT)"
+        " AS cramers_v_ppm",
+    )
+
+
+ORACLE_CRAMERS_V = """
+WITH seen AS (
+  SELECT o_orderstatus, o_orderpriority, count(*) AS obs
+  FROM orders GROUP BY 1, 2
+),
+obs AS (
+  SELECT g.o_orderstatus, g.o_orderpriority, coalesce(s.obs, 0) AS obs
+  FROM (SELECT DISTINCT a.o_orderstatus, b.o_orderpriority
+        FROM seen a CROSS JOIN seen b) g
+  LEFT JOIN seen s
+    ON g.o_orderstatus = s.o_orderstatus
+   AND g.o_orderpriority = s.o_orderpriority
+),
+t AS (
+  SELECT obs,
+         sum(obs) OVER (PARTITION BY o_orderstatus) AS rt,
+         sum(obs) OVER (PARTITION BY o_orderpriority) AS ct,
+         sum(obs) OVER () AS n
+  FROM obs
+),
+cells AS (
+  SELECT CAST((CAST(100000000 AS HUGEINT)
+               * (CAST(obs AS HUGEINT) * n - CAST(rt AS HUGEINT) * ct)
+               * (CAST(obs AS HUGEINT) * n - CAST(rt AS HUGEINT) * ct))
+              // (CAST(rt AS HUGEINT) * ct * n) AS BIGINT) AS cell_e8,
+         n
+  FROM t
+),
+dims AS (
+  SELECT CAST(least(count(DISTINCT o_orderstatus),
+                    count(DISTINCT o_orderpriority)) AS BIGINT) AS min_dim
+  FROM obs
+),
+agg AS (
+  SELECT CAST(sum(cell_e8) AS BIGINT) AS chi2_e8,
+         CAST(max(n) AS BIGINT) AS n, min_dim
+  FROM cells CROSS JOIN dims
+  GROUP BY min_dim
+)
+SELECT n, chi2_e8, min_dim - 1 AS dof_min,
+       CAST(floor(1000000.0 * sqrt((CAST(chi2_e8 AS DOUBLE) / 100000000.0)
+            / (CAST(n AS DOUBLE) * CAST(min_dim - 1 AS DOUBLE)))) AS BIGINT)
+         AS cramers_v_ppm
+FROM agg
+"""
+
 
 QUERIES = {
     "stats_weighted_median": stats_weighted_median,
     "stats_neyman_allocation": stats_neyman_allocation,
     "stats_neyman_sample": stats_neyman_sample,
     "stats_mann_whitney": stats_mann_whitney,
+    "stats_kruskal_wallis": stats_kruskal_wallis,
+    "stats_mcnemar": stats_mcnemar,
+    "stats_cramers_v": stats_cramers_v,
     "stats_spearman_corr": stats_spearman_corr,
     "stats_trimmed_means": stats_trimmed_means,
     "stats_benford_test": stats_benford_test,
@@ -3947,6 +4287,9 @@ ORACLES = {
     "stats_neyman_allocation": ORACLE_NEYMAN,
     "stats_neyman_sample": ORACLE_NEYMAN_SAMPLE,
     "stats_mann_whitney": ORACLE_MANN_WHITNEY,
+    "stats_kruskal_wallis": ORACLE_KRUSKAL_WALLIS,
+    "stats_mcnemar": ORACLE_MCNEMAR,
+    "stats_cramers_v": ORACLE_CRAMERS_V,
     "stats_spearman_corr": ORACLE_SPEARMAN,
     "stats_trimmed_means": ORACLE_TRIMMED,
     "stats_benford_test": ORACLE_BENFORD,

