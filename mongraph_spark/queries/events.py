@@ -4490,8 +4490,277 @@ FROM lab WHERE rn = 1 OR rn = m
 """
 
 
+# -- Sample autocorrelation function --------------------------------------------
+
+ACF_LAGS = (1, 2, 3, 6, 12, 24)
+
+
+def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation (ACF) of each event type's hourly cents
+    series at the standard chart lags — the first thing a forecaster
+    reads before choosing a model (Holt vs Holt-Winters vs nothing), and
+    the residual-whiteness check after fitting one.
+
+        acf(ℓ) = Σ_{t≤n−ℓ}(y_t−ȳ)(y_{t+ℓ}−ȳ) / Σ_{t≤n}(y_t−ȳ)²
+
+    Fully integer-exact: clearing the mean's 1/n with n² turns both sums
+    into exact DECIMAL(38)/HUGEINT products of (n·y_t − S) terms, and the
+    single ppm division is sign-split so both engines truncate toward
+    zero identically (the numerator is the only signed quantity).  The
+    series index is the HOUR OFFSET from each series' start (epoch
+    difference — timezone cancels); a silent hour simply contributes no
+    pair at lags that would need it (inner join on t+ℓ).
+
+    Scale shape: the hourly rollup is the data-sized reduction (map-side
+    combine); the lag self-join and moment sums run per (type, lag) on
+    the bounded |types|×|hours| rollup — at 100 TB thousands of bounded
+    series, never a global pass."""
+    ev = read_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.sum(cents).alias("y"))
+    w_all = Window.partitionBy("event_type")
+    pts = hourly.select(
+        "event_type",
+        "y",
+        (
+            (
+                F.unix_timestamp("hour")
+                - F.min(F.unix_timestamp("hour")).over(w_all)
+            )
+            / 3600
+        )
+        .cast("long")
+        .alias("t"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum("y").over(w_all).alias("s"),
+    ).withColumn(
+        "dev", F.col("n").cast("decimal(38,0)") * F.col("y") - F.col("s")
+    )
+    den = pts.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_hours"),
+        F.sum(F.col("dev") * F.col("dev")).alias("den"),
+    )
+    lags = spark.range(1).select(
+        F.explode(F.array(*[F.lit(l) for l in ACF_LAGS])).alias("lag")
+    )
+    a = pts.select("event_type", "t", F.col("dev").alias("dev_a"))
+    b = pts.select("event_type", F.col("t").alias("tb"), F.col("dev").alias("dev_b"))
+    num = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (a["event_type"] == b["event_type"])
+            & (F.col("tb") == F.col("t") + F.col("lag")),
+        )
+        .drop(b["event_type"])
+        .groupBy("event_type", "lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.col("dev_a") * F.col("dev_b")).alias("num"),
+        )
+    )
+    return (
+        num.join(den, "event_type")
+        .selectExpr(
+            "event_type",
+            "lag",
+            "n_pairs",
+            "n_hours",
+            # sign-split so Spark div (trunc) and DuckDB // (floor) agree
+            "CAST(CASE WHEN num >= 0"
+            " THEN (CAST(1000000 AS DECIMAL(38,0)) * num) div den"
+            " ELSE -((CAST(1000000 AS DECIMAL(38,0)) * (-num)) div den)"
+            " END AS BIGINT) AS acf_ppm",
+        )
+        .orderBy("event_type", "lag")
+    )
+
+
+_ACF_IN = ", ".join(str(l) for l in ACF_LAGS)
+
+ORACLE_ACF = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+pts AS (
+  SELECT event_type, y,
+         CAST((CAST(epoch(hour) AS BIGINT)
+               - min(CAST(epoch(hour) AS BIGINT))
+                   OVER (PARTITION BY event_type)) / 3600 AS BIGINT) AS t,
+         count(*) OVER (PARTITION BY event_type) AS n,
+         sum(y) OVER (PARTITION BY event_type) AS s
+  FROM hourly
+),
+dv AS (
+  SELECT event_type, t, CAST(n AS HUGEINT) * y - s AS dev, n FROM pts
+),
+den AS (
+  SELECT event_type, CAST(max(n) AS BIGINT) AS n_hours,
+         sum(dev * dev) AS den
+  FROM dv GROUP BY 1
+),
+num AS (
+  SELECT a.event_type, l.lag, CAST(count(*) AS BIGINT) AS n_pairs,
+         sum(a.dev * b.dev) AS num
+  FROM dv a
+  CROSS JOIN (SELECT unnest([{_ACF_IN}]) AS lag) l
+  JOIN dv b ON a.event_type = b.event_type AND b.t = a.t + l.lag
+  GROUP BY 1, 2
+)
+SELECT n.event_type, CAST(n.lag AS INT) AS lag, n.n_pairs, d.n_hours,
+       CAST(CASE WHEN n.num >= 0
+            THEN (1000000 * n.num) // d.den
+            ELSE -((1000000 * (-n.num)) // d.den)
+            END AS BIGINT) AS acf_ppm
+FROM num n JOIN den d ON n.event_type = d.event_type
+ORDER BY 1, 2
+"""
+
+
+# -- Page-Hinkley drift detection -------------------------------------------------
+
+# drift alarm when the normalized PH score exceeds 2% of the series total
+PH_ALARM_PPM = 20000
+
+
+def events_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page–Hinkley drift detector over each event type's hourly cents
+    series — the classic sequential test for an UPWARD mean shift: track
+    U_t = Σ(x_i − x̄_i), the cumulative deviation from the INCREMENTAL
+    mean, and alarm when U_t climbs λ above its running minimum (CUSUM,
+    which this battery has, tests against a FIXED reference mean; PH's
+    self-updating mean is what monitoring pipelines run when no
+    calibration window exists).
+
+    Exactness: the incremental mean is defined ON THE PPM GRID —
+    mean_ppm_t = (10⁶·S_t) div t, an exact floor both engines share — so
+    every deviation, prefix sum U_t, running minimum, and the PH score
+    ph_t = U_t − min_{i≤t}U_i are exact integers.  The alarm threshold
+    is scale-free: drift_score = 10⁶·ph_max / (10⁶·mean grid · n) — i.e.
+    normalized by the series total — so the same PH_ALARM_PPM bar reads
+    identically at sf0.01 and at 100 TB.
+
+    Scale shape: hourly rollup (map-side combine), then three per-type
+    ordered windows over the bounded |types|×|hours| rollup — the same
+    partitioned-prefix shape as the Holt/forecast family."""
+    ev = read_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.sum(cents).alias("y"))
+    return page_hinkley_finish(hourly)
+
+
+def page_hinkley_finish(hourly: DataFrame) -> DataFrame:
+    """The detector over a (event_type, hour, y) rollup — shared verbatim
+    by the streaming twin, whose state is exactly this rollup."""
+    w_ord = Window.partitionBy("event_type").orderBy("hour")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pref = (
+        hourly.withColumn("t", F.row_number().over(w_ord))
+        .withColumn("s", F.sum("y").over(w_cum))
+        .withColumn(
+            "mean_ppm",
+            F.expr(
+                "CASE WHEN s >= 0"
+                " THEN (CAST(1000000 AS DECIMAL(38,0)) * s) div t"
+                " ELSE -((CAST(1000000 AS DECIMAL(38,0)) * (-s)) div t) END"
+            ),
+        )
+        .withColumn(
+            "dev", F.lit(1000000).cast("decimal(38,0)") * F.col("y") - F.col("mean_ppm")
+        )
+        .withColumn("u", F.sum("dev").over(w_cum))
+        .withColumn("m", F.min("u").over(w_cum))
+        .withColumn("ph", F.col("u") - F.col("m"))
+    )
+    w_type = Window.partitionBy("event_type")
+    scored = pref.withColumn("ph_max_w", F.max("ph").over(w_type))
+    agg = scored.groupBy("event_type").agg(
+        F.max("t").cast("long").alias("n_hours"),
+        F.max("s").cast("decimal(38,0)").alias("total"),
+        F.max("ph").alias("ph_max"),
+        F.min(F.when(F.col("ph") == F.col("ph_max_w"), F.col("t")))
+        .cast("long")
+        .alias("ph_argmax_t"),
+    )
+    return agg.selectExpr(
+        "event_type",
+        "n_hours",
+        "ph_argmax_t",
+        "CAST(ph_max div 1000000 AS BIGINT) AS ph_max_cents",
+        "CAST((CAST(1000000 AS DECIMAL(38,0)) * ph_max)"
+        " div (CAST(1000000 AS DECIMAL(38,0)) * total) AS BIGINT)"
+        " AS drift_score_ppm",
+        f"CAST(CASE WHEN (CAST(1000000 AS DECIMAL(38,0)) * ph_max)"
+        f" div (CAST(1000000 AS DECIMAL(38,0)) * total) >= {PH_ALARM_PPM}"
+        f" THEN 1 ELSE 0 END AS INT) AS alarmed",
+    ).orderBy("event_type")
+
+
+ORACLE_PAGE_HINKLEY = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+pref AS (
+  SELECT event_type, y,
+         row_number() OVER w AS t,
+         sum(y) OVER w AS s
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+dev AS (
+  SELECT *,
+         CASE WHEN s >= 0 THEN (CAST(1000000 AS HUGEINT) * s) // t
+              ELSE -((CAST(1000000 AS HUGEINT) * (-s)) // t) END AS mean_ppm
+  FROM pref
+),
+u AS (
+  SELECT *,
+         sum(CAST(1000000 AS HUGEINT) * y - mean_ppm)
+           OVER (PARTITION BY event_type ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS u
+  FROM dev
+),
+ph AS (
+  SELECT *,
+         u - min(u) OVER (PARTITION BY event_type ORDER BY t
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph
+  FROM u
+),
+scored AS (
+  SELECT *, max(ph) OVER (PARTITION BY event_type) AS ph_max_w FROM ph
+),
+agg AS (
+  SELECT event_type,
+         CAST(max(t) AS BIGINT) AS n_hours,
+         max(s) AS total,
+         max(ph) AS ph_max,
+         CAST(min(CASE WHEN ph = ph_max_w THEN t END) AS BIGINT) AS ph_argmax_t
+  FROM scored GROUP BY event_type
+)
+SELECT event_type, n_hours, ph_argmax_t,
+       CAST(ph_max // 1000000 AS BIGINT) AS ph_max_cents,
+       CAST((1000000 * ph_max) // (CAST(1000000 AS HUGEINT) * total) AS BIGINT)
+         AS drift_score_ppm,
+       CAST(CASE WHEN (1000000 * ph_max) // (CAST(1000000 AS HUGEINT) * total)
+                 >= {PH_ALARM_PPM} THEN 1 ELSE 0 END AS INT) AS alarmed
+FROM agg
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "events_holt_trend": events_holt_trend,
+    "events_autocorrelation": events_autocorrelation,
+    "events_page_hinkley": events_page_hinkley,
     "stats_welch_ttest": stats_welch_ttest,
     "stats_brown_forsythe": stats_brown_forsythe,
     "events_lttb_downsample": events_lttb_downsample,
@@ -4569,6 +4838,8 @@ ORACLES = {
     "events_multitouch_attribution": ORACLE_MULTITOUCH,
     "events_ewma_hourly": ORACLE_EWMA,
     "events_holt_trend": ORACLE_HOLT,
+    "events_autocorrelation": ORACLE_ACF,
+    "events_page_hinkley": ORACLE_PAGE_HINKLEY,
     "events_holt_winters": ORACLE_HOLT_WINTERS,
     "events_forecast_backtest": ORACLE_FORECAST_BACKTEST,
     "events_session_paths": ORACLE_SESSION_PATHS,

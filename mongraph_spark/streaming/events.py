@@ -954,6 +954,33 @@ def _oracle_stream_lttb() -> str:
     return ORACLE_LTTB
 
 
+def streaming_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``queries.events.events_page_hinkley`` — the
+    live-drift-monitor shape: the stream maintains the watermarked
+    per-(type, hour) cents rollup (O(|types|·|hours|) state — the
+    detector's ENTIRE input), and the Page–Hinkley scan
+    (``page_hinkley_finish``, shared verbatim) re-runs on read over the
+    continuously-updated rollup.  A monitoring poll pays three bounded
+    per-type prefix windows, never a raw-event replay.  Fully
+    batch-equal, checked by the batch op's own oracle."""
+    from mongraph_spark.queries.events import page_hinkley_finish
+
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 day")
+    agg = ev.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"))
+    with _state_partitioning(spark, sf_dir):
+        out = run_to_table(agg, output_mode="complete")
+    hourly = out.select("event_type", F.col("w.start").alias("hour"), "y")
+    return page_hinkley_finish(hourly)
+
+
+def _oracle_stream_page_hinkley() -> str:
+    from mongraph_spark.queries.events import ORACLE_PAGE_HINKLEY
+
+    return ORACLE_PAGE_HINKLEY
+
+
 def streaming_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of ``queries.corpus.corpus_gopher_rules`` — the
     filter-at-ingest shape: every arriving document is scored against the
@@ -2093,6 +2120,7 @@ QUERIES = {
     "streaming_holt_trend": streaming_holt_trend,
     "streaming_welch_ttest": streaming_welch_ttest,
     "streaming_lttb_downsample": streaming_lttb_downsample,
+    "streaming_page_hinkley": streaming_page_hinkley,
     "streaming_holt_winters": streaming_holt_winters,
     "streaming_forecast_backtest": streaming_forecast_backtest,
     "streaming_gopher_rules": streaming_gopher_rules,
@@ -2126,6 +2154,7 @@ ORACLES = {
     "streaming_holt_trend": _oracle_stream_holt(),
     "streaming_welch_ttest": _oracle_stream_welch(),
     "streaming_lttb_downsample": _oracle_stream_lttb(),
+    "streaming_page_hinkley": _oracle_stream_page_hinkley(),
     "streaming_holt_winters": _oracle_stream_holt_winters(),
     "streaming_forecast_backtest": _oracle_stream_forecast_backtest(),
     "streaming_gopher_rules": _oracle_stream_gopher(),

@@ -11,6 +11,7 @@ from __future__ import annotations
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 
 def _orders_df(spark, rows, schema):
@@ -146,6 +147,113 @@ def test_cramers_v_perfect_and_null_association(spark, tmp_path):
     )
     got = stats_cramers_v(spark, str(tmp_path)).collect()[0]
     assert got.chi2_e8 == 0 and got.cramers_v_ppm == 0
+
+
+def _events_parquet(spark, tmp_path, rows):
+    """rows: (event_id, ts_str, user_id, event_type, value)."""
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, event_type string, value double"
+    ).select(
+        "event_id",
+        F.to_timestamp("ts_s").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+
+def test_autocorrelation_python_replay(spark, tmp_path):
+    """Alternating hourly series: ACF(1) strongly negative, ACF(2)
+    strongly positive; python replays the exact n²-cleared rationals."""
+    from mongraph_spark.queries.events import events_autocorrelation
+
+    vals = [10.0, 50.0] * 6  # 12 hours, alternating
+    rows = [
+        (i, f"2024-01-01 {i:02d}:30:00", 1, "click", v)
+        for i, v in enumerate(vals)
+    ]
+    _events_parquet(spark, tmp_path, rows)
+    got = {
+        (r.lag): r
+        for r in events_autocorrelation(spark, str(tmp_path)).collect()
+    }
+    y = [round(v * 100) for v in vals]
+    n, s = len(y), sum(y)
+    dev = [n * v - s for v in y]
+    den = sum(d * d for d in dev)
+    for lag in (1, 2, 3, 6):
+        num = sum(dev[t] * dev[t + lag] for t in range(n - lag))
+        expect = (
+            (1000000 * num) // den
+            if num >= 0
+            else -((1000000 * (-num)) // den)
+        )
+        assert got[lag].acf_ppm == expect, lag
+        assert got[lag].n_pairs == n - lag
+    assert got[1].acf_ppm < -800000 and got[2].acf_ppm > 800000
+
+
+def test_page_hinkley_detects_upward_shift(spark, tmp_path):
+    """Flat series then a sustained jump: the PH score peaks at the end,
+    the drift score clears the alarm bar, and a no-drift control stays
+    quiet.  Python replays the ppm-grid incremental-mean scan exactly."""
+    from mongraph_spark.queries.events import (
+        PH_ALARM_PPM,
+        events_page_hinkley,
+    )
+
+    flat = [20.0] * 12
+    drift = [20.0] * 6 + [80.0] * 6
+    rows = [
+        (i, f"2024-01-01 {i:02d}:15:00", 1, "steady", v)
+        for i, v in enumerate(flat)
+    ] + [
+        (100 + i, f"2024-01-01 {i:02d}:15:00", 1, "shifted", v)
+        for i, v in enumerate(drift)
+    ]
+    _events_parquet(spark, tmp_path, rows)
+    got = {r.event_type: r for r in events_page_hinkley(spark, str(tmp_path)).collect()}
+
+    def replay(vals):
+        y = [round(v * 100) for v in vals]
+        s = u = 0
+        us = []
+        for t, v in enumerate(y, 1):
+            s += v
+            mean_ppm = (1000000 * s) // t if s >= 0 else -((1000000 * -s) // t)
+            u += 1000000 * v - mean_ppm
+            us.append(u)
+        run, ph_seq = None, []
+        for uu in us:
+            run = uu if run is None else min(run, uu)
+            ph_seq.append(uu - run)
+        ph_max = max(ph_seq)
+        argmax = 1 + ph_seq.index(ph_max)  # first t attaining the max
+        score = (1000000 * ph_max) // (1000000 * sum(y))
+        return ph_max, argmax, score
+
+    ph_max, argmax, score = replay(drift)
+    r = got["shifted"]
+    assert r.ph_max_cents == ph_max // 1000000
+    assert r.ph_argmax_t == argmax == 12
+    assert r.drift_score_ppm == score
+    assert r.alarmed == 1 and score >= PH_ALARM_PPM
+
+    r0 = got["steady"]
+    assert r0.ph_max_cents == 0 and r0.alarmed == 0
+
+
+def test_streaming_page_hinkley_batch_equal(spark):
+    """The twin's watermarked rollup state reproduces the batch detector
+    row-for-row at sf0.001."""
+    from mongraph_spark.queries.events import events_page_hinkley
+    from mongraph_spark.streaming.events import streaming_page_hinkley
+
+    sf = "/root/testdata/sf0.001"
+    batch = sorted(map(tuple, events_page_hinkley(spark, sf).collect()))
+    stream = sorted(map(tuple, streaming_page_hinkley(spark, sf).collect()))
+    assert batch == stream
 
 
 def test_new_stats_plans_stay_partitioned(spark):
