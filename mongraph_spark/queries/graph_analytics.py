@@ -2693,7 +2693,121 @@ deg AS MATERIALIZED (
 ORACLE_RICH_CLUB = _rich_club_oracle()
 
 
+# -- Eigenvector centrality (integer-grid power iteration) -------------------------
+
+EIG_ROUNDS = 6
+EIG_GRID = 1000
+
+
+def graph_eigenvector_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eigenvector centrality on the UNDIRECTED graph — "you matter if
+    your neighbors matter", the recursive-importance score PageRank damps
+    and HITS splits; the classic readout for influence in a symmetrized
+    relationship graph.
+
+    Exactness WITHOUT float normalization: the textbook power iteration
+    renormalizes by the L2 norm each round (a global float reduction
+    whose summation order no two engines share).  Here each round
+    renormalizes onto the INTEGER GRID instead — x' = (G·Σ_{u∼v}x_u) div
+    max — so every score is an exact integer in [0, G], the per-round
+    max is an exact integer aggregate, and the whole iteration is
+    engine-order-independent by construction.  The grid quantization
+    (≤1/G relative per round) is the defined semantic, shared verbatim
+    with the SQL unroll oracle.  Unlike HITS' unnormalized BIGINT trick
+    (bounded to 2 sweeps by overflow), the grid renorm keeps magnitudes
+    CONSTANT — any depth, any scale, same 64-bit arithmetic.
+
+    Scale shape: one symmetrize + distinct, then per round ONE join
+    keyed on src + one map-side-combined agg + a broadcast 1-row max —
+    bounded lineage via pregel.iterate's checkpoint cadence."""
+    eng = tpch.bulk_engine(spark, sf_dir)
+    e = eng.store.edges_df().select("src", "dst")
+    und = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    nodes = eng.store.nodes_df().select("node_id")
+
+    def step(x):
+        c = (
+            x.join(und, x["node_id"] == und["src"])
+            .select(F.col("dst").alias("node_id"), "score")
+            .groupBy("node_id")
+            .agg(F.sum("score").cast("decimal(38,0)").alias("c"))
+        )
+        m = c.agg(F.max("c").alias("m"))
+        return (
+            nodes.join(c, "node_id", "left")
+            .crossJoin(F.broadcast(m))
+            .selectExpr(
+                "node_id",
+                f"CAST((CAST({EIG_GRID} AS DECIMAL(38,0)) * coalesce(c, 0))"
+                " div m AS BIGINT) AS score",
+            )
+        )
+
+    try:
+        x0 = nodes.select("node_id", F.lit(EIG_GRID).cast("long").alias("score"))
+        x, _ = pregel.iterate(x0, step, max_rounds=EIG_ROUNDS, checkpoint_every=2)
+    finally:
+        und.unpersist()
+    coll = (F.col("node_id") / F.lit(10**12)).cast("long")
+    return (
+        x.withColumn("coll_code", coll)
+        .groupBy("coll_code")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.min("score").cast("long").alias("min_score"),
+            F.max("score").cast("long").alias("max_score"),
+            F.sum("score").cast("long").alias("sum_score"),
+        )
+    )
+
+
+def _eigenvector_oracle() -> str:
+    body = """
+und AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM g_edges
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM g_edges
+  )
+),
+x0 AS (SELECT node_id, CAST(1000 AS BIGINT) AS score FROM g_nodes)"""
+    prev = "x0"
+    for k in range(1, EIG_ROUNDS + 1):
+        body += f""",
+c{k} AS (
+  SELECT u.dst AS node_id, CAST(sum(x.score) AS HUGEINT) AS c
+  FROM {prev} x JOIN und u ON x.node_id = u.src
+  GROUP BY u.dst
+),
+m{k} AS (SELECT max(c) AS m FROM c{k}),
+x{k} AS MATERIALIZED (
+  SELECT n.node_id,
+         CAST((CAST({EIG_GRID} AS HUGEINT) * coalesce(c.c, 0)) // m.m AS BIGINT)
+           AS score
+  FROM g_nodes n LEFT JOIN c{k} c ON n.node_id = c.node_id CROSS JOIN m{k} m
+)"""
+        prev = f"x{k}"
+    return tpch.oracle_with(
+        f"""SELECT CAST(node_id // 1000000000000 AS BIGINT) AS coll_code,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(min(score) AS BIGINT) AS min_score,
+       CAST(max(score) AS BIGINT) AS max_score,
+       CAST(sum(score) AS BIGINT) AS sum_score
+FROM x{EIG_ROUNDS}
+GROUP BY 1""",
+        extra_ctes=body.lstrip(",\n"),
+    )
+
+
+ORACLE_EIGENVECTOR = _eigenvector_oracle()
+
+
 QUERIES = {
+    "graph_eigenvector_centrality": graph_eigenvector_centrality,
     "graph_rich_club": graph_rich_club,
     # degree_distribution + copurchase_pairs ride the merged
     # graph_degree_copurchase row (functions kept for internal callers)
@@ -2745,6 +2859,7 @@ ORACLES = {
     "graph_label_propagation": ORACLE_LPA,
     "graph_association_rules": ORACLE_ASSOC,
     "graph_hits": ORACLE_HITS,
+    "graph_eigenvector_centrality": ORACLE_EIGENVECTOR,
     "graph_closeness_landmarks": ORACLE_CLOSENESS,
     "graph_betweenness_landmarks": ORACLE_BETWEENNESS,
     "graph_diameter_double_sweep": ORACLE_DIAMETER,

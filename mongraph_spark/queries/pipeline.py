@@ -2052,7 +2052,77 @@ FROM agg
 """
 
 
+# -- Stratified k-fold split --------------------------------------------------------
+
+KFOLD_K = 5
+
+
+def pipeline_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified k-fold assignment over the corpus — the eval-split
+    primitive behind cross-validation and held-out decontamination
+    checks: every (lang × source) stratum is spread across all K folds
+    so each fold is a miniature of the corpus (a plain hash split leaves
+    small strata entirely inside one fold, biasing per-language evals).
+
+    Determinism: within each stratum, docs are ordered by
+    md5('fold:' || doc_id) (the registry's seedless-shuffle idiom) and
+    fold = (rank − 1) mod K — reproducible anywhere, no seed table, and
+    per-stratum fold sizes differ by ≤ 1 BY CONSTRUCTION (round-robin
+    over a total order), which the audit columns surface.
+
+    Scale shape: one rank window per stratum (stratum-partitioned — at
+    100 TB thousands of independent strata, no global pass) and one
+    map-side-combined audit rollup; the fold stamp itself would be
+    written out as a column, never shuffled again."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    key = F.md5(F.concat(F.lit("fold:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang", "source").orderBy(key, "doc_id")
+    assigned = docs.withColumn(
+        "fold", ((F.row_number().over(w) - 1) % KFOLD_K).cast("int")
+    )
+    return (
+        assigned.groupBy("fold", "lang", "source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .withColumn(
+            "stratum_total",
+            F.sum("n_docs").over(Window.partitionBy("lang", "source")).cast("long"),
+        )
+        .selectExpr(
+            "fold",
+            "lang",
+            "source",
+            "n_docs",
+            "stratum_total",
+            "CAST((1000000 * n_docs) div stratum_total AS BIGINT) AS share_ppm",
+        )
+    )
+
+
+ORACLE_STRATIFIED_KFOLD = f"""
+WITH assigned AS (
+  SELECT lang, source,
+         CAST((row_number() OVER (
+             PARTITION BY lang, source
+             ORDER BY md5('fold:' || CAST(doc_id AS VARCHAR)), doc_id
+           ) - 1) % {KFOLD_K} AS INT) AS fold
+  FROM documents
+),
+agg AS (
+  SELECT fold, lang, source, CAST(count(*) AS BIGINT) AS n_docs
+  FROM assigned GROUP BY 1, 2, 3
+)
+SELECT fold, lang, source, n_docs,
+       CAST(sum(n_docs) OVER (PARTITION BY lang, source) AS BIGINT)
+         AS stratum_total,
+       CAST((1000000 * n_docs)
+            // sum(n_docs) OVER (PARTITION BY lang, source) AS BIGINT)
+         AS share_ppm
+FROM agg
+"""
+
+
 QUERIES = {
+    "pipeline_stratified_kfold": pipeline_stratified_kfold,
     "pipeline_k_anonymity": pipeline_k_anonymity,
     "pipeline_tokenizer_fertility": pipeline_tokenizer_fertility,
     "pipeline_l_diversity": pipeline_l_diversity,
@@ -2080,6 +2150,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "pipeline_stratified_kfold": ORACLE_STRATIFIED_KFOLD,
     "pipeline_k_anonymity": ORACLE_K_ANONYMITY,
     "pipeline_tokenizer_fertility": ORACLE_TOKENIZER_FERTILITY,
     "pipeline_l_diversity": ORACLE_L_DIVERSITY,

@@ -11,7 +11,7 @@ against the synthetic ``lang`` label.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mongraph_spark.queries.dedup import _shingles, dup_corpus
@@ -1274,7 +1274,136 @@ FROM m GROUP BY source
 """
 
 
+# -- RAKE keyword extraction -------------------------------------------------------
+
+RAKE_TOP_K = 20
+
+
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE (Rapid Automatic Keyword Extraction) over the corpus — the
+    phrase-level keyword extractor the battery's word-level TF-IDF and
+    bigram-lift collocations don't cover: candidate phrases are the
+    maximal stopword-free word runs, a word scores deg/freq (deg = Σ
+    lengths of phrases containing it — long-phrase members beat isolated
+    frequent words), and a phrase scores the sum of its word scores.
+
+    Exactness: word scores are floored ONTO THE PPM GRID individually —
+    (10⁶·deg) div freq, exact integers both engines — so a phrase score
+    is a SUM OF INTEGERS (order-independent) and the top-K order
+    (score, occurrences, phrase) is total.  Phrase assembly is
+    order-pinned (sorted by word position), never a collect_list racing
+    partitions.
+
+    Scale shape: one explode → stopword-prefix-sum windows per doc (doc-
+    partitioned), two map-side-combined aggregations (word stats, phrase
+    counts), a broadcast-joined rescore of the DISTINCT phrase
+    vocabulary, and a TakeOrdered top-K — no global sort of the corpus."""
+    docs = scale_out(read_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "word"),
+    ).filter(F.length("word") > 0)
+    w_doc = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = toks.withColumn(
+        "grp", F.sum(F.col("word").isin(STOPWORDS).cast("int")).over(w_doc)
+    ).filter(~F.col("word").isin(STOPWORDS))
+    phrases = marked.groupBy("doc_id", "grp").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda s: s["word"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).alias("phrase_len"),
+    )
+    word_stats = (
+        marked.join(phrases.select("doc_id", "grp", "phrase_len"), ["doc_id", "grp"])
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("phrase_len").alias("deg"),
+        )
+        .selectExpr(
+            "word",
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * deg) div freq AS BIGINT)"
+            " AS word_score_ppm",
+        )
+    )
+    phrase_counts = phrases.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )
+    rescored = (
+        phrase_counts.select(
+            "phrase",
+            "n_occurrences",
+            F.explode(F.split("phrase", " ")).alias("word"),
+        )
+        .join(word_stats, "word")
+        .groupBy("phrase", "n_occurrences")
+        .agg(F.sum("word_score_ppm").cast("long").alias("score_ppm"))
+    )
+    return rescored.orderBy(
+        F.desc("score_ppm"), F.desc("n_occurrences"), "phrase"
+    ).limit(RAKE_TOP_K)
+
+
+ORACLE_RAKE = f"""
+WITH toks AS (
+  SELECT doc_id, t.word, t.pos
+  FROM documents,
+       LATERAL (SELECT unnest(string_split(lower(text), ' ')) AS word,
+                       generate_subscripts(string_split(lower(text), ' '), 1) AS pos) t
+  WHERE length(t.word) > 0
+),
+marked AS (
+  SELECT doc_id, word, pos,
+         sum(CASE WHEN word IN ('{_STOP_SQL}') THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM toks
+),
+nonstop AS (
+  SELECT * FROM marked WHERE word NOT IN ('{_STOP_SQL}')
+),
+phrases AS (
+  SELECT doc_id, grp,
+         string_agg(word, ' ' ORDER BY pos) AS phrase,
+         count(*) AS phrase_len
+  FROM nonstop GROUP BY 1, 2
+),
+word_stats AS (
+  SELECT n.word,
+         CAST((1000000 * CAST(sum(p.phrase_len) AS HUGEINT)) // count(*) AS BIGINT)
+           AS word_score_ppm
+  FROM nonstop n JOIN phrases p ON n.doc_id = p.doc_id AND n.grp = p.grp
+  GROUP BY n.word
+),
+phrase_counts AS (
+  SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences
+  FROM phrases GROUP BY 1
+),
+rescored AS (
+  SELECT pc.phrase, pc.n_occurrences,
+         CAST(sum(ws.word_score_ppm) AS BIGINT) AS score_ppm
+  FROM phrase_counts pc,
+       LATERAL (SELECT unnest(string_split(pc.phrase, ' ')) AS word) pw
+  JOIN word_stats ws ON pw.word = ws.word
+  GROUP BY 1, 2
+)
+SELECT phrase, n_occurrences, score_ppm
+FROM rescored
+ORDER BY score_ppm DESC, n_occurrences DESC, phrase
+LIMIT {RAKE_TOP_K}
+"""
+
+
 QUERIES = {
+    "text_rake_keywords": text_rake_keywords,
     "text_readability": text_readability,
     "text_msttr": text_msttr,
     "text_bpe_train": text_bpe_train,
@@ -1294,6 +1423,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_rake_keywords": ORACLE_RAKE,
     "text_readability": ORACLE_READABILITY,
     "text_msttr": ORACLE_MSTTR,
     "text_bpe_train": ORACLE_BPE_TRAIN,

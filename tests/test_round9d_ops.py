@@ -256,6 +256,79 @@ def test_streaming_page_hinkley_batch_equal(spark):
     assert batch == stream
 
 
+def test_rake_keywords_crafted_corpus(spark, tmp_path):
+    """Two-doc corpus with known phrase structure; python replays the
+    deg/freq ppm grid and the phrase ranking."""
+    from mongraph_spark.queries.text import STOPWORDS, text_rake_keywords
+
+    assert "the" in STOPWORDS and "of" in STOPWORDS
+    texts = [
+        "spark shuffle the spark shuffle of merge",
+        "merge the spark shuffle",
+    ]
+    rows = [(i, t, "en", "web", len(t)) for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = text_rake_keywords(spark, str(tmp_path)).collect()
+
+    # phrases: doc0 -> ["spark shuffle", "spark shuffle", "merge"],
+    # doc1 -> ["merge", "spark shuffle"]
+    # freq: spark=3 shuffle=3 merge=2 ; deg: spark=6 shuffle=6 merge=2
+    ws = {"spark": (1000000 * 6) // 3, "shuffle": (1000000 * 6) // 3, "merge": (1000000 * 2) // 2}
+    expect = {
+        "spark shuffle": (ws["spark"] + ws["shuffle"], 3),
+        "merge": (ws["merge"], 2),
+    }
+    by_phrase = {r.phrase: (r.score_ppm, r.n_occurrences) for r in got}
+    assert by_phrase == expect
+    assert got[0].phrase == "spark shuffle"  # top by score
+
+
+def test_stratified_kfold_balance_and_determinism(spark):
+    """Per-stratum fold sizes differ by at most 1 (round-robin over a
+    total order) and the assignment is bit-reproducible."""
+    from mongraph_spark.queries.pipeline import KFOLD_K, pipeline_stratified_kfold
+
+    sf = "/root/testdata/sf0.001"
+    a = pipeline_stratified_kfold(spark, sf).collect()
+    b = pipeline_stratified_kfold(spark, sf).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    per_stratum = {}
+    for r in a:
+        per_stratum.setdefault((r.lang, r.source), []).append(r.n_docs)
+    for (lang, source), counts in per_stratum.items():
+        assert len(counts) <= KFOLD_K
+        assert max(counts) - min(counts) <= 1, (lang, source, counts)
+        total = sum(counts)
+        for r in a:
+            if (r.lang, r.source) == (lang, source):
+                assert r.stratum_total == total
+
+
+def test_eigenvector_centrality_shape(spark):
+    """Grid invariants on the real sf0.001 graph: scores live on [0, G],
+    the global max is exactly G (the renormalization target), hub
+    collections (region/nation) dominate leaf collections, and the
+    iteration is deterministic."""
+    from mongraph_spark.queries.graph_analytics import (
+        EIG_GRID,
+        graph_eigenvector_centrality,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r.coll_code: r for r in graph_eigenvector_centrality(spark, sf).collect()}
+    assert max(r.max_score for r in rows.values()) == EIG_GRID
+    for r in rows.values():
+        assert 0 <= r.min_score <= r.max_score <= EIG_GRID
+    # region(1)/nation(2) are the symmetrized hubs; parts(5) are leaves
+    assert rows[2].max_score > rows[5].max_score
+    again = {r.coll_code: r for r in graph_eigenvector_centrality(spark, sf).collect()}
+    assert {k: tuple(v) for k, v in rows.items()} == {
+        k: tuple(v) for k, v in again.items()
+    }
+
+
 def test_new_stats_plans_stay_partitioned(spark):
     """No Exchange SinglePartition beyond the documented bounded finishers,
     and no Python eval anywhere (plan-level scale pin)."""
