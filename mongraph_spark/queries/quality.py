@@ -768,6 +768,83 @@ FROM merged GROUP BY source
 """
 
 
+def store_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end exercise of merge-on-read DELETE
+    (:func:`mongraph_spark.sources.merge.delete_where_dv`): build the
+    documents store, vector-delete every doc whose n_chars is divisible
+    by 7 (NO bucket is rewritten — the data files carry forward by
+    manifest reference and a per-bucket key sidecar masks the rows),
+    upsert shifted %10==3 docs (n_chars+1000 — which RESURRECTS the
+    vector-deleted keys among them: the upsert applies-and-clears its
+    buckets' vectors), then vector-delete lang='de' on top (vectors
+    accumulate across versions).  Output = per-source profile of the
+    final logical table; the oracle replays the three mutations in plain
+    SQL over ``documents``, so a reader that misses a vector, a writer
+    that fails to clear one (killing the resurrected keys), or a carry
+    that drops one breaks count, char-sum, or checksum.
+
+    Scale posture: the whole point — the first delete touches ~1/7 of
+    rows spread over EVERY bucket, which copy-on-write would answer with
+    a full-table rewrite; the vector write is one predicate scan plus a
+    KB-scale sidecar, and ``compact`` materializes at maintenance time
+    (pinned in tests, not here)."""
+    import shutil
+    import tempfile
+
+    from mongraph_spark.sources import merge as merge_store
+
+    docs = read_table(spark, sf_dir, "documents")
+    app_id = spark.sparkContext.applicationId
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(tempfile.gettempdir(), f"mg_dv_{app_id}_{sf_tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    merge_store.init_table(docs, root, key="doc_id", n_buckets=8)
+    merge_store.delete_where_dv(spark, root, F.col("n_chars") % 7 == 0)
+    updates = docs.filter(F.col("doc_id") % 10 == 3).withColumn(
+        "n_chars", F.col("n_chars") + 1000
+    )
+    merge_store.upsert(spark, root, updates, key="doc_id")
+    merge_store.delete_where_dv(spark, root, F.col("lang") == "de")
+    final = merge_store.read_current(spark, root).drop("__bucket")
+    return final.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.col("doc_id"), F.col("n_chars"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+        )
+        .cast("bigint")
+        .alias("checksum"),
+    )
+
+
+ORACLE_DELETION_VECTORS = """
+WITH after_dv1 AS (
+  SELECT * FROM documents WHERE NOT (n_chars % 7 = 0)
+),
+upserted AS (
+  -- upsert replaces by key over the DV-applied state: survivors that are
+  -- not update keys, plus ALL update rows (resurrection included)
+  SELECT doc_id, lang, source, n_chars FROM after_dv1 WHERE doc_id % 10 != 3
+  UNION ALL
+  SELECT doc_id, lang, source, n_chars + 1000 AS n_chars
+  FROM documents WHERE doc_id % 10 = 3
+),
+final AS (
+  SELECT * FROM upserted WHERE NOT (lang = 'de')
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(n_chars AS VARCHAR)), 1, 8))::BIGINT) AS BIGINT) AS checksum
+FROM final GROUP BY source
+"""
+
+
 # -- Z-order layout & data skipping ---------------------------------------------------
 
 ZORDER_BITS = 4  # 16 levels per dimension -> 256 z-cells -> 64 files
@@ -2425,6 +2502,7 @@ QUERIES = {
     "store_compact_rebase": store_compact_rebase,
     "store_compaction": store_compaction,
     "store_merge_into": store_merge_into,
+    "store_deletion_vectors": store_deletion_vectors,
     "store_history": store_history,
     "store_conflict_retry": store_conflict_retry,
     "ivm_agg_delta": ivm_agg_delta,
@@ -2450,6 +2528,7 @@ ORACLES = {
     "store_compact_rebase": ORACLE_COMPACT_REBASE,
     "store_compaction": ORACLE_COMPACTION,
     "store_merge_into": ORACLE_MERGE_INTO,
+    "store_deletion_vectors": ORACLE_DELETION_VECTORS,
     "store_history": ORACLE_STORE_HISTORY,
     "store_conflict_retry": ORACLE_CONFLICT_RETRY,
     "ivm_agg_delta": ORACLE_IVM_AGG,
