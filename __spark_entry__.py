@@ -118,17 +118,20 @@ CORE_ORDER = [
     "events_lttb_downsample",  # parallel fixed-anchor LTTB, integer argmax
     "streaming_lttb_downsample",  # live-chart decimation over rollup state
     "pipeline_tokenizer_fertility",  # subwords/word + bytes/subword audit
-    # — round-9 re-proof slots (merge.py + streaming lsh touched) —
+    # — round-9 re-proof slots (merge.py touched again by the fourth
+    #   sweep's deletion-vector integration: every reader, every
+    #   bucket-rewriting writer, vacuum reachability, restore, clone) —
     "streaming_lsh_dedup",  # shingle-store removal + batch widening (#4)
-    "store_vacuum_retention",  # unified commit clock + retention floor (#2)
-    "store_merge_into",  # merge.py rebase-commit wait + constraint hooks
-    "store_compaction",  # compact refactor (_compact_write split)
+    "store_vacuum_retention",  # unified clock + DV-file reachability
+    "store_merge_into",  # merge path now applies/clears deletion vectors
+    "store_compaction",  # compact now materializes pending vectors
     "store_conflict_retry",  # claim protocol paths re-proved
     "store_history",  # version/commit mechanics re-proved
-    # — stalest driver evidence refresh (r3-vintage rows) —
-    "graph_pagerank",
-    "mm_image_features",
-    "range_join_price_bands",
+    # — round-9 fourth sweep (flagship rows; the remaining 7 fourth-sweep
+    #   ops ride the extended registry until the next rotation) —
+    "store_deletion_vectors",  # merge-on-read DELETE, full lifecycle
+    "streaming_page_hinkley",  # drift detector over streamed rollup state
+    "stats_kruskal_wallis",  # k-sample rank test, doubled-rank exact
 ]
 
 assert len(CORE_ORDER) == 50, len(CORE_ORDER)
