@@ -4520,6 +4520,13 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("hour")
     ).agg(F.sum(cents).alias("y"))
+    return acf_finish(hourly)
+
+
+def acf_finish(hourly: DataFrame) -> DataFrame:
+    """The ACF itself over a (event_type, hour, y) rollup — shared
+    verbatim by the streaming twin, whose state is exactly this rollup."""
+    spark = hourly.sparkSession
     w_all = Window.partitionBy("event_type")
     pts = hourly.select(
         "event_type",
@@ -4545,16 +4552,22 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     lags = spark.range(1).select(
         F.explode(F.array(*[F.lit(l) for l in ACF_LAGS])).alias("lag")
     )
+    # distinct column names on the two sides: frame-object join conditions
+    # (a["x"] == b["x"]) resolve ambiguously when the shared lineage has
+    # been localCheckpointed (the streaming twin's state table)
     a = pts.select("event_type", "t", F.col("dev").alias("dev_a"))
-    b = pts.select("event_type", F.col("t").alias("tb"), F.col("dev").alias("dev_b"))
+    b = pts.select(
+        F.col("event_type").alias("event_type_b"),
+        F.col("t").alias("tb"),
+        F.col("dev").alias("dev_b"),
+    )
     num = (
         a.crossJoin(F.broadcast(lags))
         .join(
             b,
-            (a["event_type"] == b["event_type"])
+            (F.col("event_type") == F.col("event_type_b"))
             & (F.col("tb") == F.col("t") + F.col("lag")),
         )
-        .drop(b["event_type"])
         .groupBy("event_type", "lag")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_pairs"),
@@ -4618,6 +4631,119 @@ SELECT n.event_type, CAST(n.lag AS INT) AS lag, n.n_pairs, d.n_hours,
             END AS BIGINT) AS acf_ppm
 FROM num n JOIN den d ON n.event_type = d.event_type
 ORDER BY 1, 2
+"""
+
+
+# -- Hampel rolling-median despiking ---------------------------------------------
+
+HAMPEL_HALF = 3          # window = 3 each side + center = 7 points
+HAMPEL_K_E4 = 44478      # 3 * 1.4826 (the MAD-to-sigma constant) on the e4 grid
+
+
+def events_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel filter over each event type's hourly cents series — the
+    robust despiking pass (rolling MEDIAN ± k·MAD) monitoring pipelines
+    run before feeding a forecaster: unlike a z-score window, one
+    outlier cannot inflate its own rejection threshold, because both the
+    center and the scale are medians.
+
+    Exactness: the rolling window is materialized as a per-row ARRAY
+    (7 points; truncated at the series edges — defined semantics), the
+    center is the LOWER median (sorted array element (n+1) div 2), the
+    scale the lower median of |x−med| over the same array, and the flag
+    compares 10⁴·|x−med| > K_e4·mad in pure integers (K_e4 folds the
+    3·1.4826 Gaussian consistency constant onto the e4 grid).  Every
+    step is an integer array HOF both engines evaluate identically —
+    no float anywhere.
+
+    Scale shape: hourly rollup (map-side combine), ONE bounded rolling
+    window per series (7-row frame, series-partitioned), per-row HOFs;
+    the report is a per-type rollup of the flags."""
+    ev = read_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.sum(cents).alias("y"))
+    w_roll = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-HAMPEL_HALF, HAMPEL_HALF)
+    )
+    w_ord = Window.partitionBy("event_type").orderBy("hour")
+    arr = hourly.withColumn("win", F.collect_list("y").over(w_roll)).withColumn(
+        "t", F.row_number().over(w_ord)
+    )
+    med_of = (
+        lambda a: F.element_at(
+            F.array_sort(a), ((F.size(a) + 1) / 2).cast("int")
+        )
+    )
+    scored = (
+        arr.withColumn("med", med_of(F.col("win")))
+        .withColumn(
+            "mad",
+            med_of(F.transform(F.col("win"), lambda v: F.abs(v - F.col("med")))),
+        )
+        .withColumn("dev", F.abs(F.col("y") - F.col("med")))
+        .withColumn(
+            "is_outlier",
+            (F.lit(10000) * F.col("dev") > F.lit(HAMPEL_K_E4) * F.col("mad")).cast(
+                "int"
+            ),
+        )
+    )
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.sum("is_outlier").cast("long").alias("n_outliers"),
+        F.max(F.when(F.col("is_outlier") == 1, F.col("dev"))).cast("long").alias(
+            "max_outlier_dev_cents"
+        ),
+        F.sum(F.when(F.col("is_outlier") == 1, F.col("t")).otherwise(0))
+        .cast("long")
+        .alias("outlier_t_sum"),
+    )
+
+
+ORACLE_HAMPEL = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+arr AS (
+  SELECT event_type, y,
+         list(y) OVER (PARTITION BY event_type ORDER BY hour
+                       ROWS BETWEEN {HAMPEL_HALF} PRECEDING
+                                AND {HAMPEL_HALF} FOLLOWING) AS win,
+         row_number() OVER (PARTITION BY event_type ORDER BY hour) AS t
+  FROM hourly
+),
+med AS (
+  SELECT *,
+         list_sort(win)[CAST((len(win) + 1) // 2 AS INT)] AS med
+  FROM arr
+),
+scored AS (
+  SELECT *,
+         list_sort(list_transform(win, v -> abs(v - med)))
+           [CAST((len(win) + 1) // 2 AS INT)] AS mad,
+         abs(y - med) AS dev
+  FROM med
+),
+flagged AS (
+  SELECT *,
+         CASE WHEN 10000 * dev > {HAMPEL_K_E4} * mad THEN 1 ELSE 0 END
+           AS is_outlier
+  FROM scored
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_hours,
+       CAST(sum(is_outlier) AS BIGINT) AS n_outliers,
+       CAST(max(CASE WHEN is_outlier = 1 THEN dev END) AS BIGINT)
+         AS max_outlier_dev_cents,
+       CAST(sum(CASE WHEN is_outlier = 1 THEN t ELSE 0 END) AS BIGINT)
+         AS outlier_t_sum
+FROM flagged GROUP BY event_type
 """
 
 
@@ -4761,6 +4887,7 @@ QUERIES = {
     "events_holt_trend": events_holt_trend,
     "events_autocorrelation": events_autocorrelation,
     "events_page_hinkley": events_page_hinkley,
+    "events_hampel_filter": events_hampel_filter,
     "stats_welch_ttest": stats_welch_ttest,
     "stats_brown_forsythe": stats_brown_forsythe,
     "events_lttb_downsample": events_lttb_downsample,
@@ -4840,6 +4967,7 @@ ORACLES = {
     "events_holt_trend": ORACLE_HOLT,
     "events_autocorrelation": ORACLE_ACF,
     "events_page_hinkley": ORACLE_PAGE_HINKLEY,
+    "events_hampel_filter": ORACLE_HAMPEL,
     "events_holt_winters": ORACLE_HOLT_WINTERS,
     "events_forecast_backtest": ORACLE_FORECAST_BACKTEST,
     "events_session_paths": ORACLE_SESSION_PATHS,

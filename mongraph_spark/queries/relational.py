@@ -4059,6 +4059,115 @@ FROM agg
 """
 
 
+# -- Cochran's Q k-treatment paired-binary test ------------------------------------
+
+COCHRAN_YEARS = (1996, 1997, 1998)
+
+
+def stats_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q — the k-treatment generalization of McNemar (which this
+    battery has for k=2): did customers' purchase propensity differ
+    across THREE years, with every customer serving as its own block?
+    The standard readout for k repeated binary measurements on the same
+    units (k model versions scored on the same eval set is the
+    training-pipeline instance).
+
+        Q = k(k−1)·Σ_j(G_j − N/k)² / (k·N − Σ L_i²)
+
+    (G_j = per-year totals, L_i = per-customer totals, N = ΣL).  Clearing
+    N/k with k² makes the numerator Σ(k·G_j − N)² exact, so
+    Q_bp = 10⁴(k−1)·Σ(kG_j−N)² div (k·(kN − ΣL²)) is one truncating
+    integer division both engines share — no floats anywhere.  Customers
+    active in no qualifying year are all-zero blocks and contribute
+    nothing, so the orders-only aggregation loses no information; the
+    all-ones blocks (active every year) are counted but likewise carry
+    no signal.
+
+    Shape: one grouped pass over orders (year predicate pushed to the
+    scan) pivoting per-customer flags, one 1-row reduction — McNemar's
+    exact scale posture with k columns."""
+    o = read_table(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    flags = (
+        o.filter(yr.isin(*COCHRAN_YEARS))
+        .groupBy("o_custkey")
+        .agg(
+            *[
+                F.max((yr == y).cast("int")).alias(f"x{i}")
+                for i, y in enumerate(COCHRAN_YEARS, 1)
+            ]
+        )
+    )
+    k = len(COCHRAN_YEARS)
+    l_i = sum(F.col(f"x{i}") for i in range(1, k + 1))
+    agg = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n_subjects"),
+        *[
+            F.sum(f"x{i}").cast("long").alias(f"g{i}")
+            for i in range(1, k + 1)
+        ],
+        F.sum(l_i).cast("long").alias("n_total"),
+        F.sum(l_i * l_i).cast("long").alias("l_sq"),
+    )
+    dev_sq = " + ".join(
+        f"(CAST({k} AS DECIMAL(38,0)) * g{i} - n_total)"
+        f" * (CAST({k} AS DECIMAL(38,0)) * g{i} - n_total)"
+        for i in range(1, k + 1)
+    )
+    q_expr = (
+        f"(CAST(10000 AS DECIMAL(38,0)) * {k - 1} * ({dev_sq}))"
+        f" div (CAST({k} AS DECIMAL(38,0))"
+        f" * (CAST({k} AS DECIMAL(38,0)) * n_total - l_sq))"
+    )
+    return agg.selectExpr(
+        "n_subjects",
+        *[f"g{i}" for i in range(1, k + 1)],
+        f"CAST({q_expr} AS BIGINT) AS q_bp",
+    ).withColumn(
+        "significant_95", (F.col("q_bp") >= 59915).cast("int")
+    )  # chi2(0.95, df=k-1=2) = 5.9915
+
+
+_CQ_IN = ", ".join(str(y) for y in COCHRAN_YEARS)
+_CQ_K = len(COCHRAN_YEARS)
+_CQ_FLAGS = ",\n         ".join(
+    f"max(CASE WHEN year(o_orderdate) = {y} THEN 1 ELSE 0 END) AS x{i}"
+    for i, y in enumerate(COCHRAN_YEARS, 1)
+)
+_CQ_L = " + ".join(f"x{i}" for i in range(1, _CQ_K + 1))
+_CQ_DEV = " + ".join(
+    f"(CAST({_CQ_K} AS HUGEINT) * g{i} - n_total)"
+    f" * (CAST({_CQ_K} AS HUGEINT) * g{i} - n_total)"
+    for i in range(1, _CQ_K + 1)
+)
+_CQ_Q = (
+    f"(CAST(10000 AS HUGEINT) * {_CQ_K - 1} * ({_CQ_DEV}))"
+    f" // (CAST({_CQ_K} AS HUGEINT)"
+    f" * (CAST({_CQ_K} AS HUGEINT) * n_total - l_sq))"
+)
+
+ORACLE_COCHRAN_Q = f"""
+WITH flags AS (
+  SELECT o_custkey,
+         {_CQ_FLAGS}
+  FROM orders
+  WHERE year(o_orderdate) IN ({_CQ_IN})
+  GROUP BY o_custkey
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_subjects,
+         {", ".join(f"CAST(sum(x{i}) AS BIGINT) AS g{i}" for i in range(1, _CQ_K + 1))},
+         CAST(sum({_CQ_L}) AS BIGINT) AS n_total,
+         CAST(sum(({_CQ_L}) * ({_CQ_L})) AS BIGINT) AS l_sq
+  FROM flags
+)
+SELECT n_subjects, {", ".join(f"g{i}" for i in range(1, _CQ_K + 1))},
+       CAST({_CQ_Q} AS BIGINT) AS q_bp,
+       CASE WHEN {_CQ_Q} >= 59915 THEN 1 ELSE 0 END AS significant_95
+FROM agg
+"""
+
+
 # -- Cramér's V association strength ---------------------------------------------
 
 
@@ -4187,6 +4296,7 @@ QUERIES = {
     "stats_mann_whitney": stats_mann_whitney,
     "stats_kruskal_wallis": stats_kruskal_wallis,
     "stats_mcnemar": stats_mcnemar,
+    "stats_cochran_q": stats_cochran_q,
     "stats_cramers_v": stats_cramers_v,
     "stats_spearman_corr": stats_spearman_corr,
     "stats_trimmed_means": stats_trimmed_means,
@@ -4289,6 +4399,7 @@ ORACLES = {
     "stats_mann_whitney": ORACLE_MANN_WHITNEY,
     "stats_kruskal_wallis": ORACLE_KRUSKAL_WALLIS,
     "stats_mcnemar": ORACLE_MCNEMAR,
+    "stats_cochran_q": ORACLE_COCHRAN_Q,
     "stats_cramers_v": ORACLE_CRAMERS_V,
     "stats_spearman_corr": ORACLE_SPEARMAN,
     "stats_trimmed_means": ORACLE_TRIMMED,

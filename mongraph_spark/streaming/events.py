@@ -981,6 +981,38 @@ def _oracle_stream_page_hinkley() -> str:
     return ORACLE_PAGE_HINKLEY
 
 
+def streaming_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``queries.events.events_autocorrelation`` — the
+    live seasonality readout: the stream maintains the watermarked
+    per-(type, hour) cents rollup (the ACF's ENTIRE input), and the lag
+    correlation scan (``acf_finish``, shared verbatim) re-runs on read
+    over the continuously-updated rollup.  A dashboard poll pays the
+    bounded per-series lag joins, never a raw-event replay.  Fully
+    batch-equal, checked by the batch op's own oracle."""
+    from mongraph_spark.queries.events import acf_finish
+
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 day")
+    agg = ev.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"))
+    with _state_partitioning(spark, sf_dir):
+        out = run_to_table(agg, output_mode="complete")
+    # the finisher self-joins its input; through the memory-sink view the
+    # shared attribute ids defeat Spark's self-join dedup (the lttb twin's
+    # rename workaround) — a local checkpoint of the BOUNDED rollup state
+    # (|types|x|hours| rows) detaches the lineage cleanly instead
+    hourly = out.select(
+        "event_type", F.col("w.start").alias("hour"), "y"
+    ).localCheckpoint(eager=True)
+    return acf_finish(hourly)
+
+
+def _oracle_stream_acf() -> str:
+    from mongraph_spark.queries.events import ORACLE_ACF
+
+    return ORACLE_ACF
+
+
 def streaming_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of ``queries.corpus.corpus_gopher_rules`` — the
     filter-at-ingest shape: every arriving document is scored against the
@@ -2121,6 +2153,7 @@ QUERIES = {
     "streaming_welch_ttest": streaming_welch_ttest,
     "streaming_lttb_downsample": streaming_lttb_downsample,
     "streaming_page_hinkley": streaming_page_hinkley,
+    "streaming_autocorrelation": streaming_autocorrelation,
     "streaming_holt_winters": streaming_holt_winters,
     "streaming_forecast_backtest": streaming_forecast_backtest,
     "streaming_gopher_rules": streaming_gopher_rules,
@@ -2155,6 +2188,7 @@ ORACLES = {
     "streaming_welch_ttest": _oracle_stream_welch(),
     "streaming_lttb_downsample": _oracle_stream_lttb(),
     "streaming_page_hinkley": _oracle_stream_page_hinkley(),
+    "streaming_autocorrelation": _oracle_stream_acf(),
     "streaming_holt_winters": _oracle_stream_holt_winters(),
     "streaming_forecast_backtest": _oracle_stream_forecast_backtest(),
     "streaming_gopher_rules": _oracle_stream_gopher(),

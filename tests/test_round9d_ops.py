@@ -256,6 +256,78 @@ def test_streaming_page_hinkley_batch_equal(spark):
     assert batch == stream
 
 
+def test_cochran_q_python_replay(spark, tmp_path):
+    """Crafted 3-year design; python replays the integer Q exactly."""
+    import datetime
+
+    from mongraph_spark.queries.relational import COCHRAN_YEARS, stats_cochran_q
+
+    y1, y2, y3 = COCHRAN_YEARS
+    # per-customer activity patterns across the three years
+    patterns = [
+        (1, 1, 1),  # always active (no signal)
+        (1, 0, 0),
+        (1, 1, 0),
+        (1, 0, 0),
+        (0, 1, 0),
+        (1, 1, 0),
+    ]
+    rows, ok = [], 0
+    for cust, pat in enumerate(patterns, 1):
+        for y, active in zip((y1, y2, y3), pat):
+            if active:
+                rows.append((ok, cust, datetime.datetime(y, 5, 1)))
+                ok += 1
+    _write_orders(
+        spark, tmp_path, rows,
+        "o_orderkey long, o_custkey long, o_orderdate timestamp",
+    )
+    got = stats_cochran_q(spark, str(tmp_path)).collect()[0]
+    k = 3
+    g = [sum(p[j] for p in patterns) for j in range(k)]
+    ls = [sum(p) for p in patterns]
+    n = sum(ls)
+    dev = sum((k * gj - n) ** 2 for gj in g)
+    q_bp = (10000 * (k - 1) * dev) // (k * (k * n - sum(l * l for l in ls)))
+    assert (got.g1, got.g2, got.g3) == tuple(g)
+    assert got.n_subjects == len(patterns)
+    assert got.q_bp == q_bp
+    assert got.significant_95 == (1 if q_bp >= 59915 else 0)
+
+
+def test_hampel_flags_spike_not_step(spark, tmp_path):
+    """A lone spike is flagged; a legitimate level shift is NOT (the
+    rolling median follows the step) — the property that distinguishes
+    Hampel from a z-score window."""
+    from mongraph_spark.queries.events import events_hampel_filter
+
+    spike = [20.0] * 6 + [500.0] + [20.0] * 5          # one outlier
+    step = [20.0] * 6 + [60.0] * 6                      # regime change
+    rows = [
+        (i, f"2024-01-01 {i:02d}:05:00", 1, "spiky", v)
+        for i, v in enumerate(spike)
+    ] + [
+        (100 + i, f"2024-01-01 {i:02d}:05:00", 1, "steppy", v)
+        for i, v in enumerate(step)
+    ]
+    _events_parquet(spark, tmp_path, rows)
+    got = {r.event_type: r for r in events_hampel_filter(spark, str(tmp_path)).collect()}
+    assert got["spiky"].n_outliers == 1
+    assert got["spiky"].outlier_t_sum == 7  # the spike's 1-based index
+    assert got["spiky"].max_outlier_dev_cents == (50000 - 2000)
+    assert got["steppy"].n_outliers == 0
+
+
+def test_streaming_acf_batch_equal(spark):
+    from mongraph_spark.queries.events import events_autocorrelation
+    from mongraph_spark.streaming.events import streaming_autocorrelation
+
+    sf = "/root/testdata/sf0.001"
+    batch = sorted(map(tuple, events_autocorrelation(spark, sf).collect()))
+    stream = sorted(map(tuple, streaming_autocorrelation(spark, sf).collect()))
+    assert batch == stream
+
+
 def test_rake_keywords_crafted_corpus(spark, tmp_path):
     """Two-doc corpus with known phrase structure; python replays the
     deg/freq ppm grid and the phrase ranking."""
