@@ -4587,7 +4587,6 @@ def acf_finish(hourly: DataFrame) -> DataFrame:
             " ELSE -((CAST(1000000 AS DECIMAL(38,0)) * (-num)) div den)"
             " END AS BIGINT) AS acf_ppm",
         )
-        .orderBy("event_type", "lag")
     )
 
 
@@ -4825,7 +4824,7 @@ def page_hinkley_finish(hourly: DataFrame) -> DataFrame:
         f"CAST(CASE WHEN (CAST(1000000 AS DECIMAL(38,0)) * ph_max)"
         f" div (CAST(1000000 AS DECIMAL(38,0)) * total) >= {PH_ALARM_PPM}"
         f" THEN 1 ELSE 0 END AS INT) AS alarmed",
-    ).orderBy("event_type")
+    )
 
 
 ORACLE_PAGE_HINKLEY = f"""

@@ -615,6 +615,19 @@ def _claim_next(root: str, wait_s: float = 5.0, poll_s: float = 0.05) -> str:
             time.sleep(poll_s)
 
 
+def _claim_base(ver: str) -> str | None:
+    """The claimed version's predecessor — the only correct snapshot for a
+    fail-fast writer to build on.  A commit can land in the gap between a
+    writer's pre-claim snapshot read and its claim; planning against that
+    stale snapshot would silently drop the intervening writer's buckets
+    from the new manifest, and the flip check cannot catch it (it
+    compares the pointer against the claim's predecessor, which the
+    intervening commit IS).  Every fail-fast mutation therefore re-bases
+    its snapshot on the claim immediately after winning it."""
+    n = int(ver.split("_")[1])
+    return None if n == 0 else _version_name(n - 1)
+
+
 def _release_claim(root: str, ver: str) -> None:
     try:
         os.unlink(_claim_path(root, ver))
@@ -1379,6 +1392,7 @@ def upsert(
     if occ == "rebase" and meta["key"] is not None and cur is not None:
         return _upsert_rebase(spark, root, deduped, key, meta, cur)
     ver = _next_version(root)
+    cur = _claim_base(ver)  # re-base the snapshot under the claim
 
     if meta["key"] is not None:
         if meta["key"] != key:
@@ -1610,14 +1624,7 @@ def compact(
         raise ValueError("compact requires a bucketed table (init_table with key)")
     manifest = _read_manifest(root, cur)
 
-    plan: dict[str, int] = {}  # bucket -> n target files
-    for b, rel in manifest.items():
-        d = os.path.join(root, rel)
-        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
-        nbytes = sum(os.path.getsize(os.path.join(d, f)) for f in files)
-        n_target = max(max_files_per_bucket, -(-nbytes // target_bytes))
-        if len(files) > n_target:
-            plan[b] = int(n_target)
+    plan = _compact_plan(root, manifest, max_files_per_bucket, target_bytes)
     if not plan:
         return cur, []
     if occ == "rebase":
@@ -1626,6 +1633,12 @@ def compact(
         )
 
     ver = _next_version(root)
+    cur = _claim_base(ver)  # re-base snapshot + plan under the claim
+    manifest = _read_manifest(root, cur)
+    plan = _compact_plan(root, manifest, max_files_per_bucket, target_bytes)
+    if not plan:
+        _release_claim(root, ver)
+        return cur, []
     _compact_write(
         spark,
         root,
@@ -1645,6 +1658,25 @@ def compact(
     _write_commit(root, ver, "compact", sorted(plan))
     _flip(root, ver)
     return ver, sorted(plan)
+
+
+def _compact_plan(
+    root: str,
+    manifest: dict[str, str],
+    max_files_per_bucket: int,
+    target_bytes: int,
+) -> dict[str, int]:
+    """Buckets whose file count exceeds their size-derived target —
+    metadata-only (os.listdir per bucket dir, no data read)."""
+    plan: dict[str, int] = {}  # bucket -> n target files
+    for b, rel in manifest.items():
+        d = os.path.join(root, rel)
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        nbytes = sum(os.path.getsize(os.path.join(d, f)) for f in files)
+        n_target = max(max_files_per_bucket, -(-nbytes // target_bytes))
+        if len(files) > n_target:
+            plan[b] = int(n_target)
+    return plan
 
 
 def _compact_write(
@@ -1790,6 +1822,7 @@ def delete_where(
     if occ == "rebase" and meta["key"] is not None:
         return _delete_rebase(spark, root, condition, keep, meta, cur)
     ver = _next_version(root)
+    cur = _claim_base(ver)  # re-base the snapshot under the claim
 
     if meta["key"] is not None:
         n_buckets = meta["n_buckets"]
@@ -1947,6 +1980,7 @@ def delete_where_dv(spark: SparkSession, root: str, condition) -> str:
     if cur is None:
         raise ValueError(f"no current version under {root}")
     ver = _next_version(root)
+    cur = _claim_base(ver)  # re-base the snapshot under the claim
     try:
         # the predicate runs over the DV-APPLIED view: rows already
         # vector-deleted are invisible, so re-deleting them is a no-op
@@ -2055,6 +2089,8 @@ def merge_into(
     cur = current_version(root)
     rebase = occ == "rebase" and cur is not None
     ver = None if rebase else _next_version(root)
+    if ver is not None:
+        cur = _claim_base(ver)  # re-base the snapshot under the claim
     keys_b = src.select(key).withColumn(_BUCKET, _bucket_expr(key, n_buckets))
     touched = sorted(
         str(r[_BUCKET]) for r in keys_b.select(_BUCKET).distinct().collect()
@@ -2363,10 +2399,12 @@ def rebucket(spark: SparkSession, root: str, n_buckets: int) -> str:
         raise ValueError("rebucket requires a bucketed table")
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
-    cur = read_current(spark, root)
-    if cur is None:
+    if current_version(root) is None:
         raise ValueError(f"no current version under {root}")
     ver = _next_version(root)
+    # resolve the snapshot UNDER the claim: read_current binds the manifest
+    # at call time, so reading before the claim could rewrite a stale state
+    cur = read_current(spark, root)
     cur.withColumn(_BUCKET, _bucket_expr(meta["key"], n_buckets)).write.mode(
         "errorifexists"
     ).partitionBy(_BUCKET).parquet(os.path.join(root, ver))

@@ -213,6 +213,42 @@ def test_dv_rebase_conflict_on_vector_overlap(spark, tmp_path):
     assert not os.path.isdir(staging) or not os.listdir(staging)
 
 
+def test_failfast_snapshot_rebased_under_claim(spark, tmp_path, monkeypatch):
+    """A commit landing in the gap between a fail-fast writer's snapshot
+    read and its claim must NOT be lost: the writer re-bases its snapshot
+    on the claim's predecessor (_claim_base), so the intervening writer's
+    buckets survive into the new manifest.  Before the fix, the stale
+    pre-claim manifest silently overwrote them and the flip check could
+    not catch it (it compares against the claim's predecessor, which the
+    intervening commit IS)."""
+    root = _tbl(spark, tmp_path)
+    real_next = M._next_version
+    fired = {}
+
+    def racing_next(r):
+        if r == root and not fired:
+            fired["x"] = True
+            # a competing writer FULLY COMMITS inside the gap (its own
+            # claim goes through the un-intercepted path via `fired`)
+            M.upsert(
+                spark,
+                root,
+                spark.createDataFrame([(50, "race", 1)], "id long, s string, v long"),
+                key="id",
+            )
+        return real_next(r)
+
+    monkeypatch.setattr(M, "_next_version", racing_next)
+    M.upsert(
+        spark,
+        root,
+        spark.createDataFrame([(60, "mine", 2)], "id long, s string, v long"),
+        key="id",
+    )
+    got = {r.id: r.s for r in M.read_current(spark, root).collect()}
+    assert got.get(50) == "race" and got.get(60) == "mine"
+
+
 def test_dv_read_where_and_as_of(spark, tmp_path):
     import time
 
