@@ -402,14 +402,37 @@ def test_eigenvector_centrality_shape(spark):
 
 
 def test_new_stats_plans_stay_partitioned(spark):
-    """No Exchange SinglePartition beyond the documented bounded finishers,
-    and no Python eval anywhere (plan-level scale pin)."""
+    """No Python eval anywhere in the fourth/fifth-sweep plans, and the
+    per-series/stratum windows shuffle on their keys — no Exchange
+    SinglePartition beyond the documented bounded finishers (plan-level
+    scale pin)."""
+    from mongraph_spark.queries.events import (
+        events_autocorrelation,
+        events_hampel_filter,
+        events_page_hinkley,
+    )
+    from mongraph_spark.queries.pipeline import pipeline_stratified_kfold
     from mongraph_spark.queries.relational import (
+        stats_cochran_q,
         stats_cramers_v,
         stats_mcnemar,
     )
+    from mongraph_spark.queries.text import text_rake_keywords
 
     sf = "/root/testdata/sf0.001"
-    for fn in (stats_mcnemar, stats_cramers_v):
+    for fn in (
+        stats_mcnemar,
+        stats_cramers_v,
+        stats_cochran_q,
+        events_autocorrelation,
+        events_page_hinkley,
+        events_hampel_filter,
+        pipeline_stratified_kfold,
+        text_rake_keywords,
+    ):
         plan = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan, fn.__name__
+    # the per-series ops must not collapse to one partition
+    for fn in (events_hampel_filter, pipeline_stratified_kfold):
+        plan = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan, fn.__name__
