@@ -249,6 +249,110 @@ def test_failfast_snapshot_rebased_under_claim(spark, tmp_path, monkeypatch):
     assert got.get(50) == "race" and got.get(60) == "mine"
 
 
+def test_dv_model_based_random_op_sequences(spark, tmp_path):
+    """Hypothesis-style model check (deterministic seeds, no JVM-in-
+    hypothesis flakiness): random interleavings of upsert / vector delete
+    / CoW delete / compact / restore are replayed against a plain python
+    dict model; after every op the store's logical view must equal the
+    model exactly.  This is the property the per-path pins cannot give:
+    vectors composing with every other mutation in ANY order."""
+    import random
+
+    for seed in (11, 23, 47):
+        rng = random.Random(seed)
+        root = str(tmp_path / f"m{seed}")
+        init = [(i, f"n{i}", 10 * i) for i in range(20)]
+        M.init_table(
+            spark.createDataFrame(init, "id long, s string, v long"),
+            root,
+            key="id",
+            n_buckets=4,
+        )
+        model = {i: (f"n{i}", 10 * i) for i in range(20)}
+        snapshots = {0: dict(model)}
+        for step in range(8):
+            op = rng.choice(["upsert", "dv", "cow", "compact", "dv", "upsert"])
+            if op == "upsert":
+                ks = rng.sample(range(0, 30), 3)
+                rows = [(k, f"u{step}", 1000 + step) for k in ks]
+                M.upsert(
+                    spark,
+                    root,
+                    spark.createDataFrame(rows, "id long, s string, v long"),
+                    key="id",
+                )
+                for k in ks:
+                    model[k] = (f"u{step}", 1000 + step)
+            elif op == "dv":
+                m = rng.choice([3, 5, 7])
+                r = rng.randrange(m)
+                M.delete_where_dv(spark, root, F.col("id") % m == r)
+                model = {k: v for k, v in model.items() if k % m != r}
+            elif op == "cow":
+                cut = rng.randrange(0, 3000)
+                M.delete_where(spark, root, F.col("v") >= cut)
+                model = {k: v for k, v in model.items() if v[1] < cut}
+            else:
+                M.compact(spark, root)
+            n = int(M.current_version(root).split("_")[1])
+            snapshots[n] = dict(model)
+            got = {
+                r.id: (r.s, r.v)
+                for r in M.read_current(spark, root).collect()
+            }
+            assert got == model, (seed, step, op)
+        # time travel agrees with every recorded model snapshot
+        for n, snap in snapshots.items():
+            got = {
+                r.id: (r.s, r.v)
+                for r in M.read_version(spark, root, n).collect()
+            }
+            assert got == snap, (seed, n)
+
+
+def test_dv_threaded_disjoint_with_rebase_upsert(spark, tmp_path):
+    """A vector delete and a bucket-disjoint rebase upsert running
+    concurrently both commit (delete_dv is bucket-scoped in the conflict
+    matrix), and the final state reflects both."""
+    import threading
+
+    root = _tbl(spark, tmp_path, n=16, buckets=4)
+    # pick an upsert key whose bucket differs from id 0's
+    b0 = spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit(0).cast("long")), F.lit(4)).alias("b")
+    ).collect()[0]["b"]
+    other = next(
+        int(r.id)
+        for r in spark.range(100, 160)
+        .withColumn("b", F.pmod(F.xxhash64(F.col("id")), F.lit(4)))
+        .collect()
+        if r.b != b0
+    )
+    errs: list[Exception] = []
+
+    def deleter():
+        try:
+            M.delete_where_dv(spark, root, F.col("id") == 0)
+        except Exception as exc:  # noqa: BLE001
+            errs.append(exc)
+
+    def upserter():
+        batch = spark.createDataFrame(
+            [(other, "up", 1)], "id long, s string, v long"
+        )
+        try:
+            M.upsert(spark, root, batch, key="id", occ="rebase")
+        except Exception as exc:  # noqa: BLE001
+            errs.append(exc)
+
+    t1 = threading.Thread(target=deleter)
+    t2 = threading.Thread(target=upserter)
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs, errs
+    got = {r.id: r.s for r in M.read_current(spark, root).collect()}
+    assert 0 not in got and got.get(other) == "up"
+
+
 def test_dv_read_where_and_as_of(spark, tmp_path):
     import time
 
