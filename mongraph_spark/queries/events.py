@@ -4633,6 +4633,125 @@ ORDER BY 1, 2
 """
 
 
+# -- Croston intermittent-demand forecasting --------------------------------------
+
+CROSTON_THRESHOLD = 300.0  # "demand" = daily cents of events with value >= this
+
+
+def events_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method — THE forecaster for INTERMITTENT demand (series
+    that are mostly zero with occasional spikes: spare parts, rare
+    high-value events), which plain exponential smoothing systematically
+    underforecasts right after each zero run.  Croston decomposes the
+    series into smoothed nonzero demand SIZE z and smoothed inter-demand
+    INTERVAL p, forecasting z/p per period; here over each event type's
+    daily total of high-value (value ≥ CROSTON_THRESHOLD) cents — a
+    genuinely intermittent 2-6-demand-days-in-30 series at sf0.01.
+
+    α = 1/2 on both smoothers, exactly the Holt family's integer ring:
+    every update is ``shiftright(x, 1)`` ≡ ``x // 2`` on nonnegative
+    BIGINTs, so the whole recursion state is bit-identical cross-engine;
+    the only division is the final (10⁶·z) div p.  The zero-demand grid
+    comes free: the rollup runs over ALL events' (type, day) cells with
+    the threshold inside the sum, so silent-demand days appear as d=0
+    without a gapfill join.  A true recursion cannot be a window, but
+    the daily series is a bounded pre-aggregate — Spark folds it with
+    ONE aggregate HOF per type, DuckDB replays it as a recursive CTE
+    (the Holt/Holt-Winters pattern).
+
+    Scale shape: one map-side-combined rollup; recursion on |days| rows
+    per type."""
+    ev = read_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(
+            F.when(F.col("value") >= CROSTON_THRESHOLD, cents).otherwise(0)
+        ).alias("d")
+    )
+    arr = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "d"))).alias("a")
+    )
+    # fold state: z/p the smoothers, q = periods since last demand BEFORE
+    # the current one, seen = init flag
+    step = (
+        "named_struct("
+        "'z', CASE WHEN x.d > 0 THEN IF(acc.seen = 1,"
+        " shiftright(acc.z + x.d, 1), x.d) ELSE acc.z END, "
+        "'p', CASE WHEN x.d > 0 THEN IF(acc.seen = 1,"
+        " shiftright(acc.p + acc.q + 1, 1), acc.q + 1) ELSE acc.p END, "
+        "'q', CASE WHEN x.d > 0 THEN 0L ELSE acc.q + 1 END, "
+        "'seen', CASE WHEN x.d > 0 THEN 1 ELSE acc.seen END)"
+    )
+    folded = arr.selectExpr(
+        "event_type",
+        "size(a) AS n_days",
+        "size(filter(a, x -> x.d > 0)) AS n_demand_days",
+        f"aggregate(a, named_struct('z', 0L, 'p', 0L, 'q', 0L, 'seen', 0),"
+        f" (acc, x) -> {step}) AS s",
+    )
+    return folded.selectExpr(
+        "event_type",
+        "CAST(n_days AS BIGINT) AS n_days",
+        "CAST(n_demand_days AS BIGINT) AS n_demand_days",
+        "CASE WHEN s.seen = 1 THEN s.z END AS z_cents",
+        "CASE WHEN s.seen = 1 THEN s.p END AS p_periods",
+        "CASE WHEN s.seen = 1 THEN"
+        " CAST((CAST(1000000 AS DECIMAL(38,0)) * s.z) div s.p AS BIGINT)"
+        " END AS forecast_microcents",
+    )
+
+
+ORACLE_CROSTON = f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(sum(CASE WHEN value >= {CROSTON_THRESHOLD}
+                  THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS d
+  FROM events GROUP BY 1, 2
+),
+seq AS (
+  SELECT event_type, d,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS t
+  FROM daily
+),
+rec AS (
+  SELECT event_type, CAST(0 AS BIGINT) AS t, CAST(0 AS BIGINT) AS z,
+         CAST(0 AS BIGINT) AS p, CAST(0 AS BIGINT) AS q, 0 AS seen
+  FROM (SELECT DISTINCT event_type FROM daily)
+  UNION ALL
+  SELECT r.event_type, r.t + 1,
+         CASE WHEN s.d > 0 THEN CASE WHEN r.seen = 1
+              THEN (r.z + s.d) // 2 ELSE s.d END ELSE r.z END,
+         CASE WHEN s.d > 0 THEN CASE WHEN r.seen = 1
+              THEN (r.p + r.q + 1) // 2 ELSE r.q + 1 END ELSE r.p END,
+         CASE WHEN s.d > 0 THEN 0 ELSE r.q + 1 END,
+         CASE WHEN s.d > 0 THEN 1 ELSE r.seen END
+  FROM rec r JOIN seq s ON s.event_type = r.event_type AND s.t = r.t + 1
+),
+fin AS (
+  SELECT r.event_type, r.z, r.p, r.seen
+  FROM rec r
+  JOIN (SELECT event_type, max(t) AS mt FROM rec GROUP BY 1) m
+    ON r.event_type = m.event_type AND r.t = m.mt
+),
+counts AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_demand_days
+  FROM daily GROUP BY 1
+)
+SELECT c.event_type, c.n_days, c.n_demand_days,
+       CASE WHEN f.seen = 1 THEN f.z END AS z_cents,
+       CASE WHEN f.seen = 1 THEN f.p END AS p_periods,
+       CASE WHEN f.seen = 1
+            THEN CAST((CAST(1000000 AS HUGEINT) * f.z) // f.p AS BIGINT)
+       END AS forecast_microcents
+FROM counts c JOIN fin f ON c.event_type = f.event_type
+"""
+
+
 # -- Hampel rolling-median despiking ---------------------------------------------
 
 HAMPEL_HALF = 3          # window = 3 each side + center = 7 points
@@ -4887,6 +5006,7 @@ QUERIES = {
     "events_autocorrelation": events_autocorrelation,
     "events_page_hinkley": events_page_hinkley,
     "events_hampel_filter": events_hampel_filter,
+    "events_croston": events_croston,
     "stats_welch_ttest": stats_welch_ttest,
     "stats_brown_forsythe": stats_brown_forsythe,
     "events_lttb_downsample": events_lttb_downsample,
@@ -4967,6 +5087,7 @@ ORACLES = {
     "events_autocorrelation": ORACLE_ACF,
     "events_page_hinkley": ORACLE_PAGE_HINKLEY,
     "events_hampel_filter": ORACLE_HAMPEL,
+    "events_croston": ORACLE_CROSTON,
     "events_holt_winters": ORACLE_HOLT_WINTERS,
     "events_forecast_backtest": ORACLE_FORECAST_BACKTEST,
     "events_session_paths": ORACLE_SESSION_PATHS,

@@ -3842,6 +3842,90 @@ JOIN alloc a ON t.priority = a.priority
 """
 
 
+# -- Lag/lead/rolling feature generation ------------------------------------------
+
+
+def window_feature_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series FEATURE GENERATION — the standard lag/lead/rolling
+    block a training pipeline materializes per series before fitting any
+    model: for each (event type, day), yesterday's and last week's value
+    (lag 1/7), tomorrow's value (the label leak-check column), the
+    trailing-7-day sum/min/max, and the day-over-day delta in basis
+    points.  Every feature is an exact integer on the cents grid;
+    series-edge rows carry NULLs (no silent zero-fill — the downstream
+    imputation policy is the consumer's decision, not the feature
+    store's).  The delta division is sign-split so both engines truncate
+    identically.
+
+    Scale shape: one map-side-combined daily rollup, then ONE window
+    partition per series carrying all six frames — at 100 TB millions of
+    independent series, no global pass, and the frames share the single
+    per-series sort."""
+    ev = read_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(cents).alias("y"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    w7 = w.rowsBetween(-6, 0)
+    feat = (
+        daily.withColumn("lag_1d", F.lag("y", 1).over(w))
+        .withColumn("lag_7d", F.lag("y", 7).over(w))
+        .withColumn("lead_1d", F.lead("y", 1).over(w))
+        .withColumn("roll7_sum", F.sum("y").over(w7))
+        .withColumn("roll7_min", F.min("y").over(w7))
+        .withColumn("roll7_max", F.max("y").over(w7))
+    )
+    return feat.selectExpr(
+        "event_type",
+        "CAST(day AS STRING) AS day",
+        "y AS y_cents",
+        "lag_1d",
+        "lag_7d",
+        "lead_1d",
+        "roll7_sum",
+        "roll7_min",
+        "roll7_max",
+        "CASE WHEN lag_1d IS NULL THEN NULL"
+        " WHEN y - lag_1d >= 0 THEN CAST((10000 * (y - lag_1d)) div lag_1d AS BIGINT)"
+        " ELSE -CAST((10000 * (lag_1d - y)) div lag_1d AS BIGINT)"
+        " END AS delta_bp",
+    )
+
+
+ORACLE_FEATURE_LAGS = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+feat AS (
+  SELECT event_type, day, y,
+         lag(y, 1) OVER w AS lag_1d,
+         lag(y, 7) OVER w AS lag_7d,
+         lead(y, 1) OVER w AS lead_1d,
+         sum(y) OVER w7 AS roll7_sum,
+         min(y) OVER w7 AS roll7_min,
+         max(y) OVER w7 AS roll7_max
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day),
+         w7 AS (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, CAST(day AS VARCHAR) AS day, y AS y_cents,
+       lag_1d, lag_7d, lead_1d,
+       CAST(roll7_sum AS BIGINT) AS roll7_sum,
+       CAST(roll7_min AS BIGINT) AS roll7_min,
+       CAST(roll7_max AS BIGINT) AS roll7_max,
+       CASE WHEN lag_1d IS NULL THEN NULL
+            WHEN y - lag_1d >= 0
+              THEN CAST((10000 * (y - lag_1d)) // lag_1d AS BIGINT)
+            ELSE -CAST((10000 * (lag_1d - y)) // lag_1d AS BIGINT)
+       END AS delta_bp
+FROM feat
+"""
+
+
 # -- Kruskal-Wallis k-sample rank test -------------------------------------------
 
 KW_GROUPS = ("1-URGENT", "2-HIGH", "3-MEDIUM")
@@ -4314,6 +4398,7 @@ QUERIES = {
     "profile_orders": profile_orders,
     "skew_profile": skew_profile,
     "window_rolling_7day": window_rolling_7day,
+    "window_feature_lags": window_feature_lags,
     "scd2_priority_history": scd2_priority_history,
     "scd2_pit_join": scd2_pit_join,
     "scd2_bitemporal_asknown": scd2_bitemporal_asknown,
@@ -4356,6 +4441,7 @@ ORACLES = {
     "profile_orders": ORACLE_PROFILE,
     "skew_profile": ORACLE_SKEW_PROFILE,
     "window_rolling_7day": ORACLE_ROLLING_7DAY,
+    "window_feature_lags": ORACLE_FEATURE_LAGS,
     "stats_order_percentiles": ORACLE_PERCENTILES,
     "stats_price_quantity_corr": ORACLE_CORR,
     "q1_pricing_summary": ORACLE_Q1,

@@ -328,6 +328,68 @@ def test_streaming_acf_batch_equal(spark):
     assert batch == stream
 
 
+def test_croston_python_replay(spark, tmp_path):
+    """Crafted intermittent series (demand on days 2, 5, 6 of 8); python
+    replays the integer z/p recursion exactly, including the first-demand
+    init and the interval reset."""
+    from mongraph_spark.queries.events import CROSTON_THRESHOLD, events_croston
+
+    hi = CROSTON_THRESHOLD + 50.0   # a demand day
+    lo = 10.0                        # below threshold: d = 0
+    series = [lo, hi, lo, lo, hi, hi, lo, lo]
+    rows = [
+        (i, f"2024-01-{i+1:02d} 10:00:00", 1, "spare", v)
+        for i, v in enumerate(series)
+    ]
+    _events_parquet(spark, tmp_path, rows)
+    got = {r.event_type: r for r in events_croston(spark, str(tmp_path)).collect()}
+    r = got["spare"]
+
+    z = p = q = 0
+    seen = False
+    demands = 0
+    for v in series:
+        d = round(v * 100) if v >= CROSTON_THRESHOLD else 0
+        if d > 0:
+            demands += 1
+            if seen:
+                z = (z + d) // 2
+                p = (p + q + 1) // 2
+            else:
+                z, p, seen = d, q + 1, True
+            q = 0
+        else:
+            q += 1
+    assert r.n_days == len(series) and r.n_demand_days == demands == 3
+    assert (r.z_cents, r.p_periods) == (z, p)
+    assert r.forecast_microcents == (1000000 * z) // p
+    # zero-demand series: all smoother outputs NULL
+    rows2 = [(i, f"2024-01-{i+1:02d} 10:00:00", 1, "quiet", lo) for i in range(4)]
+    _events_parquet(spark, tmp_path, rows + rows2)
+    got = {r.event_type: r for r in events_croston(spark, str(tmp_path)).collect()}
+    assert got["quiet"].z_cents is None
+    assert got["quiet"].forecast_microcents is None
+
+
+def test_feature_lags_edges_and_delta(spark, tmp_path):
+    from mongraph_spark.queries.relational import window_feature_lags
+
+    vals = [10.0, 20.0, 5.0]
+    rows = [
+        (i, f"2024-01-{i+1:02d} 09:00:00", 1, "m", v) for i, v in enumerate(vals)
+    ]
+    _events_parquet(spark, tmp_path, rows)
+    got = sorted(
+        window_feature_lags(spark, str(tmp_path)).collect(), key=lambda r: r.day
+    )
+    assert got[0].lag_1d is None and got[0].delta_bp is None
+    assert got[0].lead_1d == 2000
+    assert got[1].delta_bp == (10000 * (2000 - 1000)) // 1000  # +100%
+    assert got[2].delta_bp == -((10000 * (2000 - 500)) // 2000)  # -75%
+    assert got[2].roll7_sum == 3500 and got[2].roll7_min == 500
+    assert got[2].lead_1d is None
+
+
 def test_rake_keywords_crafted_corpus(spark, tmp_path):
     """Two-doc corpus with known phrase structure; python replays the
     deg/freq ppm grid and the phrase ranking."""
