@@ -4670,6 +4670,13 @@ def events_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("value") >= CROSTON_THRESHOLD, cents).otherwise(0)
         ).alias("d")
     )
+    return croston_finish(daily)
+
+
+def croston_finish(daily: DataFrame) -> DataFrame:
+    """The Croston fold over a (event_type, day, d) demand rollup —
+    shared verbatim by the streaming twin, whose state is exactly this
+    rollup."""
     arr = daily.groupBy("event_type").agg(
         F.array_sort(F.collect_list(F.struct("day", "d"))).alias("a")
     )
@@ -4782,6 +4789,12 @@ def events_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("hour")
     ).agg(F.sum(cents).alias("y"))
+    return hampel_finish(hourly)
+
+
+def hampel_finish(hourly: DataFrame) -> DataFrame:
+    """The despiking scan over a (event_type, hour, y) rollup — shared
+    verbatim by the streaming twin, whose state is exactly this rollup."""
     w_roll = (
         Window.partitionBy("event_type")
         .orderBy("hour")

@@ -1013,6 +1013,66 @@ def _oracle_stream_acf() -> str:
     return ORACLE_ACF
 
 
+def streaming_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``queries.events.events_hampel_filter`` — the
+    live-despiking shape: the stream maintains the watermarked
+    per-(type, hour) cents rollup, and the rolling-median Hampel scan
+    (``hampel_finish``, shared verbatim) re-runs on read over the
+    continuously-updated rollup.  A monitoring poll pays one bounded
+    7-row rolling window per series, never a raw-event replay.  Fully
+    batch-equal, checked by the batch op's own oracle."""
+    from mongraph_spark.queries.events import hampel_finish
+
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 day")
+    agg = ev.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"))
+    with _state_partitioning(spark, sf_dir):
+        out = run_to_table(agg, output_mode="complete")
+    hourly = out.select("event_type", F.col("w.start").alias("hour"), "y")
+    return hampel_finish(hourly)
+
+
+def _oracle_stream_hampel() -> str:
+    from mongraph_spark.queries.events import ORACLE_HAMPEL
+
+    return ORACLE_HAMPEL
+
+
+def streaming_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``queries.events.events_croston`` — the
+    intermittent-demand forecast maintained at ingest: the stream keeps
+    the watermarked per-(type, day) HIGH-VALUE cents rollup (threshold
+    applied inside the streaming aggregate, so silent-demand days carry
+    d=0 state rows exactly as the batch grid does), and the Croston fold
+    (``croston_finish``, shared verbatim) re-runs on read over O(|days|)
+    state per type.  Fully batch-equal, checked by the batch op's own
+    oracle."""
+    from mongraph_spark.queries.events import CROSTON_THRESHOLD, croston_finish
+
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "2 days")
+    cents = F.round(F.col("value") * 100).cast("long")
+    agg = ev.groupBy(
+        F.window("ts", "1 day").alias("w"), "event_type"
+    ).agg(
+        F.sum(
+            F.when(F.col("value") >= CROSTON_THRESHOLD, cents).otherwise(0)
+        ).alias("d")
+    )
+    with _state_partitioning(spark, sf_dir):
+        out = run_to_table(agg, output_mode="complete")
+    daily = out.select(
+        "event_type", F.to_date(F.col("w.start")).alias("day"), "d"
+    )
+    return croston_finish(daily)
+
+
+def _oracle_stream_croston() -> str:
+    from mongraph_spark.queries.events import ORACLE_CROSTON
+
+    return ORACLE_CROSTON
+
+
 def streaming_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of ``queries.corpus.corpus_gopher_rules`` — the
     filter-at-ingest shape: every arriving document is scored against the
@@ -2154,6 +2214,8 @@ QUERIES = {
     "streaming_lttb_downsample": streaming_lttb_downsample,
     "streaming_page_hinkley": streaming_page_hinkley,
     "streaming_autocorrelation": streaming_autocorrelation,
+    "streaming_hampel_filter": streaming_hampel_filter,
+    "streaming_croston": streaming_croston,
     "streaming_holt_winters": streaming_holt_winters,
     "streaming_forecast_backtest": streaming_forecast_backtest,
     "streaming_gopher_rules": streaming_gopher_rules,
@@ -2189,6 +2251,8 @@ ORACLES = {
     "streaming_lttb_downsample": _oracle_stream_lttb(),
     "streaming_page_hinkley": _oracle_stream_page_hinkley(),
     "streaming_autocorrelation": _oracle_stream_acf(),
+    "streaming_hampel_filter": _oracle_stream_hampel(),
+    "streaming_croston": _oracle_stream_croston(),
     "streaming_holt_winters": _oracle_stream_holt_winters(),
     "streaming_forecast_backtest": _oracle_stream_forecast_backtest(),
     "streaming_gopher_rules": _oracle_stream_gopher(),

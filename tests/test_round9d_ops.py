@@ -390,6 +390,26 @@ def test_feature_lags_edges_and_delta(spark, tmp_path):
     assert got[2].lead_1d is None
 
 
+def test_streaming_hampel_and_croston_batch_equal(spark):
+    from mongraph_spark.queries.events import (
+        events_croston,
+        events_hampel_filter,
+    )
+    from mongraph_spark.streaming.events import (
+        streaming_croston,
+        streaming_hampel_filter,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    for batch_fn, stream_fn in (
+        (events_hampel_filter, streaming_hampel_filter),
+        (events_croston, streaming_croston),
+    ):
+        batch = sorted(map(tuple, batch_fn(spark, sf).collect()))
+        stream = sorted(map(tuple, stream_fn(spark, sf).collect()))
+        assert batch == stream, batch_fn.__name__
+
+
 def test_rake_keywords_crafted_corpus(spark, tmp_path):
     """Two-doc corpus with known phrase structure; python replays the
     deg/freq ppm grid and the phrase ranking."""
