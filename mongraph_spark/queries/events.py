@@ -4939,21 +4939,29 @@ def page_hinkley_finish(hourly: DataFrame) -> DataFrame:
     scored = pref.withColumn("ph_max_w", F.max("ph").over(w_type))
     agg = scored.groupBy("event_type").agg(
         F.max("t").cast("long").alias("n_hours"),
-        F.max("s").cast("decimal(38,0)").alias("total"),
+        # the series TOTAL is the FINAL prefix sum (s at t = n_hours), not
+        # max(s): they agree only when every hourly value is non-negative —
+        # a series with negative hours would otherwise normalize by the
+        # wrong (larger) quantity.  t is a row_number, so max_by is exact.
+        F.max_by("s", "t").cast("decimal(38,0)").alias("total"),
         F.max("ph").alias("ph_max"),
         F.min(F.when(F.col("ph") == F.col("ph_max_w"), F.col("t")))
         .cast("long")
         .alias("ph_argmax_t"),
     )
+    # drift_score is defined only for a POSITIVE series total (the scale
+    # anchor); a zero/negative total yields NULL score and no alarm rather
+    # than a sign-flipped ratio
     return agg.selectExpr(
         "event_type",
         "n_hours",
         "ph_argmax_t",
         "CAST(ph_max div 1000000 AS BIGINT) AS ph_max_cents",
-        "CAST((CAST(1000000 AS DECIMAL(38,0)) * ph_max)"
-        " div (CAST(1000000 AS DECIMAL(38,0)) * total) AS BIGINT)"
+        "CAST(CASE WHEN total > 0 THEN"
+        " (CAST(1000000 AS DECIMAL(38,0)) * ph_max)"
+        " div (CAST(1000000 AS DECIMAL(38,0)) * total) END AS BIGINT)"
         " AS drift_score_ppm",
-        f"CAST(CASE WHEN (CAST(1000000 AS DECIMAL(38,0)) * ph_max)"
+        f"CAST(CASE WHEN total > 0 AND (CAST(1000000 AS DECIMAL(38,0)) * ph_max)"
         f" div (CAST(1000000 AS DECIMAL(38,0)) * total) >= {PH_ALARM_PPM}"
         f" THEN 1 ELSE 0 END AS INT) AS alarmed",
     )
@@ -4998,17 +5006,19 @@ scored AS (
 agg AS (
   SELECT event_type,
          CAST(max(t) AS BIGINT) AS n_hours,
-         max(s) AS total,
+         max_by(s, t) AS total,  -- FINAL prefix sum, not max(s)
          max(ph) AS ph_max,
          CAST(min(CASE WHEN ph = ph_max_w THEN t END) AS BIGINT) AS ph_argmax_t
   FROM scored GROUP BY event_type
 )
 SELECT event_type, n_hours, ph_argmax_t,
        CAST(ph_max // 1000000 AS BIGINT) AS ph_max_cents,
-       CAST((1000000 * ph_max) // (CAST(1000000 AS HUGEINT) * total) AS BIGINT)
-         AS drift_score_ppm,
-       CAST(CASE WHEN (1000000 * ph_max) // (CAST(1000000 AS HUGEINT) * total)
-                 >= {PH_ALARM_PPM} THEN 1 ELSE 0 END AS INT) AS alarmed
+       CAST(CASE WHEN total > 0 THEN
+              (1000000 * ph_max) // (CAST(1000000 AS HUGEINT) * total)
+            END AS BIGINT) AS drift_score_ppm,
+       CAST(CASE WHEN total > 0
+                  AND (1000000 * ph_max) // (CAST(1000000 AS HUGEINT) * total)
+                      >= {PH_ALARM_PPM} THEN 1 ELSE 0 END AS INT) AS alarmed
 FROM agg
 ORDER BY event_type
 """

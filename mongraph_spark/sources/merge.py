@@ -635,6 +635,30 @@ def _release_claim(root: str, ver: str) -> None:
         pass
 
 
+def _recheck_meta(root: str, ver: str, meta: dict) -> dict:
+    """Fail-fast writers read table meta BEFORE claiming (validation —
+    CHECK constraints, generated columns, evolved-column fills, the
+    bucket layout — all ran against that snapshot); a metadata commit
+    (add_column / add_check_constraint / add_generated_column) can land
+    in the read-meta-to-claim gap, in which case the claim carries the
+    intervening commit's manifest while the write was validated under the
+    STALE rule set — rows violating a just-added constraint would commit
+    unchecked.  The rebase paths catch exactly this via the fingerprint
+    check in :func:`_rebase_commit`; this is the fail-fast twin: compare
+    fingerprints under the claim and conflict out on any change so
+    :func:`commit_with_retry` recomputes the whole closure against fresh
+    meta.  Returns the (unchanged) meta for call-site chaining."""
+    if _meta_fingerprint(_read_meta(root)) != _meta_fingerprint(meta):
+        _release_claim(root, ver)
+        raise CommitConflict(
+            root,
+            ver,
+            "table meta changed between the snapshot read and the claim "
+            "(schema/layout/constraint evolution)",
+        )
+    return meta
+
+
 def _classify_conflict(
     root: str, snapshot: str, current: str, ours: set[str]
 ) -> str | None:
@@ -1393,6 +1417,7 @@ def upsert(
         return _upsert_rebase(spark, root, deduped, key, meta, cur)
     ver = _next_version(root)
     cur = _claim_base(ver)  # re-base the snapshot under the claim
+    _recheck_meta(root, ver, meta)  # conflict out on mid-gap meta evolution
 
     if meta["key"] is not None:
         if meta["key"] != key:
@@ -1634,6 +1659,7 @@ def compact(
 
     ver = _next_version(root)
     cur = _claim_base(ver)  # re-base snapshot + plan under the claim
+    _recheck_meta(root, ver, meta)  # conflict out on mid-gap meta evolution
     manifest = _read_manifest(root, cur)
     plan = _compact_plan(root, manifest, max_files_per_bucket, target_bytes)
     if not plan:
@@ -1823,6 +1849,7 @@ def delete_where(
         return _delete_rebase(spark, root, condition, keep, meta, cur)
     ver = _next_version(root)
     cur = _claim_base(ver)  # re-base the snapshot under the claim
+    _recheck_meta(root, ver, meta)  # conflict out on mid-gap meta evolution
 
     if meta["key"] is not None:
         n_buckets = meta["n_buckets"]
@@ -1981,6 +2008,7 @@ def delete_where_dv(spark: SparkSession, root: str, condition) -> str:
         raise ValueError(f"no current version under {root}")
     ver = _next_version(root)
     cur = _claim_base(ver)  # re-base the snapshot under the claim
+    _recheck_meta(root, ver, meta)  # conflict out on mid-gap meta evolution
     try:
         # the predicate runs over the DV-APPLIED view: rows already
         # vector-deleted are invisible, so re-deleting them is a no-op
@@ -2026,7 +2054,7 @@ def merge_into(
     when_matched_delete: str | None = None,
     insert_not_matched: bool = True,
     occ: str = "failfast",
-) -> str:
+) -> str | None:
     """Full MERGE INTO semantics (the Delta/Iceberg statement) on the CoW
     table — ``upsert`` is the replace-whole-row special case; this form
     supports per-column UPDATE expressions, conditional DELETE, and
@@ -2050,7 +2078,12 @@ def merge_into(
     :func:`_classify_conflict`): the staged merge commits on top of
     bucket-disjoint intervening writers with zero recompute.  MERGE's
     read AND write sets are both exactly the source keys' buckets, so the
-    bucket-overlap test is its full serializability condition."""
+    bucket-overlap test is its full serializability condition.
+
+    Returns the committed version name; a no-op merge (nothing matched,
+    ``insert_not_matched=False``) returns the CURRENT version unchanged,
+    which is ``None`` on a still-empty table — callers that parse or
+    version-compare the return must handle that one case."""
     meta = _read_meta(root)
     if meta["key"] is None:
         raise ValueError("merge_into requires a bucketed table")
@@ -2091,6 +2124,7 @@ def merge_into(
     ver = None if rebase else _next_version(root)
     if ver is not None:
         cur = _claim_base(ver)  # re-base the snapshot under the claim
+        _recheck_meta(root, ver, meta)  # conflict out on mid-gap meta evolution
     keys_b = src.select(key).withColumn(_BUCKET, _bucket_expr(key, n_buckets))
     touched = sorted(
         str(r[_BUCKET]) for r in keys_b.select(_BUCKET).distinct().collect()
@@ -2224,6 +2258,10 @@ def vacuum(root: str, keep_last: int = 1) -> list[str]:
             live.add(rel.split("/", 1)[0])
         for rels in _read_dv(root, v).values():
             for rel in rels:  # deletion-vector files pin their writer dir
+                if os.path.isabs(rel):
+                    continue  # shallow-clone reference into the SOURCE
+                    # table — local retention cannot protect it (same
+                    # hazard as the clone's data files; see shallow_clone)
                 live.add(rel.split("/", 1)[0])
     removed = []
     ts_by_ver = {}
@@ -2314,6 +2352,9 @@ def vacuum_retention(
                 live.add(rel.split("/", 1)[0])
             for rels in _read_dv(root, v).values():
                 for rel in rels:  # deletion-vector files pin their writer dir
+                    if os.path.isabs(rel):
+                        continue  # shallow-clone reference into the SOURCE
+                        # table — local retention cannot protect it
                     live.add(rel.split("/", 1)[0])
 
     removed, orphans = [], []
@@ -2528,7 +2569,13 @@ def shallow_clone(src_root: str, dst_root: str) -> str:
     of the SOURCE does not know about the clone's references, so
     vacuuming source versions the clone still points at breaks the
     clone — retain (tag) the cloned-from version on the source side for
-    the clone's lifetime.
+    the clone's lifetime.  This covers the cloned DELETION VECTORS too:
+    like the data files they are absolute references into the source's
+    dirs, so they are pinned only by the SOURCE table's retention — the
+    clone-local vacuum live-set loop skips absolute entries explicitly
+    (protecting nothing locally is correct; there is nothing local to
+    protect).  The clone's own subsequent vectors are relative and
+    vacuum-pinned normally.
 
     Tables with evolved columns are refused: the clone's own version
     numbering would collide with the source's ``added_in`` fences in the
