@@ -1993,6 +1993,87 @@ FROM final GROUP BY source
 """
 
 
+def store_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RENAME COLUMN via name-mapped column mapping (round 10 — retires
+    the r9 tombstone-forever rule), driver-verifiable end-to-end:
+    v0 init → v1 ``rename_column('n_chars','char_count')`` (metadata
+    only, zero files touched; every pre-rename file reads under the new
+    logical name) → v2 upsert doc 1 under the NEW name (char_count 1000;
+    the file physically carries the stable original name) → v3 rename
+    the BUCKET KEY ``doc_id``→``id`` (layout hashes values, not names) →
+    v4 ``delete_where_dv(id = 2)`` (the DV sidecar writes the key under
+    its physical name) → v5 MERGE doc 3 (char_count += 7) addressed by
+    the renamed key → v6 rename ``char_count`` back to ``n_chars``
+    (chain collapses; the mapping entry is erased, leaving exactly the
+    key's).
+
+    Hash-asserted: per-source doc counts (doc 2 vector-deleted), the
+    n_chars sum blending pre-rename bytes with post-rename writes
+    (doc 1 = 1000, doc 3 = +7 — any physical/logical mix-up shifts the
+    sum), the v1 commit op, the surviving rename-map size (exactly 1:
+    ``id``→``doc_id``), final version 6."""
+    import shutil
+    import tempfile
+
+    from mongraph_spark.sources import merge as merge_store
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    app_id = spark.sparkContext.applicationId
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(tempfile.gettempdir(), f"mg_rencol_{app_id}_{sf_tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    merge_store.init_table(docs, root, key="doc_id", n_buckets=8)
+    merge_store.rename_column(root, "n_chars", "char_count")
+    merge_store.upsert(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(1, "src1", 1000)], "doc_id long, source string, char_count long"
+        ),
+        key="doc_id",
+    )
+    merge_store.rename_column(root, "doc_id", "id")
+    merge_store.delete_where_dv(spark, root, F.col("id") == 2)
+    merge_store.merge_into(
+        spark,
+        root,
+        spark.createDataFrame([(3, "x", 0)], "id long, source string, char_count long"),
+        when_matched_set={"char_count": "char_count + 7"},
+        insert_not_matched=False,
+    )
+    merge_store.rename_column(root, "char_count", "n_chars")
+    rec = merge_store._read_commit(root, "v_00001") or {}
+    n_renames = len(merge_store._read_meta(root).get("renames") or {})
+    final_v = int(merge_store.current_version(root).split("_")[1])
+    cur = merge_store.read_current(spark, root).drop("__bucket")
+    return cur.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_n_chars"),
+        F.lit(rec.get("op", "")).alias("v1_op"),
+        F.lit(n_renames).cast("bigint").alias("n_active_renames"),
+        F.lit(final_v).cast("bigint").alias("final_version"),
+    )
+
+
+ORACLE_RENAME_COLUMN = """
+WITH final AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id = 1 THEN 1000
+              WHEN doc_id = 3 THEN n_chars + 7
+              ELSE n_chars END AS chars_n
+  FROM documents WHERE doc_id <> 2
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(chars_n) AS BIGINT) AS sum_n_chars,
+       'rename_column' AS v1_op,
+       CAST(1 AS BIGINT) AS n_active_renames,
+       CAST(6 AS BIGINT) AS final_version
+FROM final GROUP BY source
+"""
+
+
 def store_compact_rebase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compaction under the rebase OCC protocol (round 9), driver-
     verifiable — the per-bucket commit rule: a compaction PLANNED against
@@ -2499,6 +2580,7 @@ QUERIES = {
     "store_delete_rebase": store_delete_rebase,
     "store_schema_evolution": store_schema_evolution,
     "store_drop_column": store_drop_column,
+    "store_rename_column": store_rename_column,
     "store_compact_rebase": store_compact_rebase,
     "store_compaction": store_compaction,
     "store_merge_into": store_merge_into,
@@ -2525,6 +2607,7 @@ ORACLES = {
     "store_delete_rebase": ORACLE_DELETE_REBASE,
     "store_schema_evolution": ORACLE_SCHEMA_EVOLUTION,
     "store_drop_column": ORACLE_DROP_COLUMN,
+    "store_rename_column": ORACLE_RENAME_COLUMN,
     "store_compact_rebase": ORACLE_COMPACT_REBASE,
     "store_compaction": ORACLE_COMPACTION,
     "store_merge_into": ORACLE_MERGE_INTO,

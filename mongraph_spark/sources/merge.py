@@ -348,16 +348,65 @@ def _meta_fingerprint(meta: dict) -> str:
             # writer's snapshot; a constraint added mid-flight must
             # invalidate them (they may contain rows the new rule rejects)
             "constraints": meta.get("constraints") or {},
+            # a rename mid-flight re-maps logical->physical names; staged
+            # files stay physically valid but the writer's whole plan
+            # (touched columns, key name) spoke the old logical language
+            "renames": meta.get("renames") or {},
         },
         sort_keys=True,
     )
 
 
+def _phys_name(meta: dict, logical: str) -> str:
+    """The PHYSICAL column name (the name in the parquet files) for a
+    logical column — identity unless the column was renamed.  Physical
+    names are assigned at column creation and NEVER change: a rename is a
+    metadata-only re-labeling, so files written before and after it agree
+    byte-for-byte (the Delta column-mapping contract, name-mapped)."""
+    return (meta.get("renames") or {}).get(logical, logical)
+
+
+def _phys_schema(meta: dict, schema: T.StructType) -> T.StructType:
+    """The logical schema with every field re-labeled to its physical
+    name (order, types, nullability preserved)."""
+    renames = meta.get("renames") or {}
+    if not renames:
+        return schema
+    return T.StructType(
+        [
+            T.StructField(renames.get(f.name, f.name), f.dataType, f.nullable)
+            for f in schema.fields
+        ]
+    )
+
+
+def _to_physical(df: DataFrame, meta: dict) -> DataFrame:
+    """Re-label a LOGICAL frame to physical column names immediately
+    before a data-file write.  Every writer funnels through this, so the
+    files always speak physical; ``_read_paths`` aliases back to logical
+    immediately after the scan.  ``__bucket`` (not a table column) rides
+    through untouched."""
+    renames = meta.get("renames") or {}
+    if not renames:
+        return df
+    return df.select(
+        *[
+            F.col(c).alias(renames[c]) if c in renames else F.col(c)
+            for c in df.columns
+        ]
+    )
+
+
 def _carry_constraints(meta: dict, staged: dict) -> dict:
-    """Copy the optional constraint set into a hand-built staged meta so a
-    schema/layout commit never silently drops the table's CHECK rules."""
+    """Copy the optional constraint set AND the logical->physical rename
+    map into a hand-built staged meta so a schema/layout commit never
+    silently drops the table's CHECK rules — or, worse, its column
+    mapping (a dropped rename map would make every reader look for
+    logical names the files do not physically contain)."""
     if meta.get("constraints"):
         staged["constraints"] = meta["constraints"]
+    if meta.get("renames"):
+        staged["renames"] = meta["renames"]
     return staged
 
 
@@ -387,6 +436,32 @@ def _check_generated(df: DataFrame, col: dict, schema, op: str) -> None:
         sample = {k: v for k, v in bad[0].asDict().items() if k != _BUCKET}
         raise ConstraintViolation(
             f"generated:{name}", col["expr"], sample, op
+        )
+
+
+def _drop_rename_entry(staged: dict, name: str) -> None:
+    """Remove ``name``'s logical->physical mapping from a staged meta
+    (without mutating the dict `_carry_constraints` shallow-copied from
+    the live meta).  A dropped column's physical bytes are never read
+    again, so its mapping dies with it; the LOGICAL name is what the
+    tombstone list records."""
+    renames = dict(staged.get("renames") or {})
+    renames.pop(name, None)
+    if renames:
+        staged["renames"] = renames
+    else:
+        staged.pop("renames", None)
+
+
+def _refuse_phys_collision(meta: dict, name: str) -> None:
+    """A new column's physical name is its logical name; refuse a name
+    that is already the PHYSICAL name of a live renamed column — two
+    logical columns must never share one physical name (the one invariant
+    name-mapped column mapping needs)."""
+    if name in set((meta.get("renames") or {}).values()):
+        raise ValueError(
+            f"column name {name!r} is the physical name of a renamed live "
+            "column; pick another name (or rename that column back first)"
         )
 
 
@@ -426,6 +501,7 @@ def add_generated_column(
     if cur is None:
         if name in schema.fieldNames():
             raise ValueError(f"column {name!r} already exists")
+        _refuse_phys_collision(meta, name)
         added = list(meta.get("added") or [])
         added.append(
             {"name": name, "added_in": 0, "default": None, "expr": expr}
@@ -439,6 +515,7 @@ def add_generated_column(
             bucketed_since=meta.get("bucketed_since"),
             dropped=[d for d in (meta.get("dropped") or []) if d != name],
             constraints=meta.get("constraints"),
+            renames=meta.get("renames"),
         )
         return
     ver = _claim_next(root)
@@ -447,6 +524,7 @@ def add_generated_column(
         schema = T.StructType.fromJson(json.loads(meta["schema"]))
         if name in schema.fieldNames():
             raise ValueError(f"column {name!r} already exists")
+        _refuse_phys_collision(meta, name)
         dropped = [d for d in (meta.get("dropped") or []) if d != name]
         added = list(meta.get("added") or [])
         added.append(
@@ -715,6 +793,7 @@ def _write_meta(
     bucketed_since: int | None = None,
     dropped: list[str] | None = None,
     constraints: dict[str, str] | None = None,
+    renames: dict[str, str] | None = None,
 ) -> None:
     meta = {
         "key": key,
@@ -728,6 +807,8 @@ def _write_meta(
         meta["bucketed_since"] = bucketed_since
     if constraints:
         meta["constraints"] = constraints
+    if renames:
+        meta["renames"] = renames
     # If the current version dir carries a staged meta copy (it is
     # authoritative after a rebucket commit — see _read_meta), update it
     # first so a crash between the two writes leaves the authoritative
@@ -872,7 +953,12 @@ def _apply_dv(
     if not paths:
         return df
     key = meta["key"]
-    keys = spark.read.parquet(*paths).select(key).distinct()
+    # DV sidecars store the key under its PHYSICAL name (stable across
+    # renames, like the data files); alias to logical for the anti-join
+    phys_key = _phys_name(meta, key)
+    keys = spark.read.parquet(*paths).select(
+        F.col(phys_key).alias(key)
+    ).distinct()
     if keys.count() <= 1_000_000:
         keys = F.broadcast(keys)
     return df.join(keys, key, "left_anti")
@@ -892,24 +978,72 @@ def _written_buckets(root: str, ver: str) -> dict[str, str]:
     return out
 
 
+def _rel_version(rel: str) -> int:
+    """Writer-version component of a manifest entry.  Manifests normally
+    hold root-relative ``v_NNNNN/...`` entries, but a shallow clone's v0
+    references the SOURCE's files by absolute path — parse the version
+    component wherever it sits.  Legacy flat layout (``data`` dirs) never
+    carries fills, so 0 is a safe floor."""
+    import re as _re
+
+    m = _re.search(r"v_(\d+)", rel)
+    return 0 if m is None else int(m.group(1))
+
+
 def _read_paths(
     spark: SparkSession,
     root: str,
     mapping: dict[str, str],
     schema_json: str | None,
     added: list[dict] | None = None,
+    renames: dict[str, str] | None = None,
 ) -> DataFrame:
     """Read a manifest's files.  ``added`` (from table meta) carries
     metadata-only ADD COLUMN facts: files written BEFORE a column's
     ``added_in`` version lack it physically and read as the recorded
     default; files written at-or-after read it normally (including
     explicit NULLs) — the Delta/Iceberg schema-evolution contract with no
-    data rewrite."""
+    data rewrite.  ``renames`` (logical -> physical) makes the scan speak
+    the files' PHYSICAL names and alias back to logical immediately, so
+    everything above this function lives purely in logical space."""
     paths = [os.path.join(root, rel) for rel in mapping.values()]
     if not paths:
         if schema_json is None:
             raise ValueError(f"empty table with no recorded schema under {root}")
         return spark.createDataFrame([], T.StructType.fromJson(json.loads(schema_json)))
+    if renames:
+        # unified rename-aware path (covers added-fills AND dropped-column
+        # pruning): read each writer-version group under the PHYSICAL
+        # schema, alias to logical, then apply fills in logical space —
+        # fill/generated expressions were recorded against logical names
+        schema = T.StructType.fromJson(json.loads(schema_json))
+        meta_view = {"renames": renames}
+        phys = _phys_schema(meta_view, schema)
+        ordered = [f.name for f in schema.fields]
+        by_ver: dict[int, list[str]] = {}
+        for rel in mapping.values():
+            by_ver.setdefault(_rel_version(rel), []).append(
+                os.path.join(root, rel)
+            )
+        out: DataFrame | None = None
+        for ver, ps in sorted(by_ver.items()):
+            part = spark.read.schema(phys).parquet(*ps).select(
+                *[
+                    F.col(renames.get(n, n)).alias(n)
+                    if renames.get(n, n) != n
+                    else F.col(n)
+                    for n in ordered
+                ]
+            )
+            for col in added or []:
+                if ver < col["added_in"]:
+                    part = part.withColumn(
+                        col["name"],
+                        _fill_expr(col, schema[col["name"]].dataType),
+                    )
+            part = part.select(*ordered)
+            out = part if out is None else out.unionByName(part)
+        return out
     if not added:
         df = spark.read.parquet(*paths)
         if schema_json is not None:
@@ -929,23 +1063,12 @@ def _read_paths(
     schema = T.StructType.fromJson(json.loads(schema_json))
     ordered = [f.name for f in schema.fields]
 
-    def _ver_of(rel: str) -> int:
-        # manifests normally hold root-relative "v_NNNNN/..." entries, but a
-        # shallow clone's v0 references the SOURCE's files by absolute path —
-        # parse the version component wherever it sits
-        import re as _re
-
-        m = _re.search(r"v_(\d+)", rel)
-        if m is None:  # legacy flat layout ("data" dirs) never carries fills
-            return 0
-        return int(m.group(1))
-
     # one scan per distinct writer VERSION (bounded by version count, not
     # file count): all files written by the same version share a physical
     # schema, so they share one fill set
     by_ver: dict[int, list[str]] = {}
     for rel in mapping.values():
-        by_ver.setdefault(_ver_of(rel), []).append(os.path.join(root, rel))
+        by_ver.setdefault(_rel_version(rel), []).append(os.path.join(root, rel))
     out: DataFrame | None = None
     for ver, ps in sorted(by_ver.items()):
         part = spark.read.schema(schema).parquet(*ps)
@@ -1014,6 +1137,7 @@ def add_column(root: str, name: str, dtype: str, default) -> None:
         schema = T.StructType.fromJson(json.loads(meta["schema"]))
         if name in schema.fieldNames():
             raise ValueError(f"column {name!r} already exists")
+        _refuse_phys_collision(meta, name)
         # Re-adding a DROPPED name is safe REINCARNATION, not resurrection:
         # every file written before this version's added_in reads the new
         # default — the fill in _read_paths REPLACES the column for those
@@ -1100,6 +1224,7 @@ def drop_column(root: str, name: str) -> None:
         if meta.get("bucketed_since") is not None:
             new_meta["bucketed_since"] = meta["bucketed_since"]
         _carry_constraints(meta, new_meta)
+        _drop_rename_entry(new_meta, name)
         _sync_root_meta(root, new_meta)
         return
     ver = _claim_next(root)
@@ -1114,6 +1239,7 @@ def drop_column(root: str, name: str) -> None:
         if meta.get("bucketed_since") is not None:
             staged["bucketed_since"] = meta["bucketed_since"]
         _carry_constraints(meta, staged)
+        _drop_rename_entry(staged, name)
         cur2 = current_version(root)  # pinned by the claim
         os.makedirs(os.path.join(root, ver))
         _write_manifest(root, ver, _read_manifest(root, cur2))
@@ -1129,12 +1255,156 @@ def drop_column(root: str, name: str) -> None:
     _sync_root_meta(root, staged)
 
 
+def _expr_references(meta: dict, name: str) -> list[str]:
+    """Recorded SQL expressions (CHECK constraints, GENERATED columns)
+    that reference ``name`` as a word — conservative token scan (a quoted
+    string containing the name also counts; over-refusing is safe)."""
+    import re as _re
+
+    pat = _re.compile(rf"\b{_re.escape(name)}\b")
+    hits = []
+    for cname, expr in sorted((meta.get("constraints") or {}).items()):
+        if pat.search(expr):
+            hits.append(f"constraint {cname}: CHECK ({expr})")
+    for col in meta.get("added") or []:
+        if col.get("expr") is not None and pat.search(col["expr"]):
+            hits.append(f"generated column {col['name']}: ({col['expr']})")
+    return hits
+
+
+def rename_column(root: str, old: str, new: str) -> None:
+    """``ALTER TABLE RENAME COLUMN old TO new`` — metadata-only, data
+    preserved, via name-mapped column mapping (the Delta
+    ``columnMapping.mode=name`` shape): every column keeps the PHYSICAL
+    name it was created under forever; a rename re-labels only the
+    LOGICAL schema and records ``renames[new] = physical``.  No data file
+    is touched — at 100 TB this is an O(1) catalog update, and old files,
+    new files, staged rebase files, and deletion-vector sidecars all stay
+    mutually readable because they all speak the (stable) physical names.
+
+    Readers (:func:`_read_paths`, :func:`read_where`, :func:`_apply_dv`)
+    scan under the physical schema and alias to logical immediately;
+    writers re-label logical back to physical as the last step before
+    every parquet write (:func:`_to_physical`).  Everything between — the
+    whole query/merge/constraint surface — lives purely in logical space.
+
+    Supported across the full surface: the BUCKET KEY may be renamed
+    (the layout hashes values, not names; ``meta.key`` follows the
+    logical name while DV sidecars keep writing the physical), chained
+    renames collapse (a->b then b->c maps c directly to a's physical),
+    renaming back to the original name erases the mapping entry, and
+    column swaps compose through a temporary name.  Time travel reads
+    old versions under the CURRENT logical names (meta is table-level —
+    same documented posture as :func:`drop_column`), and a later
+    ``drop_column`` of a renamed column tombstones its logical name
+    while the mapping entry dies with it.
+
+    Refused, with the reason in the error: renaming a column referenced
+    by a CHECK constraint or a GENERATED expression (the recorded SQL
+    text would silently keep the old name — drop and re-add the rule
+    instead, the Delta posture); a target name that already exists, is
+    tombstoned-dropped (keeps the reincarnation fence reasoning
+    one-dimensional), or is reserved.
+
+    Commits as a claim-serialized metadata-only version
+    (op=``rename_column``, whole-table write set) exactly like
+    :func:`add_column`: in-flight rebase writers conflict on the meta
+    fingerprint (their plan spoke the old logical language), fail-fast
+    writers on the post-claim :func:`_recheck_meta`."""
+    meta = _read_meta(root)
+    if meta["schema"] is None:
+        raise ValueError(f"no table meta under {root}")
+    schema = T.StructType.fromJson(json.loads(meta["schema"]))
+    if old not in schema.fieldNames():
+        raise ValueError(f"no column {old!r} to rename")
+    if new == old:
+        raise ValueError("rename target equals the current name")
+    if new in schema.fieldNames():
+        raise ValueError(f"column {new!r} already exists")
+    if new == _BUCKET:
+        raise ValueError(f"{new!r} is a reserved name")
+    if new in set(meta.get("dropped") or []):
+        raise ValueError(
+            f"{new!r} is a tombstoned dropped name; add_column reincarnates "
+            "dropped names — renaming onto one would conflate the two fences"
+        )
+    refs = _expr_references(meta, old)
+    if refs:
+        raise ValueError(
+            f"cannot rename {old!r}: referenced by recorded expressions "
+            f"({'; '.join(refs)}) — drop and re-add those rules under the "
+            "new name instead"
+        )
+
+    def _staged_meta(meta: dict) -> dict:
+        schema = T.StructType.fromJson(json.loads(meta["schema"]))
+        new_schema = T.StructType(
+            [
+                T.StructField(new, f.dataType, f.nullable)
+                if f.name == old
+                else f
+                for f in schema.fields
+            ]
+        )
+        renames = dict(meta.get("renames") or {})
+        physical = renames.pop(old, old)  # chains collapse to the origin
+        if new != physical:
+            renames[new] = physical
+        added = [
+            {**c, "name": new} if c["name"] == old else c
+            for c in (meta.get("added") or [])
+        ]
+        staged = {
+            "key": new if meta.get("key") == old else meta.get("key"),
+            "n_buckets": meta.get("n_buckets"),
+            "schema": new_schema.json(),
+            "added": added,
+        }
+        if meta.get("dropped"):
+            staged["dropped"] = meta["dropped"]
+        if meta.get("bucketed_since") is not None:
+            staged["bucketed_since"] = meta["bucketed_since"]
+        if meta.get("constraints"):
+            staged["constraints"] = meta["constraints"]
+        if renames:
+            staged["renames"] = renames
+        return staged
+
+    cur = current_version(root)
+    if cur is None:
+        _sync_root_meta(root, _staged_meta(meta))
+        return
+    ver = _claim_next(root)
+    try:
+        meta = _read_meta(root)  # revalidate under the claim
+        schema = T.StructType.fromJson(json.loads(meta["schema"]))
+        if old not in schema.fieldNames():
+            raise ValueError(f"no column {old!r} to rename")
+        if new in schema.fieldNames():
+            raise ValueError(f"column {new!r} already exists")
+        staged = _staged_meta(meta)
+        cur2 = current_version(root)  # pinned by the claim
+        os.makedirs(os.path.join(root, ver))
+        _write_manifest(root, ver, _read_manifest(root, cur2))
+        _carry_dv(root, ver)  # metadata-only version: vectors ride along
+        with open(os.path.join(root, ver, _META), "w") as fh:
+            json.dump(staged, fh)
+        _write_commit(root, ver, "rename_column", "*")
+    except BaseException:
+        shutil.rmtree(os.path.join(root, ver), ignore_errors=True)
+        _release_claim(root, ver)
+        raise
+    _flip(root, ver)
+    _sync_root_meta(root, staged)
+
+
 def _append_column_meta(
     root: str, meta: dict, name: str, dtype: str, default, added_in: int
 ) -> None:
     schema = T.StructType.fromJson(json.loads(meta["schema"]))
     if name in schema.fieldNames():
         raise ValueError(f"column {name!r} already exists")
+    _refuse_phys_collision(meta, name)
     added = list(meta.get("added") or [])
     added.append({"name": name, "added_in": added_in, "default": default})
     _write_meta(
@@ -1148,6 +1418,7 @@ def _append_column_meta(
         # committed version exists here, so there are no old files at all)
         dropped=[d for d in (meta.get("dropped") or []) if d != name],
         constraints=meta.get("constraints"),
+        renames=meta.get("renames"),
     )
 
 
@@ -1159,7 +1430,7 @@ def read_version(spark: SparkSession, root: str, n: int) -> DataFrame:
     OF`` shape."""
     ver = _version_name(n)
     meta = _read_meta(root)
-    df = _read_paths(spark, root, _read_manifest(root, ver), meta["schema"], meta.get("added"))
+    df = _read_paths(spark, root, _read_manifest(root, ver), meta["schema"], meta.get("added"), meta.get("renames"))
     return _apply_dv(spark, root, df, meta, _read_dv(root, ver))
 
 
@@ -1168,7 +1439,7 @@ def read_current(spark: SparkSession, root: str) -> DataFrame | None:
     if ver is None:
         return None
     meta = _read_meta(root)
-    df = _read_paths(spark, root, _read_manifest(root, ver), meta["schema"], meta.get("added"))
+    df = _read_paths(spark, root, _read_manifest(root, ver), meta["schema"], meta.get("added"), meta.get("renames"))
     return _apply_dv(spark, root, df, meta, _read_dv(root, ver))
 
 
@@ -1208,7 +1479,7 @@ def read_point(spark: SparkSession, root: str, key_value) -> DataFrame:
     if rel is None:
         return spark.createDataFrame([], schema)
     df = _read_paths(
-        spark, root, {str(bucket): rel}, schema_json, meta.get("added")
+        spark, root, {str(bucket): rel}, schema_json, meta.get("added"), meta.get("renames")
     )
     if _BUCKET in df.columns:
         df = df.drop(_BUCKET)
@@ -1283,6 +1554,9 @@ def read_where(spark: SparkSession, root: str, col: str, lo, hi) -> DataFrame:
         return read_current(spark, root).filter(pred)
     mapping = _read_manifest(root, ver)
     schema = T.StructType.fromJson(json.loads(meta["schema"]))
+    # stats sidecars and file footers speak PHYSICAL names; the query (and
+    # the predicate) speak logical — translate once for the skip compare
+    phys_col = _phys_name(meta, col)
     stats_cache: dict[str, dict | None] = {}
     paths: list[str] = []
     for rel in mapping.values():
@@ -1292,7 +1566,7 @@ def read_where(spark: SparkSession, root: str, col: str, lo, hi) -> DataFrame:
             try:
                 with open(os.path.join(ver_dir, _STATS)) as fh:
                     st = json.load(fh)
-                stats_cache[ver_dir] = st if st.get("col") == col else None
+                stats_cache[ver_dir] = st if st.get("col") == phys_col else None
             except (FileNotFoundError, json.JSONDecodeError):
                 stats_cache[ver_dir] = None
         st = stats_cache[ver_dir]
@@ -1312,9 +1586,17 @@ def read_where(spark: SparkSession, root: str, col: str, lo, hi) -> DataFrame:
                 paths.append(os.path.join(bucket_dir, f))
     if not paths:
         return spark.createDataFrame([], schema)
-    df = spark.read.schema(schema).parquet(*paths)
+    df = spark.read.schema(_phys_schema(meta, schema)).parquet(*paths)
     if _BUCKET in df.columns:
         df = df.drop(_BUCKET)
+    renames = meta.get("renames") or {}
+    if renames:
+        df = df.select(
+            *[
+                F.col(renames.get(f.name, f.name)).alias(f.name)
+                for f in schema.fields
+            ]
+        )
     df = _apply_dv(spark, root, df, meta, _read_dv(root, ver))
     return df.filter(pred)
 
@@ -1432,7 +1714,7 @@ def upsert(
         manifest = _read_manifest(root, cur) if cur is not None else {}
         base_map = {b: manifest[b] for b in touched if b in manifest}
         if base_map:
-            base = _read_paths(spark, root, base_map, meta["schema"], meta.get("added"))
+            base = _read_paths(spark, root, base_map, meta["schema"], meta.get("added"), meta.get("renames"))
             # pending deletion vectors on the touched buckets are applied
             # here and cleared below: the rewrite MATERIALIZES them (and a
             # re-inserted key genuinely resurrects)
@@ -1453,9 +1735,9 @@ def upsert(
             merged = survivors.unionByName(deduped)
         else:
             merged = deduped
-        merged.write.mode("errorifexists").partitionBy(_BUCKET).parquet(
-            os.path.join(root, ver)
-        )
+        _to_physical(merged, meta).write.mode("errorifexists").partitionBy(
+            _BUCKET
+        ).parquet(os.path.join(root, ver))
         new_map = dict(manifest)
         new_map.update(_written_buckets(root, ver))
         _write_manifest(root, ver, new_map)
@@ -1470,7 +1752,9 @@ def upsert(
             if keys.count() <= 1_000_000:
                 keys = F.broadcast(keys)
             merged = base.join(keys, key, "left_anti").unionByName(deduped)
-        merged.write.mode("errorifexists").parquet(os.path.join(root, ver, "data"))
+        _to_physical(merged, meta).write.mode("errorifexists").parquet(
+            os.path.join(root, ver, "data")
+        )
         _write_manifest(root, ver, {"*": f"{ver}/data"})
         _write_commit(root, ver, "upsert", "*")
     _flip(root, ver)
@@ -1503,7 +1787,7 @@ def _upsert_rebase(
     manifest = _read_manifest(root, snapshot)
     base_map = {b: manifest[b] for b in touched if b in manifest}
     if base_map:
-        base = _read_paths(spark, root, base_map, meta["schema"], meta.get("added"))
+        base = _read_paths(spark, root, base_map, meta["schema"], meta.get("added"), meta.get("renames"))
         base = _apply_dv(
             spark, root, base, meta, _read_dv(root, snapshot), buckets=touched
         )
@@ -1518,7 +1802,9 @@ def _upsert_rebase(
         merged = deduped
     staging = os.path.join(root, _STAGING, f"up_{os.getpid()}_{uuid4().hex}")
     os.makedirs(os.path.dirname(staging), exist_ok=True)
-    merged.write.mode("errorifexists").partitionBy(_BUCKET).parquet(staging)
+    _to_physical(merged, meta).write.mode("errorifexists").partitionBy(
+        _BUCKET
+    ).parquet(staging)
     return _rebase_commit(
         root, staging, touched, fp, snapshot, manifest, op="upsert"
     )
@@ -1676,7 +1962,9 @@ def compact(
         dv=_read_dv(root, cur),
     )
     if cluster_by is not None:
-        _record_stats(root, ver, cluster_by)
+        # footers carry PHYSICAL names; key the sidecar by physical too so
+        # read_where keeps skipping across later renames
+        _record_stats(root, ver, _phys_name(meta, cluster_by))
     new_map = dict(manifest)
     new_map.update(_written_buckets(root, ver))
     _write_manifest(root, ver, new_map)
@@ -1722,7 +2010,7 @@ def _compact_write(
     are tight; without it, a content-hash slice (no clustering claim)."""
     W = Window
     base_map = {b: manifest[b] for b in plan}
-    df = _read_paths(spark, root, base_map, meta["schema"], meta.get("added"))
+    df = _read_paths(spark, root, base_map, meta["schema"], meta.get("added"), meta.get("renames"))
     # compaction MATERIALIZES pending deletion vectors for the buckets it
     # rewrites (the Delta "purge" half of merge-on-read); the commit paths
     # clear the applied buckets' vectors
@@ -1750,7 +2038,9 @@ def _compact_write(
     )
     if cluster_by is not None:
         out = out.sortWithinPartitions(cluster_by)
-    out.write.mode("errorifexists").partitionBy(_BUCKET).parquet(dest)
+    _to_physical(out, meta).write.mode("errorifexists").partitionBy(
+        _BUCKET
+    ).parquet(dest)
 
 
 def _compact_rebase(
@@ -1806,7 +2096,8 @@ def _compact_rebase(
         return cur2, []
     os.rename(staging, os.path.join(root, ver))
     if cluster_by is not None:
-        _record_stats(root, ver, cluster_by)  # committed buckets only remain
+        # physical name: see the fail-fast path's note
+        _record_stats(root, ver, _phys_name(meta, cluster_by))
     written = _written_buckets(root, ver)
     committed = sorted(b for b in written if b in valid)
     new_map = dict(man2)
@@ -1858,7 +2149,7 @@ def delete_where(
         full = _apply_dv(
             spark,
             root,
-            _read_paths(spark, root, manifest, meta["schema"], meta.get("added")),
+            _read_paths(spark, root, manifest, meta["schema"], meta.get("added"), meta.get("renames")),
             meta,
             dv,
         ).withColumn(_BUCKET, _bucket_expr(meta["key"], n_buckets))
@@ -1870,16 +2161,21 @@ def delete_where(
         base_map = {b: manifest[b] for b in touched if b in manifest}
         os.makedirs(os.path.join(root, ver), exist_ok=True)
         if base_map:
-            _apply_dv(
+            dv_applied = _apply_dv(
                 spark,
                 root,
-                _read_paths(spark, root, base_map, meta["schema"], meta.get("added")),
+                _read_paths(spark, root, base_map, meta["schema"], meta.get("added"), meta.get("renames")),
                 meta,
                 dv,
                 buckets=touched,
-            ).filter(keep).withColumn(
-                _BUCKET, _bucket_expr(meta["key"], n_buckets)
-            ).write.mode("overwrite").partitionBy(_BUCKET).parquet(
+            )
+            survivors = _to_physical(
+                dv_applied.filter(keep).withColumn(
+                    _BUCKET, _bucket_expr(meta["key"], n_buckets)
+                ),
+                meta,
+            )
+            survivors.write.mode("overwrite").partitionBy(_BUCKET).parquet(
                 os.path.join(root, ver)
             )
         new_map = {b: rel for b, rel in manifest.items() if b not in set(touched)}
@@ -1889,9 +2185,9 @@ def delete_where(
         _write_commit(root, ver, "delete", touched)
     else:
         base = read_current(spark, root)
-        base.filter(keep).write.mode("errorifexists").parquet(
-            os.path.join(root, ver, "data")
-        )
+        _to_physical(base.filter(keep), meta).write.mode(
+            "errorifexists"
+        ).parquet(os.path.join(root, ver, "data"))
         _write_manifest(root, ver, {"*": f"{ver}/data"})
         _write_commit(root, ver, "delete", "*")
     _flip(root, ver)
@@ -1912,7 +2208,7 @@ def _delete_rebase(
     full = _apply_dv(
         spark,
         root,
-        _read_paths(spark, root, manifest, meta["schema"], meta.get("added")),
+        _read_paths(spark, root, manifest, meta["schema"], meta.get("added"), meta.get("renames")),
         meta,
         dv,
     ).withColumn(_BUCKET, _bucket_expr(meta["key"], n_buckets))
@@ -1928,13 +2224,13 @@ def _delete_rebase(
     _apply_dv(
         spark,
         root,
-        _read_paths(spark, root, base_map, meta["schema"], meta.get("added")),
+        _read_paths(spark, root, base_map, meta["schema"], meta.get("added"), meta.get("renames")),
         meta,
         dv,
         buckets=touched,
-    ).filter(
-        keep
-    ).withColumn(_BUCKET, _bucket_expr(meta["key"], n_buckets)).write.mode(
+    ).filter(keep).withColumn(
+        _BUCKET, _bucket_expr(meta["key"], n_buckets)
+    ).transform(lambda d: _to_physical(d, meta)).write.mode(
         "errorifexists"
     ).partitionBy(_BUCKET).parquet(staging)
 
@@ -1955,7 +2251,7 @@ def _delete_rebase(
             )
         if not paths:
             return None
-        wrote = _read_paths(spark, root, paths, meta["schema"], meta.get("added"))
+        wrote = _read_paths(spark, root, paths, meta["schema"], meta.get("added"), meta.get("renames"))
         if wrote.filter(match).limit(1).count() > 0:
             return (
                 "an intervening writer added rows matching the DELETE "
@@ -2015,10 +2311,13 @@ def delete_where_dv(spark: SparkSession, root: str, condition) -> str:
         # rather than a duplicate vector entry
         base = read_current(spark, root)
         match = F.coalesce(condition, F.lit(False))
+        # the sidecar stores the key under its PHYSICAL name so it stays
+        # readable across later renames (like the data files themselves)
+        phys_key = _phys_name(meta, meta["key"])
         doomed = (
             base.filter(match)
-            .select(meta["key"])
-            .withColumn(_BUCKET, _bucket_expr(meta["key"], meta["n_buckets"]))
+            .select(F.col(meta["key"]).alias(phys_key))
+            .withColumn(_BUCKET, _bucket_expr(phys_key, meta["n_buckets"]))
         )
         dv_dir = os.path.join(root, ver, "dv")
         doomed.write.mode("errorifexists").partitionBy(_BUCKET).parquet(dv_dir)
@@ -2134,7 +2433,7 @@ def merge_into(
 
     parts = []
     if base_map:
-        base = _read_paths(spark, root, base_map, meta["schema"], meta.get("added"))
+        base = _read_paths(spark, root, base_map, meta["schema"], meta.get("added"), meta.get("renames"))
         base = _apply_dv(
             spark, root, base, meta, _read_dv(root, cur), buckets=touched
         )
@@ -2199,7 +2498,9 @@ def merge_into(
 
         staging = os.path.join(root, _STAGING, f"mg_{os.getpid()}_{uuid4().hex}")
         os.makedirs(os.path.dirname(staging), exist_ok=True)
-        merged.write.mode("errorifexists").partitionBy(_BUCKET).parquet(staging)
+        _to_physical(merged, meta).write.mode("errorifexists").partitionBy(
+            _BUCKET
+        ).parquet(staging)
         return _rebase_commit(
             root,
             staging,
@@ -2211,9 +2512,9 @@ def merge_into(
             drop_touched_first=True,
         )
     os.makedirs(os.path.join(root, ver), exist_ok=True)
-    merged.write.mode("overwrite").partitionBy(_BUCKET).parquet(
-        os.path.join(root, ver)
-    )
+    _to_physical(merged, meta).write.mode("overwrite").partitionBy(
+        _BUCKET
+    ).parquet(os.path.join(root, ver))
     new_map = dict(manifest)
     for b in touched:  # a bucket can empty out entirely (all rows deleted)
         new_map.pop(b, None)
@@ -2446,9 +2747,11 @@ def rebucket(spark: SparkSession, root: str, n_buckets: int) -> str:
     # resolve the snapshot UNDER the claim: read_current binds the manifest
     # at call time, so reading before the claim could rewrite a stale state
     cur = read_current(spark, root)
-    cur.withColumn(_BUCKET, _bucket_expr(meta["key"], n_buckets)).write.mode(
-        "errorifexists"
-    ).partitionBy(_BUCKET).parquet(os.path.join(root, ver))
+    _to_physical(
+        cur.withColumn(_BUCKET, _bucket_expr(meta["key"], n_buckets)), meta
+    ).write.mode("errorifexists").partitionBy(_BUCKET).parquet(
+        os.path.join(root, ver)
+    )
     _write_manifest(root, ver, _written_buckets(root, ver))
     staged = {
         "key": meta["key"],
