@@ -24,6 +24,31 @@ import __spark_entry__ as entrymod  # noqa: E402
 from mongraph_spark.sparkutil import DEFAULT_SF_DIR, get_spark  # noqa: E402
 
 
+# The PERMANENT cross-round anchor set (VERDICT r9 "what's missing" #5):
+# ~15 queries spanning TPC-H, graph, dedup, ANN, text, events, streaming,
+# store, and corpus that NEVER rotate, so round-over-round performance is
+# measurable like-for-like even as the 50-slot core window rotates for
+# evidence coverage.  Grow-only: adding an anchor is fine, renaming or
+# removing one breaks the longitudinal series.
+ANCHOR_QUERIES = [
+    "q1_pricing_summary",      # TPC-H scan+agg
+    "q3_shipping_priority",    # TPC-H 3-way join
+    "q18_large_orders",        # TPC-H heavy join/agg
+    "populate_enrich",         # the flagship graph populate join
+    "g8_shortest_paths",       # bounded BFS traversal
+    "graph_pagerank",          # iterative graph analytics
+    "dedup_exact",             # hash-groupBy dedup
+    "dedup_minhash_lsh",       # band-bucket near-dup
+    "ann_cosine_topk_bucketed",  # LSH-bucketed ANN
+    "text_bm25_topk",          # text ranking
+    "events_sessionization",   # ordered-window sessionize
+    "events_hypertable_rollup",  # multi-grain rollup
+    "streaming_lsh_dedup",     # streaming + bucketed index probe
+    "store_merge_into",        # CoW store MERGE lifecycle
+    "corpus_gopher_rules",     # corpus quality battery
+]
+
+
 def sf_of(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -74,6 +99,23 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
 
+    # anchors outside the rotating core window get their own 3 passes;
+    # anchors inside it reuse the timings already measured above
+    all_qs = {**entrymod.extended_queries(), **entrymod.queries()}
+    anchors: dict[str, float] = {}
+    for name in ANCHOR_QUERIES:
+        if name in timings:
+            anchors[name] = timings[name]
+            continue
+        fn = all_qs[name]
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            materialize(fn(spark, sf_dir))
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        anchors[name] = round(best, 3)
+
     total = round(sum(timings.values()), 3)
     # Two SEPARATE detail lines, pass1 first: the driver's tail-buffered log
     # capture keeps the END of stdout, and r7's single combined line lost the
@@ -95,6 +137,17 @@ def main() -> None:
             {
                 "metric": "headline_queries_wall_detail",
                 "queries": timings,
+                "sf": sf_of(sf_dir),
+            }
+        )
+    )
+    # the fixed anchor line: diffable round-over-round (grow-only set)
+    print(
+        json.dumps(
+            {
+                "metric": "anchor_queries_wall",
+                "queries": anchors,
+                "anchor_total": round(sum(anchors.values()), 3),
                 "sf": sf_of(sf_dir),
             }
         )

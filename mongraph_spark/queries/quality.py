@@ -733,6 +733,78 @@ FROM v0 v FULL OUTER JOIN fullv f ON v.source = f.source
 """
 
 
+def store_read_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The store's first-class Change Data Feed (round 10 —
+    ``sources.merge.read_changes``, the Delta ``table_changes`` shape)
+    over the canonical 3-version IVM history: the feed for
+    ``(since_version=0, current]`` must classify v1's upsert into exact
+    insert / update_preimage / update_postimage rows (unchanged-in-place
+    rows never appear — the bucket-scoped diff drops them) and v2's
+    predicate delete into delete rows carrying the preimage values.
+
+    Hash-asserted per (commit_version, change_type): row count and
+    n_chars sum — the preimage/postimage split means a single off-by-one
+    in the diff classification shifts two groups at once.
+
+    Scale shape: each transition reads ONLY the commit's touched buckets
+    of the two adjacent versions (manifest-filtered) and full-outer
+    joins them on the bucket key — at 100 TB a trickle commit's feed
+    costs two bucket reads, never two table scans."""
+    from mongraph_spark.sources import merge as merge_store
+
+    root = ivm_build_history(spark, sf_dir, tag="shared")
+    feed = merge_store.read_changes(spark, root, since_version=0)
+    return (
+        feed.groupBy("_commit_version", "_change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .select(
+            F.col("_commit_version").alias("commit_version"),
+            F.col("_change_type").alias("change_type"),
+            "n_rows",
+            "sum_chars",
+        )
+    )
+
+
+ORACLE_READ_CHANGES = f"""
+WITH s0 AS (SELECT doc_id, source, n_chars FROM documents),
+s1 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 1 THEN 'moved' ELSE source END AS source,
+         CASE WHEN doc_id % 10 = 0 THEN n_chars + 13 ELSE n_chars END AS n_chars
+  FROM s0
+  UNION ALL
+  SELECT doc_id + {IVM_ID_SHIFT}, source, n_chars + 1
+  FROM s0 WHERE doc_id % 10 = 7
+),
+ch1 AS (
+  SELECT 'update_preimage' AS change_type, n_chars FROM s0 WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT 'update_postimage', n_chars + 13 FROM s0 WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT 'update_preimage', n_chars FROM s0
+  WHERE doc_id % 10 = 1 AND source <> 'moved'
+  UNION ALL
+  SELECT 'update_postimage', n_chars FROM s0
+  WHERE doc_id % 10 = 1 AND source <> 'moved'
+  UNION ALL
+  SELECT 'insert', n_chars + 1 FROM s0 WHERE doc_id % 10 = 7
+),
+ch2 AS (SELECT 'delete' AS change_type, n_chars FROM s1 WHERE n_chars % 5 = 0)
+SELECT CAST(1 AS BIGINT) AS commit_version, change_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM ch1 GROUP BY change_type
+UNION ALL
+SELECT CAST(2 AS BIGINT), change_type,
+       CAST(count(*) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
+FROM ch2 GROUP BY change_type
+"""
+
+
 ORACLE_CONFLICT_RETRY = """
 WITH final AS (
   SELECT doc_id, source,
@@ -2581,6 +2653,7 @@ QUERIES = {
     "store_schema_evolution": store_schema_evolution,
     "store_drop_column": store_drop_column,
     "store_rename_column": store_rename_column,
+    "store_read_changes": store_read_changes,
     "store_compact_rebase": store_compact_rebase,
     "store_compaction": store_compaction,
     "store_merge_into": store_merge_into,
@@ -2608,6 +2681,7 @@ ORACLES = {
     "store_schema_evolution": ORACLE_SCHEMA_EVOLUTION,
     "store_drop_column": ORACLE_DROP_COLUMN,
     "store_rename_column": ORACLE_RENAME_COLUMN,
+    "store_read_changes": ORACLE_READ_CHANGES,
     "store_compact_rebase": ORACLE_COMPACT_REBASE,
     "store_compaction": ORACLE_COMPACTION,
     "store_merge_into": ORACLE_MERGE_INTO,

@@ -1952,15 +1952,19 @@ def streaming_ivm_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     change stream" shape (Delta CDF → streaming agg → MERGE INTO view)
     every warehouse-adjacent pipeline runs.
 
-    The same 3-version history is replayed as a change STREAM: each
-    version transition's signed contributions (quality.ivm_signed_contribs
-    — commutative ±(1, chars) rows, so micro-batch boundaries can NEVER
-    change the result) land as files in a CDC directory; a file-source
-    stream aggregates them in update mode, and each micro-batch MERGEs the
-    changed groups' running Δ onto the V0 baseline in a view store keyed
-    by source.  The final table must equal the full recompute from the
-    store's current version — emitted per group as ``identity_holds``,
-    checked by the SAME oracle as the batch twin.
+    The same 3-version history is replayed as a change STREAM, consumed
+    DIRECTLY from the store's first-class change feed
+    (``sources.merge.read_changes`` — the Delta CDF shape; round 10
+    retires this twin's hand-derived feed): each transition's CDF rows
+    collapse to signed contributions (insert/update_postimage → +1·chars,
+    delete/update_preimage → −1·chars — commutative, so micro-batch
+    boundaries can NEVER change the result) and land as one file per
+    commit in a CDC directory; a file-source stream aggregates them in
+    update mode, and each micro-batch MERGEs the changed groups' running
+    Δ onto the V0 baseline in a view store keyed by source.  The final
+    table must equal the full recompute from the store's current version
+    — emitted per group as ``identity_holds``, checked by the SAME
+    oracle as the batch twin.
 
     Scale shape: streaming state is one (Δcount, Δsum) pair per GROUP
     (group-bounded, not row-bounded — the state-size table's best class);
@@ -1969,7 +1973,7 @@ def streaming_ivm_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     the change rate, never the base — the entire point of IVM."""
     import shutil
 
-    from mongraph_spark.queries.quality import ivm_build_history, ivm_signed_contribs
+    from mongraph_spark.queries.quality import ivm_build_history
     from mongraph_spark.sources import merge as merge_store
 
     root = ivm_build_history(spark, sf_dir, tag="shared")
@@ -1977,11 +1981,25 @@ def streaming_ivm_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     def rv(n: int) -> DataFrame:
         return merge_store.read_version(spark, root, n).drop("__bucket")
 
-    v0, v1, v2 = rv(0), rv(1), rv(2)
+    v0, v2 = rv(0), rv(2)
     cdc_dir = root + "_cdc"
     shutil.rmtree(cdc_dir, ignore_errors=True)
-    ivm_signed_contribs(v0, v1).write.mode("append").parquet(cdc_dir)
-    ivm_signed_contribs(v1, v2).write.mode("append").parquet(cdc_dir)
+    # the store's own change feed IS the stream source: CDF rows collapse
+    # to signed group contributions, one file per commit so the stream
+    # replays transition-by-transition (maxFilesPerTrigger=1)
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    feed = merge_store.read_changes(spark, root, since_version=0).select(
+        "source",
+        sign.cast("long").alias("dc"),
+        (sign * F.col("n_chars")).cast("long").alias("dch"),
+        "_commit_version",
+    )
+    for n in [1, 2]:
+        feed.filter(F.col("_commit_version") == n).drop(
+            "_commit_version"
+        ).write.mode("append").parquet(cdc_dir)
 
     view0 = v0.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
