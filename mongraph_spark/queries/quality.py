@@ -733,6 +733,86 @@ FROM v0 v FULL OUTER JOIN fullv f ON v.source = f.source
 """
 
 
+def store_merge_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE schema evolution (round 10 — the Delta ``mergeSchema``
+    behavior) composed with drop-column reincarnation, driver-verifiable:
+    v0 init (doc_id, source, n_chars) → v1 ``drop_column('n_chars')``
+    (tombstoned; original bytes still on disk) → a single
+    ``merge_into(..., schema_evolution=True)`` whose source carries the
+    dropped name back: the evolution auto-re-adds the column through the
+    add_column claim protocol (v2, NULL version-fenced default — safe
+    REINCARNATION, not resurrection) and the merge itself commits as v3,
+    setting n_chars = 5 for doc_id % 10 == 3 and inserting one shifted
+    doc carrying 77.
+
+    Hash-asserted per source: doc counts, how many docs carry a value
+    (exactly the %10==3 set + the insert — if ONE original n_chars byte
+    resurrected, n_with_val explodes), the value sum, the v1/v2/v3 op
+    sequence proving the evolution rode the standard protocol, final
+    version 3."""
+    import shutil
+    import tempfile
+
+    from mongraph_spark.sources import merge as merge_store
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    app_id = spark.sparkContext.applicationId
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(tempfile.gettempdir(), f"mg_mrgevo_{app_id}_{sf_tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    merge_store.init_table(docs, root, key="doc_id", n_buckets=8)
+    merge_store.drop_column(root, "n_chars")
+    src = (
+        docs.filter(F.col("doc_id") % 10 == 3)
+        .select("doc_id", "source", F.lit(5).cast("long").alias("n_chars"))
+        .unionByName(
+            spark.createDataFrame(
+                [(IVM_ID_SHIFT + 1, "evolved", 77)],
+                "doc_id long, source string, n_chars long",
+            )
+        )
+    )
+    merge_store.merge_into(
+        spark,
+        root,
+        src,
+        when_matched_set={"n_chars": "src_n_chars"},
+        schema_evolution=True,
+    )
+    ops = [
+        (merge_store._read_commit(root, f"v_0000{n}") or {}).get("op", "")
+        for n in (1, 2, 3)
+    ]
+    final_v = int(merge_store.current_version(root).split("_")[1])
+    cur = merge_store.read_current(spark, root).drop("__bucket")
+    return cur.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("n_chars").cast("bigint").alias("n_with_val"),
+        F.coalesce(F.sum("n_chars"), F.lit(0)).cast("bigint").alias("sum_vals"),
+        F.lit("|".join(ops)).alias("op_sequence"),
+        F.lit(final_v).cast("bigint").alias("final_version"),
+    )
+
+
+ORACLE_MERGE_EVOLVE = f"""
+WITH final AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 10 = 3 THEN 5 END AS n_chars
+  FROM documents
+  UNION ALL
+  SELECT {IVM_ID_SHIFT} + 1, 'evolved', 77
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(n_chars) AS BIGINT) AS n_with_val,
+       CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS sum_vals,
+       'drop_column|add_column|merge' AS op_sequence,
+       CAST(3 AS BIGINT) AS final_version
+FROM final GROUP BY source
+"""
+
+
 def store_read_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The store's first-class Change Data Feed (round 10 —
     ``sources.merge.read_changes``, the Delta ``table_changes`` shape)
@@ -2654,6 +2734,7 @@ QUERIES = {
     "store_drop_column": store_drop_column,
     "store_rename_column": store_rename_column,
     "store_read_changes": store_read_changes,
+    "store_merge_evolve": store_merge_evolve,
     "store_compact_rebase": store_compact_rebase,
     "store_compaction": store_compaction,
     "store_merge_into": store_merge_into,
@@ -2682,6 +2763,7 @@ ORACLES = {
     "store_drop_column": ORACLE_DROP_COLUMN,
     "store_rename_column": ORACLE_RENAME_COLUMN,
     "store_read_changes": ORACLE_READ_CHANGES,
+    "store_merge_evolve": ORACLE_MERGE_EVOLVE,
     "store_compact_rebase": ORACLE_COMPACT_REBASE,
     "store_compaction": ORACLE_COMPACTION,
     "store_merge_into": ORACLE_MERGE_INTO,

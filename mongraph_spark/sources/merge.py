@@ -510,7 +510,7 @@ def add_generated_column(
             root,
             meta["key"],
             meta["n_buckets"],
-            schema.add(name, dtype, True),
+            schema.add(name, _as_dtype(dtype), True),
             added,
             bucketed_since=meta.get("bucketed_since"),
             dropped=[d for d in (meta.get("dropped") or []) if d != name],
@@ -538,7 +538,7 @@ def add_generated_column(
         staged = {
             "key": meta["key"],
             "n_buckets": meta["n_buckets"],
-            "schema": schema.add(name, dtype, True).json(),
+            "schema": schema.add(name, _as_dtype(dtype), True).json(),
             "added": added,
         }
         if dropped:
@@ -1092,7 +1092,20 @@ def _fill_expr(col: dict, dtype):
     return F.lit(col["default"]).cast(dtype)
 
 
-def add_column(root: str, name: str, dtype: str, default) -> None:
+def _as_dtype(dtype) -> T.DataType:
+    """Normalize a user-supplied column type (DataType object or a
+    types.json()-style string like 'long' / 'decimal(10,2)') to a
+    DataType.  Routing strings through the JSON-value parser instead of
+    StructType.add's name lookup matters: the lookup silently maps
+    unknown parameterized strings (e.g. 'decimal(10,2)') to LongType."""
+    if isinstance(dtype, T.DataType):
+        return dtype
+    from pyspark.sql.types import _parse_datatype_json_value
+
+    return _parse_datatype_json_value(dtype)
+
+
+def add_column(root: str, name: str, dtype: str | T.DataType, default) -> None:
     """Metadata-only ADD COLUMN (the Delta/Iceberg schema-evolution shape):
     no data file is touched — the column is recorded in table meta with
     the version number at which it appears, and readers fill ``default``
@@ -1154,7 +1167,7 @@ def add_column(root: str, name: str, dtype: str, default) -> None:
         staged = {
             "key": meta["key"],
             "n_buckets": meta["n_buckets"],
-            "schema": schema.add(name, dtype, True).json(),
+            "schema": schema.add(name, _as_dtype(dtype), True).json(),
             "added": added,
         }
         if dropped:
@@ -1411,7 +1424,7 @@ def _append_column_meta(
         root,
         meta["key"],
         meta["n_buckets"],
-        schema.add(name, dtype, True),
+        schema.add(name, _as_dtype(dtype), True),
         added,
         bucketed_since=meta.get("bucketed_since"),
         # reincarnation: a re-added name leaves the tombstone list (no
@@ -2353,6 +2366,7 @@ def merge_into(
     when_matched_delete: str | None = None,
     insert_not_matched: bool = True,
     occ: str = "failfast",
+    schema_evolution: bool = False,
 ) -> str | None:
     """Full MERGE INTO semantics (the Delta/Iceberg statement) on the CoW
     table — ``upsert`` is the replace-whole-row special case; this form
@@ -2379,6 +2393,21 @@ def merge_into(
     read AND write sets are both exactly the source keys' buckets, so the
     bucket-overlap test is its full serializability condition.
 
+    ``schema_evolution=True`` is the Delta ``mergeSchema`` behavior:
+    source columns absent from the target schema are AUTO-ADDED through
+    the existing :func:`add_column` claim protocol before the merge runs
+    — each lands as its own claim-serialized metadata-only version with
+    a NULL version-fenced default, so every pre-existing file reads NULL
+    for the new column while the merge's own rows carry their values.
+    Because it rides the standard protocol, the concurrency story is
+    inherited, not special-cased: a concurrent rebase writer conflicts
+    on the meta fingerprint, a fail-fast writer on its post-claim
+    :func:`_recheck_meta`, and a source column matching a DROPPED name
+    reincarnates under add_column's version fence (old bytes can never
+    resurrect).  Default False — extra source columns are projected away
+    (the target schema is authoritative); the table only widens when the
+    caller asks for it.
+
     Returns the committed version name; a no-op merge (nothing matched,
     ``insert_not_matched=False``) returns the CURRENT version unchanged,
     which is ``None`` on a still-empty table — callers that parse or
@@ -2386,6 +2415,18 @@ def merge_into(
     meta = _read_meta(root)
     if meta["key"] is None:
         raise ValueError("merge_into requires a bucketed table")
+    if schema_evolution:
+        existing = set(
+            T.StructType.fromJson(json.loads(meta["schema"])).fieldNames()
+        )
+        evolved = False
+        for f in source.schema.fields:
+            if f.name not in existing and f.name != _BUCKET:
+                add_column(root, f.name, f.dataType, None)
+                evolved = True
+        if evolved:
+            meta = _read_meta(root)  # the merge below plans against the
+            # evolved schema; its own commit re-serializes normally
     key = meta["key"]
     schema = T.StructType.fromJson(json.loads(meta["schema"]))
     cols = [f.name for f in schema.fields]
