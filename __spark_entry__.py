@@ -63,75 +63,72 @@ _SUITES = [
 # first (rounds 1-2), previously-green last, as insurance against any
 # off-by-one in the driver's window.
 CORE_ORDER = [
-    # — round-9 window (VERDICT r8 order #1), 50 slots exactly:
-    #   41 never-driver-verified rows (the 13 round-8 post-window
-    #   additions the verdict names, the round-9 first/second-sweep 20
-    #   — dedup_semdedup_hier, store protocol/skipping/point-read,
-    #   governance, Holt–Winters pair, SoftDeDup twins, BH/power/Wilson,
-    #   forecast backtest pair, CDC chunking — and the third sweep's 8:
-    #   CHECK constraints, generated columns, RESTORE, the Welch pair,
-    #   the LTTB pair, tokenizer fertility), then 6 re-proof slots for
-    #   code round 9 touched (merge.py OCC/clock/vacuum/cluster_by/
-    #   constraint rework, the streaming_lsh_dedup state-write shave),
-    #   then 3 refreshes of the STALEST (r3-vintage) driver evidence.
-    # — never driver-verified (r8 post-window additions) —
-    "window_abc_analysis",
-    "graph_rich_club",
-    "text_msttr",
-    "text_readability",
-    "corpus_gopher_rules",
-    "streaming_gopher_rules",
-    "stats_neyman_sample",
+    # — round-10 window (VERDICT r9 order #1), 50 slots exactly:
+    #   the 15 never-driver-verified round-9 rows the verdict names,
+    #   the 3 new round-10 ops, 19 re-proof slots for code round 10
+    #   touched (rename column-mapping threaded through EVERY merge.py
+    #   reader and writer + _recheck_meta on every fail-fast claim +
+    #   CDF; the page_hinkley finisher total fix; the IVM twin rewire),
+    #   the watched streaming_lsh_dedup row, and 10 refreshes of the
+    #   STALEST (r1/r4-vintage) driver evidence.
+    # — never driver-verified (round-9 fourth/fifth-sweep) —
+    "stats_mcnemar",
+    "stats_cochran_q",
+    "stats_cramers_v",
+    "window_feature_lags",
+    "text_rake_keywords",
+    "events_autocorrelation",
+    "stats_brown_forsythe",
+    "graph_eigenvector_centrality",
+    "pipeline_stratified_kfold",
+    "streaming_autocorrelation",
+    "events_hampel_filter",
+    "streaming_hampel_filter",
+    "events_croston",
+    "streaming_croston",
+    "events_page_hinkley",  # never driver-run AND r10-touched (total fix)
+    # — never driver-verified (new round-10 ops) —
+    "store_rename_column",  # name-mapped column mapping, full lifecycle
+    "store_read_changes",  # first-class CDF (Delta table_changes shape)
+    "store_merge_evolve",  # mergeSchema evolution + reincarnation fence
+    # — round-10 re-proof slots (merge.py touched everywhere by the
+    #   rename plumbing: _read_paths/_to_physical on every reader and
+    #   writer, DV/stats sidecars physical-keyed, _recheck_meta on every
+    #   fail-fast claim; plus the IVM rewire and finisher fix) —
+    "streaming_page_hinkley",  # shares the fixed finisher
+    "ivm_agg_delta",  # CDC algebra neighbor of the CDF API
+    "streaming_ivm_agg",  # rewired onto read_changes this round
+    "store_merge_into",
+    "store_vacuum_retention",
+    "store_compaction",
+    "store_conflict_retry",
+    "store_history",
+    "store_deletion_vectors",
+    "store_delete_rebase",
+    "store_compact_rebase",
+    "store_schema_evolution",
+    "store_shallow_clone",
+    "store_drop_column",
+    "store_point_lookup",
+    "store_stats_skipping",
     "store_read_as_of",
-    "er_fellegi_sunter",
-    "events_holt_trend",
-    "streaming_holt_trend",
-    "pipeline_k_anonymity",
-    "pipeline_pseudonymize",
-    # — never driver-verified (new round-9 ops) —
-    "dedup_semdedup_hier",  # hierarchical trainer registered (VERDICT r8 #3)
-    "store_delete_rebase",  # delete_where occ="rebase" + predicate recheck (#5)
-    "store_compact_rebase",  # per-bucket compact commit rule (#5)
-    "store_schema_evolution",  # version-committing add_column (ADVICE r8 medium)
-    "store_shallow_clone",  # zero-copy clone + divergence isolation
-    "corpus_soft_dedup",  # SoftDeDup reweighting (He et al. 2024)
-    "stats_benjamini_hochberg",  # exact sign-test p-values + BH step-up
-    "stats_ab_power",  # two-proportion experiment sizing (IEEE-exact)
-    "store_drop_column",  # logical drop + safe column reincarnation
-    "pipeline_l_diversity",  # sensitive-attribute disclosure audit
-    "streaming_soft_dedup",  # merge_into-maintained SoftDeDup weights
-    "pipeline_t_closeness",  # EMD skewness-attack audit (governance trio)
-    "events_holt_winters",  # seasonal triple smoothing, exact integer ring
-    "streaming_holt_winters",  # its streamed-rollup twin
-    "store_point_lookup",  # manifest-indexed single-bucket point reads
-    "stats_wilson_ci",  # score-interval error bars, ppm-exact
-    "store_stats_skipping",  # cluster_by compact + planning-time file skip
-    "events_forecast_backtest",  # 4-model hold-out MAE/MASE, integer-exact
-    "streaming_forecast_backtest",  # its streamed-rollup twin
-    "dedup_cdc_chunking",  # content-defined chunk dedup, resync cut rule
-    # — never driver-verified (round-9 third sweep) —
-    "store_check_constraint",  # Delta CHECK constraints, full lifecycle
-    "store_generated_column",  # GENERATED ALWAYS AS, fill/validate/re-derive
-    "store_restore",  # RESTORE as roll-forward, manifest identity
-    "stats_welch_ttest",  # unequal-variance t + Satterthwaite df
-    "streaming_welch_ttest",  # O(|types|) moment-state twin
-    "events_lttb_downsample",  # parallel fixed-anchor LTTB, integer argmax
-    "streaming_lttb_downsample",  # live-chart decimation over rollup state
-    "pipeline_tokenizer_fertility",  # subwords/word + bytes/subword audit
-    # — round-9 re-proof slots (merge.py touched again by the fourth
-    #   sweep's deletion-vector integration: every reader, every
-    #   bucket-rewriting writer, vacuum reachability, restore, clone) —
-    "streaming_lsh_dedup",  # shingle-store removal + batch widening (#4)
-    "store_vacuum_retention",  # unified clock + DV-file reachability
-    "store_merge_into",  # merge path now applies/clears deletion vectors
-    "store_compaction",  # compact now materializes pending vectors
-    "store_conflict_retry",  # claim protocol paths re-proved
-    "store_history",  # version/commit mechanics re-proved
-    # — round-9 fourth sweep (flagship rows; the remaining 7 fourth-sweep
-    #   ops ride the extended registry until the next rotation) —
-    "store_deletion_vectors",  # merge-on-read DELETE, full lifecycle
-    "streaming_page_hinkley",  # drift detector over streamed rollup state
-    "stats_kruskal_wallis",  # k-sample rank test, doubled-rank exact
+    "store_restore",
+    "store_check_constraint",
+    "store_generated_column",
+    # — the watched row (metric settled r10: driver best-of-3 ≤ 8 s) —
+    "streaming_lsh_dedup",
+    # — stalest driver evidence refreshed (r1/r4-vintage rows) —
+    "populate_enrich",
+    "populate_semi_regex",
+    "m9_denormalize",
+    "g8_shortest_paths",
+    "g9_cypher_onehop",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk_bucketed",
+    "text_bm25_topk",
+    "events_sessionization",
+    "q1_pricing_summary",
+    "graph_pagerank",
 ]
 
 assert len(CORE_ORDER) == 50, len(CORE_ORDER)
