@@ -4633,6 +4633,351 @@ ORDER BY 1, 2
 """
 
 
+# -- STL-lite seasonal decomposition ----------------------------------------------
+
+STL_HALF_WINDOW = 12  # centered moving-average half-width (25-row window)
+
+
+def events_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite seasonal–trend decomposition of each event type's hourly
+    cents series — the classical additive decomposition every monitoring
+    dashboard draws (y = trend + seasonal + remainder), as one
+    moving-average pass instead of STL's loess iterations: trend = the
+    25-row centered moving average (edges use the partial window),
+    seasonal(h) = the mean detrended value at hour-of-day h.
+
+    Exactness: the trend lives on the ppm grid — trend_ppm =
+    (10⁶·Σwindow) div count (exact floor both engines share), detrended
+    = 10⁶·y − trend_ppm stays integer, and the per-hour-of-day seasonal
+    mean is ONE sign-split div.  Row-position windows (not calendar
+    hours), so silent hours compress the window — documented, identical
+    in both engines.
+
+    Output: the 24-row seasonal profile per type (n observations,
+    seasonal_ppm) — the artifact a dashboard overlays — keyed
+    (event_type, hour_of_day).
+
+    Scale shape: hourly rollup (map-side combine), one ordered window
+    per type over the bounded |types|×|hours| rollup, one
+    hour-of-day aggregation — the partitioned-prefix shape of the
+    Holt/ACF family."""
+    ev = read_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.sum(cents).alias("y"))
+    return stl_finish(hourly)
+
+
+def stl_finish(hourly: DataFrame) -> DataFrame:
+    """The decomposition over a (event_type, hour, y) rollup — shared
+    verbatim by the streaming twin, whose state is exactly this rollup."""
+    w_ma = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-STL_HALF_WINDOW, STL_HALF_WINDOW)
+    )
+    det = (
+        hourly.withColumn("w_sum", F.sum("y").over(w_ma))
+        .withColumn("w_cnt", F.count(F.lit(1)).over(w_ma))
+        .withColumn(
+            "trend_ppm",
+            F.expr(
+                "CASE WHEN w_sum >= 0"
+                " THEN (CAST(1000000 AS DECIMAL(38,0)) * w_sum) div w_cnt"
+                " ELSE -((CAST(1000000 AS DECIMAL(38,0)) * (-w_sum)) div w_cnt)"
+                " END"
+            ),
+        )
+        .withColumn(
+            "det",
+            F.lit(1000000).cast("decimal(38,0)") * F.col("y") - F.col("trend_ppm"),
+        )
+        .withColumn("hod", F.hour("hour").cast("int"))
+    )
+    return (
+        det.groupBy("event_type", "hod")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_obs"),
+            F.sum("det").alias("det_sum"),
+        )
+        .selectExpr(
+            "event_type",
+            "hod AS hour_of_day",
+            "n_obs",
+            "CAST(CASE WHEN det_sum >= 0 THEN det_sum div n_obs"
+            " ELSE -((-det_sum) div n_obs) END AS BIGINT) AS seasonal_ppm",
+        )
+        .orderBy("event_type", "hour_of_day")
+    )
+
+
+ORACLE_STL = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+det AS (
+  SELECT event_type, hour, y,
+         sum(y) OVER w AS w_sum, count(*) OVER w AS w_cnt,
+         CAST(hour(hour) AS INT) AS hod
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN {STL_HALF_WINDOW} PRECEDING
+                        AND {STL_HALF_WINDOW} FOLLOWING)
+),
+scored AS (
+  SELECT event_type, hod,
+         CAST(1000000 AS HUGEINT) * y
+           - (CASE WHEN w_sum >= 0
+              THEN (CAST(1000000 AS HUGEINT) * w_sum) // w_cnt
+              ELSE -((CAST(1000000 AS HUGEINT) * (-w_sum)) // w_cnt) END)
+           AS det
+  FROM det
+)
+SELECT event_type, hod AS hour_of_day,
+       CAST(count(*) AS BIGINT) AS n_obs,
+       CAST(CASE WHEN sum(det) >= 0 THEN sum(det) // count(*)
+            ELSE -((-sum(det)) // count(*)) END AS BIGINT) AS seasonal_ppm
+FROM scored GROUP BY 1, 2
+ORDER BY event_type, hour_of_day
+"""
+
+
+# -- Friedman test ----------------------------------------------------------------
+
+
+def stats_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test — the non-parametric repeated-measures ANOVA: do the
+    event types differ in daily cents volume once the DAY-level variation
+    is blocked out?  Each day is a complete block (types with no events
+    that day enter at 0 — the grid is day×type by construction), values
+    are ranked WITHIN the day, and the statistic compares the per-type
+    rank sums; the k-related-samples sibling of the battery's
+    Kruskal–Wallis (independent samples).
+
+    Exactness: the within-block tie-averaged rank stays doubled-integer
+    (2·r̄ = 2·rank() + tiecount − 1, the house rank pattern), and the
+    tie-corrected statistic clears every fraction:
+
+        Q = (k−1)·[Σ_j D_j² − n²k(k+1)²] / [Σ_{{ij}} (2r_ij)² − nk(k+1)²]
+
+    with D_j the doubled per-type rank sums — numerator and denominator
+    are exact integers (numerator ≥ 0 by Cauchy–Schwarz), ONE sign-free
+    ppm floor at the end, NULL when every block is fully tied (the
+    statistic is undefined).
+
+    Scale shape: daily rollup (map-side combine), a broadcast day×type
+    grid completion, ranking windows partitioned BY DAY over the bounded
+    |days|×|types| grid — never a global order — and one 1-row
+    aggregation."""
+    ev = read_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.sum(cents).alias("y"))
+    days = daily.select("day").distinct()
+    types = daily.select("event_type").distinct()
+    grid = days.crossJoin(F.broadcast(types))
+    full = grid.join(daily, ["day", "event_type"], "left").na.fill(0, ["y"])
+    w_rank = Window.partitionBy("day").orderBy("y")
+    w_tie = Window.partitionBy("day", "y")
+    ranked = full.withColumn(
+        "r2", 2 * F.rank().over(w_rank) + F.count(F.lit(1)).over(w_tie) - 1
+    )
+    per_type = ranked.groupBy("event_type").agg(
+        F.sum("r2").cast("long").alias("d_j"),
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+    )
+    sums = ranked.agg(
+        F.sum(F.col("r2") * F.col("r2")).cast("long").alias("sum_r2sq")
+    )
+    agg = per_type.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.max("n_blocks").cast("long").alias("n"),
+        F.sum(F.col("d_j") * F.col("d_j")).cast("long").alias("sum_dj_sq"),
+    ).crossJoin(F.broadcast(sums))
+    return agg.selectExpr(
+        "k",
+        "n AS n_blocks",
+        "CAST(k - 1 AS BIGINT) AS df",
+        "CAST(CASE WHEN sum_r2sq = n * k * (k+1) * (k+1) THEN NULL ELSE"
+        " (1000000 * (k-1) * (sum_dj_sq - n*n*k*(k+1)*(k+1)))"
+        " div (sum_r2sq - n*k*(k+1)*(k+1)) END AS BIGINT) AS q_ppm",
+    )
+
+
+ORACLE_FRIEDMAN = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day, event_type,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+grid AS (
+  SELECT d.day, t.event_type, coalesce(x.y, 0) AS y
+  FROM (SELECT DISTINCT day FROM daily) d
+  CROSS JOIN (SELECT DISTINCT event_type FROM daily) t
+  LEFT JOIN daily x ON x.day = d.day AND x.event_type = t.event_type
+),
+ranked AS (
+  SELECT day, event_type, y,
+         2 * rank() OVER (PARTITION BY day ORDER BY y)
+           + count(*) OVER (PARTITION BY day, y) - 1 AS r2
+  FROM grid
+),
+per_type AS (
+  SELECT event_type, CAST(sum(r2) AS BIGINT) AS d_j,
+         CAST(count(*) AS BIGINT) AS n_blocks
+  FROM ranked GROUP BY event_type
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(max(n_blocks) AS BIGINT) AS n,
+         CAST(sum(d_j * d_j) AS BIGINT) AS sum_dj_sq,
+         (SELECT CAST(sum(r2 * r2) AS BIGINT) FROM ranked) AS sum_r2sq
+  FROM per_type
+)
+SELECT k, n AS n_blocks, CAST(k - 1 AS BIGINT) AS df,
+       CAST(CASE WHEN sum_r2sq = n * k * (k+1) * (k+1) THEN NULL ELSE
+         (1000000 * (k-1) * (sum_dj_sq - n*n*k*(k+1)*(k+1)))
+         // (sum_r2sq - n*k*(k+1)*(k+1)) END AS BIGINT) AS q_ppm
+FROM agg
+"""
+
+
+# -- Mann-Kendall trend test ------------------------------------------------------
+
+MK_Z_CRIT_PPM = 1_959_964  # two-sided 5% normal critical value, ppm grid
+
+
+def events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall trend test over each event type's hourly cents series
+    — the standard NON-parametric monotonic-trend detector (no linearity
+    or normality assumed; the hypothesis-test companion to the battery's
+    Theil–Sen slope estimator): S = Σ_{i<j} sign(y_j − y_i), with the
+    tie-corrected variance Var·18 = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) over
+    tie-group sizes t, and the continuity-corrected normal score
+    z = (S ∓ 1)/√Var.
+
+    Exactness: S, both variance terms, and the tie-group sizes are exact
+    integers (pairwise sign sums — no means, no squares of data values);
+    only the final z is IEEE, computed from those exact integers with the
+    identical expression in both engines, and the trend CALL is made on
+    the exact-integer ppm grid (|z|·10⁶ vs MK_Z_CRIT_PPM) so the
+    classification can never drift.
+
+    Scale shape: hourly rollup first (map-side combine), then the i<j
+    pair join runs per type over the BOUNDED |types|×|hours| rollup —
+    O(|hours|²) per series with |hours| fixed by the retention window,
+    never a raw-event pass; at 100 TB thousands of bounded series run in
+    parallel."""
+    ev = read_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.sum(cents).alias("y"))
+    return mann_kendall_finish(hourly)
+
+
+def mann_kendall_finish(hourly: DataFrame) -> DataFrame:
+    """The test over a (event_type, hour, y) rollup — shared verbatim by
+    the streaming twin, whose state is exactly this rollup."""
+    a = hourly.select(
+        "event_type", F.col("hour").alias("h1"), F.col("y").alias("y1")
+    )
+    b = hourly.select(
+        "event_type", F.col("hour").alias("h2"), F.col("y").alias("y2")
+    )
+    sgn = (
+        F.when(F.col("y2") > F.col("y1"), F.lit(1))
+        .when(F.col("y2") < F.col("y1"), F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    s_stat = (
+        a.join(b, "event_type")
+        .filter(F.col("h1") < F.col("h2"))
+        .groupBy("event_type")
+        .agg(F.sum(sgn).cast("long").alias("s_stat"))
+    )
+    ties = (
+        hourly.groupBy("event_type", "y")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("_ng"),
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).cast("long").alias("tie_term"),
+            F.sum(F.col("t")).cast("long").alias("n_hours"),
+        )
+        .drop("_ng")
+    )
+    base = s_stat.join(ties, "event_type").withColumn(
+        "var18",
+        (
+            F.col("n_hours") * (F.col("n_hours") - 1) * (2 * F.col("n_hours") + 5)
+            - F.col("tie_term")
+        ).cast("long"),
+    )
+    return base.selectExpr(
+        "event_type",
+        "n_hours",
+        "s_stat",
+        "var18",
+        "CASE WHEN var18 > 0 AND s_stat <> 0 THEN"
+        " (CAST(s_stat AS DOUBLE) - CAST(SIGN(s_stat) AS DOUBLE))"
+        " / SQRT(CAST(var18 AS DOUBLE) / 18.0) ELSE 0.0 END AS z",
+        f"CASE WHEN var18 > 0 AND s_stat <> 0 AND"
+        f" CAST(FLOOR(ABS((CAST(s_stat AS DOUBLE) - CAST(SIGN(s_stat) AS DOUBLE))"
+        f" / SQRT(CAST(var18 AS DOUBLE) / 18.0)) * 1000000) AS BIGINT)"
+        f" >= {MK_Z_CRIT_PPM}"
+        f" THEN (CASE WHEN s_stat > 0 THEN 'increasing' ELSE 'decreasing' END)"
+        f" ELSE 'none' END AS trend",
+    ).orderBy("event_type")
+
+
+ORACLE_MANN_KENDALL = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT a.event_type,
+         CAST(sum(CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END)
+              AS BIGINT) AS s_stat
+  FROM hourly a JOIN hourly b
+    ON a.event_type = b.event_type AND a.hour < b.hour
+  GROUP BY 1
+),
+ties AS (
+  SELECT event_type,
+         CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term,
+         CAST(sum(t) AS BIGINT) AS n_hours
+  FROM (SELECT event_type, y, count(*) AS t FROM hourly GROUP BY 1, 2)
+  GROUP BY 1
+),
+base AS (
+  SELECT s.event_type, n_hours, s_stat,
+         CAST(n_hours * (n_hours - 1) * (2 * n_hours + 5) - tie_term
+              AS BIGINT) AS var18
+  FROM s JOIN ties ON s.event_type = ties.event_type
+)
+SELECT event_type, n_hours, s_stat, var18,
+       CASE WHEN var18 > 0 AND s_stat <> 0 THEN
+         (CAST(s_stat AS DOUBLE) - CAST(SIGN(s_stat) AS DOUBLE))
+         / SQRT(CAST(var18 AS DOUBLE) / 18.0) ELSE 0.0 END AS z,
+       CASE WHEN var18 > 0 AND s_stat <> 0 AND
+         CAST(FLOOR(ABS((CAST(s_stat AS DOUBLE) - CAST(SIGN(s_stat) AS DOUBLE))
+           / SQRT(CAST(var18 AS DOUBLE) / 18.0)) * 1000000) AS BIGINT)
+           >= {MK_Z_CRIT_PPM}
+         THEN (CASE WHEN s_stat > 0 THEN 'increasing' ELSE 'decreasing' END)
+         ELSE 'none' END AS trend
+FROM base ORDER BY event_type
+"""
+
+
 # -- Croston intermittent-demand forecasting --------------------------------------
 
 CROSTON_THRESHOLD = 300.0  # "demand" = daily cents of events with value >= this
@@ -5030,6 +5375,9 @@ QUERIES = {
     "events_page_hinkley": events_page_hinkley,
     "events_hampel_filter": events_hampel_filter,
     "events_croston": events_croston,
+    "events_mann_kendall": events_mann_kendall,
+    "stats_friedman": stats_friedman,
+    "events_stl_decompose": events_stl_decompose,
     "stats_welch_ttest": stats_welch_ttest,
     "stats_brown_forsythe": stats_brown_forsythe,
     "events_lttb_downsample": events_lttb_downsample,
@@ -5111,6 +5459,9 @@ ORACLES = {
     "events_page_hinkley": ORACLE_PAGE_HINKLEY,
     "events_hampel_filter": ORACLE_HAMPEL,
     "events_croston": ORACLE_CROSTON,
+    "events_mann_kendall": ORACLE_MANN_KENDALL,
+    "stats_friedman": ORACLE_FRIEDMAN,
+    "events_stl_decompose": ORACLE_STL,
     "events_holt_winters": ORACLE_HOLT_WINTERS,
     "events_forecast_backtest": ORACLE_FORECAST_BACKTEST,
     "events_session_paths": ORACLE_SESSION_PATHS,

@@ -733,6 +733,82 @@ FROM v0 v FULL OUTER JOIN fullv f ON v.source = f.source
 """
 
 
+def store_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 assembled from the store's own
+    change feed (round 10 — ``sources.merge.scd2_history`` over
+    ``read_changes``): the warehouse dimension-build pattern, one row
+    per (key, value-interval) with `_valid_from`/`_valid_to` commit
+    versions and `_is_current`, derived with one bounded per-key window
+    over the CDF event sequence.
+
+    Over the canonical 3-version IVM history every interval class
+    appears: born-at-init current rows, init rows closed by the v1
+    update (never current), v1 states still current, v1 states closed by
+    the v2 delete, init rows deleted at v2 untouched in between, and v1
+    inserts.  Hash-asserted per (valid_from, valid_to, is_current):
+    interval counts and n_chars sums — one misclassified interval moves
+    two groups."""
+    from mongraph_spark.sources import merge as merge_store
+
+    root = ivm_build_history(spark, sf_dir, tag="shared")
+    dim = merge_store.scd2_history(spark, root)
+    return dim.groupBy("_valid_from", "_valid_to", "_is_current").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    ).select(
+        F.col("_valid_from").alias("valid_from"),
+        F.coalesce(F.col("_valid_to"), F.lit(-1)).cast("long").alias("valid_to"),
+        F.col("_is_current").alias("is_current"),
+        "n_intervals",
+        "sum_chars",
+    )
+
+
+ORACLE_SCD2 = f"""
+WITH s0 AS (SELECT doc_id, source, n_chars FROM documents),
+s1 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 1 THEN 'moved' ELSE source END AS source,
+         CASE WHEN doc_id % 10 = 0 THEN n_chars + 13 ELSE n_chars END AS n_chars
+  FROM s0
+  UNION ALL
+  SELECT doc_id + {IVM_ID_SHIFT}, source, n_chars + 1
+  FROM s0 WHERE doc_id % 10 = 7
+),
+-- keys whose v1 upsert actually changed the row (opens a new interval)
+chg AS (
+  SELECT doc_id FROM s0
+  WHERE doc_id % 10 = 0 OR (doc_id % 10 = 1 AND source <> 'moved')
+),
+dead AS (SELECT doc_id FROM s1 WHERE n_chars % 5 = 0),
+intervals AS (
+  -- init rows of unchanged keys: closed only by the v2 delete (if dead)
+  SELECT 0 AS valid_from,
+         CASE WHEN d.doc_id IS NOT NULL THEN 2 ELSE -1 END AS valid_to,
+         d.doc_id IS NULL AS is_current, s0.n_chars
+  FROM s0 LEFT JOIN dead d USING (doc_id)
+  WHERE doc_id NOT IN (SELECT doc_id FROM chg)
+  UNION ALL
+  -- init rows of changed keys: closed by the v1 update, never current
+  SELECT 0, 1, FALSE, n_chars FROM s0 WHERE doc_id IN (SELECT doc_id FROM chg)
+  UNION ALL
+  -- v1 states of changed keys + v1 inserts: closed by v2 delete if dead
+  SELECT 1,
+         CASE WHEN d.doc_id IS NOT NULL THEN 2 ELSE -1 END,
+         d.doc_id IS NULL, s1.n_chars
+  FROM s1 LEFT JOIN dead d USING (doc_id)
+  WHERE s1.doc_id IN (SELECT doc_id FROM chg)
+     OR s1.doc_id > {IVM_ID_SHIFT}
+)
+SELECT CAST(valid_from AS BIGINT) AS valid_from,
+       CAST(valid_to AS BIGINT) AS valid_to,
+       is_current,
+       CAST(count(*) AS BIGINT) AS n_intervals,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM intervals GROUP BY 1, 2, 3
+"""
+
+
 def store_merge_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE schema evolution (round 10 — the Delta ``mergeSchema``
     behavior) composed with drop-column reincarnation, driver-verifiable:
@@ -2735,6 +2811,7 @@ QUERIES = {
     "store_rename_column": store_rename_column,
     "store_read_changes": store_read_changes,
     "store_merge_evolve": store_merge_evolve,
+    "store_scd2_history": store_scd2_history,
     "store_compact_rebase": store_compact_rebase,
     "store_compaction": store_compaction,
     "store_merge_into": store_merge_into,
@@ -2764,6 +2841,7 @@ ORACLES = {
     "store_rename_column": ORACLE_RENAME_COLUMN,
     "store_read_changes": ORACLE_READ_CHANGES,
     "store_merge_evolve": ORACLE_MERGE_EVOLVE,
+    "store_scd2_history": ORACLE_SCD2,
     "store_compact_rebase": ORACLE_COMPACT_REBASE,
     "store_compaction": ORACLE_COMPACTION,
     "store_merge_into": ORACLE_MERGE_INTO,

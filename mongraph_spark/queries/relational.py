@@ -4373,12 +4373,99 @@ FROM agg
 """
 
 
+# -- Cohen's kappa ----------------------------------------------------------------
+
+KAPPA_CHAR_MIN = 500  # rater A: "long document" by character count
+KAPPA_SPACE_MIN = 79  # rater B: "wordy document" by space count (~80 words)
+
+
+def stats_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa — chance-corrected inter-rater agreement, the
+    standard for labeling-pipeline QA (two annotators, or annotator vs
+    model, over the same items): κ = (p_o − p_e)/(1 − p_e).  Here the two
+    "raters" are deterministic document classifiers that should largely
+    agree — rater A calls a doc long by characters (n_chars ≥ 500),
+    rater B calls it wordy by space count (length arithmetic only, so
+    both engines tokenize identically) — scored per source.
+
+    Exactness: clearing p_o = a/n and p_e = (r₁c₁ + r₀c₀)/n² gives
+    κ = (n·a − S)/(n² − S) with S = r₁c₁ + r₀c₀ — every term an exact
+    integer from the 2×2 contingency counts; ONE sign-split ppm floor at
+    the end, NULL when the raters are degenerate (p_e = 1, κ undefined).
+
+    Scale shape: one map-side-combined aggregation per source building
+    the 2×2 table (four conditional counts), scalar finisher — no
+    shuffle beyond the groupBy, no row ever leaves the executor."""
+    d = read_table(spark, sf_dir, "documents")
+    a = (F.col("n_chars") >= KAPPA_CHAR_MIN).cast("long")
+    b = (
+        (F.length("text") - F.length(F.regexp_replace("text", " ", "")))
+        >= KAPPA_SPACE_MIN
+    ).cast("long")
+    agg = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(a * b).alias("n11"),
+        F.sum(a * (1 - b)).alias("n10"),
+        F.sum((1 - a) * b).alias("n01"),
+        F.sum((1 - a) * (1 - b)).alias("n00"),
+    )
+    return agg.selectExpr(
+        "source",
+        "n AS n_docs",
+        "n11 + n00 AS n_agree",
+        "CAST((1000000 * (n11 + n00)) div n AS BIGINT) AS po_ppm",
+        "CAST((1000000 * ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00)))"
+        " div (n*n) AS BIGINT) AS pe_ppm",
+        "CAST(CASE WHEN n*n = (n11+n10)*(n11+n01) + (n01+n00)*(n10+n00)"
+        " THEN NULL"
+        " WHEN n*(n11+n00) >= (n11+n10)*(n11+n01) + (n01+n00)*(n10+n00)"
+        " THEN (1000000 * (n*(n11+n00) - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00))))"
+        "      div (n*n - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00)))"
+        " ELSE -((1000000 * (((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00)) - n*(n11+n00)))"
+        "      div (n*n - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00))))"
+        " END AS BIGINT) AS kappa_ppm",
+    ).orderBy("source")
+
+
+ORACLE_COHENS_KAPPA = f"""
+WITH rated AS (
+  SELECT source,
+         CASE WHEN n_chars >= {KAPPA_CHAR_MIN} THEN 1 ELSE 0 END AS a,
+         CASE WHEN length(text) - length(replace(text, ' ', ''))
+                   >= {KAPPA_SPACE_MIN} THEN 1 ELSE 0 END AS b
+  FROM documents
+),
+agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(a * b) AS BIGINT) AS n11,
+         CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
+         CAST(sum((1 - a) * b) AS BIGINT) AS n01,
+         CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00
+  FROM rated GROUP BY source
+)
+SELECT source, n AS n_docs, n11 + n00 AS n_agree,
+       CAST((1000000 * (n11 + n00)) // n AS BIGINT) AS po_ppm,
+       CAST((1000000 * ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00)))
+            // (n*n) AS BIGINT) AS pe_ppm,
+       CAST(CASE WHEN n*n = (n11+n10)*(n11+n01) + (n01+n00)*(n10+n00)
+            THEN NULL
+            WHEN n*(n11+n00) >= (n11+n10)*(n11+n01) + (n01+n00)*(n10+n00)
+            THEN (1000000 * (n*(n11+n00) - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00))))
+                 // (n*n - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00)))
+            ELSE -((1000000 * (((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00)) - n*(n11+n00)))
+                 // (n*n - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00))))
+            END AS BIGINT) AS kappa_ppm
+FROM agg ORDER BY source
+"""
+
+
 QUERIES = {
     "stats_weighted_median": stats_weighted_median,
     "stats_neyman_allocation": stats_neyman_allocation,
     "stats_neyman_sample": stats_neyman_sample,
     "stats_mann_whitney": stats_mann_whitney,
     "stats_kruskal_wallis": stats_kruskal_wallis,
+    "stats_cohens_kappa": stats_cohens_kappa,
     "stats_mcnemar": stats_mcnemar,
     "stats_cochran_q": stats_cochran_q,
     "stats_cramers_v": stats_cramers_v,
@@ -4484,6 +4571,7 @@ ORACLES = {
     "stats_neyman_sample": ORACLE_NEYMAN_SAMPLE,
     "stats_mann_whitney": ORACLE_MANN_WHITNEY,
     "stats_kruskal_wallis": ORACLE_KRUSKAL_WALLIS,
+    "stats_cohens_kappa": ORACLE_COHENS_KAPPA,
     "stats_mcnemar": ORACLE_MCNEMAR,
     "stats_cochran_q": ORACLE_COCHRAN_Q,
     "stats_cramers_v": ORACLE_CRAMERS_V,

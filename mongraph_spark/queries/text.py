@@ -1402,7 +1402,139 @@ LIMIT {RAKE_TOP_K}
 """
 
 
+# -- TextRank keyword centrality --------------------------------------------------
+
+TR_ROUNDS = 5  # power-iteration depth (grid renorm keeps magnitudes constant)
+TR_GRID = 1000  # integer score grid
+TR_MIN_LEN = 5  # content-word proxy: tokens shorter than this are skipped
+TR_TOPK = 20
+
+
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank-style keyword extraction (Mihalcea & Tarau 2004, the
+    graph sibling of this battery's frequency-based RAKE): build the
+    corpus word CO-OCCURRENCE graph (adjacent content tokens, window 2,
+    undirected) and rank words by power-iteration centrality — a word
+    matters when it co-occurs with words that matter, which surfaces
+    hub terms plain counts miss.
+
+    Exactness: the iteration renormalizes onto the INTEGER GRID each
+    round (x' = (G·Σ_{u∼v}x_u) div max — the eigenvector-centrality
+    house pattern: every score an exact integer in [0, G], magnitudes
+    constant at any depth, engine-order-independent), and the top-K cut
+    is a fully-ordered (score DESC, word ASC) LIMIT both engines share.
+    Simplifications vs the paper, stated: unweighted unique-pair edges
+    and undamped iteration — the grid renorm plays the damping's
+    numerical role.
+
+    Scale shape: tokenize + adjacent-pair explode is one map-only pass;
+    the graph is vocabulary-sized (orders below corpus size); each round
+    is ONE join keyed on src + a map-side-combined agg + a broadcast
+    1-row max — the bounded-lineage iterate shape shared with the graph
+    battery."""
+    from mongraph_spark import pregel
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        F.split(F.lower("text"), r"\s+").alias("ws")
+    )
+    bigr = docs.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 1),"
+                " i -> struct(ws[i-1] AS w1, ws[i] AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    edges = bigr.filter(
+        (F.length("w1") >= TR_MIN_LEN)
+        & (F.length("w2") >= TR_MIN_LEN)
+        & (F.col("w1") != F.col("w2"))
+    )
+    und = (
+        edges.select("w1", "w2")
+        .union(edges.select(F.col("w2").alias("w1"), F.col("w1").alias("w2")))
+        .distinct()
+        .persist()
+    )
+    nodes = und.select(F.col("w1").alias("w")).distinct()
+
+    def step(x):
+        c = (
+            x.join(und, x["w"] == und["w1"])
+            .select(F.col("w2").alias("w"), "score")
+            .groupBy("w")
+            .agg(F.sum("score").cast("decimal(38,0)").alias("c"))
+        )
+        m = c.agg(F.max("c").alias("m"))
+        return (
+            nodes.join(c, "w", "left")
+            .crossJoin(F.broadcast(m))
+            .selectExpr(
+                "w",
+                f"CAST((CAST({TR_GRID} AS DECIMAL(38,0)) * coalesce(c, 0))"
+                " div m AS BIGINT) AS score",
+            )
+        )
+
+    try:
+        x0 = nodes.select("w", F.lit(TR_GRID).cast("long").alias("score"))
+        x, _ = pregel.iterate(x0, step, max_rounds=TR_ROUNDS, checkpoint_every=2)
+    finally:
+        und.unpersist()
+    return (
+        x.orderBy(F.col("score").desc(), F.col("w").asc())
+        .limit(TR_TOPK)
+        .select(F.col("w").alias("word"), "score")
+    )
+
+
+def _textrank_oracle() -> str:
+    body = """WITH words AS (
+  SELECT string_split_regex(lower(text), '\\s+') AS ws FROM documents
+),
+bigr AS (
+  SELECT ws[i] AS w1, ws[i+1] AS w2
+  FROM words, unnest(range(1, len(ws))) AS t(i)
+),
+edges AS (
+  SELECT w1, w2 FROM bigr
+  WHERE length(w1) >= {minlen} AND length(w2) >= {minlen} AND w1 <> w2
+),
+und AS MATERIALIZED (
+  SELECT DISTINCT w1, w2 FROM (
+    SELECT w1, w2 FROM edges UNION ALL SELECT w2 AS w1, w1 AS w2 FROM edges
+  )
+),
+nodes AS (SELECT DISTINCT w1 AS w FROM und),
+x0 AS (SELECT w, CAST({grid} AS BIGINT) AS score FROM nodes)"""
+    prev = "x0"
+    for k in range(1, TR_ROUNDS + 1):
+        body += f""",
+c{k} AS (
+  SELECT u.w2 AS w, CAST(sum(x.score) AS HUGEINT) AS c
+  FROM {prev} x JOIN und u ON x.w = u.w1
+  GROUP BY u.w2
+),
+m{k} AS (SELECT max(c) AS m FROM c{k}),
+x{k} AS MATERIALIZED (
+  SELECT n.w,
+         CAST((CAST({{grid}} AS HUGEINT) * coalesce(c.c, 0)) // m.m AS BIGINT)
+           AS score
+  FROM nodes n LEFT JOIN c{k} c ON n.w = c.w CROSS JOIN m{k} m
+)"""
+        prev = f"x{k}"
+    body += f"""
+SELECT w AS word, score FROM x{TR_ROUNDS}
+ORDER BY score DESC, w ASC
+LIMIT {{topk}}"""
+    return body.format(minlen=TR_MIN_LEN, grid=TR_GRID, topk=TR_TOPK)
+
+
+ORACLE_TEXTRANK = _textrank_oracle()
+
+
 QUERIES = {
+    "text_textrank_keywords": text_textrank_keywords,
     "text_rake_keywords": text_rake_keywords,
     "text_readability": text_readability,
     "text_msttr": text_msttr,
@@ -1423,6 +1555,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_textrank_keywords": ORACLE_TEXTRANK,
     "text_rake_keywords": ORACLE_RAKE,
     "text_readability": ORACLE_READABILITY,
     "text_msttr": ORACLE_MSTTR,

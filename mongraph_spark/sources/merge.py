@@ -3105,6 +3105,47 @@ def read_changes(
     return out
 
 
+def scd2_history(
+    spark: SparkSession,
+    root: str,
+    since_version: int = -1,
+    until_version: int | None = None,
+) -> DataFrame:
+    """Assemble a Slowly-Changing-Dimension Type 2 view of the table from
+    its own change feed (:func:`read_changes`) — the warehouse dimension-
+    build every CDC consumer eventually writes by hand: one row per
+    (key, value-interval) with ``_valid_from`` / ``_valid_to`` commit
+    versions and ``_is_current``.
+
+    Derivation: feed rows that OPEN a state (``insert`` /
+    ``update_postimage``) become candidate dimension rows valid from
+    their commit; ``delete`` rows are terminators.  One ordered window
+    per key over this bounded event sequence assigns each open row
+    ``_valid_to`` = the next event's version (the next state or the
+    delete) and ``_is_current`` when no event follows.  ``update_preimage``
+    rows are redundant for the build (their values equal the previous
+    postimage) and are dropped before the window.
+
+    Scale shape: the window partitions on the table key and orders by
+    commit version — the per-key event sequence is bounded by the key's
+    change count, never the table size, and the feed underneath is
+    bucket-scoped per transition.  With ``since_version=-1`` (default)
+    the feed starts at init, so every key's first interval opens at its
+    true birth version."""
+    key = _read_meta(root).get("key")
+    feed = read_changes(spark, root, since_version, until_version)
+    ev = feed.filter(F.col("_change_type") != "update_preimage")
+    w = Window.partitionBy(key).orderBy("_commit_version")
+    ev = ev.withColumn("_next_version", F.lead("_commit_version").over(w))
+    return (
+        ev.filter(F.col("_change_type") != "delete")
+        .withColumnRenamed("_commit_version", "_valid_from")
+        .withColumnRenamed("_next_version", "_valid_to")
+        .withColumn("_is_current", F.col("_valid_to").isNull())
+        .drop("_change_type")
+    )
+
+
 def read_as_of(spark: SparkSession, root: str, ts: float) -> DataFrame:
     """``TIMESTAMP AS OF`` time travel: read the latest version whose
     COMMIT time (:func:`_commit_ts` — the same clock ``vacuum_retention``

@@ -954,6 +954,64 @@ def _oracle_stream_lttb() -> str:
     return ORACLE_LTTB
 
 
+def streaming_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``queries.events.events_stl_decompose`` — the
+    live dashboard-decomposition shape: the stream maintains the
+    watermarked per-(type, hour) cents rollup (the decomposition's
+    ENTIRE input, bounded |types|×|hours| state), and the moving-average
+    trend + hour-of-day seasonal scan (``stl_finish``, shared verbatim)
+    re-runs on read over the continuously-updated rollup.  Fully
+    batch-equal, checked by the batch op's own oracle."""
+    from mongraph_spark.queries.events import stl_finish
+
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 day")
+    agg = ev.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"))
+    with _state_partitioning(spark, sf_dir):
+        out = run_to_table(agg, output_mode="complete")
+    hourly = out.select("event_type", F.col("w.start").alias("hour"), "y")
+    return stl_finish(hourly)
+
+
+def _oracle_stream_stl() -> str:
+    from mongraph_spark.queries.events import ORACLE_STL
+
+    return ORACLE_STL
+
+
+def streaming_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``queries.events.events_mann_kendall`` — the
+    live trend-monitor shape: the stream maintains the watermarked
+    per-(type, hour) cents rollup (the test's ENTIRE input, bounded
+    |types|×|hours| state), and the pairwise-sign scan
+    (``mann_kendall_finish``, shared verbatim) re-runs on read over the
+    continuously-updated rollup.  A monitoring poll pays the bounded
+    per-type pair join, never a raw-event replay.  Fully batch-equal,
+    checked by the batch op's own oracle."""
+    from mongraph_spark.queries.events import mann_kendall_finish
+
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 day")
+    agg = ev.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"))
+    with _state_partitioning(spark, sf_dir):
+        out = run_to_table(agg, output_mode="complete")
+    # the finisher self-joins its input; through the memory-sink view the
+    # shared attribute ids defeat Spark's self-join dedup — localCheckpoint
+    # of the BOUNDED rollup detaches the lineage (the acf-twin pattern)
+    hourly = out.select(
+        "event_type", F.col("w.start").alias("hour"), "y"
+    ).localCheckpoint(eager=True)
+    return mann_kendall_finish(hourly)
+
+
+def _oracle_stream_mann_kendall() -> str:
+    from mongraph_spark.queries.events import ORACLE_MANN_KENDALL
+
+    return ORACLE_MANN_KENDALL
+
+
 def streaming_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of ``queries.events.events_page_hinkley`` — the
     live-drift-monitor shape: the stream maintains the watermarked
@@ -2231,6 +2289,8 @@ QUERIES = {
     "streaming_welch_ttest": streaming_welch_ttest,
     "streaming_lttb_downsample": streaming_lttb_downsample,
     "streaming_page_hinkley": streaming_page_hinkley,
+    "streaming_mann_kendall": streaming_mann_kendall,
+    "streaming_stl_decompose": streaming_stl_decompose,
     "streaming_autocorrelation": streaming_autocorrelation,
     "streaming_hampel_filter": streaming_hampel_filter,
     "streaming_croston": streaming_croston,
@@ -2268,6 +2328,8 @@ ORACLES = {
     "streaming_welch_ttest": _oracle_stream_welch(),
     "streaming_lttb_downsample": _oracle_stream_lttb(),
     "streaming_page_hinkley": _oracle_stream_page_hinkley(),
+    "streaming_mann_kendall": _oracle_stream_mann_kendall(),
+    "streaming_stl_decompose": _oracle_stream_stl(),
     "streaming_autocorrelation": _oracle_stream_acf(),
     "streaming_hampel_filter": _oracle_stream_hampel(),
     "streaming_croston": _oracle_stream_croston(),
