@@ -4373,6 +4373,130 @@ FROM agg
 """
 
 
+# -- Jonckheere-Terpstra ordered-trend test ---------------------------------------
+
+
+def stats_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere–Terpstra test — the ORDERED-alternative k-sample test:
+    where Kruskal–Wallis asks "do the priority groups differ at all?",
+    JT asks the sharper monotone question "does order price tend to RISE
+    along 1-URGENT < 2-HIGH < 3-MEDIUM?" by summing the pairwise
+    Mann–Whitney counts over every ordered group pair.
+
+    Exactness: everything stays integer by doubling — 2J = Σ_{{g<h}} Σ_v
+    n_h(v)·(2·C_g(<v) + n_g(v)) (ties count half, hence the doubling),
+    computed from per-value group counts with ONE exclusive cumulative
+    window over the pivoted value axis, never a pairwise join; the null
+    mean clears its /4 as 4·E[J] = N² − Σ n_g².  The direction call
+    compares the two exact integers (4·2J/2 vs …): sign(2·2J − (N² −
+    Σn_g²)·… ) — i.e. 2·(2J) vs 4E — so the trend flag can never drift;
+    z is IEEE from exact inputs with the tie-UNcorrected variance
+    (documented — ties in cents are sparse).
+
+    Scale shape: per-value counts first (map-side combine to |distinct
+    values| rows), one pivoted ordered window over that bounded axis,
+    a 1-row finisher — the Kruskal–Wallis shape with a cumsum instead of
+    a rank."""
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin(*KW_GROUPS)
+    ).select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    per_val = o.groupBy("cents").agg(
+        *[
+            F.sum((F.col("grp") == g).cast("long")).alias(f"n{i}")
+            for i, g in enumerate(KW_GROUPS, 1)
+        ]
+    )
+    w_ex = (
+        Window.partitionBy(const_part(F.col("cents")))
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = per_val.select(
+        "cents",
+        "n1",
+        "n2",
+        "n3",
+        F.coalesce(F.sum("n1").over(w_ex), F.lit(0)).alias("c1"),
+        F.coalesce(F.sum("n2").over(w_ex), F.lit(0)).alias("c2"),
+    )
+    agg = cum.agg(
+        F.sum(
+            F.col("n2") * (2 * F.col("c1") + F.col("n1"))
+            + F.col("n3") * (2 * F.col("c1") + F.col("n1"))
+            + F.col("n3") * (2 * F.col("c2") + F.col("n2"))
+        ).cast("long").alias("j2"),
+        F.sum("n1").cast("long").alias("m1"),
+        F.sum("n2").cast("long").alias("m2"),
+        F.sum("n3").cast("long").alias("m3"),
+    )
+    base = agg.selectExpr(
+        "m1 + m2 + m3 AS n_total",
+        "j2",
+        "(m1+m2+m3)*(m1+m2+m3) - (m1*m1 + m2*m2 + m3*m3) AS mean4",
+        # tie-uncorrected 72*Var as an EXACT integer
+        "(m1+m2+m3)*(m1+m2+m3)*(2*(m1+m2+m3)+3)"
+        " - (m1*m1*(2*m1+3) + m2*m2*(2*m2+3) + m3*m3*(2*m3+3)) AS var72",
+    )
+    return base.selectExpr(
+        "n_total",
+        "j2",
+        "mean4",
+        # 2*(2J) vs 4E compares J to its null mean exactly
+        "CASE WHEN 2*j2 > mean4 THEN 'increasing'"
+        " WHEN 2*j2 < mean4 THEN 'decreasing' ELSE 'none' END AS direction",
+        # z = 4(J-E) / (4*sigma); tie-uncorrected (documented), IEEE from
+        # the exact integers above
+        "CAST(2*j2 - mean4 AS DOUBLE)"
+        " / SQRT(CAST(var72 AS DOUBLE) * 16.0 / 72.0) AS z",
+    )
+
+
+ORACLE_JONCKHEERE = f"""
+WITH vals AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         o_orderpriority AS grp
+  FROM orders WHERE o_orderpriority IN ('{KW_GROUPS[0]}', '{KW_GROUPS[1]}', '{KW_GROUPS[2]}')
+),
+per_val AS (
+  SELECT cents,
+         CAST(sum(CASE WHEN grp = '{KW_GROUPS[0]}' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN grp = '{KW_GROUPS[1]}' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(sum(CASE WHEN grp = '{KW_GROUPS[2]}' THEN 1 ELSE 0 END) AS BIGINT) AS n3
+  FROM vals GROUP BY cents
+),
+cum AS (
+  SELECT cents, n1, n2, n3,
+         coalesce(sum(n1) OVER w, 0) AS c1,
+         coalesce(sum(n2) OVER w, 0) AS c2
+  FROM per_val
+  WINDOW w AS (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+agg AS (
+  SELECT CAST(sum(n2*(2*c1+n1) + n3*(2*c1+n1) + n3*(2*c2+n2)) AS BIGINT) AS j2,
+         CAST(sum(n1) AS BIGINT) AS m1,
+         CAST(sum(n2) AS BIGINT) AS m2,
+         CAST(sum(n3) AS BIGINT) AS m3
+  FROM cum
+),
+base AS (
+  SELECT m1 + m2 + m3 AS n_total, j2,
+         (m1+m2+m3)*(m1+m2+m3) - (m1*m1 + m2*m2 + m3*m3) AS mean4,
+         (m1+m2+m3)*(m1+m2+m3)*(2*(m1+m2+m3)+3)
+           - (m1*m1*(2*m1+3) + m2*m2*(2*m2+3) + m3*m3*(2*m3+3)) AS var72
+  FROM agg
+)
+SELECT n_total, j2, mean4,
+       CASE WHEN 2*j2 > mean4 THEN 'increasing'
+            WHEN 2*j2 < mean4 THEN 'decreasing' ELSE 'none' END AS direction,
+       CAST(2*j2 - mean4 AS DOUBLE)
+         / SQRT(CAST(var72 AS DOUBLE) * 16.0 / 72.0) AS z
+FROM base
+"""
+
+
 # -- Cohen's kappa ----------------------------------------------------------------
 
 KAPPA_CHAR_MIN = 500  # rater A: "long document" by character count
@@ -4466,6 +4590,7 @@ QUERIES = {
     "stats_mann_whitney": stats_mann_whitney,
     "stats_kruskal_wallis": stats_kruskal_wallis,
     "stats_cohens_kappa": stats_cohens_kappa,
+    "stats_jonckheere": stats_jonckheere,
     "stats_mcnemar": stats_mcnemar,
     "stats_cochran_q": stats_cochran_q,
     "stats_cramers_v": stats_cramers_v,
@@ -4572,6 +4697,7 @@ ORACLES = {
     "stats_mann_whitney": ORACLE_MANN_WHITNEY,
     "stats_kruskal_wallis": ORACLE_KRUSKAL_WALLIS,
     "stats_cohens_kappa": ORACLE_COHENS_KAPPA,
+    "stats_jonckheere": ORACLE_JONCKHEERE,
     "stats_mcnemar": ORACLE_MCNEMAR,
     "stats_cochran_q": ORACLE_COCHRAN_Q,
     "stats_cramers_v": ORACLE_CRAMERS_V,

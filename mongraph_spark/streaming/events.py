@@ -2151,6 +2151,126 @@ def streaming_ivm_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter((F.col("n_docs_v0") != 0) | (F.col("n_docs_full") != 0))
 
 
+def streaming_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``quality.store_scd2_history``: the SCD Type 2
+    dimension maintained CONTINUOUSLY from the store's change feed — the
+    "dimension subscribed to CDC" shape every warehouse runs, where each
+    arriving commit closes the affected keys' current intervals and
+    opens the new ones, instead of re-deriving the whole dimension from
+    history.
+
+    Per micro-batch (one commit's CDF rows, replayed in commit order):
+    1. the affected keys' CURRENT dimension rows are appended to the
+       closed-interval log with ``_valid_to`` = this commit's version
+       (a broadcast semi-join against the batch's bounded key set);
+    2. opens (insert/update_postimage) MERGE into the current-state
+       table (replace-by-key);
+    3. deletes MERGE with ``when_matched_delete`` — both mutations are
+       the store's own bucket-scoped distributed ops, so per-batch cost
+       tracks the commit's change set, never the dimension size.
+    The final dimension = closed log ∪ current table, aggregated
+    identically to the batch op and checked by ITS oracle — batch-equal
+    by construction.
+
+    State model: the current-state table holds exactly one row per LIVE
+    key (the dimension's natural size) and the closed log is append-only
+    — at 100 TB both are what the warehouse stores anyway."""
+    import shutil
+
+    from mongraph_spark.queries.quality import ivm_build_history
+    from mongraph_spark.sources import merge as merge_store
+
+    root = ivm_build_history(spark, sf_dir, tag="shared")
+    cdc_dir = root + "_scd2cdc"
+    cur_tab = root + "_scd2cur"
+    log_dir = root + "_scd2log"
+    for d in (cdc_dir, cur_tab, log_dir):
+        shutil.rmtree(d, ignore_errors=True)
+    feed = merge_store.read_changes(spark, root, since_version=-1)
+    for n in [0, 1, 2]:  # one file group per commit, in commit order
+        feed.filter(F.col("_commit_version") == n).write.mode(
+            "append"
+        ).parquet(cdc_dir)
+
+    schema = (
+        "doc_id LONG, source STRING, n_chars LONG, "
+        "_change_type STRING, _commit_version LONG"
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        batch_df = batch_df.localCheckpoint(eager=True)  # 4 consumers below
+        ver = batch_df.agg(F.max("_commit_version")).collect()[0][0]
+        if ver is None:
+            return
+        opens = batch_df.filter(
+            F.col("_change_type").isin("insert", "update_postimage")
+        ).select("doc_id", "source", "n_chars", F.lit(int(ver)).alias("_valid_from"))
+        dels = batch_df.filter(F.col("_change_type") == "delete").select(
+            "doc_id", "source", "n_chars"
+        )
+        if merge_store.current_version(cur_tab) is not None:
+            aff = batch_df.select("doc_id").distinct()
+            closing = (
+                merge_store.read_current(s, cur_tab)
+                .drop("__bucket")
+                .join(F.broadcast(aff), "doc_id")
+                .withColumn("_valid_to", F.lit(int(ver)).cast("long"))
+            )
+            closing.write.mode("append").parquet(log_dir)
+            # replace-whole-row semantics: the new interval SUPERSEDES the
+            # key's current row (merge-without-SET would keep it as-is)
+            merge_store.upsert(s, cur_tab, opens, key="doc_id")
+            if dels.limit(1).count():
+                merge_store.merge_into(
+                    s,
+                    cur_tab,
+                    dels.withColumn("_valid_from", F.lit(0).cast("long")),
+                    when_matched_delete="true",
+                    insert_not_matched=False,
+                )
+        else:
+            merge_store.init_table(opens, cur_tab, key="doc_id", n_buckets=8)
+
+    with _state_partitioning(spark, sf_dir):
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(cdc_dir)
+            .writeStream.foreachBatch(process)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    cur = (
+        merge_store.read_current(spark, cur_tab)
+        .drop("__bucket")
+        .withColumn("_valid_to", F.lit(None).cast("long"))
+    )
+    try:
+        closed = spark.read.parquet(log_dir).select(*cur.columns)
+        dim = closed.unionByName(cur)
+    except Exception:  # no interval ever closed (log dir empty)
+        dim = cur
+    return dim.groupBy("_valid_from", "_valid_to").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    ).select(
+        F.col("_valid_from").alias("valid_from"),
+        F.coalesce(F.col("_valid_to"), F.lit(-1)).cast("long").alias("valid_to"),
+        F.col("_valid_to").isNull().alias("is_current"),
+        "n_intervals",
+        "sum_chars",
+    )
+
+
+def _oracle_stream_scd2() -> str:
+    from mongraph_spark.queries.quality import ORACLE_SCD2
+
+    return ORACLE_SCD2
+
+
 def _oracle_stream_ivm() -> str:
     from mongraph_spark.queries.quality import ORACLE_IVM_AGG
 
@@ -2276,6 +2396,7 @@ QUERIES = {
     "streaming_lsh_dedup": streaming_lsh_dedup,
     "streaming_ann_ivf": streaming_ann_ivf,
     "streaming_ivm_agg": streaming_ivm_agg,
+    "streaming_scd2_history": streaming_scd2_history,
     "streaming_span_dedup": streaming_span_dedup,
     "streaming_slo_burn_rate": streaming_slo_burn_rate,
     "streaming_hourly_top_type": streaming_hourly_top_type,
@@ -2315,6 +2436,7 @@ ORACLES = {
     "streaming_lsh_dedup": _oracle_stream_lsh(),
     "streaming_ann_ivf": _oracle_stream_ivf(),
     "streaming_ivm_agg": _oracle_stream_ivm(),
+    "streaming_scd2_history": _oracle_stream_scd2(),
     "streaming_span_dedup": _oracle_stream_span(),
     "streaming_slo_burn_rate": _oracle_stream_slo(),
     "streaming_hourly_top_type": _oracle_stream_hourly_top(),

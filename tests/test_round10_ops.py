@@ -135,3 +135,17 @@ def test_textrank_hub_word_wins(spark, monkeypatch):
     out = T.text_textrank_keywords(spark, "ignored").collect()
     assert out[0]["word"] == "alpha"
     assert out[0]["score"] == 1000  # grid max
+
+
+def test_jonckheere_known_direction():
+    # three ordered groups g1={1,2}, g2={3,4}, g3={5,6}: every cross pair
+    # strictly increasing -> U12=U13=U23=4, J=12, 2J=24
+    # N=6, mean4 = 36 - 12 = 24 -> 4E = 24, 2*(2J) = 48 > 24 -> increasing
+    n = [2, 2, 2]
+    N = sum(n)
+    j2 = 24
+    mean4 = N * N - sum(x * x for x in n)
+    assert 2 * j2 > mean4
+    var72 = N * N * (2 * N + 3) - sum(x * x * (2 * x + 3) for x in n)
+    z = (2 * j2 - mean4) / ((var72 * 16.0 / 72.0) ** 0.5)
+    assert z > 2.0  # perfectly ordered sample is deep in the tail
