@@ -4633,6 +4633,187 @@ ORDER BY 1, 2
 """
 
 
+# -- Regime segmentation (gaps-and-islands) ---------------------------------------
+
+
+def events_regime_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Above/below-mean regime segmentation of each event type's hourly
+    cents series — the gaps-and-islands readout behind burst/lull
+    analysis: how many contiguous high-activity runs, how long do they
+    last, what fraction of hours are high?  (The battery's burstiness
+    scalar summarizes inter-arrival CV; this surfaces the RUNS.)
+
+    Exactness: the regime threshold is the series mean ON THE PPM GRID
+    (hi ⇔ 10⁶·y ≥ mean_ppm = (10⁶·S) div n, exact floor both engines
+    share), and the island id is the classic difference of two
+    row_numbers — pure integer window arithmetic.
+
+    Scale shape: hourly rollup (map-side combine), two ordered windows
+    per type over the bounded |types|×|hours| rollup, a per-type
+    finisher — the partitioned-prefix family shape."""
+    ev = read_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.sum(cents).alias("y"))
+    w_all = Window.partitionBy("event_type")
+    w_ord = Window.partitionBy("event_type").orderBy("hour")
+    flagged = (
+        hourly.withColumn("s", F.sum("y").over(w_all))
+        .withColumn("n", F.count(F.lit(1)).over(w_all))
+        .withColumn(
+            "mean_ppm",
+            F.expr(
+                "CASE WHEN s >= 0"
+                " THEN (CAST(1000000 AS DECIMAL(38,0)) * s) div n"
+                " ELSE -((CAST(1000000 AS DECIMAL(38,0)) * (-s)) div n) END"
+            ),
+        )
+        .withColumn(
+            "hi",
+            (
+                F.lit(1000000).cast("decimal(38,0)") * F.col("y")
+                >= F.col("mean_ppm")
+            ).cast("int"),
+        )
+    )
+    w_reg = Window.partitionBy("event_type", "hi").orderBy("hour")
+    isl = flagged.withColumn(
+        "island", F.row_number().over(w_ord) - F.row_number().over(w_reg)
+    )
+    runs = isl.groupBy("event_type", "hi", "island").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return (
+        runs.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_segments"),
+            F.max(F.when(F.col("hi") == 1, F.col("run_len"))).cast("long")
+            .alias("longest_hi_run"),
+            F.max(F.when(F.col("hi") == 0, F.col("run_len"))).cast("long")
+            .alias("longest_lo_run"),
+            F.sum(F.when(F.col("hi") == 1, F.col("run_len")).otherwise(0))
+            .cast("long").alias("n_hi_hours"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_REGIME = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+flagged AS (
+  SELECT event_type, hour, y,
+         CASE WHEN CAST(1000000 AS HUGEINT) * y >=
+           (CASE WHEN sum(y) OVER w >= 0
+            THEN (CAST(1000000 AS HUGEINT) * sum(y) OVER w) // count(*) OVER w
+            ELSE -((CAST(1000000 AS HUGEINT) * (-(sum(y) OVER w))) // count(*) OVER w)
+            END)
+         THEN 1 ELSE 0 END AS hi
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type)
+),
+isl AS (
+  SELECT event_type, hi,
+         row_number() OVER (PARTITION BY event_type ORDER BY hour)
+           - row_number() OVER (PARTITION BY event_type, hi ORDER BY hour)
+           AS island
+  FROM flagged
+),
+runs AS (
+  SELECT event_type, hi, island, count(*) AS run_len
+  FROM isl GROUP BY 1, 2, 3
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(max(CASE WHEN hi = 1 THEN run_len END) AS BIGINT) AS longest_hi_run,
+       CAST(max(CASE WHEN hi = 0 THEN run_len END) AS BIGINT) AS longest_lo_run,
+       CAST(sum(CASE WHEN hi = 1 THEN run_len ELSE 0 END) AS BIGINT) AS n_hi_hours
+FROM runs GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# -- Lorenz concentration curve ---------------------------------------------------
+
+
+def events_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of user spend concentration — the CURVE behind the
+    battery's scalar Gini (events_user_gini): users sorted by total
+    cents ascending, cumulative spend share at each population decile.
+    The readout capacity planning and abuse teams actually look at ("the
+    top decile carries X% of volume"), not just the summary coefficient.
+
+    Exactness: per-user totals are exact cents; deciles are ``ntile(10)``
+    over the fully-deterministic (total, user_id) order both engines
+    share; each decile's cumulative share is ONE div on the ppm grid
+    against the exact grand total.
+
+    Scale shape: per-user rollup (map-side combine), one total-order
+    window over the |users| rollup (the same price every rank op pays —
+    pre-bucket by range at 100 TB), a 10-row finisher."""
+    ev = read_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    per_user = ev.groupBy("user_id").agg(F.sum(cents).alias("total"))
+    w_ord = Window.partitionBy(const_part(F.col("total"))).orderBy(
+        "total", "user_id"
+    )
+    decile = per_user.withColumn("decile", F.ntile(10).over(w_ord))
+    per_dec = decile.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("total").cast("long").alias("dec_cents"),
+    )
+    w_cum = Window.partitionBy(const_part(F.col("decile"))).orderBy(
+        "decile"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy(const_part(F.col("decile")))
+    return (
+        per_dec.withColumn("cum_cents", F.sum("dec_cents").over(w_cum))
+        .withColumn("grand", F.sum("dec_cents").over(w_all))
+        .selectExpr(
+            "decile",
+            "n_users",
+            "cum_cents",
+            "CAST(CASE WHEN cum_cents >= 0"
+            " THEN (1000000 * cum_cents) div grand"
+            " ELSE -((1000000 * (-cum_cents)) div grand) END AS BIGINT)"
+            " AS cum_share_ppm",
+        )
+        .orderBy("decile")
+    )
+
+
+ORACLE_LORENZ = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total
+  FROM events GROUP BY user_id
+),
+dec AS (
+  SELECT ntile(10) OVER (ORDER BY total, user_id) AS decile, total
+  FROM per_user
+),
+per_dec AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(total) AS BIGINT) AS dec_cents
+  FROM dec GROUP BY decile
+)
+SELECT decile, n_users,
+       CAST(sum(dec_cents) OVER w AS BIGINT) AS cum_cents,
+       CAST(CASE WHEN sum(dec_cents) OVER w >= 0
+            THEN (1000000 * sum(dec_cents) OVER w)
+                 // (sum(dec_cents) OVER ())
+            ELSE -((1000000 * (-(sum(dec_cents) OVER w)))
+                 // (sum(dec_cents) OVER ())) END AS BIGINT) AS cum_share_ppm
+FROM per_dec
+WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY decile
+"""
+
+
 # -- STL-lite seasonal decomposition ----------------------------------------------
 
 STL_HALF_WINDOW = 12  # centered moving-average half-width (25-row window)
@@ -5378,6 +5559,8 @@ QUERIES = {
     "events_mann_kendall": events_mann_kendall,
     "stats_friedman": stats_friedman,
     "events_stl_decompose": events_stl_decompose,
+    "events_lorenz_curve": events_lorenz_curve,
+    "events_regime_segments": events_regime_segments,
     "stats_welch_ttest": stats_welch_ttest,
     "stats_brown_forsythe": stats_brown_forsythe,
     "events_lttb_downsample": events_lttb_downsample,
@@ -5462,6 +5645,8 @@ ORACLES = {
     "events_mann_kendall": ORACLE_MANN_KENDALL,
     "stats_friedman": ORACLE_FRIEDMAN,
     "events_stl_decompose": ORACLE_STL,
+    "events_lorenz_curve": ORACLE_LORENZ,
+    "events_regime_segments": ORACLE_REGIME,
     "events_holt_winters": ORACLE_HOLT_WINTERS,
     "events_forecast_backtest": ORACLE_FORECAST_BACKTEST,
     "events_session_paths": ORACLE_SESSION_PATHS,

@@ -1849,6 +1849,99 @@ ORACLE_T_CLOSENESS = _oracle_t_closeness()
 PSEUDO_SALT = "mg_release_2026_08"  # production rotates this per data release
 
 
+# email-shaped PII; lowercase char classes only (the corpus is normalized
+# lowercase) so both regex engines match identical spans
+PII_EMAIL_RE = "[a-z0-9._]+@[a-z0-9.]+[.][a-z][a-z]+"
+
+
+def pipeline_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction audit — the compliance pass every training-data
+    pipeline runs before release: find email-shaped spans, replace them
+    with a fixed token, and account for every byte removed (the audit
+    trail reviewers sign off on).  Completes the governance battery
+    (k-anonymity / l-diversity / t-closeness / pseudonymization audit
+    the QUASI-identifiers; this scrubs the DIRECT identifiers).
+
+    The corpus has no natural emails, so the op is self-calibrating:
+    deterministic email PII is INJECTED into doc_id % 10 == 2 documents
+    first (``contact: user<id>@example.com``), making expected counts
+    exact — a scrubber that misses spans or over-matches shifts every
+    audited number.
+
+    Exactness: match counts via regexp count/extract-all (identical
+    simple-char-class spans in both engines), bytes-removed =
+    length(before) − length(after) + redactions·len(token), all exact
+    integers on the per-source rollup.
+
+    Scale shape: pure per-row column expressions (regex in the JVM /
+    vectorized engine, no UDF), one map-side-combined rollup — the
+    cheapest possible shape for a full-corpus pass."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.lower("text").alias("text")
+    )
+    with_pii = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 == 2,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact: user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    scrubbed = with_pii.select(
+        "source",
+        F.regexp_count("text", F.lit(PII_EMAIL_RE)).alias("n_hits"),
+        F.length("text").alias("len_before"),
+        F.length(
+            F.regexp_replace("text", PII_EMAIL_RE, "[EMAIL]")
+        ).alias("len_after"),
+    )
+    return (
+        scrubbed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((F.col("n_hits") > 0).cast("long")).cast("long")
+            .alias("n_docs_with_pii"),
+            F.sum("n_hits").cast("long").alias("n_redactions"),
+            (
+                F.sum(F.col("len_before") - F.col("len_after"))
+                + F.sum("n_hits") * F.length(F.lit("[EMAIL]"))
+            ).cast("long").alias("chars_removed"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_PII_SCRUB = f"""
+WITH with_pii AS (
+  SELECT source,
+         CASE WHEN doc_id % 10 = 2
+              THEN lower(text) || ' contact: user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com'
+              ELSE lower(text) END AS text
+  FROM documents
+),
+scrubbed AS (
+  SELECT source,
+         len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS n_hits,
+         length(text) AS len_before,
+         length(regexp_replace(text, '{PII_EMAIL_RE}', '[EMAIL]', 'g'))
+           AS len_after
+  FROM with_pii
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_with_pii,
+       CAST(sum(n_hits) AS BIGINT) AS n_redactions,
+       CAST(sum(len_before - len_after) + sum(n_hits) * length('[EMAIL]')
+            AS BIGINT) AS chars_removed
+FROM scrubbed GROUP BY source ORDER BY source
+"""
+
+
 def pipeline_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted-token pseudonymization with a referential-integrity audit —
     the governance step between :func:`pipeline_k_anonymity` (measure the
@@ -2128,6 +2221,7 @@ QUERIES = {
     "pipeline_l_diversity": pipeline_l_diversity,
     "pipeline_t_closeness": pipeline_t_closeness,
     "pipeline_pseudonymize": pipeline_pseudonymize,
+    "pipeline_pii_scrub": pipeline_pii_scrub,
     "pipeline_rendezvous_shards": pipeline_rendezvous_shards,
     "pipeline_curation_funnel": pipeline_curation_funnel,
     "pipeline_length_matching": pipeline_length_matching,
@@ -2156,6 +2250,7 @@ ORACLES = {
     "pipeline_l_diversity": ORACLE_L_DIVERSITY,
     "pipeline_t_closeness": ORACLE_T_CLOSENESS,
     "pipeline_pseudonymize": ORACLE_PSEUDONYMIZE,
+    "pipeline_pii_scrub": ORACLE_PII_SCRUB,
     "pipeline_rendezvous_shards": ORACLE_RENDEZVOUS,
     "pipeline_length_batches": ORACLE_LENGTH_BATCHES,
     "pipeline_length_matching": ORACLE_LENGTH_MATCHING,
