@@ -4656,6 +4656,12 @@ def events_regime_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("hour")
     ).agg(F.sum(cents).alias("y"))
+    return regime_finish(hourly)
+
+
+def regime_finish(hourly: DataFrame) -> DataFrame:
+    """The segmentation over a (event_type, hour, y) rollup — shared
+    verbatim by the streaming twin, whose state is exactly this rollup."""
     w_all = Window.partitionBy("event_type")
     w_ord = Window.partitionBy("event_type").orderBy("hour")
     flagged = (
@@ -4758,6 +4764,12 @@ def events_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
     cents = F.round(F.col("value") * 100).cast("long")
     per_user = ev.groupBy("user_id").agg(F.sum(cents).alias("total"))
+    return lorenz_finish(per_user)
+
+
+def lorenz_finish(per_user: DataFrame) -> DataFrame:
+    """The curve over a (user_id, total) rollup — shared verbatim by the
+    streaming twin, whose state is exactly this rollup."""
     w_ord = Window.partitionBy(const_part(F.col("total"))).orderBy(
         "total", "user_id"
     )

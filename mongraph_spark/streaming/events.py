@@ -980,6 +980,56 @@ def _oracle_stream_stl() -> str:
     return ORACLE_STL
 
 
+def streaming_regime_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``queries.events.events_regime_segments`` — the
+    live burst-monitor shape: the stream maintains the watermarked
+    per-(type, hour) cents rollup, and the gaps-and-islands segmentation
+    re-runs on read over the continuously-updated rollup
+    (``regime_finish``, shared verbatim).  Fully batch-equal, checked by
+    the batch op's oracle."""
+    from mongraph_spark.queries.events import regime_finish
+
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 day")
+    agg = ev.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"))
+    with _state_partitioning(spark, sf_dir):
+        out = run_to_table(agg, output_mode="complete")
+    hourly = out.select("event_type", F.col("w.start").alias("hour"), "y")
+    return regime_finish(hourly)
+
+
+def streaming_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``queries.events.events_lorenz_curve`` — the
+    live concentration-monitor shape: the stream maintains per-user
+    running cents totals (one state row per user — the
+    stateful_user_totals state class), and the decile curve
+    (``lorenz_finish``, shared verbatim) re-runs on read over the
+    continuously-updated totals.  Fully batch-equal, checked by the
+    batch op's own oracle."""
+    from mongraph_spark.queries.events import lorenz_finish
+
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 day")
+    agg = ev.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("total")
+    )
+    with _state_partitioning(spark, sf_dir):
+        out = run_to_table(agg, output_mode="complete")
+    return lorenz_finish(out.select("user_id", "total"))
+
+
+def _oracle_stream_lorenz() -> str:
+    from mongraph_spark.queries.events import ORACLE_LORENZ
+
+    return ORACLE_LORENZ
+
+
+def _oracle_stream_regime() -> str:
+    from mongraph_spark.queries.events import ORACLE_REGIME
+
+    return ORACLE_REGIME
+
+
 def streaming_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of ``queries.events.events_mann_kendall`` — the
     live trend-monitor shape: the stream maintains the watermarked
@@ -2412,6 +2462,8 @@ QUERIES = {
     "streaming_page_hinkley": streaming_page_hinkley,
     "streaming_mann_kendall": streaming_mann_kendall,
     "streaming_stl_decompose": streaming_stl_decompose,
+    "streaming_regime_segments": streaming_regime_segments,
+    "streaming_lorenz_curve": streaming_lorenz_curve,
     "streaming_autocorrelation": streaming_autocorrelation,
     "streaming_hampel_filter": streaming_hampel_filter,
     "streaming_croston": streaming_croston,
@@ -2452,6 +2504,8 @@ ORACLES = {
     "streaming_page_hinkley": _oracle_stream_page_hinkley(),
     "streaming_mann_kendall": _oracle_stream_mann_kendall(),
     "streaming_stl_decompose": _oracle_stream_stl(),
+    "streaming_regime_segments": _oracle_stream_regime(),
+    "streaming_lorenz_curve": _oracle_stream_lorenz(),
     "streaming_autocorrelation": _oracle_stream_acf(),
     "streaming_hampel_filter": _oracle_stream_hampel(),
     "streaming_croston": _oracle_stream_croston(),
