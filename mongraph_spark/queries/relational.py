@@ -4583,6 +4583,120 @@ FROM agg ORDER BY source
 """
 
 
+# -- Fleiss' kappa ----------------------------------------------------------------
+
+FLEISS_DOT_MIN = 5  # rater C: "structured document" by sentence-period count
+
+
+def stats_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa — Cohen's kappa generalized to n raters (the
+    multi-annotator agreement score labeling campaigns report): three
+    deterministic binary document raters (long-by-characters,
+    wordy-by-spaces, structured-by-periods — pure length arithmetic, so
+    both engines rate identically), scored per source.
+
+    Exactness: with r_i raters voting 1 on item i (n = 3 raters, binary
+    categories), the per-item agreement sum is Σ_j n_ij² = r_i² +
+    (n−r_i)², so A = Σ_i(r_i² + (n−r_i)² − n), the category totals are
+    c₁ = Σr_i and c₀ = Nn − c₁, and clearing every denominator gives
+
+        κ = (A·(Nn)² − Nn(n−1)·(c₁² + c₀²))
+            / (Nn(n−1)·(Nn)² − Nn(n−1)·(c₁² + c₀²))
+
+    — all exact integers, ONE sign-split ppm floor, NULL at the p_e = 1
+    degenerate point.
+
+    Scale shape: per-item rater votes are column expressions; one
+    map-side-combined rollup per source carries (N, Σr, Σ per-item
+    agreement); scalar finisher."""
+    d = read_table(spark, sf_dir, "documents")
+    a = (F.col("n_chars") >= KAPPA_CHAR_MIN).cast("long")
+    b = (
+        (F.length("text") - F.length(F.regexp_replace("text", " ", "")))
+        >= KAPPA_SPACE_MIN
+    ).cast("long")
+    c = (
+        (F.length("text") - F.length(F.regexp_replace("text", "\\.", "")))
+        >= FLEISS_DOT_MIN
+    ).cast("long")
+    r = (a + b + c).alias("r")
+    agg = d.select(r.alias("r"), "source").groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("r").alias("c1"),
+        F.sum(F.col("r") * F.col("r") + (3 - F.col("r")) * (3 - F.col("r")) - 3)
+        .alias("a_sum"),
+    )
+    wide = agg.selectExpr(
+        "source",
+        "n_items",
+        "c1",
+        "CAST(n_items AS DECIMAL(38,0)) AS n_d",
+        "CAST(c1 AS DECIMAL(38,0)) AS c1_d",
+        "CAST(a_sum AS DECIMAL(38,0)) AS a_d",
+    )
+    # S = c1^2 + c0^2 with c0 = 3N - c1; C = 6N; (Nn)^2 = 9N^2 — cubes of N
+    # overflow int64 past N ~ 5.5e5, so the products live in DECIMAL(38)
+    return wide.selectExpr(
+        "source",
+        "n_items",
+        "c1 AS n_votes_yes",
+        "CAST(CASE"
+        " WHEN 6*n_d*9*n_d*n_d = 6*n_d*(c1_d*c1_d + (3*n_d-c1_d)*(3*n_d-c1_d))"
+        " THEN NULL"
+        " WHEN a_d*9*n_d*n_d >= 6*n_d*(c1_d*c1_d + (3*n_d-c1_d)*(3*n_d-c1_d))"
+        " THEN (1000000 * (a_d*9*n_d*n_d"
+        "       - 6*n_d*(c1_d*c1_d + (3*n_d-c1_d)*(3*n_d-c1_d))))"
+        "      div (6*n_d*9*n_d*n_d"
+        "       - 6*n_d*(c1_d*c1_d + (3*n_d-c1_d)*(3*n_d-c1_d)))"
+        " ELSE -((1000000 * (6*n_d*(c1_d*c1_d + (3*n_d-c1_d)*(3*n_d-c1_d))"
+        "       - a_d*9*n_d*n_d))"
+        "      div (6*n_d*9*n_d*n_d"
+        "       - 6*n_d*(c1_d*c1_d + (3*n_d-c1_d)*(3*n_d-c1_d))))"
+        " END AS BIGINT) AS fleiss_kappa_ppm",
+    ).orderBy("source")
+
+
+ORACLE_FLEISS_KAPPA = f"""
+WITH rated AS (
+  SELECT source,
+         (CASE WHEN n_chars >= {KAPPA_CHAR_MIN} THEN 1 ELSE 0 END
+          + CASE WHEN length(text) - length(replace(text, ' ', ''))
+                      >= {KAPPA_SPACE_MIN} THEN 1 ELSE 0 END
+          + CASE WHEN length(text) - length(replace(text, '.', ''))
+                      >= {FLEISS_DOT_MIN} THEN 1 ELSE 0 END) AS r
+  FROM documents
+),
+agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_items,
+         CAST(sum(r) AS BIGINT) AS c1,
+         CAST(sum(r*r + (3-r)*(3-r) - 3) AS BIGINT) AS a_sum
+  FROM rated GROUP BY source
+),
+wide AS (
+  SELECT source, n_items, c1,
+         CAST(n_items AS HUGEINT) AS n_d,
+         CAST(c1 AS HUGEINT) AS c1_d,
+         CAST(a_sum AS HUGEINT) AS a_d
+  FROM agg
+)
+SELECT source, n_items, c1 AS n_votes_yes,
+       CAST(CASE
+         WHEN 6*n_d*9*n_d*n_d = 6*n_d*(c1_d*c1_d + (3*n_d-c1_d)*(3*n_d-c1_d))
+         THEN NULL
+         WHEN a_d*9*n_d*n_d >= 6*n_d*(c1_d*c1_d + (3*n_d-c1_d)*(3*n_d-c1_d))
+         THEN (1000000 * (a_d*9*n_d*n_d
+               - 6*n_d*(c1_d*c1_d + (3*n_d-c1_d)*(3*n_d-c1_d))))
+              // (6*n_d*9*n_d*n_d
+               - 6*n_d*(c1_d*c1_d + (3*n_d-c1_d)*(3*n_d-c1_d)))
+         ELSE -((1000000 * (6*n_d*(c1_d*c1_d + (3*n_d-c1_d)*(3*n_d-c1_d))
+               - a_d*9*n_d*n_d))
+              // (6*n_d*9*n_d*n_d
+               - 6*n_d*(c1_d*c1_d + (3*n_d-c1_d)*(3*n_d-c1_d))))
+         END AS BIGINT) AS fleiss_kappa_ppm
+FROM wide ORDER BY source
+"""
+
+
 QUERIES = {
     "stats_weighted_median": stats_weighted_median,
     "stats_neyman_allocation": stats_neyman_allocation,
@@ -4591,6 +4705,7 @@ QUERIES = {
     "stats_kruskal_wallis": stats_kruskal_wallis,
     "stats_cohens_kappa": stats_cohens_kappa,
     "stats_jonckheere": stats_jonckheere,
+    "stats_fleiss_kappa": stats_fleiss_kappa,
     "stats_mcnemar": stats_mcnemar,
     "stats_cochran_q": stats_cochran_q,
     "stats_cramers_v": stats_cramers_v,
@@ -4698,6 +4813,7 @@ ORACLES = {
     "stats_kruskal_wallis": ORACLE_KRUSKAL_WALLIS,
     "stats_cohens_kappa": ORACLE_COHENS_KAPPA,
     "stats_jonckheere": ORACLE_JONCKHEERE,
+    "stats_fleiss_kappa": ORACLE_FLEISS_KAPPA,
     "stats_mcnemar": ORACLE_MCNEMAR,
     "stats_cochran_q": ORACLE_COCHRAN_Q,
     "stats_cramers_v": ORACLE_CRAMERS_V,
