@@ -4633,6 +4633,153 @@ ORDER BY 1, 2
 """
 
 
+# -- Split-conformal forecast intervals -------------------------------------------
+
+CONF_TRAIN_FRAC_PCT = 70  # calibration split (by day index, per series)
+CONF_ALPHA_PCT = 10  # 90% nominal coverage
+
+
+def events_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals around a seasonal-naive daily
+    forecast — the DISTRIBUTION-FREE uncertainty wrapper modern
+    forecasting pipelines put on any point model (finite-sample coverage
+    guarantee, no residual-normality assumption): calibrate q̂ = the
+    ⌈(1−α)(m+1)⌉-th smallest |residual| on the first 70% of days, then
+    audit empirical coverage of ŷ ± q̂ on the held-out tail.  The
+    battery's forecast_backtest scores point accuracy; this scores the
+    INTERVAL the consumer actually acts on.
+
+    Exactness: residuals are integer cents (|y_t − y_{t−7}|), q̂ is an
+    exact ORDER STATISTIC (rank window + index filter — no interpolated
+    percentile), the conformal index ⌈(1−α)(m+1)⌉ is integer
+    arithmetic, and coverage is one ppm div.  A series whose calibration
+    tail is too short (m < the index) reports NULL q̂/coverage rather
+    than a silently-clamped quantile.
+
+    Scale shape: daily rollup (map-side combine), per-type ordered
+    windows over the bounded |types|×|days| rollup (lag-7, row_number),
+    one rank window over the per-type calibration residuals, a per-type
+    finisher — the forecast-family shape."""
+    ev = read_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(cents).alias("y"))
+    return conformal_finish(daily)
+
+
+def conformal_finish(daily: DataFrame) -> DataFrame:
+    """The calibration + audit over a (event_type, day, y) rollup —
+    shared verbatim by the streaming twin, whose state is exactly this
+    rollup."""
+    w_ord = Window.partitionBy("event_type").orderBy("day")
+    w_all = Window.partitionBy("event_type")
+    base = (
+        daily.withColumn("t", F.row_number().over(w_ord))
+        .withColumn("n_days", F.count(F.lit(1)).over(w_all))
+        .withColumn("pred", F.lag("y", 7).over(w_ord))
+        .filter(F.col("pred").isNotNull())
+        .withColumn("resid", F.abs(F.col("y") - F.col("pred")))
+        .withColumn(
+            "is_cal",
+            F.col("t") <= (F.col("n_days") * CONF_TRAIN_FRAC_PCT) / 100,
+        )
+    )
+    cal = base.filter(F.col("is_cal"))
+    w_rank = Window.partitionBy("event_type").orderBy("resid", "t")
+    m = cal.groupBy("event_type").agg(F.count(F.lit(1)).alias("m_cal"))
+    # conformal index k = ceil((1-alpha)(m+1)) on the integer grid
+    k = m.withColumn(
+        "k",
+        F.expr(
+            f"CAST(-((-(100 - {CONF_ALPHA_PCT}) * (m_cal + 1)) div 100)"
+            " AS BIGINT)"
+        ),
+    )
+    qhat = (
+        cal.withColumn("r", F.row_number().over(w_rank))
+        .join(k, "event_type")
+        .filter(F.col("r") == F.col("k"))
+        .select("event_type", F.col("resid").alias("qhat_cents"))
+    )
+    test = base.filter(~F.col("is_cal"))
+    cov = (
+        test.join(qhat, "event_type", "left")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(
+                (F.col("resid") <= F.col("qhat_cents")).cast("long")
+            ).cast("long").alias("n_covered"),
+            F.max("qhat_cents").cast("long").alias("qhat_cents"),
+        )
+    )
+    return (
+        cov.join(k.select("event_type", "m_cal", "k"), "event_type")
+        .selectExpr(
+            "event_type",
+            "CAST(m_cal AS BIGINT) AS m_cal",
+            "qhat_cents",  # NULL when m_cal < k (calibration too short)
+            "n_test",
+            "CAST(CASE WHEN qhat_cents IS NOT NULL AND n_test > 0"
+            " THEN (1000000 * n_covered) div n_test END AS BIGINT)"
+            " AS coverage_ppm",
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_CONFORMAL = f"""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+base AS (
+  SELECT event_type, y,
+         row_number() OVER w AS t,
+         count(*) OVER (PARTITION BY event_type) AS n_days,
+         lag(y, 7) OVER w AS pred
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+),
+resid AS (
+  SELECT event_type, t, abs(y - pred) AS resid,
+         t <= (n_days * {CONF_TRAIN_FRAC_PCT}) / 100 AS is_cal
+  FROM base WHERE pred IS NOT NULL
+),
+m AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS m_cal,
+         CAST(-((-(100 - {CONF_ALPHA_PCT}) * (count(*) + 1)) // 100) AS BIGINT) AS k
+  FROM resid WHERE is_cal GROUP BY event_type
+),
+qhat AS (
+  SELECT r.event_type, r.resid AS qhat_cents
+  FROM (SELECT event_type, resid,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY resid, t) AS rnk
+        FROM resid WHERE is_cal) r
+  JOIN m ON m.event_type = r.event_type AND r.rnk = m.k
+),
+cov AS (
+  SELECT t.event_type,
+         CAST(count(*) AS BIGINT) AS n_test,
+         CAST(sum(CASE WHEN t.resid <= q.qhat_cents THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_covered,
+         CAST(max(q.qhat_cents) AS BIGINT) AS qhat_cents
+  FROM resid t LEFT JOIN qhat q ON t.event_type = q.event_type
+  WHERE NOT t.is_cal
+  GROUP BY t.event_type
+)
+SELECT m.event_type, m.m_cal, cov.qhat_cents, cov.n_test,
+       CAST(CASE WHEN cov.qhat_cents IS NOT NULL AND cov.n_test > 0
+            THEN (1000000 * cov.n_covered) // cov.n_test END AS BIGINT)
+         AS coverage_ppm
+FROM m JOIN cov ON m.event_type = cov.event_type
+ORDER BY m.event_type
+"""
+
+
 # -- Regime segmentation (gaps-and-islands) ---------------------------------------
 
 
@@ -5573,6 +5720,7 @@ QUERIES = {
     "events_stl_decompose": events_stl_decompose,
     "events_lorenz_curve": events_lorenz_curve,
     "events_regime_segments": events_regime_segments,
+    "events_conformal_interval": events_conformal_interval,
     "stats_welch_ttest": stats_welch_ttest,
     "stats_brown_forsythe": stats_brown_forsythe,
     "events_lttb_downsample": events_lttb_downsample,
@@ -5659,6 +5807,7 @@ ORACLES = {
     "events_stl_decompose": ORACLE_STL,
     "events_lorenz_curve": ORACLE_LORENZ,
     "events_regime_segments": ORACLE_REGIME,
+    "events_conformal_interval": ORACLE_CONFORMAL,
     "events_holt_winters": ORACLE_HOLT_WINTERS,
     "events_forecast_backtest": ORACLE_FORECAST_BACKTEST,
     "events_session_paths": ORACLE_SESSION_PATHS,

@@ -1018,6 +1018,36 @@ def streaming_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lorenz_finish(out.select("user_id", "total"))
 
 
+def streaming_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``queries.events.events_conformal_interval`` —
+    the live uncertainty-monitor shape: the stream maintains the
+    watermarked per-(type, day) cents rollup, and the split-conformal
+    calibration + coverage audit (``conformal_finish``, shared verbatim)
+    re-runs on read over the continuously-updated rollup.  Fully
+    batch-equal, checked by the batch op's own oracle."""
+    from mongraph_spark.queries.events import conformal_finish
+
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "2 days")
+    agg = ev.groupBy(
+        F.window("ts", "1 day").alias("w"), "event_type"
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"))
+    with _state_partitioning(spark, sf_dir):
+        out = run_to_table(agg, output_mode="complete")
+    # the finisher self-joins its input (calibration rank vs test
+    # audit); through the memory-sink view the shared attribute ids
+    # conflict — localCheckpoint the BOUNDED rollup (the acf-twin fix)
+    daily = out.select(
+        "event_type", F.col("w.start").alias("day"), "y"
+    ).localCheckpoint(eager=True)
+    return conformal_finish(daily)
+
+
+def _oracle_stream_conformal() -> str:
+    from mongraph_spark.queries.events import ORACLE_CONFORMAL
+
+    return ORACLE_CONFORMAL
+
+
 def _oracle_stream_lorenz() -> str:
     from mongraph_spark.queries.events import ORACLE_LORENZ
 
@@ -2464,6 +2494,7 @@ QUERIES = {
     "streaming_stl_decompose": streaming_stl_decompose,
     "streaming_regime_segments": streaming_regime_segments,
     "streaming_lorenz_curve": streaming_lorenz_curve,
+    "streaming_conformal_interval": streaming_conformal_interval,
     "streaming_autocorrelation": streaming_autocorrelation,
     "streaming_hampel_filter": streaming_hampel_filter,
     "streaming_croston": streaming_croston,
@@ -2506,6 +2537,7 @@ ORACLES = {
     "streaming_stl_decompose": _oracle_stream_stl(),
     "streaming_regime_segments": _oracle_stream_regime(),
     "streaming_lorenz_curve": _oracle_stream_lorenz(),
+    "streaming_conformal_interval": _oracle_stream_conformal(),
     "streaming_autocorrelation": _oracle_stream_acf(),
     "streaming_hampel_filter": _oracle_stream_hampel(),
     "streaming_croston": _oracle_stream_croston(),
