@@ -4633,6 +4633,103 @@ ORDER BY 1, 2
 """
 
 
+# -- Cohort LTV curve -------------------------------------------------------------
+
+
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative lifetime-value curve by acquisition cohort — the
+    growth-team readout behind every payback-period decision (the
+    battery's retention_cohorts counts SURVIVORS; this accumulates
+    REVENUE): users are cohorted by first-seen week, revenue is bucketed
+    by week-age since acquisition, and each (cohort, age) cell carries
+    the cohort's cumulative cents per acquired user.
+
+    Exactness: cohort and age are integer epoch-week arithmetic
+    (``floor(epoch/604800)`` — timezone-free, both engines share it),
+    revenue is exact cents, the running total is an integer prefix
+    window, and per-user LTV is ONE div against the cohort's exact user
+    count.
+
+    Scale shape: one user-level first-seen rollup (map-side combine),
+    one broadcast-joined week-age bucketing, the (cohort × age) rollup
+    is bounded by weeks², and the prefix window runs per cohort over
+    that bounded grid."""
+    ev = read_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    week = (F.unix_timestamp("ts") / F.lit(604800)).cast("long")
+    first = ev.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+    sized = first.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    aged = (
+        ev.select("user_id", week.alias("w"), cents.alias("cents"))
+        .join(first, "user_id")
+        .select(
+            "cohort_week",
+            (F.col("w") - F.col("cohort_week")).alias("age_weeks"),
+            "cents",
+        )
+        .groupBy("cohort_week", "age_weeks")
+        .agg(F.sum("cents").alias("week_cents"))
+    )
+    w_cum = (
+        Window.partitionBy("cohort_week")
+        .orderBy("age_weeks")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        aged.withColumn("cum_cents", F.sum("week_cents").over(w_cum))
+        .join(F.broadcast(sized), "cohort_week")
+        .selectExpr(
+            "cohort_week",
+            "age_weeks",
+            "CAST(n_users AS BIGINT) AS n_users",
+            "CAST(cum_cents AS BIGINT) AS cum_cents",
+            "CAST(CASE WHEN cum_cents >= 0 THEN cum_cents div n_users"
+            " ELSE -((-cum_cents) div n_users) END AS BIGINT)"
+            " AS ltv_cents_per_user",
+        )
+        .orderBy("cohort_week", "age_weeks")
+    )
+
+
+ORACLE_COHORT_LTV = """
+WITH ev AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts) / 604800) AS BIGINT) AS w,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+first AS (
+  SELECT user_id, min(w) AS cohort_week FROM ev GROUP BY user_id
+),
+sized AS (
+  SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_users
+  FROM first GROUP BY cohort_week
+),
+aged AS (
+  SELECT f.cohort_week, e.w - f.cohort_week AS age_weeks,
+         CAST(sum(e.cents) AS BIGINT) AS week_cents
+  FROM ev e JOIN first f USING (user_id)
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT cohort_week, age_weeks,
+         sum(week_cents) OVER (PARTITION BY cohort_week ORDER BY age_weeks
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS cum_cents
+  FROM aged
+)
+SELECT c.cohort_week, c.age_weeks, s.n_users,
+       CAST(c.cum_cents AS BIGINT) AS cum_cents,
+       CAST(CASE WHEN c.cum_cents >= 0 THEN c.cum_cents // s.n_users
+            ELSE -((-c.cum_cents) // s.n_users) END AS BIGINT)
+         AS ltv_cents_per_user
+FROM cum c JOIN sized s USING (cohort_week)
+ORDER BY cohort_week, age_weeks
+"""
+
+
 # -- Split-conformal forecast intervals -------------------------------------------
 
 CONF_TRAIN_FRAC_PCT = 70  # calibration split (by day index, per series)
@@ -5721,6 +5818,7 @@ QUERIES = {
     "events_lorenz_curve": events_lorenz_curve,
     "events_regime_segments": events_regime_segments,
     "events_conformal_interval": events_conformal_interval,
+    "events_cohort_ltv": events_cohort_ltv,
     "stats_welch_ttest": stats_welch_ttest,
     "stats_brown_forsythe": stats_brown_forsythe,
     "events_lttb_downsample": events_lttb_downsample,
@@ -5808,6 +5906,7 @@ ORACLES = {
     "events_lorenz_curve": ORACLE_LORENZ,
     "events_regime_segments": ORACLE_REGIME,
     "events_conformal_interval": ORACLE_CONFORMAL,
+    "events_cohort_ltv": ORACLE_COHORT_LTV,
     "events_holt_winters": ORACLE_HOLT_WINTERS,
     "events_forecast_backtest": ORACLE_FORECAST_BACKTEST,
     "events_session_paths": ORACLE_SESSION_PATHS,
