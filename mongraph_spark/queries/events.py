@@ -4633,6 +4633,119 @@ ORDER BY 1, 2
 """
 
 
+# -- Wald-Wolfowitz runs test -----------------------------------------------------
+
+
+def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test — is each event type's hourly series
+    RANDOM around its mean, or does it clump?  The hypothesis-test
+    companion to events_regime_segments (which reports the runs; this
+    scores them): too FEW runs ⇒ positive serial dependence (bursts),
+    too MANY ⇒ oscillation.
+
+    Exactness: the above/below flag lives on the exact ppm-mean grid
+    (the regime op's rule, shared), the run count R is the exact
+    gaps-and-islands segment count, and the null moments clear every
+    fraction — μ·n = n + 2·n₁·n₀ and σ²·n²(n−1) = 2n₁n₀(2n₁n₀ − n) —
+    so z = (R − μ)/σ is IEEE computed from exact integers only, with
+    the same expression tree in both engines; degenerate series (all
+    one side) report NULL.
+
+    Scale shape: identical to the regime op — hourly rollup, two
+    ordered windows per type over the bounded rollup, a per-type scalar
+    finisher."""
+    ev = read_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.sum(cents).alias("y"))
+    w_all = Window.partitionBy("event_type")
+    w_ord = Window.partitionBy("event_type").orderBy("hour")
+    flagged = (
+        hourly.withColumn("s", F.sum("y").over(w_all))
+        .withColumn("n", F.count(F.lit(1)).over(w_all))
+        .withColumn(
+            "mean_ppm",
+            F.expr(
+                "CASE WHEN s >= 0"
+                " THEN (CAST(1000000 AS DECIMAL(38,0)) * s) div n"
+                " ELSE -((CAST(1000000 AS DECIMAL(38,0)) * (-s)) div n) END"
+            ),
+        )
+        .withColumn(
+            "hi",
+            (
+                F.lit(1000000).cast("decimal(38,0)") * F.col("y")
+                >= F.col("mean_ppm")
+            ).cast("int"),
+        )
+    )
+    w_reg = Window.partitionBy("event_type", "hi").orderBy("hour")
+    isl = flagged.withColumn(
+        "island", F.row_number().over(w_ord) - F.row_number().over(w_reg)
+    )
+    agg = isl.groupBy("event_type").agg(
+        F.countDistinct("hi", "island").cast("long").alias("r_runs"),
+        F.sum("hi").cast("long").alias("n1"),
+        F.sum(1 - F.col("hi")).cast("long").alias("n0"),
+    )
+    return agg.selectExpr(
+        "event_type",
+        "n1 + n0 AS n_hours",
+        "n1 AS n_hi",
+        "r_runs",
+        # z from exact integers: mu = 1 + 2 n1 n0 / n ; var = 2n1n0(2n1n0-n)/(n^2(n-1))
+        "CASE WHEN n1 = 0 OR n0 = 0 OR n1 + n0 < 2 THEN NULL ELSE"
+        " (CAST(r_runs * (n1 + n0) - ((n1 + n0) + 2*n1*n0) AS DOUBLE)"
+        "  / CAST(n1 + n0 AS DOUBLE))"
+        " / SQRT(CAST(2*n1*n0 AS DOUBLE) * CAST(2*n1*n0 - (n1+n0) AS DOUBLE)"
+        "   / (CAST(n1+n0 AS DOUBLE) * CAST(n1+n0 AS DOUBLE)"
+        "      * CAST(n1+n0-1 AS DOUBLE))) END AS z",
+    ).orderBy("event_type")
+
+
+ORACLE_RUNS_TEST = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+flagged AS (
+  SELECT event_type, hour,
+         CASE WHEN CAST(1000000 AS HUGEINT) * y >=
+           (CASE WHEN sum(y) OVER w >= 0
+            THEN (CAST(1000000 AS HUGEINT) * sum(y) OVER w) // count(*) OVER w
+            ELSE -((CAST(1000000 AS HUGEINT) * (-(sum(y) OVER w))) // count(*) OVER w)
+            END)
+         THEN 1 ELSE 0 END AS hi
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type)
+),
+isl AS (
+  SELECT event_type, hi,
+         row_number() OVER (PARTITION BY event_type ORDER BY hour)
+           - row_number() OVER (PARTITION BY event_type, hi ORDER BY hour)
+           AS island
+  FROM flagged
+),
+agg AS (
+  SELECT event_type,
+         CAST(count(DISTINCT (hi, island)) AS BIGINT) AS r_runs,
+         CAST(sum(hi) AS BIGINT) AS n1,
+         CAST(sum(1 - hi) AS BIGINT) AS n0
+  FROM isl GROUP BY event_type
+)
+SELECT event_type, n1 + n0 AS n_hours, n1 AS n_hi, r_runs,
+       CASE WHEN n1 = 0 OR n0 = 0 OR n1 + n0 < 2 THEN NULL ELSE
+         (CAST(r_runs * (n1 + n0) - ((n1 + n0) + 2*n1*n0) AS DOUBLE)
+          / CAST(n1 + n0 AS DOUBLE))
+         / SQRT(CAST(2*n1*n0 AS DOUBLE) * CAST(2*n1*n0 - (n1+n0) AS DOUBLE)
+           / (CAST(n1+n0 AS DOUBLE) * CAST(n1+n0 AS DOUBLE)
+              * CAST(n1+n0-1 AS DOUBLE))) END AS z
+FROM agg ORDER BY event_type
+"""
+
+
 # -- Cohort LTV curve -------------------------------------------------------------
 
 
@@ -5819,6 +5932,7 @@ QUERIES = {
     "events_regime_segments": events_regime_segments,
     "events_conformal_interval": events_conformal_interval,
     "events_cohort_ltv": events_cohort_ltv,
+    "stats_runs_test": stats_runs_test,
     "stats_welch_ttest": stats_welch_ttest,
     "stats_brown_forsythe": stats_brown_forsythe,
     "events_lttb_downsample": events_lttb_downsample,
@@ -5907,6 +6021,7 @@ ORACLES = {
     "events_regime_segments": ORACLE_REGIME,
     "events_conformal_interval": ORACLE_CONFORMAL,
     "events_cohort_ltv": ORACLE_COHORT_LTV,
+    "stats_runs_test": ORACLE_RUNS_TEST,
     "events_holt_winters": ORACLE_HOLT_WINTERS,
     "events_forecast_backtest": ORACLE_FORECAST_BACKTEST,
     "events_session_paths": ORACLE_SESSION_PATHS,
