@@ -149,3 +149,30 @@ def test_jonckheere_known_direction():
     var72 = N * N * (2 * N + 3) - sum(x * x * (2 * x + 3) for x in n)
     z = (2 * j2 - mean4) / ((var72 * 16.0 / 72.0) ** 0.5)
     assert z > 2.0  # perfectly ordered sample is deep in the tail
+
+
+def test_conformal_perfect_seasonal_has_zero_qhat(spark):
+    from mongraph_spark.queries.events import conformal_finish
+
+    # exact weekly-periodic daily series: every lag-7 residual is 0, so
+    # qhat = 0 and held-out coverage is 100%
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("a", t0 + datetime.timedelta(days=i), (i % 7) * 10 + 5)
+        for i in range(35)
+    ]
+    daily = spark.createDataFrame(rows, "event_type string, day timestamp, y long")
+    r = conformal_finish(daily).collect()[0]
+    assert r["qhat_cents"] == 0 and r["coverage_ppm"] == 1_000_000
+
+
+def test_runs_test_moments_algebra():
+    # alternating series: n1 = n0 = 10, R = 20 (maximum) -> z > 0 and large
+    n1 = n0 = 10
+    n = n1 + n0
+    R = 20
+    mu_num = n + 2 * n1 * n0  # mu * n
+    z_num = (R * n - mu_num) / n
+    var = (2 * n1 * n0 * (2 * n1 * n0 - n)) / (n * n * (n - 1))
+    z = z_num / var**0.5
+    assert z > 3.5  # perfectly alternating is deep in the too-many-runs tail
