@@ -4701,7 +4701,7 @@ def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         " / SQRT(CAST(2*n1*n0 AS DOUBLE) * CAST(2*n1*n0 - (n1+n0) AS DOUBLE)"
         "   / (CAST(n1+n0 AS DOUBLE) * CAST(n1+n0 AS DOUBLE)"
         "      * CAST(n1+n0-1 AS DOUBLE))) END AS z",
-    ).orderBy("event_type")
+    )
 
 
 ORACLE_RUNS_TEST = """
@@ -4802,7 +4802,6 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE -((-cum_cents) div n_users) END AS BIGINT)"
             " AS ltv_cents_per_user",
         )
-        .orderBy("cohort_week", "age_weeks")
     )
 
 
@@ -4935,7 +4934,6 @@ def conformal_finish(daily: DataFrame) -> DataFrame:
             " THEN (1000000 * n_covered) div n_test END AS BIGINT)"
             " AS coverage_ppm",
         )
-        .orderBy("event_type")
     )
 
 
@@ -5058,7 +5056,6 @@ def regime_finish(hourly: DataFrame) -> DataFrame:
             F.sum(F.when(F.col("hi") == 1, F.col("run_len")).otherwise(0))
             .cast("long").alias("n_hi_hours"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -5151,7 +5148,6 @@ def lorenz_finish(per_user: DataFrame) -> DataFrame:
             " ELSE -((1000000 * (-cum_cents)) div grand) END AS BIGINT)"
             " AS cum_share_ppm",
         )
-        .orderBy("decile")
     )
 
 
@@ -5258,7 +5254,6 @@ def stl_finish(hourly: DataFrame) -> DataFrame:
             "CAST(CASE WHEN det_sum >= 0 THEN det_sum div n_obs"
             " ELSE -((-det_sum) div n_obs) END AS BIGINT) AS seasonal_ppm",
         )
-        .orderBy("event_type", "hour_of_day")
     )
 
 
@@ -5484,7 +5479,7 @@ def mann_kendall_finish(hourly: DataFrame) -> DataFrame:
         f" >= {MK_Z_CRIT_PPM}"
         f" THEN (CASE WHEN s_stat > 0 THEN 'increasing' ELSE 'decreasing' END)"
         f" ELSE 'none' END AS trend",
-    ).orderBy("event_type")
+    )
 
 
 ORACLE_MANN_KENDALL = f"""

@@ -1911,7 +1911,6 @@ def pipeline_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.sum("n_hits") * F.length(F.lit("[EMAIL]"))
             ).cast("long").alias("chars_removed"),
         )
-        .orderBy("source")
     )
 
 

@@ -4548,7 +4548,7 @@ def stats_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         " ELSE -((1000000 * (((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00)) - n*(n11+n00)))"
         "      div (n*n - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00))))"
         " END AS BIGINT) AS kappa_ppm",
-    ).orderBy("source")
+    )
 
 
 ORACLE_COHENS_KAPPA = f"""
@@ -4653,7 +4653,7 @@ def stats_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         "      div (6*n_d*9*n_d*n_d"
         "       - 6*n_d*(c1_d*c1_d + (3*n_d-c1_d)*(3*n_d-c1_d))))"
         " END AS BIGINT) AS fleiss_kappa_ppm",
-    ).orderBy("source")
+    )
 
 
 ORACLE_FLEISS_KAPPA = f"""
