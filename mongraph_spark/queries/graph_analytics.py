@@ -2749,7 +2749,11 @@ def graph_eigenvector_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     try:
         x0 = nodes.select("node_id", F.lit(EIG_GRID).cast("long").alias("score"))
-        x, _ = pregel.iterate(x0, step, max_rounds=EIG_ROUNDS, checkpoint_every=2)
+        x, _ = pregel.iterate(
+            x0, step, max_rounds=EIG_ROUNDS, checkpoint_every=1
+        )  # the per-round broadcast-max ACTION re-executes any
+        # un-checkpointed prefix of the chain; materializing every round
+        # measured ~2x faster than cadence 2 at sf0.1 (16.9 -> 8.1 s)
     finally:
         und.unpersist()
     coll = (F.col("node_id") / F.lit(10**12)).cast("long")

@@ -986,7 +986,9 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast (max-abs renorm), so longer lazy groups grow analysis
     # cost faster than they save checkpoint jobs (6 rounds/group was
     # ~8% slower than 2)
-    v, _ = pregel.iterate(v0, step, max_rounds=PCA_ROUNDS, checkpoint_every=2)
+    v, _ = pregel.iterate(
+        v0, step, max_rounds=PCA_ROUNDS, checkpoint_every=1
+    )  # per-round broadcast-max action: checkpoint every round (see eigenvector)
     w9 = matvec(v)
     lam = w9.agg(F.max(F.abs("w")).alias("mx"))
     trace = s.filter(F.col("i") == F.col("j")).agg(F.sum("s").alias("tr"))

@@ -1478,7 +1478,9 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     try:
         x0 = nodes.select("w", F.lit(TR_GRID).cast("long").alias("score"))
-        x, _ = pregel.iterate(x0, step, max_rounds=TR_ROUNDS, checkpoint_every=2)
+        x, _ = pregel.iterate(
+            x0, step, max_rounds=TR_ROUNDS, checkpoint_every=1
+        )  # per-round broadcast-max action: checkpoint every round (see eigenvector)
     finally:
         und.unpersist()
     return (
