@@ -39,6 +39,7 @@ from mongraph_spark.queries import multimodal as multimodal_queries  # noqa: E40
 from mongraph_spark.queries import pipeline as pipeline_queries  # noqa: E402
 from mongraph_spark.queries import corpus as corpus_queries  # noqa: E402
 from mongraph_spark.queries import quality as quality_queries  # noqa: E402
+from mongraph_spark.queries import inference as inference_queries  # noqa: E402
 from mongraph_spark.streaming import events as streaming_events  # noqa: E402
 
 _SUITES = [
@@ -55,6 +56,7 @@ _SUITES = [
     pipeline_queries,
     corpus_queries,
     quality_queries,
+    inference_queries,
     streaming_events,
 ]
 

@@ -1,0 +1,882 @@
+"""Statistical-inference sweep (round 10 continuation): survival
+comparison, k-sample location/scale tests, exact contingency tests, and
+pairwise-preference fitting — the hypothesis-test families the stats
+battery still lacked.
+
+Same contract as every other suite module: ``QUERIES`` maps names to
+``(spark, sf_dir) -> DataFrame`` callables, ``ORACLES`` to DuckDB SQL
+over the pre-registered parquet views.  Exactness discipline (the
+battery's): every data-dependent aggregate is an exact integer /
+DECIMAL(38) rational; IEEE doubles appear only in per-row or
+ordered-window finishers whose expression trees are written identically
+for both engines (ln/exp/sqrt are libm-identical here — the
+Kaplan–Meier / bigram-xent precedent); float SUMS are never compared
+raw — every per-row float summand is FLOORED to an explicit integer
+grid (micro/nano) before summing, so the totals are exact integer sums
+with no accumulation-order sensitivity at all (DuckDB's windowed float
+sum is a segment tree — pairwise order — so even an "ordered" running
+float sum diverges from Spark's sequential one at the last ulp).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mongraph_spark.sparkutil import const_part, read_table
+
+# -- log-rank test ----------------------------------------------------------------
+
+
+def stats_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-group log-rank test — does arriving via a CLICK change the
+    time-to-first-purchase curve?  The hypothesis-test companion to
+    ``events_kaplan_meier`` (KM estimates ONE survival curve; log-rank
+    COMPARES two): subjects are users, the event is the FIRST purchase,
+    t is measured in hours from the user's first activity, users who
+    never purchase are right-censored at the observation end, and the
+    group is whether the user's first-ever event was a click.
+
+    At each distinct event time t (union grid over both groups) with
+    d_t total events, n_1t / n_t at risk:  E_1 = Σ d_t·n_1t/n_t,
+    V = Σ d_t·(n_1t/n_t)·(n_0t/n_t)·(n_t−d_t)/(n_t−1), and
+    z = (O_1 − E_1)/√V,  χ² = z².
+
+    Exactness: d/n/O are exact integers from two user-keyed
+    aggregations; each per-t E/V summand is floored to the micro grid
+    (an exact integer from an engine-identical per-row IEEE expression)
+    so E₁ and V are exact integer sums — order-free — and z/χ² are IEEE
+    finishers over those integers.
+
+    Scale shape: ONE user-keyed aggregation (the retention shuffle)
+    builds the subjects; everything after runs on the bounded
+    |distinct t| grid (≤ observation hours) — per-group at-risk ladders
+    are DESC window cumsums on that grid, never a raw-event pass."""
+    ev = read_table(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # exact integer MICROSECOND epochs on both sides (unix_timestamp would
+    # truncate to seconds while DuckDB's epoch() keeps the fraction —
+    # boundary subjects would land in different hours)
+    per_user = (
+        ev.withColumn("first_type", F.first("event_type").over(w_first))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("t0"),
+            F.min(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.unix_micros(F.col("ts").cast("timestamp")),
+                )
+            ).alias("t_purchase"),
+            F.first(
+                F.when(F.col("first_type") == "click", 1).otherwise(0)
+            ).alias("grp"),
+        )
+    )
+    horizon = ev.agg(F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("t_end"))
+    subj = per_user.crossJoin(F.broadcast(horizon)).select(
+        "grp",
+        F.when(
+            F.col("t_purchase").isNotNull(),
+            F.expr("(t_purchase - t0) div 3600000000"),
+        )
+        .otherwise(F.expr("(t_end - t0) div 3600000000"))
+        .cast("long")
+        .alias("t"),
+        F.col("t_purchase").isNotNull().cast("int").alias("observed"),
+    )
+    return logrank_from_subjects(spark, subj)
+
+
+def logrank_from_subjects(spark: SparkSession, subj: DataFrame) -> DataFrame:
+    """The test over a (grp∈{0,1}, t, observed) subjects frame — factored
+    so known-value pins can feed hand-built cohorts."""
+    steps = subj.groupBy("grp", "t").agg(
+        F.sum("observed").cast("long").alias("d"),
+        F.sum(1 - F.col("observed")).cast("long").alias("c"),
+    )
+    grid = subj.select("t").distinct()
+    both = grid.crossJoin(
+        F.broadcast(spark.range(2).select(F.col("id").cast("int").alias("grp")))
+    )
+    ladder = (
+        both.join(steps, ["grp", "t"], "left")
+        .fillna(0, ["d", "c"])
+        .withColumn(
+            "n_at_risk",
+            F.sum(F.col("d") + F.col("c")).over(
+                Window.partitionBy("grp").orderBy(F.desc("t"))
+            ),
+        )
+    )
+    per_t = ladder.groupBy("t").agg(
+        F.sum(F.when(F.col("grp") == 1, F.col("d")).otherwise(0))
+        .cast("long")
+        .alias("d1"),
+        F.sum(F.when(F.col("grp") == 1, F.col("n_at_risk")).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("grp") == 0, F.col("d")).otherwise(0))
+        .cast("long")
+        .alias("d0"),
+        F.sum(F.when(F.col("grp") == 0, F.col("n_at_risk")).otherwise(0))
+        .cast("long")
+        .alias("n0"),
+    )
+    terms = per_t.filter(F.col("d1") + F.col("d0") > 0).select(
+        "t",
+        "d1",
+        (F.col("d1") + F.col("d0")).alias("dt"),
+        (F.col("n1") + F.col("n0")).alias("nt"),
+        "n1",
+        "n0",
+    )
+    # each per-t summand is floored to the micro grid BEFORE summing, so the
+    # totals are exact integer sums — order-free (no global ordered window,
+    # no engine-specific float accumulation order; DuckDB's windowed float
+    # sum is a segment tree, so a raw running sum would differ at the ulp)
+    e_term = F.floor(
+        F.lit(1_000_000) * F.col("dt") * F.col("n1") / F.col("nt")
+    ).cast("long")
+    v_term = F.when(
+        F.col("nt") > 1,
+        F.floor(
+            F.lit(1_000_000)
+            * F.col("dt")
+            * (F.col("n1") / F.col("nt"))
+            * (F.col("n0") / F.col("nt"))
+            * (F.col("nt") - F.col("dt"))
+            / (F.col("nt") - 1)
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    tail = terms.groupBy().agg(
+        F.sum(e_term).cast("long").alias("e1_micro_s"),
+        F.sum(v_term).cast("long").alias("v_micro_s"),
+        F.sum("d1").cast("long").alias("o1"),
+        F.sum("dt").cast("long").alias("d_total"),
+    )
+    counts = subj.groupBy().agg(
+        F.sum("grp").cast("long").alias("n_click_first"),
+        F.sum(1 - F.col("grp")).cast("long").alias("n_other"),
+    )
+    # z/chi2 come FROM the integer micro grid — exact inputs, so the IEEE
+    # finisher is engine-identical by construction
+    return tail.crossJoin(F.broadcast(counts)).selectExpr(
+        "n_click_first",
+        "n_other",
+        "o1",
+        "d_total",
+        "e1_micro_s AS e1_micro",
+        "v_micro_s AS v_micro",
+        "CASE WHEN v_micro_s > 0 THEN"
+        " CAST(o1 * 1000000 - e1_micro_s AS DOUBLE)"
+        " / (1000.0 * SQRT(CAST(v_micro_s AS DOUBLE))) END AS z",
+        "CASE WHEN v_micro_s > 0 THEN CAST(FLOOR("
+        " (CAST(o1 * 1000000 - e1_micro_s AS DOUBLE)"
+        "  * CAST(o1 * 1000000 - e1_micro_s AS DOUBLE))"
+        " / CAST(v_micro_s AS DOUBLE)) AS BIGINT) END AS chi2_ppm",
+    )
+
+
+ORACLE_LOGRANK = """
+WITH ranked AS (
+  SELECT user_id, event_type, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+per_user AS (
+  SELECT user_id,
+         min(epoch_us(ts)) AS t0,
+         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_purchase,
+         max(CASE WHEN rn = 1 AND event_type = 'click' THEN 1 ELSE 0 END) AS grp
+  FROM ranked GROUP BY user_id
+),
+horizon AS (SELECT max(epoch_us(ts)) AS t_end FROM events),
+subj AS (
+  SELECT grp,
+         CASE WHEN t_purchase IS NOT NULL
+              THEN CAST((t_purchase - t0) // 3600000000 AS BIGINT)
+              ELSE CAST((t_end - t0) // 3600000000 AS BIGINT) END AS t,
+         CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END AS observed
+  FROM per_user CROSS JOIN horizon
+),
+steps AS (
+  SELECT grp, t, CAST(sum(observed) AS BIGINT) AS d,
+         CAST(sum(1 - observed) AS BIGINT) AS c
+  FROM subj GROUP BY 1, 2
+),
+grid AS (SELECT DISTINCT t FROM subj),
+bothg AS (SELECT t, g.grp FROM grid CROSS JOIN (VALUES (0), (1)) g(grp)),
+ladder AS (
+  SELECT b.t, b.grp, coalesce(s.d, 0) AS d,
+         sum(coalesce(s.d, 0) + coalesce(s.c, 0))
+           OVER (PARTITION BY b.grp ORDER BY b.t DESC) AS n_at_risk
+  FROM bothg b LEFT JOIN steps s ON b.grp = s.grp AND b.t = s.t
+),
+per_t AS (
+  SELECT t,
+         CAST(sum(CASE WHEN grp = 1 THEN d ELSE 0 END) AS BIGINT) AS d1,
+         CAST(sum(CASE WHEN grp = 1 THEN n_at_risk ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN grp = 0 THEN d ELSE 0 END) AS BIGINT) AS d0,
+         CAST(sum(CASE WHEN grp = 0 THEN n_at_risk ELSE 0 END) AS BIGINT) AS n0
+  FROM ladder GROUP BY t
+),
+terms AS (
+  SELECT t, d1, d1 + d0 AS dt, n1 + n0 AS nt, n1, n0
+  FROM per_t WHERE d1 + d0 > 0
+),
+tail AS (
+  SELECT
+    CAST(sum(CAST(FLOOR(1000000 * dt * n1 / CAST(nt AS DOUBLE)) AS BIGINT))
+         AS BIGINT) AS e1_micro_s,
+    CAST(sum(CASE WHEN nt > 1 THEN
+          CAST(FLOOR(1000000 * dt * (n1 / CAST(nt AS DOUBLE))
+               * (n0 / CAST(nt AS DOUBLE)) * (nt - dt) / (nt - 1)) AS BIGINT)
+          ELSE 0 END) AS BIGINT) AS v_micro_s,
+    CAST(sum(d1) AS BIGINT) AS o1, CAST(sum(dt) AS BIGINT) AS d_total
+  FROM terms
+),
+counts AS (
+  SELECT CAST(sum(grp) AS BIGINT) AS n_click_first,
+         CAST(sum(1 - grp) AS BIGINT) AS n_other
+  FROM subj
+)
+SELECT n_click_first, n_other, o1, d_total,
+       e1_micro_s AS e1_micro,
+       v_micro_s AS v_micro,
+       CASE WHEN v_micro_s > 0 THEN
+         CAST(o1 * 1000000 - e1_micro_s AS DOUBLE)
+         / (1000.0 * SQRT(CAST(v_micro_s AS DOUBLE))) END AS z,
+       CASE WHEN v_micro_s > 0 THEN CAST(FLOOR(
+         (CAST(o1 * 1000000 - e1_micro_s AS DOUBLE)
+          * CAST(o1 * 1000000 - e1_micro_s AS DOUBLE))
+         / CAST(v_micro_s AS DOUBLE)) AS BIGINT) END AS chi2_ppm
+FROM tail CROSS JOIN counts
+"""
+
+
+# -- Mood's median test -----------------------------------------------------------
+
+
+def stats_moods_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test — are the k event types' value distributions
+    centered on the SAME median?  The median-based k-sample location
+    test (more outlier-robust than Kruskal–Wallis' rank sums, the
+    battery's other k-sample test): count each type's observations
+    above vs at-or-below the GRAND median and score the 2×k table.
+
+    Exactness: the grand median is the exact lower median (smallest
+    cents value whose cumulative count reaches ⌈N/2⌉, computed on the
+    bounded value histogram); all cell counts and margins are exact
+    integers; each type's χ² contribution is a per-row IEEE expression
+    over those integers, floored to ppm.
+
+    Scale shape: one value-histogram aggregation (map-side combined),
+    an ordered window over the bounded distinct-cents histogram for the
+    median, then one per-(type) aggregation with the 1-row median
+    broadcast into the scan."""
+    ev = read_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    hist = ev.select(cents.alias("v")).groupBy("v").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_ord = (
+        Window.partitionBy(const_part(F.col("v")))
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(const_part(F.col("v")))
+    med = (
+        hist.withColumn("cum", F.sum("cnt").over(w_ord))
+        .withColumn("n_total", F.sum("cnt").over(w_all))
+        .filter(F.col("cum") * 2 >= F.col("n_total") + 1)
+        .groupBy()
+        .agg(
+            F.min("v").alias("median_cents"),
+            F.max("n_total").cast("long").alias("n_total"),
+        )
+    )
+    per_type = (
+        ev.select("event_type", cents.alias("x"))
+        .crossJoin(F.broadcast(med))
+        .groupBy("event_type")
+        .agg(
+            F.sum((F.col("x") > F.col("median_cents")).cast("int"))
+            .cast("long")
+            .alias("n_hi"),
+            F.sum((F.col("x") <= F.col("median_cents")).cast("int"))
+            .cast("long")
+            .alias("n_lo"),
+            F.max("median_cents").alias("median_cents"),
+            F.max("n_total").alias("n_total"),
+        )
+    )
+    w_tot = Window.partitionBy(const_part(F.col("event_type")))
+    return (
+        per_type.withColumn("hi_total", F.sum("n_hi").over(w_tot))
+        .withColumn("lo_total", F.sum("n_lo").over(w_tot))
+        .selectExpr(
+            "event_type",
+            "n_hi",
+            "n_lo",
+            "median_cents",
+            "n_total",
+            "CAST(FLOOR(1000000 * ("
+            " (CAST(n_hi AS DOUBLE) - CAST(n_hi + n_lo AS DOUBLE) * hi_total / n_total)"
+            " * (CAST(n_hi AS DOUBLE) - CAST(n_hi + n_lo AS DOUBLE) * hi_total / n_total)"
+            " / (CAST(n_hi + n_lo AS DOUBLE) * hi_total / n_total)"
+            " + (CAST(n_lo AS DOUBLE) - CAST(n_hi + n_lo AS DOUBLE) * lo_total / n_total)"
+            " * (CAST(n_lo AS DOUBLE) - CAST(n_hi + n_lo AS DOUBLE) * lo_total / n_total)"
+            " / (CAST(n_hi + n_lo AS DOUBLE) * lo_total / n_total)"
+            ")) AS BIGINT) AS chi2_contrib_ppm",
+        )
+    )
+
+
+ORACLE_MOODS_MEDIAN = """
+WITH vals AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS x FROM events
+),
+hist AS (SELECT x AS v, count(*) AS cnt FROM vals GROUP BY x),
+med AS (
+  SELECT min(v) AS median_cents, CAST(max(n_total) AS BIGINT) AS n_total
+  FROM (
+    SELECT v,
+           sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum,
+           sum(cnt) OVER () AS n_total
+    FROM hist
+  ) WHERE cum * 2 >= n_total + 1
+),
+per_type AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN x > median_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+         CAST(sum(CASE WHEN x <= median_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+         max(median_cents) AS median_cents,
+         max(n_total) AS n_total
+  FROM vals CROSS JOIN med
+  GROUP BY event_type
+),
+tot AS (
+  SELECT *, sum(n_hi) OVER () AS hi_total, sum(n_lo) OVER () AS lo_total
+  FROM per_type
+)
+SELECT event_type, n_hi, n_lo, median_cents, n_total,
+       CAST(FLOOR(1000000 * (
+         (CAST(n_hi AS DOUBLE) - CAST(n_hi + n_lo AS DOUBLE) * hi_total / n_total)
+         * (CAST(n_hi AS DOUBLE) - CAST(n_hi + n_lo AS DOUBLE) * hi_total / n_total)
+         / (CAST(n_hi + n_lo AS DOUBLE) * hi_total / n_total)
+         + (CAST(n_lo AS DOUBLE) - CAST(n_hi + n_lo AS DOUBLE) * lo_total / n_total)
+         * (CAST(n_lo AS DOUBLE) - CAST(n_hi + n_lo AS DOUBLE) * lo_total / n_total)
+         / (CAST(n_hi + n_lo AS DOUBLE) * lo_total / n_total)
+       )) AS BIGINT) AS chi2_contrib_ppm
+FROM tot
+ORDER BY event_type
+"""
+
+
+# -- Bartlett's test --------------------------------------------------------------
+
+
+def stats_bartlett(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's test for variance homogeneity across the k event
+    types — the NORMAL-theory scale test complementing the battery's
+    Brown–Forsythe (which is robust but less powerful under normality):
+    M = (N−k)·ln(S_p²) − Σ (n_i−1)·ln(S_i²), corrected by
+    C = 1 + (Σ 1/(n_i−1) − 1/(N−k)) / (3(k−1)).
+
+    Exactness: per-type n, Σx, Σx² are exact integers (cents,
+    DECIMAL(38)); each S_i² enters as the exact rational
+    (n_i·Q_i − S_i²)/(n_i(n_i−1)) whose ln is computed as
+    ln(num) − ln(den) from the exact integers and floored per type to
+    the micro grid; the pooled SSE is carried on the same micro grid
+    ((10⁶·num_i) div n_i) and 1/(n_i−1) on a pico grid — so every
+    cross-type sum is an exact integer sum, order-free.
+
+    Scale shape: ONE map-side-combined per-type moment aggregation over
+    the raw scan; every subsequent row count is k (the type count)."""
+    ev = read_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    mom = ev.select("event_type", cents.alias("x")).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("q"),
+    )
+    per = mom.selectExpr(
+        "event_type",
+        "n",
+        "CAST(n AS DECIMAL(38,0)) * q - s * s AS ssq_num",  # n(n-1) s_i^2
+        "CAST((CAST(1000000 AS DECIMAL(38,0)) * (CAST(n AS DECIMAL(38,0)) * q - s * s))"
+        " div CAST(n AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS sse_micro",
+        "CAST(1000000000000 AS BIGINT) div (n - 1) AS inv_pico",
+        # (n_i - 1) * ln(s_i^2), floored per type to the micro grid so the
+        # cross-type sum is an exact integer sum (order-free)
+        "CAST(FLOOR(1000000 * CAST(n - 1 AS DOUBLE)"
+        " * (LN(CAST(CAST(n AS DECIMAL(38,0)) * q - s * s AS DOUBLE))"
+        "    - LN(CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))) AS BIGINT)"
+        " AS ln_term_micro",
+    )
+    agg = per.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("n_total"),
+        F.sum("sse_micro").alias("sse_micro_total"),
+        F.sum("inv_pico").cast("long").alias("inv_pico_sum"),
+        F.sum("ln_term_micro").cast("long").alias("ln_sum_micro"),
+    )
+    return agg.selectExpr(
+        "k",
+        "n_total",
+        "CAST(sse_micro_total div CAST(n_total - k AS DECIMAL(38,0)) AS BIGINT)"
+        " AS pooled_var_micro",
+        # M = (N-k) ln(Sp^2) - sum terms, everything on the micro grid
+        "CAST(n_total - k AS DOUBLE)"
+        " * (LN(CAST(sse_micro_total div CAST(n_total - k AS DECIMAL(38,0)) AS DOUBLE))"
+        "    - LN(1000000.0)) - CAST(ln_sum_micro AS DOUBLE) / 1e6 AS m_stat",
+        "1.0 + (CAST(inv_pico_sum AS DOUBLE) / 1e12"
+        " - 1.0 / CAST(n_total - k AS DOUBLE)) / (3.0 * CAST(k - 1 AS DOUBLE))"
+        " AS c_factor",
+        "CAST(FLOOR(1000000 *"
+        " ((CAST(n_total - k AS DOUBLE)"
+        "   * (LN(CAST(sse_micro_total div CAST(n_total - k AS DECIMAL(38,0)) AS DOUBLE))"
+        "      - LN(1000000.0)) - CAST(ln_sum_micro AS DOUBLE) / 1e6)"
+        "  / (1.0 + (CAST(inv_pico_sum AS DOUBLE) / 1e12"
+        "     - 1.0 / CAST(n_total - k AS DOUBLE)) / (3.0 * CAST(k - 1 AS DOUBLE))))"
+        " ) AS BIGINT) AS bartlett_ppm",
+    )
+
+
+ORACLE_BARTLETT = """
+WITH mom AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS HUGEINT) AS s,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)
+                  * CAST(round(value * 100) AS BIGINT)) AS HUGEINT) AS q
+  FROM events GROUP BY event_type
+),
+per AS (
+  SELECT event_type, n,
+         CAST(n AS HUGEINT) * q - s * s AS ssq_num,
+         (CAST(1000000 AS HUGEINT) * (CAST(n AS HUGEINT) * q - s * s))
+           // CAST(n AS HUGEINT) AS sse_micro,
+         CAST(1000000000000 // (n - 1) AS BIGINT) AS inv_pico,
+         CAST(FLOOR(1000000 * CAST(n - 1 AS DOUBLE)
+           * (LN(CAST(CAST(n AS HUGEINT) * q - s * s AS DOUBLE))
+              - LN(CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))) AS BIGINT)
+           AS ln_term_micro
+  FROM mom
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS n_total,
+         sum(sse_micro) AS sse_micro_total,
+         CAST(sum(inv_pico) AS BIGINT) AS inv_pico_sum,
+         CAST(sum(ln_term_micro) AS BIGINT) AS ln_sum_micro
+  FROM per
+)
+SELECT k, n_total,
+       CAST(sse_micro_total // CAST(n_total - k AS HUGEINT) AS BIGINT)
+         AS pooled_var_micro,
+       CAST(n_total - k AS DOUBLE)
+         * (LN(CAST(sse_micro_total // CAST(n_total - k AS HUGEINT) AS DOUBLE))
+            - LN(1000000.0)) - CAST(ln_sum_micro AS DOUBLE) / 1e6 AS m_stat,
+       1.0 + (CAST(inv_pico_sum AS DOUBLE) / 1e12
+         - 1.0 / CAST(n_total - k AS DOUBLE)) / (3.0 * CAST(k - 1 AS DOUBLE))
+         AS c_factor,
+       CAST(FLOOR(1000000 *
+         ((CAST(n_total - k AS DOUBLE)
+           * (LN(CAST(sse_micro_total // CAST(n_total - k AS HUGEINT) AS DOUBLE))
+              - LN(1000000.0)) - CAST(ln_sum_micro AS DOUBLE) / 1e6)
+          / (1.0 + (CAST(inv_pico_sum AS DOUBLE) / 1e12
+             - 1.0 / CAST(n_total - k AS DOUBLE)) / (3.0 * CAST(k - 1 AS DOUBLE))))
+       ) AS BIGINT) AS bartlett_ppm
+FROM agg
+"""
+
+
+# -- Fisher's exact test ----------------------------------------------------------
+
+FISHER_LONG_CHARS = 300  # "long document" cut for the 2x2
+
+
+def stats_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher's EXACT test on the 2×2 of (lang = 'en') × (n_chars ≥
+    {FISHER_LONG_CHARS}) over documents — the small-count-safe
+    alternative to the battery's χ² independence test (χ²'s normal
+    approximation fails when expected cells are small; Fisher conditions
+    on the margins and sums the exact hypergeometric tail).
+
+    Two-sided p: with margins (r1, c1, n) fixed, the table is determined
+    by k = n11 ∈ [max(0, r1+c1−n), min(r1, c1)];
+    p = Σ_{k: pmf(k) ≤ pmf(n11)} pmf(k).  The pmf is evaluated in log
+    space RELATIVE to the first feasible k via the exact recurrence
+    pmf(k+1)/pmf(k) = (r1−k)(c1−k) / ((k+1)(n−r1−c1+k+1)) — every ratio
+    is a ratio of exact integers, each log-step is floored to the micro
+    grid so the prefix ladder is an exact INTEGER window cumsum, and
+    the normalizing constant cancels in the final ratio, so no factorial
+    is ever materialized.  Each floored step loses < 1 micro, so the tie
+    rule admits anything within (kmax−kmin) micro of the observed
+    log-pmf — the provable drift bound — keeping exact hypergeometric
+    ties (opposite tail, maximal drift) included.
+
+    Scale shape: one scan-sized 4-counter aggregation; the k-grid is
+    min(r1, c1)+1 rows — bounded by the smaller margin, never by n."""
+    docs = read_table(spark, sf_dir, "documents")
+    counts = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("lang") == "en").cast("int")).cast("long").alias("r1"),
+        F.sum((F.col("n_chars") >= FISHER_LONG_CHARS).cast("int"))
+        .cast("long")
+        .alias("c1"),
+        F.sum(
+            (
+                (F.col("lang") == "en")
+                & (F.col("n_chars") >= FISHER_LONG_CHARS)
+            ).cast("int")
+        )
+        .cast("long")
+        .alias("n11"),
+    )
+    return fisher_from_counts(counts)
+
+
+def fisher_from_counts(counts_in: DataFrame) -> DataFrame:
+    """The exact test over a 1-row (n, r1, c1, n11) margins frame —
+    factored so known-value pins (e.g. the tea-tasting 4/4/3 table) can
+    feed hand counts."""
+    counts = counts_in.withColumn(
+        "kmin", F.greatest(F.lit(0).cast("long"), F.col("r1") + F.col("c1") - F.col("n"))
+    ).withColumn("kmax", F.least(F.col("r1"), F.col("c1")))
+    grid = counts.select(
+        "n", "r1", "c1", "n11", "kmin", "kmax",
+        F.explode(F.sequence(F.col("kmin"), F.col("kmax"))).alias("k"),
+    )
+    # step(k) feeds L(k+1) only, so it is never NEEDED at k = kmax — but it
+    # must not be EVALUATED there either (ln(0): Spark yields NULL, DuckDB
+    # raises), so both sides guard it identically
+    step = F.when(
+        F.col("k") < F.col("kmax"),
+        F.log((F.col("r1") - F.col("k")) * (F.col("c1") - F.col("k")))
+        - F.log(
+            (F.col("k") + 1)
+            * (F.col("n") - F.col("r1") - F.col("c1") + F.col("k") + 1)
+        ),
+    ).cast("double")
+    # the log-pmf ladder lives on an exact integer micro grid: each step is
+    # floored per row (engine-identical IEEE from exact integers), then the
+    # running sum is an INTEGER window cumsum — exact under any internal
+    # summation order (DuckDB's windowed float sum is a segment tree, so a
+    # raw float cumsum would diverge at the ulp)
+    w_prev = (
+        Window.partitionBy(const_part(F.col("k")))
+        .orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy(const_part(F.col("k")))
+    lev = (
+        grid.withColumn(
+            "stp_micro", F.floor(F.lit(1_000_000) * step).cast("long")
+        )
+        .withColumn(
+            "lw_micro",
+            F.coalesce(F.sum("stp_micro").over(w_prev), F.lit(0)).cast("long"),
+        )
+        .withColumn("lmax_micro", F.max("lw_micro").over(w_all))
+        .withColumn(
+            "lobs_micro",
+            F.max(
+                F.when(F.col("k") == F.col("n11"), F.col("lw_micro"))
+            ).over(w_all),
+        )
+    )
+    # weights on a nano grid (exp ≤ 1 by construction); each floored step
+    # loses < 1 micro, so a ladder value drifts below its true log-pmf by
+    # < (kmax − kmin) micro total — the tie slack is exactly that bound, so
+    # exact hypergeometric ties (opposite tail, maximal drift) stay included
+    weighted = lev.withColumn(
+        "wgt_nano",
+        F.floor(
+            F.lit(1_000_000_000.0)
+            * F.exp(
+                (F.col("lw_micro") - F.col("lmax_micro")).cast("double") / 1e6
+            )
+        ).cast("long"),
+    ).withColumn(
+        "inc_nano",
+        F.when(
+            F.col("lw_micro")
+            <= F.col("lobs_micro") + (F.col("kmax") - F.col("kmin")),
+            F.col("wgt_nano"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return weighted.groupBy().agg(
+        F.max("n").alias("n_docs"),
+        F.max("r1").alias("n_en"),
+        F.max("c1").alias("n_long"),
+        F.max("n11").alias("n11"),
+        F.sum("inc_nano").cast("long").alias("num_nano"),
+        F.sum("wgt_nano").cast("long").alias("den_nano"),
+    ).selectExpr(
+        "n_docs",
+        "n_en",
+        "n_long",
+        "n11",
+        "CAST(num_nano AS DOUBLE) / CAST(den_nano AS DOUBLE) AS p_two_sided",
+        "CAST((1000000 * num_nano) div den_nano AS BIGINT) AS p_ppm",
+    )
+
+
+ORACLE_FISHER = f"""
+WITH counts AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+         CAST(sum(CASE WHEN n_chars >= {FISHER_LONG_CHARS} THEN 1 ELSE 0 END)
+              AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN lang = 'en' AND n_chars >= {FISHER_LONG_CHARS}
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n11
+  FROM documents
+),
+bounds AS (
+  SELECT *, greatest(CAST(0 AS BIGINT), r1 + c1 - n) AS kmin,
+         least(r1, c1) AS kmax
+  FROM counts
+),
+grid AS (
+  SELECT b.*, CAST(unnest(generate_series(b.kmin, b.kmax)) AS BIGINT) AS k
+  FROM bounds b
+),
+lev AS (
+  SELECT *,
+         CAST(coalesce(sum(CAST(FLOOR(1000000 * (CASE WHEN k < kmax THEN
+                      LN(CAST((r1 - k) * (c1 - k) AS DOUBLE))
+                      - LN(CAST((k + 1) * (n - r1 - c1 + k + 1) AS DOUBLE)) END))
+                      AS BIGINT))
+           OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS BIGINT) AS lw_micro
+  FROM grid
+),
+lev2 AS (
+  SELECT *, max(lw_micro) OVER () AS lmax_micro,
+         max(CASE WHEN k = n11 THEN lw_micro END) OVER () AS lobs_micro
+  FROM lev
+),
+weighted AS (
+  SELECT *,
+         CAST(FLOOR(1000000000.0
+              * exp(CAST(lw_micro - lmax_micro AS DOUBLE) / 1e6)) AS BIGINT)
+           AS wgt_nano,
+         CASE WHEN lw_micro <= lobs_micro + (kmax - kmin) THEN
+           CAST(FLOOR(1000000000.0
+                * exp(CAST(lw_micro - lmax_micro AS DOUBLE) / 1e6)) AS BIGINT)
+         ELSE 0 END AS inc_nano
+  FROM lev2
+)
+SELECT max(n) AS n_docs, max(r1) AS n_en, max(c1) AS n_long, max(n11) AS n11,
+       CAST(sum(inc_nano) AS DOUBLE) / CAST(sum(wgt_nano) AS DOUBLE)
+         AS p_two_sided,
+       CAST((1000000 * CAST(sum(inc_nano) AS BIGINT))
+            // CAST(sum(wgt_nano) AS BIGINT) AS BIGINT) AS p_ppm
+FROM weighted
+"""
+
+
+# -- Bradley-Terry pairwise preference --------------------------------------------
+
+BT_ROUNDS = 6
+
+
+def stats_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley–Terry preference-strength fitting over pairwise
+    comparisons — the batch workhorse behind RLHF reward-model data
+    audits (win matrices from preference pairs) and ranking-from-duels
+    generally.  Comparisons are derived deterministically: within each
+    (user, day), for every unordered pair of event types both present
+    with UNEQUAL daily cents, the higher-cents type wins.
+
+    The MM iteration (Hunter 2004, public) runs {BT_ROUNDS} rounds from
+    uniform strengths:  s_i ← W_i / Σ_j n_ij/(s_i + s_j),  renormalized
+    to Σ s = 1 each round.  Every round lives on an exact ppm integer
+    grid (the repo's grid-renorm idiom, shared with
+    pagerank/eigenvector): the inverse sum accumulates (n_ij·10¹²) div
+    (s_i + s_j) exactly, the raw update is (W_i·10¹²) div that, and the
+    renormalization is (raw·10⁶) div Σraw — so every state is an exact
+    integer and the DuckDB oracle replays the identical rounds as
+    unrolled CTEs.
+
+    Scale shape: the comparison matrix build is the only scan-sized
+    work (user-day rollup shuffle, then a bounded per-user-day type×type
+    self-join — ≤ k² rows per user-day); the iteration runs on k(k−1)
+    matrix rows with a 1-row total broadcast per round."""
+    ev = read_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    ud = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.sum(cents).alias("y"))
+    a = ud.select("user_id", "day", F.col("event_type").alias("ta"), F.col("y").alias("ya"))
+    b = ud.select("user_id", "day", F.col("event_type").alias("tb"), F.col("y").alias("yb"))
+    duels = a.join(b, ["user_id", "day"]).filter(F.col("ta") < F.col("tb")).filter(
+        F.col("ya") != F.col("yb")
+    )
+    wins = duels.select(
+        F.when(F.col("ya") > F.col("yb"), F.col("ta")).otherwise(F.col("tb")).alias("winner"),
+        F.when(F.col("ya") > F.col("yb"), F.col("tb")).otherwise(F.col("ta")).alias("loser"),
+    ).groupBy("winner", "loser").agg(F.count(F.lit(1)).cast("long").alias("w"))
+    return bt_from_wins(wins)
+
+
+def bt_from_wins(wins: DataFrame) -> DataFrame:
+    """The MM fitting over a (winner, loser, w) duel matrix — factored so
+    known-value pins can feed hand-built tournaments."""
+    # symmetric comparison counts n_ij (i != j), plus per-type win totals
+    n_ij = (
+        wins.select(F.col("winner").alias("i"), F.col("loser").alias("j"), "w")
+        .unionByName(
+            wins.select(
+                F.col("loser").alias("i"), F.col("winner").alias("j"), "w"
+            )
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("w").cast("long").alias("n_ij"))
+    )
+    w_i = wins.groupBy(F.col("winner").alias("i")).agg(
+        F.sum("w").cast("long").alias("wins")
+    )
+    types = n_ij.select(F.col("i").alias("event_type")).distinct()
+    s = types.withColumn("s_ppm", F.lit(1_000_000).cast("long"))
+    for _ in range(BT_ROUNDS):
+        si = s.select(F.col("event_type").alias("i"), F.col("s_ppm").alias("si"))
+        sj = s.select(F.col("event_type").alias("j"), F.col("s_ppm").alias("sj"))
+        inv = (
+            n_ij.join(si, "i")
+            .join(sj, "j")
+            .groupBy("i")
+            .agg(
+                F.sum(
+                    F.expr(
+                        "(CAST(n_ij AS DECIMAL(38,0)) * 1000000000000)"
+                        " div CAST(si + sj AS DECIMAL(38,0))"
+                    )
+                ).alias("inv_sum")
+            )
+        )
+        raw = inv.join(w_i, "i", "left").select(
+            F.col("i").alias("event_type"),
+            F.expr(
+                "CASE WHEN inv_sum > 0 THEN"
+                " (CAST(coalesce(wins, 0) AS DECIMAL(38,0)) * 1000000000000)"
+                " div inv_sum ELSE CAST(0 AS DECIMAL(38,0)) END"
+            ).alias("raw"),
+        )
+        total = raw.groupBy().agg(F.sum("raw").alias("tot"))
+        # k-row state: collapse to ONE partition before materializing so the
+        # per-round checkpoint writes 1 block, not |shuffle.partitions| files
+        s = (
+            raw.crossJoin(F.broadcast(total))
+            .selectExpr(
+                "event_type",
+                "CAST((raw * 1000000) div tot AS BIGINT) AS s_ppm",
+            )
+            .coalesce(1)
+            .localCheckpoint(eager=True)
+        )
+    w_rank = Window.partitionBy(const_part(F.col("event_type"))).orderBy(
+        F.desc("s_ppm"), "event_type"
+    )
+    totals = n_ij.groupBy("i").agg(F.sum("n_ij").cast("long").alias("n_comparisons"))
+    out = (
+        s.join(totals, s.event_type == totals.i)
+        .drop("i")
+        .join(w_i.withColumnRenamed("i", "event_type"), "event_type", "left")
+        .fillna(0, ["wins"])
+        .withColumn("rank", F.row_number().over(w_rank).cast("int"))
+        # Σ_j n_ij already counts each duel involving i exactly once
+        .select("event_type", "wins", F.col("n_comparisons").alias("n_duels"), "s_ppm", "rank")
+    )
+    return out
+
+
+def _oracle_bradley_terry() -> str:
+    rounds = []
+    prev = "r0"
+    for t in range(1, BT_ROUNDS + 1):
+        rounds.append(f"""
+inv{t} AS MATERIALIZED (
+  SELECT m.i,
+         sum((CAST(m.n_ij AS HUGEINT) * 1000000000000)
+             // CAST(si.s_ppm + sj.s_ppm AS HUGEINT)) AS inv_sum
+  FROM n_ij m
+  JOIN {prev} si ON m.i = si.event_type
+  JOIN {prev} sj ON m.j = sj.event_type
+  GROUP BY m.i
+),
+raw{t} AS MATERIALIZED (
+  SELECT i.i AS event_type,
+         CASE WHEN i.inv_sum > 0 THEN
+           (CAST(coalesce(w.wins, 0) AS HUGEINT) * 1000000000000) // i.inv_sum
+         ELSE CAST(0 AS HUGEINT) END AS raw
+  FROM inv{t} i LEFT JOIN w_i w ON i.i = w.i
+),
+r{t} AS MATERIALIZED (
+  SELECT event_type,
+         CAST((raw * 1000000) // (SELECT sum(raw) FROM raw{t}) AS BIGINT) AS s_ppm
+  FROM raw{t}
+)""".strip())
+        prev = f"r{t}"
+    rounds_sql = ",\n".join(rounds)
+    return f"""
+WITH ud AS MATERIALIZED (
+  SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2, 3
+),
+duels AS (
+  SELECT a.user_id, a.day,
+         CASE WHEN a.y > b.y THEN a.event_type ELSE b.event_type END AS winner,
+         CASE WHEN a.y > b.y THEN b.event_type ELSE a.event_type END AS loser
+  FROM ud a JOIN ud b
+    ON a.user_id = b.user_id AND a.day = b.day
+   AND a.event_type < b.event_type
+  WHERE a.y <> b.y
+),
+wins AS (
+  SELECT winner, loser, CAST(count(*) AS BIGINT) AS w
+  FROM duels GROUP BY 1, 2
+),
+n_ij AS MATERIALIZED (
+  SELECT i, j, CAST(sum(w) AS BIGINT) AS n_ij FROM (
+    SELECT winner AS i, loser AS j, w FROM wins
+    UNION ALL
+    SELECT loser AS i, winner AS j, w FROM wins
+  ) GROUP BY 1, 2
+),
+w_i AS MATERIALIZED (SELECT winner AS i, CAST(sum(w) AS BIGINT) AS wins FROM wins GROUP BY 1),
+r0 AS MATERIALIZED (
+  SELECT DISTINCT i AS event_type, CAST(1000000 AS BIGINT) AS s_ppm FROM n_ij
+),
+{rounds_sql},
+totals AS (
+  SELECT i, CAST(sum(n_ij) AS BIGINT) AS n_comparisons FROM n_ij GROUP BY i
+)
+SELECT s.event_type, CAST(coalesce(w.wins, 0) AS BIGINT) AS wins,
+       CAST(t.n_comparisons AS BIGINT) AS n_duels, s.s_ppm,
+       CAST(row_number() OVER (ORDER BY s.s_ppm DESC, s.event_type) AS INT) AS rank
+FROM r{BT_ROUNDS} s
+JOIN totals t ON s.event_type = t.i
+LEFT JOIN w_i w ON s.event_type = w.i
+ORDER BY s.event_type
+"""
+
+
+QUERIES = {
+    "stats_logrank": stats_logrank,
+    "stats_moods_median": stats_moods_median,
+    "stats_bartlett": stats_bartlett,
+    "stats_fisher_exact": stats_fisher_exact,
+    "stats_bradley_terry": stats_bradley_terry,
+}
+
+ORACLES = {
+    "stats_logrank": ORACLE_LOGRANK,
+    "stats_moods_median": ORACLE_MOODS_MEDIAN,
+    "stats_bartlett": ORACLE_BARTLETT,
+    "stats_fisher_exact": ORACLE_FISHER,
+    "stats_bradley_terry": _oracle_bradley_terry(),
+}

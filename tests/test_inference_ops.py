@@ -1,0 +1,149 @@
+"""Known-value and edge-case pins for the statistical-inference sweep
+(log-rank, Mood's median, Bartlett, Fisher exact, Bradley–Terry) —
+complementing the oracle gate with hand-computable cohorts."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def _subjects(spark, rows):
+    return spark.createDataFrame(rows, "grp int, t long, observed int")
+
+
+def test_logrank_identical_groups_z_zero(spark):
+    from mongraph_spark.queries.inference import logrank_from_subjects
+
+    # identical survival experience in both groups -> O1 == E1 exactly
+    rows = []
+    for g in (0, 1):
+        rows += [(g, 1, 1), (g, 2, 1), (g, 3, 1), (g, 5, 0)]
+    r = logrank_from_subjects(spark, _subjects(spark, rows)).collect()[0]
+    assert r["o1"] == 3 and r["d_total"] == 6
+    # per-t E1 = d_t * n1/nt = exactly half of d_t at every t
+    assert r["e1_micro"] == 3_000_000
+    assert abs(r["z"]) < 1e-6
+
+
+def test_logrank_hand_computed_single_event(spark):
+    from mongraph_spark.queries.inference import logrank_from_subjects
+
+    # one event at t=1 in group 1; at-risk 2 vs 2 -> E1 = 0.5,
+    # V = 1 * (2/4)(2/4)(4-1)/(4-1) = 0.25 -> z = (1-0.5)/0.5 = 1.0
+    rows = [(1, 1, 1), (1, 9, 0), (0, 9, 0), (0, 9, 0)]
+    r = logrank_from_subjects(spark, _subjects(spark, rows)).collect()[0]
+    assert r["e1_micro"] == 500_000
+    assert r["v_micro"] == 250_000
+    assert abs(r["z"] - 1.0) < 1e-9
+    assert r["chi2_ppm"] == 1_000_000
+
+
+def test_logrank_censoring_reduces_at_risk(spark):
+    from mongraph_spark.queries.inference import logrank_from_subjects
+
+    # censor one group-0 subject BEFORE the t=2 event: at t=2 the ladder
+    # must show 1 at risk in group 0, not 2 (censored-at-1 leaves after 1)
+    rows = [(0, 1, 0), (0, 2, 1), (1, 2, 1), (1, 3, 0)]
+    r = logrank_from_subjects(spark, _subjects(spark, rows)).collect()[0]
+    # at t=2: d=2, n1=2, n0=1, nt=3 -> E1 = 2*2/3 = 4/3
+    assert r["e1_micro"] == 1_333_333
+    assert r["o1"] == 1 and r["d_total"] == 2
+
+
+def test_fisher_tea_tasting_exact_p(spark):
+    from mongraph_spark.queries.inference import fisher_from_counts
+
+    # Fisher's lady-tasting-tea 2x2: n=8, r1=4, c1=4, n11=3
+    # two-sided p = (16+1+16+1)/70 = 34/70 = 0.4857142857...
+    counts = spark.createDataFrame(
+        [(8, 4, 4, 3)], "n long, r1 long, c1 long, n11 long"
+    )
+    r = fisher_from_counts(counts).collect()[0]
+    assert abs(r["p_two_sided"] - 34.0 / 70.0) < 1e-5
+    assert r["p_ppm"] in (485713, 485714, 485715)  # nano-grid floor jitter
+
+
+def test_fisher_extreme_table_small_p(spark):
+    from mongraph_spark.queries.inference import fisher_from_counts
+
+    # fully concentrated table: n=20, r1=10, c1=10, n11=10
+    # p = pmf(10) + pmf(0) = 2/C(20,10) = 2/184756 = 1.0825e-5
+    counts = spark.createDataFrame(
+        [(20, 10, 10, 10)], "n long, r1 long, c1 long, n11 long"
+    )
+    r = fisher_from_counts(counts).collect()[0]
+    assert abs(r["p_two_sided"] - 2.0 / 184756.0) < 1e-7
+    assert r["p_ppm"] in (10, 11)
+
+
+def test_fisher_independent_margins_p_near_one(spark):
+    from mongraph_spark.queries.inference import fisher_from_counts
+
+    # n11 at the mode -> every table is "as extreme" -> p = 1
+    counts = spark.createDataFrame(
+        [(100, 50, 50, 25)], "n long, r1 long, c1 long, n11 long"
+    )
+    r = fisher_from_counts(counts).collect()[0]
+    assert r["p_ppm"] >= 999_990
+
+
+def test_bradley_terry_two_player_ratio(spark):
+    from mongraph_spark.queries.inference import bt_from_wins
+
+    # a beats b 3-1: MM fixed point is s_a/s_b = 3 (75/25 after renorm);
+    # 6 rounds from uniform land within a few ppm of the fixed point
+    wins = spark.createDataFrame(
+        [("a", "b", 3), ("b", "a", 1)], "winner string, loser string, w long"
+    )
+    rows = {r["event_type"]: r for r in bt_from_wins(wins).collect()}
+    assert rows["a"]["rank"] == 1 and rows["b"]["rank"] == 2
+    assert rows["a"]["wins"] == 3 and rows["a"]["n_duels"] == 4
+    assert abs(rows["a"]["s_ppm"] - 750_000) < 2_000
+    assert abs(rows["b"]["s_ppm"] - 250_000) < 2_000
+
+
+def test_bradley_terry_symmetric_three_way(spark):
+    from mongraph_spark.queries.inference import bt_from_wins
+
+    # perfectly cyclic tournament -> uniform strengths survive every round
+    wins = spark.createDataFrame(
+        [("a", "b", 2), ("b", "c", 2), ("c", "a", 2)],
+        "winner string, loser string, w long",
+    )
+    rows = {r["event_type"]: r for r in bt_from_wins(wins).collect()}
+    for t in "abc":
+        assert abs(rows[t]["s_ppm"] - 333_333) <= 1
+
+
+def test_moods_median_counts_partition_n(spark):
+    from mongraph_spark.queries.inference import stats_moods_median
+
+    rows = stats_moods_median(spark, "/root/testdata/sf0.001").collect()
+    n_total = rows[0]["n_total"]
+    assert sum(r["n_hi"] + r["n_lo"] for r in rows) == n_total
+    # lower-median rule: at most half the values are strictly above
+    assert sum(r["n_hi"] for r in rows) * 2 <= n_total
+    assert all(r["chi2_contrib_ppm"] >= 0 for r in rows)
+
+
+def test_bartlett_statistic_nonnegative_and_c_above_one(spark):
+    from mongraph_spark.queries.inference import stats_bartlett
+
+    r = stats_bartlett(spark, "/root/testdata/sf0.001").collect()[0]
+    assert r["k"] == 5
+    # M >= 0 by Jensen (ln of the pooled variance dominates); C > 1 always
+    assert r["m_stat"] >= -1e-6
+    assert r["c_factor"] > 1.0
+    assert r["bartlett_ppm"] >= 0
+    assert r["pooled_var_micro"] > 0
+
+
+def test_logrank_query_end_to_end_counts(spark):
+    from mongraph_spark.queries.inference import stats_logrank
+
+    r = stats_logrank(spark, "/root/testdata/sf0.001").collect()[0]
+    # every user is a subject exactly once
+    assert r["n_click_first"] + r["n_other"] == 15
+    assert r["o1"] <= r["d_total"] <= 15
