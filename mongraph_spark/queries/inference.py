@@ -865,12 +865,861 @@ ORDER BY s.event_type
 """
 
 
+# -- Hurst exponent (rescaled-range analysis) -------------------------------------
+
+HURST_SCALES = (8, 16, 32, 64)
+
+
+def events_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent per event type via R/S (rescaled-range) analysis —
+    the long-memory diagnostic the time-series battery lacked (ACF sees
+    fixed lags; Hurst summarizes ALL lags: H≈0.5 random walk, H>0.5
+    persistent/trending, H<0.5 mean-reverting).  For each scale m the
+    hourly cents series is cut into full m-hour blocks; each block's
+    rescaled range is (max−min of the centered prefix sums)/σ; H is the
+    log-log slope of the mean R/S against m.
+
+    Exactness: within-block prefix deviations are kept integer by
+    scaling by m (m·P_rel − rel·S_b); R/S is a per-block IEEE expression
+    over exact integers floored to the micro grid; block means are exact
+    integer divisions; the final slope is an exact integer least-squares
+    over the ≤4 micro-floored (ln m, ln R/S) points.
+
+    Scale shape: one hourly rollup, then all windows are partitioned by
+    (type, scale, block) — thousands of bounded blocks in parallel, no
+    global window, no raw-event second pass."""
+    hourly = _hourly_cents(spark, sf_dir)
+    return hurst_finish(hourly)
+
+
+def _hourly_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"))
+
+
+def hurst_finish(hourly: DataFrame) -> DataFrame:
+    """R/S analysis over a (event_type, hour, y) rollup — shared verbatim
+    by the streaming twin (whose state is exactly this rollup)."""
+    w_t = Window.partitionBy("event_type").orderBy("hour")
+    w_n = Window.partitionBy("event_type")
+    pts = hourly.withColumn("t", F.row_number().over(w_t)).withColumn(
+        "n", F.count(F.lit(1)).over(w_n)
+    )
+    scales = F.explode(
+        F.array(*[F.lit(m) for m in HURST_SCALES])
+    ).alias("m")
+    blk = (
+        pts.select("event_type", "t", "n", "y", scales)
+        .filter((F.col("t") - 1) / F.col("m") < F.floor(F.col("n") / F.col("m")))
+        .withColumn("block", ((F.col("t") - 1) / F.col("m")).cast("long"))
+    )
+    w_blk = Window.partitionBy("event_type", "m", "block")
+    w_blk_ord = w_blk.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    dev = (
+        blk.withColumn("p_rel", F.sum("y").over(w_blk_ord))
+        .withColumn("rel", F.row_number().over(w_blk.orderBy("t")))
+        .withColumn("s_b", F.sum("y").over(w_blk))
+        .withColumn(
+            "cum_scaled", F.col("m") * F.col("p_rel") - F.col("rel") * F.col("s_b")
+        )
+    )
+    per_block = dev.groupBy("event_type", "m", "block").agg(
+        (F.max("cum_scaled") - F.min("cum_scaled")).cast("long").alias("r_scaled"),
+        F.max("s_b").cast("decimal(38,0)").alias("s_b"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("q_b"),
+    )
+    rs = per_block.selectExpr(
+        "event_type",
+        "m",
+        "CAST(m AS DECIMAL(38,0)) * q_b - s_b * s_b AS var_num",
+        "r_scaled",
+    ).filter("var_num > 0").selectExpr(
+        "event_type",
+        "m",
+        "CAST(FLOOR(1000000 * CAST(r_scaled AS DOUBLE)"
+        " / SQRT(CAST(var_num AS DOUBLE))) AS BIGINT) AS rs_micro",
+    )
+    per_scale = rs.groupBy("event_type", "m").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum("rs_micro").cast("long").alias("rs_sum"),
+    ).selectExpr(
+        "event_type",
+        "m",
+        "rs_sum div n_blocks AS rs_mean_micro",
+    ).filter("rs_mean_micro > 0")
+    xy = per_scale.selectExpr(
+        "event_type",
+        "CAST(FLOOR(1000000 * LN(CAST(m AS DOUBLE))) AS BIGINT) AS x",
+        "CAST(FLOOR(1000000 * (LN(CAST(rs_mean_micro AS DOUBLE))"
+        " - LN(1000000.0))) AS BIGINT) AS y",
+    )
+    n_hours = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours")
+    )
+    reg = xy.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_scales"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+    )
+    return reg.join(n_hours, "event_type").selectExpr(
+        "event_type",
+        "n_hours",
+        "n_scales",
+        "CASE WHEN n_scales >= 2"
+        " AND n_scales * sxx - sx * sx > 0 THEN"
+        " CASE WHEN n_scales * sxy - sx * sy >= 0 THEN"
+        "  CAST((1000000 * (n_scales * sxy - sx * sy))"
+        "       div (n_scales * sxx - sx * sx) AS BIGINT)"
+        " ELSE"
+        "  -CAST((1000000 * (sx * sy - n_scales * sxy))"
+        "        div (n_scales * sxx - sx * sx) AS BIGINT)"
+        " END END AS hurst_ppm",
+    )
+
+
+_HURST_SCALES_SQL = ", ".join(str(m) for m in HURST_SCALES)
+
+ORACLE_HURST = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+pts AS (
+  SELECT event_type, y,
+         row_number() OVER (PARTITION BY event_type ORDER BY hour) AS t,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM hourly
+),
+blk AS (
+  SELECT p.event_type, p.t, p.y, m.m,
+         CAST((p.t - 1) // m.m AS BIGINT) AS block
+  FROM pts p CROSS JOIN (SELECT unnest([{_HURST_SCALES_SQL}]) AS m) m
+  WHERE (p.t - 1) // m.m < p.n // m.m
+),
+dev AS (
+  SELECT event_type, m, block,
+         m * sum(y) OVER (PARTITION BY event_type, m, block ORDER BY t
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         - (row_number() OVER (PARTITION BY event_type, m, block ORDER BY t))
+           * (sum(y) OVER (PARTITION BY event_type, m, block)) AS cum_scaled,
+         sum(y) OVER (PARTITION BY event_type, m, block) AS s_b,
+         y
+  FROM blk
+),
+per_block AS (
+  SELECT event_type, m, block,
+         CAST(max(cum_scaled) - min(cum_scaled) AS BIGINT) AS r_scaled,
+         CAST(max(s_b) AS HUGEINT) AS s_b,
+         CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS q_b
+  FROM dev GROUP BY 1, 2, 3
+),
+rs AS (
+  SELECT event_type, m,
+         CAST(FLOOR(1000000 * CAST(r_scaled AS DOUBLE)
+              / SQRT(CAST(CAST(m AS HUGEINT) * q_b - s_b * s_b AS DOUBLE)))
+           AS BIGINT) AS rs_micro
+  FROM per_block
+  WHERE CAST(m AS HUGEINT) * q_b - s_b * s_b > 0
+),
+per_scale AS (
+  SELECT event_type, m,
+         CAST(sum(rs_micro) // count(*) AS BIGINT) AS rs_mean_micro
+  FROM rs GROUP BY 1, 2
+),
+xy AS (
+  SELECT event_type,
+         CAST(FLOOR(1000000 * LN(CAST(m AS DOUBLE))) AS BIGINT) AS x,
+         CAST(FLOOR(1000000 * (LN(CAST(rs_mean_micro AS DOUBLE))
+              - LN(1000000.0))) AS BIGINT) AS y
+  FROM per_scale WHERE rs_mean_micro > 0
+),
+n_hours AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours FROM hourly GROUP BY 1
+),
+reg AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_scales,
+         CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+  FROM xy GROUP BY 1
+)
+SELECT r.event_type, h.n_hours, r.n_scales,
+       CASE WHEN n_scales >= 2 AND n_scales * sxx - sx * sx > 0 THEN
+         CASE WHEN n_scales * sxy - sx * sy >= 0 THEN
+           CAST((1000000 * (n_scales * sxy - sx * sy))
+                // (n_scales * sxx - sx * sx) AS BIGINT)
+         ELSE
+           -CAST((1000000 * (sx * sy - n_scales * sxy))
+                 // (n_scales * sxx - sx * sx) AS BIGINT)
+         END END AS hurst_ppm
+FROM reg r JOIN n_hours h ON r.event_type = h.event_type
+ORDER BY 1
+"""
+
+
+# -- permutation entropy -----------------------------------------------------------
+
+
+def events_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-3 permutation entropy per event type — the model-free
+    complexity/irregularity score (Bandt–Pompe, public): slide a 3-hour
+    window over the hourly cents series, rank the triple (ties broken by
+    time order), and measure the entropy of the 6 ordinal patterns.
+    Near ln(6): noise-like; near 0: rigidly ordered dynamics.
+
+    Exactness: ordinal ranks are exact integer comparisons; pattern
+    counts are exact; each −p·ln p term is floored to the micro grid per
+    pattern (≤6 rows/type) so the entropy sum is an exact integer sum;
+    the ln 6 normalizer enters as the same floored constant in both
+    engines.
+
+    Scale shape: hourly rollup, two lead() windows per type (bounded
+    rollup), a ≤6-row-per-type histogram — no raw-event second pass."""
+    hourly = _hourly_cents(spark, sf_dir)
+    return perm_entropy_finish(hourly)
+
+
+def perm_entropy_finish(hourly: DataFrame) -> DataFrame:
+    """The entropy over a (event_type, hour, y) rollup — shared verbatim
+    by the streaming twin."""
+    w = Window.partitionBy("event_type").orderBy("hour")
+    tri = (
+        hourly.withColumn("y1", F.lead("y", 1).over(w))
+        .withColumn("y2", F.lead("y", 2).over(w))
+        .filter(F.col("y2").isNotNull())
+    )
+    r0 = (F.col("y1") < F.col("y")).cast("int") + (
+        F.col("y2") < F.col("y")
+    ).cast("int")
+    r1 = (F.col("y") <= F.col("y1")).cast("int") + (
+        F.col("y2") < F.col("y1")
+    ).cast("int")
+    r2 = (F.col("y") <= F.col("y2")).cast("int") + (
+        F.col("y1") <= F.col("y2")
+    ).cast("int")
+    pat = tri.select(
+        "event_type", (r0 * 9 + r1 * 3 + r2).alias("pattern")
+    )
+    counts = pat.groupBy("event_type", "pattern").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w_type = Window.partitionBy("event_type")
+    terms = counts.withColumn("n", F.sum("c").over(w_type)).selectExpr(
+        "event_type",
+        "n",
+        "CAST(FLOOR(1000000 * (CAST(c AS DOUBLE) / n)"
+        " * (LN(CAST(n AS DOUBLE)) - LN(CAST(c AS DOUBLE)))) AS BIGINT)"
+        " AS term_micro",
+    )
+    return terms.groupBy("event_type").agg(
+        F.max("n").alias("n_windows"),
+        F.count(F.lit(1)).cast("long").alias("n_patterns"),
+        F.sum("term_micro").cast("long").alias("pe_micro"),
+    ).selectExpr(
+        "event_type",
+        "n_windows",
+        "n_patterns",
+        "pe_micro",
+        "CAST((1000000 * pe_micro)"
+        " div CAST(FLOOR(1000000 * LN(6.0)) AS BIGINT) AS BIGINT)"
+        " AS pe_norm_ppm",
+    )
+
+
+ORACLE_PERM_ENTROPY = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+tri AS (
+  SELECT event_type, y,
+         lead(y, 1) OVER (PARTITION BY event_type ORDER BY hour) AS y1,
+         lead(y, 2) OVER (PARTITION BY event_type ORDER BY hour) AS y2
+  FROM hourly
+),
+pat AS (
+  SELECT event_type,
+         ((CASE WHEN y1 < y THEN 1 ELSE 0 END)
+          + (CASE WHEN y2 < y THEN 1 ELSE 0 END)) * 9
+         + ((CASE WHEN y <= y1 THEN 1 ELSE 0 END)
+            + (CASE WHEN y2 < y1 THEN 1 ELSE 0 END)) * 3
+         + ((CASE WHEN y <= y2 THEN 1 ELSE 0 END)
+            + (CASE WHEN y1 <= y2 THEN 1 ELSE 0 END)) AS pattern
+  FROM tri WHERE y2 IS NOT NULL
+),
+counts AS (
+  SELECT event_type, pattern, CAST(count(*) AS BIGINT) AS c
+  FROM pat GROUP BY 1, 2
+),
+terms AS (
+  SELECT event_type, sum(c) OVER (PARTITION BY event_type) AS n,
+         CAST(FLOOR(1000000 * (CAST(c AS DOUBLE)
+              / (sum(c) OVER (PARTITION BY event_type)))
+              * (LN(CAST(sum(c) OVER (PARTITION BY event_type) AS DOUBLE))
+                 - LN(CAST(c AS DOUBLE)))) AS BIGINT) AS term_micro
+  FROM counts
+)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n_windows,
+       CAST(count(*) AS BIGINT) AS n_patterns,
+       CAST(sum(term_micro) AS BIGINT) AS pe_micro,
+       CAST((1000000 * CAST(sum(term_micro) AS BIGINT))
+            // CAST(FLOOR(1000000 * LN(6.0)) AS BIGINT) AS BIGINT)
+         AS pe_norm_ppm
+FROM terms GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# -- cross-correlation function ----------------------------------------------------
+
+CCF_MAX_LAG = 6
+
+
+def events_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function between the TWO highest-revenue event
+    types' hourly series at lags −{CCF_MAX_LAG}..{CCF_MAX_LAG} — the
+    lead/lag detector (does type A's spike precede type B's?), the
+    two-series companion to the battery's single-series ACF.
+
+    Exactness: the type pair is picked by exact integer revenue with a
+    lexicographic tiebreak; per-lag Pearson moments (n, Σx, Σy, Σxy,
+    Σx², Σy²) are exact DECIMAL(38) sums over the aligned hour grid;
+    r is a per-lag IEEE expression over those integers (the product of
+    the two variance terms would overflow the integer grid, so each gets
+    its own √ in the identical tree), floored to ppm.
+
+    Scale shape: one hourly rollup, a bounded |types|-row ranking, then
+    each lag's alignment is an equi-join on the hour index over the
+    bounded rollup — 13 bounded joins, no raw-event second pass."""
+    hourly = _hourly_cents(spark, sf_dir)
+    return ccf_finish(hourly)
+
+
+def ccf_finish(hourly: DataFrame) -> DataFrame:
+    """The CCF over a (event_type, hour, y) rollup — shared verbatim by
+    the streaming twin.  Self-joins its input: twins must checkpoint."""
+    w_rank = Window.partitionBy(const_part(F.col("event_type"))).orderBy(
+        F.desc("tot"), "event_type"
+    )
+    top2 = (
+        hourly.groupBy("event_type")
+        .agg(F.sum("y").cast("long").alias("tot"))
+        .withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= 2)
+        .groupBy()
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("event_type"))).alias("type_a"),
+            F.max(F.when(F.col("rk") == 2, F.col("event_type"))).alias("type_b"),
+        )
+    )
+    hidx = F.expr(
+        "unix_micros(CAST(hour AS TIMESTAMP)) div 3600000000"
+    ).alias("h")
+    xs = hourly.crossJoin(F.broadcast(top2)).filter(
+        F.col("event_type") == F.col("type_a")
+    ).select("type_a", "type_b", hidx, F.col("y").alias("x"))
+    ys = hourly.crossJoin(F.broadcast(top2)).filter(
+        F.col("event_type") == F.col("type_b")
+    ).select(
+        F.expr("unix_micros(CAST(hour AS TIMESTAMP)) div 3600000000").alias("hb"),
+        F.col("y").alias("yv"),
+    )
+    lag_col = F.explode(
+        F.sequence(F.lit(-CCF_MAX_LAG), F.lit(CCF_MAX_LAG))
+    ).alias("lag")
+    pairs = (
+        xs.select("type_a", "type_b", "h", "x", lag_col)
+        .join(ys, F.col("hb") == F.col("h") + F.col("lag"))
+    )
+    mom = pairs.groupBy("type_a", "type_b", "lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("yv").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("yv")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("yv").cast("decimal(38,0)") * F.col("yv")).alias("syy"),
+    )
+    return mom.selectExpr(
+        "type_a",
+        "type_b",
+        "CAST(lag AS INT) AS lag",
+        "n_pairs",
+        "CASE WHEN n_pairs * sxx - sx * sx > 0 AND n_pairs * syy - sy * sy > 0"
+        " THEN CAST(FLOOR(1000000 * CAST(n_pairs * sxy - sx * sy AS DOUBLE)"
+        "  / (SQRT(CAST(n_pairs * sxx - sx * sx AS DOUBLE))"
+        "     * SQRT(CAST(n_pairs * syy - sy * sy AS DOUBLE)))) AS BIGINT)"
+        " END AS r_ppm",
+    )
+
+
+ORACLE_CCF = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT event_type,
+         row_number() OVER (ORDER BY sum(y) DESC, event_type) AS rk
+  FROM hourly GROUP BY event_type
+),
+top2 AS (
+  SELECT max(CASE WHEN rk = 1 THEN event_type END) AS type_a,
+         max(CASE WHEN rk = 2 THEN event_type END) AS type_b
+  FROM ranked WHERE rk <= 2
+),
+xs AS (
+  SELECT t.type_a, t.type_b,
+         epoch_us(h.hour) // 3600000000 AS h, h.y AS x
+  FROM hourly h CROSS JOIN top2 t WHERE h.event_type = t.type_a
+),
+ys AS (
+  SELECT epoch_us(h.hour) // 3600000000 AS hb, h.y AS yv
+  FROM hourly h CROSS JOIN top2 t WHERE h.event_type = t.type_b
+),
+pairs AS (
+  SELECT x.type_a, x.type_b, l.lag, x.x, y.yv
+  FROM xs x
+  CROSS JOIN (SELECT unnest(generate_series(-{CCF_MAX_LAG}, {CCF_MAX_LAG})) AS lag) l
+  JOIN ys y ON y.hb = x.h + l.lag
+),
+mom AS (
+  SELECT type_a, type_b, lag, CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(yv) AS HUGEINT) AS sy,
+         CAST(sum(CAST(x AS HUGEINT) * yv) AS HUGEINT) AS sxy,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(sum(CAST(yv AS HUGEINT) * yv) AS HUGEINT) AS syy
+  FROM pairs GROUP BY 1, 2, 3
+)
+SELECT type_a, type_b, CAST(lag AS INT) AS lag, n_pairs,
+       CASE WHEN n_pairs * sxx - sx * sx > 0 AND n_pairs * syy - sy * sy > 0
+       THEN CAST(FLOOR(1000000 * CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+         / (SQRT(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
+            * SQRT(CAST(n_pairs * syy - sy * sy AS DOUBLE)))) AS BIGINT)
+       END AS r_ppm
+FROM mom
+ORDER BY lag
+"""
+
+
+# -- theta-method forecast -----------------------------------------------------
+
+
+THETA_HORIZON = 7
+
+
+def events_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-method forecast (Assimakopoulos & Nikolopoulos 2000, the
+    M3-competition winner; public) per event type over daily cents —
+    the battery's third forecaster, between Holt (local trend) and the
+    seasonal pair: the classical Theta(0,2) combination of (a) the
+    linear-trend line and (b) SES over the theta=2 line Z_t = 2·y_t −
+    L_t, averaged for each horizon step.
+
+    Exactness: the trend fit (a, b) is exact integer least squares on
+    the micro grid; Z_t is exact micro integers; SES with α = ½ is the
+    Holt trick — per-step floor-halving via shiftright in Spark and
+    // 2 in DuckDB (both floor division for signed integers), so every
+    smoothing state is bit-identical; the combination is one more
+    floor-halving.  A true recursion can't be a window expression, but
+    the DAILY series is a bounded pre-aggregate, so Spark folds it with
+    ONE aggregate HOF per type and DuckDB replays a recursive CTE.
+
+    Scale shape: one map-side-combined daily rollup; recursion over
+    |days| rows per type, thousands of types in parallel."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"))
+    return theta_finish(daily)
+
+
+def theta_finish(daily: DataFrame) -> DataFrame:
+    """Theta forecast over a (event_type, day, y) rollup — shared
+    verbatim by a streaming twin's state read."""
+    w_t = Window.partitionBy("event_type").orderBy("day")
+    pts = daily.withColumn("t", F.row_number().over(w_t).cast("long"))
+    reg = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("t").cast("decimal(38,0)").alias("st"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("t").cast("decimal(38,0)") * F.col("y")).alias("sty"),
+        F.sum(F.col("t").cast("decimal(38,0)") * F.col("t")).alias("stt"),
+    ).filter(F.col("n") >= 2).selectExpr(
+        "event_type",
+        "n",
+        # b_micro = sign-split (1e6 (n·sty − st·sy)) div (n·stt − st²)
+        "CASE WHEN n * sty - st * sy >= 0 THEN"
+        " CAST((1000000 * (n * sty - st * sy)) div (n * stt - st * st) AS BIGINT)"
+        " ELSE -CAST((1000000 * (st * sy - n * sty)) div (n * stt - st * st) AS BIGINT)"
+        " END AS b_micro",
+        "st",
+        "sy",
+    ).selectExpr(
+        "event_type",
+        "n",
+        "b_micro",
+        # a_micro = sign-split (1e6·sy − b_micro·st) div n
+        "CASE WHEN 1000000 * sy - b_micro * st >= 0 THEN"
+        " CAST((1000000 * sy - CAST(b_micro AS DECIMAL(38,0)) * st) div n AS BIGINT)"
+        " ELSE -CAST((CAST(b_micro AS DECIMAL(38,0)) * st - 1000000 * sy) div n AS BIGINT)"
+        " END AS a_micro",
+    )
+    z = pts.join(reg, "event_type").withColumn(
+        "z_micro",
+        (
+            F.lit(2_000_000).cast("long") * F.col("y")
+            - (F.col("a_micro") + F.col("b_micro") * F.col("t"))
+        ).cast("long"),
+    )
+    arr = z.groupBy("event_type", "n", "a_micro", "b_micro").agg(
+        F.array_sort(F.collect_list(F.struct("t", "z_micro"))).alias("a")
+    )
+    future = ", ".join(
+        "named_struct("
+        f"'h', {h}, "
+        f"'linear_micro', a_micro + b_micro * (n + {h}L), "
+        "'ses_micro', acc.s, "
+        f"'forecast_micro', shiftright(acc.s + a_micro + b_micro * (n + {h}L), 1))"
+        for h in range(1, THETA_HORIZON + 1)
+    )
+    folded = arr.select(
+        "event_type",
+        F.expr(
+            f"""
+            aggregate(
+              slice(a, 2, size(a) - 1),
+              named_struct('s', a[0].z_micro),
+              (acc, x) -> named_struct('s', shiftright(acc.s + x.z_micro, 1)),
+              acc -> array({future})
+            )
+            """
+        ).alias("fc"),
+    )
+    out = folded.select(
+        "event_type", F.explode("fc").alias("f")
+    ).select(
+        "event_type",
+        F.col("f.h").cast("int").alias("h"),
+        F.col("f.ses_micro").cast("long").alias("ses_micro"),
+        F.col("f.linear_micro").cast("long").alias("linear_micro"),
+        F.col("f.forecast_micro").cast("long").alias("forecast_micro"),
+    )
+    return out
+
+
+def _oracle_theta() -> str:
+    return f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+pts AS (
+  SELECT event_type, y,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+              AS BIGINT) AS t
+  FROM daily
+),
+reg0 AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(t) AS HUGEINT) AS st, CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(CAST(t AS HUGEINT) * y) AS HUGEINT) AS sty,
+         CAST(sum(CAST(t AS HUGEINT) * t) AS HUGEINT) AS stt
+  FROM pts GROUP BY 1 HAVING count(*) >= 2
+),
+reg1 AS (
+  SELECT event_type, n, st, sy,
+         CASE WHEN n * sty - st * sy >= 0 THEN
+           CAST((1000000 * (n * sty - st * sy)) // (n * stt - st * st) AS BIGINT)
+         ELSE
+           -CAST((1000000 * (st * sy - n * sty)) // (n * stt - st * st) AS BIGINT)
+         END AS b_micro
+  FROM reg0
+),
+reg AS (
+  SELECT event_type, n, b_micro,
+         CASE WHEN 1000000 * sy - CAST(b_micro AS HUGEINT) * st >= 0 THEN
+           CAST((1000000 * sy - CAST(b_micro AS HUGEINT) * st) // n AS BIGINT)
+         ELSE
+           -CAST((CAST(b_micro AS HUGEINT) * st - 1000000 * sy) // n AS BIGINT)
+         END AS a_micro
+  FROM reg1
+),
+z AS (
+  SELECT p.event_type, p.t, r.n, r.a_micro, r.b_micro,
+         CAST(2000000 * p.y - (r.a_micro + r.b_micro * p.t) AS BIGINT) AS z_micro
+  FROM pts p JOIN reg r ON p.event_type = r.event_type
+),
+ses AS (
+  SELECT event_type, t, z_micro AS s FROM z WHERE t = 1
+  UNION ALL
+  SELECT z.event_type, z.t,
+         CASE WHEN ses.s + z.z_micro >= 0 THEN (ses.s + z.z_micro) // 2
+              ELSE -((-(ses.s + z.z_micro) + 1) // 2) END AS s
+  FROM ses JOIN z ON z.event_type = ses.event_type AND z.t = ses.t + 1
+),
+fin AS (
+  SELECT s.event_type, s.s, r.n, r.a_micro, r.b_micro
+  FROM ses s JOIN reg r ON s.event_type = r.event_type AND s.t = r.n
+),
+horizons AS (SELECT unnest(generate_series(1, {THETA_HORIZON})) AS h)
+SELECT f.event_type, CAST(h.h AS INT) AS h,
+       CAST(f.s AS BIGINT) AS ses_micro,
+       CAST(f.a_micro + f.b_micro * (f.n + h.h) AS BIGINT) AS linear_micro,
+       CAST(CASE WHEN f.s + f.a_micro + f.b_micro * (f.n + h.h) >= 0
+            THEN (f.s + f.a_micro + f.b_micro * (f.n + h.h)) // 2
+            ELSE -((-(f.s + f.a_micro + f.b_micro * (f.n + h.h)) + 1) // 2)
+            END AS BIGINT) AS forecast_micro
+FROM fin f CROSS JOIN horizons h
+ORDER BY 1, 2
+"""
+
+
+ORACLE_THETA = "WITH RECURSIVE " + _oracle_theta().split("WITH ", 1)[1]
+
+
+# -- binary-segmentation changepoints ------------------------------------------------
+
+
+def events_binseg_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-2 binary-segmentation changepoint detection over the GLOBAL
+    hourly cents series — the multi-changepoint extension of the
+    battery's single-split CUSUM: find the split maximizing the
+    between-segment SSE reduction, then the best split inside each half
+    (up to 3 changepoints / 4 segments).
+
+    The split score at t within a segment is the between-class identity
+    gain(t) = S_l²/n_l + S_r²/n_r − S²/n (maximizing it minimizes the
+    within-segment SSE).  Exactness: prefix sums are exact integers;
+    each candidate's score is a per-row IEEE expression over exact
+    integers — identical trees give identical doubles, so the argmax
+    (max over a (score, −t) struct: smallest t wins ties) is
+    engine-deterministic; the reported gain is floored to micro.
+
+    Scale shape: entirely on the bounded hourly rollup; level-2 halves
+    are assigned by broadcasting the 1-ROW level-1 winner back into the
+    rollup (never a driver collect); the documented-bounded global
+    windows are the const_part pattern."""
+    ev = read_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("y")
+    )
+    return binseg_finish(hourly)
+
+
+def binseg_finish(hourly: DataFrame) -> DataFrame:
+    """Depth-2 segmentation over a (hour, y) rollup — factored so
+    known-value pins can feed hand-built step series."""
+    w_ord = (
+        Window.partitionBy(const_part(F.col("hour")))
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(const_part(F.col("hour")))
+    pts = (
+        hourly.withColumn("t", F.row_number().over(
+            Window.partitionBy(const_part(F.col("hour"))).orderBy("hour")
+        ).cast("long"))
+        .withColumn("p", F.sum("y").over(w_ord).cast("long"))
+        .withColumn("n", F.count(F.lit(1)).over(w_all).cast("long"))
+        .withColumn("s", F.sum("y").over(w_all).cast("long"))
+        .select("t", "y", "p", "n", "s")
+    )
+    score = (
+        "CAST(p AS DOUBLE) * CAST(p AS DOUBLE) / CAST(t AS DOUBLE)"
+        " + CAST(s - p AS DOUBLE) * CAST(s - p AS DOUBLE) / CAST(n - t AS DOUBLE)"
+    )
+    gain = f"({score}) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)"
+    best1 = (
+        pts.filter("t < n")
+        .selectExpr("t", "n", "s", f"{score} AS sc", f"{gain} AS gn")
+        .groupBy()
+        .agg(F.max(F.struct(F.col("sc"), (-F.col("t")).alias("nt"), F.col("t"), F.col("gn"))).alias("b"))
+        .select(
+            F.col("b.t").alias("t1"),
+            F.col("b.gn").alias("gain1"),
+        )
+    )
+    lv1 = pts.crossJoin(F.broadcast(best1))
+    halves = lv1.selectExpr(
+        "CASE WHEN t <= t1 THEN 'L' ELSE 'R' END AS half",
+        "t",
+        "t1",
+        "gain1",
+        "y",
+        "p",
+        "n",
+        "s",
+    )
+    w_half = Window.partitionBy("half")
+    hpts = (
+        halves.withColumn("h_lo", F.min("t").over(w_half))
+        .withColumn("h_hi", F.max("t").over(w_half))
+        .withColumn("h_n", F.count(F.lit(1)).over(w_half).cast("long"))
+        .withColumn("h_p0", (F.col("p") - F.col("y")).cast("long"))
+    )
+    # local prefix within the half: p_local = p − P(h_lo − 1); P(h_lo−1) =
+    # min over half of (p − y) at the first row = min(h_p0 at t = h_lo)
+    base = hpts.withColumn(
+        "p_base", F.min(F.when(F.col("t") == F.col("h_lo"), F.col("h_p0"))).over(w_half)
+    ).withColumn("p_loc", (F.col("p") - F.col("p_base")).cast("long")).withColumn(
+        "s_loc",
+        F.max(F.when(F.col("t") == F.col("h_hi"), F.col("p") - F.col("p_base"))).over(
+            w_half
+        ).cast("long"),
+    ).withColumn("t_loc", (F.col("t") - F.col("h_lo") + 1).cast("long"))
+    score2 = (
+        "CAST(p_loc AS DOUBLE) * CAST(p_loc AS DOUBLE) / CAST(t_loc AS DOUBLE)"
+        " + CAST(s_loc - p_loc AS DOUBLE) * CAST(s_loc - p_loc AS DOUBLE)"
+        "   / CAST(h_n - t_loc AS DOUBLE)"
+    )
+    gain2 = (
+        f"({score2}) - CAST(s_loc AS DOUBLE) * CAST(s_loc AS DOUBLE)"
+        " / CAST(h_n AS DOUBLE)"
+    )
+    best2 = (
+        base.filter("t_loc < h_n")
+        .selectExpr(
+            "half", "h_lo", "h_hi", "h_n", "t", f"{score2} AS sc", f"{gain2} AS gn"
+        )
+        .groupBy("half")
+        .agg(
+            F.max(
+                F.struct(F.col("sc"), (-F.col("t")).alias("nt"), F.col("t"), F.col("gn"))
+            ).alias("b"),
+            F.min("h_lo").cast("long").alias("seg_lo"),
+            F.max("h_hi").cast("long").alias("seg_hi"),
+            F.max("h_n").cast("long").alias("seg_n"),
+        )
+        .selectExpr(
+            "2 AS depth",
+            "seg_lo",
+            "seg_hi",
+            "b.t AS split_t",
+            "b.t - seg_lo + 1 AS n_left",
+            "seg_hi - b.t AS n_right",
+            "CAST(FLOOR(b.gn) AS BIGINT) AS gain_cents2",
+        )
+    )
+    lvl1_row = pts.groupBy().agg(
+        F.max("n").alias("n"), F.max("s").alias("s")
+    ).crossJoin(F.broadcast(best1)).selectExpr(
+        "1 AS depth",
+        "CAST(1 AS BIGINT) AS seg_lo",
+        "n AS seg_hi",
+        "t1 AS split_t",
+        "t1 AS n_left",
+        "n - t1 AS n_right",
+        "CAST(FLOOR(gain1) AS BIGINT) AS gain_cents2",
+    )
+    return lvl1_row.unionByName(best2)
+
+
+ORACLE_BINSEG = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+pts AS (
+  SELECT CAST(row_number() OVER (ORDER BY hour) AS BIGINT) AS t, y,
+         CAST(sum(y) OVER (ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS BIGINT) AS p,
+         CAST(count(*) OVER () AS BIGINT) AS n,
+         CAST(sum(y) OVER () AS BIGINT) AS s
+  FROM hourly
+),
+sc1 AS (
+  SELECT t, n, s,
+         CAST(p AS DOUBLE) * CAST(p AS DOUBLE) / CAST(t AS DOUBLE)
+         + CAST(s - p AS DOUBLE) * CAST(s - p AS DOUBLE) / CAST(n - t AS DOUBLE)
+         AS sc,
+         CAST(p AS DOUBLE) * CAST(p AS DOUBLE) / CAST(t AS DOUBLE)
+         + CAST(s - p AS DOUBLE) * CAST(s - p AS DOUBLE) / CAST(n - t AS DOUBLE)
+         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS gn
+  FROM pts WHERE t < n
+),
+best1 AS (
+  SELECT (max(struct_pack(sc := sc, nt := -t, t := t, gn := gn))).t AS t1,
+         (max(struct_pack(sc := sc, nt := -t, t := t, gn := gn))).gn AS gain1
+  FROM sc1
+),
+halves AS (
+  SELECT CASE WHEN p.t <= b.t1 THEN 'L' ELSE 'R' END AS half,
+         p.t, p.y, p.p, p.n, p.s, b.t1, b.gain1
+  FROM pts p CROSS JOIN best1 b
+),
+hmeta AS (
+  SELECT half, min(t) AS h_lo, max(t) AS h_hi,
+         CAST(count(*) AS BIGINT) AS h_n
+  FROM halves GROUP BY half
+),
+base AS (
+  SELECT h.half, h.t, hm.h_lo, hm.h_hi, hm.h_n,
+         h.p - (SELECT p - y FROM halves x
+                WHERE x.half = h.half AND x.t = hm.h_lo) AS p_loc,
+         (SELECT p FROM halves x WHERE x.half = h.half AND x.t = hm.h_hi)
+         - (SELECT p - y FROM halves x
+            WHERE x.half = h.half AND x.t = hm.h_lo) AS s_loc,
+         h.t - hm.h_lo + 1 AS t_loc
+  FROM halves h JOIN hmeta hm ON h.half = hm.half
+),
+sc2 AS (
+  SELECT half, h_lo, h_hi, h_n, t,
+         CAST(p_loc AS DOUBLE) * CAST(p_loc AS DOUBLE) / CAST(t_loc AS DOUBLE)
+         + CAST(s_loc - p_loc AS DOUBLE) * CAST(s_loc - p_loc AS DOUBLE)
+           / CAST(h_n - t_loc AS DOUBLE) AS sc,
+         CAST(p_loc AS DOUBLE) * CAST(p_loc AS DOUBLE) / CAST(t_loc AS DOUBLE)
+         + CAST(s_loc - p_loc AS DOUBLE) * CAST(s_loc - p_loc AS DOUBLE)
+           / CAST(h_n - t_loc AS DOUBLE)
+         - CAST(s_loc AS DOUBLE) * CAST(s_loc AS DOUBLE) / CAST(h_n AS DOUBLE)
+           AS gn
+  FROM base WHERE t_loc < h_n
+),
+best2 AS (
+  SELECT 2 AS depth, min(h_lo) AS seg_lo, max(h_hi) AS seg_hi,
+         (max(struct_pack(sc := sc, nt := -t, t := t, gn := gn))).t AS split_t,
+         (max(struct_pack(sc := sc, nt := -t, t := t, gn := gn))).t
+           - min(h_lo) + 1 AS n_left,
+         max(h_hi) - (max(struct_pack(sc := sc, nt := -t, t := t, gn := gn))).t
+           AS n_right,
+         CAST(FLOOR((max(struct_pack(sc := sc, nt := -t, t := t, gn := gn))).gn)
+              AS BIGINT) AS gain_cents2
+  FROM sc2 GROUP BY half
+),
+lvl1 AS (
+  SELECT 1 AS depth, CAST(1 AS BIGINT) AS seg_lo, max(n) AS seg_hi,
+         max(t1) AS split_t, max(t1) AS n_left, max(n) - max(t1) AS n_right,
+         CAST(FLOOR(max(gain1)) AS BIGINT) AS gain_cents2
+  FROM pts CROSS JOIN best1
+)
+SELECT CAST(depth AS INT) AS depth, seg_lo, seg_hi, split_t, n_left, n_right,
+       gain_cents2
+FROM (SELECT * FROM lvl1 UNION ALL SELECT * FROM best2)
+ORDER BY depth, seg_lo
+"""
+
+
 QUERIES = {
     "stats_logrank": stats_logrank,
     "stats_moods_median": stats_moods_median,
     "stats_bartlett": stats_bartlett,
     "stats_fisher_exact": stats_fisher_exact,
     "stats_bradley_terry": stats_bradley_terry,
+    "events_hurst_exponent": events_hurst_exponent,
+    "events_permutation_entropy": events_permutation_entropy,
+    "events_cross_correlation": events_cross_correlation,
+    "events_theta_forecast": events_theta_forecast,
+    "events_binseg_changepoint": events_binseg_changepoint,
 }
 
 ORACLES = {
@@ -879,4 +1728,9 @@ ORACLES = {
     "stats_bartlett": ORACLE_BARTLETT,
     "stats_fisher_exact": ORACLE_FISHER,
     "stats_bradley_terry": _oracle_bradley_terry(),
+    "events_hurst_exponent": ORACLE_HURST,
+    "events_permutation_entropy": ORACLE_PERM_ENTROPY,
+    "events_cross_correlation": ORACLE_CCF,
+    "events_theta_forecast": ORACLE_THETA,
+    "events_binseg_changepoint": ORACLE_BINSEG,
 }

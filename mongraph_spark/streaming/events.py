@@ -2472,7 +2472,97 @@ def _oracle_stream_ivf() -> str:
     return ORACLE_IVF_FROZEN
 
 
+def streaming_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``queries.inference.events_hurst_exponent`` —
+    the live long-memory monitor: the stream maintains the watermarked
+    per-(type, hour) cents rollup (the R/S analysis' ENTIRE input,
+    bounded |types|×|hours| state), and the block-rescaled-range scan
+    (``hurst_finish``, shared verbatim) re-runs on read over the
+    continuously-updated rollup.  A monitoring poll pays bounded
+    per-(type, scale, block) windows, never a raw-event replay.  Fully
+    batch-equal, checked by the batch op's own oracle."""
+    from mongraph_spark.queries.inference import hurst_finish
+
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 day")
+    agg = ev.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"))
+    with _state_partitioning(spark, sf_dir):
+        out = run_to_table(agg, output_mode="complete")
+    # hurst_finish joins the rollup against its own per-type hour counts;
+    # localCheckpoint detaches the memory-sink lineage (the acf pattern)
+    hourly = out.select(
+        "event_type", F.col("w.start").alias("hour"), "y"
+    ).localCheckpoint(eager=True)
+    return hurst_finish(hourly)
+
+
+def _oracle_stream_hurst() -> str:
+    from mongraph_spark.queries.inference import ORACLE_HURST
+
+    return ORACLE_HURST
+
+
+def streaming_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``queries.inference.events_permutation_entropy``
+    — the live complexity monitor: the stream maintains the watermarked
+    per-(type, hour) cents rollup, and the ordinal-pattern entropy scan
+    (``perm_entropy_finish``, shared verbatim) re-runs on read over the
+    continuously-updated rollup.  A poll pays two lead() windows plus a
+    ≤6-row histogram per series, never a raw-event replay.  Fully
+    batch-equal, checked by the batch op's own oracle."""
+    from mongraph_spark.queries.inference import perm_entropy_finish
+
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 day")
+    agg = ev.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"))
+    with _state_partitioning(spark, sf_dir):
+        out = run_to_table(agg, output_mode="complete")
+    hourly = out.select("event_type", F.col("w.start").alias("hour"), "y")
+    return perm_entropy_finish(hourly)
+
+
+def _oracle_stream_perm_entropy() -> str:
+    from mongraph_spark.queries.inference import ORACLE_PERM_ENTROPY
+
+    return ORACLE_PERM_ENTROPY
+
+
+def streaming_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``queries.inference.events_cross_correlation`` —
+    the live lead/lag monitor between the two highest-revenue streams:
+    the stream maintains the watermarked per-(type, hour) cents rollup,
+    and the per-lag Pearson scan (``ccf_finish``, shared verbatim)
+    re-runs on read over the continuously-updated rollup.  A poll pays
+    13 bounded hour-grid equi-joins, never a raw-event replay.  Fully
+    batch-equal, checked by the batch op's own oracle."""
+    from mongraph_spark.queries.inference import ccf_finish
+
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 day")
+    agg = ev.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"))
+    with _state_partitioning(spark, sf_dir):
+        out = run_to_table(agg, output_mode="complete")
+    # ccf_finish self-joins the rollup (x vs y legs + the top-2 ranking);
+    # localCheckpoint detaches the memory-sink lineage (the acf pattern)
+    hourly = out.select(
+        "event_type", F.col("w.start").alias("hour"), "y"
+    ).localCheckpoint(eager=True)
+    return ccf_finish(hourly)
+
+
+def _oracle_stream_ccf() -> str:
+    from mongraph_spark.queries.inference import ORACLE_CCF
+
+    return ORACLE_CCF
+
+
 QUERIES = {
+    "streaming_hurst_exponent": streaming_hurst_exponent,
+    "streaming_permutation_entropy": streaming_permutation_entropy,
+    "streaming_cross_correlation": streaming_cross_correlation,
     "streaming_lsh_dedup": streaming_lsh_dedup,
     "streaming_ann_ivf": streaming_ann_ivf,
     "streaming_ivm_agg": streaming_ivm_agg,
@@ -2516,6 +2606,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "streaming_hurst_exponent": _oracle_stream_hurst(),
+    "streaming_permutation_entropy": _oracle_stream_perm_entropy(),
+    "streaming_cross_correlation": _oracle_stream_ccf(),
     "streaming_lsh_dedup": _oracle_stream_lsh(),
     "streaming_ann_ivf": _oracle_stream_ivf(),
     "streaming_ivm_agg": _oracle_stream_ivm(),

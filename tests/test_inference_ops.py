@@ -147,3 +147,118 @@ def test_logrank_query_end_to_end_counts(spark):
     # every user is a subject exactly once
     assert r["n_click_first"] + r["n_other"] == 15
     assert r["o1"] <= r["d_total"] <= 15
+
+
+def _hourly(spark, vals, typ="a"):
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (typ, t0 + datetime.timedelta(hours=i), v) for i, v in enumerate(vals)
+    ]
+    return spark.createDataFrame(rows, "event_type string, hour timestamp, y long")
+
+
+def test_hurst_trending_vs_alternating(spark):
+    from mongraph_spark.queries.inference import hurst_finish
+
+    # perfectly trending series: R/S grows ~ linearly with m -> H near 1
+    trend = hurst_finish(_hourly(spark, list(range(1, 129)))).collect()[0]
+    assert trend["n_scales"] == 4
+    assert trend["hurst_ppm"] > 900_000
+    # strict alternation: maximally anti-persistent -> H near 0
+    alt = hurst_finish(_hourly(spark, [0, 100] * 64)).collect()[0]
+    assert alt["hurst_ppm"] < 300_000
+
+
+def test_permutation_entropy_extremes(spark):
+    from mongraph_spark.queries.inference import perm_entropy_finish
+
+    # strictly increasing: ONE ordinal pattern -> entropy exactly 0
+    inc = perm_entropy_finish(_hourly(spark, list(range(10)))).collect()[0]
+    assert inc["n_patterns"] == 1
+    assert inc["pe_micro"] == 0 and inc["pe_norm_ppm"] == 0
+    # strict up/down alternation: exactly two patterns, each p = 1/2
+    # -> pe = ln 2; per-term floor(0.5 ln 2 * 1e6) = 346573 twice
+    alt = perm_entropy_finish(_hourly(spark, [0, 100] * 8)).collect()[0]
+    assert alt["n_patterns"] == 2
+    assert alt["pe_micro"] == 2 * 346573
+
+
+def test_ccf_recovers_known_shift(spark):
+    from mongraph_spark.queries.inference import ccf_finish
+
+    # series b is series a delayed by 2 hours (quadratic, so only the
+    # true alignment is a perfect linear match); a out-earns b so it is
+    # type_a; the join pairs x(h) with y(h+lag) and y_b(h) = x(h-2),
+    # so the peak sits at lag = +2 (y FOLLOWS x by two hours)
+    xs = [t * t for t in range(1, 25)]
+    a = _hourly(spark, [v * 10 for v in xs], typ="a")
+    b = _hourly(spark, [0, 0] + [v for v in xs[:-2]], typ="b")
+    r = {row["lag"]: row for row in ccf_finish(a.unionByName(b)).collect()}
+    assert r[0]["type_a"] == "a" and r[0]["type_b"] == "b"
+    best = max(r.values(), key=lambda row: (row["r_ppm"] or -10**9))
+    assert best["lag"] == 2
+    assert best["r_ppm"] >= 999_999
+
+
+def test_theta_constant_series_flat_forecast(spark):
+    import datetime
+
+    from mongraph_spark.queries.inference import theta_finish
+
+    t0 = datetime.date(2024, 1, 1)
+    daily = spark.createDataFrame(
+        [("a", t0 + datetime.timedelta(days=i), 5) for i in range(10)],
+        "event_type string, day date, y long",
+    )
+    rows = theta_finish(daily).collect()
+    assert len(rows) == 7
+    for r in rows:
+        # line fits exactly (a=5e6, b=0); Z == 5e6; SES stays 5e6;
+        # combination stays 5e6 at every horizon
+        assert r["ses_micro"] == 5_000_000
+        assert r["linear_micro"] == 5_000_000
+        assert r["forecast_micro"] == 5_000_000
+
+
+def test_theta_linear_series_extrapolates(spark):
+    import datetime
+
+    from mongraph_spark.queries.inference import theta_finish
+
+    t0 = datetime.date(2024, 1, 1)
+    daily = spark.createDataFrame(
+        [("a", t0 + datetime.timedelta(days=i), 100 * (i + 1)) for i in range(10)],
+        "event_type string, day date, y long",
+    )
+    rows = {r["h"]: r for r in theta_finish(daily).collect()}
+    # exact line y = 100t: a = 0, b = 100e6 -> linear leg continues it;
+    # SES of Z (= the line value at t) converges to ~ramp-end minus one
+    # step (alpha = 1/2 geometric tail); the combination is EXACTLY the
+    # floor-half of (ses + linear) — the method's defining identity
+    for h in range(1, 8):
+        assert abs(rows[h]["linear_micro"] - 100_000_000 * (10 + h)) <= 200
+        assert (
+            rows[h]["forecast_micro"]
+            == (rows[h]["ses_micro"] + rows[h]["linear_micro"]) // 2
+        )
+    # SES lags the final ramp value (1e9) by about one slope step
+    assert 890_000_000 <= rows[1]["ses_micro"] <= 1_000_000_000
+
+
+def test_binseg_step_series_exact_split(spark):
+    from mongraph_spark.queries.inference import binseg_finish
+
+    df = _hourly(spark, [0] * 10 + [100] * 10).select("hour", "y")
+    rows = {(r["depth"], r["seg_lo"]): r for r in binseg_finish(df).collect()}
+    top = rows[(1, 1)]
+    # S=1000, n=20: gain = 1000^2/10 - 1000^2/20 = 50000 cents^2
+    assert top["split_t"] == 10
+    assert top["n_left"] == 10 and top["n_right"] == 10
+    assert top["gain_cents2"] == 50_000
+    # constant halves: zero gain everywhere, smallest-t tiebreak
+    left = rows[(2, 1)]
+    assert left["split_t"] == 1 and left["gain_cents2"] == 0
+    right = rows[(2, 11)]
+    assert right["split_t"] == 11 and right["gain_cents2"] == 0
