@@ -1709,6 +1709,481 @@ ORDER BY depth, seg_lo
 """
 
 
+# -- signed-random-projection LSH over embeddings -----------------------------------
+
+SRP_PLANES = 32  # 4 bands x 8 bits
+SRP_BANDS = 4
+SRP_BITS = SRP_PLANES // SRP_BANDS
+SRP_TOP_K = 20
+
+
+def ann_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed-random-projection (SRP/hyperplane) LSH near-duplicate
+    search over the DENSE embedding column — the vector-space sibling of
+    the text battery's SimHash (which hashes shingle sets): each vector
+    gets {SRP_PLANES} sign bits against Rademacher (±1) hyperplanes,
+    banded {SRP_BANDS}×{SRP_BITS}; only same-band-value pairs are
+    verified with the exact cosine, and the top-{SRP_TOP_K} by similarity
+    (total tiebreak, TakeOrdered — never a global sort) are reported.  Charikar 2002 (public): P[bit
+    agrees] = 1 − θ/π, so near-parallel vectors collide in some band
+    with high probability while the expected candidate volume stays
+    near-linear.
+
+    Exactness: plane signs come from md5 parity (identical hex in both
+    engines); embeddings are floored ONCE onto an integer micro grid, so
+    every projection is an exact integer sum and every sign bit is an
+    exact comparison; the verify cosine is a per-pair IEEE expression
+    over exact DECIMAL(38) dot products, floored to ppm.
+
+    Scale shape: the projection is a broadcast join against the
+    {SRP_PLANES}×64-row plane table with map-side combine (a constant
+    ~{SRP_PLANES}× map blow-up, linear in vectors, no shuffle growth);
+    candidates come from band-bucket equi-joins — NEVER all-pairs — and
+    only candidates pay the exact-cosine join."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return srp_from_embeddings(spark, emb)
+
+
+def srp_from_embeddings(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """SRP top-K over a (vec_id, embedding) frame — factored so
+    known-value pins can feed hand vectors."""
+    dims = emb.select(
+        "vec_id", F.posexplode("embedding").alias("d", "x")
+    ).select(
+        "vec_id",
+        "d",
+        F.round(F.col("x") * 1_000_000).cast("long").alias("xi"),
+    )
+    planes = (
+        spark.range(SRP_PLANES)
+        .select(F.col("id").cast("int").alias("j"))
+        .crossJoin(spark.range(64).select(F.col("id").cast("int").alias("d")))
+        .select(
+            "j",
+            "d",
+            F.when(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "_",
+                                F.col("j").cast("string"),
+                                F.col("d").cast("string"),
+                            )
+                        ),
+                        1,
+                        2,
+                    ),
+                    16,
+                    10,
+                ).cast("int")
+                % 2
+                == 0,
+                F.lit(1),
+            )
+            .otherwise(F.lit(-1))
+            .alias("s"),
+        )
+    )
+    bits = (
+        dims.join(F.broadcast(planes), "d")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("s") * F.col("xi")).cast("long").alias("dot"))
+        .select(
+            "vec_id",
+            (F.col("j") / SRP_BITS).cast("int").alias("band"),
+            F.expr(
+                f"CASE WHEN dot >= 0 THEN shiftleft(CAST(1 AS BIGINT),"
+                f" j % {SRP_BITS}) ELSE CAST(0 AS BIGINT) END"
+            ).alias("bitval"),
+        )
+    )
+    bands = bits.groupBy("vec_id", "band").agg(
+        F.sum("bitval").cast("long").alias("band_val")
+    )
+    a = bands.select(
+        "band", "band_val", F.col("vec_id").alias("vec_a")
+    )
+    b = bands.select(
+        "band", "band_val", F.col("vec_id").alias("vec_b")
+    )
+    cands = (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .groupBy("vec_a", "vec_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_bands"))
+    )
+    da = dims.select(
+        F.col("vec_id").alias("vec_a"), "d", F.col("xi").alias("xa")
+    )
+    db = dims.select(
+        F.col("vec_id").alias("vec_b"), "d", F.col("xi").alias("xb")
+    )
+    dots = (
+        cands.join(da, "vec_a")
+        .join(db, ["vec_b", "d"])
+        .groupBy("vec_a", "vec_b", "n_shared_bands")
+        .agg(
+            F.sum(F.col("xa").cast("decimal(38,0)") * F.col("xb")).alias("dab"),
+            F.sum(F.col("xa").cast("decimal(38,0)") * F.col("xa")).alias("daa"),
+            F.sum(F.col("xb").cast("decimal(38,0)") * F.col("xb")).alias("dbb"),
+        )
+    )
+    scored = dots.selectExpr(
+        "vec_a",
+        "vec_b",
+        "n_shared_bands",
+        "CAST(FLOOR(1000000 * CAST(dab AS DOUBLE)"
+        " / (SQRT(CAST(daa AS DOUBLE)) * SQRT(CAST(dbb AS DOUBLE))))"
+        " AS BIGINT) AS cos_ppm",
+    )
+    # top-K by similarity with a total tiebreak — TakeOrdered, no global sort
+    return scored.orderBy(
+        F.desc("cos_ppm"), "vec_a", "vec_b"
+    ).limit(SRP_TOP_K)
+
+
+ORACLE_SRP = f"""
+WITH dims AS MATERIALIZED (
+  SELECT vec_id, CAST(u.d - 1 AS INT) AS d,
+         CAST(round(embedding[u.d] * 1000000) AS BIGINT) AS xi
+  FROM embeddings, unnest(generate_series(1, 64)) u(d)
+),
+planes AS MATERIALIZED (
+  SELECT CAST(j.j AS INT) AS j, CAST(d.d AS INT) AS d,
+         CASE WHEN ('0x' || substr(md5(CAST(j.j AS VARCHAR) || '_'
+                    || CAST(d.d AS VARCHAR)), 1, 2))::INT % 2 = 0
+              THEN 1 ELSE -1 END AS s
+  FROM unnest(generate_series(0, {SRP_PLANES - 1})) j(j)
+  CROSS JOIN unnest(generate_series(0, 63)) d(d)
+),
+bits AS MATERIALIZED (
+  SELECT dims.vec_id, planes.j // {SRP_BITS} AS band,
+         CASE WHEN sum(planes.s * dims.xi) >= 0
+              THEN CAST(1 AS BIGINT) << (planes.j % {SRP_BITS})
+              ELSE 0 END AS bitval
+  FROM dims JOIN planes ON dims.d = planes.d
+  GROUP BY dims.vec_id, planes.j
+),
+bands AS MATERIALIZED (
+  SELECT vec_id, CAST(band AS INT) AS band,
+         CAST(sum(bitval) AS BIGINT) AS band_val
+  FROM bits GROUP BY 1, 2
+),
+cands AS MATERIALIZED (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         CAST(count(*) AS BIGINT) AS n_shared_bands
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_val = b.band_val AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+),
+dots AS (
+  SELECT c.vec_a, c.vec_b, c.n_shared_bands,
+         CAST(sum(CAST(da.xi AS HUGEINT) * db.xi) AS HUGEINT) AS dab,
+         CAST(sum(CAST(da.xi AS HUGEINT) * da.xi) AS HUGEINT) AS daa,
+         CAST(sum(CAST(db.xi AS HUGEINT) * db.xi) AS HUGEINT) AS dbb
+  FROM cands c
+  JOIN dims da ON da.vec_id = c.vec_a
+  JOIN dims db ON db.vec_id = c.vec_b AND db.d = da.d
+  GROUP BY 1, 2, 3
+)
+SELECT vec_a, vec_b, n_shared_bands,
+       CAST(FLOOR(1000000 * CAST(dab AS DOUBLE)
+            / (SQRT(CAST(daa AS DOUBLE)) * SQRT(CAST(dbb AS DOUBLE))))
+         AS BIGINT) AS cos_ppm
+FROM dots
+ORDER BY cos_ppm DESC, vec_a, vec_b
+LIMIT {SRP_TOP_K}
+"""
+
+
+# -- golden-record entity resolution ------------------------------------------------
+
+GOLDEN_CC_ROUNDS = 6
+GOLDEN_EDIT_MAX = 4
+
+
+def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record assembly — the MISSING third leg of the ER family
+    (er_blocked_pairs generates candidates, er_fellegi_sunter scores
+    them; this CLUSTERS matches into entities and survives one canonical
+    record per entity, the MDM "golden record" shape): match edges are
+    edit-distance ≤ {GOLDEN_EDIT_MAX} pairs inside the composite
+    brand×noun blocks (the er_blocked_pairs rule, cited there), entities
+    are connected components via {GOLDEN_CC_ROUNDS} rounds of min-label
+    propagation (edit-distance matches form near-cliques inside ≤
+    ~100-item blocks, so the component diameter is far below the round
+    budget), and survivorship keeps the lexicographically-first name,
+    the max price and size, and the distinct-type count.
+
+    Exactness: labels are integer part keys, min-propagation is exact;
+    survivorship fields are exact integers / struct-min strings.
+
+    Scale shape: the edge build is the bounded within-block self-join;
+    each propagation round is one join + min-aggregate on the |edges|
+    frame with the label table checkpointed per round (the pagerank
+    cadence); survivorship is one map-side-combined rollup."""
+    part = read_table(spark, sf_dir, "part")
+    blocked = part.select(
+        F.concat_ws(
+            "|", "p_brand", F.element_at(F.split("p_name", " "), -1)
+        ).alias("block_key"),
+        F.col("p_partkey").alias("key"),
+        F.col("p_name").alias("name"),
+        F.col("p_size").alias("psize"),
+        F.col("p_type").alias("ptype"),
+        F.expr("CAST(round(p_retailprice * 100) AS BIGINT)").alias("price_cents"),
+    )
+    return golden_from_blocked(blocked)
+
+
+def golden_from_blocked(blocked: DataFrame) -> DataFrame:
+    """Cluster + survive over a (block_key, key, name, psize, ptype,
+    price_cents) records frame — factored so known-value pins can feed
+    hand-built duplicate groups."""
+    a = blocked.select(
+        "block_key", F.col("key").alias("key_a"), F.col("name").alias("name_a")
+    )
+    b = blocked.select(
+        "block_key", F.col("key").alias("key_b"), F.col("name").alias("name_b")
+    )
+    matched = (
+        a.join(b, "block_key")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .filter(F.levenshtein("name_a", "name_b") <= GOLDEN_EDIT_MAX)
+        .select("key_a", "key_b")
+    )
+    edges = matched.unionByName(
+        matched.select(
+            F.col("key_b").alias("key_a"), F.col("key_a").alias("key_b")
+        )
+    )
+    labels = blocked.select("key", F.col("key").alias("label"))
+    for _ in range(GOLDEN_CC_ROUNDS):
+        nbr = (
+            edges.join(
+                labels.select(
+                    F.col("key").alias("key_b"), F.col("label").alias("nl")
+                ),
+                "key_b",
+            )
+            .groupBy(F.col("key_a").alias("key"))
+            .agg(F.min("nl").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr, "key", "left")
+            .select(
+                "key",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    ent = blocked.join(labels, "key")
+    golden = (
+        ent.groupBy(F.col("label").alias("entity_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.min(F.struct("key", "name")).alias("first_rec"),
+            F.max("price_cents").cast("long").alias("max_price_cents"),
+            F.max("psize").cast("long").alias("max_size"),
+            F.count_distinct("ptype").cast("long").alias("n_types"),
+        )
+        .filter(F.col("n_members") >= 2)
+        .select(
+            "entity_id",
+            "n_members",
+            F.col("first_rec.name").alias("canonical_name"),
+            "max_price_cents",
+            "max_size",
+            "n_types",
+        )
+    )
+    return golden
+
+
+def _oracle_golden() -> str:
+    rounds = []
+    prev = "l0"
+    for t in range(1, GOLDEN_CC_ROUNDS + 1):
+        rounds.append(f"""
+l{t} AS MATERIALIZED (
+  SELECT l.key,
+         least(l.label, coalesce(min(nl.label), l.label)) AS label
+  FROM {prev} l
+  LEFT JOIN edges e ON e.key_a = l.key
+  LEFT JOIN {prev} nl ON nl.key = e.key_b
+  GROUP BY l.key, l.label
+)""".strip())
+        prev = f"l{t}"
+    rounds_sql = ",\n".join(rounds)
+    return f"""
+WITH blocked AS MATERIALIZED (
+  SELECT p_brand || '|' || string_split(p_name, ' ')[-1] AS block_key,
+         p_partkey AS key, p_name AS name, p_size AS psize, p_type AS ptype,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents
+  FROM part
+),
+matched AS MATERIALIZED (
+  SELECT a.key AS key_a, b.key AS key_b
+  FROM blocked a JOIN blocked b
+    ON a.block_key = b.block_key AND a.key < b.key
+  WHERE levenshtein(a.name, b.name) <= {GOLDEN_EDIT_MAX}
+),
+edges AS MATERIALIZED (
+  SELECT key_a, key_b FROM matched
+  UNION ALL
+  SELECT key_b, key_a FROM matched
+),
+l0 AS MATERIALIZED (SELECT key, key AS label FROM blocked),
+{rounds_sql}
+SELECT label AS entity_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       (min(struct_pack(k := e.key, nm := b.name))).nm AS canonical_name,
+       CAST(max(b.price_cents) AS BIGINT) AS max_price_cents,
+       CAST(max(b.psize) AS BIGINT) AS max_size,
+       CAST(count(DISTINCT b.ptype) AS BIGINT) AS n_types
+FROM l{GOLDEN_CC_ROUNDS} e JOIN blocked b ON e.key = b.key
+GROUP BY label
+HAVING count(*) >= 2
+ORDER BY entity_id
+"""
+
+
+# -- corpus KL/JS drift ---------------------------------------------------------------
+
+
+def corpus_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution drift between the two source HALVES of the
+    corpus (src0–9 vs src10–19) — the distribution-shift audit a
+    training-data pipeline runs between crawl snapshots or data sources:
+    add-one-smoothed unigram distributions P and Q over the shared
+    vocabulary, reported as both directed KLs and the symmetric,
+    bounded Jensen–Shannon divergence.
+
+    Exactness: token counts are exact; every ratio inside the lns is a
+    ratio of exact integers ((c+1)·(n'+V) forms — the smoothing makes
+    them strictly positive); each per-token term is floored to micro so
+    the divergence totals are exact integer sums (order-free); the JS
+    halving is floor-division in both engines.
+
+    Scale shape: one token-keyed count shuffle (the unigram-LM shuffle),
+    a full-outer merge of the two count columns on the token key, then
+    one map-side-combined total — no per-token state beyond the count."""
+    docs = read_table(spark, sf_dir, "documents")
+    grp = F.when(
+        F.substring("source", 4, 10).cast("int") < 10, F.lit("a")
+    ).otherwise(F.lit("b"))
+    tok = docs.select(
+        grp.alias("grp"),
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("token"),
+    )
+    return kl_from_grouped_tokens(tok)
+
+
+def kl_from_grouped_tokens(tok: DataFrame) -> DataFrame:
+    """KL/JS over a (grp in 'a'/'b', token) frame — factored so
+    known-value pins can feed hand token streams."""
+    counts = (
+        tok.groupBy("token")
+        .agg(
+            F.sum((F.col("grp") == "a").cast("long")).alias("ca"),
+            F.sum((F.col("grp") == "b").cast("long")).alias("cb"),
+        )
+    )
+    w_all = Window.partitionBy(const_part(F.col("token")))
+    base = (
+        counts.withColumn("na", F.sum("ca").over(w_all).cast("long"))
+        .withColumn("nb", F.sum("cb").over(w_all).cast("long"))
+        .withColumn("v", F.count(F.lit(1)).over(w_all).cast("long"))
+    )
+    terms = base.selectExpr(
+        "na",
+        "nb",
+        "v",
+        # p = (ca+1)/(na+V), q = (cb+1)/(nb+V); all ln args are exact ints
+        "CAST(FLOOR(1000000 * (CAST(ca + 1 AS DOUBLE) / (na + v))"
+        " * (LN(CAST(ca + 1 AS DOUBLE) * (nb + v))"
+        "    - LN(CAST(cb + 1 AS DOUBLE) * (na + v)))) AS BIGINT) AS t_pq",
+        "CAST(FLOOR(1000000 * (CAST(cb + 1 AS DOUBLE) / (nb + v))"
+        " * (LN(CAST(cb + 1 AS DOUBLE) * (na + v))"
+        "    - LN(CAST(ca + 1 AS DOUBLE) * (nb + v)))) AS BIGINT) AS t_qp",
+        # p/m = 2(ca+1)(nb+V) / ((ca+1)(nb+V) + (cb+1)(na+V)) — integer args
+        "CAST(FLOOR(1000000 * (CAST(ca + 1 AS DOUBLE) / (na + v))"
+        " * (LN(2.0 * (CAST(ca + 1 AS DOUBLE) * (nb + v)))"
+        "    - LN(CAST(ca + 1 AS DOUBLE) * (nb + v)"
+        "         + CAST(cb + 1 AS DOUBLE) * (na + v)))) AS BIGINT) AS t_pm",
+        "CAST(FLOOR(1000000 * (CAST(cb + 1 AS DOUBLE) / (nb + v))"
+        " * (LN(2.0 * (CAST(cb + 1 AS DOUBLE) * (na + v)))"
+        "    - LN(CAST(ca + 1 AS DOUBLE) * (nb + v)"
+        "         + CAST(cb + 1 AS DOUBLE) * (na + v)))) AS BIGINT) AS t_qm",
+    )
+    return terms.groupBy().agg(
+        F.max("v").alias("vocab"),
+        F.max("na").alias("n_tok_a"),
+        F.max("nb").alias("n_tok_b"),
+        F.sum("t_pq").cast("long").alias("kl_ab_micro"),
+        F.sum("t_qp").cast("long").alias("kl_ba_micro"),
+        F.sum("t_pm").cast("long").alias("_pm"),
+        F.sum("t_qm").cast("long").alias("_qm"),
+    ).selectExpr(
+        "vocab",
+        "n_tok_a",
+        "n_tok_b",
+        "kl_ab_micro",
+        "kl_ba_micro",
+        "shiftright(_pm + _qm, 1) AS js_micro",
+    )
+
+
+ORACLE_KL_DRIFT = """
+WITH tok AS (
+  SELECT CASE WHEN CAST(substr(source, 4) AS INT) < 10
+              THEN 'a' ELSE 'b' END AS grp,
+         unnest(string_split(lower(text), ' ')) AS token
+  FROM documents
+),
+counts AS (
+  SELECT token,
+         CAST(sum(CASE WHEN grp = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN grp = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM tok GROUP BY token
+),
+base AS (
+  SELECT *, sum(ca) OVER () AS na, sum(cb) OVER () AS nb,
+         count(*) OVER () AS v
+  FROM counts
+),
+terms AS (
+  SELECT na, nb, v,
+    CAST(FLOOR(1000000 * (CAST(ca + 1 AS DOUBLE) / (na + v))
+      * (LN(CAST(ca + 1 AS DOUBLE) * (nb + v))
+         - LN(CAST(cb + 1 AS DOUBLE) * (na + v)))) AS BIGINT) AS t_pq,
+    CAST(FLOOR(1000000 * (CAST(cb + 1 AS DOUBLE) / (nb + v))
+      * (LN(CAST(cb + 1 AS DOUBLE) * (na + v))
+         - LN(CAST(ca + 1 AS DOUBLE) * (nb + v)))) AS BIGINT) AS t_qp,
+    CAST(FLOOR(1000000 * (CAST(ca + 1 AS DOUBLE) / (na + v))
+      * (LN(2.0 * (CAST(ca + 1 AS DOUBLE) * (nb + v)))
+         - LN(CAST(ca + 1 AS DOUBLE) * (nb + v)
+              + CAST(cb + 1 AS DOUBLE) * (na + v)))) AS BIGINT) AS t_pm,
+    CAST(FLOOR(1000000 * (CAST(cb + 1 AS DOUBLE) / (nb + v))
+      * (LN(2.0 * (CAST(cb + 1 AS DOUBLE) * (na + v)))
+         - LN(CAST(ca + 1 AS DOUBLE) * (nb + v)
+              + CAST(cb + 1 AS DOUBLE) * (na + v)))) AS BIGINT) AS t_qm
+  FROM base
+)
+SELECT CAST(max(v) AS BIGINT) AS vocab,
+       CAST(max(na) AS BIGINT) AS n_tok_a,
+       CAST(max(nb) AS BIGINT) AS n_tok_b,
+       CAST(sum(t_pq) AS BIGINT) AS kl_ab_micro,
+       CAST(sum(t_qp) AS BIGINT) AS kl_ba_micro,
+       CAST((CAST(sum(t_pm) AS BIGINT) + CAST(sum(t_qm) AS BIGINT)) // 2
+            AS BIGINT) AS js_micro
+FROM terms
+"""
+
+
 QUERIES = {
     "stats_logrank": stats_logrank,
     "stats_moods_median": stats_moods_median,
@@ -1720,6 +2195,9 @@ QUERIES = {
     "events_cross_correlation": events_cross_correlation,
     "events_theta_forecast": events_theta_forecast,
     "events_binseg_changepoint": events_binseg_changepoint,
+    "ann_srp_lsh": ann_srp_lsh,
+    "er_golden_record": er_golden_record,
+    "corpus_kl_drift": corpus_kl_drift,
 }
 
 ORACLES = {
@@ -1733,4 +2211,7 @@ ORACLES = {
     "events_cross_correlation": ORACLE_CCF,
     "events_theta_forecast": ORACLE_THETA,
     "events_binseg_changepoint": ORACLE_BINSEG,
+    "ann_srp_lsh": ORACLE_SRP,
+    "er_golden_record": _oracle_golden(),
+    "corpus_kl_drift": ORACLE_KL_DRIFT,
 }

@@ -262,3 +262,100 @@ def test_binseg_step_series_exact_split(spark):
     assert left["split_t"] == 1 and left["gain_cents2"] == 0
     right = rows[(2, 11)]
     assert right["split_t"] == 11 and right["gain_cents2"] == 0
+
+
+def test_srp_identical_vectors_top_pair(spark):
+    from mongraph_spark.queries.inference import srp_from_embeddings
+
+    # vec 1 == vec 2 exactly; vec 3 is orthogonal-ish noise
+    base = [float(i % 7 - 3) for i in range(64)]
+    other = [float((i * 13) % 11 - 5) for i in range(64)]
+    emb = spark.createDataFrame(
+        [(1, base), (2, base), (3, other)],
+        "vec_id long, embedding array<float>",
+    )
+    rows = srp_from_embeddings(spark, emb).collect()
+    top = rows[0]
+    # identical vectors share every band and have cosine exactly 1
+    assert (top["vec_a"], top["vec_b"]) == (1, 2)
+    assert top["n_shared_bands"] == 4
+    assert top["cos_ppm"] in (999_999, 1_000_000)
+
+
+def test_golden_record_hand_cluster(spark):
+    from mongraph_spark.queries.inference import golden_from_blocked
+
+    rows = [
+        # one entity: three names within edit distance 4 of each other
+        ("b1|widget", 10, "acme green widget", 3, "small", 100),
+        ("b1|widget", 11, "acme greex widget", 5, "small", 250),
+        ("b1|widget", 12, "acme greef widgex", 4, "large", 180),
+        # a far-away name in the same block: stays a singleton (dropped)
+        ("b1|widget", 13, "zzz totally different", 9, "large", 999),
+        # another block entirely
+        ("b2|gear", 20, "bolt gear", 1, "tiny", 50),
+    ]
+    blocked = spark.createDataFrame(
+        rows,
+        "block_key string, key long, name string, psize long,"
+        " ptype string, price_cents long",
+    )
+    out = golden_from_blocked(blocked).collect()
+    assert len(out) == 1
+    g = out[0]
+    assert g["entity_id"] == 10 and g["n_members"] == 3
+    assert g["canonical_name"] == "acme green widget"  # name of min key
+    assert g["max_price_cents"] == 250 and g["max_size"] == 5
+    assert g["n_types"] == 2
+
+
+def test_golden_record_chain_converges(spark):
+    from mongraph_spark.queries.inference import golden_from_blocked
+
+    # a CHAIN a-b-c-d-e (each adjacent pair within distance, ends far
+    # apart) must still collapse to one entity via label propagation
+    names = ["aaaaaa", "aaaabb", "aabbbb", "bbbbbb", "bbbbcc"]
+    rows = [("blk|x", 100 + i, nm, 1, "t", 10) for i, nm in enumerate(names)]
+    blocked = spark.createDataFrame(
+        rows,
+        "block_key string, key long, name string, psize long,"
+        " ptype string, price_cents long",
+    )
+    out = golden_from_blocked(blocked).collect()
+    assert len(out) == 1
+    assert out[0]["entity_id"] == 100 and out[0]["n_members"] == 5
+
+
+def test_kl_drift_identical_halves_zero(spark):
+    from mongraph_spark.queries.inference import kl_from_grouped_tokens
+
+    toks = [("a", w) for w in "x y z x y x".split()] + [
+        ("b", w) for w in "x y z x y x".split()
+    ]
+    tok = spark.createDataFrame(toks, "grp string, token string")
+    r = kl_from_grouped_tokens(tok).collect()[0]
+    # identical distributions: every ln ratio is ln(1) = 0 exactly
+    assert r["kl_ab_micro"] == 0 and r["kl_ba_micro"] == 0
+    assert r["js_micro"] == 0
+    assert r["vocab"] == 3 and r["n_tok_a"] == 6 and r["n_tok_b"] == 6
+
+
+def test_kl_drift_hand_computed(spark):
+    import math
+
+    from mongraph_spark.queries.inference import kl_from_grouped_tokens
+
+    # A = {x:3, y:1}, B = {x:1, y:3}; V=2, na=nb=4
+    toks = [("a", w) for w in "x x x y".split()] + [
+        ("b", w) for w in "x y y y".split()
+    ]
+    tok = spark.createDataFrame(toks, "grp string, token string")
+    r = kl_from_grouped_tokens(tok).collect()[0]
+    # smoothed p_x=4/6, p_y=2/6; q_x=2/6, q_y=4/6
+    exp_kl = math.floor(1e6 * (4 / 6) * math.log(2)) + math.floor(
+        1e6 * (2 / 6) * math.log(0.5)
+    )
+    assert r["kl_ab_micro"] == exp_kl
+    assert r["kl_ab_micro"] == r["kl_ba_micro"]  # symmetric construction
+    # JS bounded by ln 2
+    assert 0 <= r["js_micro"] <= 693_148
