@@ -20,6 +20,8 @@ float sum diverges from Spark's sequential one at the last ulp).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2184,6 +2186,101 @@ FROM terms
 """
 
 
+# -- store: row tracking ------------------------------------------------------------
+
+
+def store_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row tracking end to end, driver-verifiable — the Delta row-ID
+    contract on the CoW store (stable row identity across updates and
+    re-layouts, minted per commit, retired by DELETE, REISSUED on
+    re-insert): v0 init with ``row_tracking=True`` (ids = rank by doc_id)
+    → v1 upsert (docs 1–2 updated — ids INHERITED; docs 900001–900002
+    inserted — ids minted in v1's namespace) → v2 compact (pure
+    re-layout — every id carried verbatim) → v3 DELETE doc 3 (id
+    retired) → v4 re-insert doc 3 (a NEW identity in v4's namespace, the
+    resurrect-is-a-new-row rule).
+
+    Ids are (commit version << 40) + in-batch rank, so grouping the final
+    table by ``_row_id >> 40`` exposes exactly which commit minted each
+    surviving row's identity — the oracle replays the whole protocol
+    arithmetically.  Hash-asserted: per-epoch row counts, doc_id sums,
+    and min/max ids (an id drift of ±1, a lost inherit, a compaction
+    remint, or a resurrected identity all break the hash)."""
+    import shutil
+    import tempfile
+
+    from mongraph_spark.sources import merge as merge_store
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    app_id = spark.sparkContext.applicationId
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(tempfile.gettempdir(), f"mg_rowtrack_{app_id}_{sf_tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    merge_store.init_table(docs, root, key="doc_id", n_buckets=8, row_tracking=True)
+    updates = docs.filter(F.col("doc_id").isin(1, 2)).withColumn(
+        "n_chars", F.col("n_chars") + 1000
+    )
+    inserts = spark.createDataFrame(
+        [(900001, "srcX", 11), (900002, "srcX", 22)],
+        "doc_id long, source string, n_chars long",
+    )
+    merge_store.upsert(spark, root, updates.unionByName(inserts), key="doc_id")
+    merge_store.compact(spark, root)
+    merge_store.delete_where(spark, root, F.col("doc_id") == 3)
+    merge_store.upsert(
+        spark,
+        root,
+        docs.filter(F.col("doc_id") == 3).withColumn("source", F.lit("reborn")),
+        key="doc_id",
+    )
+    cur = merge_store.read_current(spark, root, with_row_ids=True)
+    return cur.selectExpr(
+        "doc_id",
+        "n_chars",
+        "shiftright(_row_id, 40) AS id_epoch",
+        "_row_id",
+    ).groupBy("id_epoch").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("doc_id").cast("long").alias("sum_doc_id"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.min("_row_id").cast("long").alias("min_row_id"),
+        F.max("_row_id").cast("long").alias("max_row_id"),
+    )
+
+
+ORACLE_ROW_TRACKING = """
+WITH v0 AS (  -- init ids: rank by doc_id in the full batch
+  SELECT doc_id, source, n_chars,
+         CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS rid
+  FROM documents
+),
+final AS (
+  -- doc 3's ORIGINAL identity was deleted at v3; its v4 re-insert is a
+  -- new row in v4's namespace (rank 1 of a 1-row batch)
+  SELECT doc_id,
+         n_chars + CASE WHEN doc_id IN (1, 2) THEN 1000 ELSE 0 END AS n_chars,
+         CASE WHEN doc_id = 3 THEN 4 * 1099511627776 + 1 ELSE rid END AS rid
+  FROM v0
+  UNION ALL
+  -- v1 inserts: rank by doc_id among the batch's NEW keys
+  SELECT 900001, 11, 1 * 1099511627776 + 1
+  UNION ALL
+  SELECT 900002, 22, 1 * 1099511627776 + 2
+)
+SELECT rid // 1099511627776 AS id_epoch,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(min(rid) AS BIGINT) AS min_row_id,
+       CAST(max(rid) AS BIGINT) AS max_row_id
+FROM final
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES = {
     "stats_logrank": stats_logrank,
     "stats_moods_median": stats_moods_median,
@@ -2198,6 +2295,7 @@ QUERIES = {
     "ann_srp_lsh": ann_srp_lsh,
     "er_golden_record": er_golden_record,
     "corpus_kl_drift": corpus_kl_drift,
+    "store_row_tracking": store_row_tracking,
 }
 
 ORACLES = {
@@ -2214,4 +2312,5 @@ ORACLES = {
     "ann_srp_lsh": ORACLE_SRP,
     "er_golden_record": _oracle_golden(),
     "corpus_kl_drift": ORACLE_KL_DRIFT,
+    "store_row_tracking": ORACLE_ROW_TRACKING,
 }

@@ -57,6 +57,8 @@ _STAGING = "_staging"
 _TOMBSTONES = "_vacuumed.json"
 _STATS = "_stats.json"
 _BUCKET = "__bucket"
+_ROW_ID = "_row_id"  # physical-only column on row_tracking tables
+_ROW_ID_STRIDE = 1 << 40  # ids are (commit version << 40) + in-batch rank
 DEFAULT_BUCKETS = 16
 
 # Conflict-classification sets for the rebase commit path (see
@@ -407,6 +409,8 @@ def _carry_constraints(meta: dict, staged: dict) -> dict:
         staged["constraints"] = meta["constraints"]
     if meta.get("renames"):
         staged["renames"] = meta["renames"]
+    if meta.get("row_tracking"):
+        staged["row_tracking"] = True
     return staged
 
 
@@ -794,13 +798,20 @@ def _write_meta(
     dropped: list[str] | None = None,
     constraints: dict[str, str] | None = None,
     renames: dict[str, str] | None = None,
+    row_tracking: bool | None = None,
 ) -> None:
+    if row_tracking is None:
+        # metadata commits (add_column, rebucket, ...) rebuild the dict from
+        # explicit args — the init-time row-tracking flag must survive them
+        row_tracking = bool(_read_meta(root).get("row_tracking"))
     meta = {
         "key": key,
         "n_buckets": n_buckets,
         "schema": schema.json(),
         "added": added or [],
     }
+    if row_tracking:
+        meta["row_tracking"] = True
     if dropped:
         meta["dropped"] = sorted(dropped)
     if bucketed_since is not None:
@@ -997,6 +1008,7 @@ def _read_paths(
     schema_json: str | None,
     added: list[dict] | None = None,
     renames: dict[str, str] | None = None,
+    row_tracking: bool = False,
 ) -> DataFrame:
     """Read a manifest's files.  ``added`` (from table meta) carries
     metadata-only ADD COLUMN facts: files written BEFORE a column's
@@ -1006,6 +1018,14 @@ def _read_paths(
     data rewrite.  ``renames`` (logical -> physical) makes the scan speak
     the files' PHYSICAL names and alias back to logical immediately, so
     everything above this function lives purely in logical space."""
+    if row_tracking and schema_json is not None:
+        # writer-path reads on row-tracking tables widen the recorded
+        # schema with the physical _row_id column so rewrites carry ids;
+        # plain readers (row_tracking=False) project it away as usual
+        _s = T.StructType.fromJson(json.loads(schema_json))
+        if _ROW_ID not in _s.fieldNames():
+            _s = T.StructType(list(_s.fields) + [T.StructField(_ROW_ID, T.LongType())])
+        schema_json = _s.json()
     paths = [os.path.join(root, rel) for rel in mapping.values()]
     if not paths:
         if schema_json is None:
@@ -1377,6 +1397,8 @@ def rename_column(root: str, old: str, new: str) -> None:
             staged["dropped"] = meta["dropped"]
         if meta.get("bucketed_since") is not None:
             staged["bucketed_since"] = meta["bucketed_since"]
+        if meta.get("row_tracking"):
+            staged["row_tracking"] = True
         if meta.get("constraints"):
             staged["constraints"] = meta["constraints"]
         if renames:
@@ -1435,24 +1457,37 @@ def _append_column_meta(
     )
 
 
-def read_version(spark: SparkSession, root: str, n: int) -> DataFrame:
+def read_version(
+    spark: SparkSession, root: str, n: int, with_row_ids: bool = False
+) -> DataFrame:
     """Time-travel read: pin an explicit version instead of the _CURRENT
     pointer.  Versions are immutable once the pointer has moved past them
     (a new version rewrites only its own touched-bucket dirs), so this is
     safe concurrently with later upserts — the Delta/Iceberg ``VERSION AS
-    OF`` shape."""
+    OF`` shape.  ``with_row_ids`` surfaces the stable ``_row_id`` column
+    on row-tracking tables (absent otherwise)."""
     ver = _version_name(n)
     meta = _read_meta(root)
-    df = _read_paths(spark, root, _read_manifest(root, ver), meta["schema"], meta.get("added"), meta.get("renames"))
+    df = _read_paths(
+        spark, root, _read_manifest(root, ver), meta["schema"],
+        meta.get("added"), meta.get("renames"),
+        with_row_ids and bool(meta.get("row_tracking")),
+    )
     return _apply_dv(spark, root, df, meta, _read_dv(root, ver))
 
 
-def read_current(spark: SparkSession, root: str) -> DataFrame | None:
+def read_current(
+    spark: SparkSession, root: str, with_row_ids: bool = False
+) -> DataFrame | None:
     ver = current_version(root)
     if ver is None:
         return None
     meta = _read_meta(root)
-    df = _read_paths(spark, root, _read_manifest(root, ver), meta["schema"], meta.get("added"), meta.get("renames"))
+    df = _read_paths(
+        spark, root, _read_manifest(root, ver), meta["schema"],
+        meta.get("added"), meta.get("renames"),
+        with_row_ids and bool(meta.get("row_tracking")),
+    )
     return _apply_dv(spark, root, df, meta, _read_dv(root, ver))
 
 
@@ -1614,19 +1649,54 @@ def read_where(spark: SparkSession, root: str, col: str, lo, hi) -> DataFrame:
     return df.filter(pred)
 
 
+def _assign_row_ids(df: DataFrame, key: str, ver_num: int) -> DataFrame:
+    """Stamp fresh ``_row_id``s on rows that lack one: (ver_num << 40) +
+    rank-of-key within this batch.  Version numbers are claim-serialized
+    and unique, so concurrent committers can never mint the same id; the
+    in-batch rank orders by key (deterministic — batches are deduped by
+    key first).  Rows already carrying a non-null id keep it."""
+    base = F.lit(ver_num * _ROW_ID_STRIDE).cast("long")
+    # constant-0 partition that survives constant folding (the sparkutil
+    # const_part trick, inlined — the batch is the bounded update side)
+    s = F.length(F.coalesce(F.col(key).cast("string"), F.lit("")))
+    w = Window.partitionBy(
+        F.col(_ROW_ID).isNull() if _ROW_ID in df.columns else (s - s)
+    ).orderBy(key)
+    rank = F.row_number().over(w).cast("long")
+    if _ROW_ID in df.columns:
+        return df.withColumn(_ROW_ID, F.coalesce(F.col(_ROW_ID), base + rank))
+    return df.withColumn(_ROW_ID, base + rank)
+
+
 def init_table(
     df: DataFrame,
     root: str,
     key: str | None = None,
     n_buckets: int = DEFAULT_BUCKETS,
+    row_tracking: bool = False,
 ) -> str:
     """Create version 0.  With ``key``: hash-bucketed layout on that column
     (mutations rewrite only touched buckets).  Without: legacy flat layout
-    (mutations are full rewrites)."""
+    (mutations are full rewrites).
+
+    ``row_tracking=True`` (bucketed tables only) assigns every row a
+    stable ``_row_id`` — (commit version << 40) + rank-by-key within the
+    committing batch — stored as a physical-only column: inherited by
+    key on upsert/merge updates, carried verbatim through compaction /
+    clustering / rebucket, retired by DELETE, and REISSUED on
+    re-insert-after-delete (a new row identity, the Delta row-tracking
+    contract).  Plain readers never see it; ``read_current(...,
+    with_row_ids=True)`` surfaces it.  Mutations on row-tracking tables
+    always commit fail-fast: ids embed the commit version, which a
+    compute-first rebase does not know until after staging."""
     os.makedirs(root, exist_ok=True)
     ver = _next_version(root)
+    if row_tracking and key is None:
+        raise ValueError("row_tracking requires a bucketed (keyed) table")
     if key is not None:
-        _write_meta(root, key, n_buckets, df.schema)
+        _write_meta(root, key, n_buckets, df.schema, row_tracking=row_tracking)
+        if row_tracking:
+            df = _assign_row_ids(df, key, 0)
         df.withColumn(_BUCKET, _bucket_expr(key, n_buckets)).write.mode(
             "errorifexists"
         ).partitionBy(_BUCKET).parquet(os.path.join(root, ver))
@@ -1708,11 +1778,20 @@ def upsert(
     deduped = _dedupe_updates(updates, key, order_col)
     _check_constraints(deduped, meta, "upsert")
     cur = current_version(root)
-    if occ == "rebase" and meta["key"] is not None and cur is not None:
+    row_tracking = bool(meta.get("row_tracking"))
+    if (
+        occ == "rebase"
+        and meta["key"] is not None
+        and cur is not None
+        and not row_tracking
+    ):
+        # row-tracking ids embed the commit version, unknown until the
+        # claim — mutations on those tables always commit fail-fast
         return _upsert_rebase(spark, root, deduped, key, meta, cur)
     ver = _next_version(root)
     cur = _claim_base(ver)  # re-base the snapshot under the claim
     _recheck_meta(root, ver, meta)  # conflict out on mid-gap meta evolution
+    ver_num = int(ver.split("_")[1])
 
     if meta["key"] is not None:
         if meta["key"] != key:
@@ -1727,13 +1806,20 @@ def upsert(
         manifest = _read_manifest(root, cur) if cur is not None else {}
         base_map = {b: manifest[b] for b in touched if b in manifest}
         if base_map:
-            base = _read_paths(spark, root, base_map, meta["schema"], meta.get("added"), meta.get("renames"))
+            base = _read_paths(spark, root, base_map, meta["schema"], meta.get("added"), meta.get("renames"), bool(meta.get("row_tracking")))
             # pending deletion vectors on the touched buckets are applied
             # here and cleared below: the rewrite MATERIALIZES them (and a
             # re-inserted key genuinely resurrects)
             base = _apply_dv(
                 spark, root, base, meta, _read_dv(root, cur), buckets=touched
             )
+            if row_tracking:
+                # updates INHERIT the matched key's id (stable identity
+                # across updates); only genuinely new keys mint ids
+                ids = base.select(key, _ROW_ID)
+                deduped = _assign_row_ids(
+                    deduped.join(ids, key, "left"), key, ver_num
+                )
             keys = deduped.select(key)
             # The common case is a trickle of saves against a huge base,
             # where broadcasting the key set skips shuffling the base
@@ -1747,7 +1833,11 @@ def upsert(
             )
             merged = survivors.unionByName(deduped)
         else:
-            merged = deduped
+            merged = (
+                _assign_row_ids(deduped, key, ver_num)
+                if row_tracking
+                else deduped
+            )
         _to_physical(merged, meta).write.mode("errorifexists").partitionBy(
             _BUCKET
         ).parquet(os.path.join(root, ver))
@@ -1800,7 +1890,7 @@ def _upsert_rebase(
     manifest = _read_manifest(root, snapshot)
     base_map = {b: manifest[b] for b in touched if b in manifest}
     if base_map:
-        base = _read_paths(spark, root, base_map, meta["schema"], meta.get("added"), meta.get("renames"))
+        base = _read_paths(spark, root, base_map, meta["schema"], meta.get("added"), meta.get("renames"), bool(meta.get("row_tracking")))
         base = _apply_dv(
             spark, root, base, meta, _read_dv(root, snapshot), buckets=touched
         )
@@ -2023,7 +2113,7 @@ def _compact_write(
     are tight; without it, a content-hash slice (no clustering claim)."""
     W = Window
     base_map = {b: manifest[b] for b in plan}
-    df = _read_paths(spark, root, base_map, meta["schema"], meta.get("added"), meta.get("renames"))
+    df = _read_paths(spark, root, base_map, meta["schema"], meta.get("added"), meta.get("renames"), bool(meta.get("row_tracking")))
     # compaction MATERIALIZES pending deletion vectors for the buckets it
     # rewrites (the Delta "purge" half of merge-on-read); the commit paths
     # clear the applied buckets' vectors
@@ -2162,7 +2252,7 @@ def delete_where(
         full = _apply_dv(
             spark,
             root,
-            _read_paths(spark, root, manifest, meta["schema"], meta.get("added"), meta.get("renames")),
+            _read_paths(spark, root, manifest, meta["schema"], meta.get("added"), meta.get("renames"), bool(meta.get("row_tracking"))),
             meta,
             dv,
         ).withColumn(_BUCKET, _bucket_expr(meta["key"], n_buckets))
@@ -2177,7 +2267,7 @@ def delete_where(
             dv_applied = _apply_dv(
                 spark,
                 root,
-                _read_paths(spark, root, base_map, meta["schema"], meta.get("added"), meta.get("renames")),
+                _read_paths(spark, root, base_map, meta["schema"], meta.get("added"), meta.get("renames"), bool(meta.get("row_tracking"))),
                 meta,
                 dv,
                 buckets=touched,
@@ -2221,7 +2311,7 @@ def _delete_rebase(
     full = _apply_dv(
         spark,
         root,
-        _read_paths(spark, root, manifest, meta["schema"], meta.get("added"), meta.get("renames")),
+        _read_paths(spark, root, manifest, meta["schema"], meta.get("added"), meta.get("renames"), bool(meta.get("row_tracking"))),
         meta,
         dv,
     ).withColumn(_BUCKET, _bucket_expr(meta["key"], n_buckets))
@@ -2237,7 +2327,7 @@ def _delete_rebase(
     _apply_dv(
         spark,
         root,
-        _read_paths(spark, root, base_map, meta["schema"], meta.get("added"), meta.get("renames")),
+        _read_paths(spark, root, base_map, meta["schema"], meta.get("added"), meta.get("renames"), bool(meta.get("row_tracking"))),
         meta,
         dv,
         buckets=touched,
@@ -2264,7 +2354,7 @@ def _delete_rebase(
             )
         if not paths:
             return None
-        wrote = _read_paths(spark, root, paths, meta["schema"], meta.get("added"), meta.get("renames"))
+        wrote = _read_paths(spark, root, paths, meta["schema"], meta.get("added"), meta.get("renames"), bool(meta.get("row_tracking")))
         if wrote.filter(match).limit(1).count() > 0:
             return (
                 "an intervening writer added rows matching the DELETE "
@@ -2460,8 +2550,12 @@ def merge_into(
 
     n_buckets = meta["n_buckets"]
     cur = current_version(root)
-    rebase = occ == "rebase" and cur is not None
+    row_tracking = bool(meta.get("row_tracking"))
+    # row-tracking ids embed the commit version, unknown until the claim —
+    # mutations on those tables always commit fail-fast
+    rebase = occ == "rebase" and cur is not None and not row_tracking
     ver = None if rebase else _next_version(root)
+    ver_num = None if ver is None else int(ver.split("_")[1])
     if ver is not None:
         cur = _claim_base(ver)  # re-base the snapshot under the claim
         _recheck_meta(root, ver, meta)  # conflict out on mid-gap meta evolution
@@ -2474,15 +2568,18 @@ def merge_into(
 
     parts = []
     if base_map:
-        base = _read_paths(spark, root, base_map, meta["schema"], meta.get("added"), meta.get("renames"))
+        base = _read_paths(spark, root, base_map, meta["schema"], meta.get("added"), meta.get("renames"), bool(meta.get("row_tracking")))
         base = _apply_dv(
             spark, root, base, meta, _read_dv(root, cur), buckets=touched
         )
         joined = base.join(
             F.broadcast(src_pref), base[key] == src_pref["__src_key"], "left"
         )
+        carry = [_ROW_ID] if row_tracking else []
         matched = joined.filter(F.col("__src_present").isNotNull())
-        unmatched_target = joined.filter(F.col("__src_present").isNull()).select(*cols)
+        unmatched_target = joined.filter(F.col("__src_present").isNull()).select(
+            *cols, *carry
+        )
         if when_matched_delete is not None:
             matched = matched.filter(
                 ~F.coalesce(F.expr(when_matched_delete), F.lit(False))
@@ -2494,7 +2591,8 @@ def merge_into(
                     if c in when_matched_set
                     else F.col(c)
                     for c in cols
-                ]
+                ],
+                *carry,  # updates keep the target row's stable id
             )
             # generated columns re-derive from the POST-update base values
             # (a second step — the select above still sees pre-update rows)
@@ -2503,18 +2601,22 @@ def merge_into(
                     name, F.expr(col["expr"]).cast(schema[name].dataType)
                 )
         else:  # matched rows kept as-is (MERGE with only DELETE/INSERT clauses)
-            updated = matched.select(*cols)
+            updated = matched.select(*cols, *carry)
         parts.append(unmatched_target)
         parts.append(updated)
         new_rows = updated  # unmatched_target rows are carried unchanged —
         # they satisfied the constraints when THEY were written
         if insert_not_matched:
             inserts = src.join(base.select(key), key, "left_anti")
+            if row_tracking:
+                inserts = _assign_row_ids(inserts, key, ver_num)
             parts.append(inserts)
             new_rows = new_rows.unionByName(inserts)
     else:
         new_rows = None
         if insert_not_matched:
+            if row_tracking:
+                src = _assign_row_ids(src, key, ver_num)
             parts.append(src)
             new_rows = src
 
@@ -2787,7 +2889,8 @@ def rebucket(spark: SparkSession, root: str, n_buckets: int) -> str:
     ver = _next_version(root)
     # resolve the snapshot UNDER the claim: read_current binds the manifest
     # at call time, so reading before the claim could rewrite a stale state
-    cur = read_current(spark, root)
+    # (with_row_ids: the rewrite must carry row identities, not remint them)
+    cur = read_current(spark, root, with_row_ids=True)
     _to_physical(
         cur.withColumn(_BUCKET, _bucket_expr(meta["key"], n_buckets)), meta
     ).write.mode("errorifexists").partitionBy(_BUCKET).parquet(
