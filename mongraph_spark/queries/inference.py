@@ -2094,6 +2094,12 @@ def kl_from_grouped_tokens(tok: DataFrame) -> DataFrame:
             F.sum((F.col("grp") == "b").cast("long")).alias("cb"),
         )
     )
+    return kl_from_counts(counts)
+
+
+def kl_from_counts(counts: DataFrame) -> DataFrame:
+    """The divergence finisher over a (token, ca, cb) count rollup —
+    shared verbatim by the streaming twin, whose state IS this rollup."""
     w_all = Window.partitionBy(const_part(F.col("token")))
     base = (
         counts.withColumn("na", F.sum("ca").over(w_all).cast("long"))

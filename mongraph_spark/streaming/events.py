@@ -2559,7 +2559,89 @@ def _oracle_stream_ccf() -> str:
     return ORACLE_CCF
 
 
+def streaming_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``queries.inference.events_theta_forecast`` —
+    the forecast-at-ingest shape: the stream maintains the watermarked
+    per-(type, day) cents rollup (the method's ENTIRE input, bounded
+    |types|×|days| state), and the theta combination (``theta_finish``,
+    shared verbatim — exact micro-grid trend fit + shiftright SES fold)
+    re-runs on read over the continuously-updated rollup.  A forecast
+    poll pays one bounded per-type fold, never a raw-event replay.
+    Fully batch-equal, checked by the batch op's own oracle."""
+    from mongraph_spark.queries.inference import theta_finish
+
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 day")
+    agg = ev.groupBy(
+        F.window("ts", "1 day").alias("w"), "event_type"
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"))
+    with _state_partitioning(spark, sf_dir):
+        out = run_to_table(agg, output_mode="complete")
+    # theta_finish joins the rollup against its own per-type trend fit;
+    # localCheckpoint detaches the memory-sink lineage (the acf pattern)
+    daily = out.select(
+        "event_type", F.col("w.start").cast("date").alias("day"), "y"
+    ).localCheckpoint(eager=True)
+    return theta_finish(daily)
+
+
+def _oracle_stream_theta() -> str:
+    from mongraph_spark.queries.inference import ORACLE_THETA
+
+    return ORACLE_THETA
+
+
+def streaming_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``queries.inference.corpus_kl_drift`` — the
+    drift-monitor-at-ingest shape: arriving documents are tokenized in
+    the micro-batch (map-only), and the stream maintains ONE
+    per-(token) pair-of-count rows as its state (the divergence's ENTIRE
+    input — the vocabulary rollup); the KL/JS finisher
+    (``kl_from_counts``, shared verbatim) re-runs on read over the
+    continuously-updated counts.  A drift poll pays one bounded
+    vocab-size pass, never a corpus rescan.  Fully batch-equal, checked
+    by the batch op's own oracle."""
+    import shutil
+    import tempfile
+
+    from mongraph_spark.queries.inference import kl_from_counts
+    from mongraph_spark.sparkutil import read_table
+
+    app_id = spark.sparkContext.applicationId
+    sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    base = os.path.join(tempfile.gettempdir(), f"mg_stream_kl_{app_id}_{sf_tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    staging = os.path.join(base, "arrivals")
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    docs.repartition(4, "doc_id").write.parquet(staging)
+    stream = (
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    grp = F.when(
+        F.substring("source", 4, 10).cast("int") < 10, F.lit("a")
+    ).otherwise(F.lit("b"))
+    tok = stream.select(
+        grp.alias("grp"),
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("token"),
+    )
+    counts = tok.groupBy("token").agg(
+        F.sum((F.col("grp") == "a").cast("long")).alias("ca"),
+        F.sum((F.col("grp") == "b").cast("long")).alias("cb"),
+    )
+    with _state_partitioning(spark, sf_dir):
+        out = run_to_table(counts, output_mode="complete")
+    return kl_from_counts(out)
+
+
+def _oracle_stream_kl() -> str:
+    from mongraph_spark.queries.inference import ORACLE_KL_DRIFT
+
+    return ORACLE_KL_DRIFT
+
+
 QUERIES = {
+    "streaming_theta_forecast": streaming_theta_forecast,
+    "streaming_kl_drift": streaming_kl_drift,
     "streaming_hurst_exponent": streaming_hurst_exponent,
     "streaming_permutation_entropy": streaming_permutation_entropy,
     "streaming_cross_correlation": streaming_cross_correlation,
@@ -2606,6 +2688,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "streaming_theta_forecast": _oracle_stream_theta(),
+    "streaming_kl_drift": _oracle_stream_kl(),
     "streaming_hurst_exponent": _oracle_stream_hurst(),
     "streaming_permutation_entropy": _oracle_stream_perm_entropy(),
     "streaming_cross_correlation": _oracle_stream_ccf(),
