@@ -65,72 +65,73 @@ _SUITES = [
 # first (rounds 1-2), previously-green last, as insurance against any
 # off-by-one in the driver's window.
 CORE_ORDER = [
-    # — round-10 window (VERDICT r9 order #1), 50 slots exactly:
-    #   the 15 never-driver-verified round-9 rows the verdict names,
-    #   the 3 new round-10 ops, 19 re-proof slots for code round 10
-    #   touched (rename column-mapping threaded through EVERY merge.py
-    #   reader and writer + _recheck_meta on every fail-fast claim +
-    #   CDF; the page_hinkley finisher total fix; the IVM twin rewire),
-    #   the watched streaming_lsh_dedup row, and 10 refreshes of the
-    #   STALEST (r1/r4-vintage) driver evidence.
-    # — never driver-verified (round-9 fourth/fifth-sweep) —
+    # — round-10 continuation window: ALL 50 slots are never-driver-
+    #   verified rows (the verdict-r9 #1 conversion rule), drawn from the
+    #   58 such rows at HEAD.  The 8 left out are hourly-rollup finisher
+    #   twins (streaming_{mann_kendall, stl_decompose, regime_segments,
+    #   lorenz_curve, conformal_interval, hurst_exponent,
+    #   permutation_entropy, cross_correlation}) whose batch siblings sit
+    #   IN the window and whose oracles are literally the batch ops' —
+    #   the weakest marginal evidence; three hourly-rollup twins
+    #   (autocorrelation, hampel, croston) still represent the shape, and
+    #   the structurally-distinct twins (scd2 state table, kl vocab
+    #   state, theta daily fold) all kept their slots.  The five store_*
+    #   rows double as re-proofs of this round's merge.py work (row
+    #   tracking touched every writer/reader path; rename/CDF/mergeSchema
+    #   landed earlier in the round).
+    # — this session's inference/time-series/similarity/ER/store sweep —
+    "stats_logrank",
+    "stats_moods_median",
+    "stats_bartlett",
+    "stats_fisher_exact",
+    "stats_bradley_terry",
+    "events_hurst_exponent",
+    "events_permutation_entropy",
+    "events_cross_correlation",
+    "events_theta_forecast",
+    "events_binseg_changepoint",
+    "ann_srp_lsh",
+    "er_golden_record",
+    "corpus_kl_drift",
+    "store_row_tracking",
+    "streaming_theta_forecast",
+    "streaming_kl_drift",
+    # — round-10 sweep (SCD2 / trend / agreement / decomposition bundle) —
+    "store_scd2_history",
+    "streaming_scd2_history",
+    "events_mann_kendall",
+    "stats_friedman",
+    "stats_cohens_kappa",
+    "stats_fleiss_kappa",
+    "stats_jonckheere",
+    "stats_runs_test",
+    "events_stl_decompose",
+    "events_lorenz_curve",
+    "events_regime_segments",
+    "events_conformal_interval",
+    "events_cohort_ltv",
+    "text_textrank_keywords",
+    "dedup_bloom_prefilter",
+    "pipeline_pii_scrub",
+    "store_rename_column",
+    "store_read_changes",
+    "store_merge_evolve",
+    # — round-9 fourth/fifth-sweep rows (carried from the r10 window) —
     "stats_mcnemar",
     "stats_cochran_q",
     "stats_cramers_v",
     "window_feature_lags",
     "text_rake_keywords",
     "events_autocorrelation",
-    "stats_brown_forsythe",
-    "graph_eigenvector_centrality",
-    "pipeline_stratified_kfold",
     "streaming_autocorrelation",
+    "events_page_hinkley",
     "events_hampel_filter",
     "streaming_hampel_filter",
     "events_croston",
     "streaming_croston",
-    "events_page_hinkley",  # never driver-run AND r10-touched (total fix)
-    # — never driver-verified (new round-10 ops) —
-    "store_rename_column",  # name-mapped column mapping, full lifecycle
-    "store_read_changes",  # first-class CDF (Delta table_changes shape)
-    "store_merge_evolve",  # mergeSchema evolution + reincarnation fence
-    # — round-10 re-proof slots (merge.py touched everywhere by the
-    #   rename plumbing: _read_paths/_to_physical on every reader and
-    #   writer, DV/stats sidecars physical-keyed, _recheck_meta on every
-    #   fail-fast claim; plus the IVM rewire and finisher fix) —
-    "streaming_page_hinkley",  # shares the fixed finisher
-    "ivm_agg_delta",  # CDC algebra neighbor of the CDF API
-    "streaming_ivm_agg",  # rewired onto read_changes this round
-    "store_merge_into",
-    "store_vacuum_retention",
-    "store_compaction",
-    "store_conflict_retry",
-    "store_history",
-    "store_deletion_vectors",
-    "store_delete_rebase",
-    "store_compact_rebase",
-    "store_schema_evolution",
-    "store_shallow_clone",
-    "store_drop_column",
-    "store_point_lookup",
-    "store_stats_skipping",
-    "store_read_as_of",
-    "store_restore",
-    "store_check_constraint",
-    "store_generated_column",
-    # — the watched row (metric settled r10: driver best-of-3 ≤ 8 s) —
-    "streaming_lsh_dedup",
-    # — stalest driver evidence refreshed (r1/r4-vintage rows) —
-    "populate_enrich",
-    "populate_semi_regex",
-    "m9_denormalize",
-    "g8_shortest_paths",
-    "g9_cypher_onehop",
-    "dedup_minhash_lsh",
-    "ann_cosine_topk_bucketed",
-    "text_bm25_topk",
-    "events_sessionization",
-    "q1_pricing_summary",
-    "graph_pagerank",
+    "stats_brown_forsythe",
+    "graph_eigenvector_centrality",
+    "pipeline_stratified_kfold",
 ]
 
 assert len(CORE_ORDER) == 50, len(CORE_ORDER)
