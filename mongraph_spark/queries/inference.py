@@ -2287,6 +2287,359 @@ ORDER BY 1
 """
 
 
+# -- Jarque-Bera normality test -----------------------------------------------------
+
+
+def stats_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque–Bera normality test per event type — the moment-based
+    normality screen (are the per-event cents values Gaussian enough for
+    the normal-theory tests — Bartlett, Welch — to be trusted?):
+    JB = n/6·(S² + (K−3)²/4) from sample skewness S and kurtosis K.
+
+    Exactness: one pass collects exact Σx, Σx², Σx³, Σx⁴ in DECIMAL(38)
+    (cents⁴ sums fit to ~sf1); the central-moment NUMERATORS are exact
+    integer polynomials (n·s2−s1², n²·s3−3n·s1·s2+2·s1³, …) and S, K, JB
+    are per-row IEEE expressions over those integers — identical trees in
+    both engines — with ppm floors.
+
+    Scale shape: ONE map-side-combined moment aggregation; everything
+    after is |types| rows."""
+    ev = read_table(spark, sf_dir, "events")
+    x = F.round(F.col("value") * 100).cast("long")
+    d38 = "decimal(38,0)"
+    mom = ev.select("event_type", x.alias("x")).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast(d38)).alias("s1"),
+        F.sum(F.col("x").cast(d38) * F.col("x")).alias("s2"),
+        F.sum(F.col("x").cast(d38) * F.col("x") * F.col("x")).alias("s3"),
+        F.sum(
+            F.col("x").cast(d38) * F.col("x") * F.col("x") * F.col("x")
+        ).alias("s4"),
+    )
+    nums = mom.selectExpr(
+        "event_type",
+        "n",
+        "CAST(n AS DECIMAL(38,0)) * s2 - s1 * s1 AS num2",
+        "CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)) * s3"
+        " - 3 * CAST(n AS DECIMAL(38,0)) * s1 * s2 + 2 * s1 * s1 * s1 AS num3",
+        "CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))"
+        " * CAST(n AS DECIMAL(38,0)) * s4"
+        " - 4 * CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)) * s1 * s3"
+        " + 6 * CAST(n AS DECIMAL(38,0)) * s1 * s1 * s2"
+        " - 3 * s1 * s1 * s1 * s1 AS num4",
+    )
+    # m2 = num2/n^2, m3 = num3/n^3, m4 = num4/n^4;
+    # S = m3/m2^1.5, K = m4/m2^2 — the n powers collapse: S = num3/num2^1.5
+    # * n^(3/2-3+... keep explicit doubles from the exact integers
+    return nums.selectExpr(
+        "event_type",
+        "n",
+        "CAST(FLOOR(1000000 * (CAST(num3 AS DOUBLE) / CAST(n AS DOUBLE)"
+        " / CAST(n AS DOUBLE) / CAST(n AS DOUBLE))"
+        " / POW(CAST(num2 AS DOUBLE) / CAST(n AS DOUBLE) / CAST(n AS DOUBLE),"
+        " 1.5)) AS BIGINT) AS skew_ppm",
+        "CAST(FLOOR(1000000 * ((CAST(num4 AS DOUBLE) / CAST(n AS DOUBLE)"
+        " / CAST(n AS DOUBLE) / CAST(n AS DOUBLE) / CAST(n AS DOUBLE))"
+        " / POW(CAST(num2 AS DOUBLE) / CAST(n AS DOUBLE) / CAST(n AS DOUBLE),"
+        " 2.0) - 3.0)) AS BIGINT) AS exkurt_ppm",
+        "CAST(FLOOR(1000000 * CAST(n AS DOUBLE) / 6.0 * ("
+        " POW((CAST(num3 AS DOUBLE) / CAST(n AS DOUBLE) / CAST(n AS DOUBLE)"
+        "  / CAST(n AS DOUBLE))"
+        "  / POW(CAST(num2 AS DOUBLE) / CAST(n AS DOUBLE) / CAST(n AS DOUBLE),"
+        "  1.5), 2.0)"
+        " + POW((CAST(num4 AS DOUBLE) / CAST(n AS DOUBLE) / CAST(n AS DOUBLE)"
+        "   / CAST(n AS DOUBLE) / CAST(n AS DOUBLE))"
+        "   / POW(CAST(num2 AS DOUBLE) / CAST(n AS DOUBLE) / CAST(n AS DOUBLE),"
+        "   2.0) - 3.0, 2.0) / 4.0)) AS BIGINT) AS jb_ppm",
+    )
+
+
+ORACLE_JARQUE_BERA = """
+WITH mom AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS HUGEINT) AS s1,
+         CAST(sum(CAST(round(value * 100) AS HUGEINT)
+                  * CAST(round(value * 100) AS HUGEINT)) AS HUGEINT) AS s2,
+         CAST(sum(CAST(round(value * 100) AS HUGEINT)
+                  * CAST(round(value * 100) AS HUGEINT)
+                  * CAST(round(value * 100) AS HUGEINT)) AS HUGEINT) AS s3,
+         CAST(sum(CAST(round(value * 100) AS HUGEINT)
+                  * CAST(round(value * 100) AS HUGEINT)
+                  * CAST(round(value * 100) AS HUGEINT)
+                  * CAST(round(value * 100) AS HUGEINT)) AS HUGEINT) AS s4
+  FROM events GROUP BY event_type
+),
+nums AS (
+  SELECT event_type, n,
+         CAST(n AS HUGEINT) * s2 - s1 * s1 AS num2,
+         CAST(n AS HUGEINT) * CAST(n AS HUGEINT) * s3
+         - 3 * CAST(n AS HUGEINT) * s1 * s2 + 2 * s1 * s1 * s1 AS num3,
+         CAST(n AS HUGEINT) * CAST(n AS HUGEINT) * CAST(n AS HUGEINT) * s4
+         - 4 * CAST(n AS HUGEINT) * CAST(n AS HUGEINT) * s1 * s3
+         + 6 * CAST(n AS HUGEINT) * s1 * s1 * s2
+         - 3 * s1 * s1 * s1 * s1 AS num4
+  FROM mom
+)
+SELECT event_type, n,
+       CAST(FLOOR(1000000 * (CAST(num3 AS DOUBLE) / CAST(n AS DOUBLE)
+         / CAST(n AS DOUBLE) / CAST(n AS DOUBLE))
+         / POW(CAST(num2 AS DOUBLE) / CAST(n AS DOUBLE) / CAST(n AS DOUBLE),
+         1.5)) AS BIGINT) AS skew_ppm,
+       CAST(FLOOR(1000000 * ((CAST(num4 AS DOUBLE) / CAST(n AS DOUBLE)
+         / CAST(n AS DOUBLE) / CAST(n AS DOUBLE) / CAST(n AS DOUBLE))
+         / POW(CAST(num2 AS DOUBLE) / CAST(n AS DOUBLE) / CAST(n AS DOUBLE),
+         2.0) - 3.0)) AS BIGINT) AS exkurt_ppm,
+       CAST(FLOOR(1000000 * CAST(n AS DOUBLE) / 6.0 * (
+         POW((CAST(num3 AS DOUBLE) / CAST(n AS DOUBLE) / CAST(n AS DOUBLE)
+          / CAST(n AS DOUBLE))
+          / POW(CAST(num2 AS DOUBLE) / CAST(n AS DOUBLE) / CAST(n AS DOUBLE),
+          1.5), 2.0)
+         + POW((CAST(num4 AS DOUBLE) / CAST(n AS DOUBLE) / CAST(n AS DOUBLE)
+           / CAST(n AS DOUBLE) / CAST(n AS DOUBLE))
+           / POW(CAST(num2 AS DOUBLE) / CAST(n AS DOUBLE) / CAST(n AS DOUBLE),
+           2.0) - 3.0, 2.0) / 4.0)) AS BIGINT) AS jb_ppm
+FROM nums
+ORDER BY event_type
+"""
+
+
+# -- Ljung-Box portmanteau test ------------------------------------------------------
+
+LB_LAGS = 12
+
+
+def stats_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung–Box portmanteau test per event type — is the hourly cents
+    series white noise ACROSS the first {LB_LAGS} lags jointly?  The
+    whole-correlogram companion to events_autocorrelation (which reports
+    each lag separately):  Q = n(n+2)·Σ_k r_k²/(n−k) ~ χ²(K).
+
+    Exactness: each r_k is the exact rational num_k/den from the ACF's
+    integer dev sums; each r_k²/(n−k) term is a per-row IEEE expression
+    over those exact integers, floored to the micro grid, so the K-term
+    sum is an exact integer sum; Q rides out as n(n+2)·Σ on the same
+    grid.
+
+    Scale shape: identical to the ACF — hourly rollup, {LB_LAGS} bounded
+    per-type lag joins, one |types|-row finisher."""
+    hourly = _hourly_cents(spark, sf_dir)
+    return ljung_box_finish(hourly)
+
+
+def ljung_box_finish(hourly: DataFrame) -> DataFrame:
+    """The portmanteau test over a (event_type, hour, y) rollup —
+    factored for known-value pins and a future streaming twin."""
+    w_all = Window.partitionBy("event_type")
+    w_t = Window.partitionBy("event_type").orderBy("hour")
+    pts = (
+        hourly.withColumn("s", F.sum("y").over(w_all))
+        .withColumn("n", F.count(F.lit(1)).over(w_all))
+        .withColumn("t", F.row_number().over(w_t).cast("long"))
+        .withColumn(
+            "dev",
+            (F.col("n").cast("decimal(38,0)") * F.col("y") - F.col("s")),
+        )
+    )
+    den = pts.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_hours"),
+        F.sum(F.col("dev") * F.col("dev")).alias("den"),
+    )
+    a = pts.select("event_type", "t", F.col("dev").alias("da"))
+    b = pts.select(
+        F.col("event_type").alias("et_b"), F.col("t").alias("tb"),
+        F.col("dev").alias("db"),
+    )
+    lag = F.explode(F.sequence(F.lit(1), F.lit(LB_LAGS))).alias("k")
+    num = (
+        a.select("event_type", "t", "da", lag)
+        .join(
+            b,
+            (F.col("et_b") == F.col("event_type"))
+            & (F.col("tb") == F.col("t") + F.col("k")),
+        )
+        .groupBy("event_type", "k")
+        .agg(F.sum(F.col("da") * F.col("db")).alias("num"))
+    )
+    terms = num.join(den, "event_type").selectExpr(
+        "event_type",
+        "n_hours",
+        # r_k^2/(n-k) on the micro grid, from exact integers
+        "CAST(FLOOR(1000000 * (CAST(num AS DOUBLE) / CAST(den AS DOUBLE))"
+        " * (CAST(num AS DOUBLE) / CAST(den AS DOUBLE))"
+        " / CAST(n_hours - k AS DOUBLE)) AS BIGINT) AS term_micro",
+    )
+    return terms.groupBy("event_type").agg(
+        F.max("n_hours").alias("n_hours"),
+        F.count(F.lit(1)).cast("long").alias("k_lags"),
+        F.sum("term_micro").cast("long").alias("sum_micro"),
+    ).selectExpr(
+        "event_type",
+        "n_hours",
+        "k_lags",
+        "n_hours * (n_hours + 2) * sum_micro AS q_micro",
+    )
+
+
+ORACLE_LJUNG_BOX = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+pts AS (
+  SELECT event_type, y,
+         row_number() OVER (PARTITION BY event_type ORDER BY hour) AS t,
+         count(*) OVER (PARTITION BY event_type) AS n,
+         sum(y) OVER (PARTITION BY event_type) AS s
+  FROM hourly
+),
+dv AS (
+  SELECT event_type, CAST(t AS BIGINT) AS t,
+         CAST(n AS HUGEINT) * y - s AS dev, n
+  FROM pts
+),
+den AS (
+  SELECT event_type, CAST(max(n) AS BIGINT) AS n_hours,
+         sum(dev * dev) AS den
+  FROM dv GROUP BY 1
+),
+num AS (
+  SELECT a.event_type, l.k, sum(a.dev * b.dev) AS num
+  FROM dv a
+  CROSS JOIN (SELECT unnest(generate_series(1, {LB_LAGS})) AS k) l
+  JOIN dv b ON a.event_type = b.event_type AND b.t = a.t + l.k
+  GROUP BY 1, 2
+),
+terms AS (
+  SELECT n.event_type, d.n_hours,
+         CAST(FLOOR(1000000 * (CAST(n.num AS DOUBLE) / CAST(d.den AS DOUBLE))
+           * (CAST(n.num AS DOUBLE) / CAST(d.den AS DOUBLE))
+           / CAST(d.n_hours - n.k AS DOUBLE)) AS BIGINT) AS term_micro
+  FROM num n JOIN den d ON n.event_type = d.event_type
+)
+SELECT event_type, CAST(max(n_hours) AS BIGINT) AS n_hours,
+       CAST(count(*) AS BIGINT) AS k_lags,
+       CAST(max(n_hours) * (max(n_hours) + 2) * sum(term_micro) AS BIGINT)
+         AS q_micro
+FROM terms GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# -- Cohen's d / Hedges' g effect size ------------------------------------------------
+
+
+def stats_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d and Hedges' g between purchase and click event values —
+    the EFFECT-SIZE companion to the battery's Welch t (significance
+    says "different"; d says "by how much, in pooled-SD units"), with
+    the small-sample g correction 1 − 3/(4·df − 1).
+
+    Exactness: both groups' n/Σx/Σx² are exact; the pooled variance
+    numerator (n−1)s² = (n·Σx² − (Σx)²)/n enters on an explicit micro
+    grid per group so the pooled sum is exact; d and g are per-row IEEE
+    over exact integers, floored to ppm.
+
+    Scale shape: ONE two-group conditional-aggregation scan."""
+    ev = read_table(spark, sf_dir, "events")
+    x = F.round(F.col("value") * 100).cast("long")
+    d38 = "decimal(38,0)"
+    grp = (
+        ev.filter(F.col("event_type").isin("purchase", "click"))
+        .select("event_type", x.alias("x"))
+        .groupBy()
+        .agg(
+            F.sum((F.col("event_type") == "purchase").cast("long")).alias("n1"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("x")).otherwise(0).cast(d38)
+            ).alias("sx1"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.col("x").cast(d38) * F.col("x"),
+                ).otherwise(F.lit(0).cast(d38))
+            ).alias("sq1"),
+            F.sum((F.col("event_type") == "click").cast("long")).alias("n2"),
+            F.sum(
+                F.when(F.col("event_type") == "click", F.col("x")).otherwise(0).cast(d38)
+            ).alias("sx2"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "click",
+                    F.col("x").cast(d38) * F.col("x"),
+                ).otherwise(F.lit(0).cast(d38))
+            ).alias("sq2"),
+        )
+    )
+    # (n-1)s^2 per group on the micro grid: (1e6 (n sq - sx^2)) div n
+    return grp.selectExpr(
+        "n1",
+        "n2",
+        "CAST(sx1 div CAST(n1 AS DECIMAL(38,0)) AS BIGINT) AS mean1_cents",
+        "CAST(sx2 div CAST(n2 AS DECIMAL(38,0)) AS BIGINT) AS mean2_cents",
+        "CAST(FLOOR(1000000 *"
+        " (CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+        "  - CAST(sx2 AS DOUBLE) / CAST(n2 AS DOUBLE))"
+        " / SQRT((CAST((1000000 * (CAST(n1 AS DECIMAL(38,0)) * sq1 - sx1 * sx1))"
+        "         div CAST(n1 AS DECIMAL(38,0)) AS DOUBLE)"
+        "       + CAST((1000000 * (CAST(n2 AS DECIMAL(38,0)) * sq2 - sx2 * sx2))"
+        "         div CAST(n2 AS DECIMAL(38,0)) AS DOUBLE))"
+        "      / 1e6 / CAST(n1 + n2 - 2 AS DOUBLE))) AS BIGINT) AS d_ppm",
+        "CAST(FLOOR((1.0 - 3.0 / (4.0 * CAST(n1 + n2 - 2 AS DOUBLE) - 1.0))"
+        " * 1000000 *"
+        " (CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+        "  - CAST(sx2 AS DOUBLE) / CAST(n2 AS DOUBLE))"
+        " / SQRT((CAST((1000000 * (CAST(n1 AS DECIMAL(38,0)) * sq1 - sx1 * sx1))"
+        "         div CAST(n1 AS DECIMAL(38,0)) AS DOUBLE)"
+        "       + CAST((1000000 * (CAST(n2 AS DECIMAL(38,0)) * sq2 - sx2 * sx2))"
+        "         div CAST(n2 AS DECIMAL(38,0)) AS DOUBLE))"
+        "      / 1e6 / CAST(n1 + n2 - 2 AS DOUBLE))) AS BIGINT) AS g_ppm",
+    )
+
+
+ORACLE_COHENS_D = """
+WITH grp AS (
+  SELECT
+    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(sum(CASE WHEN event_type = 'purchase'
+             THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS HUGEINT) AS sx1,
+    CAST(sum(CASE WHEN event_type = 'purchase'
+             THEN CAST(round(value * 100) AS HUGEINT)
+                  * CAST(round(value * 100) AS HUGEINT)
+             ELSE 0 END) AS HUGEINT) AS sq1,
+    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+    CAST(sum(CASE WHEN event_type = 'click'
+             THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS HUGEINT) AS sx2,
+    CAST(sum(CASE WHEN event_type = 'click'
+             THEN CAST(round(value * 100) AS HUGEINT)
+                  * CAST(round(value * 100) AS HUGEINT)
+             ELSE 0 END) AS HUGEINT) AS sq2
+  FROM events WHERE event_type IN ('purchase', 'click')
+)
+SELECT n1, n2,
+       CAST(sx1 // CAST(n1 AS HUGEINT) AS BIGINT) AS mean1_cents,
+       CAST(sx2 // CAST(n2 AS HUGEINT) AS BIGINT) AS mean2_cents,
+       CAST(FLOOR(1000000 *
+         (CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+          - CAST(sx2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+         / SQRT((CAST((1000000 * (CAST(n1 AS HUGEINT) * sq1 - sx1 * sx1))
+                 // CAST(n1 AS HUGEINT) AS DOUBLE)
+               + CAST((1000000 * (CAST(n2 AS HUGEINT) * sq2 - sx2 * sx2))
+                 // CAST(n2 AS HUGEINT) AS DOUBLE))
+              / 1e6 / CAST(n1 + n2 - 2 AS DOUBLE))) AS BIGINT) AS d_ppm,
+       CAST(FLOOR((1.0 - 3.0 / (4.0 * CAST(n1 + n2 - 2 AS DOUBLE) - 1.0))
+         * 1000000 *
+         (CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+          - CAST(sx2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+         / SQRT((CAST((1000000 * (CAST(n1 AS HUGEINT) * sq1 - sx1 * sx1))
+                 // CAST(n1 AS HUGEINT) AS DOUBLE)
+               + CAST((1000000 * (CAST(n2 AS HUGEINT) * sq2 - sx2 * sx2))
+                 // CAST(n2 AS HUGEINT) AS DOUBLE))
+              / 1e6 / CAST(n1 + n2 - 2 AS DOUBLE))) AS BIGINT) AS g_ppm
+FROM grp
+"""
+
+
 QUERIES = {
     "stats_logrank": stats_logrank,
     "stats_moods_median": stats_moods_median,
@@ -2302,6 +2655,9 @@ QUERIES = {
     "er_golden_record": er_golden_record,
     "corpus_kl_drift": corpus_kl_drift,
     "store_row_tracking": store_row_tracking,
+    "stats_jarque_bera": stats_jarque_bera,
+    "stats_ljung_box": stats_ljung_box,
+    "stats_cohens_d": stats_cohens_d,
 }
 
 ORACLES = {
@@ -2319,4 +2675,7 @@ ORACLES = {
     "er_golden_record": _oracle_golden(),
     "corpus_kl_drift": ORACLE_KL_DRIFT,
     "store_row_tracking": ORACLE_ROW_TRACKING,
+    "stats_jarque_bera": ORACLE_JARQUE_BERA,
+    "stats_ljung_box": ORACLE_LJUNG_BOX,
+    "stats_cohens_d": ORACLE_COHENS_D,
 }

@@ -359,3 +359,47 @@ def test_kl_drift_hand_computed(spark):
     assert r["kl_ab_micro"] == r["kl_ba_micro"]  # symmetric construction
     # JS bounded by ln 2
     assert 0 <= r["js_micro"] <= 693_148
+
+
+def test_jarque_bera_symmetric_zero_skew(spark):
+    # algebra pin mirroring the op's exact central-moment numerators:
+    # symmetric data -> num3 == 0 -> skew exactly 0
+    xs = [1, 2, 3]
+    n = len(xs)
+    s1, s2, s3 = sum(xs), sum(v * v for v in xs), sum(v**3 for v in xs)
+    num3 = n * n * s3 - 3 * n * s1 * s2 + 2 * s1**3
+    assert num3 == 0
+    # and the end-to-end op returns one row per type with finite stats
+    from mongraph_spark.queries.inference import stats_jarque_bera
+
+    rows = stats_jarque_bera(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 5
+    assert all(r["jb_ppm"] >= 0 for r in rows)
+
+
+def test_ljung_box_trend_vs_alternation(spark):
+    from mongraph_spark.queries.inference import ljung_box_finish
+
+    # a strong trend has massive positive autocorrelation at every lag
+    trend = ljung_box_finish(_hourly(spark, list(range(1, 41)))).collect()[0]
+    assert trend["k_lags"] == 12
+    # white-noise-ish critical value chi2(12, .95) = 21.03 -> q_micro 21e6
+    assert trend["q_micro"] > 21_030_000
+    # strict alternation also fails whiteness (r_1 near -1) — the test is
+    # two-sided in r, so Q is large here too
+    alt = ljung_box_finish(_hourly(spark, [0, 100] * 20)).collect()[0]
+    assert alt["q_micro"] > 21_030_000
+
+
+def test_cohens_d_pooled_sd_algebra(spark):
+    # identical groups -> d = 0 exactly (algebra pin on the micro grid)
+    n1 = n2 = 4
+    sx1 = sx2 = 10
+    assert (sx1 * n2 - sx2 * n1) == 0
+    from mongraph_spark.queries.inference import stats_cohens_d
+
+    r = stats_cohens_d(spark, "/root/testdata/sf0.001").collect()[0]
+    assert r["n1"] > 0 and r["n2"] > 0
+    # |g| < |d| always (the correction shrinks toward 0) unless d == 0
+    if r["d_ppm"] != 0:
+        assert abs(r["g_ppm"]) <= abs(r["d_ppm"])
