@@ -136,15 +136,20 @@ def logrank_from_subjects(spark: SparkSession, subj: DataFrame) -> DataFrame:
     # each per-t summand is floored to the micro grid BEFORE summing, so the
     # totals are exact integer sums — order-free (no global ordered window,
     # no engine-specific float accumulation order; DuckDB's windowed float
-    # sum is a segment tree, so a raw running sum would differ at the ulp)
+    # sum is a segment tree, so a raw running sum would differ at the ulp).
+    # The 10^6·dt(·n1) products are built in DECIMAL(38,0) (HUGEINT in the
+    # oracle) before the cast to DOUBLE: a raw BIGINT product wraps silently
+    # in Spark (ANSI off) while DuckDB errors — the engines would diverge
+    # instead of both failing at scale.
     e_term = F.floor(
-        F.lit(1_000_000) * F.col("dt") * F.col("n1") / F.col("nt")
+        (F.lit(1_000_000).cast("decimal(38,0)") * F.col("dt") * F.col("n1"))
+        .cast("double")
+        / F.col("nt")
     ).cast("long")
     v_term = F.when(
         F.col("nt") > 1,
         F.floor(
-            F.lit(1_000_000)
-            * F.col("dt")
+            (F.lit(1_000_000).cast("decimal(38,0)") * F.col("dt")).cast("double")
             * (F.col("n1") / F.col("nt"))
             * (F.col("n0") / F.col("nt"))
             * (F.col("nt") - F.col("dt"))
@@ -229,10 +234,11 @@ terms AS (
 ),
 tail AS (
   SELECT
-    CAST(sum(CAST(FLOOR(1000000 * dt * n1 / CAST(nt AS DOUBLE)) AS BIGINT))
-         AS BIGINT) AS e1_micro_s,
+    CAST(sum(CAST(FLOOR(CAST(CAST(1000000 AS HUGEINT) * dt * n1 AS DOUBLE)
+         / nt) AS BIGINT)) AS BIGINT) AS e1_micro_s,
     CAST(sum(CASE WHEN nt > 1 THEN
-          CAST(FLOOR(1000000 * dt * (n1 / CAST(nt AS DOUBLE))
+          CAST(FLOOR(CAST(CAST(1000000 AS HUGEINT) * dt AS DOUBLE)
+               * (n1 / CAST(nt AS DOUBLE))
                * (n0 / CAST(nt AS DOUBLE)) * (nt - dt) / (nt - 1)) AS BIGINT)
           ELSE 0 END) AS BIGINT) AS v_micro_s,
     CAST(sum(d1) AS BIGINT) AS o1, CAST(sum(dt) AS BIGINT) AS d_total
@@ -267,9 +273,11 @@ def stats_moods_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     battery's other k-sample test): count each type's observations
     above vs at-or-below the GRAND median and score the 2×k table.
 
-    Exactness: the grand median is the exact lower median (smallest
-    cents value whose cumulative count reaches ⌈N/2⌉, computed on the
-    bounded value histogram); all cell counts and margins are exact
+    Exactness: the grand median is the exact UPPER median — the
+    smallest cents value whose cumulative count reaches ⌈(N+1)/2⌉
+    (the filter is cum·2 ≥ N+1, i.e. cum ≥ N/2+1 for even N; both
+    engines apply the identical rule, computed on the bounded value
+    histogram); all cell counts and margins are exact
     integers; each type's χ² contribution is a per-row IEEE expression
     over those integers, floored to ppm.
 
@@ -410,13 +418,19 @@ def stats_bartlett(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(n AS DECIMAL(38,0)) * q - s * s AS ssq_num",  # n(n-1) s_i^2
         "CAST((CAST(1000000 AS DECIMAL(38,0)) * (CAST(n AS DECIMAL(38,0)) * q - s * s))"
         " div CAST(n AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS sse_micro",
-        "CAST(1000000000000 AS BIGINT) div (n - 1) AS inv_pico",
+        # degenerate-group guards (single-row type → n-1 = 0 divisor;
+        # constant-valued type → ln(0)): both terms contribute 0 rather
+        # than NULL-in-Spark / error-in-DuckDB — the same explicit-guard
+        # discipline as the Fisher step term and log-rank's nt > 1
+        "CASE WHEN n > 1 THEN CAST(1000000000000 AS BIGINT) div (n - 1)"
+        " ELSE CAST(0 AS BIGINT) END AS inv_pico",
         # (n_i - 1) * ln(s_i^2), floored per type to the micro grid so the
         # cross-type sum is an exact integer sum (order-free)
-        "CAST(FLOOR(1000000 * CAST(n - 1 AS DOUBLE)"
+        "CASE WHEN n > 1 AND CAST(n AS DECIMAL(38,0)) * q - s * s > 0 THEN"
+        " CAST(FLOOR(1000000 * CAST(n - 1 AS DOUBLE)"
         " * (LN(CAST(CAST(n AS DECIMAL(38,0)) * q - s * s AS DOUBLE))"
         "    - LN(CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))) AS BIGINT)"
-        " AS ln_term_micro",
+        " ELSE CAST(0 AS BIGINT) END AS ln_term_micro",
     )
     agg = per.groupBy().agg(
         F.count(F.lit(1)).cast("long").alias("k"),
@@ -460,11 +474,13 @@ per AS (
          CAST(n AS HUGEINT) * q - s * s AS ssq_num,
          (CAST(1000000 AS HUGEINT) * (CAST(n AS HUGEINT) * q - s * s))
            // CAST(n AS HUGEINT) AS sse_micro,
-         CAST(1000000000000 // (n - 1) AS BIGINT) AS inv_pico,
-         CAST(FLOOR(1000000 * CAST(n - 1 AS DOUBLE)
-           * (LN(CAST(CAST(n AS HUGEINT) * q - s * s AS DOUBLE))
-              - LN(CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))) AS BIGINT)
-           AS ln_term_micro
+         CASE WHEN n > 1 THEN CAST(1000000000000 // (n - 1) AS BIGINT)
+           ELSE CAST(0 AS BIGINT) END AS inv_pico,
+         CASE WHEN n > 1 AND CAST(n AS HUGEINT) * q - s * s > 0 THEN
+           CAST(FLOOR(1000000 * CAST(n - 1 AS DOUBLE)
+             * (LN(CAST(CAST(n AS HUGEINT) * q - s * s AS DOUBLE))
+                - LN(CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))) AS BIGINT)
+           ELSE CAST(0 AS BIGINT) END AS ln_term_micro
   FROM mom
 ),
 agg AS (
@@ -1901,7 +1917,7 @@ LIMIT {SRP_TOP_K}
 
 # -- golden-record entity resolution ------------------------------------------------
 
-GOLDEN_CC_ROUNDS = 6
+GOLDEN_CC_MAX_ROUNDS = 12
 GOLDEN_EDIT_MAX = 4
 
 
@@ -1912,19 +1928,30 @@ def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     record per entity, the MDM "golden record" shape): match edges are
     edit-distance ≤ {GOLDEN_EDIT_MAX} pairs inside the composite
     brand×noun blocks (the er_blocked_pairs rule, cited there), entities
-    are connected components via {GOLDEN_CC_ROUNDS} rounds of min-label
-    propagation (edit-distance matches form near-cliques inside ≤
-    ~100-item blocks, so the component diameter is far below the round
-    budget), and survivorship keeps the lexicographically-first name,
-    the max price and size, and the distinct-type count.
+    are connected components via POINTER-DOUBLED min-label propagation
+    run to a data-dependent fixpoint (stop when no label changes; hard
+    cap {GOLDEN_CC_MAX_ROUNDS} rounds, reported as ``rounds_run``), and
+    survivorship keeps the lexicographically-first name, the max price
+    and size, and the distinct-type count.
+
+    Fixpoint, not a fixed unroll: each round takes the min over the
+    1-hop neighbor labels AND label(label(v)) (pointer doubling), so a
+    diameter-D match chain converges in O(log D) rounds instead of D —
+    a fixed 6-round budget under-converged on >6-hop chains (possible
+    inside a ~100-item block) and reported one entity as several.  The
+    oracle REPLAYS the same stop rule (unrolls the full cap, picks the
+    first round with zero label changes), so both engines stop at the
+    same data-dependent round by construction.
 
     Exactness: labels are integer part keys, min-propagation is exact;
     survivorship fields are exact integers / struct-min strings.
 
     Scale shape: the edge build is the bounded within-block self-join;
     each propagation round is one join + min-aggregate on the |edges|
-    frame with the label table checkpointed per round (the pagerank
-    cadence); survivorship is one map-side-combined rollup."""
+    frame plus a 1:1 self-join on the label table, checkpointed per
+    round via pregel.iterate (the pagerank cadence) with a
+    changed-count convergence probe on the checkpointed state;
+    survivorship is one map-side-combined rollup."""
     part = read_table(spark, sf_dir, "part")
     blocked = part.select(
         F.concat_ws(
@@ -1936,13 +1963,18 @@ def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_type").alias("ptype"),
         F.expr("CAST(round(p_retailprice * 100) AS BIGINT)").alias("price_cents"),
     )
-    return golden_from_blocked(blocked)
+    golden, rounds = golden_from_blocked(blocked, with_rounds=True)
+    return golden.withColumn("rounds_run", F.lit(rounds).cast("long"))
 
 
-def golden_from_blocked(blocked: DataFrame) -> DataFrame:
-    """Cluster + survive over a (block_key, key, name, psize, ptype,
-    price_cents) records frame — factored so known-value pins can feed
-    hand-built duplicate groups."""
+def golden_labels(blocked: DataFrame) -> tuple[DataFrame, int]:
+    """Pointer-doubled min-label propagation to fixpoint over the
+    blocked records: returns ``(labels (key, label), rounds_run)``.
+    Convergence = zero labels changed in the round just run (labels are
+    monotone non-increasing, so a no-change round is a global fixpoint
+    and the stop round is well-defined for the SQL replay)."""
+    from mongraph_spark import pregel
+
     a = blocked.select(
         "block_key", F.col("key").alias("key_a"), F.col("name").alias("name_a")
     )
@@ -1960,11 +1992,12 @@ def golden_from_blocked(blocked: DataFrame) -> DataFrame:
             F.col("key_b").alias("key_a"), F.col("key_a").alias("key_b")
         )
     )
-    labels = blocked.select("key", F.col("key").alias("label"))
-    for _ in range(GOLDEN_CC_ROUNDS):
+
+    def step(state: DataFrame) -> DataFrame:
+        lab = state.select("key", "label")
         nbr = (
             edges.join(
-                labels.select(
+                lab.select(
                     F.col("key").alias("key_b"), F.col("label").alias("nl")
                 ),
                 "key_b",
@@ -1972,16 +2005,54 @@ def golden_from_blocked(blocked: DataFrame) -> DataFrame:
             .groupBy(F.col("key_a").alias("key"))
             .agg(F.min("nl").alias("nbr_min"))
         )
-        labels = (
-            labels.join(nbr, "key", "left")
+        # pointer doubling: label(label(v)) — labels are always some
+        # record's key (mins over initial self-labels), so the self-join
+        # is 1:1 on the unique key column
+        ptr = lab.join(
+            lab.select(
+                F.col("key").alias("pk"), F.col("label").alias("ptr_label")
+            ),
+            F.col("label") == F.col("pk"),
+            "left",
+        ).select("key", "ptr_label")
+        return (
+            lab.join(nbr, "key", "left")
+            .join(ptr, "key", "left")
             .select(
                 "key",
                 F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                    F.col("label"),
+                    F.coalesce(F.col("nbr_min"), F.col("label")),
+                    F.coalesce(F.col("ptr_label"), F.col("label")),
                 ).alias("label"),
+                F.col("label").alias("old_label"),
             )
-            .localCheckpoint(eager=True)
         )
+
+    def converged(cur: DataFrame) -> bool:
+        return (
+            cur.filter(F.col("label") != F.col("old_label")).limit(1).count()
+            == 0
+        )
+
+    labels0 = blocked.select("key", F.col("key").alias("label"))
+    labels, rounds = pregel.iterate(
+        labels0,
+        step,
+        max_rounds=GOLDEN_CC_MAX_ROUNDS,
+        checkpoint_every=1,
+        converged=converged,
+    )
+    return labels.select("key", "label"), rounds
+
+
+def golden_from_blocked(
+    blocked: DataFrame, with_rounds: bool = False
+) -> DataFrame | tuple[DataFrame, int]:
+    """Cluster + survive over a (block_key, key, name, psize, ptype,
+    price_cents) records frame — factored so known-value pins can feed
+    hand-built duplicate groups."""
+    labels, rounds = golden_labels(blocked)
     ent = blocked.join(labels, "key")
     golden = (
         ent.groupBy(F.col("label").alias("entity_id"))
@@ -2002,24 +2073,42 @@ def golden_from_blocked(blocked: DataFrame) -> DataFrame:
             "n_types",
         )
     )
+    if with_rounds:
+        return golden, rounds
     return golden
 
 
 def _oracle_golden() -> str:
+    """SQL replay of golden_labels' data-dependent stop: unroll the full
+    {GOLDEN_CC_MAX_ROUNDS}-round cap with pointer doubling, count per-round
+    label changes, and survive at the FIRST round with zero changes (the
+    loop's exact probe) — capped at the same bound."""
     rounds = []
     prev = "l0"
-    for t in range(1, GOLDEN_CC_ROUNDS + 1):
+    for t in range(1, GOLDEN_CC_MAX_ROUNDS + 1):
         rounds.append(f"""
 l{t} AS MATERIALIZED (
   SELECT l.key,
-         least(l.label, coalesce(min(nl.label), l.label)) AS label
+         least(l.label,
+               coalesce(min(nl.label), l.label),
+               coalesce(min(pl.label), l.label)) AS label
   FROM {prev} l
   LEFT JOIN edges e ON e.key_a = l.key
   LEFT JOIN {prev} nl ON nl.key = e.key_b
+  LEFT JOIN {prev} pl ON pl.key = l.label
   GROUP BY l.key, l.label
 )""".strip())
         prev = f"l{t}"
     rounds_sql = ",\n".join(rounds)
+    changes = "\nUNION ALL\n".join(
+        f"SELECT {t} AS k, count(*) AS n FROM l{t} a"
+        f" JOIN l{t - 1} b ON a.key = b.key AND a.label <> b.label"
+        for t in range(1, GOLDEN_CC_MAX_ROUNDS + 1)
+    )
+    labels_all = "\nUNION ALL\n".join(
+        f"SELECT {t} AS k, key, label FROM l{t}"
+        for t in range(1, GOLDEN_CC_MAX_ROUNDS + 1)
+    )
     return f"""
 WITH blocked AS MATERIALIZED (
   SELECT p_brand || '|' || string_split(p_name, ' ')[-1] AS block_key,
@@ -2039,15 +2128,29 @@ edges AS MATERIALIZED (
   SELECT key_b, key_a FROM matched
 ),
 l0 AS MATERIALIZED (SELECT key, key AS label FROM blocked),
-{rounds_sql}
+{rounds_sql},
+changes AS (
+{changes}
+),
+chosen AS (
+  SELECT CAST(coalesce(min(k), {GOLDEN_CC_MAX_ROUNDS}) AS BIGINT) AS rounds_run
+  FROM changes WHERE n = 0
+),
+labels_all AS (
+{labels_all}
+)
 SELECT label AS entity_id,
        CAST(count(*) AS BIGINT) AS n_members,
        (min(struct_pack(k := e.key, nm := b.name))).nm AS canonical_name,
        CAST(max(b.price_cents) AS BIGINT) AS max_price_cents,
        CAST(max(b.psize) AS BIGINT) AS max_size,
-       CAST(count(DISTINCT b.ptype) AS BIGINT) AS n_types
-FROM l{GOLDEN_CC_ROUNDS} e JOIN blocked b ON e.key = b.key
-GROUP BY label
+       CAST(count(DISTINCT b.ptype) AS BIGINT) AS n_types,
+       ch.rounds_run
+FROM labels_all e
+CROSS JOIN chosen ch
+JOIN blocked b ON e.key = b.key
+WHERE e.k = ch.rounds_run
+GROUP BY label, ch.rounds_run
 HAVING count(*) >= 2
 ORDER BY entity_id
 """

@@ -326,6 +326,37 @@ def test_golden_record_chain_converges(spark):
     assert out[0]["entity_id"] == 100 and out[0]["n_members"] == 5
 
 
+def test_golden_record_long_chain_converges(spark):
+    # diameter-10 chain (the ADVICE r10 failure mode: a fixed 6-round
+    # budget under-converges a >6-hop chain and splits one entity) —
+    # pointer doubling must collapse it in <= ceil(log2(10)) + 1 rounds
+    from mongraph_spark.queries.inference import (
+        GOLDEN_CC_MAX_ROUNDS,
+        golden_from_blocked,
+    )
+
+    base = list("aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa")  # 40 chars
+    names = []
+    for i in range(41):  # name_i flips the first i chars; lev = |i - j|
+        nm = base.copy()
+        for j in range(i):
+            nm[j] = "b"
+        names.append("".join(nm))
+    rows = [("blk|x", 100 + i, nm, 1, "t", 10) for i, nm in enumerate(names)]
+    blocked = spark.createDataFrame(
+        rows,
+        "block_key string, key long, name string, psize long,"
+        " ptype string, price_cents long",
+    )
+    golden, rounds = golden_from_blocked(blocked, with_rounds=True)
+    out = golden.collect()
+    # edges only where |i-j| <= 4 -> diameter ceil(40/4) = 10 hops
+    assert len(out) == 1
+    assert out[0]["entity_id"] == 100 and out[0]["n_members"] == 41
+    # pointer doubling: O(log D) rounds, comfortably under the cap
+    assert rounds <= GOLDEN_CC_MAX_ROUNDS
+
+
 def test_kl_drift_identical_halves_zero(spark):
     from mongraph_spark.queries.inference import kl_from_grouped_tokens
 
