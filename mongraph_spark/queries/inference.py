@@ -2302,14 +2302,16 @@ def store_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row tracking end to end, driver-verifiable — the Delta row-ID
     contract on the CoW store (stable row identity across updates and
     re-layouts, minted per commit, retired by DELETE, REISSUED on
-    re-insert): v0 init with ``row_tracking=True`` (ids = rank by doc_id)
+    re-insert): v0 init with ``row_tracking=True`` (ids minted per md5
+    bucket — bucket·capacity + in-bucket rank by doc_id, one window task
+    per bucket; the oracle replays the same md5 arithmetic)
     → v1 upsert (docs 1–2 updated — ids INHERITED; docs 900001–900002
     inserted — ids minted in v1's namespace) → v2 compact (pure
     re-layout — every id carried verbatim) → v3 DELETE doc 3 (id
     retired) → v4 re-insert doc 3 (a NEW identity in v4's namespace, the
     resurrect-is-a-new-row rule).
 
-    Ids are (commit version << 40) + in-batch rank, so grouping the final
+    Ids live in the (commit version << 40) namespace, so grouping the final
     table by ``_row_id >> 40`` exposes exactly which commit minted each
     surviving row's identity — the oracle replays the whole protocol
     arithmetically.  Hash-asserted: per-epoch row counts, doc_id sums,
@@ -2360,10 +2362,17 @@ def store_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_ROW_TRACKING = """
-WITH v0 AS (  -- init ids: rank by doc_id in the full batch
+WITH b0 AS (  -- the md5 mint bucket (n_buckets = 8), engine-portable
   SELECT doc_id, source, n_chars,
-         CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS rid
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS mb
   FROM documents
+),
+v0 AS (  -- init ids: bucket * (2^40 / 8) + in-bucket rank by doc_id
+  SELECT doc_id, source, n_chars,
+         CAST(mb * 137438953472
+              + row_number() OVER (PARTITION BY mb ORDER BY doc_id)
+           AS BIGINT) AS rid
+  FROM b0
 ),
 final AS (
   -- doc 3's ORIGINAL identity was deleted at v3; its v4 re-insert is a

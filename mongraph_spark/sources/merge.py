@@ -58,7 +58,7 @@ _TOMBSTONES = "_vacuumed.json"
 _STATS = "_stats.json"
 _BUCKET = "__bucket"
 _ROW_ID = "_row_id"  # physical-only column on row_tracking tables
-_ROW_ID_STRIDE = 1 << 40  # ids are (commit version << 40) + in-batch rank
+_ROW_ID_STRIDE = 1 << 40  # batch ids: (commit version << 40) + in-batch rank; init: per-bucket
 DEFAULT_BUCKETS = 16
 
 # Conflict-classification sets for the rebase commit path (see
@@ -1654,7 +1654,11 @@ def _assign_row_ids(df: DataFrame, key: str, ver_num: int) -> DataFrame:
     rank-of-key within this batch.  Version numbers are claim-serialized
     and unique, so concurrent committers can never mint the same id; the
     in-batch rank orders by key (deterministic — batches are deduped by
-    key first).  Rows already carrying a non-null id keep it."""
+    key first).  Rows already carrying a non-null id keep it.
+
+    The single-partition window is the BOUNDED-batch path (upsert /
+    merge insert sides); the full initial table goes through
+    :func:`_assign_row_ids_init`, which parallelizes per bucket."""
     base = F.lit(ver_num * _ROW_ID_STRIDE).cast("long")
     # constant-0 partition that survives constant folding (the sparkutil
     # const_part trick, inlined — the batch is the bounded update side)
@@ -1666,6 +1670,53 @@ def _assign_row_ids(df: DataFrame, key: str, ver_num: int) -> DataFrame:
     if _ROW_ID in df.columns:
         return df.withColumn(_ROW_ID, F.coalesce(F.col(_ROW_ID), base + rank))
     return df.withColumn(_ROW_ID, base + rank)
+
+
+def _assign_row_ids_init(
+    df: DataFrame, key: str, ver_num: int, n_buckets: int
+) -> DataFrame:
+    """Parallel id mint for the FULL initial table (the one unbounded
+    batch): ``(ver_num << 40) + mint_bucket·capacity + rank-of-key
+    within the mint bucket``, where capacity = (1 << 40) // n_buckets.
+    The window partitions by the mint bucket, so the one-time stamp runs
+    one task per bucket instead of funneling every row through a single
+    global-window task — and needs no counting pre-pass (a
+    cumulative-offset scheme would re-scan the table once just to make
+    ids dense).  Ids stay unique and deterministic: ranks order by key,
+    and a bucket that overflows its 2^40/n_buckets id capacity fails
+    loudly instead of colliding into the next bucket's range.
+
+    The mint bucket is md5-derived (``int(md5(key)[:8], 16) % n``)
+    rather than the store's xxhash64 layout bucket ON PURPOSE: md5 is
+    the repo's engine-portable randomness idiom, so an oracle can replay
+    the exact minted ids in ANSI SQL (xxhash64 is Spark-only).  Any
+    deterministic uniform partition serves the parallelism goal
+    equally."""
+    capacity = _ROW_ID_STRIDE // n_buckets
+    b = (
+        F.conv(
+            F.substring(F.md5(F.col(key).cast("string").cast("binary")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % n_buckets
+    )
+    w = Window.partitionBy(b).orderBy(key)
+    rank = F.row_number().over(w).cast("long")
+    guarded = F.when(
+        rank <= F.lit(capacity),
+        F.lit(ver_num * _ROW_ID_STRIDE).cast("long")
+        + b.cast("long") * F.lit(capacity)
+        + rank,
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                f"row-tracking init: bucket exceeds {capacity} rows; "
+                "raise n_buckets or init in batches"
+            )
+        ).cast("long")
+    )
+    return df.withColumn(_ROW_ID, guarded)
 
 
 def init_table(
@@ -1680,8 +1731,11 @@ def init_table(
     (mutations are full rewrites).
 
     ``row_tracking=True`` (bucketed tables only) assigns every row a
-    stable ``_row_id`` — (commit version << 40) + rank-by-key within the
-    committing batch — stored as a physical-only column: inherited by
+    stable ``_row_id`` in the committing version's (commit version << 40)
+    namespace — bounded update batches rank by key; the initial table
+    mints per bucket (bucket · capacity + in-bucket rank-by-key, one
+    window task per bucket — no global funnel) — stored as a
+    physical-only column: inherited by
     key on upsert/merge updates, carried verbatim through compaction /
     clustering / rebucket, retired by DELETE, and REISSUED on
     re-insert-after-delete (a new row identity, the Delta row-tracking
@@ -1696,7 +1750,7 @@ def init_table(
     if key is not None:
         _write_meta(root, key, n_buckets, df.schema, row_tracking=row_tracking)
         if row_tracking:
-            df = _assign_row_ids(df, key, 0)
+            df = _assign_row_ids_init(df, key, 0, n_buckets)
         df.withColumn(_BUCKET, _bucket_expr(key, n_buckets)).write.mode(
             "errorifexists"
         ).partitionBy(_BUCKET).parquet(os.path.join(root, ver))

@@ -14,6 +14,12 @@ from pyspark.sql import functions as F
 from mongraph_spark.sources import merge as M
 
 STRIDE = 1 << 40
+CAP = STRIDE // 4  # init's per-bucket id capacity at n_buckets=4
+# bucket-major init ids for keys 1..6 under the md5 mint bucket
+# (int(md5(str(key))[:8], 16) % 4): buckets ->
+# {1: 0, 2: 1, 3: 2, 4: 1, 5: 3, 6: 0}; rank by key in-bucket
+INIT_IDS = {1: 1, 2: CAP + 1, 3: 2 * CAP + 1,
+            4: CAP + 2, 5: 3 * CAP + 1, 6: 2}
 
 
 @pytest.fixture()
@@ -39,9 +45,15 @@ def _ids(spark, root):
     }
 
 
-def test_init_ids_are_rank_by_key(spark, root):
+def test_init_ids_bucket_major_rank(spark, root):
+    # init mints per-bucket (parallel, no global window): v0 epoch +
+    # bucket * capacity + rank-of-key within the bucket — unique, stable,
+    # and entirely inside v0's id namespace
     _table(spark, root)
-    assert _ids(spark, root) == {i: i for i in range(1, 7)}  # v0 epoch, rank
+    ids = _ids(spark, root)
+    assert ids == INIT_IDS
+    assert len(set(ids.values())) == 6
+    assert all(0 < v < STRIDE for v in ids.values())
 
 
 def test_update_inherits_insert_mints(spark, root):
@@ -52,7 +64,7 @@ def test_update_inherits_insert_mints(spark, root):
     )
     M.upsert(spark, root, up, key="id")
     ids = _ids(spark, root)
-    assert ids[2] == 2  # inherited
+    assert ids[2] == INIT_IDS[2]  # inherited
     assert ids[10] == 1 * STRIDE + 1 and ids[11] == 1 * STRIDE + 2
     # the update really happened (inherit did not keep the old row)
     row = {
@@ -107,7 +119,7 @@ def test_merge_into_inherit_and_mint(spark, root):
         insert_not_matched=True,
     )
     ids = _ids(spark, root)
-    assert ids[3] == 3  # matched update keeps the target row's id
+    assert ids[3] == INIT_IDS[3]  # matched update keeps the target row's id
     assert ids[20] == 1 * STRIDE + 1  # insert minted in v1's namespace
     vals = {r["id"]: r["val"] for r in M.read_current(spark, root).collect()}
     assert vals[3] == 31
@@ -141,7 +153,7 @@ def test_dv_delete_keeps_other_ids(spark, root):
     M.delete_where_dv(spark, root, F.col("id") == 4)
     ids = _ids(spark, root)
     assert 4 not in ids
-    assert ids[5] == 5  # merge-on-read never touched the survivors
+    assert ids[5] == INIT_IDS[5]  # merge-on-read never touched the survivors
     # a later upsert on the same bucket materializes the vector and still
     # preserves every surviving id
     M.upsert(
@@ -150,7 +162,7 @@ def test_dv_delete_keeps_other_ids(spark, root):
         spark.createDataFrame([(5, "u", 1)], "id long, name string, val long"),
         key="id",
     )
-    assert _ids(spark, root)[5] == 5
+    assert _ids(spark, root)[5] == INIT_IDS[5]
 
 
 def test_row_tracking_requires_key(spark, root):
@@ -172,5 +184,5 @@ def test_schema_evolution_keeps_ids(spark, root):
     )
     cur = M.read_current(spark, root, with_row_ids=True)
     rows = {r["id"]: r for r in cur.collect()}
-    assert rows[1]["_row_id"] == 1 and rows[1]["score"] == 0.9
+    assert rows[1]["_row_id"] == INIT_IDS[1] and rows[1]["score"] == 0.9
     assert rows[6]["score"] == 0.5  # default fill rides with ids intact
