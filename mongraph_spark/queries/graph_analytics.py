@@ -2810,8 +2810,190 @@ GROUP BY 1""",
 ORACLE_EIGENVECTOR = _eigenvector_oracle()
 
 
+# -- Eigenvector centrality, data-dependent stop ------------------------------------
+
+EIG_CONV_MAX_ITER = 12
+EIG_TOPK = 20
+
+
+def graph_eigenvector_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eigenvector centrality run to a DATA-DEPENDENT stop — the
+    production companion to the fixed-depth :func:`graph_eigenvector_centrality`
+    (kept as the bounded-cost variant), with the stop round hash-checked
+    end to end (``rounds_run``).
+
+    Two deliberate departures from the textbook loop, both measured on
+    this graph's spectrum:
+
+    1. **Lazy walk (A+I)**: the TPC-H relationship graph is bipartite-ish
+       (customers↔orders↔items), so plain power iteration 2-cycles — the
+       per-round score delta PLATEAUS near 960/1000 forever.  Self-loops
+       shift the spectrum (same leading eigenvector, eigenvalues +1) and
+       make the iteration aperiodic.
+    2. **Top-K-set stop, not vector-norm stop**: even shifted, λ₂/λ₁ ≈
+       0.95 here, so max|Δscore| ≤ tol would take >100 rounds — the raw
+       vector converges slowly, but the RANKING consumers read converges
+       fast.  The loop stops at the first round whose top-{EIG_TOPK}
+       node SET (score desc, node_id tiebreak) equals the previous
+       round's — measured round 5 at sf0.01 vs the 12-round cap, and
+       stable every round after.
+
+    The oracle REPLAYS the stop rule (unrolls the full cap, compares
+    consecutive top-K sets, picks the first stable pair), so both
+    engines stop at the same round by construction — the
+    graph_pagerank_converged pattern.
+
+    Returns the top-K rows (rank, node_id, score) at the stop round plus
+    ``rounds_run``.  Exactness: scores are exact integers on the
+    {EIG_GRID} grid (see graph_eigenvector_centrality); set compares and
+    rank tiebreaks are over exact integers.  Scale shape: per round ONE
+    src-keyed join + map-side-combined agg + broadcast 1-row max; the
+    convergence probe is a {EIG_TOPK}-row TakeOrdered (no global sort),
+    compared driver-side against the previous probe."""
+    eng = tpch.bulk_engine(spark, sf_dir)
+    e = eng.store.edges_df().select("src", "dst")
+    nodes = eng.store.nodes_df().select("node_id")
+    und = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .union(
+            nodes.select(
+                F.col("node_id").alias("src"), F.col("node_id").alias("dst")
+            )
+        )
+        .distinct()
+        .persist()
+    )
+
+    def step(x):
+        c = (
+            x.join(und, x["node_id"] == und["src"])
+            .select(F.col("dst").alias("node_id"), "score")
+            .groupBy("node_id")
+            .agg(F.sum("score").cast("decimal(38,0)").alias("c"))
+        )
+        m = c.agg(F.max("c").alias("m"))
+        return (
+            nodes.join(c, "node_id", "left")
+            .crossJoin(F.broadcast(m))
+            .selectExpr(
+                "node_id",
+                f"CAST((CAST({EIG_GRID} AS DECIMAL(38,0)) * coalesce(c, 0))"
+                " div m AS BIGINT) AS score",
+            )
+        )
+
+    prev_top: list[int] | None = None
+
+    def converged(cur) -> bool:
+        nonlocal prev_top
+        top = [
+            r["node_id"]
+            for r in cur.orderBy(F.desc("score"), "node_id")
+            .limit(EIG_TOPK)
+            .collect()
+        ]
+        stable = prev_top is not None and set(top) == set(prev_top)
+        prev_top = top
+        return stable
+
+    try:
+        x0 = nodes.select("node_id", F.lit(EIG_GRID).cast("long").alias("score"))
+        x, iters = pregel.iterate(
+            x0,
+            step,
+            max_rounds=EIG_CONV_MAX_ITER,
+            checkpoint_every=1,
+            converged=converged,
+        )
+    finally:
+        und.unpersist()
+    w = Window.partitionBy(const_part(F.col("node_id"))).orderBy(
+        F.desc("score"), "node_id"
+    )
+    return (
+        x.orderBy(F.desc("score"), "node_id")
+        .limit(EIG_TOPK)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn("rounds_run", F.lit(iters).cast("long"))
+        .select("rank", "node_id", "score", "rounds_run")
+    )
+
+
+def _eigenvector_converged_oracle() -> str:
+    """SQL replay of graph_eigenvector_converged's stop rule: unroll the
+    full {EIG_CONV_MAX_ITER}-round lazy-walk horizon, compute each round's
+    top-{EIG_TOPK} set, and pick the FIRST round k >= 2 whose set equals
+    round k-1's (symmetric-difference count 0); cap at the bound."""
+    body = """
+undl AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM g_edges
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM g_edges
+    UNION ALL
+    SELECT node_id AS src, node_id AS dst FROM g_nodes
+  )
+),
+x0 AS (SELECT node_id, CAST(1000 AS BIGINT) AS score FROM g_nodes)"""
+    prev = "x0"
+    for k in range(1, EIG_CONV_MAX_ITER + 1):
+        body += f""",
+c{k} AS (
+  SELECT u.dst AS node_id, CAST(sum(x.score) AS HUGEINT) AS c
+  FROM {prev} x JOIN undl u ON x.node_id = u.src
+  GROUP BY u.dst
+),
+m{k} AS (SELECT max(c) AS m FROM c{k}),
+x{k} AS MATERIALIZED (
+  SELECT n.node_id,
+         CAST((CAST({EIG_GRID} AS HUGEINT) * coalesce(c.c, 0)) // m.m AS BIGINT)
+           AS score
+  FROM g_nodes n LEFT JOIN c{k} c ON n.node_id = c.node_id CROSS JOIN m{k} m
+),
+top{k} AS MATERIALIZED (
+  SELECT node_id, score,
+         row_number() OVER (ORDER BY score DESC, node_id) AS rnk
+  FROM x{k} QUALIFY rnk <= {EIG_TOPK}
+)"""
+        prev = f"x{k}"
+    sames = "\nUNION ALL\n".join(
+        f"SELECT {k} AS k,"
+        f" (SELECT count(*) FROM (SELECT node_id FROM top{k}"
+        f"   EXCEPT SELECT node_id FROM top{k - 1}))"
+        f" + (SELECT count(*) FROM (SELECT node_id FROM top{k - 1}"
+        f"   EXCEPT SELECT node_id FROM top{k})) AS d"
+        for k in range(2, EIG_CONV_MAX_ITER + 1)
+    )
+    tops_all = "\nUNION ALL\n".join(
+        f"SELECT {k} AS k, rnk, node_id, score FROM top{k}"
+        for k in range(2, EIG_CONV_MAX_ITER + 1)
+    )
+    body += f""",
+sames AS (
+{sames}
+),
+chosen AS (
+  SELECT CAST(coalesce(min(k), {EIG_CONV_MAX_ITER}) AS BIGINT) AS rounds_run
+  FROM sames WHERE d = 0
+),
+tops_all AS (
+{tops_all}
+)"""
+    return tpch.oracle_with(
+        f"""SELECT CAST(t.rnk AS BIGINT) AS rank, t.node_id, t.score, ch.rounds_run
+FROM tops_all t CROSS JOIN chosen ch
+WHERE t.k = ch.rounds_run
+ORDER BY t.rnk""",
+        extra_ctes=body.lstrip(",\n"),
+    )
+
+
+ORACLE_EIGENVECTOR_CONVERGED = _eigenvector_converged_oracle()
+
+
 QUERIES = {
     "graph_eigenvector_centrality": graph_eigenvector_centrality,
+    "graph_eigenvector_converged": graph_eigenvector_converged,
     "graph_rich_club": graph_rich_club,
     # degree_distribution + copurchase_pairs ride the merged
     # graph_degree_copurchase row (functions kept for internal callers)
@@ -2864,6 +3046,7 @@ ORACLES = {
     "graph_association_rules": ORACLE_ASSOC,
     "graph_hits": ORACLE_HITS,
     "graph_eigenvector_centrality": ORACLE_EIGENVECTOR,
+    "graph_eigenvector_converged": ORACLE_EIGENVECTOR_CONVERGED,
     "graph_closeness_landmarks": ORACLE_CLOSENESS,
     "graph_betweenness_landmarks": ORACLE_BETWEENNESS,
     "graph_diameter_double_sweep": ORACLE_DIAMETER,
