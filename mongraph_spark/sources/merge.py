@@ -3262,6 +3262,56 @@ def read_changes(
     return out
 
 
+def stream_changes(
+    spark: SparkSession,
+    root: str,
+    since_version: int = -1,
+    until_version: int | None = None,
+    *,
+    commits_per_trigger: int = 1,
+) -> DataFrame:
+    """STREAMING Change Data Feed — :func:`read_changes` as a rate-limited
+    readStream whose offsets ARE commit versions (the Delta
+    ``readChangeFeed`` + ``maxFilesPerTrigger``-style admission shape,
+    but commit-granular): every micro-batch is a whole number of commits
+    in commit order, at most ``commits_per_trigger`` per trigger.  With
+    the default 1, each micro-batch is EXACTLY one commit — the replay
+    granularity incremental maintainers (SCD2, IVM) assume, which a file
+    source over a spooled copy cannot promise (files split commits and
+    order by modification time).
+
+    Implemented as a PySpark Python data source
+    (:mod:`mongraph_spark.sources.cdf_stream`): driver-side planning is
+    metadata-only (commit records scope each transition to touched
+    buckets), the per-bucket old/new diff runs Arrow-side on executors,
+    and no spool copy of the feed is ever materialized.  Raises for
+    un-keyed tables and tables with generated columns (their fills are
+    SQL expressions; use the batch feed)."""
+    meta = _read_meta(root)
+    if meta.get("key") is None:
+        raise ValueError("stream_changes requires a bucketed (keyed) table")
+    if any("expr" in c for c in (meta.get("added") or [])):
+        raise NotImplementedError(
+            "stream_changes does not evaluate generated-column fills; "
+            "use the batch read_changes"
+        )
+    from mongraph_spark.sources.cdf_stream import FORMAT_NAME, CdfDataSource
+
+    registered = getattr(spark, "_mg_cdf_registered", False)
+    if not registered:
+        spark.dataSource.register(CdfDataSource)
+        spark._mg_cdf_registered = True
+    reader = (
+        spark.readStream.format(FORMAT_NAME)
+        .option("root", root)
+        .option("since_version", str(int(since_version)))
+        .option("commits_per_trigger", str(int(commits_per_trigger)))
+    )
+    if until_version is not None:
+        reader = reader.option("until_version", str(int(until_version)))
+    return reader.load()
+
+
 def scd2_history(
     spark: SparkSession,
     root: str,

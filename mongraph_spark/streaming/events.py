@@ -2091,18 +2091,18 @@ def streaming_ivm_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     every warehouse-adjacent pipeline runs.
 
     The same 3-version history is replayed as a change STREAM, consumed
-    DIRECTLY from the store's first-class change feed
-    (``sources.merge.read_changes`` — the Delta CDF shape; round 10
-    retires this twin's hand-derived feed): each transition's CDF rows
-    collapse to signed contributions (insert/update_postimage → +1·chars,
-    delete/update_preimage → −1·chars — commutative, so micro-batch
-    boundaries can NEVER change the result) and land as one file per
-    commit in a CDC directory; a file-source stream aggregates them in
-    update mode, and each micro-batch MERGEs the changed groups' running
-    Δ onto the V0 baseline in a view store keyed by source.  The final
-    table must equal the full recompute from the store's current version
-    — emitted per group as ``identity_holds``, checked by the SAME
-    oracle as the batch twin.
+    DIRECTLY from the store's first-class STREAMING change feed
+    (``sources.merge.stream_changes`` — the commit-offset Python data
+    source; round 11 retires the per-commit spool-copy loop a file
+    source needed): each commit arrives as its own micro-batch whose CDF
+    rows collapse to signed contributions (insert/update_postimage →
+    +1·chars, delete/update_preimage → −1·chars — commutative, so
+    micro-batch boundaries can NEVER change the result), the stream
+    aggregates them in update mode, and each micro-batch MERGEs the
+    changed groups' running Δ onto the V0 baseline in a view store keyed
+    by source.  The final table must equal the full recompute from the
+    store's current version — emitted per group as ``identity_holds``,
+    checked by the SAME oracle as the batch twin.
 
     Scale shape: streaming state is one (Δcount, Δsum) pair per GROUP
     (group-bounded, not row-bounded — the state-size table's best class);
@@ -2120,25 +2120,6 @@ def streaming_ivm_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         return merge_store.read_version(spark, root, n).drop("__bucket")
 
     v0, v2 = rv(0), rv(2)
-    cdc_dir = root + "_cdc"
-    shutil.rmtree(cdc_dir, ignore_errors=True)
-    # the store's own change feed IS the stream source: CDF rows collapse
-    # to signed group contributions, one file per commit so the stream
-    # replays transition-by-transition (maxFilesPerTrigger=1)
-    sign = F.when(
-        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
-    ).otherwise(F.lit(-1))
-    feed = merge_store.read_changes(spark, root, since_version=0).select(
-        "source",
-        sign.cast("long").alias("dc"),
-        (sign * F.col("n_chars")).cast("long").alias("dch"),
-        "_commit_version",
-    )
-    for n in [1, 2]:
-        feed.filter(F.col("_commit_version") == n).drop(
-            "_commit_version"
-        ).write.mode("append").parquet(cdc_dir)
-
     view0 = v0.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("sum_chars"),
@@ -2147,10 +2128,16 @@ def streaming_ivm_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(view_root, ignore_errors=True)
     merge_store.init_table(view0, view_root, key="source", n_buckets=4)
 
-    changes = (
-        spark.readStream.schema("source STRING, dc BIGINT, dch BIGINT")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(cdc_dir)
+    # the store's own STREAMING change feed is the source: one commit per
+    # micro-batch (commits_per_trigger=1), CDF rows collapsing to signed
+    # group contributions inside the stream
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    changes = merge_store.stream_changes(spark, root, since_version=0).select(
+        "source",
+        sign.cast("long").alias("dc"),
+        (sign * F.col("n_chars")).cast("long").alias("dch"),
     )
     dv = changes.groupBy("source").agg(
         F.sum("dc").alias("dd"), F.sum("dch").alias("dsc")
@@ -2169,13 +2156,15 @@ def streaming_ivm_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         merge_store.upsert(batch_df.sparkSession, view_root, merged, key="source")
 
     with _state_partitioning(spark, sf_dir):
-        q = (
-            dv.writeStream.foreachBatch(sink)
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        # processAllAvailable (not availableNow): the Python-data-source
+        # JVM wrapper snapshots ONE rate-limited latestOffset under
+        # availableNow, which would stop after the first commit; the
+        # drain-then-stop pattern honors the commit-per-trigger cadence
+        q = dv.writeStream.foreachBatch(sink).outputMode("update").start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
 
     maintained = (
         merge_store.read_current(spark, view_root)
@@ -2261,21 +2250,10 @@ def streaming_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mongraph_spark.sources import merge as merge_store
 
     root = ivm_build_history(spark, sf_dir, tag="shared")
-    cdc_dir = root + "_scd2cdc"
     cur_tab = root + "_scd2cur"
     log_dir = root + "_scd2log"
-    for d in (cdc_dir, cur_tab, log_dir):
+    for d in (cur_tab, log_dir):
         shutil.rmtree(d, ignore_errors=True)
-    feed = merge_store.read_changes(spark, root, since_version=-1)
-    for n in [0, 1, 2]:  # one file group per commit, in commit order
-        feed.filter(F.col("_commit_version") == n).write.mode(
-            "append"
-        ).parquet(cdc_dir)
-
-    schema = (
-        "doc_id LONG, source STRING, n_chars LONG, "
-        "_change_type STRING, _commit_version LONG"
-    )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
@@ -2313,15 +2291,20 @@ def streaming_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             merge_store.init_table(opens, cur_tab, key="doc_id", n_buckets=8)
 
     with _state_partitioning(spark, sf_dir):
+        # the store's streaming change feed, one commit per micro-batch —
+        # GUARANTEED by the commit-offset source (a file source with
+        # maxFilesPerTrigger=1 could split a multi-file commit mid-batch,
+        # which would close intervals at a half-applied version).
+        # processAllAvailable, not availableNow: see streaming_ivm_agg.
         q = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(cdc_dir)
+            merge_store.stream_changes(spark, root, since_version=-1)
             .writeStream.foreachBatch(process)
-            .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
 
     cur = (
         merge_store.read_current(spark, cur_tab)
