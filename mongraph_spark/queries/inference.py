@@ -1915,6 +1915,249 @@ LIMIT {SRP_TOP_K}
 """
 
 
+# -- SRP band-structure tuning curve ------------------------------------------------
+
+SRP_CURVE_MICRO = 8  # finest sweep point: 8 bands x 4 bits (of the 32 planes)
+SRP_CURVE_BANDS = [1, 2, 4, 8]
+SRP_CURVE_TRUTH_PPM = 400_000  # "near pair" cut — the corpus' top ~60 at sf0.01
+
+
+def ann_srp_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-vs-candidate-volume CURVE over the SRP band structure —
+    the knob sheet behind :func:`ann_srp_lsh`'s fixed {SRP_BANDS}×{SRP_BITS}
+    choice (the dedup_threshold_curve / ann_recall_curve pattern: ONE
+    candidate build, each sweep point a pure filter).  The same 32 sign
+    bits banded 1×32 / 2×16 / 4×8 / 8×4: longer bands prune harder
+    (collision prob p^bits) but miss more true near pairs — this op
+    measures both sides so the 51× pruning claim carries its recall
+    trade-off.
+
+    One-build trick: band matching is CONJUNCTION of constituent
+    micro-band matches, so candidates are generated ONCE at the finest
+    granularity ({SRP_CURVE_MICRO} micro-bands of
+    {SRP_PLANES // SRP_CURVE_MICRO} bits) with a per-pair matched-micro-band
+    BITMAP; every coarser config's candidacy is a bitwise test over that
+    bitmap (config b matches iff some aligned group of
+    {SRP_CURVE_MICRO}//b micro-bands is all-matched).  Candidate sets
+    nest (1×32 ⊆ 2×16 ⊆ 4×8 ⊆ 8×4), so counts are monotone in band
+    count (pinned).  Recall is RELATIVE to the finest config's found set
+    (exact all-pairs truth is the thing LSH exists to avoid; nesting
+    makes relative recall well-defined).
+
+    Exactness: sign bits / bitmaps / counts are exact integers on the
+    established SRP machinery; the verify cosine is the same exact
+    DECIMAL(38)-dots ppm floor; recall_bp is integer division, guarded
+    for an empty reference set.
+
+    Scale shape: ONE bucketed band join (never all-pairs) at the finest
+    granularity + ONE exact-cosine verify over its candidates
+    (checkpointed); each curve point is a filtered aggregate of that
+    bounded scored set."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    micro_bits = SRP_PLANES // SRP_CURVE_MICRO
+    dims = (
+        emb.select("vec_id", F.posexplode("embedding").alias("d", "x"))
+        .select(
+            "vec_id",
+            "d",
+            F.round(F.col("x") * 1_000_000).cast("long").alias("xi"),
+        )
+        .localCheckpoint(eager=True)  # feeds the band build AND the verify
+    )
+    planes = (
+        spark.range(SRP_PLANES)
+        .select(F.col("id").cast("int").alias("j"))
+        .crossJoin(spark.range(64).select(F.col("id").cast("int").alias("d")))
+        .select(
+            "j",
+            "d",
+            F.when(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "_",
+                                F.col("j").cast("string"),
+                                F.col("d").cast("string"),
+                            )
+                        ),
+                        1,
+                        2,
+                    ),
+                    16,
+                    10,
+                ).cast("int")
+                % 2
+                == 0,
+                F.lit(1),
+            )
+            .otherwise(F.lit(-1))
+            .alias("s"),
+        )
+    )
+    bits = (
+        dims.join(F.broadcast(planes), "d")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("s") * F.col("xi")).cast("long").alias("dot"))
+        .select(
+            "vec_id",
+            (F.col("j") / micro_bits).cast("int").alias("band"),
+            F.expr(
+                f"CASE WHEN dot >= 0 THEN shiftleft(CAST(1 AS BIGINT),"
+                f" j % {micro_bits}) ELSE CAST(0 AS BIGINT) END"
+            ).alias("bitval"),
+        )
+    )
+    bands = bits.groupBy("vec_id", "band").agg(
+        F.sum("bitval").cast("long").alias("band_val")
+    )
+    a = bands.select("band", "band_val", F.col("vec_id").alias("vec_a"))
+    b = bands.select("band", "band_val", F.col("vec_id").alias("vec_b"))
+    cands = (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .groupBy("vec_a", "vec_b")
+        .agg(
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), band)"))
+            .cast("long")
+            .alias("bitmap")
+        )
+    )
+    da = dims.select(F.col("vec_id").alias("vec_a"), "d", F.col("xi").alias("xa"))
+    db = dims.select(F.col("vec_id").alias("vec_b"), "d", F.col("xi").alias("xb"))
+    scored = (
+        cands.join(da, "vec_a")
+        .join(db, ["vec_b", "d"])
+        .groupBy("vec_a", "vec_b", "bitmap")
+        .agg(
+            F.sum(F.col("xa").cast("decimal(38,0)") * F.col("xb")).alias("dab"),
+            F.sum(F.col("xa").cast("decimal(38,0)") * F.col("xa")).alias("daa"),
+            F.sum(F.col("xb").cast("decimal(38,0)") * F.col("xb")).alias("dbb"),
+        )
+        .selectExpr(
+            "bitmap",
+            "CAST(FLOOR(1000000 * CAST(dab AS DOUBLE)"
+            " / (SQRT(CAST(daa AS DOUBLE)) * SQRT(CAST(dbb AS DOUBLE))))"
+            " AS BIGINT) AS cos_ppm",
+        )
+        .localCheckpoint(eager=True)  # one verify pass feeds every point
+    )
+    ref = scored.agg(
+        F.count(F.when(F.col("cos_ppm") >= SRP_CURVE_TRUTH_PPM, 1))
+        .cast("long")
+        .alias("n_ref")
+    )
+    out = None
+    for nb in SRP_CURVE_BANDS:
+        group = SRP_CURVE_MICRO // nb
+        mask = (1 << group) - 1
+        cand = F.expr(
+            " OR ".join(
+                f"((shiftright(bitmap, {i * group}) & {mask}) = {mask})"
+                for i in range(nb)
+            )
+        )
+        part = (
+            scored.agg(
+                F.count(F.when(cand, 1)).cast("long").alias("n_candidates"),
+                F.count(
+                    F.when(cand & (F.col("cos_ppm") >= SRP_CURVE_TRUTH_PPM), 1)
+                )
+                .cast("long")
+                .alias("n_found"),
+            )
+            .crossJoin(F.broadcast(ref))
+            .selectExpr(
+                f"CAST({nb} AS BIGINT) AS bands",
+                f"CAST({SRP_PLANES // nb} AS BIGINT) AS bits_per_band",
+                "n_candidates",
+                "n_found",
+                "CASE WHEN n_ref > 0 THEN (10000 * n_found) div n_ref END"
+                " AS recall_bp",
+            )
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def _oracle_srp_band_curve() -> str:
+    micro_bits = SRP_PLANES // SRP_CURVE_MICRO
+    points = []
+    for nb in SRP_CURVE_BANDS:
+        group = SRP_CURVE_MICRO // nb
+        mask = (1 << group) - 1
+        cand = " OR ".join(
+            f"(((bitmap >> {i * group}) & {mask}) = {mask})" for i in range(nb)
+        )
+        points.append(
+            f"""SELECT CAST({nb} AS BIGINT) AS bands,
+       CAST({SRP_PLANES // nb} AS BIGINT) AS bits_per_band,
+       (SELECT count(*) FROM scored WHERE {cand}) AS n_candidates,
+       (SELECT count(*) FROM scored
+        WHERE ({cand}) AND cos_ppm >= {SRP_CURVE_TRUTH_PPM}) AS n_found,
+       CASE WHEN (SELECT n_ref FROM ref) > 0 THEN
+         (10000 * (SELECT count(*) FROM scored
+                   WHERE ({cand}) AND cos_ppm >= {SRP_CURVE_TRUTH_PPM}))
+         // (SELECT n_ref FROM ref) END AS recall_bp"""
+        )
+    union = "\nUNION ALL\n".join(points)
+    return f"""
+WITH dims AS MATERIALIZED (
+  SELECT vec_id, CAST(u.d - 1 AS INT) AS d,
+         CAST(round(embedding[u.d] * 1000000) AS BIGINT) AS xi
+  FROM embeddings, unnest(generate_series(1, 64)) u(d)
+),
+planes AS MATERIALIZED (
+  SELECT CAST(j.j AS INT) AS j, CAST(d.d AS INT) AS d,
+         CASE WHEN ('0x' || substr(md5(CAST(j.j AS VARCHAR) || '_'
+                    || CAST(d.d AS VARCHAR)), 1, 2))::INT % 2 = 0
+              THEN 1 ELSE -1 END AS s
+  FROM unnest(generate_series(0, {SRP_PLANES - 1})) j(j)
+  CROSS JOIN unnest(generate_series(0, 63)) d(d)
+),
+bits AS MATERIALIZED (
+  SELECT dims.vec_id, planes.j // {micro_bits} AS band,
+         CASE WHEN sum(planes.s * dims.xi) >= 0
+              THEN CAST(1 AS BIGINT) << (planes.j % {micro_bits})
+              ELSE 0 END AS bitval
+  FROM dims JOIN planes ON dims.d = planes.d
+  GROUP BY dims.vec_id, planes.j
+),
+bands AS MATERIALIZED (
+  SELECT vec_id, CAST(band AS INT) AS band,
+         CAST(sum(bitval) AS BIGINT) AS band_val
+  FROM bits GROUP BY 1, 2
+),
+cands AS MATERIALIZED (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         CAST(sum(CAST(1 AS BIGINT) << a.band) AS BIGINT) AS bitmap
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_val = b.band_val AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+),
+scored AS MATERIALIZED (
+  SELECT c.bitmap,
+         CAST(FLOOR(1000000 * CAST(sum(CAST(da.xi AS HUGEINT) * db.xi) AS DOUBLE)
+              / (SQRT(CAST(sum(CAST(da.xi AS HUGEINT) * da.xi) AS DOUBLE))
+                 * SQRT(CAST(sum(CAST(db.xi AS HUGEINT) * db.xi) AS DOUBLE))))
+           AS BIGINT) AS cos_ppm
+  FROM cands c
+  JOIN dims da ON da.vec_id = c.vec_a
+  JOIN dims db ON db.vec_id = c.vec_b AND db.d = da.d
+  GROUP BY c.vec_a, c.vec_b, c.bitmap
+),
+ref AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_ref FROM scored
+  WHERE cos_ppm >= {SRP_CURVE_TRUTH_PPM}
+)
+{union}
+ORDER BY bands
+"""
+
+
+ORACLE_SRP_BAND_CURVE = _oracle_srp_band_curve()
+
+
 # -- golden-record entity resolution ------------------------------------------------
 
 GOLDEN_CC_MAX_ROUNDS = 12
@@ -2764,6 +3007,7 @@ QUERIES = {
     "events_theta_forecast": events_theta_forecast,
     "events_binseg_changepoint": events_binseg_changepoint,
     "ann_srp_lsh": ann_srp_lsh,
+    "ann_srp_band_curve": ann_srp_band_curve,
     "er_golden_record": er_golden_record,
     "corpus_kl_drift": corpus_kl_drift,
     "store_row_tracking": store_row_tracking,
@@ -2784,6 +3028,7 @@ ORACLES = {
     "events_theta_forecast": ORACLE_THETA,
     "events_binseg_changepoint": ORACLE_BINSEG,
     "ann_srp_lsh": ORACLE_SRP,
+    "ann_srp_band_curve": ORACLE_SRP_BAND_CURVE,
     "er_golden_record": _oracle_golden(),
     "corpus_kl_drift": ORACLE_KL_DRIFT,
     "store_row_tracking": ORACLE_ROW_TRACKING,
