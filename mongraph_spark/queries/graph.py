@@ -476,7 +476,87 @@ GROUP BY type"""
 )
 
 
+def m7_mirror_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OLTP mirror WRITE path end to end, driver-verifiable — the
+    pre-save prop-sync pipeline the reference runs on every save
+    (``mongraphMongoosePlugin.coffee:43-61``: persist → force-create
+    mirror node → sync ``dataForNode()`` with '.'-flattening → delete
+    node keys whose value went undefined), exercised as a LIFECYCLE over
+    a deterministic ``documents`` subset and read back from the node
+    store:
+
+    v0  ``save`` — node props = flattened graph fields
+        (``doc_id``, ``meta.source``, ``meta.chars``), M7's '.'-flatten;
+    v1  ``update($set meta.chars += 7)`` — re-save re-syncs the prop
+        (M10 prop-sync);
+    v2  ``update($unset meta.source)`` on every doc_id % 20 == 0 —
+        the undefined-deletion rule removes the KEY from node props
+        (``extendDocument.coffee:450-470`` + plugin :55-57).
+
+    Readback is the node table itself (``store.nodes_df()``): per doc,
+    the synced chars prop, whether the unset key survived, and the prop
+    count — the oracle replays the lifecycle arithmetically over the
+    same parquet.  The OLTP mirror surface is driver-coordinated BY
+    CONTRACT (the reference is a Mongoose plugin; bulk analytics ride
+    BulkGraph instead), so the bounded subset collect is the semantics,
+    not a shortcut."""
+    from mongraph_spark import Mongraph
+    from mongraph_spark.schema import CollectionSchema, FieldSpec
+
+    docs = (
+        tpch.read_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", "source", "n_chars")
+        .collect()
+    )
+    eng = Mongraph(spark)
+    eng.register_collection(
+        CollectionSchema(
+            name="docs",
+            fields={
+                "doc_id": FieldSpec(type=int, graph=True, index=True),
+                "meta": FieldSpec(
+                    fields={
+                        "source": FieldSpec(type=str, graph=True),
+                        "chars": FieldSpec(type=int, graph=True),
+                    }
+                ),
+            },
+        )
+    )
+    for r in docs:
+        d = eng.create_document(
+            "docs",
+            {
+                "doc_id": int(r["doc_id"]),
+                "meta": {"source": r["source"], "chars": int(r["n_chars"])},
+            },
+        ).save()
+        d.update(set_fields={"meta.chars": int(r["n_chars"]) + 7})
+        if int(r["doc_id"]) % 20 == 0:
+            d.update(unset=["meta.source"])
+    nodes = eng.store.nodes_df().filter(F.col("_collection") == "docs")
+    return nodes.select(
+        F.element_at("props", "doc_id").cast("long").alias("doc_id"),
+        F.element_at("props", "meta.chars").cast("long").alias("chars_prop"),
+        F.map_contains_key("props", "meta.source").alias("has_source"),
+        F.size("props").cast("long").alias("n_props"),
+    )
+
+
+ORACLE_M7_LIFECYCLE = """
+SELECT doc_id,
+       CAST(n_chars + 7 AS BIGINT) AS chars_prop,
+       (doc_id % 20 <> 0) AS has_source,
+       CAST(CASE WHEN doc_id % 20 = 0 THEN 2 ELSE 3 END AS BIGINT) AS n_props
+FROM documents
+WHERE doc_id % 10 = 0
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "m7_mirror_lifecycle": m7_mirror_lifecycle,
     "g1_traversal_forms": g1_traversal_forms,
     "g_delete_survivors": g_delete_survivors,
     "g1_outgoing_1hop": g1_outgoing_1hop,
@@ -496,6 +576,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "m7_mirror_lifecycle": ORACLE_M7_LIFECYCLE,
     "g1_traversal_forms": ORACLE_G1_FORMS,
     "g_delete_survivors": ORACLE_G_DELETE,
     "g1_outgoing_1hop": ORACLE_G1_OUT,
