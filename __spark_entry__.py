@@ -65,73 +65,70 @@ _SUITES = [
 # first (rounds 1-2), previously-green last, as insurance against any
 # off-by-one in the driver's window.
 CORE_ORDER = [
-    # — round-10 continuation window: ALL 50 slots are never-driver-
-    #   verified rows (the verdict-r9 #1 conversion rule), drawn from the
-    #   58 such rows at HEAD.  The 8 left out are hourly-rollup finisher
-    #   twins (streaming_{mann_kendall, stl_decompose, regime_segments,
-    #   lorenz_curve, conformal_interval, hurst_exponent,
-    #   permutation_entropy, cross_correlation}) whose batch siblings sit
-    #   IN the window and whose oracles are literally the batch ops' —
-    #   the weakest marginal evidence; three hourly-rollup twins
-    #   (autocorrelation, hampel, croston) still represent the shape, and
-    #   the structurally-distinct twins (scd2 state table, kl vocab
-    #   state, theta daily fold) all kept their slots.  The five store_*
-    #   rows double as re-proofs of this round's merge.py work (row
-    #   tracking touched every writer/reader path; rename/CDF/mergeSchema
-    #   landed earlier in the round).
-    # — this session's inference/time-series/similarity/ER/store sweep —
-    "stats_logrank",
-    "stats_moods_median",
-    "stats_bartlett",
-    "stats_fisher_exact",
-    "stats_bradley_terry",
-    "events_hurst_exponent",
-    "events_permutation_entropy",
-    "events_cross_correlation",
-    "events_theta_forecast",
-    "events_binseg_changepoint",
-    "ann_srp_lsh",
+    # — round-11 window (VERDICT r10 #1: convert driver-ever coverage to
+    #   N/N).  Slots 1-11: the ONLY 11 rows never driver-verified across
+    #   r1-r10 (3 stats + the 8 hourly-rollup finisher twins left out of
+    #   the r10 window).  Slots 12-14: this round's new ops.  The rest:
+    #   re-proofs of everything round 11 touched — the converging
+    #   ER/eigenvector loops and their pregel template, the
+    #   Bartlett/logrank/Mood guard+DECIMAL fixes, the md5 init row-id
+    #   mint and the CDF streaming source (every store_* / twin that
+    #   rides merge.py), the SRP machinery shared with the new band
+    #   curve — then anchor-set re-proofs (q21 is the ratio-protocol
+    #   probe subject).
+    "stats_jarque_bera",
+    "stats_ljung_box",
+    "stats_cohens_d",
+    "streaming_conformal_interval",
+    "streaming_cross_correlation",
+    "streaming_hurst_exponent",
+    "streaming_lorenz_curve",
+    "streaming_mann_kendall",
+    "streaming_permutation_entropy",
+    "streaming_regime_segments",
+    "streaming_stl_decompose",
+    # — new in round 11 —
+    "m7_mirror_lifecycle",
+    "graph_eigenvector_converged",
+    "ann_srp_band_curve",
+    # — re-proofs: code paths round 11 edited —
     "er_golden_record",
-    "corpus_kl_drift",
+    "stats_bartlett",
+    "stats_moods_median",
+    "stats_logrank",
     "store_row_tracking",
+    "streaming_scd2_history",
+    "streaming_ivm_agg",
     "streaming_theta_forecast",
     "streaming_kl_drift",
-    # — round-10 sweep (SCD2 / trend / agreement / decomposition bundle) —
+    "ann_srp_lsh",
+    "graph_eigenvector_centrality",
+    "graph_pagerank_converged",
     "store_scd2_history",
-    "streaming_scd2_history",
-    "events_mann_kendall",
-    "stats_friedman",
-    "stats_cohens_kappa",
-    "stats_fleiss_kappa",
-    "stats_jonckheere",
-    "stats_runs_test",
-    "events_stl_decompose",
-    "events_lorenz_curve",
-    "events_regime_segments",
-    "events_conformal_interval",
-    "events_cohort_ltv",
-    "text_textrank_keywords",
-    "dedup_bloom_prefilter",
-    "pipeline_pii_scrub",
-    "store_rename_column",
     "store_read_changes",
     "store_merge_evolve",
-    # — round-9 fourth/fifth-sweep rows (carried from the r10 window) —
-    "stats_mcnemar",
-    "stats_cochran_q",
-    "stats_cramers_v",
-    "window_feature_lags",
-    "text_rake_keywords",
-    "events_autocorrelation",
-    "streaming_autocorrelation",
-    "events_page_hinkley",
-    "events_hampel_filter",
-    "streaming_hampel_filter",
-    "events_croston",
-    "streaming_croston",
-    "stats_brown_forsythe",
-    "graph_eigenvector_centrality",
-    "pipeline_stratified_kfold",
+    "store_rename_column",
+    "store_merge_into",
+    # — anchor-set and family re-proofs —
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q18_large_orders",
+    "q21_waiting_suppliers",
+    "populate_enrich",
+    "g8_shortest_paths",
+    "g9_cypher_onehop",
+    "graph_pagerank",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_span_capped",
+    "dedup_simhash",
+    "ann_cosine_topk_bucketed",
+    "ann_ivf",
+    "text_bm25_topk",
+    "corpus_gopher_rules",
+    "events_sessionization",
+    "events_hypertable_rollup",
+    "quality_drift_psi",
 ]
 
 assert len(CORE_ORDER) == 50, len(CORE_ORDER)

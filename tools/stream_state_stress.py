@@ -55,7 +55,20 @@ STATEFUL_TWINS = [
     "streaming_markov_transitions",
     "streaming_click_purchase_join",
     "streaming_click_purchase_outer",
+    # r10 continuation twins (VERDICT r10 #6): rollup-state monitors whose
+    # state is the finisher's ENTIRE bounded input — |types|x|days| for
+    # theta, the vocabulary pair-counts for KL.  Replication keeps
+    # types/days/vocab fixed, so state rows must hold ~1.0 at 16x.
+    "streaming_theta_forecast",
+    "streaming_kl_drift",
 ]
+
+# the SCD2 twin keeps NO Spark state-store state (foreachBatch -> CoW store
+# tables); its "state" is the dimension itself — current-state rows = live
+# keys, closed log rows = changed keys.  Replication offsets doc_id, so BOTH
+# grow ~linearly with keys BY DESIGN (the dimension's natural size, what the
+# warehouse stores anyway) — reported as its own row class, not hidden.
+STORE_STATE_TWINS = ["streaming_scd2_history"]
 
 
 def build_stress_dir(spark, sf_dir: str, repl: int) -> None:
@@ -77,6 +90,21 @@ def build_stress_dir(spark, sf_dir: str, repl: int) -> None:
         p for p in os.listdir(tmp) if p.startswith("part-") and p.endswith(".parquet")
     )
     shutil.move(os.path.join(tmp, part), os.path.join(STRESS_DIR, "events.parquet"))
+    shutil.rmtree(tmp)
+    # documents: doc_id offset per replica (new keys), source/text verbatim
+    # (same groups and the same vocabulary) — the KL twin's state must stay
+    # flat, the SCD2 twin's dimension must grow linearly in keys
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n_doc = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    dscaled = docs.crossJoin(reps).withColumn(
+        "doc_id", F.col("doc_id") + F.col("rep") * F.lit(int(n_doc))
+    ).drop("rep")
+    tmp = os.path.join(STRESS_DIR, "_tmp_docs")
+    dscaled.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(
+        p for p in os.listdir(tmp) if p.startswith("part-") and p.endswith(".parquet")
+    )
+    shutil.move(os.path.join(tmp, part), os.path.join(STRESS_DIR, "documents.parquet"))
     shutil.rmtree(tmp)
     print(f"# stress dir: {n} -> {n * repl} events, same keys/time-range")
 
@@ -111,6 +139,43 @@ def main() -> None:
             round(s["state_rows"] / b["state_rows"], 2) if b["state_rows"] else None
         )
         print(json.dumps(row))
+    if args.only is None or any(t in STORE_STATE_TWINS for t in (args.only or [])):
+        import tempfile
+
+        from mongraph_spark.sources import merge as M
+
+        app_id = spark.sparkContext.applicationId
+        for name in STORE_STATE_TWINS:
+            if args.only is not None and name not in args.only:
+                continue
+            fn = se.QUERIES[name]
+            row = {"twin": name, "repl": args.repl, "state_model": "key-bounded"}
+            for label, d in (("base", args.sf_dir), ("stress", STRESS_DIR)):
+                sf_tag = os.path.basename(os.path.normpath(d))
+                root = os.path.join(
+                    tempfile.gettempdir(), f"mg_ivm_shared_{app_id}_{sf_tag}"
+                )
+                t0 = time.time()
+                n_out = fn(spark, d).count()
+                wall = round(time.time() - t0, 2)
+                cur_rows = M.read_current(spark, root + "_scd2cur").count()
+                closed_rows = spark.read.parquet(root + "_scd2log").count()
+                row[label] = {
+                    "out_rows": n_out,
+                    "cur_rows": cur_rows,
+                    "closed_rows": closed_rows,
+                    "wall_s": wall,
+                }
+            b, s = row["base"], row["stress"]
+            row["cur_rows_ratio"] = (
+                round(s["cur_rows"] / b["cur_rows"], 2) if b["cur_rows"] else None
+            )
+            row["closed_rows_ratio"] = (
+                round(s["closed_rows"] / b["closed_rows"], 2)
+                if b["closed_rows"]
+                else None
+            )
+            print(json.dumps(row))
 
 
 if __name__ == "__main__":

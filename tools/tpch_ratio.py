@@ -1,5 +1,5 @@
-"""TPC-H headline sanity ratio (VERDICT r5 #8): wall-clock the 22 q*
-queries at a given SF on warm Spark (best-of-N, noop sink) against DuckDB
+"""TPC-H headline sanity ratio (VERDICT r5 #8), PINNED PROTOCOL (r11):
+wall-clock the 22 q* queries at a given SF on Spark against DuckDB
 running each query's own oracle SQL on the same parquet files.
 
 DuckDB is expected to win at laptop scale — a single-process vectorized
@@ -9,9 +9,28 @@ scheduling + codegen) dominates at sf0.1 where the data fits in L3, while
 the same plans scale horizontally to the 100 TB tier DuckDB cannot reach.
 This records the honest per-query number instead of arguing it.
 
-Usage: python tools/tpch_ratio.py [sf_dir] [--passes 3]
+The r6→r10 drift (10.2× → 13.9×) was attributed to scheduler noise; the
+protocol is now FIXED so any two runs are comparable:
+
+1. FRESH JVM: the tool refuses to reuse an active SparkSession (gateway
+   state, JIT warmth, and GC pressure from whatever ran before are the
+   noise source being eliminated) — run it as its own process.
+2. Deterministic session config, recorded in the summary line: app name
+   ``tpch_ratio``, ``local[$SPARK_GRAFT_CPUS|32]``, shuffle partitions /
+   AQE / broadcast threshold as the repo's get_spark pins them.
+3. Warm-up: one full UNRECORDED pass of all 22 queries on both engines
+   (JIT + codegen cache + page cache), then ``--passes`` (default 5)
+   recorded passes, best-of per query.
+4. DuckDB: one fresh in-process connection, default thread count,
+   recorded in the summary.
+
+Acceptance gate (VERDICT r10 #3): two back-to-back runs of this pinned
+protocol must land within 10% on ratio_total; the pair goes in
+COVERAGE.md BENCHNOTES.
+
+Usage: python tools/tpch_ratio.py [sf_dir] [--passes 5]
 Prints one JSON line per query {name, spark_s, duckdb_s, ratio} and a
-summary; copy into COVERAGE.md BENCHNOTES.
+summary carrying the recorded config.
 """
 
 from __future__ import annotations
@@ -26,6 +45,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb  # noqa: E402
 
+from pyspark.sql import SparkSession  # noqa: E402
+
 import __spark_entry__ as entrymod  # noqa: E402
 from mongraph_spark.sparkutil import get_spark  # noqa: E402
 
@@ -34,15 +55,34 @@ TABLES = [
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
+PROTOCOL = "r11-pinned"
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.1")
-    ap.add_argument("--passes", type=int, default=3)
+    ap.add_argument("--passes", type=int, default=5)
     args = ap.parse_args()
+    if SparkSession.getActiveSession() is not None:
+        raise SystemExit(
+            "tpch_ratio must start its own fresh JVM (pinned protocol); "
+            "run it as a standalone process"
+        )
     spark = get_spark("tpch_ratio")
-    spark.read.parquet(f"{args.sf_dir}/lineitem.parquet").count()  # warm
+    conf = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.master",
+            "spark.sql.shuffle.partitions",
+            "spark.sql.adaptive.enabled",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.driver.memory",
+        )
+    }
     con = duckdb.connect()
+    duck_threads = con.execute(
+        "SELECT current_setting('threads')"
+    ).fetchone()[0]
     for t in TABLES:
         p = f"{args.sf_dir}/{t}.parquet"
         if os.path.exists(p):
@@ -52,6 +92,12 @@ def main() -> None:
         (n for n in qs if n[0] == "q" and n[1].isdigit()),
         key=lambda n: int(n[1 : n.index("_")]),
     )
+    # warm-up: one full unrecorded pass on both engines
+    for name in qnames:
+        qs[name](spark, args.sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        con.execute(oracles[name]).fetchall()
     tot_s = tot_d = 0.0
     rows = []
     for name in qnames:
@@ -80,11 +126,15 @@ def main() -> None:
         json.dumps(
             {
                 "summary": "tpch22",
+                "protocol": PROTOCOL,
                 "sf_dir": args.sf_dir,
                 "spark_total_s": round(tot_s, 2),
                 "duckdb_total_s": round(tot_d, 2),
                 "ratio_total": round(tot_s / tot_d, 1),
                 "passes": args.passes,
+                "warmup": "1 full pass both engines",
+                "spark_conf": conf,
+                "duckdb_threads": duck_threads,
             }
         )
     )
