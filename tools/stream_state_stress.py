@@ -117,7 +117,9 @@ def main() -> None:
     args = ap.parse_args()
     spark = get_spark("stream_state_stress")
     build_stress_dir(spark, args.sf_dir, args.repl)
-    twins = args.only or STATEFUL_TWINS
+    twins = [
+        t for t in (args.only or STATEFUL_TWINS) if t not in STORE_STATE_TWINS
+    ]
     for name in twins:
         fn = se.QUERIES[name]
         row = {"twin": name, "repl": args.repl}
