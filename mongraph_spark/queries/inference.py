@@ -1915,6 +1915,336 @@ LIMIT {SRP_TOP_K}
 """
 
 
+# -- Granger causality (lag-1, F-test) ----------------------------------------------
+
+
+def stats_granger_causality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger causality test (lag 1) between the two highest-revenue
+    event types' hourly series — the HYPOTHESIS-TEST companion to
+    ``events_cross_correlation`` (CCF measures lead/lag association;
+    Granger asks whether type A's past IMPROVES the prediction of type
+    B beyond B's own past): restricted OLS y_t ~ y_{t-1} vs unrestricted
+    y_t ~ y_{t-1} + x_{t-1},  F = (RSS_r − RSS_u) / (RSS_u / (n−3)).
+
+    Exactness: the aligned (y_t, y_{t-1}, x_{t-1}) triples come from
+    exact hour-grid equi-joins (the CCF alignment); all raw moments
+    (n, Σ of each series, Σ of every product) are exact DECIMAL(38)
+    sums; the OLS solve is closed-form on CENTERED numerators built from
+    those integers (2-regressor Cramer's rule), evaluated as one
+    identical IEEE expression tree per engine and floored to ppm.
+    Degenerate guards: det > 0 and RSS_u > 0, else NULL on both sides.
+
+    Scale shape: one hourly rollup (map-side combined), a bounded
+    |types| ranking, two bounded hour-grid joins, ONE 1-row moment
+    aggregate — no raw-event second pass."""
+    hourly = _hourly_cents(spark, sf_dir)
+    w_rank = Window.partitionBy(const_part(F.col("event_type"))).orderBy(
+        F.desc("tot"), "event_type"
+    )
+    top2 = (
+        hourly.groupBy("event_type")
+        .agg(F.sum("y").cast("long").alias("tot"))
+        .withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= 2)
+        .groupBy()
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("event_type"))).alias("type_a"),
+            F.max(F.when(F.col("rk") == 2, F.col("event_type"))).alias("type_b"),
+        )
+    )
+    hidx = F.expr("unix_micros(CAST(hour AS TIMESTAMP)) div 3600000000")
+    hb = hourly.crossJoin(F.broadcast(top2))
+    ys = hb.filter(F.col("event_type") == F.col("type_b")).select(
+        "type_a", "type_b", hidx.alias("h"), F.col("y").alias("yt")
+    )
+    y1 = hb.filter(F.col("event_type") == F.col("type_b")).select(
+        (hidx + 1).alias("h"), F.col("y").alias("y1")
+    )
+    x1 = hb.filter(F.col("event_type") == F.col("type_a")).select(
+        (hidx + 1).alias("h"), F.col("y").alias("x1")
+    )
+    tri = ys.join(y1, "h").join(x1, "h")
+    d38 = "decimal(38,0)"
+    mom = tri.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("yt").cast(d38)).alias("sy"),
+        F.sum(F.col("y1").cast(d38)).alias("s1"),
+        F.sum(F.col("x1").cast(d38)).alias("s2"),
+        F.sum(F.col("yt").cast(d38) * F.col("yt")).alias("syy"),
+        F.sum(F.col("y1").cast(d38) * F.col("y1")).alias("s11"),
+        F.sum(F.col("x1").cast(d38) * F.col("x1")).alias("s22"),
+        F.sum(F.col("y1").cast(d38) * F.col("yt")).alias("s1y"),
+        F.sum(F.col("x1").cast(d38) * F.col("yt")).alias("s2y"),
+        F.sum(F.col("y1").cast(d38) * F.col("x1")).alias("s12"),
+    )
+    # centered second moments, exact integer numerators (×n scaling):
+    # Cxx = n·Σxx − Σx·Σx etc.; all double math below divides consistently
+    finish = (
+        "CAST(n AS DECIMAL(38,0)) * syy - sy * sy",  # Cyy
+        "CAST(n AS DECIMAL(38,0)) * s11 - s1 * s1",  # C11
+        "CAST(n AS DECIMAL(38,0)) * s22 - s2 * s2",  # C22
+        "CAST(n AS DECIMAL(38,0)) * s1y - s1 * sy",  # C1y
+        "CAST(n AS DECIMAL(38,0)) * s2y - s2 * sy",  # C2y
+        "CAST(n AS DECIMAL(38,0)) * s12 - s1 * s2",  # C12
+    )
+    cyy, c11, c22, c1y, c2y, c12 = (f"CAST(({e}) AS DOUBLE)" for e in finish)
+    det = f"({c11} * {c22} - {c12} * {c12})"
+    rss_r = f"({cyy} - {c1y} * {c1y} / {c11})"
+    b1 = f"(({c1y} * {c22} - {c2y} * {c12}) / {det})"
+    b2 = f"(({c2y} * {c11} - {c1y} * {c12}) / {det})"
+    rss_u = f"({cyy} - {b1} * {c1y} - {b2} * {c2y})"
+    return mom.selectExpr(
+        "type_a",
+        "type_b",
+        "n",
+        f"CASE WHEN n > 3 AND {c11} > 0 AND {det} > 0 AND {rss_u} > 0 THEN"
+        f" CAST(FLOOR(1000000 * ({rss_r} - {rss_u})"
+        f" / ({rss_u} / CAST(n - 3 AS DOUBLE))) AS BIGINT) END AS f_ppm",
+        f"CASE WHEN n > 3 AND {c11} > 0 AND {det} > 0 AND {rss_u} > 0 THEN"
+        f" CAST(FLOOR(1000000 * {rss_u} / {rss_r}) AS BIGINT)"
+        " END AS rss_ratio_ppm",
+    )
+
+
+ORACLE_GRANGER = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT event_type,
+         row_number() OVER (ORDER BY sum(y) DESC, event_type) AS rk
+  FROM hourly GROUP BY event_type
+),
+top2 AS (
+  SELECT max(CASE WHEN rk = 1 THEN event_type END) AS type_a,
+         max(CASE WHEN rk = 2 THEN event_type END) AS type_b
+  FROM ranked WHERE rk <= 2
+),
+ys AS (
+  SELECT t.type_a, t.type_b, epoch_us(h.hour) // 3600000000 AS h, h.y AS yt
+  FROM hourly h CROSS JOIN top2 t WHERE h.event_type = t.type_b
+),
+y1 AS (
+  SELECT epoch_us(h.hour) // 3600000000 + 1 AS h, h.y AS y1
+  FROM hourly h CROSS JOIN top2 t WHERE h.event_type = t.type_b
+),
+x1 AS (
+  SELECT epoch_us(h.hour) // 3600000000 + 1 AS h, h.y AS x1
+  FROM hourly h CROSS JOIN top2 t WHERE h.event_type = t.type_a
+),
+tri AS (
+  SELECT ys.type_a, ys.type_b, ys.yt, y1.y1, x1.x1
+  FROM ys JOIN y1 ON y1.h = ys.h JOIN x1 ON x1.h = ys.h
+),
+mom AS (
+  SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(yt) AS HUGEINT) AS sy,
+         CAST(sum(y1) AS HUGEINT) AS s1,
+         CAST(sum(x1) AS HUGEINT) AS s2,
+         CAST(sum(CAST(yt AS HUGEINT) * yt) AS HUGEINT) AS syy,
+         CAST(sum(CAST(y1 AS HUGEINT) * y1) AS HUGEINT) AS s11,
+         CAST(sum(CAST(x1 AS HUGEINT) * x1) AS HUGEINT) AS s22,
+         CAST(sum(CAST(y1 AS HUGEINT) * yt) AS HUGEINT) AS s1y,
+         CAST(sum(CAST(x1 AS HUGEINT) * yt) AS HUGEINT) AS s2y,
+         CAST(sum(CAST(y1 AS HUGEINT) * x1) AS HUGEINT) AS s12
+  FROM tri GROUP BY 1, 2
+)
+SELECT type_a, type_b, n,
+       CASE WHEN n > 3
+         AND CAST(CAST(n AS HUGEINT) * s11 - s1 * s1 AS DOUBLE) > 0
+         AND (CAST(CAST(n AS HUGEINT) * s11 - s1 * s1 AS DOUBLE)
+              * CAST(CAST(n AS HUGEINT) * s22 - s2 * s2 AS DOUBLE)
+              - CAST(CAST(n AS HUGEINT) * s12 - s1 * s2 AS DOUBLE)
+              * CAST(CAST(n AS HUGEINT) * s12 - s1 * s2 AS DOUBLE)) > 0
+         AND RSSU.v > 0
+       THEN CAST(FLOOR(1000000 * (
+         (CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE)
+          - CAST(CAST(n AS HUGEINT) * s1y - s1 * sy AS DOUBLE)
+            * CAST(CAST(n AS HUGEINT) * s1y - s1 * sy AS DOUBLE)
+            / CAST(CAST(n AS HUGEINT) * s11 - s1 * s1 AS DOUBLE))
+         - RSSU.v) / (RSSU.v / CAST(n - 3 AS DOUBLE))) AS BIGINT)
+       END AS f_ppm,
+       CASE WHEN n > 3
+         AND CAST(CAST(n AS HUGEINT) * s11 - s1 * s1 AS DOUBLE) > 0
+         AND (CAST(CAST(n AS HUGEINT) * s11 - s1 * s1 AS DOUBLE)
+              * CAST(CAST(n AS HUGEINT) * s22 - s2 * s2 AS DOUBLE)
+              - CAST(CAST(n AS HUGEINT) * s12 - s1 * s2 AS DOUBLE)
+              * CAST(CAST(n AS HUGEINT) * s12 - s1 * s2 AS DOUBLE)) > 0
+         AND RSSU.v > 0
+       THEN CAST(FLOOR(1000000 * RSSU.v /
+         (CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE)
+          - CAST(CAST(n AS HUGEINT) * s1y - s1 * sy AS DOUBLE)
+            * CAST(CAST(n AS HUGEINT) * s1y - s1 * sy AS DOUBLE)
+            / CAST(CAST(n AS HUGEINT) * s11 - s1 * s1 AS DOUBLE))) AS BIGINT)
+       END AS rss_ratio_ppm
+FROM mom,
+LATERAL (
+  SELECT CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE)
+         - ((CAST(CAST(n AS HUGEINT) * s1y - s1 * sy AS DOUBLE)
+             * CAST(CAST(n AS HUGEINT) * s22 - s2 * s2 AS DOUBLE)
+             - CAST(CAST(n AS HUGEINT) * s2y - s2 * sy AS DOUBLE)
+             * CAST(CAST(n AS HUGEINT) * s12 - s1 * s2 AS DOUBLE))
+            / (CAST(CAST(n AS HUGEINT) * s11 - s1 * s1 AS DOUBLE)
+               * CAST(CAST(n AS HUGEINT) * s22 - s2 * s2 AS DOUBLE)
+               - CAST(CAST(n AS HUGEINT) * s12 - s1 * s2 AS DOUBLE)
+               * CAST(CAST(n AS HUGEINT) * s12 - s1 * s2 AS DOUBLE)))
+           * CAST(CAST(n AS HUGEINT) * s1y - s1 * sy AS DOUBLE)
+         - ((CAST(CAST(n AS HUGEINT) * s2y - s2 * sy AS DOUBLE)
+             * CAST(CAST(n AS HUGEINT) * s11 - s1 * s1 AS DOUBLE)
+             - CAST(CAST(n AS HUGEINT) * s1y - s1 * sy AS DOUBLE)
+             * CAST(CAST(n AS HUGEINT) * s12 - s1 * s2 AS DOUBLE))
+            / (CAST(CAST(n AS HUGEINT) * s11 - s1 * s1 AS DOUBLE)
+               * CAST(CAST(n AS HUGEINT) * s22 - s2 * s2 AS DOUBLE)
+               - CAST(CAST(n AS HUGEINT) * s12 - s1 * s2 AS DOUBLE)
+               * CAST(CAST(n AS HUGEINT) * s12 - s1 * s2 AS DOUBLE)))
+           * CAST(CAST(n AS HUGEINT) * s2y - s2 * sy AS DOUBLE) AS v
+) RSSU
+"""
+
+
+# -- Kendall's tau-b ------------------------------------------------------------------
+
+
+def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's τ-b between the two highest-revenue event types' hourly
+    series — the RANK-based dependence measure completing the
+    correlation trio (Pearson r in the CCF measures linear association,
+    Spearman ρ monotone-via-ranks; τ counts concordant vs discordant
+    PAIRS, the most outlier-robust of the three and the one with a
+    direct probabilistic reading P(concordant) − P(discordant)).
+
+    Pair-counting form with the standard tie treatment: over all hour
+    pairs i < j, n_c = #{sgn(Δx)·sgn(Δy) > 0}, n_d = #{< 0}, t_x =
+    #{Δx = 0, Δy ≠ 0}, t_y symmetric, and
+    τ_b = (n_c − n_d) / (√(n_c+n_d+t_x) · √(n_c+n_d+t_y)).
+
+    Exactness: all five pair classes are exact integer counts; τ_b is a
+    1-row IEEE finisher over them (two separate √s — the identical-tree
+    discipline), floored to ppm.
+
+    Scale shape: the pair enumeration is a self-join of the BOUNDED
+    aligned hour grid (|hours|² pairs — ~260k at a 30-day span,
+    regardless of raw event volume); everything upstream is the one
+    hourly rollup."""
+    hourly = _hourly_cents(spark, sf_dir)
+    w_rank = Window.partitionBy(const_part(F.col("event_type"))).orderBy(
+        F.desc("tot"), "event_type"
+    )
+    top2 = (
+        hourly.groupBy("event_type")
+        .agg(F.sum("y").cast("long").alias("tot"))
+        .withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= 2)
+        .groupBy()
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("event_type"))).alias("type_a"),
+            F.max(F.when(F.col("rk") == 2, F.col("event_type"))).alias("type_b"),
+        )
+    )
+    hidx = F.expr("unix_micros(CAST(hour AS TIMESTAMP)) div 3600000000")
+    hb = hourly.crossJoin(F.broadcast(top2))
+    xs = hb.filter(F.col("event_type") == F.col("type_a")).select(
+        "type_a", "type_b", hidx.alias("h"), F.col("y").alias("x")
+    )
+    ys = hb.filter(F.col("event_type") == F.col("type_b")).select(
+        hidx.alias("h"), F.col("y").alias("yv")
+    )
+    aligned = xs.join(ys, "h")
+    a = aligned.select(
+        "type_a", "type_b", F.col("h").alias("hi"),
+        F.col("x").alias("xi"), F.col("yv").alias("yi"),
+    )
+    b = aligned.select(
+        F.col("h").alias("hj"), F.col("x").alias("xj"), F.col("yv").alias("yj")
+    )
+    pairs = a.join(b, F.col("hi") < F.col("hj"))
+    sx = F.signum((F.col("xi") - F.col("xj")).cast("double")).cast("int")
+    sy = F.signum((F.col("yi") - F.col("yj")).cast("double")).cast("int")
+    cls = pairs.select("type_a", "type_b", sx.alias("sx"), sy.alias("sy"))
+    agg = cls.groupBy("type_a", "type_b").agg(
+        F.sum((F.col("sx") * F.col("sy") > 0).cast("int")).cast("long").alias("nc"),
+        F.sum((F.col("sx") * F.col("sy") < 0).cast("int")).cast("long").alias("nd"),
+        F.sum(((F.col("sx") == 0) & (F.col("sy") != 0)).cast("int"))
+        .cast("long")
+        .alias("tx"),
+        F.sum(((F.col("sy") == 0) & (F.col("sx") != 0)).cast("int"))
+        .cast("long")
+        .alias("ty"),
+        F.sum(((F.col("sx") == 0) & (F.col("sy") == 0)).cast("int"))
+        .cast("long")
+        .alias("txy"),
+    )
+    return agg.selectExpr(
+        "type_a",
+        "type_b",
+        "nc",
+        "nd",
+        "tx",
+        "ty",
+        "txy",
+        "CASE WHEN nc + nd + tx > 0 AND nc + nd + ty > 0 THEN"
+        " CAST(FLOOR(1000000 * CAST(nc - nd AS DOUBLE)"
+        " / (SQRT(CAST(nc + nd + tx AS DOUBLE))"
+        "    * SQRT(CAST(nc + nd + ty AS DOUBLE)))) AS BIGINT)"
+        " END AS tau_b_ppm",
+    )
+
+
+ORACLE_KENDALL_TAU = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT event_type,
+         row_number() OVER (ORDER BY sum(y) DESC, event_type) AS rk
+  FROM hourly GROUP BY event_type
+),
+top2 AS (
+  SELECT max(CASE WHEN rk = 1 THEN event_type END) AS type_a,
+         max(CASE WHEN rk = 2 THEN event_type END) AS type_b
+  FROM ranked WHERE rk <= 2
+),
+xs AS (
+  SELECT t.type_a, t.type_b, epoch_us(h.hour) // 3600000000 AS h, h.y AS x
+  FROM hourly h CROSS JOIN top2 t WHERE h.event_type = t.type_a
+),
+ys AS (
+  SELECT epoch_us(h.hour) // 3600000000 AS h, h.y AS yv
+  FROM hourly h CROSS JOIN top2 t WHERE h.event_type = t.type_b
+),
+aligned AS (
+  SELECT xs.type_a, xs.type_b, xs.h, xs.x, ys.yv
+  FROM xs JOIN ys ON ys.h = xs.h
+),
+cls AS (
+  SELECT a.type_a, a.type_b,
+         CAST(sign(a.x - b.x) AS INT) AS sx,
+         CAST(sign(a.yv - b.yv) AS INT) AS sy
+  FROM aligned a JOIN aligned b ON a.h < b.h
+),
+agg AS (
+  SELECT type_a, type_b,
+         CAST(sum(CASE WHEN sx * sy > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+         CAST(sum(CASE WHEN sx * sy < 0 THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+         CAST(sum(CASE WHEN sx = 0 AND sy <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+         CAST(sum(CASE WHEN sy = 0 AND sx <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS ty,
+         CAST(sum(CASE WHEN sx = 0 AND sy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS txy
+  FROM cls GROUP BY 1, 2
+)
+SELECT type_a, type_b, nc, nd, tx, ty, txy,
+       CASE WHEN nc + nd + tx > 0 AND nc + nd + ty > 0 THEN
+         CAST(FLOOR(1000000 * CAST(nc - nd AS DOUBLE)
+           / (SQRT(CAST(nc + nd + tx AS DOUBLE))
+              * SQRT(CAST(nc + nd + ty AS DOUBLE)))) AS BIGINT)
+       END AS tau_b_ppm
+FROM agg
+"""
+
+
 # -- SRP band-structure tuning curve ------------------------------------------------
 
 SRP_CURVE_MICRO = 8  # finest sweep point: 8 bands x 4 bits (of the 32 planes)
@@ -2156,6 +2486,237 @@ ORDER BY bands
 
 
 ORACLE_SRP_BAND_CURVE = _oracle_srp_band_curve()
+
+
+# -- SRP multi-probe LSH --------------------------------------------------------------
+
+
+def ann_srp_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe SRP-LSH (Lv et al. 2007, public) — THE standard
+    production recall knob that doesn't cost more hash tables: besides a
+    vector's exact band value, probe the {SRP_BITS} neighboring buckets
+    at Hamming distance 1 (each sign bit flipped once).  A pair becomes
+    a candidate iff some band's signatures differ in ≤ 1 bit — strictly
+    a superset of :func:`ann_srp_lsh`'s exact-match candidates, bought
+    for a bounded ×({SRP_BITS}+1) probe blow-up instead of more tables.
+
+    Output: one row per probe level — ``hamming_radius`` 0 (exact, the
+    production op's set) and 1 (multi-probe) — with candidate volume,
+    near-pair yield at the {SRP_CURVE_TRUTH_PPM}-ppm cosine cut, and the
+    recall gain of radius 1 over radius 0 in bp (the knob sheet's money
+    number).  Monotone by construction (nested sets).
+
+    Exactness: probe values are exact integer XOR bit flips on the
+    established md5-derived signatures; min-Hamming per pair is an exact
+    integer aggregate; the verify cosine is the exact DECIMAL(38)-dots
+    ppm floor.
+
+    Scale shape: probes explode each (vec, band) row into
+    1+{SRP_BITS} rows (constant factor, map-only), the candidate join
+    stays a band-bucket equi-join (never all-pairs), and ONE exact
+    verify pass over the radius-1 superset feeds both probe levels."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    dims = (
+        emb.select("vec_id", F.posexplode("embedding").alias("d", "x"))
+        .select(
+            "vec_id",
+            "d",
+            F.round(F.col("x") * 1_000_000).cast("long").alias("xi"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    planes = (
+        spark.range(SRP_PLANES)
+        .select(F.col("id").cast("int").alias("j"))
+        .crossJoin(spark.range(64).select(F.col("id").cast("int").alias("d")))
+        .select(
+            "j",
+            "d",
+            F.when(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "_",
+                                F.col("j").cast("string"),
+                                F.col("d").cast("string"),
+                            )
+                        ),
+                        1,
+                        2,
+                    ),
+                    16,
+                    10,
+                ).cast("int")
+                % 2
+                == 0,
+                F.lit(1),
+            )
+            .otherwise(F.lit(-1))
+            .alias("s"),
+        )
+    )
+    bits = (
+        dims.join(F.broadcast(planes), "d")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("s") * F.col("xi")).cast("long").alias("dot"))
+        .select(
+            "vec_id",
+            (F.col("j") / SRP_BITS).cast("int").alias("band"),
+            F.expr(
+                f"CASE WHEN dot >= 0 THEN shiftleft(CAST(1 AS BIGINT),"
+                f" j % {SRP_BITS}) ELSE CAST(0 AS BIGINT) END"
+            ).alias("bitval"),
+        )
+    )
+    bands = bits.groupBy("vec_id", "band").agg(
+        F.sum("bitval").cast("long").alias("band_val")
+    )
+    # probe side: the exact value (flip = 0) plus each 1-bit flip
+    probes = bands.select(
+        "vec_id",
+        "band",
+        F.explode(
+            F.array(
+                F.lit(0).cast("int"),
+                *[F.lit(i).cast("int") for i in range(1, SRP_BITS + 1)],
+            )
+        ).alias("flip"),
+        "band_val",
+    ).select(
+        F.col("vec_id").alias("vec_a"),
+        "band",
+        F.expr(
+            "CAST(CASE WHEN flip = 0 THEN band_val ELSE"
+            " band_val ^ shiftleft(CAST(1 AS BIGINT), flip - 1) END AS BIGINT)"
+        ).alias("probe_val"),
+        (F.col("flip") > 0).cast("int").alias("h"),
+    )
+    exact = bands.select(
+        F.col("vec_id").alias("vec_b"),
+        "band",
+        F.col("band_val").alias("probe_val"),
+    )
+    cands = (
+        probes.join(exact, ["band", "probe_val"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .groupBy("vec_a", "vec_b")
+        .agg(F.min("h").cast("long").alias("min_hamming"))
+    )
+    da = dims.select(F.col("vec_id").alias("vec_a"), "d", F.col("xi").alias("xa"))
+    db = dims.select(F.col("vec_id").alias("vec_b"), "d", F.col("xi").alias("xb"))
+    scored = (
+        cands.join(da, "vec_a")
+        .join(db, ["vec_b", "d"])
+        .groupBy("vec_a", "vec_b", "min_hamming")
+        .agg(
+            F.sum(F.col("xa").cast("decimal(38,0)") * F.col("xb")).alias("dab"),
+            F.sum(F.col("xa").cast("decimal(38,0)") * F.col("xa")).alias("daa"),
+            F.sum(F.col("xb").cast("decimal(38,0)") * F.col("xb")).alias("dbb"),
+        )
+        .selectExpr(
+            "min_hamming",
+            "CAST(FLOOR(1000000 * CAST(dab AS DOUBLE)"
+            " / (SQRT(CAST(daa AS DOUBLE)) * SQRT(CAST(dbb AS DOUBLE))))"
+            " AS BIGINT) AS cos_ppm",
+        )
+        .localCheckpoint(eager=True)
+    )
+    out = None
+    for radius in (0, 1):
+        part = scored.filter(F.col("min_hamming") <= radius).agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.count(F.when(F.col("cos_ppm") >= SRP_CURVE_TRUTH_PPM, 1))
+            .cast("long")
+            .alias("n_found"),
+        ).selectExpr(
+            f"CAST({radius} AS BIGINT) AS hamming_radius",
+            "n_candidates",
+            "n_found",
+        )
+        out = part if out is None else out.unionByName(part)
+    ref = scored.agg(
+        F.count(F.when(F.col("cos_ppm") >= SRP_CURVE_TRUTH_PPM, 1))
+        .cast("long")
+        .alias("n_ref")
+    )
+    return out.crossJoin(F.broadcast(ref)).selectExpr(
+        "hamming_radius",
+        "n_candidates",
+        "n_found",
+        "CASE WHEN n_ref > 0 THEN (10000 * n_found) div n_ref END"
+        " AS recall_vs_r1_bp",
+    )
+
+
+ORACLE_SRP_MULTIPROBE = f"""
+WITH dims AS MATERIALIZED (
+  SELECT vec_id, CAST(u.d - 1 AS INT) AS d,
+         CAST(round(embedding[u.d] * 1000000) AS BIGINT) AS xi
+  FROM embeddings, unnest(generate_series(1, 64)) u(d)
+),
+planes AS MATERIALIZED (
+  SELECT CAST(j.j AS INT) AS j, CAST(d.d AS INT) AS d,
+         CASE WHEN ('0x' || substr(md5(CAST(j.j AS VARCHAR) || '_'
+                    || CAST(d.d AS VARCHAR)), 1, 2))::INT % 2 = 0
+              THEN 1 ELSE -1 END AS s
+  FROM unnest(generate_series(0, {SRP_PLANES - 1})) j(j)
+  CROSS JOIN unnest(generate_series(0, 63)) d(d)
+),
+bits AS MATERIALIZED (
+  SELECT dims.vec_id, planes.j // {SRP_BITS} AS band,
+         CASE WHEN sum(planes.s * dims.xi) >= 0
+              THEN CAST(1 AS BIGINT) << (planes.j % {SRP_BITS})
+              ELSE 0 END AS bitval
+  FROM dims JOIN planes ON dims.d = planes.d
+  GROUP BY dims.vec_id, planes.j
+),
+bands AS MATERIALIZED (
+  SELECT vec_id, CAST(band AS INT) AS band,
+         CAST(sum(bitval) AS BIGINT) AS band_val
+  FROM bits GROUP BY 1, 2
+),
+probes AS MATERIALIZED (
+  SELECT b.vec_id AS vec_a, b.band,
+         CAST(CASE WHEN f.f = 0 THEN b.band_val
+              ELSE xor(b.band_val, CAST(1 AS BIGINT) << (f.f - 1)) END
+           AS BIGINT) AS probe_val,
+         CASE WHEN f.f > 0 THEN 1 ELSE 0 END AS h
+  FROM bands b CROSS JOIN unnest(generate_series(0, {SRP_BITS})) f(f)
+),
+cands AS MATERIALIZED (
+  SELECT p.vec_a, e.vec_id AS vec_b, CAST(min(p.h) AS BIGINT) AS min_hamming
+  FROM probes p JOIN bands e
+    ON e.band = p.band AND e.band_val = p.probe_val AND p.vec_a < e.vec_id
+  GROUP BY 1, 2
+),
+scored AS MATERIALIZED (
+  SELECT c.min_hamming,
+         CAST(FLOOR(1000000 * CAST(sum(CAST(da.xi AS HUGEINT) * db.xi) AS DOUBLE)
+              / (SQRT(CAST(sum(CAST(da.xi AS HUGEINT) * da.xi) AS DOUBLE))
+                 * SQRT(CAST(sum(CAST(db.xi AS HUGEINT) * db.xi) AS DOUBLE))))
+           AS BIGINT) AS cos_ppm
+  FROM cands c
+  JOIN dims da ON da.vec_id = c.vec_a
+  JOIN dims db ON db.vec_id = c.vec_b AND db.d = da.d
+  GROUP BY c.vec_a, c.vec_b, c.min_hamming
+),
+ref AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_ref FROM scored
+  WHERE cos_ppm >= {SRP_CURVE_TRUTH_PPM}
+)
+SELECT CAST(r.r AS BIGINT) AS hamming_radius,
+       (SELECT count(*) FROM scored WHERE min_hamming <= r.r) AS n_candidates,
+       (SELECT count(*) FROM scored
+        WHERE min_hamming <= r.r AND cos_ppm >= {SRP_CURVE_TRUTH_PPM}) AS n_found,
+       CASE WHEN (SELECT n_ref FROM ref) > 0 THEN
+         (10000 * (SELECT count(*) FROM scored
+                   WHERE min_hamming <= r.r
+                     AND cos_ppm >= {SRP_CURVE_TRUTH_PPM}))
+         // (SELECT n_ref FROM ref) END AS recall_vs_r1_bp
+FROM unnest(generate_series(0, 1)) r(r)
+ORDER BY hamming_radius
+"""
 
 
 # -- golden-record entity resolution ------------------------------------------------
@@ -3008,6 +3569,9 @@ QUERIES = {
     "events_binseg_changepoint": events_binseg_changepoint,
     "ann_srp_lsh": ann_srp_lsh,
     "ann_srp_band_curve": ann_srp_band_curve,
+    "ann_srp_multiprobe": ann_srp_multiprobe,
+    "stats_granger_causality": stats_granger_causality,
+    "stats_kendall_tau": stats_kendall_tau,
     "er_golden_record": er_golden_record,
     "corpus_kl_drift": corpus_kl_drift,
     "store_row_tracking": store_row_tracking,
@@ -3029,6 +3593,9 @@ ORACLES = {
     "events_binseg_changepoint": ORACLE_BINSEG,
     "ann_srp_lsh": ORACLE_SRP,
     "ann_srp_band_curve": ORACLE_SRP_BAND_CURVE,
+    "ann_srp_multiprobe": ORACLE_SRP_MULTIPROBE,
+    "stats_granger_causality": ORACLE_GRANGER,
+    "stats_kendall_tau": ORACLE_KENDALL_TAU,
     "er_golden_record": _oracle_golden(),
     "corpus_kl_drift": ORACLE_KL_DRIFT,
     "store_row_tracking": ORACLE_ROW_TRACKING,
