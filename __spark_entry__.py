@@ -120,15 +120,15 @@ CORE_ORDER = [
     "graph_pagerank",
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_span_capped",
-    "dedup_simhash",
+    "ann_srp_multiprobe",
+    "stats_granger_causality",
     "ann_cosine_topk_bucketed",
     "ann_ivf",
     "text_bm25_topk",
     "corpus_gopher_rules",
     "events_sessionization",
     "events_hypertable_rollup",
-    "quality_drift_psi",
+    "stats_kendall_tau",
 ]
 
 assert len(CORE_ORDER) == 50, len(CORE_ORDER)
