@@ -1937,7 +1937,13 @@ def stats_granger_causality(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one hourly rollup (map-side combined), a bounded
     |types| ranking, two bounded hour-grid joins, ONE 1-row moment
     aggregate — no raw-event second pass."""
-    hourly = _hourly_cents(spark, sf_dir)
+    return granger_finish(_hourly_cents(spark, sf_dir))
+
+
+def granger_finish(hourly: DataFrame) -> DataFrame:
+    """The Granger test over a (event_type, hour, y) rollup — shared
+    verbatim by the streaming twin.  Self-joins its input: twins must
+    checkpoint."""
     w_rank = Window.partitionBy(const_part(F.col("event_type"))).orderBy(
         F.desc("tot"), "event_type"
     )
@@ -2128,7 +2134,12 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     aligned hour grid (|hours|² pairs — ~260k at a 30-day span,
     regardless of raw event volume); everything upstream is the one
     hourly rollup."""
-    hourly = _hourly_cents(spark, sf_dir)
+    return kendall_finish(_hourly_cents(spark, sf_dir))
+
+
+def kendall_finish(hourly: DataFrame) -> DataFrame:
+    """τ-b over a (event_type, hour, y) rollup — shared verbatim by the
+    streaming twin.  Self-joins its input: twins must checkpoint."""
     w_rank = Window.partitionBy(const_part(F.col("event_type"))).orderBy(
         F.desc("tot"), "event_type"
     )

@@ -2573,6 +2573,63 @@ def _oracle_stream_theta() -> str:
     return ORACLE_THETA
 
 
+def streaming_granger_causality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``queries.inference.stats_granger_causality`` —
+    the live does-A-predict-B monitor: the stream maintains the
+    watermarked per-(type, hour) cents rollup (bounded |types|×|hours|
+    state, the test's ENTIRE input), and the lag-1 Granger F-test
+    (``granger_finish``, shared verbatim) re-runs on read over the
+    continuously-updated rollup.  A poll pays two bounded hour-grid
+    joins + one 1-row moment aggregate, never a raw-event replay.
+    Fully batch-equal, checked by the batch op's own oracle."""
+    from mongraph_spark.queries.inference import granger_finish
+
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 day")
+    agg = ev.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"))
+    with _state_partitioning(spark, sf_dir):
+        out = run_to_table(agg, output_mode="complete")
+    hourly = out.select(
+        "event_type", F.col("w.start").alias("hour"), "y"
+    ).localCheckpoint(eager=True)
+    return granger_finish(hourly)
+
+
+def _oracle_stream_granger() -> str:
+    from mongraph_spark.queries.inference import ORACLE_GRANGER
+
+    return ORACLE_GRANGER
+
+
+def streaming_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``queries.inference.stats_kendall_tau`` — the
+    live rank-dependence monitor: the stream maintains the watermarked
+    per-(type, hour) cents rollup, and the τ-b pair count
+    (``kendall_finish``, shared verbatim) re-runs on read over the
+    continuously-updated rollup.  A poll pays the bounded |hours|²
+    pair self-join, never a raw-event replay.  Fully batch-equal,
+    checked by the batch op's own oracle."""
+    from mongraph_spark.queries.inference import kendall_finish
+
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 day")
+    agg = ev.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"))
+    with _state_partitioning(spark, sf_dir):
+        out = run_to_table(agg, output_mode="complete")
+    hourly = out.select(
+        "event_type", F.col("w.start").alias("hour"), "y"
+    ).localCheckpoint(eager=True)
+    return kendall_finish(hourly)
+
+
+def _oracle_stream_kendall() -> str:
+    from mongraph_spark.queries.inference import ORACLE_KENDALL_TAU
+
+    return ORACLE_KENDALL_TAU
+
+
 def streaming_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of ``queries.inference.corpus_kl_drift`` — the
     drift-monitor-at-ingest shape: arriving documents are tokenized in
@@ -2624,6 +2681,8 @@ def _oracle_stream_kl() -> str:
 
 QUERIES = {
     "streaming_theta_forecast": streaming_theta_forecast,
+    "streaming_granger_causality": streaming_granger_causality,
+    "streaming_kendall_tau": streaming_kendall_tau,
     "streaming_kl_drift": streaming_kl_drift,
     "streaming_hurst_exponent": streaming_hurst_exponent,
     "streaming_permutation_entropy": streaming_permutation_entropy,
@@ -2672,6 +2731,8 @@ QUERIES = {
 
 ORACLES = {
     "streaming_theta_forecast": _oracle_stream_theta(),
+    "streaming_granger_causality": _oracle_stream_granger(),
+    "streaming_kendall_tau": _oracle_stream_kendall(),
     "streaming_kl_drift": _oracle_stream_kl(),
     "streaming_hurst_exponent": _oracle_stream_hurst(),
     "streaming_permutation_entropy": _oracle_stream_perm_entropy(),
