@@ -2830,18 +2830,24 @@ def graph_eigenvector_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
        per-round score delta PLATEAUS near 960/1000 forever.  Self-loops
        shift the spectrum (same leading eigenvector, eigenvalues +1) and
        make the iteration aperiodic.
-    2. **Top-K-set stop, not vector-norm stop**: even shifted, λ₂/λ₁ ≈
-       0.95 here, so max|Δscore| ≤ tol would take >100 rounds — the raw
-       vector converges slowly, but the RANKING consumers read converges
-       fast.  The loop stops at the first round whose top-{EIG_TOPK}
-       node SET (score desc, node_id tiebreak) equals the previous
-       round's — measured round 5 at sf0.01 vs the 12-round cap, and
-       stable every round after.
+    2. **Top-K ATTRACTOR stop, not vector-norm stop**: even shifted,
+       λ₂/λ₁ ≈ 0.95 here, so max|Δscore| ≤ tol would take >100 rounds —
+       the raw vector converges slowly, but the RANKING consumers read
+       settles fast.  And because the integer-grid renorm makes each
+       round a deterministic map on a finite lattice, the attractor can
+       be a 2-CYCLE even with self-loops (measured at sf0.1: consecutive
+       top-20 sets fully disjoint forever, at both 10³ and 10⁶ grids —
+       flooring breaks the spectral argument that A+I kills period 2).
+       The loop therefore stops at the first round whose
+       top-{EIG_TOPK} node SET equals the set from TWO rounds earlier —
+       detecting period-1 AND period-2 attractors (a 1-step-stable
+       ranking is 2-step-stable by transitivity); measured round 4 at
+       sf0.01 and round 4 at sf0.1 vs the 12-round cap.
 
     The oracle REPLAYS the stop rule (unrolls the full cap, compares
-    consecutive top-K sets, picks the first stable pair), so both
-    engines stop at the same round by construction — the
-    graph_pagerank_converged pattern.
+    each top-K set against the set two rounds back, picks the first
+    stable pair), so both engines stop at the same round by
+    construction — the graph_pagerank_converged pattern.
 
     Returns the top-K rows (rank, node_id, score) at the stop round plus
     ``rounds_run``.  Exactness: scores are exact integers on the
@@ -2882,18 +2888,18 @@ def graph_eigenvector_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    prev_top: list[int] | None = None
+    hist: list[list[int]] = []
 
     def converged(cur) -> bool:
-        nonlocal prev_top
         top = [
             r["node_id"]
             for r in cur.orderBy(F.desc("score"), "node_id")
             .limit(EIG_TOPK)
             .collect()
         ]
-        stable = prev_top is not None and set(top) == set(prev_top)
-        prev_top = top
+        # round k's set vs round k-2's: hist holds rounds 1..k-1 here
+        stable = len(hist) >= 2 and set(top) == set(hist[-2])
+        hist.append(top)
         return stable
 
     try:
@@ -2922,8 +2928,9 @@ def graph_eigenvector_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _eigenvector_converged_oracle() -> str:
     """SQL replay of graph_eigenvector_converged's stop rule: unroll the
     full {EIG_CONV_MAX_ITER}-round lazy-walk horizon, compute each round's
-    top-{EIG_TOPK} set, and pick the FIRST round k >= 2 whose set equals
-    round k-1's (symmetric-difference count 0); cap at the bound."""
+    top-{EIG_TOPK} set, and pick the FIRST round k >= 3 whose set equals
+    round k-2's (symmetric-difference count 0 — the period-1/period-2
+    attractor test); cap at the bound."""
     body = """
 undl AS MATERIALIZED (
   SELECT DISTINCT src, dst FROM (
@@ -2959,14 +2966,14 @@ top{k} AS MATERIALIZED (
     sames = "\nUNION ALL\n".join(
         f"SELECT {k} AS k,"
         f" (SELECT count(*) FROM (SELECT node_id FROM top{k}"
-        f"   EXCEPT SELECT node_id FROM top{k - 1}))"
-        f" + (SELECT count(*) FROM (SELECT node_id FROM top{k - 1}"
+        f"   EXCEPT SELECT node_id FROM top{k - 2}))"
+        f" + (SELECT count(*) FROM (SELECT node_id FROM top{k - 2}"
         f"   EXCEPT SELECT node_id FROM top{k})) AS d"
-        for k in range(2, EIG_CONV_MAX_ITER + 1)
+        for k in range(3, EIG_CONV_MAX_ITER + 1)
     )
     tops_all = "\nUNION ALL\n".join(
         f"SELECT {k} AS k, rnk, node_id, score FROM top{k}"
-        for k in range(2, EIG_CONV_MAX_ITER + 1)
+        for k in range(3, EIG_CONV_MAX_ITER + 1)
     )
     body += f""",
 sames AS (
