@@ -2110,6 +2110,123 @@ LATERAL (
 """
 
 
+# -- Dickey-Fuller unit-root test -----------------------------------------------------
+
+
+def stats_dickey_fuller(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dickey–Fuller unit-root test (lag 0, with constant) per event
+    type over the hourly cents series — the STATIONARITY screen the
+    battery's forecasters (Holt, Theta) and autocorrelation readouts
+    implicitly assume: regress Δy_t = α + β·y_{t−1} + ε and report the
+    t-statistic of β̂ (strongly negative ⇒ mean-reverting; near 0 ⇒
+    unit root, difference before modeling).
+
+    Exactness: (y_{t−1}, Δy_t) pairs come from an exact hour-grid
+    consecutive-hour join (gaps excluded on both engines identically);
+    all moments are exact DECIMAL(38) sums; β̂ and the t-stat are per-type
+    IEEE expressions over the centered integer numerators (identical
+    trees), floored to ppm, with degenerate guards (n > 2, variance > 0,
+    RSS > 0) on both sides.
+
+    Scale shape: one hourly rollup, one self-join on the bounded hour
+    grid, one map-side-combined per-type moment aggregation — |types|
+    output rows, no raw-event second pass."""
+    hourly = _hourly_cents(spark, sf_dir)
+    return dickey_fuller_finish(hourly)
+
+
+def dickey_fuller_finish(hourly: DataFrame) -> DataFrame:
+    """The DF regression over a (event_type, hour, y) rollup — shared
+    verbatim by the streaming twin."""
+    hidx = F.expr("unix_micros(CAST(hour AS TIMESTAMP)) div 3600000000")
+    cur = hourly.select("event_type", hidx.alias("h"), F.col("y").alias("yt"))
+    prev = hourly.select(
+        "event_type", (hidx + 1).alias("h"), F.col("y").alias("y1")
+    )
+    pairs = cur.join(prev, ["event_type", "h"]).select(
+        "event_type", "y1", (F.col("yt") - F.col("y1")).alias("d")
+    )
+    d38 = "decimal(38,0)"
+    mom = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("y1").cast(d38)).alias("s1"),
+        F.sum(F.col("d").cast(d38)).alias("sd"),
+        F.sum(F.col("y1").cast(d38) * F.col("y1")).alias("s11"),
+        F.sum(F.col("d").cast(d38) * F.col("d")).alias("sdd"),
+        F.sum(F.col("y1").cast(d38) * F.col("d")).alias("s1d"),
+    )
+    c11 = "CAST(CAST(n AS DECIMAL(38,0)) * s11 - s1 * s1 AS DOUBLE)"
+    c1d = "CAST(CAST(n AS DECIMAL(38,0)) * s1d - s1 * sd AS DOUBLE)"
+    cdd = "CAST(CAST(n AS DECIMAL(38,0)) * sdd - sd * sd AS DOUBLE)"
+    beta = f"({c1d} / {c11})"
+    rss_num = f"({cdd} - {c1d} * {c1d} / {c11})"
+    t_stat = (
+        f"({beta} / SQRT({rss_num} / (CAST(n - 2 AS DOUBLE) * {c11})))"
+    )
+    return mom.selectExpr(
+        "event_type",
+        "n",
+        f"CASE WHEN n > 2 AND {c11} > 0 THEN"
+        f" CAST(FLOOR(1000000 * {beta}) AS BIGINT) END AS beta_ppm",
+        f"CASE WHEN n > 2 AND {c11} > 0 AND {rss_num} > 0 THEN"
+        f" CAST(FLOOR(1000000 * {t_stat}) AS BIGINT) END AS df_t_ppm",
+    )
+
+
+ORACLE_DICKEY_FULLER = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+cur AS (
+  SELECT event_type, epoch_us(hour) // 3600000000 AS h, y AS yt FROM hourly
+),
+prev AS (
+  SELECT event_type, epoch_us(hour) // 3600000000 + 1 AS h, y AS y1 FROM hourly
+),
+pairs AS (
+  SELECT c.event_type, p.y1, c.yt - p.y1 AS d
+  FROM cur c JOIN prev p ON p.event_type = c.event_type AND p.h = c.h
+),
+mom AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y1) AS HUGEINT) AS s1,
+         CAST(sum(d) AS HUGEINT) AS sd,
+         CAST(sum(CAST(y1 AS HUGEINT) * y1) AS HUGEINT) AS s11,
+         CAST(sum(CAST(d AS HUGEINT) * d) AS HUGEINT) AS sdd,
+         CAST(sum(CAST(y1 AS HUGEINT) * d) AS HUGEINT) AS s1d
+  FROM pairs GROUP BY event_type
+)
+SELECT event_type, n,
+       CASE WHEN n > 2
+         AND CAST(CAST(n AS HUGEINT) * s11 - s1 * s1 AS DOUBLE) > 0
+       THEN CAST(FLOOR(1000000 *
+         (CAST(CAST(n AS HUGEINT) * s1d - s1 * sd AS DOUBLE)
+          / CAST(CAST(n AS HUGEINT) * s11 - s1 * s1 AS DOUBLE))) AS BIGINT)
+       END AS beta_ppm,
+       CASE WHEN n > 2
+         AND CAST(CAST(n AS HUGEINT) * s11 - s1 * s1 AS DOUBLE) > 0
+         AND (CAST(CAST(n AS HUGEINT) * sdd - sd * sd AS DOUBLE)
+              - CAST(CAST(n AS HUGEINT) * s1d - s1 * sd AS DOUBLE)
+              * CAST(CAST(n AS HUGEINT) * s1d - s1 * sd AS DOUBLE)
+              / CAST(CAST(n AS HUGEINT) * s11 - s1 * s1 AS DOUBLE)) > 0
+       THEN CAST(FLOOR(1000000 *
+         ((CAST(CAST(n AS HUGEINT) * s1d - s1 * sd AS DOUBLE)
+           / CAST(CAST(n AS HUGEINT) * s11 - s1 * s1 AS DOUBLE))
+          / SQRT((CAST(CAST(n AS HUGEINT) * sdd - sd * sd AS DOUBLE)
+                  - CAST(CAST(n AS HUGEINT) * s1d - s1 * sd AS DOUBLE)
+                  * CAST(CAST(n AS HUGEINT) * s1d - s1 * sd AS DOUBLE)
+                  / CAST(CAST(n AS HUGEINT) * s11 - s1 * s1 AS DOUBLE))
+                 / (CAST(n - 2 AS DOUBLE)
+                    * CAST(CAST(n AS HUGEINT) * s11 - s1 * s1 AS DOUBLE)))))
+         AS BIGINT)
+       END AS df_t_ppm
+FROM mom
+ORDER BY event_type
+"""
+
+
 # -- Kendall's tau-b ------------------------------------------------------------------
 
 
@@ -3583,6 +3700,7 @@ QUERIES = {
     "ann_srp_multiprobe": ann_srp_multiprobe,
     "stats_granger_causality": stats_granger_causality,
     "stats_kendall_tau": stats_kendall_tau,
+    "stats_dickey_fuller": stats_dickey_fuller,
     "er_golden_record": er_golden_record,
     "corpus_kl_drift": corpus_kl_drift,
     "store_row_tracking": store_row_tracking,
@@ -3607,6 +3725,7 @@ ORACLES = {
     "ann_srp_multiprobe": ORACLE_SRP_MULTIPROBE,
     "stats_granger_causality": ORACLE_GRANGER,
     "stats_kendall_tau": ORACLE_KENDALL_TAU,
+    "stats_dickey_fuller": ORACLE_DICKEY_FULLER,
     "er_golden_record": _oracle_golden(),
     "corpus_kl_drift": ORACLE_KL_DRIFT,
     "store_row_tracking": ORACLE_ROW_TRACKING,

@@ -2602,6 +2602,34 @@ def _oracle_stream_granger() -> str:
     return ORACLE_GRANGER
 
 
+def streaming_dickey_fuller(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``queries.inference.stats_dickey_fuller`` — the
+    live stationarity monitor: the stream maintains the watermarked
+    per-(type, hour) cents rollup, and the DF regression
+    (``dickey_fuller_finish``, shared verbatim) re-runs on read over the
+    continuously-updated rollup.  A poll pays one bounded hour-grid join
+    + one per-type moment aggregate, never a raw-event replay.  Fully
+    batch-equal, checked by the batch op's own oracle."""
+    from mongraph_spark.queries.inference import dickey_fuller_finish
+
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 day")
+    agg = ev.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"))
+    with _state_partitioning(spark, sf_dir):
+        out = run_to_table(agg, output_mode="complete")
+    hourly = out.select(
+        "event_type", F.col("w.start").alias("hour"), "y"
+    ).localCheckpoint(eager=True)
+    return dickey_fuller_finish(hourly)
+
+
+def _oracle_stream_df() -> str:
+    from mongraph_spark.queries.inference import ORACLE_DICKEY_FULLER
+
+    return ORACLE_DICKEY_FULLER
+
+
 def streaming_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of ``queries.inference.stats_kendall_tau`` — the
     live rank-dependence monitor: the stream maintains the watermarked
@@ -2683,6 +2711,7 @@ QUERIES = {
     "streaming_theta_forecast": streaming_theta_forecast,
     "streaming_granger_causality": streaming_granger_causality,
     "streaming_kendall_tau": streaming_kendall_tau,
+    "streaming_dickey_fuller": streaming_dickey_fuller,
     "streaming_kl_drift": streaming_kl_drift,
     "streaming_hurst_exponent": streaming_hurst_exponent,
     "streaming_permutation_entropy": streaming_permutation_entropy,
@@ -2733,6 +2762,7 @@ ORACLES = {
     "streaming_theta_forecast": _oracle_stream_theta(),
     "streaming_granger_causality": _oracle_stream_granger(),
     "streaming_kendall_tau": _oracle_stream_kendall(),
+    "streaming_dickey_fuller": _oracle_stream_df(),
     "streaming_kl_drift": _oracle_stream_kl(),
     "streaming_hurst_exponent": _oracle_stream_hurst(),
     "streaming_permutation_entropy": _oracle_stream_perm_entropy(),
