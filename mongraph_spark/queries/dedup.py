@@ -2653,7 +2653,149 @@ FROM verified
 """
 
 
+# -- b-bit minhash accuracy curve ----------------------------------------------------
+
+BBIT_LEVELS = [1, 2, 4, 8, 16]
+
+
+def dedup_bbit_minhash_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b-bit minhash accuracy sheet (Li & König 2010, public) — the
+    storage/accuracy knob behind every production minhash deployment:
+    keeping only the lowest b bits of each of the {N_HASHES} minhashes
+    shrinks signatures 128/b-fold, at the cost of chance collisions the
+    estimator must debias: with C = 2^−b,
+    Ĵ = (p̂ − C) / (1 − C) = (matches·2^b − k) / (k·(2^b − 1)).
+
+    Per b ∈ {BBIT_LEVELS}: mean |Ĵ − J| and mean Ĵ over the PLANTED
+    truth pairs (id ↔ id+{ID_SHIFT}, the dedup family's keyed ground
+    truth — one equi-join, never all-pairs), against the exact shingle
+    Jaccard.  Error is monotone non-increasing in b in expectation; the
+    b=16 row is the (practically) unbiased reference.
+
+    Exactness: b-bit values are exact integers from the md5 hex tails
+    (engine-portable); matches are exact counts; Ĵ, J and the error are
+    per-pair IEEE expressions over exact integers, floored to ppm BEFORE
+    the sum (order-free); means use FLOOR(sum/n) in doubles (NOT integer
+    div — Spark's div truncates toward zero while DuckDB's // floors, and
+    low-b sums go negative).
+
+    Scale shape: ONE signature build + ONE keyed truth join
+    (checkpointed); each curve point is a column expression over the
+    bounded pair set."""
+    shingled = _shingled_corpus(spark, sf_dir, drop_last=1).persist()
+    sig = shingled.select("doc_id", *_minhash_sig("shingles"))
+    sa = shingled.select(
+        F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")
+    )
+    sb = shingled.select(
+        F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b")
+    )
+    siga = sig.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"mh{i}").alias(f"ma{i}") for i in range(N_HASHES)],
+    )
+    sigb = sig.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"mh{i}").alias(f"mb{i}") for i in range(N_HASHES)],
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    pairs = (
+        sa.join(sb, F.col("id_b") == F.col("id_a") + ID_SHIFT)
+        .join(siga, "id_a")
+        .join(sigb, "id_b")
+        .select(
+            inter.alias("c"),
+            (F.size("sh_a") + F.size("sh_b") - inter).alias("u"),
+            *[
+                F.conv(F.substring(F.col(f"m{s}{i}"), 29, 4), 16, 10)
+                .cast("long")
+                .alias(f"{s}{i}")
+                for s in ("a", "b")
+                for i in range(N_HASHES)
+            ],
+        )
+        .localCheckpoint(eager=True)  # one build feeds every b
+    )
+    out = None
+    for b in BBIT_LEVELS:
+        mask = (1 << b) - 1
+        matches = " + ".join(
+            f"CASE WHEN (a{i} & {mask}) = (b{i} & {mask}) THEN 1 ELSE 0 END"
+            for i in range(N_HASHES)
+        )
+        est = (
+            f"((CAST(({matches}) AS DOUBLE) * {1 << b} - {N_HASHES})"
+            f" / ({N_HASHES}.0 * {(1 << b) - 1}))"
+        )
+        true_j = "(CAST(c AS DOUBLE) / u)"
+        part = pairs.selectExpr(
+            f"CAST(FLOOR(1000000 * {est}) AS BIGINT) AS est_ppm",
+            f"CAST(FLOOR(1000000 * ABS({est} - {true_j})) AS BIGINT) AS err_ppm",
+        ).selectExpr(
+            f"CAST({b} AS BIGINT) AS b",
+            "est_ppm",
+            "err_ppm",
+        ).groupBy("b").agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.expr(
+                "CAST(FLOOR(CAST(sum(err_ppm) AS DOUBLE) / count(1)) AS BIGINT)"
+            ).alias("mean_abs_err_ppm"),
+            F.expr(
+                "CAST(FLOOR(CAST(sum(est_ppm) AS DOUBLE) / count(1)) AS BIGINT)"
+            ).alias("mean_est_ppm"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def _oracle_bbit_curve() -> str:
+    points = []
+    for b in BBIT_LEVELS:
+        mask = (1 << b) - 1
+        matches = " + ".join(
+            f"CASE WHEN (('0x' || substr(sa.mh{i}, 29, 4))::BIGINT & {mask})"
+            f" = (('0x' || substr(sb.mh{i}, 29, 4))::BIGINT & {mask})"
+            " THEN 1 ELSE 0 END"
+            for i in range(N_HASHES)
+        )
+        est = (
+            f"((CAST(({matches}) AS DOUBLE) * {1 << b} - {N_HASHES})"
+            f" / ({N_HASHES}.0 * {(1 << b) - 1}))"
+        )
+        points.append(
+            f"""SELECT CAST({b} AS BIGINT) AS b,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(FLOOR(CAST(sum(CAST(FLOOR(1000000 * ABS({est}
+         - (CAST(t.c AS DOUBLE) / t.u))) AS BIGINT)) AS DOUBLE) / count(*))
+         AS BIGINT) AS mean_abs_err_ppm,
+       CAST(FLOOR(CAST(sum(CAST(FLOOR(1000000 * {est}) AS BIGINT)) AS DOUBLE)
+         / count(*)) AS BIGINT) AS mean_est_ppm
+FROM tr t
+JOIN sig sa ON sa.doc_id = t.id_a
+JOIN sig sb ON sb.doc_id = t.id_b"""
+        )
+    body = "\nUNION ALL\n".join(points)
+    return f"""
+WITH {_oracle_corpus_droplast(1).strip().lstrip(",")},
+{_ORACLE_SHINGLES.strip()},
+{_oracle_minhash_sig_sql()},
+tr AS MATERIALIZED (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.shingles, b.shingles)) AS c,
+         len(a.shingles) + len(b.shingles)
+           - len(list_intersect(a.shingles, b.shingles)) AS u
+  FROM shingled a JOIN shingled b ON b.doc_id = a.doc_id + {ID_SHIFT}
+)
+{body}
+ORDER BY b
+"""
+
+
+ORACLE_BBIT_CURVE = _oracle_bbit_curve()
+
+
 QUERIES = {
+    "dedup_bbit_minhash_curve": dedup_bbit_minhash_curve,
     "dedup_bloom_prefilter": dedup_bloom_prefilter,
     "dedup_semdedup": dedup_semdedup,
     "dedup_semdedup_hier": dedup_semdedup_hier,
@@ -2677,6 +2819,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_bbit_minhash_curve": ORACLE_BBIT_CURVE,
     "dedup_bloom_prefilter": ORACLE_BLOOM_PREFILTER,
     "dedup_semdedup": ORACLE_SEMDEDUP,
     "dedup_semdedup_hier": ORACLE_SEMDEDUP_HIER,
