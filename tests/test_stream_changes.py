@@ -147,6 +147,60 @@ def test_added_column_default_fills(spark, root):
     assert by[(1, "update_postimage")]["score"] == 0.9
 
 
+def test_checkpoint_restart_resumes_exactly_once(spark, root):
+    # offsets are commit versions persisted in the engine checkpoint: a
+    # stopped stream must resume at the next commit, never redeliver.
+    # (availableNow snapshots ONE rate-limited latestOffset on this
+    # source — see cdf_stream docstring — which here is exactly the
+    # "process one commit then stop" half of the scenario.)
+    _base(spark, root)
+    M.upsert(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(50, "x", 5)], "doc_id long, source string, n_chars long"
+        ),
+        key="doc_id",
+    )  # v1
+    M.delete_where(spark, root, F.col("doc_id") == 5)  # v2
+    seen: list[tuple] = []
+
+    def sink(b, bid):
+        seen.extend(
+            (r["doc_id"], r["_change_type"], r["_commit_version"])
+            for r in b.collect()
+        )
+
+    ckpt = root + "_ckpt"
+    q = (
+        M.stream_changes(spark, root, since_version=-1)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    first = sorted(seen)
+    assert {v for _, _, v in first} == {0}  # exactly the init commit
+    # restart from the same checkpoint: only v1 + v2 may arrive
+    q2 = (
+        M.stream_changes(spark, root, since_version=-1)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    exp = sorted(
+        (r["doc_id"], r["_change_type"], r["_commit_version"])
+        for r in M.read_changes(spark, root, since_version=-1).collect()
+    )
+    assert sorted(seen) == exp  # union is exactly-once, no redelivery
+    assert {v for _, _, v in sorted(set(seen) - set(first))} == {1, 2}
+
+
 def test_unsupported_shapes_raise(spark, root):
     flat = spark.createDataFrame([(1, "a")], "doc_id long, source string")
     M.init_table(flat, root)  # un-keyed
