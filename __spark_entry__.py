@@ -68,14 +68,15 @@ CORE_ORDER = [
     # — round-11 window (VERDICT r10 #1: convert driver-ever coverage to
     #   N/N).  Slots 1-11: the ONLY 11 rows never driver-verified across
     #   r1-r10 (3 stats + the 8 hourly-rollup finisher twins left out of
-    #   the r10 window).  Slots 12-14: this round's new ops.  The rest:
-    #   re-proofs of everything round 11 touched — the converging
-    #   ER/eigenvector loops and their pregel template, the
-    #   Bartlett/logrank/Mood guard+DECIMAL fixes, the md5 init row-id
-    #   mint and the CDF streaming source (every store_* / twin that
-    #   rides merge.py), the SRP machinery shared with the new band
-    #   curve — then anchor-set re-proofs (q21 is the ratio-protocol
-    #   probe subject).
+    #   the r10 window).  Then ALL 11 ops new this round (mirror
+    #   lifecycle, eigenvector attractor stop, SRP band curve +
+    #   multiprobe, Granger/Kendall/Dickey-Fuller + their streaming
+    #   twins, b-bit minhash curve).  The rest: re-proofs of everything
+    #   round 11 touched — the converging ER loop and its pregel
+    #   template, the Bartlett/logrank/Mood guard+DECIMAL fixes, the md5
+    #   init row-id mint and the CDF streaming source (every store_* /
+    #   twin that rides merge.py), the SRP machinery — plus q21 (the
+    #   ratio-protocol probe subject) and family anchors.
     "stats_jarque_bera",
     "stats_ljung_box",
     "stats_cohens_d",
@@ -110,10 +111,10 @@ CORE_ORDER = [
     "store_rename_column",
     "store_merge_into",
     # — anchor-set and family re-proofs —
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q18_large_orders",
     "q21_waiting_suppliers",
+    "stats_dickey_fuller",
+    "streaming_dickey_fuller",
+    "dedup_bbit_minhash_curve",
     "populate_enrich",
     "g8_shortest_paths",
     "g9_cypher_onehop",
@@ -126,8 +127,8 @@ CORE_ORDER = [
     "ann_ivf",
     "text_bm25_topk",
     "corpus_gopher_rules",
-    "events_sessionization",
-    "events_hypertable_rollup",
+    "streaming_granger_causality",
+    "streaming_kendall_tau",
     "stats_kendall_tau",
 ]
 

@@ -119,11 +119,16 @@ def main() -> None:
     args = ap.parse_args()
     spark = get_spark("inference-stress")
 
+    from mongraph_spark.queries.dedup import dedup_bbit_minhash_curve
     from mongraph_spark.queries.inference import (
         ann_srp_lsh,
+        ann_srp_multiprobe,
         er_golden_record,
         events_binseg_changepoint,
         stats_bradley_terry,
+        stats_dickey_fuller,
+        stats_granger_causality,
+        stats_kendall_tau,
     )
 
     out = {"metric": "inference_stress", "repl": args.repl, "sf_base": SF_DIR}
@@ -132,6 +137,11 @@ def main() -> None:
         "srp_lsh": timed(lambda: ann_srp_lsh(spark, SF_DIR)),
         "golden_record": timed(lambda: er_golden_record(spark, SF_DIR)),
         "binseg": timed(lambda: events_binseg_changepoint(spark, SF_DIR)),
+        "srp_multiprobe": timed(lambda: ann_srp_multiprobe(spark, SF_DIR)),
+        "granger": timed(lambda: stats_granger_causality(spark, SF_DIR)),
+        "kendall_tau": timed(lambda: stats_kendall_tau(spark, SF_DIR)),
+        "dickey_fuller": timed(lambda: stats_dickey_fuller(spark, SF_DIR)),
+        "bbit_curve": timed(lambda: dedup_bbit_minhash_curve(spark, SF_DIR)),
         "row_tracking": timed(lambda: row_tracking_lifecycle(spark, SF_DIR)),
     }
     stress_dir = replicate(spark, args.repl)
@@ -140,6 +150,11 @@ def main() -> None:
         "srp_lsh": timed(lambda: ann_srp_lsh(spark, stress_dir)),
         "golden_record": timed(lambda: er_golden_record(spark, stress_dir)),
         "binseg": timed(lambda: events_binseg_changepoint(spark, stress_dir)),
+        "srp_multiprobe": timed(lambda: ann_srp_multiprobe(spark, stress_dir)),
+        "granger": timed(lambda: stats_granger_causality(spark, stress_dir)),
+        "kendall_tau": timed(lambda: stats_kendall_tau(spark, stress_dir)),
+        "dickey_fuller": timed(lambda: stats_dickey_fuller(spark, stress_dir)),
+        "bbit_curve": timed(lambda: dedup_bbit_minhash_curve(spark, stress_dir)),
         "row_tracking": timed(lambda: row_tracking_lifecycle(spark, stress_dir)),
     }
     out["wall_1x"] = base
