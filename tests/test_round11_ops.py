@@ -76,6 +76,37 @@ def test_kendall_tau_ties(spark):
     assert out["tau_b_ppm"] == 816_496
 
 
+def test_dickey_fuller_random_walk_vs_mean_reverting(spark):
+    from mongraph_spark.queries.inference import dickey_fuller_finish
+
+    # 'rw': a pure random walk (beta ~ 0, |t| small);
+    # 'mr': alternating series (strongly mean-reverting: beta ~ -2)
+    walk = [0, 3, 5, 4, 8, 11, 9, 13, 12, 16, 20, 18, 23, 25, 24, 28]
+    rows = [("rw", h, v * 100) for h, v in enumerate(walk)]
+    # noisy alternation (an exact ±c alternation fits perfectly -> RSS=0
+    # -> the degenerate guard NULLs the t-stat by design)
+    mr = [980, -1030, 1010, -990, 1040, -1005, 965, -1020,
+          995, -1015, 1025, -985, 1000, -1010, 990, -1035]
+    rows += [("mr", h, v) for h, v in enumerate(mr)]
+    out = {
+        r["event_type"]: r
+        for r in dickey_fuller_finish(_hourly(spark, rows)).collect()
+    }
+    assert out["mr"]["beta_ppm"] < -1_800_000  # strong mean reversion
+    assert out["rw"]["beta_ppm"] > -600_000  # nowhere near -1
+    # mean-reverting t-stat is far more negative than the walk's
+    assert out["mr"]["df_t_ppm"] < out["rw"]["df_t_ppm"]
+
+
+def test_dickey_fuller_constant_series_guard(spark):
+    from mongraph_spark.queries.inference import dickey_fuller_finish
+
+    rows = [("c", h, 7) for h in range(10)]
+    out = dickey_fuller_finish(_hourly(spark, rows)).collect()
+    assert len(out) == 1
+    assert out[0]["beta_ppm"] is None and out[0]["df_t_ppm"] is None
+
+
 def test_srp_band_curve_monotone(spark):
     from mongraph_spark.queries.inference import ann_srp_band_curve
 
