@@ -201,6 +201,41 @@ def test_checkpoint_restart_resumes_exactly_once(spark, root):
     assert {v for _, _, v in sorted(set(seen) - set(first))} == {1, 2}
 
 
+def test_rename_column_feeds_logical_names(spark, root):
+    # files written before AND after a rename speak the physical name;
+    # the stream must alias to the CURRENT logical schema, exactly like
+    # the batch feed
+    _base(spark, root)
+    M.rename_column(root, "n_chars", "len_chars")  # v1, metadata-only
+    M.upsert(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(2, "upd", 777)], "doc_id long, source string, len_chars long"
+        ),
+        key="doc_id",
+    )  # v2
+    rows = []
+
+    def sink(b, bid):
+        assert "len_chars" in b.columns and "n_chars" not in b.columns
+        rows.extend(b.collect())
+
+    q = (
+        M.stream_changes(spark, root, since_version=1)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", root + "_ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    by = {(r["doc_id"], r["_change_type"]): r for r in rows}
+    assert by[(2, "update_preimage")]["len_chars"] == 20
+    assert by[(2, "update_postimage")]["len_chars"] == 777
+
+
 def test_unsupported_shapes_raise(spark, root):
     flat = spark.createDataFrame([(1, "a")], "doc_id long, source string")
     M.init_table(flat, root)  # un-keyed
