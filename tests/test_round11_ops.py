@@ -4,7 +4,6 @@ attractor stop."""
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 SF = "/root/testdata/sf0.001"
