@@ -1762,98 +1762,122 @@ def ann_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return srp_from_embeddings(spark, emb)
 
 
+def _srp_int_vecs(emb: DataFrame) -> DataFrame:
+    """(vec_id, xv array<long>, nrm decimal) — the embedding floored ONCE
+    onto the integer micro grid as an ARRAY, plus its exact squared norm.
+    Every dot below is a sum of exact integer products, so the zip_with
+    fold order is irrelevant (order-free by exactness).  One row per
+    vector — the r11 replacement for the 64-rows-per-vector dims explode,
+    which made every verify join carry 64× the rows."""
+    return emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, xe -> CAST(round(xe * 1000000) AS BIGINT))"
+        ).alias("xv"),
+    ).withColumn(
+        "nrm",
+        F.expr(
+            "aggregate(xv, CAST(0 AS DECIMAL(38,0)),"
+            " (accn, zn) -> accn + CAST(zn AS DECIMAL(38,0)) * zn)"
+        ),
+    )
+
+
+def _srp_planes_arr(spark: SparkSession) -> DataFrame:
+    """(j, sv array<int>) — each hyperplane's 64 Rademacher signs as an
+    array (md5 parity, engine-portable; same string recipe as the
+    per-(j, d) row form the oracle uses)."""
+    return spark.range(SRP_PLANES).select(
+        F.col("id").cast("int").alias("j"),
+        F.expr(
+            "transform(sequence(0, 63), dd -> CASE WHEN"
+            " CAST(conv(substring(md5(concat(CAST(id AS STRING), '_',"
+            " CAST(dd AS STRING))), 1, 2), 16, 10) AS INT) % 2 = 0"
+            " THEN 1 ELSE -1 END)"
+        ).alias("sv"),
+    )
+
+
+def _srp_bands(spark: SparkSession, ivecs: DataFrame, micro_bits: int) -> DataFrame:
+    """(vec_id, band, band_val) signatures: one broadcast crossJoin against
+    the {SRP_PLANES}-row plane-ARRAY table (N×{SRP_PLANES} rows — was
+    N×{SRP_PLANES}×64 under the per-dim join), each projection an exact
+    integer zip_with dot."""
+    proj = ivecs.crossJoin(F.broadcast(_srp_planes_arr(spark))).select(
+        "vec_id",
+        "j",
+        F.expr(
+            "aggregate(zip_with(xv, sv, (xp, sp) -> CAST(xp AS DECIMAL(38,0)) * sp),"
+            " CAST(0 AS DECIMAL(38,0)), (accp, zp) -> accp + zp)"
+        ).alias("dot"),
+    )
+    return (
+        proj.select(
+            "vec_id",
+            (F.col("j") / micro_bits).cast("int").alias("band"),
+            F.expr(
+                f"CASE WHEN dot >= 0 THEN shiftleft(CAST(1 AS BIGINT),"
+                f" j % {micro_bits}) ELSE CAST(0 AS BIGINT) END"
+            ).alias("bitval"),
+        )
+        .groupBy("vec_id", "band")
+        .agg(F.sum("bitval").cast("long").alias("band_val"))
+    )
+
+
+def _srp_cos_ppm(cands: DataFrame, ivecs: DataFrame) -> DataFrame:
+    """Exact-cosine verify over candidate pairs: ONE row per pair (array
+    zip_with dot + precomputed per-vector norms), same exact integers —
+    and therefore the same ppm floors — as the old 64-rows-per-pair dims
+    join."""
+    a = ivecs.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("xv").alias("xa"),
+        F.col("nrm").alias("daa"),
+    )
+    b = ivecs.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("xv").alias("xb"),
+        F.col("nrm").alias("dbb"),
+    )
+    return (
+        cands.join(a, "vec_a")
+        .join(b, "vec_b")
+        .withColumn(
+            "dab",
+            F.expr(
+                "aggregate(zip_with(xa, xb, (pa, qb) -> CAST(pa AS DECIMAL(38,0)) * qb),"
+                " CAST(0 AS DECIMAL(38,0)), (accd, zd) -> accd + zd)"
+            ),
+        )
+        .drop("xa", "xb")
+        .withColumn(
+            "cos_ppm",
+            F.expr(
+                "CAST(FLOOR(1000000 * CAST(dab AS DOUBLE)"
+                " / (SQRT(CAST(daa AS DOUBLE)) * SQRT(CAST(dbb AS DOUBLE))))"
+                " AS BIGINT)"
+            ),
+        )
+        .drop("dab", "daa", "dbb")
+    )
+
+
 def srp_from_embeddings(spark: SparkSession, emb: DataFrame) -> DataFrame:
     """SRP top-K over a (vec_id, embedding) frame — factored so
     known-value pins can feed hand vectors."""
-    dims = emb.select(
-        "vec_id", F.posexplode("embedding").alias("d", "x")
-    ).select(
-        "vec_id",
-        "d",
-        F.round(F.col("x") * 1_000_000).cast("long").alias("xi"),
-    )
-    planes = (
-        spark.range(SRP_PLANES)
-        .select(F.col("id").cast("int").alias("j"))
-        .crossJoin(spark.range(64).select(F.col("id").cast("int").alias("d")))
-        .select(
-            "j",
-            "d",
-            F.when(
-                F.conv(
-                    F.substring(
-                        F.md5(
-                            F.concat_ws(
-                                "_",
-                                F.col("j").cast("string"),
-                                F.col("d").cast("string"),
-                            )
-                        ),
-                        1,
-                        2,
-                    ),
-                    16,
-                    10,
-                ).cast("int")
-                % 2
-                == 0,
-                F.lit(1),
-            )
-            .otherwise(F.lit(-1))
-            .alias("s"),
-        )
-    )
-    bits = (
-        dims.join(F.broadcast(planes), "d")
-        .groupBy("vec_id", "j")
-        .agg(F.sum(F.col("s") * F.col("xi")).cast("long").alias("dot"))
-        .select(
-            "vec_id",
-            (F.col("j") / SRP_BITS).cast("int").alias("band"),
-            F.expr(
-                f"CASE WHEN dot >= 0 THEN shiftleft(CAST(1 AS BIGINT),"
-                f" j % {SRP_BITS}) ELSE CAST(0 AS BIGINT) END"
-            ).alias("bitval"),
-        )
-    )
-    bands = bits.groupBy("vec_id", "band").agg(
-        F.sum("bitval").cast("long").alias("band_val")
-    )
-    a = bands.select(
-        "band", "band_val", F.col("vec_id").alias("vec_a")
-    )
-    b = bands.select(
-        "band", "band_val", F.col("vec_id").alias("vec_b")
-    )
+    ivecs = _srp_int_vecs(emb).localCheckpoint(eager=True)
+    bands = _srp_bands(spark, ivecs, SRP_BITS)
+    a = bands.select("band", "band_val", F.col("vec_id").alias("vec_a"))
+    b = bands.select("band", "band_val", F.col("vec_id").alias("vec_b"))
     cands = (
         a.join(b, ["band", "band_val"])
         .filter(F.col("vec_a") < F.col("vec_b"))
         .groupBy("vec_a", "vec_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared_bands"))
     )
-    da = dims.select(
-        F.col("vec_id").alias("vec_a"), "d", F.col("xi").alias("xa")
-    )
-    db = dims.select(
-        F.col("vec_id").alias("vec_b"), "d", F.col("xi").alias("xb")
-    )
-    dots = (
-        cands.join(da, "vec_a")
-        .join(db, ["vec_b", "d"])
-        .groupBy("vec_a", "vec_b", "n_shared_bands")
-        .agg(
-            F.sum(F.col("xa").cast("decimal(38,0)") * F.col("xb")).alias("dab"),
-            F.sum(F.col("xa").cast("decimal(38,0)") * F.col("xa")).alias("daa"),
-            F.sum(F.col("xb").cast("decimal(38,0)") * F.col("xb")).alias("dbb"),
-        )
-    )
-    scored = dots.selectExpr(
-        "vec_a",
-        "vec_b",
-        "n_shared_bands",
-        "CAST(FLOOR(1000000 * CAST(dab AS DOUBLE)"
-        " / (SQRT(CAST(daa AS DOUBLE)) * SQRT(CAST(dbb AS DOUBLE))))"
-        " AS BIGINT) AS cos_ppm",
+    scored = _srp_cos_ppm(cands, ivecs).select(
+        "vec_a", "vec_b", "n_shared_bands", "cos_ppm"
     )
     # top-K by similarity with a total tiebreak — TakeOrdered, no global sort
     return scored.orderBy(
@@ -2413,62 +2437,8 @@ def ann_srp_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded scored set."""
     emb = read_table(spark, sf_dir, "embeddings")
     micro_bits = SRP_PLANES // SRP_CURVE_MICRO
-    dims = (
-        emb.select("vec_id", F.posexplode("embedding").alias("d", "x"))
-        .select(
-            "vec_id",
-            "d",
-            F.round(F.col("x") * 1_000_000).cast("long").alias("xi"),
-        )
-        .localCheckpoint(eager=True)  # feeds the band build AND the verify
-    )
-    planes = (
-        spark.range(SRP_PLANES)
-        .select(F.col("id").cast("int").alias("j"))
-        .crossJoin(spark.range(64).select(F.col("id").cast("int").alias("d")))
-        .select(
-            "j",
-            "d",
-            F.when(
-                F.conv(
-                    F.substring(
-                        F.md5(
-                            F.concat_ws(
-                                "_",
-                                F.col("j").cast("string"),
-                                F.col("d").cast("string"),
-                            )
-                        ),
-                        1,
-                        2,
-                    ),
-                    16,
-                    10,
-                ).cast("int")
-                % 2
-                == 0,
-                F.lit(1),
-            )
-            .otherwise(F.lit(-1))
-            .alias("s"),
-        )
-    )
-    bits = (
-        dims.join(F.broadcast(planes), "d")
-        .groupBy("vec_id", "j")
-        .agg(F.sum(F.col("s") * F.col("xi")).cast("long").alias("dot"))
-        .select(
-            "vec_id",
-            (F.col("j") / micro_bits).cast("int").alias("band"),
-            F.expr(
-                f"CASE WHEN dot >= 0 THEN shiftleft(CAST(1 AS BIGINT),"
-                f" j % {micro_bits}) ELSE CAST(0 AS BIGINT) END"
-            ).alias("bitval"),
-        )
-    )
-    bands = bits.groupBy("vec_id", "band").agg(
-        F.sum("bitval").cast("long").alias("band_val")
-    )
+    ivecs = _srp_int_vecs(emb).localCheckpoint(eager=True)
+    bands = _srp_bands(spark, ivecs, micro_bits)
     a = bands.select("band", "band_val", F.col("vec_id").alias("vec_a"))
     b = bands.select("band", "band_val", F.col("vec_id").alias("vec_b"))
     cands = (
@@ -2481,23 +2451,9 @@ def ann_srp_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("bitmap")
         )
     )
-    da = dims.select(F.col("vec_id").alias("vec_a"), "d", F.col("xi").alias("xa"))
-    db = dims.select(F.col("vec_id").alias("vec_b"), "d", F.col("xi").alias("xb"))
     scored = (
-        cands.join(da, "vec_a")
-        .join(db, ["vec_b", "d"])
-        .groupBy("vec_a", "vec_b", "bitmap")
-        .agg(
-            F.sum(F.col("xa").cast("decimal(38,0)") * F.col("xb")).alias("dab"),
-            F.sum(F.col("xa").cast("decimal(38,0)") * F.col("xa")).alias("daa"),
-            F.sum(F.col("xb").cast("decimal(38,0)") * F.col("xb")).alias("dbb"),
-        )
-        .selectExpr(
-            "bitmap",
-            "CAST(FLOOR(1000000 * CAST(dab AS DOUBLE)"
-            " / (SQRT(CAST(daa AS DOUBLE)) * SQRT(CAST(dbb AS DOUBLE))))"
-            " AS BIGINT) AS cos_ppm",
-        )
+        _srp_cos_ppm(cands, ivecs)
+        .select("bitmap", "cos_ppm")
         .localCheckpoint(eager=True)  # one verify pass feeds every point
     )
     ref = scored.agg(
@@ -2644,62 +2600,8 @@ def ann_srp_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays a band-bucket equi-join (never all-pairs), and ONE exact
     verify pass over the radius-1 superset feeds both probe levels."""
     emb = read_table(spark, sf_dir, "embeddings")
-    dims = (
-        emb.select("vec_id", F.posexplode("embedding").alias("d", "x"))
-        .select(
-            "vec_id",
-            "d",
-            F.round(F.col("x") * 1_000_000).cast("long").alias("xi"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    planes = (
-        spark.range(SRP_PLANES)
-        .select(F.col("id").cast("int").alias("j"))
-        .crossJoin(spark.range(64).select(F.col("id").cast("int").alias("d")))
-        .select(
-            "j",
-            "d",
-            F.when(
-                F.conv(
-                    F.substring(
-                        F.md5(
-                            F.concat_ws(
-                                "_",
-                                F.col("j").cast("string"),
-                                F.col("d").cast("string"),
-                            )
-                        ),
-                        1,
-                        2,
-                    ),
-                    16,
-                    10,
-                ).cast("int")
-                % 2
-                == 0,
-                F.lit(1),
-            )
-            .otherwise(F.lit(-1))
-            .alias("s"),
-        )
-    )
-    bits = (
-        dims.join(F.broadcast(planes), "d")
-        .groupBy("vec_id", "j")
-        .agg(F.sum(F.col("s") * F.col("xi")).cast("long").alias("dot"))
-        .select(
-            "vec_id",
-            (F.col("j") / SRP_BITS).cast("int").alias("band"),
-            F.expr(
-                f"CASE WHEN dot >= 0 THEN shiftleft(CAST(1 AS BIGINT),"
-                f" j % {SRP_BITS}) ELSE CAST(0 AS BIGINT) END"
-            ).alias("bitval"),
-        )
-    )
-    bands = bits.groupBy("vec_id", "band").agg(
-        F.sum("bitval").cast("long").alias("band_val")
-    )
+    ivecs = _srp_int_vecs(emb).localCheckpoint(eager=True)
+    bands = _srp_bands(spark, ivecs, SRP_BITS)
     # probe side: the exact value (flip = 0) plus each 1-bit flip
     probes = bands.select(
         "vec_id",
@@ -2731,23 +2633,9 @@ def ann_srp_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_a", "vec_b")
         .agg(F.min("h").cast("long").alias("min_hamming"))
     )
-    da = dims.select(F.col("vec_id").alias("vec_a"), "d", F.col("xi").alias("xa"))
-    db = dims.select(F.col("vec_id").alias("vec_b"), "d", F.col("xi").alias("xb"))
     scored = (
-        cands.join(da, "vec_a")
-        .join(db, ["vec_b", "d"])
-        .groupBy("vec_a", "vec_b", "min_hamming")
-        .agg(
-            F.sum(F.col("xa").cast("decimal(38,0)") * F.col("xb")).alias("dab"),
-            F.sum(F.col("xa").cast("decimal(38,0)") * F.col("xa")).alias("daa"),
-            F.sum(F.col("xb").cast("decimal(38,0)") * F.col("xb")).alias("dbb"),
-        )
-        .selectExpr(
-            "min_hamming",
-            "CAST(FLOOR(1000000 * CAST(dab AS DOUBLE)"
-            " / (SQRT(CAST(daa AS DOUBLE)) * SQRT(CAST(dbb AS DOUBLE))))"
-            " AS BIGINT) AS cos_ppm",
-        )
+        _srp_cos_ppm(cands, ivecs)
+        .select("min_hamming", "cos_ppm")
         .localCheckpoint(eager=True)
     )
     out = None
