@@ -54,21 +54,6 @@ from pyspark.sql import types as T
 
 FORMAT_NAME = "mongraph_cdf"
 
-# mirrors merge._CDF_NO_ROW_CHANGE_OPS (kept literal here so executors
-# never import the full store module)
-_NO_ROW_CHANGE_OPS = {
-    "add_column",
-    "add_generated",
-    "add_constraint",
-    "drop_column",
-    "rename_column",
-    "compact",
-    "rebucket",
-    "clone",
-    "set_property",
-    "vacuum",
-}
-
 
 def _version_name(n: int) -> str:
     return f"v_{n:05d}"
@@ -173,7 +158,10 @@ class CdfStreamReader(DataSourceStreamReader):
         for n in range(lo + 1, hi + 1):
             rec = M._read_commit(self.root, _version_name(n)) or {}
             op = rec.get("op")
-            if op in _NO_ROW_CHANGE_OPS:
+            # the STORE's own metadata-only set, not a mirror — partitions()
+            # runs driver-side where merge is already imported, so a new
+            # no-row-change op added there can never silently diverge here
+            if op in M._CDF_NO_ROW_CHANGE_OPS:
                 continue
             buckets = rec.get("buckets")
             scope = set(buckets) if isinstance(buckets, list) else None
