@@ -28,10 +28,24 @@ batch CDF — the table's columns plus ``_change_type`` / ``_commit_version``
   ``update_preimage`` / ``update_postimage``; unchanged rows never
   appear).  Metadata-only commits emit nothing and version-skip.
 
-Unsupported (raise at stream construction, driver-side): tables with
-GENERATED columns (their fills are SQL expressions the Arrow-side reader
-does not evaluate — use the batch ``read_changes``) and un-keyed tables
-(row identity is the key, same as the batch feed).
+Unsupported (raise at stream construction, driver-side, whether the
+stream was built via :func:`merge.stream_changes` or a bare
+``readStream.format("mongraph_cdf")``): tables with GENERATED columns
+(their fills are SQL expressions the Arrow-side reader does not
+evaluate — use the batch ``read_changes``) and un-keyed tables (row
+identity is the key, same as the batch feed).
+
+Finite replay / ``Trigger.AvailableNow``: the Python data-source JVM
+wrapper lacks ``SupportsTriggerAvailableNow`` and snapshots ONE
+``latestOffset`` at query start as the drain target, so a rate-limited
+stream under ``availableNow`` stops after ``commits_per_trigger``
+commits — a silent partial drain.  The supported catch-up shape is the
+``stop_at_version`` option ("latest" or a version number): the reader
+freezes the drain target at stream start and advertises it un-paced, so
+``trigger(availableNow=True)`` drains exactly to the snapshot and the
+query terminates on its own (Delta's ``availableNow`` over
+``table_changes``, re-expressed).  Checkpoint restarts re-snapshot
+"latest" at restart time, preserving exactly-once.
 
 At 100 TB this is the store's native CDC subscription: progress tracking
 and recovery ride the engine's streaming checkpoint (offsets are plain
@@ -97,6 +111,33 @@ class CdfStreamReader(DataSourceStreamReader):
         until = options.get("until_version")
         self.until = None if until is None else int(until)
         self.per_trigger = max(1, int(options.get("commits_per_trigger", 1)))
+        # finite-replay pin (the Trigger.AvailableNow contract the Python
+        # data-source wrapper can't express natively — it snapshots ONE
+        # latestOffset, so pacing would silently truncate the drain):
+        # "latest" freezes the commit-log head AT STREAM START as the
+        # drain target, and pacing is disabled so the single advertised
+        # offset covers the whole snapshot.  On a checkpoint restart the
+        # reader is rebuilt, so the head is re-snapshotted at restart
+        # time — exactly Delta's availableNow-on-table_changes shape.
+        stop = options.get("stop_at_version")
+        if stop is not None:
+            tgt = self._cur_num() if str(stop) == "latest" else int(stop)
+            tgt = self.since if tgt is None else tgt
+            self.until = tgt if self.until is None else min(self.until, tgt)
+            self.per_trigger = None  # un-paced: one catch-up advertisement
+        # the unsupported shapes fail AT STREAM CONSTRUCTION, driver-side,
+        # even for a bare readStream.format("mongraph_cdf") that never went
+        # through merge.stream_changes (whose guards these mirror): read()
+        # would silently NULL-fill generated columns, and partitions()
+        # needs a key for row identity.
+        meta = self._meta()
+        if meta.get("key") is None:
+            raise ValueError("mongraph_cdf requires a bucketed (keyed) table")
+        if any("expr" in c for c in (meta.get("added") or [])):
+            raise NotImplementedError(
+                "mongraph_cdf does not evaluate generated-column fills; "
+                "use the batch read_changes"
+            )
 
     # -- store metadata (driver-side only) --------------------------------
 
@@ -124,11 +165,25 @@ class CdfStreamReader(DataSourceStreamReader):
         hi = self.since if cur is None else cur
         if self.until is not None:
             hi = min(hi, self.until)
-        # progress is tracked by the engine; start from the last planned
-        # offset Spark hands to partitions().  latestOffset only sees the
-        # store, so keep a local cursor seeded at `since`.
+        # RESTART SAFETY (the cursor must never advertise an offset
+        # behind the engine's committed one — that would make the engine
+        # record a regressed offset and redeliver already-processed
+        # commits).  The engine's verified call order (traced on this
+        # Spark version, pinned by
+        # test_checkpoint_restart_resumes_exactly_once with TWO
+        # committed batches + two while-down commits) is:
+        #   fresh stream:  latestOffset → initialOffset → partitions
+        #   ckpt restart:  partitions(checkpointed lo..hi) FIRST, then
+        #                  latestOffset
+        # so on a restart partitions() has already max-synced the cursor
+        # to the committed offset before we are ever asked for a new
+        # one, and an unset cursor here can only mean a FRESH stream:
+        # pace from `since`.
         last = getattr(self, "_last_planned", self.since)
-        nxt = min(hi, last + self.per_trigger)
+        if self.per_trigger is None:  # finite replay: un-paced
+            nxt = hi
+        else:
+            nxt = min(hi, last + self.per_trigger)
         self._last_planned = max(last, nxt)
         return {"version": nxt}
 
@@ -139,9 +194,10 @@ class CdfStreamReader(DataSourceStreamReader):
 
         lo, hi = int(start["version"]), int(end["version"])
         # keep the rate-limit cursor consistent with the engine's actual
-        # planning (a checkpoint restart hands us offsets latestOffset
-        # never saw)
-        self._last_planned = max(getattr(self, "_last_planned", lo), hi)
+        # planning — on a checkpoint restart this call (with the
+        # checkpointed offsets) comes BEFORE any latestOffset, so it is
+        # what makes the cursor restart-safe (see latestOffset)
+        self._last_planned = max(getattr(self, "_last_planned", lo), lo, hi)
         meta = self._meta()
         key = meta.get("key")
         if key is None:

@@ -3269,6 +3269,7 @@ def stream_changes(
     until_version: int | None = None,
     *,
     commits_per_trigger: int = 1,
+    stop_at_version: int | str | None = None,
 ) -> DataFrame:
     """STREAMING Change Data Feed — :func:`read_changes` as a rate-limited
     readStream whose offsets ARE commit versions (the Delta
@@ -3286,7 +3287,18 @@ def stream_changes(
     buckets), the per-bucket old/new diff runs Arrow-side on executors,
     and no spool copy of the feed is ever materialized.  Raises for
     un-keyed tables and tables with generated columns (their fills are
-    SQL expressions; use the batch feed)."""
+    SQL expressions; use the batch feed).
+
+    ``Trigger.AvailableNow`` caveat: the Python data-source wrapper
+    snapshots ONE rate-limited ``latestOffset`` at query start, so a
+    plain rate-limited stream under ``availableNow`` stops after
+    ``commits_per_trigger`` commits — a silent partial drain.  For a
+    finite catch-up that drains completely and stops on its own, pass
+    ``stop_at_version="latest"`` (or a version number): the drain
+    target is frozen at stream start and advertised un-paced (pacing is
+    disabled — the whole snapshot is one catch-up batch), so
+    ``trigger(availableNow=True)`` terminates exactly at the snapshot;
+    checkpoint restarts re-snapshot "latest" and stay exactly-once."""
     meta = _read_meta(root)
     if meta.get("key") is None:
         raise ValueError("stream_changes requires a bucketed (keyed) table")
@@ -3309,6 +3321,8 @@ def stream_changes(
     )
     if until_version is not None:
         reader = reader.option("until_version", str(int(until_version)))
+    if stop_at_version is not None:
+        reader = reader.option("stop_at_version", str(stop_at_version))
     return reader.load()
 
 

@@ -150,9 +150,11 @@ def test_added_column_default_fills(spark, root):
 def test_checkpoint_restart_resumes_exactly_once(spark, root):
     # offsets are commit versions persisted in the engine checkpoint: a
     # stopped stream must resume at the next commit, never redeliver.
-    # (availableNow snapshots ONE rate-limited latestOffset on this
-    # source — see cdf_stream docstring — which here is exactly the
-    # "process one commit then stop" half of the scenario.)
+    # TWO batches are committed before the restart (v0 then v1, one
+    # commit per trigger), so the checkpointed offset (1) sits AHEAD of
+    # a naive since-seeded rate-limit cursor (whose first advertisement
+    # would be since+1 = 0) — the exact shape where a regressed
+    # latestOffset would make the engine redeliver v1.
     _base(spark, root)
     M.upsert(
         spark,
@@ -162,7 +164,6 @@ def test_checkpoint_restart_resumes_exactly_once(spark, root):
         ),
         key="doc_id",
     )  # v1
-    M.delete_where(spark, root, F.col("doc_id") == 5)  # v2
     seen: list[tuple] = []
 
     def sink(b, bid):
@@ -176,13 +177,25 @@ def test_checkpoint_restart_resumes_exactly_once(spark, root):
         M.stream_changes(spark, root, since_version=-1)
         .writeStream.foreachBatch(sink)
         .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
     first = sorted(seen)
-    assert {v for _, _, v in first} == {0}  # exactly the init commit
-    # restart from the same checkpoint: only v1 + v2 may arrive
+    assert {v for _, _, v in first} == {0, 1}  # two committed batches
+    # commits that land while the stream is down
+    M.delete_where(spark, root, F.col("doc_id") == 5)  # v2
+    M.upsert(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(51, "y", 7)], "doc_id long, source string, n_chars long"
+        ),
+        key="doc_id",
+    )  # v3
+    # restart from the same checkpoint: only v2 + v3 may arrive
     q2 = (
         M.stream_changes(spark, root, since_version=-1)
         .writeStream.foreachBatch(sink)
@@ -198,7 +211,63 @@ def test_checkpoint_restart_resumes_exactly_once(spark, root):
         for r in M.read_changes(spark, root, since_version=-1).collect()
     )
     assert sorted(seen) == exp  # union is exactly-once, no redelivery
-    assert {v for _, _, v in sorted(set(seen) - set(first))} == {1, 2}
+    assert {v for _, _, v in sorted(set(seen) - set(first))} == {2, 3}
+
+
+def test_stop_at_latest_available_now_drains_and_terminates(spark, root):
+    # the finite-replay pin (availableNow emulation): stop_at_version=
+    # "latest" snapshots the commit-log head at stream start, the query
+    # drains exactly to it and STOPS ON ITS OWN under availableNow —
+    # no processAllAvailable babysitting.
+    _base(spark, root)  # v0
+    for i in range(3):  # v1..v3
+        M.upsert(
+            spark,
+            root,
+            spark.createDataFrame(
+                [(60 + i, f"z{i}", i)],
+                "doc_id long, source string, n_chars long",
+            ),
+            key="doc_id",
+        )
+    seen: list[tuple] = []
+
+    def sink(b, bid):
+        seen.extend(
+            (r["doc_id"], r["_change_type"], r["_commit_version"])
+            for r in b.collect()
+        )
+
+    ckpt = root + "_ckpt"
+    q = (
+        M.stream_changes(spark, root, stop_at_version="latest")
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)  # terminates on its own
+    exp = sorted(
+        (r["doc_id"], r["_change_type"], r["_commit_version"])
+        for r in M.read_changes(spark, root, since_version=-1).collect()
+    )
+    assert sorted(seen) == exp  # the FULL snapshot, not a paced prefix
+    # incremental re-run: new commits only, exactly-once across runs
+    M.delete_where(spark, root, F.col("doc_id") == 61)  # v4
+    q2 = (
+        M.stream_changes(spark, root, stop_at_version="latest")
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q2.awaitTermination(120)
+    exp2 = sorted(
+        (r["doc_id"], r["_change_type"], r["_commit_version"])
+        for r in M.read_changes(spark, root, since_version=-1).collect()
+    )
+    assert sorted(seen) == exp2
+    assert {v for _, _, v in set(seen) - set(exp)} == {4}
 
 
 def test_rename_column_feeds_logical_names(spark, root):
@@ -250,3 +319,31 @@ def test_unsupported_shapes_raise(spark, root):
             M.stream_changes(spark, root2)
     finally:
         shutil.rmtree(root2, ignore_errors=True)
+
+
+def test_direct_format_enforces_same_guards(spark, root):
+    # the guards live in the READER, not just the stream_changes wrapper:
+    # a bare readStream.format("mongraph_cdf") over a generated-column
+    # table must fail at stream construction, never NULL-fill the
+    # generated column (partitions() drops expr entries from fills).
+    from mongraph_spark.sources.cdf_stream import (
+        FORMAT_NAME,
+        CdfStreamReader,
+    )
+
+    df = spark.createDataFrame([(1, 2)], "doc_id long, n long")
+    M.init_table(df, root, key="doc_id", n_buckets=2)
+    M.add_generated_column(spark, root, "n2", "long", "n * 2")
+    with pytest.raises(NotImplementedError, match="generated"):
+        CdfStreamReader({"root": root})
+    root2 = root + "_flat"
+    try:
+        M.init_table(
+            spark.createDataFrame([(1, "a")], "doc_id long, source string"),
+            root2,
+        )  # un-keyed
+        with pytest.raises(ValueError, match="bucketed"):
+            CdfStreamReader({"root": root2})
+    finally:
+        shutil.rmtree(root2, ignore_errors=True)
+    assert FORMAT_NAME == "mongraph_cdf"  # the public name routes here
