@@ -9,6 +9,12 @@ buffer.)
 
 Each query is materialized with the noop writer (full execution, no driver
 collect overhead) after a warm-up of the session.
+
+Measurement order: the PERMANENT anchor set is measured FIRST, right after
+the fixed warmup — before the rotating 50-query window — so the
+longitudinal anchor series is taken from the same JVM position every
+round and can never be inflated by whatever the current window happens to
+contain (the r11 4.2× phantom-regression artifact).
 """
 
 from __future__ import annotations
@@ -46,6 +52,11 @@ ANCHOR_QUERIES = [
     "streaming_lsh_dedup",     # streaming + bucketed index probe
     "store_merge_into",        # CoW store MERGE lifecycle
     "corpus_gopher_rules",     # corpus quality battery
+    # grown r12 (grow-only; VERDICT r11 order #2): the two expensive
+    # families the set didn't cover — a converging driver-side iterator
+    # and a CoW store lifecycle with churn
+    "er_golden_record",        # iterative ER fixpoint (pointer doubling)
+    "store_row_tracking",      # store init + trickle upsert + compact
 ]
 
 
@@ -80,6 +91,26 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    # ANCHORS FIRST, from a clean position (VERDICT r11 order #2): in r11
+    # the anchors were measured AFTER the 3×50 window in the same JVM, so
+    # a heavier window inflated sub-second anchors up to 4.2× with zero
+    # code change (JIT/GC depth) and a day went to disproving a phantom
+    # regression.  Measuring every anchor before the rotating window makes
+    # the longitudinal series independent of window composition; anchors
+    # that also sit in the window are simply measured twice (~20 s, cheap
+    # insurance against a measurement-position artifact).
+    all_qs = {**entrymod.extended_queries(), **entrymod.queries()}
+    anchors: dict[str, float] = {}
+    for name in ANCHOR_QUERIES:
+        fn = all_qs[name]
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            materialize(fn(spark, sf_dir))
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        anchors[name] = round(best, 3)
+
     # three timed passes per query, keep the min: steady-state throughput.
     # Best-of-2 let a one-off JIT/GC transient land in the published number
     # (r4's unpivot_lineitem_measures recorded 7.4 s vs 0.71 s warm); with
@@ -98,23 +129,6 @@ def main() -> None:
                 pass1[name] = round(dt, 3)
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
-
-    # anchors outside the rotating core window get their own 3 passes;
-    # anchors inside it reuse the timings already measured above
-    all_qs = {**entrymod.extended_queries(), **entrymod.queries()}
-    anchors: dict[str, float] = {}
-    for name in ANCHOR_QUERIES:
-        if name in timings:
-            anchors[name] = timings[name]
-            continue
-        fn = all_qs[name]
-        best = None
-        for _ in range(3):
-            t0 = time.perf_counter()
-            materialize(fn(spark, sf_dir))
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        anchors[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     # Two SEPARATE detail lines, pass1 first: the driver's tail-buffered log

@@ -2699,6 +2699,44 @@ EIG_ROUNDS = 6
 EIG_GRID = 1000
 
 
+def eig_step_builder(
+    nodes: DataFrame, und: DataFrame, cached: list
+) -> "callable":
+    """ONE grid-renormalized power-iteration step — x' = (G · Σ_{u∼v} x_u)
+    div max — shared by the eigenvector pair (VERDICT r11 order #6: the
+    fixed-depth and converged loops duplicated this verbatim and could
+    drift).  The two registered shapes differ ONLY in the adjacency frame
+    (`graph_eigenvector_converged` adds self-loops for the lazy walk) and
+    the stop rule; the step itself is identical by construction now.
+
+    Each round's contribution frame is persisted and appended to `cached`
+    (caller unpersists): it is consumed TWICE per round — the broadcast
+    1-row max ACTION, then the checkpoint materialization — and persisting
+    it halves the per-round work (measured ~2.2× at sf0.1)."""
+
+    def step(x: DataFrame) -> DataFrame:
+        c = (
+            x.join(und, x["node_id"] == und["src"])
+            .select(F.col("dst").alias("node_id"), "score")
+            .groupBy("node_id")
+            .agg(F.sum("score").cast("decimal(38,0)").alias("c"))
+            .persist()
+        )
+        cached.append(c)
+        m = c.agg(F.max("c").alias("m"))
+        return (
+            nodes.join(c, "node_id", "left")
+            .crossJoin(F.broadcast(m))
+            .selectExpr(
+                "node_id",
+                f"CAST((CAST({EIG_GRID} AS DECIMAL(38,0)) * coalesce(c, 0))"
+                " div m AS BIGINT) AS score",
+            )
+        )
+
+    return step
+
+
 def graph_eigenvector_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eigenvector centrality on the UNDIRECTED graph — "you matter if
     your neighbors matter", the recursive-importance score PageRank damps
@@ -2729,29 +2767,7 @@ def graph_eigenvector_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nodes = eng.store.nodes_df().select("node_id")
     cached: list[DataFrame] = []
-
-    def step(x):
-        # each round's contribution frame is consumed TWICE (the broadcast
-        # max action, then the checkpoint materialization) — persisting it
-        # halves the per-round work (measured ~2.2x on the converged twin)
-        c = (
-            x.join(und, x["node_id"] == und["src"])
-            .select(F.col("dst").alias("node_id"), "score")
-            .groupBy("node_id")
-            .agg(F.sum("score").cast("decimal(38,0)").alias("c"))
-            .persist()
-        )
-        cached.append(c)
-        m = c.agg(F.max("c").alias("m"))
-        return (
-            nodes.join(c, "node_id", "left")
-            .crossJoin(F.broadcast(m))
-            .selectExpr(
-                "node_id",
-                f"CAST((CAST({EIG_GRID} AS DECIMAL(38,0)) * coalesce(c, 0))"
-                " div m AS BIGINT) AS score",
-            )
-        )
+    step = eig_step_builder(nodes, und, cached)
 
     try:
         x0 = nodes.select("node_id", F.lit(EIG_GRID).cast("long").alias("score"))
@@ -2879,28 +2895,7 @@ def graph_eigenvector_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     cached: list[DataFrame] = []
-
-    def step(x):
-        # persist per round: the contribution frame feeds the broadcast
-        # max action AND the checkpoint (measured 13.3 -> ~6 s at sf0.1)
-        c = (
-            x.join(und, x["node_id"] == und["src"])
-            .select(F.col("dst").alias("node_id"), "score")
-            .groupBy("node_id")
-            .agg(F.sum("score").cast("decimal(38,0)").alias("c"))
-            .persist()
-        )
-        cached.append(c)
-        m = c.agg(F.max("c").alias("m"))
-        return (
-            nodes.join(c, "node_id", "left")
-            .crossJoin(F.broadcast(m))
-            .selectExpr(
-                "node_id",
-                f"CAST((CAST({EIG_GRID} AS DECIMAL(38,0)) * coalesce(c, 0))"
-                " div m AS BIGINT) AS score",
-            )
-        )
+    step = eig_step_builder(nodes, und, cached)
 
     hist: list[list[int]] = []
 

@@ -2403,6 +2403,50 @@ SRP_CURVE_MICRO = 8  # finest sweep point: 8 bands x 4 bits (of the 32 planes)
 SRP_CURVE_BANDS = [1, 2, 4, 8]
 SRP_CURVE_TRUTH_PPM = 400_000  # "near pair" cut — the corpus' top ~60 at sf0.01
 
+# The tuning sheets' scale governor: at FIXED band bits the bucket-join
+# candidate volume is Θ(N²/2^bits), so an unbounded input would make the
+# knob sheet itself a scale-killer (measured 53× wall at 16× input in
+# round 11).  A tuning sheet doesn't need the full corpus — it needs a
+# representative sample dense enough to rank the knob settings — so both
+# sheets clamp their input to ≤ ~SRP_SHEET_CAP vectors via a DETERMINISTIC
+# md5 coin per vec_id (engine-portable: the oracle applies the identical
+# predicate, so the strict gate still holds).  Below the cap the predicate
+# keeps every row (threshold ≥ 2^32 > any coin), so sf0.01/sf0.1 outputs
+# are unchanged; above it the expected sample is SRP_SHEET_CAP and the
+# sheet's work is O(cap²/2^bits) = bounded regardless of corpus size.
+SRP_SHEET_CAP = 4096
+
+
+def _srp_sheet_sample(emb: DataFrame) -> DataFrame:
+    """Deterministic ≤~{SRP_SHEET_CAP}-vector sample: keep vec_id iff
+    coin(vec_id) · N < {SRP_SHEET_CAP} · 2³², where the coin is the first
+    8 md5 hex digits (uniform on [0, 2³²)).  Exact integer compare in
+    DECIMAL(38,0) — no float threshold to diverge between engines."""
+    n = emb.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n_sheet_total")
+    )
+    return (
+        emb.crossJoin(F.broadcast(n))
+        .filter(
+            F.expr(
+                "CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 8),"
+                " 16, 10) AS DECIMAL(38,0)) * n_sheet_total"
+                f" < CAST({SRP_SHEET_CAP} AS DECIMAL(38,0)) * 4294967296"
+            )
+        )
+        .drop("n_sheet_total")
+    )
+
+
+def _oracle_sheet_sample_cte() -> str:
+    """The identical sample as a DuckDB CTE (`emb_s`)."""
+    return f"""emb_s AS MATERIALIZED (
+  SELECT * FROM embeddings
+  WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT::HUGEINT
+        * (SELECT count(*) FROM embeddings)
+        < CAST({SRP_SHEET_CAP} AS HUGEINT) * 4294967296
+)"""
+
 
 def ann_srp_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall-vs-candidate-volume CURVE over the SRP band structure —
@@ -2434,8 +2478,12 @@ def ann_srp_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: ONE bucketed band join (never all-pairs) at the finest
     granularity + ONE exact-cosine verify over its candidates
     (checkpointed); each curve point is a filtered aggregate of that
-    bounded scored set."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    bounded scored set.  The input is clamped to the deterministic
+    ≤~{SRP_SHEET_CAP}-vector md5 sample (:func:`_srp_sheet_sample`) —
+    at fixed band bits the candidate volume is Θ(N²/2^bits), and a
+    tuning sheet ranks knob settings on a sample, it doesn't need the
+    corpus — so the sheet's cost is bounded at ANY corpus size."""
+    emb = _srp_sheet_sample(read_table(spark, sf_dir, "embeddings"))
     micro_bits = SRP_PLANES // SRP_CURVE_MICRO
     ivecs = _srp_int_vecs(emb).localCheckpoint(eager=True)
     bands = _srp_bands(spark, ivecs, micro_bits)
@@ -2516,10 +2564,11 @@ def _oracle_srp_band_curve() -> str:
         )
     union = "\nUNION ALL\n".join(points)
     return f"""
-WITH dims AS MATERIALIZED (
+WITH {_oracle_sheet_sample_cte()},
+dims AS MATERIALIZED (
   SELECT vec_id, CAST(u.d - 1 AS INT) AS d,
          CAST(round(embedding[u.d] * 1000000) AS BIGINT) AS xi
-  FROM embeddings, unnest(generate_series(1, 64)) u(d)
+  FROM emb_s, unnest(generate_series(1, 64)) u(d)
 ),
 planes AS MATERIALIZED (
   SELECT CAST(j.j AS INT) AS j, CAST(d.d AS INT) AS d,
@@ -2598,8 +2647,13 @@ def ann_srp_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: probes explode each (vec, band) row into
     1+{SRP_BITS} rows (constant factor, map-only), the candidate join
     stays a band-bucket equi-join (never all-pairs), and ONE exact
-    verify pass over the radius-1 superset feeds both probe levels."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    verify pass over the radius-1 superset feeds both probe levels.
+    The input is clamped to the deterministic ≤~{SRP_SHEET_CAP}-vector
+    md5 sample (:func:`_srp_sheet_sample`): at fixed band bits the
+    probe-fanned candidate volume is Θ(9·N²/2^bits) — measured 53× wall
+    at 16× input unclamped — and a knob sheet ranks probe settings on a
+    sample, so its cost is bounded at ANY corpus size."""
+    emb = _srp_sheet_sample(read_table(spark, sf_dir, "embeddings"))
     ivecs = _srp_int_vecs(emb).localCheckpoint(eager=True)
     bands = _srp_bands(spark, ivecs, SRP_BITS)
     # probe side: the exact value (flip = 0) plus each 1-bit flip
@@ -2666,10 +2720,11 @@ def ann_srp_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_SRP_MULTIPROBE = f"""
-WITH dims AS MATERIALIZED (
+WITH {_oracle_sheet_sample_cte()},
+dims AS MATERIALIZED (
   SELECT vec_id, CAST(u.d - 1 AS INT) AS d,
          CAST(round(embedding[u.d] * 1000000) AS BIGINT) AS xi
-  FROM embeddings, unnest(generate_series(1, 64)) u(d)
+  FROM emb_s, unnest(generate_series(1, 64)) u(d)
 ),
 planes AS MATERIALIZED (
   SELECT CAST(j.j AS INT) AS j, CAST(d.d AS INT) AS d,

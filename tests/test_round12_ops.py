@@ -1,0 +1,74 @@
+"""Round-12 pins: the shared eigenvector step builder (VERDICT r11
+order #6), the SRP tuning sheets' deterministic input cap (order #1),
+and the cap's no-op behavior below threshold."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mongraph_spark.queries.graph_analytics import EIG_GRID, eig_step_builder
+from mongraph_spark.queries.inference import (
+    SRP_SHEET_CAP,
+    _srp_sheet_sample,
+)
+
+
+def test_eig_shared_step_hand_values(spark):
+    # path graph 1-2-3 (symmetrized): from the all-G start, contributions
+    # are deg(v)*G, max = 2G, so one grid-renorm step gives
+    # {1: G/2, 2: G, 3: G/2} — exact integers, no float renorm.
+    nodes = spark.createDataFrame([(1,), (2,), (3,)], "node_id long")
+    und = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], "src long, dst long"
+    )
+    cached = []
+    step = eig_step_builder(nodes, und, cached)
+    x0 = nodes.select("node_id", F.lit(EIG_GRID).cast("long").alias("score"))
+    got = {r["node_id"]: r["score"] for r in step(x0).collect()}
+    assert got == {1: EIG_GRID // 2, 2: EIG_GRID, 3: EIG_GRID // 2}
+    # a second application from that state: contributions 1000,1000,1000
+    # -> all renorm to G (the 2-cycle the lazy walk exists to break)
+    got2 = {r["node_id"]: r["score"] for r in step(step(x0)).collect()}
+    assert got2 == {1: EIG_GRID, 2: EIG_GRID, 3: EIG_GRID}
+    for c in cached:
+        c.unpersist()
+
+
+def test_eig_both_variants_route_through_shared_step():
+    # the pair must not re-grow private step closures (the drift the
+    # unification removed): neither function body defines its own step
+    import inspect
+
+    from mongraph_spark.queries import graph_analytics as G
+
+    for fn in (G.graph_eigenvector_centrality, G.graph_eigenvector_converged):
+        src = inspect.getsource(fn)
+        assert "eig_step_builder(" in src
+        assert "def step" not in src
+
+
+def test_srp_sheet_sample_identity_below_cap(spark):
+    # N <= cap: the threshold cap*2^32/N >= 2^32 exceeds every md5 coin,
+    # so the sample is the identity — sheet outputs at test SFs are
+    # unchanged by the governor.
+    emb = spark.range(100).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(2.0)).alias("embedding"),
+    )
+    assert _srp_sheet_sample(emb).count() == 100
+
+
+def test_srp_sheet_sample_caps_large_inputs(spark):
+    # N = 4*cap: expected kept = cap (binomial, sd ~ 62); the clamp is
+    # what bounds the sheets' Theta(N^2/2^bits) candidate volume at any
+    # corpus size.
+    n = SRP_SHEET_CAP * 4
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0)).alias("embedding"),
+    )
+    kept = _srp_sheet_sample(emb).count()
+    assert abs(kept - SRP_SHEET_CAP) < 6 * 62  # far tail guard only
+    # determinism: same input -> identical sample
+    kept2 = _srp_sheet_sample(emb).count()
+    assert kept == kept2

@@ -121,6 +121,7 @@ def main() -> None:
 
     from mongraph_spark.queries.dedup import dedup_bbit_minhash_curve
     from mongraph_spark.queries.inference import (
+        ann_srp_band_curve,
         ann_srp_lsh,
         ann_srp_multiprobe,
         er_golden_record,
@@ -138,6 +139,7 @@ def main() -> None:
         "golden_record": timed(lambda: er_golden_record(spark, SF_DIR)),
         "binseg": timed(lambda: events_binseg_changepoint(spark, SF_DIR)),
         "srp_multiprobe": timed(lambda: ann_srp_multiprobe(spark, SF_DIR)),
+        "srp_band_curve": timed(lambda: ann_srp_band_curve(spark, SF_DIR)),
         "granger": timed(lambda: stats_granger_causality(spark, SF_DIR)),
         "kendall_tau": timed(lambda: stats_kendall_tau(spark, SF_DIR)),
         "dickey_fuller": timed(lambda: stats_dickey_fuller(spark, SF_DIR)),
@@ -151,6 +153,7 @@ def main() -> None:
         "golden_record": timed(lambda: er_golden_record(spark, stress_dir)),
         "binseg": timed(lambda: events_binseg_changepoint(spark, stress_dir)),
         "srp_multiprobe": timed(lambda: ann_srp_multiprobe(spark, stress_dir)),
+        "srp_band_curve": timed(lambda: ann_srp_band_curve(spark, stress_dir)),
         "granger": timed(lambda: stats_granger_causality(spark, stress_dir)),
         "kendall_tau": timed(lambda: stats_kendall_tau(spark, stress_dir)),
         "dickey_fuller": timed(lambda: stats_dickey_fuller(spark, stress_dir)),
