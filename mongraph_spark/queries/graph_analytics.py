@@ -1253,6 +1253,284 @@ WHERE mb.n_members >= 2"""
 ORACLE_MODULARITY = _modularity_oracle()
 
 
+# -- Louvain-style one-level refinement over the LPA labels ---------------------------
+
+
+def graph_louvain_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE Louvain local-move refinement sweep (Blondel et al. 2008,
+    public) over the LPA communities — completes the community-detection
+    pair the way pagerank/eigenvector pair fixed-depth with converged:
+    LPA gives fast labels, the Louvain move step then improves the thing
+    we actually score, modularity.
+
+    Semantics (deterministic-synchronous, the only SQL-replayable form —
+    classic Louvain is sequential and order-dependent): for every node i
+    with current community A, the modularity gain of moving to a
+    NEIGHBOR community B is evaluated in exact integers scaled by 2m²,
+
+        Δ(i, A→B)·2m² = 2m·(k_iB − k_iA') − k_i·(Σ_B − Σ_A'),
+
+    with k_iC = edges from i into C, A' = A∖{i}, Σ_C = degree sum of C —
+    the standard unweighted Louvain ΔQ, no floats anywhere.  Each node
+    picks its best strictly-positive-gain target (ties: smallest
+    community label), and all moves apply SIMULTANEOUSLY, restricted to
+    target < current label — the symmetric-swap guard that makes a
+    synchronous sweep safe (two adjacent nodes cannot trade communities
+    in one round; the distributed-Louvain literature uses coloring for
+    the same reason).
+
+    Output: ONE summary row — nodes moved, per-move gain total (exact,
+    ×2m² units), and global modularity BEFORE and AFTER the sweep in
+    micro-units (same 4m²-scaled integer sum + one final float floor as
+    :func:`graph_modularity`), so the ΔQ > 0 claim is carried by the
+    result itself.
+
+    Scale shape: the gain table is ONE join of the symmetrized edge list
+    against the label map (k_iC is a (node, neighbor-label) count — rows
+    bounded by Σ degree, not N²), Σ_C / k_i are label-/node-keyed aggs
+    joined back by key, the per-node argmax is a degree-bounded window,
+    and both modularity scores are the established (edges ⋈ labels)
+    post-pass.  Nothing iterates; a full Louvain level would loop this
+    sweep with the same bounded per-round cost."""
+    labels = _lpa_labels(spark, sf_dir).localCheckpoint(eager=True)
+    pairs = (
+        graph_copurchase_pairs(spark, sf_dir)
+        .select("part_a", "part_b")
+        .localCheckpoint(eager=True)
+    )
+    return louvain_refine_from(labels, pairs)
+
+
+def louvain_refine_from(labels: DataFrame, pairs: DataFrame) -> DataFrame:
+    """One synchronous Louvain move sweep over a (node_id, label) frame
+    and an undirected (part_a, part_b) edge frame — factored so
+    known-value pins can feed hand graphs (see graph_louvain_refine for
+    semantics)."""
+    adj = pairs.select(
+        F.col("part_a").alias("src"), F.col("part_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
+    )
+    deg = adj.groupBy(F.col("src").alias("node_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_i")
+    )
+    sigma = (
+        labels.join(deg, "node_id")
+        .groupBy("label")
+        .agg(F.sum("k_i").cast("bigint").alias("sigma"))
+    )
+    mm = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    # k_iC: edges from each node into each NEIGHBOR community (incl. own)
+    nbr_lab = labels.select(
+        F.col("node_id").alias("dst"), F.col("label").alias("nbr_label")
+    )
+    k_ic = (
+        adj.join(nbr_lab, "dst")
+        .groupBy(F.col("src").alias("node_id"), "nbr_label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("k_ic"))
+    )
+    cur = (
+        labels.join(deg, "node_id")
+        .join(sigma, "label")
+        .select(
+            "node_id",
+            F.col("label").alias("cur_label"),
+            "k_i",
+            F.col("sigma").alias("sigma_cur"),
+        )
+    )
+    own = k_ic.join(
+        cur.select("node_id", F.col("cur_label").alias("nbr_label")),
+        ["node_id", "nbr_label"],
+    ).select("node_id", F.col("k_ic").alias("k_own"))
+    sig_t = sigma.select(
+        F.col("label").alias("nbr_label"), F.col("sigma").alias("sigma_tgt")
+    )
+    gains = (
+        k_ic.join(cur, "node_id")
+        .filter(F.col("nbr_label") != F.col("cur_label"))
+        .join(own, "node_id", "left")
+        .join(sig_t, "nbr_label")
+        .crossJoin(F.broadcast(mm))
+        .select(
+            "node_id",
+            "cur_label",
+            "nbr_label",
+            (
+                F.lit(2) * F.col("m")
+                * (F.col("k_ic") - F.coalesce(F.col("k_own"), F.lit(0)))
+                - F.col("k_i")
+                * (F.col("sigma_tgt") - (F.col("sigma_cur") - F.col("k_i")))
+            )
+            .cast("bigint")
+            .alias("gain_2m2"),
+        )
+    )
+    w = Window.partitionBy("node_id").orderBy(
+        F.desc("gain_2m2"), F.asc("nbr_label")
+    )
+    moves = (
+        gains.withColumn("rn", F.row_number().over(w))
+        .filter(
+            (F.col("rn") == 1)
+            & (F.col("gain_2m2") > 0)
+            & (F.col("nbr_label") < F.col("cur_label"))  # swap guard
+        )
+        .select(
+            "node_id",
+            F.col("nbr_label").alias("new_label"),
+            "gain_2m2",
+        )
+    )
+    new_labels = labels.join(moves, "node_id", "left").select(
+        "node_id", F.coalesce("new_label", "label").alias("label")
+    )
+
+    def q_scaled(lbl: DataFrame) -> DataFrame:
+        """Σ_c (4m·e_c − d_c²) — the exact 4m²-scaled modularity sum."""
+        la = lbl.select(
+            F.col("node_id").alias("part_a"), F.col("label").alias("lab_a")
+        )
+        lb = lbl.select(
+            F.col("node_id").alias("part_b"), F.col("label").alias("lab_b")
+        )
+        intra = (
+            pairs.join(la, "part_a")
+            .join(lb, "part_b")
+            .filter(F.col("lab_a") == F.col("lab_b"))
+            .groupBy(F.col("lab_a").alias("label"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("e_c"))
+        )
+        dsum = (
+            lbl.join(deg, "node_id")
+            .groupBy("label")
+            .agg(F.sum("k_i").cast("bigint").alias("d_c"))
+        )
+        return (
+            dsum.join(intra, "label", "left")
+            .crossJoin(F.broadcast(mm))
+            .agg(
+                F.sum(
+                    F.lit(4) * F.col("m")
+                    * F.coalesce("e_c", F.lit(0))
+                    - F.col("d_c") * F.col("d_c")
+                )
+                .cast("bigint")
+                .alias("qn")
+            )
+        )
+
+    summary = moves.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_moved"),
+        F.coalesce(F.sum("gain_2m2"), F.lit(0))
+        .cast("bigint")
+        .alias("gain_total_2m2"),
+    )
+    return (
+        summary.crossJoin(
+            F.broadcast(q_scaled(labels).select(F.col("qn").alias("qn_before")))
+        )
+        .crossJoin(
+            F.broadcast(
+                q_scaled(new_labels).select(F.col("qn").alias("qn_after"))
+            )
+        )
+        .crossJoin(F.broadcast(mm))
+        .selectExpr(
+            "n_moved",
+            "gain_total_2m2",
+            "CAST(FLOOR(1000000.0 * qn_before / (4 * m * m)) AS BIGINT)"
+            " AS q_before_micro",
+            "CAST(FLOOR(1000000.0 * qn_after / (4 * m * m)) AS BIGINT)"
+            " AS q_after_micro",
+        )
+    )
+
+
+def _louvain_refine_oracle() -> str:
+    body, last = _lpa_body()
+    tail = f"""
+SELECT CAST(mv.n_moved AS BIGINT) AS n_moved,
+       CAST(mv.gain_total_2m2 AS BIGINT) AS gain_total_2m2,
+       CAST(floor(1000000.0 * qb.qn / (4 * mm.m * mm.m)) AS BIGINT)
+         AS q_before_micro,
+       CAST(floor(1000000.0 * qa.qn / (4 * mm.m * mm.m)) AS BIGINT)
+         AS q_after_micro
+FROM (SELECT count(*) AS n_moved, coalesce(sum(gain_2m2), 0) AS gain_total_2m2
+      FROM lv_moves) mv,
+     (SELECT count(*) AS m FROM cop) mm,
+     (SELECT sum(4 * mx.m * coalesce(i.e_c, 0) - d.d_c * d.d_c) AS qn
+      FROM (SELECT l.label, sum(dg.d) AS d_c FROM {last} l JOIN lv_deg dg
+              ON l.node_id = dg.node_id GROUP BY l.label) d
+      LEFT JOIN (SELECT la.label, count(*) AS e_c
+                 FROM cop c JOIN {last} la ON c.part_a = la.node_id
+                            JOIN {last} lb ON c.part_b = lb.node_id
+                 WHERE la.label = lb.label GROUP BY la.label) i
+        ON d.label = i.label, (SELECT count(*) AS m FROM cop) mx) qb,
+     (SELECT sum(4 * mx.m * coalesce(i.e_c, 0) - d.d_c * d.d_c) AS qn
+      FROM (SELECT l.label, sum(dg.d) AS d_c FROM lv_new l JOIN lv_deg dg
+              ON l.node_id = dg.node_id GROUP BY l.label) d
+      LEFT JOIN (SELECT la.label, count(*) AS e_c
+                 FROM cop c JOIN lv_new la ON c.part_a = la.node_id
+                            JOIN lv_new lb ON c.part_b = lb.node_id
+                 WHERE la.label = lb.label GROUP BY la.label) i
+        ON d.label = i.label, (SELECT count(*) AS m FROM cop) mx) qa"""
+    extra = f""",
+lv_deg AS MATERIALIZED (
+  SELECT src AS node_id, CAST(count(*) AS BIGINT) AS d
+  FROM lpa_adj GROUP BY src
+),
+lv_sigma AS MATERIALIZED (
+  SELECT l.label, CAST(sum(dg.d) AS BIGINT) AS sigma
+  FROM {last} l JOIN lv_deg dg ON l.node_id = dg.node_id
+  GROUP BY l.label
+),
+lv_kic AS MATERIALIZED (
+  SELECT a.src AS node_id, nl.label AS nbr_label,
+         CAST(count(*) AS BIGINT) AS k_ic
+  FROM lpa_adj a JOIN {last} nl ON a.dst = nl.node_id
+  GROUP BY 1, 2
+),
+lv_cur AS MATERIALIZED (
+  SELECT l.node_id, l.label AS cur_label, dg.d AS k_i, s.sigma AS sigma_cur
+  FROM {last} l JOIN lv_deg dg ON l.node_id = dg.node_id
+  JOIN lv_sigma s ON l.label = s.label
+),
+lv_own AS (
+  SELECT k.node_id, k.k_ic AS k_own
+  FROM lv_kic k JOIN lv_cur c
+    ON k.node_id = c.node_id AND k.nbr_label = c.cur_label
+),
+lv_gains AS MATERIALIZED (
+  SELECT k.node_id, c.cur_label, k.nbr_label,
+         CAST(2 * mm.m * (k.k_ic - coalesce(o.k_own, 0))
+              - c.k_i * (st.sigma - (c.sigma_cur - c.k_i)) AS BIGINT)
+           AS gain_2m2
+  FROM lv_kic k
+  JOIN lv_cur c ON k.node_id = c.node_id
+  LEFT JOIN lv_own o ON k.node_id = o.node_id
+  JOIN lv_sigma st ON k.nbr_label = st.label
+  CROSS JOIN (SELECT count(*) AS m FROM cop) mm
+  WHERE k.nbr_label <> c.cur_label
+),
+lv_moves AS MATERIALIZED (
+  SELECT node_id, nbr_label AS new_label, gain_2m2 FROM (
+    SELECT node_id, cur_label, nbr_label, gain_2m2,
+           row_number() OVER (PARTITION BY node_id
+                              ORDER BY gain_2m2 DESC, nbr_label ASC) AS rn
+    FROM lv_gains
+  ) WHERE rn = 1 AND gain_2m2 > 0 AND nbr_label < cur_label
+),
+lv_new AS MATERIALIZED (
+  SELECT l.node_id, coalesce(mv.new_label, l.label) AS label
+  FROM {last} l LEFT JOIN lv_moves mv ON l.node_id = mv.node_id
+)"""
+    return tpch.oracle_with(tail.lstrip("\n"), extra_ctes=body + extra)
+
+
+ORACLE_LOUVAIN_REFINE = _louvain_refine_oracle()
+
+
 # -- HITS hubs & authorities (bipartite customer → supplier) --------------------------
 
 HITS_TOPK = 20
@@ -3032,6 +3310,7 @@ QUERIES = {
     "graph_betweenness_landmarks": graph_betweenness_landmarks,
     "graph_diameter_double_sweep": graph_diameter_double_sweep,
     "graph_modularity": graph_modularity,
+    "graph_louvain_refine": graph_louvain_refine,
     "graph_ktruss": graph_ktruss,
     "graph_assortativity": graph_assortativity,
     "graph_itemsets3": graph_itemsets3,
@@ -3069,6 +3348,7 @@ ORACLES = {
     "graph_betweenness_landmarks": ORACLE_BETWEENNESS,
     "graph_diameter_double_sweep": ORACLE_DIAMETER,
     "graph_modularity": ORACLE_MODULARITY,
+    "graph_louvain_refine": ORACLE_LOUVAIN_REFINE,
     "graph_ktruss": ORACLE_KTRUSS,
     "graph_assortativity": ORACLE_ASSORTATIVITY,
     "graph_itemsets3": ORACLE_ITEMSETS3,

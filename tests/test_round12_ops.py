@@ -6,7 +6,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from mongraph_spark.queries.graph_analytics import EIG_GRID, eig_step_builder
+from mongraph_spark.queries.graph_analytics import (
+    EIG_GRID,
+    eig_step_builder,
+    louvain_refine_from,
+)
 from mongraph_spark.queries.inference import (
     SRP_SHEET_CAP,
     _srp_sheet_sample,
@@ -45,6 +49,44 @@ def test_eig_both_variants_route_through_shared_step():
         src = inspect.getsource(fn)
         assert "eig_step_builder(" in src
         assert "def step" not in src
+
+
+def test_louvain_refine_hand_graph(spark):
+    # two triangles {1,2,3} + {4,5,6} bridged by 3-4 (m = 7); labels put
+    # node 3 in the wrong community (C10 = {3,4,5,6}, C1 = {1,2}).  Hand
+    # arithmetic: moving 3 to C1 has gain*2m^2 = 2*7*(2-1) - 3*(4-7) = 23
+    # (the ONLY positive, guard-allowed move), Q goes 24/196 -> 70/196.
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)],
+        "part_a long, part_b long",
+    )
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 10), (4, 10), (5, 10), (6, 10)],
+        "node_id long, label long",
+    )
+    row = louvain_refine_from(labels, pairs).collect()[0]
+    assert row["n_moved"] == 1
+    assert row["gain_total_2m2"] == 23
+    assert row["q_before_micro"] == (1_000_000 * 24) // 196
+    assert row["q_after_micro"] == (1_000_000 * 70) // 196
+    assert row["q_after_micro"] > row["q_before_micro"]
+
+
+def test_louvain_refine_fixed_point_when_labels_optimal(spark):
+    # already-optimal labels: no strictly-positive guard-allowed move
+    # exists, the sweep is a no-op and Q is unchanged (n_moved = 0).
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)],
+        "part_a long, part_b long",
+    )
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 4)],
+        "node_id long, label long",
+    )
+    row = louvain_refine_from(labels, pairs).collect()[0]
+    assert row["n_moved"] == 0
+    assert row["gain_total_2m2"] == 0
+    assert row["q_before_micro"] == row["q_after_micro"]
 
 
 def test_srp_sheet_sample_identity_below_cap(spark):
