@@ -65,71 +65,72 @@ _SUITES = [
 # first (rounds 1-2), previously-green last, as insurance against any
 # off-by-one in the driver's window.
 CORE_ORDER = [
-    # — round-11 window (VERDICT r10 #1: convert driver-ever coverage to
-    #   N/N).  Slots 1-11: the ONLY 11 rows never driver-verified across
-    #   r1-r10 (3 stats + the 8 hourly-rollup finisher twins left out of
-    #   the r10 window).  Then ALL 11 ops new this round (mirror
-    #   lifecycle, eigenvector attractor stop, SRP band curve +
-    #   multiprobe, Granger/Kendall/Dickey-Fuller + their streaming
-    #   twins, b-bit minhash curve).  The rest: re-proofs of everything
-    #   round 11 touched — the converging ER loop and its pregel
-    #   template, the Bartlett/logrank/Mood guard+DECIMAL fixes, the md5
-    #   init row-id mint and the CDF streaming source (every store_* /
-    #   twin that rides merge.py), the SRP machinery — plus q21 (the
-    #   ratio-protocol probe subject) and family anchors.
-    "stats_jarque_bera",
-    "stats_ljung_box",
-    "stats_cohens_d",
-    "streaming_conformal_interval",
-    "streaming_cross_correlation",
-    "streaming_hurst_exponent",
-    "streaming_lorenz_curve",
-    "streaming_mann_kendall",
-    "streaming_permutation_entropy",
-    "streaming_regime_segments",
-    "streaming_stl_decompose",
-    # — new in round 11 —
-    "m7_mirror_lifecycle",
-    "graph_eigenvector_converged",
+    # — round-12 window (VERDICT r11 order #7: new ops first, then rows
+    #   whose code r12 touched, then longest-unverified-first).  With
+    #   driver-ever coverage at 386/386 since r11, the bulk of this
+    #   window reduces max-staleness: after the 1 new op (Louvain
+    #   refinement) and the 9 touched-code re-proofs (the scale-governed
+    #   SRP sheets, the unified eigenvector pair, the CDF-stream riders,
+    #   the profiled lsh-dedup anchor, the two queries newly added to
+    #   the bench anchor set), slots 11-50 are the 40 STALEST rows in
+    #   the union ledger — all 33 remaining r03-vintage rows, then the
+    #   r04 rows led by the five VERDICT named (g1_traversal_forms,
+    #   g_delete_survivors, populate_semi_regex, m9_denormalize,
+    #   doc_find_predicates).  Max staleness after this window: r04.
+    # — new in round 12 —
+    "graph_louvain_refine",
+    # — re-proofs: code paths round 12 touched —
     "ann_srp_band_curve",
-    # — re-proofs: code paths round 11 edited —
-    "er_golden_record",
-    "stats_bartlett",
-    "stats_moods_median",
-    "stats_logrank",
-    "store_row_tracking",
-    "streaming_scd2_history",
-    "streaming_ivm_agg",
-    "streaming_theta_forecast",
-    "streaming_kl_drift",
-    "ann_srp_lsh",
-    "graph_eigenvector_centrality",
-    "graph_pagerank_converged",
-    "store_scd2_history",
-    "store_read_changes",
-    "store_merge_evolve",
-    "store_rename_column",
-    "store_merge_into",
-    # — anchor-set and family re-proofs —
-    "q21_waiting_suppliers",
-    "stats_dickey_fuller",
-    "streaming_dickey_fuller",
-    "dedup_bbit_minhash_curve",
-    "populate_enrich",
-    "g8_shortest_paths",
-    "g9_cypher_onehop",
-    "graph_pagerank",
-    "dedup_exact",
-    "dedup_minhash_lsh",
     "ann_srp_multiprobe",
-    "stats_granger_causality",
-    "ann_cosine_topk_bucketed",
-    "ann_ivf",
-    "text_bm25_topk",
-    "corpus_gopher_rules",
-    "streaming_granger_causality",
-    "streaming_kendall_tau",
-    "stats_kendall_tau",
+    "graph_eigenvector_centrality",
+    "graph_eigenvector_converged",
+    "streaming_lsh_dedup",
+    "streaming_ivm_agg",
+    "streaming_scd2_history",
+    "er_golden_record",
+    "store_row_tracking",
+    # — staleness rotation: every remaining r03-vintage row —
+    "range_join_price_bands",
+    "sketch_kmv_distinct_parts",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "ann_cosine_topk",
+    "events_sessionization",
+    "events_hourly_top_type",
+    "scd2_priority_history",
+    "salted_revenue_by_priority",
+    "pipeline_pack_chunks",
+    "pipeline_source_cap",
+    "sample_and_split",
+    "embedding_quantize_int8",
+    "corpus_decontaminate",
+    "corpus_repetition_filter",
+    "corpus_mixture_weights",
+    "streaming_tumbling_window",
+    "streaming_click_purchase_join",
+    "streaming_stateful_user_totals",
+    "events_minmax_downsample",
+    "events_gapfill_hourly",
+    "events_hypertable_rollup",
+    "graph_kcore",
+    "graph_cc_converged",
+    "graph_triangle_count",
+    "mm_image_features",
+    "mm_frame_sample",
+    "mm_audio_windows",
+    "text_scan_redact",
+    "text_metrics",
+    "rollup_cube_revenue",
+    "stats_percentiles_corr",
+    # — r04 vintage, VERDICT-named five first —
+    "g1_traversal_forms",
+    "g_delete_survivors",
+    "populate_semi_regex",
+    "m9_denormalize",
+    "doc_find_predicates",
+    "q1_pricing_summary",
+    "text_token_counts",
 ]
 
 assert len(CORE_ORDER) == 50, len(CORE_ORDER)

@@ -28,9 +28,17 @@ Acceptance gate (VERDICT r10 #3): two back-to-back runs of this pinned
 protocol must land within 10% on ratio_total; the pair goes in
 COVERAGE.md BENCHNOTES.
 
-Usage: python tools/tpch_ratio.py [sf_dir] [--passes 5]
+Usage: python tools/tpch_ratio.py [sf_dir] [--passes 5] [--anchors]
 Prints one JSON line per query {name, spark_s, duckdb_s, ratio} and a
 summary carrying the recorded config.
+
+``--anchors`` (VERDICT r11 order #5) runs the same pinned protocol over
+bench.py's permanent ANCHOR_QUERIES instead of the 22 TPC-H rows, so every
+headline family (graph, dedup, ANN, text, events, streaming, store,
+corpus, ER) carries a spark-vs-duckdb number — each anchor's DuckDB side
+is its own oracle-SQL twin, which exists by construction for every
+oracle-gated row.  Anchors without a SQL twin are skipped and named in
+the summary.
 """
 
 from __future__ import annotations
@@ -62,6 +70,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.1")
     ap.add_argument("--passes", type=int, default=5)
+    ap.add_argument("--anchors", action="store_true")
     args = ap.parse_args()
     if SparkSession.getActiveSession() is not None:
         raise SystemExit(
@@ -88,10 +97,22 @@ def main() -> None:
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     qs, oracles = entrymod._all()
-    qnames = sorted(
-        (n for n in qs if n[0] == "q" and n[1].isdigit()),
-        key=lambda n: int(n[1 : n.index("_")]),
-    )
+    skipped = []
+    if args.anchors:
+        from bench import ANCHOR_QUERIES
+
+        qnames = [n for n in ANCHOR_QUERIES if n in oracles]
+        skipped = [n for n in ANCHOR_QUERIES if n not in oracles]
+        # anchors ride the derived graph store: build it once, outside
+        # the timings (bench.py's own posture)
+        from mongraph_spark.graphs import tpch
+
+        tpch.materialized_graph(spark, args.sf_dir)
+    else:
+        qnames = sorted(
+            (n for n in qs if n[0] == "q" and n[1].isdigit()),
+            key=lambda n: int(n[1 : n.index("_")]),
+        )
     # warm-up: one full unrecorded pass on both engines
     for name in qnames:
         qs[name](spark, args.sf_dir).write.format("noop").mode(
@@ -125,7 +146,8 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "summary": "tpch22",
+                "summary": "anchors" if args.anchors else "tpch22",
+                "skipped_no_oracle": skipped,
                 "protocol": PROTOCOL,
                 "sf_dir": args.sf_dir,
                 "spark_total_s": round(tot_s, 2),
