@@ -68,17 +68,19 @@ CORE_ORDER = [
     # — round-12 window (VERDICT r11 order #7: new ops first, then rows
     #   whose code r12 touched, then longest-unverified-first).  With
     #   driver-ever coverage at 386/386 since r11, the bulk of this
-    #   window reduces max-staleness: after the 1 new op (Louvain
-    #   refinement) and the 9 touched-code re-proofs (the scale-governed
-    #   SRP sheets, the unified eigenvector pair, the CDF-stream riders,
-    #   the profiled lsh-dedup anchor, the two queries newly added to
-    #   the bench anchor set), slots 11-50 are the 40 STALEST rows in
-    #   the union ledger — all 33 remaining r03-vintage rows, then the
-    #   r04 rows led by the five VERDICT named (g1_traversal_forms,
-    #   g_delete_survivors, populate_semi_regex, m9_denormalize,
-    #   doc_find_predicates).  Max staleness after this window: r04.
+    #   window reduces max-staleness: after the 2 new ops (the Louvain
+    #   refinement pair) and the 9 touched-code re-proofs (the
+    #   scale-governed SRP sheets, the unified eigenvector pair, the
+    #   CDF-stream riders, the profiled lsh-dedup anchor, the two
+    #   queries newly added to the bench anchor set), the remaining 39
+    #   slots are the STALEST rows in the union ledger — all 33
+    #   remaining r03-vintage rows, then the r04 rows led by the five
+    #   VERDICT named (g1_traversal_forms, g_delete_survivors,
+    #   populate_semi_regex, m9_denormalize, doc_find_predicates).
+    #   Max staleness after this window: r04.
     # — new in round 12 —
     "graph_louvain_refine",
+    "graph_louvain_converged",
     # — re-proofs: code paths round 12 touched —
     "ann_srp_band_curve",
     "ann_srp_multiprobe",
@@ -130,7 +132,6 @@ CORE_ORDER = [
     "m9_denormalize",
     "doc_find_predicates",
     "q1_pricing_summary",
-    "text_token_counts",
 ]
 
 assert len(CORE_ORDER) == 50, len(CORE_ORDER)

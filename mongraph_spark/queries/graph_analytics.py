@@ -1301,11 +1301,11 @@ def graph_louvain_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return louvain_refine_from(labels, pairs)
 
 
-def louvain_refine_from(labels: DataFrame, pairs: DataFrame) -> DataFrame:
-    """One synchronous Louvain move sweep over a (node_id, label) frame
-    and an undirected (part_a, part_b) edge frame — factored so
-    known-value pins can feed hand graphs (see graph_louvain_refine for
-    semantics)."""
+def _louvain_frames(
+    pairs: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(adj, deg, mm) — the symmetrized edge list, per-node degrees and
+    the 1-row edge count every Louvain stage shares."""
     adj = pairs.select(
         F.col("part_a").alias("src"), F.col("part_b").alias("dst")
     ).unionByName(
@@ -1314,12 +1314,22 @@ def louvain_refine_from(labels: DataFrame, pairs: DataFrame) -> DataFrame:
     deg = adj.groupBy(F.col("src").alias("node_id")).agg(
         F.count(F.lit(1)).cast("bigint").alias("k_i")
     )
+    mm = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    return adj, deg, mm
+
+
+def _louvain_moves(
+    labels: DataFrame, adj: DataFrame, deg: DataFrame, mm: DataFrame
+) -> DataFrame:
+    """ONE synchronous Louvain move sweep's selected moves — (node_id,
+    new_label, gain_2m2) — shared verbatim by the single-sweep and
+    converged ops (the eig_step_builder discipline: the pair differs
+    only in looping, never in the step)."""
     sigma = (
         labels.join(deg, "node_id")
         .groupBy("label")
         .agg(F.sum("k_i").cast("bigint").alias("sigma"))
     )
-    mm = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
     # k_iC: edges from each node into each NEIGHBOR community (incl. own)
     nbr_lab = labels.select(
         F.col("node_id").alias("dst"), F.col("label").alias("nbr_label")
@@ -1369,7 +1379,7 @@ def louvain_refine_from(labels: DataFrame, pairs: DataFrame) -> DataFrame:
     w = Window.partitionBy("node_id").orderBy(
         F.desc("gain_2m2"), F.asc("nbr_label")
     )
-    moves = (
+    return (
         gains.withColumn("rn", F.row_number().over(w))
         .filter(
             (F.col("rn") == 1)
@@ -1382,59 +1392,66 @@ def louvain_refine_from(labels: DataFrame, pairs: DataFrame) -> DataFrame:
             "gain_2m2",
         )
     )
+
+
+def _louvain_q_scaled(
+    lbl: DataFrame, pairs: DataFrame, deg: DataFrame, mm: DataFrame
+) -> DataFrame:
+    """Σ_c (4m·e_c − d_c²) — the exact 4m²-scaled modularity sum."""
+    la = lbl.select(
+        F.col("node_id").alias("part_a"), F.col("label").alias("lab_a")
+    )
+    lb = lbl.select(
+        F.col("node_id").alias("part_b"), F.col("label").alias("lab_b")
+    )
+    intra = (
+        pairs.join(la, "part_a")
+        .join(lb, "part_b")
+        .filter(F.col("lab_a") == F.col("lab_b"))
+        .groupBy(F.col("lab_a").alias("label"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("e_c"))
+    )
+    dsum = (
+        lbl.join(deg, "node_id")
+        .groupBy("label")
+        .agg(F.sum("k_i").cast("bigint").alias("d_c"))
+    )
+    return (
+        dsum.join(intra, "label", "left")
+        .crossJoin(F.broadcast(mm))
+        .agg(
+            F.sum(
+                F.lit(4) * F.col("m")
+                * F.coalesce("e_c", F.lit(0))
+                - F.col("d_c") * F.col("d_c")
+            )
+            .cast("bigint")
+            .alias("qn")
+        )
+    )
+
+
+def louvain_refine_from(labels: DataFrame, pairs: DataFrame) -> DataFrame:
+    """One synchronous Louvain move sweep over a (node_id, label) frame
+    and an undirected (part_a, part_b) edge frame — factored so
+    known-value pins can feed hand graphs (see graph_louvain_refine for
+    semantics)."""
+    adj, deg, mm = _louvain_frames(pairs)
+    moves = _louvain_moves(labels, adj, deg, mm)
     new_labels = labels.join(moves, "node_id", "left").select(
         "node_id", F.coalesce("new_label", "label").alias("label")
     )
-
-    def q_scaled(lbl: DataFrame) -> DataFrame:
-        """Σ_c (4m·e_c − d_c²) — the exact 4m²-scaled modularity sum."""
-        la = lbl.select(
-            F.col("node_id").alias("part_a"), F.col("label").alias("lab_a")
-        )
-        lb = lbl.select(
-            F.col("node_id").alias("part_b"), F.col("label").alias("lab_b")
-        )
-        intra = (
-            pairs.join(la, "part_a")
-            .join(lb, "part_b")
-            .filter(F.col("lab_a") == F.col("lab_b"))
-            .groupBy(F.col("lab_a").alias("label"))
-            .agg(F.count(F.lit(1)).cast("bigint").alias("e_c"))
-        )
-        dsum = (
-            lbl.join(deg, "node_id")
-            .groupBy("label")
-            .agg(F.sum("k_i").cast("bigint").alias("d_c"))
-        )
-        return (
-            dsum.join(intra, "label", "left")
-            .crossJoin(F.broadcast(mm))
-            .agg(
-                F.sum(
-                    F.lit(4) * F.col("m")
-                    * F.coalesce("e_c", F.lit(0))
-                    - F.col("d_c") * F.col("d_c")
-                )
-                .cast("bigint")
-                .alias("qn")
-            )
-        )
-
     summary = moves.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_moved"),
         F.coalesce(F.sum("gain_2m2"), F.lit(0))
         .cast("bigint")
         .alias("gain_total_2m2"),
     )
+    qb = _louvain_q_scaled(labels, pairs, deg, mm)
+    qa = _louvain_q_scaled(new_labels, pairs, deg, mm)
     return (
-        summary.crossJoin(
-            F.broadcast(q_scaled(labels).select(F.col("qn").alias("qn_before")))
-        )
-        .crossJoin(
-            F.broadcast(
-                q_scaled(new_labels).select(F.col("qn").alias("qn_after"))
-            )
-        )
+        summary.crossJoin(F.broadcast(qb.select(F.col("qn").alias("qn_before"))))
+        .crossJoin(F.broadcast(qa.select(F.col("qn").alias("qn_after"))))
         .crossJoin(F.broadcast(mm))
         .selectExpr(
             "n_moved",
@@ -1445,6 +1462,78 @@ def louvain_refine_from(labels: DataFrame, pairs: DataFrame) -> DataFrame:
             " AS q_after_micro",
         )
     )
+
+
+def _louvain_sweep_ctes(src: str, sfx: str) -> str:
+    """One sweep's CTE group (suffix-namespaced, chained on ``src``
+    labels) — the SQL twin of :func:`_louvain_moves` + the label apply;
+    shared by the single-sweep and converged oracles exactly like the
+    Spark pair shares the move step."""
+    return f""",
+lv{sfx}_sigma AS MATERIALIZED (
+  SELECT l.label, CAST(sum(dg.d) AS BIGINT) AS sigma
+  FROM {src} l JOIN lv_deg dg ON l.node_id = dg.node_id
+  GROUP BY l.label
+),
+lv{sfx}_kic AS MATERIALIZED (
+  SELECT a.src AS node_id, nl.label AS nbr_label,
+         CAST(count(*) AS BIGINT) AS k_ic
+  FROM lpa_adj a JOIN {src} nl ON a.dst = nl.node_id
+  GROUP BY 1, 2
+),
+lv{sfx}_cur AS MATERIALIZED (
+  SELECT l.node_id, l.label AS cur_label, dg.d AS k_i, s.sigma AS sigma_cur
+  FROM {src} l JOIN lv_deg dg ON l.node_id = dg.node_id
+  JOIN lv{sfx}_sigma s ON l.label = s.label
+),
+lv{sfx}_own AS (
+  SELECT k.node_id, k.k_ic AS k_own
+  FROM lv{sfx}_kic k JOIN lv{sfx}_cur c
+    ON k.node_id = c.node_id AND k.nbr_label = c.cur_label
+),
+lv{sfx}_gains AS MATERIALIZED (
+  SELECT k.node_id, c.cur_label, k.nbr_label,
+         CAST(2 * mm.m * (k.k_ic - coalesce(o.k_own, 0))
+              - c.k_i * (st.sigma - (c.sigma_cur - c.k_i)) AS BIGINT)
+           AS gain_2m2
+  FROM lv{sfx}_kic k
+  JOIN lv{sfx}_cur c ON k.node_id = c.node_id
+  LEFT JOIN lv{sfx}_own o ON k.node_id = o.node_id
+  JOIN lv{sfx}_sigma st ON k.nbr_label = st.label
+  CROSS JOIN (SELECT count(*) AS m FROM cop) mm
+  WHERE k.nbr_label <> c.cur_label
+),
+lv{sfx}_moves AS MATERIALIZED (
+  SELECT node_id, nbr_label AS new_label, gain_2m2 FROM (
+    SELECT node_id, cur_label, nbr_label, gain_2m2,
+           row_number() OVER (PARTITION BY node_id
+                              ORDER BY gain_2m2 DESC, nbr_label ASC) AS rn
+    FROM lv{sfx}_gains
+  ) WHERE rn = 1 AND gain_2m2 > 0 AND nbr_label < cur_label
+),
+lv{sfx}_new AS MATERIALIZED (
+  SELECT l.node_id, coalesce(mv.new_label, l.label) AS label
+  FROM {src} l LEFT JOIN lv{sfx}_moves mv ON l.node_id = mv.node_id
+)"""
+
+
+def _louvain_q_sub(labels_cte: str) -> str:
+    """Scalar subquery: Σ_c (4m·e_c − d_c²) over a labels CTE."""
+    return f"""(SELECT sum(4 * mx.m * coalesce(i.e_c, 0) - d.d_c * d.d_c) AS qn
+      FROM (SELECT l.label, sum(dg.d) AS d_c FROM {labels_cte} l JOIN lv_deg dg
+              ON l.node_id = dg.node_id GROUP BY l.label) d
+      LEFT JOIN (SELECT la.label, count(*) AS e_c
+                 FROM cop c JOIN {labels_cte} la ON c.part_a = la.node_id
+                            JOIN {labels_cte} lb ON c.part_b = lb.node_id
+                 WHERE la.label = lb.label GROUP BY la.label) i
+        ON d.label = i.label, (SELECT count(*) AS m FROM cop) mx)"""
+
+
+_LOUVAIN_DEG_CTE = """,
+lv_deg AS MATERIALIZED (
+  SELECT src AS node_id, CAST(count(*) AS BIGINT) AS d
+  FROM lpa_adj GROUP BY src
+)"""
 
 
 def _louvain_refine_oracle() -> str:
@@ -1459,76 +1548,116 @@ SELECT CAST(mv.n_moved AS BIGINT) AS n_moved,
 FROM (SELECT count(*) AS n_moved, coalesce(sum(gain_2m2), 0) AS gain_total_2m2
       FROM lv_moves) mv,
      (SELECT count(*) AS m FROM cop) mm,
-     (SELECT sum(4 * mx.m * coalesce(i.e_c, 0) - d.d_c * d.d_c) AS qn
-      FROM (SELECT l.label, sum(dg.d) AS d_c FROM {last} l JOIN lv_deg dg
-              ON l.node_id = dg.node_id GROUP BY l.label) d
-      LEFT JOIN (SELECT la.label, count(*) AS e_c
-                 FROM cop c JOIN {last} la ON c.part_a = la.node_id
-                            JOIN {last} lb ON c.part_b = lb.node_id
-                 WHERE la.label = lb.label GROUP BY la.label) i
-        ON d.label = i.label, (SELECT count(*) AS m FROM cop) mx) qb,
-     (SELECT sum(4 * mx.m * coalesce(i.e_c, 0) - d.d_c * d.d_c) AS qn
-      FROM (SELECT l.label, sum(dg.d) AS d_c FROM lv_new l JOIN lv_deg dg
-              ON l.node_id = dg.node_id GROUP BY l.label) d
-      LEFT JOIN (SELECT la.label, count(*) AS e_c
-                 FROM cop c JOIN lv_new la ON c.part_a = la.node_id
-                            JOIN lv_new lb ON c.part_b = lb.node_id
-                 WHERE la.label = lb.label GROUP BY la.label) i
-        ON d.label = i.label, (SELECT count(*) AS m FROM cop) mx) qa"""
-    extra = f""",
-lv_deg AS MATERIALIZED (
-  SELECT src AS node_id, CAST(count(*) AS BIGINT) AS d
-  FROM lpa_adj GROUP BY src
-),
-lv_sigma AS MATERIALIZED (
-  SELECT l.label, CAST(sum(dg.d) AS BIGINT) AS sigma
-  FROM {last} l JOIN lv_deg dg ON l.node_id = dg.node_id
-  GROUP BY l.label
-),
-lv_kic AS MATERIALIZED (
-  SELECT a.src AS node_id, nl.label AS nbr_label,
-         CAST(count(*) AS BIGINT) AS k_ic
-  FROM lpa_adj a JOIN {last} nl ON a.dst = nl.node_id
-  GROUP BY 1, 2
-),
-lv_cur AS MATERIALIZED (
-  SELECT l.node_id, l.label AS cur_label, dg.d AS k_i, s.sigma AS sigma_cur
-  FROM {last} l JOIN lv_deg dg ON l.node_id = dg.node_id
-  JOIN lv_sigma s ON l.label = s.label
-),
-lv_own AS (
-  SELECT k.node_id, k.k_ic AS k_own
-  FROM lv_kic k JOIN lv_cur c
-    ON k.node_id = c.node_id AND k.nbr_label = c.cur_label
-),
-lv_gains AS MATERIALIZED (
-  SELECT k.node_id, c.cur_label, k.nbr_label,
-         CAST(2 * mm.m * (k.k_ic - coalesce(o.k_own, 0))
-              - c.k_i * (st.sigma - (c.sigma_cur - c.k_i)) AS BIGINT)
-           AS gain_2m2
-  FROM lv_kic k
-  JOIN lv_cur c ON k.node_id = c.node_id
-  LEFT JOIN lv_own o ON k.node_id = o.node_id
-  JOIN lv_sigma st ON k.nbr_label = st.label
-  CROSS JOIN (SELECT count(*) AS m FROM cop) mm
-  WHERE k.nbr_label <> c.cur_label
-),
-lv_moves AS MATERIALIZED (
-  SELECT node_id, nbr_label AS new_label, gain_2m2 FROM (
-    SELECT node_id, cur_label, nbr_label, gain_2m2,
-           row_number() OVER (PARTITION BY node_id
-                              ORDER BY gain_2m2 DESC, nbr_label ASC) AS rn
-    FROM lv_gains
-  ) WHERE rn = 1 AND gain_2m2 > 0 AND nbr_label < cur_label
-),
-lv_new AS MATERIALIZED (
-  SELECT l.node_id, coalesce(mv.new_label, l.label) AS label
-  FROM {last} l LEFT JOIN lv_moves mv ON l.node_id = mv.node_id
-)"""
+     {_louvain_q_sub(last)} qb,
+     {_louvain_q_sub("lv_new")} qa"""
+    extra = _LOUVAIN_DEG_CTE + _louvain_sweep_ctes(last, "")
     return tpch.oracle_with(tail.lstrip("\n"), extra_ctes=body + extra)
 
 
 ORACLE_LOUVAIN_REFINE = _louvain_refine_oracle()
+
+
+# -- Louvain refinement run to the no-move fixed point --------------------------------
+
+LOUVAIN_MAX_SWEEPS = 4
+
+
+def graph_louvain_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`graph_louvain_refine`'s sweep LOOPED to its data-dependent
+    stop — the converged companion (the pagerank/eigenvector pairing
+    pattern): synchronous move sweeps repeat until a sweep selects ZERO
+    moves (the fixed point — moves are a deterministic function of the
+    labels, so a zero-move state is absorbing) or the
+    {LOUVAIN_MAX_SWEEPS}-sweep cap.  ``rounds_run`` (the number of
+    sweeps that moved something) is part of the oracle-checked row, so
+    both engines must stop at the same sweep.
+
+    The oracle UNROLLS the full cap: because the fixed point is
+    absorbing, unrolling past convergence is the identity on labels and
+    contributes zero moves — rounds_run = Σ_k 1[moves_k ≠ ∅] replays
+    the stop rule with no conditional SQL (the
+    graph_pagerank_converged discipline).
+
+    Per sweep the driver performs ONE scalar count action on the
+    checkpointed move set (the converged-iterator posture: bounded
+    lineage, one action per round); all gain arithmetic is the shared
+    :func:`_louvain_moves` step in exact integers."""
+    labels = _lpa_labels(spark, sf_dir).localCheckpoint(eager=True)
+    pairs = (
+        graph_copurchase_pairs(spark, sf_dir)
+        .select("part_a", "part_b")
+        .localCheckpoint(eager=True)
+    )
+    return louvain_converge_from(labels, pairs)
+
+
+def louvain_converge_from(labels: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Sweep-to-fixed-point over hand-suppliable frames (see
+    graph_louvain_converged)."""
+    adj, deg, mm = _louvain_frames(pairs)
+    adj = adj.localCheckpoint(eager=True)
+    deg = deg.localCheckpoint(eager=True)
+    qb = _louvain_q_scaled(labels, pairs, deg, mm)
+    cur = labels
+    rounds_run = 0
+    n_moved_total = 0
+    for _ in range(LOUVAIN_MAX_SWEEPS):
+        moves = _louvain_moves(cur, adj, deg, mm).localCheckpoint(eager=True)
+        n = moves.count()
+        if n == 0:
+            break
+        rounds_run += 1
+        n_moved_total += n
+        cur = (
+            cur.join(moves, "node_id", "left")
+            .select("node_id", F.coalesce("new_label", "label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    qa = _louvain_q_scaled(cur, pairs, deg, mm)
+    return (
+        qb.select(F.col("qn").alias("qn_before"))
+        .crossJoin(F.broadcast(qa.select(F.col("qn").alias("qn_after"))))
+        .crossJoin(F.broadcast(mm))
+        .selectExpr(
+            f"CAST({rounds_run} AS BIGINT) AS rounds_run",
+            f"CAST({n_moved_total} AS BIGINT) AS n_moved_total",
+            "CAST(FLOOR(1000000.0 * qn_before / (4 * m * m)) AS BIGINT)"
+            " AS q_before_micro",
+            "CAST(FLOOR(1000000.0 * qn_after / (4 * m * m)) AS BIGINT)"
+            " AS q_after_micro",
+        )
+    )
+
+
+def _louvain_converged_oracle() -> str:
+    body, last = _lpa_body()
+    extra = _LOUVAIN_DEG_CTE
+    src = last
+    for k in range(1, LOUVAIN_MAX_SWEEPS + 1):
+        extra += _louvain_sweep_ctes(src, str(k))
+        src = f"lv{k}_new"
+    move_counts = " + ".join(
+        f"(SELECT count(*) FROM lv{k}_moves)"
+        for k in range(1, LOUVAIN_MAX_SWEEPS + 1)
+    )
+    round_flags = " + ".join(
+        f"(CASE WHEN (SELECT count(*) FROM lv{k}_moves) > 0 THEN 1 ELSE 0 END)"
+        for k in range(1, LOUVAIN_MAX_SWEEPS + 1)
+    )
+    tail = f"""
+SELECT CAST({round_flags} AS BIGINT) AS rounds_run,
+       CAST({move_counts} AS BIGINT) AS n_moved_total,
+       CAST(floor(1000000.0 * qb.qn / (4 * mm.m * mm.m)) AS BIGINT)
+         AS q_before_micro,
+       CAST(floor(1000000.0 * qa.qn / (4 * mm.m * mm.m)) AS BIGINT)
+         AS q_after_micro
+FROM (SELECT count(*) AS m FROM cop) mm,
+     {_louvain_q_sub(last)} qb,
+     {_louvain_q_sub(src)} qa"""
+    return tpch.oracle_with(tail.lstrip("\n"), extra_ctes=body + extra)
+
+
+ORACLE_LOUVAIN_CONVERGED = _louvain_converged_oracle()
 
 
 # -- HITS hubs & authorities (bipartite customer → supplier) --------------------------
@@ -3311,6 +3440,7 @@ QUERIES = {
     "graph_diameter_double_sweep": graph_diameter_double_sweep,
     "graph_modularity": graph_modularity,
     "graph_louvain_refine": graph_louvain_refine,
+    "graph_louvain_converged": graph_louvain_converged,
     "graph_ktruss": graph_ktruss,
     "graph_assortativity": graph_assortativity,
     "graph_itemsets3": graph_itemsets3,
@@ -3349,6 +3479,7 @@ ORACLES = {
     "graph_diameter_double_sweep": ORACLE_DIAMETER,
     "graph_modularity": ORACLE_MODULARITY,
     "graph_louvain_refine": ORACLE_LOUVAIN_REFINE,
+    "graph_louvain_converged": ORACLE_LOUVAIN_CONVERGED,
     "graph_ktruss": ORACLE_KTRUSS,
     "graph_assortativity": ORACLE_ASSORTATIVITY,
     "graph_itemsets3": ORACLE_ITEMSETS3,

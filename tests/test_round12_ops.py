@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from mongraph_spark.queries.graph_analytics import (
     EIG_GRID,
     eig_step_builder,
+    louvain_converge_from,
     louvain_refine_from,
 )
 from mongraph_spark.queries.inference import (
@@ -87,6 +88,33 @@ def test_louvain_refine_fixed_point_when_labels_optimal(spark):
     assert row["n_moved"] == 0
     assert row["gain_total_2m2"] == 0
     assert row["q_before_micro"] == row["q_after_micro"]
+
+
+def test_louvain_converged_reaches_fixed_point(spark):
+    # bridged triangles with one mislabeled node: sweep 1 makes the
+    # single gain-23 move, sweep 2 selects nothing (absorbing fixed
+    # point) -> rounds_run = 1, and Q_after equals the single-sweep pin.
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)],
+        "part_a long, part_b long",
+    )
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 10), (4, 10), (5, 10), (6, 10)],
+        "node_id long, label long",
+    )
+    row = louvain_converge_from(labels, pairs).collect()[0]
+    assert row["rounds_run"] == 1
+    assert row["n_moved_total"] == 1
+    assert row["q_after_micro"] == (1_000_000 * 70) // 196
+    # already-optimal labels: zero sweeps run
+    opt = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 4)],
+        "node_id long, label long",
+    )
+    row0 = louvain_converge_from(opt, pairs).collect()[0]
+    assert row0["rounds_run"] == 0
+    assert row0["n_moved_total"] == 0
+    assert row0["q_before_micro"] == row0["q_after_micro"]
 
 
 def test_srp_sheet_sample_identity_below_cap(spark):
