@@ -1019,16 +1019,29 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _lpa_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(node_id, label) after the fixed synchronous-LPA unroll — shared by
     the community rollup and the modularity scorer."""
-    pairs = graph_copurchase_pairs(spark, sf_dir).select("part_a", "part_b")
+    pairs = (
+        graph_copurchase_pairs(spark, sf_dir)
+        .select("part_a", "part_b")
+        .localCheckpoint(eager=True)
+    )
+    return _lpa_labels_from(pairs)
+
+
+def _lpa_labels_from(pairs: DataFrame) -> DataFrame:
+    """LPA over an already-materialized (part_a, part_b) pair frame.
+
+    Callers that also consume ``pairs`` directly (modularity, the Louvain
+    pair) checkpoint it ONCE and pass it here — the copurchase self-join
+    used to execute twice per such query (once standalone, once inside
+    this function), ~2.5 s each at sf0.1.
+    """
     adj = (
         pairs.select(F.col("part_a").alias("src"), F.col("part_b").alias("dst"))
         .unionByName(
             pairs.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
         )
         # every unrolled round joins against adj: without this checkpoint
-        # the copurchase self-join (and the graph-store scan under it)
-        # re-executes once per round inside the fused lazy plan — measured
-        # 14.2 s -> ~5 s for the modularity consumer at sf0.1
+        # the union re-executes once per round inside the fused lazy plan
         .localCheckpoint(eager=True)
     )
     from pyspark.sql import Window
@@ -1042,13 +1055,16 @@ def _lpa_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         w = Window.partitionBy("node_id").orderBy(
             F.col("n_votes").desc(), F.col("label").asc()
         )
-        winners = (
+        # winners IS the next label frame: adj is symmetrized, so every
+        # node has >=1 neighbor and receives >=1 vote — the defensive
+        # left-join-back-to-labels the oracle spells out is the identity
+        # here, and dropping it halves the fused plan per round (each
+        # round referenced `labels` twice, so the N-round unroll compiled
+        # 2^N copies of the initial state's subtree)
+        return (
             votes.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
-            .select("node_id", F.col("label").alias("new_label"))
-        )
-        return labels.join(winners, "node_id", "left").select(
-            "node_id", F.coalesce("new_label", "label").alias("label")
+            .select("node_id", "label")
         )
 
     labels, _ = pregel.iterate(
@@ -1134,13 +1150,13 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (label map broadcasts when small, co-partitions otherwise); degree
     and membership sums are label-keyed aggs.  Nothing iterates here —
     modularity is a pure post-pass over (edges ⋈ labels)."""
-    labels = _lpa_labels(spark, sf_dir).localCheckpoint(eager=True)
-    # pairs feeds deg (via adj), intra, and m — one materialization
+    # pairs feeds LPA, deg (via adj), intra, and m — one materialization
     pairs = (
         graph_copurchase_pairs(spark, sf_dir)
         .select("part_a", "part_b")
         .localCheckpoint(eager=True)
     )
+    labels = _lpa_labels_from(pairs).localCheckpoint(eager=True)
     adj = pairs.select(
         F.col("part_a").alias("src"), F.col("part_b").alias("dst")
     ).unionByName(
@@ -1292,12 +1308,12 @@ def graph_louvain_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     and both modularity scores are the established (edges ⋈ labels)
     post-pass.  Nothing iterates; a full Louvain level would loop this
     sweep with the same bounded per-round cost."""
-    labels = _lpa_labels(spark, sf_dir).localCheckpoint(eager=True)
     pairs = (
         graph_copurchase_pairs(spark, sf_dir)
         .select("part_a", "part_b")
         .localCheckpoint(eager=True)
     )
+    labels = _lpa_labels_from(pairs).localCheckpoint(eager=True)
     return louvain_refine_from(labels, pairs)
 
 
@@ -1437,7 +1453,13 @@ def louvain_refine_from(labels: DataFrame, pairs: DataFrame) -> DataFrame:
     known-value pins can feed hand graphs (see graph_louvain_refine for
     semantics)."""
     adj, deg, mm = _louvain_frames(pairs)
-    moves = _louvain_moves(labels, adj, deg, mm)
+    # deg feeds sigma/cur inside the move step AND both modularity scores;
+    # moves feeds the summary, the label apply, and (through it) the after
+    # score.  Without these two checkpoints the whole move-selection
+    # subtree (k_iC join + window argmax) compiled three times over —
+    # 288 Exchanges / 126 SortMergeJoins in the formatted plan.
+    deg = deg.localCheckpoint(eager=True)
+    moves = _louvain_moves(labels, adj, deg, mm).localCheckpoint(eager=True)
     new_labels = labels.join(moves, "node_id", "left").select(
         "node_id", F.coalesce("new_label", "label").alias("label")
     )
@@ -1582,12 +1604,12 @@ def graph_louvain_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpointed move set (the converged-iterator posture: bounded
     lineage, one action per round); all gain arithmetic is the shared
     :func:`_louvain_moves` step in exact integers."""
-    labels = _lpa_labels(spark, sf_dir).localCheckpoint(eager=True)
     pairs = (
         graph_copurchase_pairs(spark, sf_dir)
         .select("part_a", "part_b")
         .localCheckpoint(eager=True)
     )
+    labels = _lpa_labels_from(pairs).localCheckpoint(eager=True)
     return louvain_converge_from(labels, pairs)
 
 
@@ -3131,8 +3153,14 @@ def eig_step_builder(
         )
         cached.append(c)
         m = c.agg(F.max("c").alias("m"))
+        # broadcast the (node-count-bounded, already-persisted) contribution
+        # frame into the nodes left join: the planner otherwise picks a
+        # SortMergeJoin that re-shuffles BOTH sides every round (the cached
+        # aggregate's partitioning is hidden behind its AQE subplan), i.e.
+        # 2 extra Exchanges + 2 Sorts per round for a frame that is read
+        # from cache anyway
         return (
-            nodes.join(c, "node_id", "left")
+            nodes.join(F.broadcast(c), "node_id", "left")
             .crossJoin(F.broadcast(m))
             .selectExpr(
                 "node_id",

@@ -100,7 +100,7 @@ def test_graph_queries_share_the_loop():
         ga.graph_connected_components,
         ga.connected_components_until_convergence,
         ga._kcore_degree_hist,
-        ga._lpa_labels,  # the loop carrier behind label_propagation/modularity
+        ga._lpa_labels_from,  # the loop carrier behind label_propagation/modularity
         ga.graph_ppr_seeded,
     ):
         src = inspect.getsource(fn)
