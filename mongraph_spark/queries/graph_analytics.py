@@ -742,12 +742,21 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     The DuckDB oracle uses the a<b<c ordered 3-way join instead (same
     count, simpler SQL); both count each triangle exactly once.
     """
-    edges = graph_copurchase_pairs(spark, sf_dir).select("part_a", "part_b")
+    # edges feeds deg (2x), the orientation join, both wedge sides, the
+    # closure semi-join and the edge count — 7 references; without the
+    # checkpoint the copurchase self-join subtree compiled 7x over
+    # (146 Exchanges in the formatted plan)
+    edges = (
+        graph_copurchase_pairs(spark, sf_dir)
+        .select("part_a", "part_b")
+        .localCheckpoint(eager=True)
+    )
     deg = (
         edges.select(F.col("part_a").alias("node"))
         .unionAll(edges.select(F.col("part_b").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
     )
     # orientation: u -> v  iff  (deg(u), u) < (deg(v), v); deg is small
     # (one row per part) -> broadcast both endpoint lookups

@@ -1763,12 +1763,18 @@ def ann_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _srp_int_vecs(emb: DataFrame) -> DataFrame:
-    """(vec_id, xv array<long>, nrm decimal) — the embedding floored ONCE
+    """(vec_id, xv array<long>, nrm long) — the embedding floored ONCE
     onto the integer micro grid as an ARRAY, plus its exact squared norm.
     Every dot below is a sum of exact integer products, so the zip_with
     fold order is irrelevant (order-free by exactness).  One row per
     vector — the r11 replacement for the 64-rows-per-vector dims explode,
-    which made every verify join carry 64× the rows."""
+    which made every verify join carry 64× the rows.
+
+    Arithmetic is 64-bit integer, NOT decimal: |xe| ≤ 1 ⇒ |xi| ≤ 10⁶ ⇒
+    any 64-dim dot (and the squared norm) is ≤ 64·10¹² ≪ 2⁶³ — exactly
+    the same integers DECIMAL(38,0) produced, but through codegen'd long
+    primitives instead of interpreted BigDecimal (the decimal fold was
+    the dominant cost of every SRP verify pass)."""
     return emb.select(
         "vec_id",
         F.expr(
@@ -1777,8 +1783,8 @@ def _srp_int_vecs(emb: DataFrame) -> DataFrame:
     ).withColumn(
         "nrm",
         F.expr(
-            "aggregate(xv, CAST(0 AS DECIMAL(38,0)),"
-            " (accn, zn) -> accn + CAST(zn AS DECIMAL(38,0)) * zn)"
+            "aggregate(xv, CAST(0 AS BIGINT),"
+            " (accn, zn) -> accn + zn * zn)"
         ),
     )
 
@@ -1807,8 +1813,8 @@ def _srp_bands(spark: SparkSession, ivecs: DataFrame, micro_bits: int) -> DataFr
         "vec_id",
         "j",
         F.expr(
-            "aggregate(zip_with(xv, sv, (xp, sp) -> CAST(xp AS DECIMAL(38,0)) * sp),"
-            " CAST(0 AS DECIMAL(38,0)), (accp, zp) -> accp + zp)"
+            "aggregate(zip_with(xv, sv, (xp, sp) -> xp * CAST(sp AS BIGINT)),"
+            " CAST(0 AS BIGINT), (accp, zp) -> accp + zp)"
         ).alias("dot"),
     )
     return (
@@ -1846,8 +1852,8 @@ def _srp_cos_ppm(cands: DataFrame, ivecs: DataFrame) -> DataFrame:
         .withColumn(
             "dab",
             F.expr(
-                "aggregate(zip_with(xa, xb, (pa, qb) -> CAST(pa AS DECIMAL(38,0)) * qb),"
-                " CAST(0 AS DECIMAL(38,0)), (accd, zd) -> accd + zd)"
+                "aggregate(zip_with(xa, xb, (pa, qb) -> pa * qb),"
+                " CAST(0 AS BIGINT), (accd, zd) -> accd + zd)"
             ),
         )
         .drop("xa", "xb")
@@ -1867,7 +1873,9 @@ def srp_from_embeddings(spark: SparkSession, emb: DataFrame) -> DataFrame:
     """SRP top-K over a (vec_id, embedding) frame — factored so
     known-value pins can feed hand vectors."""
     ivecs = _srp_int_vecs(emb).localCheckpoint(eager=True)
-    bands = _srp_bands(spark, ivecs, SRP_BITS)
+    # both join sides read bands: checkpoint so the 32-plane projection
+    # pass runs once, not twice
+    bands = _srp_bands(spark, ivecs, SRP_BITS).localCheckpoint(eager=True)
     a = bands.select("band", "band_val", F.col("vec_id").alias("vec_a"))
     b = bands.select("band", "band_val", F.col("vec_id").alias("vec_b"))
     cands = (
@@ -2472,7 +2480,7 @@ def ann_srp_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: sign bits / bitmaps / counts are exact integers on the
     established SRP machinery; the verify cosine is the same exact
-    DECIMAL(38)-dots ppm floor; recall_bp is integer division, guarded
+    64-bit-integer-dots ppm floor; recall_bp is integer division, guarded
     for an empty reference set.
 
     Scale shape: ONE bucketed band join (never all-pairs) at the finest
@@ -2486,7 +2494,9 @@ def ann_srp_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _srp_sheet_sample(read_table(spark, sf_dir, "embeddings"))
     micro_bits = SRP_PLANES // SRP_CURVE_MICRO
     ivecs = _srp_int_vecs(emb).localCheckpoint(eager=True)
-    bands = _srp_bands(spark, ivecs, micro_bits)
+    # both join sides read bands: without the checkpoint the 32-plane
+    # projection pass compiles (and runs) twice inside the bucket join
+    bands = _srp_bands(spark, ivecs, micro_bits).localCheckpoint(eager=True)
     a = bands.select("band", "band_val", F.col("vec_id").alias("vec_a"))
     b = bands.select("band", "band_val", F.col("vec_id").alias("vec_b"))
     cands = (
@@ -2641,7 +2651,7 @@ def ann_srp_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: probe values are exact integer XOR bit flips on the
     established md5-derived signatures; min-Hamming per pair is an exact
-    integer aggregate; the verify cosine is the exact DECIMAL(38)-dots
+    integer aggregate; the verify cosine is the exact 64-bit-integer-dots
     ppm floor.
 
     Scale shape: probes explode each (vec, band) row into
@@ -2655,7 +2665,9 @@ def ann_srp_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample, so its cost is bounded at ANY corpus size."""
     emb = _srp_sheet_sample(read_table(spark, sf_dir, "embeddings"))
     ivecs = _srp_int_vecs(emb).localCheckpoint(eager=True)
-    bands = _srp_bands(spark, ivecs, SRP_BITS)
+    # probes and exact both read bands: checkpoint so the projection
+    # pass runs once, not twice
+    bands = _srp_bands(spark, ivecs, SRP_BITS).localCheckpoint(eager=True)
     # probe side: the exact value (flip = 0) plus each 1-bit flip
     probes = bands.select(
         "vec_id",
@@ -2866,14 +2878,26 @@ def golden_labels(blocked: DataFrame) -> tuple[DataFrame, int]:
         matched.select(
             F.col("key_b").alias("key_a"), F.col("key_a").alias("key_b")
         )
-    )
+        # every propagation round joins against edges: without this
+        # checkpoint the within-block self-join + levenshtein edge build
+        # re-executes once per round inside each round's checkpoint action
+    ).localCheckpoint(eager=True)
 
     def step(state: DataFrame) -> DataFrame:
+        # the label state and the per-round nbr/ptr attach frames are all
+        # bounded by the blocked record count and carry exact integer
+        # labels (min-propagation is order-independent), so broadcasting
+        # them replaces the per-round sort-merge exchanges (measured
+        # 3.47 -> 2.26 s for the 4-round fixpoint at sf0.1); at cluster
+        # scale with billions of records the same attach flips to a
+        # co-partitioned join — placement choice only, values identical
         lab = state.select("key", "label")
         nbr = (
             edges.join(
-                lab.select(
-                    F.col("key").alias("key_b"), F.col("label").alias("nl")
+                F.broadcast(
+                    lab.select(
+                        F.col("key").alias("key_b"), F.col("label").alias("nl")
+                    )
                 ),
                 "key_b",
             )
@@ -2884,15 +2908,17 @@ def golden_labels(blocked: DataFrame) -> tuple[DataFrame, int]:
         # record's key (mins over initial self-labels), so the self-join
         # is 1:1 on the unique key column
         ptr = lab.join(
-            lab.select(
-                F.col("key").alias("pk"), F.col("label").alias("ptr_label")
+            F.broadcast(
+                lab.select(
+                    F.col("key").alias("pk"), F.col("label").alias("ptr_label")
+                )
             ),
             F.col("label") == F.col("pk"),
             "left",
         ).select("key", "ptr_label")
         return (
-            lab.join(nbr, "key", "left")
-            .join(ptr, "key", "left")
+            lab.join(F.broadcast(nbr), "key", "left")
+            .join(F.broadcast(ptr), "key", "left")
             .select(
                 "key",
                 F.least(
