@@ -1829,7 +1829,13 @@ def upsert(
             elif col.get("expr") is not None:
                 _check_generated(updates, col, schema, "upsert")
         updates = updates.select(*[f.name for f in schema.fields])
-    deduped = _dedupe_updates(updates, key, order_col)
+    # materialize the deduped batch ONCE: the constraint probes, the
+    # touched-bucket collect, the broadcast-gate count and the final write
+    # each run an action over this subtree (window dedup + the caller's
+    # upstream plan) — without the checkpoint a trickle upsert recomputes
+    # it 3-4x; a bulk batch pays one extra batch-sized materialization and
+    # still saves the repeated dedup shuffle
+    deduped = _dedupe_updates(updates, key, order_col).localCheckpoint(eager=True)
     _check_constraints(deduped, meta, "upsert")
     cur = current_version(root)
     row_tracking = bool(meta.get("row_tracking"))
@@ -2595,7 +2601,12 @@ def merge_into(
                 )
             elif col.get("expr") is not None:
                 _check_generated(source, col, schema, "merge")
-    src = _dedupe_updates(source.select(*cols), key, None)
+    # materialized once: the touched-bucket collect, the broadcast build,
+    # the insert anti-join, the constraint probe and the final write all
+    # action over this subtree (same rationale as upsert's checkpoint)
+    src = _dedupe_updates(source.select(*cols), key, None).localCheckpoint(
+        eager=True
+    )
     src_pref = src.select(
         F.col(key).alias("__src_key"),
         *[F.col(c).alias(f"src_{c}") for c in cols],  # incl. src_<key>
