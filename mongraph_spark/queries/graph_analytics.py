@@ -867,11 +867,15 @@ def _kcore_degree_hist(spark: SparkSession, sf_dir: str, rounds: int) -> DataFra
     # initial checkpoint = pregel's contract: the peel rounds must never
     # replay the copurchase self-join lineage (the replay bug BENCHNOTES
     # measured in the LPA loop)
+    # cadence 1: each peel round references its edge frame THREE times
+    # (both degree unions + the semi-join base), so fusing rounds compiles
+    # ~3^k copies of the earlier rounds — materializing per round measured
+    # 3.15 -> 2.46 s at sf0.1 with identical output
     edges, _ = pregel.iterate(
         graph_copurchase_pairs(spark, sf_dir).select("part_a", "part_b"),
         step,
         max_rounds=rounds,
-        checkpoint_every=max(rounds, 1),
+        checkpoint_every=1,
     )
     survivors = (
         edges.select(F.col("part_a").alias("node"))

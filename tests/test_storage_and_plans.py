@@ -295,13 +295,23 @@ def test_adaptive_salted_join_picks_by_histogram(spark):
 
     dim = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 10).alias("attr"))
 
-    # 90% of facts on one hot key: max/avg ratio ~ 90 >> 4
+    # 90% of facts on one hot key: max/avg ratio ~ 90 >> 4, and the hot
+    # key clears the (test-scaled) absolute floor
     skewed = spark.range(10_000).select(
         F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 100).alias("k"),
         F.col("id").alias("payload"),
     )
-    joined, used = adaptive_salted_join(skewed, dim, "k", n_salts=8)
+    joined, used = adaptive_salted_join(
+        skewed, dim, "k", n_salts=8, min_hot_rows=1_000
+    )
     assert used is True
+
+    # the same relative skew below the DEFAULT absolute floor must NOT
+    # salt: a hot key of a few thousand rows cannot straggle a task, and
+    # the ratio-only gate used to buy the 8x dim replication for nothing
+    # (measured on TPC-H lineitem: max 17 rows vs mean 4.1 -> ratio 4.17)
+    _, used_tiny = adaptive_salted_join(skewed, dim, "k", n_salts=8)
+    assert used_tiny is False
     plain = skewed.join(dim, "k").select("k", "payload", "attr")
     assert sorted(map(tuple, joined.select("k", "payload", "attr").collect())) == sorted(
         map(tuple, plain.collect())
