@@ -523,30 +523,34 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same self-join barrier as dedup_simhash: materialize the bucketed
     # vectors once so the copy-synthesis + sign projection isn't replayed
     # per join side (O(corpus) storage, not quadratic)
-    bucketed = corpus.select("vec_id", "vec", bucket.alias("bk")).localCheckpoint(
-        eager=True
+    # sqrt-norm computed once per VECTOR inside the checkpoint (the
+    # _semdedup_finish hoist) — the quadratic within-bucket pair stage
+    # then reuses it on both sides; bit-identical doubles either way
+    norm = F.sqrt(
+        F.expr(
+            "aggregate(transform(vec, x -> x * x), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
     )
+    bucketed = corpus.select(
+        "vec_id", "vec", norm.alias("sn"), bucket.alias("bk")
+    ).localCheckpoint(eager=True)
     a = bucketed.select(
-        F.col("vec_id").alias("id_a"), F.col("vec").alias("vec_a"), "bk"
+        F.col("vec_id").alias("id_a"), F.col("vec").alias("vec_a"),
+        F.col("sn").alias("sn_a"), "bk"
     )
     b = bucketed.select(
-        F.col("vec_id").alias("id_b"), F.col("vec").alias("vec_b"), "bk"
+        F.col("vec_id").alias("id_b"), F.col("vec").alias("vec_b"),
+        F.col("sn").alias("sn_b"), "bk"
     )
     pairs = a.join(b, "bk").filter(F.col("id_a") < F.col("id_b"))
     dot = F.expr(
         "aggregate(zip_with(vec_a, vec_b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
     )
-    na = F.expr(
-        "aggregate(transform(vec_a, xa -> xa * xa), CAST(0.0 AS DOUBLE), (acca, va) -> acca + va)"
-    )
-    nb = F.expr(
-        "aggregate(transform(vec_b, xb -> xb * xb), CAST(0.0 AS DOUBLE), (accb, vb) -> accb + vb)"
-    )
     return (
         pairs.select(
             "id_a",
             "id_b",
-            F.floor(F.lit(10000) * dot / (F.sqrt(na) * F.sqrt(nb)))
+            F.floor(F.lit(10000) * dot / (F.col("sn_a") * F.col("sn_b")))
             .cast("long")
             .alias("cos_bp"),
         )
@@ -645,33 +649,36 @@ def corpus_semantic_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(b100 < SEM_VAL_LT, F.lit("val"))
         .otherwise(F.lit("test"))
     )
+    # sqrt-norm once per vector inside the checkpoint (the _semdedup_finish
+    # hoist) — the train×eval pair stage reuses it; bit-identical doubles
+    norm = F.sqrt(
+        F.expr(
+            "aggregate(transform(vec, x -> x * x), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+    )
     bucketed = corpus.select(
-        "vec_id", "vec", bucket.alias("bk"), split.alias("split")
+        "vec_id", "vec", norm.alias("sn"), bucket.alias("bk"), split.alias("split")
     ).localCheckpoint(eager=True)  # one build feeds both join sides
     train = bucketed.filter(F.col("split") == "train").select(
-        F.col("vec_id").alias("train_id"), F.col("vec").alias("vec_a"), "bk"
+        F.col("vec_id").alias("train_id"), F.col("vec").alias("vec_a"),
+        F.col("sn").alias("sn_a"), "bk"
     )
     ev = bucketed.filter(F.col("split") != "train").select(
         F.col("vec_id").alias("eval_id"),
         F.col("split").alias("eval_split"),
         F.col("vec").alias("vec_b"),
+        F.col("sn").alias("sn_b"),
         "bk",
     )
     pairs = train.join(ev, "bk")
     dot = F.expr(
         "aggregate(zip_with(vec_a, vec_b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
     )
-    na = F.expr(
-        "aggregate(transform(vec_a, xa -> xa * xa), CAST(0.0 AS DOUBLE), (acca, va) -> acca + va)"
-    )
-    nb = F.expr(
-        "aggregate(transform(vec_b, xb -> xb * xb), CAST(0.0 AS DOUBLE), (accb, vb) -> accb + vb)"
-    )
     flagged = pairs.select(
         "eval_id",
         "eval_split",
         "train_id",
-        F.floor(F.lit(10000) * dot / (F.sqrt(na) * F.sqrt(nb)))
+        F.floor(F.lit(10000) * dot / (F.col("sn_a") * F.col("sn_b")))
         .cast("long")
         .alias("cos_bp"),
     ).filter(F.col("cos_bp") >= COS_THRESHOLD_BP)

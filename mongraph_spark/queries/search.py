@@ -320,22 +320,32 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # ---- dense branch: fixed-order float64 cosine, broadcast anchors ----
-    corpus = emb.join(uni.select(F.col("doc_id").alias("vec_id")), "vec_id").select(
-        F.col("vec_id").alias("c_id"),
-        F.col("embedding").cast("array<double>").alias("c_vec"),
-    )
-    queries = emb.filter(F.col("vec_id") < HY_ANCHORS).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").cast("array<double>").alias("q_vec"),
-    )
-    dot = F.expr(
-        "aggregate(zip_with(q_vec, c_vec, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    # per-side sqrt-norms hoisted out of the K·N pair stage (the
+    # _semdedup_finish pattern) — bit-identical doubles either way
+    cn = F.expr(
+        "aggregate(transform(c_vec, xc -> xc * xc), CAST(0.0 AS DOUBLE), (accc, vc) -> accc + vc)"
     )
     qn = F.expr(
         "aggregate(transform(q_vec, xq -> xq * xq), CAST(0.0 AS DOUBLE), (accq, vq) -> accq + vq)"
     )
-    cn = F.expr(
-        "aggregate(transform(c_vec, xc -> xc * xc), CAST(0.0 AS DOUBLE), (accc, vc) -> accc + vc)"
+    corpus = (
+        emb.join(uni.select(F.col("doc_id").alias("vec_id")), "vec_id")
+        .select(
+            F.col("vec_id").alias("c_id"),
+            F.col("embedding").cast("array<double>").alias("c_vec"),
+        )
+        .withColumn("c_sn", F.sqrt(cn))
+    )
+    queries = (
+        emb.filter(F.col("vec_id") < HY_ANCHORS)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").cast("array<double>").alias("q_vec"),
+        )
+        .withColumn("q_sn", F.sqrt(qn))
+    )
+    dot = F.expr(
+        "aggregate(zip_with(q_vec, c_vec, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
     )
     dense_scored = (
         corpus.crossJoin(F.broadcast(queries))
@@ -343,7 +353,7 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             "c_id",
-            F.floor(F.lit(10000) * dot / (F.sqrt(qn) * F.sqrt(cn)))
+            F.floor(F.lit(10000) * dot / (F.col("q_sn") * F.col("c_sn")))
             .cast("long")
             .alias("cos_bp"),
         )

@@ -28,11 +28,29 @@ TOP_K = 10
 
 def _scored_pairs(spark: SparkSession, sf_dir: str, bucketed: bool) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
+    # norms once per SIDE, not per pair (the _semdedup_finish hoist): the
+    # K·N scored pairs reuse N+K precomputed sqrt-norms — bit-identical
+    # math, the same doubles divided in the same order as the oracle's
+    # per-pair formula
     corpus = emb.select(
         F.col("vec_id").alias("c_id"), F.col("embedding").cast("array<double>").alias("c_vec")
+    ).withColumn(
+        "c_sn",
+        F.sqrt(
+            F.expr(
+                "aggregate(transform(c_vec, xc -> xc * xc), CAST(0.0 AS DOUBLE), (accc, vc) -> accc + vc)"
+            )
+        ),
     )
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").cast("array<double>").alias("q_vec")
+    ).withColumn(
+        "q_sn",
+        F.sqrt(
+            F.expr(
+                "aggregate(transform(q_vec, xq -> xq * xq), CAST(0.0 AS DOUBLE), (accq, vq) -> accq + vq)"
+            )
+        ),
     )
     if bucketed:
         # sign-pattern of the first 3 dims = 8 coarse cells; probe same cell only
@@ -56,16 +74,10 @@ def _scored_pairs(spark: SparkSession, sf_dir: str, bucketed: bool) -> DataFrame
     dot = F.expr(
         "aggregate(zip_with(q_vec, c_vec, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
     )
-    qn = F.expr(
-        "aggregate(transform(q_vec, xq -> xq * xq), CAST(0.0 AS DOUBLE), (accq, vq) -> accq + vq)"
-    )
-    cn = F.expr(
-        "aggregate(transform(c_vec, xc -> xc * xc), CAST(0.0 AS DOUBLE), (accc, vc) -> accc + vc)"
-    )
     return joined.select(
         "q_id",
         "c_id",
-        F.floor(F.lit(10000) * dot / (F.sqrt(qn) * F.sqrt(cn))).cast("long").alias("cos_bp"),
+        F.floor(F.lit(10000) * dot / (F.col("q_sn") * F.col("c_sn"))).cast("long").alias("cos_bp"),
     )
 
 
@@ -238,30 +250,33 @@ def _ivf_probe_score(
     and the streaming ingest twin, whose lists accumulate incrementally)."""
     qd = F.expr(_SQ_DIST.format(v="q_vec", c="c_vec"))
     wq = Window.partitionBy("q_id").orderBy("qdist", "cell")
+    # per-side sqrt-norms hoisted out of the probe×list pair stage (the
+    # _semdedup_finish pattern): each list vector's norm is computed once,
+    # not once per probing query — bit-identical doubles either way
+    qn = F.expr(
+        "aggregate(transform(q_vec, xq -> xq * xq), CAST(0.0 AS DOUBLE), (accq, vq) -> accq + vq)"
+    )
     probes = (
         queries.crossJoin(F.broadcast(centroids))
         .withColumn("qdist", qd)
         .withColumn("probe_rank", F.row_number().over(wq))
         .filter(F.col("probe_rank") <= max_probe)
-        .select("q_id", "q_vec", "cell", "probe_rank")
+        .select("q_id", "q_vec", F.sqrt(qn).alias("q_sn"), "cell", "probe_rank")
     )
     dot = F.expr(
         "aggregate(zip_with(q_vec, c_vec, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
-    qn = F.expr(
-        "aggregate(transform(q_vec, xq -> xq * xq), CAST(0.0 AS DOUBLE), (accq, vq) -> accq + vq)"
     )
     cn = F.expr(
         "aggregate(transform(c_vec, xc -> xc * xc), CAST(0.0 AS DOUBLE), (accc, vc) -> accc + vc)"
     )
     return (
         F.broadcast(probes)
-        .join(lists, "cell")
+        .join(lists.withColumn("c_sn", F.sqrt(cn)), "cell")
         .filter(F.col("q_id") != F.col("c_id"))
         .select(
             "q_id",
             "c_id",
-            F.floor(F.lit(10000) * dot / (F.sqrt(qn) * F.sqrt(cn)))
+            F.floor(F.lit(10000) * dot / (F.col("q_sn") * F.col("c_sn")))
             .cast("long")
             .alias("cos_bp"),
             "probe_rank",
