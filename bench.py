@@ -136,6 +136,19 @@ def main() -> None:
                 pass1[name] = round(dt, 3)
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
+        # ONE small JSON line per query, emitted AS MEASURED (VERDICT r12
+        # order #2): the single fat headline_queries_wall_detail line
+        # outgrew the driver's tail-buffered log capture in r12 and was
+        # front-truncated, which emptied PERF_r12's per-query comparison.
+        # Per-query lines are individually tiny, so the tail buffer always
+        # holds complete parseable lines for however many queries fit.
+        # The fat detail lines and the compact total below are KEPT
+        # unchanged — this is an addition, not a protocol change; the
+        # timed region and methodology are untouched.
+        print(
+            json.dumps({"q": name, "wall": timings[name], "pass1": pass1[name]}),
+            flush=True,
+        )
 
     total = round(sum(timings.values()), 3)
     # Two SEPARATE detail lines, pass1 first: the driver's tail-buffered log

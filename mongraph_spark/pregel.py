@@ -31,10 +31,12 @@ Checkpoint-cadence/convergence contract:
   which for monotone-contraction algorithms (damped pagerank, min-label
   CC) is the group's tightest bound — the correct stop signal.
 
-At cluster scale ``localCheckpoint`` trades lineage for executor-local
-blocks (lost-executor recomputes the block, not the chain); a
-reliability-critical loop swaps in ``checkpoint(dir)`` with the same
-cadence.  Used by: queries/graph_analytics.py (all four algorithm
+The cut itself is deployment-switched via ``sparkutil.lineage_cut``:
+``localCheckpoint`` on local masters (executor loss = driver loss there,
+so the no-fallback tradeoff costs nothing), reliable ``checkpoint(dir)``
+on any non-local master (``SPARK_GRAFT_CHECKPOINT[_DIR]``) so a lost
+executor mid-loop recomputes from storage instead of failing the job.
+Used by: queries/graph_analytics.py (all four algorithm
 families) — reference has no iterative operators beyond shortestPath
 (src/extendDocument.coffee:352-366), which keeps its own BFS in paths.py
 because its per-hop visited-set bookkeeping is not a state-step loop.
@@ -45,6 +47,8 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
+
+from mongraph_spark.sparkutil import lineage_cut
 
 
 def iterate(
@@ -65,14 +69,18 @@ def iterate(
         raise ValueError(f"max_rounds must be >= 0, got {max_rounds}")
     if checkpoint_every < 1:
         raise ValueError(f"checkpoint_every must be >= 1, got {checkpoint_every}")
-    state = state.localCheckpoint(eager=True)
+    # lineage_cut = localCheckpoint on local masters, reliable
+    # checkpoint() on clusters (SPARK_GRAFT_CHECKPOINT / _DIR): a lost
+    # executor mid-iteration recomputes from the checkpoint dir instead
+    # of failing the whole loop
+    state = lineage_cut(state, eager=True)
     rounds = 0
     while rounds < max_rounds:
         group = min(checkpoint_every, max_rounds - rounds)
         cur = state
         for _ in range(group):
             cur = step(cur)
-        cur = cur.localCheckpoint(eager=True)
+        cur = lineage_cut(cur, eager=True)
         rounds += group
         state = cur
         if converged is not None and converged(cur):

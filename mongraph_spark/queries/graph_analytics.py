@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from mongraph_spark import pregel
 from mongraph_spark.graphs import tpch
-from mongraph_spark.sparkutil import const_part
+from mongraph_spark.sparkutil import const_part, maybe_broadcast
 
 DAMPING = 0.85
 N_ITER = 3
@@ -3155,6 +3155,19 @@ def eig_step_builder(
     (caller unpersists): it is consumed TWICE per round — the broadcast
     1-row max ACTION, then the checkpoint materialization — and persisting
     it halves the per-round work (measured ~2.2× at sf0.1)."""
+    # broadcast the (node-count-bounded, already-persisted) contribution
+    # frame into the nodes left join: the planner otherwise picks a
+    # SortMergeJoin that re-shuffles BOTH sides every round (the cached
+    # aggregate's partitioning is hidden behind its AQE subplan), i.e.
+    # 2 extra Exchanges + 2 Sorts per round for a frame that is read from
+    # cache anyway.  SIZE-GATED on the measured node count (once per
+    # query, invariant across rounds): broadcasts are driver-built and
+    # hard-capped at 8 GB / 512 M rows, so on a billions-of-nodes graph
+    # the unconditional hint would kill the job — above the cap the
+    # attach runs unhinted and the planner shuffle-joins.  Placement
+    # choice only; the DECIMAL integer sums are order-free, so the result
+    # is identical either way (pinned by the forced-low-cap r13 test).
+    n_nodes = nodes.count()
 
     def step(x: DataFrame) -> DataFrame:
         c = (
@@ -3165,15 +3178,9 @@ def eig_step_builder(
             .persist()
         )
         cached.append(c)
-        m = c.agg(F.max("c").alias("m"))
-        # broadcast the (node-count-bounded, already-persisted) contribution
-        # frame into the nodes left join: the planner otherwise picks a
-        # SortMergeJoin that re-shuffles BOTH sides every round (the cached
-        # aggregate's partitioning is hidden behind its AQE subplan), i.e.
-        # 2 extra Exchanges + 2 Sorts per round for a frame that is read
-        # from cache anyway
+        m = c.agg(F.max("c").alias("m"))  # 1 row by construction: hint stays
         return (
-            nodes.join(F.broadcast(c), "node_id", "left")
+            nodes.join(maybe_broadcast(c, n_nodes), "node_id", "left")
             .crossJoin(F.broadcast(m))
             .selectExpr(
                 "node_id",

@@ -25,7 +25,12 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from mongraph_spark.sparkutil import const_part, read_table
+from mongraph_spark.sparkutil import (
+    const_part,
+    lineage_cut,
+    maybe_broadcast,
+    read_table,
+)
 
 # -- log-rank test ----------------------------------------------------------------
 
@@ -1774,11 +1779,22 @@ def _srp_int_vecs(emb: DataFrame) -> DataFrame:
     any 64-dim dot (and the squared norm) is ≤ 64·10¹² ≪ 2⁶³ — exactly
     the same integers DECIMAL(38,0) produced, but through codegen'd long
     primitives instead of interpreted BigDecimal (the decimal fold was
-    the dominant cost of every SRP verify pass)."""
+    the dominant cost of every SRP verify pass).
+
+    The |xe| ≤ 1 bound is GUARDED, not assumed (ADVICE r12): with ANSI
+    off an int64 overflow wraps silently, so an out-of-range embedding
+    would corrupt sign bits instead of erroring.  The grid transform
+    raises on the first |component| > 1 — one branch per element,
+    negligible next to the 32-plane dot folds it protects."""
     return emb.select(
         "vec_id",
         F.expr(
-            "transform(embedding, xe -> CAST(round(xe * 1000000) AS BIGINT))"
+            "transform(embedding, xe -> CASE WHEN abs(xe) > 1.0D THEN"
+            " CAST(raise_error(concat('SRP micro-grid bound violated:"
+            " |embedding component| = ', CAST(abs(xe) AS STRING),"
+            " ' > 1.0 — BIGINT dot folds are only exact within the"
+            " documented bound')) AS BIGINT)"
+            " ELSE CAST(round(xe * 1000000) AS BIGINT) END)"
         ).alias("xv"),
     ).withColumn(
         "nrm",
@@ -2874,30 +2890,42 @@ def golden_labels(blocked: DataFrame) -> tuple[DataFrame, int]:
         .filter(F.levenshtein("name_a", "name_b") <= GOLDEN_EDIT_MAX)
         .select("key_a", "key_b")
     )
-    edges = matched.unionByName(
-        matched.select(
-            F.col("key_b").alias("key_a"), F.col("key_a").alias("key_b")
-        )
-        # every propagation round joins against edges: without this
-        # checkpoint the within-block self-join + levenshtein edge build
-        # re-executes once per round inside each round's checkpoint action
-    ).localCheckpoint(eager=True)
+    edges = lineage_cut(
+        matched.unionByName(
+            matched.select(
+                F.col("key_b").alias("key_a"), F.col("key_a").alias("key_b")
+            )
+            # every propagation round joins against edges: without this
+            # checkpoint the within-block self-join + levenshtein edge build
+            # re-executes once per round inside each round's checkpoint
+            # action; lineage_cut = reliable checkpoint on clusters
+        ),
+        eager=True,
+    )
+
+    # the label state and the per-round nbr/ptr attach frames are all
+    # bounded by the blocked record count and carry exact integer labels
+    # (min-propagation is order-independent), so broadcasting them
+    # replaces the per-round sort-merge exchanges (measured 3.47 -> 2.26 s
+    # for the 4-round fixpoint at sf0.1).  The hint is SIZE-GATED on the
+    # measured record count (one cheap count of the blocked projection,
+    # invariant across rounds): a broadcast is driver-built and hard-capped
+    # at 8 GB / 512 M rows, so at billions of blocked records the
+    # unconditional hint would kill the job — above the cap the joins run
+    # unhinted and the planner picks a shuffle join.  Placement choice
+    # only, values identical either way (pinned by the forced-low-cap
+    # round-13 test).
+    n_rec = blocked.count()
 
     def step(state: DataFrame) -> DataFrame:
-        # the label state and the per-round nbr/ptr attach frames are all
-        # bounded by the blocked record count and carry exact integer
-        # labels (min-propagation is order-independent), so broadcasting
-        # them replaces the per-round sort-merge exchanges (measured
-        # 3.47 -> 2.26 s for the 4-round fixpoint at sf0.1); at cluster
-        # scale with billions of records the same attach flips to a
-        # co-partitioned join — placement choice only, values identical
         lab = state.select("key", "label")
         nbr = (
             edges.join(
-                F.broadcast(
+                maybe_broadcast(
                     lab.select(
                         F.col("key").alias("key_b"), F.col("label").alias("nl")
-                    )
+                    ),
+                    n_rec,
                 ),
                 "key_b",
             )
@@ -2908,17 +2936,18 @@ def golden_labels(blocked: DataFrame) -> tuple[DataFrame, int]:
         # record's key (mins over initial self-labels), so the self-join
         # is 1:1 on the unique key column
         ptr = lab.join(
-            F.broadcast(
+            maybe_broadcast(
                 lab.select(
                     F.col("key").alias("pk"), F.col("label").alias("ptr_label")
-                )
+                ),
+                n_rec,
             ),
             F.col("label") == F.col("pk"),
             "left",
         ).select("key", "ptr_label")
         return (
-            lab.join(F.broadcast(nbr), "key", "left")
-            .join(F.broadcast(ptr), "key", "left")
+            lab.join(maybe_broadcast(nbr, n_rec), "key", "left")
+            .join(maybe_broadcast(ptr, n_rec), "key", "left")
             .select(
                 "key",
                 F.least(

@@ -49,6 +49,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from mongraph_spark.sparkutil import lineage_cut
+
 _POINTER = "_CURRENT"
 _META = "_TABLE.json"
 _MANIFEST = "manifest.json"
@@ -1834,8 +1836,14 @@ def upsert(
     # each run an action over this subtree (window dedup + the caller's
     # upstream plan) — without the checkpoint a trickle upsert recomputes
     # it 3-4x; a bulk batch pays one extra batch-sized materialization and
-    # still saves the repeated dedup shuffle
-    deduped = _dedupe_updates(updates, key, order_col).localCheckpoint(eager=True)
+    # still saves the repeated dedup shuffle.  lineage_cut = reliable
+    # checkpoint on clusters: the commit path must survive executor loss
+    # (ADVICE r12 — localCheckpoint blocks are non-replayable).  A
+    # constraint-violating batch pays this materialization before being
+    # rejected — deliberate: constraints are the rare path, and probing
+    # them pre-cut would re-run the dedup window once per probe on every
+    # healthy commit instead
+    deduped = lineage_cut(_dedupe_updates(updates, key, order_col), eager=True)
     _check_constraints(deduped, meta, "upsert")
     cur = current_version(root)
     row_tracking = bool(meta.get("row_tracking"))
@@ -2603,9 +2611,10 @@ def merge_into(
                 _check_generated(source, col, schema, "merge")
     # materialized once: the touched-bucket collect, the broadcast build,
     # the insert anti-join, the constraint probe and the final write all
-    # action over this subtree (same rationale as upsert's checkpoint)
-    src = _dedupe_updates(source.select(*cols), key, None).localCheckpoint(
-        eager=True
+    # action over this subtree (same rationale as upsert's checkpoint,
+    # including the cluster-mode reliable-cut switch)
+    src = lineage_cut(
+        _dedupe_updates(source.select(*cols), key, None), eager=True
     )
     src_pref = src.select(
         F.col(key).alias("__src_key"),

@@ -277,6 +277,76 @@ def adaptive_salted_join(
 _SALT_PROFILE_CACHE: dict[tuple, bool] = {}
 
 
+def lineage_cut(df, eager: bool = True):
+    """Deployment-appropriate lineage cut (VERDICT r12 order #5).
+
+    ``localCheckpoint`` stores blocks on executors with NO lineage
+    fallback: on a cluster, losing one executor mid-query fails the job
+    instead of recomputing.  On a local master that is a non-tradeoff —
+    executor loss IS driver loss — so the fast path stays the default
+    there.  On any non-local master this helper switches the
+    reliability-critical cut sites (the pregel loop states, the store
+    commit path, the ER edge frame) to reliable ``checkpoint()`` into
+    ``$SPARK_GRAFT_CHECKPOINT_DIR`` (default ``<tmp>/mg_ckpt_<appId>``),
+    which survives executor loss.  Override with
+    ``SPARK_GRAFT_CHECKPOINT=local|reliable`` (``auto`` = by master).
+
+    Remaining single-shot ``localCheckpoint`` sites (scan-shaped ops that
+    cut a plan once) keep the fast call deliberately: their loss window is
+    one query, the retry is re-running that query, and a reliable
+    checkpoint would pay a full write+read through the checkpoint dir per
+    cut — the documented tradeoff (README/COVERAGE)."""
+    import tempfile
+
+    mode = os.environ.get("SPARK_GRAFT_CHECKPOINT", "auto")
+    spark = df.sparkSession
+    master = spark.sparkContext.master
+    if mode == "local" or (mode == "auto" and master.startswith("local")):
+        return df.localCheckpoint(eager=eager)
+    sc = spark.sparkContext
+    if sc.getCheckpointDir() is None:
+        sc.setCheckpointDir(
+            os.environ.get(
+                "SPARK_GRAFT_CHECKPOINT_DIR",
+                os.path.join(
+                    tempfile.gettempdir(), f"mg_ckpt_{sc.applicationId}"
+                ),
+            )
+        )
+    return df.checkpoint(eager=eager)
+
+
+def broadcast_row_cap() -> int:
+    """Row threshold above which an explicit broadcast hint must NOT be
+    forced (read per call so deployments/tests can override via
+    ``SPARK_GRAFT_BROADCAST_ROW_CAP``).
+
+    Spark hard-caps a broadcast relation at 8 GB / 512 M rows and builds
+    it on the driver; an unconditional ``F.broadcast`` hint on a frame
+    that grows with the data is therefore a job-killer at cluster scale
+    regardless of how fast it is locally.  The default (20 M rows) keeps
+    the built hash relation in the few-hundred-MB range for the narrow
+    2–3-column long/decimal frames this repo hints (≈16–48 bytes/row),
+    comfortably under the hard cap while still far above anything the
+    local fixtures produce — the gate only changes plans where the hint
+    would genuinely be dangerous."""
+    return int(os.environ.get("SPARK_GRAFT_BROADCAST_ROW_CAP", "20000000"))
+
+
+def maybe_broadcast(df, n_rows: int):
+    """Profile-then-choose broadcast hint (the adaptive_salted_join
+    pattern): hint only when a MEASURED row count says the frame is small
+    enough to build safely; above the cap, return the frame unhinted so
+    the planner picks a shuffle join from runtime stats.  Callers measure
+    ``n_rows`` ONCE per query (the frames gated here are loop states whose
+    row count is invariant across rounds), not per round."""
+    from pyspark.sql import functions as F
+
+    if n_rows <= broadcast_row_cap():
+        return F.broadcast(df)
+    return df
+
+
 def normalize_event_ts(df):
     """events.ts is TIMESTAMP(NANOS) in parquet; with nanosAsLong it scans as
     a long.  Convert to a proper timestamp by integer-truncating to micros —
