@@ -1775,24 +1775,27 @@ def _srp_int_vecs(emb: DataFrame) -> DataFrame:
     vector — the r11 replacement for the 64-rows-per-vector dims explode,
     which made every verify join carry 64× the rows.
 
-    Arithmetic is 64-bit integer, NOT decimal: |xe| ≤ 1 ⇒ |xi| ≤ 10⁶ ⇒
-    any 64-dim dot (and the squared norm) is ≤ 64·10¹² ≪ 2⁶³ — exactly
+    Arithmetic is 64-bit integer, NOT decimal: |xe| ≤ 100 ⇒ |xi| ≤ 10⁸ ⇒
+    any 64-dim dot (and the squared norm) is ≤ 64·10¹⁶ = 6.4·10¹⁷ ≪
+    2⁶³ ≈ 9.2·10¹⁸, and each element product ≤ 10¹⁶ fits too — exactly
     the same integers DECIMAL(38,0) produced, but through codegen'd long
     primitives instead of interpreted BigDecimal (the decimal fold was
     the dominant cost of every SRP verify pass).
 
-    The |xe| ≤ 1 bound is GUARDED, not assumed (ADVICE r12): with ANSI
+    The |xe| ≤ 100 bound is GUARDED, not assumed (ADVICE r12): with ANSI
     off an int64 overflow wraps silently, so an out-of-range embedding
     would corrupt sign bits instead of erroring.  The grid transform
-    raises on the first |component| > 1 — one branch per element,
-    negligible next to the 32-plane dot folds it protects."""
+    raises on the first |component| > 100 — one branch per element,
+    negligible next to the 32-plane dot folds it protects.  (100, not
+    the exact 64·(B·10⁶)² < 2⁶³ edge at B≈379: a round number with 37×
+    headroom; the real corpus max is 0.578 and hand fixtures use ≤5.)"""
     return emb.select(
         "vec_id",
         F.expr(
-            "transform(embedding, xe -> CASE WHEN abs(xe) > 1.0D THEN"
+            "transform(embedding, xe -> CASE WHEN abs(xe) > 100.0D THEN"
             " CAST(raise_error(concat('SRP micro-grid bound violated:"
             " |embedding component| = ', CAST(abs(xe) AS STRING),"
-            " ' > 1.0 — BIGINT dot folds are only exact within the"
+            " ' > 100.0 — BIGINT dot folds are only exact within the"
             " documented bound')) AS BIGINT)"
             " ELSE CAST(round(xe * 1000000) AS BIGINT) END)"
         ).alias("xv"),

@@ -101,21 +101,24 @@ def test_lineage_cut_reliable_mode(spark, monkeypatch, tmp_path):
 
 
 def test_srp_int_vecs_guard_raises_out_of_bound(spark):
-    # the BIGINT dot folds are only exact while |component| <= 1; the
-    # grid transform must fail LOUDLY on a violating fixture instead of
-    # silently wrapping int64 (ANSI is off)
+    # the BIGINT dot folds are only exact while |component| <= 100
+    # (64·(100·10⁶)² = 6.4e17 < 2⁶³); the grid transform must fail
+    # LOUDLY on a violating fixture instead of silently wrapping int64
+    # (ANSI is off).  Hand fixtures legitimately use components up to 5
+    # (test_srp_identical_vectors_top_pair), so the guard sits at the
+    # documented headroom bound, not at 1.
     from py4j.protocol import Py4JJavaError
     from pyspark.errors import PySparkRuntimeError
 
     from mongraph_spark.queries.inference import _srp_int_vecs
 
     ok = spark.createDataFrame(
-        [(1, [0.5, -1.0, 0.999])], "vec_id long, embedding array<double>"
+        [(1, [0.5, -1.0, 5.0, 99.9])], "vec_id long, embedding array<double>"
     )
     rows = _srp_int_vecs(ok).collect()
-    assert rows[0]["xv"] == [500000, -1000000, 999000]
+    assert rows[0]["xv"] == [500000, -1000000, 5000000, 99900000]
     bad = spark.createDataFrame(
-        [(2, [0.5, 1.0000001])], "vec_id long, embedding array<double>"
+        [(2, [0.5, 100.0000001])], "vec_id long, embedding array<double>"
     )
     with pytest.raises((Py4JJavaError, PySparkRuntimeError, Exception)) as ei:
         _srp_int_vecs(bad).collect()
