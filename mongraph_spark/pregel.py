@@ -51,6 +51,29 @@ from pyspark.sql import DataFrame
 from mongraph_spark.sparkutil import lineage_cut
 
 
+def _release_blocks(df: DataFrame) -> None:
+    """Free a DEAD loop state's checkpoint blocks immediately.
+
+    Each eager ``lineage_cut`` pins its materialized state (RDD blocks
+    for ``localCheckpoint``, a cached copy on top of the files for
+    reliable ``checkpoint``) until the DataFrame is garbage collected on
+    BOTH sides of py4j — which in practice is "never" within a session:
+    a 6-round loop leaked 7 persisted RDDs per query execution (measured
+    via ``getPersistentRDDs``: +7/trial, monotone across a session).
+    Locally that is driver-heap pressure across a 150-query bench
+    session; at scale it is executor storage holding EVERY round's state
+    instead of the 2 live ones (guide §5: unpersist when done).  The cut
+    frame's analyzed plan is exactly one ``LogicalRDD`` node; unpersist
+    its RDD.  Only ever called on states the loop itself created and
+    that nothing downstream can reference (the returned final state is
+    never released).  Best-effort: any reflection surprise degrades to
+    the old keep-until-GC behavior."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def iterate(
     state: DataFrame,
     step: Callable[[DataFrame], DataFrame],
@@ -81,6 +104,12 @@ def iterate(
         for _ in range(group):
             cur = step(cur)
         cur = lineage_cut(cur, eager=True)
+        # the previous state is dead the moment cur is materialized (the
+        # contract: steps are pure plan construction over the incoming
+        # state, probes run on the freshly cut state, callers get only
+        # the final state) — release its blocks instead of holding every
+        # round's state until session GC
+        _release_blocks(state)
         rounds += group
         state = cur
         if converged is not None and converged(cur):

@@ -100,6 +100,28 @@ def test_lineage_cut_reliable_mode(spark, monkeypatch, tmp_path):
     assert {(r["k"], r["v"]) for r in out.collect()} == {(1, 13), (2, 23)}
 
 
+def test_pregel_releases_dead_loop_states(spark):
+    # r13: every eager lineage_cut used to pin its blocks until session
+    # GC (+7 persisted RDDs per 6-round loop execution, measured); the
+    # loop now releases each dead state as soon as the next one is
+    # materialized.  After the loop only the FINAL state may remain
+    # pinned — and it must still be fully usable.
+    from mongraph_spark import pregel
+
+    sc = spark.sparkContext
+    before = sc._jsc.getPersistentRDDs().size()
+    out, rounds = pregel.iterate(
+        spark.createDataFrame([(1, 0), (2, 10)], "k long, v long"),
+        lambda s: s.select("k", (F.col("v") + 1).alias("v")),
+        max_rounds=5,
+    )
+    after = sc._jsc.getPersistentRDDs().size()
+    assert rounds == 5
+    # 5 rounds + initial cut = 6 states; all but the final one released
+    assert after - before <= 1, (before, after)
+    assert {(r["k"], r["v"]) for r in out.collect()} == {(1, 5), (2, 15)}
+
+
 def test_srp_int_vecs_guard_raises_out_of_bound(spark):
     # the BIGINT dot folds are only exact while |component| <= 100
     # (64·(100·10⁶)² = 6.4e17 < 2⁶³); the grid transform must fail
