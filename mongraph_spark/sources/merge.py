@@ -1868,9 +1868,16 @@ def upsert(
             )
         n_buckets = meta["n_buckets"]
         deduped = deduped.withColumn(_BUCKET, _bucket_expr(key, n_buckets))
-        touched = sorted(
-            str(r[_BUCKET]) for r in deduped.select(_BUCKET).distinct().collect()
-        )
+        # ONE action yields both commit decisions: the touched-bucket set
+        # AND the broadcast-gate key count (post-dedup rows are unique by
+        # key, so the row total IS the key count).  These were two
+        # separate jobs over the checkpointed batch per commit — pure
+        # fixed cost on trickle commits (streaming sinks, OLTP saves).
+        bucket_rows = deduped.groupBy(_BUCKET).agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+        touched = sorted(str(r[_BUCKET]) for r in bucket_rows)
+        n_update_keys = sum(r["n"] for r in bucket_rows)
         manifest = _read_manifest(root, cur) if cur is not None else {}
         base_map = {b: manifest[b] for b in touched if b in manifest}
         if base_map:
@@ -1894,7 +1901,7 @@ def upsert(
             # entirely.  A big batch must NOT be forced driver-side, so the
             # hint is size-gated; above the threshold AQE picks the strategy
             # from runtime stats.
-            if keys.count() <= 1_000_000:
+            if n_update_keys <= 1_000_000:
                 keys = F.broadcast(keys)
             survivors = base.join(keys, key, "left_anti").withColumn(
                 _BUCKET, _bucket_expr(key, n_buckets)
@@ -1952,9 +1959,12 @@ def _upsert_rebase(
     fp = _meta_fingerprint(meta)
     n_buckets = meta["n_buckets"]
     deduped = deduped.withColumn(_BUCKET, _bucket_expr(key, n_buckets))
-    touched = sorted(
-        str(r[_BUCKET]) for r in deduped.select(_BUCKET).distinct().collect()
-    )
+    # one action for touched buckets + key count (see upsert)
+    bucket_rows = deduped.groupBy(_BUCKET).agg(
+        F.count(F.lit(1)).alias("n")
+    ).collect()
+    touched = sorted(str(r[_BUCKET]) for r in bucket_rows)
+    n_update_keys = sum(r["n"] for r in bucket_rows)
     manifest = _read_manifest(root, snapshot)
     base_map = {b: manifest[b] for b in touched if b in manifest}
     if base_map:
@@ -1963,7 +1973,7 @@ def _upsert_rebase(
             spark, root, base, meta, _read_dv(root, snapshot), buckets=touched
         )
         keys = deduped.select(key)
-        if keys.count() <= 1_000_000:
+        if n_update_keys <= 1_000_000:
             keys = F.broadcast(keys)
         survivors = base.join(keys, key, "left_anti").withColumn(
             _BUCKET, _bucket_expr(key, n_buckets)

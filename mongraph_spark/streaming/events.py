@@ -2264,9 +2264,6 @@ def streaming_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         opens = batch_df.filter(
             F.col("_change_type").isin("insert", "update_postimage")
         ).select("doc_id", "source", "n_chars", F.lit(int(ver)).alias("_valid_from"))
-        dels = batch_df.filter(F.col("_change_type") == "delete").select(
-            "doc_id", "source", "n_chars"
-        )
         if merge_store.current_version(cur_tab) is not None:
             aff = batch_df.select("doc_id").distinct()
             closing = (
@@ -2276,17 +2273,39 @@ def streaming_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .withColumn("_valid_to", F.lit(int(ver)).cast("long"))
             )
             closing.write.mode("append").parquet(log_dir)
-            # replace-whole-row semantics: the new interval SUPERSEDES the
-            # key's current row (merge-without-SET would keep it as-is)
-            merge_store.upsert(s, cur_tab, opens, key="doc_id")
-            if dels.limit(1).count():
-                merge_store.merge_into(
-                    s,
-                    cur_tab,
-                    dels.withColumn("_valid_from", F.lit(0).cast("long")),
-                    when_matched_delete="true",
-                    insert_not_matched=False,
-                )
+            # ONE store commit per micro-batch (r13, VERDICT r12 order
+            # #3): opens and deletes used to be TWO commits (an upsert +
+            # a matched-delete MERGE behind a has-deletes probe job) —
+            # fused into a single MERGE whose source carries deletes as
+            # _valid_from = -1 sentinels (opens always have the commit's
+            # version >= 1 here, so the sentinel can't collide).  Clause
+            # order does the rest: matched sentinels DELETE, matched
+            # opens REPLACE whole-row (the upsert semantics, spelled as
+            # per-column src_ SETs), unmatched opens INSERT.  A delete
+            # always matches by CDF construction (the key existed at the
+            # preceding version and commits replay in order), so the
+            # sentinel can never reach the insert branch.
+            # sentinel typed EXACTLY like opens' F.lit(int(ver)) (int32):
+            # a wider literal would widen the union and make the merge
+            # stage INT64 files under the table's int32 schema
+            dels = batch_df.filter(F.col("_change_type") == "delete").select(
+                "doc_id",
+                "source",
+                "n_chars",
+                F.lit(-1).alias("_valid_from"),
+            )
+            merge_store.merge_into(
+                s,
+                cur_tab,
+                opens.unionByName(dels),
+                when_matched_set={
+                    "source": "src_source",
+                    "n_chars": "src_n_chars",
+                    "_valid_from": "src__valid_from",
+                },
+                when_matched_delete="src__valid_from = -1",
+                insert_not_matched=True,
+            )
         else:
             merge_store.init_table(opens, cur_tab, key="doc_id", n_buckets=8)
 

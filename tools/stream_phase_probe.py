@@ -67,9 +67,6 @@ def run_scd2() -> None:
             ).select(
                 "doc_id", "source", "n_chars", F.lit(int(ver)).alias("_valid_from")
             )
-            dels = batch_df.filter(F.col("_change_type") == "delete").select(
-                "doc_id", "source", "n_chars"
-            )
             if merge_store.current_version(cur_tab) is not None:
                 aff = batch_df.select("doc_id").distinct()
 
@@ -83,24 +80,26 @@ def run_scd2() -> None:
                     closing.write.mode("append").parquet(log_dir)
 
                 ph("3_close_log_append", close)
-                ph(
-                    "4_upsert_opens",
-                    lambda: merge_store.upsert(s, cur_tab, opens, key="doc_id"),
+                dels2 = batch_df.filter(
+                    F.col("_change_type") == "delete"
+                ).select(
+                    "doc_id", "source", "n_chars", F.lit(-1).alias("_valid_from")
                 )
-                has_dels = ph("5_dels_probe", lambda: dels.limit(1).count())
-                if has_dels:
-                    ph(
-                        "6_merge_deletes",
-                        lambda: merge_store.merge_into(
-                            s,
-                            cur_tab,
-                            dels.withColumn(
-                                "_valid_from", F.lit(0).cast("long")
-                            ),
-                            when_matched_delete="true",
-                            insert_not_matched=False,
-                        ),
-                    )
+                ph(
+                    "4_fused_merge",
+                    lambda: merge_store.merge_into(
+                        s,
+                        cur_tab,
+                        opens.unionByName(dels2),
+                        when_matched_set={
+                            "source": "src_source",
+                            "n_chars": "src_n_chars",
+                            "_valid_from": "src__valid_from",
+                        },
+                        when_matched_delete="src__valid_from = -1",
+                        insert_not_matched=True,
+                    ),
+                )
             else:
                 ph(
                     "0_init_table",
