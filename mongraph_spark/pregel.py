@@ -69,9 +69,34 @@ def _release_blocks(df: DataFrame) -> None:
     never released).  Best-effort: any reflection surprise degrades to
     the old keep-until-GC behavior."""
     try:
+        _quiet_unpersist_warning(df.sparkSession)
         df._jdf.queryExecution().analyzed().rdd().unpersist(False)
     except Exception:
         pass
+
+
+_QUIETED_SESSIONS: set[int] = set()
+
+
+def _quiet_unpersist_warning(spark) -> None:
+    """Mute MapPartitionsRDD's per-release WARN ("locally checkpointed …
+    cannot be recomputed after unpersisting") — that is exactly the
+    intended behavior here (the released state is dead by the loop
+    contract), and a 12-round loop would otherwise emit 12 warning lines
+    per query into any session's logs, the evaluation driver's vanilla
+    one included.  Scoped to that single class; set once per session."""
+    key = id(spark)
+    if key in _QUIETED_SESSIONS:
+        return
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.rdd.MapPartitionsRDD",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass
+    _QUIETED_SESSIONS.add(key)
 
 
 def iterate(
