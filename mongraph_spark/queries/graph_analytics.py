@@ -2396,11 +2396,10 @@ def graph_itemsets3(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds it; every join is order-keyed, no shuffle of enumerated
     triples before their map-side-combining count."""
     eng = tpch.bulk_engine(spark, sf_dir)
-    baskets = (
+    contains = (
         eng.store.edges_df()
         .filter(F.col("type") == "contains")
         .select(F.col("src").alias("order_id"), F.col("dst").alias("part_id"))
-        .distinct()
     )
     pairs = graph_copurchase_pairs(spark, sf_dir)  # part_a < part_b, support >= 2
     freq_items = (
@@ -2408,17 +2407,34 @@ def graph_itemsets3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(pairs.select(F.col("part_b")))
         .distinct()
     )
-    b2 = baskets.join(F.broadcast(freq_items), "part_id").select(
+    # pruned baskets as sorted arrays + map-side C(k,3) combination
+    # explode (r13 — the same basket-aggregation rewrite as
+    # graph_copurchase_pairs): the old shape scanned the pruned list
+    # three times and shuffled it through two order-keyed joins;
+    # collect_set folds the per-order DISTINCT into one exchange and
+    # the sorted-array transforms emit each ordered triple exactly once
+    # with zero joins.  Per-order fan-out is C(k,3), k <= order size.
+    b2 = contains.join(F.broadcast(freq_items), "part_id").select(
         "order_id", "part_id"
     )
-    a = b2.select("order_id", F.col("part_id").alias("pa"))
-    b = b2.select("order_id", F.col("part_id").alias("pb"))
-    c = b2.select("order_id", F.col("part_id").alias("pc"))
+    baskets3 = b2.groupBy("order_id").agg(
+        F.array_sort(F.collect_set("part_id")).alias("parts")
+    )
+    triple = F.explode(
+        F.flatten(
+            F.flatten(
+                F.expr(
+                    "transform(parts, (x, i) -> transform("
+                    "slice(parts, i + 2, size(parts)), (y, j) -> transform("
+                    "slice(parts, i + j + 3, size(parts)),"
+                    " z -> struct(x AS pa, y AS pb, z AS pc))))"
+                )
+            )
+        )
+    )
     triples = (
-        a.join(b, "order_id")
-        .filter(F.col("pa") < F.col("pb"))
-        .join(c, "order_id")
-        .filter(F.col("pb") < F.col("pc"))
+        baskets3.select(triple.alias("t"))
+        .select("t.pa", "t.pb", "t.pc")
         .groupBy("pa", "pb", "pc")
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= ITEMSET3_MIN_SUPPORT)
